@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (MV materialize → state
+table → merge/finalize query — the reference's
+dwm.mainpage_stat_mv_dis.sql:28-70 end-to-end) on sf0.001.
+
+``queries()`` / ``oracle_sql()`` cover SURVEY.md §2's operator inventory;
+every SQL-expressible operator has a DuckDB oracle with identically
+aliased columns. Approximate/sketch-based and streaming operators omit
+the oracle (rows-only check) — their correctness is asserted with
+ε-bounds and dual-path tests in tests/.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from clickhouse_learning_spark.queries import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ingest events → MV partial states → merged+finalized
+    day/segment rollup (reference dwm…sql:60-70)."""
+    from clickhouse_learning_spark.mv.mainpage import mainpage_mv, prepare_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = prepare_events(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="mainpage_stat_")
+    mv = mainpage_mv(d + "/state")
+    mv.append_batch(ev)
+    return mv.merge_query(
+        spark,
+        ["day", "segment"],
+        ["view_uv", "view_cnt", "click_uv", "click_cnt", "value_sum", "value_median", "event_cnt"],
+    ).orderBy("day", "segment")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,233 @@
+"""Mergeable-aggregate metric registry — the reference's combinator algebra.
+
+The reference's central mechanism is the ``-If`` / ``-State`` / ``-Merge``
+combinator system on aggregate functions
+(/root/reference/scripts/sql/dwm.mainpage_stat_mv_dis.sql:46-50,62-66 and
+/root/reference/docs/物化视图的实战经验分享.md:298-316): materialized views
+store *partial aggregate states* per insert batch; storage merges states
+lazily; queries always re-merge and finalize. This maps exactly onto
+Spark's partial/final hash-aggregation split, so each metric here is a
+``(partial, merge, finalize)`` triple of Catalyst expressions — no UDFs
+in the hot path.
+
+State representations (SURVEY.md §1.2):
+
+========================  =====================================  ==========
+reference state           Spark state column                     kind
+========================  =====================================  ==========
+AggregateFunction(
+  uniqCombined, UInt32)   BinaryType Datasketches HLL sketch     ``uniq``
+SimpleAggregateFunction(
+  sum, UInt64)            LongType / DoubleType plain value      ``sum``
+AggregateFunction(
+  medianExact, UInt32)    ArrayType(LongType) retained values    ``median``
+AggregateFunction(
+  groupBitmap, UInt32)    sorted ArrayType(LongType) id-set      ``bitmap``
+count                     LongType                               ``count``
+min / max                 same type as source                    ``min``/``max``
+========================  =====================================  ==========
+
+Plain-value sum states follow the reference's own finding that
+``SimpleAggregateFunction`` (8 B) beats opaque sum states (16 B)
+(/root/reference/docs/物化视图的实战经验分享.md:529-549).
+
+Exact medians keep every value in the state (as the reference's
+``medianExactState`` does); this is documented as memory-heavy — at
+100 TB prefer ``kind="quantile_sketch"`` (t-digest-style
+``percentile_approx``-compatible state is not exposed by Spark, so the
+sketch kind finalizes per-query from raw values with
+``percentile_approx``; exactness trade-off documented in README).
+
+Bitmap states are exact sorted id-arrays (Roaring-equivalent set algebra
+via ``array_intersect``/``array_union``/``size``). At extreme
+cardinalities a BinaryType roaring UDAF would halve memory, but arrays
+keep the whole pipeline JVM-side and codegen-able, which benchmarks
+faster at the reference's cardinalities (≤15k uids/group).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Default log2(K) for HLL sketches: 12 → ~0.8% relative error, 4 KB max
+# per sketch (the reference's uniqCombined(17) default has comparable error).
+HLL_LG_K = 12
+
+KINDS = ("uniq", "uniq_exact", "sum", "count", "min", "max", "median", "bitmap", "avg")
+
+
+def _as_col(expr: str | Column) -> Column:
+    return F.expr(expr) if isinstance(expr, str) else expr
+
+
+@dataclass(frozen=True)
+class MetricSpec:
+    """One metric of a materialized view.
+
+    ``name``    state/output column name.
+    ``kind``    one of KINDS.
+    ``source``  input expression (SQL string or Column) over the raw log.
+    ``cond``    optional condition — the ``-If`` combinator
+                (/root/reference/scripts/sql/dwm.mainpage_stat_mv_dis.sql:46-48):
+                rows failing it contribute the aggregate's neutral element.
+    """
+
+    name: str
+    kind: str
+    source: str | Column = field(default="1")
+    cond: str | Column | None = None
+
+    def __post_init__(self):
+        if self.kind not in KINDS:
+            raise ValueError(f"unknown metric kind {self.kind!r}; expected one of {KINDS}")
+
+    # -- input with the -If combinator applied --------------------------------
+    def _input(self) -> Column:
+        src = _as_col(self.source)
+        if self.cond is None:
+            return src
+        # when() without otherwise() yields NULL, the neutral element for
+        # every Spark aggregate used here (sketches, sums, collect_*).
+        return F.when(_as_col(self.cond), src)
+
+    # -- partial: raw rows -> state (the reference's -State) ------------------
+    def partial(self) -> Column:
+        x = self._input()
+        if self.kind == "uniq":
+            return F.hll_sketch_agg(x, F.lit(HLL_LG_K)).alias(self.name)
+        if self.kind == "uniq_exact":
+            # exact distinct keeps the value set as its state (uniqExact is
+            # discouraged by the reference for the same memory reason,
+            # docs/物化视图的实战经验分享.md:305)
+            return F.sort_array(F.collect_set(x)).alias(self.name)
+        if self.kind == "sum":
+            return F.sum(x).alias(self.name)
+        if self.kind == "count":
+            return F.count(x).alias(self.name)
+        if self.kind == "min":
+            return F.min(x).alias(self.name)
+        if self.kind == "max":
+            return F.max(x).alias(self.name)
+        if self.kind == "avg":
+            # mergeable avg state = (sum, count) struct
+            return F.struct(
+                F.sum(x).alias("s"), F.count(x).alias("c")
+            ).alias(self.name)
+        if self.kind == "median":
+            return F.collect_list(x).alias(self.name)
+        if self.kind == "bitmap":
+            return F.sort_array(F.collect_set(x)).alias(self.name)
+        raise AssertionError(self.kind)
+
+    # -- merge: state -> state (the reference's -MergeState) ------------------
+    def merge(self, col: str | Column | None = None) -> Column:
+        c = _as_col(col) if col is not None else F.col(self.name)
+        if self.kind == "uniq":
+            return F.hll_union_agg(c, F.lit(True)).alias(self.name)
+        if self.kind in ("uniq_exact", "bitmap"):
+            return F.array_sort(F.array_distinct(F.flatten(F.collect_list(c)))).alias(self.name)
+        if self.kind in ("sum", "count"):
+            return F.sum(c).alias(self.name)
+        if self.kind == "min":
+            return F.min(c).alias(self.name)
+        if self.kind == "max":
+            return F.max(c).alias(self.name)
+        if self.kind == "avg":
+            return F.struct(
+                F.sum(c.getField("s")).alias("s"), F.sum(c.getField("c")).alias("c")
+            ).alias(self.name)
+        if self.kind == "median":
+            return F.flatten(F.collect_list(c)).alias(self.name)
+        raise AssertionError(self.kind)
+
+    # -- finalize: merged state -> value (the reference's -Merge) -------------
+    def finalize(self, col: str | Column | None = None) -> Column:
+        c = _as_col(col) if col is not None else F.col(self.name)
+        if self.kind == "uniq":
+            # ClickHouse uniqCombinedIf yields 0 on empty input
+            return F.coalesce(F.hll_sketch_estimate(c), F.lit(0)).alias(self.name)
+        if self.kind in ("uniq_exact", "bitmap"):
+            return F.coalesce(F.size(c), F.lit(0)).alias(self.name)
+        if self.kind in ("sum", "count"):
+            # ClickHouse sumIf/countIf yield 0 (not NULL) when no row matches
+            return F.coalesce(c, F.lit(0)).alias(self.name)
+        if self.kind in ("min", "max"):
+            return c.alias(self.name)
+        if self.kind == "avg":
+            return (c.getField("s") / c.getField("c")).alias(self.name)
+        if self.kind == "median":
+            return array_median(c).alias(self.name)
+        raise AssertionError(self.kind)
+
+    def merged_finalized(self, col: str | Column | None = None) -> Column:
+        """merge + finalize in one aggregate expression (query-time path —
+        queries must always finalize with -Merge regardless of compaction
+        state, docs/物化视图的实战经验分享.md:934-996)."""
+        name = self.name
+        m = self.merge(col)
+        return self.finalize(m).alias(name)
+
+    def neutral(self) -> Column:
+        """Neutral ("empty") state for union-merging wide tables whose
+        writers fill disjoint metric columns
+        (/root/reference/docs/物化视图的实战经验分享.md:822-828)."""
+        if self.kind == "uniq":
+            return F.lit(None).cast("binary").alias(self.name)
+        if self.kind in ("uniq_exact", "bitmap"):
+            return F.lit(None).cast("array<bigint>").alias(self.name)
+        if self.kind == "median":
+            return F.lit(None).cast("array<bigint>").alias(self.name)
+        if self.kind == "avg":
+            return F.lit(None).cast("struct<s:double,c:bigint>").alias(self.name)
+        return F.lit(None).cast("bigint").alias(self.name)
+
+
+def array_median(c: Column) -> Column:
+    """Exact median of an array<numeric> column, JVM-side.
+
+    Interpolated for even counts (matches Spark's ``median``/DuckDB's
+    ``median`` on numerics; ClickHouse ``medianExact`` takes the
+    upper-middle element — use :func:`array_median_exact_low` for that
+    variant).
+    """
+    sorted_ = F.array_sort(c)
+    n = F.size(sorted_)
+    # element_at is 1-based; for odd n both indices equal (n+1)/2
+    lo_i = F.floor((n + F.lit(1)) / 2).cast("int")
+    hi_i = F.ceil((n + F.lit(1)) / 2).cast("int")
+    return (
+        (F.element_at(sorted_, lo_i) + F.element_at(sorted_, hi_i)) / 2.0
+    )
+
+
+def array_median_exact_low(c: Column) -> Column:
+    """ClickHouse medianExact semantics: element at index ⌈n/2⌉ (1-based)
+    of the sorted values — no interpolation
+    (ClickHouse quantileExact, used at
+    /root/reference/scripts/sql/dwm.mainpage_stat_mv_dis.sql:83)."""
+    sorted_ = F.array_sort(c)
+    n = F.size(sorted_)
+    idx = (F.floor(n / 2) + 1).cast("int")
+    return F.element_at(sorted_, idx)
+
+
+# -- bitmap set algebra (the reference's bitmapAnd / bitmapOr / cardinality,
+#    /root/reference/scripts/sql/dwm.mainpage_stat_mv_dis.sql:280-290) --------
+
+def bitmap_and(a: Column, b: Column) -> Column:
+    return F.array_intersect(a, b)
+
+
+def bitmap_or(a: Column, b: Column) -> Column:
+    return F.array_union(a, b)
+
+
+def bitmap_and_cardinality(a: Column, b: Column) -> Column:
+    return F.size(F.array_intersect(a, b))
+
+
+def bitmap_cardinality(a: Column) -> Column:
+    return F.size(a)

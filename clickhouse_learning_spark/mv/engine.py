@@ -1,0 +1,112 @@
+"""Materialized-view engine: incremental pre-aggregation over mergeable states.
+
+Reproduces the reference's MV pipeline
+(/root/reference/scripts/sql/dwm.mainpage_stat_mv_dis.sql:28-57, semantics
+at /root/reference/docs/物化视图的实战经验分享.md:298-316):
+
+1. Every ingested batch is aggregated *by itself* into partial states
+   (:meth:`MaterializedView.materialize_batch` ≈ the insert-trigger MV —
+   it never recomputes history).
+2. States append to a wide AggregatingMergeTree-style state table
+   (:attr:`MaterializedView.storage`).
+3. A background :meth:`compact` lazily re-merges equal-key state rows —
+   a pure space optimization, exactly like ClickHouse background merges.
+4. Queries ALWAYS re-merge + finalize (:meth:`merge_query`), so results
+   are correct at any compaction state (the reference proves this
+   invariant pre/post OPTIMIZE FINAL at docs/…md:934-996, and shows the
+   negative case — reading states without -Merge is wrong — at
+   docs/…md:327-415).
+
+Scale design: ``materialize_batch`` is one shuffle (the groupBy) over
+just the new batch; ``merge_query`` scans the (orders-of-magnitude
+smaller) state table with partition pruning on ``day`` and does one
+partial/final aggregation — the same two-level shard→initiator merge the
+Distributed engine performs (docs/…md:272-294), handled natively by
+Spark's partial/final hash aggregation. The state table is
+day-partitioned so TTL and compaction are per-partition jobs that
+parallelize across the cluster.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.functions.metrics import MetricSpec
+from clickhouse_learning_spark.tables import Table
+
+
+@dataclass
+class MaterializedView:
+    """``CREATE MATERIALIZED VIEW ... TO storage`` (compute/storage split,
+    docs/物化视图的实战经验分享.md:199-207)."""
+
+    name: str
+    dims: tuple[str, ...]
+    metrics: tuple[MetricSpec, ...]
+    storage: Table
+
+    def metric(self, name: str) -> MetricSpec:
+        for m in self.metrics:
+            if m.name == name:
+                return m
+        raise KeyError(f"{self.name}: no metric {name!r}")
+
+    # -- write path ------------------------------------------------------------
+    def materialize_batch(self, batch: DataFrame) -> DataFrame:
+        """Aggregate ONE insert batch to partial states (insert-trigger MV
+        semantics: docs/…md:298-301). One shuffle, map-side partials."""
+        return batch.groupBy(*self.dims).agg(*[m.partial() for m in self.metrics])
+
+    def append_batch(self, batch: DataFrame) -> None:
+        self.storage.append(self.materialize_batch(batch))
+
+    # -- read path ---------------------------------------------------------------
+    def merge_query(
+        self,
+        spark: SparkSession,
+        group_by: tuple[str, ...] | list[str],
+        metric_names: list[str] | None = None,
+        where: Column | str | None = None,
+    ) -> DataFrame:
+        """Query the state table: filter (partition-pruned on day) →
+        re-merge states per requested grouping → finalize. Equivalent of
+        ``SELECT dims, uniqCombinedMerge(uv), sum(cnt) FROM state GROUP BY
+        dims`` (dwm.mainpage_stat_mv_dis.sql:60-70)."""
+        names = metric_names or [m.name for m in self.metrics]
+        df = self.storage.read(spark)
+        if where is not None:
+            df = df.filter(F.expr(where) if isinstance(where, str) else where)
+        aggs = [self.metric(n).merged_finalized() for n in names]
+        return df.groupBy(*group_by).agg(*aggs)
+
+    def merge_states(self, df: DataFrame, group_by: list[str]) -> DataFrame:
+        """Re-merge states WITHOUT finalizing (the -MergeState combinator,
+        dwm.mainpage_stat_mv_dis.sql:282-287) — for funnel algebra over
+        bitmap states or for compaction."""
+        return df.groupBy(*group_by).agg(*[m.merge() for m in self.metrics])
+
+    # -- maintenance ---------------------------------------------------------------
+    def compact(self, spark: SparkSession) -> None:
+        """Re-merge equal-key rows in storage (background merge / OPTIMIZE
+        FINAL). Per-partition re-aggregation; pure space optimization."""
+        merged = self.merge_states(self.storage.read(spark), list(self.dims))
+        self.storage._rewrite(merged)
+
+    # -- multi-writer wide tables -------------------------------------------------
+    def union_merge(self, *state_dfs: DataFrame) -> DataFrame:
+        """Union-merge state batches that fill disjoint metric columns
+        (the reference's join-avoidance pattern: two MVs from two logs
+        write one wide table, docs/…md:822-828,831-997). Missing columns
+        are filled with the neutral state so rows merge away."""
+        filled = []
+        for df in state_dfs:
+            cols = set(df.columns)
+            missing = [m.neutral() for m in self.metrics if m.name not in cols]
+            filled.append(df.select("*", *missing) if missing else df)
+        out = filled[0]
+        for df in filled[1:]:
+            out = out.unionByName(df, allowMissingColumns=False)
+        return out

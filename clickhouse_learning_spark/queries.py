@@ -1,0 +1,725 @@
+"""Operator-coverage query registry (driver contract).
+
+Every entry implements one or more rows of SURVEY.md §2's operator
+inventory as an idiomatic DataFrame/SQL composition and (where the
+semantics are SQL-expressible and deterministic) pairs it with a DuckDB
+oracle whose column names/aliases match exactly.
+
+Determinism rules used throughout so the driver's order-insensitive
+value-hash matches:
+- double aggregates are wrapped in round(x, 2) on BOTH sides (partial
+  sums commute only approximately in IEEE754; rounding removes the
+  order-dependent low bits);
+- value*1000 style integer rescales use floor() on both sides (Spark
+  CAST truncates, DuckDB CAST rounds — floor agrees);
+- DuckDB integer sums are CAST to BIGINT (DuckDB widens to INT128).
+
+Approximate (HLL) and streaming operators have no oracle entry — the
+driver records a rows-only check; their correctness is covered by
+ε-bound and dual-path tests in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.functions import metrics as M
+from clickhouse_learning_spark.schemas import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+# DuckDB-side events view with the derived default-expression columns
+# (SURVEY P7/F1/F2) so oracles read like the reference SQL.
+_EV = (
+    "(SELECT *, CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hour, "
+    "user_id AS uid FROM events)"
+)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with default-expression columns day/hour/uid (SURVEY P7)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .withColumnRenamed("user_id", "uid")
+    )
+
+
+# ===========================================================================
+# Aggregations (SURVEY A1-A16) + projections/filters (P1-P7) + sorts (O1-O2)
+# ===========================================================================
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE)        AS sum_qty,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE)   AS sum_base_price,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(avg(l_quantity), 2) AS DOUBLE)        AS avg_qty,
+           CAST(round(avg(l_extendedprice), 2) AS DOUBLE)   AS avg_price,
+           CAST(count(*) AS BIGINT)                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped hash aggregation: multi-key GROUP BY + sum/avg/count
+    (SURVEY A1, A12, A13, A14; filter P4; result sort O1). Filter and the
+    6-column projection push down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "conditional_agg",
+    f"""
+    SELECT day,
+           CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT)  AS view_cnt,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click_cnt,
+           count(DISTINCT CASE WHEN event_type = 'view' THEN uid END)     AS view_uv,
+           count(DISTINCT CASE WHEN event_type = 'click' THEN uid END)    AS click_uv,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)       AS value_sum
+    FROM {_EV} GROUP BY day
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The -If combinator, exact form (SURVEY A5/A13; reference
+    dwm.mainpage_stat_mv_dis.sql:46-50): conditional counts and distincts
+    via when() arguments — one scan, no pre-filter subqueries."""
+    ev = _events(spark, sf_dir)
+    is_ = lambda t: F.when(F.col("event_type") == t, F.lit(1))
+    uid_if = lambda t: F.when(F.col("event_type") == t, F.col("uid"))
+    return ev.groupBy("day").agg(
+        F.coalesce(F.sum(is_("view")), F.lit(0)).alias("view_cnt"),
+        F.coalesce(F.sum(is_("click")), F.lit(0)).alias("click_cnt"),
+        F.count_distinct(uid_if("view")).alias("view_uv"),
+        F.count_distinct(uid_if("click")).alias("click_uv"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_sum"),
+    )
+
+
+@query(
+    "uniq_exact",
+    f"""
+    SELECT day, event_type,
+           count(DISTINCT uid) AS uv,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM {_EV} GROUP BY day, event_type
+    """,
+)
+def uniq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqExact (SURVEY A6) + count per group (A13, A14)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("day", "event_type")
+        .agg(F.count_distinct("uid").alias("uv"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def uniq_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqCombined via Datasketches HLL (SURVEY A3/A4): partial sketch →
+    union → estimate. No oracle (approximate; ε-bound tested in
+    tests/test_metrics.py)."""
+    ev = _events(spark, sf_dir)
+    spec = M.MetricSpec("uv", "uniq", "uid")
+    states = ev.groupBy("day", "event_type").agg(spec.partial())
+    return states.groupBy("day").agg(spec.merged_finalized())
+
+
+QUERIES["uniq_hll"] = uniq_hll
+
+
+@query(
+    "median_exact",
+    f"""
+    SELECT event_type,
+           CAST(median(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) AS value_median,
+           CAST(round(quantile_cont(value, 0.9), 2) AS DOUBLE) AS value_p90
+    FROM {_EV} GROUP BY event_type
+    """,
+)
+def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """medianExact (SURVEY A7): exact interpolated median over integer
+    milli-units (deterministic), exact p90 over doubles."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.median(F.floor(F.col("value") * 100).cast("long")).cast("double").alias("value_median"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 2).alias("value_p90"),
+    )
+
+
+@query(
+    "median_state_merge",
+    f"""
+    SELECT day,
+           CAST(median(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) AS value_median
+    FROM {_EV} GROUP BY day
+    """,
+)
+def median_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """medianExactState → medianExactMerge (SURVEY A7 as a mergeable
+    state, reference dwm…sql:114,83): per-(day,hour) value-list states,
+    flattened and finalized per day — proves state mergeability against a
+    direct-median oracle."""
+    ev = _events(spark, sf_dir)
+    spec = M.MetricSpec("value_median", "median", F.floor(F.col("value") * 100).cast("long"))
+    states = ev.groupBy("day", "hour").agg(spec.partial())
+    return states.groupBy("day").agg(spec.merged_finalized()).select(
+        "day", F.col("value_median").cast("double").alias("value_median")
+    )
+
+
+@query(
+    "bitmap_funnel",
+    f"""
+    WITH s AS (
+      SELECT day, uid,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)     AS v,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)    AS c,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)   AS g,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM {_EV} GROUP BY day, uid)
+    SELECT day,
+           CAST(sum(v) AS BIGINT)           AS stage_view,
+           CAST(sum(v * c) AS BIGINT)       AS stage_click,
+           CAST(sum(v * c * g) AS BIGINT)   AS stage_signup,
+           CAST(sum(v * c * g * p) AS BIGINT) AS stage_purchase
+    FROM s GROUP BY day
+    """,
+)
+def bitmap_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBitmap funnel (SURVEY A8-A11; reference dwm…sql:280-290):
+    per-stage uid bitmaps built with -If states, chained bitmapAnd,
+    bitmapCardinality per stage."""
+    ev = _events(spark, sf_dir)
+    stage = lambda t: M.MetricSpec(f"{t}_bm", "bitmap", "uid", f"event_type = '{t}'")
+    specs = [stage(t) for t in ("view", "click", "signup", "purchase")]
+    bm = ev.groupBy("day").agg(*[s.partial() for s in specs])
+    s1 = F.col("view_bm")
+    s2 = M.bitmap_and(s1, F.col("click_bm"))
+    s3 = M.bitmap_and(s2, F.col("signup_bm"))
+    s4 = M.bitmap_and(s3, F.col("purchase_bm"))
+    return bm.select(
+        "day",
+        M.bitmap_cardinality(s1).alias("stage_view"),
+        M.bitmap_cardinality(s2).alias("stage_click"),
+        M.bitmap_cardinality(s3).alias("stage_signup"),
+        M.bitmap_cardinality(s4).alias("stage_purchase"),
+    )
+
+
+@query(
+    "having_over_agg",
+    f"""
+    SELECT hour, CAST(count(*) AS BIGINT) AS cnt, count(DISTINCT uid) AS uv
+    FROM {_EV}
+    GROUP BY hour HAVING count(*) > 20
+    """,
+)
+def having_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over aggregates (SURVEY A15; data_rebalance.py:158-160)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.count_distinct("uid").alias("uv"))
+        .filter(F.col("cnt") > 20)
+    )
+
+
+@query(
+    "distinct_rows",
+    f"SELECT DISTINCT day, event_type FROM {_EV}",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (SURVEY A16; data_rebalance.py:134-141)."""
+    return _events(spark, sf_dir).select("day", "event_type").distinct()
+
+
+@query(
+    "minmax_rollup_sorted",
+    """
+    SELECT o_orderpriority,
+           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_price,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price,
+           CAST(round(avg(o_totalprice), 2) AS DOUBLE) AS avg_price,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY o_orderpriority DESC
+    """,
+)
+def minmax_rollup_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg thresholds + ORDER BY DESC result sort (SURVEY A12,
+    O1, O2; data_rebalance.py:119,159-161)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy(F.desc("o_orderpriority"))
+    )
+
+
+# ===========================================================================
+# Projections / filters / scalar functions (P1-P7, F1-F8, F12-F14)
+# ===========================================================================
+
+
+@query(
+    "filter_project_prune",
+    f"""
+    SELECT uid, event_type, CAST(floor(value) AS BIGINT) AS value_int
+    FROM {_EV}
+    WHERE day = DATE '2024-01-05' AND value > 100
+    """,
+)
+def filter_project_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key equality + comparison filters with narrow projection
+    (SURVEY P1-P4) — Catalyst pushes both the filter and the 3-column
+    read schema into the scan."""
+    return (
+        _events(spark, sf_dir)
+        .filter((F.col("day") == F.lit("2024-01-05").cast("date")) & (F.col("value") > 100))
+        .select("uid", "event_type", F.floor("value").cast("long").alias("value_int"))
+    )
+
+
+@query(
+    "modulo_skew_filter",
+    f"""
+    SELECT day, CAST(count(*) AS BIGINT) AS cnt, count(DISTINCT uid) AS uv
+    FROM {_EV} WHERE uid % 13 = 0 GROUP BY day
+    """,
+)
+def modulo_skew_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modulo predicate — the reference's skewed-clicker cohort
+    (SURVEY P5; make_user_action_001.py:71)."""
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("uid") % 13 == 0)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.count_distinct("uid").alias("uv"))
+    )
+
+
+@query(
+    "like_and_conjunction",
+    """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(round(avg(p_retailprice), 2) AS DOUBLE) AS avg_price
+    FROM part
+    WHERE p_type LIKE '%DARD%' AND p_size >= 10 AND p_brand <> 'Brand#17'
+    GROUP BY p_brand
+    """,
+)
+def like_and_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / inequality / conjunction predicates (SURVEY P6;
+    data_rebalance.py:136-139,199)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_type").like("%DARD%")
+            & (F.col("p_size") >= 10)
+            & (F.col("p_brand") != "Brand#17")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "scalar_datetime_math",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           date_trunc('hour', ts) AS hour,
+           CAST(CAST(ts AS DATE) + INTERVAL 10 DAY AS DATE) AS ttl_day,
+           CAST(floor(value / 10) AS BIGINT) AS value_div,
+           CAST(CAST(floor(value) AS BIGINT) % 7 AS BIGINT) AS value_mod,
+           CAST(event_id AS VARCHAR) AS event_id_str
+    FROM events WHERE event_id < 100
+    """,
+)
+def scalar_datetime_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar surface (SURVEY F1-F7): toDate, toStartOfHour, TTL interval
+    arithmetic, int-div, modulo, toString."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 100).select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        (F.to_date("ts") + F.expr("INTERVAL 10 DAYS")).cast("date").alias("ttl_day"),
+        F.floor(F.col("value") / 10).cast("long").alias("value_div"),
+        (F.floor("value").cast("long") % 7).cast("long").alias("value_mod"),
+        F.col("event_id").cast("string").alias("event_id_str"),
+    )
+
+
+@query(
+    "parse_datetime_best_effort",
+    """
+    SELECT o_orderkey,
+           coalesce(try_cast(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP),
+                    TIMESTAMP '1970-01-01 00:00:00') AS parsed
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def parse_datetime_best_effort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parseDateTimeBestEffortOrZero (SURVEY F8; data_rebalance.py:137):
+    lenient timestamp parse with epoch fallback."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.coalesce(
+            F.try_to_timestamp(F.col("o_orderdate").cast("string")),
+            F.lit("1970-01-01 00:00:00").cast("timestamp"),
+        ).alias("parsed"),
+    )
+
+
+@query(
+    "array_join_tuples",
+    """
+    SELECT t.f1 AS stage_id, t.f2 AS stage_name, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest([struct_pack(f1 := 1, f2 := 'view'),
+                         struct_pack(f1 := 2, f2 := 'click'),
+                         struct_pack(f1 := 3, f2 := 'purchase')]) AS t)
+    GROUP BY t.f1, t.f2 ORDER BY stage_id
+    """,
+)
+def array_join_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY JOIN over tuple literals + tuple element access (SURVEY
+    F12/F13, S7; docs/…md:341-346): single-row source exploded into rows."""
+    one = spark.range(1)
+    arr = F.array(
+        F.struct(F.lit(1).alias("f1"), F.lit("view").alias("f2")),
+        F.struct(F.lit(2).alias("f1"), F.lit("click").alias("f2")),
+        F.struct(F.lit(3).alias("f1"), F.lit("purchase").alias("f2")),
+    )
+    exploded = one.select(F.explode(arr).alias("t"))
+    return (
+        exploded.select(F.col("t.f1").alias("stage_id"), F.col("t.f2").alias("stage_name"))
+        .groupBy("stage_id", "stage_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("stage_id")
+    )
+
+
+@query(
+    "numbers_generator",
+    """
+    SELECT CAST(i % 10 AS BIGINT) AS bucket,
+           CAST(sum(i) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM range(100000) t(i) GROUP BY i % 10
+    """,
+)
+def numbers_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numbers(N) synthetic source (SURVEY S6; docs/…md:565) — the
+    reference's 1-billion-row sumState benchmark shape at test size."""
+    return (
+        spark.range(100000)
+        .select((F.col("id") % 10).alias("bucket"), F.col("id"))
+        .groupBy("bucket")
+        .agg(F.sum("id").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ===========================================================================
+# Joins (J1-J6)
+# ===========================================================================
+
+
+@query(
+    "dict_enrich_join",
+    f"""
+    SELECT c.c_mktsegment AS segment,
+           count(DISTINCT e.uid) AS uv,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM {_EV} e
+    JOIN customer c ON CAST(e.uid AS BIGINT) = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def dict_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi hash join with cast-on-key (SURVEY J1; reference
+    dim.dict_user_dim.sql:29-34) — dimension side broadcast, exactly the
+    dictGet/dictionary enrichment path (J5, docs/…md:663-747)."""
+    ev = _events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        ev.join(F.broadcast(cust), ev.uid.cast("long") == cust.c_custkey, "inner")
+        .groupBy("segment")
+        .agg(F.count_distinct("uid").alias("uv"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "left_join_using",
+    f"""
+    WITH v AS (SELECT day, count(DISTINCT uid) AS view_uv FROM {_EV}
+               WHERE event_type = 'view' GROUP BY day),
+         p AS (SELECT day, count(DISTINCT uid) AS buy_uv FROM {_EV}
+               WHERE event_type = 'purchase' GROUP BY day)
+    SELECT v.day AS day, v.view_uv AS view_uv,
+           coalesce(p.buy_uv, 0) AS buy_uv
+    FROM v LEFT JOIN p USING (day)
+    """,
+)
+def left_join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN ... USING (SURVEY J2; reference dwm…sql:255-276): join of
+    two aggregated subqueries on the shared key column."""
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter("event_type = 'view'")
+        .groupBy("day")
+        .agg(F.count_distinct("uid").alias("view_uv"))
+    )
+    p = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("day")
+        .agg(F.count_distinct("uid").alias("buy_uv"))
+    )
+    return v.join(p, ["day"], "left").select(
+        "day", "view_uv", F.coalesce("buy_uv", F.lit(0)).alias("buy_uv")
+    )
+
+
+@query(
+    "cross_join_matrix",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def cross_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join — the rebalancer's shards × partitions matrix
+    (SURVEY J3; data_rebalance.py:133-142)."""
+    r = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_name"))
+    return r.crossJoin(n)
+
+
+@query(
+    "composite_key_left_join",
+    """
+    WITH c AS (SELECT c_nationkey, count(*) AS customers FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey, count(*) AS suppliers FROM supplier GROUP BY s_nationkey)
+    SELECT n.n_name AS nation_name,
+           CAST(coalesce(c.customers, 0) AS BIGINT) AS customers,
+           CAST(coalesce(s.suppliers, 0) AS BIGINT) AS suppliers
+    FROM nation n
+    LEFT JOIN c ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN s ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def composite_key_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left joins on keyed aggregates with neutral fill (SURVEY J4;
+    data_rebalance.py:143-156)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+    )
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .join(s, n.n_nationkey == s.s_nationkey, "left")
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.coalesce("customers", F.lit(0)).alias("customers"),
+            F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+        )
+    )
+
+
+@query(
+    "semi_join_exists",
+    """
+    SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS customers_with_orders
+    FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join (SURVEY §2.3 freebie — EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(o, "c_custkey", "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("customers_with_orders"))
+    )
+
+
+@query(
+    "anti_join_not_exists",
+    """
+    SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS customers_without_orders
+    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders
+                                    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join (SURVEY §2.3 freebie — NOT EXISTS). The subquery is
+    filtered so both branches of the anti join are non-trivial."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("customers_without_orders"))
+    )
+
+
+# ===========================================================================
+# Set operations (U1-U2)
+# ===========================================================================
+
+
+@query(
+    "union_all_batches",
+    f"""
+    SELECT day, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS value_sum
+    FROM (
+      SELECT * FROM {_EV} WHERE event_type = 'view'
+      UNION ALL
+      SELECT * FROM {_EV} WHERE event_type = 'purchase'
+    ) GROUP BY day
+    """,
+)
+def union_all_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of batches (SURVEY U1; docs/…md:350-384)."""
+    ev = _events(spark, sf_dir)
+    u = ev.filter("event_type = 'view'").unionByName(ev.filter("event_type = 'purchase'"))
+    return u.groupBy("day").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_sum"),
+    )
+
+
+@query(
+    "union_merge_wide",
+    f"""
+    SELECT day,
+           CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view_cnt,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS buy_cnt,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(floor(value*1000) AS BIGINT) END), 0) AS BIGINT) AS buy_value_sum
+    FROM {_EV} GROUP BY day
+    """,
+)
+def union_merge_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-merge instead of join (SURVEY U2/J6/T7; docs/…md:822-997):
+    two 'logs' write disjoint metric columns with neutral states; a
+    single merge-agg replaces the join. Oracle expresses the same answer
+    as conditional aggregation over one log."""
+    ev = _events(spark, sf_dir)
+    log1 = ev.filter("event_type = 'view'")
+    log2 = ev.filter("event_type = 'purchase'")
+    s1 = log1.groupBy("day").agg(
+        F.count(F.lit(1)).alias("view_cnt"),
+        F.lit(None).cast("bigint").alias("buy_cnt"),
+        F.lit(None).cast("bigint").alias("buy_value_sum"),
+    )
+    s2 = log2.groupBy("day").agg(
+        F.lit(None).cast("bigint").alias("view_cnt"),
+        F.count(F.lit(1)).alias("buy_cnt"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("buy_value_sum"),
+    )
+    wide = s1.unionByName(s2)
+    return wide.groupBy("day").agg(
+        F.coalesce(F.sum("view_cnt"), F.lit(0)).alias("view_cnt"),
+        F.coalesce(F.sum("buy_cnt"), F.lit(0)).alias("buy_cnt"),
+        F.coalesce(F.sum("buy_value_sum"), F.lit(0)).alias("buy_value_sum"),
+    )
+
+
+# ===========================================================================
+# Beyond-reference freebies the engine exposes (SURVEY §2.4/§2.5 notes)
+# ===========================================================================
+
+
+@query(
+    "rollup_totals",
+    f"""
+    SELECT day, event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM {_EV} GROUP BY ROLLUP (day, event_type)
+    """,
+)
+def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (beyond-reference extension noted in SURVEY §2.4)."""
+    return _events(spark, sf_dir).rollup("day", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@query(
+    "window_topk_per_group",
+    f"""
+    SELECT day, event_type, cnt, rn FROM (
+      SELECT day, event_type, CAST(count(*) AS BIGINT) AS cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, day ASC) AS rn
+      FROM {_EV} GROUP BY day, event_type)
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (SURVEY §2.5: out-of-reference-scope but
+    exposed; deterministic tie-break on day)."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("day"))
+    return agg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)

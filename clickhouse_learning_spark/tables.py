@@ -1,0 +1,120 @@
+"""Partitioned columnar table management (the reference's MergeTree layer).
+
+Maps MergeTree physical-layout knobs (SURVEY.md §1.3) to Spark/Parquet:
+
+- ``PARTITION BY day`` (ods.action_001_dis.sql:18) → Hive-style
+  ``partitionBy("day")`` directory partitioning → Catalyst partition
+  pruning on ``WHERE day = ...``.
+- ``ORDER BY (day,hour,platform,item_id)`` sort key + sparse PK index
+  (ods.action_001_dis.sql:19-22) → ``sortWithinPartitions`` before every
+  write so Parquet row-group min/max statistics give the same
+  data-skipping effect; row-group size plays the role of
+  ``index_granularity``.
+- ``TTL day + toIntervalDay(10)`` (ods.action_001_dis.sql:21) →
+  :meth:`Table.apply_ttl` retention job.
+- ``DROP PARTITION`` + reinsert idempotent loads
+  (make_user_dim_info_toch.py:40-63) → dynamic partition overwrite.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Table:
+    """One partitioned parquet table with a declared sort key."""
+
+    path: str
+    partition_by: tuple[str, ...] = ("day",)
+    sort_key: tuple[str, ...] = ()
+    schema: object | None = None  # optional StructType pin for reads
+
+    # -- read ------------------------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return reader.parquet(self.path)
+
+    # -- write -----------------------------------------------------------------
+    def _sorted(self, df: DataFrame) -> DataFrame:
+        if self.sort_key:
+            return df.sortWithinPartitions(*self.sort_key)
+        return df
+
+    def append(self, df: DataFrame) -> None:
+        """Append a batch (one MergeTree "part" per task file)."""
+        (
+            self._sorted(df)
+            .write.mode("append")
+            .partitionBy(*self.partition_by)
+            .parquet(self.path)
+        )
+
+    def overwrite(self, df: DataFrame) -> None:
+        (
+            self._sorted(df)
+            .write.mode("overwrite")
+            .partitionBy(*self.partition_by)
+            .parquet(self.path)
+        )
+
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        """Dynamic partition overwrite — only partitions present in ``df``
+        are replaced (the reference's DROP PARTITION + insert idempotent
+        load, make_user_dim_info_toch.py:40-63)."""
+        (
+            self._sorted(df)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*self.partition_by)
+            .parquet(self.path)
+        )
+
+    # -- maintenance -------------------------------------------------------------
+    def _rewrite(self, df: DataFrame) -> None:
+        """Full rewrite via staging dir + atomic swap (Spark cannot overwrite
+        a path it is lazily reading). On HDFS/S3-committers this is the
+        same write-then-rename pattern; with a real table format it would
+        be a metadata-only commit."""
+        staging = self.path.rstrip("/") + "__staging"
+        (
+            self._sorted(df)
+            .write.mode("overwrite")
+            .partitionBy(*self.partition_by)
+            .parquet(staging)
+        )
+        shutil.rmtree(self.path, ignore_errors=True)
+        Path(staging).rename(self.path)
+
+    def apply_ttl(
+        self,
+        spark: SparkSession,
+        keep: dt.timedelta,
+        now: dt.date | None = None,
+        day_col: str = "day",
+    ) -> int:
+        """TTL retention (ods.action_001_dis.sql:21): drop whole partitions
+        older than ``now - keep``. At scale this is a metadata-only
+        partition drop (the filter is on the partition column, so only
+        pruned listings are read to find survivors). Returns the number
+        of partitions kept."""
+        cutoff = (now or dt.date.today()) - keep
+        kept = self.read(spark).filter(F.col(day_col) >= F.lit(cutoff))
+        self._rewrite(kept)
+        return self.read(spark).select(day_col).distinct().count()
+
+    def compact(self, spark: SparkSession, target_files_per_partition: int = 1) -> None:
+        """Background-merge analog (OPTIMIZE TABLE FINAL,
+        docs/物化视图的实战经验分享.md:954): coalesce small files per
+        partition and restore the sort key. Correctness never depends on
+        this — all readers merge-on-read."""
+        df = self.read(spark).repartition(target_files_per_partition, *self.partition_by)
+        self._rewrite(df)
