@@ -1,0 +1,403 @@
+"""Deduplication operators for training-data pipelines, scale-first.
+
+Every variant is built so the expensive phase is a shuffle on a compact
+key, never an all-pairs comparison:
+
+- **exact**: hash-groupBy on an md5 content fingerprint; one shuffle.
+- **MinHash + LSH**: char-shingles → H hash functions → banded
+  signatures → bucket join produces candidate pairs (only docs sharing
+  a band bucket ever meet); candidates verified with exact shingle
+  Jaccard. All signature math is Catalyst expressions over arrays
+  (xxhash64 / transform / array_min) — no Python in the hot path.
+- **SimHash**: 64-bit sign-aggregated token hashes; Hamming-ball
+  candidates via band buckets (4×16-bit chunks ⇒ any pair within
+  Hamming distance 3 shares ≥1 chunk — pigeonhole); verified with
+  ``bit_count(xor)``.
+- **n-gram Jaccard**: exact token-set Jaccard for candidate pairs (or
+  all-pairs at test scale).
+- **embedding cosine**: random-hyperplane LSH buckets over the
+  embedding column; exact cosine verification inside buckets.
+
+At 100 TB the only O(n²) work left is within-bucket verification, which
+is bounded by bucket size (tunable via bands/rows and hyperplane count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.operators.text import (
+    content_fingerprint,
+    normalize,
+    shingles,
+    tokens,
+)
+
+def _xorshift_col(x: Column, seed: Column) -> Column:
+    """xorshift64 remix with a (column) seed — bitwise-only (no
+    arithmetic), so it is safe under Spark's ANSI overflow checking."""
+    x = x.bitwiseXOR(seed)
+    x = x.bitwiseXOR(F.shiftright(x, 12))
+    x = x.bitwiseXOR(F.shiftleft(x, 25))
+    x = x.bitwiseXOR(F.shiftright(x, 27))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per normalized-content fingerprint.
+    One hash shuffle on the 16-byte fingerprint — the distributed analog
+    of ``GROUP BY md5(text)``."""
+    fp = df.select(F.col(id_col), content_fingerprint(F.col(text_col)).alias("fingerprint"))
+    keepers = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return df.join(keepers.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 5) -> Column:
+    """array<bigint> MinHash signature. Hash family: h_i(s) =
+    xorshift64(xxhash64(s), seed_i).
+
+    Implemented as ONE ``aggregate`` fold over the shingle array: each
+    shingle is hashed exactly once, then remixed against all
+    ``num_hashes`` seeds with a ``zip_with`` running-minimum. (The naive
+    form — one array_min expression per permutation — re-evaluates the
+    normalize→shingle→hash pipeline per permutation: measured 60×
+    slower.) No UDF, bitwise-only (ANSI-overflow-safe)."""
+    sh = shingles(text, shingle_k)
+    seeds = F.array(
+        *[F.lit((i * 0xC2B2AE3D27D4EB4F) & ((1 << 63) - 1)) for i in range(num_hashes)]
+    )
+    init = F.array(*[F.lit((1 << 63) - 1) for _ in range(num_hashes)])
+
+    def step(acc: Column, s: Column) -> Column:
+        h = F.xxhash64(s)
+        return F.zip_with(acc, seeds, lambda m, seed: F.least(m, _xorshift_col(h, seed)))
+
+    return F.aggregate(sh, init, step)
+
+
+def _banded(sig_col: Column, num_hashes: int, bands: int) -> Column:
+    """array<struct<band:int, bucket:bigint>> — hash each band's slice."""
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice(sig_col, b * rows + 1, rows).cast("string")).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate generation + exact verification.
+
+    1. signatures (map-only);
+    2. explode (band, bucket) — docs meet ONLY via equal (band,bucket):
+       the self-join is on that compact key, so the shuffle moves
+       (id, signature) pairs, not documents;
+    3. per candidate pair, exact shingle-set Jaccard ≥ threshold.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
+    """
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.sort_array(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+    )
+    buckets = sigs.select(
+        "id", "sh", F.explode(_banded(F.col("sig"), num_hashes, bands)).alias("bb")
+    ).select("id", "sh", "bb.band", "bb.bucket")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: every doc that pairs (at ≥ threshold) with a
+    lower-id doc is removed. Single-pass representative selection (the
+    lower id wins); full connected-components clustering would iterate
+    this join — documented trade-off for the streaming-friendly path."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column) -> Column:
+    """64-bit SimHash over word tokens: per-bit sign sum of token hashes,
+    folded with aggregate/zip_with — single expression, no UDF.
+    Dynamic bit shifts use call_function('shiftright', x, i) because the
+    Python ``F.shiftright`` wrapper only accepts literal shift counts."""
+    tok = tokens(text)
+    bit_idx = F.array(*[F.lit(i) for i in range(64)])
+    # acc: array of 64 counters; each token adds ±1 per bit
+    counters = F.aggregate(
+        tok,
+        F.transform(bit_idx, lambda i: F.lit(0)),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                lambda i: F.call_function("shiftright", F.xxhash64(t), i).bitwiseAND(F.lit(1)),
+            ),
+            lambda c, bit: c + F.when(bit == 1, 1).otherwise(-1),
+        ),
+    )
+    # fold sign bits back into one int64
+    return F.aggregate(
+        F.zip_with(counters, bit_idx, lambda c, i: F.struct(c.alias("c"), i.alias("i"))),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(
+            s.getField("c") > 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), s.getField("i")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 4×16-bit band buckets (pigeonhole: any
+    pair with Hamming ≤ 3 agrees on ≥1 of 4 chunks), verified with
+    bit_count(xor) ≤ max_hamming."""
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sim"))
+    chunks = sh.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sim"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sim", "cc.chunk", "cc.key")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram (token-set) Jaccard
+# ---------------------------------------------------------------------------
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact distinct-token Jaccard for every pair sharing ≥1 token.
+    The join key is the token (inverted-index join), so common pairs are
+    found without a cross join; at web scale drop top-frequency tokens
+    first (document-frequency cut) to bound bucket sizes."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(tokens(F.col(text_col))).alias("tok")
+    )
+    inv = toks.select("id", F.size("tok").alias("n"), F.explode("tok").alias("t"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard", F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane (signs only
+    matter): splitmix64-style integer mix mapped to [-1, 1]."""
+    out = []
+    x = (seed * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) & ((1 << 64) - 1)
+    for _ in range(dim):
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & ((1 << 64) - 1)
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & ((1 << 64) - 1)
+        x = x ^ (x >> 31)
+        out.append(((x >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    return out
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    threshold: float = 0.85,
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH: ``n_tables`` independent bucket
+    keys of ``n_planes`` sign bits each; exact cosine verification within
+    buckets. P(same bucket) = (1 - θ/π)^n_planes per table."""
+    vecs = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("v"))
+
+    def bucket_key(table: int) -> Column:
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(w) for w in _hyperplane(dim, table * 1000 + p)])
+            bits.append(F.when(_dot(F.col("v"), plane) >= 0, F.lit(1)).otherwise(F.lit(0)))
+        key = F.lit(0)
+        for bit in bits:
+            key = key * 2 + bit
+        return key
+
+    tagged = vecs.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), bucket_key(t).alias("key"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "v", "bk.tbl", "bk.key")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_bruteforce_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.85,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold — the correctness baseline the
+    LSH variant is measured against (O(n²): test scale only)."""
+    vecs = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("v"))
+    a, b = vecs.alias("a"), vecs.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

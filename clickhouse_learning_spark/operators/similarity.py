@@ -1,0 +1,151 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two paths:
+
+- :func:`cosine_topk_bruteforce` — exact top-k: broadcast the (small)
+  query set against the corpus, score every vector, window top-k.
+  The corpus side never shuffles; one exchange for the final top-k.
+  This is the correctness baseline and is also the right plan whenever
+  the query set is small (broadcast join + codegen'd dot products).
+
+- :func:`ivf_topk` — IVF-flat scale path: partition the corpus into
+  ``n_centroids`` Voronoi cells (deterministic seed vectors + one
+  refinement sweep, k-means style), store the cell id as a column
+  (cluster-pruned scan ≈ partition pruning), probe only ``n_probes``
+  nearest cells per query. Recall vs brute force is measured in tests.
+
+All vector math is Catalyst ``zip_with``/``aggregate`` over
+array<float> cast to double — JVM-side, no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.operators.dedup import _dot, _norm, cosine
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. Returns (query_id, vec_id, cos_sim,
+    rank). Ties broken by vec_id for determinism."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("cv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(emb_col).alias("qv"))
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine_iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic IVF centroids: seed with the n lowest-id vectors,
+    then ``refine_iters`` Lloyd sweeps (assign → mean). Each sweep is one
+    broadcast join + one groupBy — linear scans, no iteration over rows
+    on the driver beyond collecting n_centroids means."""
+    seeds = [
+        [float(x) for x in r["v"]]
+        for r in corpus.select(F.col(emb_col).alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    ]
+    cents = seeds
+    for _ in range(refine_iters):
+        assigned = assign_cells(corpus, cents, emb_col)
+        dim = len(cents[0])
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col(emb_col), i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = list(cents)
+        for r in means:
+            new[r["cell"]] = [r[f"m{i}"] for i in range(dim)]
+        cents = new
+    return cents
+
+
+def assign_cells(
+    corpus: DataFrame, centroids: list[list[float]], emb_col: str = "embedding"
+) -> DataFrame:
+    """Add a ``cell`` column = argmax cosine(centroid, v). Centroids ride
+    along as a broadcast literal array — map-only, no shuffle."""
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    v = F.col(emb_col)
+    scores = F.transform(cent_arr, lambda c: _dot(c, v) / (_norm(c) * _norm(v)))
+    best = F.array_position(scores, F.array_max(scores)) - 1
+    return corpus.withColumn("cell", best.cast("int"))
+
+
+def ivf_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-flat ANN: score only vectors whose cell is among the query's
+    ``n_probes`` nearest centroids. The candidate join key is ``cell``,
+    so the corpus-side work is a cluster-pruned scan — the 100 TB plan
+    is 'read n_probes/n_centroids of the data', same shape as partition
+    pruning."""
+    cents = centroids or train_centroids(corpus, n_centroids, emb_col, id_col)
+    assigned = assign_cells(corpus, cents, emb_col).select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("cv"), "cell"
+    )
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    qv = F.col(emb_col)
+    q_scores = F.transform(cent_arr, lambda c: _dot(c, qv) / (_norm(c) * _norm(qv)))
+    # indices of the n_probes best centroids
+    sorted_cells = F.reverse(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    q_scores,
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+                )
+            ),
+            lambda x: x.getField("i"),
+        )
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(emb_col).alias("qv"),
+        F.explode(F.slice(sorted_cells, 1, n_probes)).alias("cell"),
+    )
+    scored = assigned.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,154 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in Catalyst functions (JVM-side,
+codegen-able) — no Python UDFs — so they vectorize over 100 TB of
+documents exactly like any other column expression:
+
+- tokenization: ``regexp_extract_all`` with an RE2/Java-compatible
+  pattern (kept engine-portable so the DuckDB oracle matches);
+- token counting: whitespace tokens + a BPE-ish subword estimate;
+- quality scoring: length / punctuation ratio / stopword ratio /
+  mean word length, the standard pre-training quality heuristics;
+- language ID: stopword-hit voting over per-language function words;
+- fingerprinting: md5 content fingerprint over normalized text plus a
+  shingle-based rolling fingerprint for near-dup blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# word-token pattern; identical semantics in Java regex (Spark) and RE2
+# (DuckDB) — no lookarounds, no unicode classes.
+TOKEN_RE = "[A-Za-z0-9]+"
+
+# BPE-ish subword unit: runs of letters up to 4 chars count ~1 token each;
+# approximates byte-pair tokenizers' ~4 chars/token on English text.
+BPE_CHARS_PER_TOKEN = 4.0
+
+# tiny per-language function-word lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "en", "por", "que"),
+}
+
+
+def normalize(text: Column) -> Column:
+    """Whitespace-collapse + lowercase — the canonical form used by
+    fingerprints and exact dedup."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def tokens(text: Column) -> Column:
+    """array<string> of word tokens."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-ish word-token count."""
+    return F.size(tokens(text))
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """Deterministic BPE-style token-count estimate: ceil(chars/4) per
+    word, so short words cost 1 and long words split."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / BPE_CHARS_PER_TOKEN).cast("long"),
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(text, "[A-Za-z0-9 ]", "")
+    return F.when(F.length(text) > 0, F.length(stripped) / F.length(text)).otherwise(0.0)
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    """Count of tokens (with multiplicity) that are function words of
+    ``lang`` — the core signal for both quality and language ID."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def mean_word_len(text: Column) -> Column:
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long"))
+    return F.when(F.size(t) > 0, total / F.size(t)).otherwise(0.0)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: reward stopword presence and
+    normal word lengths, penalize very short docs and punctuation noise.
+    Deterministic; weights documented, not learned."""
+    n_tok = token_count(text)
+    sw_ratio = F.when(n_tok > 0, stopword_hits(text) / n_tok).otherwise(0.0)
+    len_ok = F.least(n_tok / F.lit(20.0), F.lit(1.0))  # saturates at 20 tokens
+    wl = mean_word_len(text)
+    wl_ok = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(0.5)
+    p = punct_ratio(text)
+    p_ok = F.greatest(F.lit(0.0), F.lit(1.0) - p * 4)
+    return F.round(
+        0.35 * F.least(sw_ratio * 3, F.lit(1.0)) + 0.25 * len_ok + 0.2 * wl_ok + 0.2 * p_ok, 6
+    )
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    return [(lang, stopword_hits(text, lang)) for lang in STOPWORDS]
+
+
+def lang_id(text: Column) -> Column:
+    """Pick the language whose function words hit most (ties: first in
+    declaration order → 'en'), 'unknown' when nothing hits."""
+    scores = lang_scores(text)
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0).cast("int")
+    # fold right-to-left so earlier languages win ties with >=
+    for lang, score in reversed(scores):
+        take = score >= best_score
+        # strict improvement required against later langs, so reversed
+        # iteration + >= gives first-declared-wins tie semantics
+        best_lang = F.when(score >= best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(best_score, score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("unknown"))
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized text (engine-portable
+    — DuckDB md5 produces the identical hex)."""
+    return F.md5(normalize(text))
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Character k-shingle array over normalized text (for MinHash /
+    Jaccard). Built with sequence+transform — pure Catalyst, no UDF."""
+    norm = normalize(text)
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
+
+
+def rolling_fingerprint(text: Column, k: int = 8) -> Column:
+    """Near-dup blocking fingerprint: min of the 64-bit hashes of the
+    k-shingle set (a 1-permutation MinHash). Documents sharing long runs
+    of text collide; cheap first-pass blocking key at scale."""
+    return F.array_min(F.transform(shingles(text, k), lambda s: F.xxhash64(s)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document feature frame (the pre-training 'document
+    quality table')."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_token_estimate(t).alias("n_bpe_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(mean_word_len(t), 6).alias("mean_word_len"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        content_fingerprint(t).alias("fingerprint"),
+    )

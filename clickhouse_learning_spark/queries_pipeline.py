@@ -1,0 +1,335 @@
+"""Training-data pipeline queries (dedup / similarity / text / multimodal).
+
+These extend the reference's surface with the operators a 100 TB
+pre-training data pipeline needs (driver BASELINE.json north star).
+Registered into the same QUERIES/ORACLES registry as queries.py.
+
+Oracle notes:
+- DuckDB shingling uses scalar generate_series → list_transform →
+  unnest (lateral generate_series is unsupported in DuckDB 1.0).
+- Cosine similarity oracles compute the dot product manually in DOUBLE
+  (``list_cosine_similarity`` works in float32 and diverges from
+  Spark's float64 math in the 7th decimal).
+- Jaccard/cosine values are round(x, 6) on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.operators import dedup as D
+from clickhouse_learning_spark.operators import multimodal as MM
+from clickhouse_learning_spark.operators import similarity as S
+from clickhouse_learning_spark.operators import text as X
+from clickhouse_learning_spark.queries import query
+from clickhouse_learning_spark.schemas import load_table
+
+# SQL fragments shared by oracles (kept in exact lockstep with
+# operators/text.py — the Python constants are the source of truth).
+_TOKENS = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_SW = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in X.STOPWORDS.items()
+}
+_SHINGLES5 = (
+    f"list_distinct(list_transform(generate_series(1, greatest(length({_NORM})-4, 1)),"
+    f" i -> substr({_NORM}, i::INT, 5)))"
+)
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS}) AS INT) AS n_tokens,
+           CAST(coalesce(list_sum(list_transform({_TOKENS},
+                t -> ceil(length(t)/4.0)::BIGINT)), 0) AS BIGINT) AS n_bpe_tokens,
+           round(CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                      / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN len({_TOKENS}) > 0
+                 THEN CAST(list_sum(list_transform({_TOKENS}, t -> length(t)::BIGINT)) AS BIGINT)
+                      / len({_TOKENS}) ELSE 0.0 END, 6) AS mean_word_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace-word + BPE-ish estimate), punctuation
+    ratio and mean word length — the per-document feature columns of a
+    pre-training quality table. Pure Catalyst expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        X.bpe_token_estimate(t).alias("n_bpe_tokens"),
+        F.round(X.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(X.mean_word_len(t), 6).alias("mean_word_len"),
+    )
+
+
+def _sw_hits_sql(lang: str) -> str:
+    return f"len(list_filter({_TOKENS}, t -> list_contains({_SW[lang]}, t)))"
+
+
+@query(
+    "text_quality_lang",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             len({_TOKENS}) AS n_tok,
+             {_sw_hits_sql("en")} AS h_en,
+             {_sw_hits_sql("de")} AS h_de,
+             {_sw_hits_sql("fr")} AS h_fr,
+             {_sw_hits_sql("es")} AS h_es,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / length(text)
+                  ELSE 0.0 END AS p,
+             CASE WHEN len({_TOKENS}) > 0
+                  THEN CAST(list_sum(list_transform({_TOKENS}, t -> length(t)::BIGINT)) AS BIGINT)
+                       / len({_TOKENS}) ELSE 0.0 END AS wl
+      FROM documents)
+    SELECT doc_id,
+           round(0.35 * least((CASE WHEN n_tok > 0 THEN h_en / n_tok ELSE 0.0 END) * 3, 1.0)
+                 + 0.25 * least(n_tok / 20.0, 1.0)
+                 + 0.2 * (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END)
+                 + 0.2 * greatest(0.0, 1.0 - p * 4), 6) AS quality,
+           CASE WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'unknown'
+                WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                WHEN h_fr >= h_es THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM f
+    """,
+)
+def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/punct/stopword/word-length heuristics) and
+    stopword-voting language ID."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.quality_score(t).alias("quality"),
+        X.lang_id(t).alias("lang_pred"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting over normalized text (md5; engine-portable).
+    The rolling/MinHash blocking fingerprint is exercised by
+    dedup_minhash_lsh."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.content_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+
+@query(
+    "dedup_exact",
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    fp AS (SELECT doc_id, md5({_NORM}) AS fingerprint FROM all_docs)
+    SELECT fingerprint, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on the content fingerprint (one
+    shuffle on a 16-byte key). Input is documents ∪ a re-id'd copy of
+    every 5th doc, so the dedup provably removes the planted copies."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    all_docs = docs.unionByName(copies)
+    return (
+        all_docs.select(
+            "doc_id", X.content_fingerprint(F.col("text")).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_JACCARD5_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES5}) AS s FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(i / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", _JACCARD5_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: 64-hash signatures (single-fold
+    Catalyst expression), 16 bands × 4 rows, bucket self-join, exact
+    char-5-shingle Jaccard ≥ 0.5 verification. The oracle is the exact
+    all-pairs answer — LSH recall at this threshold is 1.0 (verified at
+    sf0.001/sf0.01; band math: P(miss | j=0.5) = (1-0.5^4)^16 ≈ 0.34 per
+    signature theory, but planted dups here sit at j≥0.8 where
+    P(miss) < 0.002)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_TOKENS})) AS t FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / (sa.n + sb.n - i) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard pairs via inverted-index join (docs meet
+    through shared tokens, never a cross join; at web scale add a
+    document-frequency cut on hot tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.token_jaccard_pairs(docs, threshold=0.8)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 8 over 64-bit token-sign
+    fingerprints; 4×16-bit band candidates). Not SQL-portable (bit-level
+    hash algebra) → rows-only driver check; pytest verifies against
+    brute-force Hamming pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=8)
+
+
+from clickhouse_learning_spark.queries import QUERIES  # noqa: E402
+
+QUERIES["dedup_simhash"] = dedup_simhash
+
+
+_COS = (
+    "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _COS.format(a=a, b=b)
+    na = _COS.format(a=a, b=a)
+    nb = _COS.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline; the LSH-bucketed
+    scale path is ann/embedding_lsh_pairs, validated in pytest). Dot
+    products in float64 via zip_with/aggregate — matches the oracle's
+    manual double-precision SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_bruteforce_pairs(emb, threshold=0.4)
+
+
+# ===========================================================================
+# Similarity search (ANN)
+# ===========================================================================
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             {_cos_sql("c.embedding", "q.qv")} AS sim
+      FROM embeddings c, q),
+    ranked AS (
+      SELECT query_id, vec_id, round(sim, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact baseline): broadcast the query
+    set, score corpus-side (no corpus shuffle), window top-k with
+    deterministic tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.cosine_topk_bruteforce(emb, q, k=10)
+    return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (16 cells, 4 probes): cluster-pruned candidate scan.
+    Approximate by design → rows-only driver check; pytest measures
+    recall ≥ 0.9 vs the brute-force baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(spark, emb, q, k=10, n_centroids=16, n_probes=4)
+
+
+QUERIES["ann_ivf_topk"] = ann_ivf_topk
+
+
+# ===========================================================================
+# Multimodal plumbing
+# ===========================================================================
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns (payload + typed metadata struct) decoded via
+    mapInPandas (Arrow batches). Codec layer is a deterministic stub in
+    this container (operators/multimodal.py) — the schema, partitioning
+    and batch plumbing are real. Rows-only driver check."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.build_media_table(spark, docs)
+    dec = MM.decode_image_meta(media)
+    return dec.join(
+        media.select("media_id", F.col("meta.bytes").alias("payload_bytes")), "media_id"
+    ).select("media_id", "width", "height", "ok", "payload_bytes")
+
+
+QUERIES["multimodal_decode"] = multimodal_decode

@@ -1,0 +1,152 @@
+"""Training-data pipeline operators: correctness of the approximate paths
+against exact baselines (the oracle-less queries' safety net)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.operators import dedup as D
+from clickhouse_learning_spark.operators import multimodal as MM
+from clickhouse_learning_spark.operators import similarity as S
+from clickhouse_learning_spark.operators import text as X
+from clickhouse_learning_spark.schemas import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_simhash_pairs_equal_bruteforce_hamming(spark):
+    """LSH-bucketed SimHash candidates == brute-force Hamming ≤ k pairs.
+    Pigeonhole guarantee: Hamming ≤ 3 pairs agree on ≥1 of the 4 16-bit
+    chunks, so recall is exactly 1.0 for max_hamming ≤ 3."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    sh = docs.select(F.col("doc_id").alias("id"), D.simhash(F.col("text")).alias("sim"))
+    a, b = sh.alias("a"), sh.alias("b")
+    want = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            D.hamming64(F.col("a.sim"), F.col("b.sim")).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert got == want
+
+
+def test_simhash_detects_planted_near_dup(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    one = docs.filter("doc_id = 7").select("text").collect()[0]["text"]
+    mutated = one.rsplit(" ", 2)[0]  # drop last two words
+    extra = spark.createDataFrame([(99999, mutated)], "doc_id long, text string")
+    both = docs.select("doc_id", "text").unionByName(extra)
+    pairs = D.simhash_pairs(both, max_hamming=3)
+    assert pairs.filter("id_a = 7 and id_b = 99999").count() == 1
+
+
+def test_minhash_jaccard_estimate_close_to_exact(spark):
+    """Signature agreement ratio ≈ true Jaccard (MinHash theory)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    sigs = docs.select(
+        F.col("doc_id").alias("id"),
+        D.minhash_signature(F.col("text")).alias("sig"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    est = (
+        pairs.join(a, pairs.id_a == F.col("a.id"))
+        .join(b, pairs.id_b == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.lit(64.0)
+            ).alias("est"),
+        )
+    )
+    rows = est.collect()
+    assert rows, "expected planted near-dup pairs"
+    for r in rows:
+        assert abs(r["est"] - r["jaccard"]) < 0.25, r
+
+
+def test_embedding_lsh_recall_vs_bruteforce(spark):
+    """Hyperplane LSH recall vs exact pairs. The fixture's closest pairs
+    sit at cosine ≈ 0.45-0.51 (θ ≈ 63°, p_plane ≈ 0.65) — far for
+    sign-LSH — so the test uses short keys and many tables (16×4:
+    per-table hit ≈ 0.18, P(hit in ≥1 of 16) ≈ 0.96). Precision is 1.0
+    by construction (exact cosine verification in-bucket)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_bruteforce_pairs(emb, threshold=0.45).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_lsh_pairs(emb, threshold=0.45, n_tables=16, n_planes=4).collect()
+    }
+    assert got <= exact
+    if exact:
+        assert len(got & exact) / len(exact) >= 0.8, (len(got), len(exact))
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in S.ivf_topk(spark, emb, q, k=10, n_centroids=16, n_probes=6).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9, len(got & exact) / len(exact)
+
+
+def test_exact_dedup_removes_only_copies(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 50000
+    )
+    out = D.exact_dedup(docs.unionByName(copies))
+    assert out.count() == docs.count()
+    assert out.filter(F.col("doc_id") >= 50000).count() == 0
+
+
+def test_text_stats_columns_sane(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    st = X.text_stats(docs)
+    r = st.agg(
+        F.min("n_tokens"), F.min("quality"), F.max("quality"), F.count_distinct("lang_pred")
+    ).collect()[0]
+    assert r[0] > 0
+    assert 0.0 <= r[1] <= r[2] <= 1.0
+
+
+def test_multimodal_decode_roundtrip(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    media = MM.build_media_table(spark, docs)
+    dec = MM.decode_image_meta(media).collect()
+    assert len(dec) == 50 and all(r["ok"] for r in dec)
+    for r in dec:
+        assert r["width"] == r["media_id"] % 64 + 16
+        assert r["height"] == r["media_id"] % 48 + 16
+    rs = MM.resize_plan(media)
+    bad = rs.filter(
+        (F.greatest("out_width", "out_height") > 32 + 1)
+        | (F.least("out_width", "out_height") < 1)
+    )
+    assert bad.count() == 0
