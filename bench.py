@@ -1,0 +1,94 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the noop sink (full materialization of
+every output column — a bare .count() lets Catalyst prune the compute).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from clickhouse_learning_spark import get_spark
+from clickhouse_learning_spark.session import sf_dir
+
+# headline set: reference-parity core + MV pipeline + training-data ops
+HEADLINE = [
+    "pricing_summary",
+    "conditional_agg",
+    "uniq_exact",
+    "uniq_hll",
+    "median_state_merge",
+    "bitmap_funnel",
+    "dict_enrich_join",
+    "left_join_using",
+    "union_merge_wide",
+    "window_topk_per_group",
+    "text_token_stats",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    target = sf_dir()
+    spark = get_spark(app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+
+    import clickhouse_learning_spark.queries_pipeline  # noqa: F401
+    from clickhouse_learning_spark.mv.mainpage import mainpage_mv, prepare_events
+    from clickhouse_learning_spark.queries import QUERIES
+
+    # JVM/codegen warmup — not measured
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+
+    # flagship MV pipeline: materialize the state table + merge-query it
+    import tempfile
+
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as d:
+        mv = mainpage_mv(d + "/state")
+        mv.append_batch(prepare_events(spark, target))
+        mv.merge_query(spark, ["day", "segment"]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timings["mv_materialize_and_query"] = round(time.time() - t0, 3)
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, target).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(target.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -41,10 +41,16 @@ def cosine_topk_bruteforce(
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cos_sim"),
+        cosine(F.col("cv"), F.col("qv")).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # rank by the UNROUNDED similarity (rounding first could reorder
+    # near-ties differently from an exact oracle), round only the output
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("cos_sim"), "rank")
+    )
 
 
 def train_centroids(
@@ -145,7 +151,11 @@ def ivf_topk(
     scored = assigned.join(F.broadcast(q), "cell").select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cos_sim"),
+        cosine(F.col("cv"), F.col("qv")).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("cos_sim"), "rank")
+    )
