@@ -1,0 +1,104 @@
+"""Streaming / event-time query registry entries.
+
+- ``sessionization_stats`` / ``windowed_uv``: batch forms of the
+  event-time operators (same expressions the streaming path uses),
+  with exact DuckDB oracles.
+- ``streaming_mv_rollup``: a REAL Structured Streaming run — copies the
+  events table into a multi-file landing dir, streams it file-by-file
+  through StreamingMV (foreachBatch insert-trigger semantics), then
+  merge-queries the resulting state table. Not SQL-expressible →
+  rows-only driver check; equivalence to the batch answer is asserted
+  in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.queries import QUERIES, query
+from clickhouse_learning_spark.schemas import load_table
+from clickhouse_learning_spark.streaming import windows as SW
+
+
+@query(
+    "sessionization_stats",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN floor(epoch(ts))::BIGINT
+                       - lag(floor(epoch(ts))::BIGINT)
+                         OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                  THEN 1 ELSE 0 END AS ns
+      FROM events),
+    s AS (SELECT user_id, ts,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM o),
+    per AS (SELECT user_id, session_id, count(*) AS n_events,
+                   max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT) AS duration_s
+            FROM s GROUP BY user_id, session_id)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(round(avg(duration_s), 2) AS DOUBLE) AS avg_session_s
+    FROM per GROUP BY user_id
+    """,
+)
+def sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (lag + running-sum window, 30-min gap) → per-user
+    session stats. One shuffle on user_id; the streaming twin is
+    streaming/windows.sessionize_stream (session_window + watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return SW.session_stats(ev, gap_minutes=30)
+
+
+@query(
+    "windowed_uv",
+    """
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           count(DISTINCT user_id) AS uv
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def windowed_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 30-min event-time window counts + UV (batch form of the
+    watermarked streaming aggregation; both engines bucket from the
+    epoch so window starts align)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = SW.windowed_counts(ev, window="30 minutes", group_extra=("event_type",))
+    return out.select("window_start", "event_type", "cnt", "uv")
+
+
+def streaming_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming MV maintenance: land the events
+    table as multiple parquet files → file-stream them (one file per
+    micro-batch ≈ one insert batch) → foreachBatch partial-state append
+    → merge-on-read rollup. Rows-only driver check (dual-path
+    equivalence asserted in tests)."""
+    from clickhouse_learning_spark.mv.mainpage import mainpage_mv, prepare_events
+    from clickhouse_learning_spark.streaming.ingest import StreamingMV, drain, parquet_stream
+
+    work = tempfile.mkdtemp(prefix="stream_mv_")
+    landing = f"{work}/landing"
+    ev = prepare_events(spark, sf_dir).drop("insert_second")
+    ev.repartition(4).write.mode("overwrite").parquet(landing)
+
+    mv = mainpage_mv(f"{work}/state")
+    smv = StreamingMV(mv, checkpoint=f"{work}/ckpt")
+    q = smv.attach(
+        parquet_stream(spark, landing, ev.schema, max_files_per_trigger=1),
+        trigger={"availableNow": True},
+    )
+    drain(q)
+    return mv.merge_query(
+        spark, ["day", "segment"], ["view_uv", "view_cnt", "click_uv", "value_sum", "event_cnt"]
+    )
+
+
+QUERIES["streaming_mv_rollup"] = streaming_mv_rollup

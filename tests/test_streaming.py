@@ -1,0 +1,102 @@
+"""Structured Streaming MV maintenance: dual-path equivalence with the
+batch pipeline, idempotent restart behavior, and multi-writer fan-in."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.mv.mainpage import mainpage_mv, prepare_events
+from clickhouse_learning_spark.streaming.ingest import StreamingMV, drain, parquet_stream
+
+from .conftest import SF_SMOKE
+
+EXACT_METRICS = ["view_cnt", "click_cnt", "value_sum", "event_cnt"]
+
+
+def _rows(df, keys):
+    return {
+        tuple(str(r[k]) for k in keys): {m: r[m] for m in EXACT_METRICS}
+        for r in df.collect()
+    }
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """Streamed (multi-micro-batch) state table answers == single-batch
+    answers == direct raw-log aggregation (insert-trigger semantics,
+    docs/…md:298-301 + merge-on-read, docs/…md:934-996)."""
+    ev = prepare_events(spark, SF_SMOKE).drop("insert_second")
+    landing = str(tmp_path / "landing")
+    ev.repartition(5).write.parquet(landing)
+
+    mv_s = mainpage_mv(str(tmp_path / "state_stream"))
+    q = StreamingMV(mv_s, str(tmp_path / "ckpt")).attach(
+        parquet_stream(spark, landing, ev.schema),
+        trigger={"availableNow": True},
+    )
+    drain(q)
+    # five micro-batches → several state rows per key, merged at read
+    n_state = mv_s.storage.read(spark).count()
+
+    mv_b = mainpage_mv(str(tmp_path / "state_batch"))
+    mv_b.append_batch(ev)
+
+    keys = ["day", "segment"]
+    streamed = _rows(mv_s.merge_query(spark, keys, EXACT_METRICS), keys)
+    batch = _rows(mv_b.merge_query(spark, keys, EXACT_METRICS), keys)
+    assert streamed == batch
+    assert n_state > len(streamed)  # states really were written incrementally
+
+
+def test_stream_restart_is_idempotent(spark, tmp_path):
+    """Checkpointed restart over the same landing dir must not re-ingest
+    already-processed files (exactly-once per file)."""
+    ev = prepare_events(spark, SF_SMOKE).drop("insert_second")
+    landing = str(tmp_path / "landing")
+    ev.repartition(3).write.parquet(landing)
+    mv = mainpage_mv(str(tmp_path / "state"))
+    smv = StreamingMV(mv, str(tmp_path / "ckpt"))
+
+    for _ in range(2):  # second run: nothing new to process
+        q = smv.attach(
+            parquet_stream(spark, landing, ev.schema), trigger={"availableNow": True}
+        )
+        drain(q)
+
+    got = mv.merge_query(spark, ["day"], ["event_cnt"]).agg(F.sum("event_cnt")).collect()[0][0]
+    assert got == ev.count()
+
+
+def test_two_streams_one_wide_table(spark, tmp_path):
+    """Multi-writer fan-in (T7): two streams over disjoint event types
+    write disjoint metric columns of one wide state table; the merged
+    query sees both (docs/…md:822-828)."""
+    ev = prepare_events(spark, SF_SMOKE).drop("insert_second")
+    mv = mainpage_mv(str(tmp_path / "state"))
+
+    l1 = str(tmp_path / "l1")
+    l2 = str(tmp_path / "l2")
+    ev.filter("event_type = 'view'").repartition(2).write.parquet(l1)
+    ev.filter("event_type = 'purchase'").repartition(2).write.parquet(l2)
+
+    for i, landing in enumerate((l1, l2)):
+        q = StreamingMV(mv, str(tmp_path / f"ckpt{i}")).attach(
+            parquet_stream(spark, landing, ev.schema),
+            trigger={"availableNow": True},
+            query_name=f"writer{i}",
+        )
+        drain(q)
+
+    got = {
+        str(r["day"]): (r["view_cnt"], r["purchase_cnt"])
+        for r in mv.merge_query(spark, ["day"], ["view_cnt", "purchase_cnt"]).collect()
+    }
+    want = {
+        str(r["day"]): (r["v"], r["p"])
+        for r in ev.groupBy("day")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("event_type") == "view", 1)), F.lit(0)).alias("v"),
+            F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", 1)), F.lit(0)).alias("p"),
+        )
+        .collect()
+    }
+    assert got == want
