@@ -70,13 +70,15 @@ class Dictionary:
         """Broadcast-join ``attrs`` onto ``fact`` (J1/J5). ``fact_key`` may be
         an expression to reproduce cast-on-key joins like
         ``on toUInt64(t1.uid) = t2.uid`` (dim.dict_user_dim.sql:29-34)."""
-        dim = self.df().select(self.key, *attrs)
+        # alias the dim key so a fact column with the same name (the
+        # common case: both sides call it `uid`) never collides
+        key_alias = f"__dict_{self.key}"
+        dim = self.df().select(F.col(self.key).alias(key_alias), *attrs)
         fk = F.col(fact_key) if isinstance(fact_key, str) else fact_key
         if fk is None:
             fk = F.col(self.key)
-        cond = fk.cast(dict(dim.dtypes)[self.key]) == dim[self.key]
-        joined = fact.join(F.broadcast(dim), cond, how)
-        return joined.drop(dim[self.key])
+        cond = fk.cast(dict(dim.dtypes)[key_alias]) == dim[key_alias]
+        return fact.join(F.broadcast(dim), cond, how).drop(key_alias)
 
     def dict_get(self, spark, attr: str, key_col: Column) -> Column:
         """``dictGet('dict', 'attr', key)`` as a scalar Column: a lookup into

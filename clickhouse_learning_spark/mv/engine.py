@@ -95,6 +95,26 @@ class MaterializedView:
         merged = self.merge_states(self.storage.read(spark), list(self.dims))
         self.storage._rewrite(merged)
 
+    # -- schema evolution (D5/D6) ---------------------------------------------
+    def with_metric(self, spec: MetricSpec) -> "MaterializedView":
+        """ALTER TABLE ... ADD COLUMN for an aggregate metric
+        (dwm.mainpage_stat_mv_dis.sql:83-85,128-153): returns a view with
+        the extra metric. Existing state files simply lack the column —
+        reads mergeSchema it in as NULL, which is every kind's neutral
+        state, so history needs no rewrite (neutral backfill)."""
+        return MaterializedView(
+            self.name, self.dims, (*self.metrics, spec), self.storage
+        )
+
+    def with_dimension(self, dim: str) -> "MaterializedView":
+        """ALTER ... ADD COLUMN dimension + MODIFY ORDER BY
+        (dwm…sql:76-79): new batches aggregate at the finer grain; old
+        state rows carry NULL for the new dim (a distinct 'unknown'
+        group, exactly like ClickHouse's default-value backfill)."""
+        return MaterializedView(
+            self.name, (*self.dims, dim), self.metrics, self.storage
+        )
+
     # -- multi-writer wide tables -------------------------------------------------
     def union_merge(self, *state_dfs: DataFrame) -> DataFrame:
         """Union-merge state batches that fill disjoint metric columns

@@ -333,3 +333,43 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_decode"] = multimodal_decode
+
+
+@query(
+    "jsonl_dim_roundtrip",
+    """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS acctbal_sum
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def jsonl_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines dimension source (SURVEY S3; the reference's
+    files/user_dim.txt load at make_user_action_001.py:14-19): land the
+    customer dim as JSONL, read it back with an explicit schema,
+    aggregate. The oracle reads the original table — proving the
+    round-trip is lossless."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from clickhouse_learning_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    cust = load_table(spark, sf_dir, "customer")
+    path = tempfile.mkdtemp(prefix="jsonl_dim_") + "/customer_jsonl"
+    write_jsonl(cust, path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    dim = read_jsonl(spark, path, schema)
+    return dim.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+    )

@@ -38,7 +38,10 @@ class Table:
 
     # -- read ------------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
-        reader = spark.read
+        # mergeSchema: files written before an ALTER ADD COLUMN lack the
+        # new column; merged reads surface it as NULL (= neutral state,
+        # SURVEY D5/D6). Footer-merge cost is per-file metadata only.
+        reader = spark.read.option("mergeSchema", "true")
         if self.schema is not None:
             reader = reader.schema(self.schema)
         return reader.parquet(self.path)
