@@ -59,11 +59,50 @@ def main() -> None:
     t0 = time.time()
     with tempfile.TemporaryDirectory() as d:
         mv = mainpage_mv(d + "/state")
-        mv.append_batch(prepare_events(spark, target))
+        ev = prepare_events(spark, target)
+        mv.append_batch(ev)
         mv.merge_query(spark, ["day", "segment"]).write.format("noop").mode(
             "overwrite"
         ).save()
-    timings["mv_materialize_and_query"] = round(time.time() - t0, 3)
+        timings["mv_materialize_and_query"] = round(time.time() - t0, 3)
+
+        from pyspark.sql import functions as F
+
+        # the reference's headline ratio (BASELINE.md: 48.7k state rows vs
+        # 360k raw rows for the same answer): query the state table vs the
+        # equivalent raw-log aggregation
+        t0 = time.time()
+        mv.merge_query(
+            spark, ["day", "segment"], ["view_uv", "view_cnt", "value_sum"]
+        ).write.format("noop").mode("overwrite").save()
+        timings["rollup_from_state"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        (
+            ev.groupBy("day", "segment").agg(
+                F.approx_count_distinct(
+                    F.when(F.col("event_type") == "view", F.col("uid"))
+                ).alias("view_uv"),
+                F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "view", 1)), F.lit(0)
+                ).alias("view_cnt"),
+                F.sum(F.expr("CAST(value*1000 AS BIGINT)")).alias("value_sum"),
+            )
+        ).write.format("noop").mode("overwrite").save()
+        timings["rollup_from_raw"] = round(time.time() - t0, 3)
+
+    # the reference's 1-billion-row sumState benchmark shape
+    # (BASELINE.md: 3.201s / 312M rows/s on ClickHouse 21.3)
+    t0 = time.time()
+    (
+        spark.range(1_000_000_000)
+        .groupBy((F.col("id") % 1000).alias("bucket"))
+        .agg(F.sum("id").alias("s"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    timings["sum_1b_rows_1000_groups"] = round(time.time() - t0, 3)
 
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -91,9 +91,21 @@ class MaterializedView:
     # -- maintenance ---------------------------------------------------------------
     def compact(self, spark: SparkSession) -> None:
         """Re-merge equal-key rows in storage (background merge / OPTIMIZE
-        FINAL). Per-partition re-aggregation; pure space optimization."""
-        merged = self.merge_states(self.storage.read(spark), list(self.dims))
-        self.storage._rewrite(merged)
+        FINAL). Per-partition re-aggregation; pure space optimization.
+
+        Guard: refuses to run from a view definition older than the
+        stored schema — compacting with a stale metric set would project
+        away columns added by with_metric (data loss)."""
+        stored = self.storage.read(spark)
+        known = set(self.dims) | {m.name for m in self.metrics}
+        unknown = [c for c in stored.columns if c not in known]
+        if unknown:
+            raise ValueError(
+                f"{self.name}: storage has columns {unknown} not in this view "
+                "definition — compact with the newest (evolved) view to avoid "
+                "dropping them"
+            )
+        self.storage._rewrite(self.merge_states(stored, list(self.dims)))
 
     # -- schema evolution (D5/D6) ---------------------------------------------
     def with_metric(self, spec: MetricSpec) -> "MaterializedView":

@@ -723,3 +723,49 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
     w = W.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("day"))
     return agg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@query(
+    "pivot_event_matrix",
+    f"""
+    SELECT day,
+           CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT)     AS view,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT)    AS click,
+           CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT)   AS signup,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT)    AS error
+    FROM {_EV} GROUP BY day
+    """,
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (beyond-reference extension): day × event_type count matrix
+    with a pinned column list (pinned values keep the pivot a single
+    pass — no extra values-discovery job)."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy("day")
+        .pivot("event_type", ["view", "click", "signup", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in ("view", "click", "signup", "purchase", "error")],
+    )
+
+
+@query(
+    "cube_totals",
+    f"""
+    SELECT day, event_type, CAST(count(*) AS BIGINT) AS cnt,
+           count(DISTINCT uid) AS uv
+    FROM {_EV} GROUP BY CUBE (day, event_type)
+    """,
+)
+def cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE (beyond-reference extension noted in SURVEY §2.4):
+    all 4 grouping-set combinations in one pass."""
+    return (
+        _events(spark, sf_dir)
+        .cube("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.count_distinct("uid").alias("uv"))
+    )

@@ -114,6 +114,21 @@ class Table:
         self._rewrite(kept)
         return self.read(spark).select(day_col).distinct().count()
 
+    def stats(self, spark: SparkSession) -> DataFrame:
+        """system.parts-style introspection (SURVEY S8;
+        data_rebalance.py:116-205): per-partition row and file counts —
+        the reconciliation invariant the reference's rebalancer checks
+        before/after moving parts (data_rebalance.py:192-198)."""
+        df = self.read(spark)
+        return (
+            df.select(*self.partition_by, F.input_file_name().alias("file"))
+            .groupBy(*self.partition_by)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.count_distinct("file").alias("files"),
+            )
+        )
+
     def compact(self, spark: SparkSession, target_files_per_partition: int = 1) -> None:
         """Background-merge analog (OPTIMIZE TABLE FINAL,
         docs/物化视图的实战经验分享.md:954): coalesce small files per
