@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 import clickhouse_learning_spark.queries_pipeline  # noqa: F401  (registers pipeline queries)
+import clickhouse_learning_spark.queries_reference  # noqa: F401  (registers reference-workload queries)
 import clickhouse_learning_spark.queries_streaming  # noqa: F401  (registers streaming queries)
 from clickhouse_learning_spark.queries import ORACLES, QUERIES
 

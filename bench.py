@@ -21,6 +21,8 @@ from clickhouse_learning_spark.session import sf_dir
 
 # headline set: reference-parity core + MV pipeline + training-data ops
 HEADLINE = [
+    "ref_wide_mv_5metric",
+    "ref_funnel_6stage",
     "pricing_summary",
     "conditional_agg",
     "uniq_exact",
@@ -45,6 +47,7 @@ def main() -> None:
     spark = get_spark(app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
 
     import clickhouse_learning_spark.queries_pipeline  # noqa: F401
+    import clickhouse_learning_spark.queries_reference  # noqa: F401
     from clickhouse_learning_spark.mv.mainpage import mainpage_mv, prepare_events
     from clickhouse_learning_spark.queries import QUERIES
 

@@ -1,0 +1,152 @@
+"""Reference-workload parity queries: the flagship pipelines of the
+reference repo run end-to-end on synthesized star-schema logs, each
+hash-checked against an exact SQL oracle that re-derives the same logs.
+
+- ``ref_wide_mv_5metric``: two MVs → one wide state table → the
+  5-UV-metric query (docs/…md:1159); oracle = the LEFT-JOIN-of-raw-logs
+  formulation the reference compares against (docs/…md:1136-1205).
+- ``ref_funnel_6stage``: the 6-stage bitmap funnel (dwm…sql:280-290).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_learning_spark.queries import query
+from clickhouse_learning_spark.workload import reference_star as R
+
+# ---- shared SQL derivations (mirror workload/reference_star.py 1:1) -------
+
+_USER_DIM = """
+  user_dim AS (
+    SELECT c_custkey AS uid,
+           CASE WHEN c_custkey % 11 < 5 THEN 'male'
+                WHEN c_custkey % 11 < 10 THEN 'female'
+                ELSE 'unknown' END AS gender
+    FROM customer)
+"""
+
+_A1 = """
+  a1 AS (
+    SELECT CAST(ts AS DATE) AS day, user_id AS uid,
+           CAST(floor(value) AS BIGINT) % 100 + 1 AS show_cnt,
+           CASE WHEN user_id % 13 = 0 OR CAST(floor(value) AS BIGINT) % 100 + 1 >= 80
+                THEN event_id % (CAST(floor(value) AS BIGINT) % 100 + 2)
+                ELSE 0 END AS click_cnt,
+           CAST(floor(value * 1000) AS BIGINT) % 29001 + 1000 AS show_time
+    FROM events),
+  a1g AS (SELECT a1.*, coalesce(u.gender, 'unknown') AS gender
+          FROM a1 LEFT JOIN user_dim u USING (uid))
+"""
+
+_A2 = """
+  item_dim AS (
+    SELECT p_partkey + 100000 AS item_id,
+           CAST(floor(p_retailprice) AS BIGINT) AS price
+    FROM part WHERE p_partkey < 100),
+  a2base AS (
+    SELECT CAST(ts AS DATE) AS day, user_id AS uid,
+           event_id % 100 + 100000 AS item_id,
+           CASE WHEN user_id % 13 = 0
+                THEN CAST(floor(value) AS BIGINT) % 61 + 40
+                ELSE CAST(floor(value) AS BIGINT) % 61 END AS action_a_cnt,
+           event_id % 11 AS action_d_sum
+    FROM events),
+  a2b AS (
+    SELECT *, CASE WHEN action_a_cnt >= 50
+                   THEN CAST(floor(action_a_cnt / 2) AS BIGINT)
+                   ELSE 0 END AS action_b_cnt
+    FROM a2base),
+  a2c AS (
+    SELECT *, CASE WHEN action_b_cnt >= 20
+                   THEN CAST(floor(action_b_cnt / 3) AS BIGINT)
+                   ELSE 0 END AS action_c_cnt
+    FROM a2b),
+  a2 AS (
+    SELECT a2c.*, coalesce(i.price * a2c.action_d_sum, 0) AS action_e_sum
+    FROM a2c LEFT JOIN item_dim i USING (item_id)),
+  a2g AS (SELECT a2.*, coalesce(u.gender, 'unknown') AS gender
+          FROM a2 LEFT JOIN user_dim u USING (uid))
+"""
+
+
+@query(
+    "ref_wide_mv_5metric",
+    f"""
+    WITH {_USER_DIM}, {_A1}, {_A2},
+    m1 AS (
+      SELECT day, gender,
+             count(DISTINCT CASE WHEN show_cnt > 0 THEN uid END)  AS shown_uv,
+             count(DISTINCT CASE WHEN click_cnt > 0 THEN uid END) AS click_uv,
+             CAST(sum(show_cnt) AS BIGINT) AS shown_cnt
+      FROM a1g GROUP BY day, gender),
+    m2 AS (
+      SELECT day, gender,
+             count(DISTINCT CASE WHEN action_a_cnt > 0 THEN uid END) AS acta_uv,
+             count(DISTINCT CASE WHEN action_b_cnt > 0 THEN uid END) AS actb_uv,
+             count(DISTINCT CASE WHEN action_c_cnt > 0 THEN uid END) AS actc_uv,
+             CAST(sum(action_a_cnt) AS BIGINT) AS acta_cnt,
+             CAST(sum(action_e_sum) AS BIGINT) AS acte_sum
+      FROM a2g GROUP BY day, gender)
+    SELECT coalesce(m1.day, m2.day) AS day,
+           coalesce(m1.gender, m2.gender) AS gender,
+           coalesce(shown_uv, 0) AS shown_uv,
+           coalesce(click_uv, 0) AS click_uv,
+           coalesce(acta_uv, 0)  AS acta_uv,
+           coalesce(actb_uv, 0)  AS actb_uv,
+           coalesce(actc_uv, 0)  AS actc_uv,
+           coalesce(shown_cnt, 0) AS shown_cnt,
+           coalesce(acta_cnt, 0)  AS acta_cnt,
+           coalesce(acte_sum, 0)  AS acte_sum
+    FROM m1 FULL JOIN m2 ON m1.day = m2.day AND m1.gender = m2.gender
+    """,
+)
+def ref_wide_mv_5metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two writer MVs → neutral-filled wide state table → one-scan
+    multi-log UV query. The oracle is the reference's own comparison
+    formulation: LEFT/FULL JOIN of the two raw-log aggregations
+    (docs/…md:1136-1205) — results must match exactly (bitmap UVs are
+    exact)."""
+    d = tempfile.mkdtemp(prefix="ref_wide_")
+    mv = R.materialize_wide(spark, sf_dir, d + "/state")
+    return R.wide_uv_query(spark, mv)
+
+
+@query(
+    "ref_funnel_6stage",
+    f"""
+    WITH {_USER_DIM}, {_A1}, {_A2},
+    flags AS (
+      SELECT coalesce(f1.day, f2.day) AS day, coalesce(f1.uid, f2.uid) AS uid,
+             coalesce(s, 0) AS s, coalesce(c, 0) AS c,
+             coalesce(fa, 0) AS fa, coalesce(fb, 0) AS fb,
+             coalesce(fc, 0) AS fc, coalesce(fd, 0) AS fd
+      FROM (SELECT day, uid,
+                   max(CASE WHEN show_cnt > 0 THEN 1 ELSE 0 END) AS s,
+                   max(CASE WHEN click_cnt > 0 THEN 1 ELSE 0 END) AS c
+            FROM a1g GROUP BY day, uid) f1
+      FULL JOIN (SELECT day, uid,
+                        max(CASE WHEN action_a_cnt > 0 THEN 1 ELSE 0 END) AS fa,
+                        max(CASE WHEN action_b_cnt > 0 THEN 1 ELSE 0 END) AS fb,
+                        max(CASE WHEN action_c_cnt > 0 THEN 1 ELSE 0 END) AS fc,
+                        max(CASE WHEN action_d_sum > 0 THEN 1 ELSE 0 END) AS fd
+                 FROM a2g GROUP BY day, uid) f2
+      ON f1.day = f2.day AND f1.uid = f2.uid)
+    SELECT day,
+           CAST(sum(s) AS BIGINT)                         AS stage_show,
+           CAST(sum(s * c) AS BIGINT)                     AS stage_click,
+           CAST(sum(s * c * fa) AS BIGINT)                AS stage_a,
+           CAST(sum(s * c * fa * fb) AS BIGINT)           AS stage_b,
+           CAST(sum(s * c * fa * fb * fc) AS BIGINT)      AS stage_c,
+           CAST(sum(s * c * fa * fb * fc * fd) AS BIGINT) AS stage_d
+    FROM flags GROUP BY day
+    """,
+)
+def ref_funnel_6stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-stage funnel via chained bitmapAnd over stored (re-merged, NOT
+    finalized) bitmap states — the reference's funnel has no window
+    functions, only set algebra (dwm…sql:280-290)."""
+    d = tempfile.mkdtemp(prefix="ref_funnel_")
+    return R.funnel_query(spark, sf_dir, d + "/state")
