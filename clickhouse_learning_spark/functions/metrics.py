@@ -185,6 +185,18 @@ class MetricSpec:
         return F.lit(None).cast("bigint").alias(self.name)
 
 
+def uniq_tuple(*cols: str | Column) -> Column:
+    """Multi-argument distinct input — ClickHouse ``uniqCombined(a, b)``
+    hashes the argument tuple (docs/物化视图的实战经验分享.md:179-184).
+    Use as the ``source`` of a ``uniq``/``uniq_exact``/``bitmap``
+    MetricSpec: ``MetricSpec("uv", "uniq", uniq_tuple("uid", "platform"))``.
+    xxhash64 over the struct gives a 64-bit tuple hash (collision odds
+    ~n²/2⁶⁵ — the same regime ClickHouse's 64-bit string hashing
+    accepts, docs/…md:306-313)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.xxhash64(F.struct(*cs))
+
+
 def array_median(c: Column) -> Column:
     """Exact median of an array<numeric> column, JVM-side.
 

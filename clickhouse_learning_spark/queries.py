@@ -726,6 +726,33 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "null_handling",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN big_price IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nonnull_cnt,
+           CAST(count(big_price) AS BIGINT) AS counted,
+           CAST(count(*) AS BIGINT) AS total
+    FROM (SELECT o_orderstatus,
+                 CASE WHEN o_totalprice > 100000 THEN o_totalprice END AS big_price
+          FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isNotNull / null-skipping count semantics (SURVEY F11;
+    docs/…md:886-908 — the reference's neutral-state NULL discussion)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice")).alias("big_price"),
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.isnotnull("big_price").cast("int")).cast("long").alias("nonnull_cnt"),
+        F.count("big_price").alias("counted"),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+@query(
     "pivot_event_matrix",
     f"""
     SELECT day,

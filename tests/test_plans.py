@@ -100,6 +100,9 @@ def test_minhash_signature_plan_has_single_shuffle_before_bands(spark):
     from clickhouse_learning_spark.operators.dedup import minhash_signatures_df
     from clickhouse_learning_spark.schemas import load_table
 
+    # earlier tests may have left the signature frame persisted; a cached
+    # plan shows InMemoryTableScan with no exchanges
+    spark.catalog.clearCache()
     docs = load_table(spark, SF_SMOKE, "documents")
     p = plan_text(minhash_signatures_df(docs), "extended")
     lower = p.lower()
