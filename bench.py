@@ -107,11 +107,16 @@ def main() -> None:
     )
     timings["sum_1b_rows_1000_groups"] = round(time.time() - t0, 3)
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, target).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):  # min-of-N: suppresses JVM/codegen jitter
+            spark.catalog.clearCache()  # queries persist() internal frames
+            t0 = time.time()
+            fn(spark, target).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(target.rstrip("/")).replace("sf", "")
