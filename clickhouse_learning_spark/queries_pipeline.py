@@ -373,3 +373,51 @@ def jsonl_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
     )
+
+
+_FMT_ORACLE = """
+    SELECT n_nationkey, n_name, CAST(count(*) AS BIGINT) AS suppliers,
+           CAST(round(sum(s_acctbal), 2) AS DOUBLE) AS acctbal_sum
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+"""
+
+
+def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    import tempfile
+
+    sup = load_table(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix=f"{fmt}_rt_") + f"/supplier_{fmt}"
+    writer = sup.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+        back = (
+            spark.read.schema(sup.schema).option("header", True).csv(path)
+        )
+    else:
+        writer.orc(path)
+        back = spark.read.schema(sup.schema).orc(path)
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        back.join(F.broadcast(nat), back.s_nationkey == nat.n_nationkey)
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("acctbal_sum"),
+        )
+    )
+
+
+@query("csv_roundtrip", _FMT_ORACLE)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round-trip with an explicit schema (never
+    inferSchema in production); oracle reads the original table —
+    lossless including doubles."""
+    return _format_roundtrip(spark, sf_dir, "csv")
+
+
+@query("orc_roundtrip", _FMT_ORACLE)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar source/sink round-trip (the second columnar format
+    beside parquet; same pushdown machinery)."""
+    return _format_roundtrip(spark, sf_dir, "orc")

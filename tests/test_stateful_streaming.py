@@ -1,0 +1,77 @@
+"""Custom stateful streaming operators: first-seen dedup and running
+totals across micro-batches, plus built-in streaming dropDuplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.mv.mainpage import prepare_events
+from clickhouse_learning_spark.streaming.ingest import parquet_stream
+from clickhouse_learning_spark.streaming.stateful import (
+    streaming_first_seen,
+    streaming_running_totals,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _land(spark, tmp_path, n_files=4):
+    ev = prepare_events(spark, SF_SMOKE).drop("insert_second")
+    landing = str(tmp_path / "landing")
+    ev.repartition(n_files).write.parquet(landing)
+    return ev, landing
+
+
+def _run_to_memory(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    ev, landing = _land(spark, tmp_path)
+    stream = parquet_stream(spark, landing, ev.schema, max_files_per_trigger=1)
+    _run_to_memory(streaming_first_seen(stream), "first_seen_out", "append")
+    out = spark.sql("SELECT * FROM first_seen_out").collect()
+    uids = [r["uid"] for r in out]
+    # exactly one row per distinct uid across ALL micro-batches
+    assert len(uids) == len(set(uids)) == ev.select("uid").distinct().count()
+
+
+def test_streaming_running_totals(spark, tmp_path):
+    ev, landing = _land(spark, tmp_path)
+    stream = parquet_stream(spark, landing, ev.schema, max_files_per_trigger=1)
+    _run_to_memory(streaming_running_totals(stream), "totals_out", "update")
+    # last update per uid == the full batch aggregate
+    out = spark.sql(
+        """
+        SELECT uid, max_by(n_events, n_events) AS n_events,
+               max_by(value_sum, n_events) AS value_sum
+        FROM totals_out GROUP BY uid
+        """
+    ).collect()
+    got = {r["uid"]: (r["n_events"], round(r["value_sum"], 3)) for r in out}
+    want = {
+        r["uid"]: (r["n"], round(r["s"], 3))
+        for r in ev.groupBy("uid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_builtin_streaming_drop_duplicates(spark, tmp_path):
+    """Built-in stateful dedup (dropDuplicates with state) — the simple
+    path when no payload is needed."""
+    ev, landing = _land(spark, tmp_path)
+    stream = parquet_stream(spark, landing, ev.schema, max_files_per_trigger=1)
+    dedup = stream.select("uid").dropDuplicates(["uid"])
+    _run_to_memory(dedup, "dd_out", "append")
+    n = spark.sql("SELECT count(*) c FROM dd_out").collect()[0]["c"]
+    assert n == ev.select("uid").distinct().count()
