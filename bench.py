@@ -94,6 +94,36 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         timings["rollup_from_raw"] = round(time.time() - t0, 3)
 
+    # scale check: 10M synthetic rows through the FULL MV pipeline
+    # (materialize states -> parquet write -> merge-on-read rollup)
+    from clickhouse_learning_spark.functions.metrics import MetricSpec
+    from clickhouse_learning_spark.mv.engine import MaterializedView
+    from clickhouse_learning_spark.tables import Table
+
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as d:
+        ev10 = spark.range(10_000_000).select(
+            (F.col("id") % 100000).alias("uid"),
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 30).cast("int")).alias("day"),
+            (F.col("id") % 5).alias("etype"),
+            (F.col("id") % 1000).alias("val"),
+        )
+        mv10 = MaterializedView(
+            "scale10m",
+            ("day", "etype"),
+            (
+                MetricSpec("uv", "uniq", "uid"),
+                MetricSpec("val_sum", "sum", "val"),
+                MetricSpec("cnt", "count", "1"),
+            ),
+            Table(d + "/state", ("day",)),
+        )
+        mv10.append_batch(ev10)
+        mv10.merge_query(spark, ["day"], ["uv", "val_sum", "cnt"]).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timings["mv_pipeline_10m_synthetic"] = round(time.time() - t0, 3)
+
     # the reference's 1-billion-row sumState benchmark shape
     # (BASELINE.md: 3.201s / 312M rows/s on ClickHouse 21.3)
     t0 = time.time()
