@@ -207,11 +207,13 @@ def array_median(c: Column) -> Column:
     """
     sorted_ = F.array_sort(c)
     n = F.size(sorted_)
-    # element_at is 1-based; for odd n both indices equal (n+1)/2
+    # element_at is 1-based; for odd n both indices equal (n+1)/2.
+    # Empty state (every row failed the -If condition) → NULL, matching
+    # SQL median over no rows.
     lo_i = F.floor((n + F.lit(1)) / 2).cast("int")
     hi_i = F.ceil((n + F.lit(1)) / 2).cast("int")
-    return (
-        (F.element_at(sorted_, lo_i) + F.element_at(sorted_, hi_i)) / 2.0
+    return F.when(
+        n > 0, (F.element_at(sorted_, lo_i) + F.element_at(sorted_, hi_i)) / 2.0
     )
 
 
@@ -223,7 +225,7 @@ def array_median_exact_low(c: Column) -> Column:
     sorted_ = F.array_sort(c)
     n = F.size(sorted_)
     idx = (F.floor(n / 2) + 1).cast("int")
-    return F.element_at(sorted_, idx)
+    return F.when(n > 0, F.element_at(sorted_, idx))
 
 
 # -- bitmap set algebra (the reference's bitmapAnd / bitmapOr / cardinality,
