@@ -56,7 +56,19 @@ from pyspark.sql import functions as F
 # per sketch (the reference's uniqCombined(17) default has comparable error).
 HLL_LG_K = 12
 
-KINDS = ("uniq", "uniq_exact", "sum", "count", "min", "max", "median", "bitmap", "avg")
+KINDS = (
+    "uniq",
+    "uniq_exact",
+    "sum",
+    "count",
+    "min",
+    "max",
+    "median",
+    "bitmap",
+    "avg",
+    "argmax",
+    "argmin",
+)
 
 
 def _as_col(expr: str | Column) -> Column:
@@ -73,12 +85,19 @@ class MetricSpec:
     ``cond``    optional condition — the ``-If`` combinator
                 (/root/reference/scripts/sql/dwm.mainpage_stat_mv_dis.sql:46-48):
                 rows failing it contribute the aggregate's neutral element.
+    ``order_by``  for ``argmax``/``argmin`` (ClickHouse argMax/argMin):
+                the ordering expression; ``source`` is the value carried
+                out. State = struct(ord, tiebreak, val) reduced with
+                lexicographic max/min, so it is trivially mergeable.
+                Ties on ``order_by`` break deterministically on the
+                value itself.
     """
 
     name: str
     kind: str
     source: str | Column = field(default="1")
     cond: str | Column | None = None
+    order_by: str | Column | None = None
 
     def __post_init__(self):
         if self.kind not in KINDS:
@@ -120,6 +139,17 @@ class MetricSpec:
             return F.collect_list(x).alias(self.name)
         if self.kind == "bitmap":
             return F.sort_array(F.collect_set(x)).alias(self.name)
+        if self.kind in ("argmax", "argmin"):
+            if self.order_by is None:
+                raise ValueError(f"{self.name}: kind {self.kind} requires order_by")
+            ordc = _as_col(self.order_by)
+            if self.cond is not None:
+                # gate the whole struct (NULL struct = neutral for max/min)
+                pair = F.when(_as_col(self.cond), F.struct(ordc.alias("o"), x.alias("v")))
+            else:
+                pair = F.struct(ordc.alias("o"), _as_col(self.source).alias("v"))
+            agg = F.max if self.kind == "argmax" else F.min
+            return agg(pair).alias(self.name)
         raise AssertionError(self.kind)
 
     # -- merge: state -> state (the reference's -MergeState) ------------------
@@ -141,6 +171,10 @@ class MetricSpec:
             ).alias(self.name)
         if self.kind == "median":
             return F.flatten(F.collect_list(c)).alias(self.name)
+        if self.kind == "argmax":
+            return F.max(c).alias(self.name)
+        if self.kind == "argmin":
+            return F.min(c).alias(self.name)
         raise AssertionError(self.kind)
 
     # -- finalize: merged state -> value (the reference's -Merge) -------------
@@ -160,6 +194,8 @@ class MetricSpec:
             return (c.getField("s") / c.getField("c")).alias(self.name)
         if self.kind == "median":
             return array_median(c).alias(self.name)
+        if self.kind in ("argmax", "argmin"):
+            return c.getField("v").alias(self.name)
         raise AssertionError(self.kind)
 
     def merged_finalized(self, col: str | Column | None = None) -> Column:
@@ -182,6 +218,14 @@ class MetricSpec:
             return F.lit(None).cast("array<bigint>").alias(self.name)
         if self.kind == "avg":
             return F.lit(None).cast("struct<s:double,c:bigint>").alias(self.name)
+        if self.kind in ("argmax", "argmin"):
+            # the struct type depends on (order_by, source) types; wide
+            # tables mixing writers with argmax metrics must fill the
+            # column explicitly with a typed NULL
+            raise NotImplementedError(
+                f"{self.name}: neutral state for {self.kind} needs an explicit "
+                "typed NULL struct (type depends on order_by/source)"
+            )
         return F.lit(None).cast("bigint").alias(self.name)
 
 

@@ -781,6 +781,68 @@ def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "argmax_top_event",
+    f"""
+    SELECT day, event_type AS top_event_type,
+           CAST(floor(value * 100) AS BIGINT) AS top_value_cents
+    FROM (
+      SELECT day, event_type, value,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM {_EV})
+    WHERE rn = 1
+    """,
+)
+def argmax_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argMax (ClickHouse argMax semantics with a deterministic
+    tie-break): the event_type and value of each day's highest-value
+    event, computed as a mergeable struct-max state — no window, no
+    sort, one aggregation."""
+    from clickhouse_learning_spark.functions import metrics as M2
+
+    ev = _events(spark, sf_dir)
+    ordc = F.struct(F.col("value").alias("o1"), F.col("event_id").alias("o2"))
+    spec = M2.MetricSpec(
+        "top",
+        "argmax",
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        ),
+        order_by=ordc,
+    )
+    states = ev.groupBy("day", "hour").agg(spec.partial())  # two-level on purpose
+    merged = states.groupBy("day").agg(spec.merged_finalized())
+    return merged.select(
+        "day",
+        F.col("top.t").alias("top_event_type"),
+        F.col("top.cents").alias("top_value_cents"),
+    )
+
+
+@query(
+    "grouping_sets_totals",
+    f"""
+    SELECT day, event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM {_EV}
+    GROUP BY GROUPING SETS ((day), (event_type))
+    """,
+)
+def grouping_sets_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third grouping-set shape next to
+    rollup/cube)."""
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT day, event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((day), (event_type))
+        """
+    )
+
+
+@query(
     "cube_totals",
     f"""
     SELECT day, event_type, CAST(count(*) AS BIGINT) AS cnt,

@@ -61,6 +61,26 @@ def test_split_merge_invariance(spark, kind, rows, split_mod):
         "g int, v long, c boolean, s int",
     )
     spec = MetricSpec("m", kind, "v", cond=F.col("c") if kind != "avg" else None)
+    _assert_invariant(spark, df, spec)
+
+
+@given(rows=ROWS, split_mod=st.integers(min_value=2, max_value=4))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_split_merge_invariance_argmax(spark, rows, split_mod):
+    df = spark.createDataFrame(
+        [(g, v, c, i % split_mod, i) for i, (g, v, c) in enumerate(rows)],
+        "g int, v long, c boolean, s int, rid long",
+    )
+    for kind in ("argmax", "argmin"):
+        spec = MetricSpec("m", kind, "rid", cond=F.col("c"), order_by=F.col("v"))
+        _assert_invariant(spark, df, spec)
+
+
+def _assert_invariant(spark, df, spec):
     one = {r["g"]: r["m"] for r in _one_level(spark, df, spec)}
     two = {r["g"]: r["m"] for r in _two_level(spark, df, spec)}
     assert set(one) == set(two)
