@@ -102,6 +102,24 @@ def test_embedding_lsh_recall_vs_bruteforce(spark):
         assert len(got & exact) / len(exact) >= 0.8, (len(got), len(exact))
 
 
+def test_blocked_topk_equals_expression_topk(spark):
+    """The BLAS-blocked top-k must return bit-identical rows (values,
+    ranks, tie-breaks) to the Catalyst-expression baseline."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {
+        (r.query_id, r.rank): (r.vec_id, r.cos_sim)
+        for r in S.cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.vec_id, r.cos_sim)
+        for r in S.cosine_topk_blocked(emb, q, k=10).collect()
+    }
+    assert a == b and len(a) == 500
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     q = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
