@@ -184,11 +184,28 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
     """
-    # signatures feed the band self-join (2 sides) and the refinement
-    # join (2 sides): persist the 64-longs-per-doc frame instead of
-    # recomputing the shingle pipeline 4x. At warehouse scale this is a
-    # materialized signature table.
-    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_k).persist()
+    # ONE pass over the shingle rows computes BOTH the 64-min signature
+    # and the hashed shingle set (collect_set dedups, min ignores dups):
+    # one scan + one shuffle serves the band self-join (2 sides), the
+    # refinement join (2 sides) and the exact verification (2 sides).
+    # Persisted — at warehouse scale this is a materialized signature
+    # table keyed by doc id.
+    rows = shingle_rows(df, text_col, id_col, shingle_k, distinct=False).select(
+        "id", F.xxhash64("s").alias("h")
+    )
+    per_doc = (
+        rows.groupBy("id")
+        .agg(
+            F.sort_array(F.collect_set("h")).alias("sh"),
+            *[
+                F.min(_xorshift_col(F.col("h"), F.lit(_mh_seed(i)))).alias(f"m{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .select("id", "sh", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+        .persist()
+    )
+    sigs = per_doc.select("id", "sig")
     buckets = sigs.select(
         "id", F.explode(_banded(F.col("sig"), num_hashes, bands)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
@@ -236,16 +253,11 @@ def minhash_lsh_pairs(
         "id_a", "id_b"
     )
 
-    # verification uses the 64-bit-hashed shingle sets: intersection
-    # counts are identical to the string sets up to a ~1e-14 collision
-    # probability per pair, and array_intersect over longs is ~4x
-    # cheaper than over 5-char strings (no per-element string hashing)
-    sh_df = (
-        shingle_rows(df, text_col, id_col, shingle_k)
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_set(F.xxhash64("s"))).alias("sh"))
-        .persist()  # joined for both pair sides
-    )
+    # verification uses the 64-bit-hashed shingle sets computed in the
+    # same pass as the signatures: intersection counts are identical to
+    # the string sets up to a ~1e-14 collision probability per pair,
+    # and array_intersect over longs avoids per-element string hashing
+    sh_df = per_doc.select("id", "sh")
     pairs = refined.join(
         F.broadcast(sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))),
         "id_a",

@@ -161,6 +161,102 @@ def assign_cells(
     return corpus.withColumn("cell", best.cast("int"))
 
 
+class IvfIndex:
+    """Persistent IVF-flat index: the corpus stored cell-partitioned.
+
+    ``build`` assigns every vector to its nearest centroid and writes
+    the corpus partitioned by ``cell`` (Hive-style dirs) with centroids
+    saved alongside as JSON. ``search`` filters on the probed cells so
+    Catalyst PRUNES the non-probed partitions — at 100 TB a 4-of-64
+    probe reads ~6% of the index files, the exact mechanism day
+    partitions use. This is the durable form of :func:`ivf_topk`
+    (which recomputes the assignment per query batch).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._centroids: list[list[float]] | None = None
+
+    def build(
+        self,
+        corpus: DataFrame,
+        n_centroids: int = 16,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "IvfIndex":
+        import json
+        from pathlib import Path
+
+        cents = train_centroids(corpus, n_centroids, emb_col, id_col)
+        assigned = assign_cells(corpus, cents, emb_col)
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(self.path + "/data")
+        )
+        Path(self.path, "centroids.json").write_text(json.dumps(cents))
+        self._centroids = cents
+        return self
+
+    def centroids(self) -> list[list[float]]:
+        if self._centroids is None:
+            import json
+            from pathlib import Path
+
+            self._centroids = json.loads(Path(self.path, "centroids.json").read_text())
+        return self._centroids
+
+    def search(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        n_probes: int = 4,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        """Probe the ``n_probes`` nearest cells per query. The cell
+        filter is an IN-list on the partition column, so the scan is
+        partition-pruned (asserted in tests/test_plans-style checks)."""
+        cents = self.centroids()
+        q_rows = queries.select(query_id_col, emb_col).collect()
+        import numpy as np
+
+        cmat = np.array(cents, dtype=np.float64)
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+        probe_cells: set[int] = set()
+        per_query: list[tuple[int, list[int]]] = []
+        for r in q_rows:
+            v = np.array(r[1], dtype=np.float64)
+            sims = (cmat @ v) / (cnorm * np.sqrt((v * v).sum()))
+            top = np.argsort(-sims)[:n_probes].tolist()
+            per_query.append((r[0], top))
+            probe_cells.update(top)
+
+        data = spark.read.parquet(self.path + "/data").filter(
+            F.col("cell").isin(sorted(probe_cells))
+        )
+        probe_df = spark.createDataFrame(
+            [(qid, c) for qid, cells in per_query for c in cells],
+            f"{query_id_col} long, cell int",
+        )
+        q = queries.select(
+            F.col(query_id_col), F.col(emb_col).alias("qv")
+        ).join(probe_df, query_id_col)
+        scored = data.join(F.broadcast(q), "cell").select(
+            query_id_col,
+            F.col(id_col).alias("vec_id"),
+            cosine(F.col(emb_col), F.col("qv")).alias("sim"),
+        )
+        w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "vec_id", F.round("sim", 6).alias("cos_sim"), "rank")
+        )
+
+
 def ivf_topk(
     spark: SparkSession,
     corpus: DataFrame,

@@ -1,0 +1,46 @@
+"""Persistent IVF index: recall vs brute force and partition pruning of
+non-probed cells."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.operators import similarity as S
+from clickhouse_learning_spark.schemas import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_ivf_index_recall_and_pruning(spark, tmp_path):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = S.IvfIndex(str(tmp_path / "ivf")).build(emb, n_centroids=16)
+    q = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    got_df = idx.search(spark, q, k=10, n_probes=6)
+    got = {(r.query_id, r.vec_id) for r in got_df.collect()}
+    exact = {
+        (r.query_id, r.vec_id) for r in S.cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9
+
+    # the probed scan must be partition-pruned on cell
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got_df.explain(mode="formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], plan[:2000]
+
+
+def test_ivf_index_reload_from_disk(spark, tmp_path):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    S.IvfIndex(str(tmp_path / "ivf")).build(emb, n_centroids=8)
+    # fresh object: centroids come from disk, search still works
+    idx2 = S.IvfIndex(str(tmp_path / "ivf"))
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = idx2.search(spark, q, k=5, n_probes=3).collect()
+    assert len(out) == 15
+    assert len(idx2.centroids()) == 8
