@@ -150,3 +150,44 @@ def ref_funnel_6stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions, only set algebra (dwm…sql:280-290)."""
     d = tempfile.mkdtemp(prefix="ref_funnel_")
     return R.funnel_query(spark, sf_dir, d + "/state")
+
+
+@query(
+    "reconciliation_check",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS raw_rows,
+           CAST(count(*) AS BIGINT) AS state_rows,
+           true AS consistent
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def reconciliation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rebalancer's reconciliation invariant as a query (SURVEY §5.2;
+    /root/reference/scripts/python/data_rebalance.py:192-198,333-347):
+    per-partition row totals derived THROUGH the state table must equal
+    the raw-log totals. The Spark side actually materializes a state
+    table and merge-reads it back; the oracle states the invariant
+    directly — any pipeline bug (lost batch, double count, bad merge)
+    breaks the hash match."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.mv.mainpage import mainpage_mv, prepare_events
+
+    ev = prepare_events(spark, sf_dir)
+    mv = mainpage_mv(_tf.mkdtemp(prefix="reconcile_") + "/state")
+    # two insert batches, so the check crosses a real merge boundary
+    mv.append_batch(ev.filter(_F.col("event_id") % 2 == 0))
+    mv.append_batch(ev.filter(_F.col("event_id") % 2 == 1))
+    state = mv.merge_query(spark, ["day"], ["event_cnt"]).select(
+        "day", _F.col("event_cnt").alias("state_rows")
+    )
+    raw = ev.groupBy("day").agg(_F.count(_F.lit(1)).alias("raw_rows"))
+    return raw.join(state, "day").select(
+        "day",
+        "raw_rows",
+        "state_rows",
+        (_F.col("raw_rows") == _F.col("state_rows")).alias("consistent"),
+    )
