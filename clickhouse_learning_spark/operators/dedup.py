@@ -5,10 +5,11 @@ key, never an all-pairs comparison:
 
 - **exact**: hash-groupBy on an md5 content fingerprint; one shuffle.
 - **MinHash + LSH**: char-shingles → H hash functions → banded
-  signatures → bucket join produces candidate pairs (only docs sharing
-  a band bucket ever meet); candidates verified with exact shingle
-  Jaccard. All signature math is Catalyst expressions over arrays
-  (xxhash64 / transform / array_min) — no Python in the hot path.
+  signatures → skinny bucket self-join produces candidate pairs (only
+  docs sharing a band bucket ever meet) → signature-agreement
+  refinement filter (≈3.6σ safety margin) → exact shingle-Jaccard
+  verification. Signatures and hashed shingle sets come from ONE
+  codegen'd pass (explode + min-aggregates); no Python in the hot path.
 - **SimHash**: 64-bit sign-aggregated token hashes; Hamming-ball
   candidates via band buckets (4×16-bit chunks ⇒ any pair within
   Hamming distance 3 shares ≥1 chunk — pigeonhole); verified with
