@@ -381,6 +381,35 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def df_cut(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: float = 0.5,
+) -> DataFrame:
+    """Document-frequency cut: (id, tok) rows with tokens present in
+    more than ``max_df`` of all documents removed.
+
+    The inverted-index join in :func:`token_jaccard_pairs` meets docs
+    through shared tokens; a stop-word-like token present in most
+    documents creates a near-cross-join bucket. Cutting high-DF tokens
+    bounds every bucket at ``max_df·N`` docs — the standard web-scale
+    trick. Two scans: one tiny DF-count aggregate (broadcast back), one
+    filtered explode."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+    )
+    n_docs = df.count()
+    hot = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df * n_docs)
+        .select("t")
+    )
+    return toks.join(F.broadcast(hot), "t", "left_anti")
+
+
 def token_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -134,6 +134,28 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert len(got & exact) / len(exact) >= 0.9, len(got & exact) / len(exact)
 
 
+def test_df_cut_drops_only_hot_tokens(spark):
+    """DF cut removes exactly the tokens present in > max_df of docs and
+    keeps every other (id, token) row."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    toks_all = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("t"),
+    )
+    n = 100
+    dfreq = {r["t"]: r["c"] for r in toks_all.groupBy("t").agg(F.count(F.lit(1)).alias("c")).collect()}
+    kept = D.df_cut(docs, max_df=0.5)
+    kept_tokens = {r["t"] for r in kept.select("t").distinct().collect()}
+    for t, c in dfreq.items():
+        if c > 0.5 * n:
+            assert t not in kept_tokens, t
+        else:
+            assert t in kept_tokens, t
+    # row-level: kept rows == all rows minus hot-token rows
+    hot = {t for t, c in dfreq.items() if c > 0.5 * n}
+    assert kept.count() == toks_all.filter(~F.col("t").isin(list(hot) or ["__none__"])).count()
+
+
 def test_exact_dedup_removes_only_copies(spark):
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
