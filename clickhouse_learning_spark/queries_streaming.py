@@ -75,12 +75,32 @@ def windowed_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_start", "event_type", "cnt", "uv")
 
 
+@query(
+    "streaming_mv_rollup",
+    """
+    SELECT CAST(e.ts AS DATE) AS day,
+           coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+           CAST(coalesce(sum(CASE WHEN e.event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view_cnt,
+           CAST(coalesce(sum(CASE WHEN e.event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click_cnt,
+           CAST(sum(CAST(floor(e.value * 1000) AS BIGINT)) AS BIGINT) AS value_sum,
+           CAST(count(*) AS BIGINT) AS event_cnt
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY CAST(e.ts AS DATE), coalesce(c.c_mktsegment, 'UNKNOWN')
+    """,
+)
 def streaming_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming MV maintenance: land the events
     table as multiple parquet files → file-stream them (one file per
     micro-batch ≈ one insert batch) → foreachBatch partial-state append
-    → merge-on-read rollup. Rows-only driver check (dual-path
-    equivalence asserted in tests)."""
+    → merge-on-read rollup. Returns the EXACT metric columns so the
+    whole streaming pipeline is hash-compared against a plain SQL
+    aggregation of the raw log (sketch UVs are covered by ε-bound
+    tests instead).
+
+    The MV's value_sum metric stores CAST(value*1000 AS BIGINT) — Spark
+    CAST truncates toward zero; the oracle uses floor(), which equals
+    truncation because value > 0 in this data (DuckDB's CAST would
+    round)."""
     from clickhouse_learning_spark.mv.mainpage import mainpage_mv, prepare_events
     from clickhouse_learning_spark.streaming.ingest import StreamingMV, drain, parquet_stream
 
@@ -97,8 +117,5 @@ def streaming_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drain(q)
     return mv.merge_query(
-        spark, ["day", "segment"], ["view_uv", "view_cnt", "click_uv", "value_sum", "event_cnt"]
+        spark, ["day", "segment"], ["view_cnt", "click_cnt", "value_sum", "event_cnt"]
     )
-
-
-QUERIES["streaming_mv_rollup"] = streaming_mv_rollup
