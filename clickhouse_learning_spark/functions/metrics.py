@@ -68,7 +68,11 @@ KINDS = (
     "avg",
     "argmax",
     "argmin",
+    "quantile",
 )
+
+# State type of the ``quantile`` kind: value → occurrence-count pairs.
+QUANTILE_STATE_TYPE = "array<struct<v:bigint,c:bigint>>"
 
 
 def _as_col(expr: str | Column) -> Column:
@@ -85,6 +89,18 @@ class MetricSpec:
     ``cond``    optional condition — the ``-If`` combinator
                 (/root/reference/scripts/sql/dwm.mainpage_stat_mv_dis.sql:46-48):
                 rows failing it contribute the aggregate's neutral element.
+    ``level``   for ``quantile``: the quantile level φ ∈ (0, 1], default
+                0.5 (median). Semantics are ClickHouse
+                ``quantileExactWeighted`` / DuckDB ``quantile_disc``:
+                the smallest value whose cumulative weight reaches
+                ``ceil(φ·total)`` — exact, no interpolation. The state
+                is value→count pairs (``QUANTILE_STATE_TYPE``), so after
+                compaction it is O(distinct values) instead of the
+                ``median`` kind's O(rows) — the scalable form for
+                bounded-domain metrics (durations, prices, scores).
+                Values must be integral (quantize floats first, e.g.
+                ``floor(value * 100)``, as quantileExactWeighted's
+                UInt key does).
     ``order_by``  for ``argmax``/``argmin`` (ClickHouse argMax/argMin):
                 the ordering expression; ``source`` is the value carried
                 out. State = struct(ord, tiebreak, val) reduced with
@@ -98,6 +114,7 @@ class MetricSpec:
     source: str | Column = field(default="1")
     cond: str | Column | None = None
     order_by: str | Column | None = None
+    level: float = 0.5
 
     def __post_init__(self):
         if self.kind not in KINDS:
@@ -137,6 +154,13 @@ class MetricSpec:
             ).alias(self.name)
         if self.kind == "median":
             return F.collect_list(x).alias(self.name)
+        if self.kind == "quantile":
+            # value→count pairs; per-batch entries carry c=1 (compaction
+            # re-sums to O(distinct) via compress_quantile_states — the
+            # same lazy-merge contract as every other state here)
+            vals = F.collect_list(x.cast("long"))
+            ones = F.array_repeat(F.lit(1).cast("long"), F.size(vals))
+            return F.arrays_zip(vals, ones).cast(QUANTILE_STATE_TYPE).alias(self.name)
         if self.kind == "bitmap":
             return F.sort_array(F.collect_set(x)).alias(self.name)
         if self.kind in ("argmax", "argmin"):
@@ -169,7 +193,7 @@ class MetricSpec:
             return F.struct(
                 F.sum(c.getField("s")).alias("s"), F.sum(c.getField("c")).alias("c")
             ).alias(self.name)
-        if self.kind == "median":
+        if self.kind in ("median", "quantile"):
             return F.flatten(F.collect_list(c)).alias(self.name)
         if self.kind == "argmax":
             return F.max(c).alias(self.name)
@@ -194,6 +218,8 @@ class MetricSpec:
             return (c.getField("s") / c.getField("c")).alias(self.name)
         if self.kind == "median":
             return array_median(c).alias(self.name)
+        if self.kind == "quantile":
+            return weighted_quantile(c, self.level).alias(self.name)
         if self.kind in ("argmax", "argmin"):
             return c.getField("v").alias(self.name)
         raise AssertionError(self.kind)
@@ -216,6 +242,8 @@ class MetricSpec:
             return F.lit(None).cast("array<bigint>").alias(self.name)
         if self.kind == "median":
             return F.lit(None).cast("array<bigint>").alias(self.name)
+        if self.kind == "quantile":
+            return F.lit(None).cast(QUANTILE_STATE_TYPE).alias(self.name)
         if self.kind == "avg":
             return F.lit(None).cast("struct<s:double,c:bigint>").alias(self.name)
         if self.kind in ("argmax", "argmin"):
@@ -270,6 +298,96 @@ def array_median_exact_low(c: Column) -> Column:
     n = F.size(sorted_)
     idx = (F.floor(n / 2) + 1).cast("int")
     return F.when(n > 0, F.element_at(sorted_, idx))
+
+
+def weighted_quantile(c: Column, level: float = 0.5) -> Column:
+    """Discrete quantile of a value→count state array
+    (``QUANTILE_STATE_TYPE``): the smallest ``v`` whose cumulative count
+    reaches ``max(1, ceil(level·total))`` — ClickHouse
+    ``quantileExactWeighted`` / DuckDB ``quantile_disc`` semantics, exact.
+
+    Runs per finalized group over an array bounded by the number of
+    distinct values (post-compaction), so the interpreted higher-order
+    ``aggregate`` here is off the hot path; the per-row write path stays
+    codegen. The target rank rides in the fold's start value so the walk
+    stays O(n) (an outer-expression reference inside the lambda would be
+    re-evaluated per element).
+
+    Duplicate ``v`` entries (states merged but not yet compacted) are
+    handled: the array is sorted by ``v``, and the cumulative walk
+    crosses the target inside the run at the same ``v``.
+    """
+    e = F.array_sort(c)
+    total = F.aggregate(e, F.lit(0).cast("long"), lambda a, s: a + s["c"])
+    target = F.greatest(
+        F.ceil(F.lit(float(level)) * total).cast("long"), F.lit(1).cast("long")
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        target.alias("tgt"),
+        F.lit(None).cast("bigint").alias("ans"),
+    )
+    walk = F.aggregate(
+        e,
+        zero,
+        lambda acc, s: F.struct(
+            (acc["cum"] + s["c"]).alias("cum"),
+            acc["tgt"].alias("tgt"),
+            F.coalesce(
+                acc["ans"], F.when(acc["cum"] + s["c"] >= acc["tgt"], s["v"])
+            ).alias("ans"),
+        ),
+    )
+    return F.when(total > 0, walk["ans"])
+
+
+def compress_quantile_states(df, dims, names):
+    """Re-sum value→count quantile states to one entry per distinct value
+    — the compaction step that makes the ``quantile`` kind O(distinct)
+    instead of O(rows). Expressed as explode → two-level groupBy →
+    re-collect: fully codegen'd shuffles, no interpreted lambdas in the
+    per-entry path (this repo's rule for hot loops).
+
+    ``df`` must already be one row per ``dims`` key (i.e. post
+    ``merge_states``); finalize results are unchanged, only the state
+    representation shrinks.
+    """
+    import functools
+    import operator
+
+    out = df
+    for name in names:
+        q = (
+            out.select(*dims, F.explode_outer(F.col(name)).alias("_e"))
+            .groupBy(*dims, F.col("_e.v").alias("_v"))
+            .agg(F.sum("_e.c").alias("_c"))
+            .groupBy(*dims)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_v").isNotNull(),
+                            F.struct(
+                                F.col("_v").alias("v"), F.col("_c").alias("c")
+                            ),
+                        )
+                    )
+                )
+                .cast(QUANTILE_STATE_TYPE)
+                .alias(name)
+            )
+        )
+        keyed = q.select(
+            *[F.col(d).alias(f"_k_{d}") for d in dims], name
+        )
+        out = out.drop(name)
+        # eqNullSafe: dims added by with_dimension backfill NULL for old rows
+        cond = functools.reduce(
+            operator.and_,
+            [out[d].eqNullSafe(keyed[f"_k_{d}"]) for d in dims],
+        )
+        out = out.join(keyed, cond, "left").drop(*[f"_k_{d}" for d in dims])
+    return out
 
 
 # -- bitmap set algebra (the reference's bitmapAnd / bitmapOr / cardinality,

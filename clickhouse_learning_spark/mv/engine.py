@@ -105,7 +105,17 @@ class MaterializedView:
                 "definition — compact with the newest (evolved) view to avoid "
                 "dropping them"
             )
-        self.storage._rewrite(self.merge_states(stored, list(self.dims)))
+        merged = self.merge_states(stored, list(self.dims))
+        qnames = [m.name for m in self.metrics if m.kind == "quantile"]
+        if qnames:
+            # quantile states also deduplicate by value here, shrinking
+            # them to O(distinct) (metrics.compress_quantile_states)
+            from clickhouse_learning_spark.functions.metrics import (
+                compress_quantile_states,
+            )
+
+            merged = compress_quantile_states(merged, list(self.dims), qnames)
+        self.storage._rewrite(merged)
 
     # -- schema evolution (D5/D6) ---------------------------------------------
     def with_metric(self, spec: MetricSpec) -> "MaterializedView":

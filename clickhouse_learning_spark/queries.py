@@ -203,6 +203,32 @@ def median_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantile_weighted_state",
+    f"""
+    SELECT event_type,
+           quantile_disc(CAST(floor(value * 100) AS BIGINT), 0.5) AS value_p50,
+           quantile_disc(CAST(floor(value * 100) AS BIGINT), 0.9) AS value_p90
+    FROM {_EV} GROUP BY event_type
+    """,
+)
+def quantile_weighted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantileExactWeighted as a mergeable value→count state (SURVEY A7;
+    ClickHouse quantileExactWeighted semantics = DuckDB quantile_disc:
+    smallest value whose cumulative weight reaches ceil(φ·n)). States are
+    built per (event_type, day), merged per event_type, finalized at two
+    levels — post-compaction the state is O(distinct values), the
+    at-scale replacement for the O(rows) median value list."""
+    ev = _events(spark, sf_dir)
+    src = F.floor(F.col("value") * 100).cast("long")
+    p50 = M.MetricSpec("value_p50", "quantile", src, level=0.5)
+    p90 = M.MetricSpec("value_p90", "quantile", src, level=0.9)
+    states = ev.groupBy("event_type", "day").agg(p50.partial(), p90.partial())
+    return states.groupBy("event_type").agg(
+        p50.merged_finalized(), p90.merged_finalized()
+    )
+
+
+@query(
     "bitmap_funnel",
     f"""
     WITH s AS (

@@ -26,7 +26,18 @@ ROWS = st.lists(
     max_size=60,
 )
 
-KINDS = ["uniq", "uniq_exact", "sum", "count", "min", "max", "avg", "median", "bitmap"]
+KINDS = [
+    "uniq",
+    "uniq_exact",
+    "sum",
+    "count",
+    "min",
+    "max",
+    "avg",
+    "median",
+    "bitmap",
+    "quantile",
+]
 
 
 def _one_level(spark, df, spec):

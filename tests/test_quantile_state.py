@@ -1,0 +1,119 @@
+"""Mergeable weighted-quantile state (kind="quantile").
+
+The scalable replacement for the exact-median value-list state: values
+are kept as value→count pairs (ClickHouse quantileExactWeighted's
+layout), so post-compaction state size is O(distinct values) per group
+— bounded by the value domain, not the row count. Correctness bar:
+exact match with the discrete quantile (DuckDB quantile_disc: rank
+ceil(level·n), 1-based) at every compaction state.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.functions.metrics import (
+    MetricSpec,
+    compress_quantile_states,
+)
+from clickhouse_learning_spark.mv.engine import MaterializedView
+from clickhouse_learning_spark.tables import Table
+
+
+def disc_quantile(values, level):
+    s = sorted(values)
+    return s[max(1, math.ceil(level * len(s))) - 1]
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    # skewed repeats: 3 groups × 400 rows over a ~30-value domain
+    rows = [(g, (i * i + 7 * g) % 30, i % 4) for g in range(3) for i in range(400)]
+    return (
+        spark.createDataFrame(rows, "g int, v long, batch int").cache(),
+        rows,
+    )
+
+
+@pytest.fixture(scope="module")
+def qmv(spark, data, tmp_path_factory):
+    df, _ = data
+    path = str(tmp_path_factory.mktemp("qmv") / "state")
+    mv = MaterializedView(
+        "qmv",
+        dims=("g",),
+        metrics=(
+            MetricSpec("p50", "quantile", "v"),
+            MetricSpec("p90", "quantile", "v", level=0.9),
+            MetricSpec("cnt", "count"),
+        ),
+        storage=Table(path, partition_by=()),
+    )
+    for b in range(4):
+        mv.append_batch(df.filter(F.col("batch") == b))
+    return mv
+
+
+def expected(rows, level):
+    by_g = {}
+    for g, v, _ in rows:
+        by_g.setdefault(g, []).append(v)
+    return {g: disc_quantile(vs, level) for g, vs in by_g.items()}
+
+
+def test_quantile_matches_discrete_oracle(spark, qmv, data):
+    _, rows = data
+    got = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in qmv.merge_query(spark, ["g"], ["p50", "p90"]).collect()
+    }
+    e50, e90 = expected(rows, 0.5), expected(rows, 0.9)
+    assert got == {g: (e50[g], e90[g]) for g in e50}
+
+
+def test_compaction_shrinks_state_to_distinct_values(spark, qmv, data):
+    df, rows = data
+    before = qmv.merge_query(spark, ["g"], ["p50", "p90", "cnt"]).collect()
+    pre_entries = (
+        qmv.storage.read(spark).select(F.sum(F.size("p50")).alias("n")).first()["n"]
+    )
+    qmv.compact(spark)
+    post = qmv.storage.read(spark)
+    distinct_per_g = {
+        r["g"]: r["d"]
+        for r in df.groupBy("g").agg(F.count_distinct("v").alias("d")).collect()
+    }
+    for r in post.select("g", F.size("p50").alias("n")).collect():
+        assert r["n"] == distinct_per_g[r["g"]]  # O(distinct), not O(rows)
+    post_entries = post.select(F.sum(F.size("p50")).alias("n")).first()["n"]
+    assert post_entries < pre_entries
+    after = qmv.merge_query(spark, ["g"], ["p50", "p90", "cnt"]).collect()
+    key = lambda r: r["g"]
+    assert sorted((r.asDict() for r in before), key=key) == sorted(
+        (r.asDict() for r in after), key=key
+    )
+
+
+def test_compress_handles_null_dims_and_empty_states(spark):
+    """with_dimension backfills NULL dims; a key whose rows all failed a
+    -If cond has an empty state. Both must survive compression."""
+    spec = MetricSpec("q", "quantile", "v", cond="v >= 0")
+    df = spark.createDataFrame(
+        [(1, 5), (1, 7), (None, 5), (None, -1), (2, -3)], "g int, v long"
+    )
+    states = df.groupBy("g").agg(spec.partial())
+    comp = compress_quantile_states(states, ["g"], ["q"])
+    got = {
+        r["g"]: [e.asDict() for e in r["q"]] for r in comp.collect()
+    }
+    assert sorted(got[1], key=lambda e: e["v"]) == [
+        {"v": 5, "c": 1},
+        {"v": 7, "c": 1},
+    ]
+    assert got[None] == [{"v": 5, "c": 1}]
+    assert got[2] == []  # empty state preserved, finalizes to NULL
+    fin = comp.select("g", spec.finalize()).collect()
+    assert {r["g"]: r["q"] for r in fin} == {1: 5, None: 5, 2: None}
