@@ -226,50 +226,48 @@ def minhash_lsh_pairs(
 
     # Refinement filter: on corpora with high background similarity most
     # band-bucket candidates are false (measured 158k candidates → 25
-    # true pairs at sf0.1); shipping two ~300-string shingle arrays per
+    # true pairs at sf0.1); shipping two ~300-entry shingle arrays per
     # candidate into exact verification dominates the runtime. First
-    # score candidates by signature agreement (64 codegen'd element
-    # compares — the unbiased MinHash estimate of Jaccard, se ≤ 1/16)
-    # and keep pairs with est ≥ threshold − 0.22 (≈3.6σ): the miss
-    # probability for a truly-over-threshold pair is < 2e-4 even at
-    # j = threshold exactly, and < 1e-7 once j ≥ threshold + 0.1.
-    # Exact shingle Jaccard still decides final membership.
+    # score candidates by signature agreement — DEBIASED: a candidate
+    # exists *because* one band (rows_per_band hashes) collided, so
+    # those agreements carry no evidence. est = (agree − r)/(n − r)
+    # removes the selection bias (measured: biased est keeps 27% of
+    # background candidates, debiased keeps ~2%). Keep pairs with
+    # est ≥ threshold − 0.22 (≈3.4σ at n−r=60): miss probability for a
+    # truly-over-threshold pair < 4e-4 at j = threshold exactly, < 1e-7
+    # once j ≥ threshold + 0.12. Exact shingle Jaccard still decides
+    # final membership.
     est_margin = 0.22
-    # per-doc frames (signatures ≈ 520 B/doc, hashed shingle sets ≈
-    # 2.4 KB/doc) broadcast comfortably up to ~10M docs; candidate pairs
-    # then never shuffle. Catalyst won't pick broadcast for post-agg
-    # frames on its own (no stats) — force it.
-    scored = cand.join(
-        F.broadcast(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))),
-        "id_a",
-    ).join(
-        F.broadcast(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))),
-        "id_b",
+    rows_per_band = num_hashes // bands
+    # ONE broadcast join per side attaches BOTH the signature (refine)
+    # and the hashed shingle set (verify): per-doc payload ≈ 3 KB/doc
+    # broadcasts comfortably up to ~10M docs; candidate pairs never
+    # shuffle, and refine + verify run in the same codegen stage (the
+    # jaccard expression only evaluates for refine survivors). Catalyst
+    # won't pick broadcast for post-agg frames on its own (no stats) —
+    # force it.
+    pd_a = per_doc.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), F.col("sh").alias("sh_a")
     )
+    pd_b = per_doc.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), F.col("sh").alias("sh_b")
+    )
+    scored = cand.join(F.broadcast(pd_a), "id_a").join(F.broadcast(pd_b), "id_b")
     agree = sum(
         (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast("int")
         for i in range(num_hashes)
     )
-    refined = scored.filter(agree / F.lit(float(num_hashes)) >= threshold - est_margin).select(
-        "id_a", "id_b"
-    )
+    est = (agree - F.lit(rows_per_band)) / F.lit(float(num_hashes - rows_per_band))
+    refined = scored.filter(est >= threshold - est_margin)
 
     # verification uses the 64-bit-hashed shingle sets computed in the
     # same pass as the signatures: intersection counts are identical to
     # the string sets up to a ~1e-14 collision probability per pair,
     # and array_intersect over longs avoids per-element string hashing
-    sh_df = per_doc.select("id", "sh")
-    pairs = refined.join(
-        F.broadcast(sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))),
-        "id_a",
-    ).join(
-        F.broadcast(sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))),
-        "id_b",
-    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        refined.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

