@@ -191,3 +191,45 @@ def reconciliation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state_rows",
         (_F.col("raw_rows") == _F.col("state_rows")).alias("consistent"),
     )
+
+
+@query(
+    "sql_auto_rewrite",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view_cnt,
+           CAST(sum(CAST(trunc(value * 1000) AS BIGINT)) AS BIGINT) AS value_sum,
+           CAST(count(*) AS BIGINT) AS event_cnt
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def sql_auto_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic MV rewrite of raw-log SQL (SURVEY §7 phase-5 stretch;
+    the reference's implicit query-the-MV usage, docs/…md:1159 vs :1205).
+    The SQL below is written against the RAW log; SqlRewriter parses it
+    with Spark's own parser, matches the aggregate shapes onto the
+    mainpage MV's metric specs, and answers from the state table — the
+    oracle computes the same SQL directly, so a routing bug (wrong
+    metric, dropped filter, bad merge) breaks the hash match. DuckDB's
+    trunc matches Spark's CAST(double AS BIGINT) truncation-toward-zero
+    in the MV's value_sum source expression."""
+    import tempfile as _tf
+
+    from clickhouse_learning_spark.mv.mainpage import mainpage_mv, prepare_events
+    from clickhouse_learning_spark.mv.router import MetricRouter
+    from clickhouse_learning_spark.mv.sql_rewrite import SqlRewriter
+
+    mv = mainpage_mv(_tf.mkdtemp(prefix="sqlrw_") + "/state")
+    mv.append_batch(prepare_events(spark, sf_dir))
+    router = MetricRouter(raw_source=lambda s: prepare_events(s, sf_dir))
+    router.register(mv)
+    rw = SqlRewriter(router, "raw_events")
+    q = """
+        SELECT day,
+               coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view_cnt,
+               sum(CAST(value * 1000 AS BIGINT)) AS value_sum,
+               count(*) AS event_cnt
+        FROM raw_events GROUP BY day
+    """
+    assert rw.explain_route(spark, q).startswith("mv:"), "expected MV routing"
+    return rw.sql(spark, q)
