@@ -172,6 +172,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    broadcast_docs: bool = True,
 ) -> DataFrame:
     """Candidate generation + exact verification.
 
@@ -182,6 +183,12 @@ def minhash_lsh_pairs(
        candidate shuffle;
     3. candidate (id_a, id_b) pairs join the shingle-set table per side
        and are verified with exact shingle Jaccard ≥ threshold.
+
+    ``broadcast_docs``: per-doc payloads (signature + hashed shingle
+    set, ≈3 KB/doc) broadcast comfortably up to ~10M docs, and candidate
+    pairs then never shuffle. Beyond that, set False: the attach joins
+    become shuffle joins keyed by doc id — candidates hash-repartition
+    by id_a then id_b, everything else is unchanged.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
     """
@@ -252,7 +259,9 @@ def minhash_lsh_pairs(
     pd_b = per_doc.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), F.col("sh").alias("sh_b")
     )
-    scored = cand.join(F.broadcast(pd_a), "id_a").join(F.broadcast(pd_b), "id_b")
+    if broadcast_docs:
+        pd_a, pd_b = F.broadcast(pd_a), F.broadcast(pd_b)
+    scored = cand.join(pd_a, "id_a").join(pd_b, "id_b")
     agree = sum(
         (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast("int")
         for i in range(num_hashes)

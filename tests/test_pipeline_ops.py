@@ -49,6 +49,21 @@ def test_simhash_detects_planted_near_dup(spark):
     assert pairs.filter("id_a = 7 and id_b = 99999").count() == 1
 
 
+def test_minhash_shuffle_path_equals_broadcast_path(spark):
+    """broadcast_docs=False (the >10M-doc scale path: shuffle joins
+    keyed by doc id instead of broadcast attach) returns the identical
+    pair set."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bc = sorted(map(tuple, D.minhash_lsh_pairs(docs, threshold=0.5).collect()))
+    sh = sorted(
+        map(
+            tuple,
+            D.minhash_lsh_pairs(docs, threshold=0.5, broadcast_docs=False).collect(),
+        )
+    )
+    assert bc == sh and len(bc) > 0
+
+
 def test_minhash_jaccard_estimate_close_to_exact(spark):
     """Signature agreement ratio ≈ true Jaccard (MinHash theory)."""
     docs = load_table(spark, SF_SMOKE, "documents")
