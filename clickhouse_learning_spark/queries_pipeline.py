@@ -421,3 +421,33 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC columnar source/sink round-trip (the second columnar format
     beside parquet; same pushdown machinery)."""
     return _format_roundtrip(spark, sf_dir, "orc")
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    pairs AS ({_JACCARD5_ORACLE}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+    SELECT id, min(r) AS component FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup pair list: connected
+    components via iterative min-label propagation
+    (operators/components.py), components labeled by min member id.
+    The oracle computes the same closure with a recursive CTE over the
+    exact all-pairs Jaccard edges — a pair missed by LSH or a wrong
+    propagation fixpoint breaks the hash match."""
+    from clickhouse_learning_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    return connected_components(pairs).select("id", F.col("comp").alias("component"))
