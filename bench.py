@@ -55,31 +55,46 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
     # flagship MV pipeline: materialize the state table + merge-query it
+    # (min-of-N like every other entry — the first run is dominated by
+    # codegen compile of the 15-state aggregate, not the pipeline)
+    import shutil
     import tempfile
 
-    t0 = time.time()
-    with tempfile.TemporaryDirectory() as d:
-        mv = mainpage_mv(d + "/state")
+    best = float("inf")
+    last_dir = None
+    for _ in range(runs):
+        if last_dir:
+            shutil.rmtree(last_dir, ignore_errors=True)
+        last_dir = tempfile.mkdtemp(prefix="bench_mv_")
+        t0 = time.time()
+        mv = mainpage_mv(last_dir + "/state")
         ev = prepare_events(spark, target)
         mv.append_batch(ev)
         mv.merge_query(spark, ["day", "segment"]).write.format("noop").mode(
             "overwrite"
         ).save()
-        timings["mv_materialize_and_query"] = round(time.time() - t0, 3)
+        best = min(best, time.time() - t0)
+    timings["mv_materialize_and_query"] = round(best, 3)
 
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        # the reference's headline ratio (BASELINE.md: 48.7k state rows vs
-        # 360k raw rows for the same answer): query the state table vs the
-        # equivalent raw-log aggregation
+    # the reference's headline ratio (BASELINE.md: 48.7k state rows vs
+    # 360k raw rows for the same answer): query the state table vs the
+    # equivalent raw-log aggregation
+    best = float("inf")
+    for _ in range(runs):
         t0 = time.time()
         mv.merge_query(
             spark, ["day", "segment"], ["view_uv", "view_cnt", "value_sum"]
         ).write.format("noop").mode("overwrite").save()
-        timings["rollup_from_state"] = round(time.time() - t0, 3)
+        best = min(best, time.time() - t0)
+    timings["rollup_from_state"] = round(best, 3)
 
+    best = float("inf")
+    for _ in range(runs):
         t0 = time.time()
         (
             ev.groupBy("day", "segment").agg(
@@ -92,7 +107,9 @@ def main() -> None:
                 F.sum(F.expr("CAST(value*1000 AS BIGINT)")).alias("value_sum"),
             )
         ).write.format("noop").mode("overwrite").save()
-        timings["rollup_from_raw"] = round(time.time() - t0, 3)
+        best = min(best, time.time() - t0)
+    timings["rollup_from_raw"] = round(best, 3)
+    shutil.rmtree(last_dir, ignore_errors=True)
 
     # scale check: 10M synthetic rows through the FULL MV pipeline
     # (materialize states -> parquet write -> merge-on-read rollup)
@@ -137,7 +154,6 @@ def main() -> None:
     )
     timings["sum_1b_rows_1000_groups"] = round(time.time() - t0, 3)
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
