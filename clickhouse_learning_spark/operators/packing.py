@@ -1,0 +1,114 @@
+"""Training-batch assembly: deterministic sampling, chunking, packing.
+
+The last mile of a 100 TB training-data pipeline: after filter/dedup,
+documents are (a) down-sampled per stratum, (b) assigned to
+fixed-token-budget context windows. Three operators, from fully
+SQL-expressible (exact DuckDB oracle) to genuinely sequential
+(applyInPandas with property-tested invariants):
+
+- :func:`sample_per_group` — deterministic stratified top-N: order each
+  group by ``md5(id)`` (a seedable, engine-portable shuffle) and keep
+  the first N. Unlike ``df.sampleBy`` this is reproducible across
+  engines AND exact per-group counts, so it doubles as the train/val
+  split primitive. One window over a group-partitioned sort.
+- :func:`chunk_assign` — streaming chunk ids: cumulative token count
+  over a deterministic per-group order, ``chunk = floor(cum/capacity)``.
+  Documents may straddle a boundary (the "document-splitting allowed"
+  regime, as when packing pretraining rows that are later re-tokenized
+  and split); it is one window cumsum — no shuffle beyond the group
+  partitioning, SQL-expressible, exact oracle.
+- :func:`greedy_pack` — true first-fit packing (no straddling): walk
+  each group's docs in deterministic order, open a new bin when the
+  current doc doesn't fit. Inherently sequential per group →
+  ``applyInPandas`` with Arrow batches; each group must fit one
+  executor's memory (groups are shards — e.g. ``pack_key =
+  xxhash64(doc_id) % n_shards`` — NOT the whole corpus; the shard
+  count, not data size, bounds parallelism). Invariants property-
+  tested: no bin over capacity (unless a single doc alone exceeds it),
+  every doc in exactly one bin, bin ids dense per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic N-per-group sample: rank by md5(salt || id) within
+    each group, keep rank ≤ n. ``salt`` reshuffles (a new epoch's
+    sample) without touching the data."""
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def chunk_assign(
+    df: DataFrame,
+    group_cols: list[str],
+    token_col: str,
+    capacity: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """chunk_id per row: cumulative ``token_col`` over the group's
+    id-ordered docs, integer-divided by ``capacity``. The id order makes
+    it deterministic; the cumsum window is the only extra exchange."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    return df.withColumn(
+        "chunk_id", F.floor((cum - F.col(token_col)) / F.lit(capacity)).cast("long")
+    )
+
+
+def greedy_pack(
+    df: DataFrame,
+    group_cols: list[str],
+    token_col: str,
+    capacity: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-fit packing without document splitting: per group (in
+    id order) keep a running bin; a doc that would overflow ``capacity``
+    opens the next bin. A doc alone larger than ``capacity`` gets its
+    own bin. Adds ``bin_id`` (dense per group, 0-based).
+
+    Sequential per group by nature → Arrow-batched ``applyInPandas``;
+    the vectorized hot path stays in pandas/numpy, and groups are
+    hash shards whose count sets the parallelism.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # copy: StructType.add mutates in place, and df.schema returns the
+    # DataFrame's cached schema object
+    out_schema = StructType(df.schema.fields + [StructField("bin_id", LongType())])
+    gcols = list(group_cols)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        bins = []
+        bin_id, used = -1, capacity + 1  # force a new bin on first doc
+        for t in pdf[token_col].to_numpy():
+            if used + t > capacity:
+                bin_id += 1
+                used = 0
+            used += t
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return df.groupBy(*gcols).applyInPandas(pack, schema=out_schema)

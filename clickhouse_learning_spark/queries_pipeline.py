@@ -451,3 +451,86 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
     return connected_components(pairs).select("id", F.col("comp").alias("component"))
+
+
+# ===========================================================================
+# Training-batch assembly (operators/packing.py)
+# ===========================================================================
+
+
+@query(
+    "sample_stratified",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang FROM ranked WHERE rn <= 20
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 20 docs per language, ranked by
+    md5(doc_id) — an engine-portable seedable shuffle, so the exact
+    same sample reproduces on any engine (packing.sample_per_group)."""
+    from clickhouse_learning_spark.operators.packing import sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_per_group(docs, ["lang"], 20)
+
+
+@query(
+    "chunk_assignment",
+    """
+    SELECT doc_id, lang,
+           CAST(floor(
+             (sum(n_chars) OVER (
+                PARTITION BY lang ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - n_chars) / 1000.0
+           ) AS BIGINT) AS chunk_id
+    FROM documents
+    """,
+)
+def chunk_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming context-window chunking (straddling allowed): one
+    window cumsum per language shard, chunk = floor(cum_before/1000)
+    (packing.chunk_assign)."""
+    from clickhouse_learning_spark.operators.packing import chunk_assign
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return chunk_assign(docs, ["lang"], "n_chars", 1000).select(
+        "doc_id", "lang", "chunk_id"
+    )
+
+
+@query(
+    "greedy_pack_bins",
+    """
+    WITH RECURSIVE ordered AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents),
+    walk(lang, rn, doc_id, n_chars, bin_id, used) AS (
+      SELECT lang, rn, doc_id, n_chars, CAST(0 AS BIGINT), n_chars
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.lang, o.rn, o.doc_id, o.n_chars,
+             CASE WHEN w.used + o.n_chars > 1000 THEN w.bin_id + 1 ELSE w.bin_id END,
+             CASE WHEN w.used + o.n_chars > 1000 THEN o.n_chars ELSE w.used + o.n_chars END
+      FROM walk w JOIN ordered o ON o.lang = w.lang AND o.rn = w.rn + 1)
+    SELECT doc_id, lang, bin_id FROM walk
+    """,
+)
+def greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit sequence packing, no straddling (packing.greedy_pack,
+    applyInPandas per language shard). The oracle replays the identical
+    sequential walk as a recursive CTE — same bin for every doc or the
+    hash breaks. A genuinely non-relational operator WITH an exact
+    oracle."""
+    from clickhouse_learning_spark.operators.packing import greedy_pack
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return greedy_pack(docs, ["lang"], "n_chars", 1000).select(
+        "doc_id", "lang", "bin_id"
+    )
