@@ -534,3 +534,38 @@ def greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_pack(docs, ["lang"], "n_chars", 1000).select(
         "doc_id", "lang", "bin_id"
     )
+
+
+@query(
+    "contamination_check",
+    f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len({_TOKENS}) - 4, 1)),
+               i -> array_to_string(list_slice({_TOKENS}, i::INT, (i + 4)::INT), ' ')
+             ))) AS g
+      FROM documents),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0)
+    SELECT t.doc_id, count(DISTINCT t.g) AS n_shared
+    FROM grams t JOIN eval_grams e USING (g)
+    WHERE t.doc_id % 17 <> 0
+    GROUP BY t.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontamination.py): train
+    docs sharing any word 5-gram with the synthetic eval split
+    (doc_id % 17 = 0). Planted near-dups guarantee hits. Spark joins on
+    xxhash64(gram) with the eval set broadcast; the oracle joins on the
+    gram strings — identical counts up to a ~1e-14 hash-collision
+    probability."""
+    from clickhouse_learning_spark.operators.decontamination import (
+        contamination_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return contamination_report(train, eval_df, n=5)
