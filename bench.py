@@ -37,6 +37,7 @@ HEADLINE = [
     "doc_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "training_pipeline",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
 ]

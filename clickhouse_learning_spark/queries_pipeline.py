@@ -569,3 +569,77 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = docs.filter(F.col("doc_id") % 17 == 0)
     train = docs.filter(F.col("doc_id") % 17 != 0)
     return contamination_report(train, eval_df, n=5)
+
+
+@query(
+    "training_pipeline",
+    f"""
+    WITH RECURSIVE train AS (
+      SELECT doc_id, lang, n_chars, text FROM documents
+      WHERE doc_id % 17 <> 0 AND len({_TOKENS}) >= 30),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM train GROUP BY md5({_NORM})),
+    deduped AS (SELECT t.* FROM train t JOIN keepers USING (doc_id)),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len({_TOKENS}) - 4, 1)),
+               i -> array_to_string(list_slice({_TOKENS}, i::INT, (i + 4)::INT), ' ')
+             ))) AS g
+      FROM documents),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id FROM grams t JOIN eval_grams e USING (g)
+      WHERE t.doc_id % 17 <> 0),
+    clean AS (
+      SELECT d.* FROM deduped d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    sampled AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS srn
+      FROM clean QUALIFY srn <= 15),
+    ordered AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM sampled),
+    walk(lang, rn, doc_id, n_chars, bin_id, used) AS (
+      SELECT lang, rn, doc_id, n_chars, CAST(0 AS BIGINT), n_chars
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.lang, o.rn, o.doc_id, o.n_chars,
+             CASE WHEN w.used + o.n_chars > 1000 THEN w.bin_id + 1 ELSE w.bin_id END,
+             CASE WHEN w.used + o.n_chars > 1000 THEN o.n_chars ELSE w.used + o.n_chars END
+      FROM walk w JOIN ordered o ON o.lang = w.lang AND o.rn = w.rn + 1)
+    SELECT doc_id, lang, bin_id FROM walk
+    """,
+)
+def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data assembly, every stage composed from this
+    repo's operators: token-length quality gate → exact content dedup →
+    benchmark decontamination (5-gram vs the doc_id%17 eval split) →
+    deterministic stratified sample (≤15/lang) → first-fit packing into
+    1000-char bins. The oracle replays the whole chain in one SQL
+    statement (recursive CTE for the packing walk) — any stage drifting
+    breaks the hash."""
+    from clickhouse_learning_spark.operators.decontamination import decontaminate
+    from clickhouse_learning_spark.operators.packing import (
+        greedy_pack,
+        sample_per_group,
+    )
+    from clickhouse_learning_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0).filter(
+        token_count(F.col("text")) >= 30
+    )
+    deduped = D.exact_dedup(train)
+    clean = decontaminate(deduped, eval_df, n=5)
+    sampled = sample_per_group(
+        clean.select("doc_id", "lang", "n_chars"), ["lang"], 15
+    )
+    return greedy_pack(sampled, ["lang"], "n_chars", 1000).select(
+        "doc_id", "lang", "bin_id"
+    )

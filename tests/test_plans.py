@@ -128,3 +128,40 @@ def test_state_table_scan_prunes_day_partition(spark, tmp_path):
     p = plan_text(df)
     pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
     assert pf and "day" in pf[0] and "isnotnull" in pf[0] or "equals" in pf[0].lower() or "=" in pf[0]
+
+
+def test_contamination_eval_set_broadcasts(spark):
+    """Decontamination at 100 TB: the eval gram set must broadcast —
+    the train corpus side joins without shuffling beyond its own n-gram
+    fan-out — and the n-gram path must stay out of interpreted lambdas
+    (explode+slice+array_join, no transform())."""
+    df = QUERIES["contamination_check"](spark, SF_SMOKE)
+    p = plan_text(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "transform(" not in plan_text(df, "extended")
+
+
+def test_sample_and_chunk_are_single_window_ops(spark):
+    """packing.sample_per_group / chunk_assign: exactly one exchange
+    (the group partitioning) feeding one Window — no extra shuffles."""
+    import re
+
+    for name in ("sample_stratified", "chunk_assignment"):
+        p = plan_text(QUERIES[name](spark, SF_SMOKE))
+        # formatted mode lists each node twice (tree + detail) — count
+        # the detail headers
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, (name, p)
+        assert "Window" in p
+
+
+def test_greedy_pack_is_the_only_python_stage(spark):
+    """training_pipeline: the single Python stage in the whole chain is
+    the sequential packing walk (Arrow-batched applyInPandas); every
+    upstream stage (quality gate, dedup, decontaminate, sample) stays
+    JVM-side."""
+    import re
+
+    p = plan_text(QUERIES["training_pipeline"](spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python UDFs
