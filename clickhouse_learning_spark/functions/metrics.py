@@ -69,6 +69,7 @@ KINDS = (
     "argmax",
     "argmin",
     "quantile",
+    "topk",
 )
 
 # State type of the ``quantile`` kind: value → occurrence-count pairs.
@@ -107,6 +108,20 @@ class MetricSpec:
                 lexicographic max/min, so it is trivially mergeable.
                 Ties on ``order_by`` break deterministically on the
                 value itself.
+    ``k`` / ``reserve``  for ``topk`` (ClickHouse ``topK(k)`` — Filtered
+                Space-Saving heavy hitters): the result is the ``k`` most
+                frequent values of ``source``; the state is value→count
+                pairs capped at ``reserve`` entries (default ``4*k``,
+                ClickHouse's ``load_factor=3`` analog). Per-batch
+                truncation keeps the highest-count entries, so like
+                ClickHouse's the result is APPROXIMATE once a group's
+                per-batch distinct count exceeds ``reserve`` — and exact
+                below it (the oracle-able regime). Ties break on the
+                smaller value, deterministically. State entry counts are
+                batch-local counts, so states from disjoint batches merge
+                by re-summing per value — the same lazy-merge contract as
+                every other kind here. Result is ``array<source type>``
+                ordered by descending frequency.
     """
 
     name: str
@@ -115,10 +130,20 @@ class MetricSpec:
     cond: str | Column | None = None
     order_by: str | Column | None = None
     level: float = 0.5
+    k: int = 10
+    reserve: int = 0  # 0 → 4*k
 
     def __post_init__(self):
         if self.kind not in KINDS:
             raise ValueError(f"unknown metric kind {self.kind!r}; expected one of {KINDS}")
+        if self.kind == "topk" and self.k < 1:
+            raise ValueError(f"{self.name}: topk needs k >= 1, got {self.k}")
+
+    @property
+    def topk_reserve(self) -> int:
+        """State cap for ``topk`` (ClickHouse FSS reserves ~load_factor·k
+        counters; load_factor defaults to 3, we use 4)."""
+        return self.reserve if self.reserve else 4 * self.k
 
     # -- input with the -If combinator applied --------------------------------
     def _input(self) -> Column:
@@ -163,6 +188,15 @@ class MetricSpec:
             return F.arrays_zip(vals, ones).cast(QUANTILE_STATE_TYPE).alias(self.name)
         if self.kind == "bitmap":
             return F.sort_array(F.collect_set(x)).alias(self.name)
+        if self.kind == "topk":
+            # One-expression fallback: (value, 1) pairs, uncapped — correct
+            # for modest batch×group sizes. The engine's materialize_batch
+            # pre-counts relationally and caps at topk_reserve (the scale
+            # path); compaction re-sums + re-caps either way.
+            return F.transform(
+                F.collect_list(x),
+                lambda v: F.struct(v.alias("v"), F.lit(1).cast("long").alias("c")),
+            ).alias(self.name)
         if self.kind in ("argmax", "argmin"):
             if self.order_by is None:
                 raise ValueError(f"{self.name}: kind {self.kind} requires order_by")
@@ -193,7 +227,7 @@ class MetricSpec:
             return F.struct(
                 F.sum(c.getField("s")).alias("s"), F.sum(c.getField("c")).alias("c")
             ).alias(self.name)
-        if self.kind in ("median", "quantile"):
+        if self.kind in ("median", "quantile", "topk"):
             return F.flatten(F.collect_list(c)).alias(self.name)
         if self.kind == "argmax":
             return F.max(c).alias(self.name)
@@ -220,6 +254,8 @@ class MetricSpec:
             return array_median(c).alias(self.name)
         if self.kind == "quantile":
             return weighted_quantile(c, self.level).alias(self.name)
+        if self.kind == "topk":
+            return topk_from_state(c, self.k).alias(self.name)
         if self.kind in ("argmax", "argmin"):
             return c.getField("v").alias(self.name)
         raise AssertionError(self.kind)
@@ -246,13 +282,13 @@ class MetricSpec:
             return F.lit(None).cast(QUANTILE_STATE_TYPE).alias(self.name)
         if self.kind == "avg":
             return F.lit(None).cast("struct<s:double,c:bigint>").alias(self.name)
-        if self.kind in ("argmax", "argmin"):
-            # the struct type depends on (order_by, source) types; wide
-            # tables mixing writers with argmax metrics must fill the
-            # column explicitly with a typed NULL
+        if self.kind in ("argmax", "argmin", "topk"):
+            # the struct/entry type depends on the source (and order_by)
+            # types; wide tables mixing writers with these metrics must
+            # fill the column explicitly with a typed NULL
             raise NotImplementedError(
                 f"{self.name}: neutral state for {self.kind} needs an explicit "
-                "typed NULL struct (type depends on order_by/source)"
+                "typed NULL (element type depends on source/order_by)"
             )
         return F.lit(None).cast("bigint").alias(self.name)
 
@@ -382,6 +418,92 @@ def compress_quantile_states(df, dims, names):
         )
         out = out.drop(name)
         # eqNullSafe: dims added by with_dimension backfill NULL for old rows
+        cond = functools.reduce(
+            operator.and_,
+            [out[d].eqNullSafe(keyed[f"_k_{d}"]) for d in dims],
+        )
+        out = out.join(keyed, cond, "left").drop(*[f"_k_{d}" for d in dims])
+    return out
+
+
+def topk_from_state(c: Column, k: int) -> Column:
+    """Finalize a ``topk`` value→count state: re-sum duplicate values
+    (states merged but not yet compacted carry one entry per batch), then
+    take the ``k`` highest-count values, ties broken on the smaller
+    value. Returns ``array<source type>`` ordered most-frequent-first;
+    empty array on empty input (ClickHouse ``topK`` does the same).
+
+    The duplicate re-sum is an O(n²) higher-order expression over the
+    state array — n is bounded by writers·reserve (and by reserve alone
+    after compaction), so this stays off the hot path by construction;
+    the per-row write path never runs it.
+    """
+    e = F.array_sort(c)
+    dedup = F.array_distinct(
+        F.transform(
+            e,
+            lambda s: F.struct(
+                s["v"].alias("v"),
+                F.aggregate(
+                    F.filter(e, lambda t: t["v"] == s["v"]),
+                    F.lit(0).cast("long"),
+                    lambda a, t: a + t["c"],
+                ).alias("c"),
+            ),
+        )
+    )
+    ranked = F.sort_array(
+        F.transform(dedup, lambda s: F.struct((-s["c"]).alias("nc"), s["v"].alias("v")))
+    )
+    return F.transform(F.slice(ranked, 1, k), lambda s: s["v"])
+
+
+def topk_state_from_counts(v: Column, c: Column, reserve: int) -> Column:
+    """Aggregate expression building a capped ``topk`` state from
+    pre-counted (value, count) rows — the relational write path: the
+    engine first does ``groupBy(dims, value).count()`` (a fully-codegen
+    two-level hash agg), then collects only the ``reserve`` highest-count
+    entries per group (the Space-Saving truncation). Use under
+    ``groupBy(dims)``."""
+    ranked = F.sort_array(
+        F.collect_list(F.struct((-c.cast("long")).alias("nc"), v.alias("v")))
+    )
+    return F.transform(
+        F.slice(ranked, 1, reserve),
+        lambda s: F.struct(s["v"].alias("v"), (-s["nc"]).alias("c")),
+    )
+
+
+def compress_topk_states(df, dims, specs):
+    """Compaction for ``topk`` states: explode → re-sum counts per value →
+    re-collect capped at reserve. Same explode/two-level-groupBy shape as
+    :func:`compress_quantile_states` — codegen shuffles, no interpreted
+    per-entry lambdas. Truncation to reserve is where the approximation
+    lives (identical to the per-batch cap); finalize results over the
+    compacted state equal the pre-compaction ones whenever per-group
+    distinct counts stayed under reserve.
+    """
+    import functools
+    import operator
+
+    out = df
+    for spec in specs:
+        q = (
+            out.select(*dims, F.explode_outer(F.col(spec.name)).alias("_e"))
+            .groupBy(*dims, F.col("_e.v").alias("_v"))
+            .agg(F.sum("_e.c").alias("_c"))
+            .groupBy(*dims)
+            .agg(
+                F.filter(
+                    topk_state_from_counts(
+                        F.col("_v"), F.coalesce(F.col("_c"), F.lit(0)), spec.topk_reserve
+                    ),
+                    lambda s: s["v"].isNotNull(),
+                ).alias(spec.name)
+            )
+        )
+        keyed = q.select(*[F.col(d).alias(f"_k_{d}") for d in dims], spec.name)
+        out = out.drop(spec.name)
         cond = functools.reduce(
             operator.and_,
             [out[d].eqNullSafe(keyed[f"_k_{d}"]) for d in dims],

@@ -229,6 +229,42 @@ def quantile_weighted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "topk_heavy_hitters",
+    f"""
+    WITH c AS (
+      SELECT day, event_type, count(*) AS cnt FROM {_EV} GROUP BY day, event_type)
+    SELECT day,
+           list_slice(list(event_type ORDER BY cnt DESC, event_type ASC), 1, 3)
+             AS top_types
+    FROM c GROUP BY day
+    """,
+)
+def topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topK(3)(event_type)`` as a mergeable Space-Saving
+    state (beyond-reference completeness; the reference uses no topK but
+    ClickHouse users rely on it). Per-(day,hour) capped value→count
+    states built through the relational pre-count path
+    (engine.materialize_batch's topk side channel), merged per day,
+    finalized to the 3 most frequent values. Exact — and oracle-able —
+    because per-group distinct values (5 event types) stay under the
+    reserve cap; beyond it the result degrades to approximate exactly
+    like ClickHouse's."""
+    ev = _events(spark, sf_dir)
+    spec = M.MetricSpec("top_types", "topk", "event_type", k=3)
+    states = (
+        ev.groupBy("day", "hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("day", "hour")
+        .agg(
+            M.topk_state_from_counts(
+                F.col("event_type"), F.col("_c"), spec.topk_reserve
+            ).alias("top_types")
+        )
+    )
+    return states.groupBy("day").agg(spec.merged_finalized())
+
+
+@query(
     "bitmap_funnel",
     f"""
     WITH s AS (
