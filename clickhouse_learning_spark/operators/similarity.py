@@ -148,17 +148,24 @@ def train_centroids(
 
 
 def assign_cells(
-    corpus: DataFrame, centroids: list[list[float]], emb_col: str = "embedding"
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    emb_col: str = "embedding",
+    with_sim: bool = False,
 ) -> DataFrame:
     """Add a ``cell`` column = argmax cosine(centroid, v). Centroids ride
-    along as a broadcast literal array — map-only, no shuffle."""
+    along as a broadcast literal array — map-only, no shuffle. With
+    ``with_sim``, also add ``sim`` = cosine to the chosen centroid."""
     cent_arr = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
     v = F.col(emb_col)
     scores = F.transform(cent_arr, lambda c: _dot(c, v) / (_norm(c) * _norm(v)))
     best = F.array_position(scores, F.array_max(scores)) - 1
-    return corpus.withColumn("cell", best.cast("int"))
+    out = corpus.withColumn("cell", best.cast("int"))
+    if with_sim:
+        out = out.withColumn("sim", F.array_max(scores))
+    return out
 
 
 class IvfIndex:

@@ -300,6 +300,70 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
 
+_KM_SWEEP = """
+s{n} AS (
+  SELECT d.vec_id, c.cell,
+         sum(d.x * c.cx) / (sqrt(sum(d.x*d.x)) * sqrt(sum(c.cx*c.cx))) AS sim
+  FROM dims d JOIN c{p} c ON d.i = c.i GROUP BY d.vec_id, c.cell),
+a{n} AS (
+  SELECT vec_id, cell, sim FROM (
+    SELECT vec_id, cell, sim,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+    FROM s{n}) WHERE rn = 1),
+m{n} AS (
+  SELECT a.cell, d.i, avg(d.x) AS cx FROM a{n} a JOIN dims d USING (vec_id)
+  GROUP BY a.cell, d.i),
+c{n} AS (
+  SELECT c.cell, c.i, coalesce(m.cx, c.cx) AS cx
+  FROM c{p} c LEFT JOIN m{n} m ON m.cell = c.cell AND m.i = c.i)
+"""
+
+_KM_ORACLE = f"""
+    WITH dims AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings),
+    seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    c0 AS (
+      SELECT s.cell, d.i, d.x AS cx FROM seeds s JOIN dims d USING (vec_id)),
+    {_KM_SWEEP.format(n=1, p=0)},
+    {_KM_SWEEP.format(n=2, p=1)},
+    s3 AS (
+      SELECT d.vec_id, c.cell,
+             sum(d.x * c.cx) / (sqrt(sum(d.x*d.x)) * sqrt(sum(c.cx*c.cx))) AS sim
+      FROM dims d JOIN c2 c ON d.i = c.i GROUP BY d.vec_id, c.cell),
+    a3 AS (
+      SELECT vec_id, cell, sim FROM (
+        SELECT vec_id, cell, sim,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+        FROM s3) WHERE rn = 1)
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(sim), 4) AS mean_sim
+    FROM a3 GROUP BY cell
+"""
+
+
+@query("embedding_kmeans", _KM_ORACLE)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding corpus (semantic
+    clustering for data curation / diversity sampling): seed with the 8
+    lowest-id vectors, 2 assign→mean sweeps, final cosine assignment.
+    Every sweep is one broadcast of 8 centroids + one scan — no corpus
+    shuffle; only 8×64 means cross the driver per sweep, so the same
+    loop runs unchanged over 10¹⁰ vectors. The oracle unrolls the exact
+    same sweeps in SQL (long-format centroids), so cluster sizes and
+    mean cosine match to 4 decimals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.train_centroids(emb, n_centroids=8, refine_iters=2)
+    assigned = S.assign_cells(emb, cents, with_sim=True)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("sim"), 4).alias("mean_sim"),
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (16 cells, 4 probes): cluster-pruned candidate scan.
     Approximate by design → rows-only driver check; pytest measures
