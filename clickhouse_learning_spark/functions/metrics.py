@@ -47,6 +47,7 @@ faster at the reference's cardinalities (≤15k uids/group).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column
@@ -69,8 +70,13 @@ KINDS = (
     "argmax",
     "argmin",
     "quantile",
+    "quantile_sketch",
     "topk",
 )
+
+# Sentinel bucket for non-positive inputs of the quantile_sketch kind
+# (DDSketch's dedicated zero counter; representative value 0.0).
+DD_ZERO_BUCKET = -(2**31)
 
 # State type of the ``quantile`` kind: value → occurrence-count pairs.
 QUANTILE_STATE_TYPE = "array<struct<v:bigint,c:bigint>>"
@@ -108,6 +114,22 @@ class MetricSpec:
                 lexicographic max/min, so it is trivially mergeable.
                 Ties on ``order_by`` break deterministically on the
                 value itself.
+    ``alpha``   for ``quantile_sketch`` (DDSketch, Masson et al. 2019 —
+                the 100 TB replacement for exact quantile states): values
+                are log-bucketed with relative accuracy α
+                (γ = (1+α)/(1-α), bucket = ⌈log_γ x⌉), the state is
+                bucket→count pairs (``QUANTILE_STATE_TYPE``), merge
+                re-sums buckets, finalize walks the same discrete-rank
+                rule as ``quantile`` and returns the bucket midpoint
+                2γ^b/(γ+1). State size is bounded by the number of
+                occupied buckets — ~⌈ln(max/min)/ln γ⌉ (≈700 for a
+                10⁹ dynamic range at α=0.01) — independent of row count
+                even before compaction-by-bucket. The result is within
+                relative error α of the exact discrete quantile, and the
+                whole computation is deterministic, so it still has an
+                exact DuckDB oracle. Non-positive inputs land in a
+                dedicated zero bucket (representative 0.0), as DDSketch's
+                zero counter does.
     ``k`` / ``reserve``  for ``topk`` (ClickHouse ``topK(k)`` — Filtered
                 Space-Saving heavy hitters): the result is the ``k`` most
                 frequent values of ``source``; the state is value→count
@@ -132,6 +154,7 @@ class MetricSpec:
     level: float = 0.5
     k: int = 10
     reserve: int = 0  # 0 → 4*k
+    alpha: float = 0.01
 
     def __post_init__(self):
         if self.kind not in KINDS:
@@ -186,6 +209,10 @@ class MetricSpec:
             vals = F.collect_list(x.cast("long"))
             ones = F.array_repeat(F.lit(1).cast("long"), F.size(vals))
             return F.arrays_zip(vals, ones).cast(QUANTILE_STATE_TYPE).alias(self.name)
+        if self.kind == "quantile_sketch":
+            vals = F.collect_list(dd_bucket(x, self.alpha))
+            ones = F.array_repeat(F.lit(1).cast("long"), F.size(vals))
+            return F.arrays_zip(vals, ones).cast(QUANTILE_STATE_TYPE).alias(self.name)
         if self.kind == "bitmap":
             return F.sort_array(F.collect_set(x)).alias(self.name)
         if self.kind == "topk":
@@ -227,7 +254,7 @@ class MetricSpec:
             return F.struct(
                 F.sum(c.getField("s")).alias("s"), F.sum(c.getField("c")).alias("c")
             ).alias(self.name)
-        if self.kind in ("median", "quantile", "topk"):
+        if self.kind in ("median", "quantile", "quantile_sketch", "topk"):
             return F.flatten(F.collect_list(c)).alias(self.name)
         if self.kind == "argmax":
             return F.max(c).alias(self.name)
@@ -254,6 +281,8 @@ class MetricSpec:
             return array_median(c).alias(self.name)
         if self.kind == "quantile":
             return weighted_quantile(c, self.level).alias(self.name)
+        if self.kind == "quantile_sketch":
+            return dd_value(weighted_quantile(c, self.level), self.alpha).alias(self.name)
         if self.kind == "topk":
             return topk_from_state(c, self.k).alias(self.name)
         if self.kind in ("argmax", "argmin"):
@@ -278,7 +307,7 @@ class MetricSpec:
             return F.lit(None).cast("array<bigint>").alias(self.name)
         if self.kind == "median":
             return F.lit(None).cast("array<bigint>").alias(self.name)
-        if self.kind == "quantile":
+        if self.kind in ("quantile", "quantile_sketch"):
             return F.lit(None).cast(QUANTILE_STATE_TYPE).alias(self.name)
         if self.kind == "avg":
             return F.lit(None).cast("struct<s:double,c:bigint>").alias(self.name)
@@ -424,6 +453,32 @@ def compress_quantile_states(df, dims, names):
         )
         out = out.join(keyed, cond, "left").drop(*[f"_k_{d}" for d in dims])
     return out
+
+
+def dd_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_bucket(c: Column, alpha: float = 0.01) -> Column:
+    """DDSketch log bucket: ⌈ln(x)/ln(γ)⌉ for x > 0, else the dedicated
+    zero bucket. γ is computed once driver-side and inlined so Spark and
+    the SQL oracle share the identical double constant."""
+    g = dd_gamma(alpha)
+    return (
+        F.when(c > 0, F.ceil(F.log(c.cast("double")) / F.lit(math.log(g))))
+        .otherwise(F.lit(DD_ZERO_BUCKET))
+        .cast("long")
+    )
+
+
+def dd_value(b: Column, alpha: float = 0.01) -> Column:
+    """Representative value of a DDSketch bucket: the midpoint
+    2γ^b/(γ+1) of (γ^(b-1), γ^b]; 0.0 for the zero bucket. Rounded to 4
+    decimals so cross-engine pow() last-ulp noise can't flip the oracle
+    hash."""
+    g = dd_gamma(alpha)
+    rep = F.lit(2.0) * F.pow(F.lit(g), b.cast("double")) / F.lit(g + 1.0)
+    return F.round(F.when(b == DD_ZERO_BUCKET, F.lit(0.0)).otherwise(rep), 4)
 
 
 def topk_from_state(c: Column, k: int) -> Column:

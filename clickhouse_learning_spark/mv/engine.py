@@ -156,10 +156,13 @@ class MaterializedView:
                 "dropping them"
             )
         merged = self.merge_states(stored, list(self.dims))
-        qnames = [m.name for m in self.metrics if m.kind == "quantile"]
+        qnames = [
+            m.name for m in self.metrics if m.kind in ("quantile", "quantile_sketch")
+        ]
         if qnames:
             # quantile states also deduplicate by value here, shrinking
-            # them to O(distinct) (metrics.compress_quantile_states)
+            # them to O(distinct values) — O(occupied buckets) for the
+            # sketch kind (metrics.compress_quantile_states)
             from clickhouse_learning_spark.functions.metrics import (
                 compress_quantile_states,
             )

@@ -228,6 +228,55 @@ def quantile_weighted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_sql(expr: str, alpha: float = 0.01) -> tuple[str, str]:
+    """(bucket_sql, rep_sql_template) sharing the exact double γ constant
+    with the Spark side (metrics.dd_gamma)."""
+    import math as _m
+
+    from clickhouse_learning_spark.functions.metrics import DD_ZERO_BUCKET, dd_gamma
+
+    g = dd_gamma(alpha)
+    bucket = (
+        f"CASE WHEN {expr} > 0 THEN CAST(ceil(ln(CAST({expr} AS DOUBLE)) / {_m.log(g)!r}) AS BIGINT) "
+        f"ELSE {DD_ZERO_BUCKET} END"
+    )
+    rep = (
+        f"round(CASE WHEN {{b}} = {DD_ZERO_BUCKET} THEN 0.0 "
+        f"ELSE 2.0 * power({g!r}, CAST({{b}} AS DOUBLE)) / {g + 1.0!r} END, 4)"
+    )
+    return bucket, rep
+
+
+_DD_BUCKET, _DD_REP = _dd_sql("value")
+
+@query(
+    "quantile_sketch_dd",
+    f"""
+    WITH b AS (SELECT event_type, {_DD_BUCKET} AS bk FROM {_EV})
+    SELECT event_type,
+           {_DD_REP.format(b="quantile_disc(bk, 0.5)")} AS value_p50,
+           {_DD_REP.format(b="quantile_disc(bk, 0.99)")} AS value_p99
+    FROM b GROUP BY event_type
+    """,
+)
+def quantile_sketch_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles (kind="quantile_sketch"): log-bucketed
+    bounded-size mergeable states — the at-scale replacement for exact
+    quantile states (state is O(occupied buckets) ≈ ln(max/min)/ln γ per
+    group even pre-compaction, vs O(distinct values)). Built per
+    (event_type, day), merged per event_type, finalized to bucket
+    midpoints: deterministic, so the oracle replays the identical
+    bucketing in SQL — exact hash parity with a guaranteed ≤1% relative
+    error vs the true quantile."""
+    ev = _events(spark, sf_dir)
+    p50 = M.MetricSpec("value_p50", "quantile_sketch", "value", level=0.5)
+    p99 = M.MetricSpec("value_p99", "quantile_sketch", "value", level=0.99)
+    states = ev.groupBy("event_type", "day").agg(p50.partial(), p99.partial())
+    return states.groupBy("event_type").agg(
+        p50.merged_finalized(), p99.merged_finalized()
+    )
+
+
 @query(
     "topk_heavy_hitters",
     f"""
