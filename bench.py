@@ -28,6 +28,8 @@ HEADLINE = [
     "uniq_exact",
     "uniq_hll",
     "median_state_merge",
+    "quantile_sketch_dd",
+    "topk_heavy_hitters",
     "bitmap_funnel",
     "dict_enrich_join",
     "left_join_using",
@@ -40,6 +42,7 @@ HEADLINE = [
     "training_pipeline",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
+    "embedding_kmeans",
 ]
 
 
