@@ -302,14 +302,24 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash(text: Column) -> Column:
-    """64-bit SimHash over word tokens: per-bit sign sum of token hashes,
+def md5_hash60(t: Column) -> Column:
+    """60-bit token hash from the top 15 hex chars of md5 — chosen
+    because DuckDB computes the identical value
+    (``CAST('0x' || substr(md5(t),1,15) AS BIGINT)``), making
+    simhash-based operators exactly oracle-able. ~2× slower than
+    xxhash64 per token; pass ``token_hash=F.xxhash64, bits=64`` for the
+    throughput path (same algorithm, no oracle)."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash(text: Column, bits: int = 60, token_hash=md5_hash60) -> Column:
+    """SimHash over word tokens: per-bit sign sum of token hashes,
     folded with aggregate/zip_with — single expression, no UDF.
     Dynamic bit shifts use call_function('shiftright', x, i) because the
     Python ``F.shiftright`` wrapper only accepts literal shift counts."""
     tok = tokens(text)
-    bit_idx = F.array(*[F.lit(i) for i in range(64)])
-    # acc: array of 64 counters; each token adds ±1 per bit
+    bit_idx = F.array(*[F.lit(i) for i in range(bits)])
+    # acc: array of counters; each token adds ±1 per bit
     counters = F.aggregate(
         tok,
         F.transform(bit_idx, lambda i: F.lit(0)),
@@ -317,7 +327,7 @@ def simhash(text: Column) -> Column:
             acc,
             F.transform(
                 bit_idx,
-                lambda i: F.call_function("shiftright", F.xxhash64(t), i).bitwiseAND(F.lit(1)),
+                lambda i: F.call_function("shiftright", token_hash(t), i).bitwiseAND(F.lit(1)),
             ),
             lambda c, bit: c + F.when(bit == 1, 1).otherwise(-1),
         ),
@@ -343,11 +353,18 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bits: int = 60,
+    token_hash=md5_hash60,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: 4×16-bit band buckets (pigeonhole: any
-    pair with Hamming ≤ 3 agrees on ≥1 of 4 chunks), verified with
-    bit_count(xor) ≤ max_hamming."""
-    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sim"))
+    """Near-dup pairs by SimHash: 4 band buckets of bits/4 each
+    (pigeonhole: any pair with Hamming ≤ 3 agrees on ≥1 of 4 chunks),
+    verified with bit_count(xor) ≤ max_hamming."""
+    w = bits // 4
+    mask = (1 << w) - 1
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits, token_hash).alias("sim"),
+    )
     chunks = sh.select(
         "id",
         "sim",
@@ -356,8 +373,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("sim"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("sim"), c * w)
+                        .bitwiseAND(F.lit(mask))
                         .alias("key"),
                     )
                     for c in range(4)

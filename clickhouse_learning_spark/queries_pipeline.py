@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_learning_spark.operators import dedup as D
+from clickhouse_learning_spark.queries import QUERIES
 from clickhouse_learning_spark.operators import multimodal as MM
 from clickhouse_learning_spark.operators import similarity as S
 from clickhouse_learning_spark.operators import text as X
@@ -223,18 +224,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.token_jaccard_pairs(docs, threshold=0.8)
 
 
+# SimHash oracle: the identical bit-plane majority vote, band join and
+# Hamming verification unrolled in SQL. Portable because the token hash
+# is the top 60 bits of md5 (operators/dedup.md5_hash60), which DuckDB
+# computes bit-identically.
+_SH_COUNTERS = ",\n             ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS c{b}" for b in range(60)
+)
+_SH_FOLD = " + ".join(f"CASE WHEN c{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END" for b in range(60))
+
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS t
+      FROM documents),
+    th AS (
+      SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok),
+    cnt AS (
+      SELECT doc_id,
+             {_SH_COUNTERS}
+      FROM th GROUP BY doc_id),
+    sims AS (SELECT doc_id, ({_SH_FOLD}) AS sim FROM cnt),
+    chunks AS (
+      SELECT doc_id, sim, c AS chunk, (sim >> (c * 15)) & 32767 AS key
+      FROM sims CROSS JOIN unnest([0, 1, 2, 3]) AS u(c)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             xor(a.sim, b.sim) AS x
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(x) AS INT) AS hamming
+    FROM pairs WHERE bit_count(x) <= 8
+"""
+
+
+@query("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 8 over 64-bit token-sign
-    fingerprints; 4×16-bit band candidates). Not SQL-portable (bit-level
-    hash algebra) → rows-only driver check; pytest verifies against
-    brute-force Hamming pairs."""
+    """SimHash near-dup pairs (Hamming ≤ 8 over 60-bit token-sign
+    fingerprints; 4×15-bit band candidates — complete for Hamming ≤ 3 by
+    pigeonhole, heuristic recall above that, identically on both sides).
+    The md5-derived token hash makes the whole bit-level pipeline
+    SQL-portable, so this has an exact oracle; pytest additionally
+    verifies banding against brute-force Hamming pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, max_hamming=8)
-
-
-from clickhouse_learning_spark.queries import QUERIES  # noqa: E402
-
-QUERIES["dedup_simhash"] = dedup_simhash
+    return D.simhash_pairs(docs, max_hamming=8).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 _COS = (
