@@ -56,6 +56,54 @@ def sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_attribution",
+    """
+    WITH t AS (
+      SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT *,
+             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w AS click_id,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w AS click_ts
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           coalesce(click_id, -1) AS click_id,
+           CAST(coalesce(floor(epoch(ts)) - floor(epoch(click_ts)), -1) AS BIGINT) AS gap_s
+    FROM c WHERE side = 1
+    """,
+)
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: credit each purchase to the same user's
+    latest at-or-prior click (NULL when none). One shuffle on user_id +
+    in-partition sort — operators/asof.py explains why this beats the
+    quadratic inequality-join formulation at scale."""
+    from clickhouse_learning_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    j = asof_join(purchases, clicks, on="user_id")
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.col("ts").cast("long") - F.col("ts_asof").cast("long"), F.lit(-1)
+        )
+        .cast("long")
+        .alias("gap_s"),
+    )
+
+
+@query(
     "windowed_uv",
     """
     SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
