@@ -46,6 +46,16 @@ def to_string(c: str | Column) -> Column:
     return F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
 
 
+def epoch_seconds(c: str | Column) -> Column:
+    """Whole epoch seconds (floor) for TIMESTAMP *or* TIMESTAMP_NTZ
+    columns. Spark 4 forbids a direct timestamp→BIGINT cast and
+    ``unix_seconds`` needs an instant, so NTZ values are pinned to UTC
+    first (the engine session runs with spark.sql.session.timeZone=UTC,
+    session.py, so this matches DuckDB's ``floor(epoch(ts))``)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.unix_seconds(F.to_utc_timestamp(c, "UTC"))
+
+
 def int_div_ms_to_s(c: str | Column) -> Column:
     """F5 — ``toUInt64(show_time/1000)`` (dwm.mainpage_stat_mv_dis.sql:50):
     float division wrapped back to integer seconds."""

@@ -18,6 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clickhouse_learning_spark.functions.scalar import epoch_seconds
 from clickhouse_learning_spark.queries import QUERIES, query
 from clickhouse_learning_spark.schemas import load_table
 from clickhouse_learning_spark.streaming import windows as SW
@@ -96,7 +97,12 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.coalesce("click_id", F.lit(-1)).alias("click_id"),
         F.coalesce(
-            F.col("ts").cast("long") - F.col("ts_asof").cast("long"), F.lit(-1)
+            # floor each epoch before subtracting (matches the oracle's
+            # floor(epoch(ts)) - floor(epoch(click_ts)); timestampdiff
+            # would truncate the *difference* — off by 1 when the prior
+            # event has the larger sub-second part).
+            epoch_seconds("ts") - epoch_seconds("ts_asof"),
+            F.lit(-1),
         )
         .cast("long")
         .alias("gap_s"),

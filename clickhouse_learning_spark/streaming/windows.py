@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from clickhouse_learning_spark.functions.scalar import epoch_seconds
+
 
 def windowed_counts(
     events: DataFrame,
@@ -57,7 +59,7 @@ def sessionize_batch(
         user_col,
         ts_col,
         F.when(
-            F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+            epoch_seconds(ts_col) - F.lag(epoch_seconds(ts_col)).over(w)
             > gap_s,
             1,
         )
@@ -76,7 +78,7 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     per_session = s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         (
-            F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+            F.max(epoch_seconds("ts")) - F.min(epoch_seconds("ts"))
         ).alias("duration_s"),
     )
     return per_session.groupBy("user_id").agg(
