@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 import clickhouse_learning_spark.queries_pipeline  # noqa: F401  (registers pipeline queries)
 import clickhouse_learning_spark.queries_reference  # noqa: F401  (registers reference-workload queries)
 import clickhouse_learning_spark.queries_streaming  # noqa: F401  (registers streaming queries)
+import clickhouse_learning_spark.queries_tpch  # noqa: F401  (registers multi-join analytics queries)
 from clickhouse_learning_spark.queries import ORACLES, QUERIES
 
 

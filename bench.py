@@ -33,6 +33,8 @@ HEADLINE = [
     "bitmap_funnel",
     "dict_enrich_join",
     "left_join_using",
+    "regional_supplier_volume",
+    "shipping_priority",
     "union_merge_wide",
     "window_topk_per_group",
     "text_token_stats",

@@ -1,0 +1,83 @@
+"""Multi-join analytics queries (queries_tpch.py): shape + invariants.
+
+Value-level parity is covered by the driver's DuckDB oracle gate
+(tools/check_oracle.py); these tests pin the *plan* properties that
+matter at 100 TB — probe/build sides, pushdown — plus cheap semantic
+invariants at sf0.001/sf0.01.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.test_plans import plan_text as _formatted_plan
+
+
+def test_q5_lineitem_is_probe_side_and_dates_pushed(spark):
+    from clickhouse_learning_spark.queries_tpch import regional_supplier_volume
+
+    df = regional_supplier_volume(spark, SF_ORACLE)
+    plan = _formatted_plan(df)
+    # every join is hash-based (no nested-loop blowup from the
+    # two-column supplier condition), and the orderdate range reaches
+    # the orders scan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    # lineitem (the 100 TB fact) must never be a broadcast build side
+    for seg in plan.split("BroadcastExchange")[1:]:
+        scan_cols = seg.split("ReadSchema")[1][:200] if "ReadSchema" in seg else ""
+        assert "l_extendedprice" not in scan_cols
+
+
+def test_q3_revenue_matches_float_path(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.queries_tpch import shipping_priority
+    from clickhouse_learning_spark.schemas import load_table
+
+    got = {
+        r["l_orderkey"]: r["revenue"]
+        for r in shipping_priority(spark, SF_SMOKE).collect()
+    }
+    assert got
+    # integer-cent arithmetic must agree with the plain float product
+    # to within a cent per row
+    cust = load_table(spark, SF_SMOKE, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp_ntz")
+    )
+    naive = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        )
+        .collect()
+    )
+    naive_m = {r["l_orderkey"]: r["rev"] for r in naive}
+    assert set(naive_m) == set(got)
+    for k, v in got.items():
+        assert abs(v - naive_m[k]) < 0.011, (k, v, naive_m[k])
+
+
+def test_q10_having_gate_and_q14_bounds(spark):
+    from clickhouse_learning_spark.queries_tpch import (
+        promo_revenue_share,
+        returned_item_report,
+    )
+
+    rows = returned_item_report(spark, SF_SMOKE).collect()
+    assert all(r["revenue"] > 0 for r in rows)
+    # the HAVING floor keeps only multi-item returners
+    assert len(rows) < 200
+
+    shares = promo_revenue_share(spark, SF_SMOKE).collect()
+    assert shares
+    for r in shares:
+        assert 0.0 <= r["promo_pct"] <= 100.0
