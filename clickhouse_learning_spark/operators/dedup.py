@@ -8,8 +8,9 @@ key, never an all-pairs comparison:
   signatures → skinny bucket self-join produces candidate pairs (only
   docs sharing a band bucket ever meet) → signature-agreement
   refinement filter (≈3.6σ safety margin) → exact shingle-Jaccard
-  verification. Signatures and hashed shingle sets come from ONE
-  codegen'd pass (explode + min-aggregates); no Python in the hot path.
+  verification over hashed shingle sets built ONLY for refine
+  survivors. The signature pass is one codegen'd explode +
+  min-aggregates scan; no Python anywhere in the hot path.
 - **SimHash**: 64-bit sign-aggregated token hashes; Hamming-ball
   candidates via band buckets (4×16-bit chunks ⇒ any pair within
   Hamming distance 3 shares ≥1 chunk — pigeonhole); verified with
@@ -181,39 +182,30 @@ def minhash_lsh_pairs(
        the self-join is on that compact key and the rows are skinny
        (id, band, bucket) — shingle sets do NOT ride through the
        candidate shuffle;
-    3. candidate (id_a, id_b) pairs join the shingle-set table per side
-       and are verified with exact shingle Jaccard ≥ threshold.
+    3. candidates are refined by signature agreement (cheap: the 512 B
+       signatures are already materialized), and ONLY refine survivors
+       get hashed shingle sets built (semi-join back to the corpus) for
+       exact shingle Jaccard ≥ threshold verification — the full corpus
+       never materializes a per-doc shingle array.
 
-    ``broadcast_docs``: per-doc payloads (signature + hashed shingle
-    set, ≈3 KB/doc) broadcast comfortably up to ~10M docs, and candidate
-    pairs then never shuffle. Beyond that, set False: the attach joins
-    become shuffle joins keyed by doc id — candidates hash-repartition
-    by id_a then id_b, everything else is unchanged.
+    ``broadcast_docs``: signature (512 B/doc) and survivor-shingle-set
+    attaches broadcast, so candidate pairs never shuffle; fine up to
+    ~100M docs for the signatures. Beyond that, set False: the attach
+    joins become shuffle joins keyed by doc id — candidates
+    hash-repartition by id_a then id_b, everything else is unchanged.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
     """
-    # ONE pass over the shingle rows computes BOTH the 64-min signature
-    # and the hashed shingle set (collect_set dedups, min ignores dups):
-    # one scan + one shuffle serves the band self-join (2 sides), the
-    # refinement join (2 sides) and the exact verification (2 sides).
-    # Persisted — at warehouse scale this is a materialized signature
-    # table keyed by doc id.
-    rows = shingle_rows(df, text_col, id_col, shingle_k, distinct=False).select(
-        "id", F.xxhash64("s").alias("h")
-    )
-    per_doc = (
-        rows.groupBy("id")
-        .agg(
-            F.sort_array(F.collect_set("h")).alias("sh"),
-            *[
-                F.min(_xorshift_col(F.col("h"), F.lit(_mh_seed(i)))).alias(f"m{i}")
-                for i in range(num_hashes)
-            ],
-        )
-        .select("id", "sh", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
-        .persist()
-    )
-    sigs = per_doc.select("id", "sig")
+    # Signatures only — the 64 min-aggregates are plain expressions, so
+    # the whole scan→explode→partial-min pipeline stays inside ONE
+    # whole-stage-codegen'd HashAggregate and the shuffle carries 64
+    # longs per doc. (Fusing collect_set(shingles) into this aggregate
+    # forces ObjectHashAggregate, which evicts ALL the min expressions
+    # from codegen — measured 6× slower — and materializes a ~3 KB
+    # shingle array for every doc when only refine-survivors ever need
+    # one.) Persisted: at warehouse scale this is the materialized
+    # signature table keyed by doc id.
+    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_k).persist()
     buckets = sigs.select(
         "id", F.explode(_banded(F.col("sig"), num_hashes, bands)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
@@ -246,37 +238,65 @@ def minhash_lsh_pairs(
     # final membership.
     est_margin = 0.22
     rows_per_band = num_hashes // bands
-    # ONE broadcast join per side attaches BOTH the signature (refine)
-    # and the hashed shingle set (verify): per-doc payload ≈ 3 KB/doc
-    # broadcasts comfortably up to ~10M docs; candidate pairs never
-    # shuffle, and refine + verify run in the same codegen stage (the
-    # jaccard expression only evaluates for refine survivors). Catalyst
-    # won't pick broadcast for post-agg frames on its own (no stats) —
-    # force it.
-    pd_a = per_doc.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), F.col("sh").alias("sh_a")
-    )
-    pd_b = per_doc.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), F.col("sh").alias("sh_b")
-    )
+    # signature attach per side (512 B/doc): broadcast comfortably to
+    # ~100M docs. Catalyst won't pick broadcast for post-agg frames on
+    # its own (no stats) — force it.
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     if broadcast_docs:
-        pd_a, pd_b = F.broadcast(pd_a), F.broadcast(pd_b)
-    scored = cand.join(pd_a, "id_a").join(pd_b, "id_b")
+        sig_a, sig_b = F.broadcast(sig_a), F.broadcast(sig_b)
     agree = sum(
         (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast("int")
         for i in range(num_hashes)
     )
     est = (agree - F.lit(rows_per_band)) / F.lit(float(num_hashes - rows_per_band))
-    refined = scored.filter(est >= threshold - est_margin)
+    # localCheckpoint(eager): refined is consumed by THREE downstream
+    # subtrees (the id semi-join plus both shingle-set broadcast
+    # subqueries, which Spark runs as independent jobs) — without a
+    # materialization each of them would re-run the whole
+    # signature→bucket→refine pipeline. The refined pair set is tiny
+    # (candidates already filtered to ≈ true pairs), so checkpointing
+    # it is O(pairs), not O(corpus).
+    refined = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .filter(est >= threshold - est_margin)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
 
-    # verification uses the 64-bit-hashed shingle sets computed in the
-    # same pass as the signatures: intersection counts are identical to
-    # the string sets up to a ~1e-14 collision probability per pair,
-    # and array_intersect over longs avoids per-element string hashing
+    # Exact verification builds 64-bit-hashed shingle sets ONLY for the
+    # docs that appear in a refine-surviving pair (a semi-join back to
+    # the corpus — typically a vanishing fraction). Intersection counts
+    # over hashed shingles match the string sets up to ~1e-14 collision
+    # probability per pair, and array_intersect over longs avoids
+    # per-element string hashing.
+    need = (
+        refined.select(F.col("id_a").alias(id_col))
+        .union(refined.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    survivors = df.join(need, id_col, "left_semi")
+    # eager for the same reason as refined: both broadcast sides below
+    # are independent jobs that would otherwise each re-run the
+    # explode + collect_set
+    sh = (
+        shingle_rows(survivors, text_col, id_col, shingle_k, distinct=False)
+        .select("id", F.xxhash64("s").alias("h"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("h")).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    if broadcast_docs:
+        sh_a, sh_b = F.broadcast(sh_a), F.broadcast(sh_b)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        refined.withColumn("jaccard", F.round(inter / union, 6))
+        refined.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
