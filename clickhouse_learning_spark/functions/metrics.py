@@ -177,6 +177,41 @@ class MetricSpec:
         # every Spark aggregate used here (sketches, sums, collect_*).
         return F.when(_as_col(self.cond), src)
 
+    # -- relational pre-count write path (value→count state kinds) ------------
+    # These kinds hold (value, count) entries; building them via
+    # collect_list(raw row) puts an O(rows) array through an
+    # ObjectHashAggregate. The scale path instead pre-counts with a
+    # fully-codegen groupBy(dims, value).count() and collects the
+    # already-compact per-value rows — state size is O(distinct values)
+    # (quantile), O(occupied log-buckets) (quantile_sketch), or
+    # O(reserve) (topk) per group regardless of batch size.
+    PRECOUNT_KINDS = ("topk", "quantile", "quantile_sketch")
+
+    def precount_value(self) -> Column:
+        """The value expression counted by the pre-count groupBy (the
+        -If condition is applied as a row filter by the caller)."""
+        src = _as_col(self.source)
+        if self.kind == "topk":
+            return src
+        if self.kind == "quantile":
+            return src.cast("long")
+        if self.kind == "quantile_sketch":
+            return dd_bucket(src, self.alpha)
+        raise AssertionError(self.kind)
+
+    def state_from_counts(self, v: Column, c: Column) -> Column:
+        """Aggregate expression building the state from pre-counted
+        (value, count) rows; use under ``groupBy(dims)``."""
+        if self.kind == "topk":
+            return topk_state_from_counts(v, c, self.topk_reserve).alias(self.name)
+        if self.kind in ("quantile", "quantile_sketch"):
+            return (
+                F.collect_list(F.struct(v.alias("v"), c.cast("long").alias("c")))
+                .cast(QUANTILE_STATE_TYPE)
+                .alias(self.name)
+            )
+        raise AssertionError(self.kind)
+
     # -- partial: raw rows -> state (the reference's -State) ------------------
     def partial(self) -> Column:
         x = self._input()
@@ -527,6 +562,51 @@ def topk_state_from_counts(v: Column, c: Column, reserve: int) -> Column:
         F.slice(ranked, 1, reserve),
         lambda s: F.struct(s["v"].alias("v"), (-s["nc"]).alias("c")),
     )
+
+
+def build_states(batch, dims, metrics):
+    """Aggregate one batch of raw rows to one state row per ``dims`` key
+    (the -State half of the combinator algebra) — the shared write path
+    of MaterializedView.materialize_batch and the state-building
+    queries.
+
+    Plain kinds aggregate in ONE groupBy (one shuffle, map-side
+    partials). Value→count kinds (``MetricSpec.PRECOUNT_KINDS``) take
+    the relational side path — ``groupBy(dims, value).count()`` (two
+    fully-codegen hash aggregates) then a per-group collect of the
+    already-compact per-value rows — joined back on dims. Keeping them
+    out of the main groupBy also keeps it codegen: one collect_* in an
+    aggregate forces ObjectHashAggregate and evicts every sibling
+    expression from whole-stage codegen."""
+    import functools
+    import operator
+
+    plain = [m for m in metrics if m.kind not in MetricSpec.PRECOUNT_KINDS]
+    counted = [m for m in metrics if m.kind in MetricSpec.PRECOUNT_KINDS]
+    if plain:
+        base = batch.groupBy(*dims).agg(*[m.partial() for m in plain])
+    else:
+        base = batch.select(*dims).distinct()
+    for m in counted:
+        src = batch
+        if m.cond is not None:
+            src = src.filter(_as_col(m.cond))
+        state = (
+            src.groupBy(*dims, m.precount_value().alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy(*dims)
+            .agg(m.state_from_counts(F.col("_v"), F.col("_c")))
+        )
+        keyed = state.select(*[F.col(d).alias(f"_k_{d}") for d in dims], m.name)
+        cond = functools.reduce(
+            operator.and_,
+            [base[d].eqNullSafe(keyed[f"_k_{d}"]) for d in dims],
+        )
+        base = base.join(keyed, cond, "left").drop(*[f"_k_{d}" for d in dims])
+        # groups where no row passed the -If filter carry NULL = the
+        # merge-neutral state, same as every other kind
+    # preserve declared metric order for a stable storage schema
+    return base.select(*dims, *[m.name for m in metrics])
 
 
 def compress_topk_states(df, dims, specs):

@@ -57,58 +57,13 @@ class MaterializedView:
     # -- write path ------------------------------------------------------------
     def materialize_batch(self, batch: DataFrame) -> DataFrame:
         """Aggregate ONE insert batch to partial states (insert-trigger MV
-        semantics: docs/…md:298-301). One shuffle, map-side partials.
+        semantics: docs/…md:298-301). One shuffle, map-side partials;
+        value→count state kinds (topk / quantile / quantile_sketch) take
+        the relational pre-count side path — see
+        :func:`~clickhouse_learning_spark.functions.metrics.build_states`."""
+        from clickhouse_learning_spark.functions.metrics import build_states
 
-        ``topk`` metrics take a relational side path: a fully-codegen
-        ``groupBy(dims, value).count()`` pre-count, then a capped
-        per-group collect (Space-Saving truncation) joined back on dims —
-        this keeps their state O(reserve) per group regardless of batch
-        size, where the one-expression fallback would hold one entry per
-        raw row."""
-        import functools
-        import operator
-
-        from pyspark.sql import functions as F
-
-        plain = [m for m in self.metrics if m.kind != "topk"]
-        topks = [m for m in self.metrics if m.kind == "topk"]
-        if plain:
-            base = batch.groupBy(*self.dims).agg(*[m.partial() for m in plain])
-        else:
-            base = batch.select(*self.dims).distinct()
-        for m in topks:
-            from clickhouse_learning_spark.functions.metrics import (
-                _as_col,
-                topk_state_from_counts,
-            )
-
-            src = batch
-            if m.cond is not None:
-                src = src.filter(_as_col(m.cond))
-            state = (
-                src.groupBy(*self.dims, _as_col(m.source).alias("_v"))
-                .agg(F.count(F.lit(1)).alias("_c"))
-                .groupBy(*self.dims)
-                .agg(
-                    topk_state_from_counts(
-                        F.col("_v"), F.col("_c"), m.topk_reserve
-                    ).alias(m.name)
-                )
-            )
-            keyed = state.select(
-                *[F.col(d).alias(f"_k_{d}") for d in self.dims], m.name
-            )
-            cond = functools.reduce(
-                operator.and_,
-                [base[d].eqNullSafe(keyed[f"_k_{d}"]) for d in self.dims],
-            )
-            base = base.join(keyed, cond, "left").drop(
-                *[f"_k_{d}" for d in self.dims]
-            )
-            # groups where no row passed the -If filter carry NULL = the
-            # merge-neutral state, same as every other kind
-        # preserve declared metric order for a stable storage schema
-        return base.select(*self.dims, *[m.name for m in self.metrics])
+        return build_states(batch, self.dims, self.metrics)
 
     def append_batch(self, batch: DataFrame) -> None:
         self.storage.append(self.materialize_batch(batch))

@@ -215,14 +215,15 @@ def quantile_weighted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quantileExactWeighted as a mergeable value→count state (SURVEY A7;
     ClickHouse quantileExactWeighted semantics = DuckDB quantile_disc:
     smallest value whose cumulative weight reaches ceil(φ·n)). States are
-    built per (event_type, day), merged per event_type, finalized at two
-    levels — post-compaction the state is O(distinct values), the
-    at-scale replacement for the O(rows) median value list."""
+    built per (event_type, day) through the relational pre-count path
+    (metrics.build_states) so they are O(distinct values) from the
+    start, merged per event_type, finalized at two levels — the at-scale
+    replacement for the O(rows) median value list."""
     ev = _events(spark, sf_dir)
     src = F.floor(F.col("value") * 100).cast("long")
     p50 = M.MetricSpec("value_p50", "quantile", src, level=0.5)
     p90 = M.MetricSpec("value_p90", "quantile", src, level=0.9)
-    states = ev.groupBy("event_type", "day").agg(p50.partial(), p90.partial())
+    states = M.build_states(ev, ("event_type", "day"), (p50, p90))
     return states.groupBy("event_type").agg(
         p50.merged_finalized(), p90.merged_finalized()
     )
@@ -264,14 +265,15 @@ def quantile_sketch_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-size mergeable states — the at-scale replacement for exact
     quantile states (state is O(occupied buckets) ≈ ln(max/min)/ln γ per
     group even pre-compaction, vs O(distinct values)). Built per
-    (event_type, day), merged per event_type, finalized to bucket
+    (event_type, day) via the relational pre-count path
+    (metrics.build_states), merged per event_type, finalized to bucket
     midpoints: deterministic, so the oracle replays the identical
     bucketing in SQL — exact hash parity with a guaranteed ≤1% relative
     error vs the true quantile."""
     ev = _events(spark, sf_dir)
     p50 = M.MetricSpec("value_p50", "quantile_sketch", "value", level=0.5)
     p99 = M.MetricSpec("value_p99", "quantile_sketch", "value", level=0.99)
-    states = ev.groupBy("event_type", "day").agg(p50.partial(), p99.partial())
+    states = M.build_states(ev, ("event_type", "day"), (p50, p99))
     return states.groupBy("event_type").agg(
         p50.merged_finalized(), p99.merged_finalized()
     )
