@@ -54,6 +54,7 @@ def main() -> None:
 
     import clickhouse_learning_spark.queries_pipeline  # noqa: F401
     import clickhouse_learning_spark.queries_reference  # noqa: F401
+    import clickhouse_learning_spark.queries_tpch  # noqa: F401
     from clickhouse_learning_spark.mv.mainpage import mainpage_mv, prepare_events
     from clickhouse_learning_spark.queries import QUERIES
 

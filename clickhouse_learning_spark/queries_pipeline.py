@@ -134,6 +134,165 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", X.content_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@query(
+    "text_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    g2r AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                            i -> tk[i] || ' ' || tk[i+1])) AS g2 FROM t),
+    g3r AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g3
+      FROM t),
+    c2 AS (SELECT doc_id, g2, count(*) AS c FROM g2r GROUP BY doc_id, g2),
+    c3 AS (SELECT doc_id, g3, count(*) AS c FROM g3r GROUP BY doc_id, g3),
+    s2 AS (SELECT doc_id, round(max(c) / sum(c), 6) AS top_bigram_share,
+                  round(1.0 - count(*) / sum(c), 6) AS dup_bigram_frac
+           FROM c2 GROUP BY doc_id),
+    s3 AS (SELECT doc_id, round(1.0 - count(*) / sum(c), 6) AS dup_trigram_frac
+           FROM c3 GROUP BY doc_id)
+    SELECT doc_id, top_bigram_share, dup_bigram_frac, dup_trigram_frac
+    FROM s2 JOIN s3 USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: most-frequent-bigram
+    share, duplicate-bigram fraction, duplicate-trigram fraction — the
+    quality gates that catch boilerplate / degenerate generations.
+
+    posexplode → window lead builds the n-grams in codegen (the HOF
+    ``transform`` alternative is interpreted per element); one shuffle
+    on doc_id serves the window AND both count aggregations (the grams
+    stay co-partitioned), so the whole query is one exchange over the
+    token stream. (The DuckDB oracle builds the same grams by list
+    index — order-explicit, no reliance on unnest row order.)"""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos", "t")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    g = tok.select(
+        "doc_id",
+        F.concat_ws(" ", "t", F.lead("t", 1).over(w)).alias("g2x"),
+        F.concat_ws(" ", "t", F.lead("t", 1).over(w), F.lead("t", 2).over(w)).alias("g3x"),
+        F.lead("t", 1).over(w).isNotNull().alias("has2"),
+        F.lead("t", 2).over(w).isNotNull().alias("has3"),
+    )
+    c2 = (
+        g.filter("has2")
+        .groupBy("doc_id", "g2x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_share"),
+            F.round(1.0 - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_bigram_frac"),
+        )
+    )
+    c3 = (
+        g.filter("has3")
+        .groupBy("doc_id", "g3x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(1.0 - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_trigram_frac"))
+    )
+    return c2.join(c3, "doc_id")
+
+
+_BM25_QUERIES = [
+    (1, "table scan fast"),
+    (2, "hash join merge"),
+    (3, "window batch customer"),
+]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "bm25_topk",
+    f"""
+    WITH qt AS (
+      SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+      FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)})
+           AS qs(query_id, qtext)),
+    tok AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             sum(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * dl.dl / stats.avgdl))) AS score
+      FROM tf JOIN qt USING (term)
+      JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY qt.query_id, tf.doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, round(score, 4) AS bm25,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT query_id, doc_id, bm25, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-10 docs per query (k1=1.2, b=0.75).
+
+    The inverted-index shape a warehouse search runs at scale: tf rides
+    a single groupBy(doc, term) over the token stream; query terms and
+    the document-frequency table broadcast (vocab is bounded); the final
+    per-query top-k is a window over the scored candidates only (docs
+    sharing ≥1 query term) — the corpus is never rescanned or shuffled
+    per query. Ranks order by round(score, 6) with doc_id tie-break so
+    engine last-bit drift cannot reorder equal scores."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(i, t) for i, q in _BM25_QUERIES for t in q.split()],
+        "query_id int, term string",
+    )
+    tok = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = (
+        F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(idf * tfn).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("score", 4).alias("bm25"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 # ===========================================================================
 # Deduplication
 # ===========================================================================

@@ -205,3 +205,33 @@ def test_multimodal_decode_roundtrip(spark):
         | (F.least("out_width", "out_height") < 1)
     )
     assert bad.count() == 0
+
+
+def test_text_repetition_bounds(spark):
+    """Repetition fractions are valid probabilities, and a doc made of
+    one repeated token maxes them out."""
+    from clickhouse_learning_spark.queries_pipeline import text_repetition
+
+    rows = text_repetition(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["top_bigram_share"] <= 1.0
+        assert 0.0 <= r["dup_bigram_frac"] < 1.0
+        assert 0.0 <= r["dup_trigram_frac"] < 1.0
+
+
+def test_bm25_ranks_dense_and_term_docs_only(spark):
+    """Every query returns ranks 1..k over docs that contain >=1 query
+    term, ordered by non-increasing score."""
+    from clickhouse_learning_spark.queries_pipeline import bm25_topk
+
+    rows = bm25_topk(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {1, 2, 3}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["bm25"] for r in rs]
+        assert all(a >= b - 1e-4 for a, b in zip(scores, scores[1:]))
