@@ -382,6 +382,66 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_moments",
+    """
+    SELECT o_orderpriority,
+           CAST(round(stddev_samp(o_totalprice), 2) AS DOUBLE) AS price_stddev,
+           CAST(round(var_samp(o_totalprice) / 1e6, 2) AS DOUBLE) AS price_var_m,
+           CAST(round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS DOUBLE)
+               AS price_cust_corr,
+           CAST(round(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)) / 1e6, 2)
+               AS DOUBLE) AS price_cust_covar_m
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (ClickHouse stddevSamp/varSamp/corr/
+    covarSamp surface; beyond the reference's query set but core
+    warehouse vocabulary). All four are single-pass mergeable states in
+    Spark (partial/final split like every aggregate), so the plan shape
+    matches sums. Variance/covariance are scaled to millions before
+    rounding so the engines' partial-merge last-bit drift stays far from
+    the round boundary."""
+    orders = load_table(spark, sf_dir, "orders")
+    price, cust = F.col("o_totalprice"), F.col("o_custkey").cast("double")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.stddev_samp(price), 2).alias("price_stddev"),
+        F.round(F.var_samp(price) / 1e6, 2).alias("price_var_m"),
+        F.round(F.corr(price, cust), 4).alias("price_cust_corr"),
+        F.round(F.covar_samp(price, cust) / 1e6, 2).alias("price_cust_covar_m"),
+    )
+
+
+@query(
+    "intersect_except_sets",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      AND o_totalprice > 400000
+    """,
+)
+def intersect_except_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational INTERSECT/EXCEPT (SURVEY §2.7 notes the reference does
+    set algebra only on bitmaps — these are the Spark freebies that
+    complete the surface). Both compile to aggregate/anti-join plans,
+    shuffling only the distinct key set."""
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    older = orders.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    big_f = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 400000)
+    ).select("o_custkey")
+    return recent.intersect(older).subtract(big_f)
+
+
+@query(
     "minmax_rollup_sorted",
     """
     SELECT o_orderpriority,
