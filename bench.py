@@ -116,6 +116,16 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
     timings["rollup_from_raw"] = round(best, 3)
+    # the reference's pre-aggregation IO finding in rows (BASELINE.md:
+    # 48.70k state rows vs 360.36k raw rows, ~7.4x): rows scanned by
+    # the state-table rollup vs the raw-log equivalent at this SF
+    state_rows = mv.storage.read(spark).count()
+    raw_rows = ev.count()
+    pre_agg = {
+        "state_rows": state_rows,
+        "raw_rows": raw_rows,
+        "rows_ratio": round(raw_rows / max(state_rows, 1), 1),
+    }
     shutil.rmtree(last_dir, ignore_errors=True)
 
     # scale check: 10M synthetic rows through the FULL MV pipeline
@@ -184,6 +194,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "pre_agg": pre_agg,
                 "sf": sf_val,
             }
         )
