@@ -1,0 +1,280 @@
+"""ClickHouse-SQL dialect shim: run the reference's queries verbatim.
+
+``translate(sql)`` rewrites the ClickHouse function surface actually
+used by the reference repo (every SELECT-side function appearing in
+``/root/reference/scripts/sql/*.sql`` and ``docs/*.md``) into Spark SQL
+over this engine's state conventions, so a user can paste a query from
+the reference and run it via ``spark.sql(translate(q))``:
+
+- casts/datetime: ``toDate`` ``toStartOfHour`` ``toUInt64`` ``toUInt32``
+  ``toString`` ``now`` ``today`` ``toIntervalDay`` ``toIntervalHour``
+  ``parseDateTimeBestEffortOrZero`` ``isNotNull`` ``rand``
+- aggregate combinators (``-If``/``-State``/``-Merge``), mapped onto the
+  same state encodings MetricSpec writes (metrics.py): ``sumIf``
+  ``countIf`` ``sumState`` ``sumSimpleState`` ``sumMerge``
+  ``uniqCombined[If]`` ``uniqExact`` ``uniqCombinedState[If]``
+  ``uniqCombinedMerge`` ``medianExact`` ``medianExactState``
+  ``medianExactMerge`` ``groupBitmap`` ``groupBitmapState[If]``
+  ``groupBitmapMergeState`` ``groupBitmapMerge``
+- bitmap algebra: ``bitmapAnd`` ``bitmapOr`` ``bitmapCardinality``
+  ``bitmapAndCardinality`` ``bitmapOrCardinality``
+- ``dictGet('dict', 'attr', key)`` — rewritten to a correlated scalar
+  subquery against a registered view (pass ``dictionaries={'dict':
+  ('view_name', 'key_col')}``); Catalyst turns it into the same
+  broadcast left join Dictionary.enrich builds. Missing keys yield NULL
+  (ClickHouse returns the attribute's default — wrap in coalesce at the
+  call site if the 0-default matters).
+
+The rewriter is a lexer-level function-call transformer: it respects
+string literals and nested calls, translates arguments recursively, and
+leaves unknown functions (and all non-function SQL) untouched — so the
+surrounding SELECT/JOIN/GROUP BY dialect, which is already
+ANSI-compatible in the reference's queries, passes straight through to
+Spark's parser. DDL-only constructs (ENGINE clauses, ``numbers()``
+table function, ``LAYOUT``/``LIFETIME``) are out of scope: tables.py /
+Dictionary own those lifecycles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+
+def _one(args: list[str], name: str) -> str:
+    if len(args) != 1:
+        raise ValueError(f"{name} expects 1 argument, got {len(args)}")
+    return args[0]
+
+
+def _two(args: list[str], name: str) -> tuple[str, str]:
+    if len(args) != 2:
+        raise ValueError(f"{name} expects 2 arguments, got {len(args)}")
+    return args[0], args[1]
+
+
+def _tuple_or_one(args: list[str]) -> str:
+    """Multi-argument distinct input hashes the tuple
+    (docs/物化视图的实战经验分享.md:179-184)."""
+    return args[0] if len(args) == 1 else f"struct({', '.join(args)})"
+
+
+def _median_exact_sql(state: str) -> str:
+    """ClickHouse medianExact over a merged value-list state: the
+    ⌈n/2⌉-th (1-based) sorted element, no interpolation — mirrors
+    metrics.array_median_exact_low."""
+    return (
+        f"CASE WHEN size({state}) > 0 THEN element_at(array_sort({state}), "
+        f"CAST(floor(size({state}) / 2) + 1 AS INT)) END"
+    )
+
+
+_MERGED_BITMAP = "array_sort(array_distinct(flatten(collect_list({0}))))"
+_MERGED_LIST = "flatten(collect_list({0}))"
+
+
+def _mapping() -> dict[str, Callable[[list[str]], str]]:
+    m: dict[str, Callable[[list[str]], str]] = {}
+
+    # -- scalars ------------------------------------------------------------
+    m["toDate"] = lambda a: f"to_date({_one(a, 'toDate')})"
+    m["toStartOfHour"] = lambda a: f"date_trunc('HOUR', {_one(a, 'toStartOfHour')})"
+    m["toUInt64"] = lambda a: f"CAST({_one(a, 'toUInt64')} AS BIGINT)"
+    m["toUInt32"] = lambda a: f"CAST({_one(a, 'toUInt32')} AS BIGINT)"
+    m["toString"] = lambda a: f"CAST({_one(a, 'toString')} AS STRING)"
+    m["now"] = lambda a: "current_timestamp()"
+    m["today"] = lambda a: "current_date()"
+    m["rand"] = lambda a: "CAST(rand() * 4294967296 AS BIGINT)"
+    m["isNotNull"] = lambda a: f"({_one(a, 'isNotNull')} IS NOT NULL)"
+    m["toIntervalDay"] = lambda a: f"(INTERVAL '1' DAY * ({a[0]}))"
+    m["toIntervalHour"] = lambda a: f"(INTERVAL '1' HOUR * ({a[0]}))"
+    m["parseDateTimeBestEffortOrZero"] = lambda a: (
+        f"coalesce(try_to_timestamp({a[0]}), TIMESTAMP '1970-01-01 00:00:00')"
+    )
+
+    # -- sums (plain-value states: the reference's own 8B finding) ----------
+    m["sumIf"] = lambda a: (
+        lambda x, c: f"coalesce(sum(CASE WHEN {c} THEN {x} END), 0)"
+    )(*_two(a, "sumIf"))
+    m["countIf"] = lambda a: f"count(CASE WHEN {_one(a, 'countIf')} THEN 1 END)"
+    m["sumState"] = lambda a: f"sum({_one(a, 'sumState')})"
+    m["sumSimpleState"] = lambda a: f"sum({_one(a, 'sumSimpleState')})"
+    m["sumMerge"] = lambda a: f"sum({_one(a, 'sumMerge')})"
+
+    # -- uniq family --------------------------------------------------------
+    m["uniqCombined"] = lambda a: f"approx_count_distinct({_tuple_or_one(a)})"
+    m["uniqCombinedIf"] = lambda a: (
+        lambda x, c: f"approx_count_distinct(CASE WHEN {c} THEN {x} END)"
+    )(*_two(a, "uniqCombinedIf"))
+    m["uniqExact"] = lambda a: f"count(DISTINCT {_tuple_or_one(a)})"
+    m["uniqCombinedState"] = lambda a: f"hll_sketch_agg({_one(a, 'uniqCombinedState')})"
+    m["uniqCombinedStateIf"] = lambda a: (
+        lambda x, c: f"hll_sketch_agg(CASE WHEN {c} THEN {x} END)"
+    )(*_two(a, "uniqCombinedStateIf"))
+    m["uniqCombinedMerge"] = lambda a: (
+        f"coalesce(hll_sketch_estimate(hll_union_agg("
+        f"{_one(a, 'uniqCombinedMerge')}, true)), 0)"
+    )
+
+    # -- exact median -------------------------------------------------------
+    m["medianExact"] = lambda a: _median_exact_sql(
+        f"collect_list({_one(a, 'medianExact')})"
+    )
+    m["medianExactState"] = lambda a: f"collect_list({_one(a, 'medianExactState')})"
+    m["medianExactMerge"] = lambda a: _median_exact_sql(
+        _MERGED_LIST.format(_one(a, "medianExactMerge"))
+    )
+
+    # -- bitmaps (sorted-array encoding, metrics.py A8-A11) -----------------
+    m["groupBitmap"] = lambda a: f"count(DISTINCT {_one(a, 'groupBitmap')})"
+    m["groupBitmapState"] = lambda a: (
+        f"sort_array(collect_set({_one(a, 'groupBitmapState')}))"
+    )
+    m["groupBitmapStateIf"] = lambda a: (
+        lambda x, c: f"sort_array(collect_set(CASE WHEN {c} THEN {x} END))"
+    )(*_two(a, "groupBitmapStateIf"))
+    m["groupBitmapMergeState"] = lambda a: _MERGED_BITMAP.format(
+        _one(a, "groupBitmapMergeState")
+    )
+    m["groupBitmapMerge"] = lambda a: (
+        f"size({_MERGED_BITMAP.format(_one(a, 'groupBitmapMerge'))})"
+    )
+    m["bitmapAnd"] = lambda a: (
+        lambda x, y: f"array_intersect({x}, {y})"
+    )(*_two(a, "bitmapAnd"))
+    m["bitmapOr"] = lambda a: (lambda x, y: f"array_union({x}, {y})")(
+        *_two(a, "bitmapOr")
+    )
+    m["bitmapCardinality"] = lambda a: f"size({_one(a, 'bitmapCardinality')})"
+    m["bitmapAndCardinality"] = lambda a: (
+        lambda x, y: f"size(array_intersect({x}, {y}))"
+    )(*_two(a, "bitmapAndCardinality"))
+    m["bitmapOrCardinality"] = lambda a: (
+        lambda x, y: f"size(array_union({x}, {y}))"
+    )(*_two(a, "bitmapOrCardinality"))
+    return m
+
+
+_MAPPING = _mapping()
+
+
+def _skip_string(sql: str, i: int) -> int:
+    """Return index past the string literal starting at sql[i]."""
+    quote = sql[i]
+    i += 1
+    while i < len(sql):
+        if sql[i] == quote:
+            # doubled quote = escaped
+            if i + 1 < len(sql) and sql[i + 1] == quote:
+                i += 2
+                continue
+            return i + 1
+        if sql[i] == "\\":
+            i += 2
+            continue
+        i += 1
+    raise ValueError("unterminated string literal in SQL")
+
+
+def _matching_paren(sql: str, i: int) -> int:
+    """sql[i] == '('; return the index of its matching ')'."""
+    depth = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in "'\"":
+            i = _skip_string(sql, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced parentheses in SQL")
+
+
+def _split_args(body: str) -> list[str]:
+    """Split a call body on top-level commas (quote/paren aware)."""
+    if not body.strip():
+        return []
+    parts, depth, start, i = [], 0, 0, 0
+    while i < len(body):
+        ch = body[i]
+        if ch in "'\"":
+            i = _skip_string(body, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i].strip())
+            start = i + 1
+        i += 1
+    parts.append(body[start:].strip())
+    return parts
+
+
+def translate(
+    sql: str, dictionaries: dict[str, tuple[str, str]] | None = None
+) -> str:
+    """Rewrite ClickHouse function calls in ``sql`` to Spark SQL.
+
+    ``dictionaries`` maps a ClickHouse dictionary name (as it appears in
+    ``dictGet``'s first argument, quotes stripped) to ``(view_name,
+    key_column)`` of a registered Spark view.
+    """
+    out: list[str] = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            ident = sql[i:j]
+            k = j
+            while k < n and sql[k].isspace():
+                k += 1
+            if k < n and sql[k] == "(" and (ident in _MAPPING or ident == "dictGet"):
+                close = _matching_paren(sql, k)
+                args = [
+                    translate(a, dictionaries)
+                    for a in _split_args(sql[k + 1 : close])
+                ]
+                if ident == "dictGet":
+                    out.append(_dict_get(args, dictionaries))
+                else:
+                    out.append(_MAPPING[ident](args))
+                i = close + 1
+                continue
+            out.append(ident)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _dict_get(args: list[str], dictionaries: dict[str, tuple[str, str]] | None) -> str:
+    if len(args) != 3:
+        raise ValueError(f"dictGet expects 3 arguments, got {len(args)}")
+    dname, attr, key = args
+    dname = dname.strip().strip("'\"")
+    attr = attr.strip().strip("'\"")
+    if not dictionaries or dname not in dictionaries:
+        known = sorted(dictionaries) if dictionaries else []
+        raise ValueError(
+            f"dictGet: dictionary {dname!r} not registered (pass "
+            f"dictionaries={{name: (view, key_col)}}; known: {known})"
+        )
+    view, key_col = dictionaries[dname]
+    # max() makes the subquery provably single-row for the analyzer;
+    # keys are unique in a hashed dictionary so it never discards data
+    return f"(SELECT max({attr}) FROM {view} WHERE {view}.{key_col} = {key})"
