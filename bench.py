@@ -38,7 +38,11 @@ HEADLINE = [
     "union_merge_wide",
     "window_topk_per_group",
     "text_token_stats",
+    "text_repetition",
+    "bm25_topk",
     "doc_fingerprint",
+    "stats_moments",
+    "ann_ivf_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
     "training_pipeline",

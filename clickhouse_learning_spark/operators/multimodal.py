@@ -1,17 +1,15 @@
 """Multimodal (image/audio/video) column plumbing for training pipelines.
 
 Media payloads are opaque ``binary`` columns accompanied by a typed
-metadata struct — the Spark-side contract (schema, partitioning, Arrow
-batch shape through mapInPandas) is fully real and tested; only the
-actual codec work is stubbed, because no image/audio libraries ship in
-this container:
-
-- if PIL/librosa/etc. import successfully, ``decode_image``/... use
-  them;
-- otherwise the deterministic fallback parses our fake header format
-  (magic + width + height big-endian, see :func:`fake_image`) so every
-  pipeline stage downstream of decode is exercised end-to-end with
-  real Arrow batches.
+metadata struct. The pipeline is REAL for uncompressed formats: media
+tables carry valid binary PPM (P6) images, and decode / feature
+extraction / nearest-neighbor resize are genuine numpy implementations
+streaming through ``mapInPandas`` Arrow batches. Only *compressed*
+codecs (JPEG/PNG/audio/video) are gated — no imaging libraries ship in
+this container, so :func:`decode_image_meta` raises a clear
+NotImplementedError if a payload needs one (install Pillow and the
+gate lifts; the legacy ``FIMG`` fake header is still parsed for
+compatibility with older fixtures).
 
 At 100 TB: payloads dominate row size, so operators here always select
 the narrowest columns first (payload column pruned away unless needed),
@@ -48,7 +46,7 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-_MAGIC = b"FIMG"  # deterministic fake image header
+_MAGIC = b"FIMG"  # legacy fake image header (kept for old fixtures)
 
 
 def fake_image(media_id: int, width: int, height: int) -> bytes:
@@ -58,6 +56,49 @@ def fake_image(media_id: int, width: int, height: int) -> bytes:
     n = min(width * height, 256)
     body = bytes(((media_id * 2654435761 + i * 40503) & 0xFF) for i in range(n))
     return header + body
+
+
+def ppm_image(media_id: int, width: int, height: int) -> bytes:
+    """A VALID binary PPM (P6) image with deterministic pixels derived
+    from media_id — a real uncompressed format any image tool opens."""
+    import numpy as np
+
+    idx = np.arange(width * height * 3, dtype=np.uint64)
+    px = ((np.uint64(media_id) * np.uint64(2654435761) + idx * np.uint64(40503)) & np.uint64(0xFF)).astype(
+        np.uint8
+    )
+    return f"P6\n{width} {height}\n255\n".encode() + px.tobytes()
+
+
+def _parse_ppm(payload: bytes) -> tuple[int, int, int] | None:
+    """(width, height, pixel_offset) of a binary P6 payload, else None.
+    Accepts the common whitespace/comment forms of the header."""
+    if payload is None or not payload.startswith(b"P6"):
+        return None
+    fields: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(fields) < 3 and i < n:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i : i + 1] == b"#":  # comment to end of line
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and payload[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            return None
+        fields.append(int(payload[i:j]))
+        i = j
+    if len(fields) < 3 or fields[2] != 255:
+        return None
+    i += 1  # single whitespace byte after maxval
+    w, h = fields[0], fields[1]
+    if n - i < w * h * 3:
+        return None
+    return w, h, i
 
 
 def build_media_table(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -82,7 +123,7 @@ def build_media_table(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFra
                     "media_id": b["media_id"],
                     "kind": b["kind"],
                     "payload": [
-                        fake_image(int(m), int(wi), int(hi))
+                        ppm_image(int(m), int(wi), int(hi))
                         for m, wi, hi in zip(b["media_id"], b["w"], b["h"])
                     ],
                     "source": b["source"],
@@ -99,7 +140,7 @@ def build_media_table(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFra
         "payload",
         F.struct(
             F.col("source"),
-            F.lit("image/fake").alias("mime"),
+            F.lit("image/x-portable-pixmap").alias("mime"),
             F.length("payload").cast("long").alias("bytes"),
         ).alias("meta"),
     )
@@ -112,25 +153,35 @@ def _decode_header(payload: bytes) -> tuple[int, int] | None:
     return int(w), int(h)
 
 
-def decode_image_meta(media: DataFrame) -> DataFrame:
-    """Decode stage: payload → (width, height, ok). Real codecs would go
-    here (PIL.Image.open over the bytes); the container has none, so the
-    deterministic fake-header parser keeps the Arrow/mapInPandas
-    plumbing — batch iteration, schema contract, null handling — real."""
-    try:  # pragma: no cover - not installed in this container
-        import PIL.Image  # noqa: F401
+_COMPRESSED_MAGICS = (b"\xff\xd8\xff", b"\x89PNG", b"GIF8", b"RIFF", b"\x00\x00\x00")
 
+
+def _decode_dims(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) for the supported uncompressed formats."""
+    ppm = _parse_ppm(payload)
+    if ppm is not None:
+        return ppm[0], ppm[1]
+    if payload is not None and payload[:1] and payload.startswith(
+        tuple(_COMPRESSED_MAGICS)
+    ):  # pragma: no cover - no compressed fixtures in this container
         raise NotImplementedError(
-            "real image decode is intentionally stubbed in this environment"
+            "compressed image decode (JPEG/PNG/GIF/WebP/MP4) needs an imaging "
+            "library; install Pillow/av and extend _decode_dims — the "
+            "mapInPandas plumbing is format-agnostic"
         )
-    except ImportError:
-        pass
+    return _decode_header(payload)  # legacy FIMG fixtures
 
+
+def decode_image_meta(media: DataFrame) -> DataFrame:
+    """Decode stage: payload → (width, height, ok). Real parse for
+    binary PPM (P6); compressed codecs are gated with a clear error
+    (none ship in this container). Streams Arrow batches — a task never
+    holds more than one batch of payloads."""
     cols = media.columns
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            meta = [_decode_header(p) for p in b["payload"]]
+            meta = [_decode_dims(p) for p in b["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": b["media_id"],
@@ -146,10 +197,85 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     )
 
 
+def image_features(media: DataFrame) -> DataFrame:
+    """Feature-extract stage: REAL per-channel mean pixel values from the
+    PPM payload (numpy over the Arrow batch) — the shape of any
+    embed-the-image stage: narrow input (id, payload), fixed-width
+    numeric output, no state."""
+    import numpy as np
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"media_id": b["media_id"], "mean_r": [], "mean_g": [], "mean_b": []}
+            for p in b["payload"]:
+                parsed = _parse_ppm(p)
+                if parsed is None:
+                    out["mean_r"].append(None)
+                    out["mean_g"].append(None)
+                    out["mean_b"].append(None)
+                    continue
+                w, h, off = parsed
+                px = np.frombuffer(p, dtype=np.uint8, count=w * h * 3, offset=off)
+                means = px.reshape(-1, 3).mean(axis=0)
+                out["mean_r"].append(round(float(means[0]), 4))
+                out["mean_g"].append(round(float(means[1]), 4))
+                out["mean_b"].append(round(float(means[2]), 4))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        feat, schema="media_id long, mean_r double, mean_g double, mean_b double"
+    )
+
+
+def resize_image(media: DataFrame, target: int = 32) -> DataFrame:
+    """REAL nearest-neighbor resize (aspect-preserving, shortest side =
+    ``target``): numpy index-gather per payload, re-encoded as PPM.
+    Returns (media_id, out_width, out_height, payload)."""
+    import numpy as np
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, ows, ohs, payloads = [], [], [], []
+            for m, p in zip(b["media_id"], b["payload"]):
+                parsed = _parse_ppm(p)
+                ids.append(m)
+                if parsed is None:
+                    ows.append(None)
+                    ohs.append(None)
+                    payloads.append(None)
+                    continue
+                w, h, off = parsed
+                px = np.frombuffer(p, dtype=np.uint8, count=w * h * 3, offset=off)
+                img = px.reshape(h, w, 3)
+                scale = min(target / w, target / h)
+                ow = max(1, int(round(w * scale)))
+                oh = max(1, int(round(h * scale)))
+                xi = np.minimum((np.arange(ow) / scale).astype(int), w - 1)
+                yi = np.minimum((np.arange(oh) / scale).astype(int), h - 1)
+                small = img[yi][:, xi]
+                ows.append(ow)
+                ohs.append(oh)
+                payloads.append(
+                    f"P6\n{ow} {oh}\n255\n".encode() + small.tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "out_width": pd.array(ows, dtype="Int32"),
+                    "out_height": pd.array(ohs, dtype="Int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        rs, schema="media_id long, out_width int, out_height int, payload binary"
+    )
+
+
 def resize_plan(media: DataFrame, target: int = 32) -> DataFrame:
-    """Resize stage plumbing: computes output geometry JVM-side from the
-    decoded metadata (aspect-preserving shortest-side=target); the pixel
-    resample itself is the stubbed codec step."""
+    """Resize GEOMETRY only, JVM-side from decoded metadata (for
+    planning/cost estimates without touching pixel data —
+    :func:`resize_image` does the actual resample)."""
     d = decode_image_meta(media)
     scale = F.least(F.lit(target) / F.col("width"), F.lit(target) / F.col("height"))
     return d.select(

@@ -578,9 +578,10 @@ QUERIES["ann_ivf_topk"] = ann_ivf_topk
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns (payload + typed metadata struct) decoded via
-    mapInPandas (Arrow batches). Codec layer is a deterministic stub in
-    this container (operators/multimodal.py) — the schema, partitioning
-    and batch plumbing are real. Rows-only driver check."""
+    mapInPandas (Arrow batches). Payloads are REAL binary PPM images —
+    decode/feature-extract/resize are genuine numpy implementations;
+    only compressed codecs are gated (operators/multimodal.py).
+    Rows-only driver check."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.build_media_table(spark, docs)
     dec = MM.decode_image_meta(media)

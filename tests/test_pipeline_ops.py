@@ -207,6 +207,36 @@ def test_multimodal_decode_roundtrip(spark):
     assert bad.count() == 0
 
 
+def test_multimodal_real_pixels(spark):
+    """PPM payloads are REAL images: features equal numpy ground truth,
+    and the nearest-neighbor resize emits parseable PPMs at the planned
+    geometry."""
+    import numpy as np
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    media = MM.build_media_table(spark, docs)
+
+    feats = {r["media_id"]: r for r in MM.image_features(media).collect()}
+    for mid, r in feats.items():
+        w, h = mid % 64 + 16, mid % 48 + 16
+        parsed = MM._parse_ppm(MM.ppm_image(mid, w, h))
+        assert parsed == (w, h, len(f"P6\n{w} {h}\n255\n"))
+        px = np.frombuffer(
+            MM.ppm_image(mid, w, h), dtype=np.uint8, offset=parsed[2]
+        ).reshape(-1, 3)
+        want = px.mean(axis=0)
+        assert abs(r["mean_r"] - want[0]) < 1e-3
+        assert abs(r["mean_b"] - want[2]) < 1e-3
+
+    plan = {r["media_id"]: r for r in MM.resize_plan(media, 24).collect()}
+    for r in MM.resize_image(media, 24).collect():
+        parsed = MM._parse_ppm(r["payload"])
+        assert parsed is not None
+        assert (parsed[0], parsed[1]) == (r["out_width"], r["out_height"])
+        p = plan[r["media_id"]]
+        assert (r["out_width"], r["out_height"]) == (p["out_width"], p["out_height"])
+
+
 def test_text_repetition_bounds(spark):
     """Repetition fractions are valid probabilities, and a doc made of
     one repeated token maxes them out."""
