@@ -1,15 +1,21 @@
 """Multimodal (image/audio/video) column plumbing for training pipelines.
 
 Media payloads are opaque ``binary`` columns accompanied by a typed
-metadata struct. The pipeline is REAL for uncompressed formats: media
-tables carry valid binary PPM (P6) images, and decode / feature
-extraction / nearest-neighbor resize are genuine numpy implementations
-streaming through ``mapInPandas`` Arrow batches. Only *compressed*
-codecs (JPEG/PNG/audio/video) are gated — no imaging libraries ship in
-this container, so :func:`decode_image_meta` raises a clear
-NotImplementedError if a payload needs one (install Pillow and the
-gate lifts; the legacy ``FIMG`` fake header is still parsed for
-compatibility with older fixtures).
+metadata struct. The pipeline is REAL for uncompressed formats:
+
+- **image** — valid binary PPM (P6); decode, per-channel feature
+  extraction and nearest-neighbor resize are genuine numpy
+  implementations streaming through ``mapInPandas`` Arrow batches;
+- **audio** — valid PCM16 mono WAV; RIFF chunk walk + duration/RMS
+  features over the raw samples;
+- **video** — an ``RVID`` raw container (length-prefixed PPM frame
+  train); frame sampling extracts real decodable frame payloads.
+
+Only *compressed* codecs (JPEG/PNG/GIF/WebP/MP4/Opus…) are gated — no
+media libraries ship in this container, so decode raises a clear
+NotImplementedError for those magics (install Pillow/av and extend the
+parser; the mapInPandas plumbing is format-agnostic; the legacy
+``FIMG`` fake header is still parsed for older fixtures).
 
 At 100 TB: payloads dominate row size, so operators here always select
 the narrowest columns first (payload column pruned away unless needed),
@@ -153,7 +159,70 @@ def _decode_header(payload: bytes) -> tuple[int, int] | None:
     return int(w), int(h)
 
 
-_COMPRESSED_MAGICS = (b"\xff\xd8\xff", b"\x89PNG", b"GIF8", b"RIFF", b"\x00\x00\x00")
+def wav_audio(media_id: int, sample_rate: int = 8000, n_samples: int = 4000) -> bytes:
+    """A VALID PCM16 mono WAV with a deterministic waveform (sum of two
+    media_id-seeded sine harmonics)."""
+    import math
+
+    import numpy as np
+
+    t = np.arange(n_samples, dtype=np.float64) / sample_rate
+    f1 = 110.0 + (media_id % 40) * 10.0
+    f2 = 2.0 * f1
+    wave = 0.6 * np.sin(2 * math.pi * f1 * t) + 0.3 * np.sin(2 * math.pi * f2 * t)
+    pcm = (wave * 32767).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, int] | None:
+    """(sample_rate, n_samples, data_offset) of a PCM16 mono WAV."""
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    sr = None
+    while i + 8 <= len(payload):
+        chunk, size = payload[i : i + 4], struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if chunk == b"fmt ":
+            fmt, ch, sr, _, _, bits = struct.unpack("<HHIIHH", payload[i + 8 : i + 24])
+            if fmt != 1 or ch != 1 or bits != 16:
+                return None
+        elif chunk == b"data":
+            if sr is None:
+                return None
+            return sr, size // 2, i + 8
+        i += 8 + size + (size & 1)
+    return None
+
+
+_VID_MAGIC = b"RVID"  # raw-video container: magic + frame count + length-prefixed PPMs
+
+
+def raw_video(media_id: int, n_frames: int, width: int, height: int) -> bytes:
+    """A trivially-real raw video container: ``RVID`` + u32 frame count,
+    then each frame as a u32-length-prefixed binary PPM."""
+    frames = [ppm_image(media_id * 1000 + f, width, height) for f in range(n_frames)]
+    out = [_VID_MAGIC, struct.pack(">I", n_frames)]
+    for fr in frames:
+        out.append(struct.pack(">I", len(fr)))
+        out.append(fr)
+    return b"".join(out)
+
+
+def _video_frames(payload: bytes) -> list[bytes] | None:
+    if payload is None or payload[:4] != _VID_MAGIC:
+        return None
+    (n,) = struct.unpack(">I", payload[4:8])
+    frames, i = [], 8
+    for _ in range(n):
+        (sz,) = struct.unpack(">I", payload[i : i + 4])
+        frames.append(payload[i + 4 : i + 4 + sz])
+        i += 4 + sz
+    return frames
+
+
+_COMPRESSED_MAGICS = (b"\xff\xd8\xff", b"\x89PNG", b"GIF8", b"\x00\x00\x00")
 
 
 def _decode_dims(payload: bytes) -> tuple[int, int] | None:
@@ -272,6 +341,143 @@ def resize_image(media: DataFrame, target: int = 32) -> DataFrame:
     )
 
 
+def build_audio_table(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One deterministic PCM16 WAV per doc (duration varies by id)."""
+    pdf = docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("audio").alias("kind"),
+        (F.col(id_col) % 5 * 2000 + 2000).cast("int").alias("n"),
+        F.col("source"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "kind": b["kind"],
+                    "payload": [
+                        wav_audio(int(m), 8000, int(n))
+                        for m, n in zip(b["media_id"], b["n"])
+                    ],
+                    "source": b["source"],
+                }
+            )
+
+    raw = pdf.mapInPandas(
+        gen, schema="media_id long, kind string, payload binary, source string"
+    )
+    return raw.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.col("source"),
+            F.lit("audio/wav").alias("mime"),
+            F.length("payload").cast("long").alias("bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_audio_meta(media: DataFrame) -> DataFrame:
+    """payload → (sample_rate, n_samples, duration_s, rms): REAL WAV
+    parse + numpy RMS over the PCM samples."""
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {
+                "media_id": b["media_id"],
+                "sample_rate": [],
+                "n_samples": [],
+                "duration_s": [],
+                "rms": [],
+            }
+            for p in b["payload"]:
+                parsed = _parse_wav(p)
+                if parsed is None:
+                    for k in ("sample_rate", "n_samples", "duration_s", "rms"):
+                        out[k].append(None)
+                    continue
+                sr, n, off = parsed
+                pcm = np.frombuffer(p, dtype="<i2", count=n, offset=off).astype(
+                    np.float64
+                ) / 32768.0
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["duration_s"].append(round(n / sr, 4))
+                out["rms"].append(round(float(np.sqrt((pcm * pcm).mean())), 4))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        dec,
+        schema="media_id long, sample_rate int, n_samples int, duration_s double, rms double",
+    )
+
+
+def build_video_table(
+    spark, docs: DataFrame, id_col: str = "doc_id", n_frames: int = 12
+) -> DataFrame:
+    """One raw-container video per doc (RVID frame train of PPMs)."""
+    pdf = docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("source"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "kind": b["kind"],
+                    "payload": [
+                        raw_video(int(m), n_frames, int(m) % 16 + 8, int(m) % 12 + 8)
+                        for m in b["media_id"]
+                    ],
+                    "source": b["source"],
+                }
+            )
+
+    raw = pdf.mapInPandas(
+        gen, schema="media_id long, kind string, payload binary, source string"
+    )
+    return raw.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.col("source"),
+            F.lit("video/x-raw-ppm").alias("mime"),
+            F.length("payload").cast("long").alias("bytes"),
+        ).alias("meta"),
+    )
+
+
+def frame_sample(media: DataFrame, every: int = 3) -> DataFrame:
+    """REAL video frame sampling: extract every ``every``-th frame's PPM
+    payload from the RVID container — one output row per sampled frame,
+    each a decodable image for the downstream image stages."""
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, idxs, payloads = [], [], []
+            for m, p in zip(b["media_id"], b["payload"]):
+                frames = _video_frames(p)
+                if frames is None:
+                    continue
+                for i in range(0, len(frames), every):
+                    ids.append(m)
+                    idxs.append(i)
+                    payloads.append(frames[i])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": payloads}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        fs, schema="media_id long, frame_idx int, frame_payload binary"
+    )
+
+
 def resize_plan(media: DataFrame, target: int = 32) -> DataFrame:
     """Resize GEOMETRY only, JVM-side from decoded metadata (for
     planning/cost estimates without touching pixel data —
@@ -284,17 +490,4 @@ def resize_plan(media: DataFrame, target: int = 32) -> DataFrame:
         "height",
         F.round(F.col("width") * scale).cast("int").alias("out_width"),
         F.round(F.col("height") * scale).cast("int").alias("out_height"),
-    )
-
-
-def frame_sample_plan(media: DataFrame, fps: float = 1.0, duration_s: float = 10.0) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame
-    (explode of a JVM-side sequence); the decoder that would fill
-    ``frame_payload`` is stubbed as null."""
-    n = int(fps * duration_s)
-    return media.filter(F.col("kind") == "image").select(
-        "media_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("frame_idx"),
-        (F.col("media_id") * 1000 + F.col("media_id") % 7).alias("stream_offset"),
-        F.lit(None).cast("binary").alias("frame_payload"),
     )

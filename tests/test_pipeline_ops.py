@@ -237,6 +237,36 @@ def test_multimodal_real_pixels(spark):
         assert (r["out_width"], r["out_height"]) == (p["out_width"], p["out_height"])
 
 
+def test_multimodal_audio_and_video(spark):
+    """WAV decode recovers sample-rate/duration and a sane RMS for the
+    synthesized two-harmonic waveform; video frame sampling extracts
+    real decodable PPM frames."""
+    import math
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(12)
+
+    audio = MM.build_audio_table(spark, docs)
+    for r in MM.decode_audio_meta(audio).collect():
+        n = r["media_id"] % 5 * 2000 + 2000
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == n
+        assert abs(r["duration_s"] - n / 8000) < 1e-3
+        # RMS of 0.6 sin + 0.3 sin of a different harmonic ≈
+        # sqrt(0.18 + 0.045); loose bound (finite window truncation)
+        assert abs(r["rms"] - math.sqrt(0.6**2 / 2 + 0.3**2 / 2)) < 0.03
+
+    video = MM.build_video_table(spark, docs, n_frames=9)
+    frames = MM.frame_sample(video, every=3).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+        parsed = MM._parse_ppm(r["frame_payload"])
+        assert parsed is not None
+        assert parsed[0] == r["media_id"] % 16 + 8
+    assert all(sorted(v) == [0, 3, 6] for v in by_id.values())
+    assert len(by_id) == 12
+
+
 def test_text_repetition_bounds(spark):
     """Repetition fractions are valid probabilities, and a doc made of
     one repeated token maxes them out."""
