@@ -593,6 +593,27 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["multimodal_decode"] = multimodal_decode
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal feature table: per-channel image means (real pixel
+    math), audio duration/RMS (real WAV parse) and sampled video frame
+    counts, joined on media id — the shape of a pretraining data-mix
+    audit. Rows-only driver check (payload synthesis is engine-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    img = MM.image_features(MM.build_media_table(spark, docs))
+    aud = MM.decode_audio_meta(MM.build_audio_table(spark, docs)).select(
+        "media_id", "duration_s", "rms"
+    )
+    vid = (
+        MM.frame_sample(MM.build_video_table(spark, docs, n_frames=9), every=3)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("sampled_frames"))
+    )
+    return img.join(aud, "media_id").join(vid, "media_id")
+
+
+QUERIES["multimodal_features"] = multimodal_features
+
+
 @query(
     "jsonl_dim_roundtrip",
     """
