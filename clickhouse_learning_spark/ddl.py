@@ -278,6 +278,9 @@ class MaterializedViewSpec:
     select_ch: str  # original ClickHouse SELECT
     select_spark: str | None  # translated Spark SQL (None if a dictGet
     # needs a dictionaries mapping — call spark_sql(dictionaries))
+    columns: tuple[str, ...] = ()  # declared MV column list, in order —
+    # ClickHouse maps the SELECT onto it positionally (the reference's
+    # first MV aliases `show_cnt` into the `shown_cnt` slot this way)
 
     @property
     def qualified(self) -> str:
@@ -306,7 +309,8 @@ def parse_create_mv(
         raise ValueError("not a CREATE MATERIALIZED VIEW ... TO statement")
     db, name = _qualify(m.group(1))
     rest = s[m.end() :].lstrip()
-    if rest.startswith("("):  # optional column list — target owns the schema
+    columns: tuple[str, ...] = ()
+    if rest.startswith("("):  # optional declared column list
         depth, i = 0, 0
         while i < len(rest):
             if rest[i] == "(":
@@ -316,6 +320,9 @@ def parse_create_mv(
                 if depth == 0:
                     break
             i += 1
+        columns = tuple(
+            _parse_column(c).name for c in _split_args(rest[1:i])
+        )
         rest = rest[i + 1 :].lstrip()
     am = re.match(r"as\s+", rest, re.I)
     if not am:
@@ -337,6 +344,7 @@ def parse_create_mv(
         target=m.group(2),
         select_ch=select_ch,
         select_spark=select_spark,
+        columns=columns,
     )
 
 

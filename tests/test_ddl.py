@@ -107,6 +107,56 @@ def test_ddl_table_ingest_roundtrip(spark, tmp_path):
     assert kept == 0
 
 
+def test_ddl_full_deployment_roundtrip(spark, tmp_path):
+    """The reference deployment end-to-end FROM ITS OWN DDL: wide state
+    table + first writer MV parsed from dwm.mainpage_stat_mv_dis.sql,
+    states appended positionally (ClickHouse MV column-list semantics),
+    merge-queried in translated ClickHouse SQL, compared to a direct
+    aggregation of the raw log."""
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.workload import reference_star as R
+
+    specs = ddl.parse_script(_read("dwm.mainpage_stat_mv_dis.sql"))
+    wide = specs[0]
+    mv = next(s for s in specs if isinstance(s, ddl.MaterializedViewSpec))
+    assert mv.columns[:5] == ("day", "hour", "platform", "ver", "item_id")
+
+    a1 = (
+        R.build_action_001(spark, SF_SMOKE)
+        .withColumn("platform", F.when(F.col("uid") % 2 == 0, "android").otherwise("ios"))
+        .withColumn("ver", F.lit("1.0"))
+    )
+    a1.createOrReplaceTempView("ods_action_001_local")
+    states = spark.sql(
+        mv.select_spark.replace("ods.action_001_local", "ods_action_001_local")
+    )
+    # ClickHouse maps the MV SELECT onto the declared column list
+    # positionally (the reference aliases `show_cnt` into `shown_cnt`)
+    table = wide.table(str(tmp_path))
+    table.append(states.toDF(*mv.columns))
+
+    table.read(spark).createOrReplaceTempView("dws_mainpage_stat")
+    merged = spark.sql(
+        translate(
+            """
+            SELECT day, platform,
+                   uniqCombinedMerge(shown_uv) AS shown_uv,
+                   sum(shown_cnt) AS shown_cnt
+            FROM dws_mainpage_stat GROUP BY day, platform
+            """
+        )
+    )
+    got = {(r["day"], r["platform"]): r for r in merged.collect()}
+    direct = a1.groupBy("day", "platform").agg(
+        F.count_distinct(F.when(F.col("show_cnt") > 0, F.col("uid"))).alias("uv"),
+        F.sum("show_cnt").alias("cnt"),
+    )
+    for r in direct.collect():
+        g = got[(r["day"], r["platform"])]
+        assert g["shown_cnt"] == r["cnt"]
+        assert abs(g["shown_uv"] - r["uv"]) <= max(3, 0.05 * r["uv"])
+
+
 def test_ddl_mv_select_runs_per_batch(spark):
     """The translated MV SELECT (writer #1, pre-dictionary version at
     dwm…sql:28-57) runs over a registered batch view and produces
