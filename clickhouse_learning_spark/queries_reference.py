@@ -194,6 +194,39 @@ def reconciliation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ch_dialect_query",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           count(DISTINCT user_id) AS uv,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS clicks,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(floor(value * 100) AS BIGINT) END), 0) AS BIGINT)
+               AS purchase_cents
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def ch_dialect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A query written in ClickHouse SQL, run through the dialect shim
+    (functions/dialect.translate) — the switch-without-rewriting path a
+    reference user takes on day one. The oracle states the same
+    semantics in ANSI SQL, so a translation bug (wrong combinator
+    mapping, broken If rewrite, cast drift) breaks the hash match."""
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ch_events")
+    ch = """
+        SELECT toDate(ts) AS day,
+               uniqExact(user_id) AS uv,
+               countIf(event_type = 'click') AS clicks,
+               sumIf(toUInt64(floor(value * 100)), event_type = 'purchase')
+                   AS purchase_cents
+        FROM ch_events GROUP BY toDate(ts)
+    """
+    return spark.sql(translate(ch))
+
+
+@query(
     "sql_auto_rewrite",
     """
     SELECT CAST(ts AS DATE) AS day,
