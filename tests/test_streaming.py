@@ -100,3 +100,58 @@ def test_two_streams_one_wide_table(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_precount_state_kinds(spark, tmp_path):
+    """topk + quantile states flow through the relational pre-count
+    write path inside foreachBatch: streamed micro-batch states merge to
+    the same finalized answers as one batch (and as the raw log)."""
+    from clickhouse_learning_spark.functions.metrics import MetricSpec
+    from clickhouse_learning_spark.mv.engine import MaterializedView
+    from clickhouse_learning_spark.schemas import load_table
+    from clickhouse_learning_spark.tables import Table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    landing = str(tmp_path / "landing")
+    ev.repartition(4).write.parquet(landing)
+
+    metrics = (
+        MetricSpec("top_types", "topk", "event_type", k=2),
+        MetricSpec("p50_cents", "quantile", "cents", level=0.5),
+        MetricSpec("cnt", "count", "1"),
+    )
+
+    def make(path):
+        return MaterializedView("pk", ("day",), metrics, Table(path, ("day",)))
+
+    mv_s = make(str(tmp_path / "ss"))
+    q = StreamingMV(mv_s, str(tmp_path / "ck")).attach(
+        parquet_stream(spark, landing, ev.schema), trigger={"availableNow": True}
+    )
+    drain(q)
+    mv_b = make(str(tmp_path / "sb"))
+    mv_b.append_batch(ev)
+
+    def res(mv):
+        return {
+            str(r["day"]): (list(r["top_types"]), r["p50_cents"], r["cnt"])
+            for r in mv.merge_query(spark, ["day"]).collect()
+        }
+
+    streamed, batch = res(mv_s), res(mv_b)
+    assert streamed == batch
+    # and the quantile matches the raw log exactly (discrete median)
+    import pyspark.sql.functions as SF
+
+    direct = {
+        str(r["day"]): r["m"]
+        for r in ev.groupBy("day")
+        .agg(SF.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").alias("m"))
+        .collect()
+    }
+    for d, (_, p50, _) in streamed.items():
+        assert p50 == direct[d]
