@@ -382,6 +382,81 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_extract_agg",
+    f"""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                      THEN 1 END) AS BIGINT) AS k_hi
+    FROM {_EV} GROUP BY event_type
+    """,
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (ClickHouse JSONExtract* family /
+    visitParam; the ingest format the reference reads as JSON-lines,
+    SURVEY S3): get_json_object stays JVM-side and the extracted value
+    feeds ordinary aggregates. At 100 TB the right move is extracting
+    once at ingest into a typed column; this query is the ad-hoc form."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.max(k).alias("k_max"),
+        F.count(F.when(k > 50, 1)).alias("k_hi"),
+    )
+
+
+@query(
+    "window_functions_suite",
+    f"""
+    WITH u AS (
+      SELECT uid, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM {_EV} WHERE uid % 97 = 0),
+    w AS (
+      SELECT uid, event_id, cents,
+             lag(cents)  OVER win AS prev_cents,
+             lead(cents) OVER win AS next_cents,
+             first_value(cents) OVER win AS first_cents,
+             CAST(row_number() OVER win AS BIGINT) AS rn,
+             CAST(ntile(4) OVER (PARTITION BY uid ORDER BY cents, event_id)
+                  AS BIGINT) AS quartile,
+             CAST(sum(cents) OVER (PARTITION BY uid ORDER BY ts, event_id
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS rolling3
+      FROM u WINDOW win AS (PARTITION BY uid ORDER BY ts, event_id))
+    SELECT * FROM w
+    """,
+)
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function vocabulary beyond the reference's surface
+    (SURVEY §2.5 notes the reference uses none): lag/lead/first_value,
+    row_number, ntile, and a bounded rolling frame — one shuffle on uid,
+    every ordering tie-broken by event_id for cross-engine determinism."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir).filter(F.col("uid") % 97 == 0)
+    u = ev.select(
+        "uid", "ts", "event_id", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    win = W.partitionBy("uid").orderBy("ts", "event_id")
+    by_cents = W.partitionBy("uid").orderBy("cents", "event_id")
+    rolling = win.rowsBetween(-2, W.currentRow)
+    return u.select(
+        "uid",
+        "event_id",
+        "cents",
+        F.lag("cents").over(win).alias("prev_cents"),
+        F.lead("cents").over(win).alias("next_cents"),
+        F.first("cents").over(win).alias("first_cents"),
+        F.row_number().over(win).cast("long").alias("rn"),
+        F.ntile(4).over(by_cents).cast("long").alias("quartile"),
+        F.sum("cents").over(rolling).alias("rolling3"),
+    )
+
+
+@query(
     "stats_moments",
     """
     SELECT o_orderpriority,
