@@ -382,6 +382,30 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "global_topk_orders",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (SURVEY §2.6 notes the reference SQL has
+    none — this is the Spark freebie done right at scale): the plan must
+    be TakeOrderedAndProject (per-partition top-k + driver merge of
+    k·partitions rows), never a full global sort. Sorting raw stored
+    doubles with an integer tie-break is engine-deterministic (no
+    arithmetic → no last-bit drift)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", F.col("o_totalprice").cast("double"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
     "json_extract_agg",
     f"""
     SELECT event_type,

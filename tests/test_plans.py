@@ -165,3 +165,14 @@ def test_greedy_pack_is_the_only_python_stage(spark):
     p = plan_text(QUERIES["training_pipeline"](spark, SF_SMOKE))
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1
     assert "BatchEvalPython" not in p  # no row-at-a-time Python UDFs
+
+
+def test_global_topk_is_take_ordered(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    partition top-k + driver merge), never a global Sort exchange."""
+    from clickhouse_learning_spark.queries import QUERIES
+
+    df = QUERIES["global_topk_orders"](spark, SF_SMOKE)
+    plan = plan_text(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
