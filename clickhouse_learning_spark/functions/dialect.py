@@ -91,6 +91,14 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         f"coalesce(try_to_timestamp({a[0]}), TIMESTAMP '1970-01-01 00:00:00')"
     )
 
+    # -- additional casts (beyond the reference's usage, same family) -------
+    m["toInt64"] = lambda a: f"CAST({_one(a, 'toInt64')} AS BIGINT)"
+    m["toInt32"] = lambda a: f"CAST({_one(a, 'toInt32')} AS INT)"
+    m["toInt16"] = lambda a: f"CAST({_one(a, 'toInt16')} AS SMALLINT)"
+    m["toFloat64"] = lambda a: f"CAST({_one(a, 'toFloat64')} AS DOUBLE)"
+    m["toFloat32"] = lambda a: f"CAST({_one(a, 'toFloat32')} AS FLOAT)"
+    m["toDateTime"] = lambda a: f"CAST({_one(a, 'toDateTime')} AS TIMESTAMP)"
+
     # -- sums (plain-value states: the reference's own 8B finding) ----------
     m["sumIf"] = lambda a: (
         lambda x, c: f"coalesce(sum(CASE WHEN {c} THEN {x} END), 0)"
@@ -99,6 +107,20 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["sumState"] = lambda a: f"sum({_one(a, 'sumState')})"
     m["sumSimpleState"] = lambda a: f"sum({_one(a, 'sumSimpleState')})"
     m["sumMerge"] = lambda a: f"sum({_one(a, 'sumMerge')})"
+
+    # -- remaining -If combinators (ClickHouse applies -If uniformly) -------
+    m["minIf"] = lambda a: (
+        lambda x, c: f"min(CASE WHEN {c} THEN {x} END)"
+    )(*_two(a, "minIf"))
+    m["maxIf"] = lambda a: (
+        lambda x, c: f"max(CASE WHEN {c} THEN {x} END)"
+    )(*_two(a, "maxIf"))
+    m["avgIf"] = lambda a: (
+        lambda x, c: f"avg(CASE WHEN {c} THEN {x} END)"
+    )(*_two(a, "avgIf"))
+    m["uniqExactIf"] = lambda a: (
+        lambda x, c: f"count(DISTINCT CASE WHEN {c} THEN {x} END)"
+    )(*_two(a, "uniqExactIf"))
 
     # -- uniq family --------------------------------------------------------
     m["uniqCombined"] = lambda a: f"approx_count_distinct({_tuple_or_one(a)})"

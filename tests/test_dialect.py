@@ -170,3 +170,26 @@ def test_bitmap_funnel_in_dialect(spark, star_views):
         .collect()
     }
     assert got == want
+
+
+def test_translate_if_variants_and_casts(spark, star_views):
+    a1, _ = star_views
+    got = spark.sql(
+        translate(
+            """
+            SELECT day,
+                   minIf(show_time, show_cnt > 0)   AS min_st,
+                   maxIf(show_time, show_cnt > 0)   AS max_st,
+                   uniqExactIf(uid, click_cnt > 0)  AS click_uv,
+                   toInt64(countIf(click_cnt > 0))  AS clicks
+            FROM ch_a1 GROUP BY day
+            """
+        )
+    )
+    want = a1.groupBy("day").agg(
+        F.min(F.when(F.col("show_cnt") > 0, F.col("show_time"))).alias("min_st"),
+        F.max(F.when(F.col("show_cnt") > 0, F.col("show_time"))).alias("max_st"),
+        F.count_distinct(F.when(F.col("click_cnt") > 0, F.col("uid"))).alias("click_uv"),
+        F.count(F.when(F.col("click_cnt") > 0, 1)).alias("clicks"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
