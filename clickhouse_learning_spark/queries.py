@@ -382,6 +382,36 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "avg_state_merge",
+    f"""
+    SELECT event_type,
+           CAST(round(avg(value), 6) AS DOUBLE) AS value_avg,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {_EV} GROUP BY event_type
+    """,
+)
+def avg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avgState/avgMerge (ClickHouse avg combinators): the mergeable avg
+    state is a (sum, count) struct — built per (event_type, day), merged
+    per event_type, finalized to sum/count. Unlike averaging averages,
+    the struct state is exactly re-mergeable at any grouping."""
+    ev = _events(spark, sf_dir)
+    spec = M.MetricSpec("value_avg", "avg", "value")
+    states = ev.groupBy("event_type", "day").agg(
+        spec.partial(), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        states.groupBy("event_type")
+        .agg(spec.merge(), F.sum("n").alias("n"))
+        .select(
+            "event_type",
+            F.round(spec.finalize(), 6).alias("value_avg"),
+            "n",
+        )
+    )
+
+
+@query(
     "global_topk_orders",
     """
     SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
