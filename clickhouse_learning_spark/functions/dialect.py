@@ -58,6 +58,16 @@ def _tuple_or_one(args: list[str]) -> str:
     return args[0] if len(args) == 1 else f"struct({', '.join(args)})"
 
 
+def _multi_if(args: list[str]) -> str:
+    """multiIf(c1, v1, c2, v2, …, else) → CASE WHEN chain."""
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise ValueError(f"multiIf expects 2n+1 arguments, got {len(args)}")
+    whens = "".join(
+        f" WHEN {args[i]} THEN {args[i + 1]}" for i in range(0, len(args) - 1, 2)
+    )
+    return f"CASE{whens} ELSE {args[-1]} END"
+
+
 def _median_exact_sql(state: str) -> str:
     """ClickHouse medianExact over a merged value-list state: the
     ⌈n/2⌉-th (1-based) sorted element, no interpolation — mirrors
@@ -90,6 +100,8 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["parseDateTimeBestEffortOrZero"] = lambda a: (
         f"coalesce(try_to_timestamp({a[0]}), TIMESTAMP '1970-01-01 00:00:00')"
     )
+    m["arrayJoin"] = lambda a: f"explode({_one(a, 'arrayJoin')})"
+    m["multiIf"] = _multi_if
 
     # -- additional casts (beyond the reference's usage, same family) -------
     m["toInt64"] = lambda a: f"CAST({_one(a, 'toInt64')} AS BIGINT)"

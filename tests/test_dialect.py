@@ -35,6 +35,11 @@ def test_translate_scalars_and_combinators():
         translate("uniqCombined(uid, platform)")
         == "approx_count_distinct(struct(uid, platform))"
     )
+    assert (
+        translate("multiIf(a > 1, 'x', b > 2, 'y', 'z')")
+        == "CASE WHEN a > 1 THEN 'x' WHEN b > 2 THEN 'y' ELSE 'z' END"
+    )
+    assert translate("arrayJoin(tags)") == "explode(tags)"
     # unknown functions and string literals pass through untouched
     assert (
         translate("concat('toDate(x)', lower(name))")
