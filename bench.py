@@ -35,6 +35,10 @@ HEADLINE = [
     "left_join_using",
     "regional_supplier_volume",
     "shipping_priority",
+    "promo_revenue_share",
+    "global_topk_orders",
+    "json_extract_agg",
+    "window_functions_suite",
     "union_merge_wide",
     "window_topk_per_group",
     "text_token_stats",
