@@ -183,6 +183,54 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_campaigns",
+    """
+    WITH c AS (
+      SELECT o_orderkey AS campaign_id,
+             date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS start_day,
+             date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) + 10 AS end_day
+      FROM orders WHERE o_orderkey % 997 = 0),
+    p AS (
+      SELECT date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS ship_day,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem)
+    SELECT campaign_id,
+           CAST(count(*) AS BIGINT) AS n_shipments,
+           CAST(sum(qty) AS BIGINT) AS qty_sum
+    FROM p JOIN c ON p.ship_day BETWEEN c.start_day AND c.end_day
+    GROUP BY campaign_id
+    """,
+)
+def range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: shipments landing inside each
+    10-day campaign window. The oracle states the naive inequality join;
+    the engine runs operators/rangejoin.point_in_interval_join — a
+    bucketized equi-join (each point meets each window exactly once, the
+    BETWEEN survives only as a hash-join residual filter), because Spark
+    compiles the naive form to a nested-loop O(points × intervals) plan."""
+    from clickhouse_learning_spark.operators.rangejoin import point_in_interval_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01").cast("timestamp_ntz")
+    campaigns = orders.filter(F.col("o_orderkey") % 997 == 0).select(
+        F.col("o_orderkey").alias("campaign_id"),
+        F.datediff("o_orderdate", epoch).cast("long").alias("start_day"),
+        (F.datediff("o_orderdate", epoch) + 10).cast("long").alias("end_day"),
+    )
+    points = li.select(
+        F.datediff("l_shipdate", epoch).cast("long").alias("ship_day"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    j = point_in_interval_join(
+        points, campaigns, "ship_day", "start_day", "end_day", bucket_width=10
+    )
+    return j.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("n_shipments"), F.sum("qty").alias("qty_sum")
+    )
+
+
+@query(
     "promo_revenue_share",
     """
     SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,

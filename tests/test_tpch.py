@@ -81,3 +81,39 @@ def test_q10_having_gate_and_q14_bounds(spark):
     assert shares
     for r in shares:
         assert 0.0 <= r["promo_pct"] <= 100.0
+
+
+def test_range_join_bucketized_no_nested_loop(spark):
+    """The bucketized range join equals the naive inequality join and
+    never compiles to a nested-loop/cartesian plan."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.operators.rangejoin import point_in_interval_join
+    from clickhouse_learning_spark.schemas import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    epoch = F.lit("1970-01-01").cast("timestamp_ntz")
+    campaigns = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("campaign_id"),
+        F.datediff("o_orderdate", epoch).cast("long").alias("start_day"),
+        (F.datediff("o_orderdate", epoch) + 10).cast("long").alias("end_day"),
+    )
+    points = li.select(
+        F.datediff("l_shipdate", epoch).cast("long").alias("ship_day"),
+        F.col("l_orderkey").alias("shipment"),
+    )
+    fast = point_in_interval_join(
+        points, campaigns, "ship_day", "start_day", "end_day", bucket_width=10
+    )
+    plan = _formatted_plan(fast)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    naive = points.join(
+        campaigns, points.ship_day.between(campaigns.start_day, campaigns.end_day)
+    )
+    cols = ["campaign_id", "shipment", "ship_day"]
+    assert sorted(map(tuple, fast.select(cols).collect())) == sorted(
+        map(tuple, naive.select(cols).collect())
+    )
