@@ -18,6 +18,8 @@ the reference and run it via ``spark.sql(translate(q))``:
   ``groupBitmapMergeState`` ``groupBitmapMerge``
 - bitmap algebra: ``bitmapAnd`` ``bitmapOr`` ``bitmapCardinality``
   ``bitmapAndCardinality`` ``bitmapOrCardinality``
+- parameterized aggregates (``name(params)(args)`` syntax):
+  ``quantile(p)(x)`` ``quantiles(p…)(x)`` ``quantileExact(p)(x)``
 - ``dictGet('dict', 'attr', key)`` — rewritten to a correlated scalar
   subquery against a registered view (pass ``dictionaries={'dict':
   ('view_name', 'key_col')}``); Catalyst turns it into the same
@@ -190,6 +192,20 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
 
 _MAPPING = _mapping()
 
+# ClickHouse parameterized aggregates: name(params)(args). The value in
+# this table receives (params, args), both already translated.
+_PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
+    "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileExact": lambda p, a: (
+        # ClickHouse quantileExact: element at 1-based index
+        # floor(level·(n−1))+1 of the sorted values — reproduced over a
+        # collected array (no interpolation)
+        f"element_at(array_sort(collect_list({a[0]})), "
+        f"CAST(floor(({p[0]}) * (count({a[0]}) - 1)) + 1 AS INT))"
+    ),
+    "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+}
+
 
 def _skip_string(sql: str, i: int) -> int:
     """Return index past the string literal starting at sql[i]."""
@@ -276,6 +292,29 @@ def translate(
             k = j
             while k < n and sql[k].isspace():
                 k += 1
+            if k < n and sql[k] == "(" and ident in _PARAMETERIZED:
+                # name(params)(args) — two consecutive paren groups
+                pclose = _matching_paren(sql, k)
+                j2 = pclose + 1
+                while j2 < n and sql[j2].isspace():
+                    j2 += 1
+                if j2 < n and sql[j2] == "(":
+                    aclose = _matching_paren(sql, j2)
+                    params = [
+                        translate(a, dictionaries)
+                        for a in _split_args(sql[k + 1 : pclose])
+                    ]
+                    args = [
+                        translate(a, dictionaries)
+                        for a in _split_args(sql[j2 + 1 : aclose])
+                    ]
+                    out.append(_PARAMETERIZED[ident](params, args))
+                    i = aclose + 1
+                    continue
+                raise ValueError(
+                    f"{ident} is a parameterized aggregate: expected "
+                    f"{ident}(params)(args)"
+                )
             if k < n and sql[k] == "(" and (ident in _MAPPING or ident == "dictGet"):
                 close = _matching_paren(sql, k)
                 args = [

@@ -198,3 +198,39 @@ def test_translate_if_variants_and_casts(spark, star_views):
         F.count(F.when(F.col("click_cnt") > 0, 1)).alias("clicks"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_parameterized_quantile_family(spark, star_views):
+    """ClickHouse name(params)(args) syntax: quantile/quantiles/
+    quantileExact — executed and compared to ground truth."""
+    a1, _ = star_views
+    assert (
+        translate("quantile(0.5)(x)") == "percentile(x, 0.5)"
+    )
+    assert (
+        translate("quantiles(0.5, 0.9)(x)") == "percentile(x, array(0.5, 0.9))"
+    )
+    rows = spark.sql(
+        translate(
+            """
+            SELECT day,
+                   quantile(0.5)(show_time)          AS st_p50,
+                   quantiles(0.25, 0.75)(show_time)  AS st_iqr,
+                   quantileExact(0.5)(show_time)     AS st_p50_exact
+            FROM ch_a1 GROUP BY day
+            """
+        )
+    ).collect()
+    truth = {
+        r["day"]: sorted(r["v"])
+        for r in a1.groupBy("day")
+        .agg(F.collect_list("show_time").alias("v"))
+        .collect()
+    }
+    for r in rows:
+        vals = truth[r["day"]]
+        n = len(vals)
+        # ClickHouse quantileExact: sorted[floor(p*(n-1))] (0-based)
+        assert r["st_p50_exact"] == vals[(n - 1) // 2]
+        assert r["st_iqr"][0] <= r["st_p50"] <= r["st_iqr"][1]
+        assert min(vals) <= r["st_p50"] <= max(vals)
