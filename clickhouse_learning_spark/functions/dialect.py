@@ -204,6 +204,13 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         f"CAST(floor(({p[0]}) * (count({a[0]}) - 1)) + 1 AS INT))"
     ),
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    "topK": lambda p, a: (_ for _ in ()).throw(
+        ValueError(
+            "topK(k)(x) has no single-expression Spark SQL form; use "
+            "MetricSpec(kind='topk', k=...) via metrics.build_states — the "
+            "relational Space-Saving write path (see topk_heavy_hitters)"
+        )
+    ),
 }
 
 
