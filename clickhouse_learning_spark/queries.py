@@ -1083,6 +1083,41 @@ def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_event_matrix",
+    f"""
+    WITH wide AS (
+      SELECT day,
+             CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT)  AS view,
+             CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+             CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error
+      FROM {_EV} GROUP BY day)
+    SELECT day, metric, cnt FROM wide
+    UNPIVOT (cnt FOR metric IN (view, click, error))
+    """,
+)
+def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of pivot_event_matrix: wide metric
+    columns back to (day, metric, value) rows via ``stack``, the
+    narrow form a metrics store ingests. Zero extra shuffles: stack is
+    a per-row generator above the aggregation."""
+    ev = _events(spark, sf_dir)
+    wide = ev.groupBy("day").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == t, 1)), F.lit(0)
+            ).alias(t)
+            for t in ("view", "click", "error")
+        ]
+    )
+    return wide.select(
+        "day",
+        F.expr("stack(3, 'view', view, 'click', click, 'error', error)").alias(
+            "metric", "cnt"
+        ),
+    )
+
+
+@query(
     "argmax_top_event",
     f"""
     SELECT day, event_type AS top_event_type,
