@@ -253,17 +253,34 @@ def parse_create_table(sql: str) -> TableSpec:
     em = re.search(r"engine\s*=\s*(\w+)", tail, re.I)
     if em:
         spec.engine = em.group(1)
-    pm = re.search(
-        r"partition\s+by\s+(\([^)]*\)|[\w]+)", tail, re.I
-    )
-    if pm:
-        spec.partition_by = _key_tuple(pm.group(1))
-    km = re.search(r"primary\s+key\s+(\([^)]*\)|[\w]+)", tail, re.I)
-    if km:
-        spec.primary_key = _key_tuple(km.group(1))
-    om = re.search(r"order\s+by\s+(\([^)]*\)|[\w]+)", tail, re.I)
-    if om:
-        spec.order_by = _key_tuple(om.group(1))
+
+    def _key_clause(pattern: str, label: str) -> tuple[str, ...] | None:
+        km = re.search(pattern + r"\s+(\([^)]*\)|[\w]+)", tail, re.I)
+        if not km:
+            return None
+        key = km.group(1)
+        # A bare word followed by '(' is an expression key like
+        # `PARTITION BY toYYYYMM(day)` — refuse loudly rather than
+        # silently truncating to the function name.
+        if (not key.startswith("(") and tail[km.end() : km.end() + 1] == "(") or (
+            key.startswith("(") and "(" in key[1:]
+        ):
+            raise ValueError(
+                f"expression {label} key near {key!r} unsupported — "
+                "declare the derived column (e.g. a default expression) and "
+                "key on it instead"
+            )
+        return _key_tuple(key)
+
+    pk = _key_clause(r"partition\s+by", "PARTITION BY")
+    if pk is not None:
+        spec.partition_by = pk
+    kk = _key_clause(r"primary\s+key", "PRIMARY KEY")
+    if kk is not None:
+        spec.primary_key = kk
+    ok = _key_clause(r"order\s+by", "ORDER BY")
+    if ok is not None:
+        spec.order_by = ok
     tm = re.search(r"\bttl\s+(.*?)(?:settings\b|$)", tail, re.I | re.S)
     if tm:
         spec.ttl_column, spec.ttl = _parse_ttl(tm.group(1).strip())

@@ -197,11 +197,13 @@ _MAPPING = _mapping()
 _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileExact": lambda p, a: (
-        # ClickHouse quantileExact: element at 1-based index
-        # floor(level·(n−1))+1 of the sorted values — reproduced over a
-        # collected array (no interpolation)
+        # ClickHouse quantileExact: 0-based index floor(level·n) into the
+        # sorted values, clamped to the last element (no interpolation) —
+        # quantileExact(0.5) over 0..9 is element 5. Consistent with
+        # medianExact's upper-middle ⌈n/2⌉ rule: floor(0.5·n)+1 ≡ ⌊n/2⌋+1.
         f"element_at(array_sort(collect_list({a[0]})), "
-        f"CAST(floor(({p[0]}) * (count({a[0]}) - 1)) + 1 AS INT))"
+        f"least(CAST(floor(({p[0]}) * count({a[0]})) AS INT) + 1, "
+        f"CAST(count({a[0]}) AS INT)))"
     ),
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "topK": lambda p, a: (_ for _ in ()).throw(
@@ -273,13 +275,15 @@ def _split_args(body: str) -> list[str]:
 
 
 def translate(
-    sql: str, dictionaries: dict[str, tuple[str, str]] | None = None
+    sql: str, dictionaries: dict[str, tuple] | None = None
 ) -> str:
     """Rewrite ClickHouse function calls in ``sql`` to Spark SQL.
 
     ``dictionaries`` maps a ClickHouse dictionary name (as it appears in
     ``dictGet``'s first argument, quotes stripped) to ``(view_name,
-    key_column)`` of a registered Spark view.
+    key_column)`` — or ``(view_name, key_column, {attr: default})`` to
+    reproduce the attribute DEFAULT clauses of the dictionary DDL
+    (missing key → declared default instead of NULL).
     """
     out: list[str] = []
     i = 0
@@ -342,7 +346,17 @@ def translate(
     return "".join(out)
 
 
-def _dict_get(args: list[str], dictionaries: dict[str, tuple[str, str]] | None) -> str:
+def _sql_literal(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if v is None:
+        return "NULL"
+    return repr(v)
+
+
+def _dict_get(args: list[str], dictionaries: dict | None) -> str:
     if len(args) != 3:
         raise ValueError(f"dictGet expects 3 arguments, got {len(args)}")
     dname, attr, key = args
@@ -352,9 +366,17 @@ def _dict_get(args: list[str], dictionaries: dict[str, tuple[str, str]] | None) 
         known = sorted(dictionaries) if dictionaries else []
         raise ValueError(
             f"dictGet: dictionary {dname!r} not registered (pass "
-            f"dictionaries={{name: (view, key_col)}}; known: {known})"
+            f"dictionaries={{name: (view, key_col) or (view, key_col, "
+            f"{{attr: default}})}}; known: {known})"
         )
-    view, key_col = dictionaries[dname]
+    entry = dictionaries[dname]
+    view, key_col = entry[0], entry[1]
+    defaults = entry[2] if len(entry) > 2 else {}
     # max() makes the subquery provably single-row for the analyzer;
     # keys are unique in a hashed dictionary so it never discards data
-    return f"(SELECT max({attr}) FROM {view} WHERE {view}.{key_col} = {key})"
+    lookup = f"(SELECT max({attr}) FROM {view} WHERE {view}.{key_col} = {key})"
+    if attr in defaults:
+        # ClickHouse: a missing key yields the attribute's declared
+        # default (dim.dict_user_dim.sql:2-12), not NULL
+        return f"coalesce({lookup}, {_sql_literal(defaults[attr])})"
+    return lookup

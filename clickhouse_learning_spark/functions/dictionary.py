@@ -39,13 +39,21 @@ class Dictionary:
         load_fn,
         key: str,
         lifetime_s: float = 1800.0,
+        defaults: dict[str, object] | None = None,
     ) -> None:
         """``load_fn() -> DataFrame`` reloads the dimension (the reference's
         SOURCE clause, dim.dict_user_dim.sql:12-15); ``lifetime_s``
-        mirrors LIFETIME(MIN 1800 MAX 3600) (dim.dict_user_dim.sql:16-20)."""
+        mirrors LIFETIME(MIN 1800 MAX 3600) (dim.dict_user_dim.sql:16-20).
+
+        ``defaults`` maps attribute → declared default value, matching the
+        ClickHouse attribute DEFAULT clauses (dim.dict_user_dim.sql:2-12:
+        ``platform String default ''``, ``age Int16 default -1``):
+        lookups on a missing key return the attribute's default, not NULL.
+        Attributes without an entry keep NULL-on-miss."""
         self._load_fn = load_fn
         self.key = key
         self.lifetime_s = lifetime_s
+        self.defaults = dict(defaults or {})
         self._df: DataFrame | None = None
         self._loaded_at = 0.0
 
@@ -78,17 +86,28 @@ class Dictionary:
         if fk is None:
             fk = F.col(self.key)
         cond = fk.cast(dict(dim.dtypes)[key_alias]) == dim[key_alias]
-        return fact.join(F.broadcast(dim), cond, how).drop(key_alias)
+        joined = fact.join(F.broadcast(dim), cond, how).drop(key_alias)
+        # ClickHouse dictGet semantics: a missing key yields the
+        # attribute's declared default (dim.dict_user_dim.sql:2-12)
+        fills = {a: F.coalesce(F.col(a), F.lit(self.defaults[a])) for a in attrs
+                 if a in self.defaults}
+        return joined.withColumns(fills) if fills else joined
 
     def dict_get(self, spark, attr: str, key_col: Column) -> Column:
         """``dictGet('dict', 'attr', key)`` as a scalar Column: a lookup into
         a map literal broadcast with the plan. Collects the dim to the
         driver — intended for dims ≤ ~100k rows like the reference's 15k-user
-        / 100-item dicts (files/user_dim.txt, files/item_dim.txt)."""
+        / 100-item dicts (files/user_dim.txt, files/item_dim.txt).
+
+        A missing key returns the attribute's declared default when one
+        was registered (ClickHouse dictGet semantics), else NULL."""
         rows = self.df().select(self.key, attr).collect()
         pairs: list[Column] = []
         for r in rows:
             pairs.append(F.lit(r[0]))
             pairs.append(F.lit(r[1]))
         mapping = F.create_map(*pairs)
-        return mapping.getItem(key_col)
+        looked = mapping.getItem(key_col)
+        if attr in self.defaults:
+            return F.coalesce(looked, F.lit(self.defaults[attr]))
+        return looked

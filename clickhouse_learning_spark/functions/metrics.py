@@ -594,6 +594,11 @@ def build_states(batch, dims, metrics):
         state = (
             src.groupBy(*dims, m.precount_value().alias("_v"))
             .agg(F.count(F.lit(1)).alias("_c"))
+            # drop the NULL-value group: the one-expression partial()
+            # path builds these states with collect_list, which skips
+            # NULLs — the v=NULL group would otherwise inflate count
+            # totals and shift weighted-quantile ranks
+            .filter(F.col("_v").isNotNull())
             .groupBy(*dims)
             .agg(m.state_from_counts(F.col("_v"), F.col("_c")))
         )

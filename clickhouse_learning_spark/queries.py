@@ -285,7 +285,8 @@ def quantile_sketch_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT day, event_type, count(*) AS cnt FROM {_EV} GROUP BY day, event_type)
     SELECT day,
-           list_slice(list(event_type ORDER BY cnt DESC, event_type ASC), 1, 3)
+           array_to_string(
+             list_slice(list(event_type ORDER BY cnt DESC, event_type ASC), 1, 3), '|')
              AS top_types
     FROM c GROUP BY day
     """,
@@ -299,7 +300,11 @@ def topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalized to the 3 most frequent values. Exact — and oracle-able —
     because per-group distinct values (5 event types) stay under the
     reserve cap; beyond it the result degrades to approximate exactly
-    like ClickHouse's."""
+    like ClickHouse's.
+
+    The top-3 array is finalized to a '|'-joined string on both sides:
+    the driver's canonicalizer (pandas sort_values) cannot hash
+    array-typed result columns."""
     ev = _events(spark, sf_dir)
     spec = M.MetricSpec("top_types", "topk", "event_type", k=3)
     states = (
@@ -312,7 +317,11 @@ def topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_types")
         )
     )
-    return states.groupBy("day").agg(spec.merged_finalized())
+    return (
+        states.groupBy("day")
+        .agg(spec.merged_finalized())
+        .select("day", F.concat_ws("|", "top_types").alias("top_types"))
+    )
 
 
 @query(

@@ -49,6 +49,19 @@ def test_parse_ods_table_shape():
         dist.table("/tmp/x")
 
 
+def test_parse_rejects_expression_keys():
+    """An expression key like PARTITION BY toYYYYMM(day) must fail
+    loudly, not silently truncate to the function name."""
+    base = "create table t (day Date, x UInt32) engine = MergeTree"
+    with pytest.raises(ValueError, match="expression PARTITION BY"):
+        ddl.parse_create_table(base + " partition by toYYYYMM(day) order by day")
+    with pytest.raises(ValueError, match="expression ORDER BY"):
+        ddl.parse_create_table(base + " partition by day order by (toYYYYMM(day), x)")
+    # plain tuples still parse
+    spec = ddl.parse_create_table(base + " partition by day order by (day, x)")
+    assert spec.partition_by == ("day",) and spec.order_by == ("day", "x")
+
+
 def test_parse_wide_mv_script():
     specs = ddl.parse_script(
         _read("dwm.mainpage_stat_mv_dis.sql"),

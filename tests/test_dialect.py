@@ -85,6 +85,38 @@ def test_dictget_query_matches_broadcast_join(spark, star_views):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_dictget_missing_key_returns_declared_default(spark, star_views):
+    """ClickHouse dictGet on a missing key yields the attribute's
+    declared default (dim.dict_user_dim.sql:2-12: ``platform String
+    default ''``, ``age Int16 default -1``) — not NULL. The dialect
+    registry carries the DDL defaults as a third tuple slot."""
+    _, user = star_views
+    dicts = {
+        "dim.dict_user_dim": ("ch_user_dim", "uid", {"gender": "", "age": -1})
+    }
+    missing = user.agg(F.max("uid")).collect()[0][0] + 10_000
+    sql = translate(
+        f"SELECT dictGet('dim.dict_user_dim', 'gender', toUInt64({missing})) AS g",
+        dictionaries=dicts,
+    )
+    assert "coalesce" in sql and "''" in sql
+    assert spark.sql(sql).collect()[0]["g"] == ""
+    # attribute without a declared default keeps NULL-on-miss — the
+    # user_dim view has no 'age', so register a no-default attr instead
+    sql2 = translate(
+        f"SELECT dictGet('dim.dict_user_dim', 'gender', toUInt64({missing})) AS g",
+        dictionaries={"dim.dict_user_dim": ("ch_user_dim", "uid")},
+    )
+    assert spark.sql(sql2).collect()[0]["g"] is None
+    # present keys are unaffected by the coalesce wrapper
+    present = user.select("uid", "gender").limit(1).collect()[0]
+    sql3 = translate(
+        f"SELECT dictGet('dim.dict_user_dim', 'gender', toUInt64({present['uid']})) AS g",
+        dictionaries=dicts,
+    )
+    assert spark.sql(sql3).collect()[0]["g"] == present["gender"]
+
+
 def test_state_merge_roundtrip_through_views(spark, star_views):
     """-State aggregation into a view, -Merge query over it (the
     dwm…sql:28-70 pipeline in pasted ClickHouse SQL): exact metrics
@@ -230,7 +262,9 @@ def test_parameterized_quantile_family(spark, star_views):
     for r in rows:
         vals = truth[r["day"]]
         n = len(vals)
-        # ClickHouse quantileExact: sorted[floor(p*(n-1))] (0-based)
-        assert r["st_p50_exact"] == vals[(n - 1) // 2]
+        # ClickHouse quantileExact: sorted[min(floor(p*n), n-1)] (0-based)
+        # — quantileExact(0.5) over 0..9 is element 5, matching
+        # medianExact's upper-middle rule.
+        assert r["st_p50_exact"] == vals[min(n // 2, n - 1)]
         assert r["st_iqr"][0] <= r["st_p50"] <= r["st_iqr"][1]
         assert min(vals) <= r["st_p50"] <= max(vals)

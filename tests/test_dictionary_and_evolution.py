@@ -42,6 +42,40 @@ def test_dict_get_equals_broadcast_join(spark):
     assert a == b and a
 
 
+def test_dictionary_declared_defaults_on_missing_key(spark):
+    """ClickHouse attribute DEFAULT semantics (dim.dict_user_dim.sql:2-12):
+    a key absent from the dictionary yields the declared default through
+    both access paths; attributes without a declared default keep NULL."""
+    d = Dictionary(
+        load_fn=lambda: load_table(spark, SF_SMOKE, "customer").select(
+            F.col("c_custkey").alias("uid"), "c_mktsegment", "c_acctbal"
+        ),
+        key="uid",
+        defaults={"c_mktsegment": ""},
+    )
+    missing = d.df().agg(F.max("uid")).collect()[0][0] + 10_000
+    probe = spark.range(1).select(F.lit(missing).alias("uid"))
+
+    via_join = d.enrich(probe, ["c_mktsegment", "c_acctbal"], fact_key="uid")
+    row = via_join.collect()[0]
+    assert row["c_mktsegment"] == ""  # declared default
+    assert row["c_acctbal"] is None  # no declared default → NULL
+
+    got = probe.select(
+        d.dict_get(spark, "c_mktsegment", F.col("uid")).alias("seg")
+    ).collect()[0]
+    assert got["seg"] == ""
+
+    # a present key is untouched by the default fill
+    some = d.df().select("uid", "c_mktsegment").limit(1).collect()[0]
+    hit = d.enrich(
+        spark.range(1).select(F.lit(some["uid"]).alias("uid")),
+        ["c_mktsegment"],
+        fact_key="uid",
+    ).collect()[0]
+    assert hit["c_mktsegment"] == some["c_mktsegment"]
+
+
 def test_dictionary_lifetime_refresh(spark):
     calls = []
 
