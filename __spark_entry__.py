@@ -98,7 +98,7 @@ _PRIORITY = [
     "having_over_agg",
     "avg_state_merge",
     "union_merge_wide",
-    "union_all_batches",
+    "bitmap_funnel_roaring",
     "dict_enrich_join",
     "left_join_using",
     "composite_key_left_join",

@@ -38,11 +38,13 @@ Exact medians keep every value in the state (as the reference's
 sketch kind finalizes per-query from raw values with
 ``percentile_approx``; exactness trade-off documented in README).
 
-Bitmap states are exact sorted id-arrays (Roaring-equivalent set algebra
-via ``array_intersect``/``array_union``/``size``). At extreme
-cardinalities a BinaryType roaring UDAF would halve memory, but arrays
-keep the whole pipeline JVM-side and codegen-able, which benchmarks
-faster at the reference's cardinalities (≤15k uids/group).
+Bitmap states default to exact sorted id-arrays (Roaring-equivalent set
+algebra via ``array_intersect``/``array_union``/``size``) — fully
+JVM-side and codegen-able, fastest at the reference's cardinalities
+(≤15k uids/group). For 100 TB funnel cardinalities,
+``MetricSpec(kind="bitmap", representation="roaring")`` stores
+roaring-compressed ``BinaryType`` states instead (the reference's actual
+``groupBitmap`` form) — see ``functions/roaring.py``.
 """
 
 from __future__ import annotations
@@ -130,6 +132,24 @@ class MetricSpec:
                 exact DuckDB oracle. Non-positive inputs land in a
                 dedicated zero bucket (representative 0.0), as DDSketch's
                 zero counter does.
+    ``representation``  for ``bitmap``: ``"array"`` (default — sorted
+                ``array<long>``, exact, fully JVM/codegen; fastest at
+                the reference's own cardinalities) or ``"roaring"``
+                (``BinaryType`` roaring-compressed bytes, the
+                reference's actual ``groupBitmap`` state form,
+                dwm.mainpage_stat_mv_dis.sql:134-139 — ~4-60× smaller
+                state rows at high cardinality; per-group conversions
+                are Arrow-batched pandas UDFs over O(groups) rows, the
+                per-row path stays codegen). Values must fit UInt32 —
+                use "array" for hashed/64-bit ids. Both are exact; see
+                ``functions/roaring.py``.
+    ``value_type`` / ``order_type``  DDL type strings of ``source`` /
+                ``order_by`` (e.g. ``"string"``, ``"double"``; default
+                ``"bigint"``). Only consulted by :meth:`neutral` for
+                ``argmax``/``argmin``/``topk``, whose neutral NULL state
+                must carry the exact struct/array element types for
+                ``unionByName`` in multi-writer wide tables (reference
+                T7, dwm…sql:157-238).
     ``k`` / ``reserve``  for ``topk`` (ClickHouse ``topK(k)`` — Filtered
                 Space-Saving heavy hitters): the result is the ``k`` most
                 frequent values of ``source``; the state is value→count
@@ -155,12 +175,27 @@ class MetricSpec:
     k: int = 10
     reserve: int = 0  # 0 → 4*k
     alpha: float = 0.01
+    representation: str = "array"
+    value_type: str = "bigint"
+    order_type: str = "bigint"
 
     def __post_init__(self):
         if self.kind not in KINDS:
             raise ValueError(f"unknown metric kind {self.kind!r}; expected one of {KINDS}")
         if self.kind == "topk" and self.k < 1:
             raise ValueError(f"{self.name}: topk needs k >= 1, got {self.k}")
+        if self.representation not in ("array", "roaring"):
+            raise ValueError(
+                f"{self.name}: representation must be 'array' or 'roaring'"
+            )
+        if self.representation == "roaring" and self.kind != "bitmap":
+            raise ValueError(
+                f"{self.name}: representation='roaring' only applies to kind='bitmap'"
+            )
+
+    @property
+    def _roaring(self) -> bool:
+        return self.kind == "bitmap" and self.representation == "roaring"
 
     @property
     def topk_reserve(self) -> int:
@@ -249,6 +284,10 @@ class MetricSpec:
             ones = F.array_repeat(F.lit(1).cast("long"), F.size(vals))
             return F.arrays_zip(vals, ones).cast(QUANTILE_STATE_TYPE).alias(self.name)
         if self.kind == "bitmap":
+            if self._roaring:
+                from clickhouse_learning_spark.functions import roaring
+
+                return roaring.partial_state(x).alias(self.name)
             return F.sort_array(F.collect_set(x)).alias(self.name)
         if self.kind == "topk":
             # One-expression fallback: (value, 1) pairs, uncapped — correct
@@ -278,6 +317,10 @@ class MetricSpec:
         if self.kind == "uniq":
             return F.hll_union_agg(c, F.lit(True)).alias(self.name)
         if self.kind in ("uniq_exact", "bitmap"):
+            if self._roaring:
+                from clickhouse_learning_spark.functions import roaring
+
+                return roaring.merge_state(c).alias(self.name)
             return F.array_sort(F.array_distinct(F.flatten(F.collect_list(c)))).alias(self.name)
         if self.kind in ("sum", "count"):
             return F.sum(c).alias(self.name)
@@ -304,6 +347,10 @@ class MetricSpec:
             # ClickHouse uniqCombinedIf yields 0 on empty input
             return F.coalesce(F.hll_sketch_estimate(c), F.lit(0)).alias(self.name)
         if self.kind in ("uniq_exact", "bitmap"):
+            if self._roaring:
+                from clickhouse_learning_spark.functions import roaring
+
+                return roaring.finalize_cardinality(c).alias(self.name)
             return F.coalesce(F.size(c), F.lit(0)).alias(self.name)
         if self.kind in ("sum", "count"):
             # ClickHouse sumIf/countIf yield 0 (not NULL) when no row matches
@@ -338,6 +385,8 @@ class MetricSpec:
         (/root/reference/docs/物化视图的实战经验分享.md:822-828)."""
         if self.kind == "uniq":
             return F.lit(None).cast("binary").alias(self.name)
+        if self.kind == "bitmap" and self._roaring:
+            return F.lit(None).cast("binary").alias(self.name)
         if self.kind in ("uniq_exact", "bitmap"):
             return F.lit(None).cast("array<bigint>").alias(self.name)
         if self.kind == "median":
@@ -346,13 +395,19 @@ class MetricSpec:
             return F.lit(None).cast(QUANTILE_STATE_TYPE).alias(self.name)
         if self.kind == "avg":
             return F.lit(None).cast("struct<s:double,c:bigint>").alias(self.name)
-        if self.kind in ("argmax", "argmin", "topk"):
-            # the struct/entry type depends on the source (and order_by)
-            # types; wide tables mixing writers with these metrics must
-            # fill the column explicitly with a typed NULL
-            raise NotImplementedError(
-                f"{self.name}: neutral state for {self.kind} needs an explicit "
-                "typed NULL (element type depends on source/order_by)"
+        if self.kind in ("argmax", "argmin"):
+            # NULL struct (not struct-of-NULLs) = neutral for max/min;
+            # field types come from the declared order_type/value_type
+            return (
+                F.lit(None)
+                .cast(f"struct<o:{self.order_type},v:{self.value_type}>")
+                .alias(self.name)
+            )
+        if self.kind == "topk":
+            return (
+                F.lit(None)
+                .cast(f"array<struct<v:{self.value_type},c:bigint>>")
+                .alias(self.name)
             )
         return F.lit(None).cast("bigint").alias(self.name)
 

