@@ -225,20 +225,110 @@ def _video_frames(payload: bytes) -> list[bytes] | None:
 _COMPRESSED_MAGICS = (b"\xff\xd8\xff", b"\x89PNG", b"GIF8", b"\x00\x00\x00")
 
 
+def _png_dims(p: bytes) -> tuple[int, int] | None:
+    """PNG IHDR width/height — pure header parse, no imaging library
+    (PNG spec: 8-byte signature, then the IHDR chunk's 4+4 byte
+    big-endian dimensions at offset 16)."""
+    if len(p) < 24 or p[:8] != b"\x89PNG\r\n\x1a\n" or p[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", p[16:24])
+    return int(w), int(h)
+
+
+def _gif_dims(p: bytes) -> tuple[int, int] | None:
+    """GIF87a/89a logical screen descriptor (little-endian u16 pair at
+    offset 6)."""
+    if len(p) < 10 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", p[6:10])
+    return int(w), int(h)
+
+
+def _jpeg_dims(p: bytes) -> tuple[int, int] | None:
+    """JPEG dimensions from the first SOF0-SOF15 frame header (marker
+    walk over length-prefixed segments; pixel data untouched)."""
+    if len(p) < 4 or p[:3] != b"\xff\xd8\xff":
+        return None
+    i, n = 2, len(p)
+    while i + 4 <= n:
+        if p[i] != 0xFF:
+            return None
+        marker = p[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
+        (seglen,) = struct.unpack(">H", p[i + 2 : i + 4])
+        # SOF0..SOF15 except DHT(C4)/DNL(C8)/DAC(CC) carry dimensions
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+            return int(w), int(h)
+        if marker == 0xDA:  # start of scan — no SOF seen
+            return None
+        i += 2 + seglen
+    return None
+
+
+def _pil_decode(payload: bytes):
+    """Optional-dependency pixel decode: returns an HxWx3 uint8 array via
+    Pillow if installed, else raises the actionable gate error. The
+    mapInPandas plumbing upstream is format-agnostic — installing Pillow
+    makes every stage below work on JPEG/PNG/GIF/WebP unchanged."""
+    try:  # pragma: no cover - Pillow not shipped in this container
+        import io
+
+        import numpy as np
+        from PIL import Image  # type: ignore
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        raise NotImplementedError(
+            "compressed image PIXEL decode (JPEG/PNG/GIF/WebP) needs Pillow "
+            "(`pip install Pillow`); header-only dimensions already work "
+            "without it (decode_image_meta), and the mapInPandas plumbing "
+            "is format-agnostic"
+        ) from None
+
+
 def _decode_dims(payload: bytes) -> tuple[int, int] | None:
-    """(width, height) for the supported uncompressed formats."""
+    """(width, height). Real parses: binary PPM, plus header-only
+    dimension extraction for PNG/GIF/JPEG (no imaging library needed —
+    the container formats put dimensions in fixed header fields).
+    Unknown binary → None (ok=false), like any corrupt payload."""
     ppm = _parse_ppm(payload)
     if ppm is not None:
         return ppm[0], ppm[1]
-    if payload is not None and payload[:1] and payload.startswith(
-        tuple(_COMPRESSED_MAGICS)
-    ):  # pragma: no cover - no compressed fixtures in this container
-        raise NotImplementedError(
-            "compressed image decode (JPEG/PNG/GIF/WebP/MP4) needs an imaging "
-            "library; install Pillow/av and extend _decode_dims — the "
-            "mapInPandas plumbing is format-agnostic"
-        )
+    if payload is None:
+        return None
+    for parse in (_png_dims, _gif_dims, _jpeg_dims):
+        d = parse(payload)
+        if d is not None:
+            return d
     return _decode_header(payload)  # legacy FIMG fixtures
+
+
+def _pixels(payload: bytes):
+    """HxWx3 uint8 array for any decodable payload: numpy path for PPM,
+    Pillow (optional dep, actionable gate) for compressed formats, None
+    for unknown/corrupt binary."""
+    import numpy as np
+
+    parsed = _parse_ppm(payload)
+    if parsed is not None:
+        w, h, off = parsed
+        return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off).reshape(
+            h, w, 3
+        )
+    if payload is not None and (
+        payload.startswith(b"\x89PNG")
+        or payload.startswith(b"\xff\xd8\xff")
+        or payload[:6] in (b"GIF87a", b"GIF89a")
+    ):
+        return _pil_decode(payload)
+    return None
 
 
 def decode_image_meta(media: DataFrame) -> DataFrame:
@@ -277,15 +367,13 @@ def image_features(media: DataFrame) -> DataFrame:
         for b in batches:
             out = {"media_id": b["media_id"], "mean_r": [], "mean_g": [], "mean_b": []}
             for p in b["payload"]:
-                parsed = _parse_ppm(p)
-                if parsed is None:
+                img = _pixels(p)
+                if img is None:
                     out["mean_r"].append(None)
                     out["mean_g"].append(None)
                     out["mean_b"].append(None)
                     continue
-                w, h, off = parsed
-                px = np.frombuffer(p, dtype=np.uint8, count=w * h * 3, offset=off)
-                means = px.reshape(-1, 3).mean(axis=0)
+                means = img.reshape(-1, 3).mean(axis=0)
                 out["mean_r"].append(round(float(means[0]), 4))
                 out["mean_g"].append(round(float(means[1]), 4))
                 out["mean_b"].append(round(float(means[2]), 4))
@@ -306,16 +394,14 @@ def resize_image(media: DataFrame, target: int = 32) -> DataFrame:
         for b in batches:
             ids, ows, ohs, payloads = [], [], [], []
             for m, p in zip(b["media_id"], b["payload"]):
-                parsed = _parse_ppm(p)
+                img = _pixels(p)
                 ids.append(m)
-                if parsed is None:
+                if img is None:
                     ows.append(None)
                     ohs.append(None)
                     payloads.append(None)
                     continue
-                w, h, off = parsed
-                px = np.frombuffer(p, dtype=np.uint8, count=w * h * 3, offset=off)
-                img = px.reshape(h, w, 3)
+                h, w = img.shape[0], img.shape[1]
                 scale = min(target / w, target / h)
                 ow = max(1, int(round(w * scale)))
                 oh = max(1, int(round(h * scale)))
@@ -412,6 +498,111 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         dec,
         schema="media_id long, sample_rate int, n_samples int, duration_s double, rms double",
+    )
+
+
+def audio_spectral_features(
+    media: DataFrame, n_fft: int = 512, n_bands: int = 8
+) -> DataFrame:
+    """REAL spectral features over the PCM samples — numpy rFFT, no
+    audio library needed (the stretch item parked in round 1):
+
+    - ``dominant_hz``: peak bin of the magnitude-average spectrum across
+      Hann-windowed frames (hop = n_fft/2);
+    - ``spectral_centroid`` / ``spectral_bandwidth``: magnitude-weighted
+      mean / std of bin frequencies (Hz);
+    - ``rolloff_85``: frequency below which 85% of spectral energy lies;
+    - ``zcr``: zero-crossing rate per second;
+    - ``band_energy``: total energy split over ``n_bands`` log-spaced
+      bands, L1-normalized — the mel-filterbank shape without the mel
+      lookup tables.
+
+    Compressed audio (MP3/FLAC/Opus) stays behind the same optional-dep
+    gate as compressed images: ``_parse_wav`` returns None → NULL
+    features, and a soundfile-based decoder can slot into the same
+    mapInPandas stage. Streams Arrow batches; one task never holds more
+    than one batch of payloads.
+    """
+    import numpy as np
+
+    hop = n_fft // 2
+    window = np.hanning(n_fft)
+
+    def spec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {
+                "media_id": b["media_id"],
+                "dominant_hz": [],
+                "spectral_centroid": [],
+                "spectral_bandwidth": [],
+                "rolloff_85": [],
+                "zcr": [],
+                "band_energy": [],
+            }
+
+            def null_row():
+                for k in (
+                    "dominant_hz",
+                    "spectral_centroid",
+                    "spectral_bandwidth",
+                    "rolloff_85",
+                    "zcr",
+                    "band_energy",
+                ):
+                    out[k].append(None)
+
+            for p in b["payload"]:
+                parsed = _parse_wav(p)
+                if parsed is None:
+                    null_row()
+                    continue
+                sr, n, off = parsed
+                if n < n_fft:
+                    null_row()
+                    continue
+                pcm = (
+                    np.frombuffer(p, dtype="<i2", count=n, offset=off).astype(np.float64)
+                    / 32768.0
+                )
+                n_frames = 1 + (n - n_fft) // hop
+                idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+                mag = np.abs(np.fft.rfft(pcm[idx] * window, axis=1)).mean(axis=0)
+                freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)
+                power = mag * mag
+                total = power.sum()
+                if total <= 0:
+                    null_row()
+                    continue
+                centroid = float((freqs * power).sum() / total)
+                bandwidth = float(
+                    np.sqrt(((freqs - centroid) ** 2 * power).sum() / total)
+                )
+                cum = np.cumsum(power)
+                rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+                zc = float(np.mean(np.abs(np.diff(np.signbit(pcm)))) * sr)
+                # log-spaced band edges from the first nonzero bin to Nyquist
+                edges = np.geomspace(freqs[1], freqs[-1], n_bands + 1)
+                band_idx = np.clip(
+                    np.searchsorted(edges, freqs[1:], side="right") - 1, 0, n_bands - 1
+                )
+                bands = np.zeros(n_bands)
+                np.add.at(bands, band_idx, power[1:])
+                bands /= bands.sum() if bands.sum() > 0 else 1.0
+                out["dominant_hz"].append(round(float(freqs[int(power.argmax())]), 2))
+                out["spectral_centroid"].append(round(centroid, 2))
+                out["spectral_bandwidth"].append(round(bandwidth, 2))
+                out["rolloff_85"].append(round(rolloff, 2))
+                out["zcr"].append(round(zc, 2))
+                out["band_energy"].append([round(float(x), 6) for x in bands])
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        spec,
+        schema=(
+            "media_id long, dominant_hz double, spectral_centroid double, "
+            "spectral_bandwidth double, rolloff_85 double, zcr double, "
+            "band_energy array<double>"
+        ),
     )
 
 

@@ -622,6 +622,28 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["multimodal_features"] = multimodal_features
 
 
+def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio spectral features (operators/multimodal.py
+    audio_spectral_features): numpy-rFFT dominant frequency, spectral
+    centroid/bandwidth, 85% rolloff, zero-crossing rate and log-band
+    energies over real PCM16 WAV payloads. FFT is not SQL-expressible →
+    rows-only driver check; pytest asserts the features recover the
+    synthesized harmonics exactly (test_pipeline_ops.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    audio = MM.build_audio_table(spark, docs)
+    return MM.audio_spectral_features(audio).select(
+        "media_id",
+        "dominant_hz",
+        "spectral_centroid",
+        "spectral_bandwidth",
+        "rolloff_85",
+        "zcr",
+    )
+
+
+QUERIES["audio_spectral"] = audio_spectral
+
+
 @query(
     "jsonl_dim_roundtrip",
     """

@@ -267,6 +267,51 @@ def test_multimodal_audio_and_video(spark):
     assert len(by_id) == 12
 
 
+def test_audio_spectral_features_recover_harmonics(spark):
+    """The FFT features must recover the synthesized fundamental: each
+    WAV is 0.6·sin(f1) + 0.3·sin(2·f1) with f1 = 110 + (id%40)·10 Hz, so
+    dominant_hz == f1 within one FFT bin (8000/512 ≈ 15.6 Hz), the
+    centroid sits between f1 and 2·f1, and band energies are a valid
+    distribution."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    audio = MM.build_audio_table(spark, docs)
+    rows = MM.audio_spectral_features(audio, n_fft=512, n_bands=8).collect()
+    assert len(rows) == 10
+    bin_hz = 8000 / 512
+    for r in rows:
+        f1 = 110.0 + (r["media_id"] % 40) * 10.0
+        assert abs(r["dominant_hz"] - f1) <= bin_hz, (r["media_id"], f1, r["dominant_hz"])
+        assert f1 * 0.8 < r["spectral_centroid"] < 2 * f1 * 1.2
+        assert r["rolloff_85"] <= 2 * f1 + 3 * bin_hz
+        # zero crossings of a sine ≈ 2·f per second (harmonic adds a few)
+        assert f1 < r["zcr"] < 5 * f1
+        assert abs(sum(r["band_energy"]) - 1.0) < 1e-4  # bands rounded to 6dp
+        assert len(r["band_energy"]) == 8
+
+
+def test_compressed_header_dims_no_imaging_lib():
+    """PNG/GIF/JPEG dimensions parse from fixed header fields — no
+    Pillow needed; pixel access for the same payloads hits the
+    actionable optional-dep gate."""
+    import struct as st
+
+    import pytest
+
+    png = b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR" + st.pack(">II", 640, 480) + b"\x08\x02" + b"\x00" * 7
+    gif = b"GIF89a" + st.pack("<HH", 320, 200) + b"\x00" * 4
+    jpeg = (
+        b"\xff\xd8\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0 (len incl. the 2 len bytes)
+        + b"\xff\xc0" + st.pack(">H", 11) + b"\x08" + st.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 2
+    )
+    assert MM._decode_dims(png) == (640, 480)
+    assert MM._decode_dims(gif) == (320, 200)
+    assert MM._decode_dims(jpeg) == (1920, 1080)
+    assert MM._decode_dims(b"\x00garbage") is None
+    for payload in (png, jpeg):
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            MM._pixels(payload)
+
+
 def test_text_repetition_bounds(spark):
     """Repetition fractions are valid probabilities, and a doc made of
     one repeated token maxes them out."""
