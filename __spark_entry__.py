@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import clickhouse_learning_spark.queries_behavior  # noqa: F401  (registers funnel/retention queries)
 import clickhouse_learning_spark.queries_pipeline  # noqa: F401  (registers pipeline queries)
 import clickhouse_learning_spark.queries_reference  # noqa: F401  (registers reference-workload queries)
 import clickhouse_learning_spark.queries_streaming  # noqa: F401  (registers streaming queries)
@@ -102,9 +103,13 @@ _PRIORITY = [
     "dict_enrich_join",
     "left_join_using",
     "composite_key_left_join",
-    "scalar_datetime_math",
-    "array_join_tuples",
-    "filter_project_prune",
+    # behavioral parametric aggregates (windowFunnel/retention/
+    # sequenceMatch analogs — new in r2; the three §2 micro-queries they
+    # displace, scalar_datetime_math / array_join_tuples /
+    # filter_project_prune, are driver-green in CORRECTNESS_r01)
+    "window_funnel_levels",
+    "retention_cohorts",
+    "sequence_match_share",
     "jsonl_dim_roundtrip",
 ]
 

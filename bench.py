@@ -32,6 +32,8 @@ HEADLINE = [
     "topk_heavy_hitters",
     "bitmap_funnel",
     "bitmap_funnel_roaring",
+    "window_funnel_levels",
+    "retention_cohorts",
     "dict_enrich_join",
     "left_join_using",
     "regional_supplier_volume",
@@ -61,6 +63,7 @@ def main() -> None:
     target = sf_dir()
     spark = get_spark(app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
 
+    import clickhouse_learning_spark.queries_behavior  # noqa: F401
     import clickhouse_learning_spark.queries_pipeline  # noqa: F401
     import clickhouse_learning_spark.queries_reference  # noqa: F401
     import clickhouse_learning_spark.queries_tpch  # noqa: F401

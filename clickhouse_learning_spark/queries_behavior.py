@@ -1,0 +1,144 @@
+"""Behavioral-analytics queries — windowFunnel / retention /
+sequenceMatch over the events log (functions/funnel.py; beyond-reference
+additions in the spirit of ClickHouse's parametric aggregates — the
+reference's own funnel is the bitmap-state variant already covered by
+bitmap_funnel / ref_funnel_6stage).
+
+Each query has a full ANSI-SQL oracle: the first-chance chain semantics
+(funnel.py module docstring) were chosen precisely so the oracle is a
+cascade of min-filter CTE joins rather than an imperative scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.functions import funnel as FN
+from clickhouse_learning_spark.queries import _events, query
+
+_W = 86400  # funnel window: 24h (gives a populated 3-level distribution
+# at the fixture's per-user event density; 2h collapses to levels 0-1)
+
+
+@query(
+    "window_funnel_levels",
+    f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (SELECT user_id, min(floor(epoch(ts))::BIGINT) AS t1
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(floor(epoch(e.ts))::BIGINT) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click'
+             AND floor(epoch(e.ts))::BIGINT > s1.t1
+             AND floor(epoch(e.ts))::BIGINT <= s1.t1 + {_W}
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(floor(epoch(e.ts))::BIGINT) AS t3
+           FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase'
+             AND floor(epoch(e.ts))::BIGINT > s2.t2
+             AND floor(epoch(e.ts))::BIGINT <= s1.t1 + {_W}
+           GROUP BY e.user_id),
+    lv AS (SELECT u.user_id,
+                  CASE WHEN s3.user_id IS NOT NULL THEN 3
+                       WHEN s2.user_id IS NOT NULL THEN 2
+                       WHEN s1.user_id IS NOT NULL THEN 1
+                       ELSE 0 END AS level
+           FROM u
+           LEFT JOIN s1 USING (user_id)
+           LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id))
+    SELECT level, CAST(count(*) AS BIGINT) AS users
+    FROM lv GROUP BY level
+    """,
+)
+def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel(2h)(ts, view, click, purchase) → users per reached
+    level. One shuffle on user_id; chain walk is codegen array HOFs."""
+    ev = _events(spark, sf_dir)
+    lv = FN.funnel_levels(
+        ev,
+        "uid",
+        "ts",
+        ["event_type = 'view'", "event_type = 'click'", "event_type = 'purchase'"],
+        window_s=_W,
+    )
+    return lv.groupBy("level").agg(F.count(F.lit(1)).alias("users"))
+
+
+@query(
+    "retention_cohorts",
+    """
+    WITH f AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f1,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f2,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f3
+      FROM events GROUP BY day, user_id)
+    SELECT day,
+           CAST(sum(f1) AS BIGINT)      AS r_view,
+           CAST(sum(f1 * f2) AS BIGINT) AS r_view_click,
+           CAST(sum(f1 * f3) AS BIGINT) AS r_view_purchase
+    FROM f GROUP BY day
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retention(view, click, purchase) summed per day cohort — the
+    ClickHouse retention() output (r1, r1∧r2, r1∧r3) as columns."""
+    ev = _events(spark, sf_dir)
+    r = FN.retention_flags(
+        ev,
+        ["day", "uid"],
+        ["event_type = 'view'", "event_type = 'click'", "event_type = 'purchase'"],
+    )
+    return r.groupBy("day").agg(
+        F.sum(F.col("r1").cast("long")).alias("r_view"),
+        F.sum(F.col("r2").cast("long")).alias("r_view_click"),
+        F.sum(F.col("r3").cast("long")).alias("r_view_purchase"),
+    )
+
+
+@query(
+    "sequence_match_share",
+    """
+    WITH u AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    s1 AS (SELECT CAST(ts AS DATE) AS day, user_id,
+                  min(floor(epoch(ts))::BIGINT) AS t1
+           FROM events WHERE event_type = 'view' GROUP BY day, user_id),
+    s2 AS (SELECT CAST(e.ts AS DATE) AS day, e.user_id,
+                  min(floor(epoch(e.ts))::BIGINT) AS t2
+           FROM events e JOIN s1
+             ON s1.user_id = e.user_id AND s1.day = CAST(e.ts AS DATE)
+           WHERE e.event_type = 'signup'
+             AND floor(epoch(e.ts))::BIGINT > s1.t1
+           GROUP BY CAST(e.ts AS DATE), e.user_id),
+    s3 AS (SELECT CAST(e.ts AS DATE) AS day, e.user_id,
+                  min(floor(epoch(e.ts))::BIGINT) AS t3
+           FROM events e JOIN s2
+             ON s2.user_id = e.user_id AND s2.day = CAST(e.ts AS DATE)
+           WHERE e.event_type = 'purchase'
+             AND floor(epoch(e.ts))::BIGINT > s2.t2
+           GROUP BY CAST(e.ts AS DATE), e.user_id)
+    SELECT u.day,
+           CAST(count(*) AS BIGINT) AS user_days,
+           CAST(count(s3.user_id) AS BIGINT) AS matched
+    FROM u LEFT JOIN s3 ON s3.user_id = u.user_id AND s3.day = u.day
+    GROUP BY u.day
+    """,
+)
+def sequence_match_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceMatch('(?view).*(?signup).*(?purchase)') per (user, day)
+    — active user-days and how many contained the three actions in
+    strict timestamp order within that day (no window bound; the
+    time-bounded variant is window_funnel_levels)."""
+    ev = _events(spark, sf_dir)
+    m = FN.sequence_match(
+        ev,
+        ["day", "uid"],
+        "ts",
+        ["event_type = 'view'", "event_type = 'signup'", "event_type = 'purchase'"],
+    )
+    return m.groupBy("day").agg(
+        F.count(F.lit(1)).alias("user_days"),
+        F.sum(F.col("matched").cast("long")).alias("matched"),
+    )
