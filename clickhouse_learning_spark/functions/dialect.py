@@ -187,6 +187,15 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["bitmapOrCardinality"] = lambda a: (
         lambda x, y: f"size(array_union({x}, {y}))"
     )(*_two(a, "bitmapOrCardinality"))
+
+    # -- behavioral aggregates: multi-stage plans, not expressions ----------
+    def _retention_gate(a):
+        raise ValueError(
+            "retention(conds...) maps to functions.funnel.retention_flags "
+            "(conditional max flags + r1∧rk combine; see retention_cohorts)"
+        )
+
+    m["retention"] = _retention_gate
     return m
 
 
@@ -211,6 +220,20 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
             "topK(k)(x) has no single-expression Spark SQL form; use "
             "MetricSpec(kind='topk', k=...) via metrics.build_states — the "
             "relational Space-Saving write path (see topk_heavy_hitters)"
+        )
+    ),
+    "windowFunnel": lambda p, a: (_ for _ in ()).throw(
+        ValueError(
+            "windowFunnel(w)(ts, conds...) is a multi-stage plan, not a "
+            "single expression; use functions.funnel.funnel_levels — one "
+            "shuffle, codegen chain walk (see window_funnel_levels)"
+        )
+    ),
+    "sequenceMatch": lambda p, a: (_ for _ in ()).throw(
+        ValueError(
+            "sequenceMatch(pattern)(ts, conds...) chain patterns map to "
+            "functions.funnel.sequence_match (see sequence_match_share); "
+            "time-bounded patterns map to funnel_levels"
         )
     ),
 }

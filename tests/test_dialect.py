@@ -52,6 +52,18 @@ def test_translate_rejects_unregistered_dictionary():
         translate("dictGet('dim.user', 'gender', toUInt64(uid))")
 
 
+def test_translate_points_behavioral_aggregates_at_engine_paths():
+    """windowFunnel/retention/sequenceMatch are multi-stage plans, not
+    expressions — translate() must say exactly where the engine
+    implements them (functions/funnel.py)."""
+    with pytest.raises(ValueError, match="funnel_levels"):
+        translate("windowFunnel(3600)(ts, etype = 'view', etype = 'click')")
+    with pytest.raises(ValueError, match="retention_flags"):
+        translate("retention(etype = 'view', etype = 'click')")
+    with pytest.raises(ValueError, match="sequence_match"):
+        translate("sequenceMatch('(?1).*(?2)')(ts, a = 1, b = 1)")
+
+
 @pytest.fixture(scope="module")
 def star_views(spark):
     a1 = R.build_action_001(spark, SF_SMOKE)
