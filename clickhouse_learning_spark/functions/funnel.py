@@ -56,8 +56,11 @@ def _per_stage_arrays(
     ev: DataFrame, group_cols: list[str], ts_col: str, conds: list[str | Column]
 ) -> DataFrame:
     secs = epoch_seconds(ts_col)
+    # collect_set: the chain walk only reads min/filter over the epochs,
+    # so duplicate seconds are pure state bloat — dedup caps a hot key's
+    # (bot's) per-stage array at distinct-seconds instead of event count
     aggs = [
-        F.collect_list(F.when(_as_col(c), secs)).alias(f"_t{i}")
+        F.collect_set(F.when(_as_col(c), secs)).alias(f"_t{i}")
         for i, c in enumerate(conds)
     ]
     return ev.groupBy(*group_cols).agg(*aggs)
