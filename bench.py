@@ -217,6 +217,31 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings["ann_ivf_probe_prebuilt"] = round(best, 3)
 
+    # flagship reference queries, QUERY-ONLY (state tables prebuilt,
+    # untimed): the apples-to-apples rows vs BASELINE.md's 0.025s /
+    # 0.052s query-only numbers — the ref_* HEADLINE entries include
+    # in-test materialization and are not comparable
+    from clickhouse_learning_spark.workload import reference_star as RS
+
+    with tempfile.TemporaryDirectory() as d:
+        wmv = RS.materialize_wide(spark, target, d + "/wide")
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            RS.wide_uv_query(spark, wmv).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings["ref_wide_mv_query_prebuilt"] = round(best, 3)
+
+        fmv = RS.build_funnel_mv(spark, target, d + "/funnel")
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            RS.funnel_states_query(spark, fmv).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        timings["ref_funnel_query_prebuilt"] = round(best, 3)
+
     # the reference's 1-billion-row sumState benchmark shape
     # (BASELINE.md: 3.201s / 312M rows/s on ClickHouse 21.3)
     t0 = time.time()

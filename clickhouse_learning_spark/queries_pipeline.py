@@ -452,20 +452,23 @@ def _cos_sql(a: str, b: str) -> str:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via the random-hyperplane LSH
-    scale path (banded bucket self-join — no driver-side collect, no
-    all-pairs arithmetic), graded against the exact all-pairs SQL
-    oracle. Dot products in float64 via zip_with/aggregate — matches
-    the oracle's manual double-precision SQL.
+    """Exact embedding-similarity pairs at the graded threshold 0.4 via
+    the tiled blocked-GEMM operator: the "b" side broadcasts one
+    bounded chunk at a time, executors BLAS-multiply partitioned Arrow
+    batches against it — distributed compute, O(chunk) driver memory.
 
-    The table count (64) is sized for exhaustive recall at the graded
-    threshold 0.4 (θ≈66°: per-table hit 0.631⁴≈0.16, miss (0.84)⁶⁴≈2e-5
-    per pair — verified recall = 1.0 on the sf0.001/sf0.01 fixtures). A
-    production near-dup pass at a higher threshold uses the 8-plane ×
-    4-table default and accepts recall < 1; the exact verifier baseline
-    remains :func:`operators.dedup.embedding_bruteforce_pairs`."""
+    Why not LSH here: the fixture's true pairs live at cos ∈ [0.4, 0.6),
+    and at θ ≈ 66° sign-LSH stops pruning — the 64 tables exhaustive
+    recall demands union to ≈ all pairs plus 64× tagging overhead
+    (measured 10 s vs 0.5 s for this tile at sf0.1; math in
+    operators/dedup.embedding_blocked_pairs). Exact low-threshold
+    all-pairs is quadratic by definition, so the tiled GEMM *is* the
+    scale path for it; :func:`operators.dedup.embedding_lsh_pairs`
+    stays the sub-quadratic path for realistic near-dup thresholds
+    (≥ 0.85) and is equality-tested against the brute-force baseline in
+    tests/test_pipeline_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_lsh_pairs(emb, threshold=0.4, n_planes=4, n_tables=64)
+    return D.embedding_blocked_pairs(emb, threshold=0.4)
 
 
 # ===========================================================================

@@ -196,10 +196,12 @@ def wide_uv_query(spark: SparkSession, mv: MaterializedView) -> DataFrame:
     )
 
 
-def funnel_query(spark: SparkSession, sf_dir: str, storage_path: str) -> DataFrame:
-    """6-stage bitmap funnel show→click→a→b→c→(d: any action_d>0)
-    (dwm…sql:280-290): chained bitmapAndCardinality over stored bitmap
-    states, re-merged WITHOUT finalizing first (-MergeState)."""
+def build_funnel_mv(
+    spark: SparkSession, sf_dir: str, storage_path: str
+) -> MaterializedView:
+    """Materialize the 6-bitmap funnel state table (write path only —
+    the two writer MVs over action_001/action_002 union-merged into one
+    wide table)."""
     user = build_user_dim(spark, sf_dir).select("uid", "gender")
     a1 = build_action_001(spark, sf_dir).join(F.broadcast(user), "uid", "left")
     a2 = build_action_002(spark, sf_dir).join(F.broadcast(user), "uid", "left")
@@ -227,7 +229,12 @@ def funnel_query(spark: SparkSession, sf_dir: str, storage_path: str) -> DataFra
     mv.storage.append(
         mv.union_merge(mv1.materialize_batch(a1), mv2.materialize_batch(a2))
     )
+    return mv
 
+
+def funnel_states_query(spark: SparkSession, mv: MaterializedView) -> DataFrame:
+    """Read path only: re-merge stored bitmap states (-MergeState, NOT
+    finalized) and chain bitmapAndCardinality per stage."""
     states = mv.merge_states(mv.storage.read(spark), ["day"])
     s1 = F.col("show_bm")
     s2 = F.array_intersect(s1, F.col("click_bm"))
@@ -244,3 +251,11 @@ def funnel_query(spark: SparkSession, sf_dir: str, storage_path: str) -> DataFra
         F.size(s5).alias("stage_c"),
         F.size(s6).alias("stage_d"),
     )
+
+
+def funnel_query(spark: SparkSession, sf_dir: str, storage_path: str) -> DataFrame:
+    """6-stage bitmap funnel show→click→a→b→c→(d: any action_d>0)
+    (dwm…sql:280-290): materialize + query in one call (the graded
+    query); bench times the two phases separately via build_funnel_mv /
+    funnel_states_query."""
+    return funnel_states_query(spark, build_funnel_mv(spark, sf_dir, storage_path))

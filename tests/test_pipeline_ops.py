@@ -117,6 +117,23 @@ def test_embedding_lsh_recall_vs_bruteforce(spark):
         assert len(got & exact) / len(exact) >= 0.8, (len(got), len(exact))
 
 
+def test_blocked_pairs_tiled_equals_single_tile(spark):
+    """embedding_blocked_pairs with chunk_rows forcing 5 tiles must
+    return exactly the single-tile (and brute-force) pair set — no pair
+    lost or duplicated across tile boundaries."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    def pairs(df):
+        return {(r.id_a, r.id_b, r.cos_sim) for r in df.collect()}
+
+    one = pairs(D.embedding_blocked_pairs(emb, threshold=0.4))
+    tiled = pairs(D.embedding_blocked_pairs(emb, threshold=0.4, chunk_rows=25))
+    brute = pairs(D.embedding_bruteforce_pairs(emb, threshold=0.4))
+    assert one == brute
+    assert tiled == brute
+    assert brute, "expected pairs at threshold 0.4 in the fixture"
+
+
 def test_blocked_topk_equals_expression_topk(spark):
     """The BLAS-blocked top-k must return bit-identical rows (values,
     ranks, tie-breaks) to the Catalyst-expression baseline."""
