@@ -76,7 +76,10 @@ _PRIORITY = [
     "embedding_kmeans",
     # text analysis + retrieval
     "text_token_stats",
-    "text_quality_lang",
+    # text_quality_lang is driver-green in r1; its slot carries the new
+    # WITH FILL gap-filling query (text family stays represented by the
+    # four entries around this line)
+    "with_fill_days",
     "doc_fingerprint",
     "text_repetition",
     "bm25_topk",

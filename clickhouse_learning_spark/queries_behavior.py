@@ -99,6 +99,51 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "with_fill_days",
+    """
+    WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+               FROM events),
+    cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+            FROM b),
+    a AS (SELECT CAST(ts AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS val_sum
+          FROM events
+          WHERE event_type = 'signup' AND user_id % 37 = 0
+          GROUP BY day)
+    SELECT cal.day,
+           CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,
+           CAST(coalesce(val_sum, 0) AS BIGINT) AS val_sum
+    FROM cal LEFT JOIN a USING (day)
+    """,
+)
+def with_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY day WITH FILL`` — gap-filled daily series:
+    a sparse rollup (rare cohort, days genuinely missing) left-joined
+    onto the full calendar derived from the log's min/max day
+    (``sequence`` of dates, exploded). The calendar side is a 1-row
+    aggregate → broadcast; one shuffle total (the rollup's)."""
+    ev = _events(spark, sf_dir)
+    agg = (
+        ev.filter("event_type = 'signup' AND uid % 37 = 0")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("val_sum"),
+        )
+    )
+    cal = (
+        ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return cal.join(agg, "day", "left").select(
+        "day",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        F.coalesce("val_sum", F.lit(0)).alias("val_sum"),
+    )
+
+
+@query(
     "sequence_match_share",
     """
     WITH u AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
