@@ -27,6 +27,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _as_date(v) -> dt.date:
+    """Partition value → date (directory-derived values may come back as
+    date or ISO string depending on inference)."""
+    if isinstance(v, dt.datetime):
+        return v.date()
+    if isinstance(v, dt.date):
+        return v
+    return dt.date.fromisoformat(str(v))
+
+
 @dataclass
 class Table:
     """One partitioned parquet table with a declared sort key."""
@@ -119,6 +129,59 @@ class Table:
         shutil.rmtree(self.path, ignore_errors=True)
         Path(staging).rename(self.path)
 
+    def partition_values(self, spark: SparkSession) -> list[tuple]:
+        """Distinct partition-key tuples, from the directory listing only
+        (a metadata scan — no data files read; the projected columns are
+        all partition columns, so the parquet scan schema is empty)."""
+        rows = self.read(spark).select(*self.partition_by).distinct().collect()
+        return [tuple(r) for r in rows]
+
+    def drop_partitions(self, spark: SparkSession, values: list) -> int:
+        """``ALTER TABLE ... DROP PARTITION`` — remove whole partition
+        directories. Metadata/filesystem-only: no data is read or
+        rewritten, exactly like MergeTree's partition drop (and a
+        Delta/Iceberg drop-partition metadata commit). ``values``:
+        partition-key tuples (or scalars for a 1-column key). Returns
+        the number of directories removed."""
+        dropped = 0
+        for v in values:
+            t = v if isinstance(v, (tuple, list)) else (v,)
+            sub = "/".join(f"{c}={x}" for c, x in zip(self.partition_by, t))
+            p = Path(self.path, sub)
+            if p.exists():
+                shutil.rmtree(p)
+                dropped += 1
+        return dropped
+
+    def delete_where(self, spark: SparkSession, cond) -> int:
+        """Row-level DELETE (the reference's mutation analog) that
+        rewrites ONLY partitions containing matching rows: at 100 TB a
+        one-day delete touches one day's files, never the table. The
+        surviving rows of affected partitions are re-written via dynamic
+        partition overwrite; partitions left empty are dropped
+        (dynamic overwrite cannot express an empty partition). Returns
+        the number of partitions rewritten or dropped."""
+        cond = F.expr(cond) if isinstance(cond, str) else cond
+        df = self.read(spark)
+        affected = [
+            tuple(r)
+            for r in df.filter(cond).select(*self.partition_by).distinct().collect()
+        ]
+        if not affected:
+            return 0
+        spark_vals = spark.createDataFrame(affected, list(self.partition_by))
+        in_affected = df.join(F.broadcast(spark_vals), list(self.partition_by), "left_semi")
+        survivors = in_affected.filter(~cond)
+        kept_parts = {
+            tuple(r)
+            for r in survivors.select(*self.partition_by).distinct().collect()
+        }
+        if kept_parts:
+            self.overwrite_partitions(survivors)
+        emptied = [v for v in affected if v not in kept_parts]
+        self.drop_partitions(spark, emptied)
+        return len(affected)
+
     def apply_ttl(
         self,
         spark: SparkSession,
@@ -126,14 +189,25 @@ class Table:
         now: dt.date | None = None,
         day_col: str = "day",
     ) -> int:
-        """TTL retention (ods.action_001_dis.sql:21): drop whole partitions
-        older than ``now - keep``. At scale this is a metadata-only
-        partition drop (the filter is on the partition column, so only
-        pruned listings are read to find survivors). Returns the number
-        of partitions kept."""
+        """TTL retention (ods.action_001_dis.sql:21): drop whole
+        partitions older than ``now - keep``. When the TTL column IS the
+        (leading) partition column — the reference's layout — this is a
+        pure metadata operation: expired partition values come from the
+        directory listing and their directories are dropped; surviving
+        data is never read or rewritten. Falls back to a partition-pruned
+        row-level delete when the table is not partitioned by the TTL
+        column. Returns the number of partitions kept."""
         cutoff = (now or dt.date.today()) - keep
-        kept = self.read(spark).filter(F.col(day_col) >= F.lit(cutoff))
-        self._rewrite(kept)
+        if self.partition_by and self.partition_by[0] == day_col:
+            idx = 0
+            expired = [
+                v
+                for v in self.partition_values(spark)
+                if _as_date(v[idx]) < cutoff
+            ]
+            self.drop_partitions(spark, expired)
+        else:
+            self.delete_where(spark, F.col(day_col) < F.lit(cutoff))
         return self.read(spark).select(day_col).distinct().count()
 
     def stats(self, spark: SparkSession) -> DataFrame:
