@@ -155,6 +155,69 @@ class TableSpec:
         )
 
 
+@dataclass(frozen=True)
+class MutationSpec:
+    """A parsed ``ALTER TABLE`` mutation — the two MergeTree mutations
+    the engine supports natively (tables.py):
+
+    - ``DROP PARTITION <value>`` → :meth:`Table.drop_partitions`
+      (metadata-only directory drop);
+    - ``DELETE WHERE <cond>`` → :meth:`Table.delete_where`
+      (rewrites only partitions containing matches).
+
+    ``condition``/``partition`` are kept in both ClickHouse and
+    translated-Spark form; :meth:`apply` executes against an
+    instantiated :class:`Table`.
+    """
+
+    database: str
+    name: str
+    kind: str  # "drop_partition" | "delete"
+    partition: str | None = None  # literal partition value (drop_partition)
+    condition: str | None = None  # translated Spark SQL predicate (delete)
+
+    @property
+    def qualified(self) -> str:
+        return f"{self.database}.{self.name}"
+
+    def apply(self, table: Table, spark) -> int:
+        if self.kind == "drop_partition":
+            return table.drop_partitions(spark, [self.partition])
+        return table.delete_where(spark, self.condition)
+
+
+def parse_mutation(sql: str) -> MutationSpec:
+    """Parse ``ALTER TABLE [db.]t DROP PARTITION 'v'`` /
+    ``ALTER TABLE [db.]t DELETE WHERE cond`` (ClickHouse mutation
+    syntax; the ON CLUSTER clause is accepted and ignored — Spark owns
+    placement)."""
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = re.match(
+        r"alter\s+table\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?\s+(.*)",
+        s,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(f"not an ALTER TABLE statement: {sql[:80]!r}")
+    db, name = _qualify(m.group(1))
+    rest = m.group(2).strip()
+    dp = re.match(r"drop\s+partition\s+(.+)$", rest, re.I | re.S)
+    if dp:
+        part = dp.group(1).strip().strip("'\"")
+        return MutationSpec(db, name, "drop_partition", partition=part)
+    dl = re.match(r"delete\s+where\s+(.+)$", rest, re.I | re.S)
+    if dl:
+        return MutationSpec(
+            db, name, "delete", condition=translate(dl.group(1).strip())
+        )
+    raise ValueError(
+        f"unsupported ALTER mutation {rest[:60]!r}: only DROP PARTITION and "
+        "DELETE WHERE map onto the engine's partition-pruned mutations; "
+        "ADD/MODIFY COLUMN are schema evolution — use "
+        "MaterializedView.with_metric / with_dimension (D5/D6)"
+    )
+
+
 _COMMENT_RE = re.compile(r"--[^\n]*")
 
 

@@ -214,3 +214,42 @@ def test_ddl_mv_select_runs_per_batch(spark):
         g = got[r["day"]]
         assert g["cnt"] == r["cnt"]
         assert abs(g["uv"] - r["uv"]) <= max(3, 0.05 * r["uv"])
+
+
+def test_parse_mutation_drop_partition_and_delete(spark, tmp_path):
+    """ClickHouse ALTER mutations execute via the partition-pruned
+    Table mutations: DROP PARTITION is a directory drop, DELETE WHERE
+    translates its predicate through the dialect shim."""
+    import datetime as dt
+
+    from clickhouse_learning_spark.ddl import parse_mutation
+    from clickhouse_learning_spark.tables import Table
+
+    df = spark.range(300).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 3).cast("int")).alias("day"),
+    )
+    t = Table(str(tmp_path / "t"), ("day",))
+    t.append(df)
+
+    m1 = parse_mutation(
+        "ALTER TABLE ods.action_001_dis ON CLUSTER main DROP PARTITION '2024-01-02';"
+    )
+    assert m1.qualified == "ods.action_001_dis" and m1.kind == "drop_partition"
+    assert m1.apply(t, spark) == 1
+    days = {str(r[0]) for r in t.read(spark).select("day").distinct().collect()}
+    assert days == {"2024-01-01", "2024-01-03"}
+
+    m2 = parse_mutation(
+        "ALTER TABLE ods.action_001_dis DELETE WHERE toDate(day) = '2024-01-03' AND id % 2 = 0"
+    )
+    assert m2.kind == "delete"
+    assert m2.condition == "to_date(day) = '2024-01-03' AND id % 2 = 0"  # dialect-translated
+    m2.apply(t, spark)
+    left = t.read(spark).filter("day = DATE'2024-01-03'")
+    assert left.count() == 50 and left.filter("id % 2 = 0").count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="with_metric"):
+        parse_mutation("ALTER TABLE a.b ADD COLUMN x UInt32")
