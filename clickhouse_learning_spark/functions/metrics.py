@@ -642,12 +642,20 @@ def build_states(batch, dims, metrics):
         base = batch.groupBy(*dims).agg(*[m.partial() for m in plain])
     else:
         base = batch.select(*dims).distinct()
+    # metrics sharing (cond, value-expression) — e.g. p50/p95/p99 of the
+    # same source — share ONE pre-count pipeline and ONE join-back:
+    # their states read the same (value, count) rows
+    shared: dict[tuple, list] = {}
     for m in counted:
+        key = (str(m.cond), str(m.precount_value()))
+        shared.setdefault(key, []).append(m)
+    for ms in shared.values():
+        lead = ms[0]
         src = batch
-        if m.cond is not None:
-            src = src.filter(_as_col(m.cond))
+        if lead.cond is not None:
+            src = src.filter(_as_col(lead.cond))
         state = (
-            src.groupBy(*dims, m.precount_value().alias("_v"))
+            src.groupBy(*dims, lead.precount_value().alias("_v"))
             .agg(F.count(F.lit(1)).alias("_c"))
             # drop the NULL-value group: the one-expression partial()
             # path builds these states with collect_list, which skips
@@ -655,9 +663,10 @@ def build_states(batch, dims, metrics):
             # totals and shift weighted-quantile ranks
             .filter(F.col("_v").isNotNull())
             .groupBy(*dims)
-            .agg(m.state_from_counts(F.col("_v"), F.col("_c")))
+            .agg(*[m.state_from_counts(F.col("_v"), F.col("_c")) for m in ms])
         )
-        keyed = state.select(*[F.col(d).alias(f"_k_{d}") for d in dims], m.name)
+        names = [m.name for m in ms]
+        keyed = state.select(*[F.col(d).alias(f"_k_{d}") for d in dims], *names)
         cond = functools.reduce(
             operator.and_,
             [base[d].eqNullSafe(keyed[f"_k_{d}"]) for d in dims],
