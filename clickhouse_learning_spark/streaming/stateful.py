@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -79,6 +80,73 @@ def streaming_running_totals(
         fn,
         outputStructType=f"{key_col} long, n_events long, value_sum double",
         stateStructType="cnt long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_funnel_levels(
+    events: DataFrame,
+    conds: list[str],
+    window_s: int,
+    user_col: str = "uid",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Incremental ``windowFunnel`` — the streaming twin of
+    ``functions.funnel.funnel_levels``, same deterministic first-chance
+    semantics, ARRIVAL-ORDER INDEPENDENT: per-key state holds the
+    distinct matching epoch-seconds per stage (exactly the batch
+    operator's per-stage arrays), so a late stage-1 event correctly
+    re-anchors the window and may lower the level. State size is
+    bounded by distinct event-seconds per stage per user — the same
+    bound the batch shuffle carries. Emits (user, level, updates) each
+    micro-batch touching the key; take ``max_by(level, updates)`` for
+    the current value."""
+    from clickhouse_learning_spark.functions.scalar import epoch_seconds
+
+    n = len(conds)
+    proj = events.select(
+        F.col(user_col),
+        epoch_seconds(ts_col).alias("_s"),
+        *[F.expr(c).cast("boolean").alias(f"_c{i}") for i, c in enumerate(conds)],
+    )
+    state_schema = ", ".join(f"t{i} array<bigint>" for i in range(n)) + ", upd long"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            *arrs, upd = state.get
+            sets = [set(a) if a is not None else set() for a in arrs]
+        else:
+            sets = [set() for _ in range(n)]
+            upd = 0
+        for pdf in pdfs:
+            s = pdf["_s"]
+            for i in range(n):
+                mask = pdf[f"_c{i}"].fillna(False).astype(bool)
+                sets[i].update(int(x) for x in s[mask])
+        upd += 1
+        state.update((*[sorted(x) for x in sets], upd))
+        if not sets[0]:
+            level = 0
+        else:
+            t1 = min(sets[0])
+            level, t_prev = 1, t1
+            for k in range(1, n):
+                cands = [x for x in sets[k] if t_prev < x <= t1 + window_s]
+                if not cands:
+                    break
+                t_prev = min(cands)
+                level = k + 1
+        yield pd.DataFrame(
+            {user_col: [key[0]], "level": [level], "updates": [upd]}
+        )
+
+    return proj.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{user_col} long, level int, updates long",
+        stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -75,3 +75,32 @@ def test_builtin_streaming_drop_duplicates(spark, tmp_path):
     _run_to_memory(dedup, "dd_out", "append")
     n = spark.sql("SELECT count(*) c FROM dd_out").collect()[0]["c"]
     assert n == ev.select("uid").distinct().count()
+
+
+def test_streaming_funnel_equals_batch_funnel(spark, tmp_path):
+    """Dual-path: the incremental stateful funnel, fed the log as 6
+    micro-batches in hash order (NOT time order), converges to exactly
+    the batch funnel_levels answer — arrival-order independence of the
+    first-chance chain state."""
+    from clickhouse_learning_spark.functions import funnel as FN
+    from clickhouse_learning_spark.streaming.stateful import streaming_funnel_levels
+
+    ev, landing = _land(spark, tmp_path, n_files=6)
+    conds = ["event_type = 'view'", "event_type = 'click'", "event_type = 'purchase'"]
+    stream = parquet_stream(spark, landing, ev.schema, max_files_per_trigger=1)
+    _run_to_memory(
+        streaming_funnel_levels(stream, conds, window_s=86400, ts_col="second"),
+        "funnel_out",
+        "update",
+    )
+    got = {
+        r["uid"]: r["level"]
+        for r in spark.sql(
+            "SELECT uid, max_by(level, updates) AS level FROM funnel_out GROUP BY uid"
+        ).collect()
+    }
+    want = {
+        r["uid"]: r["level"]
+        for r in FN.funnel_levels(ev, "uid", "second", conds, window_s=86400).collect()
+    }
+    assert got == want
