@@ -105,6 +105,51 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["arrayJoin"] = lambda a: f"explode({_one(a, 'arrayJoin')})"
     m["multiIf"] = _multi_if
 
+    # -- common date/time scalars (beyond the reference's usage) ------------
+    m["toStartOfDay"] = lambda a: f"date_trunc('DAY', {_one(a, 'toStartOfDay')})"
+    m["toStartOfMinute"] = lambda a: (
+        f"date_trunc('MINUTE', {_one(a, 'toStartOfMinute')})"
+    )
+    m["toStartOfMonth"] = lambda a: f"trunc({_one(a, 'toStartOfMonth')}, 'MONTH')"
+    m["toStartOfWeek"] = lambda a: f"trunc({_one(a, 'toStartOfWeek')}, 'WEEK')"
+    m["toYYYYMM"] = lambda a: (
+        f"CAST(date_format({_one(a, 'toYYYYMM')}, 'yyyyMM') AS INT)"
+    )
+    m["toYYYYMMDD"] = lambda a: (
+        f"CAST(date_format({_one(a, 'toYYYYMMDD')}, 'yyyyMMdd') AS INT)"
+    )
+    m["toHour"] = lambda a: f"hour({_one(a, 'toHour')})"
+    m["toMinute"] = lambda a: f"minute({_one(a, 'toMinute')})"
+    m["toDayOfMonth"] = lambda a: f"day({_one(a, 'toDayOfMonth')})"
+    # ClickHouse toDayOfWeek: Monday=1..Sunday=7; Spark dayofweek: Sunday=1
+    m["toDayOfWeek"] = lambda a: (
+        f"(pmod(dayofweek({_one(a, 'toDayOfWeek')}) + 5, 7) + 1)"
+    )
+    m["formatDateTime"] = lambda a: (
+        lambda x, fmt: f"date_format({x}, {fmt})"
+    )(*_two(a, "formatDateTime"))
+
+    # -- strings / arrays ---------------------------------------------------
+    m["splitByChar"] = lambda a: (
+        lambda sep, x: f"split({x}, {sep})"
+    )(*_two(a, "splitByChar"))
+    m["arrayStringConcat"] = lambda a: (
+        f"array_join({a[0]}, {a[1] if len(a) > 1 else chr(39) + chr(39)})"
+    )
+    m["has"] = lambda a: (lambda arr, x: f"array_contains({arr}, {x})")(*_two(a, "has"))
+    m["empty"] = lambda a: f"(size({_one(a, 'empty')}) = 0)"
+    m["notEmpty"] = lambda a: f"(size({_one(a, 'notEmpty')}) > 0)"
+
+    # -- aggregate equivalents ----------------------------------------------
+    m["argMax"] = lambda a: (lambda x, o: f"max_by({x}, {o})")(*_two(a, "argMax"))
+    m["argMin"] = lambda a: (lambda x, o: f"min_by({x}, {o})")(*_two(a, "argMin"))
+    # ClickHouse any/anyLast pick an arbitrary encountered value — Spark's
+    # any_value has the same non-deterministic contract
+    m["any"] = lambda a: f"any_value({_one(a, 'any')})"
+    m["anyLast"] = lambda a: f"any_value({_one(a, 'anyLast')})"
+    m["groupArray"] = lambda a: f"collect_list({_one(a, 'groupArray')})"
+    m["groupUniqArray"] = lambda a: f"collect_set({_one(a, 'groupUniqArray')})"
+
     # -- additional casts (beyond the reference's usage, same family) -------
     m["toInt64"] = lambda a: f"CAST({_one(a, 'toInt64')} AS BIGINT)"
     m["toInt32"] = lambda a: f"CAST({_one(a, 'toInt32')} AS INT)"

@@ -280,3 +280,32 @@ def test_parameterized_quantile_family(spark, star_views):
         assert r["st_p50_exact"] == vals[min(n // 2, n - 1)]
         assert r["st_iqr"][0] <= r["st_p50"] <= r["st_iqr"][1]
         assert min(vals) <= r["st_p50"] <= max(vals)
+
+
+def test_translate_extended_scalar_and_aggregate_surface(spark):
+    """The widened function table: spot-check translations compile AND
+    compute correct values in Spark SQL."""
+    assert translate("argMax(uid, value)") == "max_by(uid, value)"
+    assert translate("groupUniqArray(x)") == "collect_set(x)"
+    assert translate("splitByChar(',', s)") == "split(s, ',')"
+    assert translate("has(tags, 'a')") == "array_contains(tags, 'a')"
+    row = spark.sql(
+        "SELECT "
+        + translate("toYYYYMM(toDate('2024-03-07'))") + " AS ym, "
+        + translate("toDayOfWeek(toDate('2024-03-04'))") + " AS dow_mon, "
+        + translate("toDayOfWeek(toDate('2024-03-10'))") + " AS dow_sun, "
+        + translate("arrayStringConcat(array('a','b'), '-')") + " AS joined, "
+        + translate("empty(array())") + " AS e, "
+        + translate("toStartOfDay(toDateTime('2024-03-07 13:45:00'))") + " AS sod"
+    ).collect()[0]
+    assert row["ym"] == 202403
+    assert row["dow_mon"] == 1 and row["dow_sun"] == 7  # ClickHouse Mon=1..Sun=7
+    assert row["joined"] == "a-b"
+    assert row["e"] is True
+    assert str(row["sod"]).startswith("2024-03-07 00:00:00")
+    agg = spark.sql(
+        "SELECT " + translate("argMax(a, b)") + " AS am, "
+        + translate("groupArray(a)") + " AS ga "
+        "FROM VALUES (1, 10), (2, 30), (3, 20) AS t(a, b)"
+    ).collect()[0]
+    assert agg["am"] == 2 and sorted(agg["ga"]) == [1, 2, 3]
