@@ -194,6 +194,48 @@ def assign_cells(
     return out.drop("_bc")
 
 
+def _quantize_to_bytes():
+    """array<float> → packed int8 bytes, per-vector symmetric scaling
+    (q = round(127·x / max|x|)). Cosine is scale-invariant, so the
+    scale factor needs no storage and quantized-vs-float similarities
+    differ only by the ≤1/254 per-component rounding error."""
+
+    @F.pandas_udf("binary")
+    def q(col: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            x = np.asarray(v, dtype=np.float64)
+            m = np.abs(x).max()
+            if m == 0:
+                return bytes(len(x))
+            return np.clip(np.round(127.0 * x / m), -127, 127).astype(np.int8).tobytes()
+
+        return col.map(one)
+
+    return q
+
+
+def _qcos_udf():
+    """(packed int8 bytes, query array<double>) → cosine."""
+
+    @F.pandas_udf("double")
+    def qcos(qv: pd.Series, query: pd.Series) -> pd.Series:
+        out = []
+        for b, qq in zip(qv, query):
+            if b is None or qq is None:
+                out.append(None)
+                continue
+            x = np.frombuffer(b, dtype=np.int8).astype(np.float64)
+            y = np.asarray(qq, dtype=np.float64)
+            nx = np.sqrt((x * x).sum())
+            ny = np.sqrt((y * y).sum())
+            out.append(float(x @ y / (nx * ny)) if nx > 0 and ny > 0 else None)
+        return pd.Series(out)
+
+    return qcos
+
+
 class IvfIndex:
     """Persistent IVF-flat index: the corpus stored cell-partitioned.
 
@@ -204,11 +246,19 @@ class IvfIndex:
     probe reads ~6% of the index files, the exact mechanism day
     partitions use. This is the durable form of :func:`ivf_topk`
     (which recomputes the assignment per query batch).
+
+    ``quantized=True`` stores each vector as packed int8 bytes instead
+    of ``array<float>`` (~4× smaller index; at 100 TB the difference
+    between an index that fits page cache and one that doesn't).
+    Cosine is scale-invariant so no scale factor is stored; probes
+    score the int8 vectors directly (≤1/254 per-component rounding
+    error — recall measured in tests), no re-rank pass needed.
     """
 
     def __init__(self, path: str):
         self.path = path
         self._centroids: list[list[float]] | None = None
+        self._quantized: bool | None = None
 
     def build(
         self,
@@ -216,28 +266,53 @@ class IvfIndex:
         n_centroids: int = 16,
         emb_col: str = "embedding",
         id_col: str = "vec_id",
+        quantized: bool = False,
     ) -> "IvfIndex":
         import json
         from pathlib import Path
 
         cents = train_centroids(corpus, n_centroids, emb_col, id_col)
         assigned = assign_cells(corpus, cents, emb_col)
+        if quantized:
+            assigned = assigned.select(
+                F.col(id_col),
+                _quantize_to_bytes()(F.col(emb_col)).alias("qv"),
+                "cell",
+            )
         (
             assigned.write.mode("overwrite")
             .partitionBy("cell")
             .parquet(self.path + "/data")
         )
-        Path(self.path, "centroids.json").write_text(json.dumps(cents))
+        Path(self.path, "centroids.json").write_text(
+            json.dumps({"centroids": cents, "quantized": quantized})
+        )
         self._centroids = cents
+        self._quantized = quantized
         return self
+
+    def _load_meta(self) -> None:
+        import json
+        from pathlib import Path
+
+        meta = json.loads(Path(self.path, "centroids.json").read_text())
+        if isinstance(meta, dict):
+            self._centroids = meta["centroids"]
+            self._quantized = bool(meta.get("quantized", False))
+        else:  # pre-quantization index files: bare centroid list
+            self._centroids = meta
+            self._quantized = False
 
     def centroids(self) -> list[list[float]]:
         if self._centroids is None:
-            import json
-            from pathlib import Path
-
-            self._centroids = json.loads(Path(self.path, "centroids.json").read_text())
+            self._load_meta()
         return self._centroids
+
+    @property
+    def quantized(self) -> bool:
+        if self._quantized is None:
+            self._load_meta()
+        return self._quantized
 
     def search(
         self,
@@ -275,13 +350,22 @@ class IvfIndex:
             f"{query_id_col} long, cell int",
         )
         q = queries.select(
-            F.col(query_id_col), F.col(emb_col).alias("qv")
+            F.col(query_id_col), F.col(emb_col).alias("_query_v")
         ).join(probe_df, query_id_col)
-        scored = data.join(F.broadcast(q), "cell").select(
-            query_id_col,
-            F.col(id_col).alias("vec_id"),
-            cosine(F.col(emb_col), F.col("qv")).alias("sim"),
-        )
+        if self.quantized:
+            scored = data.join(F.broadcast(q), "cell").select(
+                query_id_col,
+                F.col(id_col).alias("vec_id"),
+                _qcos_udf()(
+                    F.col("qv"), F.col("_query_v").cast("array<double>")
+                ).alias("sim"),
+            )
+        else:
+            scored = data.join(F.broadcast(q), "cell").select(
+                query_id_col,
+                F.col(id_col).alias("vec_id"),
+                cosine(F.col(emb_col), F.col("_query_v")).alias("sim"),
+            )
         w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("vec_id"))
         return (
             scored.withColumn("rank", F.row_number().over(w))

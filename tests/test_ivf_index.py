@@ -44,3 +44,38 @@ def test_ivf_index_reload_from_disk(spark, tmp_path):
     out = idx2.search(spark, q, k=5, n_probes=3).collect()
     assert len(out) == 15
     assert len(idx2.centroids()) == 8
+
+
+def test_quantized_ivf_recall_and_size(spark, tmp_path):
+    """int8-quantized index: ~4x smaller on disk than the float index
+    (the 100 TB page-cache argument), recall@10 still >= 0.9, and the
+    probed scan stays partition-pruned."""
+    import os
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    fidx = S.IvfIndex(str(tmp_path / "f")).build(emb, n_centroids=16)
+    qidx = S.IvfIndex(str(tmp_path / "q")).build(emb, n_centroids=16, quantized=True)
+    assert qidx.quantized and not fidx.quantized
+
+    def du(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p + "/data")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert du(qidx.path) * 2 < du(fidx.path)  # >=2x conservative (parquet encoding)
+
+    q = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = {(r.query_id, r.vec_id) for r in qidx.search(spark, q, k=10, n_probes=6).collect()}
+    exact = {
+        (r.query_id, r.vec_id) for r in S.cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9
+
+    # reload from disk: quantized flag persisted in the index metadata
+    idx2 = S.IvfIndex(str(tmp_path / "q"))
+    assert idx2.quantized is True
+    out = idx2.search(spark, q.limit(2), k=5, n_probes=3).collect()
+    assert len(out) == 10
