@@ -39,6 +39,7 @@ Dictionary own those lifecycles.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 
@@ -342,6 +343,51 @@ def _split_args(body: str) -> list[str]:
     return parts
 
 
+_LIMIT_BY_RE = re.compile(r"\blimit\s+\d+\s+by\b", re.I)
+# ClickHouse SAMPLE k: k in (0,1) = fraction of data; k >= 1 = ~row target
+# (row form needs table stats — not rewritable statically).
+_SAMPLE_RE = re.compile(r"\bsample\s+(0?\.\d+)\b", re.I)
+_SAMPLE_ROWS_RE = re.compile(r"\bsample\s+\d+\b", re.I)
+
+
+def _map_outside_strings(sql: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``sql`` outside string literals."""
+    parts: list[str] = []
+    i = start = 0
+    n = len(sql)
+    while i < n:
+        if sql[i] in "'\"":
+            parts.append(fn(sql[start:i]))
+            j = _skip_string(sql, i)
+            parts.append(sql[i:j])
+            i = start = j
+        else:
+            i += 1
+    parts.append(fn(sql[start:]))
+    return "".join(parts)
+
+
+def _rewrite_clauses(sql: str) -> str:
+    def seg(s: str) -> str:
+        if _LIMIT_BY_RE.search(s):
+            raise ValueError(
+                "LIMIT n BY cols has no Spark SQL clause; use a row_number() "
+                "window over the BY columns (see window_topk_per_group)"
+            )
+        s = _SAMPLE_RE.sub(
+            lambda m: f"TABLESAMPLE ({float(m.group(1)) * 100:g} PERCENT)", s
+        )
+        if _SAMPLE_ROWS_RE.search(s):
+            raise ValueError(
+                "SAMPLE n (approximate row count) needs table statistics; use "
+                "the fractional form SAMPLE 0.1 (→ TABLESAMPLE) or "
+                "df.sample(fraction)/operators.packing.stratified_sample"
+            )
+        return s
+
+    return _map_outside_strings(sql, seg)
+
+
 def translate(
     sql: str, dictionaries: dict[str, tuple] | None = None
 ) -> str:
@@ -352,7 +398,13 @@ def translate(
     key_column)`` — or ``(view_name, key_column, {attr: default})`` to
     reproduce the attribute DEFAULT clauses of the dictionary DDL
     (missing key → declared default instead of NULL).
+
+    Clause-level rewrites (before the function scan): ``SAMPLE f`` /
+    ``SAMPLE n`` after a table reference → ``TABLESAMPLE``; ``LIMIT n
+    BY cols`` has no Spark clause and raises pointing at the window
+    formulation.
     """
+    sql = _rewrite_clauses(sql)
     out: list[str] = []
     i = 0
     n = len(sql)

@@ -309,3 +309,19 @@ def test_translate_extended_scalar_and_aggregate_surface(spark):
         "FROM VALUES (1, 10), (2, 30), (3, 20) AS t(a, b)"
     ).collect()[0]
     assert agg["am"] == 2 and sorted(agg["ga"]) == [1, 2, 3]
+
+
+def test_translate_sample_and_limit_by_clauses(spark, star_views):
+    """Clause-level rewrites: fractional SAMPLE becomes TABLESAMPLE and
+    actually executes; LIMIT BY and row-count SAMPLE raise with the
+    engine's alternatives; literals are never rewritten."""
+    sql = translate("SELECT count(*) AS n FROM ch_a1 SAMPLE 0.5")
+    assert "TABLESAMPLE (50 PERCENT)" in sql
+    total = spark.sql("SELECT count(*) AS n FROM ch_a1").collect()[0]["n"]
+    n = spark.sql(sql).collect()[0]["n"]
+    assert 0 < n < total
+    assert translate("SELECT 'SAMPLE 0.5' AS s") == "SELECT 'SAMPLE 0.5' AS s"
+    with pytest.raises(ValueError, match="window_topk_per_group"):
+        translate("SELECT x FROM t ORDER BY x LIMIT 3 BY g")
+    with pytest.raises(ValueError, match="stratified_sample"):
+        translate("SELECT count(*) FROM t SAMPLE 1000")
