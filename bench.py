@@ -49,6 +49,8 @@ HEADLINE = [
     "bm25_topk",
     "doc_fingerprint",
     "stats_moments",
+    "audio_spectral",
+    "with_fill_days",
     "ann_ivf_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
