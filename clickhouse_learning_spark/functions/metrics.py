@@ -74,7 +74,12 @@ KINDS = (
     "quantile",
     "quantile_sketch",
     "topk",
+    "summap",
 )
+
+# State type of the ``summap`` kind: key → summed-weight pairs
+# (ClickHouse ``sumMap`` state: parallel key/value arrays).
+SUMMAP_STATE_TYPE = "array<struct<k:string,c:bigint>>"
 
 # Sentinel bucket for non-positive inputs of the quantile_sketch kind
 # (DDSketch's dedicated zero counter; representative value 0.0).
@@ -150,6 +155,14 @@ class MetricSpec:
                 must carry the exact struct/array element types for
                 ``unionByName`` in multi-writer wide tables (reference
                 T7, dwm…sql:157-238).
+    ``weight``  for ``summap`` (ClickHouse ``sumMap(map(k, w))``):
+                ``source`` is the KEY expression (cast to string), and
+                ``weight`` the summed value per key (default 1 → a
+                per-key counter). State is key→sum pairs
+                (``SUMMAP_STATE_TYPE``); merge concatenates, finalize
+                re-sums per key and emits the map as a deterministic
+                ``k1:v1|k2:v2`` string sorted by key (map columns break
+                row-hash canonicalizers the way arrays do).
     ``k`` / ``reserve``  for ``topk`` (ClickHouse ``topK(k)`` — Filtered
                 Space-Saving heavy hitters): the result is the ``k`` most
                 frequent values of ``source``; the state is value→count
@@ -175,6 +188,7 @@ class MetricSpec:
     k: int = 10
     reserve: int = 0  # 0 → 4*k
     alpha: float = 0.01
+    weight: str | Column = "1"
     representation: str = "array"
     value_type: str = "bigint"
     order_type: str = "bigint"
@@ -298,6 +312,15 @@ class MetricSpec:
                 F.collect_list(x),
                 lambda v: F.struct(v.alias("v"), F.lit(1).cast("long").alias("c")),
             ).alias(self.name)
+        if self.kind == "summap":
+            k = _as_col(self.source).cast("string")
+            w = _as_col(self.weight).cast("long")
+            pair = F.struct(k.alias("k"), w.alias("c"))
+            if self.cond is not None:
+                pair = F.when(_as_col(self.cond) & k.isNotNull(), pair)
+            else:
+                pair = F.when(k.isNotNull(), pair)
+            return F.collect_list(pair).cast(SUMMAP_STATE_TYPE).alias(self.name)
         if self.kind in ("argmax", "argmin"):
             if self.order_by is None:
                 raise ValueError(f"{self.name}: kind {self.kind} requires order_by")
@@ -332,7 +355,7 @@ class MetricSpec:
             return F.struct(
                 F.sum(c.getField("s")).alias("s"), F.sum(c.getField("c")).alias("c")
             ).alias(self.name)
-        if self.kind in ("median", "quantile", "quantile_sketch", "topk"):
+        if self.kind in ("median", "quantile", "quantile_sketch", "topk", "summap"):
             return F.flatten(F.collect_list(c)).alias(self.name)
         if self.kind == "argmax":
             return F.max(c).alias(self.name)
@@ -367,6 +390,8 @@ class MetricSpec:
             return dd_value(weighted_quantile(c, self.level), self.alpha).alias(self.name)
         if self.kind == "topk":
             return topk_from_state(c, self.k).alias(self.name)
+        if self.kind == "summap":
+            return summap_from_state(c).alias(self.name)
         if self.kind in ("argmax", "argmin"):
             return c.getField("v").alias(self.name)
         raise AssertionError(self.kind)
@@ -393,6 +418,8 @@ class MetricSpec:
             return F.lit(None).cast("array<bigint>").alias(self.name)
         if self.kind in ("quantile", "quantile_sketch"):
             return F.lit(None).cast(QUANTILE_STATE_TYPE).alias(self.name)
+        if self.kind == "summap":
+            return F.lit(None).cast(SUMMAP_STATE_TYPE).alias(self.name)
         if self.kind == "avg":
             return F.lit(None).cast("struct<s:double,c:bigint>").alias(self.name)
         if self.kind in ("argmax", "argmin"):
@@ -601,6 +628,37 @@ def topk_from_state(c: Column, k: int) -> Column:
         F.transform(dedup, lambda s: F.struct((-s["c"]).alias("nc"), s["v"].alias("v")))
     )
     return F.transform(F.slice(ranked, 1, k), lambda s: s["v"])
+
+
+def summap_from_state(c: Column) -> Column:
+    """Finalize a ``summap`` key→sum state: re-sum duplicate keys
+    (merged-but-uncompacted states carry one entry per batch) and emit
+    ``k1:v1|k2:v2`` sorted by key — ClickHouse ``sumMap``'s sorted
+    key/value arrays, flattened to a canonicalizer-safe string. NULL
+    state (no row passed the -If filter) → empty string, matching
+    sumMap's empty map. The per-key re-sum is the same bounded
+    O(entries²) HOF as topk_from_state — off the hot path by
+    construction."""
+    e = F.array_sort(c)
+    dedup = F.array_distinct(
+        F.transform(
+            e,
+            lambda s: F.struct(
+                s["k"].alias("k"),
+                F.aggregate(
+                    F.filter(e, lambda t: t["k"] == s["k"]),
+                    F.lit(0).cast("long"),
+                    lambda a, t: a + t["c"],
+                ).alias("c"),
+            ),
+        )
+    )
+    return F.coalesce(
+        F.array_join(
+            F.transform(dedup, lambda s: F.concat_ws(":", s["k"], s["c"])), "|"
+        ),
+        F.lit(""),
+    )
 
 
 def topk_state_from_counts(v: Column, c: Column, reserve: int) -> Column:

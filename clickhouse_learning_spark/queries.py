@@ -409,6 +409,34 @@ def bitmap_funnel_roaring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "summap_event_values",
+    f"""
+    WITH s AS (
+      SELECT day, event_type AS k,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS c
+      FROM {_EV} GROUP BY day, event_type)
+    SELECT day, string_agg(k || ':' || c, '|' ORDER BY k) AS type_cents
+    FROM s GROUP BY day
+    """,
+)
+def summap_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap(map(event_type, cents))`` per day — the Map
+    combinator family as a mergeable state (MetricSpec kind="summap"):
+    states build at (day, hour) grain, merge across hours, finalize to
+    sumMap's sorted key/value pairs (emitted as a ``k:v|...`` string —
+    map columns break row-hash canonicalizers the way arrays do)."""
+    ev = _events(spark, sf_dir)
+    spec = M.MetricSpec(
+        "type_cents",
+        "summap",
+        "event_type",
+        weight=F.floor(F.col("value") * 100).cast("long"),
+    )
+    states = ev.groupBy("day", "hour").agg(spec.partial())
+    return states.groupBy("day").agg(spec.merged_finalized())
+
+
+@query(
     "having_over_agg",
     f"""
     SELECT hour, CAST(count(*) AS BIGINT) AS cnt, count(DISTINCT uid) AS uv
