@@ -103,3 +103,23 @@ def _assert_invariant(spark, df, spec):
             assert a == pytest.approx(b, rel=1e-12), (g, a, b)
         else:
             assert a == b, (g, a, b)
+
+
+@given(rows=ROWS, split_mod=st.integers(min_value=2, max_value=4))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_split_merge_invariance_summap(spark, rows, split_mod):
+    """sumMap states: per-key sums are split/merge-invariant (keys from
+    a small alphabet so batches genuinely overlap on keys)."""
+    df = spark.createDataFrame(
+        [
+            (g, f"k{abs(v) % 3}", v, c, i % split_mod)
+            for i, (g, v, c) in enumerate(rows)
+        ],
+        "g int, k string, v long, c boolean, s int",
+    )
+    spec = MetricSpec("m", "summap", "k", cond=F.col("c"), weight=F.col("v"))
+    _assert_invariant(spark, df, spec)
