@@ -227,32 +227,47 @@ class MetricSpec:
         return F.when(_as_col(self.cond), src)
 
     # -- relational pre-count write path (value→count state kinds) ------------
-    # These kinds hold (value, count) entries; building them via
+    # These kinds hold (value, count/sum) entries; building them via
     # collect_list(raw row) puts an O(rows) array through an
-    # ObjectHashAggregate. The scale path instead pre-counts with a
-    # fully-codegen groupBy(dims, value).count() and collects the
+    # ObjectHashAggregate. The scale path instead pre-aggregates with a
+    # fully-codegen groupBy(dims, value) and collects the
     # already-compact per-value rows — state size is O(distinct values)
-    # (quantile), O(occupied log-buckets) (quantile_sketch), or
+    # (quantile/summap), O(occupied log-buckets) (quantile_sketch), or
     # O(reserve) (topk) per group regardless of batch size.
-    PRECOUNT_KINDS = ("topk", "quantile", "quantile_sketch")
+    PRECOUNT_KINDS = ("topk", "quantile", "quantile_sketch", "summap")
 
     def precount_value(self) -> Column:
-        """The value expression counted by the pre-count groupBy (the
+        """The value expression grouped on by the pre-count groupBy (the
         -If condition is applied as a row filter by the caller)."""
         src = _as_col(self.source)
         if self.kind == "topk":
             return src
+        if self.kind == "summap":
+            return src.cast("string")
         if self.kind == "quantile":
             return src.cast("long")
         if self.kind == "quantile_sketch":
             return dd_bucket(src, self.alpha)
         raise AssertionError(self.kind)
 
+    def precount_agg(self) -> Column:
+        """The per-value aggregate of the pre-count groupBy: row count
+        for the count-shaped kinds, summed ``weight`` for ``summap``."""
+        if self.kind == "summap":
+            return F.sum(_as_col(self.weight).cast("long"))
+        return F.count(F.lit(1))
+
     def state_from_counts(self, v: Column, c: Column) -> Column:
-        """Aggregate expression building the state from pre-counted
-        (value, count) rows; use under ``groupBy(dims)``."""
+        """Aggregate expression building the state from pre-aggregated
+        (value, count/sum) rows; use under ``groupBy(dims)``."""
         if self.kind == "topk":
             return topk_state_from_counts(v, c, self.topk_reserve).alias(self.name)
+        if self.kind == "summap":
+            return (
+                F.collect_list(F.struct(v.alias("k"), c.cast("long").alias("c")))
+                .cast(SUMMAP_STATE_TYPE)
+                .alias(self.name)
+            )
         if self.kind in ("quantile", "quantile_sketch"):
             return (
                 F.collect_list(F.struct(v.alias("v"), c.cast("long").alias("c")))
@@ -313,6 +328,11 @@ class MetricSpec:
                 lambda v: F.struct(v.alias("v"), F.lit(1).cast("long").alias("c")),
             ).alias(self.name)
         if self.kind == "summap":
+            # One-expression fallback: (key, weight) pairs, one entry per
+            # ROW — correct but O(rows) state. The engine's
+            # materialize_batch / build_states pre-aggregates relationally
+            # (groupBy(dims, key).sum(weight)) so states are O(distinct
+            # keys); compaction re-sums either way.
             k = _as_col(self.source).cast("string")
             w = _as_col(self.weight).cast("long")
             pair = F.struct(k.alias("k"), w.alias("c"))
@@ -705,7 +725,7 @@ def build_states(batch, dims, metrics):
     # their states read the same (value, count) rows
     shared: dict[tuple, list] = {}
     for m in counted:
-        key = (str(m.cond), str(m.precount_value()))
+        key = (str(m.cond), str(m.precount_value()), str(m.precount_agg()))
         shared.setdefault(key, []).append(m)
     for ms in shared.values():
         lead = ms[0]
@@ -714,7 +734,7 @@ def build_states(batch, dims, metrics):
             src = src.filter(_as_col(lead.cond))
         state = (
             src.groupBy(*dims, lead.precount_value().alias("_v"))
-            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(lead.precount_agg().alias("_c"))
             # drop the NULL-value group: the one-expression partial()
             # path builds these states with collect_list, which skips
             # NULLs — the v=NULL group would otherwise inflate count
@@ -734,6 +754,44 @@ def build_states(batch, dims, metrics):
         # merge-neutral state, same as every other kind
     # preserve declared metric order for a stable storage schema
     return base.select(*dims, *[m.name for m in metrics])
+
+
+def compress_summap_states(df, dims, specs):
+    """Compaction for ``summap`` states: explode → re-sum per key →
+    re-collect sorted, shrinking merged states to one entry per distinct
+    key (same codegen explode/two-level-groupBy shape as
+    :func:`compress_quantile_states`)."""
+    import functools
+    import operator
+
+    out = df
+    for spec in specs:
+        q = (
+            out.select(*dims, F.explode_outer(F.col(spec.name)).alias("_e"))
+            .groupBy(*dims, F.col("_e.k").alias("_k"))
+            .agg(F.sum("_e.c").alias("_c"))
+            .groupBy(*dims)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_k").isNotNull(),
+                            F.struct(F.col("_k").alias("k"), F.col("_c").alias("c")),
+                        )
+                    )
+                )
+                .cast(SUMMAP_STATE_TYPE)
+                .alias(spec.name)
+            )
+        )
+        keyed = q.select(*[F.col(d).alias(f"_j_{d}") for d in dims], spec.name)
+        out = out.drop(spec.name)
+        cond = functools.reduce(
+            operator.and_,
+            [out[d].eqNullSafe(keyed[f"_j_{d}"]) for d in dims],
+        )
+        out = out.join(keyed, cond, "left").drop(*[f"_j_{d}" for d in dims])
+    return out
 
 
 def compress_topk_states(df, dims, specs):

@@ -131,6 +131,14 @@ class MaterializedView:
             )
 
             merged = compress_topk_states(merged, list(self.dims), tspecs)
+        mspecs = [m for m in self.metrics if m.kind == "summap"]
+        if mspecs:
+            # summap states re-sum per key (one entry per distinct key)
+            from clickhouse_learning_spark.functions.metrics import (
+                compress_summap_states,
+            )
+
+            merged = compress_summap_states(merged, list(self.dims), mspecs)
         self.storage._rewrite(merged)
 
     # -- schema evolution (D5/D6) ---------------------------------------------

@@ -432,7 +432,9 @@ def summap_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         weight=F.floor(F.col("value") * 100).cast("long"),
     )
-    states = ev.groupBy("day", "hour").agg(spec.partial())
+    # relational pre-aggregated write path: states are O(distinct keys)
+    # per (day, hour), not O(rows) (metrics.build_states)
+    states = M.build_states(ev, ("day", "hour"), (spec,))
     return states.groupBy("day").agg(spec.merged_finalized())
 
 
