@@ -188,3 +188,23 @@ def test_roaring_state_smaller_than_array_at_density(spark, tmp_path):
     # dense 100k-per-group sets: roaring ≈ 1-2 bit/uid, long array ≈ 8 B
     # (parquet encoding narrows the gap; 3× is conservative)
     assert du(paths["roaring"]) * 3 < du(paths["array"])
+
+
+def test_codec_roundtrip_property():
+    """Hypothesis: serialize∘deserialize is identity on arbitrary uint32
+    sets; cardinality header always matches; union distributes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vals = st.lists(st.integers(min_value=0, max_value=2**32 - 1), max_size=300)
+
+    @settings(max_examples=200, deadline=None)
+    @given(a=vals, b=vals)
+    def check(a, b):
+        sa, sb = R.serialize(a), R.serialize(b)
+        assert np.array_equal(R.deserialize(sa), np.unique(np.asarray(a, dtype=np.int64)).astype(np.uint32))
+        assert R.cardinality(sa) == len(set(a))
+        u = R.union_bytes([sa, sb])
+        assert set(R.deserialize(u).tolist()) == set(a) | set(b)
+
+    check()
