@@ -176,3 +176,56 @@ def test_global_topk_is_take_ordered(spark):
     plan = plan_text(df)
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan
+
+
+def test_with_fill_calendar_is_broadcast(spark):
+    """WITH FILL: the exploded min/max calendar is a 1-row-aggregate
+    derivation — its join onto the rollup must be broadcast, never a
+    shuffle of the (big) aggregate side."""
+    import clickhouse_learning_spark.queries_behavior  # noqa: F401
+
+    df = QUERIES["with_fill_days"](spark, SF_SMOKE)
+    plan = plan_text(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:2000]
+
+
+def test_summap_precount_is_two_level_hash_agg(spark):
+    """summap write path: relational pre-aggregation — two HashAggregate
+    levels over (dims, key), no ObjectHashAggregate carrying raw rows in
+    the pre-count subtree (the collect into the state array is the only
+    object agg, over already-compact per-key rows)."""
+    df = QUERIES["summap_event_values"](spark, SF_SMOKE)
+    plan = plan_text(df, mode="extended")
+    # the per-(day,hour,event_type) SUM(weight) pre-aggregation exists
+    assert plan.lower().count("hashaggregate") >= 4, plan[:3000]
+
+
+def test_retention_single_exchange(spark):
+    """retention_flags: one shuffle (the groupBy) — conditional max
+    flags are plain codegen aggregates."""
+    from clickhouse_learning_spark.functions import funnel as FN
+    from clickhouse_learning_spark.queries import _events
+
+    ev = _events(spark, SF_SMOKE)
+    df = FN.retention_flags(
+        ev, ["uid"], ["event_type = 'view'", "event_type = 'click'"]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "ObjectHashAggregate" not in plan, plan
+
+
+def test_quantized_ivf_probe_prunes_partitions(spark, tmp_path):
+    """The int8-quantized index probe must keep the cell partition
+    pruning of the float index."""
+    from clickhouse_learning_spark.operators.similarity import IvfIndex
+    from clickhouse_learning_spark.schemas import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = IvfIndex(str(tmp_path / "q")).build(emb, n_centroids=8, quantized=True)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_text(idx.search(spark, q, k=5, n_probes=2))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], plan[:2000]
