@@ -155,7 +155,10 @@ class MetricSpec:
                 must carry the exact struct/array element types for
                 ``unionByName`` in multi-writer wide tables (reference
                 T7, dwm…sql:157-238).
-    ``weight``  for ``summap`` (ClickHouse ``sumMap(map(k, w))``):
+    ``weight``  for ``summap`` and ``topk``. topk: per-row weight —
+                ClickHouse ``topKWeighted(k)(x, w)``; the default "1"
+                is plain ``topK``. summap (ClickHouse
+                ``sumMap(map(k, w))``):
                 ``source`` is the KEY expression (cast to string), and
                 ``weight`` the summed value per key (default 1 → a
                 per-key counter). State is key→sum pairs
@@ -252,8 +255,10 @@ class MetricSpec:
 
     def precount_agg(self) -> Column:
         """The per-value aggregate of the pre-count groupBy: row count
-        for the count-shaped kinds, summed ``weight`` for ``summap``."""
-        if self.kind == "summap":
+        for the count-shaped kinds, summed ``weight`` for ``summap`` and
+        weighted ``topk`` (ClickHouse ``topKWeighted(k)(x, w)`` — the
+        default weight "1" degenerates to the plain count)."""
+        if self.kind in ("summap", "topk"):
             return F.sum(_as_col(self.weight).cast("long"))
         return F.count(F.lit(1))
 
@@ -319,14 +324,15 @@ class MetricSpec:
                 return roaring.partial_state(x).alias(self.name)
             return F.sort_array(F.collect_set(x)).alias(self.name)
         if self.kind == "topk":
-            # One-expression fallback: (value, 1) pairs, uncapped — correct
-            # for modest batch×group sizes. The engine's materialize_batch
-            # pre-counts relationally and caps at topk_reserve (the scale
-            # path); compaction re-sums + re-caps either way.
-            return F.transform(
-                F.collect_list(x),
-                lambda v: F.struct(v.alias("v"), F.lit(1).cast("long").alias("c")),
-            ).alias(self.name)
+            # One-expression fallback: (value, weight) pairs, uncapped —
+            # correct for modest batch×group sizes. The engine's
+            # materialize_batch pre-aggregates relationally and caps at
+            # topk_reserve (the scale path); compaction re-sums + re-caps
+            # either way. weight="1" (default) = plain topK; otherwise
+            # ClickHouse topKWeighted semantics.
+            w = _as_col(self.weight).cast("long")
+            pair = F.when(x.isNotNull(), F.struct(x.alias("v"), w.alias("c")))
+            return F.collect_list(pair).alias(self.name)
         if self.kind == "summap":
             # One-expression fallback: (key, weight) pairs, one entry per
             # ROW — correct but O(rows) state. The engine's

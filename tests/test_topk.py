@@ -115,3 +115,29 @@ def test_topk_numeric_values_and_k_larger_than_distinct(spark):
 def test_bad_k_rejected():
     with pytest.raises(ValueError):
         MetricSpec("t", "topk", "v", k=0)
+
+
+def test_topk_weighted(spark):
+    """topKWeighted: weights reorder the result vs plain counts — 'b'
+    appears once with weight 100 and must beat 'a' (3 plain rows)."""
+    from clickhouse_learning_spark.functions.metrics import MetricSpec, build_states
+
+    df = spark.createDataFrame(
+        [(1, "a", 1), (1, "a", 1), (1, "a", 1), (1, "b", 100), (1, "c", 2)],
+        "g int, t string, w long",
+    )
+    plain = MetricSpec("m", "topk", "t", k=2, value_type="string")
+    weighted = MetricSpec("m", "topk", "t", k=2, weight="w", value_type="string")
+
+    def run(spec):
+        st = build_states(df, ("g",), (spec,))
+        return st.groupBy("g").agg(spec.merged_finalized()).collect()[0]["m"]
+
+    assert run(plain) == ["a", "b"]  # b/c tie at 1 → smaller value wins
+    assert run(weighted) == ["b", "a"]
+    # one-expression partial path agrees with the relational path
+    direct = (
+        df.groupBy("g").agg(weighted.partial()).groupBy("g")
+        .agg(weighted.merged_finalized()).collect()[0]["m"]
+    )
+    assert direct == ["b", "a"]
