@@ -258,7 +258,9 @@ class MetricSpec:
         for the count-shaped kinds, summed ``weight`` for ``summap`` and
         weighted ``topk`` (ClickHouse ``topKWeighted(k)(x, w)`` — the
         default weight "1" degenerates to the plain count)."""
-        if self.kind in ("summap", "topk"):
+        if self.kind in ("summap", "topk", "quantile"):
+            # quantile: ClickHouse quantileExactWeighted's explicit
+            # per-row weight (default "1" = every row counts once)
             return F.sum(_as_col(self.weight).cast("long"))
         return F.count(F.lit(1))
 
@@ -307,12 +309,14 @@ class MetricSpec:
         if self.kind == "median":
             return F.collect_list(x).alias(self.name)
         if self.kind == "quantile":
-            # value→count pairs; per-batch entries carry c=1 (compaction
-            # re-sums to O(distinct) via compress_quantile_states — the
-            # same lazy-merge contract as every other state here)
-            vals = F.collect_list(x.cast("long"))
-            ones = F.array_repeat(F.lit(1).cast("long"), F.size(vals))
-            return F.arrays_zip(vals, ones).cast(QUANTILE_STATE_TYPE).alias(self.name)
+            # value→count pairs; per-batch entries carry c=weight
+            # (default 1; compaction re-sums to O(distinct) via
+            # compress_quantile_states — the same lazy-merge contract as
+            # every other state here)
+            v = x.cast("long")
+            w = _as_col(self.weight).cast("long")
+            pair = F.when(v.isNotNull(), F.struct(v.alias("v"), w.alias("c")))
+            return F.collect_list(pair).cast(QUANTILE_STATE_TYPE).alias(self.name)
         if self.kind == "quantile_sketch":
             vals = F.collect_list(dd_bucket(x, self.alpha))
             ones = F.array_repeat(F.lit(1).cast("long"), F.size(vals))

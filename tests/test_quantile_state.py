@@ -117,3 +117,30 @@ def test_compress_handles_null_dims_and_empty_states(spark):
     assert got[2] == []  # empty state preserved, finalizes to NULL
     fin = comp.select("g", spec.finalize()).collect()
     assert {r["g"]: r["q"] for r in fin} == {1: 5, None: 5, 2: None}
+
+
+def test_quantile_weighted_explicit_weight(spark):
+    """quantileExactWeighted with a real per-row weight: the weighted
+    median equals the median of the weight-expanded multiset, on both
+    the relational and one-expression write paths."""
+    from clickhouse_learning_spark.functions.metrics import MetricSpec, build_states
+
+    rows = [(1, 10, 1), (1, 20, 5), (1, 30, 1)]  # expanded: 10,20×5,30 → p50=20
+    df = spark.createDataFrame(rows, "g int, v long, w long")
+    spec = MetricSpec("m", "quantile", "v", level=0.5, weight="w")
+    st = build_states(df, ("g",), (spec,))
+    got = st.groupBy("g").agg(spec.merged_finalized()).collect()[0]["m"]
+    assert got == 20
+    direct = (
+        df.groupBy("g").agg(spec.partial()).groupBy("g")
+        .agg(spec.merged_finalized()).collect()[0]["m"]
+    )
+    assert direct == 20
+    # weight skews the rank: heavy tail value dominates
+    rows2 = [(1, 10, 1), (1, 20, 1), (1, 99, 10)]
+    df2 = spark.createDataFrame(rows2, "g int, v long, w long")
+    got2 = (
+        build_states(df2, ("g",), (spec,)).groupBy("g")
+        .agg(spec.merged_finalized()).collect()[0]["m"]
+    )
+    assert got2 == 99
