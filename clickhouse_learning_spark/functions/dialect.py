@@ -234,7 +234,7 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         lambda x, y: f"size(array_union({x}, {y}))"
     )(*_two(a, "bitmapOrCardinality"))
 
-    # -- behavioral aggregates: multi-stage plans, not expressions ----------
+    # -- behavioral / map aggregates: multi-stage plans, not expressions ----
     def _retention_gate(a):
         raise ValueError(
             "retention(conds...) maps to functions.funnel.retention_flags "
@@ -242,6 +242,15 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         )
 
     m["retention"] = _retention_gate
+
+    def _summap_gate(a):
+        raise ValueError(
+            "sumMap needs an explode+regroup plan, not one expression; use "
+            "MetricSpec(kind='summap', source=key, weight=value) via "
+            "metrics.build_states (see summap_event_values)"
+        )
+
+    m["sumMap"] = _summap_gate
     return m
 
 
@@ -266,6 +275,19 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
             "topK(k)(x) has no single-expression Spark SQL form; use "
             "MetricSpec(kind='topk', k=...) via metrics.build_states — the "
             "relational Space-Saving write path (see topk_heavy_hitters)"
+        )
+    ),
+    "topKWeighted": lambda p, a: (_ for _ in ()).throw(
+        ValueError(
+            "topKWeighted(k)(x, w) maps to MetricSpec(kind='topk', k=..., "
+            "weight=w) via metrics.build_states"
+        )
+    ),
+    "quantileExactWeighted": lambda p, a: (_ for _ in ()).throw(
+        ValueError(
+            "quantileExactWeighted(p)(x, w) maps to MetricSpec("
+            "kind='quantile', level=p, weight=w) via metrics.build_states "
+            "(see quantile_weighted_state)"
         )
     ),
     "windowFunnel": lambda p, a: (_ for _ in ()).throw(

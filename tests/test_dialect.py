@@ -325,3 +325,12 @@ def test_translate_sample_and_limit_by_clauses(spark, star_views):
         translate("SELECT x FROM t ORDER BY x LIMIT 3 BY g")
     with pytest.raises(ValueError, match="stratified_sample"):
         translate("SELECT count(*) FROM t SAMPLE 1000")
+
+
+def test_translate_weighted_aggregate_gates():
+    with pytest.raises(ValueError, match="weight=w"):
+        translate("topKWeighted(3)(event_type, cents)")
+    with pytest.raises(ValueError, match="quantile_weighted_state"):
+        translate("quantileExactWeighted(0.9)(latency, calls)")
+    with pytest.raises(ValueError, match="summap_event_values"):
+        translate("sumMap(m)")
