@@ -191,6 +191,7 @@ class MetricSpec:
     k: int = 10
     reserve: int = 0  # 0 → 4*k
     alpha: float = 0.01
+    lg_k: int = HLL_LG_K  # uniq: HLL precision (2^lg_k registers; CH uniqCombined(K) analog)
     weight: str | Column = "1"
     representation: str = "array"
     value_type: str = "bigint"
@@ -287,7 +288,7 @@ class MetricSpec:
     def partial(self) -> Column:
         x = self._input()
         if self.kind == "uniq":
-            return F.hll_sketch_agg(x, F.lit(HLL_LG_K)).alias(self.name)
+            return F.hll_sketch_agg(x, F.lit(self.lg_k)).alias(self.name)
         if self.kind == "uniq_exact":
             # exact distinct keeps the value set as its state (uniqExact is
             # discouraged by the reference for the same memory reason,
