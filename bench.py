@@ -30,6 +30,7 @@ HEADLINE = [
     "median_state_merge",
     "quantile_sketch_dd",
     "topk_heavy_hitters",
+    "summap_event_values",
     "bitmap_funnel",
     "bitmap_funnel_roaring",
     "window_funnel_levels",
