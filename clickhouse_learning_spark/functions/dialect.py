@@ -140,6 +140,17 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["has"] = lambda a: (lambda arr, x: f"array_contains({arr}, {x})")(*_two(a, "has"))
     m["empty"] = lambda a: f"(size({_one(a, 'empty')}) = 0)"
     m["notEmpty"] = lambda a: f"(size({_one(a, 'notEmpty')}) > 0)"
+    m["arrayDistinct"] = lambda a: f"array_distinct({_one(a, 'arrayDistinct')})"
+    m["arraySort"] = lambda a: f"array_sort({_one(a, 'arraySort')})"
+    m["arrayReverse"] = lambda a: f"reverse({_one(a, 'arrayReverse')})"
+    m["arrayConcat"] = lambda a: f"concat({', '.join(a)})"
+    m["arraySlice"] = lambda a: f"slice({', '.join(a)})"
+    m["indexOf"] = lambda a: (
+        lambda arr, x: f"array_position({arr}, {x})"
+    )(*_two(a, "indexOf"))
+    m["arraySum"] = lambda a: (
+        f"aggregate({_one(a, 'arraySum')}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
 
     # -- aggregate equivalents ----------------------------------------------
     m["argMax"] = lambda a: (lambda x, o: f"max_by({x}, {o})")(*_two(a, "argMax"))

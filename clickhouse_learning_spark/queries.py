@@ -409,6 +409,31 @@ def bitmap_funnel_roaring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_histogram",
+    f"""
+    SELECT event_type,
+           least(greatest(CAST(floor(value * 10) AS BIGINT), 0), 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {_EV}
+    GROUP BY event_type, bin
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram (the deterministic form of ClickHouse's
+    ``histogram(bins)(x)`` — CH's adaptive bin boundaries depend on
+    merge order, so the exact-oracle variant uses equal-width bins):
+    10 bins over value ∈ [0, 1), clamped. One codegen groupBy."""
+    ev = _events(spark, sf_dir)
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") * 10).cast("long"), F.lit(0)),
+        F.lit(9),
+    )
+    return ev.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
     "summap_event_values",
     f"""
     WITH s AS (

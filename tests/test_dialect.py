@@ -334,3 +334,14 @@ def test_translate_weighted_aggregate_gates():
         translate("quantileExactWeighted(0.9)(latency, calls)")
     with pytest.raises(ValueError, match="summap_event_values"):
         translate("sumMap(m)")
+
+
+def test_translate_array_functions(spark):
+    got = spark.sql(
+        "SELECT "
+        + translate("arraySum(arraySlice(arraySort(arrayDistinct(array(3,1,2,1))), 1, 2))")
+        + " AS s, "
+        + translate("indexOf(array('a','b'), 'b')") + " AS i, "
+        + translate("arrayReverse(array(1,2,3))") + " AS r"
+    ).collect()[0]
+    assert got["s"] == 3 and got["i"] == 2 and got["r"] == [3, 2, 1]
