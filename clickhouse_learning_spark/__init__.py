@@ -23,5 +23,29 @@ Design notes (scale-first):
 
 from clickhouse_learning_spark.session import get_spark
 
-__all__ = ["get_spark"]
-__version__ = "0.1.0"
+
+def __getattr__(name):
+    # Lazy convenience exports (keep `import clickhouse_learning_spark`
+    # light — pulling MetricSpec eagerly would import pyspark.sql.functions
+    # machinery before a session exists in some embedding contexts).
+    if name == "MetricSpec":
+        from clickhouse_learning_spark.functions.metrics import MetricSpec
+
+        return MetricSpec
+    if name == "MaterializedView":
+        from clickhouse_learning_spark.mv.engine import MaterializedView
+
+        return MaterializedView
+    if name == "Table":
+        from clickhouse_learning_spark.tables import Table
+
+        return Table
+    if name == "translate":
+        from clickhouse_learning_spark.functions.dialect import translate
+
+        return translate
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "MetricSpec", "MaterializedView", "Table", "translate"]
+__version__ = "0.2.0"
