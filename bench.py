@@ -33,6 +33,7 @@ HEADLINE = [
     "summap_event_values",
     "bitmap_funnel",
     "bitmap_funnel_roaring",
+    "theta_funnel_approx",
     "window_funnel_levels",
     "retention_cohorts",
     "dict_enrich_join",

@@ -73,8 +73,10 @@ KINDS = (
     "argmin",
     "quantile",
     "quantile_sketch",
+    "quantile_kll",
     "topk",
     "summap",
+    "uniq_theta",
 )
 
 # State type of the ``summap`` kind: key → summed-weight pairs
@@ -289,6 +291,19 @@ class MetricSpec:
         x = self._input()
         if self.kind == "uniq":
             return F.hll_sketch_agg(x, F.lit(self.lg_k)).alias(self.name)
+        if self.kind == "uniq_theta":
+            # Datasketches Theta: like HLL a bounded-size mergeable
+            # distinct state, but supporting approximate set ALGEBRA
+            # (theta_intersection / theta_difference) — the approximate
+            # counterpart of the exact bitmap funnel at cardinalities
+            # where even roaring states are too big
+            return F.theta_sketch_agg(x, F.lit(self.lg_k)).alias(self.name)
+        if self.kind == "quantile_kll":
+            # Datasketches KLL over doubles: mergeable rank sketch with
+            # a priori error bounds; the JVM-native alternative to the
+            # expression-level DDSketch kind (which needs integral
+            # inputs and has an exact oracle; KLL takes raw doubles)
+            return F.kll_sketch_agg_double(x.cast("double")).alias(self.name)
         if self.kind == "uniq_exact":
             # exact distinct keeps the value set as its state (uniqExact is
             # discouraged by the reference for the same memory reason,
@@ -370,6 +385,19 @@ class MetricSpec:
         c = _as_col(col) if col is not None else F.col(self.name)
         if self.kind == "uniq":
             return F.hll_union_agg(c, F.lit(True)).alias(self.name)
+        if self.kind == "uniq_theta":
+            return F.theta_union_agg(c).alias(self.name)
+        if self.kind == "quantile_kll":
+            # Spark exposes KLL merge only as a BINARY scalar — fold it
+            # over the collected states (state count per group = number
+            # of unmerged batches, small by construction; the fold is
+            # off the hot path like every finalize here)
+            lst = F.collect_list(c)
+            init = F.get(lst, 0)
+            rest = F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0)))
+            return F.aggregate(
+                rest, init, lambda acc, x: F.kll_sketch_merge_double(acc, x)
+            ).alias(self.name)
         if self.kind in ("uniq_exact", "bitmap"):
             if self._roaring:
                 from clickhouse_learning_spark.functions import roaring
@@ -400,6 +428,19 @@ class MetricSpec:
         if self.kind == "uniq":
             # ClickHouse uniqCombinedIf yields 0 on empty input
             return F.coalesce(F.hll_sketch_estimate(c), F.lit(0)).alias(self.name)
+        if self.kind == "uniq_theta":
+            return F.coalesce(
+                F.round(F.theta_sketch_estimate(c)).cast("long"), F.lit(0)
+            ).alias(self.name)
+        if self.kind == "quantile_kll":
+            # no row passed -If → the agg still emits a VALID empty
+            # sketch (8-byte header, n=0) whose quantile accessor
+            # throws; gate on the sketch's row count → NULL, matching
+            # SQL quantile-over-no-rows
+            return F.when(
+                c.isNotNull() & (F.kll_sketch_get_n_bigint(c) > 0),
+                F.kll_sketch_get_quantile_double(c, F.lit(float(self.level))),
+            ).alias(self.name)
         if self.kind in ("uniq_exact", "bitmap"):
             if self._roaring:
                 from clickhouse_learning_spark.functions import roaring
@@ -439,7 +480,7 @@ class MetricSpec:
         """Neutral ("empty") state for union-merging wide tables whose
         writers fill disjoint metric columns
         (/root/reference/docs/物化视图的实战经验分享.md:822-828)."""
-        if self.kind == "uniq":
+        if self.kind in ("uniq", "uniq_theta", "quantile_kll"):
             return F.lit(None).cast("binary").alias(self.name)
         if self.kind == "bitmap" and self._roaring:
             return F.lit(None).cast("binary").alias(self.name)
@@ -845,6 +886,21 @@ def compress_topk_states(df, dims, specs):
 
 # -- bitmap set algebra (the reference's bitmapAnd / bitmapOr / cardinality,
 #    /root/reference/scripts/sql/dwm.mainpage_stat_mv_dis.sql:280-290) --------
+
+def theta_and(a: Column, b: Column) -> Column:
+    """Approximate set intersection over ``uniq_theta`` states — the
+    sketch counterpart of bitmapAnd for cardinalities where exact id
+    sets (even roaring) are too big."""
+    return F.theta_intersection(a, b)
+
+
+def theta_or(a: Column, b: Column) -> Column:
+    return F.theta_union(a, b)
+
+
+def theta_cardinality(a: Column) -> Column:
+    return F.coalesce(F.round(F.theta_sketch_estimate(a)).cast("long"), F.lit(0))
+
 
 def bitmap_and(a: Column, b: Column) -> Column:
     return F.array_intersect(a, b)

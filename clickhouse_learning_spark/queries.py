@@ -408,6 +408,30 @@ def bitmap_funnel_roaring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def theta_funnel_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch funnel: per-stage uid sketches + approximate set
+    intersections (theta_and) — the bounded-state form of bitmap_funnel
+    for cardinalities beyond even roaring's reach. Approximate →
+    rows-only driver check; ε vs the exact bitmap funnel asserted in
+    tests/test_theta.py."""
+    ev = _events(spark, sf_dir)
+    stage = lambda t: M.MetricSpec(f"{t}_th", "uniq_theta", "uid", f"event_type = '{t}'")
+    specs = [stage(t) for t in ("view", "click", "purchase")]
+    th = ev.groupBy("day").agg(*[s.partial() for s in specs])
+    s1 = F.col("view_th")
+    s2 = M.theta_and(s1, F.col("click_th"))
+    s3 = M.theta_and(s2, F.col("purchase_th"))
+    return th.select(
+        "day",
+        M.theta_cardinality(s1).alias("stage_view"),
+        M.theta_cardinality(s2).alias("stage_click"),
+        M.theta_cardinality(s3).alias("stage_purchase"),
+    )
+
+
+QUERIES["theta_funnel_approx"] = theta_funnel_approx
+
+
 @query(
     "value_histogram",
     f"""

@@ -28,6 +28,8 @@ ROWS = st.lists(
 
 KINDS = [
     "uniq",
+    "uniq_theta",
+    "quantile_kll",
     "uniq_exact",
     "sum",
     "count",
