@@ -376,11 +376,104 @@ def _split_args(body: str) -> list[str]:
     return parts
 
 
-_LIMIT_BY_RE = re.compile(r"\blimit\s+\d+\s+by\b", re.I)
+_LIMIT_BY_RE = re.compile(r"\blimit\s+\d+\s*(?:,\s*\d+\s*)?by\b", re.I)
 # ClickHouse SAMPLE k: k in (0,1) = fraction of data; k >= 1 = ~row target
 # (row form needs table stats — not rewritable statically).
 _SAMPLE_RE = re.compile(r"\bsample\s+(0?\.\d+)\b", re.I)
 _SAMPLE_ROWS_RE = re.compile(r"\bsample\s+\d+\b", re.I)
+
+# ClickHouse ``LIMIT [offset,] n BY exprs`` — first n rows (after
+# skipping offset) per distinct BY-value, applied before the final
+# LIMIT. Spark has no such clause; _rewrite_limit_by rebuilds it as a
+# row_number() window over the BY columns.
+_LIMIT_BY_HEAD = re.compile(r"\blimit\s+(\d+)\s*(?:,\s*(\d+)\s*)?by\b", re.I)
+_ORDER_BY_RE = re.compile(r"\border\s+by\b", re.I)
+_LIMIT_TAIL_RE = re.compile(r"\blimit\b|\bsettings\b|\bformat\b", re.I)
+
+
+def _depth0_mask(sql: str) -> str:
+    """Copy of ``sql`` where characters inside string literals or
+    parentheses are blanked, so regexes only match top-level clauses."""
+    out: list[str] = []
+    i, n, depth = 0, len(sql), 0
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"":
+            j = _skip_string(sql, i)
+            out.append(" " * (j - i))
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+            out.append(" ")
+        elif ch == ")":
+            depth -= 1
+            out.append(" ")
+        else:
+            out.append(ch if depth == 0 else " ")
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_limit_by(sql: str) -> str:
+    """Rewrite a top-level ``LIMIT [offset,] n BY exprs`` clause into a
+    row_number() window (reference usage: per-key top-N result slices).
+
+    ``SELECT … [ORDER BY o] LIMIT n BY g [LIMIT m]`` becomes::
+
+        SELECT * EXCEPT (__ch_limit_by_rn) FROM (
+          SELECT *, row_number() OVER (PARTITION BY g ORDER BY o|g)
+                 AS __ch_limit_by_rn
+          FROM (SELECT … ) __ch_limit_by
+        ) WHERE __ch_limit_by_rn <= n [ORDER BY o] [LIMIT m]
+
+    matching ClickHouse evaluation order (ORDER BY → LIMIT BY → LIMIT).
+    Without an ORDER BY the per-group choice is arbitrary in ClickHouse;
+    here it deterministically orders by the BY expressions. Only the
+    outermost statement is rewritten — a LIMIT BY inside a subquery
+    still raises in _rewrite_clauses.
+    """
+    mask = _depth0_mask(sql)
+    m = _LIMIT_BY_HEAD.search(mask)
+    if not m:
+        return sql
+    # offset form: LIMIT off, n BY  →  group(1)=off, group(2)=n
+    if m.group(2) is not None:
+        offset, take = int(m.group(1)), int(m.group(2))
+    else:
+        offset, take = 0, int(m.group(1))
+
+    tail_m = _LIMIT_TAIL_RE.search(mask, m.end())
+    by_list = sql[m.end() : tail_m.start() if tail_m else len(sql)].strip()
+    trailing = sql[tail_m.start() :].strip() if tail_m else ""
+    if not by_list:
+        raise ValueError("LIMIT n BY: empty BY expression list")
+
+    ob = None
+    for ob_m in _ORDER_BY_RE.finditer(mask, 0, m.start()):
+        ob = ob_m  # last top-level ORDER BY before the LIMIT BY
+    if ob is not None:
+        body = sql[: ob.start()].rstrip()
+        order_clause = sql[ob.start() : m.start()].strip()
+        window_order = order_clause[len(ob.group(0)) :].strip()
+    else:
+        body = sql[: m.start()].rstrip()
+        order_clause = ""
+        window_order = by_list
+
+    pred = (
+        f"__ch_limit_by_rn <= {take}"
+        if offset == 0
+        else f"__ch_limit_by_rn BETWEEN {offset + 1} AND {offset + take}"
+    )
+    return (
+        f"SELECT * EXCEPT (__ch_limit_by_rn) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {by_list} "
+        f"ORDER BY {window_order}) AS __ch_limit_by_rn "
+        f"FROM ({body}) __ch_limit_by) WHERE {pred}"
+        + (f" {order_clause}" if order_clause else "")
+        + (f" {trailing}" if trailing else "")
+    )
 
 
 def _map_outside_strings(sql: str, fn) -> str:
@@ -404,8 +497,9 @@ def _rewrite_clauses(sql: str) -> str:
     def seg(s: str) -> str:
         if _LIMIT_BY_RE.search(s):
             raise ValueError(
-                "LIMIT n BY cols has no Spark SQL clause; use a row_number() "
-                "window over the BY columns (see window_topk_per_group)"
+                "LIMIT n BY inside a subquery is not rewritten (only the "
+                "outermost statement is); use a row_number() window over "
+                "the BY columns (see window_topk_per_group)"
             )
         s = _SAMPLE_RE.sub(
             lambda m: f"TABLESAMPLE ({float(m.group(1)) * 100:g} PERCENT)", s
@@ -433,10 +527,12 @@ def translate(
     (missing key → declared default instead of NULL).
 
     Clause-level rewrites (before the function scan): ``SAMPLE f`` /
-    ``SAMPLE n`` after a table reference → ``TABLESAMPLE``; ``LIMIT n
-    BY cols`` has no Spark clause and raises pointing at the window
-    formulation.
+    ``SAMPLE n`` after a table reference → ``TABLESAMPLE``; a top-level
+    ``LIMIT [offset,] n BY cols`` becomes a row_number() window
+    subquery (_rewrite_limit_by); LIMIT BY inside a subquery raises
+    pointing at the window formulation.
     """
+    sql = _rewrite_limit_by(sql)
     sql = _rewrite_clauses(sql)
     out: list[str] = []
     i = 0

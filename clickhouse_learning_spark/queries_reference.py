@@ -266,3 +266,38 @@ def sql_auto_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     assert rw.explain_route(spark, q).startswith("mv:"), "expected MV routing"
     return rw.sql(spark, q)
+
+
+@query(
+    "ch_limit_by_topn",
+    """
+    SELECT day, event_type, cnt FROM (
+      SELECT day, event_type, cnt,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM (SELECT CAST(ts AS DATE) AS day, event_type,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2)
+    ) WHERE rn <= 2
+    ORDER BY day, cnt DESC, event_type
+    """,
+)
+def ch_limit_by_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LIMIT n BY`` through the dialect shim: top-2 event
+    types per day, written exactly as a ClickHouse user would (ORDER BY
+    → LIMIT BY), structurally rewritten by dialect._rewrite_limit_by
+    into a row_number() window subquery. The oracle states the window
+    formulation directly, so a rewrite bug (wrong partition, wrong
+    rank predicate, lost final ORDER BY) breaks the hash match."""
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ch_lb_events")
+    ch = """
+        SELECT toDate(ts) AS day, event_type, count(*) AS cnt
+        FROM ch_lb_events
+        GROUP BY day, event_type
+        ORDER BY day, cnt DESC, event_type
+        LIMIT 2 BY day
+    """
+    return spark.sql(translate(ch))

@@ -321,10 +321,47 @@ def test_translate_sample_and_limit_by_clauses(spark, star_views):
     n = spark.sql(sql).collect()[0]["n"]
     assert 0 < n < total
     assert translate("SELECT 'SAMPLE 0.5' AS s") == "SELECT 'SAMPLE 0.5' AS s"
+    # nested LIMIT BY is not structurally rewritten and still gates
     with pytest.raises(ValueError, match="window_topk_per_group"):
-        translate("SELECT x FROM t ORDER BY x LIMIT 3 BY g")
+        translate("SELECT * FROM (SELECT x FROM t ORDER BY x LIMIT 3 BY g) q")
     with pytest.raises(ValueError, match="stratified_sample"):
         translate("SELECT count(*) FROM t SAMPLE 1000")
+
+
+def test_translate_limit_by(spark):
+    """ClickHouse LIMIT [offset,] n BY → row_number window rewrite,
+    matching ClickHouse evaluation order ORDER BY → LIMIT BY → LIMIT."""
+    spark.createDataFrame(
+        [(g, v) for g in ("a", "b") for v in (5, 3, 9, 1)], "g string, v int"
+    ).createOrReplaceTempView("ch_lb")
+
+    rows = spark.sql(
+        translate("SELECT g, v FROM ch_lb ORDER BY v DESC LIMIT 2 BY g")
+    ).collect()
+    got = sorted((r["g"], r["v"]) for r in rows)
+    assert got == [("a", 5), ("a", 9), ("b", 5), ("b", 9)]
+
+    # offset form: skip the top row per group, take the next 2
+    rows = spark.sql(
+        translate("SELECT g, v FROM ch_lb ORDER BY v DESC LIMIT 1, 2 BY g")
+    ).collect()
+    got = sorted((r["g"], r["v"]) for r in rows)
+    assert got == [("a", 3), ("a", 5), ("b", 3), ("b", 5)]
+
+    # trailing LIMIT applies after LIMIT BY; final order preserved
+    rows = spark.sql(
+        translate("SELECT g, v FROM ch_lb ORDER BY v DESC, g LIMIT 1 BY g LIMIT 1")
+    ).collect()
+    assert [(r["g"], r["v"]) for r in rows] == [("a", 9)]
+
+    # no ORDER BY: deterministic fallback ordering by the BY exprs;
+    # group sizes still honored and ClickHouse functions still rewrite
+    rows = spark.sql(
+        translate("SELECT g, toInt64(v) AS v2 FROM ch_lb LIMIT 3 BY g")
+    ).collect()
+    from collections import Counter
+
+    assert Counter(r["g"] for r in rows) == {"a": 3, "b": 3}
 
 
 def test_translate_weighted_aggregate_gates():
