@@ -104,6 +104,12 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         f"coalesce(try_to_timestamp({a[0]}), TIMESTAMP '1970-01-01 00:00:00')"
     )
     m["arrayJoin"] = lambda a: f"explode({_one(a, 'arrayJoin')})"
+    # ClickHouse tuples → Spark structs: struct() names fields col1…
+    # (1-based, matching tuple element numbering)
+    m["tuple"] = lambda a: f"struct({', '.join(a)})"
+    m["tupleElement"] = lambda a: (
+        lambda t, i: f"{t}.col{i}"
+    )(*_two(a, "tupleElement"))
     m["multiIf"] = _multi_if
 
     # -- common date/time scalars (beyond the reference's usage) ------------
@@ -493,6 +499,245 @@ def _map_outside_strings(sql: str, fn) -> str:
     return "".join(parts)
 
 
+_SQL_KEYWORDS = frozenset(
+    """SELECT FROM WHERE JOIN ON AND OR NOT IN AS BY THEN ELSE WHEN CASE END
+    HAVING UNION ALL DISTINCT GROUP ORDER LIMIT OFFSET BETWEEN LIKE IS NULL
+    EXISTS ANY SOME VALUES SET RETURN RETURNING USING""".split()
+)
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    """ClickHouse bracket syntax → Spark functions.
+
+    - ``[e1, e2, …]`` array literal → ``array(e1, e2, …)``; elements
+      that are parenthesized tuples (top-level comma inside) become
+      ``struct(…)`` — the reference's ARRAY-JOIN-of-tuples insert-test
+      idiom (docs/物化视图的实战经验分享.md:345).
+    - ``ident[i]`` 1-based indexing → ``element_at(ident, i)``
+      (Spark's bare ``[]`` is 0-based — a silent off-by-one if passed
+      through). Indexing a non-identifier (``f(x)[1]``) raises.
+    """
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch == "[":
+            close = _matching_bracket(sql, i)
+            inner = _rewrite_array_literals(sql[i + 1 : close])
+            # indexing iff the previous non-space token ends an operand
+            # (a keyword before '[' means the bracket starts a literal)
+            prev = "".join(out).rstrip()
+            k = len(prev)
+            while k > 0 and (prev[k - 1].isalnum() or prev[k - 1] == "_"):
+                k -= 1
+            base = prev[k:] if prev else ""
+            if base and base.upper() not in _SQL_KEYWORDS and (
+                prev[-1].isalnum() or prev[-1] == "_"
+            ):
+                if base[0].isdigit():
+                    raise ValueError(f"cannot rewrite indexing after {base!r}")
+                out = [prev[:k]]
+                out.append(f"element_at({base}, {inner})")
+            elif prev and prev[-1] in ")]":
+                raise ValueError(
+                    "ClickHouse [] indexing of a computed expression is "
+                    "1-based; use element_at(expr, i) explicitly"
+                )
+            else:
+                elems = []
+                for e in _split_args(inner):
+                    if (
+                        e.startswith("(")
+                        and _matching_paren(e, 0) == len(e) - 1
+                        and len(_split_args(e[1:-1])) > 1
+                    ):
+                        elems.append(f"struct({e[1:-1]})")
+                    else:
+                        elems.append(e)
+                out.append(f"array({', '.join(elems)})")
+            i = close + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _matching_bracket(sql: str, i: int) -> int:
+    """sql[i] == '['; return the index of its matching ']'."""
+    depth = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in "'\"":
+            i = _skip_string(sql, i)
+            continue
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced brackets in SQL")
+
+
+_ARRAY_JOIN_CLAUSE_RE = re.compile(r"\b(left\s+)?array\s+join\b", re.I)
+_ARRAY_JOIN_STOP = re.compile(
+    r"\b(where|group|having|order|limit|union|settings|format|inner|left|right|full|cross|join)\b",
+    re.I,
+)
+_AS_RE = re.compile(r"\bas\b", re.I)
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _rewrite_array_join(sql: str) -> str:
+    """``[LEFT] ARRAY JOIN expr AS alias[, …]`` → ``LATERAL VIEW
+    [OUTER] explode(expr) __ch_aj_i AS alias …`` (reference usage:
+    docs/物化视图的实战经验分享.md:340-346 — tuple-array fan-out from
+    system.one). A bare identifier needs no AS (the exploded value
+    keeps the array's name, ClickHouse semantics)."""
+    counter = 0
+    while True:
+        # rescan after each rewrite; matches inside strings are skipped
+        # by checking the string mask
+        mask_parts = []
+        i = 0
+        while i < len(sql):
+            if sql[i] in "'\"":
+                j = _skip_string(sql, i)
+                mask_parts.append(" " * (j - i))
+                i = j
+            else:
+                mask_parts.append(sql[i])
+                i += 1
+        mask = "".join(mask_parts)
+        m = _ARRAY_JOIN_CLAUSE_RE.search(mask)
+        if not m:
+            return sql
+        outer = "OUTER " if m.group(1) else ""
+        pos = m.end()
+        n = len(sql)
+        items: list[tuple[str, str]] = []
+        while True:
+            # parse one `expr [AS alias]` item at relative depth 0
+            while pos < n and sql[pos].isspace():
+                pos += 1
+            start = pos
+            depth = 0
+            as_at = None
+            end = n
+            while pos < n:
+                c = sql[pos]
+                if c in "'\"":
+                    pos = _skip_string(sql, pos)
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    if depth == 0:
+                        end = pos
+                        break
+                    depth -= 1
+                elif depth == 0:
+                    if c == ",":
+                        end = pos
+                        break
+                    am = _AS_RE.match(mask, pos)
+                    sm = _ARRAY_JOIN_STOP.match(mask, pos)
+                    if am and (pos == 0 or not (mask[pos - 1].isalnum() or mask[pos - 1] == "_")):
+                        as_at = pos
+                        end = pos
+                        # alias follows; find it then stop the item
+                        k = am.end()
+                        while k < n and sql[k].isspace():
+                            k += 1
+                        im = _IDENT_RE.match(sql, k)
+                        if not im:
+                            raise ValueError("ARRAY JOIN: expected alias after AS")
+                        pos = im.end()
+                        break
+                    if sm and (pos == 0 or not (mask[pos - 1].isalnum() or mask[pos - 1] == "_")):
+                        end = pos
+                        break
+                pos += 1
+            expr = sql[start:end].strip()
+            if as_at is not None:
+                alias = im.group(0)
+            else:
+                # ClickHouse's bare `ARRAY JOIN xs` shadows the source
+                # column; Spark keeps both in scope, so any reference
+                # to it would be AMBIGUOUS_REFERENCE — require a name.
+                raise ValueError(
+                    f"ARRAY JOIN {expr!r} without AS is ambiguous in Spark "
+                    f"(the source column stays in scope); write "
+                    f"ARRAY JOIN {expr} AS <alias>"
+                )
+            items.append((expr, alias))
+            # another item?
+            while pos < n and sql[pos].isspace():
+                pos += 1
+            if pos < n and sql[pos] == ",":
+                pos += 1
+                continue
+            break
+        views: list[str] = []
+        if len(items) == 1:
+            expr, alias = items[0]
+            views.append(
+                f"LATERAL VIEW {outer}explode({expr}) __ch_aj_{counter} AS {alias}"
+            )
+            counter += 1
+        else:
+            # ClickHouse zips multiple arrays positionally (NOT a cross
+            # product): explode a shared 1-based index, then bind each
+            # alias with a one-element explode = per-row assignment.
+            idx = f"__ch_aj_idx_{counter}"
+            first = items[0][0]
+            # sequence(1, 0) would yield a DESCENDING [1, 0] — guard the
+            # empty-array case to an empty index array instead
+            seq = (
+                f"CASE WHEN size({first}) > 0 "
+                f"THEN sequence(1, size({first})) ELSE array() END"
+            )
+            views.append(
+                f"LATERAL VIEW {outer}explode({seq}) __ch_aj_{counter} AS {idx}"
+            )
+            counter += 1
+            for expr, alias in items:
+                views.append(
+                    f"LATERAL VIEW explode(array(element_at({expr}, {idx}))) "
+                    f"__ch_aj_{counter} AS {alias}"
+                )
+                counter += 1
+        sql = sql[: m.start()] + " ".join(views) + " " + sql[pos:]
+
+
+_SYSTEM_ONE_RE = re.compile(r"\bsystem\.one\b", re.I)
+_NUMBERS_RE = re.compile(r"\bnumbers\s*\(\s*(\d+)\s*\)", re.I)
+_TUPLE_ACCESS_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\.([0-9]+)\b")
+
+
+def _rewrite_table_refs(sql: str) -> str:
+    """``system.one`` → one-row subquery; ``numbers(N)`` → Spark
+    ``range(N)`` renamed to ClickHouse's ``number`` column; ``t.1``
+    tuple access → ``t.col1`` (Spark struct() field names are col1…,
+    1-based like ClickHouse tuples)."""
+
+    def seg(s: str) -> str:
+        s = _SYSTEM_ONE_RE.sub("(SELECT 1 AS __ch_one) __ch_one_t", s)
+        s = _NUMBERS_RE.sub(
+            lambda m: f"(SELECT id AS number FROM range({m.group(1)})) __ch_numbers",
+            s,
+        )
+        return _TUPLE_ACCESS_RE.sub(r"\1.col\2", s)
+
+    return _map_outside_strings(sql, seg)
+
+
 def _rewrite_clauses(sql: str) -> str:
     def seg(s: str) -> str:
         if _LIMIT_BY_RE.search(s):
@@ -533,6 +778,9 @@ def translate(
     pointing at the window formulation.
     """
     sql = _rewrite_limit_by(sql)
+    sql = _rewrite_array_literals(sql)
+    sql = _rewrite_array_join(sql)
+    sql = _rewrite_table_refs(sql)
     sql = _rewrite_clauses(sql)
     out: list[str] = []
     i = 0

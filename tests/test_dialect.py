@@ -382,3 +382,56 @@ def test_translate_array_functions(spark):
         + translate("arrayReverse(array(1,2,3))") + " AS r"
     ).collect()[0]
     assert got["s"] == 3 and got["i"] == 2 and got["r"] == [3, 2, 1]
+
+
+def test_translate_array_join_clause(spark):
+    """ClickHouse ARRAY JOIN → LATERAL VIEW explode: the reference's
+    verbatim MV insert-test idiom (docs/物化视图的实战经验分享.md:340-346 —
+    tuple arrays fanned out from system.one), plus bracket literals,
+    1-based indexing, numbers(), and multi-array zip semantics."""
+    ref = """
+        SELECT a.1 AS platform, a.2 AS ver, a.3 AS uid
+        FROM system.one
+        ARRAY JOIN [('android', '1.1', 1001), ('android', '1.1', 1002),
+                    ('ios', '1.2', 1003)] AS a
+    """
+    rows = spark.sql(translate(ref)).collect()
+    assert [(r.platform, r.ver, r.uid) for r in rows] == [
+        ("android", "1.1", 1001),
+        ("android", "1.1", 1002),
+        ("ios", "1.2", 1003),
+    ]
+
+    # bracket literal + 1-based indexing (Spark's bare [] is 0-based)
+    r = spark.sql(
+        translate("SELECT arr[2] AS second FROM (SELECT [10,20,30] AS arr) t")
+    ).collect()[0]
+    assert r.second == 20
+
+    # numbers(N) table function → range with ClickHouse's column name
+    rows = spark.sql(translate("SELECT number FROM numbers(3)")).collect()
+    assert [r.number for r in rows] == [0, 1, 2]
+
+    # multiple arrays zip positionally (NOT a cross product)
+    rows = spark.sql(
+        translate(
+            "SELECT x, y FROM (SELECT [1,2] AS xs, [10,20] AS ys) t "
+            "ARRAY JOIN xs AS x, ys AS y"
+        )
+    ).collect()
+    assert sorted((r.x, r.y) for r in rows) == [(1, 10), (2, 20)]
+
+    # LEFT ARRAY JOIN uses explode_outer
+    assert "OUTER" in translate("SELECT x FROM t LEFT ARRAY JOIN xs AS x")
+
+    # tuple()/tupleElement() map to struct fields
+    r = spark.sql(translate("SELECT tupleElement(tuple(7, 'z'), 2) AS e")).collect()[0]
+    assert r.e == "z"
+
+    # bare ARRAY JOIN (no AS) is ambiguous in Spark and gates
+    with pytest.raises(ValueError, match="AS <alias>"):
+        translate("SELECT xs FROM t ARRAY JOIN xs")
+
+    # computed-expression indexing can't be made 1-based textually
+    with pytest.raises(ValueError, match="element_at"):
+        translate("SELECT split(s, ',')[1] FROM t")
