@@ -738,6 +738,49 @@ def _rewrite_table_refs(sql: str) -> str:
     return _map_outside_strings(sql, seg)
 
 
+_PREWHERE_RE = re.compile(r"\bprewhere\b", re.I)
+# FROM-anchored so a column happening to be named "final" isn't caught
+_FINAL_RE = re.compile(r"\bfrom\s+[A-Za-z_][\w.]*\s+final\b", re.I)
+# keys must be paren-free — a GROUP BY spanning a subquery boundary
+# fails to match and WITH TOTALS then fails loudly in Spark's parser
+_WITH_TOTALS_RE = re.compile(
+    r"\bgroup\s+by\b([^;()]*?)\bwith\s+totals\b", re.I | re.S
+)
+
+
+def _rewrite_totals_prewhere_final(sql: str) -> str:
+    """``GROUP BY … WITH TOTALS`` → ``GROUPING SETS ((…), ())`` (the
+    totals row carries NULL keys in Spark, not ClickHouse's type
+    defaults); ``PREWHERE`` → ``WHERE`` (Spark pushes predicates into
+    the scan on its own — PREWHERE's two-phase read is subsumed by
+    parquet predicate pushdown; a PREWHERE+WHERE combination would need
+    clause merging and raises); ``FINAL`` cannot be honored textually
+    and raises pointing at the engine's merge-on-read path."""
+
+    def seg(s: str) -> str:
+        if _FINAL_RE.search(s):
+            raise ValueError(
+                "FROM … FINAL (merge-on-read) is an engine operation, not a "
+                "clause: query state tables via MaterializedView.merge_query "
+                "(or compact the table first with Table.compact)"
+            )
+        if _PREWHERE_RE.search(s):
+            if re.search(r"\bwhere\b", s, re.I):
+                raise ValueError(
+                    "PREWHERE combined with WHERE needs the predicates merged "
+                    "into one WHERE clause (Spark pushes both into the scan)"
+                )
+            s = _PREWHERE_RE.sub("WHERE", s)
+        return s
+
+    def totals(m: re.Match) -> str:
+        keys = m.group(1).strip()
+        return f"GROUP BY GROUPING SETS (({keys}), ())"
+
+    sql = _map_outside_strings(sql, seg)
+    return _map_outside_strings(sql, lambda s: _WITH_TOTALS_RE.sub(totals, s))
+
+
 def _rewrite_clauses(sql: str) -> str:
     def seg(s: str) -> str:
         if _LIMIT_BY_RE.search(s):
@@ -781,6 +824,7 @@ def translate(
     sql = _rewrite_array_literals(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_table_refs(sql)
+    sql = _rewrite_totals_prewhere_final(sql)
     sql = _rewrite_clauses(sql)
     out: list[str] = []
     i = 0

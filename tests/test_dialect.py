@@ -435,3 +435,28 @@ def test_translate_array_join_clause(spark):
     # computed-expression indexing can't be made 1-based textually
     with pytest.raises(ValueError, match="element_at"):
         translate("SELECT split(s, ',')[1] FROM t")
+
+
+def test_translate_totals_prewhere_final(spark):
+    """WITH TOTALS → GROUPING SETS ((keys), ()); PREWHERE → WHERE
+    (pushdown is Spark's job); FINAL gates at merge_query."""
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "g string, v int"
+    ).createOrReplaceTempView("ch_tot")
+    rows = spark.sql(
+        translate("SELECT g, sum(v) AS s FROM ch_tot GROUP BY g WITH TOTALS")
+    ).collect()
+    got = {r.g: r.s for r in rows}
+    assert got == {"a": 3, "b": 5, None: 8}  # NULL-keyed totals row
+
+    rows = spark.sql(
+        translate("SELECT g, v FROM ch_tot PREWHERE v > 1")
+    ).collect()
+    assert sorted((r.g, r.v) for r in rows) == [("a", 2), ("b", 5)]
+
+    with pytest.raises(ValueError, match="merged"):
+        translate("SELECT * FROM t PREWHERE a WHERE b")
+    with pytest.raises(ValueError, match="merge_query"):
+        translate("SELECT * FROM t FINAL")
+    # a column named final is untouched
+    assert translate("SELECT final FROM t") == "SELECT final FROM t"
