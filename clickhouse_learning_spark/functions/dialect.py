@@ -738,6 +738,140 @@ def _rewrite_table_refs(sql: str) -> str:
     return _map_outside_strings(sql, seg)
 
 
+_GLOBAL_RE = re.compile(
+    r"\bglobal\s+(?=(?:any|all|semi|anti|asof|inner|left|right|full|cross|join)\b)",
+    re.I,
+)
+_ALL_JOIN_RE = re.compile(
+    r"\ball\s+(?=(?:inner|left|right|full)\s+join\b|join\b)", re.I
+)
+_SEMI_ANTI_RE = re.compile(r"\b(semi|anti)\s+(?:(left)\s+)?join\b", re.I)
+_RIGHT_SEMI_ANTI_RE = re.compile(r"\b(?:semi|anti)\s+right\s+join\b", re.I)
+_ASOF_JOIN_RE = re.compile(r"\basof\s+(?:left\s+)?join\b", re.I)
+_ANY_JOIN_RE = re.compile(r"\bany\s+(?:(inner|left)\s+)?join\b", re.I)
+_SETTINGS_RE = re.compile(r"\bsettings\s+\w+\s*=[^;]*$", re.I | re.S)
+
+
+def _rewrite_joins(sql: str) -> str:
+    """ClickHouse join strictness / locality modifiers.
+
+    - ``GLOBAL`` prefix: a distribution hint (ship the right side to
+      every shard) — Spark plans distribution itself; dropped.
+    - ``ALL`` prefix: ClickHouse's default multiplicity = standard SQL
+      join semantics; dropped.
+    - ``SEMI LEFT JOIN`` / ``ANTI LEFT JOIN`` → Spark's ``LEFT SEMI`` /
+      ``LEFT ANTI``; the RIGHT-side forms need the inputs swapped and
+      raise.
+    - ``ASOF JOIN`` → raises pointing at operators/asof.py (ordered
+      carry, reference-free of the inequality blowup).
+    - ``ANY [INNER|LEFT] JOIN t USING (k…)`` — first-match-per-key:
+      the right side is deduplicated per key via a row_number()
+      subquery, then joined normally. The ON form (no USING) would
+      need key extraction from an arbitrary predicate and raises.
+    - trailing ``SETTINGS a=1, b=2`` (per-query engine knobs) is
+      dropped.
+    """
+
+    def seg(s: str) -> str:
+        if _ASOF_JOIN_RE.search(s):
+            raise ValueError(
+                "ASOF JOIN maps to operators.asof.asof_join (union + ordered "
+                "carry — one shuffle, no inequality join blowup)"
+            )
+        if _RIGHT_SEMI_ANTI_RE.search(s):
+            raise ValueError(
+                "SEMI/ANTI RIGHT JOIN: Spark only has the LEFT forms — swap "
+                "the join inputs and use SEMI/ANTI LEFT JOIN"
+            )
+        s = _GLOBAL_RE.sub("", s)
+        s = _ALL_JOIN_RE.sub("", s)
+        s = _SEMI_ANTI_RE.sub(lambda m: f"LEFT {m.group(1).upper()} JOIN", s)
+        return s
+
+    sql = _map_outside_strings(sql, seg)
+    sql = _rewrite_any_join(sql)
+    # SETTINGS is statement-level (always trailing) — depth-0 only
+    mask = _depth0_mask(sql)
+    sm = _SETTINGS_RE.search(mask)
+    if sm:
+        sql = sql[: sm.start()].rstrip()
+    return sql
+
+
+_USING_RE = re.compile(r"\busing\b", re.I)
+
+
+def _rewrite_any_join(sql: str) -> str:
+    """``ANY [INNER|LEFT] JOIN ref [alias] USING (k…)`` → join against
+    a per-key-deduplicated subquery (ClickHouse first-match semantics,
+    deterministic: first = smallest key-ordered row_number)."""
+    while True:
+        # string-masked scan; rewrite one occurrence per iteration
+        mask_chars = []
+        i = 0
+        while i < len(sql):
+            if sql[i] in "'\"":
+                j = _skip_string(sql, i)
+                mask_chars.append(" " * (j - i))
+                i = j
+            else:
+                mask_chars.append(sql[i])
+                i += 1
+        mask = "".join(mask_chars)
+        m = _ANY_JOIN_RE.search(mask)
+        if not m:
+            return sql
+        jointype = (m.group(1) or "INNER").upper()
+        pos = m.end()
+        n = len(sql)
+        while pos < n and sql[pos].isspace():
+            pos += 1
+        # right-side relation: identifier chain or parenthesized subquery
+        if pos < n and sql[pos] == "(":
+            rend = _matching_paren(sql, pos) + 1
+        else:
+            rm = re.match(r"[A-Za-z_][\w.]*", sql[pos:])
+            if not rm:
+                raise ValueError("ANY JOIN: expected a table reference")
+            rend = pos + rm.end()
+        ref = sql[pos:rend]
+        k = rend
+        while k < n and sql[k].isspace():
+            k += 1
+        am = re.match(r"(?:AS\s+)?([A-Za-z_]\w*)\s*", sql[k:], re.I)
+        alias = ""
+        if am and am.group(1).upper() not in ("USING", "ON"):
+            alias = am.group(1)
+            k += am.end()
+        um = _USING_RE.match(mask, k)
+        if not um:
+            raise ValueError(
+                "ANY JOIN with ON needs the first-match keys to dedupe the "
+                "right side — rewrite as USING (k…), or pre-deduplicate with "
+                "a row_number() window"
+            )
+        k = um.end()
+        while k < n and sql[k].isspace():
+            k += 1
+        if k >= n or sql[k] != "(":
+            raise ValueError("ANY JOIN: expected USING (cols)")
+        uclose = _matching_paren(sql, k)
+        keys = sql[k + 1 : uclose].strip()
+        dedup = (
+            f"(SELECT * EXCEPT (__ch_any_rn) FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY {keys} "
+            f"ORDER BY {keys}) AS __ch_any_rn FROM {ref} "
+            f") WHERE __ch_any_rn = 1)"
+        )
+        jt = "JOIN" if jointype == "INNER" else f"{jointype} JOIN"
+        alias_sql = f" {alias}" if alias else ""
+        sql = (
+            sql[: m.start()]
+            + f"{jt} {dedup}{alias_sql} USING ({keys})"
+            + sql[uclose + 1 :]
+        )
+
+
 _PREWHERE_RE = re.compile(r"\bprewhere\b", re.I)
 # FROM-anchored so a column happening to be named "final" isn't caught
 _FINAL_RE = re.compile(r"\bfrom\s+[A-Za-z_][\w.]*\s+final\b", re.I)
@@ -824,6 +958,7 @@ def translate(
     sql = _rewrite_array_literals(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_table_refs(sql)
+    sql = _rewrite_joins(sql)
     sql = _rewrite_totals_prewhere_final(sql)
     sql = _rewrite_clauses(sql)
     out: list[str] = []

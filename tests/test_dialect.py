@@ -460,3 +460,54 @@ def test_translate_totals_prewhere_final(spark):
         translate("SELECT * FROM t FINAL")
     # a column named final is untouched
     assert translate("SELECT final FROM t") == "SELECT final FROM t"
+
+
+def test_translate_join_strictness(spark):
+    """ClickHouse join modifiers: GLOBAL/ALL dropped, SEMI/ANTI LEFT →
+    Spark LEFT SEMI/ANTI, ANY JOIN USING dedupes the right side
+    per-key (first-match semantics), ASOF gates at operators/asof,
+    trailing SETTINGS dropped."""
+    spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k int, l string"
+    ).createOrReplaceTempView("ch_l")
+    spark.createDataFrame(
+        [(1, "r1"), (1, "r2"), (2, "r3")], "k int, r string"
+    ).createOrReplaceTempView("ch_r")
+
+    # ANY LEFT JOIN: exactly one right match per left row (the smallest
+    # by key order — deterministic), unmatched keys keep NULL
+    rows = spark.sql(
+        translate("SELECT k, l, r FROM ch_l ANY LEFT JOIN ch_r USING (k)")
+    ).collect()
+    assert len(rows) == 3
+    got = {r.k: r.r for r in rows}
+    assert got[1] in ("r1", "r2") and got[2] == "r3" and got[3] is None
+
+    # GLOBAL + ALL are dropped; plain join multiplicity kept (2 rows for k=1)
+    rows = spark.sql(
+        translate("SELECT k, r FROM ch_l GLOBAL ALL INNER JOIN ch_r USING (k)")
+    ).collect()
+    assert len(rows) == 3
+
+    # SEMI / ANTI
+    rows = spark.sql(
+        translate("SELECT k FROM ch_l SEMI LEFT JOIN ch_r USING (k)")
+    ).collect()
+    assert sorted(r.k for r in rows) == [1, 2]
+    rows = spark.sql(
+        translate("SELECT k FROM ch_l ANTI LEFT JOIN ch_r USING (k)")
+    ).collect()
+    assert [r.k for r in rows] == [3]
+
+    # trailing SETTINGS dropped
+    rows = spark.sql(
+        translate("SELECT count(*) AS n FROM ch_l SETTINGS max_threads = 8, join_use_nulls = 1")
+    ).collect()
+    assert rows[0].n == 3
+
+    with pytest.raises(ValueError, match="asof"):
+        translate("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
+    with pytest.raises(ValueError, match="USING"):
+        translate("SELECT * FROM a ANY LEFT JOIN b ON a.k = b.k")
+    with pytest.raises(ValueError, match="swap"):
+        translate("SELECT * FROM a SEMI RIGHT JOIN b USING (k)")
