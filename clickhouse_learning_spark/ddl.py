@@ -95,6 +95,10 @@ class TableSpec:
     name: str
     columns: list[ColumnSpec] = field(default_factory=list)
     partition_by: tuple[str, ...] = ()
+    # expression partition keys (`PARTITION BY toYYYYMM(day)`): derived
+    # column name → translated Spark SQL expression. The derived column
+    # is materialized by apply_defaults and listed in partition_by.
+    partition_exprs: dict[str, str] = field(default_factory=dict)
     order_by: tuple[str, ...] = ()
     primary_key: tuple[str, ...] = ()
     ttl: dt.timedelta | None = None
@@ -125,7 +129,10 @@ class TableSpec:
             path=f"{base_path.rstrip('/')}/{self.database}/{self.name}",
             partition_by=self.partition_by,
             sort_key=self.order_by,
-            schema=self.schema(),
+            # a derived partition column's type isn't declared in the
+            # DDL — leave the schema unpinned and let mergeSchema reads
+            # infer it from the directory layout
+            schema=None if self.partition_exprs else self.schema(),
         )
 
     def apply_defaults(self, df: DataFrame) -> DataFrame:
@@ -138,9 +145,12 @@ class TableSpec:
             if c.name not in out.columns:
                 expr = c.default if c.default is not None else "NULL"
                 out = out.withColumn(c.name, F.expr(expr))
-        return out.select(
+        out = out.select(
             *[F.col(c.name).cast(c.spark_type).alias(c.name) for c in self.columns]
         )
+        for name, expr in self.partition_exprs.items():
+            out = out.withColumn(name, F.expr(expr))
+        return out
 
     def apply_ttl(self, spark, now: dt.date | None = None) -> int | None:
         """Run the declared TTL against the physical table (no-op when
@@ -223,6 +233,45 @@ _COMMENT_RE = re.compile(r"--[^\n]*")
 
 def _strip_comments(sql: str) -> str:
     return _COMMENT_RE.sub("", sql)
+
+
+_PARTITION_BY_RE = re.compile(r"\bpartition\s+by\s+", re.I)
+_KEY_CLAUSE_END_RE = re.compile(
+    r"\b(order\s+by|primary\s+key|ttl|settings|sample\s+by)\b", re.I
+)
+
+
+def _parse_partition_by(
+    tail: str,
+) -> tuple[tuple[str, ...] | None, dict[str, str]]:
+    """``PARTITION BY`` with expression keys (``toYYYYMM(day)``,
+    reference-style month partitioning): each non-identifier element
+    becomes a derived column — name ``p_<sanitized-expr>``, value the
+    dialect-translated Spark expression — materialized on the insert
+    path by :meth:`TableSpec.apply_defaults`. Plain column tuples come
+    back with no derived entries, exactly as before."""
+    km = _PARTITION_BY_RE.search(tail)
+    if km is None:
+        return None, {}
+    start = km.end()
+    if tail[start : start + 1] == "(":
+        from clickhouse_learning_spark.functions.dialect import _matching_paren
+
+        end = _matching_paren(tail, start)
+        body = tail[start + 1 : end]
+    else:
+        em = _KEY_CLAUSE_END_RE.search(tail, start)
+        body = tail[start : em.start() if em else len(tail)]
+    names: list[str] = []
+    exprs: dict[str, str] = {}
+    for el in _split_args(body):
+        if re.fullmatch(r"[A-Za-z_]\w*", el):
+            names.append(el)
+        else:
+            name = "p_" + re.sub(r"\W+", "_", el).strip("_").lower()
+            exprs[name] = translate(el)
+            names.append(name)
+    return tuple(names), exprs
 
 
 def _key_tuple(expr: str) -> tuple[str, ...]:
@@ -323,8 +372,9 @@ def parse_create_table(sql: str) -> TableSpec:
             return None
         key = km.group(1)
         # A bare word followed by '(' is an expression key like
-        # `PARTITION BY toYYYYMM(day)` — refuse loudly rather than
-        # silently truncating to the function name.
+        # `ORDER BY cityHash64(uid)` — refuse loudly rather than
+        # silently truncating to the function name. (PARTITION BY
+        # expressions ARE supported — parsed separately below.)
         if (not key.startswith("(") and tail[km.end() : km.end() + 1] == "(") or (
             key.startswith("(") and "(" in key[1:]
         ):
@@ -335,9 +385,10 @@ def parse_create_table(sql: str) -> TableSpec:
             )
         return _key_tuple(key)
 
-    pk = _key_clause(r"partition\s+by", "PARTITION BY")
+    pk, pexprs = _parse_partition_by(tail)
     if pk is not None:
         spec.partition_by = pk
+        spec.partition_exprs = pexprs
     kk = _key_clause(r"primary\s+key", "PRIMARY KEY")
     if kk is not None:
         spec.primary_key = kk

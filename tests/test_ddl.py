@@ -50,11 +50,10 @@ def test_parse_ods_table_shape():
 
 
 def test_parse_rejects_expression_keys():
-    """An expression key like PARTITION BY toYYYYMM(day) must fail
-    loudly, not silently truncate to the function name."""
+    """Expression ORDER BY / PRIMARY KEY keys must fail loudly, not
+    silently truncate to the function name. (Expression PARTITION BY is
+    supported — test_expression_partition_key.)"""
     base = "create table t (day Date, x UInt32) engine = MergeTree"
-    with pytest.raises(ValueError, match="expression PARTITION BY"):
-        ddl.parse_create_table(base + " partition by toYYYYMM(day) order by day")
     with pytest.raises(ValueError, match="expression ORDER BY"):
         ddl.parse_create_table(base + " partition by day order by (toYYYYMM(day), x)")
     # plain tuples still parse
@@ -253,3 +252,63 @@ def test_parse_mutation_drop_partition_and_delete(spark, tmp_path):
 
     with pytest.raises(ValueError, match="with_metric"):
         parse_mutation("ALTER TABLE a.b ADD COLUMN x UInt32")
+
+
+def test_expression_partition_key(spark, tmp_path):
+    """`PARTITION BY toYYYYMM(day)` (ClickHouse month partitioning):
+    the expression becomes a derived column materialized on the insert
+    path and used as the physical directory partition; filters on the
+    derived column prune directories."""
+    spec = ddl.parse_create_table(
+        """
+        CREATE TABLE ods.monthly (
+            day Date,
+            uid UInt64,
+            v Int64
+        ) ENGINE = MergeTree()
+        PARTITION BY toYYYYMM(day)
+        ORDER BY (day, uid)
+        """
+    )
+    assert spec.partition_by == ("p_toyyyymm_day",)
+    assert spec.partition_exprs == {
+        "p_toyyyymm_day": "(year(day) * 100 + month(day))"
+    } or "day" in next(iter(spec.partition_exprs.values()))
+
+    table = spec.table(str(tmp_path))
+    batch = spark.createDataFrame(
+        [("2024-01-05", 1, 10), ("2024-01-20", 2, 20), ("2024-02-01", 3, 30)],
+        "day string, uid long, v long",
+    ).withColumn("day", F.col("day").cast("date"))
+    full = spec.apply_defaults(batch)
+    assert "p_toyyyymm_day" in full.columns
+    table.append(full)
+
+    import os
+
+    dirs = sorted(
+        d for d in os.listdir(table.path) if d.startswith("p_toyyyymm_day=")
+    )
+    assert dirs == ["p_toyyyymm_day=202401", "p_toyyyymm_day=202402"]
+
+    got = table.read(spark)
+    assert got.count() == 3
+    # partition pruning on the derived column
+    pruned = got.filter(F.col("p_toyyyymm_day") == 202401)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "202401" in plan  # pushed to the scan's partition filters
+    assert pruned.count() == 2
+
+    # mixed plain + expression keys
+    spec2 = ddl.parse_create_table(
+        "CREATE TABLE t (day Date, site String, v Int64) "
+        "ENGINE = MergeTree() PARTITION BY (site, toYYYYMM(day)) ORDER BY day"
+    )
+    assert spec2.partition_by == ("site", "p_toyyyymm_day")
+
+    # ORDER BY expressions still refuse loudly
+    with pytest.raises(ValueError, match="ORDER BY"):
+        ddl.parse_create_table(
+            "CREATE TABLE t (uid UInt64) ENGINE = MergeTree() "
+            "ORDER BY cityHash64(uid)"
+        )
