@@ -209,6 +209,22 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["uniqCombinedStateIf"] = lambda a: (
         lambda x, c: f"hll_sketch_agg(CASE WHEN {c} THEN {x} END)"
     )(*_two(a, "uniqCombinedStateIf"))
+    # theta-sketch uniq family (metrics.py kind='uniq_theta';
+    # Datasketches JVM-native, supports set algebra on states)
+    m["uniqTheta"] = lambda a: (
+        f"CAST(round(theta_sketch_estimate(theta_sketch_agg("
+        f"{_one(a, 'uniqTheta')}))) AS BIGINT)"
+    )
+    m["uniqThetaState"] = lambda a: (
+        f"theta_sketch_agg({_one(a, 'uniqThetaState')})"
+    )
+    m["uniqThetaStateIf"] = lambda a: (
+        lambda x, c: f"theta_sketch_agg(CASE WHEN {c} THEN {x} END)"
+    )(*_two(a, "uniqThetaStateIf"))
+    m["uniqThetaMerge"] = lambda a: (
+        f"CAST(round(theta_sketch_estimate(theta_union_agg("
+        f"{_one(a, 'uniqThetaMerge')}))) AS BIGINT)"
+    )
     m["uniqCombinedMerge"] = lambda a: (
         f"coalesce(hll_sketch_estimate(hll_union_agg("
         f"{_one(a, 'uniqCombinedMerge')}, true)), 0)"
@@ -287,6 +303,22 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         f"CAST(count({a[0]}) AS INT)))"
     ),
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    # approximate quantile sketches: ClickHouse's t-digest / timing /
+    # bfloat16 families are all "fast approximate quantile" — Spark's
+    # approx_percentile is the same contract. For mergeable two-phase
+    # states use MetricSpec(kind='quantile_kll') (Datasketches KLL) or
+    # kind='quantile_sketch' (DDSketch, quantile_sketch_dd).
+    "quantileTDigest": lambda p, a: (
+        f"approx_percentile({a[0]}, {p[0]})"
+    ),
+    "quantileTiming": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
+    "quantileBFloat16": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
+    "quantilesTDigest": lambda p, a: (
+        f"approx_percentile({a[0]}, array({', '.join(p)}))"
+    ),
+    "quantilesTiming": lambda p, a: (
+        f"approx_percentile({a[0]}, array({', '.join(p)}))"
+    ),
     "topK": lambda p, a: (_ for _ in ()).throw(
         ValueError(
             "topK(k)(x) has no single-expression Spark SQL form; use "

@@ -511,3 +511,32 @@ def test_translate_join_strictness(spark):
         translate("SELECT * FROM a ANY LEFT JOIN b ON a.k = b.k")
     with pytest.raises(ValueError, match="swap"):
         translate("SELECT * FROM a SEMI RIGHT JOIN b USING (k)")
+
+
+def test_translate_theta_and_approx_quantiles(spark):
+    """uniqTheta family → Datasketches theta agg (state/merge round-trip
+    exact at small cardinality); quantileTDigest/Timing → Spark
+    approx_percentile (same fast-approximate contract)."""
+    spark.range(1000).selectExpr(
+        "id % 10 AS g", "id % 137 AS u", "CAST(id AS DOUBLE) AS v"
+    ).createOrReplaceTempView("ch_th")
+
+    r = spark.sql(
+        translate("SELECT uniqTheta(u) AS u FROM ch_th")
+    ).collect()[0]
+    assert r.u == 137  # theta is exact below sketch capacity
+
+    states = spark.sql(
+        translate("SELECT g, uniqThetaState(u) AS s FROM ch_th GROUP BY g")
+    )
+    states.createOrReplaceTempView("ch_th_states")
+    merged = spark.sql(
+        translate("SELECT uniqThetaMerge(s) AS u FROM ch_th_states")
+    ).collect()[0]
+    assert merged.u == 137
+
+    q = spark.sql(
+        translate("SELECT quantileTDigest(0.5)(v) AS med, "
+                  "quantileTiming(0.9)(v) AS p90 FROM ch_th")
+    ).collect()[0]
+    assert abs(q.med - 499.5) < 25 and abs(q.p90 - 899) < 45
