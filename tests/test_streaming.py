@@ -246,3 +246,52 @@ def test_stream_precount_state_kinds(spark, tmp_path):
     }
     for d, (_, p50, _) in streamed.items():
         assert p50 == direct[d]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup at the ingest boundary: duplicate document
+    fingerprints across micro-batches are admitted once; the admitted
+    set equals the batch exact-dedup answer on the same files."""
+    from clickhouse_learning_spark.streaming.dedup import (
+        dedup_stream,
+        with_fingerprint,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "alpha text", "2024-01-01 10:00:00"),
+            (2, "beta text", "2024-01-01 10:00:05"),
+            (3, "alpha text", "2024-01-01 10:00:10"),  # dup of 1 (content)
+        ],
+        "doc_id long, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    more = spark.createDataFrame(
+        [
+            (4, "beta text", "2024-01-01 10:01:00"),  # dup of 2, later batch
+            (5, "gamma text", "2024-01-01 10:01:05"),
+        ],
+        "doc_id long, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    landing = str(tmp_path / "docs")
+    base.coalesce(1).write.mode("append").parquet(landing)
+    more.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = parquet_stream(spark, landing, base.schema)
+    admitted = dedup_stream(with_fingerprint(stream), keys=["fp"], watermark="1 hour")
+    out = str(tmp_path / "admitted")
+    q = (
+        admitted.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+
+    got = spark.read.parquet(out)
+    texts = sorted(r.text for r in got.collect())
+    assert texts == ["alpha text", "beta text", "gamma text"]
+    # first-arrival wins within the horizon
+    assert {r.text: r.doc_id for r in got.collect()}["beta text"] == 2
