@@ -264,3 +264,148 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100.0 * F.sum(promo) / F.sum(rev), 2).alias("promo_pct")
         )
     )
+
+
+@query(
+    "small_quantity_revenue",
+    """
+    SELECT p_brand,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS low_qty_cents,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT p.p_brand, l.l_extendedprice, l.l_quantity,
+             sum(CAST(l.l_quantity AS BIGINT)) OVER (PARTITION BY l.l_partkey) AS qsum,
+             count(*) OVER (PARTITION BY l.l_partkey) AS qcnt
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    WHERE 2 * CAST(l_quantity AS BIGINT) * qcnt < qsum
+    GROUP BY p_brand
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    half their part's average — the correlated-scalar-subquery pattern,
+    expressed as a per-part pre-aggregation joined back to the fact
+    table (exactly Catalyst's decorrelation of the subquery form; the
+    oracle uses the equivalent window formulation).
+
+    Determinism: the `q < 0.5·avg(q)` boundary is integerized to
+    `2·q·cnt < sum(q)` (quantities are integral), so no IEEE
+    summation-order difference can flip a row between engines.
+
+    Scale: per-part aggregation and the join both key on l_partkey —
+    one shuffle, co-partitioned; revenue summed in exact cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qsum"),
+        F.count(F.lit(1)).alias("qcnt"),
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(2 * F.col("l_quantity").cast("long") * F.col("qcnt") < F.col("qsum"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "low_qty_cents"
+            ),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@query(
+    "top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_cents
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_cents = (SELECT max(total_cents) FROM rev)
+    """,
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — an aggregate-of-aggregate with a scalar subquery against
+    the same derived view. Expressed as a rank-less max-equality over
+    exact integer cents (ties kept, like the TPC-H spec), so the
+    boundary cannot flap between engines.
+
+    Scale: one keyed aggregation of the filtered fact table; the
+    1-row max is a broadcast cross-join, never a sort of the whole
+    revenue vector."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("total_cents")
+    )
+    mx = rev.agg(F.max("total_cents").alias("mx"))
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+@query(
+    "rolling_revenue_7d",
+    """
+    SELECT day, daily_cents,
+           CAST(sum(daily_cents) OVER (ORDER BY day
+                RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS rolling7_cents
+    FROM (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS daily_cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-03-01'
+      GROUP BY 1)
+    """,
+)
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue window over the daily rollup — the
+    time-RANGE window frame (not ROWS: missing days must widen the
+    trailing sum's reach, and duplicate days must merge). Spark's
+    rangeBetween needs a numeric ordering key, so days order by their
+    epoch-day number with a (-6, 0) frame; the oracle uses DuckDB's
+    native INTERVAL RANGE frame — a framing bug on either side breaks
+    the hash match.
+
+    Scale: the window runs over the already-aggregated daily series
+    (~hundreds of rows per partition horizon), not the raw fact table;
+    one exchange for the rollup, a single-partition window over days
+    is fine because the series is tiny post-aggregation."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-03-01").cast("timestamp_ntz"))
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("daily_cents")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "day", "daily_cents", F.sum("daily_cents").over(w).alias("rolling7_cents")
+    )
