@@ -99,6 +99,9 @@ class TableSpec:
     # column name → translated Spark SQL expression. The derived column
     # is materialized by apply_defaults and listed in partition_by.
     partition_exprs: dict[str, str] = field(default_factory=dict)
+    # columns under a declared skip index (INDEX … TYPE bloom_filter /
+    # tokenbf_v1 / set) — mapped to parquet bloom filters
+    bloom_index_cols: tuple[str, ...] = ()
     order_by: tuple[str, ...] = ()
     primary_key: tuple[str, ...] = ()
     ttl: dt.timedelta | None = None
@@ -133,6 +136,7 @@ class TableSpec:
             # DDL — leave the schema unpinned and let mergeSchema reads
             # infer it from the directory layout
             schema=None if self.partition_exprs else self.schema(),
+            bloom_filter_cols=self.bloom_index_cols,
         )
 
     def apply_defaults(self, df: DataFrame) -> DataFrame:
@@ -360,7 +364,22 @@ def parse_create_table(sql: str) -> TableSpec:
                 break
         i += 1
     body, tail = rest[1:i], rest[i + 1 :]
-    spec.columns = [_parse_column(c) for c in _split_args(body)]
+    # ClickHouse skip indexes live inside the column list:
+    # `INDEX name expr TYPE bloom_filter[(fpp)] GRANULARITY g` →
+    # parquet bloom filters on the indexed column (Table.bloom_filter_cols);
+    # minmax indexes are subsumed by the sort-key row-group stats.
+    elements = _split_args(body)
+    for el in elements:
+        im = re.match(
+            r"index\s+\w+\s+(\w+)\s+type\s+(\w+)", el.strip(), re.I
+        )
+        if im and im.group(2).lower() in ("bloom_filter", "tokenbf_v1", "set"):
+            spec.bloom_index_cols += (im.group(1),)
+    spec.columns = [
+        _parse_column(c)
+        for c in elements
+        if not re.match(r"index\s", c.strip(), re.I)
+    ]
 
     em = re.search(r"engine\s*=\s*(\w+)", tail, re.I)
     if em:

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import datetime as dt
 import shutil
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +55,17 @@ class Table:
     # row-hash salt (NOT rand() — nondeterministic partitioning
     # duplicates/drops rows on stage retry).
     files_per_partition: int = 1
+    # ClickHouse skip-index analog (`INDEX x TYPE bloom_filter`): write
+    # parquet bloom filters for these columns. Point-lookup filters on
+    # them then skip whole row groups whose bloom excludes the value —
+    # complementing the sort-key min/max stats, which only help for
+    # range-correlated columns. Costs ~1 MB/row-group/column at the
+    # default FPP; enable for high-cardinality equality-probed columns
+    # (uid, item_id), not for low-cardinality dims.
+    bloom_filter_cols: tuple[str, ...] = ()
+    # expected distinct values per bloom column (sizes the filter; the
+    # parquet writer default underestimates high-cardinality columns)
+    bloom_filter_ndv: dict[str, int] = field(default_factory=dict)
 
     # -- read ------------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
@@ -84,19 +95,30 @@ class Table:
             return df.sortWithinPartitions(*self.sort_key)
         return df
 
+    def _write(self, df: DataFrame):
+        w = self._sorted(df).write
+        for c in self.bloom_filter_cols:
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            if c in self.bloom_filter_ndv:
+                w = w.option(
+                    f"parquet.bloom.filter.expected.ndv#{c}",
+                    str(self.bloom_filter_ndv[c]),
+                )
+        return w
+
     def append(self, df: DataFrame) -> None:
         """Append a batch (one MergeTree "part" per task file)."""
         (
-            self._sorted(df)
-            .write.mode("append")
+            self._write(df)
+            .mode("append")
             .partitionBy(*self.partition_by)
             .parquet(self.path)
         )
 
     def overwrite(self, df: DataFrame) -> None:
         (
-            self._sorted(df)
-            .write.mode("overwrite")
+            self._write(df)
+            .mode("overwrite")
             .partitionBy(*self.partition_by)
             .parquet(self.path)
         )
@@ -106,8 +128,8 @@ class Table:
         are replaced (the reference's DROP PARTITION + insert idempotent
         load, make_user_dim_info_toch.py:40-63)."""
         (
-            self._sorted(df)
-            .write.mode("overwrite")
+            self._write(df)
+            .mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*self.partition_by)
             .parquet(self.path)
@@ -121,8 +143,8 @@ class Table:
         be a metadata-only commit."""
         staging = self.path.rstrip("/") + "__staging"
         (
-            self._sorted(df)
-            .write.mode("overwrite")
+            self._write(df)
+            .mode("overwrite")
             .partitionBy(*self.partition_by)
             .parquet(staging)
         )

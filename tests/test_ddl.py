@@ -312,3 +312,24 @@ def test_expression_partition_key(spark, tmp_path):
             "CREATE TABLE t (uid UInt64) ENGINE = MergeTree() "
             "ORDER BY cityHash64(uid)"
         )
+
+
+def test_skip_index_maps_to_bloom_filter():
+    """`INDEX … TYPE bloom_filter` skip indexes parse out of the column
+    list and map onto the Table's parquet bloom filters; minmax indexes
+    are subsumed by sort-key row-group stats and ignored."""
+    spec = ddl.parse_create_table(
+        """
+        CREATE TABLE t (
+            day Date,
+            uid UInt64,
+            item_id UInt32,
+            INDEX idx_uid uid TYPE bloom_filter(0.01) GRANULARITY 4,
+            INDEX idx_day day TYPE minmax GRANULARITY 1
+        ) ENGINE = MergeTree() PARTITION BY day ORDER BY (day, uid)
+        """
+    )
+    assert [c.name for c in spec.columns] == ["day", "uid", "item_id"]
+    assert spec.bloom_index_cols == ("uid",)
+    t = spec.table("/tmp/unused")
+    assert t.bloom_filter_cols == ("uid",)

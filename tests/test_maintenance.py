@@ -62,3 +62,43 @@ def test_uniq_tuple_multi_arg(spark):
         .collect()
     }
     assert got == want
+
+
+def test_bloom_filter_skip_index(spark, tmp_path):
+    """bloom_filter_cols (ClickHouse `INDEX ... TYPE bloom_filter`
+    analog): files written with the bloom option carry the extra filter
+    bytes (this pyarrow/duckdb can't surface the offset directly), and
+    point lookups still answer exactly."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.tables import Table
+
+    df = spark.range(100_000).selectExpr(
+        "CAST(id % 3 AS INT) AS day", "id * 7919 % 1000003 AS uid", "id AS v"
+    )
+
+    def total(path):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(str(path) + "/day=*/*.parquet")
+        )
+
+    plain = Table(str(tmp_path / "plain"), partition_by=("day",), sort_key=("uid",))
+    plain.append(df)
+    bloomed = Table(
+        str(tmp_path / "bloomed"),
+        partition_by=("day",),
+        sort_key=("uid",),
+        bloom_filter_cols=("uid",),
+        bloom_filter_ndv={"uid": 40_000},
+    )
+    bloomed.append(df)
+    # the bloom filter is real bytes in the footer region (~5-50% here)
+    assert total(tmp_path / "bloomed") > total(tmp_path / "plain") * 1.05
+
+    probe = df.filter("id = 1234").collect()[0]["uid"]
+    got = bloomed.read(spark).filter(F.col("uid") == probe).collect()
+    assert any(r["v"] == 1234 for r in got)
