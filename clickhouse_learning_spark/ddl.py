@@ -306,6 +306,10 @@ def _parse_column(defn: str) -> ColumnSpec:
     if not m:
         raise ValueError(f"unparseable column definition: {defn!r}")
     name, rest = m.group(1), m.group(2).strip()
+    # per-column CODEC(ZSTD/LZ4/Delta…): a compression knob, not a type —
+    # parquet compression is table-wide (spark.sql.parquet.compression.codec,
+    # zstd by default here), so the clause is dropped
+    rest = re.sub(r"\s*codec\s*\((?:[^()]|\([^()]*\))*\)", "", rest, flags=re.I)
     comment = None
     cm = re.search(r"\bcomment\s+'((?:[^']|'')*)'\s*$", rest, re.I)
     if cm:

@@ -333,3 +333,16 @@ def test_skip_index_maps_to_bloom_filter():
     assert spec.bloom_index_cols == ("uid",)
     t = spec.table("/tmp/unused")
     assert t.bloom_filter_cols == ("uid",)
+
+
+def test_codec_clause_dropped():
+    """Per-column CODEC(...) compression knobs parse cleanly and drop
+    (parquet compression is table-wide zstd); defaults survive."""
+    spec = ddl.parse_create_table(
+        "CREATE TABLE t (day Date, v UInt64 CODEC(ZSTD(3)), "
+        "d UInt32 DEFAULT 7 CODEC(Delta(4), LZ4)) "
+        "ENGINE=MergeTree() ORDER BY day"
+    )
+    by = {c.name: c for c in spec.columns}
+    assert by["v"].spark_type.simpleString() == "bigint"
+    assert by["d"].default == "7"
