@@ -41,6 +41,10 @@ HEADLINE = [
     "regional_supplier_volume",
     "shipping_priority",
     "promo_revenue_share",
+    "small_quantity_revenue",
+    "top_supplier",
+    "rolling_revenue_7d",
+    "ch_limit_by_topn",
     "global_topk_orders",
     "json_extract_agg",
     "window_functions_suite",

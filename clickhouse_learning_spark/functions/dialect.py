@@ -303,6 +303,23 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         f"CAST(count({a[0]}) AS INT)))"
     ),
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    # exact-low/high variants (Python statistics.median_low/high
+    # generalized): low takes the (n-1)th 0-based element when
+    # level·count lands on an integer ≥ 1, else ⌊level·count⌋; high is
+    # ⌊level·count⌋ clamped — identical to quantileExact's rule.
+    "quantileExactLow": lambda p, a: (
+        f"element_at(array_sort(collect_list({a[0]})), "
+        f"least(CASE WHEN ({p[0]}) * count({a[0]}) >= 1 "
+        f"AND floor(({p[0]}) * count({a[0]})) = ({p[0]}) * count({a[0]}) "
+        f"THEN CAST(({p[0]}) * count({a[0]}) AS INT) "
+        f"ELSE CAST(floor(({p[0]}) * count({a[0]})) AS INT) + 1 END, "
+        f"CAST(count({a[0]}) AS INT)))"
+    ),
+    "quantileExactHigh": lambda p, a: (
+        f"element_at(array_sort(collect_list({a[0]})), "
+        f"least(CAST(floor(({p[0]}) * count({a[0]})) AS INT) + 1, "
+        f"CAST(count({a[0]}) AS INT)))"
+    ),
     # approximate quantile sketches: ClickHouse's t-digest / timing /
     # bfloat16 families are all "fast approximate quantile" — Spark's
     # approx_percentile is the same contract. For mergeable two-phase

@@ -540,3 +540,32 @@ def test_translate_theta_and_approx_quantiles(spark):
                   "quantileTiming(0.9)(v) AS p90 FROM ch_th")
     ).collect()[0]
     assert abs(q.med - 499.5) < 25 and abs(q.p90 - 899) < 45
+
+
+def test_translate_quantile_exact_low_high(spark):
+    """quantileExactLow/High == Python statistics.median_low/high at
+    level 0.5, and follow ClickHouse's index rules at other levels."""
+    import statistics
+
+    even = [10, 20, 30, 40]
+    odd = [10, 20, 30, 40, 50]
+    for vals in (even, odd):
+        spark.createDataFrame([(v,) for v in vals], "v int").createOrReplaceTempView(
+            "ch_q"
+        )
+        r = spark.sql(
+            translate(
+                "SELECT quantileExactLow(0.5)(v) AS lo, "
+                "quantileExactHigh(0.5)(v) AS hi FROM ch_q"
+            )
+        ).collect()[0]
+        assert r.lo == statistics.median_low(vals)
+        assert r.hi == statistics.median_high(vals)
+    # level boundaries: 0 → first element, 1 → last, both variants
+    r = spark.sql(
+        translate(
+            "SELECT quantileExactLow(0)(v) AS l0, quantileExactLow(1)(v) AS l1, "
+            "quantileExactHigh(0)(v) AS h0, quantileExactHigh(1)(v) AS h1 FROM ch_q"
+        )
+    ).collect()[0]
+    assert (r.l0, r.l1, r.h0, r.h1) == (10, 50, 10, 50)
