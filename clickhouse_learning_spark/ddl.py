@@ -55,6 +55,14 @@ _SIMPLE_TYPES: dict[str, T.DataType] = {
     "Int8": T.ShortType(),
     "Float64": T.DoubleType(),
     "Float32": T.FloatType(),
+    "Bool": T.BooleanType(),
+    "Date32": T.DateType(),
+    "UUID": T.StringType(),  # canonical 36-char form
+    "IPv4": T.StringType(),
+    "IPv6": T.StringType(),
+    "Int128": T.DecimalType(38, 0),
+    "UInt128": T.DecimalType(38, 0),
+    "JSON": T.StringType(),  # query via get_json_object/from_json
 }
 
 _STATE_TYPES: dict[str, T.DataType] = {
@@ -68,6 +76,16 @@ _STATE_TYPES: dict[str, T.DataType] = {
 
 
 def _map_type(ch_type: str) -> T.DataType:
+    """Full ClickHouse type system → Spark (SURVEY §1.2 plus the
+    wrappers/containers a real pasted DDL uses).
+
+    Nullability: Spark columns are nullable throughout (the engine's
+    StructFields are created nullable), so ``Nullable(T)`` maps to T
+    and non-Nullable adds no constraint — ClickHouse's NOT-NULL-with-
+    type-default semantics is reproduced on the insert path by
+    apply_defaults, not by the schema. ``LowCardinality`` is a
+    dictionary-encoding hint; parquet dictionary-encodes on its own.
+    """
     ch_type = ch_type.strip()
     m = re.match(r"(Simple)?AggregateFunction\s*\((.*)\)$", ch_type)
     if m:
@@ -75,6 +93,55 @@ def _map_type(ch_type: str) -> T.DataType:
         if fn in _STATE_TYPES:
             return _STATE_TYPES[fn]
         raise ValueError(f"unmapped aggregate state type: {ch_type!r}")
+    for wrapper in ("Nullable", "LowCardinality"):
+        m = re.match(rf"{wrapper}\s*\((.*)\)$", ch_type)
+        if m:
+            return _map_type(m.group(1))
+    m = re.match(r"Array\s*\((.*)\)$", ch_type)
+    if m:
+        return T.ArrayType(_map_type(m.group(1)))
+    m = re.match(r"Map\s*\((.*)\)$", ch_type)
+    if m:
+        k, v = _split_args(m.group(1))
+        return T.MapType(_map_type(k), _map_type(v))
+    m = re.match(r"Tuple\s*\((.*)\)$", ch_type)
+    if m:
+        fields = []
+        for i, el in enumerate(_split_args(m.group(1))):
+            # named-tuple form `Tuple(a UInt32, b String)`
+            nm = re.match(r"([A-Za-z_]\w*)\s+(.+)$", el)
+            if nm and not re.match(r"[A-Z]\w*\s*\(", el):
+                fields.append(T.StructField(nm.group(1), _map_type(nm.group(2)), True))
+            else:
+                # unnamed → col1… (matches the dialect's tuple() → struct())
+                fields.append(T.StructField(f"col{i + 1}", _map_type(el), True))
+        return T.StructType(fields)
+    m = re.match(r"Nested\s*\((.*)\)$", ch_type)
+    if m:
+        # ClickHouse Nested = parallel arrays; the natural Spark shape
+        # is array<struct<…>> (explode ≡ ARRAY JOIN of the nested cols)
+        inner = [
+            T.StructField(
+                (p := el.split(None, 1))[0], _map_type(p[1]), True
+            )
+            for el in _split_args(m.group(1))
+        ]
+        return T.ArrayType(T.StructType(inner))
+    m = re.match(r"Decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", ch_type)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    m = re.match(r"Decimal(32|64|128)\s*\(\s*(\d+)\s*\)$", ch_type)
+    if m:
+        precision = {"32": 9, "64": 18, "128": 38}[m.group(1)]
+        return T.DecimalType(precision, int(m.group(2)))
+    m = re.match(r"DateTime64\s*\(", ch_type)
+    if m:
+        return T.TimestampNTZType()
+    if re.match(r"Enum(8|16)\s*\(", ch_type):
+        # enums compare/serialize as their string names in SELECTs
+        return T.StringType()
+    if re.match(r"FixedString\s*\(\s*\d+\s*\)$", ch_type):
+        return T.StringType()
     if ch_type in _SIMPLE_TYPES:
         return _SIMPLE_TYPES[ch_type]
     raise ValueError(f"unmapped ClickHouse type: {ch_type!r}")

@@ -346,3 +346,36 @@ def test_codec_clause_dropped():
     by = {c.name: c for c in spec.columns}
     assert by["v"].spark_type.simpleString() == "bigint"
     assert by["d"].default == "7"
+
+
+def test_full_type_system_mapping():
+    """The wrappers/containers a real pasted DDL uses, beyond the
+    reference's own types: Nullable/LowCardinality unwrap (Spark
+    columns are nullable throughout; parquet dictionary-encodes on its
+    own), containers map recursively, Tuple fields name col1… to match
+    the dialect's tuple()→struct() convention, Nested becomes
+    array<struct> (explode ≡ ARRAY JOIN)."""
+    from clickhouse_learning_spark.ddl import _map_type
+
+    cases = {
+        "Nullable(UInt64)": "bigint",
+        "LowCardinality(Nullable(String))": "string",
+        "Array(Array(String))": "array<array<string>>",
+        "Map(String, UInt64)": "map<string,bigint>",
+        "Decimal(18, 4)": "decimal(18,4)",
+        "Decimal64(4)": "decimal(18,4)",
+        "DateTime64(3)": "timestamp_ntz",
+        "Enum8('a' = 1, 'b' = 2)": "string",
+        "FixedString(16)": "string",
+        "UUID": "string",
+        "Bool": "boolean",
+        "Int128": "decimal(38,0)",
+        "Date32": "date",
+        "Tuple(String, UInt64)": "struct<col1:string,col2:bigint>",
+        "Tuple(a UInt32, b String)": "struct<a:bigint,b:string>",
+        "Nested(id UInt32, v String)": "array<struct<id:bigint,v:string>>",
+    }
+    for ch, want in cases.items():
+        assert _map_type(ch).simpleString() == want, ch
+    with pytest.raises(ValueError, match="unmapped"):
+        _map_type("Point")
