@@ -147,6 +147,51 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["empty"] = lambda a: f"(size({_one(a, 'empty')}) = 0)"
     m["notEmpty"] = lambda a: f"(size({_one(a, 'notEmpty')}) > 0)"
     m["arrayDistinct"] = lambda a: f"array_distinct({_one(a, 'arrayDistinct')})"
+    # higher-order array functions: ClickHouse writes the lambda FIRST
+    # (arrayMap(x -> e, arr)); Spark writes it LAST (transform(arr,
+    # x -> e)). The lambda syntax itself is identical, so the rewrite
+    # is a name + argument-order swap. Multi-array forms zip through
+    # the same swap (both engines support (x, y) -> … over two arrays).
+    def _hof(spark_name, ch_name):
+        def f(a):
+            if len(a) != 2:
+                raise ValueError(
+                    f"{ch_name}(lambda, arr): Spark's {spark_name} takes one "
+                    "array — zip multi-array forms with arrayMap/zip_with first"
+                )
+            lam, arr = a
+            return f"{spark_name}({arr}, {lam})"
+
+        return f
+
+    def _array_map(a):
+        if len(a) == 2:
+            return f"transform({a[1]}, {a[0]})"
+        if len(a) == 3:  # two-array zip form → zip_with
+            return f"zip_with({a[1]}, {a[2]}, {a[0]})"
+        raise ValueError(
+            "arrayMap over >2 arrays: Spark zip_with is binary — nest "
+            "zip_with calls or arrays_zip the inputs first"
+        )
+
+    m["arrayMap"] = _array_map
+    m["arrayFilter"] = _hof("filter", "arrayFilter")
+    m["arrayExists"] = _hof("exists", "arrayExists")
+    m["arrayAll"] = _hof("forall", "arrayAll")
+    m["arrayCount"] = lambda a: (
+        f"size({_hof('filter', 'arrayCount')(a)})"
+        if len(a) >= 2
+        # 1-arg form counts truthy elements
+        else f"size(filter({_one(a, 'arrayCount')}, x -> x))"
+    )
+    m["arrayFirst"] = lambda a: (
+        f"try_element_at({_hof('filter', 'arrayFirst')(a)}, 1)"
+    )
+    m["arrayFirstIndex"] = lambda a: (
+        lambda lam, arr: (
+            f"coalesce(array_position(transform({arr}, {lam}), true), 0)"
+        )
+    )(*_two(a, "arrayFirstIndex"))
     m["arraySort"] = lambda a: f"array_sort({_one(a, 'arraySort')})"
     m["arrayReverse"] = lambda a: f"reverse({_one(a, 'arrayReverse')})"
     m["arrayConcat"] = lambda a: f"concat({', '.join(a)})"

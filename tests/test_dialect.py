@@ -569,3 +569,31 @@ def test_translate_quantile_exact_low_high(spark):
         )
     ).collect()[0]
     assert (r.l0, r.l1, r.h0, r.h1) == (10, 50, 10, 50)
+
+
+def test_translate_higher_order_array_functions(spark):
+    """ClickHouse lambda-first HOFs → Spark array-first equivalents;
+    the lambda syntax is shared, so only name/arg order changes."""
+    row = spark.sql(
+        "SELECT "
+        + translate("arrayMap(x -> x * 2, [1, 2, 3])") + " AS doubled, "
+        + translate("arrayFilter(x -> x > 1, [1, 2, 3])") + " AS big, "
+        + translate("arrayExists(x -> x = 2, [1, 2, 3])") + " AS has2, "
+        + translate("arrayAll(x -> x > 0, [1, 2, 3])") + " AS allpos, "
+        + translate("arrayCount(x -> x > 1, [1, 2, 3])") + " AS n, "
+        + translate("arrayFirst(x -> x > 1, [1, 2, 3])") + " AS fst, "
+        + translate("arrayFirstIndex(x -> x > 1, [1, 2, 3])") + " AS idx, "
+        + translate("arrayMap((x, y) -> x + y, [1, 2], [10, 20])") + " AS zipped"
+    ).collect()[0]
+    assert row.doubled == [2, 4, 6]
+    assert row.big == [2, 3]
+    assert row.has2 is True and row.allpos is True
+    assert row.n == 2 and row.fst == 2 and row.idx == 2
+    assert row.zipped == [11, 22]
+    # no match: arrayFirst → NULL (ClickHouse: the type default — the
+    # one intentional difference), arrayFirstIndex → 0 (same as CH)
+    r = spark.sql(
+        "SELECT " + translate("arrayFirst(x -> x > 9, [1])") + " AS fst, "
+        + translate("arrayFirstIndex(x -> x > 9, [1])") + " AS idx"
+    ).collect()[0]
+    assert r.fst is None and r.idx == 0
