@@ -229,3 +229,20 @@ def test_quantized_ivf_probe_prunes_partitions(spark, tmp_path):
     plan = plan_text(idx.search(spark, q, k=5, n_probes=2))
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "cell" in pf[0], plan[:2000]
+
+
+def test_small_quantity_revenue_plan(spark):
+    """Q17 decorrelation shape: the per-part pre-aggregation and its
+    join back to lineitem both key on l_partkey (co-partitioned — no
+    extra exchange beyond the key shuffle), and the part dimension
+    broadcasts."""
+    import clickhouse_learning_spark.queries_tpch  # noqa: F401
+
+    df = QUERIES["small_quantity_revenue"](spark, SF_SMOKE)
+    p = plan_text(df)
+    assert "BroadcastHashJoin" in p  # part side
+    # the l_partkey self-join must be a hash join keyed on l_partkey,
+    # not a nested-loop/cartesian
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # partial/final split on the final brand rollup
+    assert p.count("HashAggregate") >= 2
