@@ -175,6 +175,27 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         )
 
     m["arrayMap"] = _array_map
+
+    # window functions: lagInFrame/leadInFrame are ClickHouse's proper
+    # OVER-clause forms — same semantics as lag/lead
+    m["lagInFrame"] = lambda a: f"lag({', '.join(a)})"
+    m["leadInFrame"] = lambda a: f"lead({', '.join(a)})"
+    # block-order-dependent functions have no deterministic distributed
+    # meaning; the window formulation is the correct translation
+    for _bad, _alt in (
+        ("neighbor", "lag/lead OVER (ORDER BY …)"),
+        ("runningDifference", "x - lag(x) OVER (ORDER BY …)"),
+        ("runningAccumulate", "sum(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)"),
+        ("rowNumberInAllBlocks", "row_number() OVER (ORDER BY …)"),
+    ):
+        m[_bad] = (
+            lambda alt, name: lambda a: (_ for _ in ()).throw(
+                ValueError(
+                    f"{name} depends on server-local block order (meaningless "
+                    f"on a distributed engine); use {alt}"
+                )
+            )
+        )(_alt, _bad)
     m["arrayFilter"] = _hof("filter", "arrayFilter")
     m["arrayExists"] = _hof("exists", "arrayExists")
     m["arrayAll"] = _hof("forall", "arrayAll")

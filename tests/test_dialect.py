@@ -597,3 +597,20 @@ def test_translate_higher_order_array_functions(spark):
         + translate("arrayFirstIndex(x -> x > 9, [1])") + " AS idx"
     ).collect()[0]
     assert r.fst is None and r.idx == 0
+
+
+def test_translate_window_and_block_order_functions(spark):
+    """lagInFrame/leadInFrame map to lag/lead; block-order functions
+    (neighbor, runningDifference, …) gate with the window form."""
+    spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20)], "k int, v int"
+    ).createOrReplaceTempView("ch_w")
+    rows = spark.sql(
+        translate(
+            "SELECT k, v - lagInFrame(v, 1, 0) OVER (ORDER BY k) AS diff FROM ch_w"
+        )
+    ).collect()
+    assert [(r.k, r.diff) for r in rows] == [(1, 10), (2, 20), (3, -10)]
+    for fn in ("neighbor(v, 1)", "runningDifference(v)", "runningAccumulate(s)"):
+        with pytest.raises(ValueError, match="block order"):
+            translate(f"SELECT {fn} FROM t")
