@@ -272,13 +272,7 @@ class IvfIndex:
         from pathlib import Path
 
         cents = train_centroids(corpus, n_centroids, emb_col, id_col)
-        assigned = assign_cells(corpus, cents, emb_col)
-        if quantized:
-            assigned = assigned.select(
-                F.col(id_col),
-                _quantize_to_bytes()(F.col(emb_col)).alias("qv"),
-                "cell",
-            )
+        assigned = self._assign(corpus, cents, quantized, emb_col, id_col)
         (
             assigned.write.mode("overwrite")
             .partitionBy("cell")
@@ -290,6 +284,45 @@ class IvfIndex:
         self._centroids = cents
         self._quantized = quantized
         return self
+
+    def append(
+        self,
+        batch: DataFrame,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "IvfIndex":
+        """Incremental insert: assign new vectors to the EXISTING
+        centroids and append into their cell partitions — no retrain,
+        no rewrite of resident cells (the IVF analog of a MergeTree
+        insert part). Cell balance drifts as the corpus distribution
+        shifts; rebuild() when probe-recall tests say so — the same
+        compaction cadence the state tables use."""
+        assigned = self._assign(
+            batch, self.centroids(), self.quantized, emb_col, id_col
+        )
+        (
+            assigned.write.mode("append")
+            .partitionBy("cell")
+            .parquet(self.path + "/data")
+        )
+        return self
+
+    def _assign(
+        self,
+        corpus: DataFrame,
+        cents: list[list[float]],
+        quantized: bool,
+        emb_col: str,
+        id_col: str,
+    ) -> DataFrame:
+        assigned = assign_cells(corpus, cents, emb_col)
+        if quantized:
+            assigned = assigned.select(
+                F.col(id_col),
+                _quantize_to_bytes()(F.col(emb_col)).alias("qv"),
+                "cell",
+            )
+        return assigned
 
     def _load_meta(self) -> None:
         import json

@@ -79,3 +79,44 @@ def test_quantized_ivf_recall_and_size(spark, tmp_path):
     assert idx2.quantized is True
     out = idx2.search(spark, q.limit(2), k=5, n_probes=3).collect()
     assert len(out) == 10
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """append(): new vectors assign to the FROZEN centroids and land in
+    their cell partitions (no retrain, no resident-cell rewrite — the
+    IVF analog of a MergeTree insert part). An appended vector is
+    findable; the index built-in-one-shot and built-then-appended give
+    identical search answers for the same total corpus."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+
+    incremental = S.IvfIndex(str(tmp_path / "inc")).build(first, n_centroids=8)
+    cents_before = incremental.centroids()
+    incremental.append(rest)
+    assert incremental.centroids() == cents_before  # frozen
+
+    q = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r.query_id, r.vec_id)
+        for r in incremental.search(spark, q, k=5, n_probes=8).collect()
+    }
+    # a one-shot index over the same corpus WITH THE SAME centroids
+    oneshot = S.IvfIndex(str(tmp_path / "one"))
+    import json
+    from pathlib import Path
+
+    Path(tmp_path / "one").mkdir()
+    Path(tmp_path / "one", "centroids.json").write_text(
+        json.dumps({"centroids": cents_before, "quantized": False})
+    )
+    oneshot.append(emb)  # append into an empty index = full assign
+    want = {
+        (r.query_id, r.vec_id)
+        for r in oneshot.search(spark, q, k=5, n_probes=8).collect()
+    }
+    assert got == want
+    # odd (appended) ids are reachable
+    assert any(v % 2 == 1 for _, v in got)
