@@ -41,3 +41,39 @@ def test_quarantine_all_good_roundtrip(spark, tmp_path):
     assert bad.count() == 0
     assert good.count() == 2
     assert read_jsonl(spark, out, SCHEMA).count() == 2
+
+
+def test_binary_file_media_source(spark, tmp_path):
+    """binaryFile → MEDIA_SCHEMA: real PPM/WAV files on disk ingest
+    into the exact shape the multimodal operators consume, and the
+    decode pipeline runs unchanged on them."""
+    from clickhouse_learning_spark.operators import multimodal as M
+    from clickhouse_learning_spark.sources.binary import (
+        read_media_dir,
+        read_text_lines,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.ppm").write_bytes(M.ppm_image(1, 4, 3))
+    (d / "b.wav").write_bytes(M.wav_audio(2))
+    (d / "c.bin").write_bytes(b"\x00\x01")
+
+    media = read_media_dir(spark, str(d))
+    rows = {r.meta.source.split("/")[-1]: r for r in media.collect()}
+    assert rows["a.ppm"].kind == "image" and rows["b.wav"].kind == "audio"
+    assert rows["c.bin"].kind == "unknown"
+    assert rows["a.ppm"].meta.bytes == len(M.ppm_image(1, 4, 3))
+    assert len({r.media_id for r in rows.values()}) == 3  # stable ids
+
+    decoded = M.decode_image_meta(media.filter("kind = 'image'"))
+    r = decoded.collect()[0]
+    assert (r.width, r.height) == (4, 3)
+
+    # text lines: per-file order preserved
+    t = tmp_path / "texts"
+    t.mkdir()
+    (t / "x.txt").write_text("alpha\nbeta\ngamma\n")
+    lines = read_text_lines(spark, str(t)).collect()
+    by_no = {r.line_no: r.text for r in lines}
+    assert by_no == {1: "alpha", 2: "beta", 3: "gamma"}
