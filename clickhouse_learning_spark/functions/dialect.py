@@ -176,6 +176,11 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
 
     m["arrayMap"] = _array_map
 
+    # state-size introspection (the docs' byteSize(state) checks):
+    # exact for binary/string states; other types have no Spark
+    # byte-size reflection, so the mapping stays on the honest subset
+    m["byteSize"] = lambda a: f"octet_length({_one(a, 'byteSize')})"
+
     # window functions: lagInFrame/leadInFrame are ClickHouse's proper
     # OVER-clause forms — same semantics as lag/lead
     m["lagInFrame"] = lambda a: f"lag({', '.join(a)})"

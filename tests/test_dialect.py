@@ -614,3 +614,51 @@ def test_translate_window_and_block_order_functions(spark):
     for fn in ("neighbor(v, 1)", "runningDifference(v)", "runningAccumulate(s)"):
         with pytest.raises(ValueError, match="block order"):
             translate(f"SELECT {fn} FROM t")
+
+
+def test_reference_docs_queries_translate_and_parse(spark):
+    """Every SELECT statement in the reference's own docs (clickhouse
+    console transcripts, 物化视图的实战经验分享.md) runs through translate()
+    and parses in Spark's SQL parser — the 'paste your existing
+    queries' guarantee, measured against the reference's actual
+    queries rather than hand-picked shapes."""
+    import glob
+    import os
+    import re
+
+    docs = glob.glob("/root/reference/docs/*.md")
+    if not docs:
+        pytest.skip("reference checkout not available")
+
+    stmts = []
+    for p in docs:
+        for block in re.findall(r"```(?:sql)?\n(.*?)```", open(p).read(), re.S):
+            for s in re.split(r";\s*\n|\n\n(?=SELECT|WITH)", block):
+                # cut clickhouse-client transcript noise off the tail
+                s = re.split(r"\nQuery id:|\nOk\.|\n\d+ rows? in set", s)[0]
+                s = s.strip().rstrip(";").strip()
+                if re.match(r"(?is)^(select|with)\b", s) and len(s) > 20:
+                    stmts.append((os.path.basename(p), s))
+    assert len(stmts) >= 10  # the doc's console transcripts
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    dicts = {
+        "dim.dict_user_dim": ("user_dim", "uid"),
+        "dim.dict_item_dim": ("item_dim", "item_id"),
+    }
+    gated, failures = [], []
+    for src, s in stmts:
+        try:
+            t = translate(s, dictionaries=dicts)
+        except ValueError as e:
+            gated.append((src, s[:60], str(e)[:60]))  # actionable gate = OK
+            continue
+        try:
+            parser.parsePlan(t)
+        except Exception as e:  # pragma: no cover - failure reporting
+            failures.append((src, s[:80], str(e)[:120]))
+    assert not failures, failures
+    # the reference docs use no gated construct today; if the docs grow
+    # one, the gate must still be the actionable-error kind (asserted
+    # by the ValueError catch above), so just record the count
+    assert len(gated) == 0
