@@ -89,7 +89,10 @@ _PRIORITY = [
     "greedy_pack_bins",
     "contamination_check",
     "sessionization_stats",
-    "windowed_uv",
+    # windowed_uv (same windows family as sessionization_stats, judge-
+    # replay-green) yields its slot to the multimodal family's first
+    # hash-checked entry: the real PPM decode vs arithmetic oracle
+    "multimodal_pixel_sums",
     "reconciliation_check",
     # SURVEY §2 core: scans, predicates, aggregates, joins, unions, functions
     "pricing_summary",

@@ -384,6 +384,36 @@ def image_features(media: DataFrame) -> DataFrame:
     )
 
 
+def image_channel_sums(media: DataFrame) -> DataFrame:
+    """Exact per-channel pixel-value sums (integers) from the decoded
+    payload — the oracle-friendly twin of :func:`image_features`: the
+    byte-level PPM walk is checked bit-exactly against arithmetic
+    recomputation of the fixture pixels, with no float rounding in
+    the comparison."""
+    import numpy as np
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"media_id": b["media_id"], "sum_r": [], "sum_g": [], "sum_b": [], "n_px": []}
+            for p in b["payload"]:
+                img = _pixels(p)
+                if img is None:
+                    for k in ("sum_r", "sum_g", "sum_b", "n_px"):
+                        out[k].append(None)
+                    continue
+                ch = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out["sum_r"].append(int(ch[0]))
+                out["sum_g"].append(int(ch[1]))
+                out["sum_b"].append(int(ch[2]))
+                out["n_px"].append(img.size // 3)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        sums,
+        schema="media_id long, sum_r long, sum_g long, sum_b long, n_px long",
+    )
+
+
 def resize_image(media: DataFrame, target: int = 32) -> DataFrame:
     """REAL nearest-neighbor resize (aspect-preserving, shortest side =
     ``target``): numpy index-gather per payload, re-encoded as PPM.

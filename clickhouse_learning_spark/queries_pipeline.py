@@ -602,6 +602,26 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_decode"] = multimodal_decode
+# The decode runs a REAL byte-level PPM parse in mapInPandas, but the
+# fixture payloads are a deterministic function of doc_id
+# (multimodal.build_media_table: w = id%64+16, h = id%48+16; ppm bytes
+# = "P6\n{w} {h}\n255\n" + 3·w·h pixels) — so the decoded output has a
+# closed-form arithmetic oracle, upgrading this family from rows-only
+# to hash-checked: a parser bug (header walk, dims swap, byte count)
+# breaks the match.
+from clickhouse_learning_spark.queries import ORACLES as _ORACLES
+
+_ORACLES["multimodal_decode"] = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(doc_id % 64 + 16 AS INT) AS width,
+           CAST(doc_id % 48 + 16 AS INT) AS height,
+           true AS ok,
+           CAST(3 + length(CAST(doc_id % 64 + 16 AS VARCHAR)) + 1
+                  + length(CAST(doc_id % 48 + 16 AS VARCHAR)) + 1 + 4
+                  + 3 * (doc_id % 64 + 16) * (doc_id % 48 + 16) AS BIGINT)
+               AS payload_bytes
+    FROM documents
+"""
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,6 +643,38 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_features"] = multimodal_features
+
+
+def multimodal_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-level image decode, hash-checked: the mapInPandas PPM
+    parse + numpy channel sums must equal the DuckDB arithmetic
+    recomputation of the fixture's pixel formula
+    (px[i] = (id·2654435761 + i·40503) mod 256) — integer-exact, so a
+    single mis-parsed byte anywhere in any payload breaks the match."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.image_channel_sums(MM.build_media_table(spark, docs))
+
+
+QUERIES["multimodal_pixel_sums"] = multimodal_pixel_sums
+_ORACLES["multimodal_pixel_sums"] = """
+    WITH px AS (
+      SELECT doc_id,
+             unnest(range(0, 3 * (doc_id % 64 + 16) * (doc_id % 48 + 16))) AS i
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(sum(CASE WHEN i % 3 = 0
+                    THEN (doc_id * 2654435761 + i * 40503) % 256 END) AS BIGINT)
+               AS sum_r,
+           CAST(sum(CASE WHEN i % 3 = 1
+                    THEN (doc_id * 2654435761 + i * 40503) % 256 END) AS BIGINT)
+               AS sum_g,
+           CAST(sum(CASE WHEN i % 3 = 2
+                    THEN (doc_id * 2654435761 + i * 40503) % 256 END) AS BIGINT)
+               AS sum_b,
+           CAST((doc_id % 64 + 16) * (doc_id % 48 + 16) AS BIGINT) AS n_px
+    FROM px GROUP BY doc_id
+"""
 
 
 def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
