@@ -255,6 +255,32 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["sumState"] = lambda a: f"sum({_one(a, 'sumState')})"
     m["sumSimpleState"] = lambda a: f"sum({_one(a, 'sumSimpleState')})"
     m["sumMerge"] = lambda a: f"sum({_one(a, 'sumMerge')})"
+    # min/max states are their own values; count states merge by sum
+    for _fn, _agg in (
+        ("minState", "min"), ("minSimpleState", "min"), ("minMerge", "min"),
+        ("maxState", "max"), ("maxSimpleState", "max"), ("maxMerge", "max"),
+        ("anyState", "any_value"), ("anyMerge", "any_value"),
+    ):
+        m[_fn] = (lambda agg, fn: lambda a: f"{agg}({_one(a, fn)})")(_agg, _fn)
+    m["countState"] = lambda a: (
+        f"count({_tuple_or_one(a)})" if a else "count(*)"
+    )
+    m["countMerge"] = lambda a: f"sum({_one(a, 'countMerge')})"
+    # avg state = mergeable (sum, count) pair (metrics.py kind='avg')
+    m["avgState"] = lambda a: (
+        lambda x: f"named_struct('s', sum({x}), 'c', count({x}))"
+    )(_one(a, "avgState"))
+    m["avgMerge"] = lambda a: (
+        lambda s: f"(sum({s}.s) / sum({s}.c))"
+    )(_one(a, "avgMerge"))
+    # exact-distinct states: sorted id-set arrays, set-union on merge
+    m["uniqExactState"] = lambda a: (
+        f"sort_array(collect_set({_one(a, 'uniqExactState')}))"
+    )
+    m["uniqExactMerge"] = lambda a: (
+        f"CAST(size(array_distinct(flatten(collect_list("
+        f"{_one(a, 'uniqExactMerge')})))) AS BIGINT)"
+    )
 
     # -- remaining -If combinators (ClickHouse applies -If uniformly) -------
     m["minIf"] = lambda a: (

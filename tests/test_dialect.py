@@ -662,3 +662,43 @@ def test_reference_docs_queries_translate_and_parse(spark):
     # one, the gate must still be the actionable-error kind (asserted
     # by the ValueError catch above), so just record the count
     assert len(gated) == 0
+
+
+def test_translate_minmax_count_avg_state_merge(spark):
+    """State/Merge combinators for the self-representing aggregates
+    (min/max = own value, count merges by sum, avg = (sum,count) pair,
+    uniqExact = sorted id-set): two-phase through a view equals the
+    direct single-phase query exactly."""
+    spark.range(1000).selectExpr(
+        "id % 7 AS g", "id % 10 AS sub", "CAST(id % 101 AS BIGINT) AS v"
+    ).createOrReplaceTempView("ch_sm")
+    states = spark.sql(
+        translate(
+            """
+            SELECT g, sub, minState(v) AS mn, maxState(v) AS mx,
+                   countState() AS cnt, avgState(v) AS av,
+                   uniqExactState(v) AS uq
+            FROM ch_sm GROUP BY g, sub
+            """
+        )
+    )
+    states.createOrReplaceTempView("ch_sm_states")
+    merged = spark.sql(
+        translate(
+            """
+            SELECT g, minMerge(mn) AS mn, maxMerge(mx) AS mx,
+                   countMerge(cnt) AS cnt, avgMerge(av) AS av,
+                   uniqExactMerge(uq) AS uq
+            FROM ch_sm_states GROUP BY g
+            """
+        )
+    )
+    direct = spark.sql(
+        "SELECT g, min(v) AS mn, max(v) AS mx, count(*) AS cnt, "
+        "avg(v) AS av, count(DISTINCT v) AS uq FROM ch_sm GROUP BY g"
+    )
+    got = {r.g: r for r in merged.collect()}
+    for r in direct.collect():
+        m_ = got[r.g]
+        assert (m_.mn, m_.mx, m_.cnt, m_.uq) == (r.mn, r.mx, r.cnt, r.uq)
+        assert abs(m_.av - r.av) < 1e-9
