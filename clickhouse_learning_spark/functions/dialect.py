@@ -238,6 +238,16 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["anyLast"] = lambda a: f"any_value({_one(a, 'anyLast')})"
     m["groupArray"] = lambda a: f"collect_list({_one(a, 'groupArray')})"
     m["groupUniqArray"] = lambda a: f"collect_set({_one(a, 'groupUniqArray')})"
+    m["groupArrayState"] = lambda a: f"collect_list({_one(a, 'groupArrayState')})"
+    m["groupArrayMerge"] = lambda a: _MERGED_LIST.format(
+        _one(a, "groupArrayMerge")
+    )
+    m["groupUniqArrayState"] = lambda a: (
+        f"collect_set({_one(a, 'groupUniqArrayState')})"
+    )
+    m["groupUniqArrayMerge"] = lambda a: (
+        f"array_distinct({_MERGED_LIST.format(_one(a, 'groupUniqArrayMerge'))})"
+    )
 
     # -- additional casts (beyond the reference's usage, same family) -------
     m["toInt64"] = lambda a: f"CAST({_one(a, 'toInt64')} AS BIGINT)"
