@@ -152,3 +152,38 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         content_fingerprint(t).alias("fingerprint"),
     )
+
+
+# PII redaction patterns: RE2-safe (no lookarounds) so the same pattern
+# string runs in Spark (Java regex), DuckDB (RE2) and most downstream
+# engines. Conservative by design — a training-data scrub favors
+# over-matching an address-like token over leaking one.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d\- ]{7,}\d",
+}
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per PII class (pure Catalyst regex)."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace each PII class with its placeholder token and attach
+    per-class match counts — the standard pre-training scrub stage.
+    Entirely Catalyst regex (codegen, no UDF): at 100 TB this is a
+    map-only pass with zero shuffle."""
+    t = F.col(text_col)
+    red = t
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.select(
+        "*",
+        *pii_counts(t),
+        red.alias(f"{text_col}_redacted"),
+    )

@@ -1007,3 +1007,60 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_pack(sampled, ["lang"], "n_chars", 1000).select(
         "doc_id", "lang", "bin_id"
     )
+
+
+@query(
+    "pii_redaction",
+    r"""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1 555-01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                       || '0 host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                  ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\+\d[\d\- ]{7,}\d')) AS INT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+                '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g')) AS redacted_md5
+    FROM injected
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub stage (operators/text.redact_pii): deterministic PII
+    injection (both engines inject identically), then regex redaction +
+    per-class counts, hash-matched on md5 of the redacted text — a
+    regex-semantics divergence (greediness, word boundary, global
+    replace) on either side breaks the match. Pure Catalyst regex:
+    map-only, zero shuffle at any scale."""
+    from clickhouse_learning_spark.operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555-01"),
+                (F.col("doc_id") % 90 + 10).cast("string"),
+                F.lit("0 host 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    red = redact_pii(docs)
+    return red.select(
+        "doc_id",
+        F.col("n_email").cast("int"),
+        F.col("n_ipv4").cast("int"),
+        F.col("n_phone").cast("int"),
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+    )
