@@ -1073,6 +1073,14 @@ def _rewrite_totals_prewhere_final(sql: str) -> str:
 
 def _rewrite_clauses(sql: str) -> str:
     def seg(s: str) -> str:
+        if re.search(r"\bwith\s+fill\b", s, re.I):
+            raise ValueError(
+                "ORDER BY … WITH FILL generates rows (not a row-wise "
+                "rewrite); use the gap-filling formulation in "
+                "queries.with_fill_days: sequence() over the bound range, "
+                "explode, LEFT JOIN the series (one broadcast, no shuffle "
+                "of the fact side)"
+            )
         if _LIMIT_BY_RE.search(s):
             raise ValueError(
                 "LIMIT n BY inside a subquery is not rewritten (only the "

@@ -702,3 +702,8 @@ def test_translate_minmax_count_avg_state_merge(spark):
         m_ = got[r.g]
         assert (m_.mn, m_.mx, m_.cnt, m_.uq) == (r.mn, r.mx, r.cnt, r.uq)
         assert abs(m_.av - r.av) < 1e-9
+
+
+def test_translate_with_fill_gate():
+    with pytest.raises(ValueError, match="with_fill_days"):
+        translate("SELECT d, sum(v) FROM t GROUP BY d ORDER BY d WITH FILL")
