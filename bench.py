@@ -250,6 +250,27 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings["ref_funnel_query_prebuilt"] = round(best, 3)
 
+    # dedup family at scale: 2M synthetic short docs (200k distinct
+    # texts, 10× duplication) through the exact-dedup hash shuffle —
+    # the wall-clock face of the pipeline family's scale story (the
+    # sf0.1 dedup_exact entry sits on the scheduling floor); cost is
+    # dominated by the md5-of-normalized-text fingerprint, which stays
+    # md5 on purpose (engine-portable oracle identity)
+    from clickhouse_learning_spark.operators.dedup import exact_dedup
+
+    docs2m = spark.range(2_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("document body text number "),
+            (F.col("id") % 200_000).cast("string"),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    exact_dedup(docs2m, "text", "doc_id").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["dedup_exact_2m_synthetic"] = round(time.time() - t0, 3)
+
     # the reference's 1-billion-row sumState benchmark shape
     # (BASELINE.md: 3.201s / 312M rows/s on ClickHouse 21.3)
     t0 = time.time()
