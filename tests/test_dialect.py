@@ -707,3 +707,20 @@ def test_translate_minmax_count_avg_state_merge(spark):
 def test_translate_with_fill_gate():
     with pytest.raises(ValueError, match="with_fill_days"):
         translate("SELECT d, sum(v) FROM t GROUP BY d ORDER BY d WITH FILL")
+
+
+def test_translate_leaves_string_literals_untouched():
+    """Structural passes are string-literal-safe: clause keywords,
+    brackets and table refs INSIDE literals never rewrite."""
+    cases = [
+        "SELECT 'LIMIT 3 BY g' AS s FROM t",
+        "SELECT 'ARRAY JOIN xs AS x' AS s FROM t",
+        "SELECT '[1, 2, 3]' AS s FROM t",
+        "SELECT 'arr[1]' AS s FROM t",
+        "SELECT 'system.one numbers(5)' AS s FROM t",
+        "SELECT 'GROUP BY x WITH TOTALS' AS s FROM t",
+        "SELECT 'PREWHERE a SEMI LEFT JOIN b' AS s FROM t",
+        "SELECT 'SETTINGS max_threads = 8' AS s FROM t",
+    ]
+    for sql in cases:
+        assert translate(sql) == sql, sql
