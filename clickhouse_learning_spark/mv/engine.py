@@ -94,14 +94,45 @@ class MaterializedView:
         return df.groupBy(*group_by).agg(*[m.merge() for m in self.metrics])
 
     # -- maintenance ---------------------------------------------------------------
-    def compact(self, spark: SparkSession) -> None:
+    def compact(self, spark: SparkSession, partitions: list | None = None) -> None:
         """Re-merge equal-key rows in storage (background merge / OPTIMIZE
         FINAL). Per-partition re-aggregation; pure space optimization.
+
+        ``partitions``: storage partition values (tuples, or scalars for
+        a 1-column key) to compact — ClickHouse's ``OPTIMIZE TABLE …
+        PARTITION p``. At 100 TB this is the only sane form: merges are
+        per-partition (recent days churn, history is already merged),
+        so the sweep reads and rewrites ONLY the named partitions via
+        dynamic partition overwrite. ``None`` = whole table (small
+        state tables / tests). Pick candidates with
+        :meth:`partitions_needing_compaction`.
 
         Guard: refuses to run from a view definition older than the
         stored schema — compacting with a stale metric set would project
         away columns added by with_metric (data loss)."""
         stored = self.storage.read(spark)
+        if partitions is not None:
+            if not partitions:
+                return
+            import functools
+            import operator as _op
+
+            pcols = self.storage.partition_by
+            tuples = [
+                tuple(p) if isinstance(p, (tuple, list)) else (p,)
+                for p in partitions
+            ]
+            cond = functools.reduce(
+                _op.or_,
+                [
+                    functools.reduce(
+                        _op.and_,
+                        [F.col(c) == v for c, v in zip(pcols, t)],
+                    )
+                    for t in tuples
+                ],
+            )
+            stored = stored.filter(cond)
         known = set(self.dims) | {m.name for m in self.metrics}
         unknown = [c for c in stored.columns if c not in known]
         if unknown:
@@ -139,7 +170,26 @@ class MaterializedView:
             )
 
             merged = compress_summap_states(merged, list(self.dims), mspecs)
-        self.storage._rewrite(merged)
+        if partitions is not None:
+            # dynamic overwrite: only the partitions present in `merged`
+            # (= exactly the named ones) are replaced
+            self.storage.overwrite_partitions(merged)
+        else:
+            self.storage._rewrite(merged)
+
+    def partitions_needing_compaction(
+        self, spark: SparkSession, max_files: int = 1
+    ) -> list[tuple]:
+        """Partition values whose file count exceeds ``max_files`` — the
+        MergeTree 'too many parts' trigger, from the parts-stats
+        metadata scan (no data read beyond file names)."""
+        rows = (
+            self.storage.stats(spark)
+            .filter(F.col("files") > max_files)
+            .select(*self.storage.partition_by)
+            .collect()
+        )
+        return [tuple(r) for r in rows]
 
     # -- schema evolution (D5/D6) ---------------------------------------------
     def with_metric(self, spec: MetricSpec) -> "MaterializedView":

@@ -162,3 +162,49 @@ def test_overwrite_partitions_idempotent_reload(spark, tmp_path, events):
     out = t.read(spark)
     assert out.filter((F.col("day") == one_day) & (F.col("value") != 0.0)).count() == 0
     assert out.count() == df.count()
+
+
+def test_partition_scoped_compaction(spark, tmp_path):
+    """OPTIMIZE TABLE … PARTITION p analog: only the named partitions
+    are re-merged and rewritten; untouched partitions keep their
+    original files (byte-identical paths), and merge-on-read answers
+    are identical before and after."""
+    import glob as _glob
+
+    from clickhouse_learning_spark.mv.mainpage import mainpage_mv, prepare_events
+    from tests.conftest import SF_SMOKE
+
+    mv = mainpage_mv(str(tmp_path / "state"))
+    ev = prepare_events(spark, SF_SMOKE)
+    # two appends → ≥2 files per partition
+    mv.append_batch(ev.filter(F.col("event_id") % 2 == 0))
+    mv.append_batch(ev.filter(F.col("event_id") % 2 == 1))
+
+    need = mv.partitions_needing_compaction(spark, max_files=1)
+    assert need, "two appends must leave multi-file partitions"
+    target, keep = need[0], need[1:]
+    keep_dirs = {
+        d: sorted(_glob.glob(str(tmp_path / "state" / f"day={d[0]}" / "*.parquet")))
+        for d in keep
+    }
+
+    before = {
+        tuple(str(r[k]) for k in ("day", "segment")): r["event_cnt"]
+        for r in mv.merge_query(spark, ["day", "segment"], ["event_cnt"]).collect()
+    }
+    mv.compact(spark, partitions=[target])
+    after = {
+        tuple(str(r[k]) for k in ("day", "segment")): r["event_cnt"]
+        for r in mv.merge_query(spark, ["day", "segment"], ["event_cnt"]).collect()
+    }
+    assert before == after
+
+    # compacted partition now single-file; others untouched byte-for-byte
+    got = {tuple(r) for r in mv.partitions_needing_compaction(spark, max_files=1)}
+    assert target not in got
+    for d, files in keep_dirs.items():
+        now = sorted(_glob.glob(str(tmp_path / "state" / f"day={d[0]}" / "*.parquet")))
+        assert now == files
+
+    # empty selection is a no-op
+    mv.compact(spark, partitions=[])
