@@ -267,6 +267,28 @@ class MutationSpec:
         return table.delete_where(spark, self.condition)
 
 
+def parse_optimize(sql: str) -> tuple[str, str | None]:
+    """Parse ``OPTIMIZE TABLE [db.]t [PARTITION 'v'] [FINAL]`` (the
+    reference's manual merge trigger, docs/物化视图的实战经验分享.md:954).
+    Returns ``(qualified_table, partition_or_None)``; execute with
+    ``MaterializedView.compact(spark, partitions=[p] if p else None)``
+    (or ``Table.compact`` for non-aggregating tables). PARTITION-scoped
+    is the 100 TB form — the whole-table FINAL is for small state
+    tables."""
+    s = _strip_comments(sql).strip().rstrip(";")
+    m = re.match(
+        r"optimize\s+table\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?"
+        r"(?:\s+partition\s+('[^']*'|\S+))?(?:\s+final)?\s*$",
+        s,
+        re.I,
+    )
+    if not m:
+        raise ValueError(f"not an OPTIMIZE TABLE statement: {sql[:80]!r}")
+    db, name = _qualify(m.group(1))
+    part = m.group(2).strip("'\"") if m.group(2) else None
+    return (f"{db}.{name}" if db else name), part
+
+
 def parse_mutation(sql: str) -> MutationSpec:
     """Parse ``ALTER TABLE [db.]t DROP PARTITION 'v'`` /
     ``ALTER TABLE [db.]t DELETE WHERE cond`` (ClickHouse mutation

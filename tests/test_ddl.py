@@ -379,3 +379,16 @@ def test_full_type_system_mapping():
         assert _map_type(ch).simpleString() == want, ch
     with pytest.raises(ValueError, match="unmapped"):
         _map_type("Point")
+
+
+def test_parse_optimize_statement():
+    """OPTIMIZE TABLE … [PARTITION p] [FINAL] parses to the compaction
+    target; partition-scoped maps to compact(partitions=[p])."""
+    t, p = ddl.parse_optimize("OPTIMIZE TABLE test.mv_union_max FINAL")
+    assert (t, p) == ("test.mv_union_max", None)
+    t, p = ddl.parse_optimize(
+        "OPTIMIZE TABLE dwm.stat ON CLUSTER c PARTITION '2024-01-02' FINAL;"
+    )
+    assert (t, p) == ("dwm.stat", "2024-01-02")
+    with pytest.raises(ValueError, match="OPTIMIZE"):
+        ddl.parse_optimize("OPTIMIZE nonsense")
