@@ -639,3 +639,120 @@ def _split_statements(sql: str) -> list[str]:
     cuts.append(n)
     parts = [sql[a:b].strip().rstrip(";") for a, b in zip(cuts, cuts[1:])]
     return [p for p in parts if p]
+
+
+@dataclass
+class Deployment:
+    """A whole reference deployment instantiated from its .sql script —
+    tables on disk plus the MV insert-trigger wiring (the one-call form
+    of what tests/test_ddl.py::test_ddl_full_deployment_roundtrip does
+    by hand).
+
+    - ``tables``: qualified name → physical :class:`Table` (Distributed
+      proxies resolve to their underlying local table, matching how the
+      reference's writes land).
+    - ``ingest(spark, source, batch)``: the ClickHouse INSERT path —
+      materialize the source table's default columns, append the batch,
+      then fire every MV whose FROM clause reads the source
+      (insert-trigger semantics, T1): each MV's translated SELECT runs
+      over JUST this batch and its states append to the MV's target
+      table with the declared column list applied positionally.
+
+    Scale: each ingest shuffles only the batch (per-MV groupBy); the
+    target state tables stay partitioned/merge-on-read as always.
+    """
+
+    specs: dict[str, "TableSpec"]
+    tables: dict[str, Table]
+    mvs: list["MaterializedViewSpec"]
+    dictionaries: dict | None = None
+
+    def _resolve(self, name: str) -> str:
+        """Distributed proxy → underlying local table name."""
+        spec = self.specs.get(name)
+        if spec is not None and spec.distributed_over:
+            return spec.distributed_over
+        return name
+
+    def ingest(self, spark, source: str, batch: DataFrame) -> dict[str, int]:
+        """Insert ``batch`` into ``source`` and fire its MVs. Returns
+        appended row counts per table (source + MV targets)."""
+        source = self._resolve(source)
+        spec = self.specs[source]
+        full = spec.apply_defaults(batch)
+        self.tables[source].append(full)
+        counts = {source: full.count()}
+
+        view = "__ch_ingest_batch"
+        full.createOrReplaceTempView(view)
+        for mv in self.mvs:
+            mv_src = self._resolve(_from_table(mv.select_ch))
+            if mv_src != source:
+                continue
+            sql = mv.select_spark or mv.spark_sql(self.dictionaries)
+            # the MV SELECT names the source table; point it at the batch
+            sql = re.sub(
+                rf"\bfrom\s+{re.escape(_from_table(mv.select_ch))}\b",
+                f"FROM {view}",
+                sql,
+                flags=re.I,
+            )
+            states = spark.sql(sql)
+            if mv.columns:
+                states = states.toDF(*mv.columns)
+            target = self._resolve(mv.target)
+            self.tables[target].append(states)
+            counts[target] = counts.get(target, 0) + states.count()
+        return counts
+
+
+def _from_table(select_sql: str) -> str:
+    m = re.search(r"\bfrom\s+([\w.]+)", select_sql, re.I)
+    if not m:
+        raise ValueError("MV SELECT has no FROM table")
+    return m.group(1)
+
+
+def deploy(
+    spark,
+    script: str,
+    base_path: str,
+    dictionaries: dict[str, tuple] | None = None,
+) -> Deployment:
+    """Parse a reference .sql script and instantiate every table under
+    ``base_path`` (CREATE TABLE IF NOT EXISTS semantics: existing
+    parquet directories are simply reused).
+
+    Statements replay IN ORDER, honoring ``DROP TABLE``: the
+    reference's scripts carry their own evolution history (create MV →
+    drop → recreate under a new name, dwm…sql:87-196), so the deployed
+    end-state is the script's final state — e.g. the wide table's two
+    surviving writer MVs, not every definition that ever existed."""
+    specs: dict[str, TableSpec] = {}
+    mv_by_name: dict[str, MaterializedViewSpec] = {}
+    for stmt in _split_statements(_strip_comments(script)):
+        st = stmt.strip()
+        if re.match(r"create\s+materialized\s+view", st, re.I):
+            mv = parse_create_mv(st, dictionaries)
+            mv_by_name[mv.qualified] = mv
+        elif re.match(r"create\s+table", st, re.I):
+            s = parse_create_table(st)
+            specs[s.qualified] = s
+        else:
+            dm = re.match(r"drop\s+table\s+(?:if\s+exists\s+)?([\w.]+)", st, re.I)
+            if dm:
+                db, name = _qualify(dm.group(1))
+                q = f"{db}.{name}" if db else name
+                mv_by_name.pop(q, None)
+                specs.pop(q, None)
+    tables = {
+        name: spec.table(base_path)
+        for name, spec in specs.items()
+        if not spec.distributed_over
+    }
+    return Deployment(
+        specs=specs,
+        tables=tables,
+        mvs=list(mv_by_name.values()),
+        dictionaries=dictionaries,
+    )

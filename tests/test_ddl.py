@@ -392,3 +392,68 @@ def test_parse_optimize_statement():
     assert (t, p) == ("dwm.stat", "2024-01-02")
     with pytest.raises(ValueError, match="OPTIMIZE"):
         ddl.parse_optimize("OPTIMIZE nonsense")
+
+
+def test_deploy_script_end_to_end(spark, tmp_path):
+    """One-call deployment of the reference's wide-MV script: deploy()
+    instantiates the state tables, ingest() runs the INSERT path
+    (defaults → source append → every matching MV fires over the batch,
+    positional column list applied), and the merge-on-read query over
+    the target equals a direct aggregation of the raw batch."""
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.workload import reference_star as R
+
+    script = (
+        _read("ods.action_001_dis.sql")
+        + "\n\n"
+        + _read("dwm.mainpage_stat_mv_dis.sql")
+    )
+    R.build_user_dim(spark, SF_SMOKE).select("uid", "gender").createOrReplaceTempView(
+        "ddl_user_dim"
+    )
+    dep = ddl.deploy(
+        spark,
+        script,
+        str(tmp_path),
+        dictionaries={"dim.dict_user_dim": ("ddl_user_dim", "uid")},
+    )
+    assert "ods.action_001_local" in dep.tables
+    # Distributed proxies resolve to the local table
+    assert dep._resolve("dws.action_001_dis") == "ods.action_001_local"
+
+    a1 = (
+        R.build_action_001(spark, SF_SMOKE)
+        .withColumn(
+            "platform",
+            F.when(F.col("uid") % 2 == 0, "android").otherwise("ios"),
+        )
+        .withColumn("ver", F.lit("1.0"))
+        .withColumn("second", F.col("hour"))
+    )
+    # two batches → the insert-trigger fires per batch, states accumulate
+    counts1 = dep.ingest(spark, "dws.action_001_dis", a1.filter(F.col("uid") % 2 == 0))
+    counts2 = dep.ingest(spark, "ods.action_001_local", a1.filter(F.col("uid") % 2 == 1))
+    assert counts1["ods.action_001_local"] + counts2["ods.action_001_local"] == a1.count()
+    target = dep._resolve(dep.mvs[0].target)
+    assert counts1[target] > 0 and counts2[target] > 0
+
+    dep.tables[target].read(spark).createOrReplaceTempView("dep_state")
+    merged = spark.sql(
+        translate(
+            """
+            SELECT day, platform,
+                   uniqCombinedMerge(shown_uv) AS uv,
+                   sum(shown_cnt) AS cnt
+            FROM dep_state GROUP BY day, platform
+            """
+        )
+    )
+    got = {(r["day"], r["platform"]): r for r in merged.collect()}
+    direct = a1.groupBy("day", "platform").agg(
+        F.count_distinct(F.when(F.col("show_cnt") > 0, F.col("uid"))).alias("uv"),
+        F.sum("show_cnt").alias("cnt"),
+    )
+    for r in direct.collect():
+        g = got[(r["day"], r["platform"])]
+        assert g["cnt"] == r["cnt"]
+        assert abs(g["uv"] - r["uv"]) <= max(3, 0.05 * r["uv"])
