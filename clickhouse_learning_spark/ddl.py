@@ -685,6 +685,9 @@ class Deployment:
 
         view = "__ch_ingest_batch"
         full.createOrReplaceTempView(view)
+        # inside foreachBatch the batch belongs to the micro-batch
+        # session — resolve the view through ITS session, not the outer
+        spark = full.sparkSession
         for mv in self.mvs:
             mv_src = self._resolve(_from_table(mv.select_ch))
             if mv_src != source:
@@ -704,6 +707,34 @@ class Deployment:
             self.tables[target].append(states)
             counts[target] = counts.get(target, 0) + states.count()
         return counts
+
+
+    def attach_stream(
+        self,
+        spark,
+        source: str,
+        stream: DataFrame,
+        checkpoint: str,
+        trigger: dict | None = None,
+    ):
+        """The streaming form of :meth:`ingest` (reference T1: MVs are
+        insert triggers and the micro-batch IS the insert batch): each
+        micro-batch runs the same defaults → source append → MV fan-out
+        path. Checkpointing makes restarts idempotent at the
+        micro-batch level, the same guarantee StreamingMV documents."""
+        trigger = trigger or {"processingTime": "5 seconds"}
+        return (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda batch, _eid: (
+                    None if batch.isEmpty() else self.ingest(spark, source, batch)
+                )
+            )
+            .option("checkpointLocation", checkpoint)
+            .queryName(f"deploy_{self._resolve(source).replace('.', '_')}")
+            .trigger(**trigger)
+            .start()
+        )
 
 
 def _from_table(select_sql: str) -> str:

@@ -457,3 +457,65 @@ def test_deploy_script_end_to_end(spark, tmp_path):
         g = got[(r["day"], r["platform"])]
         assert g["cnt"] == r["cnt"]
         assert abs(g["uv"] - r["uv"]) <= max(3, 0.05 * r["uv"])
+
+
+def test_deploy_streaming_ingest(spark, tmp_path):
+    """Deployment.attach_stream: the reference's insert-trigger MVs fed
+    by a Structured Streaming source from its OWN DDL — multi-micro-
+    batch streamed states merge to the same answer as one batch
+    ingest."""
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.streaming.ingest import drain, parquet_stream
+    from clickhouse_learning_spark.workload import reference_star as R
+
+    script = (
+        _read("ods.action_001_dis.sql") + "\n\n" + _read("dwm.mainpage_stat_mv_dis.sql")
+    )
+    R.build_user_dim(spark, SF_SMOKE).select("uid", "gender").createOrReplaceTempView(
+        "ddl_user_dim"
+    )
+    dicts = {"dim.dict_user_dim": ("ddl_user_dim", "uid")}
+    a1 = (
+        R.build_action_001(spark, SF_SMOKE)
+        .withColumn(
+            "platform", F.when(F.col("uid") % 2 == 0, "android").otherwise("ios")
+        )
+        .withColumn("ver", F.lit("1.0"))
+        .withColumn("second", F.col("hour"))
+    )
+    landing = str(tmp_path / "landing")
+    a1.repartition(3).write.parquet(landing)
+
+    dep_s = ddl.deploy(spark, script, str(tmp_path / "stream"), dictionaries=dicts)
+    q = dep_s.attach_stream(
+        spark,
+        "dws.action_001_dis",
+        parquet_stream(spark, landing, a1.schema),
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    drain(q)
+
+    dep_b = ddl.deploy(spark, script, str(tmp_path / "batch"), dictionaries=dicts)
+    dep_b.ingest(spark, "dws.action_001_dis", a1)
+
+    target = dep_s._resolve(dep_s.mvs[0].target)
+    merged_sql = """
+        SELECT day, platform, sum(shown_cnt) AS cnt
+        FROM {v} GROUP BY day, platform
+    """
+    out = {}
+    for label, dep in (("s", dep_s), ("b", dep_b)):
+        dep.tables[target].read(spark).createOrReplaceTempView(f"dst_{label}")
+        rows = spark.sql(translate(merged_sql.format(v=f"dst_{label}"))).collect()
+        out[label] = {(str(r["day"]), r["platform"]): r["cnt"] for r in rows}
+    assert out["s"] == out["b"]
+    # streamed path really appended per micro-batch (more state files,
+    # same merged answer — group keys here are fine-grained enough that
+    # ROW counts match)
+    import glob as _glob
+
+    def n_files(base):
+        return len(_glob.glob(str(base) + "/dwm/mainpage_stat_mv_local/**/*.parquet", recursive=True))
+
+    assert n_files(tmp_path / "stream") > n_files(tmp_path / "batch")
