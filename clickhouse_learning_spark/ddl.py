@@ -674,14 +674,19 @@ class Deployment:
             return spec.distributed_over
         return name
 
-    def ingest(self, spark, source: str, batch: DataFrame) -> dict[str, int]:
+    def ingest(
+        self, spark, source: str, batch: DataFrame, count: bool = True
+    ) -> dict[str, int]:
         """Insert ``batch`` into ``source`` and fire its MVs. Returns
-        appended row counts per table (source + MV targets)."""
+        appended row counts per table (source + MV targets);
+        ``count=False`` skips the counting jobs (the steady-state
+        streaming path — two extra Spark jobs per micro-batch
+        otherwise)."""
         source = self._resolve(source)
         spec = self.specs[source]
         full = spec.apply_defaults(batch)
         self.tables[source].append(full)
-        counts = {source: full.count()}
+        counts = {source: full.count()} if count else {}
 
         view = "__ch_ingest_batch"
         full.createOrReplaceTempView(view)
@@ -705,7 +710,8 @@ class Deployment:
                 states = states.toDF(*mv.columns)
             target = self._resolve(mv.target)
             self.tables[target].append(states)
-            counts[target] = counts.get(target, 0) + states.count()
+            if count:
+                counts[target] = counts.get(target, 0) + states.count()
         return counts
 
 
@@ -727,7 +733,9 @@ class Deployment:
             stream.writeStream.outputMode("update")
             .foreachBatch(
                 lambda batch, _eid: (
-                    None if batch.isEmpty() else self.ingest(spark, source, batch)
+                    None
+                    if batch.isEmpty()
+                    else self.ingest(spark, source, batch, count=False)
                 )
             )
             .option("checkpointLocation", checkpoint)
