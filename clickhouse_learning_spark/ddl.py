@@ -715,6 +715,54 @@ class Deployment:
         return counts
 
 
+    def execute(self, spark, stmt: str):
+        """Run one ClickHouse console statement against the deployment —
+        the reference docs' tutorial transcripts (INSERT … SELECT with
+        ARRAY JOIN literals, ALTER mutations, OPTIMIZE) replay verbatim.
+
+        - ``INSERT INTO t [(cols)] SELECT …`` / ``VALUES …`` →
+          translate the source, apply the column list positionally,
+          then :meth:`ingest` (so MVs fire, exactly like ClickHouse's
+          insert trigger);
+        - ``ALTER TABLE … DROP PARTITION / DELETE WHERE`` →
+          :func:`parse_mutation` applied to the physical table;
+        - ``OPTIMIZE TABLE … [PARTITION p]`` → file compaction of the
+          named table (state-table re-merge belongs to
+          MaterializedView.compact — reads are merge-on-read either
+          way).
+        """
+        s = _strip_comments(stmt).strip().rstrip(";")
+        im = re.match(
+            r"insert\s+into\s+([\w.]+)\s*(\(([^)]*)\))?\s*(select\b.*|values\b.*)$",
+            s,
+            re.I | re.S,
+        )
+        if im:
+            cols = [c.strip() for c in im.group(3).split(",")] if im.group(3) else None
+            body = im.group(4)
+            if re.match(r"values\b", body, re.I):
+                body = "SELECT * FROM " + body
+            df = spark.sql(translate(body, self.dictionaries))
+            # ClickHouse maps the inserted columns POSITIONALLY — onto
+            # the explicit (cols) list, else onto the table's declared
+            # column order (SELECT aliases don't matter)
+            target_spec = self.specs[self._resolve(im.group(1))]
+            names = cols or [c.name for c in target_spec.columns][: len(df.columns)]
+            df = df.toDF(*names)
+            return self.ingest(spark, im.group(1), df)
+        if re.match(r"alter\s+table", s, re.I):
+            mu = parse_mutation(s)
+            return mu.apply(self.tables[self._resolve(mu.qualified)], spark)
+        if re.match(r"optimize\s+table", s, re.I):
+            name, part = parse_optimize(s)
+            table = self.tables[self._resolve(name)]
+            return table.compact(spark)
+        raise ValueError(
+            f"unsupported console statement {s[:60]!r}: INSERT INTO / "
+            "ALTER TABLE mutations / OPTIMIZE TABLE are supported; CREATEs "
+            "belong in the deploy() script"
+        )
+
     def attach_stream(
         self,
         spark,

@@ -185,6 +185,12 @@ class Table:
         the number of partitions rewritten or dropped."""
         cond = F.expr(cond) if isinstance(cond, str) else cond
         df = self.read(spark)
+        if not self.partition_by:
+            # unpartitioned table: the only shape is a full rewrite
+            if df.filter(cond).isEmpty():
+                return 0
+            self._rewrite(df.filter(~cond))
+            return 1
         affected = [
             tuple(r)
             for r in df.filter(cond).select(*self.partition_by).distinct().collect()

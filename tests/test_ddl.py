@@ -519,3 +519,64 @@ def test_deploy_streaming_ingest(spark, tmp_path):
         return len(_glob.glob(str(base) + "/dwm/mainpage_stat_mv_local/**/*.parquet", recursive=True))
 
     assert n_files(tmp_path / "stream") > n_files(tmp_path / "batch")
+
+
+def test_deployment_execute_console_statements(spark, tmp_path):
+    """The reference docs' console idioms replay verbatim against a
+    deployment: INSERT … SELECT with ARRAY JOIN tuple literals fires
+    the MV insert trigger; ALTER DELETE and OPTIMIZE run against the
+    physical table."""
+    script = """
+    CREATE TABLE test.page_queue (
+        platform String,
+        ver String,
+        uid UInt64
+    ) ENGINE = MergeTree() ORDER BY (platform, ver);
+
+    CREATE TABLE test.page_stat (
+        platform String,
+        ver String,
+        uv AggregateFunction(uniqCombined, UInt64)
+    ) ENGINE = AggregatingMergeTree() ORDER BY (platform, ver);
+
+    CREATE MATERIALIZED VIEW test.mv_page_stat TO test.page_stat (
+        platform String, ver String, uv AggregateFunction(uniqCombined, UInt64)
+    ) AS
+    SELECT platform, ver, uniqCombinedState(uid) AS uv
+    FROM test.page_queue GROUP BY platform, ver;
+    """
+    dep = ddl.deploy(spark, script, str(tmp_path))
+
+    # the docs' verbatim insert-test idiom (物化视图…md:340-346)
+    dep.execute(
+        spark,
+        """
+        INSERT INTO test.page_queue
+        SELECT a.1 AS platform, a.2 AS ver, a.3 AS uid
+        FROM system.one
+        ARRAY JOIN [('android', '1.1', 1001), ('android', '1.1', 1002),
+                    ('android', '1.2', 1009), ('ios', '1.1', 1003)] AS a
+        """,
+    )
+    dep.execute(
+        spark,
+        "INSERT INTO test.page_queue VALUES ('ios', '1.1', 1003), ('ios', '1.1', 1004)",
+    )
+
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    dep.tables["test.page_stat"].read(spark).createOrReplaceTempView("ps")
+    rows = spark.sql(
+        translate(
+            "SELECT platform, uniqCombinedMerge(uv) AS uv FROM ps GROUP BY platform"
+        )
+    ).collect()
+    got = {r.platform: r.uv for r in rows}
+    assert got == {"android": 3, "ios": 2}
+
+    # mutation + compaction replay
+    dep.execute(spark, "ALTER TABLE test.page_queue DELETE WHERE uid = 1001")
+    assert dep.tables["test.page_queue"].read(spark).filter("uid = 1001").count() == 0
+    dep.execute(spark, "OPTIMIZE TABLE test.page_stat FINAL")
+    with pytest.raises(ValueError, match="deploy"):
+        dep.execute(spark, "CREATE TABLE x (a UInt8) ENGINE = MergeTree ORDER BY a")
