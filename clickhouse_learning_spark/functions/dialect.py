@@ -119,6 +119,78 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     )
     m["toStartOfMonth"] = lambda a: f"trunc({_one(a, 'toStartOfMonth')}, 'MONTH')"
     m["toStartOfWeek"] = lambda a: f"trunc({_one(a, 'toStartOfWeek')}, 'WEEK')"
+    # date/time parts and arithmetic (direct Spark equivalents)
+    for _ch, _sp in (
+        ("toYear", "year"), ("toMonth", "month"), ("toQuarter", "quarter"),
+        ("toDayOfYear", "dayofyear"), ("toWeek", "weekofyear"),
+        ("toISOWeek", "weekofyear"), ("toSecond", "second"),
+        ("toUnixTimestamp", "unix_timestamp"),
+        ("fromUnixTimestamp", "from_unixtime"),
+        ("toStartOfQuarter", None), ("toStartOfYear", None),
+    ):
+        if _sp is not None:
+            m[_ch] = (lambda sp, ch: lambda a: f"{sp}({_one(a, ch)})")(_sp, _ch)
+    m["toStartOfQuarter"] = lambda a: (
+        f"to_date(date_trunc('QUARTER', {_one(a, 'toStartOfQuarter')}))"
+    )
+    m["toStartOfYear"] = lambda a: (
+        f"to_date(date_trunc('YEAR', {_one(a, 'toStartOfYear')}))"
+    )
+    m["addDays"] = lambda a: (
+        lambda d, n: f"date_add({d}, {n})"
+    )(*_two(a, "addDays"))
+    m["subtractDays"] = lambda a: (
+        lambda d, n: f"date_sub({d}, {n})"
+    )(*_two(a, "subtractDays"))
+    m["addMonths"] = lambda a: (
+        lambda d, n: f"add_months({d}, {n})"
+    )(*_two(a, "addMonths"))
+    m["addHours"] = lambda a: (
+        lambda d, n: f"({d} + make_interval(0, 0, 0, 0, {n}))"
+    )(*_two(a, "addHours"))
+    m["dateDiff"] = lambda a: (
+        # dateDiff('unit', start, end) → timestampdiff(UNIT, start, end)
+        lambda unit, s, e: (
+            f"timestampdiff({unit.strip(chr(39)).upper()}, {s}, {e})"
+        )
+    )(*(a if len(a) == 3 else (_ for _ in ()).throw(
+        ValueError("dateDiff expects (unit, start, end)")
+    )))
+    # null handling / strings
+    m["ifNull"] = lambda a: f"coalesce({', '.join(a)})"
+    m["nullIf"] = lambda a: f"nullif({', '.join(a)})"
+    m["assumeNotNull"] = lambda a: _one(a, "assumeNotNull")  # advisory in CH
+    m["toNullable"] = lambda a: _one(a, "toNullable")
+    m["splitByString"] = lambda a: (
+        # CH splits on a LITERAL; Spark split() takes a regex — wrap the
+        # separator in \Q…\E so any metacharacters stay literal
+        lambda sep, s: (
+            f"split({s}, concat('\\\\Q', {sep}, '\\\\E'))"
+        )
+    )(*_two(a, "splitByString"))
+    m["startsWith"] = lambda a: (
+        lambda s, p: f"startswith({s}, {p})"
+    )(*_two(a, "startsWith"))
+    m["endsWith"] = lambda a: (
+        lambda s, p: f"endswith({s}, {p})"
+    )(*_two(a, "endsWith"))
+    m["position"] = lambda a: (
+        # CH position(haystack, needle); Spark instr(str, substr) — both 1-based
+        lambda h, n: f"instr({h}, {n})"
+    )(*_two(a, "position"))
+    m["leftPad"] = lambda a: f"lpad({', '.join(a)})"
+    m["rightPad"] = lambda a: f"rpad({', '.join(a)})"
+    # CH intDiv truncates toward zero — Spark's `div` operator, NOT
+    # floor() (they differ on negative operands)
+    m["intDiv"] = lambda a: (
+        lambda x, y: f"({x} div {y})"
+    )(*_two(a, "intDiv"))
+    m["intDivOrZero"] = lambda a: (
+        lambda x, y: f"coalesce(({x} div nullif({y}, 0)), 0)"
+    )(*_two(a, "intDivOrZero"))
+    m["modulo"] = lambda a: (
+        lambda x, y: f"({x} % {y})"
+    )(*_two(a, "modulo"))
     m["toYYYYMM"] = lambda a: (
         f"CAST(date_format({_one(a, 'toYYYYMM')}, 'yyyyMM') AS INT)"
     )

@@ -724,3 +724,34 @@ def test_translate_leaves_string_literals_untouched():
     ]
     for sql in cases:
         assert translate(sql) == sql, sql
+
+
+def test_translate_datetime_and_string_scalars(spark):
+    """Everyday scalar breadth: date parts/arithmetic, dateDiff units,
+    null handling, literal-safe splitByString, truncating intDiv."""
+    r = spark.sql(
+        "SELECT "
+        + translate("toYear(toDate('2024-03-07'))") + " AS y, "
+        + translate("toQuarter(toDate('2024-05-07'))") + " AS q, "
+        + translate("toStartOfQuarter(toDate('2024-05-07'))") + " AS sq, "
+        + translate("addDays(toDate('2024-01-31'), 1)") + " AS ad, "
+        + translate("dateDiff('day', toDate('2024-01-01'), toDate('2024-02-01'))") + " AS dd, "
+        + translate("dateDiff('month', toDate('2024-01-15'), toDate('2024-04-20'))") + " AS dm, "
+        + translate("ifNull(NULL, 7)") + " AS inl, "
+        + translate("splitByString('||', 'a||b.c||d')") + " AS sp, "
+        + translate("startsWith('spark', 'sp')") + " AS sw, "
+        + translate("position('clickhouse', 'house')") + " AS pos, "
+        + translate("intDiv(-7, 2)") + " AS idn, "
+        + translate("intDiv(7, 2)") + " AS idp, "
+        + translate("intDivOrZero(7, 0)") + " AS idz, "
+        + translate("toUnixTimestamp(toDateTime('1970-01-01 00:01:00'))") + " AS ut"
+    ).collect()[0]
+    assert (r.y, r.q) == (2024, 2)
+    assert str(r.sq) == "2024-04-01"
+    assert str(r.ad) == "2024-02-01"
+    assert (r.dd, r.dm) == (31, 3)
+    assert r.inl == 7
+    assert r.sp == ["a", "b.c", "d"]  # '||' split literally, '.' kept
+    assert r.sw is True and r.pos == 6
+    assert (r.idn, r.idp, r.idz) == (-3, 3, 0)  # truncation, not floor
+    assert r.ut == 60
