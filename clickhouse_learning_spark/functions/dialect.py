@@ -290,6 +290,36 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             f"coalesce(array_position(transform({arr}, {lam}), true), 0)"
         )
     )(*_two(a, "arrayFirstIndex"))
+    m["arrayZip"] = lambda a: f"arrays_zip({', '.join(a)})"
+    m["arrayFlatten"] = lambda a: f"flatten({_one(a, 'arrayFlatten')})"
+    m["arrayUniq"] = lambda a: (
+        f"size(array_distinct({_one(a, 'arrayUniq')}))"
+    )
+    m["arrayEnumerate"] = lambda a: (
+        f"sequence(1, size({_one(a, 'arrayEnumerate')}))"
+    )
+    m["arrayDifference"] = lambda a: (
+        # [a1, a2-a1, a3-a2, …]: element-wise diff against the
+        # 1-shifted array (first element pairs with itself → 0)
+        lambda x: (
+            f"zip_with({x}, concat(array(element_at({x}, 1)), "
+            f"slice({x}, 1, size({x}) - 1)), (a, b) -> a - b)"
+        )
+    )(_one(a, "arrayDifference"))
+    m["arrayCumSum"] = lambda a: (
+        # O(n²) prefix sums — fine for the result-side arrays this is
+        # used on; a column-scale scan belongs in a window, not a HOF
+        lambda x: (
+            f"transform(sequence(1, size({x})), i -> "
+            f"aggregate(slice({x}, 1, i), CAST(0 AS BIGINT), "
+            f"(acc, v) -> acc + v))"
+        )
+    )(_one(a, "arrayCumSum"))
+    m["range"] = lambda a: (
+        f"sequence(0, {_one(a, 'range')} - 1)"
+        if len(a) == 1
+        else f"sequence({a[0]}, ({a[1]}) - 1" + (f", {a[2]})" if len(a) == 3 else ")")
+    )
     m["arraySort"] = lambda a: f"array_sort({_one(a, 'arraySort')})"
     m["arrayReverse"] = lambda a: f"reverse({_one(a, 'arrayReverse')})"
     m["arrayConcat"] = lambda a: f"concat({', '.join(a)})"
@@ -482,6 +512,18 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         f"CAST(count({a[0]}) AS INT)))"
     ),
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    # uniqUpTo(N)(x): exact distinct count capped at N+1 (ClickHouse
+    # returns N+1 once the cap is exceeded)
+    "uniqUpTo": lambda p, a: (
+        f"least(count(DISTINCT {a[0]}), CAST({p[0]} AS BIGINT) + 1)"
+    ),
+    "histogram": lambda p, a: (_ for _ in ()).throw(
+        ValueError(
+            "histogram(N)(x) is adaptive-binned (nondeterministic bin "
+            "edges); use the deterministic fixed-bin value_histogram "
+            "query shape (queries.value_histogram)"
+        )
+    ),
     # exact-low/high variants (Python statistics.median_low/high
     # generalized): low takes the (n-1)th 0-based element when
     # level·count lands on an integer ≥ 1, else ⌊level·count⌋; high is

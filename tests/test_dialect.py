@@ -755,3 +755,26 @@ def test_translate_datetime_and_string_scalars(spark):
     assert r.sw is True and r.pos == 6
     assert (r.idn, r.idp, r.idz) == (-3, 3, 0)  # truncation, not floor
     assert r.ut == 60
+
+
+def test_translate_array_utility_functions(spark):
+    r = spark.sql(
+        "SELECT "
+        + translate("arrayFlatten([[1,2],[3]])") + " AS fl, "
+        + translate("arrayUniq([1,2,2,3])") + " AS au, "
+        + translate("arrayEnumerate(['a','b','c'])") + " AS en, "
+        + translate("arrayDifference([1,4,9,16])") + " AS ad, "
+        + translate("arrayCumSum([1,2,3])") + " AS cs, "
+        + translate("range(4)") + " AS rg, "
+        + translate("uniqUpTo(2)(x)") + " AS uu "
+        "FROM (SELECT explode(array(1,2,3,4)) AS x)"
+    ).collect()[0]
+    assert r.fl == [1, 2, 3]
+    assert r.au == 3
+    assert r.en == [1, 2, 3]
+    assert r.ad == [0, 3, 5, 7]
+    assert r.cs == [1, 3, 6]
+    assert r.rg == [0, 1, 2, 3]
+    assert r.uu == 3  # 4 distinct capped at N+1 = 3
+    with pytest.raises(ValueError, match="value_histogram"):
+        translate("histogram(10)(v)")
