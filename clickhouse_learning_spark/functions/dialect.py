@@ -290,6 +290,45 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             f"coalesce(array_position(transform({arr}, {lam}), true), 0)"
         )
     )(*_two(a, "arrayFirstIndex"))
+    # URL functions → parse_url (Spark's JVM-side URL parser)
+    m["domain"] = lambda a: f"parse_url({_one(a, 'domain')}, 'HOST')"
+    m["protocol"] = lambda a: f"parse_url({_one(a, 'protocol')}, 'PROTOCOL')"
+    m["path"] = lambda a: f"parse_url({_one(a, 'path')}, 'PATH')"
+    m["queryString"] = lambda a: f"parse_url({_one(a, 'queryString')}, 'QUERY')"
+    m["fragment"] = lambda a: f"parse_url({_one(a, 'fragment')}, 'REF')"
+    m["extractURLParameter"] = lambda a: (
+        lambda u, k: f"parse_url({u}, 'QUERY', {k})"
+    )(*_two(a, "extractURLParameter"))
+
+    # JSON extraction → get_json_object; ClickHouse passes the key as a
+    # plain string argument, Spark as a '$.key' JSONPath — literal keys
+    # rewrite directly, computed keys concat the path
+    def _json_path(k: str) -> str:
+        k = k.strip()
+        if len(k) >= 2 and k[0] == k[-1] == "'":
+            return f"'$.{k[1:-1]}'"
+        return f"concat('$.', {k})"
+
+    def _json_extract(cast: str | None):
+        def f(a):
+            j, k = _two(a, "JSONExtract*")
+            g = f"get_json_object({j}, {_json_path(k)})"
+            return f"CAST({g} AS {cast})" if cast else g
+
+        return f
+
+    m["JSONExtractString"] = _json_extract(None)
+    m["JSONExtractRaw"] = _json_extract(None)
+    m["JSONExtractInt"] = _json_extract("BIGINT")
+    m["JSONExtractUInt"] = _json_extract("BIGINT")
+    m["JSONExtractFloat"] = _json_extract("DOUBLE")
+    m["JSONExtractBool"] = _json_extract("BOOLEAN")
+    m["JSONHas"] = lambda a: (
+        lambda j, k: f"(get_json_object({j}, {_json_path(k)}) IS NOT NULL)"
+    )(*_two(a, "JSONHas"))
+    m["simpleJSONExtractString"] = _json_extract(None)
+    m["visitParamExtractString"] = _json_extract(None)
+
     m["arrayZip"] = lambda a: f"arrays_zip({', '.join(a)})"
     m["arrayFlatten"] = lambda a: f"flatten({_one(a, 'arrayFlatten')})"
     m["arrayUniq"] = lambda a: (

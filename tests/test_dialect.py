@@ -778,3 +778,21 @@ def test_translate_array_utility_functions(spark):
     assert r.uu == 3  # 4 distinct capped at N+1 = 3
     with pytest.raises(ValueError, match="value_histogram"):
         translate("histogram(10)(v)")
+
+
+def test_translate_url_and_json_functions(spark):
+    r = spark.sql(
+        "SELECT "
+        + translate("domain('https://spark.apache.org/docs/latest?x=1#frag')") + " AS d, "
+        + translate("path('https://a.io/p/q?x=1')") + " AS p, "
+        + translate("extractURLParameter('https://a.io/p?x=1&y=2', 'y')") + " AS y, "
+        + translate("""JSONExtractString('{"a": "hi", "n": 3}', 'a')""") + " AS js, "
+        + translate("""JSONExtractInt('{"a": "hi", "n": 3}', 'n')""") + " AS jn, "
+        + translate("""JSONHas('{"a": 1}', 'b')""") + " AS jh"
+    ).collect()[0]
+    assert r.d == "spark.apache.org"
+    assert r.p == "/p/q"
+    assert r.y == "2"
+    assert (r.js, r.jn, r.jh) == ("hi", 3, False)
+    # computed JSON key concats the path
+    assert "concat('$.'" in translate("JSONExtractString(j, k)")
