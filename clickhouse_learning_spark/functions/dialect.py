@@ -448,6 +448,13 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     )(*_two(a, "uniqExactIf"))
 
     # -- uniq family --------------------------------------------------------
+    # plain uniq()/uniqHLL12(): ClickHouse's default approximate
+    # distinct — the same contract as approx_count_distinct
+    m["uniq"] = lambda a: f"approx_count_distinct({_tuple_or_one(a)})"
+    m["uniqHLL12"] = lambda a: f"approx_count_distinct({_tuple_or_one(a)})"
+    m["uniqIf"] = lambda a: (
+        lambda x, c: f"approx_count_distinct(CASE WHEN {c} THEN {x} END)"
+    )(*_two(a, "uniqIf"))
     m["uniqCombined"] = lambda a: f"approx_count_distinct({_tuple_or_one(a)})"
     m["uniqCombinedIf"] = lambda a: (
         lambda x, c: f"approx_count_distinct(CASE WHEN {c} THEN {x} END)"
