@@ -271,6 +271,26 @@ def main() -> None:
     ).save()
     timings["dedup_exact_2m_synthetic"] = round(time.time() - t0, 3)
 
+    # join at scale: 100M-row fact × 1M-row dimension + keyed rollup —
+    # AQE picks the strategy (the dim fits broadcast here; at a larger
+    # dim it becomes a shuffle join with the same code)
+    t0 = time.time()
+    fact = spark.range(100_000_000).select(
+        (F.col("id") % 1_000_000).alias("k"), (F.col("id") % 97).alias("v")
+    )
+    dim = spark.range(1_000_000).select(
+        F.col("id").alias("k"), (F.col("id") % 25).alias("seg")
+    )
+    (
+        fact.join(dim, "k")
+        .groupBy("seg")
+        .agg(F.sum("v").alias("s"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    timings["join_100m_fact_1m_dim"] = round(time.time() - t0, 3)
+
     # the reference's 1-billion-row sumState benchmark shape
     # (BASELINE.md: 3.201s / 312M rows/s on ClickHouse 21.3)
     t0 = time.time()

@@ -796,3 +796,31 @@ def test_translate_url_and_json_functions(spark):
     assert (r.js, r.jn, r.jh) == ("hi", 3, False)
     # computed JSON key concats the path
     assert "concat('$.'" in translate("JSONExtractString(j, k)")
+
+
+def test_translate_passthrough_property():
+    """Property: ANSI-only SQL with no ClickHouse construct is returned
+    byte-identical (hypothesis-generated identifiers, literals and
+    clause mixes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+        lambda s: s.upper()
+        not in ("FROM", "AS", "BY", "ON", "OR", "AND", "IN", "IS", "ALL", "ANY")
+    )
+    lit = st.one_of(
+        st.integers(-1000, 1000).map(str),
+        st.from_regex(r"[a-z ]{0,12}", fullmatch=True).map(lambda s: f"'{s}'"),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(cols=st.lists(ident, min_size=1, max_size=4), t=ident, v=lit, w=ident)
+    def run(cols, t, v, w):
+        sql = (
+            f"SELECT {', '.join(cols)} FROM {t} "
+            f"WHERE {w} = {v} GROUP BY {cols[0]} ORDER BY {cols[0]} LIMIT 7"
+        )
+        assert translate(sql) == sql
+
+    run()
