@@ -744,3 +744,75 @@ def embedding_blocked_pairs(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication (window hashing)
+# ---------------------------------------------------------------------------
+
+
+def substring_duplication(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 20,
+) -> DataFrame:
+    """Cross-document EXACT substring duplication — the signal behind
+    suffix-array dedup (shared verbatim runs between different
+    documents), expressed as fixed-length token-window hashing:
+
+    1. every ``window_tokens``-token window of every document hashes to
+       one 64-bit value (posexplode + window-function lead chain — the
+       n-gram build stays in codegen, one shuffle on doc_id);
+    2. a window value occurring in ≥2 DISTINCT documents is a shared
+       run; per document, the fraction of its windows that are shared
+       is the duplication score (1.0 = the whole text exists verbatim
+       elsewhere).
+
+    Fixed windows under-count runs shorter than ``window_tokens`` and
+    count a length-L shared run as L−w+1 hits — the standard trade for
+    avoiding suffix-array construction; at 100 TB this is two keyed
+    shuffles (doc_id for the window build, window-hash for the
+    cross-doc count), both map-side combinable.
+
+    Returns (id, n_windows, n_shared, dup_fraction).
+    """
+    from pyspark.sql import Window as W
+
+    from clickhouse_learning_spark.operators.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    gram = F.concat_ws(" ", *(
+        [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, window_tokens)]
+    ))
+    windows = (
+        tok.select("id", gram.alias("g"), F.lead("t", window_tokens - 1).over(w).alias("_last"))
+        .filter(F.col("_last").isNotNull())  # only complete windows
+        .select("id", F.xxhash64("g").alias("h"))
+    )
+    shared = (
+        windows.groupBy("h")
+        .agg(F.count_distinct("id").alias("docs"))
+        .filter(F.col("docs") >= 2)
+        .select("h")
+    )
+    # no broadcast hint: the shared-hash set scales with corpus
+    # duplication — let AQE choose broadcast vs shuffle semi-join
+    flagged = windows.join(shared, "h", "left_semi")
+    per_doc = windows.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    hits = flagged.groupBy("id").agg(F.count(F.lit(1)).alias("n_shared"))
+    return (
+        per_doc.join(hits, "id", "left")
+        .select(
+            "id",
+            "n_windows",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0)) / F.col("n_windows"), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1064,3 +1064,54 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_phone").cast("int"),
         F.md5(F.col("text_redacted")).alias("redacted_md5"),
     )
+
+
+@query(
+    "dedup_substring_spans",
+    f"""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 2
+                  THEN text || ' the quick brown fox jumps over the lazy dog'
+                       || ' while seven wizards brew quartz potions beneath the old stone bridge'
+                  ELSE text END AS text
+      FROM documents),
+    t AS (SELECT doc_id, {_TOKENS} AS tk FROM injected),
+    w AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk) - 18),
+             i -> array_to_string(list_slice(tk, i, i + 19), ' '))) AS g
+      FROM t WHERE len(tk) >= 20),
+    sh AS (SELECT g FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    per AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id),
+    hits AS (SELECT doc_id, count(*) AS n_shared FROM w
+             WHERE g IN (SELECT g FROM sh) GROUP BY doc_id)
+    SELECT p.doc_id AS id,
+           CAST(p.n_windows AS BIGINT) AS n_windows,
+           CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+           round(coalesce(h.n_shared, 0) / p.n_windows, 6) AS dup_fraction
+    FROM per p LEFT JOIN hits h ON p.doc_id = h.doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication (operators/dedup.substring_duplication
+    — the suffix-array dedup signal as fixed 20-token window hashing).
+    A deterministic shared paragraph is injected into 20% of documents
+    on BOTH engines, so genuinely-shared verbatim runs exist; the
+    oracle rebuilds the windows by list slicing and compares the
+    window STRINGS (the Spark side's xxhash64 is a shuffle-compactness
+    optimization whose collisions are ~1e-6 at this scale)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 < 2,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " the quick brown fox jumps over the lazy dog"
+                    " while seven wizards brew quartz potions beneath"
+                    " the old stone bridge"
+                ),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return D.substring_duplication(docs, "text", "doc_id", window_tokens=20)

@@ -357,3 +357,27 @@ def test_bm25_ranks_dense_and_term_docs_only(spark):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         scores = [r["bm25"] for r in rs]
         assert all(a >= b - 1e-4 for a, b in zip(scores, scores[1:]))
+
+
+def test_substring_duplication_detects_shared_runs(spark):
+    """Docs sharing a verbatim 20-token run are flagged; fully unique
+    docs score zero; a doc that IS the shared run scores 1.0."""
+    from clickhouse_learning_spark.operators.dedup import substring_duplication
+
+    para = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew quartz potions beneath the old stone bridge"
+    )  # exactly 20 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + para),
+            (2, para),
+            (3, " ".join(f"unique{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in substring_duplication(docs, window_tokens=20).collect()}
+    assert out[2].dup_fraction == 1.0  # the doc IS the shared run
+    assert out[1].n_shared >= 1  # contains the run + unique prefix windows
+    assert 0 < out[1].dup_fraction < 1
+    assert out[3].n_shared == 0 and out[3].dup_fraction == 0.0
