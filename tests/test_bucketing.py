@@ -59,3 +59,59 @@ def test_bucketed_join_has_no_shuffle(warehouse, tmp_path):
         assert n == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+    """Z-order sort key: file-level min/max ranges cover BOTH columns,
+    so a selective filter on either dimension rules out most files —
+    vs a plain 1-column sort where the second column's per-file range
+    spans everything. Verified against the actual parquet footer
+    statistics the scan pruner uses."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.layout import zorder_key
+
+    n = 200_000
+    df = spark.range(n).select(
+        (F.xxhash64("id") % 65536).alias("a"),
+        (F.xxhash64("id", F.lit(1)) % 65536).alias("b"),
+    ).selectExpr("abs(a) % 65536 AS a", "abs(b) % 65536 AS b")
+
+    def write(path, sort_cols):
+        (
+            df.repartition(1)
+            .sortWithinPartitions(*sort_cols)
+            .write.option("parquet.block.size", 64 * 1024)
+            .parquet(str(path))
+        )
+
+    write(tmp_path / "xsort", [F.col("a")])
+    write(tmp_path / "zsort", [zorder_key(F.col("a"), F.col("b"))])
+
+    def candidate_rowgroups(path, col, probe):
+        total = cand = 0
+        for f in glob.glob(str(path) + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = md.schema.to_arrow_schema().names
+            ci = names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                total += 1
+                if st.min <= probe <= st.max:
+                    cand += 1
+        return cand, total
+
+    probe = 12345
+    zc, zt = candidate_rowgroups(tmp_path / "zsort", "b", probe)
+    xc, xt = candidate_rowgroups(tmp_path / "xsort", "b", probe)
+    assert zt == xt and zt >= 8  # same data, several row groups
+    # plain a-sort leaves b unsorted: essentially every row group is a
+    # candidate; the z-order layout prunes a solid majority
+    assert xc >= 0.9 * xt
+    assert zc <= 0.6 * zt
+    # and the a-dimension still prunes under z-order (not sacrificed)
+    za, _ = candidate_rowgroups(tmp_path / "zsort", "a", probe)
+    assert za <= 0.6 * zt
