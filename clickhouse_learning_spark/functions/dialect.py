@@ -456,6 +456,27 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         lambda x, c: f"approx_count_distinct(CASE WHEN {c} THEN {x} END)"
     )(*_two(a, "uniqIf"))
     m["uniqCombined"] = lambda a: f"approx_count_distinct({_tuple_or_one(a)})"
+    m["uniqCombined64"] = lambda a: f"approx_count_distinct({_tuple_or_one(a)})"
+    # hash functions: MD5/SHA digests are bit-identical across engines;
+    # CH's 64-bit hash FAMILIES (cityHash64/sipHash64/farmHash64) are
+    # not — mapping them to xxhash64 would silently change every value,
+    # so they gate with the explicit alternative
+    m["MD5"] = lambda a: f"unhex(md5({_one(a, 'MD5')}))"
+    m["SHA256"] = lambda a: f"sha2({_one(a, 'SHA256')}, 256)"
+    m["hex"] = lambda a: f"upper(hex({_one(a, 'hex')}))"  # CH hex is uppercase
+    for _h in ("cityHash64", "sipHash64", "farmHash64", "halfMD5"):
+        m[_h] = (
+            lambda name: lambda a: (_ for _ in ()).throw(
+                ValueError(
+                    f"{name} is a ClickHouse-specific hash family (values "
+                    "differ from any Spark builtin); for sharding/sampling "
+                    "keys use xxhash64(...) explicitly — same statistical "
+                    "contract, different values"
+                )
+            )
+        )(_h)
+    m["now64"] = lambda a: "now()"
+    m["toDateTime64"] = lambda a: f"CAST({a[0]} AS TIMESTAMP_NTZ)"
     m["uniqCombinedIf"] = lambda a: (
         lambda x, c: f"approx_count_distinct(CASE WHEN {c} THEN {x} END)"
     )(*_two(a, "uniqCombinedIf"))
