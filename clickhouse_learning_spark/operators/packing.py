@@ -112,3 +112,37 @@ def greedy_pack(
         return pdf
 
     return df.groupBy(*gcols).applyInPandas(pack, schema=out_schema)
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Domain-mix sampling: draw ~``total`` documents whose source
+    distribution matches ``weights`` (a data-mix recipe — '30% web,
+    20% code, …'). Per-source quota = round(total·wᵢ), clamped to that
+    source's availability (no upsampling here — short sources
+    under-fill rather than duplicate; duplication is an explicit epoch
+    decision, not a sampling side effect). Selection within a source is
+    the deterministic md5(salt‖id) rank, so the same call is
+    reproducible on any cluster layout and a new ``salt`` redraws.
+
+    One window shuffle on source — the mix recipe itself (a handful of
+    weights) rides in the plan as literals, no driver loop.
+    """
+    quota = F.lit(None).cast("long")
+    for src, w in weights.items():
+        quota = F.when(F.col(source_col) == src, F.lit(int(round(total * w)))).otherwise(quota)
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    win = Window.partitionBy(source_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("_quota", quota)
+        .filter(F.col("_quota").isNotNull())
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_quota", "_rn")
+    )

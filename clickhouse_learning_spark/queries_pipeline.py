@@ -1115,3 +1115,43 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return D.substring_duplication(docs, "text", "doc_id", window_tokens=20)
+
+
+@query(
+    "source_mixing",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents),
+    quota AS (
+      SELECT * FROM (VALUES ('src0', 30), ('src1', 20), ('src2', 10))
+               AS q(source, cap)
+    )
+    SELECT r.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(r.doc_id) AS BIGINT) AS id_sum
+    FROM ranked r JOIN quota q ON r.source = q.source
+    WHERE r.rn <= q.cap
+    GROUP BY r.source
+    """,
+)
+def source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix sampling (operators/packing.mix_sources): a 50/33/17
+    recipe over three sources, with src0's 30-doc quota clamped by its
+    25-doc availability (no silent upsampling), deterministic md5-rank
+    selection. The oracle replays the window formulation and aggregates
+    (source, count, id-sum) so a selection difference of even one
+    document breaks the hash."""
+    from clickhouse_learning_spark.operators.packing import mix_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    picked = mix_sources(
+        docs,
+        {"src0": 0.5, "src1": 1 / 3, "src2": 1 / 6},
+        total=60,
+    )
+    return picked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
