@@ -146,3 +146,40 @@ def mix_sources(
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_quota", "_rn")
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    epochs: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-source epoch table (the explicit-duplication half of a data
+    mix: 'web ×1, books ×2.5'): every document repeats ⌊e⌋ times, and a
+    deterministic md5-rank fraction of the source's documents gets one
+    extra pass for the fractional remainder — so total volume per
+    source is e × |source| to within one document, reproducibly.
+
+    Output adds an ``epoch`` column (1-based pass number). The repeat
+    is an ``explode(sequence(…))`` — codegen fan-out, no shuffle; the
+    fractional pick is one window over the source (count + rank ride
+    the same partition).
+    """
+    e_col = F.lit(None).cast("double")
+    for src, e in epochs.items():
+        e_col = F.when(F.col(source_col) == src, F.lit(float(e))).otherwise(e_col)
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    win = Window.partitionBy(source_col).orderBy(order, F.col(id_col))
+    cnt = Window.partitionBy(source_col)
+    full = F.floor("_e").cast("int")
+    extra_quota = F.round((F.col("_e") - F.floor("_e")) * F.count(F.lit(1)).over(cnt)).cast("long")
+    n_copies = full + (F.row_number().over(win) <= extra_quota).cast("int")
+    return (
+        df.withColumn("_e", e_col)
+        .filter(F.col("_e").isNotNull())
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_e", "_n")
+    )

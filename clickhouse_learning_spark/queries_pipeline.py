@@ -1155,3 +1155,44 @@ def source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+@query(
+    "epoch_upsampling",
+    """
+    WITH e AS (
+      SELECT * FROM (VALUES ('src0', 2.5), ('src1', 1.0), ('src2', 0.4))
+               AS v(source, e)),
+    ranked AS (
+      SELECT d.doc_id, d.source, v.e,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn,
+             count(*) OVER (PARTITION BY d.source) AS n
+      FROM documents d JOIN e v ON d.source = v.source),
+    copies AS (
+      SELECT doc_id, source,
+             CAST(floor(e) AS INT)
+             + CASE WHEN rn <= round((e - floor(e)) * n) THEN 1 ELSE 0 END AS c
+      FROM ranked)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id * ep) AS BIGINT) AS weighted_id_sum
+    FROM copies, unnest(range(1, c + 1)) AS t(ep)
+    WHERE c >= 1
+    GROUP BY source
+    """,
+)
+def epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch duplication (operators/packing.epoch_upsample):
+    src0 ×2.5 (every doc twice, half a third time), src1 ×1, src2 ×0.4
+    (a deterministic 40% subset). The oracle replays the rank/quota
+    arithmetic and aggregates count + Σ(doc_id·epoch), so one wrong
+    copy or epoch number anywhere breaks the hash."""
+    from clickhouse_learning_spark.operators.packing import epoch_upsample
+
+    docs = load_table(spark, sf_dir, "documents")
+    up = epoch_upsample(docs, {"src0": 2.5, "src1": 1.0, "src2": 0.4})
+    return up.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("doc_id") * F.col("epoch")).alias("weighted_id_sum"),
+    )
