@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # word-token pattern; identical semantics in Java regex (Spark) and RE2
 # (DuckDB) — no lookarounds, no unicode classes.
@@ -186,4 +187,46 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         *pii_counts(t),
         red.alias(f"{text_col}_redacted"),
+    )
+
+
+def vocab_top(df: DataFrame, text_col: str = "text", size: int = 1000) -> DataFrame:
+    """Corpus vocabulary: the ``size`` most frequent tokens (ties break
+    alphabetically so the vocab is deterministic across engines and
+    cluster layouts). One token-count shuffle; the rank/limit runs over
+    the (small) distinct-token set, not the corpus."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("t"))
+    return (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= size)
+        .select("t", "c")
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary token fraction against ``vocab``
+    (from :func:`vocab_top`) — the coverage gate run before committing
+    to a tokenizer. The vocab broadcasts (≤ a few MB even at 100k
+    entries); the corpus sees one explode + doc_id re-aggregation."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    marked = tok.join(
+        F.broadcast(vocab.select(F.col("t"), F.lit(1).alias("_in"))), "t", "left"
+    )
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
     )

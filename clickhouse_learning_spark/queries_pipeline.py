@@ -1196,3 +1196,36 @@ def epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("doc_id") * F.col("epoch")).alias("weighted_id_sum"),
     )
+
+
+@query(
+    "vocab_oov_rate",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS t FROM documents),
+    counts AS (
+      SELECT t, count(*) AS c FROM tok GROUP BY t),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY c DESC, t) AS r FROM counts)
+      WHERE r <= 50)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) / count(*), 6)
+               AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (t)
+    GROUP BY doc_id
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction + coverage gate (operators/text.vocab_top /
+    oov_rate): top-50 corpus tokens (count-desc, alphabetical ties —
+    deterministic across engines), then per-document OOV fraction via
+    a broadcast vocab join. The fixture vocabulary is tiny, so a rank-
+    boundary or tie-break divergence flips real rows."""
+    from clickhouse_learning_spark.operators.text import oov_rate, vocab_top
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = vocab_top(docs, size=50)
+    return oov_rate(docs, vocab).withColumnRenamed("id", "doc_id")
