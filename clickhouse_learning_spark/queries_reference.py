@@ -301,3 +301,43 @@ def ch_limit_by_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 2 BY day
     """
     return spark.sql(translate(ch))
+
+
+@query(
+    "replacing_latest_event",
+    """
+    SELECT user_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           event_id
+    FROM (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def replacing_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree(ver) FINAL semantics (merge_policies.py):
+    events appended in two batches into a replacing table keyed by
+    user_id with ts as the version; merge-on-read keeps the latest
+    (ties broken by the remaining columns, deterministically — the one
+    documented divergence from ClickHouse's arbitrary-survivor merge).
+    The oracle is the window formulation over the raw log."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark import merge_policies as MP
+    from clickhouse_learning_spark.schemas import load_table
+    from clickhouse_learning_spark.tables import Table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        _F.to_date("ts").alias("day"), "user_id", "ts", "event_id"
+    )
+    t = Table(_tf.mkdtemp(prefix="replacing_") + "/t", partition_by=("day",))
+    t.append(ev.filter(_F.col("event_id") % 2 == 0))
+    t.append(ev.filter(_F.col("event_id") % 2 == 1))
+    return MP.replacing_read(t, spark, ["user_id"], "ts").select(
+        "user_id", _F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )

@@ -1,0 +1,66 @@
+"""Replacing/Summing MergeTree merge policies: merge-on-read answers
+are identical before and after compaction, across multi-batch appends."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark import merge_policies as MP
+from clickhouse_learning_spark.tables import Table
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_replacing_merge_tree_semantics(spark, tmp_path):
+    t = Table(str(tmp_path / "repl"), partition_by=("day",), sort_key=("uid",))
+    b1 = spark.createDataFrame(
+        [(1, 10, 1, "a"), (1, 20, 1, "b"), (1, 10, 2, "c")],
+        "day int, uid long, ver long, payload string",
+    )
+    b2 = spark.createDataFrame(
+        [(1, 10, 3, "d"), (2, 30, 1, "e")],
+        "day int, uid long, ver long, payload string",
+    )
+    t.append(b1)
+    t.append(b2)
+
+    want = [(1, 10, 3, "d"), (1, 20, 1, "b"), (2, 30, 1, "e")]
+    cols = ["day", "uid", "ver", "payload"]
+    got = _rows(MP.replacing_read(t, spark, ["day", "uid"], "ver"), cols)
+    assert got == want
+
+    # raw table still holds every version until compaction
+    assert t.read(spark).count() == 5
+    MP.compact_replacing(t, spark, ["day", "uid"], "ver")
+    assert t.read(spark).count() == 3
+    got = _rows(MP.replacing_read(t, spark, ["day", "uid"], "ver"), cols)
+    assert got == want  # identical answer post-compaction
+
+
+def test_summing_merge_tree_semantics(spark, tmp_path):
+    t = Table(str(tmp_path / "summ"), partition_by=("day",), sort_key=("k",))
+    for batch in (
+        [(1, "a", 5, 100, "x"), (1, "b", 7, 200, "y")],
+        [(1, "a", 3, 50, "z"), (2, "a", 1, 10, "w")],
+    ):
+        t.append(
+            spark.createDataFrame(
+                batch, "day int, k string, cnt long, amount long, note string"
+            )
+        )
+    cols = ["day", "k", "cnt", "amount"]
+    want = [(1, "a", 8, 150), (1, "b", 7, 200), (2, "a", 1, 10)]
+    got = _rows(
+        MP.summing_read(t, spark, ["day", "k"], ["cnt", "amount"]).select(*cols),
+        cols,
+    )
+    assert got == want
+    MP.compact_summing(t, spark, ["day", "k"], ["cnt", "amount"])
+    assert t.read(spark).count() == 3
+    got = _rows(
+        MP.summing_read(t, spark, ["day", "k"], ["cnt", "amount"]).select(*cols),
+        cols,
+    )
+    assert got == want
