@@ -174,6 +174,8 @@ class TableSpec:
     ttl: dt.timedelta | None = None
     ttl_column: str | None = None
     engine: str | None = None
+    engine_args: tuple[str, ...] = ()  # e.g. ReplacingMergeTree(ver)
+    replacing_version: str | None = None  # → merge_policies.replacing_read
     distributed_over: str | None = None  # set for ENGINE=Distributed proxies
 
     @property
@@ -474,9 +476,17 @@ def parse_create_table(sql: str) -> TableSpec:
         if not re.match(r"index\s", c.strip(), re.I)
     ]
 
-    em = re.search(r"engine\s*=\s*(\w+)", tail, re.I)
+    em = re.search(r"engine\s*=\s*(\w+)\s*(?:\(([^)]*)\))?", tail, re.I)
     if em:
         spec.engine = em.group(1)
+        if em.group(2):
+            spec.engine_args = tuple(
+                x.strip() for x in em.group(2).split(",") if x.strip()
+            )
+        # Replacing/Summing merges map to merge_policies.py; record the
+        # version column so callers can wire replacing_read directly
+        if re.search(r"ReplacingMergeTree", em.group(1), re.I) and spec.engine_args:
+            spec.replacing_version = spec.engine_args[-1]
 
     def _key_clause(pattern: str, label: str) -> tuple[str, ...] | None:
         km = re.search(pattern + r"\s+(\([^)]*\)|[\w]+)", tail, re.I)
