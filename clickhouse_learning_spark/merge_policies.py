@@ -90,3 +90,38 @@ def compact_summing(
     sum_cols: Sequence[str],
 ) -> None:
     table._rewrite(summing_read(table, spark, key_cols, sum_cols))
+
+
+def collapsing_read(
+    table: Table,
+    spark: SparkSession,
+    key_cols: Sequence[str],
+    sign_col: str = "sign",
+) -> DataFrame:
+    """CollapsingMergeTree semantics: +1 rows assert a state, −1 rows
+    cancel the previously-asserted one; a key whose signs balance out
+    disappears, otherwise the surviving state row remains. Without a
+    version column ClickHouse's survivor is insert-order-dependent;
+    here it is the maximum remaining-column tuple among the +1 rows
+    (deterministic — use VersionedCollapsing/Replacing if you need
+    explicit ordering)."""
+    df = table.read(spark)
+    others = [c for c in df.columns if c not in key_cols and c != sign_col]
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in others])
+    balance = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("_bal", F.sum(sign_col).over(balance))
+        .filter((F.col("_bal") > 0) & (F.col(sign_col) == 1))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_bal", "_rn")
+    )
+
+
+def compact_collapsing(
+    table: Table,
+    spark: SparkSession,
+    key_cols: Sequence[str],
+    sign_col: str = "sign",
+) -> None:
+    table._rewrite(collapsing_read(table, spark, key_cols, sign_col))

@@ -64,3 +64,33 @@ def test_summing_merge_tree_semantics(spark, tmp_path):
         cols,
     )
     assert got == want
+
+
+def test_collapsing_merge_tree_semantics(spark, tmp_path):
+    t = Table(str(tmp_path / "coll"), partition_by=("day",), sort_key=("uid",))
+    # uid 10: assert, cancel, re-assert (survives with the new state);
+    # uid 20: assert then cancel (disappears); uid 30: assert (survives)
+    t.append(
+        spark.createDataFrame(
+            [(1, 10, 1, 100), (1, 20, 1, 500)],
+            "day int, uid long, sign int, amount long",
+        )
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 10, -1, 100), (1, 10, 1, 250), (1, 20, -1, 500), (1, 30, 1, 70)],
+            "day int, uid long, sign int, amount long",
+        )
+    )
+    got = sorted(
+        (r.uid, r.amount)
+        for r in MP.collapsing_read(t, spark, ["day", "uid"]).collect()
+    )
+    assert got == [(10, 250), (30, 70)]
+    MP.compact_collapsing(t, spark, ["day", "uid"])
+    assert t.read(spark).count() == 2
+    got = sorted(
+        (r.uid, r.amount)
+        for r in MP.collapsing_read(t, spark, ["day", "uid"]).collect()
+    )
+    assert got == [(10, 250), (30, 70)]
