@@ -409,3 +409,80 @@ def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "daily_cents", F.sum("daily_cents").over(w).alias("rolling7_cents")
     )
+
+
+@query(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_delta_e4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-sum, the query whose entire cost
+    is predicate pushdown + a global sum — every filter must reach the
+    parquet scan (no join, no group). Revenue in exact integer
+    cents×basis-points (the BETWEEN on a double hits exact hundredths,
+    stored exactly in the fixture's two-decimal discounts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * F.round(F.col("l_discount") * 100).cast("long")
+        ).alias("revenue_delta_e4")
+    )
+
+
+@query(
+    "shipmode_priority_split",
+    """
+    SELECT CASE l_linenumber % 3 WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+                ELSE 'AIR' END AS shipmode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def shipmode_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-to-fact equi join (orders × lineitem — the
+    one join in the set where NEITHER side broadcasts at scale, so the
+    co-partitioned shuffle join is the right plan) with a date filter
+    pushed to the lineitem scan and a conditional split aggregation.
+    The fixture has no l_shipmode column; a deterministic
+    linenumber-derived mode keeps Q12's exact aggregation shape."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    mode = (
+        F.when(F.col("l_linenumber") % 3 == 0, "MAIL")
+        .when(F.col("l_linenumber") % 3 == 1, "SHIP")
+        .otherwise("AIR")
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(mode.alias("shipmode"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
