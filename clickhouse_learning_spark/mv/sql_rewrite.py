@@ -340,3 +340,24 @@ class SqlRewriter:
                 *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in order]
             )
         return df
+
+
+def run_clickhouse(
+    spark: SparkSession,
+    ch_sql: str,
+    rewriter: "SqlRewriter | None" = None,
+    dictionaries: dict | None = None,
+) -> DataFrame:
+    """The full switch-without-rewriting path in one call: translate a
+    ClickHouse query (functions/dialect.translate — combinators, clause
+    rewrites, dictGet) and, when a rewriter is given, answer it from a
+    registered MV's state table if the aggregate shape matches
+    (rewrite-or-fallback; a non-matching query runs verbatim over the
+    raw source). A reference user's day-one loop is exactly this
+    function."""
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    sql = translate(ch_sql, dictionaries)
+    if rewriter is not None:
+        return rewriter.sql(spark, sql)
+    return spark.sql(sql)

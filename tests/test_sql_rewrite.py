@@ -161,3 +161,46 @@ def test_coarsest_eligible_mv_wins(spark, tmp_path):
         rw.explain_route(spark, "SELECT day, k, sum(v) AS s FROM src GROUP BY day, k")
         == "mv:fine"
     )
+
+
+def test_run_clickhouse_routes_pasted_query_to_mv(spark):
+    """A query written in ClickHouse SQL against the RAW log routes to
+    the MV state table (dialect translate → SqlRewriter), matching the
+    direct raw aggregation exactly — the reference's implicit
+    query-the-MV usage for a user who never leaves ClickHouse syntax."""
+    import tempfile
+
+    from clickhouse_learning_spark.mv.mainpage import mainpage_mv, prepare_events
+    from clickhouse_learning_spark.mv.router import MetricRouter
+    from clickhouse_learning_spark.mv.sql_rewrite import SqlRewriter, run_clickhouse
+    from tests.conftest import SF_SMOKE
+
+    mv = mainpage_mv(tempfile.mkdtemp(prefix="runch_") + "/state")
+    mv.append_batch(prepare_events(spark, SF_SMOKE))
+    router = MetricRouter(raw_source=lambda s: prepare_events(s, SF_SMOKE))
+    router.register(mv)
+    rw = SqlRewriter(router, "raw_events")
+
+    ch = """
+        SELECT day,
+               sumIf(1, event_type = 'view') AS view_cnt,
+               count(*) AS event_cnt
+        FROM raw_events GROUP BY day
+    """
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    assert rw.explain_route(spark, translate(ch)).startswith("mv:")
+    got = {
+        str(r["day"]): (r["view_cnt"], r["event_cnt"])
+        for r in run_clickhouse(spark, ch, rewriter=rw).collect()
+    }
+    direct = prepare_events(spark, SF_SMOKE).groupBy("day").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "view", 1)), F.lit(0)
+        ).alias("view_cnt"),
+        F.count(F.lit(1)).alias("event_cnt"),
+    )
+    want = {
+        str(r["day"]): (r["view_cnt"], r["event_cnt"]) for r in direct.collect()
+    }
+    assert got == want
