@@ -89,9 +89,45 @@ def _map_type(ch_type: str) -> T.DataType:
     ch_type = ch_type.strip()
     m = re.match(r"(Simple)?AggregateFunction\s*\((.*)\)$", ch_type)
     if m:
-        fn = _split_args(m.group(2))[0].strip()
+        parts = _split_args(m.group(2))
+        fn = parts[0].strip()
+        args = [p.strip() for p in parts[1:]]
         if fn in _STATE_TYPES:
             return _STATE_TYPES[fn]
+        # parametric state encodings follow MetricSpec.partial's shapes
+        if fn in ("min", "max", "any", "anyLast") and args:
+            return _map_type(args[0])  # state == value
+        if fn == "count":
+            return T.LongType()
+        if fn == "avg" and args:
+            return T.StructType(  # (sum, count), metrics.py:321
+                [
+                    T.StructField("s", _map_type(args[0]), True),
+                    T.StructField("c", T.LongType(), True),
+                ]
+            )
+        if fn in ("argMax", "argMin") and len(args) == 2:
+            return T.StructType(  # (order, value), metrics.py:376
+                [
+                    T.StructField("o", _map_type(args[1]), True),
+                    T.StructField("v", _map_type(args[0]), True),
+                ]
+            )
+        if fn in ("quantileExactWeighted", "topK") and args:
+            return T.ArrayType(  # value→count pairs, metrics.py:283
+                T.StructType(
+                    [
+                        T.StructField("v", _map_type(args[0]), True),
+                        T.StructField("c", T.LongType(), True),
+                    ]
+                )
+            )
+        if fn == "sumMap" and len(args) == 2:
+            return T.MapType(_map_type(args[0]), _map_type(args[1]))
+        if fn in ("groupArray", "groupUniqArray") and args:
+            return T.ArrayType(_map_type(args[0]))
+        if fn == "uniqTheta":
+            return T.BinaryType()
         raise ValueError(f"unmapped aggregate state type: {ch_type!r}")
     for wrapper in ("Nullable", "LowCardinality"):
         m = re.match(rf"{wrapper}\s*\((.*)\)$", ch_type)

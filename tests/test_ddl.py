@@ -580,3 +580,24 @@ def test_deployment_execute_console_statements(spark, tmp_path):
     dep.execute(spark, "OPTIMIZE TABLE test.page_stat FINAL")
     with pytest.raises(ValueError, match="deploy"):
         dep.execute(spark, "CREATE TABLE x (a UInt8) ENGINE = MergeTree ORDER BY a")
+
+
+def test_parametric_aggregate_state_types():
+    """AggregateFunction(fn, T…) columns map onto the exact encodings
+    MetricSpec.partial writes, so a pasted wide-table DDL carrying
+    argMax/avg/topK/sumMap states reads this engine's state files."""
+    from clickhouse_learning_spark.ddl import _map_type
+
+    cases = {
+        "AggregateFunction(avg, UInt64)": "struct<s:bigint,c:bigint>",
+        "AggregateFunction(argMax, String, DateTime)": "struct<o:timestamp,v:string>",
+        "AggregateFunction(topK, String)": "array<struct<v:string,c:bigint>>",
+        "AggregateFunction(sumMap, String, UInt64)": "map<string,bigint>",
+        "AggregateFunction(groupArray, UInt32)": "array<bigint>",
+        "AggregateFunction(min, Float64)": "double",
+        "AggregateFunction(uniqTheta, UInt64)": "binary",
+    }
+    for ch, want in cases.items():
+        assert _map_type(ch).simpleString() == want, ch
+    with pytest.raises(ValueError, match="unmapped aggregate"):
+        _map_type("AggregateFunction(mannWhitneyUTest, Float64)")
