@@ -354,11 +354,9 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             f"(acc, v) -> acc + v))"
         )
     )(_one(a, "arrayCumSum"))
-    m["range"] = lambda a: (
-        f"sequence(0, {_one(a, 'range')} - 1)"
-        if len(a) == 1
-        else f"sequence({a[0]}, ({a[1]}) - 1" + (f", {a[2]})" if len(a) == 3 else ")")
-    )
+    # NOTE: no m["range"] mapping — numbers(N) rewrites to Spark's
+    # range(N) TABLE function, which a scalar range→sequence mapping
+    # would clobber; array-building uses sequence() directly
     m["arraySort"] = lambda a: f"array_sort({_one(a, 'arraySort')})"
     m["arrayReverse"] = lambda a: f"reverse({_one(a, 'arrayReverse')})"
     m["arrayConcat"] = lambda a: f"concat({', '.join(a)})"

@@ -765,7 +765,7 @@ def test_translate_array_utility_functions(spark):
         + translate("arrayEnumerate(['a','b','c'])") + " AS en, "
         + translate("arrayDifference([1,4,9,16])") + " AS ad, "
         + translate("arrayCumSum([1,2,3])") + " AS cs, "
-        + translate("range(4)") + " AS rg, "
+        + translate("sequence(0, 3)") + " AS rg, "
         + translate("uniqUpTo(2)(x)") + " AS uu "
         "FROM (SELECT explode(array(1,2,3,4)) AS x)"
     ).collect()[0]
