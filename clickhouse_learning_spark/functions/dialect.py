@@ -178,6 +178,46 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         # CH position(haystack, needle); Spark instr(str, substr) — both 1-based
         lambda h, n: f"instr({h}, {n})"
     )(*_two(a, "position"))
+    # regex / substring family
+    m["match"] = lambda a: (
+        lambda s_, p: f"({s_} RLIKE {p})"
+    )(*_two(a, "match"))
+    m["replaceRegexpAll"] = lambda a: f"regexp_replace({', '.join(a)})"
+    m["replaceAll"] = lambda a: f"replace({', '.join(a)})"
+    m["replaceOne"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "replaceOne has no replace-first Spark builtin; "
+            "regexp_replace with \\\\Q…\\\\E replaces ALL occurrences — "
+            "use overlay()/instr() for a strict first-only replace"
+        )
+    )
+
+    def _extract(all_: bool):
+        def f(a):
+            s_, p = _two(a, "extract")
+            # ClickHouse: whole match when the pattern has no capture
+            # group, else group 1 — decidable only for literal patterns
+            idx = 0
+            if p.startswith("'") and "(" in p:
+                idx = 1
+            fn = "regexp_extract_all" if all_ else "regexp_extract"
+            return f"{fn}({s_}, {p}, {idx})"
+
+        return f
+
+    m["extract"] = _extract(False)
+    m["extractAll"] = _extract(True)
+    m["countSubstrings"] = lambda a: (
+        lambda h, n: (
+            f"CAST((length({h}) - length(replace({h}, {n}, ''))) "
+            f"/ length({n}) AS BIGINT)"
+        )
+    )(*_two(a, "countSubstrings"))
+    m["trimLeft"] = lambda a: f"ltrim({_one(a, 'trimLeft')})"
+    m["trimRight"] = lambda a: f"rtrim({_one(a, 'trimRight')})"
+    m["trimBoth"] = lambda a: f"trim({_one(a, 'trimBoth')})"
+    m["lengthUTF8"] = lambda a: f"length({_one(a, 'lengthUTF8')})"
+    m["substringUTF8"] = lambda a: f"substring({', '.join(a)})"
     m["leftPad"] = lambda a: f"lpad({', '.join(a)})"
     m["rightPad"] = lambda a: f"rpad({', '.join(a)})"
     # CH intDiv truncates toward zero — Spark's `div` operator, NOT

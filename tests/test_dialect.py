@@ -824,3 +824,26 @@ def test_translate_passthrough_property():
         assert translate(sql) == sql
 
     run()
+
+
+def test_translate_regex_string_family(spark):
+    r = spark.sql(
+        "SELECT "
+        + translate("match('abc123', '[a-z]+\\\\d+')") + " AS m, "
+        + translate("extract('key=value', 'key=([a-z]+)')") + " AS e1, "
+        + translate("extract('abc123', '\\\\d+')") + " AS e0, "
+        + translate("extractAll('a1 b2 c3', '\\\\d')") + " AS ea, "
+        + translate("replaceRegexpAll('a1b2', '\\\\d', '#')") + " AS rr, "
+        + translate("replaceAll('x.y.z', '.', '-')") + " AS ra, "
+        + translate("countSubstrings('abcabcab', 'ab')") + " AS cs, "
+        + translate("trimBoth('  hi  ')") + " AS tb"
+    ).collect()[0]
+    assert r.m is True
+    assert r.e1 == "value" and r.e0 == "123"
+    assert r.ea == ["1", "2", "3"]
+    assert r.rr == "a#b#"
+    assert r.ra == "x-y-z"  # literal replace, '.' not a regex
+    assert r.cs == 3
+    assert r.tb == "hi"
+    with pytest.raises(ValueError, match="first"):
+        translate("replaceOne(s, 'a', 'b')")
