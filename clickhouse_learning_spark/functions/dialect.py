@@ -178,6 +178,40 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         # CH position(haystack, needle); Spark instr(str, substr) — both 1-based
         lambda h, n: f"instr({h}, {n})"
     )(*_two(a, "position"))
+    # bitwise function forms → operators
+    m["bitAnd"] = lambda a: (lambda x, y: f"({x} & {y})")(*_two(a, "bitAnd"))
+    m["bitOr"] = lambda a: (lambda x, y: f"({x} | {y})")(*_two(a, "bitOr"))
+    m["bitXor"] = lambda a: (lambda x, y: f"({x} ^ {y})")(*_two(a, "bitXor"))
+    m["bitNot"] = lambda a: f"(~{_one(a, 'bitNot')})"
+    m["bitShiftLeft"] = lambda a: f"shiftleft({', '.join(a)})"
+    m["bitShiftRight"] = lambda a: f"shiftright({', '.join(a)})"
+    m["bitTest"] = lambda a: (
+        lambda x, i: f"((shiftright({x}, {i}) & 1) = 1)"
+    )(*_two(a, "bitTest"))
+    # rounding / encoding
+    m["roundBankers"] = lambda a: f"bround({', '.join(a)})"
+    m["base64Encode"] = lambda a: f"base64({_one(a, 'base64Encode')})"
+    m["base64Decode"] = lambda a: (
+        f"CAST(unbase64({_one(a, 'base64Decode')}) AS STRING)"
+    )
+    # IPv4 numeric ↔ dotted-quad
+    m["IPv4NumToString"] = lambda a: (
+        lambda n: (
+            f"concat_ws('.', CAST(({n} div 16777216) % 256 AS STRING), "
+            f"CAST(({n} div 65536) % 256 AS STRING), "
+            f"CAST(({n} div 256) % 256 AS STRING), "
+            f"CAST({n} % 256 AS STRING))"
+        )
+    )(_one(a, "IPv4NumToString"))
+    m["IPv4StringToNum"] = lambda a: (
+        lambda s_: (
+            f"(CAST(split({s_}, '\\\\.')[0] AS BIGINT) * 16777216 "
+            f"+ CAST(split({s_}, '\\\\.')[1] AS BIGINT) * 65536 "
+            f"+ CAST(split({s_}, '\\\\.')[2] AS BIGINT) * 256 "
+            f"+ CAST(split({s_}, '\\\\.')[3] AS BIGINT))"
+        )
+    )(_one(a, "IPv4StringToNum"))
+
     # regex / substring family
     m["match"] = lambda a: (
         lambda s_, p: f"({s_} RLIKE {p})"

@@ -847,3 +847,21 @@ def test_translate_regex_string_family(spark):
     assert r.tb == "hi"
     with pytest.raises(ValueError, match="first"):
         translate("replaceOne(s, 'a', 'b')")
+
+
+def test_translate_bit_round_encode_ip(spark):
+    r = spark.sql(
+        "SELECT "
+        + translate("bitAnd(12, 10)") + " AS ba, "
+        + translate("bitXor(12, 10)") + " AS bx, "
+        + translate("bitTest(5, 2)") + " AS bt, "
+        + translate("roundBankers(2.5)") + " AS rb, "
+        + translate("base64Decode(base64Encode('hi'))") + " AS b64, "
+        + translate("IPv4NumToString(IPv4StringToNum('10.0.255.1'))") + " AS ip, "
+        + translate("IPv4StringToNum('1.2.3.4')") + " AS ipn"
+    ).collect()[0]
+    assert (r.ba, r.bx, r.bt) == (8, 6, True)
+    assert r.rb == 2.0  # banker's, not half-up
+    assert r.b64 == "hi"
+    assert r.ip == "10.0.255.1"
+    assert r.ipn == 16909060
