@@ -761,6 +761,31 @@ class Deployment:
         return counts
 
 
+    def final_read(self, spark, name: str) -> DataFrame:
+        """``SELECT … FROM t FINAL`` semantics for a deployed table:
+        engine-appropriate merge-on-read — ReplacingMergeTree(ver)
+        collapses to the latest version per sort key
+        (merge_policies.replacing_read), SummingMergeTree sums the
+        numeric non-key columns, anything else reads as-is (the
+        AggregatingMergeTree state tables are merged by their MV's
+        merge_query, not here)."""
+        from clickhouse_learning_spark import merge_policies as MP
+
+        name = self._resolve(name)
+        spec, table = self.specs[name], self.tables[name]
+        keys = list(spec.order_by or spec.primary_key)
+        if spec.replacing_version:
+            return MP.replacing_read(table, spark, keys, spec.replacing_version)
+        if spec.engine and re.search(r"SummingMergeTree", spec.engine, re.I):
+            num = {
+                c.name
+                for c in spec.columns
+                if c.spark_type.simpleString() in ("bigint", "int", "double", "float", "smallint")
+                and c.name not in keys
+            }
+            return MP.summing_read(table, spark, keys, sorted(num))
+        return table.read(spark)
+
     def execute(self, spark, stmt: str):
         """Run one ClickHouse console statement against the deployment —
         the reference docs' tutorial transcripts (INSERT … SELECT with

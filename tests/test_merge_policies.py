@@ -94,3 +94,30 @@ def test_collapsing_merge_tree_semantics(spark, tmp_path):
         for r in MP.collapsing_read(t, spark, ["day", "uid"]).collect()
     )
     assert got == [(10, 250), (30, 70)]
+
+
+def test_deployment_final_read_dispatches_by_engine(spark, tmp_path):
+    """Deployment.final_read = FROM t FINAL: Replacing tables collapse
+    by the DDL-declared version column, Summing tables sum numeric
+    non-key columns — straight from the pasted engine clause."""
+    from clickhouse_learning_spark import ddl
+
+    script = """
+    CREATE TABLE test.profiles (
+        uid UInt64, ver UInt64, name String
+    ) ENGINE = ReplacingMergeTree(ver) ORDER BY uid;
+
+    CREATE TABLE test.counters (
+        k String, cnt UInt64
+    ) ENGINE = SummingMergeTree() ORDER BY k;
+    """
+    dep = ddl.deploy(spark, script, str(tmp_path))
+    dep.execute(spark, "INSERT INTO test.profiles VALUES (1, 1, 'old'), (2, 1, 'b')")
+    dep.execute(spark, "INSERT INTO test.profiles VALUES (1, 2, 'new')")
+    got = {r.uid: r.name for r in dep.final_read(spark, "test.profiles").collect()}
+    assert got == {1: "new", 2: "b"}
+
+    dep.execute(spark, "INSERT INTO test.counters VALUES ('a', 5), ('b', 2)")
+    dep.execute(spark, "INSERT INTO test.counters VALUES ('a', 3)")
+    got = {r.k: r.cnt for r in dep.final_read(spark, "test.counters").collect()}
+    assert got == {"a": 8, "b": 2}
