@@ -1304,8 +1304,9 @@ def _rewrite_totals_prewhere_final(sql: str) -> str:
         if _FINAL_RE.search(s):
             raise ValueError(
                 "FROM … FINAL (merge-on-read) is an engine operation, not a "
-                "clause: query state tables via MaterializedView.merge_query "
-                "(or compact the table first with Table.compact)"
+                "clause: query state tables via MaterializedView.merge_query, "
+                "deployed Replacing/Summing tables via Deployment.final_read "
+                "(or compact first with Table.compact)"
             )
         if _PREWHERE_RE.search(s):
             if re.search(r"\bwhere\b", s, re.I):
