@@ -651,6 +651,15 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         f"CAST(count({a[0]}) AS INT)))"
     ),
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    # uniqCombined(K)(x): per-call HLL precision — approx_count_distinct
+    # takes a relative-error target instead; rsd ≈ 1.04/√2^K
+    "uniqCombined": lambda p, a: (
+        f"approx_count_distinct({a[0]}, 1.04 / sqrt(pow(2, {p[0]})))"
+    ),
+    # quantileDeterministic(p)(x, det): ClickHouse's reservoir sampler
+    # with a deterministic seed — exact percentile is strictly stronger
+    # and deterministic too, so the determinator argument drops
+    "quantileDeterministic": lambda p, a: f"percentile({a[0]}, {p[0]})",
     # uniqUpTo(N)(x): exact distinct count capped at N+1 (ClickHouse
     # returns N+1 once the cap is exceeded)
     "uniqUpTo": lambda p, a: (
