@@ -652,9 +652,15 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     ),
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     # uniqCombined(K)(x): per-call HLL precision — approx_count_distinct
-    # takes a relative-error target instead; rsd ≈ 1.04/√2^K
+    # takes a relative-error target instead (rsd ≈ 1.04/√2^K), and
+    # Spark requires it as a plain double literal, so K must be literal
     "uniqCombined": lambda p, a: (
-        f"approx_count_distinct({a[0]}, 1.04 / sqrt(pow(2, {p[0]})))"
+        f"approx_count_distinct({a[0]}, "
+        f"{1.04 / (2.0 ** (int(p[0]) / 2)):.6f})"
+        if p[0].strip().isdigit()
+        else (_ for _ in ()).throw(
+            ValueError("uniqCombined(K)(x): K must be an integer literal")
+        )
     ),
     # quantileDeterministic(p)(x, det): ClickHouse's reservoir sampler
     # with a deterministic seed — exact percentile is strictly stronger

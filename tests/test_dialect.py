@@ -865,3 +865,17 @@ def test_translate_bit_round_encode_ip(spark):
     assert r.b64 == "hi"
     assert r.ip == "10.0.255.1"
     assert r.ipn == 16909060
+
+
+def test_translate_parameterized_uniq_combined_precision(spark):
+    spark.range(5000).selectExpr(
+        "id % 1371 AS u", "CAST(id AS DOUBLE) AS v"
+    ).createOrReplaceTempView("ch_ucp")
+    r = spark.sql(
+        "SELECT " + translate("uniqCombined(14)(u)") + " AS u, "
+        + translate("quantileDeterministic(0.5)(v, u)") + " AS q FROM ch_ucp"
+    ).collect()[0]
+    assert abs(r.u - 1371) <= 0.05 * 1371
+    assert r.q == 2499.5
+    with pytest.raises(ValueError, match="integer literal"):
+        translate("uniqCombined(k)(u)")
