@@ -520,6 +520,37 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     )(*_two(a, "uniqExactIf"))
 
     # -- uniq family --------------------------------------------------------
+    # statistical aggregates (camelCase → snake_case builtins)
+    for _ch, _sp in (
+        ("varPop", "var_pop"), ("varSamp", "var_samp"),
+        ("stddevPop", "stddev_pop"), ("stddevSamp", "stddev_samp"),
+    ):
+        m[_ch] = (lambda sp, ch: lambda a: f"{sp}({_one(a, ch)})")(_sp, _ch)
+    for _ch, _sp in (("covarPop", "covar_pop"), ("covarSamp", "covar_samp")):
+        m[_ch] = (
+            lambda sp, ch: lambda a: (
+                lambda x, y: f"{sp}({x}, {y})"
+            )(*_two(a, ch))
+        )(_sp, _ch)
+    m["skewPop"] = lambda a: f"skewness({_one(a, 'skewPop')})"
+    m["kurtPop"] = lambda a: f"kurtosis({_one(a, 'kurtPop')})"
+    m["anyHeavy"] = lambda a: f"mode({_one(a, 'anyHeavy')})"
+    # simpleLinearRegression(x, y) → (slope, intercept) tuple; Spark's
+    # regr_* take (y, x) order
+    m["simpleLinearRegression"] = lambda a: (
+        lambda x, y: (
+            f"named_struct('col1', regr_slope({y}, {x}), "
+            f"'col2', regr_intercept({y}, {x}))"
+        )
+    )(*_two(a, "simpleLinearRegression"))
+    m["deltaSum"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "deltaSum depends on server-local block order; use "
+            "sum(greatest(x - lag(x) OVER (ORDER BY …), 0)) for the "
+            "deterministic window form"
+        )
+    )
+
     # plain uniq()/uniqHLL12(): ClickHouse's default approximate
     # distinct — the same contract as approx_count_distinct
     m["uniq"] = lambda a: f"approx_count_distinct({_tuple_or_one(a)})"

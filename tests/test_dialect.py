@@ -879,3 +879,29 @@ def test_translate_parameterized_uniq_combined_precision(spark):
     assert r.q == 2499.5
     with pytest.raises(ValueError, match="integer literal"):
         translate("uniqCombined(k)(u)")
+
+
+def test_translate_statistical_aggregates(spark):
+    spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.1), (3.0, 5.9), (4.0, 8.0), (2.0, 4.0)],
+        "x double, y double",
+    ).createOrReplaceTempView("ch_st")
+    r = spark.sql(
+        "SELECT "
+        + translate("varPop(x)") + " AS vp, "
+        + translate("stddevSamp(x)") + " AS ss, "
+        + translate("covarPop(x, y)") + " AS cv, "
+        + translate("anyHeavy(x)") + " AS ah, "
+        + translate("simpleLinearRegression(x, y)") + " AS lr "
+        "FROM ch_st"
+    ).collect()[0]
+    import statistics
+
+    xs = [1.0, 2.0, 3.0, 4.0, 2.0]
+    assert abs(r.vp - statistics.pvariance(xs)) < 1e-9
+    assert abs(r.ss - statistics.stdev(xs)) < 1e-9
+    assert r.ah == 2.0  # the modal value
+    assert abs(r.lr.col1 - 1.98) < 0.05  # slope ≈ 2
+    assert abs(r.cv - 2.06) < 1e-9  # population covariance
+    with pytest.raises(ValueError, match="block order"):
+        translate("deltaSum(x)")
