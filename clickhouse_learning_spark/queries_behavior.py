@@ -187,3 +187,52 @@ def sequence_match_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("user_days"),
         F.sum(F.col("matched").cast("long")).alias("matched"),
     )
+
+
+@query(
+    "top_event_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS cnt
+      FROM seq WHERE e3 IS NOT NULL GROUP BY 1)
+    SELECT path, CAST(cnt AS BIGINT) AS cnt FROM (
+      SELECT path, cnt,
+             row_number() OVER (ORDER BY cnt DESC, path) AS rn
+      FROM paths)
+    WHERE rn <= 10
+    ORDER BY cnt DESC, path
+    """,
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 10 most common 3-step event sequences across
+    all users (per-user ts-ordered lead chain — one shuffle on user_id,
+    the same n-gram-over-a-window shape as text_repetition; global
+    top-10 with alphabetical tie-break so the cut is deterministic).
+    Ordering inside a user ties on (ts, event_id) — total, so both
+    engines walk identical sequences."""
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)  # user_id arrives renamed to uid
+    w = W.partitionBy("uid").orderBy("ts", "event_id")
+    seq = ev.select(
+        "uid",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wr = W.orderBy(F.col("cnt").desc(), F.col("path"))
+    return (
+        paths.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= 10)
+        .drop("_rn")
+        .orderBy(F.col("cnt").desc(), "path")
+    )
