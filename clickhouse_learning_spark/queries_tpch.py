@@ -486,3 +486,50 @@ def shipmode_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "rfm_segments",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS monetary_cents,
+             max(CAST(o_orderdate AS DATE)) AS last_order
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY last_order, o_custkey)     AS r,
+             ntile(4) OVER (ORDER BY frequency, o_custkey)      AS f,
+             ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS m
+      FROM per_cust)
+    SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile scores for recency/frequency/monetary
+    per customer (ntile over deterministic (metric, custkey) order —
+    both engines distribute remainder rows to the first groups, so the
+    bucket boundaries agree exactly), then segment population counts.
+    Scale: one orders aggregation; the three window sorts run over the
+    customer-level rollup, not the fact table."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+    )
+    scored = per_cust.select(
+        F.ntile(4).over(W.orderBy("last_order", "o_custkey")).alias("r"),
+        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f"),
+        F.ntile(4).over(W.orderBy("monetary_cents", "o_custkey")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
