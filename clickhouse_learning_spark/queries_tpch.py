@@ -533,3 +533,54 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@query(
+    "part_pair_affinity",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 200 AS pg FROM lineitem),
+    pairs AS (
+      SELECT a.pg AS pg_a, b.pg AS pg_b, count(*) AS n_orders
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.pg < b.pg
+      GROUP BY a.pg, b.pg)
+    SELECT pg_a, pg_b, CAST(n_orders AS BIGINT) AS n_orders FROM (
+      SELECT pg_a, pg_b, n_orders,
+             row_number() OVER (ORDER BY n_orders DESC, pg_a, pg_b) AS rn
+      FROM pairs)
+    WHERE rn <= 15
+    ORDER BY n_orders DESC, pg_a, pg_b
+    """,
+)
+def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: part groups co-occurring in one order
+    (self-join keyed ON the order — pair fan-out is O(k²) in basket
+    size k≈4, not corpus size, so the shape survives any order count),
+    global top-15 with a deterministic tie-break. Grouping parts mod
+    200 keeps the pair space dense enough at sf0.01 for non-trivial
+    counts."""
+    from pyspark.sql.window import Window as W
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", (F.col("l_partkey") % 200).alias("pg"))
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.pg") < F.col("b.pg")),
+        )
+        .groupBy(F.col("a.pg").alias("pg_a"), F.col("b.pg").alias("pg_b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = W.orderBy(F.col("n_orders").desc(), "pg_a", "pg_b")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 15)
+        .drop("_rn")
+        .orderBy(F.col("n_orders").desc(), "pg_a", "pg_b")
+    )
