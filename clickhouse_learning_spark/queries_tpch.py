@@ -584,3 +584,64 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy(F.col("n_orders").desc(), "pg_a", "pg_b")
     )
+
+
+@query(
+    "revenue_anomaly_days",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1),
+    stats AS (
+      SELECT day, cents,
+             sum(cents)         OVER w AS s,
+             sum(cents * cents) OVER w AS sq,
+             count(*)           OVER w AS n
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+    scored AS (
+      SELECT day, cents, n,
+             (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n) AS z
+      FROM stats WHERE n >= 14
+                   AND (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) > 0)
+    SELECT day, cents, round(z, 4) AS z
+    FROM scored WHERE abs(z) > 2
+    ORDER BY day
+    """,
+)
+def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each day's revenue z-scored
+    against the previous 28 days. Determinism: mean/variance are
+    derived from exact integer window sums (Σx, Σx², n) with one
+    identical double expression on both engines — never each engine's
+    own stddev implementation (Welford vs two-pass would differ in the
+    last bits). Scale: the window runs over the daily rollup, not the
+    fact table."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = W.orderBy("day").rowsBetween(-28, -1)
+    stats = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("sq"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter(F.col("n") >= 14)
+    var_num = F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    z = (F.col("cents").cast("double") - F.col("s").cast("double") / F.col("n")) / F.sqrt(
+        var_num / F.col("n")
+    )
+    return (
+        stats.filter(var_num > 0)
+        .withColumn("_z", z)
+        .filter(F.abs(F.col("_z")) > 2)  # filter on the UNROUNDED score
+        .select("day", "cents", F.round("_z", 4).alias("z"))
+        .orderBy("day")
+    )
