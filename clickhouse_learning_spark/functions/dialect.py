@@ -1466,13 +1466,15 @@ def translate(
                     f"{ident} is a parameterized aggregate: expected "
                     f"{ident}(params)(args)"
                 )
-            if k < n and sql[k] == "(" and (ident in _MAPPING or ident == "dictGet"):
+            if k < n and sql[k] == "(" and (
+                ident in _MAPPING or ident in ("dictGet", "dictGetOrDefault")
+            ):
                 close = _matching_paren(sql, k)
                 args = [
                     translate(a, dictionaries)
                     for a in _split_args(sql[k + 1 : close])
                 ]
-                if ident == "dictGet":
+                if ident in ("dictGet", "dictGetOrDefault"):
                     out.append(_dict_get(args, dictionaries))
                 else:
                     out.append(_MAPPING[ident](args))
@@ -1497,6 +1499,11 @@ def _sql_literal(v) -> str:
 
 
 def _dict_get(args: list[str], dictionaries: dict | None) -> str:
+    # dictGetOrDefault carries the per-call default as a 4th argument
+    call_default = None
+    if len(args) == 4:
+        call_default = args[3]
+        args = args[:3]
     if len(args) != 3:
         raise ValueError(f"dictGet expects 3 arguments, got {len(args)}")
     dname, attr, key = args
@@ -1515,6 +1522,9 @@ def _dict_get(args: list[str], dictionaries: dict | None) -> str:
     # max() makes the subquery provably single-row for the analyzer;
     # keys are unique in a hashed dictionary so it never discards data
     lookup = f"(SELECT max({attr}) FROM {view} WHERE {view}.{key_col} = {key})"
+    if call_default is not None:
+        # dictGetOrDefault: the call-site default wins over the DDL one
+        return f"coalesce({lookup}, {call_default})"
     if attr in defaults:
         # ClickHouse: a missing key yields the attribute's declared
         # default (dim.dict_user_dim.sql:2-12), not NULL

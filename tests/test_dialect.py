@@ -905,3 +905,17 @@ def test_translate_statistical_aggregates(spark):
     assert abs(r.cv - 2.06) < 1e-9  # population covariance
     with pytest.raises(ValueError, match="block order"):
         translate("deltaSum(x)")
+
+
+def test_translate_dict_get_or_default(spark, star_views):
+    _, user = star_views
+    dicts = {"dim.dict_user_dim": ("ch_user_dim", "uid")}
+    missing = user.agg(F.max("uid")).collect()[0][0] + 10_000
+    r = spark.sql(
+        translate(
+            f"SELECT dictGetOrDefault('dim.dict_user_dim', 'gender', "
+            f"toUInt64({missing}), 'n/a') AS g",
+            dictionaries=dicts,
+        )
+    ).collect()[0]
+    assert r.g == "n/a"
