@@ -1462,6 +1462,17 @@ def translate(
                     out.append(_PARAMETERIZED[ident](params, args))
                     i = aclose + 1
                     continue
+                if ident in _MAPPING:
+                    # single paren group and the name also has a plain
+                    # form (e.g. uniqCombined(x) vs uniqCombined(K)(x))
+                    close = _matching_paren(sql, k)
+                    args = [
+                        translate(a, dictionaries)
+                        for a in _split_args(sql[k + 1 : close])
+                    ]
+                    out.append(_MAPPING[ident](args))
+                    i = close + 1
+                    continue
                 raise ValueError(
                     f"{ident} is a parameterized aggregate: expected "
                     f"{ident}(params)(args)"
