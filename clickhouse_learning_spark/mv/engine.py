@@ -226,3 +226,47 @@ class MaterializedView:
         for df in filled[1:]:
             out = out.unionByName(df, allowMissingColumns=False)
         return out
+
+
+def rollup_ttl(
+    mv: "MaterializedView",
+    spark: SparkSession,
+    keep,
+    coarse_dims: list[str],
+    now=None,
+    day_col: str = "day",
+) -> int:
+    """ClickHouse's ``TTL … GROUP BY k SET v = …`` — age-based ROLLUP
+    instead of deletion: state partitions older than ``now − keep``
+    are re-aggregated at ``coarse_dims`` (dropping the finer
+    dimensions' detail) and rewritten in place, so history keeps its
+    aggregate truth at a fraction of the rows. Recent partitions are
+    untouched — the sweep reads and rewrites ONLY expired partitions
+    (dynamic partition overwrite), the same scoping rule as
+    partition-scoped compaction.
+
+    The dropped fine dimensions are retained as columns with NULL (the
+    schema stays stable for readers; NULL = the 'rolled-up' marker,
+    exactly like with_dimension's backfill convention).
+
+    Returns the number of partitions rolled up.
+    """
+    import datetime as _dt
+
+    from pyspark.sql import functions as _F
+
+    cutoff = (now or _dt.date.today()) - keep
+    stored = mv.storage.read(spark)
+    expired = stored.filter(_F.col(day_col) < _F.lit(cutoff))
+    parts = [r[0] for r in expired.select(day_col).distinct().collect()]
+    if not parts:
+        return 0
+    group = coarse_dims if day_col in coarse_dims else [day_col, *coarse_dims]
+    merged = mv.merge_states(expired, group)
+    # keep the schema stable: dropped fine dims come back as typed NULL
+    types = dict(stored.dtypes)
+    fine = [d for d in mv.dims if d not in group]
+    for d in fine:
+        merged = merged.withColumn(d, _F.lit(None).cast(types[d]))
+    mv.storage.overwrite_partitions(merged.select(*stored.columns))
+    return len(parts)

@@ -208,3 +208,55 @@ def test_partition_scoped_compaction(spark, tmp_path):
 
     # empty selection is a no-op
     mv.compact(spark, partitions=[])
+
+
+def test_rollup_ttl_downsamples_old_partitions(spark, tmp_path):
+    """TTL … GROUP BY analog: expired partitions re-aggregate at the
+    coarse grain (fine dims become NULL, schema stable); recent
+    partitions keep full detail byte-for-byte; merged coarse answers
+    are identical before and after."""
+    import datetime as dt
+    import glob as _glob
+
+    from clickhouse_learning_spark.mv.engine import rollup_ttl
+    from clickhouse_learning_spark.mv.mainpage import mainpage_mv, prepare_events
+    from tests.conftest import SF_SMOKE
+
+    mv = mainpage_mv(str(tmp_path / "state"))
+    ev = prepare_events(spark, SF_SMOKE)
+    mv.append_batch(ev)
+
+    days = sorted(r[0] for r in ev.select("day").distinct().collect())
+    cutoff_day = days[len(days) // 2]
+    now = days[-1]
+    keep = now - cutoff_day  # days >= cutoff_day survive untouched
+
+    before = {
+        (str(r["day"]),): r["event_cnt"]
+        for r in mv.merge_query(spark, ["day"], ["event_cnt"]).collect()
+    }
+    recent_files = {
+        d: sorted(_glob.glob(str(tmp_path / "state" / f"day={d}" / "*.parquet")))
+        for d in days
+        if d >= cutoff_day
+    }
+    rows_before = mv.storage.read(spark).count()
+
+    n = rollup_ttl(mv, spark, keep, ["day"], now=now)
+    assert n == len([d for d in days if d < cutoff_day])
+
+    # coarse (day-level) answers unchanged
+    after = {
+        (str(r["day"]),): r["event_cnt"]
+        for r in mv.merge_query(spark, ["day"], ["event_cnt"]).collect()
+    }
+    assert after == before
+    # old partitions shrank; recent ones byte-identical
+    assert mv.storage.read(spark).count() < rows_before
+    for d, files in recent_files.items():
+        assert sorted(
+            _glob.glob(str(tmp_path / "state" / f"day={d}" / "*.parquet"))
+        ) == files
+    # rolled-up rows carry NULL fine dims
+    old = mv.storage.read(spark).filter(F.col("day") < F.lit(cutoff_day))
+    assert old.filter(F.col("segment").isNotNull()).count() == 0
