@@ -413,7 +413,13 @@ def _key_tuple(expr: str) -> tuple[str, ...]:
 
 
 def _parse_ttl(expr: str) -> tuple[str | None, dt.timedelta]:
-    """``day + toIntervalDay(10) + toIntervalHour(4)`` → ('day', 10d4h)."""
+    """``day + toIntervalDay(10) + toIntervalHour(4)`` → ('day', 10d4h).
+    A trailing ``GROUP BY k… SET v = …`` (age-based rollup — ClickHouse
+    TTL GROUP BY) is recognized and stripped; execute it with
+    mv.engine.rollup_ttl(mv, spark, keep, coarse_dims)."""
+    gm = re.search(r"group\s+by", expr, re.I)
+    if gm:
+        expr = expr[: gm.start()]
     col = None
     delta = dt.timedelta()
     for part in expr.split("+"):
