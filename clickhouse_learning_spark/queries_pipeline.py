@@ -1229,3 +1229,31 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     vocab = vocab_top(docs, size=50)
     return oov_rate(docs, vocab).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "dedup_report",
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5({_NORM})) AS BIGINT) AS n_unique,
+           round(1.0 - count(DISTINCT md5({_NORM})) / count(*), 6)
+               AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup health report: per-source document counts, distinct
+    normalized-content fingerprints and duplicate rate — the monitoring
+    face of the exact-dedup family (the fingerprint is the same
+    md5-of-normalized-text identity exact_dedup keys on)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = X.content_fingerprint(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(fp).alias("n_unique"),
+        F.round(
+            1.0 - F.count_distinct(fp) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
