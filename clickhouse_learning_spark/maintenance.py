@@ -56,12 +56,17 @@ class Maintainer:
                 )
                 assert all(d >= cutoff for d in after), (mv.name, "TTL kept expired")
                 entry["ttl_partitions_kept"] = kept
-            # compaction: merged answers must be invariant
+            # compaction, PARTITION-SCOPED: only partitions whose file
+            # count exceeds the threshold are re-merged (the MergeTree
+            # "too many parts" trigger) — at 100 TB the sweep never
+            # rewrites already-merged history. Merged answers must be
+            # invariant.
             key_rows_before = (
                 mv.merge_states(mv.storage.read(spark), list(mv.dims)).count()
             )
             raw_before = mv.storage.read(spark).count()
-            mv.compact(spark)
+            need = mv.partitions_needing_compaction(spark, max_files=1)
+            mv.compact(spark, partitions=need)
             raw_after = mv.storage.read(spark).count()
             assert raw_after == key_rows_before, (
                 mv.name,
@@ -69,5 +74,6 @@ class Maintainer:
             )
             entry["state_rows_before"] = raw_before
             entry["state_rows_after"] = raw_after
+            entry["partitions_compacted"] = len(need)
             report[mv.name] = entry
         return report
