@@ -341,3 +341,29 @@ def replacing_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MP.replacing_read(t, spark, ["user_id"], "ts").select(
         "user_id", _F.col("ts").cast("timestamp").alias("ts"), "event_id"
     )
+
+
+@query(
+    "ch_totals_rollup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uv
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), ())
+    """,
+)
+def ch_totals_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``GROUP BY … WITH TOTALS`` through the dialect shim:
+    the NULL-keyed totals row comes from the GROUPING SETS rewrite; the
+    oracle states the GROUPING SETS form directly."""
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ch_tot_events")
+    ch = """
+        SELECT event_type, count(*) AS cnt, uniqExact(user_id) AS uv
+        FROM ch_tot_events
+        GROUP BY event_type WITH TOTALS
+    """
+    return spark.sql(translate(ch))
