@@ -367,3 +367,52 @@ def ch_totals_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type WITH TOTALS
     """
     return spark.sql(translate(ch))
+
+
+@query(
+    "ch_any_join_enrich",
+    """
+    WITH ords AS (
+      SELECT DISTINCT o_custkey AS c_custkey,
+             CASE WHEN o_custkey % 3 = 0 THEN '1-URGENT' ELSE 'other' END
+                 AS first_priority
+      FROM orders)
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN o.first_priority = '1-URGENT'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS urgent_first
+    FROM customer c JOIN ords o ON c.c_custkey = o.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def ch_any_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ANY INNER JOIN … USING`` through the dialect shim:
+    the right side (one row PER ORDER, many per customer) deduplicates
+    to first-match-per-key via the rewrite's row_number subquery. The
+    attribute is a deterministic function of the key, so ClickHouse's
+    arbitrary-survivor freedom cannot change the answer — the oracle
+    joins the DISTINCT (key, value) pairs directly."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("ch_aj_cust")
+    load_table(spark, sf_dir, "orders").select(
+        _F.col("o_custkey").alias("c_custkey"),
+        _F.when(_F.col("o_custkey") % 3 == 0, "1-URGENT")
+        .otherwise("other")
+        .alias("first_priority"),
+    ).createOrReplaceTempView("ch_aj_orders")
+    ch = """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               sumIf(1, first_priority = '1-URGENT') AS urgent_first
+        FROM ch_aj_cust ANY INNER JOIN ch_aj_orders USING (c_custkey)
+        GROUP BY c_mktsegment
+    """
+    return spark.sql(translate(ch)).select(
+        "c_mktsegment",
+        "n_customers",
+        _F.col("urgent_first").cast("long").alias("urgent_first"),
+    )
