@@ -173,3 +173,42 @@ def streaming_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv.merge_query(
         spark, ["day", "segment"], ["view_cnt", "click_cnt", "value_sum", "event_cnt"]
     )
+
+
+@query(
+    "hopping_window_uv",
+    """
+    WITH e AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS b
+      FROM events),
+    w AS (
+      SELECT user_id,
+             unnest([b - INTERVAL '30 minutes', b]) AS window_start
+      FROM e)
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uv
+    FROM w GROUP BY 1
+    """,
+)
+def hopping_window_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) 1-hour windows every 30 minutes: each event
+    contributes to exactly two windows — Spark's native
+    ``window(ts, '1 hour', '30 minutes')`` (the same operator the
+    streaming path uses) vs an oracle that derives both containing
+    window starts from the 30-minute bucket. Batch/streaming share this
+    exact plan shape; the tumbling variant is windowed_uv."""
+    from clickhouse_learning_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("uv"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "uv")
+    )
