@@ -767,6 +767,36 @@ class Deployment:
         return counts
 
 
+    def maintain(self, spark, now=None) -> dict[str, dict]:
+        """One maintenance sweep straight from the DDL: every deployed
+        table with a declared TTL drops its expired partitions
+        (metadata-only when the TTL column is the partition column —
+        the reference's layout), then multi-file partitions coalesce.
+        Returns a per-table report. The MV-state analog with
+        re-merging lives in maintenance.Maintainer; this is the
+        raw/dim-table sweep."""
+        report: dict[str, dict] = {}
+        for name, spec in self.specs.items():
+            if spec.distributed_over:
+                continue
+            table = self.tables[name]
+            entry: dict = {}
+            if spec.ttl is not None:
+                col = spec.ttl_column or (
+                    spec.partition_by[0] if spec.partition_by else "day"
+                )
+                entry["ttl_partitions_kept"] = table.apply_ttl(
+                    spark, keep=spec.ttl, now=now, day_col=col
+                )
+            if spec.partition_by:
+                stats = table.stats(spark).filter(F.col("files") > 1)
+                n = stats.count()
+                if n:
+                    table.compact(spark)
+                entry["partitions_coalesced"] = n
+            report[name] = entry
+        return report
+
     def final_read(self, spark, name: str) -> DataFrame:
         """``SELECT … FROM t FINAL`` semantics for a deployed table:
         engine-appropriate merge-on-read — ReplacingMergeTree(ver)

@@ -601,3 +601,36 @@ def test_parametric_aggregate_state_types():
         assert _map_type(ch).simpleString() == want, ch
     with pytest.raises(ValueError, match="unmapped aggregate"):
         _map_type("AggregateFunction(mannWhitneyUTest, Float64)")
+
+
+def test_deployment_maintain_runs_declared_ttl(spark, tmp_path):
+    """Deployment.maintain executes the DDL's own TTL (metadata-only
+    partition drops) and coalesces multi-file partitions."""
+    import datetime as dt
+
+    script = """
+    CREATE TABLE test.logline (
+        day Date,
+        uid UInt64,
+        v Int64
+    ) ENGINE = MergeTree()
+    PARTITION BY day
+    ORDER BY uid
+    TTL day + toIntervalDay(7)
+    """
+    dep = ddl.deploy(spark, script, str(tmp_path))
+    dep.execute(
+        spark,
+        "INSERT INTO test.logline VALUES "
+        "('2024-01-01', 1, 10), ('2024-01-02', 2, 20), ('2024-01-20', 3, 30)",
+    )
+    dep.execute(spark, "INSERT INTO test.logline VALUES ('2024-01-20', 4, 40)")
+
+    report = dep.maintain(spark, now=dt.date(2024, 1, 25))
+    entry = report["test.logline"]
+    assert entry["ttl_partitions_kept"] == 1  # only 2024-01-20 survives
+    got = sorted(r.uid for r in dep.tables["test.logline"].read(spark).collect())
+    assert got == [3, 4]
+    # second sweep: nothing left to do
+    report2 = dep.maintain(spark, now=dt.date(2024, 1, 25))
+    assert report2["test.logline"]["partitions_coalesced"] == 0
