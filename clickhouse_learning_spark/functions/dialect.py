@@ -610,6 +610,7 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     )
 
     # -- exact median -------------------------------------------------------
+    m["median"] = lambda a: f"percentile({_one(a, 'median')}, 0.5)"
     m["medianExact"] = lambda a: _median_exact_sql(
         f"collect_list({_one(a, 'medianExact')})"
     )
@@ -682,6 +683,18 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         f"CAST(count({a[0]}) AS INT)))"
     ),
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    # plural exact form: one exact-index pick per level (same rule as
+    # quantileExact), returned as an array
+    "quantilesExact": lambda p, a: (
+        "array("
+        + ", ".join(
+            f"element_at(array_sort(collect_list({a[0]})), "
+            f"least(CAST(floor(({lv}) * count({a[0]})) AS INT) + 1, "
+            f"CAST(count({a[0]}) AS INT)))"
+            for lv in p
+        )
+        + ")"
+    ),
     # uniqCombined(K)(x): per-call HLL precision — approx_count_distinct
     # takes a relative-error target instead (rsd ≈ 1.04/√2^K), and
     # Spark requires it as a plain double literal, so K must be literal
