@@ -178,6 +178,20 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         # CH position(haystack, needle); Spark instr(str, substr) — both 1-based
         lambda h, n: f"instr({h}, {n})"
     )(*_two(a, "position"))
+    # math conveniences
+    m["exp2"] = lambda a: f"pow(2, {_one(a, 'exp2')})"
+    m["exp10"] = lambda a: f"pow(10, {_one(a, 'exp10')})"
+    m["intExp2"] = lambda a: (
+        f"shiftleft(CAST(1 AS BIGINT), {_one(a, 'intExp2')})"
+    )
+    m["intExp10"] = lambda a: (
+        f"CAST(pow(10, {_one(a, 'intExp10')}) AS BIGINT)"
+    )
+    m["toYYYYMMDDhhmmss"] = lambda a: (
+        f"CAST(date_format({_one(a, 'toYYYYMMDDhhmmss')}, "
+        f"'yyyyMMddHHmmss') AS BIGINT)"
+    )
+
     # bitwise function forms → operators
     m["bitAnd"] = lambda a: (lambda x, y: f"({x} & {y})")(*_two(a, "bitAnd"))
     m["bitOr"] = lambda a: (lambda x, y: f"({x} | {y})")(*_two(a, "bitOr"))
