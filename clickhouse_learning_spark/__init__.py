@@ -44,8 +44,24 @@ def __getattr__(name):
         from clickhouse_learning_spark.functions.dialect import translate
 
         return translate
+    if name == "deploy":
+        from clickhouse_learning_spark.ddl import deploy
+
+        return deploy
+    if name == "run_clickhouse":
+        from clickhouse_learning_spark.mv.sql_rewrite import run_clickhouse
+
+        return run_clickhouse
     raise AttributeError(name)
 
 
-__all__ = ["get_spark", "MetricSpec", "MaterializedView", "Table", "translate"]
-__version__ = "0.2.0"
+__all__ = [
+    "get_spark",
+    "MetricSpec",
+    "MaterializedView",
+    "Table",
+    "translate",
+    "deploy",
+    "run_clickhouse",
+]
+__version__ = "0.3.0"
