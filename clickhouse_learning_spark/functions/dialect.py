@@ -178,6 +178,28 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         # CH position(haystack, needle); Spark instr(str, substr) — both 1-based
         lambda h, n: f"instr({h}, {n})"
     )(*_two(a, "position"))
+    # ClickHouse transform(x, [from…], [to…][, default]): value
+    # remapping via a broadcastable literal map. (No clash with Spark's
+    # transform HOF: ClickHouse input always has 3-4 args; the 2-arg
+    # lambda form passes through untouched for mixed sources.)
+    def _ch_transform(a):
+        if len(a) == 2:
+            return f"transform({a[0]}, {a[1]})"
+        if len(a) == 3:
+            # missing key keeps the ORIGINAL value (ClickHouse rule)
+            return (
+                f"coalesce(element_at(map_from_arrays({a[1]}, {a[2]}), "
+                f"{a[0]}), {a[0]})"
+            )
+        if len(a) == 4:
+            return (
+                f"coalesce(element_at(map_from_arrays({a[1]}, {a[2]}), "
+                f"{a[0]}), {a[3]})"
+            )
+        raise ValueError("transform expects (x, from, to[, default])")
+
+    m["transform"] = _ch_transform
+
     # math conveniences
     m["exp2"] = lambda a: f"pow(2, {_one(a, 'exp2')})"
     m["exp10"] = lambda a: f"pow(10, {_one(a, 'exp10')})"
