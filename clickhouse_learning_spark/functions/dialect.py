@@ -571,6 +571,12 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["skewPop"] = lambda a: f"skewness({_one(a, 'skewPop')})"
     m["kurtPop"] = lambda a: f"kurtosis({_one(a, 'kurtPop')})"
     m["anyHeavy"] = lambda a: f"mode({_one(a, 'anyHeavy')})"
+    m["sumCount"] = lambda a: (
+        lambda x: f"named_struct('col1', sum({x}), 'col2', count({x}))"
+    )(_one(a, "sumCount"))
+    m["avgWeighted"] = lambda a: (
+        lambda x, w: f"(sum(({x}) * ({w})) / sum({w}))"
+    )(*_two(a, "avgWeighted"))
     # simpleLinearRegression(x, y) → (slope, intercept) tuple; Spark's
     # regr_* take (y, x) order
     m["simpleLinearRegression"] = lambda a: (
