@@ -919,3 +919,31 @@ def test_translate_dict_get_or_default(spark, star_views):
         )
     ).collect()[0]
     assert r.g == "n/a"
+
+
+def test_translate_misc_late_additions(spark):
+    """Regression net for the mappings added late in round 2:
+    quantilesExact plural, median alias, exp2/intExp2/intExp10,
+    toYYYYMMDDhhmmss, ClickHouse transform() value remapping,
+    sumCount, avgWeighted, parameterized uniqCombined fallback."""
+    spark.range(10).selectExpr(
+        "CAST(id AS BIGINT) AS v", "CAST(id % 3 + 1 AS DOUBLE) AS w"
+    ).createOrReplaceTempView("ch_misc")
+    r = spark.sql(
+        "SELECT "
+        + translate("quantilesExact(0.5, 0.9)(v)") + " AS qx, "
+        + translate("median(v)") + " AS med, "
+        + translate("intExp2(10)") + " AS e2, "
+        + translate("intExp10(6)") + " AS e10, "
+        + translate("toYYYYMMDDhhmmss(toDateTime('2024-03-07 13:45:06'))") + " AS ymd, "
+        + translate("transform('b', ['a','b'], ['A','B'], '?')") + " AS tr, "
+        + translate("transform('z', ['a','b'], ['A','B'])") + " AS trk, "
+        + translate("sumCount(v)") + " AS sc, "
+        + translate("avgWeighted(v, w)") + " AS aw "
+        "FROM ch_misc"
+    ).collect()[0]
+    assert r.qx == [5, 9] and r.med == 4.5
+    assert (r.e2, r.e10, r.ymd) == (1024, 1000000, 20240307134506)
+    assert (r.tr, r.trk) == ("B", "z")
+    assert r.sc.col1 == 45 and r.sc.col2 == 10
+    assert abs(r.aw - 87 / 19) < 1e-9
