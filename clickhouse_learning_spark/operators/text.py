@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # word-token pattern; identical semantics in Java regex (Spark) and RE2
 # (DuckDB) — no lookarounds, no unicode classes.
@@ -193,16 +192,14 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
 def vocab_top(df: DataFrame, text_col: str = "text", size: int = 1000) -> DataFrame:
     """Corpus vocabulary: the ``size`` most frequent tokens (ties break
     alphabetically so the vocab is deterministic across engines and
-    cluster layouts). One token-count shuffle; the rank/limit runs over
-    the (small) distinct-token set, not the corpus."""
+    cluster layouts). One token-count shuffle; the rank/limit is an
+    ``orderBy().limit()`` which Spark plans as TakeOrderedAndProject —
+    each partition keeps only its local top-``size``, so the distinct
+    token set (O(billions) at web scale: typos, URLs, hashes) is never
+    funneled through a single-partition window sort."""
     tok = df.select(F.explode(tokens(F.col(text_col))).alias("t"))
     counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.col("c").desc(), F.col("t"))
-    return (
-        counts.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= size)
-        .select("t", "c")
-    )
+    return counts.orderBy(F.col("c").desc(), F.col("t")).limit(size).select("t", "c")
 
 
 def oov_rate(

@@ -496,39 +496,76 @@ def shipmode_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS frequency,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                  AS monetary_cents,
-             max(CAST(o_orderdate AS DATE)) AS last_order
+             date_diff('day', DATE '1970-01-01', max(CAST(o_orderdate AS DATE)))
+                 AS last_day
       FROM orders GROUP BY o_custkey),
+    bounds AS (
+      SELECT
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY last_day)       AS r1,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY last_day)       AS r2,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY last_day)       AS r3,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency)      AS f1,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY frequency)      AS f2,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency)      AS f3,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary_cents) AS m1,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY monetary_cents) AS m2,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary_cents) AS m3
+      FROM per_cust),
     scored AS (
-      SELECT o_custkey,
-             ntile(4) OVER (ORDER BY last_order, o_custkey)     AS r,
-             ntile(4) OVER (ORDER BY frequency, o_custkey)      AS f,
-             ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS m
-      FROM per_cust)
+      SELECT 1 + CAST(last_day > r1 AS INT) + CAST(last_day > r2 AS INT)
+               + CAST(last_day > r3 AS INT) AS r,
+             1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+               + CAST(frequency > f3 AS INT) AS f,
+             1 + CAST(monetary_cents > m1 AS INT) + CAST(monetary_cents > m2 AS INT)
+               + CAST(monetary_cents > m3 AS INT) AS m
+      FROM per_cust CROSS JOIN bounds)
     SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers
     FROM scored GROUP BY r, f, m
     """,
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: quartile scores for recency/frequency/monetary
-    per customer (ntile over deterministic (metric, custkey) order —
-    both engines distribute remainder rows to the first groups, so the
-    bucket boundaries agree exactly), then segment population counts.
-    Scale: one orders aggregation; the three window sorts run over the
-    customer-level rollup, not the fact table."""
-    from pyspark.sql.window import Window as W
-
+    per customer via exact ``percentile_disc`` boundaries (SQL-standard
+    discrete percentile — both engines pick the smallest value whose
+    cume_dist >= p, so the boundaries agree exactly on integer metrics)
+    and comparison-based score assignment, then segment population
+    counts. Scale: one orders aggregation, one 9-value boundary
+    aggregate (a single reduce — no global window sort; the earlier
+    ``ntile`` form moved the whole customer rollup to one partition
+    three times), and a 1-row broadcast join for scoring. Rows at a
+    boundary score into the lower bucket — deterministic under ties.
+    At extreme cardinality swap ``percentile_disc`` for
+    ``approx_percentile`` with a documented tolerance; the shape is
+    otherwise unchanged."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "monetary_cents"
         ),
-        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.datediff(
+            F.max(F.to_date("o_orderdate")), F.lit("1970-01-01").cast("date")
+        ).alias("last_day"),
     )
-    scored = per_cust.select(
-        F.ntile(4).over(W.orderBy("last_order", "o_custkey")).alias("r"),
-        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f"),
-        F.ntile(4).over(W.orderBy("monetary_cents", "o_custkey")).alias("m"),
+    metrics = {"last_day": "r", "frequency": "f", "monetary_cents": "m"}
+    bounds = per_cust.agg(
+        *[
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY {c})").alias(
+                f"{pre}{i}"
+            )
+            for c, pre in metrics.items()
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def score(col: str, pre: str):
+        s = F.lit(1)
+        for i in (1, 2, 3):
+            s = s + (F.col(col) > F.col(f"{pre}{i}")).cast("int")
+        return s.alias(pre)
+
+    scored = per_cust.crossJoin(F.broadcast(bounds)).select(
+        *[score(c, pre) for c, pre in metrics.items()]
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers")

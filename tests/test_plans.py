@@ -231,6 +231,34 @@ def test_quantized_ivf_probe_prunes_partitions(spark, tmp_path):
     assert pf and "cell" in pf[0], plan[:2000]
 
 
+def test_rfm_segments_has_no_global_window(spark):
+    """rfm_segments (round-3 rewrite): quartile scoring must carry NO
+    window operator at all — the ntile form moved the whole customer
+    rollup to a single partition three times. The plan is two
+    HashAggregate pairs (per-customer rollup, 9-value percentile
+    boundary reduce) plus a 1-row broadcast join for score assignment."""
+    import clickhouse_learning_spark.queries_tpch  # noqa: F401
+
+    p = plan_text(QUERIES["rfm_segments"](spark, SF_SMOKE))
+    assert "Window" not in p, p[:3000]
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_vocab_top_is_take_ordered(spark):
+    """vocab_top (round-3 rewrite): the top-``size`` vocabulary cut must
+    compile to TakeOrderedAndProject (per-partition top-k over the
+    distinct-token counts), never a single-partition row_number window —
+    distinct tokens at web scale are O(billions)."""
+    from clickhouse_learning_spark.operators.text import vocab_top
+    from clickhouse_learning_spark.schemas import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    p = plan_text(vocab_top(docs, size=100))
+    assert "TakeOrderedAndProject" in p, p[:3000]
+    assert "Window" not in p
+
+
 def test_small_quantity_revenue_plan(spark):
     """Q17 decorrelation shape: the per-part pre-aggregation and its
     join back to lineitem both key on l_partkey (co-partitioned — no
