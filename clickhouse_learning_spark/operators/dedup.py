@@ -26,6 +26,8 @@ is bounded by bucket size (tunable via bands/rows and hyperplane count).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -673,76 +675,95 @@ def embedding_blocked_pairs(
     thresholds (≥ 0.85), where its per-table collision for non-dups is
     rare and candidates stay sub-quadratic.
 
-    Tiling: the "b" side is broadcast one bounded chunk at a time
-    (boundaries from approxQuantile over ids), each compared by
-    executors against the partitioned "a" side (rows with id < chunk
-    max) via one float64 BLAS matmul per Arrow batch. Driver memory is
-    O(chunk_rows · dim); compute is fully distributed; total work is the
-    inherent n²/2. With the default chunk_rows the fixture runs as one
-    tile — identical plan shape either way (asserted by the multi-chunk
-    equality test)."""
+    Tiling (round-3 form — fully executor-side, zero driver staging):
+    rows are assigned to C id-range tiles (boundaries from one
+    approxQuantile call — the only metadata that touches the driver);
+    each row is replicated to the C triangle tasks (i,j), i ≤ j, its
+    tile participates in, and ``groupBy(task).applyInPandas`` computes
+    one float64 BLAS matmul per tile pair. Because tiles are disjoint
+    ascending id ranges, a cross task (i<j) emits every (a∈i, b∈j)
+    pair with no id comparison needed, and the diagonal task emits the
+    within-tile upper triangle — each qualifying pair exactly once.
+    Shuffle volume is C·corpus (identical to the C broadcasts of the
+    old form, minus the C driver round-trips); per-task memory is at
+    most two tiles (2 · chunk_rows · dim · 8 B — size chunk_rows to the
+    executor heap); parallelism is C(C+1)/2 tasks, with a floor on C so
+    small inputs still fan out across the cluster. Total work is the
+    inherent n²/2."""
     import numpy as np
     import pandas as pd
 
     sdf = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("v"))
     n = sdf.count()
-    n_chunks = max(1, -(-n // chunk_rows))
-    if n_chunks == 1:
-        bounds = [float("-inf"), float("inf")]
-    else:
-        probs = [i / n_chunks for i in range(1, n_chunks)]
-        cuts = sdf.stat.approxQuantile("id", probs, 0.001)
-        bounds = [float("-inf"), *cuts, float("inf")]
-
-    spark = df.sparkSession
-    outs = []
-    for lo, hi in zip(bounds, bounds[1:]):
-        cond = F.col("id") > F.lit(lo) if lo != float("-inf") else F.lit(True)
-        if hi != float("inf"):
-            cond = cond & (F.col("id") <= F.lit(hi))
-        chunk = sdf.filter(cond).toPandas()
-        if chunk.empty:
-            continue
-        c_ids = chunk["id"].to_numpy(dtype=np.int64)
-        c_mat = np.array(list(chunk["v"]), dtype=np.float64)
-        c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
-        b_ids = spark.sparkContext.broadcast(c_ids)
-        b_mat = spark.sparkContext.broadcast(c_mat)
-        b_norm = spark.sparkContext.broadcast(c_norm)
-        hi_id = int(c_ids.max())
-
-        def block(batches, _ids=b_ids, _mat=b_mat, _norm=b_norm):
-            m, nn, idv = _mat.value, _norm.value, _ids.value
-            for pdf in batches:
-                q = np.array(list(pdf["v"]), dtype=np.float64)
-                if len(q) == 0:
-                    continue
-                qn = np.sqrt((q * q).sum(axis=1))
-                sims = (q @ m.T) / (qn[:, None] * nn[None, :])
-                qids = pdf["id"].to_numpy()
-                out_a, out_b, out_s = [], [], []
-                for r in range(sims.shape[0]):
-                    mask = (sims[r] >= threshold) & (idv > qids[r])
-                    k = int(mask.sum())
-                    if k:
-                        out_a.extend([qids[r]] * k)
-                        out_b.extend(idv[mask])
-                        out_s.extend(sims[r][mask])
-                yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
-
-        left = sdf.filter(F.col("id") < F.lit(hi_id))
-        outs.append(
-            left.mapInPandas(block, schema="id_a long, id_b long, cos_sim double")
-        )
-    if not outs:
+    if n == 0:
         return sdf.limit(0).select(
             F.col("id").alias("id_a"),
             F.col("id").alias("id_b"),
             F.lit(0.0).alias("cos_sim"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
+    # parallelism floor: C(C+1)/2 tasks should cover the cluster even
+    # when the corpus fits one tile (old single-tile form would have
+    # parallelized over Arrow batches; triangle tasks replace that)
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    floor_c = max(1, math.isqrt(2 * par))
+    n_chunks = max(-(-n // chunk_rows), min(floor_c, n))
+    if n_chunks > 1:
+        probs = [i / n_chunks for i in range(1, n_chunks)]
+        cuts = sorted(set(sdf.stat.approxQuantile("id", probs, 0.001)))
+    else:
+        cuts = []
+    C = len(cuts) + 1
+
+    tile = F.lit(0)
+    for c in cuts:
+        tile = tile + (F.col("id") > F.lit(c)).cast("int")
+    tasks = sdf.withColumn("tile", tile).withColumn(
+        "task",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {C - 1}), "
+                f"u -> least(tile, u) * {C} + greatest(tile, u))"
+            )
+        ),
+    )
+
+    def compute(key, pdf):
+        i, j = divmod(int(key[0]), C)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        if i == j:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            if len(ids) < 2:
+                return empty
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            sims = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
+            mask = (sims >= threshold) & (ids[None, :] > ids[:, None])
+        else:
+            a = pdf[pdf["tile"] == i]
+            b = pdf[pdf["tile"] == j]
+            if a.empty or b.empty:
+                return empty
+            ids_a = a["id"].to_numpy(dtype=np.int64)
+            ids_b = b["id"].to_numpy(dtype=np.int64)
+            ma = np.array(list(a["v"]), dtype=np.float64)
+            mb = np.array(list(b["v"]), dtype=np.float64)
+            na = np.sqrt((ma * ma).sum(axis=1))
+            nb = np.sqrt((mb * mb).sum(axis=1))
+            sims = (ma @ mb.T) / (na[:, None] * nb[None, :])
+            mask = sims >= threshold
+            ids, ids_cols = ids_a, ids_b
+        rows, cols = np.nonzero(mask)
+        if i == j:
+            return pd.DataFrame(
+                {"id_a": ids[rows], "id_b": ids[cols], "cos_sim": sims[rows, cols]}
+            )
+        return pd.DataFrame(
+            {"id_a": ids[rows], "id_b": ids_cols[cols], "cos_sim": sims[rows, cols]}
+        )
+
+    out = tasks.groupBy("task").applyInPandas(
+        compute, schema="id_a long, id_b long, cos_sim double"
+    )
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
