@@ -740,30 +740,45 @@ class Deployment:
         self.tables[source].append(full)
         counts = {source: full.count()} if count else {}
 
-        view = "__ch_ingest_batch"
-        full.createOrReplaceTempView(view)
         # inside foreachBatch the batch belongs to the micro-batch
         # session — resolve the view through ITS session, not the outer
         spark = full.sparkSession
-        for mv in self.mvs:
-            mv_src = self._resolve(_from_table(mv.select_ch))
-            if mv_src != source:
-                continue
-            sql = mv.select_spark or mv.spark_sql(self.dictionaries)
-            # the MV SELECT names the source table; point it at the batch
-            sql = re.sub(
-                rf"\bfrom\s+{re.escape(_from_table(mv.select_ch))}\b",
-                f"FROM {view}",
-                sql,
-                flags=re.I,
-            )
-            states = spark.sql(sql)
-            if mv.columns:
-                states = states.toDF(*mv.columns)
-            target = self._resolve(mv.target)
-            self.tables[target].append(states)
-            if count:
-                counts[target] = counts.get(target, 0) + states.count()
+        # ClickHouse cascades chained MVs: an MV reading another MV's
+        # target fires on that target's inserts (ADVICE r2). Walk the
+        # insert graph breadth-first; ``fired`` stops MV cycles (each MV
+        # fires at most once per ingest, matching CH's per-insert-block
+        # trigger).
+        pending = [(source, full)]
+        fired: set[int] = set()
+        depth = 0
+        while pending:
+            tbl, tbl_batch = pending.pop(0)
+            view = f"__ch_ingest_batch_{depth}"
+            depth += 1
+            tbl_batch.createOrReplaceTempView(view)
+            for i, mv in enumerate(self.mvs):
+                if i in fired:
+                    continue
+                mv_src = self._resolve(_from_table(mv.select_ch))
+                if mv_src != tbl:
+                    continue
+                fired.add(i)
+                sql = mv.select_spark or mv.spark_sql(self.dictionaries)
+                # the MV SELECT names its source table; point it at the batch
+                sql = re.sub(
+                    rf"\bfrom\s+{re.escape(_from_table(mv.select_ch))}\b",
+                    f"FROM {view}",
+                    sql,
+                    flags=re.I,
+                )
+                states = spark.sql(sql)
+                if mv.columns:
+                    states = states.toDF(*mv.columns)
+                target = self._resolve(mv.target)
+                self.tables[target].append(states)
+                if count:
+                    counts[target] = counts.get(target, 0) + states.count()
+                pending.append((target, states))
         return counts
 
 
@@ -812,6 +827,11 @@ class Deployment:
         keys = list(spec.order_by or spec.primary_key)
         if spec.replacing_version:
             return MP.replacing_read(table, spark, keys, spec.replacing_version)
+        if spec.engine and re.search(r"ReplacingMergeTree", spec.engine, re.I):
+            # versionless ReplacingMergeTree(): FINAL must still collapse
+            # to one row per sort key — deterministic-survivor rule with
+            # no version column (ADVICE r2)
+            return MP.replacing_read(table, spark, keys, None)
         if spec.engine and re.search(r"SummingMergeTree", spec.engine, re.I):
             num = {
                 c.name

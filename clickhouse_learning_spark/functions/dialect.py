@@ -122,7 +122,7 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # date/time parts and arithmetic (direct Spark equivalents)
     for _ch, _sp in (
         ("toYear", "year"), ("toMonth", "month"), ("toQuarter", "quarter"),
-        ("toDayOfYear", "dayofyear"), ("toWeek", "weekofyear"),
+        ("toDayOfYear", "dayofyear"),
         ("toISOWeek", "weekofyear"), ("toSecond", "second"),
         ("toUnixTimestamp", "unix_timestamp"),
         ("fromUnixTimestamp", "from_unixtime"),
@@ -130,6 +130,19 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     ):
         if _sp is not None:
             m[_ch] = (lambda sp, ch: lambda a: f"{sp}({_one(a, ch)})")(_sp, _ch)
+    m["toWeek"] = lambda a: (
+        # CH toWeek defaults to mode 0 (MySQL WEEK(d, 0)): Sunday-start
+        # weeks numbered 0–53, week 1 = the first week containing a
+        # Sunday — NOT ISO weekofyear. week = ⌊(doy − fsd + 7) / 7⌋
+        # where fsd = day-of-year of the year's first Sunday
+        # ((8 − dow(Jan 1)) % 7 + 1 with Spark's Sunday=1 dayofweek).
+        # Other modes aren't translated; toISOWeek covers mode 3's
+        # numbering.
+        lambda x: (
+            f"CAST(floor((dayofyear({x}) - "
+            f"((8 - dayofweek(trunc({x}, 'YEAR'))) % 7 + 1) + 7) / 7) AS INT)"
+        )
+    )(_one(a, "toWeek"))
     m["toStartOfQuarter"] = lambda a: (
         f"to_date(date_trunc('QUARTER', {_one(a, 'toStartOfQuarter')}))"
     )
@@ -149,10 +162,18 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         lambda d, n: f"({d} + make_interval(0, 0, 0, 0, {n}))"
     )(*_two(a, "addHours"))
     m["dateDiff"] = lambda a: (
-        # dateDiff('unit', start, end) → timestampdiff(UNIT, start, end)
+        # CH dateDiff counts unit-BOUNDARY crossings, not complete
+        # elapsed units — dateDiff('day', '…23:59', next-day '…00:01')
+        # is 1 in CH but 0 via bare timestampdiff. Truncating both
+        # operands to the unit first makes timestampdiff count exactly
+        # the boundary crossings (date_trunc('WEEK') is Monday-start,
+        # matching CH's week boundaries).
         lambda unit, s, e: (
-            f"timestampdiff({unit.strip(chr(39)).upper()}, {s}, {e})"
-        )
+            lambda u: (
+                f"timestampdiff({u}, date_trunc('{u}', {s}), "
+                f"date_trunc('{u}', {e}))"
+            )
+        )(unit.strip(chr(39)).upper())
     )(*(a if len(a) == 3 else (_ for _ in ()).throw(
         ValueError("dateDiff expects (unit, start, end)")
     )))
@@ -449,19 +470,26 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     )
     m["arrayDifference"] = lambda a: (
         # [a1, a2-a1, a3-a2, …]: element-wise diff against the
-        # 1-shifted array (first element pairs with itself → 0)
+        # 1-shifted array (first element pairs with itself → 0).
+        # Empty-array guard: CH returns [] but slice(x, 1, -1) /
+        # element_at(x, 1) error in Spark — short-circuit to x itself
+        # (already the right empty array of the right type).
         lambda x: (
+            f"CASE WHEN size({x}) = 0 THEN {x} ELSE "
             f"zip_with({x}, concat(array(element_at({x}, 1)), "
-            f"slice({x}, 1, size({x}) - 1)), (a, b) -> a - b)"
+            f"slice({x}, 1, size({x}) - 1)), (a, b) -> a - b) END"
         )
     )(_one(a, "arrayDifference"))
     m["arrayCumSum"] = lambda a: (
         # O(n²) prefix sums — fine for the result-side arrays this is
-        # used on; a column-scale scan belongs in a window, not a HOF
+        # used on; a column-scale scan belongs in a window, not a HOF.
+        # Empty-array guard as in arrayDifference (sequence(1, 0) would
+        # otherwise build a descending range, not []).
         lambda x: (
-            f"transform(sequence(1, size({x})), i -> "
+            f"CASE WHEN size({x}) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+            f"ELSE transform(sequence(1, size({x})), i -> "
             f"aggregate(slice({x}, 1, i), CAST(0 AS BIGINT), "
-            f"(acc, v) -> acc + v))"
+            f"(acc, v) -> acc + v)) END"
         )
     )(_one(a, "arrayCumSum"))
     # NOTE: no m["range"] mapping — numbers(N) rewrites to Spark's
@@ -510,6 +538,8 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["sumIf"] = lambda a: (
         lambda x, c: f"coalesce(sum(CASE WHEN {c} THEN {x} END), 0)"
     )(*_two(a, "sumIf"))
+    # CH allows bare count(); Spark requires an argument
+    m["count"] = lambda a: f"count({', '.join(a) or '*'})"
     m["countIf"] = lambda a: f"count(CASE WHEN {_one(a, 'countIf')} THEN 1 END)"
     m["sumState"] = lambda a: f"sum({_one(a, 'sumState')})"
     m["sumSimpleState"] = lambda a: f"sum({_one(a, 'sumSimpleState')})"
@@ -1272,8 +1302,9 @@ def _rewrite_joins(sql: str) -> str:
     - ``SEMI LEFT JOIN`` / ``ANTI LEFT JOIN`` → Spark's ``LEFT SEMI`` /
       ``LEFT ANTI``; the RIGHT-side forms need the inputs swapped and
       raise.
-    - ``ASOF JOIN`` → raises pointing at operators/asof.py (ordered
-      carry, reference-free of the inequality blowup).
+    - ``ASOF [LEFT] JOIN … ON`` → intervalized-right-side equi-join
+      (_rewrite_asof_join); unsupported shapes raise pointing at
+      operators/asof.py (ordered carry, free of the inequality blowup).
     - ``ANY [INNER|LEFT] JOIN t USING (k…)`` — first-match-per-key:
       the right side is deduplicated per key via a row_number()
       subquery, then joined normally. The ON form (no USING) would
@@ -1283,11 +1314,6 @@ def _rewrite_joins(sql: str) -> str:
     """
 
     def seg(s: str) -> str:
-        if _ASOF_JOIN_RE.search(s):
-            raise ValueError(
-                "ASOF JOIN maps to operators.asof.asof_join (union + ordered "
-                "carry — one shuffle, no inequality join blowup)"
-            )
         if _RIGHT_SEMI_ANTI_RE.search(s):
             raise ValueError(
                 "SEMI/ANTI RIGHT JOIN: Spark only has the LEFT forms — swap "
@@ -1298,6 +1324,7 @@ def _rewrite_joins(sql: str) -> str:
         s = _SEMI_ANTI_RE.sub(lambda m: f"LEFT {m.group(1).upper()} JOIN", s)
         return s
 
+    sql = _rewrite_asof_join(sql)
     sql = _map_outside_strings(sql, seg)
     sql = _rewrite_any_join(sql)
     # SETTINGS is statement-level (always trailing) — depth-0 only
@@ -1379,6 +1406,204 @@ def _rewrite_any_join(sql: str) -> str:
             sql[: m.start()]
             + f"{jt} {dedup}{alias_sql} USING ({keys})"
             + sql[uclose + 1 :]
+        )
+
+
+_ASOF_HEAD_RE = re.compile(r"\basof\s+(left\s+)?join\b", re.I)
+_ASOF_STOP_RE = re.compile(
+    r"(?:\b(?:where|group|order|having|limit|union|settings|format|window|"
+    r"qualify|inner|left|right|full|cross|join|asof|any|all|semi|anti|"
+    r"global)\b|;)",
+    re.I,
+)
+_QCOL_RE = re.compile(r"^([A-Za-z_][\w.]*)\.([A-Za-z_]\w*)$")
+_EQ_COND_RE = re.compile(
+    r"^([A-Za-z_][\w.]*)\s*=\s*([A-Za-z_][\w.]*)$"
+)
+_INEQ_COND_RE = re.compile(
+    r"^([A-Za-z_][\w.]*)\s*(>=|<=|>|<)\s*([A-Za-z_][\w.]*)$"
+)
+
+
+def _string_mask(sql: str) -> str:
+    """Copy of ``sql`` with string-literal interiors blanked (parens
+    kept) so keyword regexes can't match inside literals."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] in "'\"":
+            j = _skip_string(sql, i)
+            out.append(" " * (j - i))
+            i = j
+        else:
+            out.append(sql[i])
+            i += 1
+    return "".join(out)
+
+
+def _asof_err(reason: str) -> ValueError:
+    return ValueError(
+        f"ASOF JOIN: {reason}. The translatable form is "
+        "`ASOF [LEFT] JOIN t [alias] ON l.k = t.k [AND …] AND l.ts >= t.ts` "
+        "(qualified simple columns, one inequality). For other shapes use "
+        "operators.asof.asof_join (union + ordered carry — one shuffle, no "
+        "inequality-join blowup)"
+    )
+
+
+def _rewrite_asof_join(sql: str) -> str:
+    """CH ``ASOF [LEFT] JOIN b ON a.k = b.k AND a.ts >= b.ts`` → the
+    intervalized-right-side rewrite: each right row covers the half-open
+    span from its timestamp to the key's next timestamp
+    (``lead() OVER (PARTITION BY key ORDER BY ts)``), so each left row
+    matches AT MOST ONE right row and the join becomes a plain
+    [LEFT] equi-join on the key with two range residuals — the textual
+    equivalent of ``operators.asof.asof_join``. All four inequality
+    directions translate (>=, > backward; <=, < forward). The join
+    still enumerates same-key candidate pairs before the residual
+    filter, so for hot keys at scale prefer the operator's union +
+    ordered-carry form; results are identical. Right-side timestamp
+    ties yield exactly one (arbitrary) survivor — pre-dedup for a
+    specific tie-break, as with the operator. USING-form / expression
+    operands raise with a pointer."""
+    while True:
+        smask = _string_mask(sql)
+        m = _ASOF_HEAD_RE.search(smask)
+        if not m:
+            return sql
+        is_left = bool(m.group(1))
+        n = len(sql)
+        pos = m.end()
+        while pos < n and sql[pos].isspace():
+            pos += 1
+        if pos < n and sql[pos] == "(":
+            rend = _matching_paren(sql, pos) + 1
+        else:
+            rm = re.match(r"[A-Za-z_][\w.]*", sql[pos:])
+            if not rm:
+                raise _asof_err("expected a table reference after JOIN")
+            rend = pos + rm.end()
+        ref = sql[pos:rend]
+        k = rend
+        while k < n and sql[k].isspace():
+            k += 1
+        alias = None
+        am = re.match(r"(?:AS\s+)?([A-Za-z_]\w*)", sql[k:], re.I)
+        if am and am.group(1).upper() not in ("ON", "USING"):
+            alias = am.group(1)
+            k += am.end()
+            while k < n and sql[k].isspace():
+                k += 1
+        om = re.match(r"ON\b", smask[k:], re.I)
+        if not om:
+            raise _asof_err(
+                "USING form (or missing ON) — the last USING column's "
+                "implicit >= can't be rewritten without the key split; "
+                "spell the condition out with ON"
+            )
+        cond_start = k + om.end()
+        # condition span: scan to the next top-level clause boundary
+        i, depth = cond_start, 0
+        while i < n:
+            ch = smask[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    break
+            elif depth == 0 and (ch.isalpha() or ch == ";"):
+                if (i == 0 or not (smask[i - 1].isalnum() or smask[i - 1] == "_")) \
+                        and _ASOF_STOP_RE.match(smask, i):
+                    break
+            i += 1
+        cond_end = i
+        cond = sql[cond_start:cond_end]
+        # split on top-level AND
+        parts, cmask = [], _string_mask(cond)
+        j, depth, start = 0, 0, 0
+        while j < len(cond):
+            ch = cmask[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and cmask[j : j + 3].upper() == "AND" \
+                    and (j == 0 or not (cmask[j - 1].isalnum() or cmask[j - 1] == "_")) \
+                    and not (cmask[j + 3 : j + 4].isalnum() or cmask[j + 3 : j + 4] == "_"):
+                parts.append(cond[start:j].strip())
+                start = j + 3
+                j += 3
+                continue
+            j += 1
+        parts.append(cond[start:].strip())
+
+        right_quals = {alias} if alias else {ref, ref.rsplit(".", 1)[-1]}
+        equis, ineq = [], None
+        for p in parts:
+            im = _INEQ_COND_RE.match(p)
+            if im and im.group(2) in (">=", "<=", ">", "<"):
+                if ineq is not None:
+                    raise _asof_err("more than one inequality in ON")
+                ineq = im
+                continue
+            if not _EQ_COND_RE.match(p):
+                raise _asof_err(f"unsupported ON conjunct {p!r}")
+            equis.append(p)
+        if ineq is None:
+            raise _asof_err("no inequality found in ON")
+        if not equis:
+            raise _asof_err("at least one equality key is required")
+
+        def qual_of(operand: str) -> str | None:
+            qm = _QCOL_RE.match(operand)
+            return qm.group(1) if qm else None
+
+        a, op, b = ineq.group(1), ineq.group(2), ineq.group(3)
+        if qual_of(a) is None or qual_of(b) is None:
+            raise _asof_err("inequality operands must be qualified columns")
+        flip = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}
+        if qual_of(b) in right_quals and qual_of(a) not in right_quals:
+            lts, rts = a, b
+        elif qual_of(a) in right_quals and qual_of(b) not in right_quals:
+            lts, rts, op = b, a, flip[op]
+        else:
+            raise _asof_err(
+                "could not tell the left operand from the right in the "
+                "inequality (qualify both sides with their table alias)"
+            )
+        rqual = qual_of(rts)
+        rts_col = _QCOL_RE.match(rts).group(2)
+        rkeys = []
+        for p in equis:
+            em = _EQ_COND_RE.match(p)
+            for operand in (em.group(1), em.group(2)):
+                q = qual_of(operand)
+                if q in right_quals:
+                    rkeys.append(_QCOL_RE.match(operand).group(2))
+                    break
+            else:
+                raise _asof_err(
+                    f"equality {p!r} does not reference the right table"
+                )
+        backward = op in (">=", ">")
+        order = "" if backward else " DESC"
+        end_op = {">=": "<", ">": "<=", "<=": ">", "<": ">="}[op]
+        sub = (
+            f"(SELECT *, lead({rts_col}) OVER (PARTITION BY "
+            f"{', '.join(rkeys)} ORDER BY {rts_col}{order}) AS __ch_asof_end "
+            f"FROM {ref})"
+        )
+        jt = "LEFT JOIN" if is_left else "JOIN"
+        new_on = " AND ".join(
+            [*equis, f"{lts} {op} {rts}",
+             f"({lts} {end_op} {rqual}.__ch_asof_end "
+             f"OR {rqual}.__ch_asof_end IS NULL)"]
+        )
+        sql = (
+            sql[: m.start()]
+            + f"{jt} {sub} {rqual} ON {new_on} "
+            + sql[cond_end:]
         )
 
 

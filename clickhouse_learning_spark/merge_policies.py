@@ -36,18 +36,25 @@ def replacing_read(
     table: Table,
     spark: SparkSession,
     key_cols: Sequence[str],
-    version_col: str,
+    version_col: str | None,
 ) -> DataFrame:
     """ReplacingMergeTree(ver) FINAL semantics: latest version per sort
     key, ties broken deterministically (ClickHouse keeps the last
     physical row of the merge — nondeterministic; here the max-version
     row with the largest remaining column tuple, so two engines
-    agree)."""
+    agree). ``version_col=None`` is the versionless
+    ``ReplacingMergeTree()`` form: no declared version, so the
+    deterministic-survivor rule alone picks one row per sort key (the
+    largest remaining-column tuple)."""
     df = table.read(spark)
     others = [c for c in df.columns if c not in key_cols and c != version_col]
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col(version_col).desc(), *[F.col(c).desc() for c in others]
-    )
+    lead = [F.col(version_col).desc()] if version_col is not None else []
+    order = [*lead, *[F.col(c).desc() for c in others]]
+    if not order:
+        # every column is a sort-key column: duplicates are identical
+        # rows, any survivor is THE row
+        order = [F.lit(1)]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -416,3 +416,57 @@ def ch_any_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         _F.col("urgent_first").cast("long").alias("urgent_first"),
     )
+
+
+@query(
+    "ch_asof_dialect",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    purch AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.purchase_id, p.user_id,
+           coalesce(c.click_id, -1) AS click_id,
+           CAST(coalesce(floor(epoch(p.ts)) - floor(epoch(c.ts)), -1) AS BIGINT)
+               AS gap_s
+    FROM purch p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def ch_asof_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ASOF LEFT JOIN`` pasted verbatim through the
+    dialect shim (round-3 `_rewrite_asof_join`): the rewrite
+    intervalizes the right side with a per-key ``lead()`` window so the
+    backward as-of becomes a single equi-join with range residuals —
+    and DuckDB's native ASOF JOIN is the oracle. Clicks pre-dedup to
+    max event_id per (user, ts) so the tie survivor is deterministic in
+    both engines. ``dateDiff('second', …)`` exercises the boundary-
+    crossing fix (truncate-then-diff = floor(epoch) subtraction)."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(_F.col("event_type") == "click").groupBy("user_id", "ts").agg(
+        _F.max("event_id").alias("click_id")
+    ).createOrReplaceTempView("ch_asof_clicks")
+    ev.filter(_F.col("event_type") == "purchase").select(
+        _F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    ).createOrReplaceTempView("ch_asof_purch")
+    ch = """
+        SELECT p.purchase_id, p.user_id,
+               ifNull(c.click_id, -1) AS click_id,
+               ifNull(dateDiff('second', c.ts, p.ts), -1) AS gap_s
+        FROM ch_asof_purch p
+        ASOF LEFT JOIN ch_asof_clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+    return spark.sql(translate(ch)).select(
+        "purchase_id",
+        "user_id",
+        _F.col("click_id").cast("long").alias("click_id"),
+        _F.col("gap_s").cast("long").alias("gap_s"),
+    )

@@ -634,3 +634,83 @@ def test_deployment_maintain_runs_declared_ttl(spark, tmp_path):
     # second sweep: nothing left to do
     report2 = dep.maintain(spark, now=dt.date(2024, 1, 25))
     assert report2["test.logline"]["partitions_coalesced"] == 0
+
+
+def test_chained_mv_cascade(spark, tmp_path):
+    """ADVICE r2: an MV reading another MV's target must fire when that
+    target receives rows (ClickHouse cascades chained materialized
+    views). raw → mv1 → mid → mv2 → final: one ingest into raw must
+    populate all three downstream tables."""
+    script = """
+    CREATE TABLE test.raw (
+        day Date,
+        uid UInt64,
+        v Int64
+    ) ENGINE = MergeTree()
+    PARTITION BY day
+    ORDER BY uid;
+
+    CREATE TABLE test.mid (
+        day Date,
+        uid UInt64,
+        v_sum Int64
+    ) ENGINE = SummingMergeTree()
+    PARTITION BY day
+    ORDER BY (day, uid);
+
+    CREATE TABLE test.final (
+        day Date,
+        n_users Int64,
+        v_total Int64
+    ) ENGINE = SummingMergeTree()
+    PARTITION BY day
+    ORDER BY day;
+
+    CREATE MATERIALIZED VIEW test.mv1 TO test.mid AS
+    SELECT day, uid, sum(v) AS v_sum FROM test.raw GROUP BY day, uid;
+
+    CREATE MATERIALIZED VIEW test.mv2 TO test.final AS
+    SELECT day, count() AS n_users, sum(v_sum) AS v_total
+    FROM test.mid GROUP BY day;
+    """
+    dep = ddl.deploy(spark, script, str(tmp_path))
+    batch = spark.createDataFrame(
+        [
+            (dt.date(2024, 1, 1), 1, 10),
+            (dt.date(2024, 1, 1), 1, 5),
+            (dt.date(2024, 1, 1), 2, 7),
+            (dt.date(2024, 1, 2), 3, 1),
+        ],
+        "day date, uid long, v long",
+    )
+    counts = dep.ingest(spark, "test.raw", batch)
+    assert counts["test.raw"] == 4
+    assert counts["test.mid"] == 3   # (day, uid) groups
+    assert counts["test.final"] == 2  # days — mv2 fired off mv1's insert
+    got = {
+        r.day: (r.n_users, r.v_total)
+        for r in dep.tables["test.final"].read(spark).collect()
+    }
+    assert got == {dt.date(2024, 1, 1): (2, 22), dt.date(2024, 1, 2): (1, 1)}
+
+
+def test_final_read_versionless_replacing(spark, tmp_path):
+    """ADVICE r2: ENGINE = ReplacingMergeTree() with NO version column
+    must still collapse to one row per sort key under FINAL —
+    deterministic survivor (largest remaining-column tuple), mirroring
+    the documented versioned rule."""
+    script = """
+    CREATE TABLE test.latest (
+        uid UInt64,
+        name String
+    ) ENGINE = ReplacingMergeTree()
+    ORDER BY uid
+    """
+    dep = ddl.deploy(spark, script, str(tmp_path))
+    dep.execute(
+        spark,
+        "INSERT INTO test.latest VALUES (1, 'a'), (1, 'b'), (2, 'x')",
+    )
+    dep.execute(spark, "INSERT INTO test.latest VALUES (2, 'y'), (3, 'z')")
+    rows = {(r.uid, r.name) for r in dep.final_read(spark, "test.latest").collect()}
+    assert rows == {(1, "b"), (2, "y"), (3, "z")}

@@ -947,3 +947,148 @@ def test_translate_misc_late_additions(spark):
     assert (r.tr, r.trk) == ("B", "z")
     assert r.sc.col1 == 45 and r.sc.col2 == 10
     assert abs(r.aw - 87 / 19) < 1e-9
+
+
+def test_translate_datediff_counts_boundary_crossings(spark):
+    """ADVICE r2: CH dateDiff counts unit-BOUNDARY crossings, not
+    complete elapsed units — sub-unit offsets across a boundary must
+    still count 1 (and 0 within the same unit)."""
+    r = spark.sql(
+        "SELECT "
+        + translate(
+            "dateDiff('day', toDateTime('2024-01-01 23:59:00'), "
+            "toDateTime('2024-01-02 00:01:00'))"
+        ) + " AS d1, "
+        + translate(
+            "dateDiff('day', toDateTime('2024-01-02 00:01:00'), "
+            "toDateTime('2024-01-02 23:59:00'))"
+        ) + " AS d0, "
+        + translate(
+            "dateDiff('month', toDateTime('2024-01-31 12:00:00'), "
+            "toDateTime('2024-02-01 00:00:01'))"
+        ) + " AS m1, "
+        + translate(
+            "dateDiff('hour', toDateTime('2024-01-01 10:59:59'), "
+            "toDateTime('2024-01-01 11:00:01'))"
+        ) + " AS h1, "
+        + translate(
+            "dateDiff('week', toDate('2024-03-03'), toDate('2024-03-04'))"
+        ) + " AS w1, "
+        + translate(
+            "dateDiff('year', toDate('2023-12-31'), toDate('2024-01-01'))"
+        ) + " AS y1"
+    ).collect()[0]
+    # 2024-03-03 is a Sunday, 03-04 a Monday: CH weeks are Monday-start
+    assert (r.d1, r.d0, r.m1, r.h1, r.w1, r.y1) == (1, 0, 1, 1, 1, 1)
+
+
+def test_translate_toweek_mode0(spark):
+    """ADVICE r2: CH toWeek defaults to MySQL mode 0 (Sunday-start,
+    weeks 0–53, week 1 = first week containing a Sunday) — compare a
+    full year of dates against a pure-Python mode-0 oracle."""
+    import datetime as dt
+
+    def week_mode0(d: dt.date) -> int:
+        jan1 = d.replace(month=1, day=1)
+        # Python: Monday=0..Sunday=6 → day-of-year of first Sunday
+        fsd = 1 + (6 - jan1.weekday()) % 7
+        doy = d.timetuple().tm_yday
+        return (doy - fsd + 7) // 7
+
+    expr = translate("toWeek(d)")
+    rows = spark.sql(
+        f"SELECT d, {expr} AS w FROM "
+        "(SELECT explode(sequence(DATE '2023-01-01', DATE '2024-12-31')) AS d)"
+    ).collect()
+    for r in rows:
+        assert r.w == week_mode0(r.d), (r.d, r.w, week_mode0(r.d))
+    # ISO week stays on weekofyear
+    iso = spark.sql(
+        "SELECT " + translate("toISOWeek(toDate('2024-01-01'))") + " AS w"
+    ).collect()[0]
+    assert iso.w == 1
+
+
+def test_translate_array_difference_cumsum_empty(spark):
+    """ADVICE r2: arrayDifference/arrayCumSum on an empty array must
+    return [] (CH behavior), not a negative-slice runtime error."""
+    r = spark.sql(
+        "SELECT "
+        + translate("arrayDifference(arraySlice([1,2], 1, 0))") + " AS ad, "
+        + translate("arrayCumSum(arraySlice([1,2], 1, 0))") + " AS cs, "
+        + translate("arrayDifference([5])") + " AS ad1, "
+        + translate("arrayCumSum([5])") + " AS cs1"
+    ).collect()[0]
+    assert r.ad == [] and r.cs == []
+    assert r.ad1 == [0] and r.cs1 == [5]
+
+
+def test_translate_asof_join(spark):
+    """Round-3: `ASOF [LEFT] JOIN … ON` translates to the intervalized
+    equi-join — results must equal operators.asof.asof_join on every
+    inequality direction, inner form must drop unmatched rows, and
+    unsupported shapes must still gate with a pointer."""
+    import datetime as _dt
+
+    from clickhouse_learning_spark.operators.asof import asof_join
+
+    t0 = _dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(u, t0 + _dt.timedelta(minutes=m), i)
+         for i, (u, m) in enumerate([(1, 5), (1, 10), (1, 2), (2, 7), (3, 1)])],
+        "uid long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(u, t0 + _dt.timedelta(minutes=m), i * 10)
+         for i, (u, m) in enumerate([(1, 3), (1, 5), (1, 9), (2, 8), (4, 0)])],
+        "uid long, ts timestamp, rid long",
+    )
+    left.createOrReplaceTempView("asof_l")
+    right.createOrReplaceTempView("asof_r")
+
+    # backward >= : every left row vs operator
+    got = spark.sql(translate(
+        "SELECT l.lid, r.rid FROM asof_l l "
+        "ASOF LEFT JOIN asof_r r ON l.uid = r.uid AND l.ts >= r.ts"
+    ))
+    exp = asof_join(left, right, on="uid").select("lid", "rid")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in exp.collect()}
+
+    # forward <= (flipped operand order exercises normalization)
+    got_f = spark.sql(translate(
+        "SELECT l.lid, r.rid FROM asof_l l "
+        "ASOF LEFT JOIN asof_r r ON l.uid = r.uid AND r.ts >= l.ts"
+    ))
+    exp_f = asof_join(left, right, on="uid", direction="forward").select(
+        "lid", "rid"
+    )
+    assert {tuple(r) for r in got_f.collect()} == {tuple(r) for r in exp_f.collect()}
+
+    # inner ASOF drops unmatched left rows
+    got_i = spark.sql(translate(
+        "SELECT l.lid, r.rid FROM asof_l l "
+        "ASOF JOIN asof_r r ON l.uid = r.uid AND l.ts >= r.ts"
+    ))
+    matched = {tuple(r) for r in got.collect() if r.rid is not None}
+    assert {tuple(r) for r in got_i.collect()} == matched
+
+    # strict > : a left row exactly at a right ts must match the PRIOR row
+    got_s = {
+        (r.lid, r.rid)
+        for r in spark.sql(translate(
+            "SELECT l.lid, r.rid FROM asof_l l "
+            "ASOF LEFT JOIN asof_r r ON l.uid = r.uid AND l.ts > r.ts"
+        )).collect()
+    }
+    # left (1, 5min, lid=0): rows at 3,5 exist; strict excludes 5 → rid=0
+    assert (0, 0) in got_s
+    # non-strict picked rid=10 (the 5-minute row) for the same left row
+    assert (0, 10) in {(r.lid, r.rid) for r in got.collect()}
+
+    # gates
+    with pytest.raises(ValueError, match="ASOF JOIN"):
+        translate("SELECT * FROM a ASOF JOIN b USING (k, t)")
+    with pytest.raises(ValueError, match="ASOF JOIN"):
+        translate(
+            "SELECT * FROM a ASOF JOIN b ON toDate(a.d) = b.d AND a.t >= b.t"
+        )
