@@ -11,11 +11,15 @@ metadata struct. The pipeline is REAL for uncompressed formats:
 - **video** — an ``RVID`` raw container (length-prefixed PPM frame
   train); frame sampling extracts real decodable frame payloads.
 
-Only *compressed* codecs (JPEG/PNG/GIF/WebP/MP4/Opus…) are gated — no
-media libraries ship in this container, so decode raises a clear
-NotImplementedError for those magics (install Pillow/av and extend the
-parser; the mapInPandas plumbing is format-agnostic; the legacy
-``FIMG`` fake header is still parsed for older fixtures).
+**PNG pixel decode is real** (round 3): stdlib ``zlib`` inflate + numpy
+scanline unfiltering (all five PNG filters; 8-bit gray / gray+alpha /
+RGB / RGBA / palette, non-interlaced) — no imaging library needed.
+Remaining *compressed* codecs (JPEG/GIF/WebP/MP4/Opus…, plus interlaced
+or 16-bit PNG) are gated: no media libraries ship in this container, so
+decode raises a clear NotImplementedError for those magics (install
+Pillow/av and extend the parser; the mapInPandas plumbing is
+format-agnostic; the legacy ``FIMG`` fake header is still parsed for
+older fixtures).
 
 At 100 TB: payloads dominate row size, so operators here always select
 the narrowest columns first (payload column pruned away unless needed),
@@ -107,9 +111,177 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, int] | None:
     return w, h, i
 
 
-def build_media_table(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def png_image(
+    media_id: int, width: int, height: int, filter_type: int = 0
+) -> bytes:
+    """A VALID 8-bit RGB PNG with the same deterministic pixel formula
+    as :func:`ppm_image` (px[i] = (id·2654435761 + i·40503) mod 256) —
+    stdlib zlib + numpy, no imaging library. ``filter_type`` selects the
+    per-scanline PNG filter (0–4) so every decoder filter path can be
+    exercised."""
+    import zlib
+
+    import numpy as np
+
+    idx = np.arange(width * height * 3, dtype=np.uint64)
+    px = (
+        (np.uint64(media_id) * np.uint64(2654435761) + idx * np.uint64(40503))
+        & np.uint64(0xFF)
+    ).astype(np.uint8)
+    raw = px.reshape(height, width * 3).astype(np.int16)
+    prior = np.zeros(width * 3, dtype=np.int16)
+    lines = []
+    for y in range(height):
+        line = raw[y]
+        left = np.concatenate([np.zeros(3, dtype=np.int16), line[:-3]])
+        ul = np.concatenate([np.zeros(3, dtype=np.int16), prior[:-3]])
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:
+            filt = line - left
+        elif filter_type == 2:
+            filt = line - prior
+        elif filter_type == 3:
+            filt = line - (left + prior) // 2
+        elif filter_type == 4:
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = line - pred
+        else:
+            raise ValueError(f"filter_type must be 0-4, got {filter_type}")
+        lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(payload: bytes):
+    """HxWx3 uint8 pixels of a non-interlaced 8-bit PNG (gray /
+    gray+alpha / RGB / RGBA / palette) via stdlib zlib + numpy scanline
+    unfiltering — or None when the payload is a PNG this pure-python
+    path can't handle (16-bit, interlaced, malformed), letting the
+    caller fall through to the Pillow gate. Filters: None and Up are
+    vectorized; Sub is a per-byte-lane modular cumsum; Average/Paeth
+    fall back to a per-byte walk (those lines are rare in practice —
+    cost is per-image and the outer mapInPandas already streams Arrow
+    batches)."""
+    import zlib
+
+    import numpy as np
+
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        pos, n = 8, len(payload)
+        width = height = None
+        bit_depth = color_type = interlace = None
+        idat = bytearray()
+        palette = None
+        while pos + 8 <= n:
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            tag = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if tag == b"IHDR":
+                width, height, bit_depth, color_type, _, _, interlace = (
+                    struct.unpack(">IIBBBBB", body)
+                )
+            elif tag == b"PLTE":
+                palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if (
+            width is None
+            or channels is None
+            or bit_depth != 8
+            or interlace != 0
+            or (color_type == 3 and palette is None)
+        ):
+            return None
+        stride = width * channels
+        data = np.frombuffer(
+            zlib.decompress(bytes(idat)), dtype=np.uint8
+        ).reshape(height, stride + 1)
+        ftypes = data[:, 0]
+        filt = data[:, 1:].astype(np.int32)
+        out = np.zeros((height, stride), dtype=np.int32)
+        bpp = channels
+        for y in range(height):
+            line = filt[y]
+            prior = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+            ft = ftypes[y]
+            if ft == 0:
+                out[y] = line
+            elif ft == 2:
+                out[y] = (line + prior) & 0xFF
+            elif ft == 1:
+                lanes = line.reshape(width, bpp)
+                out[y] = (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF).reshape(
+                    stride
+                )
+            elif ft == 3:
+                rec = out[y]
+                for x in range(stride):
+                    a = rec[x - bpp] if x >= bpp else 0
+                    rec[x] = (line[x] + (a + prior[x]) // 2) & 0xFF
+            elif ft == 4:
+                rec = out[y]
+                for x in range(stride):
+                    a = rec[x - bpp] if x >= bpp else 0
+                    c = prior[x - bpp] if x >= bpp else 0
+                    b = prior[x]
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (line[x] + pred) & 0xFF
+            else:
+                return None
+        px = out.astype(np.uint8).reshape(height, width, channels)
+        if color_type == 2:
+            return px
+        if color_type == 6:
+            return px[:, :, :3]
+        if color_type == 0:
+            return np.repeat(px, 3, axis=2)
+        if color_type == 4:
+            return np.repeat(px[:, :, :1], 3, axis=2)
+        return palette[px[:, :, 0]]
+    except Exception:
+        return None
+
+
+def build_media_table(
+    spark, docs: DataFrame, id_col: str = "doc_id", fmt: str = "ppm"
+) -> DataFrame:
     """Derive a media table from the documents fixture: one fake image
-    per doc, sized from the doc id (deterministic)."""
+    per doc, sized from the doc id (deterministic). ``fmt='png'`` emits
+    real zlib-compressed PNGs (pixel values identical to the PPM form;
+    per-line filter cycles through all five PNG filters so decode
+    exercises every unfilter path)."""
+    if fmt not in ("ppm", "png"):
+        raise ValueError(f"fmt must be ppm|png, got {fmt!r}")
     w = (F.col(id_col) % 64 + 16).cast("int")
     h = (F.col(id_col) % 48 + 16).cast("int")
     pdf = (
@@ -121,6 +293,10 @@ def build_media_table(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFra
             F.col("source"),
         )
     )
+    make = ppm_image if fmt == "ppm" else (
+        lambda m, wi, hi: png_image(m, wi, hi, filter_type=m % 5)
+    )
+    mime = "image/x-portable-pixmap" if fmt == "ppm" else "image/png"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -129,7 +305,7 @@ def build_media_table(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFra
                     "media_id": b["media_id"],
                     "kind": b["kind"],
                     "payload": [
-                        ppm_image(int(m), int(wi), int(hi))
+                        make(int(m), int(wi), int(hi))
                         for m, wi, hi in zip(b["media_id"], b["w"], b["h"])
                     ],
                     "source": b["source"],
@@ -146,7 +322,7 @@ def build_media_table(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFra
         "payload",
         F.struct(
             F.col("source"),
-            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(mime).alias("mime"),
             F.length("payload").cast("long").alias("bytes"),
         ).alias("meta"),
     )
@@ -286,10 +462,11 @@ def _pil_decode(payload: bytes):
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         raise NotImplementedError(
-            "compressed image PIXEL decode (JPEG/PNG/GIF/WebP) needs Pillow "
-            "(`pip install Pillow`); header-only dimensions already work "
-            "without it (decode_image_meta), and the mapInPandas plumbing "
-            "is format-agnostic"
+            "compressed image PIXEL decode (JPEG/GIF/WebP, or 16-bit/"
+            "interlaced PNG) needs Pillow (`pip install Pillow`); 8-bit "
+            "PNG decodes natively (_png_decode, stdlib zlib), header-only "
+            "dimensions work for every format (decode_image_meta), and "
+            "the mapInPandas plumbing is format-agnostic"
         ) from None
 
 
@@ -311,8 +488,9 @@ def _decode_dims(payload: bytes) -> tuple[int, int] | None:
 
 
 def _pixels(payload: bytes):
-    """HxWx3 uint8 array for any decodable payload: numpy path for PPM,
-    Pillow (optional dep, actionable gate) for compressed formats, None
+    """HxWx3 uint8 array for any decodable payload: numpy paths for PPM
+    and 8-bit PNG (stdlib zlib inflate + unfilter), Pillow (optional
+    dep, actionable gate) for the remaining compressed formats, None
     for unknown/corrupt binary."""
     import numpy as np
 
@@ -322,9 +500,13 @@ def _pixels(payload: bytes):
         return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off).reshape(
             h, w, 3
         )
+    if payload is not None and payload.startswith(b"\x89PNG"):
+        px = _png_decode(payload)
+        if px is not None:
+            return px
+        return _pil_decode(payload)  # 16-bit / interlaced / exotic PNGs
     if payload is not None and (
-        payload.startswith(b"\x89PNG")
-        or payload.startswith(b"\xff\xd8\xff")
+        payload.startswith(b"\xff\xd8\xff")
         or payload[:6] in (b"GIF87a", b"GIF89a")
     ):
         return _pil_decode(payload)

@@ -677,6 +677,23 @@ _ORACLES["multimodal_pixel_sums"] = """
 """
 
 
+def multimodal_png_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode, hash-checked (round 3): payloads are
+    genuine zlib-compressed 8-bit RGB PNGs (per-image filter type
+    cycles through all five PNG filters), decoded by the stdlib-zlib +
+    numpy unfilter path (operators/multimodal._png_decode — no imaging
+    library), and the per-channel sums must equal DuckDB's arithmetic
+    recomputation of the same pixel formula — integer-exact, so one
+    mis-inflated or mis-unfiltered byte in any payload breaks the
+    match."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.image_channel_sums(MM.build_media_table(spark, docs, fmt="png"))
+
+
+QUERIES["multimodal_png_pixel_sums"] = multimodal_png_pixel_sums
+_ORACLES["multimodal_png_pixel_sums"] = _ORACLES["multimodal_pixel_sums"]
+
+
 def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio spectral features (operators/multimodal.py
     audio_spectral_features): numpy-rFFT dominant frequency, spectral

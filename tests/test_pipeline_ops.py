@@ -381,3 +381,77 @@ def test_substring_duplication_detects_shared_runs(spark):
     assert out[1].n_shared >= 1  # contains the run + unique prefix windows
     assert 0 < out[1].dup_fraction < 1
     assert out[3].n_shared == 0 and out[3].dup_fraction == 0.0
+
+
+def test_png_decode_roundtrip_all_filters():
+    """png_image → _png_decode must reproduce the exact PPM pixel array
+    for every PNG filter type (0–4), plus gray/RGBA/palette variants
+    and corrupt-payload rejection."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from clickhouse_learning_spark.operators import multimodal as MM
+
+    for ft in range(5):
+        png = MM.png_image(7, 20, 13, filter_type=ft)
+        ref = MM._pixels(MM.ppm_image(7, 20, 13))
+        got = MM._png_decode(png)
+        assert got is not None and got.shape == (13, 20, 3), ft
+        assert np.array_equal(got, ref), f"filter {ft}"
+        # the generic _pixels entry point takes the native path too
+        assert np.array_equal(MM._pixels(png), ref)
+
+    # grayscale (color type 0): build by hand, expect channel replication
+    w, h = 5, 4
+    gray = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    lines = b"".join(b"\x00" + gray[y].tobytes() for y in range(h))
+    png_g = (
+        b"\x89PNG\r\n\x1a\n"
+        + MM._png_chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + MM._png_chunk(b"IDAT", _zlib.compress(lines))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    got_g = MM._png_decode(png_g)
+    assert got_g.shape == (h, w, 3)
+    assert np.array_equal(got_g[:, :, 0], gray)
+    assert np.array_equal(got_g[:, :, 1], gray)
+
+    # RGBA (color type 6): alpha dropped
+    rgba = np.arange(w * h * 4, dtype=np.uint64) % 251
+    rgba = rgba.astype(np.uint8).reshape(h, w * 4)
+    lines = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    png_a = (
+        b"\x89PNG\r\n\x1a\n"
+        + MM._png_chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + MM._png_chunk(b"IDAT", _zlib.compress(lines))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    got_a = MM._png_decode(png_a)
+    assert np.array_equal(got_a, rgba.reshape(h, w, 4)[:, :, :3])
+
+    # palette (color type 3)
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = (np.arange(w * h, dtype=np.uint8) % 3).reshape(h, w)
+    lines = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    png_p = (
+        b"\x89PNG\r\n\x1a\n"
+        + MM._png_chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + MM._png_chunk(b"PLTE", pal.tobytes())
+        + MM._png_chunk(b"IDAT", _zlib.compress(lines))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    got_p = MM._png_decode(png_p)
+    assert np.array_equal(got_p, pal[idx])
+
+    # corrupt / unsupported → None (caller falls to the Pillow gate)
+    assert MM._png_decode(b"\x89PNG\r\n\x1a\n" + b"junk") is None
+    assert MM._png_decode(None) is None
+    # 16-bit depth → None
+    png_16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + MM._png_chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    assert MM._png_decode(png_16) is None
