@@ -50,73 +50,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # already covered above sit behind them. Union of rounds still grades
 # everything — round 1 drove the entries now demoted.
 _PRIORITY = [
-    # flagship reference parity (dwm.mainpage_stat_mv_dis.sql) + dialect/rewrite
+    # Round 3 window: the 30 registered queries never driver-graded in
+    # r1/r2 (VERDICT r2 "What's missing" #1 — all judge-replay-green)
+    # rotate in so every registered query has a driver-green row across
+    # r1∪r2∪r3; the slots they take come from r2-green entries.
+    "ann_ivf_topk",
+    "audio_spectral",
+    "ch_any_join_enrich",
+    "ch_limit_by_topn",
+    "ch_totals_rollup",
+    "csv_roundtrip",
+    "dedup_report",
+    "dedup_substring_spans",
+    "epoch_upsampling",
+    "forecast_revenue_change",
+    "hopping_window_uv",
+    "multimodal_decode",
+    "multimodal_features",
+    "orc_roundtrip",
+    "part_pair_affinity",
+    "pii_redaction",
+    "replacing_latest_event",
+    "revenue_anomaly_days",
+    "rfm_segments",  # round-3 rewrite: percentile boundaries, no window
+    "rolling_revenue_7d",
+    "shipmode_priority_split",
+    "small_quantity_revenue",
+    "source_mixing",
+    "summap_event_values",
+    "theta_funnel_approx",
+    "top_event_paths",
+    "top_supplier",
+    "value_histogram",
+    "vocab_oov_rate",  # round-3 rewrite: TakeOrderedAndProject vocab
+    "windowed_uv",
+    # New in round 3
+    "ch_asof_dialect",  # ASOF JOIN through the dialect rewriter
+    "multimodal_png_pixel_sums",  # real zlib PNG decode, hash-checked
+    # Re-validate flagships + operators whose implementation changed
+    # this round (embedding tiling rewrite), plus one representative
+    # per major family so the window stays representative.
     "ref_wide_mv_5metric",
     "ref_funnel_6stage",
     "streaming_mv_rollup",
     "ch_dialect_query",
     "sql_auto_rewrite",
     "training_pipeline",
-    # multi-join analytics (TPC-H shapes) + range/as-of joins
-    "shipping_priority",
-    "regional_supplier_volume",
-    "returned_item_report",
-    "promo_revenue_share",
-    "range_join_campaigns",
-    "asof_attribution",
-    # dedup families
+    "dedup_embedding_cosine",  # round-3 executor-side tiling
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    # similarity / embeddings
+    "asof_attribution",
+    "range_join_campaigns",
+    "with_fill_days",
+    "multimodal_pixel_sums",
+    "pricing_summary",
+    "bitmap_funnel_roaring",
     "ann_cosine_topk",
     "embedding_kmeans",
-    # text analysis + retrieval
-    "text_token_stats",
-    # text_quality_lang is driver-green in r1; its slot carries the new
-    # WITH FILL gap-filling query (text family stays represented by the
-    # four entries around this line)
-    "with_fill_days",
-    "doc_fingerprint",
-    "text_repetition",
-    "bm25_topk",
-    # pipeline assembly ops
-    "sample_stratified",
-    "chunk_assignment",
-    "greedy_pack_bins",
     "contamination_check",
-    "sessionization_stats",
-    # windowed_uv (same windows family as sessionization_stats, judge-
-    # replay-green) yields its slot to the multimodal family's first
-    # hash-checked entry: the real PPM decode vs arithmetic oracle
-    "multimodal_pixel_sums",
-    "reconciliation_check",
-    # SURVEY §2 core: scans, predicates, aggregates, joins, unions, functions
-    "pricing_summary",
-    "conditional_agg",
-    "uniq_exact",
-    "median_state_merge",
-    "quantile_weighted_state",
-    "topk_heavy_hitters",
-    "bitmap_funnel",
-    "having_over_agg",
-    "avg_state_merge",
-    "union_merge_wide",
-    "bitmap_funnel_roaring",
-    "dict_enrich_join",
-    "left_join_using",
-    "composite_key_left_join",
-    # behavioral parametric aggregates (windowFunnel/retention/
-    # sequenceMatch analogs — new in r2; the three §2 micro-queries they
-    # displace, scalar_datetime_math / array_join_tuples /
-    # filter_project_prune, are driver-green in CORRECTNESS_r01)
-    "window_funnel_levels",
-    "retention_cohorts",
-    "sequence_match_share",
-    "jsonl_dim_roundtrip",
 ]
 
 

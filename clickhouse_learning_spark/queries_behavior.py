@@ -229,6 +229,10 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = seq.groupBy(
         F.concat_ws(">", "event_type", "e2", "e3").alias("path")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    # BOUNDED global window: the windowed set is the distinct 3-step
+    # paths — at most |event_type|³ rows (5³ = 125 here), O(1) in data
+    # size. Do NOT copy this shape for an unbounded set (use
+    # orderBy().limit() → TakeOrderedAndProject, as vocab_top does).
     wr = W.orderBy(F.col("cnt").desc(), F.col("path"))
     return (
         paths.withColumn("_rn", F.row_number().over(wr))

@@ -614,6 +614,10 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.pg").alias("pg_a"), F.col("b.pg").alias("pg_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+    # BOUNDED global window: the windowed set is the distinct part-group
+    # pairs — at most C(200, 2) = 19,900 rows by the mod-200 grouping,
+    # O(1) in data size. Do NOT copy this shape for an unbounded set
+    # (use orderBy().limit() → TakeOrderedAndProject, as vocab_top does).
     w = W.orderBy(F.col("n_orders").desc(), "pg_a", "pg_b")
     return (
         pairs.withColumn("_rn", F.row_number().over(w))
