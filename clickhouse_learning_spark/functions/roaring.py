@@ -27,10 +27,12 @@ Design:
   a sorted ``uint16`` array (≤2 B/value), a denser one is a 65536-bit
   bitset (fixed 8 KiB — ≤1 bit/value at full density). This is the same
   representation ClickHouse's ``groupBitmap`` uses internally.
-- The serialized form is an internal format (magic ``RB1``), not
-  CRoaring's portable format — nothing in this repo round-trips with
-  external roaring consumers, and the internal form lets us store the
-  cardinality in the header for O(1) ``bitmapCardinality``.
+- The stored form is an internal format (magic ``RB1``) whose header
+  carries the cardinality for O(1) ``bitmapCardinality``;
+  ``to_portable`` / ``from_portable`` (round 3) convert to/from the
+  published CRoaring portable format (RoaringFormatSpec) so state
+  tables interoperate with external roaring consumers — export with
+  ``roaring_to_portable``, import with ``roaring_from_portable``.
 
 Set algebra deserializes to sorted uint32 arrays and uses numpy set ops;
 per-container galloping would shave constants but the arrays are
@@ -129,6 +131,119 @@ def cardinality(b: bytes) -> int:
     return int(np.frombuffer(b, dtype=np.uint64, count=1, offset=len(_MAGIC) + 4)[0])
 
 
+# -- CRoaring portable format (RoaringFormatSpec) -----------------------------
+#
+# The interchange format every mainstream roaring implementation
+# (CRoaring, RoaringBitmap/Java, pyroaring, ClickHouse's
+# bitmapSerialize for large sets) reads and writes — published at
+# github.com/RoaringBitmap/RoaringFormatSpec. Layout (little-endian):
+#
+#   no-run form:  uint32 cookie=12346 | uint32 n_containers |
+#                 n × (uint16 key, uint16 card-1)   descriptive header
+#                 n × uint32 offset                 offset header
+#                 container data (array: sorted uint16[]; bitmap: 8 KiB)
+#   run form:     uint16 cookie=12347, uint16 n-1 | ceil(n/8) run-flag
+#                 bytes | descriptive header | offset header only when
+#                 n >= 4 | data (run: uint16 n_runs, then n_runs ×
+#                 (uint16 start, uint16 len-1))
+#
+# ``to_portable`` always emits the no-run form (runs are an encoder
+# choice — readers must accept both); ``from_portable`` reads both.
+
+_COOKIE_NO_RUN = 12346
+_COOKIE_RUN = 12347
+
+
+def to_portable(b: bytes) -> bytes:
+    """Internal ``RB1`` state → CRoaring portable bytes (no-run form) —
+    the output loads in any roaring library (`pyroaring
+    BitMap.deserialize`, Java `RoaringBitmap.deserialize`,
+    `croaring portable_deserialize`)."""
+    v = deserialize(b)
+    high = (v >> np.uint32(16)).astype(np.uint16)
+    low = (v & np.uint32(0xFFFF)).astype(np.uint16)
+    keys, starts = np.unique(high, return_index=True)
+    bounds = np.append(starts, v.size)
+    size = len(keys)
+    desc, data = [], []
+    for i, k in enumerate(keys):
+        lows = low[bounds[i] : bounds[i + 1]]
+        n = lows.size
+        desc.append(np.uint16(k).tobytes() + np.uint16(n - 1).tobytes())
+        if n > _ARRAY_CUTOFF:
+            bm = np.zeros(65536, dtype=bool)
+            bm[lows] = True
+            data.append(np.packbits(bm, bitorder="little").tobytes())
+        else:
+            data.append(lows.astype("<u2").tobytes())
+    head = np.uint32(_COOKIE_NO_RUN).tobytes() + np.uint32(size).tobytes()
+    data_start = 8 + 4 * size + 4 * size
+    offsets, pos = [], data_start
+    for d in data:
+        offsets.append(np.uint32(pos).tobytes())
+        pos += len(d)
+    return head + b"".join(desc) + b"".join(offsets) + b"".join(data)
+
+
+def from_portable(data: bytes) -> bytes:
+    """CRoaring portable bytes (either cookie form, run containers
+    included) → internal ``RB1`` state."""
+    cookie32 = int(np.frombuffer(data, dtype=np.uint32, count=1, offset=0)[0])
+    if cookie32 == _COOKIE_NO_RUN:
+        size = int(np.frombuffer(data, dtype=np.uint32, count=1, offset=4)[0])
+        run_flags = np.zeros(size, dtype=bool)
+        off = 8
+    elif (cookie32 & 0xFFFF) == _COOKIE_RUN:
+        size = (cookie32 >> 16) + 1
+        nbytes = (size + 7) // 8
+        run_flags = np.unpackbits(
+            np.frombuffer(data, dtype=np.uint8, count=nbytes, offset=4),
+            bitorder="little",
+        )[:size].astype(bool)
+        off = 4 + nbytes
+    else:
+        raise ValueError("not a portable roaring bitmap (bad cookie)")
+    keys = np.frombuffer(data, dtype="<u2", count=2 * size, offset=off)[0::2]
+    cards = (
+        np.frombuffer(data, dtype="<u2", count=2 * size, offset=off)[1::2].astype(
+            np.int64
+        )
+        + 1
+    )
+    off += 4 * size
+    if cookie32 == _COOKIE_NO_RUN or size >= 4:
+        off += 4 * size  # offset header (recomputable; skip)
+    out = []
+    for i in range(size):
+        k = np.uint32(keys[i]) << np.uint32(16)
+        if run_flags[i]:
+            n_runs = int(np.frombuffer(data, dtype="<u2", count=1, offset=off)[0])
+            runs = np.frombuffer(
+                data, dtype="<u2", count=2 * n_runs, offset=off + 2
+            ).astype(np.uint32)
+            off += 2 + 4 * n_runs
+            lows = np.concatenate(
+                [
+                    np.arange(runs[2 * j], runs[2 * j] + runs[2 * j + 1] + 1)
+                    for j in range(n_runs)
+                ]
+            ).astype(np.uint32) if n_runs else np.empty(0, dtype=np.uint32)
+        elif cards[i] > _ARRAY_CUTOFF:
+            bits = np.frombuffer(data, dtype=np.uint8, count=_BITSET_BYTES, offset=off)
+            lows = np.nonzero(np.unpackbits(bits, bitorder="little"))[0].astype(
+                np.uint32
+            )
+            off += _BITSET_BYTES
+        else:
+            lows = np.frombuffer(
+                data, dtype="<u2", count=int(cards[i]), offset=off
+            ).astype(np.uint32)
+            off += 2 * int(cards[i])
+        out.append(k | lows)
+    values = np.concatenate(out) if out else np.empty(0, dtype=np.uint32)
+    return serialize(values)
+
+
 def union_bytes(parts) -> bytes | None:
     """Union many roaring states (None elements are neutral)."""
     arrs = [deserialize(p) for p in parts if p is not None]
@@ -152,6 +267,21 @@ def roaring_from_array(s: pd.Series) -> pd.Series:
 def roaring_to_array(s: pd.Series) -> pd.Series:
     """Roaring bytes → sorted array<long> (interop / tests)."""
     return s.map(lambda b: None if b is None else deserialize(b).astype(np.int64).tolist())
+
+
+@pandas_udf(BinaryType())
+def roaring_to_portable(s: pd.Series) -> pd.Series:
+    """Internal roaring state column → CRoaring portable bytes — the
+    export step for state tables consumed by external roaring readers
+    (pyroaring/Java/CRoaring/ClickHouse)."""
+    return s.map(lambda b: None if b is None else to_portable(b))
+
+
+@pandas_udf(BinaryType())
+def roaring_from_portable(s: pd.Series) -> pd.Series:
+    """CRoaring portable bytes column → internal roaring state — the
+    import step for bitmap states produced by external systems."""
+    return s.map(lambda b: None if b is None else from_portable(b))
 
 
 @pandas_udf(BinaryType())

@@ -208,3 +208,76 @@ def test_codec_roundtrip_property():
         assert set(R.deserialize(u).tolist()) == set(a) | set(b)
 
     check()
+
+
+def test_portable_roundtrip_and_golden_bytes():
+    """to_portable emits spec-exact no-run-form bytes (golden blob built
+    by hand from RoaringFormatSpec) and from_portable inverts it for
+    array, bitmap and mixed container layouts."""
+    import struct
+
+    import numpy as np
+
+    from clickhouse_learning_spark.functions import roaring as RB
+
+    # golden: {1, 5, 65536} → containers key0 {1,5}, key1 {0}
+    blob = RB.to_portable(RB.serialize([1, 5, 65536]))
+    expected = (
+        struct.pack("<II", 12346, 2)            # cookie, 2 containers
+        + struct.pack("<HH", 0, 1)              # key 0, card-1 = 1
+        + struct.pack("<HH", 1, 0)              # key 1, card-1 = 0
+        + struct.pack("<II", 24, 28)            # offsets: 8+8+8=24, +4
+        + struct.pack("<HH", 1, 5)              # container 0 values
+        + struct.pack("<H", 0)                  # container 1 values
+    )
+    assert blob == expected
+    assert np.array_equal(
+        RB.deserialize(RB.from_portable(blob)), np.array([1, 5, 65536])
+    )
+
+    # dense container (> 4096 values) → 8 KiB bitmap container
+    dense = np.arange(0, 60000, 3, dtype=np.uint32)  # 20k values, key 0
+    mixed = np.concatenate([dense, np.array([1 << 20], dtype=np.uint32)])
+    blob2 = RB.to_portable(RB.serialize(mixed))
+    # size field, container count, bitmap container length visible
+    assert struct.unpack_from("<II", blob2)[0] == 12346
+    assert len(blob2) == 8 + 2 * 4 + 2 * 4 + 8192 + 2
+    assert np.array_equal(RB.deserialize(RB.from_portable(blob2)), mixed)
+
+    # run-form decode: {10..20, 100} as one run container, hand-built
+    run_blob = (
+        struct.pack("<HH", 12347, 0)            # run cookie, n-1 = 0
+        + bytes([0b1])                          # container 0 is a run
+        + struct.pack("<HH", 0, 11)             # key 0, card-1 (12 vals)
+        # size < 4 → NO offset header in the run form
+        + struct.pack("<H", 2)                  # 2 runs
+        + struct.pack("<HH", 10, 10)            # 10..20
+        + struct.pack("<HH", 100, 0)            # 100
+    )
+    got = RB.deserialize(RB.from_portable(run_blob))
+    assert np.array_equal(got, np.concatenate([np.arange(10, 21), [100]]))
+
+
+def test_portable_udf_roundtrip(spark):
+    """Column-level export→import round-trip preserves the state and
+    its cardinality."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions import roaring as RB
+
+    df = spark.range(200).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") * 37 % 100_000).alias("uid"),
+    )
+    states = df.groupBy("g").agg(
+        RB.roaring_from_array(F.collect_list("uid")).alias("st")
+    )
+    back = states.select(
+        "g",
+        RB.bitmap_cardinality(F.col("st")).alias("card"),
+        RB.bitmap_cardinality(
+            RB.roaring_from_portable(RB.roaring_to_portable(F.col("st")))
+        ).alias("card_rt"),
+    )
+    rows = back.collect()
+    assert rows and all(r.card == r.card_rt == 50 for r in rows)
