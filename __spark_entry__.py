@@ -101,7 +101,10 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "asof_attribution",
     "range_join_campaigns",
-    "with_fill_days",
+    # with_fill_days (engine-native fill, r2-green) yields its slot to
+    # the dialect-runner fill variant, which exercises the new
+    # schema-aware with_fill + run() path end-to-end
+    "ch_with_fill_dialect",
     "multimodal_pixel_sums",
     "pricing_summary",
     "bitmap_funnel_roaring",

@@ -1655,11 +1655,12 @@ def _rewrite_clauses(sql: str) -> str:
     def seg(s: str) -> str:
         if re.search(r"\bwith\s+fill\b", s, re.I):
             raise ValueError(
-                "ORDER BY … WITH FILL generates rows (not a row-wise "
-                "rewrite); use the gap-filling formulation in "
-                "queries.with_fill_days: sequence() over the bound range, "
-                "explode, LEFT JOIN the series (one broadcast, no shuffle "
-                "of the fact side)"
+                "ORDER BY … WITH FILL generates rows whose fill values "
+                "need the result SCHEMA (ClickHouse fills type defaults, "
+                "not NULL) — run the statement through "
+                "functions.dialect.run(spark, sql), which strips the "
+                "clause and applies the schema-aware with_fill operator; "
+                "or call with_fill on the inner query's DataFrame"
             )
         if _LIMIT_BY_RE.search(s):
             raise ValueError(
@@ -1821,3 +1822,133 @@ def _dict_get(args: list[str], dictionaries: dict | None) -> str:
         # default (dim.dict_user_dim.sql:2-12), not NULL
         return f"coalesce({lookup}, {_sql_literal(defaults[attr])})"
     return lookup
+
+
+# -- ORDER BY … WITH FILL (schema-aware runner) -------------------------------
+
+_WITH_FILL_RE = re.compile(r"\bwith\s+fill\b", re.I)
+_OB_RE = re.compile(r"\border\s+by\b", re.I)
+_FTS_RE = re.compile(r"\b(from|to|step|interpolate)\b", re.I)
+
+
+def with_fill(df, col: str, start=None, stop=None, step=None):
+    """ClickHouse ``ORDER BY col WITH FILL [FROM][TO][STEP]`` semantics
+    on a DataFrame: insert the missing values of ``col`` over the range
+    (defaults: the result's own min/max; ``stop`` is EXCLUSIVE, as in
+    ClickHouse) and fill every other column of the inserted rows with
+    its TYPE DEFAULT (0 / '' / false / 1970-01-01 — ClickHouse fills
+    defaults, not NULL, which is why this is an engine operator and not
+    a textual rewrite: the defaults need the schema). Original rows —
+    including any outside [start, stop) — pass through untouched.
+
+    Plan shape: the bounds are a 1-row aggregate, the series explodes
+    from it and anti-joins the (small, post-aggregation) result on the
+    fill key — both joins broadcast; the fact-side shuffle happened
+    upstream in the user's aggregation."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes)[col]
+    is_date = dt == "date"
+    is_ts = dt.startswith("timestamp")
+    if step is None:
+        step = 1
+    if isinstance(step, int):
+        if is_date:
+            step = F.expr(f"INTERVAL {step} DAY")
+        elif is_ts:
+            step = F.expr(f"INTERVAL {step} SECOND")
+        else:
+            step = F.lit(step)
+    if isinstance(start, int):
+        start = F.lit(start)
+    if isinstance(stop, int):
+        stop = F.lit(stop)
+    bounds = df.agg(
+        F.min(col).alias("__ch_lo"), F.max(col).alias("__ch_hi")
+    )
+    lo = F.col("__ch_lo") if start is None else start
+    hi = F.col("__ch_hi") if stop is None else stop
+    series = bounds.select(F.explode(F.sequence(lo, hi, step)).alias(col))
+    if stop is not None:
+        series = series.filter(F.col(col) < stop)  # CH: TO is exclusive
+    missing = series.join(df.select(col).distinct(), col, "left_anti")
+
+    defaults = []
+    for name, dtype in df.dtypes:
+        if name == col:
+            continue
+        base = dtype.split("(")[0]
+        if base in ("tinyint", "smallint", "int", "bigint", "float",
+                    "double", "decimal"):
+            d = F.lit(0).cast(dtype)
+        elif base == "string":
+            d = F.lit("")
+        elif base == "boolean":
+            d = F.lit(False)
+        elif base == "date":
+            d = F.lit("1970-01-01").cast("date")
+        elif base.startswith("timestamp"):
+            d = F.lit("1970-01-01 00:00:00").cast(dtype)
+        else:
+            d = F.lit(None).cast(dtype)
+        defaults.append(d.alias(name))
+    filled = missing.select(F.col(col), *defaults).select(df.columns)
+    return df.unionByName(filled).orderBy(col)
+
+
+def run(spark, sql: str, dictionaries: dict[str, tuple] | None = None):
+    """Translate-and-execute entry point: ``spark.sql(translate(sql))``
+    plus the clause that NEEDS the result schema — a trailing
+    ``ORDER BY key WITH FILL [FROM x] [TO y] [STEP n]`` is stripped,
+    the inner statement runs, and :func:`with_fill` inserts the gap
+    rows with ClickHouse's type-default fill values. Multi-key fills /
+    INTERPOLATE raise with a pointer."""
+    from pyspark.sql import functions as F
+
+    mask = _depth0_mask(sql.rstrip().rstrip(";"))
+    sql = sql.rstrip().rstrip(";")
+    wf = _WITH_FILL_RE.search(mask)
+    if not wf:
+        return spark.sql(translate(sql, dictionaries))
+    obs = [m for m in _OB_RE.finditer(mask) if m.start() < wf.start()]
+    if not obs:
+        raise ValueError("WITH FILL without a top-level ORDER BY")
+    ob = obs[-1]
+    key = sql[ob.end() : wf.start()].strip()
+    if "," in key or not re.fullmatch(r"[A-Za-z_][\w.]*", key):
+        raise ValueError(
+            "WITH FILL is translated for a single simple sort key; for "
+            "multi-key or expression fills use functions.dialect.with_fill "
+            "directly on the inner query's DataFrame"
+        )
+    tail = sql[wf.end() :]
+    tmask = mask[wf.end() :]
+    if re.search(r"\binterpolate\b", tmask, re.I):
+        raise ValueError(
+            "WITH FILL … INTERPOLATE is not translated (use a window "
+            "last_value(ignorenulls) over the filled frame)"
+        )
+    kws = list(_FTS_RE.finditer(tmask))
+    parts: dict[str, str] = {}
+    for i, m in enumerate(kws):
+        end = kws[i + 1].start() if i + 1 < len(kws) else len(tail)
+        parts[m.group(1).lower()] = tail[m.end() : end].strip()
+    leftover = tail[: kws[0].start()].strip() if kws else tail.strip()
+    if leftover:
+        raise ValueError(f"WITH FILL: unparsed modifier {leftover!r}")
+
+    def ex(tok: str | None):
+        if tok is None:
+            return None
+        if re.fullmatch(r"\d+", tok):
+            return int(tok)
+        return F.expr(translate(tok, dictionaries))
+
+    df = spark.sql(translate(sql[: ob.start()], dictionaries))
+    return with_fill(
+        df,
+        key.rsplit(".", 1)[-1],
+        start=ex(parts.get("from")),
+        stop=ex(parts.get("to")),
+        step=ex(parts.get("step")),
+    )

@@ -470,3 +470,50 @@ def ch_asof_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("click_id").cast("long").alias("click_id"),
         _F.col("gap_s").cast("long").alias("gap_s"),
     )
+
+
+@query(
+    "ch_with_fill_dialect",
+    """
+    WITH a AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS val_sum
+      FROM events
+      WHERE event_type = 'signup' AND user_id % 37 = 0
+      GROUP BY day),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM a),
+    cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+            FROM b)
+    SELECT cal.day,
+           CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,
+           CAST(coalesce(val_sum, 0) AS BIGINT) AS val_sum
+    FROM cal LEFT JOIN a USING (day)
+    """,
+)
+def ch_with_fill_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY day WITH FILL`` pasted verbatim through
+    ``dialect.run`` (round 3): the runner strips the clause, executes
+    the translated rollup, and the schema-aware with_fill operator
+    inserts the gap days with ClickHouse's type-default fills (counts
+    become 0, not NULL). The oracle re-derives the same calendar with
+    generate_series + coalesce."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.functions.dialect import run
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        _F.to_date("ts").alias("day"),
+        "event_type",
+        "user_id",
+        _F.floor(_F.col("value") * 1000).cast("long").alias("val"),
+    ).createOrReplaceTempView("ch_wf_events")
+    ch = """
+        SELECT day, count() AS cnt, sum(val) AS val_sum
+        FROM ch_wf_events
+        WHERE event_type = 'signup' AND user_id % 37 = 0
+        GROUP BY day
+        ORDER BY day WITH FILL
+    """
+    return run(spark, ch)

@@ -1092,3 +1092,70 @@ def test_translate_asof_join(spark):
         translate(
             "SELECT * FROM a ASOF JOIN b ON toDate(a.d) = b.d AND a.t >= b.t"
         )
+
+
+def test_with_fill_runner(spark):
+    """Round-3 dialect.run: ORDER BY … WITH FILL strips to the
+    schema-aware with_fill operator — type-default fills (CH semantics,
+    not NULL), exclusive TO, preserved out-of-range rows, date step,
+    and gates for multi-key / INTERPOLATE."""
+    import datetime as dt
+
+    from clickhouse_learning_spark.functions.dialect import run, with_fill
+
+    spark.createDataFrame(
+        [(1, 10, "a"), (4, 40, "d"), (7, 70, "g")], "k int, v long, s string"
+    ).createOrReplaceTempView("wf_t")
+
+    rows = run(
+        spark, "SELECT k, sum(v) AS v, max(s) AS s FROM wf_t GROUP BY k "
+        "ORDER BY k WITH FILL"
+    ).collect()
+    assert [(r.k, r.v, r.s) for r in rows] == [
+        (1, 10, "a"), (2, 0, ""), (3, 0, ""), (4, 40, "d"),
+        (5, 0, ""), (6, 0, ""), (7, 70, "g"),
+    ]
+
+    # FROM/TO/STEP: TO exclusive, originals outside the grid preserved
+    rows2 = run(
+        spark, "SELECT k, sum(v) AS v FROM wf_t GROUP BY k "
+        "ORDER BY k WITH FILL FROM 0 TO 10 STEP 2"
+    ).collect()
+    assert [(r.k, r.v) for r in rows2] == [
+        (0, 0), (1, 10), (2, 0), (4, 40), (6, 0), (7, 70), (8, 0),
+    ]
+
+    # date key: default step = 1 day
+    spark.createDataFrame(
+        [(dt.date(2024, 1, 1), 5), (dt.date(2024, 1, 4), 7)],
+        "day date, cnt long",
+    ).createOrReplaceTempView("wf_d")
+    rows3 = run(
+        spark,
+        "SELECT day, sum(cnt) AS cnt FROM wf_d GROUP BY day "
+        "ORDER BY day WITH FILL",
+    ).collect()
+    assert [(str(r.day), r.cnt) for r in rows3] == [
+        ("2024-01-01", 5), ("2024-01-02", 0), ("2024-01-03", 0),
+        ("2024-01-04", 7),
+    ]
+
+    # no WITH FILL → plain translate+run
+    assert run(spark, "SELECT count() AS n FROM wf_t").collect()[0].n == 3
+
+    # gates
+    with pytest.raises(ValueError, match="single simple sort key"):
+        run(spark, "SELECT k, v FROM wf_t ORDER BY k, v WITH FILL")
+    with pytest.raises(ValueError, match="INTERPOLATE"):
+        run(spark, "SELECT k, sum(v) AS v FROM wf_t GROUP BY k "
+                   "ORDER BY k WITH FILL INTERPOLATE (v)")
+    # bare translate still gates with the run() pointer
+    with pytest.raises(ValueError, match="dialect.run"):
+        translate("SELECT k FROM wf_t ORDER BY k WITH FILL")
+
+    # operator form with explicit Column bounds
+    df = spark.createDataFrame([(2, 9)], "k int, v long")
+    got = with_fill(df, "k", start=F.lit(0), stop=F.lit(4))
+    assert [(r.k, r.v) for r in got.collect()] == [
+        (0, 0), (1, 0), (2, 9), (3, 0),
+    ]
