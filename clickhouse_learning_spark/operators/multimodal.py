@@ -174,6 +174,119 @@ def png_image(
     )
 
 
+def _gif_lzw(data: bytes, min_code: int, n_pixels: int):
+    """GIF-variant LZW decode (LSB-first bitstream, CLEAR/END codes,
+    code width grows 3→12 bits) → bytearray of palette indices, or None
+    on a malformed stream."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [None, None]
+    table = list(base)
+    width = min_code + 1
+    out = bytearray()
+    prev = None
+    big = int.from_bytes(data, "little")
+    bitpos, total = 0, len(data) * 8
+    while bitpos + width <= total and len(out) < n_pixels:
+        code = (big >> bitpos) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out if len(out) >= n_pixels else None
+
+
+def _gif_decode(payload: bytes):
+    """HxWx3 uint8 pixels of a GIF's FIRST frame via a pure-python LZW
+    inflate + numpy palette mapping (GIF87a/GIF89a, interlaced included;
+    the frame is composed onto the logical screen at its left/top
+    offset, background-filled). Returns None for payloads this path
+    can't handle, letting the caller fall through to the Pillow gate."""
+    import numpy as np
+
+    try:
+        if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        w, h = struct.unpack("<HH", payload[6:10])
+        flags, bg_idx = payload[10], payload[11]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+            pos += 3 * n
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x3B:  # trailer before any image
+                return None
+            if b0 == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                return None
+            left, top, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+            iflags = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw(b"".join(chunks), min_code, iw * ih)
+            if idx is None:
+                return None
+            frame = np.frombuffer(bytes(idx[: iw * ih]), dtype=np.uint8).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                order = np.concatenate(
+                    [np.arange(0, ih, 8), np.arange(4, ih, 8),
+                     np.arange(2, ih, 4), np.arange(1, ih, 2)]
+                )
+                de = np.empty_like(frame)
+                de[order] = frame
+                frame = de
+            if frame.max(initial=0) >= len(pal):
+                return None
+            canvas = np.full((h, w), bg_idx if gct is not None else 0, dtype=np.uint8)
+            eh, ew = max(0, min(ih, h - top)), max(0, min(iw, w - left))
+            canvas[top : top + eh, left : left + ew] = frame[:eh, :ew]
+            if canvas.max(initial=0) >= len(pal):
+                return None
+            return pal[canvas]
+        return None
+    except Exception:
+        return None
+
+
 def _png_decode(payload: bytes):
     """HxWx3 uint8 pixels of a non-interlaced 8-bit PNG (gray /
     gray+alpha / RGB / RGBA / palette) via stdlib zlib + numpy scanline
@@ -505,10 +618,12 @@ def _pixels(payload: bytes):
         if px is not None:
             return px
         return _pil_decode(payload)  # 16-bit / interlaced / exotic PNGs
-    if payload is not None and (
-        payload.startswith(b"\xff\xd8\xff")
-        or payload[:6] in (b"GIF87a", b"GIF89a")
-    ):
+    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+        px = _gif_decode(payload)
+        if px is not None:
+            return px
+        return _pil_decode(payload)  # malformed / exotic GIFs
+    if payload is not None and payload.startswith(b"\xff\xd8\xff"):
         return _pil_decode(payload)
     return None
 

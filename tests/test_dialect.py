@@ -465,8 +465,8 @@ def test_translate_totals_prewhere_final(spark):
 def test_translate_join_strictness(spark):
     """ClickHouse join modifiers: GLOBAL/ALL dropped, SEMI/ANTI LEFT →
     Spark LEFT SEMI/ANTI, ANY JOIN USING dedupes the right side
-    per-key (first-match semantics), ASOF gates at operators/asof,
-    trailing SETTINGS dropped."""
+    per-key (first-match semantics), ASOF translates (see
+    test_translate_asof_join), trailing SETTINGS dropped."""
     spark.createDataFrame(
         [(1, "x"), (2, "y"), (3, "z")], "k int, l string"
     ).createOrReplaceTempView("ch_l")
@@ -505,8 +505,10 @@ def test_translate_join_strictness(spark):
     ).collect()
     assert rows[0].n == 3
 
-    with pytest.raises(ValueError, match="asof"):
-        translate("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
+    # ASOF JOIN now TRANSLATES (round 3, _rewrite_asof_join) — the
+    # mechanical ON form becomes an intervalized equi-join
+    t = translate("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
+    assert "lead(t)" in t and "__ch_asof_end" in t
     with pytest.raises(ValueError, match="USING"):
         translate("SELECT * FROM a ANY LEFT JOIN b ON a.k = b.k")
     with pytest.raises(ValueError, match="swap"):

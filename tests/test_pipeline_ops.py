@@ -455,3 +455,103 @@ def test_png_decode_roundtrip_all_filters():
         + MM._png_chunk(b"IEND", b"")
     )
     assert MM._png_decode(png_16) is None
+
+
+def test_gif_decode_native():
+    """_gif_decode: pure-python LZW + palette mapping must reproduce
+    known pixels from a GIF assembled by an INDEPENDENT encoder written
+    here (spec-faithful early-change width growth, sub-block splitting,
+    interlace, local palette)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from clickhouse_learning_spark.operators import multimodal as MM
+
+    def lzw_encode(indices, min_code):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code, width = end + 1, min_code + 1
+        out_bits = []
+
+        def emit(code, w):
+            out_bits.append((code, w))
+
+        emit(clear, width)
+        cur = bytes([indices[0]])
+        for c in indices[1:]:
+            ext = cur + bytes([c])
+            if ext in table:
+                cur = ext
+                continue
+            emit(table[cur], width)
+            table[ext] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+            cur = bytes([c])
+        emit(table[cur], width)
+        emit(end, width)
+        big, pos = 0, 0
+        for code, w in out_bits:
+            big |= code << pos
+            pos += w
+        return big.to_bytes((pos + 7) // 8, "little")
+
+    def make_gif(w, h, indices, palette, interlace=False, local=False):
+        rows = np.asarray(indices, dtype=np.uint8).reshape(h, w)
+        if interlace:
+            order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            rows = rows[order]
+        n = len(palette)
+        pbits = max(1, (n - 1).bit_length()) - 1  # field stores bits-1
+        pal_bytes = np.asarray(palette, dtype=np.uint8).tobytes()
+        pal_bytes += b"\x00" * (3 * (2 << pbits) - len(pal_bytes))
+        min_code = max(2, (n - 1).bit_length())
+        data = lzw_encode(rows.reshape(-1).tolist(), min_code)
+        blocks = b"".join(
+            bytes([len(data[i : i + 255])]) + data[i : i + 255]
+            for i in range(0, len(data), 255)
+        ) + b"\x00"
+        if local:
+            head = (b"GIF89a" + _struct.pack("<HH", w, h) + bytes([0, 0, 0]))
+            idesc = bytes([0x2C]) + _struct.pack("<HHHH", 0, 0, w, h) + bytes(
+                [0x80 | (0x40 if interlace else 0) | pbits]
+            ) + pal_bytes
+        else:
+            head = (
+                b"GIF89a" + _struct.pack("<HH", w, h)
+                + bytes([0x80 | pbits, 0, 0]) + pal_bytes
+            )
+            idesc = bytes([0x2C]) + _struct.pack("<HHHH", 0, 0, w, h) + bytes(
+                [0x40 if interlace else 0]
+            )
+        # a GCE extension before the image exercises the skip path
+        ext = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+        return head + ext + idesc + bytes([min_code]) + blocks + b"\x3B"
+
+    pal = [(17 * i % 256, 31 * i % 256, 7 * i % 256) for i in range(16)]
+    w, h = 40, 40  # big enough to split sub-blocks and grow code width
+    idx = [(i * 7 + 3) % 16 for i in range(w * h)]
+    expected = np.asarray(pal, dtype=np.uint8)[
+        np.asarray(idx, dtype=np.uint8).reshape(h, w)
+    ]
+
+    plain = MM._gif_decode(make_gif(w, h, idx, pal))
+    assert plain is not None and np.array_equal(plain, expected)
+
+    inter = MM._gif_decode(make_gif(w, h, idx, pal, interlace=True))
+    assert inter is not None and np.array_equal(inter, expected)
+
+    local = MM._gif_decode(make_gif(w, h, idx, pal, local=True))
+    assert local is not None and np.array_equal(local, expected)
+
+    # the generic _pixels entry point takes the native path
+    assert np.array_equal(MM._pixels(make_gif(w, h, idx, pal)), expected)
+
+    # corrupt → None
+    assert MM._gif_decode(b"GIF89a" + b"\x00" * 10) is None
+    assert MM._gif_decode(None) is None
