@@ -1,0 +1,412 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT) decode — pure numpy +
+stdlib, no imaging library.
+
+Scope: baseline DCT process (SOF0), 8-bit, grayscale or YCbCr with
+sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, byte
+stuffing. Progressive (SOF2), arithmetic coding, 12-bit and hierarchical
+processes return None so the caller can fall to the Pillow gate.
+
+Everything here is from the public JPEG specification: canonical
+Huffman tables from the DHT count/symbol lists, zig-zag coefficient
+order, DC prediction with EXTEND sign decoding, per-table
+dequantization, the 8×8 type-III DCT as an orthonormal matrix product,
+and BT.601 YCbCr→RGB. The encoder half (``encode_baseline``) exists so
+tests can round-trip without Pillow; it uses the spec's Annex K example
+Huffman/quantization tables.
+
+Cost model: decode is per-image CPU with no Spark semantics — it runs
+inside the same ``mapInPandas`` Arrow streaming as every other media
+stage (operators/multimodal.py), so at 100 TB the work distributes with
+the payload partitioning; there is nothing relational to push down.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zig-zag order: index = zigzag position, value = row-major position
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8-point DCT-II matrix: A[k, n] = c_k/2 * cos((2n+1)kπ/16)
+_N = np.arange(8)
+_DCT = np.cos((2 * _N[None, :] + 1) * _N[:, None] * np.pi / 16) / 2.0
+_DCT[0] *= 1 / np.sqrt(2)
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _DCT.T @ block @ _DCT
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    return _DCT @ block @ _DCT.T
+
+
+class _Huff:
+    """Canonical Huffman table from DHT (counts per length, symbols)."""
+
+    def __init__(self, counts, symbols):
+        self.map: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                self.map[(ln, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+        # encode direction: symbol -> (code, length)
+        self.enc = {v: (c, ln) for (ln, c), v in self.map.items()}
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data; 0xFF00 de-stuffed,
+    restart markers surfaced via ``restart()``."""
+
+    def __init__(self, data: bytes, start: int):
+        self.d = data
+        self.i = start
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        d, i = self.d, self.i
+        if i >= len(d):
+            raise EOFError
+        b = d[i]
+        if b == 0xFF:
+            nxt = d[i + 1] if i + 1 < len(d) else 0
+            if nxt != 0x00:
+                raise EOFError  # marker — segment over
+        bit = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.i += 2 if b == 0xFF else 1
+        return bit
+
+    def huff(self, table: _Huff) -> int:
+        code, ln = 0, 0
+        for _ in range(16):
+            code = (code << 1) | self.read_bit()
+            ln += 1
+            sym = table.map.get((ln, code))
+            if sym is not None:
+                return sym
+        raise EOFError
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.read_bit()
+        if v < (1 << (s - 1)):  # negative branch of EXTEND
+            v -= (1 << s) - 1
+        return v
+
+    def align_restart(self):
+        """Skip to just past the next RSTn marker."""
+        self.bit = 0
+        d = self.d
+        i = self.i
+        while i + 1 < len(d):
+            if d[i] == 0xFF and 0xD0 <= d[i + 1] <= 0xD7:
+                self.i = i + 2
+                return
+            i += 1
+        raise EOFError
+
+
+def decode_baseline(payload: bytes):
+    """HxWx3 uint8 RGB (grayscale replicated), or None if not a
+    baseline JPEG this path handles."""
+    try:
+        if payload is None or payload[:2] != b"\xff\xd8":
+            return None
+        qt: dict[int, np.ndarray] = {}
+        hufftabs: dict[tuple[int, int], _Huff] = {}
+        comps = None
+        h = w = 0
+        restart = 0
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            body = payload[i + 4 : i + 2 + seglen]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 15
+                    if pq != 0:
+                        return None  # 16-bit tables: not baseline-8
+                    tbl = np.zeros(64)
+                    tbl[ZIGZAG] = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=j + 1
+                    )
+                    qt[tq] = tbl.reshape(8, 8)
+                    j += 65
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j < len(body):
+                    tc, th = body[j] >> 4, body[j] & 15
+                    counts = list(body[j + 1 : j + 17])
+                    nsym = sum(counts)
+                    syms = list(body[j + 17 : j + 17 + nsym])
+                    hufftabs[(tc, th)] = _Huff(counts, syms)
+                    j += 17 + nsym
+            elif marker == 0xC0:  # SOF0 baseline
+                if body[0] != 8:
+                    return None
+                h, w = struct.unpack(">HH", body[1:5])
+                nc = body[5]
+                comps = []
+                for c in range(nc):
+                    cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                    comps.append(
+                        {"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq}
+                    )
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline process
+            elif marker == 0xDD:  # DRI
+                (restart,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:  # SOS
+                ns = body[0]
+                sel = {}
+                for c in range(ns):
+                    cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                    sel[cid] = (tabs >> 4, tabs & 15)
+                return _scan(
+                    payload, i + 2 + seglen, comps, sel, qt, hufftabs,
+                    h, w, restart,
+                )
+            i += 2 + seglen
+        return None
+    except Exception:
+        return None
+
+
+def _scan(payload, start, comps, sel, qt, hufftabs, h, w, restart):
+    if not comps or any(c["h"] not in (1, 2) or c["v"] not in (1, 2)
+                        for c in comps):
+        return None
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+    br = _BitReader(payload, start)
+    preds = [0] * len(comps)
+    mcu_i = 0
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and mcu_i and mcu_i % restart == 0:
+                    br.align_restart()
+                    preds = [0] * len(comps)
+                mcu_i += 1
+                for ci, c in enumerate(comps):
+                    dc_t = hufftabs.get((0, sel[c["id"]][0]))
+                    ac_t = hufftabs.get((1, sel[c["id"]][1]))
+                    q = qt[c["tq"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = np.zeros(64)
+                            t = br.huff(dc_t)
+                            preds[ci] += br.receive_extend(t)
+                            coef[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = br.huff(ac_t)
+                                if rs == 0:
+                                    break
+                                if rs == 0xF0:
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                if k > 63:
+                                    return None
+                                coef[ZIGZAG[k]] = br.receive_extend(rs & 15)
+                                k += 1
+                            block = _idct2(coef.reshape(8, 8) * q) + 128
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    except EOFError:
+        pass  # truncated tail: keep what decoded
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(out[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = out[0], out[1] - 128, out[2] - 128
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (tests / fixtures): 4:4:4 baseline with the spec's Annex K
+# example tables.
+# ---------------------------------------------------------------------------
+
+_K_LUM_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+
+# Annex K example DC/AC luminance Huffman specs (counts, symbols)
+_K_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_K_DC_SYMS = list(range(12))
+_K_AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_K_AC_SYMS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _encode_coef(v: int) -> tuple[int, int]:
+    """EXTEND inverse: value → (size, appended bits)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def encode_baseline(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """Minimal 4:4:4 baseline encoder (Annex K example tables shared by
+    all components) — exists so tests can round-trip decode_baseline
+    without an imaging library."""
+    h, w = rgb.shape[:2]
+    scale = (5000 / quality if quality < 50 else 200 - 2 * quality) / 100.0
+    q = np.clip(np.round(_K_LUM_Q * scale), 1, 255)
+    dc = _Huff(_K_DC_COUNTS, _K_DC_SYMS)
+    ac = _Huff(_K_AC_COUNTS, _K_AC_SYMS)
+
+    rgbf = rgb.astype(np.float64)
+    y = 0.299 * rgbf[:, :, 0] + 0.587 * rgbf[:, :, 1] + 0.114 * rgbf[:, :, 2]
+    cb = -0.168736 * rgbf[:, :, 0] - 0.331264 * rgbf[:, :, 1] + 0.5 * rgbf[:, :, 2] + 128
+    cr = 0.5 * rgbf[:, :, 0] - 0.418688 * rgbf[:, :, 1] - 0.081312 * rgbf[:, :, 2] + 128
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = []
+    for plane in (y, cb, cr):
+        p = np.empty((ph, pw))
+        p[:h, :w] = plane
+        p[h:, :w] = plane[-1:, :]
+        p[:, w:] = p[:, w - 1 : w]
+        padded.append(p - 128)
+    inv_zz = np.argsort(ZIGZAG)  # row-major position → zigzag index
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            for ci in range(3):
+                block = padded[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                coef = np.round(_fdct2(block) / q).astype(np.int64)
+                zz = np.zeros(64, dtype=np.int64)
+                zz[inv_zz.reshape(8, 8).reshape(-1)] = coef.reshape(-1)
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                s, bits = _encode_coef(diff)
+                code, ln = dc.enc[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(bits, s)
+                run = 0
+                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac.enc[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                    s, bits = _encode_coef(int(zz[k]))
+                    code, ln = ac.enc[(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(bits, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac.enc[0x00]  # EOB
+                    bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qz = np.zeros(64, dtype=np.uint8)
+    qz[np.arange(64)] = q.reshape(-1)[ZIGZAG]
+    dqt = seg(0xDB, bytes([0]) + qz.tobytes())
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+              + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_K_DC_COUNTS) + bytes(_K_DC_SYMS)) \
+        + seg(0xC4, bytes([0x10]) + bytes(_K_AC_COUNTS) + bytes(_K_AC_SYMS))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9")

@@ -11,15 +11,19 @@ metadata struct. The pipeline is REAL for uncompressed formats:
 - **video** — an ``RVID`` raw container (length-prefixed PPM frame
   train); frame sampling extracts real decodable frame payloads.
 
-**PNG pixel decode is real** (round 3): stdlib ``zlib`` inflate + numpy
-scanline unfiltering (all five PNG filters; 8-bit gray / gray+alpha /
-RGB / RGBA / palette, non-interlaced) — no imaging library needed.
-Remaining *compressed* codecs (JPEG/GIF/WebP/MP4/Opus…, plus interlaced
-or 16-bit PNG) are gated: no media libraries ship in this container, so
-decode raises a clear NotImplementedError for those magics (install
-Pillow/av and extend the parser; the mapInPandas plumbing is
-format-agnostic; the legacy ``FIMG`` fake header is still parsed for
-older fixtures).
+**PNG, GIF and baseline-JPEG pixel decode are real** (round 3): PNG via
+stdlib ``zlib`` inflate + numpy scanline unfiltering (all five PNG
+filters; 8-bit gray / gray+alpha / RGB / RGBA / palette,
+non-interlaced), GIF via a pure-python variable-width LZW + palette
+mapping (87a/89a, interlaced included), JPEG via a numpy baseline
+sequential-DCT decoder (operators/jpeg.py: canonical Huffman, EXTEND,
+dequant, orthonormal IDCT, 4:4:4/4:2:2/4:2:0, restart markers) — no
+imaging library needed. Remaining *compressed* codecs
+(progressive/arithmetic JPEG, WebP, MP4/Opus…, 16-bit or interlaced
+PNG) are gated: no media libraries ship in this container, so decode
+raises a clear NotImplementedError for those magics (install Pillow/av
+and extend the parser; the mapInPandas plumbing is format-agnostic; the
+legacy ``FIMG`` fake header is still parsed for older fixtures).
 
 At 100 TB: payloads dominate row size, so operators here always select
 the narrowest columns first (payload column pruned away unless needed),
@@ -393,8 +397,8 @@ def build_media_table(
     real zlib-compressed PNGs (pixel values identical to the PPM form;
     per-line filter cycles through all five PNG filters so decode
     exercises every unfilter path)."""
-    if fmt not in ("ppm", "png"):
-        raise ValueError(f"fmt must be ppm|png, got {fmt!r}")
+    if fmt not in ("ppm", "png", "jpeg"):
+        raise ValueError(f"fmt must be ppm|png|jpeg, got {fmt!r}")
     w = (F.col(id_col) % 64 + 16).cast("int")
     h = (F.col(id_col) % 48 + 16).cast("int")
     pdf = (
@@ -406,10 +410,26 @@ def build_media_table(
             F.col("source"),
         )
     )
-    make = ppm_image if fmt == "ppm" else (
-        lambda m, wi, hi: png_image(m, wi, hi, filter_type=m % 5)
-    )
-    mime = "image/x-portable-pixmap" if fmt == "ppm" else "image/png"
+    if fmt == "ppm":
+        make, mime = ppm_image, "image/x-portable-pixmap"
+    elif fmt == "png":
+        make = lambda m, wi, hi: png_image(m, wi, hi, filter_type=m % 5)  # noqa: E731
+        mime = "image/png"
+    else:
+
+        def make(m, wi, hi):
+            import numpy as np
+
+            from clickhouse_learning_spark.operators.jpeg import encode_baseline
+
+            idx = np.arange(wi * hi * 3, dtype=np.uint64)
+            px = (
+                (np.uint64(m) * np.uint64(2654435761) + idx * np.uint64(40503))
+                & np.uint64(0xFF)
+            ).astype(np.uint8).reshape(hi, wi, 3)
+            return encode_baseline(px, quality=90)
+
+        mime = "image/jpeg"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -575,11 +595,13 @@ def _pil_decode(payload: bytes):
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         raise NotImplementedError(
-            "compressed image PIXEL decode (JPEG/GIF/WebP, or 16-bit/"
-            "interlaced PNG) needs Pillow (`pip install Pillow`); 8-bit "
-            "PNG decodes natively (_png_decode, stdlib zlib), header-only "
-            "dimensions work for every format (decode_image_meta), and "
-            "the mapInPandas plumbing is format-agnostic"
+            "compressed image PIXEL decode (progressive/arithmetic JPEG, "
+            "WebP, 16-bit PNG, malformed GIF) needs Pillow (`pip install "
+            "Pillow`); 8-bit PNG (_png_decode), GIF (_gif_decode) and "
+            "baseline JPEG (operators/jpeg.decode_baseline) decode "
+            "natively, header-only dimensions work for every format "
+            "(decode_image_meta), and the mapInPandas plumbing is "
+            "format-agnostic"
         ) from None
 
 
@@ -624,7 +646,12 @@ def _pixels(payload: bytes):
             return px
         return _pil_decode(payload)  # malformed / exotic GIFs
     if payload is not None and payload.startswith(b"\xff\xd8\xff"):
-        return _pil_decode(payload)
+        from clickhouse_learning_spark.operators.jpeg import decode_baseline
+
+        px = decode_baseline(payload)
+        if px is not None:
+            return px
+        return _pil_decode(payload)  # progressive / arithmetic / 12-bit
     return None
 
 

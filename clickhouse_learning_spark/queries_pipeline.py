@@ -694,6 +694,21 @@ QUERIES["multimodal_png_pixel_sums"] = multimodal_png_pixel_sums
 _ORACLES["multimodal_png_pixel_sums"] = _ORACLES["multimodal_pixel_sums"]
 
 
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel feature extraction over REAL baseline JPEG payloads:
+    payloads are encoded by operators/jpeg.encode_baseline and decoded
+    through the numpy sequential-DCT decoder — no imaging library on
+    either side. Rows-only driver check (JPEG is lossy, so channel
+    means are within quantization error of the source pixels rather
+    than hash-identical; the codec itself is hash-anchored by the
+    hand-assembled golden stream in tests/test_pipeline_ops.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.image_features(MM.build_media_table(spark, docs, fmt="jpeg"))
+
+
+QUERIES["multimodal_jpeg_features"] = multimodal_jpeg_features
+
+
 def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio spectral features (operators/multimodal.py
     audio_spectral_features): numpy-rFFT dominant frequency, spectral

@@ -555,3 +555,59 @@ def test_gif_decode_native():
     # corrupt → None
     assert MM._gif_decode(b"GIF89a" + b"\x00" * 10) is None
     assert MM._gif_decode(None) is None
+
+
+def test_jpeg_decode_native():
+    """Baseline JPEG codec (operators/jpeg.py): encoder round-trip
+    (flat exact, smooth gradient within quantization error) plus a
+    HAND-ASSEMBLED golden stream — single 8×8 grayscale block, DC-only,
+    flat-q=8 table, DC coef 5 → every pixel exactly 133 — which
+    validates the decoder's marker walk, canonical Huffman build,
+    EXTEND, dequant and IDCT independently of the encoder."""
+    import struct as _struct
+
+    import numpy as np
+
+    from clickhouse_learning_spark.operators import jpeg as J
+    from clickhouse_learning_spark.operators import multimodal as MM
+
+    for val in ((128, 128, 128), (200, 30, 90)):
+        img = np.full((24, 17, 3), val, dtype=np.uint8)
+        dec = J.decode_baseline(J.encode_baseline(img, quality=90))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1, val
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [(xx * 4) % 256, (yy * 3) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    enc = J.encode_baseline(img, quality=95)
+    dec = J.decode_baseline(enc)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+    # the generic _pixels entry point takes the native path
+    assert np.array_equal(MM._pixels(enc), dec)
+
+    # hand-assembled golden: DC table {3: len-3 code}, AC table
+    # {EOB: len-2 code}; data bits 000|101|00 = 0x14; q all-8s
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    qzz = bytes([8] * 64)
+    golden = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + qzz)
+        + seg(0xC0, bytes([8]) + _struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes([0, 0, 1] + [0] * 13) + bytes([3]))
+        + seg(0xC4, bytes([0x10]) + bytes([0, 1] + [0] * 14) + bytes([0x00]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes([0x14])
+        + b"\xff\xd9"
+    )
+    got = J.decode_baseline(golden)
+    assert got is not None and got.shape == (8, 8, 3)
+    assert np.all(got == 133), got[:2, :2, 0]
+
+    # progressive SOF2 → None (falls to the Pillow gate upstream)
+    prog = golden.replace(bytes([0xFF, 0xC0]), bytes([0xFF, 0xC2]), 1)
+    assert J.decode_baseline(prog) is None
+    assert J.decode_baseline(b"\xff\xd8\xff\xe0junk") is None
