@@ -694,6 +694,33 @@ QUERIES["multimodal_png_pixel_sums"] = multimodal_png_pixel_sums
 _ORACLES["multimodal_png_pixel_sums"] = _ORACLES["multimodal_pixel_sums"]
 
 
+def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a real BPE tokenizer on the documents corpus (one
+    distributed word-count shuffle + bounded driver merge loop,
+    operators/bpe.py) and encode every document with it — per-doc word
+    / subword counts plus the compression ratio, the gate run before
+    committing to a tokenizer. Rows-only driver check (the merge loop
+    is iterative, not SQL-expressible; the algorithm itself is verified
+    against an independent reference implementation in
+    tests/test_bpe.py, including the published worked example)."""
+    from clickhouse_learning_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.train_bpe(docs, n_merges=120, max_words=50_000)
+    enc = B.bpe_encode(docs, merges, id_col="doc_id")
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "n_subwords",
+        F.round(
+            F.col("n_subwords") / F.greatest(F.col("n_words"), F.lit(1)), 4
+        ).alias("subwords_per_word"),
+    )
+
+
+QUERIES["bpe_subword_stats"] = bpe_subword_stats
+
+
 def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-channel feature extraction over REAL baseline JPEG payloads:
     payloads are encoded by operators/jpeg.encode_baseline and decoded
