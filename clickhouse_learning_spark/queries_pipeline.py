@@ -706,7 +706,10 @@ def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_learning_spark.operators import bpe as B
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = B.train_bpe(docs, n_merges=120, max_words=50_000)
+    # 25 merges: the fixture's vocabulary is ~31 distinct words, so a
+    # larger budget fully merges every word and the ratio flatlines at
+    # 1.0; a partial budget keeps per-doc variance visible
+    merges = B.train_bpe(docs, n_merges=25, max_words=50_000)
     enc = B.bpe_encode(docs, merges, id_col="doc_id")
     return enc.select(
         F.col("id").alias("doc_id"),

@@ -707,7 +707,9 @@ def test_translate_minmax_count_avg_state_merge(spark):
 
 
 def test_translate_with_fill_gate():
-    with pytest.raises(ValueError, match="with_fill_days"):
+    # bare translate() still gates (fill values need the result schema);
+    # the message points at the round-3 schema-aware runner
+    with pytest.raises(ValueError, match="dialect.run"):
         translate("SELECT d, sum(v) FROM t GROUP BY d ORDER BY d WITH FILL")
 
 
