@@ -295,11 +295,13 @@ def main() -> None:
 
     # skew story end-to-end (reference: uid%13 heavy clickers,
     # make_user_action_001.py:71): 100M rows where HALF the traffic
-    # lands on 8 hot uids, joined to a 3M-row dim (too big to
-    # broadcast). Two strategies benched: AQE's skew-split (session
-    # default) on the plain join, and the explicit salted_join for the
-    # cases AQE can't rescue. Equal results by construction; the
-    # timings prove neither stalls on the hot keys.
+    # lands on 8 hot uids, joined to a 3M-row dim. Two strategies
+    # benched: AQE skew-split/runtime-broadcast on the plain join (the
+    # first line of defense — and the winner whenever the dim turns out
+    # broadcastable), and the explicit salted_join (pinned sort-merge)
+    # for the cases AQE can't rescue. Equal results by construction;
+    # the timings prove NEITHER stalls on the hot keys — without
+    # mitigation the 8 hot uids serialize into single straggler tasks.
     from clickhouse_learning_spark.operators.skew import salted_join
 
     skew_fact = spark.range(100_000_000).select(
@@ -323,7 +325,7 @@ def main() -> None:
     timings["skew_join_aqe_100m_8hot"] = round(time.time() - t0, 3)
     t0 = time.time()
     (
-        salted_join(skew_fact, skew_dim, "uid", n_salts=32)
+        salted_join(skew_fact, skew_dim, "uid", n_salts=16)
         .groupBy("seg")
         .agg(F.sum("v").alias("s"))
         .write.format("noop")

@@ -118,7 +118,15 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         f"date_trunc('MINUTE', {_one(a, 'toStartOfMinute')})"
     )
     m["toStartOfMonth"] = lambda a: f"trunc({_one(a, 'toStartOfMonth')}, 'MONTH')"
-    m["toStartOfWeek"] = lambda a: f"trunc({_one(a, 'toStartOfWeek')}, 'WEEK')"
+    # CH toStartOfWeek defaults to mode 0 = SUNDAY-start (the Monday
+    # round-down is toMonday / mode 1); Spark trunc(…,'WEEK') is
+    # Monday-start, so subtract (dayofweek-1) days instead
+    m["toStartOfWeek"] = lambda a: (
+        lambda x: f"date_sub(to_date({x}), dayofweek({x}) - 1)"
+    )(_one(a, "toStartOfWeek"))
+    m["toMonday"] = lambda a: (
+        f"to_date(trunc({_one(a, 'toMonday')}, 'WEEK'))"
+    )
     # date/time parts and arithmetic (direct Spark equivalents)
     for _ch, _sp in (
         ("toYear", "year"), ("toMonth", "month"), ("toQuarter", "quarter"),

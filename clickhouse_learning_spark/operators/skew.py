@@ -37,4 +37,12 @@ def salted_join(
     d = dim.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    return f.join(d, [key, SALT_COL], how).drop(SALT_COL)
+    # Pin the strategy to a sort-merge join: salting exists for dims too
+    # big to broadcast, but Catalyst's size estimate of the exploded
+    # side is the PRE-explode size (generators don't scale stats), so
+    # left alone it may attempt an n_salts-times-larger broadcast than
+    # it planned for — observed as cannotBroadcastTableOverMaxTableBytes
+    # on a 3M-row dim at n_salts=32. Merge (not shuffle_hash): the
+    # replicated build side is n_salts× the dim and a per-partition hash
+    # map of it OOMs under full task concurrency, while SMJ spills.
+    return f.join(d.hint("merge"), [key, SALT_COL], how).drop(SALT_COL)

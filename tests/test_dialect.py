@@ -1163,3 +1163,23 @@ def test_with_fill_runner(spark):
     assert [(r.k, r.v) for r in got.collect()] == [
         (0, 0), (1, 0), (2, 9), (3, 0),
     ]
+
+
+def test_translate_week_start_functions(spark):
+    """toStartOfWeek defaults to SUNDAY-start in ClickHouse (mode 0);
+    toMonday is the Monday round-down. Verified over two full years
+    against pure-Python date arithmetic."""
+    import datetime as dt
+
+    rows = spark.sql(
+        "SELECT d, "
+        + translate("toStartOfWeek(d)") + " AS sun, "
+        + translate("toMonday(d)") + " AS mon FROM "
+        "(SELECT explode(sequence(DATE '2023-01-01', DATE '2024-12-31')) AS d)"
+    ).collect()
+    for r in rows:
+        # Python weekday(): Monday=0..Sunday=6
+        exp_sun = r.d - dt.timedelta(days=(r.d.weekday() + 1) % 7)
+        exp_mon = r.d - dt.timedelta(days=r.d.weekday())
+        assert r.sun == exp_sun, (r.d, r.sun, exp_sun)
+        assert r.mon == exp_mon, (r.d, r.mon, exp_mon)
