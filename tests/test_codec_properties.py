@@ -1,0 +1,190 @@
+"""Property-based round-trips for the round-3 pure-python codecs:
+random inputs through encode→decode must be identity (PNG, GIF,
+portable roaring) or within quantization error (JPEG). No Spark
+session needed — these are the codec kernels the mapInPandas stages
+call per Arrow batch."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    ft=st.integers(0, 4),
+)
+def test_png_roundtrip_random(w, h, seed, ft):
+    from clickhouse_learning_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    # encode by hand through png_image's machinery: reuse the filter
+    # logic by writing raw IDAT ourselves via the public encoder with a
+    # chosen filter is id-pattern-bound, so build the PNG directly
+    import struct
+    import zlib
+
+    raw = px.reshape(h, w * 3).astype(np.int16)
+    prior = np.zeros(w * 3, dtype=np.int16)
+    lines = []
+    for y in range(h):
+        line = raw[y]
+        left = np.concatenate([np.zeros(3, dtype=np.int16), line[:-3]])
+        ul = np.concatenate([np.zeros(3, dtype=np.int16), prior[:-3]])
+        if ft == 0:
+            filt = line
+        elif ft == 1:
+            filt = line - left
+        elif ft == 2:
+            filt = line - prior
+        elif ft == 3:
+            filt = line - (left + prior) // 2
+        else:
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = line - pred
+        lines.append(bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prior = line
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + MM._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + MM._png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    got = MM._png_decode(png)
+    assert got is not None and np.array_equal(got, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(0, 2000),
+    seed=st.integers(0, 2**31 - 1),
+    dense=st.booleans(),
+)
+def test_portable_roaring_roundtrip_random(n, seed, dense):
+    from clickhouse_learning_spark.functions import roaring as RB
+
+    rng = np.random.default_rng(seed)
+    if dense:
+        # force a bitmap container: >4096 values in one 64k block
+        base = rng.integers(0, 4, size=1) * 65536
+        vals = base + rng.choice(65536, size=min(60000, 4097 + n), replace=False)
+    else:
+        vals = rng.integers(0, 2**32, size=n, dtype=np.uint64)
+    vals = np.unique(vals.astype(np.uint32))
+    internal = RB.serialize(vals)
+    back = RB.from_portable(RB.to_portable(internal))
+    assert np.array_equal(RB.deserialize(back), vals)
+    assert RB.cardinality(back) == len(vals)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.integers(8, 32),
+    h=st.integers(8, 32),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_smooth_random(w, h, seed):
+    """Smooth random fields (low-frequency) must survive encode/decode
+    within a small quantization bound at quality 95."""
+    from clickhouse_learning_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    # random plane + bilinear-ish smoothness via cumulative means
+    base = rng.integers(60, 196, size=3)
+    yy, xx = np.mgrid[0:h, 0:w]
+    slopes = rng.uniform(-1.5, 1.5, size=(3, 2))
+    img = np.stack(
+        [
+            np.clip(base[c] + slopes[c, 0] * xx + slopes[c, 1] * yy, 0, 255)
+            for c in range(3)
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    dec = J.decode_baseline(J.encode_baseline(img, quality=95))
+    assert dec is not None and dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 30),
+    h=st.integers(1, 30),
+    ncol=st.integers(2, 64),
+    seed=st.integers(0, 2**31 - 1),
+    interlace=st.booleans(),
+)
+def test_gif_roundtrip_random(w, h, ncol, seed, interlace):
+    """Random palettes/index fields through the in-test spec encoder
+    (see test_pipeline_ops.test_gif_decode_native) and _gif_decode."""
+    from tests.test_pipeline_ops import test_gif_decode_native  # noqa: F401
+    from clickhouse_learning_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    pal = [tuple(int(x) for x in rng.integers(0, 256, size=3)) for _ in range(ncol)]
+    idx = rng.integers(0, ncol, size=w * h).tolist()
+
+    # reuse the independent encoder from the unit test module
+    import struct as _struct
+
+    def lzw_encode(indices, min_code):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code, width = end + 1, min_code + 1
+        out_bits = []
+        out_bits.append((clear, width))
+        cur = bytes([indices[0]])
+        for c in indices[1:]:
+            ext = cur + bytes([c])
+            if ext in table:
+                cur = ext
+                continue
+            out_bits.append((table[cur], width))
+            table[ext] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+            cur = bytes([c])
+        out_bits.append((table[cur], width))
+        out_bits.append((end, width))
+        big, pos = 0, 0
+        for code, wd in out_bits:
+            big |= code << pos
+            pos += wd
+        return big.to_bytes((pos + 7) // 8, "little")
+
+    rows = np.asarray(idx, dtype=np.uint8).reshape(h, w)
+    send = rows
+    if interlace:
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8),
+             np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        send = rows[order]
+    pbits = max(1, (ncol - 1).bit_length()) - 1
+    pal_bytes = np.asarray(pal, dtype=np.uint8).tobytes()
+    pal_bytes += b"\x00" * (3 * (2 << pbits) - len(pal_bytes))
+    min_code = max(2, (ncol - 1).bit_length())
+    data = lzw_encode(send.reshape(-1).tolist(), min_code)
+    blocks = b"".join(
+        bytes([len(data[i : i + 255])]) + data[i : i + 255]
+        for i in range(0, len(data), 255)
+    ) + b"\x00"
+    gif = (
+        b"GIF89a" + _struct.pack("<HH", w, h)
+        + bytes([0x80 | pbits, 0, 0]) + pal_bytes
+        + bytes([0x2C]) + _struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x40 if interlace else 0])
+        + bytes([min_code]) + blocks + b"\x3B"
+    )
+    got = MM._gif_decode(gif)
+    assert got is not None
+    assert np.array_equal(got, np.asarray(pal, dtype=np.uint8)[rows])
