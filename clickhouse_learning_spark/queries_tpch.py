@@ -686,3 +686,197 @@ def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "cents", F.round("_z", 4).alias("z"))
         .orderBy("day")
     )
+
+
+@query(
+    "late_ship_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS over the fact table
+    (orders with any lineitem shipped > 60 days after order) →
+    decorrelated to a LEFT SEMI join with a mixed equi + range
+    condition. Spark hashes on the equi key and applies the date range
+    as a residual — no inequality-join blowup; the semi join emits each
+    order at most once regardless of match count. The fixture has no
+    l_commitdate/l_receiptdate, so "late" is shipdate vs orderdate."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "order_count_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a join-time filter (the filter
+    must live in the ON clause — in WHERE it would turn the outer join
+    inner), per-customer order counts including zero, then the count
+    distribution. Two aggregations, both map-side combinable; the
+    customer side stays on its own key for the first groupBy so the
+    join shuffle is reused."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "large_volume_orders",
+    """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+    GROUP BY o_orderkey, o_totalprice
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery → LEFT SEMI
+    against the pre-aggregated key set. The membership aggregation and
+    the final per-order rollup both key on l_orderkey, so AQE reuses
+    one shuffle layout; quantities are integral in the fixture and
+    summed as BIGINT on both engines (no float drift)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("s"))
+        .filter(F.col("s") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+        )
+        .agg(F.sum("qty").alias("sum_qty"))
+        .select("o_orderkey", "total_cents", "sum_qty")
+    )
+
+
+@query(
+    "disjunctive_brand_revenue",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions
+    across both join sides. Catalyst extracts the common-side
+    implications (the l_quantity range union pushes to the lineitem
+    scan, the brand/size union to the part scan) and evaluates the full
+    OR as a post-join residual — the part side broadcasts. Money math
+    in integer cents on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("revenue_e4")
+    )
+
+
+@query(
+    "idle_rich_customers",
+    """
+    WITH bal AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer),
+    pos AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM bal WHERE bal_cents > 0)
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(bal_cents) AS BIGINT) AS total_cents
+    FROM bal, pos
+    WHERE bal_cents * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average account balance (the boundary is
+    integerized — ``bal·n > Σbal`` in exact cents, never a float-avg
+    comparison that could flip boundary rows between engines) and NOT
+    EXISTS orders → LEFT ANTI join; the 1-row global aggregate joins as
+    a broadcast. Grouped by nation as the country-code analog (the
+    fixture has no c_phone)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        F.col("bal_cents") * F.col("n") > F.col("s")
+    )
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("total_cents"),
+        )
+    )

@@ -274,3 +274,21 @@ def test_small_quantity_revenue_plan(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # partial/final split on the final brand rollup
     assert p.count("HashAggregate") >= 2
+
+
+def test_decorrelation_shapes(spark):
+    """Round-3 TPC-H decorrelation additions: EXISTS → LeftSemi with
+    the date range as residual (no nested-loop), IN-HAVING → LeftSemi
+    over the pre-aggregated key set, NOT EXISTS → LeftAnti, and the
+    1-row global-aggregate comparisons broadcast."""
+    import clickhouse_learning_spark.queries_tpch  # noqa: F401
+
+    p4 = plan_text(QUERIES["late_ship_priority"](spark, SF_SMOKE))
+    assert "LeftSemi" in p4 and "CartesianProduct" not in p4
+
+    p18 = plan_text(QUERIES["large_volume_orders"](spark, SF_SMOKE))
+    assert "LeftSemi" in p18
+
+    p22 = plan_text(QUERIES["idle_rich_customers"](spark, SF_SMOKE))
+    assert "LeftAnti" in p22
+    assert "BroadcastNestedLoopJoin" in p22 or "BroadcastHashJoin" in p22
