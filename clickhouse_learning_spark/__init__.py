@@ -52,6 +52,10 @@ def __getattr__(name):
         from clickhouse_learning_spark.mv.sql_rewrite import run_clickhouse
 
         return run_clickhouse
+    if name == "dialect":
+        from clickhouse_learning_spark.functions import dialect
+
+        return dialect
     raise AttributeError(name)
 
 
@@ -63,5 +67,6 @@ __all__ = [
     "translate",
     "deploy",
     "run_clickhouse",
+    "dialect",
 ]
-__version__ = "0.3.0"
+__version__ = "0.4.0"
