@@ -294,17 +294,19 @@ def main() -> None:
     timings["join_100m_fact_1m_dim"] = round(time.time() - t0, 3)
 
     # skew story end-to-end (reference: uid%13 heavy clickers,
-    # make_user_action_001.py:71): 100M rows where HALF the traffic
+    # make_user_action_001.py:71): 50M rows where HALF the traffic
     # lands on 8 hot uids, joined to a 3M-row dim. Two strategies
-    # benched: AQE skew-split/runtime-broadcast on the plain join (the
-    # first line of defense — and the winner whenever the dim turns out
-    # broadcastable), and the explicit salted_join (pinned sort-merge)
-    # for the cases AQE can't rescue. Equal results by construction;
-    # the timings prove NEITHER stalls on the hot keys — without
-    # mitigation the 8 hot uids serialize into single straggler tasks.
+    # benched best-of-N: AQE skew-split/runtime-broadcast on the plain
+    # join (the first line of defense — and the winner whenever the dim
+    # turns out broadcastable), and the explicit salted_join (pinned
+    # sort-merge; its cost = sorting fact + n_salts·dim, the price of
+    # the pattern) for the cases AQE can't rescue. Equal results by
+    # construction; the timings prove NEITHER stalls on the hot keys —
+    # without mitigation the hot uids serialize into straggler tasks.
     from clickhouse_learning_spark.operators.skew import salted_join
 
-    skew_fact = spark.range(100_000_000).select(
+    spark.catalog.clearCache()  # isolate from earlier entries' memory
+    skew_fact = spark.range(50_000_000).select(
         F.when(F.col("id") % 2 == 0, (F.col("id") % 8) * 13)
         .otherwise(F.col("id") % 3_000_000)
         .alias("uid"),
@@ -313,26 +315,30 @@ def main() -> None:
     skew_dim = spark.range(3_000_000).select(
         F.col("id").alias("uid"), (F.col("id") % 25).alias("seg")
     )
-    t0 = time.time()
-    (
-        skew_fact.join(skew_dim, "uid")
-        .groupBy("seg")
-        .agg(F.sum("v").alias("s"))
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
-    timings["skew_join_aqe_100m_8hot"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    (
-        salted_join(skew_fact, skew_dim, "uid", n_salts=16)
-        .groupBy("seg")
-        .agg(F.sum("v").alias("s"))
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
-    timings["skew_join_salted_100m_8hot"] = round(time.time() - t0, 3)
+    best_aqe = best_salt = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        (
+            skew_fact.join(skew_dim, "uid")
+            .groupBy("seg")
+            .agg(F.sum("v").alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        best_aqe = min(best_aqe, time.time() - t0)
+        t0 = time.time()
+        (
+            salted_join(skew_fact, skew_dim, "uid", n_salts=16)
+            .groupBy("seg")
+            .agg(F.sum("v").alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        best_salt = min(best_salt, time.time() - t0)
+    timings["skew_join_aqe_50m_8hot"] = round(best_aqe, 3)
+    timings["skew_join_salted_50m_8hot"] = round(best_salt, 3)
 
     # the reference's 1-billion-row sumState benchmark shape
     # (BASELINE.md: 3.201s / 312M rows/s on ClickHouse 21.3)
