@@ -178,6 +178,71 @@ def png_image(
     )
 
 
+def gif_image(media_id: int, width: int, height: int) -> bytes:
+    """A VALID GIF89a with deterministic pixels: palette index
+    idx[i] = (id·2654435761 + i·40503) mod 256 (one lane of the PPM
+    formula), palette entry p = (p, 7p mod 256, 13p mod 256) — so the
+    channel sums stay closed-form for the SQL oracle while the payload
+    is a genuine LZW-compressed GIF. Encoder: spec LZW with
+    early-change width growth, 255-byte sub-blocks."""
+    import numpy as np
+
+    idx = np.arange(width * height, dtype=np.uint64)
+    px = (
+        (np.uint64(media_id) * np.uint64(2654435761) + idx * np.uint64(40503))
+        & np.uint64(0xFF)
+    ).astype(np.uint8)
+    p = np.arange(256, dtype=np.uint64)
+    pal = np.stack([p, (p * 7) % 256, (p * 13) % 256], axis=1).astype(np.uint8)
+
+    min_code = 8
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, bitw = end + 1, min_code + 1
+    out_bits = [(clear, bitw)]
+    seq = px.tolist()
+    cur = bytes([seq[0]])
+    for c in seq[1:]:
+        ext = cur + bytes([c])
+        if ext in table:
+            cur = ext
+            continue
+        out_bits.append((table[cur], bitw))
+        if next_code < 4096:
+            table[ext] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << bitw) and bitw < 12:
+                bitw += 1
+        else:  # table full: reset (keeps the encoder unconditionally valid)
+            out_bits.append((clear, bitw))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, bitw = end + 1, min_code + 1
+        cur = bytes([c])
+    out_bits.append((table[cur], bitw))
+    out_bits.append((end, bitw))
+    big, pos = 0, 0
+    for code, w in out_bits:
+        big |= code << pos
+        pos += w
+    data = big.to_bytes((pos + 7) // 8, "little")
+    blocks = b"".join(
+        bytes([len(data[i : i + 255])]) + data[i : i + 255]
+        for i in range(0, len(data), 255)
+    ) + b"\x00"
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0x80 | 7, 0, 0])  # 256-entry global palette
+        + pal.tobytes()
+        + bytes([0x2C])
+        + struct.pack("<HHHH", 0, 0, width, height)
+        + bytes([0])
+        + bytes([min_code])
+        + blocks
+        + b"\x3b"
+    )
+
+
 def _gif_lzw(data: bytes, min_code: int, n_pixels: int):
     """GIF-variant LZW decode (LSB-first bitstream, CLEAR/END codes,
     code width grows 3→12 bits) → bytearray of palette indices, or None
@@ -397,8 +462,8 @@ def build_media_table(
     real zlib-compressed PNGs (pixel values identical to the PPM form;
     per-line filter cycles through all five PNG filters so decode
     exercises every unfilter path)."""
-    if fmt not in ("ppm", "png", "jpeg"):
-        raise ValueError(f"fmt must be ppm|png|jpeg, got {fmt!r}")
+    if fmt not in ("ppm", "png", "jpeg", "gif"):
+        raise ValueError(f"fmt must be ppm|png|jpeg|gif, got {fmt!r}")
     w = (F.col(id_col) % 64 + 16).cast("int")
     h = (F.col(id_col) % 48 + 16).cast("int")
     pdf = (
@@ -412,6 +477,8 @@ def build_media_table(
     )
     if fmt == "ppm":
         make, mime = ppm_image, "image/x-portable-pixmap"
+    elif fmt == "gif":
+        make, mime = gif_image, "image/gif"
     elif fmt == "png":
         make = lambda m, wi, hi: png_image(m, wi, hi, filter_type=m % 5)  # noqa: E731
         mime = "image/png"

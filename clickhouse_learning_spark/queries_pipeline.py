@@ -694,6 +694,37 @@ QUERIES["multimodal_png_pixel_sums"] = multimodal_png_pixel_sums
 _ORACLES["multimodal_png_pixel_sums"] = _ORACLES["multimodal_pixel_sums"]
 
 
+def multimodal_gif_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode, hash-checked: payloads are genuine
+    LZW-compressed GIF89a images (operators/multimodal.gif_image:
+    256-color palette p → (p, 7p mod 256, 13p mod 256), index stream =
+    one lane of the PPM pixel formula), decoded by the pure-python LZW
+    path (_gif_decode), and the per-channel sums must equal DuckDB's
+    arithmetic recomputation — GIF is lossless, so the match is
+    integer-exact: one wrong LZW code width or palette byte anywhere
+    breaks it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.image_channel_sums(MM.build_media_table(spark, docs, fmt="gif"))
+
+
+QUERIES["multimodal_gif_pixel_sums"] = multimodal_gif_pixel_sums
+_ORACLES["multimodal_gif_pixel_sums"] = """
+    WITH px AS (
+      SELECT doc_id,
+             (doc_id * 2654435761 + unnest(
+                 range(0, (doc_id % 64 + 16) * (doc_id % 48 + 16))) * 40503)
+                 % 256 AS idx
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(sum(idx) AS BIGINT) AS sum_r,
+           CAST(sum((idx * 7) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((idx * 13) % 256) AS BIGINT) AS sum_b,
+           CAST((doc_id % 64 + 16) * (doc_id % 48 + 16) AS BIGINT) AS n_px
+    FROM px GROUP BY doc_id
+"""
+
+
 def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a real BPE tokenizer on the documents corpus (one
     distributed word-count shuffle + bounded driver merge loop,

@@ -212,3 +212,70 @@ def hopping_window_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "uv")
     )
+
+
+@query(
+    "scd2_point_in_time",
+    """
+    WITH versions AS (
+      SELECT c_custkey,
+             DATE '1994-01-01' + CAST(v * ((c_custkey % 700) + 30) AS INT)
+                 AS valid_from,
+             c_mktsegment || '#v' || CAST(v AS VARCHAR) AS seg_version
+      FROM customer, (SELECT unnest([0, 1, 2]) AS v)),
+    matched AS (
+      SELECT o.o_orderkey, v.seg_version
+      FROM (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_day
+            FROM orders) o
+      ASOF LEFT JOIN versions v
+        ON o.o_custkey = v.c_custkey AND o.o_day >= v.valid_from)
+    SELECT coalesce(seg_version, 'none') AS seg_version,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM matched GROUP BY 1
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 point-in-time dimension lookup: each order joins the
+    dimension VERSION that was valid on its order date (the classic
+    slowly-changing-dimension read), expressed as a backward as-of join
+    (operators/asof.py — union + ordered carry, one shuffle; never a
+    per-key inequality blowup). Version history is synthesized
+    deterministically (3 versions per customer, staggered by customer
+    key) so DuckDB's native ASOF JOIN re-derives the same assignment;
+    orders before a customer's first version stay unmatched ('none') —
+    the left-outer semantics a real SCD2 lookup needs."""
+    from clickhouse_learning_spark.operators.asof import asof_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    versions = cust.select(
+        "c_custkey",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("v"),
+        "c_mktsegment",
+    ).select(
+        "c_custkey",
+        F.date_add(
+            F.lit("1994-01-01").cast("date"),
+            (F.col("v") * ((F.col("c_custkey") % 700) + 30)).cast("int"),
+        ).alias("valid_from"),
+        F.concat(F.col("c_mktsegment"), F.lit("#v"), F.col("v")).alias(
+            "seg_version"
+        ),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.to_date("o_orderdate").alias("o_day"),
+    )
+    j = asof_join(
+        orders,
+        versions,
+        on="c_custkey",
+        left_time="o_day",
+        right_time="valid_from",
+        right_cols=["seg_version"],
+    )
+    return (
+        j.select(F.coalesce("seg_version", F.lit("none")).alias("seg_version"))
+        .groupBy("seg_version")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
