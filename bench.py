@@ -339,6 +339,35 @@ def main() -> None:
         best_salt = min(best_salt, time.time() - t0)
     timings["skew_join_aqe_50m_8hot"] = round(best_aqe, 3)
     timings["skew_join_salted_50m_8hot"] = round(best_salt, 3)
+    # the pain both strategies avoid: same join with skew-split AND
+    # broadcast disabled — the 8 hot uids serialize into a handful of
+    # straggler tasks (single shot; it only has to show the gap)
+    for k, v in (
+        ("spark.sql.adaptive.skewJoin.enabled", "false"),
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+    ):
+        spark.conf.set(k, v)
+    try:
+        t0 = time.time()
+        (
+            skew_fact.join(skew_dim.hint("merge"), "uid")
+            .groupBy("seg")
+            .agg(F.sum("v").alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        timings["skew_join_no_mitigation_50m_8hot"] = round(time.time() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
 
     # the reference's 1-billion-row sumState benchmark shape
     # (BASELINE.md: 3.201s / 312M rows/s on ClickHouse 21.3)
