@@ -61,6 +61,73 @@ def _tuple_or_one(args: list[str]) -> str:
     return args[0] if len(args) == 1 else f"struct({', '.join(args)})"
 
 
+# ClickHouse formatDateTime %-codes → Spark date_format pattern pieces.
+# %M / %i are MINUTE here: the reference runs ClickHouse 21.3, where %M
+# is minute-of-hour (the %M-is-month-name behavior arrived much later).
+_FD_MAP = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "I": "hh", "M": "mm", "i": "mm", "S": "ss",
+    "p": "a", "j": "DDD", "a": "EEE", "W": "EEEE", "b": "MMM",
+    "F": "yyyy-MM-dd", "T": "HH:mm:ss", "R": "HH:mm", "D": "MM/dd/yy",
+    "Q": "Q", "%": "%", "n": "\n", "t": "\t",
+}
+
+
+def _format_datetime(args: list[str]) -> str:
+    """formatDateTime(t, '%-format') → date_format(t, 'java-pattern').
+    The format must be a plain string LITERAL (the codes are rewritten
+    textually); literal letter runs are pattern-quoted so they aren't
+    read as Java pattern letters. ISO-week codes (%G/%g/%V/%u) have no
+    Spark 3+ pattern equivalent and raise; a third timezone argument
+    raises (convert with to_utc_timestamp/from_utc_timestamp first)."""
+    if len(args) == 3:
+        raise ValueError(
+            "formatDateTime with a timezone argument: convert first via "
+            "from_utc_timestamp(t, tz), then format"
+        )
+    t, fmt = _two(args, "formatDateTime")
+    fm = re.fullmatch(r"'((?:[^']|'')*)'", fmt.strip())
+    if not fm:
+        raise ValueError(
+            "formatDateTime needs a literal format string to rewrite "
+            "%-codes textually"
+        )
+    src = fm.group(1).replace("''", "'")
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush():
+        if not lit:
+            return
+        run = "".join(lit)
+        if any(c.isalpha() or c == "'" for c in run):
+            out.append("'" + run.replace("'", "''") + "'")
+        else:
+            out.append(run)
+        lit.clear()
+
+    i = 0
+    while i < len(src):
+        if src[i] == "%" and i + 1 < len(src):
+            code = src[i + 1]
+            piece = _FD_MAP.get(code)
+            if piece is None:
+                raise ValueError(
+                    f"formatDateTime %-code %{code} has no Spark "
+                    "date_format equivalent (ISO-week codes need the "
+                    "weekofyear()/toISOWeek() functions)"
+                )
+            flush()
+            out.append(piece)
+            i += 2
+        else:
+            lit.append(src[i])
+            i += 1
+    flush()
+    pattern = "".join(out).replace("'", "''")
+    return f"date_format({t}, '{pattern}')"
+
+
 def _multi_if(args: list[str]) -> str:
     """multiIf(c1, v1, c2, v2, …, else) → CASE WHEN chain."""
     if len(args) < 3 or len(args) % 2 == 0:
@@ -242,6 +309,11 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         f"CAST(date_format({_one(a, 'toYYYYMMDDhhmmss')}, "
         f"'yyyyMMddHHmmss') AS BIGINT)"
     )
+    m["formatDateTime"] = _format_datetime
+    m["formatDateTimeInJodaSyntax"] = lambda a: (
+        # Joda patterns ARE Spark's date_format patterns
+        lambda t, f: f"date_format({t}, {f})"
+    )(*_two(a, "formatDateTimeInJodaSyntax"))
 
     # bitwise function forms → operators
     m["bitAnd"] = lambda a: (lambda x, y: f"({x} & {y})")(*_two(a, "bitAnd"))
@@ -343,9 +415,8 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["toDayOfWeek"] = lambda a: (
         f"(pmod(dayofweek({_one(a, 'toDayOfWeek')}) + 5, 7) + 1)"
     )
-    m["formatDateTime"] = lambda a: (
-        lambda x, fmt: f"date_format({x}, {fmt})"
-    )(*_two(a, "formatDateTime"))
+    # (formatDateTime is mapped above via _format_datetime — the CH
+    # %-codes must be rewritten, not passed through to date_format)
 
     # -- strings / arrays ---------------------------------------------------
     m["splitByChar"] = lambda a: (

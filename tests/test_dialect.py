@@ -1183,3 +1183,37 @@ def test_translate_week_start_functions(spark):
         exp_mon = r.d - dt.timedelta(days=r.d.weekday())
         assert r.sun == exp_sun, (r.d, r.sun, exp_sun)
         assert r.mon == exp_mon, (r.d, r.mon, exp_mon)
+
+
+def test_translate_format_datetime(spark):
+    """formatDateTime %-codes → date_format patterns (CH 21.3
+    semantics: %M is minute), literal letter runs pattern-quoted,
+    ISO-week codes and timezone arg gated."""
+    r = spark.sql(
+        "SELECT "
+        + translate(
+            "formatDateTime(toDateTime('2024-03-07 13:45:06'), "
+            "'%Y-%m-%d %H:%M:%S')"
+        ) + " AS iso, "
+        + translate(
+            "formatDateTime(toDateTime('2024-03-07 13:45:06'), "
+            "'%d/%m/%y at %Hh')"
+        ) + " AS lit, "
+        + translate(
+            "formatDateTime(toDate('2024-03-07'), '%F week %a %% %j')"
+        ) + " AS mix, "
+        + translate(
+            "formatDateTimeInJodaSyntax(toDateTime('2024-03-07 13:45:06'), "
+            "'yyyy/MM/dd HH:mm')"
+        ) + " AS joda"
+    ).collect()[0]
+    assert r.iso == "2024-03-07 13:45:06"
+    assert r.lit == "07/03/24 at 13h"
+    assert r.mix == "2024-03-07 week Thu % 067"
+    assert r.joda == "2024/03/07 13:45"
+    with pytest.raises(ValueError, match="ISO-week"):
+        translate("formatDateTime(d, '%V')")
+    with pytest.raises(ValueError, match="timezone"):
+        translate("formatDateTime(d, '%Y', 'UTC')")
+    with pytest.raises(ValueError, match="literal format"):
+        translate("formatDateTime(d, f)")
