@@ -53,77 +53,109 @@ def _fdct2(block: np.ndarray) -> np.ndarray:
 
 
 class _Huff:
-    """Canonical Huffman table from DHT (counts per length, symbols)."""
+    """Canonical Huffman table from DHT (counts per length, symbols),
+    with a 16-bit-prefix lookup table: lut[peek16] packs
+    (length << 8) | symbol, so decode is one table index instead of a
+    bit-by-bit walk (the decoder's hot path)."""
 
     def __init__(self, counts, symbols):
         self.map: dict[tuple[int, int], int] = {}
+        lut = np.zeros(1 << 16, dtype=np.uint16)
         code, k = 0, 0
         for ln in range(1, 17):
             for _ in range(counts[ln - 1]):
-                self.map[(ln, code)] = symbols[k]
+                sym = symbols[k]
+                self.map[(ln, code)] = sym
+                lo = code << (16 - ln)
+                lut[lo : lo + (1 << (16 - ln))] = (ln << 8) | sym
                 code += 1
                 k += 1
             code <<= 1
+        self.lut = lut
         # encode direction: symbol -> (code, length)
         self.enc = {v: (c, ln) for (ln, c), v in self.map.items()}
 
 
+def _split_entropy(payload: bytes, start: int):
+    """Destuff the entropy-coded stream starting at ``start``: returns
+    the byte segments BETWEEN restart markers (0xFF00 → 0xFF inside a
+    segment), stopping at the first real marker."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i, n = start, len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = payload[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # real marker: scan over
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
 class _BitReader:
-    """MSB-first reader over entropy-coded data; 0xFF00 de-stuffed,
-    restart markers surfaced via ``restart()``."""
+    """MSB-first sliding-window reader over one destuffed segment.
+    The tail zero-pads; once more than 16 padded bits have been
+    consumed the stream is genuinely exhausted (a truncated tail keeps
+    whatever decoded, matching the marker-walk behavior)."""
 
-    def __init__(self, data: bytes, start: int):
+    __slots__ = ("d", "i", "n", "acc", "nbits", "padded")
+
+    def __init__(self, data: bytes):
         self.d = data
-        self.i = start
-        self.bit = 0
+        self.i = 0
+        self.n = len(data)
+        self.acc = 0
+        self.nbits = 0
+        self.padded = 0
 
-    def read_bit(self) -> int:
-        d, i = self.d, self.i
-        if i >= len(d):
-            raise EOFError
-        b = d[i]
-        if b == 0xFF:
-            nxt = d[i + 1] if i + 1 < len(d) else 0
-            if nxt != 0x00:
-                raise EOFError  # marker — segment over
-        bit = (b >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.i += 2 if b == 0xFF else 1
-        return bit
+    def _fill(self, want: int):
+        acc, nbits, i, d, n = self.acc, self.nbits, self.i, self.d, self.n
+        pad = self.padded
+        while nbits < want:
+            if i < n:
+                acc = (acc << 8) | d[i]
+                i += 1
+            else:
+                acc <<= 8
+                pad += 8
+            nbits += 8
+        self.acc, self.nbits, self.i, self.padded = acc, nbits, i, pad
 
     def huff(self, table: _Huff) -> int:
-        code, ln = 0, 0
-        for _ in range(16):
-            code = (code << 1) | self.read_bit()
-            ln += 1
-            sym = table.map.get((ln, code))
-            if sym is not None:
-                return sym
-        raise EOFError
+        if self.padded > 16:
+            raise EOFError
+        if self.nbits < 16:
+            self._fill(16)
+        v = int(table.lut[(self.acc >> (self.nbits - 16)) & 0xFFFF])
+        ln = v >> 8
+        if ln == 0:
+            raise EOFError
+        self.nbits -= ln
+        self.acc &= (1 << self.nbits) - 1
+        return v & 0xFF
 
     def receive_extend(self, s: int) -> int:
         if s == 0:
             return 0
-        v = 0
-        for _ in range(s):
-            v = (v << 1) | self.read_bit()
+        if self.nbits < s:
+            self._fill(s)
+        v = (self.acc >> (self.nbits - s)) & ((1 << s) - 1)
+        self.nbits -= s
+        self.acc &= (1 << self.nbits) - 1
         if v < (1 << (s - 1)):  # negative branch of EXTEND
             v -= (1 << s) - 1
         return v
-
-    def align_restart(self):
-        """Skip to just past the next RSTn marker."""
-        self.bit = 0
-        d = self.d
-        i = self.i
-        while i + 1 < len(d):
-            if d[i] == 0xFF and 0xD0 <= d[i + 1] <= 0xD7:
-                self.i = i + 2
-                return
-            i += 1
-        raise EOFError
 
 
 def decode_baseline(payload: bytes):
@@ -213,14 +245,19 @@ def _scan(payload, start, comps, sel, qt, hufftabs, h, w, restart):
     for c in comps:
         pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
         planes.append(np.zeros((ph, pw), dtype=np.float64))
-    br = _BitReader(payload, start)
+    segs = _split_entropy(payload, start)
+    seg_i = 0
+    br = _BitReader(segs[0])
     preds = [0] * len(comps)
     mcu_i = 0
     try:
         for my in range(mcuy):
             for mx in range(mcux):
                 if restart and mcu_i and mcu_i % restart == 0:
-                    br.align_restart()
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise EOFError
+                    br = _BitReader(segs[seg_i])
                     preds = [0] * len(comps)
                 mcu_i += 1
                 for ci, c in enumerate(comps):

@@ -611,3 +611,34 @@ def test_jpeg_decode_native():
     prog = golden.replace(bytes([0xFF, 0xC0]), bytes([0xFF, 0xC2]), 1)
     assert J.decode_baseline(prog) is None
     assert J.decode_baseline(b"\xff\xd8\xff\xe0junk") is None
+
+
+def test_jpeg_restart_markers():
+    """Restart intervals (DRI + RSTn): two hand-built DC-only MCUs
+    separated by RST0; DC prediction must reset per segment, giving a
+    flat 133 across both blocks."""
+    import struct as _struct
+
+    import numpy as np
+
+    from clickhouse_learning_spark.operators import jpeg as J
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    golden = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([8] * 64))
+        + seg(0xC0, bytes([8]) + _struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes([0, 0, 1] + [0] * 13) + bytes([3]))
+        + seg(0xC4, bytes([0x10]) + bytes([0, 1] + [0] * 14) + bytes([0x00]))
+        + seg(0xDD, _struct.pack(">H", 1))  # restart every MCU
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes([0x14])          # MCU 1: DC=+5, EOB
+        + bytes([0xFF, 0xD0])    # RST0
+        + bytes([0x14])          # MCU 2: DC=+5 from RESET pred
+        + b"\xff\xd9"
+    )
+    got = J.decode_baseline(golden)
+    assert got is not None and got.shape == (8, 16, 3)
+    assert np.all(got == 133)
