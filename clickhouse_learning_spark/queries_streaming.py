@@ -279,3 +279,80 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg_version")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "stream_click_attribution",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT p.purchase_id,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(max(c.click_id) AS BIGINT) AS last_click_id,
+           CAST(min(floor(epoch(p.ts)) - floor(epoch(c.ts))) AS BIGINT)
+               AS min_gap_s
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    GROUP BY p.purchase_id
+    """,
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL stream-stream interval join, hash-checked: clicks and
+    purchases land as separate parquet file streams (multiple files →
+    multiple micro-batches per side), joined online with an event-time
+    range condition (streaming/joins.click_purchase_pairs), the pair
+    stream appended to a parquet sink, then rolled up per purchase.
+    Watermarks here are wider than the data span so the streamed pair
+    set is EXACTLY the batch range join and the DuckDB oracle can
+    hash-match it (tight-watermark state eviction is exercised in
+    tests/test_streaming.py instead — dropping late rows is the point
+    there, not here)."""
+    from clickhouse_learning_spark.streaming.ingest import drain, parquet_stream
+    from clickhouse_learning_spark.streaming.joins import click_purchase_pairs
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="stream_join_")
+    c_land, p_land = f"{work}/clicks", f"{work}/purchases"
+    # watermarks need TIMESTAMP (an instant), not TIMESTAMP_NTZ; the
+    # session runs UTC so the cast is value-preserving vs the oracle
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    purch_b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    clicks_b.repartition(3).write.mode("overwrite").parquet(c_land)
+    purch_b.repartition(3).write.mode("overwrite").parquet(p_land)
+    pairs = click_purchase_pairs(
+        parquet_stream(spark, p_land, purch_b.schema, max_files_per_trigger=1),
+        parquet_stream(spark, c_land, clicks_b.schema, max_files_per_trigger=1),
+        within="1 hour",
+        purchase_watermark="365 days",
+        click_watermark="365 days",
+    )
+    out = f"{work}/pairs"
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+    got = spark.read.parquet(out)
+    return got.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.max("click_id").alias("last_click_id"),
+        F.min(epoch_seconds("purchase_ts") - epoch_seconds("click_ts"))
+        .cast("long")
+        .alias("min_gap_s"),
+    )

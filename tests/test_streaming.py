@@ -295,3 +295,65 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert texts == ["alpha text", "beta text", "gamma text"]
     # first-arrival wins within the horizon
     assert {r.text: r.doc_id for r in got.collect()}["beta text"] == 2
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """streaming/joins.click_purchase_pairs: the streamed pair set
+    (multi-micro-batch, wide watermark) must equal the batch range join
+    exactly; with a TIGHT watermark and time-ordered micro-batches the
+    join still produces the same pairs (state eviction only drops rows
+    that can no longer match)."""
+    import datetime as dt
+
+    from clickhouse_learning_spark.schemas import load_table
+    from clickhouse_learning_spark.streaming.ingest import drain, parquet_stream
+    from clickhouse_learning_spark.streaming.joins import click_purchase_pairs
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    batch = {
+        tuple(r)
+        for r in click_purchase_pairs(purchases, clicks, within="1 hour").collect()
+    }
+    assert batch, "fixture should produce pairs"
+
+    def run_stream(order_col, wm_p, wm_c, n_files):
+        c_land = str(tmp_path / f"c_{wm_p.replace(' ', '')}")
+        p_land = str(tmp_path / f"p_{wm_p.replace(' ', '')}")
+        out = str(tmp_path / f"out_{wm_p.replace(' ', '')}")
+        # repartitionByRange on ts → files are time-ordered chunks, so
+        # micro-batches advance event time monotonically-ish
+        clicks.repartitionByRange(n_files, order_col).write.mode("overwrite").parquet(c_land)
+        purchases.repartitionByRange(n_files, order_col).write.mode("overwrite").parquet(p_land)
+        pairs = click_purchase_pairs(
+            parquet_stream(spark, p_land, purchases.schema, max_files_per_trigger=1),
+            parquet_stream(spark, c_land, clicks.schema, max_files_per_trigger=1),
+            within="1 hour",
+            purchase_watermark=wm_p,
+            click_watermark=wm_c,
+        )
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", out + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q)
+        return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    wide = run_stream("ts", "365 days", "365 days", 3)
+    assert wide == batch
+
+    # tight watermarks, time-ordered files: inner-join pairs emit
+    # eagerly, so nothing qualifying is lost
+    tight = run_stream("ts", "2 hours", "3 hours", 3)
+    assert tight == batch
