@@ -87,6 +87,19 @@ _PRIORITY = [
     # New in round 3
     "ch_asof_dialect",  # ASOF JOIN through the dialect rewriter
     "multimodal_png_pixel_sums",  # real zlib PNG decode, hash-checked
+    # Post-draft round-3 additions (never driver-graded) — take the
+    # slots of unchanged r2-green entries so that after r3 every
+    # registered query has a driver-green row across r1∪r2∪r3.
+    "bpe_subword_stats",  # distributed BPE trainer + encoder
+    "multimodal_gif_pixel_sums",  # native LZW GIF decode, hash-checked
+    "multimodal_jpeg_features",  # pure-numpy baseline JPEG decode
+    "scd2_point_in_time",  # SCD2 dimension read as backward as-of
+    "stream_click_attribution",  # real stream-stream interval join
+    "late_ship_priority",  # TPC-H Q4: EXISTS → LeftSemi
+    "order_count_distribution",  # TPC-H Q13: outer-join distribution
+    "large_volume_orders",  # TPC-H Q18: IN-over-HAVING → LeftSemi
+    "disjunctive_brand_revenue",  # TPC-H Q19: disjunctive predicates
+    "idle_rich_customers",  # TPC-H Q22: NOT EXISTS → LeftAnti
     # Re-validate flagships + operators whose implementation changed
     # this round (embedding tiling rewrite), plus one representative
     # per major family so the window stays representative.
@@ -97,20 +110,18 @@ _PRIORITY = [
     "sql_auto_rewrite",
     "training_pipeline",
     "dedup_embedding_cosine",  # round-3 executor-side tiling
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "asof_attribution",
-    "range_join_campaigns",
     # with_fill_days (engine-native fill, r2-green) yields its slot to
     # the dialect-runner fill variant, which exercises the new
     # schema-aware with_fill + run() path end-to-end
     "ch_with_fill_dialect",
-    "multimodal_pixel_sums",
-    "pricing_summary",
-    "bitmap_funnel_roaring",
-    "ann_cosine_topk",
-    "embedding_kmeans",
-    "contamination_check",
+    # pricing_summary is exercised by entry() (driver smoke check) and
+    # r2-green unchanged, so it cedes the 50th slot too.
+    # dedup_exact, dedup_minhash_lsh, asof_attribution,
+    # range_join_campaigns, multimodal_pixel_sums, bitmap_funnel_roaring,
+    # ann_cosine_topk, embedding_kmeans, contamination_check ceded their
+    # re-validation slots to the post-draft round-3 queries above: all
+    # nine are r2-green and their implementations are unchanged this
+    # round, so the r2 evidence stands.
 ]
 
 

@@ -849,7 +849,9 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(bal_cents) AS BIGINT) AS total_cents
     FROM bal, pos
     WHERE bal_cents * n > s
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2000-01-01')
     GROUP BY c_nationkey
     """,
 )
@@ -857,9 +859,14 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: above-average account balance (the boundary is
     integerized — ``bal·n > Σbal`` in exact cents, never a float-avg
     comparison that could flip boundary rows between engines) and NOT
-    EXISTS orders → LEFT ANTI join; the 1-row global aggregate joins as
-    a broadcast. Grouped by nation as the country-code analog (the
-    fixture has no c_phone)."""
+    EXISTS *recent* orders → LEFT ANTI join against the date-filtered
+    order set (the synthetic fixture gives every customer at least one
+    order ever, so Q22's no-orders-at-all form is vacuously empty;
+    "idle" = no order since 2000-01-01 keeps the anti-join non-trivial
+    while preserving the plan shape — the date predicate pushes into
+    the orders scan). The 1-row global aggregate joins as a broadcast.
+    Grouped by nation as the country-code analog (the fixture has no
+    c_phone)."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
@@ -868,7 +875,11 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = cust.filter(F.col("bal_cents") > 0).agg(
         F.sum("bal_cents").alias("s"), F.count(F.lit(1)).alias("n")
     )
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
     rich = cust.crossJoin(F.broadcast(pos)).filter(
         F.col("bal_cents") * F.col("n") > F.col("s")
     )
