@@ -325,14 +325,37 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     }
     assert batch, "fixture should produce pairs"
 
+    def land_time_chunks(df, path, n_files):
+        # FileStreamSource admits files oldest-modification-time first
+        # (latestFirst=false), so time-ordered MICRO-BATCHES require
+        # time-ordered MTIMES — a single repartitionByRange write gives
+        # every part-file the same write instant and the pickup order is
+        # nondeterministic (this made the tight-watermark assertion
+        # flaky). Land each ts-range chunk as its own append with a
+        # strictly later mtime instead.
+        import time
+
+        from pyspark.sql import Window
+
+        chunked = df.withColumn(
+            "__chunk", F.ntile(n_files).over(Window.orderBy("ts"))
+        )
+        for i in range(1, n_files + 1):
+            (
+                chunked.filter(F.col("__chunk") == i)
+                .drop("__chunk")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(path)
+            )
+            time.sleep(0.2)
+
     def run_stream(order_col, wm_p, wm_c, n_files):
         c_land = str(tmp_path / f"c_{wm_p.replace(' ', '')}")
         p_land = str(tmp_path / f"p_{wm_p.replace(' ', '')}")
         out = str(tmp_path / f"out_{wm_p.replace(' ', '')}")
-        # repartitionByRange on ts → files are time-ordered chunks, so
-        # micro-batches advance event time monotonically-ish
-        clicks.repartitionByRange(n_files, order_col).write.mode("overwrite").parquet(c_land)
-        purchases.repartitionByRange(n_files, order_col).write.mode("overwrite").parquet(p_land)
+        land_time_chunks(clicks, c_land, n_files)
+        land_time_chunks(purchases, p_land, n_files)
         pairs = click_purchase_pairs(
             parquet_stream(spark, p_land, purchases.schema, max_files_per_trigger=1),
             parquet_stream(spark, c_land, clicks.schema, max_files_per_trigger=1),
