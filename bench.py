@@ -339,6 +339,24 @@ def main() -> None:
         best_salt = min(best_salt, time.time() - t0)
     timings["skew_join_aqe_50m_8hot"] = round(best_aqe, 3)
     timings["skew_join_salted_50m_8hot"] = round(best_salt, 3)
+    # targeted variant: salt ONLY the detected hot keys (dim replication
+    # n_salts×|hot| instead of n_salts×|dim|) — the timing includes the
+    # 0.1%-sample hot-key detection pass, i.e. the full cold-start cost
+    from clickhouse_learning_spark.operators.skew import targeted_salted_join
+
+    best_tgt = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        (
+            targeted_salted_join(skew_fact, skew_dim, "uid", n_salts=16)
+            .groupBy("seg")
+            .agg(F.sum("v").alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        best_tgt = min(best_tgt, time.time() - t0)
+    timings["skew_join_targeted_50m_8hot"] = round(best_tgt, 3)
     # the pain both strategies avoid: same join with skew-split AND
     # broadcast disabled — the 8 hot uids serialize into a handful of
     # straggler tasks (single shot; it only has to show the gap)

@@ -46,3 +46,77 @@ def salted_join(
     # replicated build side is n_salts× the dim and a per-partition hash
     # map of it OOMs under full task concurrency, while SMJ spills.
     return f.join(d.hint("merge"), [key, SALT_COL], how).drop(SALT_COL)
+
+
+def detect_hot_keys(
+    fact: DataFrame,
+    key: str,
+    sample_fraction: float = 0.001,
+    min_sampled_count: int = 50,
+    max_hot_keys: int = 1000,
+) -> list:
+    """Sample-based hot-key detection: keys whose sampled frequency
+    exceeds ``min_sampled_count`` (≈ ``min_sampled_count /
+    sample_fraction`` full-data rows). The sampled aggregate is tiny
+    (one partial-agg pass over 0.1% of the fact) and the result is
+    bounded by ``max_hot_keys`` via TakeOrdered, so the driver list
+    stays O(1) no matter the fact size — hot keys are few by
+    definition; if thousands of keys are "hot" the distribution isn't
+    skewed and plain AQE handles it."""
+    rows = (
+        fact.sample(fraction=sample_fraction, seed=7)
+        .groupBy(key)
+        .count()
+        .filter(F.col("count") >= min_sampled_count)
+        .orderBy(F.col("count").desc())
+        .limit(max_hot_keys)
+        .collect()
+    )
+    return [r[key] for r in rows]
+
+
+def targeted_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+    hot_keys: list | None = None,
+    sample_fraction: float = 0.001,
+    min_sampled_count: int = 50,
+) -> DataFrame:
+    """``salted_join`` that salts ONLY the hot keys: cold fact rows get
+    salt 0 and cold dim rows stay single-copy, so dim replication cost
+    drops from ``n_salts × |dim|`` to ``n_salts × |hot|`` (a handful of
+    rows) while the hot keys still fan out over ``n_salts`` tasks. One
+    join, one plan — the salt expression branches per-row instead of
+    splitting hot/cold into a union of two joins, so there is no second
+    scan of either input. ``hot_keys`` may be passed when known (e.g.
+    from yesterday's stats); otherwise a 0.1% sample detects them."""
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(
+            fact, key, sample_fraction=sample_fraction,
+            min_sampled_count=min_sampled_count,
+        )
+    if not hot_keys:  # nothing skewed — plain join, let AQE do its job
+        return fact.join(dim, key, how)
+    is_hot = F.col(key).isin(hot_keys)
+    f = fact.withColumn(
+        SALT_COL,
+        F.when(is_hot, (F.rand(seed=7) * n_salts).cast("int")).otherwise(
+            F.lit(0)
+        ),
+    )
+    d = dim.withColumn(
+        SALT_COL,
+        F.explode(
+            F.when(
+                is_hot, F.array(*[F.lit(i) for i in range(n_salts)])
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    # merge hint for the same reason as salted_join: the exploded-side
+    # stats are pre-explode, and the whole point is a non-broadcastable
+    # dim. (Replication here is only n_salts × |hot|, but pinning keeps
+    # the plan deterministic under AQE re-planning.)
+    return f.join(d.hint("merge"), [key, SALT_COL], how).drop(SALT_COL)

@@ -774,6 +774,49 @@ def modulo_skew_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_targeted_join",
+    f"""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM {_EV} e JOIN customer c ON e.uid = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def skew_targeted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-only salted join (operators/skew.targeted_salted_join):
+    salting must not change the answer, so the oracle is the PLAIN
+    join. Hot keys here are the top-3 uids by event count — a bounded
+    (limit-3) driver collect standing in for sampled detection, which
+    at fixture scale would sample too few rows to trip the threshold.
+    The reference's skew story is the uid%13 heavy-clicker cohort
+    (make_user_action_001.py:71); benched at 50M rows in bench.py."""
+    from clickhouse_learning_spark.operators.skew import targeted_salted_join
+
+    ev = _events(spark, sf_dir).select(
+        "uid", F.round(F.col("value") * 100).cast("long").alias("value_cents")
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("uid"), "c_mktsegment"
+    )
+    hot = [
+        r.uid
+        for r in ev.groupBy("uid")
+        .count()
+        .orderBy(F.desc("count"), F.asc("uid"))
+        .limit(3)
+        .collect()
+    ]
+    return (
+        targeted_salted_join(ev, dim, "uid", n_salts=8, hot_keys=hot)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
+
+
+@query(
     "like_and_conjunction",
     """
     SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt,
