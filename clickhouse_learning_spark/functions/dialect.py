@@ -798,14 +798,24 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         lambda x, y: f"size(array_union({x}, {y}))"
     )(*_two(a, "bitmapOrCardinality"))
 
-    # -- behavioral / map aggregates: multi-stage plans, not expressions ----
-    def _retention_gate(a):
-        raise ValueError(
-            "retention(conds...) maps to functions.funnel.retention_flags "
-            "(conditional max flags + r1∧rk combine; see retention_cohorts)"
-        )
+    # -- behavioral / map aggregates ----------------------------------------
+    def _retention(a):
+        # CH retention(cond1..condN) aggregate: r1 = cond1 held on ANY
+        # row of the group; rk = cond1 AND condk (each on any row,
+        # independently — the state is a per-condition OR, finalized by
+        # ANDing with flag 1). Expressible as conditional-max products,
+        # identical math to functions.funnel.retention_flags.
+        if not a:
+            raise ValueError("retention expects at least one condition")
+        m1 = f"max(CASE WHEN {a[0]} THEN 1 ELSE 0 END)"
+        elems = [f"CAST({m1} AS INT)"]
+        for c in a[1:]:
+            elems.append(
+                f"CAST({m1} * max(CASE WHEN {c} THEN 1 ELSE 0 END) AS INT)"
+            )
+        return f"array({', '.join(elems)})"
 
-    m["retention"] = _retention_gate
+    m["retention"] = _retention
 
     def _summap_gate(a):
         raise ValueError(
@@ -1687,6 +1697,62 @@ def _rewrite_asof_join(sql: str) -> str:
 
 
 _PREWHERE_RE = re.compile(r"\bprewhere\b", re.I)
+_CLAUSE_END_RE = re.compile(
+    r"\b(group\s+by|having|order\s+by|limit|window|union|intersect|except"
+    r"|settings)\b",
+    re.I,
+)
+
+
+def _merge_prewhere(sql: str) -> str:
+    """Every ``PREWHERE`` (top level or inside a subquery) becomes part
+    of the ``WHERE`` clause: ClickHouse evaluates PREWHERE first and
+    then WHERE — a pure conjunction, so ``PREWHERE p … WHERE w`` ≡
+    ``WHERE (p) AND (w)`` (Spark's scan-level predicate pushdown
+    subsumes the two-phase read PREWHERE exists for). A lone PREWHERE
+    simply renames to WHERE."""
+    for _ in range(32):  # one iteration per PREWHERE occurrence
+        smask = _string_mask(sql)
+        m = _PREWHERE_RE.search(smask)
+        if not m:
+            return sql
+        # innermost paren span enclosing this PREWHERE (whole sql if
+        # top-level) — clause analysis must not cross subquery bounds
+        start, end = 0, len(sql)
+        stack: list[int] = []
+        for i, ch in enumerate(smask):
+            if i >= m.start():
+                break
+            if ch == "(":
+                stack.append(i)
+            elif ch == ")":
+                stack.pop()
+        if stack:
+            start = stack[-1] + 1
+            end = _matching_paren(sql, stack[-1])
+        span = sql[start:end]
+        mask = _depth0_mask(span)
+        pm = _PREWHERE_RE.search(mask)
+        pred_start = pm.end()
+        wm = re.search(r"\bwhere\b", mask[pred_start:], re.I)
+        boundary = _CLAUSE_END_RE.search(mask[pred_start:])
+        if wm is not None and boundary is not None and boundary.start() < wm.start():
+            wm = None  # that WHERE belongs to a later UNION branch
+        if wm is None:
+            new_span = span[: pm.start()] + "WHERE" + span[pm.end() :]
+        else:
+            pred1 = span[pred_start : pred_start + wm.start()].strip()
+            w_end = pred_start + wm.end()
+            cm = _CLAUSE_END_RE.search(mask[w_end:])
+            p2_end = w_end + (cm.start() if cm else len(span) - w_end)
+            pred2 = span[w_end:p2_end].strip()
+            new_span = (
+                span[: pm.start()]
+                + f"WHERE ({pred1}) AND ({pred2}) "
+                + span[p2_end:]
+            )
+        sql = sql[:start] + new_span + sql[end:]
+    raise ValueError("too many PREWHERE clauses to merge")
 # FROM-anchored so a column happening to be named "final" isn't caught
 _FINAL_RE = re.compile(r"\bfrom\s+[A-Za-z_][\w.]*\s+final\b", re.I)
 # keys must be paren-free — a GROUP BY spanning a subquery boundary
@@ -1699,11 +1765,11 @@ _WITH_TOTALS_RE = re.compile(
 def _rewrite_totals_prewhere_final(sql: str) -> str:
     """``GROUP BY … WITH TOTALS`` → ``GROUPING SETS ((…), ())`` (the
     totals row carries NULL keys in Spark, not ClickHouse's type
-    defaults); ``PREWHERE`` → ``WHERE`` (Spark pushes predicates into
-    the scan on its own — PREWHERE's two-phase read is subsumed by
-    parquet predicate pushdown; a PREWHERE+WHERE combination would need
-    clause merging and raises); ``FINAL`` cannot be honored textually
-    and raises pointing at the engine's merge-on-read path."""
+    defaults); ``PREWHERE [p] … WHERE [w]`` merges into ``WHERE (p) AND
+    (w)`` via :func:`_merge_prewhere` (pure conjunction — Spark's scan
+    pushdown subsumes PREWHERE's two-phase read); ``FINAL`` cannot be
+    honored textually and raises pointing at the engine's merge-on-read
+    path."""
 
     def seg(s: str) -> str:
         if _FINAL_RE.search(s):
@@ -1713,14 +1779,9 @@ def _rewrite_totals_prewhere_final(sql: str) -> str:
                 "deployed Replacing/Summing tables via Deployment.final_read "
                 "(or compact first with Table.compact)"
             )
-        if _PREWHERE_RE.search(s):
-            if re.search(r"\bwhere\b", s, re.I):
-                raise ValueError(
-                    "PREWHERE combined with WHERE needs the predicates merged "
-                    "into one WHERE clause (Spark pushes both into the scan)"
-                )
-            s = _PREWHERE_RE.sub("WHERE", s)
         return s
+
+    sql = _merge_prewhere(sql)
 
     def totals(m: re.Match) -> str:
         keys = m.group(1).strip()

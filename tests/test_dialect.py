@@ -53,15 +53,37 @@ def test_translate_rejects_unregistered_dictionary():
 
 
 def test_translate_points_behavioral_aggregates_at_engine_paths():
-    """windowFunnel/retention/sequenceMatch are multi-stage plans, not
+    """windowFunnel/sequenceMatch are multi-stage ORDERED plans, not
     expressions — translate() must say exactly where the engine
-    implements them (functions/funnel.py)."""
+    implements them (functions/funnel.py). retention is order-free
+    (per-condition OR states) and translates to conditional-max
+    products — see test_translate_retention_executes."""
     with pytest.raises(ValueError, match="funnel_levels"):
         translate("windowFunnel(3600)(ts, etype = 'view', etype = 'click')")
-    with pytest.raises(ValueError, match="retention_flags"):
-        translate("retention(etype = 'view', etype = 'click')")
     with pytest.raises(ValueError, match="sequence_match"):
         translate("sequenceMatch('(?1).*(?2)')(ts, a = 1, b = 1)")
+
+
+def test_translate_retention_executes(spark):
+    """retention(cond1..condN): r1 = cond1 ever held in the group;
+    rk = cond1 AND condk (independently, any rows) — matches
+    functions.funnel.retention_flags semantics."""
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01"), (1, "2024-01-02"),          # d1, d2 → [1,1,0]
+            (2, "2024-01-02"), (2, "2024-01-03"),          # no d1  → [0,0,0]
+            (3, "2024-01-01"), (3, "2024-01-03"),          # d1, d3 → [1,0,1]
+        ],
+        "uid int, day string",
+    ).createOrReplaceTempView("ch_ret")
+    rows = spark.sql(
+        translate(
+            "SELECT uid, retention(day='2024-01-01', day='2024-01-02', "
+            "day='2024-01-03') AS r FROM ch_ret GROUP BY uid"
+        )
+    ).collect()
+    got = {r.uid: list(r.r) for r in rows}
+    assert got == {1: [1, 1, 0], 2: [0, 0, 0], 3: [1, 0, 1]}
 
 
 @pytest.fixture(scope="module")
@@ -454,8 +476,28 @@ def test_translate_totals_prewhere_final(spark):
     ).collect()
     assert sorted((r.g, r.v) for r in rows) == [("a", 2), ("b", 5)]
 
-    with pytest.raises(ValueError, match="merged"):
-        translate("SELECT * FROM t PREWHERE a WHERE b")
+    # PREWHERE + WHERE merge into one conjunction, parenthesized so an
+    # OR in either predicate keeps its meaning
+    rows = spark.sql(
+        translate(
+            "SELECT g, v FROM ch_tot PREWHERE v > 1 WHERE g = 'a' OR g = 'b'"
+        )
+    ).collect()
+    assert sorted((r.g, r.v) for r in rows) == [("a", 2), ("b", 5)]
+    assert (
+        translate("SELECT * FROM t PREWHERE a WHERE b OR c GROUP BY g")
+        == "SELECT * FROM t WHERE (a) AND (b OR c) GROUP BY g"
+    )
+    # subquery PREWHERE merges within its own span; UNION branches keep
+    # their own clauses
+    assert (
+        translate("SELECT * FROM (SELECT x FROM t PREWHERE a WHERE b) s WHERE c")
+        == "SELECT * FROM (SELECT x FROM t WHERE (a) AND (b) ) s WHERE c"
+    )
+    assert (
+        translate("SELECT a FROM t PREWHERE x=1 UNION ALL SELECT a FROM u WHERE y=2")
+        == "SELECT a FROM t WHERE x=1 UNION ALL SELECT a FROM u WHERE y=2"
+    )
     with pytest.raises(ValueError, match="merge_query"):
         translate("SELECT * FROM t FINAL")
     # a column named final is untouched
