@@ -1585,11 +1585,68 @@ def _rewrite_asof_join(sql: str) -> str:
                 k += 1
         om = re.match(r"ON\b", smask[k:], re.I)
         if not om:
-            raise _asof_err(
-                "USING form (or missing ON) — the last USING column's "
-                "implicit >= can't be rewritten without the key split; "
-                "spell the condition out with ON"
+            um = re.match(r"USING\s*\(", smask[k:], re.I)
+            if not um:
+                raise _asof_err("expected ON or USING after the right table")
+            # USING (k1, …, kn, t): equality on k1..kn, implicit
+            # `left.t >= right.t` on the LAST column (backward as-of —
+            # ClickHouse's only USING direction). The right side's
+            # USING columns are renamed to internal names and excluded
+            # from its star, so the joined output carries ONE copy of
+            # each USING column (the left's) — CH's USING dedup.
+            # (Like the ON path's __ch_asof_end, the helper columns do
+            # appear in a bare SELECT *.)
+            open_i = k + um.end() - 1
+            close_i = _matching_paren(sql, open_i)
+            cols = [c.strip() for c in _split_args(sql[open_i + 1 : close_i])]
+            if len(cols) < 2:
+                raise _asof_err(
+                    "USING needs at least one key column plus the asof column"
+                )
+            if not all(re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols):
+                raise _asof_err("USING columns must be simple identifiers")
+            *ukeys, utcol = cols
+            before = smask[: m.start()].rstrip()
+            bm = re.search(r"([A-Za-z_][\w.]*)\s*$", before)
+            if not bm:
+                raise _asof_err(
+                    "could not determine the left table/alias before ASOF "
+                    "JOIN (alias the left side)"
+                )
+            lq = bm.group(1).rsplit(".", 1)[-1]
+            if alias:
+                rqual = alias
+            elif not ref.startswith("("):
+                rqual = ref.rsplit(".", 1)[-1]
+            else:
+                raise _asof_err("alias the right subquery in USING form")
+            renames = ", ".join(
+                [f"{c} AS __ch_asof_k{i}" for i, c in enumerate(ukeys)]
+                + [f"{utcol} AS __ch_asof_ts"]
             )
+            sub = (
+                f"(SELECT * EXCEPT ({', '.join(cols)}), {renames}, "
+                f"lead({utcol}) OVER (PARTITION BY {', '.join(ukeys)} "
+                f"ORDER BY {utcol}) AS __ch_asof_end FROM {ref})"
+            )
+            jt = "LEFT JOIN" if is_left else "JOIN"
+            new_on = " AND ".join(
+                [
+                    f"{lq}.{c} = {rqual}.__ch_asof_k{i}"
+                    for i, c in enumerate(ukeys)
+                ]
+                + [
+                    f"{lq}.{utcol} >= {rqual}.__ch_asof_ts",
+                    f"({lq}.{utcol} < {rqual}.__ch_asof_end "
+                    f"OR {rqual}.__ch_asof_end IS NULL)",
+                ]
+            )
+            sql = (
+                sql[: m.start()]
+                + f"{jt} {sub} {rqual} ON {new_on} "
+                + sql[close_i + 1 :]
+            )
+            continue
         cond_start = k + om.end()
         # condition span: scan to the next top-level clause boundary
         i, depth = cond_start, 0

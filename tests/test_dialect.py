@@ -1131,13 +1131,36 @@ def test_translate_asof_join(spark):
     # non-strict picked rid=10 (the 5-minute row) for the same left row
     assert (0, 10) in {(r.lid, r.rid) for r in got.collect()}
 
+    # USING form (round-3b): equality on the leading columns, implicit
+    # backward >= on the LAST column; result must equal the ON form,
+    # and the output carries ONE copy of each USING column (CH dedup)
+    got_u = spark.sql(translate(
+        "SELECT l.lid, r.rid FROM asof_l l "
+        "ASOF LEFT JOIN asof_r r USING (uid, ts)"
+    ))
+    assert {tuple(x) for x in got_u.collect()} == {
+        tuple(x) for x in got.collect()
+    }
+    star = spark.sql(translate(
+        "SELECT * FROM asof_l l ASOF JOIN asof_r r USING (uid, ts)"
+    ))
+    assert star.columns.count("uid") == 1 and star.columns.count("ts") == 1
+    # unaliased right table: its bare name qualifies
+    got_b = spark.sql(translate(
+        "SELECT l.lid, asof_r.rid FROM asof_l l "
+        "ASOF JOIN asof_r USING (uid, ts)"
+    ))
+    assert {tuple(x) for x in got_b.collect()} == {
+        tuple(x) for x in got.collect() if x.rid is not None
+    }
+
     # gates
-    with pytest.raises(ValueError, match="ASOF JOIN"):
-        translate("SELECT * FROM a ASOF JOIN b USING (k, t)")
     with pytest.raises(ValueError, match="ASOF JOIN"):
         translate(
             "SELECT * FROM a ASOF JOIN b ON toDate(a.d) = b.d AND a.t >= b.t"
         )
+    with pytest.raises(ValueError, match="asof column"):
+        translate("SELECT * FROM a ASOF JOIN b USING (t)")
 
 
 def test_with_fill_runner(spark):
