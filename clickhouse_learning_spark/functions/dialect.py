@@ -1471,11 +1471,81 @@ def _rewrite_any_join(sql: str) -> str:
             k += am.end()
         um = _USING_RE.match(mask, k)
         if not um:
-            raise ValueError(
-                "ANY JOIN with ON needs the first-match keys to dedupe the "
-                "right side — rewrite as USING (k…), or pre-deduplicate with "
-                "a row_number() window"
+            om = re.compile(r"on\b", re.I).match(mask, k)
+            if not om:
+                raise ValueError(
+                    "ANY JOIN: expected USING (k…) or ON equalities after "
+                    "the right table"
+                )
+            # ON form: every conjunct must be a plain column equality with
+            # one side on the right table — those right columns are the
+            # first-match key, so the right side dedupes per that key and
+            # the ON clause survives verbatim. Non-equality conjuncts
+            # can't identify a dedup key and still gate.
+            cond_start = om.end()
+            i2, depth = cond_start, 0
+            while i2 < n:
+                ch = mask[i2]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth < 0:
+                        break
+                elif depth == 0 and (ch.isalpha() or ch == ";"):
+                    if (
+                        i2 == 0
+                        or not (mask[i2 - 1].isalnum() or mask[i2 - 1] == "_")
+                    ) and _ASOF_STOP_RE.match(mask, i2):
+                        break
+                i2 += 1
+            cond_end = i2
+            conjs = [
+                p.strip()
+                for p in re.split(
+                    r"\band\b", mask[cond_start:cond_end], flags=re.I
+                )
+            ]
+            # re-split on the raw sql using the mask's AND positions is
+            # unnecessary: equality conjuncts contain no string literals
+            # by the _EQ_COND_RE shape check below
+            right_quals = {alias} if alias else {ref, ref.rsplit(".", 1)[-1]}
+            if ref.startswith("(") and not alias:
+                raise ValueError("ANY JOIN: alias the right subquery")
+            rkeys = []
+            for p in conjs:
+                em = _EQ_COND_RE.match(p)
+                if not em:
+                    raise ValueError(
+                        f"ANY JOIN ON: unsupported conjunct {p!r} (plain "
+                        "column equalities only — pre-deduplicate with a "
+                        "row_number() window for other shapes)"
+                    )
+                for operand in (em.group(1), em.group(2)):
+                    qm = _QCOL_RE.match(operand)
+                    if qm and qm.group(1) in right_quals:
+                        rkeys.append(qm.group(2))
+                        break
+                else:
+                    raise ValueError(
+                        f"ANY JOIN ON: equality {p!r} does not reference "
+                        "the right table (qualify with its alias)"
+                    )
+            keys = ", ".join(dict.fromkeys(rkeys))
+            dedup = (
+                f"(SELECT * EXCEPT (__ch_any_rn) FROM ("
+                f"SELECT *, row_number() OVER (PARTITION BY {keys} "
+                f"ORDER BY {keys}) AS __ch_any_rn FROM {ref} "
+                f") WHERE __ch_any_rn = 1)"
             )
+            jt = "JOIN" if jointype == "INNER" else f"{jointype} JOIN"
+            alias_sql = f" {alias}" if alias else f" {ref.rsplit('.', 1)[-1]}"
+            sql = (
+                sql[: m.start()]
+                + f"{jt} {dedup}{alias_sql} ON {sql[cond_start:cond_end]}"
+                + sql[cond_end:]
+            )
+            continue
         k = um.end()
         while k < n and sql[k].isspace():
             k += 1

@@ -551,8 +551,23 @@ def test_translate_join_strictness(spark):
     # mechanical ON form becomes an intervalized equi-join
     t = translate("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
     assert "lead(t)" in t and "__ch_asof_end" in t
-    with pytest.raises(ValueError, match="USING"):
-        translate("SELECT * FROM a ANY LEFT JOIN b ON a.k = b.k")
+
+    # ANY JOIN … ON (round-3b): plain column equalities identify the
+    # right-side first-match key, dedup subquery + verbatim ON
+    rows = spark.sql(
+        translate("SELECT l.k, l.l, r.r FROM ch_l l ANY LEFT JOIN ch_r r ON l.k = r.k")
+    ).collect()
+    assert len(rows) == 3
+    got = {r.k: r.r for r in rows}
+    assert got[1] in ("r1", "r2") and got[2] == "r3" and got[3] is None
+    # unaliased right table qualifies by bare name
+    rows = spark.sql(
+        translate("SELECT l.k, ch_r.r FROM ch_l l ANY JOIN ch_r ON l.k = ch_r.k")
+    ).collect()
+    assert sorted(r.k for r in rows) == [1, 2]
+    # non-equality conjuncts still gate
+    with pytest.raises(ValueError, match="column equalities"):
+        translate("SELECT * FROM a l ANY LEFT JOIN b r ON l.k = r.k AND l.t >= r.t")
     with pytest.raises(ValueError, match="swap"):
         translate("SELECT * FROM a SEMI RIGHT JOIN b USING (k)")
 
