@@ -131,13 +131,18 @@ def main() -> None:
     t0 = time.time()
     with tempfile.TemporaryDirectory() as d:
         # raw log persisted to parquet so state-vs-raw compares two
-        # *storage* scans (the reference's own comparison shape)
+        # *storage* scans (the reference's own comparison shape). lz4,
+        # not the session's zstd default: ClickHouse MergeTree raw logs
+        # are LZ4 by default, and on this CPU-bound synthetic log zstd
+        # costs ~3 s extra on the write and ~1.5 s per scan for
+        # compression the hot path never needs (state tables, which
+        # live long and scan small, keep zstd).
         spark.range(300_000_000).select(
             (F.col("id") % 3_000_000).alias("uid"),
             F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 30).cast("int")).alias("day"),
             (F.col("id") % 5).alias("etype"),
             (F.col("id") % 1000).alias("val"),
-        ).write.parquet(d + "/raw")
+        ).write.option("compression", "lz4").parquet(d + "/raw")
         ev10 = spark.read.parquet(d + "/raw")
         mv10 = MaterializedView(
             "scale300m",

@@ -190,6 +190,7 @@ class ColumnSpec:
     spark_type: T.DataType
     default: str | None = None  # translated Spark SQL expression
     comment: str | None = None
+    codec: str | None = None  # lz4/zstd family from a CODEC(...) clause
 
 
 @dataclass
@@ -209,6 +210,9 @@ class TableSpec:
     primary_key: tuple[str, ...] = ()
     ttl: dt.timedelta | None = None
     ttl_column: str | None = None
+    # table-wide parquet codec lifted from the column CODEC clauses when
+    # they unanimously name one LZ4/ZSTD family (None → session zstd)
+    codec: str | None = None
     engine: str | None = None
     engine_args: tuple[str, ...] = ()  # e.g. ReplacingMergeTree(ver)
     replacing_version: str | None = None  # → merge_policies.replacing_read
@@ -242,6 +246,7 @@ class TableSpec:
             # infer it from the directory layout
             schema=None if self.partition_exprs else self.schema(),
             bloom_filter_cols=self.bloom_index_cols,
+            codec=self.codec,
         )
 
     def apply_defaults(self, df: DataFrame) -> DataFrame:
@@ -439,9 +444,19 @@ def _parse_column(defn: str) -> ColumnSpec:
     if not m:
         raise ValueError(f"unparseable column definition: {defn!r}")
     name, rest = m.group(1), m.group(2).strip()
-    # per-column CODEC(ZSTD/LZ4/Delta…): a compression knob, not a type —
-    # parquet compression is table-wide (spark.sql.parquet.compression.codec,
-    # zstd by default here), so the clause is dropped
+    # per-column CODEC(ZSTD/LZ4/Delta…): parquet compression is per
+    # table write, not per column, so the LZ4/ZSTD family (if any) is
+    # recorded on the ColumnSpec — parse_create_table lifts a unanimous
+    # family to Table.codec — and the clause itself is dropped (Delta/
+    # DoubleDelta/Gorilla transforms are subsumed by parquet encodings)
+    codec = None
+    cm0 = re.search(
+        r"\scodec\s*\(((?:[^()]|\([^()]*\))*)\)", rest, re.I
+    )
+    if cm0:
+        fam = re.search(r"\b(lz4|zstd)\b", cm0.group(1), re.I)
+        if fam:
+            codec = fam.group(1).lower()
     rest = re.sub(r"\s*codec\s*\((?:[^()]|\([^()]*\))*\)", "", rest, flags=re.I)
     comment = None
     cm = re.search(r"\bcomment\s+'((?:[^']|'')*)'\s*$", rest, re.I)
@@ -459,6 +474,7 @@ def _parse_column(defn: str) -> ColumnSpec:
         spark_type=_map_type(rest),
         default=default,
         comment=comment,
+        codec=codec,
     )
 
 
@@ -517,6 +533,9 @@ def parse_create_table(sql: str) -> TableSpec:
         for c in elements
         if not re.match(r"index\s", c.strip(), re.I)
     ]
+    fams = {c.codec for c in spec.columns if c.codec}
+    if len(fams) == 1:
+        spec.codec = fams.pop()
 
     em = re.search(r"engine\s*=\s*(\w+)\s*(?:\(([^)]*)\))?", tail, re.I)
     if em:
