@@ -1111,6 +1111,38 @@ def _rewrite_limit_by(sql: str) -> str:
     )
 
 
+def _rewrite_limit_by_all(sql: str) -> str:
+    """Apply :func:`_rewrite_limit_by` at every nesting level: the
+    outermost statement first, then each remaining ``LIMIT n BY`` by
+    locating its innermost enclosing paren span (a complete
+    subquery/CTE body) and rewriting that span as its own statement.
+    Innermost-first convergence: each iteration eliminates one clause."""
+    sql = _rewrite_limit_by(sql)
+    for _ in range(32):
+        smask = _string_mask(sql)
+        m = _LIMIT_BY_HEAD.search(smask)
+        if not m:
+            return sql
+        stack: list[int] = []
+        for i, ch in enumerate(smask):
+            if i >= m.start():
+                break
+            if ch == "(":
+                stack.append(i)
+            elif ch == ")":
+                stack.pop()
+        if not stack:  # top level — _rewrite_limit_by already handled it
+            return sql
+        o = stack[-1]
+        c = _matching_paren(sql, o)
+        inner = sql[o + 1 : c]
+        new = _rewrite_limit_by(inner)
+        if new == inner:
+            return sql  # not a rewritable span; leave for the gate
+        sql = sql[: o + 1] + new + sql[c:]
+    raise ValueError("too many LIMIT BY clauses to rewrite")
+
+
 def _map_outside_strings(sql: str, fn) -> str:
     """Apply ``fn`` to the segments of ``sql`` outside string literals."""
     parts: list[str] = []
@@ -1963,10 +1995,10 @@ def translate(
     Clause-level rewrites (before the function scan): ``SAMPLE f`` /
     ``SAMPLE n`` after a table reference → ``TABLESAMPLE``; a top-level
     ``LIMIT [offset,] n BY cols`` becomes a row_number() window
-    subquery (_rewrite_limit_by); LIMIT BY inside a subquery raises
-    pointing at the window formulation.
+    subquery at EVERY nesting level (_rewrite_limit_by_all; innermost
+    paren spans rewritten as their own statements).
     """
-    sql = _rewrite_limit_by(sql)
+    sql = _rewrite_limit_by_all(sql)
     sql = _rewrite_array_literals(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_table_refs(sql)

@@ -343,9 +343,6 @@ def test_translate_sample_and_limit_by_clauses(spark, star_views):
     n = spark.sql(sql).collect()[0]["n"]
     assert 0 < n < total
     assert translate("SELECT 'SAMPLE 0.5' AS s") == "SELECT 'SAMPLE 0.5' AS s"
-    # nested LIMIT BY is not structurally rewritten and still gates
-    with pytest.raises(ValueError, match="window_topk_per_group"):
-        translate("SELECT * FROM (SELECT x FROM t ORDER BY x LIMIT 3 BY g) q")
     with pytest.raises(ValueError, match="stratified_sample"):
         translate("SELECT count(*) FROM t SAMPLE 1000")
 
@@ -384,6 +381,23 @@ def test_translate_limit_by(spark):
     from collections import Counter
 
     assert Counter(r["g"] for r in rows) == {"a": 3, "b": 3}
+
+    # nested LIMIT BY (round-3b): subquery and CTE bodies rewrite too
+    rows = spark.sql(
+        translate(
+            "SELECT g, count(*) AS n FROM "
+            "(SELECT g, v FROM ch_lb ORDER BY v DESC LIMIT 2 BY g) q "
+            "GROUP BY g"
+        )
+    ).collect()
+    assert {(r.g, r.n) for r in rows} == {("a", 2), ("b", 2)}
+    rows = spark.sql(
+        translate(
+            "WITH top AS (SELECT g, v FROM ch_lb ORDER BY v DESC "
+            "LIMIT 1 BY g) SELECT sum(v) AS s FROM top"
+        )
+    ).collect()
+    assert rows[0].s == 18  # 9 + 9
 
 
 def test_translate_weighted_aggregate_gates():
