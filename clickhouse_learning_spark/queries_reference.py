@@ -517,3 +517,56 @@ def ch_with_fill_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY day WITH FILL
     """
     return run(spark, ch)
+
+
+@query(
+    "ch_retention_dialect",
+    """
+    WITH flags AS (
+      SELECT user_id % 7 AS cohort,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f1,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f2,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f3
+      FROM events GROUP BY user_id)
+    SELECT cohort,
+           CAST(sum(f1) AS BIGINT)      AS seen_view,
+           CAST(sum(f1 * f2) AS BIGINT) AS view_and_click,
+           CAST(sum(f1 * f3) AS BIGINT) AS view_and_purchase
+    FROM flags GROUP BY cohort
+    """,
+)
+def ch_retention_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention()`` pasted verbatim through the dialect
+    shim (round-3b translation: conditional-max products — order-free,
+    unlike windowFunnel/sequenceMatch which stay gated). The CH array
+    indexing ``r[1]`` exercises the 1-based ``element_at`` rewrite on
+    the same statement. Cohort sums finalize the per-user flags, so the
+    graded output is scalar (driver contract: no array columns)."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    ).createOrReplaceTempView("ch_ret_events")
+    ch = """
+        SELECT cohort,
+               sum(r[1]) AS seen_view,
+               sum(r[2]) AS view_and_click,
+               sum(r[3]) AS view_and_purchase
+        FROM (
+          SELECT user_id % 7 AS cohort,
+                 retention(event_type = 'view',
+                           event_type = 'click',
+                           event_type = 'purchase') AS r
+          FROM ch_ret_events GROUP BY user_id, cohort
+        )
+        GROUP BY cohort
+    """
+    return spark.sql(translate(ch)).select(
+        "cohort",
+        _F.col("seen_view").cast("long").alias("seen_view"),
+        _F.col("view_and_click").cast("long").alias("view_and_click"),
+        _F.col("view_and_purchase").cast("long").alias("view_and_purchase"),
+    )
