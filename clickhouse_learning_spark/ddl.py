@@ -287,7 +287,9 @@ class MutationSpec:
     - ``DROP PARTITION <value>`` → :meth:`Table.drop_partitions`
       (metadata-only directory drop);
     - ``DELETE WHERE <cond>`` → :meth:`Table.delete_where`
-      (rewrites only partitions containing matches).
+      (rewrites only partitions containing matches);
+    - ``UPDATE c = e, … WHERE <cond>`` → :meth:`Table.update_where`
+      (same partition-scoped rewrite; simultaneous old-row assignment).
 
     ``condition``/``partition`` are kept in both ClickHouse and
     translated-Spark form; :meth:`apply` executes against an
@@ -296,9 +298,10 @@ class MutationSpec:
 
     database: str
     name: str
-    kind: str  # "drop_partition" | "delete"
+    kind: str  # "drop_partition" | "delete" | "update"
     partition: str | None = None  # literal partition value (drop_partition)
-    condition: str | None = None  # translated Spark SQL predicate (delete)
+    condition: str | None = None  # translated Spark SQL predicate
+    assignments: dict | None = None  # update: column -> translated expr
 
     @property
     def qualified(self) -> str:
@@ -307,6 +310,8 @@ class MutationSpec:
     def apply(self, table: Table, spark) -> int:
         if self.kind == "drop_partition":
             return table.drop_partitions(spark, [self.partition])
+        if self.kind == "update":
+            return table.update_where(spark, self.assignments, self.condition)
         return table.delete_where(spark, self.condition)
 
 
@@ -356,9 +361,25 @@ def parse_mutation(sql: str) -> MutationSpec:
         return MutationSpec(
             db, name, "delete", condition=translate(dl.group(1).strip())
         )
+    up = re.match(r"update\s+(.+?)\s+where\s+(.+)$", rest, re.I | re.S)
+    if up:
+        assignments: dict[str, str] = {}
+        for part in _split_args(up.group(1)):
+            am = re.match(r"([A-Za-z_]\w*)\s*=\s*(.+)$", part.strip(), re.S)
+            if not am:
+                raise ValueError(f"unparseable UPDATE assignment {part!r}")
+            assignments[am.group(1)] = translate(am.group(2).strip())
+        return MutationSpec(
+            db,
+            name,
+            "update",
+            condition=translate(up.group(2).strip()),
+            assignments=assignments,
+        )
     raise ValueError(
-        f"unsupported ALTER mutation {rest[:60]!r}: only DROP PARTITION and "
-        "DELETE WHERE map onto the engine's partition-pruned mutations; "
+        f"unsupported ALTER mutation {rest[:60]!r}: only DROP PARTITION, "
+        "DELETE WHERE and UPDATE … WHERE map onto the engine's "
+        "partition-pruned mutations; "
         "ADD/MODIFY COLUMN are schema evolution — use "
         "MaterializedView.with_metric / with_dimension (D5/D6)"
     )

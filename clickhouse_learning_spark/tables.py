@@ -218,6 +218,48 @@ class Table:
         self.drop_partitions(spark, emptied)
         return len(affected)
 
+    def update_where(
+        self, spark: SparkSession, assignments: dict[str, str], cond
+    ) -> int:
+        """Row-level UPDATE (``ALTER TABLE … UPDATE c = e WHERE cond``)
+        that rewrites ONLY partitions containing matching rows — the
+        same 100 TB-scoped shape as :meth:`delete_where`. All
+        assignment expressions read the OLD row (ClickHouse mutation
+        semantics: simultaneous assignment), enforced by building every
+        new column from one projection of the input frame. Key columns
+        (partition or sort key) cannot be updated — ClickHouse forbids
+        it, and here it would silently move rows across partitions /
+        break the sort-key row-group stats."""
+        bad = set(assignments) & (set(self.partition_by) | set(self.sort_key))
+        if bad:
+            raise ValueError(
+                f"cannot UPDATE key column(s) {sorted(bad)} — partition and "
+                "sort-key columns are immutable (re-insert instead)"
+            )
+        cond = F.expr(cond) if isinstance(cond, str) else cond
+        df = self.read(spark)
+        new_cols = {
+            c: F.when(cond, F.expr(e)).otherwise(F.col(c))
+            for c, e in assignments.items()
+        }
+        if not self.partition_by:
+            if df.filter(cond).isEmpty():
+                return 0
+            self._rewrite(df.withColumns(new_cols))
+            return 1
+        affected = [
+            tuple(r)
+            for r in df.filter(cond).select(*self.partition_by).distinct().collect()
+        ]
+        if not affected:
+            return 0
+        vals = spark.createDataFrame(affected, list(self.partition_by))
+        in_affected = df.join(
+            F.broadcast(vals), list(self.partition_by), "left_semi"
+        )
+        self.overwrite_partitions(in_affected.withColumns(new_cols))
+        return len(affected)
+
     def apply_ttl(
         self,
         spark: SparkSession,

@@ -86,3 +86,67 @@ def test_delete_where_no_match_is_noop(spark, tmp_path):
     before = _files(t.path)
     assert t.delete_where(spark, "g = 99") == 0
     assert _files(t.path) == before
+
+
+def test_update_where_rewrites_only_affected_partitions(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    before = _files(t.path)
+    n = t.update_where(
+        spark, {"g": "g + 100"}, "day = DATE'2024-01-02' AND g = 3"
+    )
+    assert n == 1
+    after = _files(t.path)
+    untouched = {k: v for k, v in before.items() if "day=2024-01-02" not in k}
+    assert {k: v for k, v in after.items() if "day=2024-01-02" not in k} == untouched
+    got = t.read(spark)
+    assert got.filter("day = DATE'2024-01-02' AND g = 3").count() == 0
+    assert got.filter("day = DATE'2024-01-02' AND g = 103").count() > 0
+    assert got.count() == 500  # no rows created or lost
+    # other partitions' g=3 rows untouched
+    assert got.filter("day != DATE'2024-01-02' AND g = 3").count() > 0
+
+
+def test_update_where_simultaneous_old_row_assignment(spark, tmp_path):
+    # CH mutation semantics: every assignment reads the OLD row, so
+    # swapping two columns must actually swap them
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), 1, 10), (dt.date(2024, 1, 1), 2, 20)],
+        "day date, a long, b long",
+    )
+    t = Table(str(tmp_path / "sw"), ("day",))
+    t.append(df)
+    t.update_where(spark, {"a": "b", "b": "a"}, "a = 1")
+    rows = {(r.a, r.b) for r in t.read(spark).collect()}
+    assert rows == {(10, 1), (2, 20)}
+
+
+def test_update_where_rejects_key_columns(spark, tmp_path):
+    import pytest
+
+    t = _mk(spark, tmp_path / "t")
+    with pytest.raises(ValueError, match="immutable"):
+        t.update_where(spark, {"day": "day"}, "g = 1")
+
+
+def test_update_where_no_match_is_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    before = _files(t.path)
+    assert t.update_where(spark, {"g": "0"}, "g = 99") == 0
+    assert _files(t.path) == before
+
+
+def test_parse_mutation_update(spark, tmp_path):
+    from clickhouse_learning_spark import ddl
+
+    mu = ddl.parse_mutation(
+        "ALTER TABLE db.t ON CLUSTER c UPDATE g = toInt64(g) + 1, "
+        "id = id * 2 WHERE g = 3"
+    )
+    assert mu.kind == "update"
+    assert mu.assignments == {"g": "CAST(g AS BIGINT) + 1", "id": "id * 2"}
+    t = _mk(spark, tmp_path / "t")
+    n = mu.apply(t, spark)
+    assert n == 5  # g=3 rows exist in every day partition
+    got = t.read(spark)
+    assert got.filter("g = 3").count() == 0
+    assert got.filter("g = 4").count() > 0
