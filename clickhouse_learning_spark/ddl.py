@@ -924,10 +924,15 @@ class Deployment:
             name, part = parse_optimize(s)
             table = self.tables[self._resolve(name)]
             return table.compact(spark)
+        tm = re.match(
+            r"truncate\s+table\s+(?:if\s+exists\s+)?([\w.]+)", s, re.I
+        )
+        if tm:
+            return self.tables[self._resolve(tm.group(1))].truncate()
         raise ValueError(
             f"unsupported console statement {s[:60]!r}: INSERT INTO / "
-            "ALTER TABLE mutations / OPTIMIZE TABLE are supported; CREATEs "
-            "belong in the deploy() script"
+            "ALTER TABLE mutations / OPTIMIZE TABLE / TRUNCATE TABLE are "
+            "supported; CREATEs belong in the deploy() script"
         )
 
     def attach_stream(

@@ -218,6 +218,14 @@ class Table:
         self.drop_partitions(spark, emptied)
         return len(affected)
 
+    def truncate(self) -> int:
+        """``TRUNCATE TABLE`` — filesystem-only removal of every data
+        file; the table definition (this object) survives and the next
+        append recreates the directory. Returns 1 if data existed."""
+        existed = Path(self.path).exists()
+        shutil.rmtree(self.path, ignore_errors=True)
+        return int(existed)
+
     def update_where(
         self, spark: SparkSession, assignments: dict[str, str], cond
     ) -> int:

@@ -766,3 +766,21 @@ def test_codec_clause_lifts_to_table_codec(spark, tmp_path):
     control.append(df)
     assert codec_of(control.path) == {"ZSTD"}
     assert codec_of(t.path) != {"ZSTD"}
+
+
+def test_truncate_table_statement(spark, tmp_path):
+    """TRUNCATE TABLE: filesystem-only wipe; the table object survives
+    and the next insert recreates it (MVs fire on it as usual)."""
+    script = """
+    CREATE TABLE test.tt (uid UInt64, v UInt32)
+    ENGINE = MergeTree ORDER BY uid
+    """
+    dep = ddl.deploy(spark, script, str(tmp_path))
+    dep.execute(spark, "INSERT INTO test.tt VALUES (1, 10), (2, 20)")
+    assert dep.tables["test.tt"].read(spark).count() == 2
+    assert dep.execute(spark, "TRUNCATE TABLE test.tt") == 1
+    import glob
+
+    assert not glob.glob(f"{dep.tables['test.tt'].path}/**/*.parquet", recursive=True)
+    dep.execute(spark, "INSERT INTO test.tt VALUES (3, 30)")
+    assert dep.tables["test.tt"].read(spark).count() == 1
