@@ -852,6 +852,27 @@ class Deployment:
             report[name] = entry
         return report
 
+    def read(self, spark, name: str) -> DataFrame:
+        """Read a deployed table with ClickHouse's lazy-default
+        semantics: rows written BEFORE an ``ADD COLUMN … DEFAULT e``
+        mutation surface the declared default, not NULL (in ClickHouse
+        the default materializes lazily at merge time; here it stays a
+        read-time coalesce — no part is ever rewritten for schema
+        evolution). Declared non-Nullable columns cannot hold real
+        NULLs in ClickHouse, so the coalesce is unambiguous."""
+        name = self._resolve(name)
+        spec = self.specs[name]
+        df = self.tables[name].read(spark)
+        for c in spec.columns:
+            if c.default is not None and c.name in df.columns:
+                df = df.withColumn(
+                    c.name,
+                    F.coalesce(
+                        F.col(c.name), F.expr(c.default).cast(c.spark_type)
+                    ),
+                )
+        return df
+
     def final_read(self, spark, name: str) -> DataFrame:
         """``SELECT … FROM t FINAL`` semantics for a deployed table:
         engine-appropriate merge-on-read — ReplacingMergeTree(ver)
@@ -917,6 +938,49 @@ class Deployment:
             names = cols or [c.name for c in target_spec.columns][: len(df.columns)]
             df = df.toDF(*names)
             return self.ingest(spark, im.group(1), df)
+        am = re.match(
+            r"alter\s+table\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?\s+"
+            r"add\s+column\s+(?:if\s+not\s+exists\s+)?(.+?)"
+            r"(\s+after\s+\w+|\s+first)?$",
+            s,
+            re.I | re.S,
+        )
+        if am:
+            # ClickHouse ADD COLUMN is a metadata-only mutation: no part
+            # is rewritten; old parts surface the column's DEFAULT at
+            # read time and new inserts materialize it. Same here: the
+            # spec gains the column (so apply_defaults materializes it
+            # for future inserts), the physical table's schema pin is
+            # refreshed (so pinned reads surface the column as NULL for
+            # old files), and Deployment.read applies the read-time
+            # default. AFTER x / FIRST is ordering metadata — honored in
+            # the spec's column order.
+            name = self._resolve(am.group(1))
+            spec = self.specs[name]
+            col = _parse_column(am.group(2).strip())
+            if any(c.name == col.name for c in spec.columns):
+                return 0
+            pos = len(spec.columns)
+            posm = am.group(3)
+            if posm:
+                p = posm.strip()
+                if p.lower() == "first":
+                    pos = 0
+                else:
+                    after = p.split()[-1]
+                    pos = next(
+                        (
+                            i + 1
+                            for i, c in enumerate(spec.columns)
+                            if c.name == after
+                        ),
+                        pos,
+                    )
+            spec.columns.insert(pos, col)
+            t = self.tables[name]
+            if t.schema is not None:
+                t.schema = spec.schema()
+            return 1
         if re.match(r"alter\s+table", s, re.I):
             mu = parse_mutation(s)
             return mu.apply(self.tables[self._resolve(mu.qualified)], spark)

@@ -784,3 +784,49 @@ def test_truncate_table_statement(spark, tmp_path):
     assert not glob.glob(f"{dep.tables['test.tt'].path}/**/*.parquet", recursive=True)
     dep.execute(spark, "INSERT INTO test.tt VALUES (3, 30)")
     assert dep.tables["test.tt"].read(spark).count() == 1
+
+
+def test_alter_add_column_lazy_default(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN is metadata-only (no part rewritten):
+    pre-existing rows surface the declared DEFAULT through
+    Deployment.read (ClickHouse's lazy materialization), and the next
+    insert materializes it physically. AFTER positions the column in
+    the spec order."""
+    script = """
+    CREATE TABLE test.ac (uid UInt64, v UInt32)
+    ENGINE = MergeTree ORDER BY uid
+    """
+    dep = ddl.deploy(spark, script, str(tmp_path))
+    dep.execute(spark, "INSERT INTO test.ac VALUES (1, 10), (2, 20)")
+    import glob
+    import os
+
+    files_before = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{dep.tables['test.ac'].path}/**/*.parquet", recursive=True)
+    }
+    assert (
+        dep.execute(
+            spark,
+            "ALTER TABLE test.ac ADD COLUMN score UInt32 DEFAULT 5 AFTER uid",
+        )
+        == 1
+    )
+    # metadata-only: no data file rewritten
+    files_after = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{dep.tables['test.ac'].path}/**/*.parquet", recursive=True)
+    }
+    assert files_after == files_before
+    assert [c.name for c in dep.specs["test.ac"].columns] == ["uid", "score", "v"]
+    # old rows read the default; new insert materializes it
+    got = {(r.uid, r.score) for r in dep.read(spark, "test.ac").collect()}
+    assert got == {(1, 5), (2, 5)}
+    dep.execute(spark, "INSERT INTO test.ac (uid, score, v) VALUES (3, 9, 30)")
+    got = {(r.uid, r.score) for r in dep.read(spark, "test.ac").collect()}
+    assert got == {(1, 5), (2, 5), (3, 9)}
+    # idempotent: adding the same column again is a no-op
+    assert (
+        dep.execute(spark, "ALTER TABLE test.ac ADD COLUMN score UInt32 DEFAULT 5")
+        == 0
+    )
