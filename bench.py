@@ -299,20 +299,23 @@ def main() -> None:
     timings["join_100m_fact_1m_dim"] = round(time.time() - t0, 3)
 
     # skew story end-to-end (reference: uid%13 heavy clickers,
-    # make_user_action_001.py:71): 50M rows where HALF the traffic
-    # lands on 8 hot uids, joined to a 3M-row dim. Two strategies
-    # benched best-of-N: AQE skew-split/runtime-broadcast on the plain
-    # join (the first line of defense — and the winner whenever the dim
-    # turns out broadcastable), and the explicit salted_join (pinned
-    # sort-merge; its cost = sorting fact + n_salts·dim, the price of
-    # the pattern) for the cases AQE can't rescue. Equal results by
-    # construction; the timings prove NEITHER stalls on the hot keys —
-    # without mitigation the hot uids serialize into straggler tasks.
+    # make_user_action_001.py:71): 50M rows where 80% of the traffic
+    # lands on 2 hot uids — sharp enough that the unmitigated sort-merge
+    # join serializes the hot keys into straggler tasks even at 32
+    # local cores (the milder half-on-8 shape hid the pain behind the
+    # sort's fixed cost). Strategies benched best-of-N: AQE skew-split/
+    # runtime-broadcast on the plain join (first line of defense — and
+    # the winner whenever the dim turns out broadcastable), the explicit
+    # salted_join (pinned sort-merge; cost = sorting fact + n_salts·dim)
+    # for the cases AQE can't rescue, and targeted_salted_join (salts
+    # ONLY detected hot keys — dim replication n_salts×|hot|, the shape
+    # that scales when the dim itself is huge). Equal results by
+    # construction.
     from clickhouse_learning_spark.operators.skew import salted_join
 
     spark.catalog.clearCache()  # isolate from earlier entries' memory
     skew_fact = spark.range(50_000_000).select(
-        F.when(F.col("id") % 2 == 0, (F.col("id") % 8) * 13)
+        F.when(F.col("id") % 5 < 4, (F.col("id") % 2) * 13)
         .otherwise(F.col("id") % 3_000_000)
         .alias("uid"),
         (F.col("id") % 97).alias("v"),
@@ -342,8 +345,8 @@ def main() -> None:
             .save()
         )
         best_salt = min(best_salt, time.time() - t0)
-    timings["skew_join_aqe_50m_8hot"] = round(best_aqe, 3)
-    timings["skew_join_salted_50m_8hot"] = round(best_salt, 3)
+    timings["skew_join_aqe_50m_2hot"] = round(best_aqe, 3)
+    timings["skew_join_salted_50m_2hot"] = round(best_salt, 3)
     # targeted variant: salt ONLY the detected hot keys (dim replication
     # n_salts×|hot| instead of n_salts×|dim|) — the timing includes the
     # 0.1%-sample hot-key detection pass, i.e. the full cold-start cost
@@ -361,10 +364,10 @@ def main() -> None:
             .save()
         )
         best_tgt = min(best_tgt, time.time() - t0)
-    timings["skew_join_targeted_50m_8hot"] = round(best_tgt, 3)
-    # the pain both strategies avoid: same join with skew-split AND
-    # broadcast disabled — the 8 hot uids serialize into a handful of
-    # straggler tasks (single shot; it only has to show the gap)
+    timings["skew_join_targeted_50m_2hot"] = round(best_tgt, 3)
+    # the pain the strategies avoid: same join with skew-split AND
+    # broadcast disabled — the 2 hot uids serialize into two straggler
+    # sort partitions (single shot; it only has to show the gap)
     for k, v in (
         ("spark.sql.adaptive.skewJoin.enabled", "false"),
         ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
@@ -381,7 +384,7 @@ def main() -> None:
             .mode("overwrite")
             .save()
         )
-        timings["skew_join_no_mitigation_50m_8hot"] = round(time.time() - t0, 3)
+        timings["skew_join_no_mitigation_50m_2hot"] = round(time.time() - t0, 3)
     finally:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         spark.conf.set(
