@@ -1111,6 +1111,60 @@ def _rewrite_limit_by(sql: str) -> str:
     )
 
 
+_LIMIT_TIES_RE = re.compile(r"\blimit\s+(\d+)\s+with\s+ties\b", re.I)
+
+
+def _rewrite_limit_ties(sql: str) -> str:
+    """``ORDER BY o LIMIT n WITH TIES`` → ``rank() OVER (ORDER BY o)
+    <= n`` (the standard equivalence: the first n rows plus every row
+    tied with the n-th on the sort key). Spark's parser rejects WITH
+    TIES outright, so without this rewrite the statement silently fails
+    at execution. Plan note: the rank window is a global sort of the
+    pre-limit set — the same full sort ClickHouse runs for WITH TIES;
+    for huge inputs prefer a two-pass boundary-key filter. Applied at
+    every nesting level like LIMIT BY."""
+    for _ in range(32):
+        smask = _string_mask(sql)
+        m = _LIMIT_TIES_RE.search(smask)
+        if not m:
+            return sql
+        # span = innermost enclosing parens (whole sql if top level)
+        start, end = 0, len(sql)
+        stack: list[int] = []
+        for i, ch in enumerate(smask):
+            if i >= m.start():
+                break
+            if ch == "(":
+                stack.append(i)
+            elif ch == ")":
+                stack.pop()
+        if stack:
+            start = stack[-1] + 1
+            end = _matching_paren(sql, stack[-1])
+        span = sql[start:end]
+        mask = _depth0_mask(span)
+        lm = _LIMIT_TIES_RE.search(mask)
+        n_take = int(lm.group(1))
+        ob = None
+        for obm in _ORDER_BY_RE.finditer(mask, 0, lm.start()):
+            ob = obm  # last top-level ORDER BY before the LIMIT
+        if ob is None:
+            raise ValueError("LIMIT n WITH TIES requires an ORDER BY")
+        body = span[: ob.start()].rstrip()
+        order_clause = span[ob.start() : lm.start()].strip()
+        order_exprs = order_clause[len(ob.group(0)) :].strip()
+        trailing = span[lm.end() :].strip()
+        new_span = (
+            f"SELECT * EXCEPT (__ch_ties_rnk) FROM ("
+            f"SELECT *, rank() OVER (ORDER BY {order_exprs}) AS "
+            f"__ch_ties_rnk FROM ({body}) __ch_ties) "
+            f"WHERE __ch_ties_rnk <= {n_take} {order_clause}"
+            + (f" {trailing}" if trailing else "")
+        )
+        sql = sql[:start] + new_span + sql[end:]
+    raise ValueError("too many WITH TIES clauses to rewrite")
+
+
 def _rewrite_limit_by_all(sql: str) -> str:
     """Apply :func:`_rewrite_limit_by` at every nesting level: the
     outermost statement first, then each remaining ``LIMIT n BY`` by
@@ -1999,6 +2053,7 @@ def translate(
     paren spans rewritten as their own statements).
     """
     sql = _rewrite_limit_by_all(sql)
+    sql = _rewrite_limit_ties(sql)
     sql = _rewrite_array_literals(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_table_refs(sql)

@@ -1311,3 +1311,32 @@ def test_translate_format_datetime(spark):
         translate("formatDateTime(d, '%Y', 'UTC')")
     with pytest.raises(ValueError, match="literal format"):
         translate("formatDateTime(d, f)")
+
+
+def test_translate_limit_with_ties(spark):
+    """LIMIT n WITH TIES (round-3b): the first n rows in sort order plus
+    every row tied with the n-th on the sort key — rank() <= n. Spark's
+    parser rejects WITH TIES, so passthrough would break at execution."""
+    spark.createDataFrame(
+        [("a", 9), ("b", 9), ("c", 5), ("d", 5), ("e", 3)], "g string, v int"
+    ).createOrReplaceTempView("ch_ties")
+    rows = spark.sql(
+        translate("SELECT g, v FROM ch_ties ORDER BY v DESC LIMIT 1 WITH TIES")
+    ).collect()
+    assert sorted((r.g, r.v) for r in rows) == [("a", 9), ("b", 9)]
+    rows = spark.sql(
+        translate("SELECT g, v FROM ch_ties ORDER BY v DESC LIMIT 3 WITH TIES")
+    ).collect()
+    assert sorted((r.g, r.v) for r in rows) == [
+        ("a", 9), ("b", 9), ("c", 5), ("d", 5)
+    ]
+    # nested form rewrites inside its own span
+    rows = spark.sql(
+        translate(
+            "SELECT count(*) AS n FROM "
+            "(SELECT g, v FROM ch_ties ORDER BY v DESC LIMIT 1 WITH TIES) q"
+        )
+    ).collect()
+    assert rows[0].n == 2
+    with pytest.raises(ValueError, match="ORDER BY"):
+        translate("SELECT g FROM ch_ties LIMIT 2 WITH TIES")
