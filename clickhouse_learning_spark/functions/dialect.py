@@ -408,6 +408,85 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["toYYYYMMDD"] = lambda a: (
         f"CAST(date_format({_one(a, 'toYYYYMMDD')}, 'yyyyMMdd') AS INT)"
     )
+    # fixed-width time buckets (UTC session — the engine pins UTC): CH
+    # floors the unix epoch, so an epoch-floor expression is exact
+    def _floor_seconds(x: str, secs: int) -> str:
+        return (
+            f"timestamp_seconds(CAST(floor(unix_timestamp({x}) / {secs}) "
+            f"* {secs} AS BIGINT))"
+        )
+
+    m["toStartOfFiveMinute"] = lambda a: _floor_seconds(
+        _one(a, "toStartOfFiveMinute"), 300
+    )
+    m["toStartOfTenMinutes"] = lambda a: _floor_seconds(
+        _one(a, "toStartOfTenMinutes"), 600
+    )
+    m["toStartOfFifteenMinutes"] = lambda a: _floor_seconds(
+        _one(a, "toStartOfFifteenMinutes"), 900
+    )
+    # timeSlot = the half-hour bucket (CH rounds down to 30 min)
+    m["timeSlot"] = lambda a: _floor_seconds(_one(a, "timeSlot"), 1800)
+
+    def _to_start_of_interval(a):
+        if len(a) != 2:
+            raise ValueError(
+                "toStartOfInterval expects (ts, INTERVAL n unit)"
+            )
+        x = a[0]
+        im = re.match(
+            r"(?i)\s*interval\s+(\d+)\s+(second|minute|hour|day|week|month"
+            r"|year)s?\s*$",
+            a[1],
+        )
+        if not im:
+            raise ValueError(
+                f"toStartOfInterval: unparseable interval {a[1]!r} "
+                "(literal INTERVAL n unit required)"
+            )
+        n, unit = int(im.group(1)), im.group(2).lower()
+        per = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+        if unit in per:
+            return _floor_seconds(x, n * per[unit])
+        if unit == "week":
+            # CH week intervals anchor on Monday; the unix epoch was a
+            # Thursday, so shift by 3 days before flooring
+            secs = n * 604800
+            return (
+                f"timestamp_seconds(CAST(floor((unix_timestamp({x}) + "
+                f"259200) / {secs}) * {secs} - 259200 AS BIGINT))"
+            )
+        if unit == "month":
+            # months-since-epoch floor → Date (CH returns Date here)
+            return (
+                f"add_months(DATE'1970-01-01', CAST(floor(((year({x}) - "
+                f"1970) * 12 + month({x}) - 1) / {n}) * {n} AS INT))"
+            )
+        return (  # year
+            f"make_date(CAST(floor((year({x}) - 1970) / {n}) * {n} + 1970 "
+            f"AS INT), 1, 1)"
+        )
+
+    m["toStartOfInterval"] = _to_start_of_interval
+    # toTime: the time-of-day mapped onto the fixed date 1970-01-02
+    m["toTime"] = lambda a: (
+        lambda x: (
+            f"timestamp_seconds(86400 + (unix_timestamp({x}) % 86400))"
+        )
+    )(_one(a, "toTime"))
+    # toRelative*Num: whole units elapsed since the unix epoch
+    m["toRelativeSecondNum"] = lambda a: (
+        f"unix_timestamp({_one(a, 'toRelativeSecondNum')})"
+    )
+    m["toRelativeMinuteNum"] = lambda a: (
+        f"CAST(floor(unix_timestamp({_one(a, 'toRelativeMinuteNum')}) / 60) AS BIGINT)"
+    )
+    m["toRelativeHourNum"] = lambda a: (
+        f"CAST(floor(unix_timestamp({_one(a, 'toRelativeHourNum')}) / 3600) AS BIGINT)"
+    )
+    m["toRelativeDayNum"] = lambda a: (
+        f"CAST(floor(unix_timestamp({_one(a, 'toRelativeDayNum')}) / 86400) AS BIGINT)"
+    )
     m["toHour"] = lambda a: f"hour({_one(a, 'toHour')})"
     m["toMinute"] = lambda a: f"minute({_one(a, 'toMinute')})"
     m["toDayOfMonth"] = lambda a: f"day({_one(a, 'toDayOfMonth')})"
@@ -420,8 +499,17 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
 
     # -- strings / arrays ---------------------------------------------------
     m["splitByChar"] = lambda a: (
-        lambda sep, x: f"split({x}, {sep})"
+        # CH splits on a LITERAL character; Spark split() takes a regex —
+        # '.' or '|' as the separator would otherwise silently split on
+        # everything/nothing. Same \Q…\E literal guard as splitByString.
+        lambda sep, x: f"split({x}, concat('\\\\Q', {sep}, '\\\\E'))"
     )(*_two(a, "splitByChar"))
+    m["alphaTokens"] = lambda a: (
+        # maximal [a-zA-Z] runs; split leaves '' fragments at the ends
+        lambda s: (
+            f"filter(split({s}, '[^a-zA-Z]+'), x -> x != '')"
+        )
+    )(_one(a, "alphaTokens"))
     m["arrayStringConcat"] = lambda a: (
         f"array_join({a[0]}, {a[1] if len(a) > 1 else chr(39) + chr(39)})"
     )

@@ -1340,3 +1340,32 @@ def test_translate_limit_with_ties(spark):
     assert rows[0].n == 2
     with pytest.raises(ValueError, match="ORDER BY"):
         translate("SELECT g FROM ch_ties LIMIT 2 WITH TIES")
+
+
+def test_translate_time_bucket_functions(spark):
+    """Fixed-width bucket floors (round-3b): five/ten/fifteen-minute,
+    timeSlot (30 min), toStartOfInterval with literal intervals (epoch
+    anchored; week anchors Monday like CH; month/year return dates),
+    toTime (time-of-day on 1970-01-02), toRelative*Num (whole units
+    since the epoch). splitByChar treats the separator as a literal."""
+    r = spark.sql("SELECT TIMESTAMP'2024-03-15 13:47:29' AS ts").selectExpr(
+        translate("toStartOfFiveMinute(ts)") + " AS m5",
+        translate("timeSlot(ts)") + " AS slot",
+        translate("toStartOfInterval(ts, INTERVAL 10 MINUTE)") + " AS i10",
+        translate("toStartOfInterval(ts, INTERVAL 1 WEEK)") + " AS w1",
+        translate("toStartOfInterval(ts, INTERVAL 3 MONTH)") + " AS mo3",
+        translate("toTime(ts)") + " AS tt",
+        translate("toRelativeDayNum(ts)") + " AS rd",
+        translate("splitByChar('.', 'a.b.c')") + " AS sc",
+        translate("alphaTokens('ab1cd')") + " AS at",
+    ).collect()[0]
+    assert str(r.m5) == "2024-03-15 13:45:00"
+    assert str(r.slot) == "2024-03-15 13:30:00"
+    assert str(r.i10) == "2024-03-15 13:40:00"
+    assert str(r.w1) == "2024-03-11 00:00:00"  # Monday anchor
+    assert str(r.mo3) == "2024-01-01"
+    assert str(r.tt) == "1970-01-02 13:47:29"
+    assert r.rd == 19797
+    assert r.sc == ["a", "b", "c"] and r.at == ["ab", "cd"]
+    with pytest.raises(ValueError, match="INTERVAL"):
+        translate("toStartOfInterval(ts, x)")
