@@ -353,6 +353,11 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["match"] = lambda a: (
         lambda s_, p: f"({s_} RLIKE {p})"
     )(*_two(a, "match"))
+    m["multiSearchAny"] = lambda a: (
+        # any of the needles occurs as a SUBSTRING (not regex) — CH
+        # multiSearchAny(haystack, [n1, n2, …])
+        lambda s_, arr: f"exists({arr}, x -> contains({s_}, x))"
+    )(*_two(a, "multiSearchAny"))
     m["replaceRegexpAll"] = lambda a: f"regexp_replace({', '.join(a)})"
     m["replaceAll"] = lambda a: f"replace({', '.join(a)})"
     m["replaceOne"] = lambda a: (_ for _ in ()).throw(

@@ -309,7 +309,10 @@ def test_translate_extended_scalar_and_aggregate_surface(spark):
     compute correct values in Spark SQL."""
     assert translate("argMax(uid, value)") == "max_by(uid, value)"
     assert translate("groupUniqArray(x)") == "collect_set(x)"
-    assert translate("splitByChar(',', s)") == "split(s, ',')"
+    # separator is literal, not regex (r3b: '.' would split on all chars)
+    assert translate("splitByChar(',', s)") == (
+        "split(s, concat('\\\\Q', ',', '\\\\E'))"
+    )
     assert translate("has(tags, 'a')") == "array_contains(tags, 'a')"
     row = spark.sql(
         "SELECT "
