@@ -570,3 +570,48 @@ def ch_retention_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("view_and_click").cast("long").alias("view_and_click"),
         _F.col("view_and_purchase").cast("long").alias("view_and_purchase"),
     )
+
+
+@query(
+    "ch_time_buckets_dialect",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS q15,
+           CAST(count(*) AS BIGINT) AS cnt,
+           count(DISTINCT user_id) AS uv,
+           CAST(max(CASE WHEN event_type IN ('click', 'purchase')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS has_action
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+    GROUP BY q15 ORDER BY q15 LIMIT 40
+    """,
+)
+def ch_time_buckets_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse time-bucket functions pasted through the shim
+    (round-3b mappings): ``toStartOfFifteenMinutes`` buckets the day's
+    events (epoch-anchored floor = DuckDB's ``time_bucket``), and
+    ``multiSearchAny`` drives a conditional flag (substring semantics).
+    ``toDate`` filter + ``uniqExact`` ride along."""
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type"
+    ).createOrReplaceTempView("ch_tb_events")
+    ch = """
+        SELECT toStartOfFifteenMinutes(ts) AS q15,
+               count() AS cnt,
+               uniqExact(user_id) AS uv,
+               maxIf(1, multiSearchAny(event_type, ['click', 'purchase']))
+                   AS has_action
+        FROM ch_tb_events
+        WHERE toDate(ts) = toDate('2024-01-03')
+        GROUP BY q15 ORDER BY q15 LIMIT 40
+    """
+    from pyspark.sql import functions as _F
+
+    return spark.sql(translate(ch)).select(
+        "q15",
+        _F.col("cnt").cast("long").alias("cnt"),
+        _F.col("uv").cast("long").alias("uv"),
+        _F.coalesce(_F.col("has_action"), _F.lit(0)).cast("long").alias("has_action"),
+    )
