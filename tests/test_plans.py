@@ -292,3 +292,27 @@ def test_decorrelation_shapes(spark):
     p22 = plan_text(QUERIES["idle_rich_customers"](spark, SF_SMOKE))
     assert "LeftAnti" in p22
     assert "BroadcastNestedLoopJoin" in p22 or "BroadcastHashJoin" in p22
+
+
+def test_targeted_salted_join_plan(spark):
+    """targeted_salted_join (round-3b): the strategy must stay pinned to
+    sort-merge (the whole point is a non-broadcastable dim), with no
+    broadcast of the exploded side; the salt explode must appear once on
+    the dim side only (Generate node), and the fact side carries a
+    branching salt projection, not an explode."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.operators.skew import targeted_salted_join
+    from clickhouse_learning_spark.schemas import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumnRenamed("user_id", "uid")
+    dim = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("uid"), "c_mktsegment"
+    )
+    p = plan_text(targeted_salted_join(ev, dim, "uid", hot_keys=[1, 2, 3]))
+    assert "SortMergeJoin" in p, p[:3000]
+    import re as _re
+
+    # one explode (numbered node), on the dim side only — the formatted
+    # plan names each node twice (tree + details)
+    assert len(_re.findall(r"\(\d+\) Generate", p)) == 1, p[:3000]
