@@ -100,12 +100,15 @@ _PRIORITY = [
     "large_volume_orders",  # TPC-H Q18: IN-over-HAVING → LeftSemi
     "disjunctive_brand_revenue",  # TPC-H Q19: disjunctive predicates
     "idle_rich_customers",  # TPC-H Q22: NOT EXISTS → LeftAnti
-    # Re-validate flagships + operators whose implementation changed
-    # this round (embedding tiling rewrite), plus one representative
-    # per major family so the window stays representative.
-    "ref_wide_mv_5metric",
-    "ref_funnel_6stage",
-    "streaming_mv_rollup",
+    # Round-3b additions (registered this round — never graded)
+    "skew_targeted_join",  # hot-key-only salting, oracle = plain join
+    "ch_retention_dialect",  # retention() through the shim
+    "ch_time_buckets_dialect",  # toStartOfFifteenMinutes/multiSearchAny
+    # Re-validate operators whose implementation changed this round
+    # (dialect rewrites, embedding tiling), plus representatives so the
+    # window stays representative. ref_wide_mv_5metric /
+    # ref_funnel_6stage / streaming_mv_rollup ceded their slots to the
+    # round-3b queries: all three r2-green and untouched this round.
     "ch_dialect_query",
     "sql_auto_rewrite",
     "training_pipeline",
