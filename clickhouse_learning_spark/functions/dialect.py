@@ -756,6 +756,13 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["uniqExactIf"] = lambda a: (
         lambda x, c: f"count(DISTINCT CASE WHEN {c} THEN {x} END)"
     )(*_two(a, "uniqExactIf"))
+    # any_value(_, true) ignores the NULLs the unmatched rows produce
+    m["anyIf"] = lambda a: (
+        lambda x, c: f"any_value(CASE WHEN {c} THEN {x} END, true)"
+    )(*_two(a, "anyIf"))
+    m["anyLastIf"] = lambda a: (
+        lambda x, c: f"any_value(CASE WHEN {c} THEN {x} END, true)"
+    )(*_two(a, "anyLastIf"))
 
     # -- uniq family --------------------------------------------------------
     # statistical aggregates (camelCase → snake_case builtins)
