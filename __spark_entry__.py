@@ -110,7 +110,9 @@ _PRIORITY = [
     # ref_funnel_6stage / streaming_mv_rollup ceded their slots to the
     # round-3b queries: all three r2-green and untouched this round.
     "ch_dialect_query",
-    "sql_auto_rewrite",
+    # sql_auto_rewrite (mv/sql_rewrite, unchanged since its r2-green
+    # row) cedes its slot to the round-3b incremental dedup index
+    "dedup_incremental_index",
     "training_pipeline",
     "dedup_embedding_cosine",  # round-3 executor-side tiling
     # with_fill_days (engine-native fill, r2-green) yields its slot to

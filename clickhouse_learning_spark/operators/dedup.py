@@ -837,3 +837,192 @@ def substring_duplication(
             ).alias("dup_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash index
+# ---------------------------------------------------------------------------
+
+
+class MinHashIndex:
+    """Persistent MinHash/LSH index for INCREMENTAL near-dup admission —
+    dedup each new batch against everything already admitted without
+    recomputing the corpus (the continuous-ingestion shape of
+    :func:`minhash_dedup`, and the dedup analog of
+    ``similarity.IvfIndex.append``).
+
+    Store layout under ``path`` (all parquet):
+
+    - ``sigs/``      (id, sig array<bigint>) — refine-stage agreement;
+    - ``buckets/``   (bucket, id) partitioned by ``band`` — the probe
+      table: a new batch's (band, bucket) keys join here, so at 100 TB
+      the candidate lookup is a keyed join against ~bands directories,
+      never a corpus scan;
+    - ``shingles/``  (id, sh array<bigint>) — 64-bit-hashed shingle
+      sets of ADMITTED docs, enabling exact-Jaccard verification of
+      future probes without retaining document text (~64·8 B + ~8 B per
+      distinct shingle per admitted doc — the price of exactness;
+      at 10 B docs ≈ tens of TB, itself day-partitionable).
+
+    Admission rule (single-pass, identical spirit to
+    :func:`minhash_dedup`): a new doc is DROPPED iff it verifies at
+    ``jaccard ≥ threshold`` against any ALREADY-ADMITTED doc, or it
+    pairs with a lower-id doc within its own batch. Within-batch
+    chains over-drop conservatively (B~A dropped, C~B also dropped even
+    though B never entered the index) — the documented trade for a
+    one-join pass; across batches only ADMITTED docs suppress, which is
+    the standard production semantics.
+
+    Determinism: admission depends only on (batch contents, batch
+    order, store state) — no RNG anywhere in the pipeline.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_k: int = 5,
+        threshold: float = 0.7,
+    ):
+        self.path = path.rstrip("/")
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_k = shingle_k
+        self.threshold = threshold
+
+    # -- store pieces -------------------------------------------------------
+    def _sigs(self, df, text_col, id_col):
+        return minhash_signatures_df(
+            df, text_col, id_col, self.num_hashes, self.shingle_k
+        )
+
+    def _bucket_rows(self, sigs):
+        return sigs.select(
+            "id", F.explode(_banded(F.col("sig"), self.num_hashes, self.bands)).alias("bb")
+        ).select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "id")
+
+    def _shingle_sets(self, df, text_col, id_col):
+        return (
+            shingle_rows(df, text_col, id_col, self.shingle_k, distinct=False)
+            .select("id", F.xxhash64("s").alias("h"))
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_set("h")).alias("sh"))
+        )
+
+    def _append_store(self, spark, admitted, sigs, sh, mode: str):
+        a_ids = admitted.select("id")
+        sig_keep = sigs.join(a_ids, "id", "left_semi")
+        sig_keep.write.mode(mode).parquet(self.path + "/sigs")
+        (
+            self._bucket_rows(sig_keep)
+            .write.mode(mode)
+            .partitionBy("band")
+            .parquet(self.path + "/buckets")
+        )
+        sh.join(a_ids, "id", "left_semi").write.mode(mode).parquet(
+            self.path + "/shingles"
+        )
+
+    # -- build / append -----------------------------------------------------
+    def build(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        """One-shot dedup of the initial corpus (lower id wins), then
+        persist the admitted docs' signatures/buckets/shingle sets.
+        Returns the admitted docs."""
+        spark = docs.sparkSession
+        admitted_docs = minhash_dedup(
+            docs, text_col, id_col,
+            num_hashes=self.num_hashes, bands=self.bands,
+            shingle_k=self.shingle_k, threshold=self.threshold,
+        ).localCheckpoint(eager=True)
+        admitted = admitted_docs.select(F.col(id_col).alias("id"))
+        sigs = self._sigs(admitted_docs, text_col, id_col)
+        sh = self._shingle_sets(admitted_docs, text_col, id_col)
+        self._append_store(spark, admitted, sigs, sh, "overwrite")
+        return admitted_docs
+
+    def append(self, new_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        """Dedup ``new_docs`` against the store + within the batch,
+        persist the survivors' index rows, and return the admitted docs.
+
+        Probe plan: batch buckets ⋈ stored buckets on (band, bucket) —
+        candidates only ever meet through equal keys; signature
+        agreement (debiased, same margin as minhash_lsh_pairs) prunes
+        the background; exact Jaccard against the STORED shingle sets
+        decides. One keyed join against the store, no corpus scan."""
+        spark = new_docs.sparkSession
+        sigs_new = self._sigs(new_docs, text_col, id_col).localCheckpoint(eager=True)
+        rows_per_band = self.num_hashes // self.bands
+        est_margin = 0.22
+
+        store_buckets = spark.read.parquet(self.path + "/buckets")
+        cand = (
+            self._bucket_rows(sigs_new)
+            .withColumnRenamed("id", "new_id")
+            .join(
+                store_buckets.withColumnRenamed("id", "old_id"),
+                ["band", "bucket"],
+            )
+            .select("new_id", "old_id")
+            .dropDuplicates(["new_id", "old_id"])
+        )
+        store_sigs = spark.read.parquet(self.path + "/sigs")
+        agree = sum(
+            (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast("int")
+            for i in range(self.num_hashes)
+        )
+        est = (agree - F.lit(rows_per_band)) / F.lit(
+            float(self.num_hashes - rows_per_band)
+        )
+        refined = (
+            cand.join(
+                F.broadcast(
+                    sigs_new.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_a"))
+                ),
+                "new_id",
+            )
+            .join(
+                store_sigs.select(F.col("id").alias("old_id"), F.col("sig").alias("sig_b")),
+                "old_id",
+            )
+            .filter(est >= self.threshold - est_margin)
+            .select("new_id", "old_id")
+            .localCheckpoint(eager=True)
+        )
+
+        # exact verification: new side computed, old side from the store
+        need_new = refined.select(F.col("new_id").alias(id_col)).distinct()
+        sh_new = self._shingle_sets(
+            new_docs.join(need_new, id_col, "left_semi"), text_col, id_col
+        )
+        store_sh = spark.read.parquet(self.path + "/shingles")
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        dup_vs_store = (
+            refined.join(
+                F.broadcast(sh_new.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a"))),
+                "new_id",
+            )
+            .join(store_sh.select(F.col("id").alias("old_id"), F.col("sh").alias("sh_b")), "old_id")
+            .filter(inter / union >= self.threshold)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+
+        # within-batch single-pass rule (lower id wins)
+        pairs_new = minhash_lsh_pairs(
+            new_docs, text_col, id_col,
+            num_hashes=self.num_hashes, bands=self.bands,
+            shingle_k=self.shingle_k, threshold=self.threshold,
+        )
+        dup_in_batch = pairs_new.select(F.col("id_b").alias(id_col)).distinct()
+
+        admitted_docs = (
+            new_docs.join(dup_vs_store, id_col, "left_anti")
+            .join(dup_in_batch, id_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        admitted = admitted_docs.select(F.col(id_col).alias("id"))
+        sh_admit = self._shingle_sets(admitted_docs, text_col, id_col)
+        self._append_store(spark, admitted, sigs_new, sh_admit, "append")
+        return admitted_docs

@@ -1350,3 +1350,58 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.count_distinct(fp) / F.count(F.lit(1)), 6
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "dedup_incremental_index",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES5}) AS s FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    jac AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i / (sa.n + sb.n - i) >= 0.5),
+    adm1 AS (
+      SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        AND doc_id NOT IN (SELECT id_b FROM jac
+                           WHERE id_a % 2 = 0 AND id_b % 2 = 0)),
+    drop2 AS (
+      SELECT id_b AS d FROM jac WHERE id_a % 2 = 1 AND id_b % 2 = 1
+      UNION
+      SELECT id_b FROM jac JOIN adm1 ON jac.id_a = adm1.doc_id
+      WHERE id_b % 2 = 1
+      UNION
+      SELECT id_a FROM jac JOIN adm1 ON jac.id_b = adm1.doc_id
+      WHERE id_a % 2 = 1)
+    SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM adm1
+    UNION ALL
+    SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT d FROM drop2)
+    """,
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash index (operators/dedup.MinHashIndex): build
+    the store from the even-id half of the corpus, then admit the
+    odd-id half against it — each batch deduped by the documented
+    single-pass rule (within batch: lower id wins; across batches: only
+    ADMITTED docs suppress). The oracle replays the same rule from
+    exact all-pairs shingle Jaccard. Probes are keyed joins against the
+    band-partitioned bucket store, never a corpus rescan — the
+    continuous-ingestion dedup shape at 100 TB."""
+    import tempfile
+
+    from clickhouse_learning_spark.operators.dedup import MinHashIndex
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = MinHashIndex(tempfile.mkdtemp(prefix="mh_idx_"), threshold=0.5)
+    a1 = idx.build(b1).select("doc_id", F.lit(1).cast("long").alias("batch"))
+    a2 = idx.append(b2).select("doc_id", F.lit(2).cast("long").alias("batch"))
+    return a1.unionAll(a2)
