@@ -176,6 +176,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.7,
     broadcast_docs: bool = True,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate generation + exact verification.
 
@@ -216,7 +217,11 @@ def minhash_lsh_pairs(
     # shingle array for every doc when only refine-survivors ever need
     # one.) Persisted: at warehouse scale this is the materialized
     # signature table keyed by doc id.
-    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_k).persist()
+    # callers that already materialized the signatures (MinHashIndex's
+    # append computes them once for probe + within-batch) pass them in
+    if sigs is None:
+        sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = sigs.persist()
     buckets = sigs.select(
         "id", F.explode(_banded(F.col("sig"), num_hashes, bands)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
@@ -1014,6 +1019,7 @@ class MinHashIndex:
             new_docs, text_col, id_col,
             num_hashes=self.num_hashes, bands=self.bands,
             shingle_k=self.shingle_k, threshold=self.threshold,
+            sigs=sigs_new,
         )
         dup_in_batch = pairs_new.select(F.col("id_b").alias(id_col)).distinct()
 
