@@ -60,3 +60,46 @@ def dedup_stream_exact(stream: DataFrame, keys: Sequence[str] = ("fp",)) -> Data
     bounded key domains only; prefer :func:`dedup_stream` + a batch
     ``exact_dedup`` sweep at scale)."""
     return stream.dropDuplicates(list(keys))
+
+
+def neardup_ingest(
+    stream: DataFrame,
+    index,
+    sink_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger: dict | None = None,
+):
+    """Streaming NEAR-dup admission: each micro-batch runs
+    ``operators.dedup.MinHashIndex.append`` (keyed probe against the
+    persisted store + single-pass within-batch rule) and the admitted
+    docs land in ``sink_path``. The index store IS the streaming state —
+    durable, shared with batch jobs, and unbounded-corpus-correct
+    (unlike watermark-bounded exact state, the store remembers every
+    admitted doc; its size is O(admitted), the same asymptotics as the
+    corpus itself).
+
+    Micro-batch = insert batch (the reference's T1 trigger semantics):
+    admission order follows micro-batch arrival order. Restart caveat:
+    Spark may REPLAY the last uncommitted micro-batch after a crash;
+    replayed docs that were already admitted then verify at jaccard 1.0
+    against themselves in the store and are dropped, so the sink gains
+    no duplicates as long as ``id_col`` values are stable across the
+    replay (deterministic ids, not monotonically_increasing_id).
+    """
+
+    def _batch(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        admitted = index.append(batch, text_col=text_col, id_col=id_col)
+        admitted.write.mode("append").parquet(sink_path)
+
+    trigger = trigger or {"availableNow": True}
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**trigger)
+        .start()
+    )

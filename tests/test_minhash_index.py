@@ -154,3 +154,40 @@ def test_probe_join_is_keyed_not_corpus_scan(spark, tmp_path, split_batches):
     )
     p = probe._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_neardup_ingest_stream_equals_batch_appends(spark, tmp_path, split_batches):
+    """streaming/dedup.neardup_ingest: a file stream processed one
+    landed file per micro-batch must admit exactly what sequential
+    MinHashIndex.append calls admit (micro-batch = insert batch)."""
+    import time
+
+    from clickhouse_learning_spark.streaming.dedup import neardup_ingest
+    from clickhouse_learning_spark.streaming.ingest import drain, parquet_stream
+
+    # sequential-batch reference on its own index
+    ref_idx = MinHashIndex(str(tmp_path / "ref"), threshold=THRESH, shingle_k=K)
+    frames = [
+        spark.createDataFrame(b, "doc_id long, text string")
+        for b in split_batches
+    ]
+    expected = {r.doc_id for r in ref_idx.build(frames[0]).collect()}
+    for f in frames[1:]:
+        expected |= {r.doc_id for r in ref_idx.append(f).collect()}
+
+    # streaming: batch 1 builds the store, batches 2..3 arrive as files
+    idx = MinHashIndex(str(tmp_path / "live"), threshold=THRESH, shingle_k=K)
+    admitted = {r.doc_id for r in idx.build(frames[0]).collect()}
+    land = str(tmp_path / "land")
+    for f in frames[1:]:
+        f.coalesce(1).write.mode("append").parquet(land)
+        time.sleep(0.2)  # ordered mtimes → ordered micro-batches
+    stream = parquet_stream(
+        spark, land, frames[0].schema, max_files_per_trigger=1
+    )
+    q = neardup_ingest(stream, idx, str(tmp_path / "sink"), str(tmp_path / "ck"))
+    drain(q)
+    admitted |= {
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    }
+    assert admitted == expected
