@@ -938,6 +938,74 @@ class Deployment:
             names = cols or [c.name for c in target_spec.columns][: len(df.columns)]
             df = df.toDF(*names)
             return self.ingest(spark, im.group(1), df)
+        rm = re.match(
+            r"rename\s+table\s+([\w.]+)\s+to\s+([\w.]+)$", s, re.I
+        )
+        if rm:
+            # metadata + directory rename; MVs referencing the OLD name
+            # stop firing (their FROM no longer matches any table), the
+            # same outcome ClickHouse's name-based MV wiring produces
+            import pathlib
+
+            old = self._resolve(rm.group(1))
+            new = rm.group(2)
+            if new in self.specs:
+                raise ValueError(f"RENAME target {new!r} already exists")
+            spec, table = self.specs.pop(old), self.tables.pop(old)
+            old_depth = 2 if spec.database else 1
+            db, name = _qualify(new)
+            spec.database, spec.name = db, name
+            base = table.path.rstrip("/").rsplit("/", old_depth)[0]
+            new_path = "/".join([base] + [p for p in (db, name) if p])
+            pathlib.Path(new_path).parent.mkdir(parents=True, exist_ok=True)
+            if pathlib.Path(table.path).exists():
+                pathlib.Path(table.path).rename(new_path)
+            table.path = new_path
+            self.specs[new], self.tables[new] = spec, table
+            return 1
+        dm = re.match(r"describe\s+(?:table\s+)?([\w.]+)$", s, re.I)
+        if dm:
+            spec = self.specs[self._resolve(dm.group(1))]
+            return spark.createDataFrame(
+                [
+                    (c.name, c.ch_type, c.spark_type.simpleString(),
+                     c.default or "")
+                    for c in spec.columns
+                ],
+                "name string, ch_type string, spark_type string, default string",
+            )
+        tm2 = re.match(
+            r"alter\s+table\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?\s+"
+            r"modify\s+ttl\s+(.+)$",
+            s,
+            re.I | re.S,
+        )
+        if tm2:
+            spec = self.specs[self._resolve(tm2.group(1))]
+            col, delta = _parse_ttl(tm2.group(2).strip())
+            spec.ttl, spec.ttl_column = delta, col
+            return 1
+        dc = re.match(
+            r"alter\s+table\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?\s+"
+            r"drop\s+column\s+(?:if\s+exists\s+)?(\w+)$",
+            s,
+            re.I,
+        )
+        if dc:
+            # metadata-only like ADD COLUMN: the pinned read schema stops
+            # projecting the column; old files keep the bytes untouched
+            name = self._resolve(dc.group(1))
+            spec, col = self.specs[name], dc.group(2)
+            if col in set(spec.partition_by) | set(spec.order_by):
+                raise ValueError(
+                    f"cannot DROP key column {col!r} (partition/sort key)"
+                )
+            before = len(spec.columns)
+            spec.columns = [c for c in spec.columns if c.name != col]
+            t = self.tables[name]
+            if t.schema is not None:
+                t.schema = spec.schema()
+            return before - len(spec.columns)
         am = re.match(
             r"alter\s+table\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?\s+"
             r"add\s+column\s+(?:if\s+not\s+exists\s+)?(.+?)"
@@ -996,7 +1064,8 @@ class Deployment:
         raise ValueError(
             f"unsupported console statement {s[:60]!r}: INSERT INTO / "
             "ALTER TABLE mutations / OPTIMIZE TABLE / TRUNCATE TABLE are "
-            "supported; CREATEs belong in the deploy() script"
+            "supported, plus RENAME/DESCRIBE TABLE and ALTER ADD/DROP COLUMN/"
+            "MODIFY TTL; CREATEs belong in the deploy() script"
         )
 
     def attach_stream(

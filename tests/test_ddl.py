@@ -830,3 +830,52 @@ def test_alter_add_column_lazy_default(spark, tmp_path):
         dep.execute(spark, "ALTER TABLE test.ac ADD COLUMN score UInt32 DEFAULT 5")
         == 0
     )
+
+
+def test_console_rename_describe_modify_ttl_drop_column(spark, tmp_path):
+    """Round-3b console statements: RENAME TABLE moves metadata + the
+    data directory; DESCRIBE returns the declared schema; MODIFY TTL
+    updates the retention spec; DROP COLUMN is metadata-only (pinned
+    reads stop projecting it) and refuses key columns."""
+    script = """
+    CREATE TABLE test.src (uid UInt64, v UInt32, note String)
+    ENGINE = MergeTree ORDER BY uid
+    TTL uid + toIntervalDay(10)
+    """
+    dep = ddl.deploy(spark, script, str(tmp_path))
+    dep.execute(spark, "INSERT INTO test.src VALUES (1, 10, 'a'), (2, 20, 'b')")
+
+    # RENAME: data follows, old name gone
+    assert dep.execute(spark, "RENAME TABLE test.src TO test.dst") == 1
+    assert "test.src" not in dep.tables and "test.dst" in dep.tables
+    assert dep.tables["test.dst"].read(spark).count() == 2
+    assert dep.tables["test.dst"].path.endswith("test/dst")
+
+    # DESCRIBE
+    desc = dep.execute(spark, "DESCRIBE TABLE test.dst")
+    got = {(r.name, r.spark_type) for r in desc.collect()}
+    assert ("uid", "bigint") in got and ("note", "string") in got
+
+    # MODIFY TTL
+    assert dep.execute(spark, "ALTER TABLE test.dst MODIFY TTL uid + toIntervalDay(30)") == 1
+    import datetime as _dt
+
+    assert dep.specs["test.dst"].ttl == _dt.timedelta(days=30)
+    assert dep.specs["test.dst"].ttl_column == "uid"
+
+    # DROP COLUMN: metadata-only, key columns refused
+    import glob
+    import os
+
+    files = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{dep.tables['test.dst'].path}/**/*.parquet", recursive=True)
+    }
+    assert dep.execute(spark, "ALTER TABLE test.dst DROP COLUMN note") == 1
+    assert files == {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{dep.tables['test.dst'].path}/**/*.parquet", recursive=True)
+    }
+    assert "note" not in dep.tables["test.dst"].read(spark).columns
+    with pytest.raises(ValueError, match="key column"):
+        dep.execute(spark, "ALTER TABLE test.dst DROP COLUMN uid")
