@@ -935,13 +935,19 @@ class MinHashIndex:
         persist the admitted docs' signatures/buckets/shingle sets.
         Returns the admitted docs."""
         spark = docs.sparkSession
-        admitted_docs = minhash_dedup(
+        sigs_all = self._sigs(docs, text_col, id_col).localCheckpoint(eager=True)
+        pairs = minhash_lsh_pairs(
             docs, text_col, id_col,
             num_hashes=self.num_hashes, bands=self.bands,
             shingle_k=self.shingle_k, threshold=self.threshold,
-        ).localCheckpoint(eager=True)
+            sigs=sigs_all,
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        admitted_docs = docs.join(losers, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
         admitted = admitted_docs.select(F.col(id_col).alias("id"))
-        sigs = self._sigs(admitted_docs, text_col, id_col)
+        sigs = sigs_all  # _append_store semi-joins down to admitted ids
         sh = self._shingle_sets(admitted_docs, text_col, id_col)
         self._append_store(spark, admitted, sigs, sh, "overwrite")
         return admitted_docs
