@@ -612,25 +612,34 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             return f"'$.{k[1:-1]}'"
         return f"concat('$.', {k})"
 
-    def _json_extract(cast: str | None):
+    def _json_extract(cast: str | None, default: str | None = None):
+        # ClickHouse JSONExtract* returns the TYPE DEFAULT on a missing
+        # key or wrong-typed value ('' / 0 / 0.0 / false), never NULL;
+        # get_json_object returns NULL, and a failed numeric cast is
+        # NULL under the session's non-ANSI mode — so one coalesce
+        # reproduces both default paths exactly.
         def f(a):
             j, k = _two(a, "JSONExtract*")
             g = f"get_json_object({j}, {_json_path(k)})"
-            return f"CAST({g} AS {cast})" if cast else g
+            if cast:
+                # try_cast: wrong-typed values become NULL (then the
+                # default) in BOTH ANSI and legacy sessions
+                g = f"try_cast({g} AS {cast})"
+            return f"coalesce({g}, {default})" if default is not None else g
 
         return f
 
-    m["JSONExtractString"] = _json_extract(None)
-    m["JSONExtractRaw"] = _json_extract(None)
-    m["JSONExtractInt"] = _json_extract("BIGINT")
-    m["JSONExtractUInt"] = _json_extract("BIGINT")
-    m["JSONExtractFloat"] = _json_extract("DOUBLE")
-    m["JSONExtractBool"] = _json_extract("BOOLEAN")
+    m["JSONExtractString"] = _json_extract(None, "''")
+    m["JSONExtractRaw"] = _json_extract(None, "''")
+    m["JSONExtractInt"] = _json_extract("BIGINT", "CAST(0 AS BIGINT)")
+    m["JSONExtractUInt"] = _json_extract("BIGINT", "CAST(0 AS BIGINT)")
+    m["JSONExtractFloat"] = _json_extract("DOUBLE", "CAST(0 AS DOUBLE)")
+    m["JSONExtractBool"] = _json_extract("BOOLEAN", "false")
     m["JSONHas"] = lambda a: (
         lambda j, k: f"(get_json_object({j}, {_json_path(k)}) IS NOT NULL)"
     )(*_two(a, "JSONHas"))
-    m["simpleJSONExtractString"] = _json_extract(None)
-    m["visitParamExtractString"] = _json_extract(None)
+    m["simpleJSONExtractString"] = _json_extract(None, "''")
+    m["visitParamExtractString"] = _json_extract(None, "''")
 
     m["arrayZip"] = lambda a: f"arrays_zip({', '.join(a)})"
     m["arrayFlatten"] = lambda a: f"flatten({_one(a, 'arrayFlatten')})"

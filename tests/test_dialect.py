@@ -1372,3 +1372,19 @@ def test_translate_time_bucket_functions(spark):
     assert r.sc == ["a", "b", "c"] and r.at == ["ab", "cd"]
     with pytest.raises(ValueError, match="INTERVAL"):
         translate("toStartOfInterval(ts, x)")
+
+
+def test_translate_json_extract_type_defaults(spark):
+    """CH JSONExtract* returns the TYPE DEFAULT on missing keys or
+    wrong-typed values ('' / 0 / 0.0 / false), never NULL (round-3b:
+    coalesce + try_cast — correct in ANSI and legacy sessions)."""
+    r = spark.sql(
+        "SELECT "
+        + translate("""JSONExtractString('{"a": "x"}', 'b')""") + " AS s, "
+        + translate("""JSONExtractInt('{"a": 7}', 'b')""") + " AS i, "
+        + translate("""JSONExtractInt('{"a": "str"}', 'a')""") + " AS iw, "
+        + translate("""JSONExtractFloat('{"a": 1.5}', 'a')""") + " AS f, "
+        + translate("""JSONExtractBool('{"a": true}', 'b')""") + " AS b"
+    ).collect()[0]
+    assert r.s == "" and r.i == 0 and r.iw == 0 and r.b is False
+    assert abs(r.f - 1.5) < 1e-9
