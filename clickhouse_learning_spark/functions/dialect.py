@@ -715,6 +715,59 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["toFloat32"] = lambda a: f"CAST({_one(a, 'toFloat32')} AS FLOAT)"
     m["toDateTime"] = lambda a: f"CAST({_one(a, 'toDateTime')} AS TIMESTAMP)"
 
+    # -- OrZero / OrNull cast family ----------------------------------------
+    # CH: to<T>OrNull returns NULL on unparseable input, to<T>OrZero the
+    # type default (0 / 1970-01-01 / epoch). try_cast is NULL-on-failure
+    # in both ANSI and legacy sessions.
+    _OR_CASTS = {
+        "Int8": ("TINYINT", "CAST(0 AS TINYINT)"),
+        "Int16": ("SMALLINT", "CAST(0 AS SMALLINT)"),
+        "Int32": ("INT", "0"),
+        "Int64": ("BIGINT", "CAST(0 AS BIGINT)"),
+        "UInt8": ("SMALLINT", "CAST(0 AS SMALLINT)"),
+        "UInt16": ("INT", "0"),
+        "UInt32": ("BIGINT", "CAST(0 AS BIGINT)"),
+        "UInt64": ("BIGINT", "CAST(0 AS BIGINT)"),
+        "Float32": ("FLOAT", "CAST(0 AS FLOAT)"),
+        "Float64": ("DOUBLE", "CAST(0 AS DOUBLE)"),
+        "Date": ("DATE", "DATE'1970-01-01'"),
+        "DateTime": ("TIMESTAMP", "TIMESTAMP'1970-01-01 00:00:00'"),
+    }
+    for _t, (_sp, _zero) in _OR_CASTS.items():
+        m[f"to{_t}OrNull"] = (
+            lambda sp, name: lambda a: f"try_cast({_one(a, name)} AS {sp})"
+        )(_sp, f"to{_t}OrNull")
+        m[f"to{_t}OrZero"] = (
+            lambda sp, zero, name: lambda a: (
+                f"coalesce(try_cast({_one(a, name)} AS {sp}), {zero})"
+            )
+        )(_sp, _zero, f"to{_t}OrZero")
+
+    def _accurate_cast(null_form: bool):
+        def f(a):
+            x, t = _two(a, "accurateCastOrNull")
+            t = t.strip().strip("'\"")
+            if t not in _OR_CASTS:
+                raise ValueError(
+                    f"accurateCast*: unmapped target type {t!r} "
+                    f"(supported: {sorted(_OR_CASTS)})"
+                )
+            sp, zero = _OR_CASTS[t]
+            g = f"try_cast({x} AS {sp})"
+            return g if null_form else f"coalesce({g}, {zero})"
+
+        return f
+
+    m["accurateCastOrNull"] = _accurate_cast(True)
+    m["accurateCastOrDefault"] = _accurate_cast(False)
+
+    # -- Map type functions ---------------------------------------------------
+    m["mapKeys"] = lambda a: f"map_keys({_one(a, 'mapKeys')})"
+    m["mapValues"] = lambda a: f"map_values({_one(a, 'mapValues')})"
+    m["mapContains"] = lambda a: (
+        lambda mm, k: f"map_contains_key({mm}, {k})"
+    )(*_two(a, "mapContains"))
+
     # -- sums (plain-value states: the reference's own 8B finding) ----------
     m["sumIf"] = lambda a: (
         lambda x, c: f"coalesce(sum(CASE WHEN {c} THEN {x} END), 0)"

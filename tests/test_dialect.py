@@ -1388,3 +1388,24 @@ def test_translate_json_extract_type_defaults(spark):
     ).collect()[0]
     assert r.s == "" and r.i == 0 and r.iw == 0 and r.b is False
     assert abs(r.f - 1.5) < 1e-9
+
+
+def test_translate_orzero_ornull_casts_and_maps(spark):
+    """to<T>OrZero/OrNull (round-3b): unparseable input becomes the CH
+    type default / NULL via try_cast (ANSI-safe); accurateCastOrNull
+    takes the type name as a literal; Map functions map to Spark's."""
+    r = spark.sql(
+        "SELECT "
+        + translate("toInt32OrZero('abc')") + " AS z, "
+        + translate("toInt32OrZero('42')") + " AS v, "
+        + translate("toInt64OrNull('xy')") + " AS n, "
+        + translate("toDateOrZero('nope')") + " AS d, "
+        + translate("accurateCastOrNull('9', 'Int64')") + " AS ac, "
+        + translate("mapKeys(map('a', 1))") + " AS mk, "
+        + translate("mapContains(map('a', 1), 'b')") + " AS mc"
+    ).collect()[0]
+    assert r.z == 0 and r.v == 42 and r.n is None
+    assert str(r.d) == "1970-01-01" and r.ac == 9
+    assert r.mk == ["a"] and r.mc is False
+    with pytest.raises(ValueError, match="unmapped target type"):
+        translate("accurateCastOrNull(x, 'Array(Int64)')")
