@@ -56,6 +56,14 @@ def __getattr__(name):
         from clickhouse_learning_spark.functions import dialect
 
         return dialect
+    if name == "MinHashIndex":
+        from clickhouse_learning_spark.operators.dedup import MinHashIndex
+
+        return MinHashIndex
+    if name == "IvfIndex":
+        from clickhouse_learning_spark.operators.similarity import IvfIndex
+
+        return IvfIndex
     raise AttributeError(name)
 
 
@@ -68,5 +76,7 @@ __all__ = [
     "deploy",
     "run_clickhouse",
     "dialect",
+    "MinHashIndex",
+    "IvfIndex",
 ]
-__version__ = "0.4.0"
+__version__ = "0.5.0"
