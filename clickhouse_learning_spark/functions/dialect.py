@@ -252,6 +252,90 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     )(*(a if len(a) == 3 else (_ for _ in ()).throw(
         ValueError("dateDiff expects (unit, start, end)")
     )))
+    m["yesterday"] = lambda a: "date_sub(current_date(), 1)"
+    m["toLastDayOfMonth"] = lambda a: f"last_day({_one(a, 'toLastDayOfMonth')})"
+
+    def _date_addsub(sign: str, name: str):
+        # CH dateAdd/dateSub(unit, n, d) — unit as keyword or 'string'.
+        # timestampadd keeps the time-of-day (CH returns DateTime for
+        # sub-day units and Date in, Date out for day+ units; Spark's
+        # timestamp result compares equal at the CH value).
+        def f(a):
+            if len(a) != 3:
+                raise ValueError(f"{name} expects (unit, value, date)")
+            u = a[0].strip().strip("'\"").upper()
+            n = a[1] if sign == "+" else f"-({a[1]})"
+            return f"timestampadd({u}, {n}, {a[2]})"
+
+        return f
+
+    m["dateAdd"] = _date_addsub("+", "dateAdd")
+    m["dateSub"] = _date_addsub("-", "dateSub")
+    # CH age() counts COMPLETE elapsed units (the complement of
+    # dateDiff's boundary crossings) — exactly bare timestampdiff
+    m["age"] = lambda a: (
+        lambda unit, s, e: (
+            f"timestampdiff({unit.strip(chr(39)).upper()}, {s}, {e})"
+        )
+    )(*(a if len(a) == 3 else (_ for _ in ()).throw(
+        ValueError("age expects (unit, start, end)")
+    )))
+    m["monthName"] = lambda a: f"date_format({_one(a, 'monthName')}, 'MMMM')"
+
+    def _date_name(a):
+        unit, d = _two(a, "dateName")
+        u = unit.strip().strip("'\"").lower()
+        forms = {
+            "year": f"CAST(year({d}) AS STRING)",
+            "quarter": f"CAST(quarter({d}) AS STRING)",
+            "month": f"date_format({d}, 'MMMM')",
+            "week": f"CAST(weekofyear({d}) AS STRING)",
+            "dayofyear": f"CAST(dayofyear({d}) AS STRING)",
+            "day": f"CAST(day({d}) AS STRING)",
+            "weekday": f"date_format({d}, 'EEEE')",
+            "hour": f"CAST(hour({d}) AS STRING)",
+            "minute": f"CAST(minute({d}) AS STRING)",
+            "second": f"CAST(second({d}) AS STRING)",
+        }
+        if u not in forms:
+            raise ValueError(f"dateName: unsupported unit {unit!r}")
+        return forms[u]
+
+    m["dateName"] = _date_name
+
+    def _great_circle(a):
+        # CH greatCircleDistance(lon1, lat1, lon2, lat2) → meters,
+        # haversine on a sphere of radius 6372795 m (the constant the
+        # ClickHouse docs cite for this function). geoDistance's
+        # WGS84-ellipsoid correction has no closed Spark form and gates.
+        if len(a) != 4:
+            raise ValueError(
+                "greatCircleDistance expects (lon1, lat1, lon2, lat2)"
+            )
+        lon1, lat1, lon2, lat2 = a
+        return (
+            f"(2 * 6372795.0 * asin(sqrt("
+            f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+        )
+
+    m["greatCircleDistance"] = _great_circle
+    m["geoDistance"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "geoDistance applies WGS84 ellipsoid corrections with no "
+            "closed Spark form; use greatCircleDistance (spherical "
+            "haversine, <0.5% difference) if that accuracy suffices"
+        )
+    )
+    m["pointInPolygon"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "pointInPolygon needs a ray-casting pass over the vertex "
+            "array — no single Spark expression; express the polygon "
+            "test with an aggregate over zip_with(vertices, "
+            "shifted-vertices) or a pandas UDF"
+        )
+    )
     # null handling / strings
     m["ifNull"] = lambda a: f"coalesce({', '.join(a)})"
     m["nullIf"] = lambda a: f"nullif({', '.join(a)})"

@@ -1409,3 +1409,31 @@ def test_translate_orzero_ornull_casts_and_maps(spark):
     assert r.mk == ["a"] and r.mc is False
     with pytest.raises(ValueError, match="unmapped target type"):
         translate("accurateCastOrNull(x, 'Array(Int64)')")
+
+
+def test_translate_date_arithmetic_and_geo(spark):
+    """Round-3b: dateAdd/dateSub with unit keyword or string, age()
+    (complete elapsed units — the complement of dateDiff's boundary
+    crossings), toLastDayOfMonth, yesterday, month/date names, and the
+    haversine greatCircleDistance; geoDistance/pointInPolygon gate."""
+    r = spark.sql(
+        "SELECT "
+        + translate("dateAdd('day', 3, DATE'2024-01-01')") + " AS da, "
+        + translate("dateSub(MONTH, 1, DATE'2024-03-15')") + " AS ds, "
+        + translate("toLastDayOfMonth(DATE'2024-02-10')") + " AS ld, "
+        + translate("age('month', DATE'2024-01-31', DATE'2024-03-01')") + " AS ag, "
+        + translate("dateDiff('month', DATE'2024-01-31', DATE'2024-03-01')") + " AS dd, "
+        + translate("monthName(DATE'2024-02-10')") + " AS mn, "
+        + translate("dateName('weekday', DATE'2024-02-10')") + " AS wd, "
+        + translate("greatCircleDistance(-0.1278, 51.5074, 2.3522, 48.8566)") + " AS gc"
+    ).collect()[0]
+    assert str(r.da).startswith("2024-01-04")
+    assert str(r.ds).startswith("2024-02-15")
+    assert str(r.ld) == "2024-02-29"
+    assert r.ag == 1 and r.dd == 2  # age: complete months; dateDiff: boundaries
+    assert r.mn == "February" and r.wd == "Saturday"
+    assert abs(r.gc - 343_653) < 1000  # London-Paris
+    with pytest.raises(ValueError, match="greatCircleDistance"):
+        translate("geoDistance(0.0, 0.0, 1.0, 1.0)")
+    with pytest.raises(ValueError, match="ray-casting"):
+        translate("pointInPolygon((1,2),[(0,0),(1,0),(1,1)])")
