@@ -253,6 +253,48 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         ValueError("dateDiff expects (unit, start, end)")
     )))
     m["yesterday"] = lambda a: "date_sub(current_date(), 1)"
+    m["currentDatabase"] = lambda a: "current_database()"
+
+    def _format_readable(units: list[tuple[float, str]], last: str):
+        # CASE chain over magnitude thresholds, two decimals like CH
+        def f(a):
+            x = _one(a, "formatReadable*")
+            arms = "".join(
+                f"WHEN abs({x}) >= {int(t)} THEN "
+                f"concat(format_number({x} / CAST({int(t)} AS DOUBLE), 2), "
+                f"' {u}') "
+                for t, u in units
+            )
+            tail = (
+                f"concat(format_number({x}, 2), ' {last}')"
+                if last
+                else f"format_number({x}, 2)"
+            )
+            return f"(CASE {arms}ELSE {tail} END)"
+
+        return f
+
+    m["formatReadableSize"] = _format_readable(
+        [
+            (1024.0 ** 6, "EiB"), (1024.0 ** 5, "PiB"),
+            (1024.0 ** 4, "TiB"), (1024.0 ** 3, "GiB"),
+            (1024.0 ** 2, "MiB"), (1024.0, "KiB"),
+        ],
+        "B",
+    )
+    m["formatReadableQuantity"] = _format_readable(
+        [
+            (1e12, "trillion"), (1e9, "billion"),
+            (1e6, "million"), (1e3, "thousand"),
+        ],
+        "",
+    )
+    m["toTypeName"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "toTypeName returns ClickHouse type names, which have no "
+            "Spark equivalents — use Spark's typeof() for the Spark name"
+        )
+    )
     m["toLastDayOfMonth"] = lambda a: f"last_day({_one(a, 'toLastDayOfMonth')})"
 
     def _date_addsub(sign: str, name: str):

@@ -1437,3 +1437,21 @@ def test_translate_date_arithmetic_and_geo(spark):
         translate("geoDistance(0.0, 0.0, 1.0, 1.0)")
     with pytest.raises(ValueError, match="ray-casting"):
         translate("pointInPolygon((1,2),[(0,0),(1,0),(1,1)])")
+
+
+def test_translate_format_readable(spark):
+    """formatReadableSize/Quantity (round-3b): CH's two-decimal
+    human-readable forms; toTypeName gates (CH type names have no Spark
+    equivalents); currentDatabase maps."""
+    r = spark.sql(
+        "SELECT "
+        + translate("formatReadableSize(1536)") + " AS k, "
+        + translate("formatReadableSize(3221225472)") + " AS g, "
+        + translate("formatReadableSize(512)") + " AS b, "
+        + translate("formatReadableQuantity(1234567)") + " AS q, "
+        + translate("currentDatabase()") + " AS db"
+    ).collect()[0]
+    assert r.k == "1.50 KiB" and r.g == "3.00 GiB" and r.b == "512.00 B"
+    assert r.q == "1.23 million" and r.db == "default"
+    with pytest.raises(ValueError, match="typeof"):
+        translate("toTypeName(x)")
