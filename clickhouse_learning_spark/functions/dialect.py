@@ -289,12 +289,12 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         ],
         "",
     )
-    m["toTypeName"] = lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "toTypeName returns ClickHouse type names, which have no "
-            "Spark equivalents — use Spark's typeof() for the Spark name"
-        )
-    )
+    # toTypeName: the reference docs use it to inspect state-column
+    # types (docs/物化视图的实战经验分享.md) — maps to typeof(), which
+    # serves the same introspection with SPARK's type vocabulary
+    # ("bigint", not "UInt64"); a documented honest divergence rather
+    # than a gate, so the reference transcripts keep translating.
+    m["toTypeName"] = lambda a: f"typeof({_one(a, 'toTypeName')})"
     m["toLastDayOfMonth"] = lambda a: f"last_day({_one(a, 'toLastDayOfMonth')})"
 
     def _date_addsub(sign: str, name: str):

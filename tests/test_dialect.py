@@ -1453,5 +1453,8 @@ def test_translate_format_readable(spark):
     ).collect()[0]
     assert r.k == "1.50 KiB" and r.g == "3.00 GiB" and r.b == "512.00 B"
     assert r.q == "1.23 million" and r.db == "default"
-    with pytest.raises(ValueError, match="typeof"):
-        translate("toTypeName(x)")
+    # toTypeName introspects with Spark's type vocabulary (the
+    # reference docs use it on state columns; the purpose — what type
+    # is this — is served, the names differ by design)
+    assert translate("toTypeName(x)") == "typeof(x)"
+    assert spark.sql("SELECT " + translate("toTypeName(1)") + " AS t").collect()[0].t == "int"
