@@ -859,19 +859,36 @@ class Deployment:
         the default materializes lazily at merge time; here it stays a
         read-time coalesce — no part is ever rewritten for schema
         evolution). Declared non-Nullable columns cannot hold real
-        NULLs in ClickHouse, so the coalesce is unambiguous."""
+        NULLs in ClickHouse, so the coalesce is unambiguous; a
+        ``Nullable(T) DEFAULT e`` column CAN hold an explicitly
+        inserted NULL, so it is exempt from the coalesce (ADVICE r3).
+        A column missing from the files entirely (ADD COLUMN on an
+        unpinned-schema table before any new insert) still surfaces
+        its default/NULL."""
         name = self._resolve(name)
         spec = self.specs[name]
         df = self.tables[name].read(spark)
         for c in spec.columns:
-            if c.default is not None and c.name in df.columns:
+            if c.name not in df.columns:
+                expr = c.default if c.default is not None else "NULL"
+                df = df.withColumn(c.name, F.expr(expr).cast(c.spark_type))
+            elif c.default is not None and not c.ch_type.strip().startswith(
+                "Nullable"
+            ):
                 df = df.withColumn(
                     c.name,
                     F.coalesce(
                         F.col(c.name), F.expr(c.default).cast(c.spark_type)
                     ),
                 )
-        return df
+        declared = [c.name for c in spec.columns]
+        # project away DROPped columns that old files still carry, keep
+        # derived partition columns (not in the declared list)
+        extra = [
+            c for c in df.columns
+            if c not in declared and c in spec.partition_by
+        ]
+        return df.select(*declared, *extra)
 
     def final_read(self, spark, name: str) -> DataFrame:
         """``SELECT … FROM t FINAL`` semantics for a deployed table:
@@ -902,6 +919,53 @@ class Deployment:
             }
             return MP.summing_read(table, spark, keys, sorted(num))
         return table.read(spark)
+
+    def query(self, spark, sql: str) -> DataFrame:
+        """Run a pasted ClickHouse SELECT against the deployment —
+        dialect translation plus the clauses that need engine context:
+        ``FROM t FINAL`` dispatches to :meth:`final_read`,
+        ``ORDER BY … WITH FILL`` to the schema-aware fill operator,
+        ``dictGet`` to the deployment's dictionaries. Deployed tables
+        must be registered as views by the caller (or referenced
+        through FINAL, which self-registers)."""
+        from clickhouse_learning_spark.functions.dialect import run
+
+        return run(spark, sql, self.dictionaries, deployment=self)
+
+    def _refresh_schema_pin(self, spark, name: str) -> None:
+        """Re-pin the physical table's read schema after an ALTER
+        ADD/DROP COLUMN. Tables with derived partition expressions
+        (``PARTITION BY toYYYYMM(day)``) are created unpinned
+        (schema=None → mergeSchema reads), which made column mutations
+        silently ineffective on them (ADVICE r3): a dropped column kept
+        surfacing from old files, an added column's lazy default never
+        appeared. Rebuild the pin from the declared spec plus the
+        derived partition columns, whose types are inferred once from
+        the existing directory layout; an empty table stays unpinned
+        (nothing stale to mis-surface, and Deployment.read projects to
+        the declared columns anyway)."""
+        spec, t = self.specs[name], self.tables[name]
+        base = spec.schema()
+        if t.schema is not None or not spec.partition_exprs:
+            t.schema = base
+            return
+        declared = {f.name for f in base.fields}
+        extra = [c for c in spec.partition_by if c not in declared]
+        try:
+            inferred = {
+                f.name: f.dataType
+                for f in spark.read.option("mergeSchema", "true")
+                .parquet(t.path)
+                .schema.fields
+            }
+        except Exception:
+            return  # no files yet — keep unpinned
+        if any(c not in inferred for c in extra):
+            return
+        t.schema = T.StructType(
+            list(base.fields)
+            + [T.StructField(c, inferred[c], True) for c in extra]
+        )
 
     def execute(self, spark, stmt: str):
         """Run one ClickHouse console statement against the deployment —
@@ -1002,9 +1066,7 @@ class Deployment:
                 )
             before = len(spec.columns)
             spec.columns = [c for c in spec.columns if c.name != col]
-            t = self.tables[name]
-            if t.schema is not None:
-                t.schema = spec.schema()
+            self._refresh_schema_pin(spark, name)
             return before - len(spec.columns)
         am = re.match(
             r"alter\s+table\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?\s+"
@@ -1045,9 +1107,7 @@ class Deployment:
                         pos,
                     )
             spec.columns.insert(pos, col)
-            t = self.tables[name]
-            if t.schema is not None:
-                t.schema = spec.schema()
+            self._refresh_schema_pin(spark, name)
             return 1
         if re.match(r"alter\s+table", s, re.I):
             mu = parse_mutation(s)

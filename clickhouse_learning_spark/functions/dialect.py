@@ -256,19 +256,22 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["currentDatabase"] = lambda a: "current_database()"
 
     def _format_readable(units: list[tuple[float, str]], last: str):
-        # CASE chain over magnitude thresholds, two decimals like CH
+        # CASE chain over magnitude thresholds, two decimals like CH.
+        # format_string('%.2f'), NOT format_number: format_number
+        # inserts thousands separators CH never emits (1023 bytes is
+        # '1023.00 B', not '1,023.00 B') — ADVICE r3.
         def f(a):
             x = _one(a, "formatReadable*")
             arms = "".join(
                 f"WHEN abs({x}) >= {int(t)} THEN "
-                f"concat(format_number({x} / CAST({int(t)} AS DOUBLE), 2), "
+                f"concat(format_string('%.2f', {x} / CAST({int(t)} AS DOUBLE)), "
                 f"' {u}') "
                 for t, u in units
             )
             tail = (
-                f"concat(format_number({x}, 2), ' {last}')"
+                f"concat(format_string('%.2f', CAST({x} AS DOUBLE)), ' {last}')"
                 if last
-                else f"format_number({x}, 2)"
+                else f"format_string('%.2f', CAST({x} AS DOUBLE))"
             )
             return f"(CASE {arms}ELSE {tail} END)"
 
@@ -844,30 +847,46 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # -- OrZero / OrNull cast family ----------------------------------------
     # CH: to<T>OrNull returns NULL on unparseable input, to<T>OrZero the
     # type default (0 / 1970-01-01 / epoch). try_cast is NULL-on-failure
-    # in both ANSI and legacy sessions.
+    # in both ANSI and legacy sessions. Unsigned CH targets map into a
+    # WIDER signed Spark type, so a range guard enforces the unsigned
+    # domain: toUInt32OrZero('-5') is 0 in CH, not -5 (ADVICE r3).
+    # UInt64's upper half (> bigint max) is unrepresentable in Spark —
+    # try_cast overflows those to NULL, which the guard then zeroes;
+    # only the sign check is expressible.
     _OR_CASTS = {
-        "Int8": ("TINYINT", "CAST(0 AS TINYINT)"),
-        "Int16": ("SMALLINT", "CAST(0 AS SMALLINT)"),
-        "Int32": ("INT", "0"),
-        "Int64": ("BIGINT", "CAST(0 AS BIGINT)"),
-        "UInt8": ("SMALLINT", "CAST(0 AS SMALLINT)"),
-        "UInt16": ("INT", "0"),
-        "UInt32": ("BIGINT", "CAST(0 AS BIGINT)"),
-        "UInt64": ("BIGINT", "CAST(0 AS BIGINT)"),
-        "Float32": ("FLOAT", "CAST(0 AS FLOAT)"),
-        "Float64": ("DOUBLE", "CAST(0 AS DOUBLE)"),
-        "Date": ("DATE", "DATE'1970-01-01'"),
-        "DateTime": ("TIMESTAMP", "TIMESTAMP'1970-01-01 00:00:00'"),
+        "Int8": ("TINYINT", "CAST(0 AS TINYINT)", None),
+        "Int16": ("SMALLINT", "CAST(0 AS SMALLINT)", None),
+        "Int32": ("INT", "0", None),
+        "Int64": ("BIGINT", "CAST(0 AS BIGINT)", None),
+        "UInt8": ("SMALLINT", "CAST(0 AS SMALLINT)", (0, 255)),
+        "UInt16": ("INT", "0", (0, 65535)),
+        "UInt32": ("BIGINT", "CAST(0 AS BIGINT)", (0, 4294967295)),
+        "UInt64": ("BIGINT", "CAST(0 AS BIGINT)", (0, None)),
+        "Float32": ("FLOAT", "CAST(0 AS FLOAT)", None),
+        "Float64": ("DOUBLE", "CAST(0 AS DOUBLE)", None),
+        "Date": ("DATE", "DATE'1970-01-01'", None),
+        "DateTime": ("TIMESTAMP", "TIMESTAMP'1970-01-01 00:00:00'", None),
     }
-    for _t, (_sp, _zero) in _OR_CASTS.items():
+
+    def _guarded_try_cast(x: str, sp: str, rng) -> str:
+        g = f"try_cast({x} AS {sp})"
+        if rng is None:
+            return g
+        lo, hi = rng
+        cond = f"{g} >= {lo}" if hi is None else f"{g} BETWEEN {lo} AND {hi}"
+        return f"(CASE WHEN {cond} THEN {g} END)"
+
+    for _t, (_sp, _zero, _rng) in _OR_CASTS.items():
         m[f"to{_t}OrNull"] = (
-            lambda sp, name: lambda a: f"try_cast({_one(a, name)} AS {sp})"
-        )(_sp, f"to{_t}OrNull")
-        m[f"to{_t}OrZero"] = (
-            lambda sp, zero, name: lambda a: (
-                f"coalesce(try_cast({_one(a, name)} AS {sp}), {zero})"
+            lambda sp, rng, name: lambda a: _guarded_try_cast(
+                _one(a, name), sp, rng
             )
-        )(_sp, _zero, f"to{_t}OrZero")
+        )(_sp, _rng, f"to{_t}OrNull")
+        m[f"to{_t}OrZero"] = (
+            lambda sp, zero, rng, name: lambda a: (
+                f"coalesce({_guarded_try_cast(_one(a, name), sp, rng)}, {zero})"
+            )
+        )(_sp, _zero, _rng, f"to{_t}OrZero")
 
     def _accurate_cast(null_form: bool):
         def f(a):
@@ -878,8 +897,8 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
                     f"accurateCast*: unmapped target type {t!r} "
                     f"(supported: {sorted(_OR_CASTS)})"
                 )
-            sp, zero = _OR_CASTS[t]
-            g = f"try_cast({x} AS {sp})"
+            sp, zero, rng = _OR_CASTS[t]
+            g = _guarded_try_cast(x, sp, rng)
             return g if null_form else f"coalesce({g}, {zero})"
 
         return f
@@ -2276,9 +2295,11 @@ def _rewrite_totals_prewhere_final(sql: str) -> str:
         if _FINAL_RE.search(s):
             raise ValueError(
                 "FROM … FINAL (merge-on-read) is an engine operation, not a "
-                "clause: query state tables via MaterializedView.merge_query, "
-                "deployed Replacing/Summing tables via Deployment.final_read "
-                "(or compact first with Table.compact)"
+                "textual rewrite: execute the statement through "
+                "functions.dialect.run(spark, sql, deployment=dep) — it "
+                "dispatches the table to Deployment.final_read "
+                "(Replacing/Summing merge policies) — or query state tables "
+                "via MaterializedView.merge_query"
             )
         return s
 
@@ -2538,17 +2559,48 @@ def with_fill(df, col: str, start=None, stop=None, step=None):
     return df.unionByName(filled).orderBy(col)
 
 
-def run(spark, sql: str, dictionaries: dict[str, tuple] | None = None):
+_FINAL_REF_RE = re.compile(r"(\bfrom\s+)([A-Za-z_][\w.]*)\s+final\b", re.I)
+
+
+def _substitute_final(spark, sql: str, deployment) -> str:
+    """``FROM t FINAL`` → ``FROM <temp view>`` where the view is the
+    deployment's engine-appropriate merge-on-read
+    (:meth:`Deployment.final_read` — ReplacingMergeTree(ver) collapse,
+    SummingMergeTree per-key sums). Works at any nesting depth; string
+    literals are never touched."""
+
+    def seg(s: str) -> str:
+        def rep(m: re.Match) -> str:
+            tbl = m.group(2)
+            view = "__final_" + tbl.replace(".", "_")
+            deployment.final_read(spark, tbl).createOrReplaceTempView(view)
+            return m.group(1) + view
+
+        return _FINAL_REF_RE.sub(rep, s)
+
+    return _map_outside_strings(sql, seg)
+
+
+def run(
+    spark,
+    sql: str,
+    dictionaries: dict[str, tuple] | None = None,
+    deployment=None,
+):
     """Translate-and-execute entry point: ``spark.sql(translate(sql))``
-    plus the clause that NEEDS the result schema — a trailing
+    plus the clauses that NEED engine context — a trailing
     ``ORDER BY key WITH FILL [FROM x] [TO y] [STEP n]`` is stripped,
     the inner statement runs, and :func:`with_fill` inserts the gap
-    rows with ClickHouse's type-default fill values. Multi-key fills /
-    INTERPOLATE raise with a pointer."""
+    rows with ClickHouse's type-default fill values (multi-key fills /
+    INTERPOLATE raise with a pointer); with ``deployment`` given,
+    ``FROM t FINAL`` dispatches to the deployment's merge-on-read
+    (:func:`_substitute_final`) instead of raising."""
     from pyspark.sql import functions as F
 
-    mask = _depth0_mask(sql.rstrip().rstrip(";"))
     sql = sql.rstrip().rstrip(";")
+    if deployment is not None:
+        sql = _substitute_final(spark, sql, deployment)
+    mask = _depth0_mask(sql)
     wf = _WITH_FILL_RE.search(mask)
     if not wf:
         return spark.sql(translate(sql, dictionaries))

@@ -916,17 +916,24 @@ class MinHashIndex:
         )
 
     def _append_store(self, spark, admitted, sigs, sh, mode: str):
+        # Write order matters for crash recovery (ADVICE r3): probes
+        # discover candidates ONLY through the buckets table, so a doc
+        # becomes visible to future admission exactly when its bucket
+        # rows land. Shingles and sigs go first — orphan rows there are
+        # inert (never joined except via a bucket hit) — and buckets
+        # commit last, so an interrupted append leaves the store
+        # behaving as if the batch never happened.
         a_ids = admitted.select("id")
         sig_keep = sigs.join(a_ids, "id", "left_semi")
+        sh.join(a_ids, "id", "left_semi").write.mode(mode).parquet(
+            self.path + "/shingles"
+        )
         sig_keep.write.mode(mode).parquet(self.path + "/sigs")
         (
             self._bucket_rows(sig_keep)
             .write.mode(mode)
             .partitionBy("band")
             .parquet(self.path + "/buckets")
-        )
-        sh.join(a_ids, "id", "left_semi").write.mode(mode).parquet(
-            self.path + "/shingles"
         )
 
     # -- build / append -----------------------------------------------------
@@ -961,6 +968,37 @@ class MinHashIndex:
         agreement (debiased, same margin as minhash_lsh_pairs) prunes
         the background; exact Jaccard against the STORED shingle sets
         decides. One keyed join against the store, no corpus scan."""
+        admitted_docs, sigs_new = self._admit(new_docs, text_col, id_col)
+        spark = new_docs.sparkSession
+        admitted = admitted_docs.select(F.col(id_col).alias("id"))
+        sh_admit = self._shingle_sets(admitted_docs, text_col, id_col)
+        self._append_store(spark, admitted, sigs_new, sh_admit, "append")
+        return admitted_docs
+
+    def admit(self, new_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        """Admission decision ONLY — no store mutation. The streaming
+        replay protocol (streaming/dedup.neardup_ingest) commits the
+        admitted set to the sink first, then persists the index rows
+        via :meth:`persist_admitted`; batch callers normally want
+        :meth:`append`, which fuses both."""
+        return self._admit(new_docs, text_col, id_col)[0]
+
+    def persist_admitted(self, admitted_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> None:
+        """Append store rows for docs ALREADY admitted (no admission
+        check) — the recovery half of the streaming protocol: on a
+        replay whose sink write committed but whose store append was
+        interrupted, re-running admission would self-match against the
+        partially-appended store, so the caller recovers the admitted
+        set from the sink and persists it directly. Signatures/shingles
+        are deterministic, so recomputing them here reproduces the
+        exact rows the interrupted append would have written."""
+        spark = admitted_docs.sparkSession
+        sigs = self._sigs(admitted_docs, text_col, id_col)
+        sh = self._shingle_sets(admitted_docs, text_col, id_col)
+        admitted = admitted_docs.select(F.col(id_col).alias("id"))
+        self._append_store(spark, admitted, sigs, sh, "append")
+
+    def _admit(self, new_docs: DataFrame, text_col: str, id_col: str):
         spark = new_docs.sparkSession
         sigs_new = self._sigs(new_docs, text_col, id_col).localCheckpoint(eager=True)
         rows_per_band = self.num_hashes // self.bands
@@ -1034,7 +1072,4 @@ class MinHashIndex:
             .join(dup_in_batch, id_col, "left_anti")
             .localCheckpoint(eager=True)
         )
-        admitted = admitted_docs.select(F.col(id_col).alias("id"))
-        sh_admit = self._shingle_sets(admitted_docs, text_col, id_col)
-        self._append_store(spark, admitted, sigs_new, sh_admit, "append")
-        return admitted_docs
+        return admitted_docs, sigs_new

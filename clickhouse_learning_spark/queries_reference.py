@@ -615,3 +615,73 @@ def ch_time_buckets_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("uv").cast("long").alias("uv"),
         _F.coalesce(_F.col("has_action"), _F.lit(0)).cast("long").alias("has_action"),
     )
+
+
+@query(
+    "ch_final_dialect",
+    """
+    WITH t AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             event_id AS ver,
+             CAST(floor(value * 100) AS BIGINT) AS amount
+      FROM events),
+    latest AS (
+      SELECT day, user_id, ver, amount,
+             row_number() OVER (PARTITION BY day, user_id
+                                ORDER BY ver DESC, amount DESC) AS rn
+      FROM t)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(amount) AS BIGINT) AS amount_sum
+    FROM latest WHERE rn = 1
+    GROUP BY day
+    """,
+)
+def ch_final_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT … FROM t FINAL`` pasted verbatim through
+    ``dialect.run(…, deployment=…)`` (round 4, VERDICT r3 #4): a
+    ReplacingMergeTree(ver) table deployed from ClickHouse DDL takes
+    two overlapping insert batches (every sort key duplicated), and the
+    pasted aggregate over ``FINAL`` must see exactly one row per
+    (day, user_id) — the max-version survivor, amount-desc on ties (the
+    engine's documented deterministic tie rule, merge_policies.py:35).
+    The oracle is the dedup-window formulation over the same derived
+    log."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.ddl import deploy
+    from clickhouse_learning_spark.schemas import load_table
+
+    script = """
+    CREATE TABLE dwd.ev_latest (
+      day Date,
+      user_id Int64,
+      ver Int64,
+      amount Int64
+    ) ENGINE = ReplacingMergeTree(ver)
+    PARTITION BY day
+    ORDER BY (day, user_id);
+    """
+    dep = deploy(spark, script, _tf.mkdtemp(prefix="ch_final_"))
+    ev = load_table(spark, sf_dir, "events").select(
+        _F.to_date("ts").alias("day"),
+        "user_id",
+        _F.col("event_id").alias("ver"),
+        _F.floor(_F.col("value") * 100).cast("long").alias("amount"),
+    )
+    # two overlapping batches: evens first, then EVERYTHING — so every
+    # sort key carries duplicate rows and FINAL has real work to do
+    dep.ingest(spark, "dwd.ev_latest", ev.filter(_F.col("ver") % 2 == 0))
+    dep.ingest(spark, "dwd.ev_latest", ev)
+    ch = """
+        SELECT day, count() AS n_users, sum(amount) AS amount_sum
+        FROM dwd.ev_latest FINAL
+        GROUP BY day
+    """
+    return dep.query(spark, ch).select(
+        "day",
+        _F.col("n_users").cast("long").alias("n_users"),
+        _F.col("amount_sum").cast("long").alias("amount_sum"),
+    )

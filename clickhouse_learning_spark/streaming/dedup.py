@@ -62,6 +62,41 @@ def dedup_stream_exact(stream: DataFrame, keys: Sequence[str] = ("fp",)) -> Data
     return stream.dropDuplicates(list(keys))
 
 
+def commit_batch(
+    index,
+    batch: DataFrame,
+    epoch: int,
+    sink_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One epoch of the near-dup ingest replay protocol (the
+    foreachBatch body of :func:`neardup_ingest`, module-level so the
+    crash windows are testable): sink-first commit with a store-side
+    epoch marker — see :func:`neardup_ingest` for the full protocol."""
+    import pathlib
+
+    if batch.isEmpty():
+        return
+    spark = batch.sparkSession
+    marker = pathlib.Path(index.path) / "_epochs" / str(epoch)
+    epoch_dir = pathlib.Path(sink_path) / f"epoch={epoch}"
+    if marker.exists():
+        return  # fully committed; replay is a no-op
+    if not (epoch_dir / "_SUCCESS").exists():
+        index.admit(batch, text_col=text_col, id_col=id_col).write.mode(
+            "overwrite"
+        ).parquet(str(epoch_dir))
+    try:
+        admitted = spark.read.parquet(str(epoch_dir))
+    except Exception:
+        # committed-but-empty epoch (no part files to infer from)
+        admitted = spark.createDataFrame([], batch.schema)
+    index.persist_admitted(admitted, text_col=text_col, id_col=id_col)
+    marker.parent.mkdir(parents=True, exist_ok=True)
+    marker.touch()
+
+
 def neardup_ingest(
     stream: DataFrame,
     index,
@@ -71,8 +106,8 @@ def neardup_ingest(
     id_col: str = "doc_id",
     trigger: dict | None = None,
 ):
-    """Streaming NEAR-dup admission: each micro-batch runs
-    ``operators.dedup.MinHashIndex.append`` (keyed probe against the
+    """Streaming NEAR-dup admission: each micro-batch runs the
+    ``operators.dedup.MinHashIndex`` admission (keyed probe against the
     persisted store + single-pass within-batch rule) and the admitted
     docs land in ``sink_path``. The index store IS the streaming state —
     durable, shared with batch jobs, and unbounded-corpus-correct
@@ -81,19 +116,36 @@ def neardup_ingest(
     corpus itself).
 
     Micro-batch = insert batch (the reference's T1 trigger semantics):
-    admission order follows micro-batch arrival order. Restart caveat:
-    Spark may REPLAY the last uncommitted micro-batch after a crash;
-    replayed docs that were already admitted then verify at jaccard 1.0
-    against themselves in the store and are dropped, so the sink gains
-    no duplicates as long as ``id_col`` values are stable across the
-    replay (deterministic ids, not monotonically_increasing_id).
-    """
+    admission order follows micro-batch arrival order.
 
-    def _batch(batch: DataFrame, _epoch: int) -> None:
-        if batch.isEmpty():
-            return
-        admitted = index.append(batch, text_col=text_col, id_col=id_col)
-        admitted.write.mode("append").parquet(sink_path)
+    Replay protocol (exactly-once sink, ADVICE r3): Spark may REPLAY
+    the last uncommitted micro-batch after a crash, and the store
+    mutation must not race the sink write. Per epoch:
+
+    1. if the store-side epoch marker exists, the batch fully
+       committed — skip;
+    2. else if the sink epoch directory committed (``_SUCCESS``),
+       recover the admitted set FROM the sink (re-running admission
+       would self-match against partially appended store rows) and go
+       to 4;
+    3. else run admission against the store (unchanged — bucket rows,
+       the only probe entry point, commit last inside
+       ``_append_store``) and overwrite the per-epoch sink directory
+       ``sink_path/epoch=<n>`` (idempotent on replay);
+    4. append the admitted docs' index rows to the store
+       (``persist_admitted``), then touch the epoch marker.
+
+    A crash inside step 4 can leave duplicate store ROWS for the same
+    id after the replay re-appends — harmless for correctness (every
+    probe join dedups candidates) and bounded to one batch of storage
+    waste; the sink itself never loses or duplicates a document.
+    Reads of the corpus see an ``epoch`` partition column (= admitting
+    micro-batch id — ingestion provenance for free). Requires stable
+    ``id_col`` values across replays (deterministic ids, not
+    monotonically_increasing_id) and one stream per index store.
+    """
+    def _batch(batch: DataFrame, epoch: int) -> None:
+        commit_batch(index, batch, epoch, sink_path, text_col, id_col)
 
     trigger = trigger or {"availableNow": True}
     return (

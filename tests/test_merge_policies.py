@@ -121,3 +121,46 @@ def test_deployment_final_read_dispatches_by_engine(spark, tmp_path):
     dep.execute(spark, "INSERT INTO test.counters VALUES ('a', 3)")
     got = {r.k: r.cnt for r in dep.final_read(spark, "test.counters").collect()}
     assert got == {"a": 8, "b": 2}
+
+
+def test_from_final_in_pasted_sql_dispatches(spark, tmp_path):
+    """Round-4 dialect FINAL (VERDICT r3 #4): ``FROM t FINAL`` inside a
+    pasted CH statement runs through Deployment.query →
+    dialect.run(deployment=…) → final_read, at top level AND inside a
+    subquery; bare translate() still raises with the pointer."""
+    import pytest
+
+    from clickhouse_learning_spark import ddl
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    script = """
+    CREATE TABLE test.profiles (
+        uid UInt64, ver UInt64, score UInt64
+    ) ENGINE = ReplacingMergeTree(ver) ORDER BY uid;
+    """
+    dep = ddl.deploy(spark, script, str(tmp_path))
+    dep.execute(
+        spark, "INSERT INTO test.profiles VALUES (1, 1, 10), (2, 1, 20)"
+    )
+    dep.execute(spark, "INSERT INTO test.profiles VALUES (1, 2, 99)")
+
+    got = {
+        r.uid: r.score
+        for r in dep.query(
+            spark, "SELECT uid, score FROM test.profiles FINAL"
+        ).collect()
+    }
+    assert got == {1: 99, 2: 20}
+
+    # subquery form + aggregate on top
+    [row] = dep.query(
+        spark,
+        """
+        SELECT sum(score) AS s
+        FROM (SELECT uid, score FROM test.profiles FINAL)
+        """,
+    ).collect()
+    assert row.s == 119
+
+    with pytest.raises(ValueError, match="FINAL"):
+        translate("SELECT uid FROM test.profiles FINAL")

@@ -191,3 +191,75 @@ def test_neardup_ingest_stream_equals_batch_appends(spark, tmp_path, split_batch
         r.doc_id for r in spark.read.parquet(str(tmp_path / "sink")).collect()
     }
     assert admitted == expected
+
+
+def test_commit_batch_replay_windows(spark, tmp_path, split_batches):
+    """ADVICE r3 crash windows of the neardup ingest protocol:
+    (a) admit() is pure — no store mutation;
+    (b) replay after the sink epoch dir committed but before the store
+        append must NOT lose docs to self-matching — it recovers the
+        admitted set from the sink and persists it;
+    (c) replay after full commit (marker present) is a no-op."""
+    import pathlib
+
+    from clickhouse_learning_spark.streaming.dedup import commit_batch
+
+    idx = MinHashIndex(str(tmp_path / "mh5"), threshold=THRESH, shingle_k=K)
+    frames = [
+        spark.createDataFrame(b, "doc_id long, text string")
+        for b in split_batches
+    ]
+    idx.build(frames[0])
+    sink = str(tmp_path / "sink5")
+    sigs_path = str(tmp_path / "mh5" / "sigs")
+    n0 = spark.read.parquet(sigs_path).count()
+
+    # (a) admission alone leaves the store untouched
+    admitted1 = idx.admit(frames[1])
+    ids1 = {r.doc_id for r in admitted1.collect()}
+    assert spark.read.parquet(sigs_path).count() == n0
+
+    # (b) crash between sink write and store append, then replay:
+    # the sink epoch dir is committed, the store never saw the batch
+    admitted1.write.mode("overwrite").parquet(sink + "/epoch=1")
+    commit_batch(idx, frames[1], 1, sink)
+    got = {r.doc_id for r in spark.read.parquet(sink + "/epoch=1").collect()}
+    assert got == ids1  # nothing lost to self-match
+    assert spark.read.parquet(sigs_path).count() == n0 + len(ids1)
+    assert (pathlib.Path(str(tmp_path / "mh5")) / "_epochs" / "1").exists()
+
+    # (c) replay after full commit: store row counts stay put
+    commit_batch(idx, frames[1], 1, sink)
+    assert spark.read.parquet(sigs_path).count() == n0 + len(ids1)
+
+
+def test_commit_batch_duplicate_store_rows_are_harmless(
+    spark, tmp_path, split_batches
+):
+    """Crash INSIDE the store append, then replay: the replayed epoch
+    re-appends index rows (duplicates allowed by the protocol) — future
+    admission decisions must be unaffected."""
+    from clickhouse_learning_spark.streaming.dedup import commit_batch
+
+    idx = MinHashIndex(str(tmp_path / "mh6"), threshold=THRESH, shingle_k=K)
+    frames = [
+        spark.createDataFrame(b, "doc_id long, text string")
+        for b in split_batches
+    ]
+    idx.build(frames[0])
+    sink = str(tmp_path / "sink6")
+
+    # epoch 1: sink committed AND store fully appended, but the crash
+    # hit before the marker — the worst duplicate-producing replay
+    admitted1 = idx.admit(frames[1])
+    admitted1.write.mode("overwrite").parquet(sink + "/epoch=1")
+    idx.persist_admitted(admitted1)
+    commit_batch(idx, frames[1], 1, sink)  # replay: re-appends rows
+
+    # duplicates exist now…
+    sigs = spark.read.parquet(str(tmp_path / "mh6" / "sigs"))
+    assert sigs.count() > sigs.select("id").distinct().count()
+    # …but the next batch's admission still matches the oracle rule
+    admitted_all = {r.doc_id for r in idx.admit(frames[2]).collect()}
+    expect = _oracle(split_batches) & {d for d, _ in split_batches[2]}
+    assert admitted_all == expect
