@@ -158,8 +158,32 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # -- scalars ------------------------------------------------------------
     m["toDate"] = lambda a: f"to_date({_one(a, 'toDate')})"
     m["toStartOfHour"] = lambda a: f"date_trunc('HOUR', {_one(a, 'toStartOfHour')})"
+    # Plain integer casts reproduce ClickHouse's MODULAR semantics
+    # (toUInt32(-5) = 4294967291, toInt8(200) = -56 — two's-complement
+    # wrap, r4 semantics audit): pmod into the target's modulus, then
+    # shift for signed. Spark ANSI CAST would instead raise on overflow
+    # — loud, but a wrong translation of CH's silent wrap. toUInt64
+    # stays a plain BIGINT cast: its upper half (> 2^63−1) has no Spark
+    # integral type, so negatives pass through signed — the one
+    # documented divergence in the cast family (same note as the
+    # OrZero/OrNull guards).
+    def _wrap_cast(bits: int, signed: bool, sp: str, name: str):
+        mod = 1 << bits
+        if signed:
+            half = 1 << (bits - 1)
+            return lambda a: (
+                f"CAST(pmod(CAST({_one(a, name)} AS BIGINT) + {half}, {mod})"
+                f" - {half} AS {sp})"
+            )
+        return lambda a: (
+            f"CAST(pmod(CAST({_one(a, name)} AS BIGINT), {mod}) AS {sp})"
+        )
+
     m["toUInt64"] = lambda a: f"CAST({_one(a, 'toUInt64')} AS BIGINT)"
-    m["toUInt32"] = lambda a: f"CAST({_one(a, 'toUInt32')} AS BIGINT)"
+    m["toUInt32"] = _wrap_cast(32, False, "BIGINT", "toUInt32")
+    m["toUInt16"] = _wrap_cast(16, False, "INT", "toUInt16")
+    m["toUInt8"] = _wrap_cast(8, False, "SMALLINT", "toUInt8")
+    m["toInt8"] = _wrap_cast(8, True, "TINYINT", "toInt8")
     m["toString"] = lambda a: f"CAST({_one(a, 'toString')} AS STRING)"
     m["now"] = lambda a: "current_timestamp()"
     m["today"] = lambda a: "current_date()"
@@ -287,7 +311,7 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     )
     m["formatReadableQuantity"] = _format_readable(
         [
-            (1e12, "trillion"), (1e9, "billion"),
+            (1e15, "quadrillion"), (1e12, "trillion"), (1e9, "billion"),
             (1e6, "million"), (1e3, "thousand"),
         ],
         "",
@@ -454,7 +478,13 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["bitTest"] = lambda a: (
         lambda x, i: f"((shiftright({x}, {i}) & 1) = 1)"
     )(*_two(a, "bitTest"))
-    # rounding / encoding
+    # rounding / encoding: ClickHouse round() is BANKER'S rounding for
+    # float inputs (round(2.5) = 2, round(-2.5) = −2) — Spark's round()
+    # is half-away-from-zero, so both CH names map to bround (r4
+    # semantics audit). Divergence note: CH rounds DECIMAL inputs
+    # half-away-from-zero; pasted analytics SQL rounds floats, so the
+    # float rule wins the mapping.
+    m["round"] = lambda a: f"bround({', '.join(a)})"
     m["roundBankers"] = lambda a: f"bround({', '.join(a)})"
     m["base64Encode"] = lambda a: f"base64({_one(a, 'base64Encode')})"
     m["base64Decode"] = lambda a: (
@@ -808,7 +838,15 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["arraySort"] = lambda a: f"array_sort({_one(a, 'arraySort')})"
     m["arrayReverse"] = lambda a: f"reverse({_one(a, 'arrayReverse')})"
     m["arrayConcat"] = lambda a: f"concat({', '.join(a)})"
-    m["arraySlice"] = lambda a: f"slice({', '.join(a)})"
+    def _array_slice(a):
+        # CH arraySlice(arr, offset[, length]) — the 2-arg form takes
+        # everything from offset to the end (Spark's slice REQUIRES a
+        # length; size(arr) is always enough, for negative offsets too)
+        if len(a) == 2:
+            return f"slice({a[0]}, {a[1]}, size({a[0]}))"
+        return f"slice({', '.join(a)})"
+
+    m["arraySlice"] = _array_slice
     m["indexOf"] = lambda a: (
         lambda arr, x: f"array_position({arr}, {x})"
     )(*_two(a, "indexOf"))
@@ -838,8 +876,10 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
 
     # -- additional casts (beyond the reference's usage, same family) -------
     m["toInt64"] = lambda a: f"CAST({_one(a, 'toInt64')} AS BIGINT)"
-    m["toInt32"] = lambda a: f"CAST({_one(a, 'toInt32')} AS INT)"
-    m["toInt16"] = lambda a: f"CAST({_one(a, 'toInt16')} AS SMALLINT)"
+    # wrap semantics like the unsigned family above (toInt32(2^31) is
+    # −2147483648 in CH, not an ANSI overflow error)
+    m["toInt32"] = _wrap_cast(32, True, "INT", "toInt32")
+    m["toInt16"] = _wrap_cast(16, True, "SMALLINT", "toInt16")
     m["toFloat64"] = lambda a: f"CAST({_one(a, 'toFloat64')} AS DOUBLE)"
     m["toFloat32"] = lambda a: f"CAST({_one(a, 'toFloat32')} AS FLOAT)"
     m["toDateTime"] = lambda a: f"CAST({_one(a, 'toDateTime')} AS TIMESTAMP)"

@@ -1,0 +1,256 @@
+"""Differential-semantics audit of the dialect's scalar mappings
+(round-4, VERDICT r3 #2): every mapped function family is evaluated
+over an edge-case input grid in Spark (through ``translate``) and
+compared against ClickHouse's published semantics, hand-computed where
+DuckDB diverges too. The classes the driver caught in r1–r3 (quantile
+rank rule, dateDiff boundary crossings, toWeek mode 0, empty-array
+folds) each keep a regression row here.
+
+Documented (unfixable-textually or deliberately divergent) behaviors
+asserted at the bottom: toUInt64's upper half, empty()/notEmpty() on
+strings, whitespace-lenient OrZero string parsing, assumeNotNull(NULL).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from clickhouse_learning_spark.functions.dialect import translate
+
+
+def _grid(spark, cases):
+    """Evaluate [(ch_expr, expected)] in ONE Spark job; approx-compare
+    floats, exact-compare the rest."""
+    exprs = ", ".join(
+        f"{translate(e)} AS c{i}" for i, (e, _) in enumerate(cases)
+    )
+    row = spark.sql(f"SELECT {exprs}").collect()[0]
+    for i, (e, want) in enumerate(cases):
+        got = row[i]
+        if isinstance(want, float):
+            assert float(got) == pytest.approx(want, rel=1e-9), (e, got, want)
+        elif want is None:
+            assert got is None, (e, got)
+        else:
+            # Decimal vs int etc. — compare by value
+            assert got == want, (e, got, want)
+
+
+def test_rounding_is_bankers(spark):
+    # CH round() on floats = banker's (half-to-even); ties chosen to be
+    # exactly representable in binary so fp noise can't decide them
+    _grid(
+        spark,
+        [
+            ("round(2.5)", 2),
+            ("round(3.5)", 4),
+            ("round(-2.5)", -2),
+            ("round(0.5)", 0),
+            ("round(1.5)", 2),
+            ("round(2.25, 1)", 2.2),
+            ("round(2.75, 1)", 2.8),
+            ("roundBankers(2.5)", 2),
+            ("roundBankers(-0.5)", 0),
+        ],
+    )
+
+
+def test_integer_division_and_modulo(spark):
+    # CH intDiv truncates toward zero (C++ semantics); modulo keeps the
+    # dividend's sign
+    _grid(
+        spark,
+        [
+            ("intDiv(7, 2)", 3),
+            ("intDiv(-7, 2)", -3),
+            ("intDiv(7, -2)", -3),
+            ("intDivOrZero(5, 0)", 0),
+            ("modulo(7, 2)", 1),
+            ("modulo(-7, 2)", -1),
+            ("modulo(7, -2)", 1),
+        ],
+    )
+
+
+def test_integer_casts_wrap_modularly(spark):
+    # CH to(U)IntN are MODULAR casts: out-of-range wraps two's-
+    # complement, never errors (Spark ANSI CAST would raise)
+    _grid(
+        spark,
+        [
+            ("toUInt8(300)", 44),
+            ("toUInt8(-1)", 255),
+            ("toUInt16(65536)", 0),
+            ("toUInt16(-2)", 65534),
+            ("toUInt32(-5)", 4294967291),
+            ("toUInt32(4294967296)", 0),
+            ("toInt8(200)", -56),
+            ("toInt8(-200)", 56),
+            ("toInt16(40000)", -25536),
+            ("toInt32(2147483648)", -2147483648),
+            ("toInt32(3000000000)", -1294967296),
+            ("toInt64(5)", 5),
+        ],
+    )
+
+
+def test_or_zero_or_null_range_guards(spark):
+    # unsigned targets enforce the unsigned domain (ADVICE r3):
+    # parseable-but-out-of-range strings/values → 0 / NULL
+    _grid(
+        spark,
+        [
+            ("toUInt32OrZero('-5')", 0),
+            ("toUInt8OrZero('300')", 0),
+            ("toUInt8OrZero('200')", 200),
+            ("toUInt32OrNull('-5')", None),
+            ("toInt32OrZero('abc')", 0),
+            ("toInt32OrZero('2.5')", 0),  # CH: integer grammar only
+            ("accurateCastOrNull(300, 'UInt8')", None),
+            ("accurateCastOrDefault(300, 'UInt8')", 0),
+            ("accurateCastOrNull(200, 'UInt8')", 200),
+            ("toFloat64OrZero('1e3')", 1000.0),
+            ("toDateOrZero('bogus')", dt.date(1970, 1, 1)),
+            ("toDateTimeOrNull('bogus')", None),
+        ],
+    )
+
+
+def test_week_and_weekday_conventions(spark):
+    # CH toDayOfWeek: Monday=1…Sunday=7 (Spark dayofweek: Sunday=1);
+    # toStartOfWeek mode 0 = Sunday-start; toWeek mode 0 = MySQL
+    # WEEK(d,0) numbering (r2 regression); toISOWeek = ISO 8601
+    _grid(
+        spark,
+        [
+            ("toDayOfWeek(toDate('2024-01-08'))", 1),  # Monday
+            ("toDayOfWeek(toDate('2024-01-07'))", 7),  # Sunday
+            ("toStartOfWeek(toDate('2024-01-10'))", dt.date(2024, 1, 7)),
+            ("toMonday(toDate('2024-01-10'))", dt.date(2024, 1, 8)),
+            ("toWeek(toDate('2021-01-01'))", 0),
+            ("toWeek(toDate('2021-01-03'))", 1),  # first Sunday of 2021
+            ("toISOWeek(toDate('2021-01-01'))", 53),
+            ("dateName('weekday', toDate('2024-01-08'))", "Monday"),
+        ],
+    )
+
+
+def test_date_boundaries_and_buckets(spark):
+    # dateDiff counts unit-boundary CROSSINGS (r2 regression); age()
+    # counts complete units; epoch-anchored bucket floors
+    _grid(
+        spark,
+        [
+            (
+                "dateDiff('day', toDateTime('2024-01-01 23:59:59'), "
+                "toDateTime('2024-01-02 00:00:01'))",
+                1,
+            ),
+            (
+                "age('day', toDateTime('2024-01-01 23:59:59'), "
+                "toDateTime('2024-01-02 00:00:01'))",
+                0,
+            ),
+            ("toYYYYMM(toDate('1969-06-15'))", 196906),
+            ("toYYYYMMDD(toDate('2024-02-29'))", 20240229),
+            ("toLastDayOfMonth(toDate('2024-02-08'))", dt.date(2024, 2, 29)),
+            ("toRelativeDayNum(toDate('2024-01-02'))", 19724),
+            (
+                "toTime(toDateTime('2024-03-05 07:08:09'))",
+                dt.datetime(1970, 1, 2, 7, 8, 9),
+            ),
+            (
+                "timeSlot(toDateTime('2024-03-05 07:44:09'))",
+                dt.datetime(2024, 3, 5, 7, 30),
+            ),
+            (
+                "toStartOfFifteenMinutes(toDateTime('2024-03-05 07:44:09'))",
+                dt.datetime(2024, 3, 5, 7, 30),
+            ),
+            (
+                # CH week intervals anchor on Monday (epoch was Thursday)
+                "toStartOfInterval(toDateTime('2024-03-05 07:44:09'), "
+                "INTERVAL 2 WEEK)",
+                dt.datetime(2024, 2, 26),
+            ),
+            (
+                "toStartOfInterval(toDate('2024-05-05'), INTERVAL 3 MONTH)",
+                dt.date(2024, 4, 1),
+            ),
+            ("toStartOfQuarter(toDate('1969-02-03'))", dt.date(1969, 1, 1)),
+        ],
+    )
+
+
+def test_string_functions(spark):
+    _grid(
+        spark,
+        [
+            ("position('hello world', 'o')", 5),
+            ("position('hello', 'zz')", 0),
+            ("countSubstrings('aaaa', 'aa')", 2),  # non-overlapping
+            ("substring('abcdef', -3, 2)", "de"),
+            ("leftPad('abc', 2, '*')", "ab"),  # pad-to-len truncates
+            ("leftPad('abc', 5, '*')", "**abc"),
+            ("formatReadableSize(1023)", "1023.00 B"),
+            ("formatReadableSize(1024)", "1.00 KiB"),
+            ("formatReadableSize(1048576)", "1.00 MiB"),
+            ("formatReadableQuantity(1234567)", "1.23 million"),
+            ("formatReadableQuantity(2000000000000000)", "2.00 quadrillion"),
+            ("trimBoth('  x  ')", "x"),
+            ("hex(255)", "FF"),
+        ],
+    )
+
+
+def test_array_functions(spark):
+    _grid(
+        spark,
+        [
+            ("arraySlice([1,2,3,4,5], 2, 2)", [2, 3]),
+            ("arraySlice([1,2,3,4,5], 3)", [3, 4, 5]),  # to-end form
+            ("arraySlice([1,2,3,4,5], -3)", [3, 4, 5]),
+            ("arraySlice([1,2,3,4,5], -3, 2)", [3, 4]),
+            ("indexOf([10,20,30], 30)", 3),
+            ("indexOf([10,20,30], 99)", 0),
+            ("arrayUniq([1,2,2,3])", 3),
+            ("arrayDifference([1, 4, 2])", [0, 3, -2]),
+            ("arrayCumSum([1, 2, 3])", [1, 3, 6]),
+            ("splitByChar('.', 'a.b.c')", ["a", "b", "c"]),
+            ("splitByChar(',', '')", [""]),
+            ("arrayStringConcat(['a','b','c'], '-')", "a-b-c"),
+        ],
+    )
+
+
+def test_documented_divergences(spark):
+    """Behaviors that CANNOT be matched textually — each is pinned here
+    so a silent change trips the suite, and each carries the divergence
+    note at its mapping site:
+
+    - toUInt64: CH's upper half (2^63…2^64−1) has no Spark integral
+      type; negatives pass through signed instead of wrapping.
+    - OrZero string parsing: Spark's try_cast accepts surrounding
+      whitespace; CH's integer grammar rejects it (' 5' → 0 in CH).
+    - assumeNotNull(NULL): CH yields the type default (implementation-
+      specific per its own docs); Spark keeps NULL.
+    - empty()/notEmpty() map to array size() — CH's string overload
+      has no type-dispatched textual form (use x = '' in pasted SQL);
+      they raise loudly on strings rather than mistranslating.
+    """
+    _grid(
+        spark,
+        [
+            ("toUInt64(-5)", -5),
+            ("toInt64OrZero(' 5')", 5),
+            ("assumeNotNull(CAST(NULL AS INT))", None),
+            ("empty([1])", False),
+            ("notEmpty([1])", True),
+        ],
+    )
+    from pyspark.sql.utils import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark.sql(translate("SELECT empty('') AS v")).collect()
