@@ -628,7 +628,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal feature table: per-channel image means (real pixel
     math), audio duration/RMS (real WAV parse) and sampled video frame
     counts, joined on media id — the shape of a pretraining data-mix
-    audit. Rows-only driver check (payload synthesis is engine-side)."""
+    audit. Hash-checked as of round 4: the oracle embeds golden values
+    recomputed INDEPENDENTLY of every decode path (pixel/waveform
+    formulas — tools/make_multimodal_golden.py), so a parser bug in the
+    PPM walk, the WAV chunk scan or the frame sampler breaks the
+    match."""
     docs = load_table(spark, sf_dir, "documents")
     img = MM.image_features(MM.build_media_table(spark, docs))
     aud = MM.decode_audio_meta(MM.build_audio_table(spark, docs)).select(
@@ -643,6 +647,37 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_features"] = multimodal_features
+
+
+def _values_oracle(rows, cols, casts) -> str:
+    """Golden-VALUES oracle: the committed independently-derived rows,
+    restricted to the ids present in the graded SF's documents table."""
+    vals = ",\n      ".join(
+        "(" + ", ".join(repr(v) for v in r) + ")" for r in rows
+    )
+    proj = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, casts))
+    return f"""
+    SELECT {proj}
+    FROM (VALUES {vals}) AS g({', '.join(cols)})
+    JOIN (SELECT doc_id FROM documents) d ON g.media_id = d.doc_id
+    """
+
+
+def _register_multimodal_goldens() -> None:
+    from clickhouse_learning_spark import golden_multimodal as G
+
+    _ORACLES["multimodal_features"] = _values_oracle(
+        G.MULTIMODAL_FEATURES,
+        ["media_id", "mean_r", "mean_g", "mean_b", "duration_s", "rms",
+         "sampled_frames"],
+        ["BIGINT", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE",
+         "BIGINT"],
+    )
+    _ORACLES["multimodal_jpeg_features"] = _values_oracle(
+        G.JPEG_FEATURES,
+        ["media_id", "mean_r", "mean_g", "mean_b"],
+        ["BIGINT", "DOUBLE", "DOUBLE", "DOUBLE"],
+    )
 
 
 def multimodal_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,15 +794,18 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-channel feature extraction over REAL baseline JPEG payloads:
     payloads are encoded by operators/jpeg.encode_baseline and decoded
     through the numpy sequential-DCT decoder — no imaging library on
-    either side. Rows-only driver check (JPEG is lossy, so channel
-    means are within quantization error of the source pixels rather
-    than hash-identical; the codec itself is hash-anchored by the
-    hand-assembled golden stream in tests/test_pipeline_ops.py)."""
+    either side. Hash-checked as of round 4: JPEG is lossy vs the
+    SOURCE pixels, but decode itself is deterministic, so the oracle
+    embeds golden means derived by a from-scratch reference decoder
+    (tools/ref_jpeg.py — independent Huffman walk + direct-formula
+    IDCT, cross-checked pixel-exact against the production decoder at
+    golden-generation time)."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.image_features(MM.build_media_table(spark, docs, fmt="jpeg"))
 
 
 QUERIES["multimodal_jpeg_features"] = multimodal_jpeg_features
+_register_multimodal_goldens()
 
 
 def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
