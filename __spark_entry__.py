@@ -50,83 +50,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # already covered above sit behind them. Union of rounds still grades
 # everything — round 1 drove the entries now demoted.
 _PRIORITY = [
-    # Round 3 window: the 30 registered queries never driver-graded in
-    # r1/r2 (VERDICT r2 "What's missing" #1 — all judge-replay-green)
-    # rotate in so every registered query has a driver-green row across
-    # r1∪r2∪r3; the slots they take come from r2-green entries.
-    "ann_ivf_topk",
-    "audio_spectral",
+    # Round-4 window. After r3 every registered query has a driver-green
+    # row across r1∪r2∪r3, so this window = (a) queries NEW or with
+    # oracle/implementation changes this round, (b) the families those
+    # changes touch, (c) rotation of the queries whose only driver
+    # evidence is round 1 (oldest grades re-validate first).
+    # --- (a) new in round 4 -------------------------------------------
+    "ch_final_dialect",  # FROM t FINAL through run(deployment=…)
+    "skew_agg_salted",  # two-phase salted MetricSpec aggregation
+    # oracle upgrades: rows-only → independent-golden hash checks
+    "multimodal_features",
+    "multimodal_jpeg_features",
+    # --- (b) families touched by round-4 changes ----------------------
+    # dialect (modular casts, round→bround, arraySlice, formatReadable*)
+    "ch_dialect_query",
+    "ch_asof_dialect",
+    "ch_retention_dialect",
+    "ch_time_buckets_dialect",
+    "ch_totals_rollup",
     "ch_any_join_enrich",
     "ch_limit_by_topn",
-    "ch_totals_rollup",
-    "csv_roundtrip",
-    "dedup_report",
-    "dedup_substring_spans",
-    "epoch_upsampling",
-    "forecast_revenue_change",
-    "hopping_window_uv",
-    "multimodal_decode",
-    "multimodal_features",
-    "orc_roundtrip",
-    "part_pair_affinity",
-    "pii_redaction",
-    "replacing_latest_event",
-    "revenue_anomaly_days",
-    "rfm_segments",  # round-3 rewrite: percentile boundaries, no window
-    "rolling_revenue_7d",
-    "shipmode_priority_split",
-    "small_quantity_revenue",
-    "source_mixing",
-    "summap_event_values",
-    "theta_funnel_approx",
-    "top_event_paths",
-    "top_supplier",
-    "value_histogram",
-    "vocab_oov_rate",  # round-3 rewrite: TakeOrderedAndProject vocab
-    "windowed_uv",
-    # New in round 3
-    "ch_asof_dialect",  # ASOF JOIN through the dialect rewriter
-    "multimodal_png_pixel_sums",  # real zlib PNG decode, hash-checked
-    # Post-draft round-3 additions (never driver-graded) — take the
-    # slots of unchanged r2-green entries so that after r3 every
-    # registered query has a driver-green row across r1∪r2∪r3.
-    "bpe_subword_stats",  # distributed BPE trainer + encoder
-    "multimodal_gif_pixel_sums",  # native LZW GIF decode, hash-checked
-    "multimodal_jpeg_features",  # pure-numpy baseline JPEG decode
-    "scd2_point_in_time",  # SCD2 dimension read as backward as-of
-    "stream_click_attribution",  # real stream-stream interval join
-    "late_ship_priority",  # TPC-H Q4: EXISTS → LeftSemi
-    "order_count_distribution",  # TPC-H Q13: outer-join distribution
-    "large_volume_orders",  # TPC-H Q18: IN-over-HAVING → LeftSemi
-    "disjunctive_brand_revenue",  # TPC-H Q19: disjunctive predicates
-    "idle_rich_customers",  # TPC-H Q22: NOT EXISTS → LeftAnti
-    # Round-3b additions (registered this round — never graded)
-    "skew_targeted_join",  # hot-key-only salting, oracle = plain join
-    "ch_retention_dialect",  # retention() through the shim
-    "ch_time_buckets_dialect",  # toStartOfFifteenMinutes/multiSearchAny
-    # Re-validate operators whose implementation changed this round
-    # (dialect rewrites, embedding tiling), plus representatives so the
-    # window stays representative. ref_wide_mv_5metric /
-    # ref_funnel_6stage / streaming_mv_rollup ceded their slots to the
-    # round-3b queries: all three r2-green and untouched this round.
-    "ch_dialect_query",
-    # sql_auto_rewrite (mv/sql_rewrite, unchanged since its r2-green
-    # row) cedes its slot to the round-3b incremental dedup index
-    "dedup_incremental_index",
-    "training_pipeline",
-    "dedup_embedding_cosine",  # round-3 executor-side tiling
-    # with_fill_days (engine-native fill, r2-green) yields its slot to
-    # the dialect-runner fill variant, which exercises the new
-    # schema-aware with_fill + run() path end-to-end
     "ch_with_fill_dialect",
-    # pricing_summary is exercised by entry() (driver smoke check) and
-    # r2-green unchanged, so it cedes the 50th slot too.
-    # dedup_exact, dedup_minhash_lsh, asof_attribution,
-    # range_join_campaigns, multimodal_pixel_sums, bitmap_funnel_roaring,
-    # ann_cosine_topk, embedding_kmeans, contamination_check ceded their
-    # re-validation slots to the post-draft round-3 queries above: all
-    # nine are r2-green and their implementations are unchanged this
-    # round, so the r2 evidence stands.
+    "json_extract_agg",
+    # ddl/deployment read-path changes (schema re-pin, Nullable default)
+    "replacing_latest_event",
+    # MinHashIndex admit/persist split + store write ordering
+    "dedup_incremental_index",
+    "dedup_minhash_lsh",
+    # multimodal family neighbors of the golden swap
+    "multimodal_decode",
+    "multimodal_pixel_sums",
+    "multimodal_png_pixel_sums",
+    "multimodal_gif_pixel_sums",
+    # --- (c) r1-evidence rotation (driver-graded only in round 1) -----
+    "numbers_generator",
+    "array_join_tuples",
+    "filter_project_prune",
+    "modulo_skew_filter",
+    "like_and_conjunction",
+    "cross_join_matrix",
+    "union_all_batches",
+    "scalar_datetime_math",
+    "parse_datetime_best_effort",
+    "null_handling",
+    "distinct_rows",
+    "median_exact",
+    "window_functions_suite",
+    # remaining slots: round-2-evidence representatives across operator
+    # families (joins, unions, aggs, text/dedup/ann, reference MVs)
+    "dedup_exact",
+    "asof_attribution",
+    "range_join_campaigns",
+    "contamination_check",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "ann_cosine_topk",
+    "embedding_kmeans",
+    "bitmap_funnel_roaring",
+    "union_merge_wide",
+    "ref_wide_mv_5metric",
+    "ref_funnel_6stage",
+    "pricing_summary",
+    "conditional_agg",
+    "uniq_exact",
+    "quantile_weighted_state",
+    "left_join_using",
+    "having_over_agg",
 ]
 
 

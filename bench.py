@@ -96,8 +96,8 @@ COMPACT = [
     "join_100m_fact_1m_dim",
     "skew_join_aqe_50m_2hot",
     "skew_join_targeted_50m_2hot",
-    "skew_agg_plain_50m_2hot",
-    "skew_agg_salted_50m_2hot",
+    "skew_agg_pandas_plain_20m_2hot",
+    "skew_agg_pandas_salted_20m_2hot",
     "dedup_minhash_lsh",
     "training_pipeline",
 ]
@@ -466,6 +466,92 @@ def main() -> None:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+    # aggregation-skew story (r4, VERDICT r3 #5 — AQE's skew handling is
+    # join-only): 20M rows, 80% on 2 hot uids, ~1000 cold groups.
+    # Algebraic pair: Spark's map-side partial aggregation pre-merges
+    # each task's hot-key rows, so plain groupBy is ALREADY skew-proof
+    # and two-phase salting only adds a shuffle (expected: parity or a
+    # slight salted loss — that's the honest division of labor).
+    # Pandas pair: groupBy().applyInPandas has NO map-side combine —
+    # the hot groups land whole in single tasks (straggler + pandas
+    # materialization risk), and salted_apply_agg's partial/merge split
+    # is the fix (expected: ~2× win, operators/skew.py).
+    import pandas as _pd
+
+    from clickhouse_learning_spark.operators.skew import (
+        salted_agg,
+        salted_apply_agg,
+    )
+
+    agg_fact = spark.range(20_000_000).select(
+        F.when(F.col("id") % 5 < 4, (F.col("id") % 2) * 13)
+        .otherwise(F.col("id") % 1000 + 100)
+        .alias("uid"),
+        (F.col("id") % 97).alias("v"),
+    )
+
+    def _plain_stats(pdf):
+        return _pd.DataFrame(
+            {"uid": [pdf["uid"].iloc[0]], "n": [len(pdf)],
+             "mean_v": [float(pdf["v"].mean())]}
+        )
+
+    def _partial_stats(pdf):
+        return _pd.DataFrame(
+            {"uid": [pdf["uid"].iloc[0]], "pn": [len(pdf)],
+             "psum": [float(pdf["v"].sum())]}
+        )
+
+    def _merge_stats(pdf):
+        n = int(pdf["pn"].sum())
+        return _pd.DataFrame(
+            {"uid": [pdf["uid"].iloc[0]], "n": [n],
+             "mean_v": [float(pdf["psum"].sum()) / max(n, 1)]}
+        )
+
+    timings["skew_agg_pandas_plain_20m_2hot"] = best_of(
+        runs,
+        lambda: agg_fact.groupBy("uid")
+        .applyInPandas(_plain_stats, "uid long, n long, mean_v double")
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    timings["skew_agg_pandas_salted_20m_2hot"] = best_of(
+        runs,
+        lambda: salted_apply_agg(
+            agg_fact,
+            "uid",
+            _partial_stats,
+            "uid long, pn long, psum double",
+            _merge_stats,
+            "uid long, n long, mean_v double",
+            n_salts=16,
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    _agg_metrics = (
+        MetricSpec("s", "sum", "v"),
+        MetricSpec("n", "count", "1"),
+    )
+    timings["skew_agg_algebraic_plain_20m_2hot"] = best_of(
+        runs,
+        lambda: agg_fact.groupBy("uid")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    timings["skew_agg_algebraic_salted_20m_2hot"] = best_of(
+        runs,
+        lambda: salted_agg(agg_fact, "uid", _agg_metrics, n_salts=16)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
 
     # the reference's 1-billion-row sumState benchmark shape
     # (BASELINE.md: 3.201s / 312M rows/s on ClickHouse 21.3)

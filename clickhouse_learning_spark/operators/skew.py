@@ -1,11 +1,31 @@
-"""Skew-handling join utilities.
+"""Skew-handling utilities: salted joins and salted aggregation.
 
 The reference's data has a deliberately skewed cohort (``uid % 13 == 0``
 heavy clickers, make_user_action_001.py:71); at 100 TB a handful of hot
-keys can stall a shuffle join. First line of defense is AQE's skew-join
-splitting (on by default in session.py); this module adds the explicit
-salting pattern for cases AQE can't rescue (e.g. a hot key joining a
-non-broadcastable dimension):
+keys can stall a shuffle. The division of labor, benched at the 50M-row
+2-hot-uid shape (bench.py):
+
+- **Join skew** → AQE first (skew-split + runtime broadcast beat both
+  manual salting forms in the r3 bench); :func:`salted_join` /
+  :func:`targeted_salted_join` remain for dims AQE can't rescue.
+- **GroupBy skew with algebraic/sketch metrics** → Spark's map-side
+  partial aggregation already neutralizes it: every map task pre-merges
+  its hot-key rows to ONE partial state, so the exchange carries
+  O(tasks) rows per key no matter how hot the key is. AQE plays no part
+  (its skew handling is join-only) and none is needed —
+  ``skew_agg_plain`` vs the two-phase form shows parity in the bench.
+  :func:`salted_agg` exists for the paths that DISABLE that combine
+  (partial-aggregation-skip optimizations, pipelines that pre-shuffle
+  on the group key).
+- **GroupBy skew with custom Pandas aggregations** → the real hazard:
+  ``groupBy(...).applyInPandas`` has NO map-side combine — every row of
+  a group lands in one task, so a hot key is a straggler and an OOM
+  risk. :func:`salted_apply_agg` restores the partial/merge split
+  around the UDF: partial states on (keys, salt), merge on keys — the
+  hot key fans out over ``n_salts`` tasks and the merge sees
+  ``n_salts`` small states, not the raw rows.
+
+Join salting pattern:
 
 - the fact side gets a random salt in [0, n);
 - the dimension side is exploded n ways (one copy per salt value);
@@ -120,3 +140,63 @@ def targeted_salted_join(
     # dim. (Replication here is only n_salts × |hot|, but pinning keeps
     # the plan deterministic under AQE re-planning.)
     return f.join(d.hint("merge"), [key, SALT_COL], how).drop(SALT_COL)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys,
+    metrics,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation over :class:`MetricSpec` metrics:
+    salt → partial states on (keys, salt) → merge+finalize on keys.
+    Result equals ``df.groupBy(keys).agg(<finalized metrics>)`` for
+    every algebraic/sketch metric kind (law-tested).
+
+    When to use: Spark's own map-side partial aggregation already makes
+    single-phase groupBy skew-proof for these metrics (see module
+    docstring), so reach for this only where that combine is absent —
+    inputs already shuffled on the group key by an upstream stage, or
+    partial-aggregation-skip optimizations in play. For custom Pandas
+    aggregations (the common genuinely-skew-broken path) use
+    :func:`salted_apply_agg`."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    salted = df.withColumn(SALT_COL, (F.rand(seed=7) * n_salts).cast("int"))
+    partial = salted.groupBy(*keys, SALT_COL).agg(
+        *[m.partial() for m in metrics]
+    )
+    return partial.groupBy(*keys).agg(
+        *[m.merged_finalized() for m in metrics]
+    )
+
+
+def salted_apply_agg(
+    df: DataFrame,
+    keys,
+    partial_fn,
+    partial_schema: str,
+    merge_fn,
+    merge_schema: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Salted partial/merge split around ``applyInPandas`` — the custom-
+    aggregation path that Spark CANNOT map-side combine: a plain
+    ``groupBy(keys).applyInPandas(fn)`` ships every raw row of a group
+    to one task, so a hot key is a straggler (and, since the group
+    materializes as one pandas frame, an OOM risk at 100 TB).
+
+    - ``partial_fn(pdf) -> pdf``: per-(keys, salt) partial state —
+      sees only ~1/n_salts of a hot key's rows; must emit the grouping
+      ``keys`` columns plus state columns (``partial_schema``).
+    - ``merge_fn(pdf) -> pdf``: per-keys merge of the ≤ n_salts partial
+      state rows (``merge_schema``) — O(n_salts) rows however hot the
+      key was.
+
+    The salt column is attached before grouping and passed through to
+    ``partial_fn`` (drop or ignore it there)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    salted = df.withColumn(SALT_COL, (F.rand(seed=7) * n_salts).cast("int"))
+    partial = salted.groupBy(*keys, SALT_COL).applyInPandas(
+        partial_fn, schema=partial_schema
+    )
+    return partial.groupBy(*keys).applyInPandas(merge_fn, schema=merge_schema)

@@ -817,6 +817,52 @@ def skew_targeted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_agg_salted",
+    f"""
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           CAST(round(avg(CAST(round(value * 100) AS BIGINT)), 2) AS DOUBLE)
+               AS cents_avg,
+           CAST(max(uid) AS BIGINT) AS max_uid
+    FROM {_EV} GROUP BY day
+    """,
+)
+def skew_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.salted_agg, r4):
+    salt → MetricSpec partial states on (day, salt) → merge+finalize on
+    day. Salting must not change any answer, so the oracle is the plain
+    single-phase SQL aggregate. Scale role: the fallback for groupBy
+    paths without Spark's map-side combine; for custom Pandas
+    aggregations (the genuinely skew-broken path) the benched form is
+    salted_apply_agg — see the skew_agg_* bench pairs and the division
+    of labor in operators/skew.py."""
+    from clickhouse_learning_spark.functions.metrics import MetricSpec
+    from clickhouse_learning_spark.operators.skew import salted_agg
+
+    ev = _events(spark, sf_dir).select(
+        "day",
+        "uid",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    metrics = (
+        MetricSpec("cnt", "count", "1"),
+        MetricSpec("value_cents", "sum", "cents"),
+        MetricSpec("cents_avg", "avg", "cents"),
+        MetricSpec("max_uid", "max", "uid"),
+    )
+    out = salted_agg(ev, "day", metrics, n_salts=8)
+    return out.select(
+        "day",
+        "cnt",
+        "value_cents",
+        F.round("cents_avg", 2).alias("cents_avg"),
+        "max_uid",
+    )
+
+
+@query(
     "like_and_conjunction",
     """
     SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt,

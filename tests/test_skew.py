@@ -111,3 +111,95 @@ def test_targeted_salted_join_no_hot_keys_falls_back(spark):
     out = targeted_salted_join(ev, dim, "uid", hot_keys=[])
     assert out.count() == ev.join(dim, "uid").count()
     assert "__salt" not in out.columns
+
+
+def test_salted_agg_law_equals_single_phase(spark):
+    """salted_agg(keys, metrics) must equal the plain single-phase
+    finalized aggregate for every algebraic metric kind used (sum,
+    count, min, max, avg) — the partial/merge law under an arbitrary
+    salt split."""
+    from clickhouse_learning_spark.functions.metrics import MetricSpec
+    from clickhouse_learning_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        (F.col("user_id") % 7).alias("g"),
+        F.col("event_id").alias("v"),
+        F.col("value"),
+    )
+    metrics = (
+        MetricSpec("v_sum", "sum", "v"),
+        MetricSpec("n", "count", "1"),
+        MetricSpec("v_min", "min", "v"),
+        MetricSpec("v_max", "max", "v"),
+        MetricSpec("val_avg", "avg", "value"),
+    )
+    plain = ev.groupBy("g").agg(*[m.finalize(m.partial()) for m in metrics])
+    salted = salted_agg(ev, "g", metrics, n_salts=8)
+
+    def norm(df):
+        return {
+            r["g"]: (
+                r["v_sum"], r["n"], r["v_min"], r["v_max"],
+                round(r["val_avg"], 9),
+            )
+            for r in df.collect()
+        }
+
+    assert norm(plain) == norm(salted)
+
+
+def test_salted_apply_agg_equals_plain_apply(spark):
+    """salted_apply_agg partial/merge around applyInPandas must equal
+    the single-group applyInPandas result (the path with no map-side
+    combine — the genuinely skew-broken shape)."""
+    import pandas as pd
+
+    from clickhouse_learning_spark.operators.skew import salted_apply_agg
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        (F.col("user_id") % 5).alias("g"), F.col("event_id").alias("v")
+    )
+
+    def plain_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": [pdf["g"].iloc[0]],
+                "n": [len(pdf)],
+                "mean_v": [float(pdf["v"].mean())],
+            }
+        )
+
+    def partial_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": [pdf["g"].iloc[0]],
+                "pn": [len(pdf)],
+                "psum": [float(pdf["v"].sum())],
+            }
+        )
+
+    def merge_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = int(pdf["pn"].sum())
+        return pd.DataFrame(
+            {
+                "g": [pdf["g"].iloc[0]],
+                "n": [n],
+                "mean_v": [float(pdf["psum"].sum()) / max(n, 1)],
+            }
+        )
+
+    plain = ev.groupBy("g").applyInPandas(
+        plain_stats, schema="g long, n long, mean_v double"
+    )
+    salted = salted_apply_agg(
+        ev,
+        "g",
+        partial_stats,
+        "g long, pn long, psum double",
+        merge_stats,
+        "g long, n long, mean_v double",
+        n_salts=8,
+    )
+    a = {r["g"]: (r["n"], round(r["mean_v"], 9)) for r in plain.collect()}
+    b = {r["g"]: (r["n"], round(r["mean_v"], 9)) for r in salted.collect()}
+    assert a == b
