@@ -1,18 +1,21 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT) decode — pure numpy +
-stdlib, no imaging library.
+"""JPEG (ITU-T T.81) decode — pure numpy + stdlib, no imaging library.
 
-Scope: baseline DCT process (SOF0), 8-bit, grayscale or YCbCr with
-sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, byte
-stuffing. Progressive (SOF2), arithmetic coding, 12-bit and hierarchical
+Scope: baseline sequential DCT (SOF0) and — round 4 — the PROGRESSIVE
+DCT process (SOF2: spectral-selection and successive-approximation
+scans, DC and AC, with EOB-run accumulation per G.2), 8-bit, grayscale
+or YCbCr with sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), restart
+markers, byte stuffing. Arithmetic coding, 12-bit and hierarchical
 processes return None so the caller can fall to the Pillow gate.
 
 Everything here is from the public JPEG specification: canonical
 Huffman tables from the DHT count/symbol lists, zig-zag coefficient
 order, DC prediction with EXTEND sign decoding, per-table
 dequantization, the 8×8 type-III DCT as an orthonormal matrix product,
-and BT.601 YCbCr→RGB. The encoder half (``encode_baseline``) exists so
-tests can round-trip without Pillow; it uses the spec's Annex K example
-Huffman/quantization tables.
+and BT.601 YCbCr→RGB. The encoder half (``encode_baseline`` /
+``encode_progressive``) exists so tests can round-trip without Pillow;
+it uses the spec's Annex K example Huffman/quantization tables. Both
+encoders emit the same quantized coefficients, so their decodes
+reconstruct identical images — the progressive test anchor.
 
 Cost model: decode is per-image CPU with no Spark semantics — it runs
 inside the same ``mapInPandas`` Arrow streaming as every other media
@@ -76,10 +79,11 @@ class _Huff:
         self.enc = {v: (c, ln) for (ln, c), v in self.map.items()}
 
 
-def _split_entropy(payload: bytes, start: int):
+def _split_entropy_upto(payload: bytes, start: int):
     """Destuff the entropy-coded stream starting at ``start``: returns
-    the byte segments BETWEEN restart markers (0xFF00 → 0xFF inside a
-    segment), stopping at the first real marker."""
+    (segments, end) — the byte segments BETWEEN restart markers
+    (0xFF00 → 0xFF inside a segment) and the index of the terminating
+    real marker's 0xFF (or len(payload))."""
     segs: list[bytes] = []
     cur = bytearray()
     i, n = start, len(payload)
@@ -100,7 +104,11 @@ def _split_entropy(payload: bytes, start: int):
         else:  # real marker: scan over
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
+
+
+def _split_entropy(payload: bytes, start: int):
+    return _split_entropy_upto(payload, start)[0]
 
 
 class _BitReader:
@@ -157,10 +165,29 @@ class _BitReader:
             v -= (1 << s) - 1
         return v
 
+    def bits(self, n: int) -> int:
+        """Raw MSB-first bits (progressive refinement / EOB-run path)."""
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
 
 def decode_baseline(payload: bytes):
-    """HxWx3 uint8 RGB (grayscale replicated), or None if not a
-    baseline JPEG this path handles."""
+    """HxWx3 uint8 RGB (grayscale replicated), or None if not a JPEG
+    this path handles. Covers the baseline sequential process (SOF0,
+    single scan) and — round 4 — the PROGRESSIVE process (SOF2):
+    spectral-selection and successive-approximation scans accumulate
+    into per-component coefficient arrays, reconstructed once at EOI.
+    Arithmetic coding, 12-bit and hierarchical processes still return
+    None (Pillow gate)."""
     try:
         if payload is None or payload[:2] != b"\xff\xd8":
             return None
@@ -169,15 +196,21 @@ def decode_baseline(payload: bytes):
         comps = None
         h = w = 0
         restart = 0
+        progressive = False
+        coefs = None  # per-comp (rows, cols, 64) zig-zag coefficient grids
         i = 2
         n = len(payload)
-        while i + 4 <= n:
+        while i + 2 <= n:
             if payload[i] != 0xFF:
                 return None
             marker = payload[i + 1]
+            if marker == 0xD9:  # EOI
+                break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
+            if i + 4 > n:
+                break
             (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
             body = payload[i + 4 : i + 2 + seglen]
             if marker == 0xDB:  # DQT
@@ -201,9 +234,10 @@ def decode_baseline(payload: bytes):
                     syms = list(body[j + 17 : j + 17 + nsym])
                     hufftabs[(tc, th)] = _Huff(counts, syms)
                     j += 17 + nsym
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 if body[0] != 8:
                     return None
+                progressive = marker == 0xC2
                 h, w = struct.unpack(">HH", body[1:5])
                 nc = body[5]
                 comps = []
@@ -212,25 +246,259 @@ def decode_baseline(payload: bytes):
                     comps.append(
                         {"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq}
                     )
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline process
+                return None  # non-baseline/non-progressive process
             elif marker == 0xDD:  # DRI
                 (restart,) = struct.unpack(">H", body[:2])
             elif marker == 0xDA:  # SOS
                 ns = body[0]
+                scan_comps = []
                 sel = {}
                 for c in range(ns):
                     cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                     sel[cid] = (tabs >> 4, tabs & 15)
-                return _scan(
-                    payload, i + 2 + seglen, comps, sel, qt, hufftabs,
-                    h, w, restart,
+                    scan_comps.append(cid)
+                if not progressive:
+                    return _scan(
+                        payload, i + 2 + seglen, comps, sel, qt, hufftabs,
+                        h, w, restart,
+                    )
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                if coefs is None:
+                    coefs = _alloc_coefs(comps, h, w)
+                    if coefs is None:
+                        return None
+                i = _progressive_scan(
+                    payload, i + 2 + seglen, comps, scan_comps, sel,
+                    hufftabs, h, w, restart, ss, se, ahal >> 4, ahal & 15,
+                    coefs,
                 )
+                continue
             i += 2 + seglen
+        if progressive and coefs is not None:
+            return _reconstruct(comps, coefs, qt, h, w)
         return None
     except Exception:
         return None
+
+
+def _alloc_coefs(comps, h, w):
+    if not comps or any(c["h"] not in (1, 2) or c["v"] not in (1, 2)
+                        for c in comps):
+        return None
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+
+
+def _progressive_scan(
+    payload, start, comps, scan_comps, sel, hufftabs, h, w, restart,
+    ss, se, ah, al, coefs,
+):
+    """Decode ONE progressive scan into ``coefs`` (zig-zag indexed);
+    returns the payload index of the terminating marker. Implements the
+    four T.81 G.2 scan kinds: DC first / DC refinement (interleaved or
+    single-component), AC first / AC refinement (single-component, with
+    EOB-run accumulation)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    idx = {c["id"]: ci for ci, c in enumerate(comps)}
+    segs, end = _split_entropy_upto(payload, start)
+    seg_i = 0
+    br = _BitReader(segs[0])
+    preds = [0] * len(comps)
+    eobrun = 0
+    unit_i = 0  # MCU counter (interleaved) / block counter (single-comp)
+
+    def maybe_restart():
+        nonlocal seg_i, br, preds, eobrun
+        if restart and unit_i and unit_i % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise EOFError
+            br = _BitReader(segs[seg_i])
+            preds = [0] * len(comps)
+            eobrun = 0
+
+    try:
+        if ss == 0:  # DC scan (may be interleaved)
+            order = [idx[cid] for cid in scan_comps]
+            if len(order) > 1:
+                units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+                for my, mx in units:
+                    maybe_restart()
+                    unit_i += 1
+                    for ci in order:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                _dc_unit(
+                                    br, hufftabs, sel, comps, ci, preds,
+                                    coefs[ci],
+                                    my * c["v"] + by, mx * c["h"] + bx,
+                                    ah, al,
+                                )
+            else:
+                ci = order[0]
+                bh_c, bw_c = _comp_blocks(comps[ci], h, w, hmax, vmax)
+                for by in range(bh_c):
+                    for bx in range(bw_c):
+                        maybe_restart()
+                        unit_i += 1
+                        _dc_unit(
+                            br, hufftabs, sel, comps, ci, preds,
+                            coefs[ci], by, bx, ah, al,
+                        )
+        else:  # AC scan: always single-component
+            ci = idx[scan_comps[0]]
+            ac_t = hufftabs.get((1, sel[scan_comps[0]][1]))
+            bh_c, bw_c = _comp_blocks(comps[ci], h, w, hmax, vmax)
+            grid = coefs[ci]
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    maybe_restart()
+                    unit_i += 1
+                    if ah == 0:
+                        eobrun = _ac_first(
+                            br, ac_t, grid[by, bx], ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _ac_refine(
+                            br, ac_t, grid[by, bx], ss, se, al, eobrun
+                        )
+    except EOFError:
+        pass  # truncated tail: keep what decoded
+    return end
+
+
+def _comp_blocks(c, h, w, hmax, vmax):
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _dc_unit(br, hufftabs, sel, comps, ci, preds, grid, by, bx, ah, al):
+    if ah == 0:  # first scan: diff of the point-transformed DC
+        dc_t = hufftabs.get((0, sel[comps[ci]["id"]][0]))
+        t = br.huff(dc_t)
+        preds[ci] += br.receive_extend(t)
+        grid[by, bx, 0] = preds[ci] << al
+    else:  # refinement: one raw bit per block
+        if br.bit():
+            grid[by, bx, 0] = int(grid[by, bx, 0]) | (1 << al)
+
+
+def _ac_first(br, ac_t, zz, ss, se, al, eobrun):
+    """AC spectral-selection first scan for one block (G.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.huff(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise EOFError
+        zz[k] = br.receive_extend(s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, ac_t, zz, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (G.2.3):
+    correction bits for history-nonzero coefficients, ±1<<Al insertion
+    for newly-nonzero ones, EOB runs counted in BLOCKS INCLUSIVE of the
+    current one (unlike the first-scan convention)."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huff(ac_t)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15: skip over 16 zero-history coefficients
+            else:
+                val = p1 if br.bit() else m1
+            while k <= se:
+                z = int(zz[k])
+                if z != 0:
+                    if br.bit() and (z & p1) == 0:
+                        zz[k] = z + (p1 if z >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = int(zz[k])
+            if z != 0 and br.bit() and (z & p1) == 0:
+                zz[k] = z + (p1 if z >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(comps, coefs, qt, h, w):
+    """Dequantize + IDCT the accumulated coefficient grids and finish
+    with the same upsample / color-convert tail as the baseline path."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out = []
+    for ci, c in enumerate(comps):
+        grid = coefs[ci]
+        rows, cols = grid.shape[:2]
+        q = qt[c["tq"]]
+        plane = np.zeros((rows * 8, cols * 8))
+        for by in range(rows):
+            for bx in range(cols):
+                blk = np.zeros(64)
+                blk[ZIGZAG] = grid[by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct2(blk.reshape(8, 8) * q) + 128
+                )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        out.append(plane[:h, :w])
+    return _to_rgb(out)
+
+
+def _to_rgb(out):
+    if len(out) == 1:
+        g = np.clip(out[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = out[0], out[1] - 128, out[2] - 128
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
 
 
 def _scan(payload, start, comps, sel, qt, hufftabs, h, w, restart):
@@ -294,14 +562,7 @@ def _scan(payload, start, comps, sel, qt, hufftabs, h, w, restart):
         p = planes[ci]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out.append(p[:h, :w])
-    if len(out) == 1:
-        g = np.clip(out[0], 0, 255).astype(np.uint8)
-        return np.repeat(g[:, :, None], 3, axis=2)
-    y, cb, cr = out[0], out[1] - 128, out[2] - 128
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+    return _to_rgb(out)
 
 
 # ---------------------------------------------------------------------------
@@ -375,39 +636,71 @@ def _encode_coef(v: int) -> tuple[int, int]:
     return s, bits
 
 
-def encode_baseline(rgb: np.ndarray, quality: int = 90) -> bytes:
-    """Minimal 4:4:4 baseline encoder (Annex K example tables shared by
-    all components) — exists so tests can round-trip decode_baseline
-    without an imaging library."""
-    h, w = rgb.shape[:2]
+def _quant_table(quality: int) -> np.ndarray:
     scale = (5000 / quality if quality < 50 else 200 - 2 * quality) / 100.0
-    q = np.clip(np.round(_K_LUM_Q * scale), 1, 255)
-    dc = _Huff(_K_DC_COUNTS, _K_DC_SYMS)
-    ac = _Huff(_K_AC_COUNTS, _K_AC_SYMS)
+    return np.clip(np.round(_K_LUM_Q * scale), 1, 255)
 
+
+def _rgb_to_zz(rgb: np.ndarray, q: np.ndarray):
+    """Quantized zig-zag coefficient grids per component:
+    [(blocks_y, blocks_x, 64) int64] × 3 (Y, Cb, Cr, 4:4:4)."""
+    h, w = rgb.shape[:2]
     rgbf = rgb.astype(np.float64)
     y = 0.299 * rgbf[:, :, 0] + 0.587 * rgbf[:, :, 1] + 0.114 * rgbf[:, :, 2]
     cb = -0.168736 * rgbf[:, :, 0] - 0.331264 * rgbf[:, :, 1] + 0.5 * rgbf[:, :, 2] + 128
     cr = 0.5 * rgbf[:, :, 0] - 0.418688 * rgbf[:, :, 1] - 0.081312 * rgbf[:, :, 2] + 128
-
-    bw = _BitWriter()
-    preds = [0, 0, 0]
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = []
+    inv_zz = np.argsort(ZIGZAG).reshape(8, 8).reshape(-1)
+    grids = []
     for plane in (y, cb, cr):
         p = np.empty((ph, pw))
         p[:h, :w] = plane
         p[h:, :w] = plane[-1:, :]
         p[:, w:] = p[:, w - 1 : w]
-        padded.append(p - 128)
-    inv_zz = np.argsort(ZIGZAG)  # row-major position → zigzag index
-    for my in range(ph // 8):
-        for mx in range(pw // 8):
-            for ci in range(3):
-                block = padded[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+        p -= 128
+        grid = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                 coef = np.round(_fdct2(block) / q).astype(np.int64)
                 zz = np.zeros(64, dtype=np.int64)
-                zz[inv_zz.reshape(8, 8).reshape(-1)] = coef.reshape(-1)
+                zz[inv_zz] = coef.reshape(-1)
+                grid[by, bx] = zz
+        grids.append(grid)
+    return grids
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _headers(h: int, w: int, q: np.ndarray, sof_marker: int) -> bytes:
+    qz = np.zeros(64, dtype=np.uint8)
+    qz[np.arange(64)] = q.reshape(-1)[ZIGZAG]
+    dqt = _seg(0xDB, bytes([0]) + qz.tobytes())
+    sof = _seg(sof_marker, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+               + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]))
+    dht = _seg(0xC4, bytes([0x00]) + bytes(_K_DC_COUNTS) + bytes(_K_DC_SYMS)) \
+        + _seg(0xC4, bytes([0x10]) + bytes(_K_AC_COUNTS) + bytes(_K_AC_SYMS))
+    return b"\xff\xd8" + dqt + sof + dht
+
+
+def encode_baseline(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """Minimal 4:4:4 baseline encoder (Annex K example tables shared by
+    all components) — exists so tests can round-trip decode_baseline
+    without an imaging library."""
+    h, w = rgb.shape[:2]
+    q = _quant_table(quality)
+    dc = _Huff(_K_DC_COUNTS, _K_DC_SYMS)
+    ac = _Huff(_K_AC_COUNTS, _K_AC_SYMS)
+    grids = _rgb_to_zz(rgb, q)
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(grids[0].shape[0]):
+        for mx in range(grids[0].shape[1]):
+            for ci in range(3):
+                zz = grids[ci][my, mx]
                 diff = int(zz[0]) - preds[ci]
                 preds[ci] = int(zz[0])
                 s, bits = _encode_coef(diff)
@@ -434,16 +727,136 @@ def encode_baseline(rgb: np.ndarray, quality: int = 90) -> bytes:
                     code, ln = ac.enc[0x00]  # EOB
                     bw.put(code, ln)
     bw.flush()
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return _headers(h, w, q, 0xC0) + sos + bytes(bw.out) + b"\xff\xd9"
 
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    qz = np.zeros(64, dtype=np.uint8)
-    qz[np.arange(64)] = q.reshape(-1)[ZIGZAG]
-    dqt = seg(0xDB, bytes([0]) + qz.tobytes())
-    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
-              + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]))
-    dht = seg(0xC4, bytes([0x00]) + bytes(_K_DC_COUNTS) + bytes(_K_DC_SYMS)) \
-        + seg(0xC4, bytes([0x10]) + bytes(_K_AC_COUNTS) + bytes(_K_AC_SYMS))
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
-    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9")
+def encode_progressive(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """4:4:4 PROGRESSIVE encoder (SOF2) exercising every scan kind the
+    decoder implements — spectral selection (AC bands 1–5 / 6–63) AND
+    successive approximation (Al=1 first scans, Ah=1→Al=0 refinements,
+    DC and AC). Same quantized coefficients as :func:`encode_baseline`,
+    so both encodings reconstruct to the IDENTICAL image — the
+    round-trip test in tests/test_codec_properties.py relies on that.
+    EOB runs are emitted per block (r=0), which the Annex K AC table
+    can code; refinement correction bits follow libjpeg's buffered-bit
+    ordering."""
+    h, w = rgb.shape[:2]
+    q = _quant_table(quality)
+    dc = _Huff(_K_DC_COUNTS, _K_DC_SYMS)
+    ac = _Huff(_K_AC_COUNTS, _K_AC_SYMS)
+    grids = _rgb_to_zz(rgb, q)
+    rows, cols = grids[0].shape[:2]
+    out = bytearray(_headers(h, w, q, 0xC2))
+
+    def sos_hdr(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # DC/AC table 0
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, interleaved, Al=1
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(rows):
+        for mx in range(cols):
+            for ci in range(3):
+                v = int(grids[ci][my, mx, 0]) >> 1  # arithmetic point transform
+                diff = v - preds[ci]
+                preds[ci] = v
+                s, bits = _encode_coef(diff)
+                code, ln = dc.enc[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(bits, s)
+    bw.flush()
+    out += sos_hdr([1, 2, 3], 0, 0, 0, 1) + bytes(bw.out)
+
+    # scans 2-7: AC first per component, two spectral bands, Al=1
+    for ci, cid in enumerate((1, 2, 3)):
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            for my in range(rows):
+                for mx in range(cols):
+                    zz = grids[ci][my, mx]
+                    vals = [
+                        (1 if zz[k] > 0 else -1) * (abs(int(zz[k])) >> 1)
+                        for k in range(ss, se + 1)
+                    ]
+                    last_nz = max(
+                        (j for j, v in enumerate(vals) if v), default=-1
+                    )
+                    run = 0
+                    for j in range(last_nz + 1):
+                        if vals[j] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac.enc[0xF0]
+                            bw.put(code, ln)
+                            run -= 16
+                        s, bits = _encode_coef(vals[j])
+                        code, ln = ac.enc[(run << 4) | s]
+                        bw.put(code, ln)
+                        bw.put(bits, s)
+                        run = 0
+                    if last_nz < se - ss:
+                        code, ln = ac.enc[0x00]  # EOB, run = this block
+                        bw.put(code, ln)
+            bw.flush()
+            out += sos_hdr([cid], ss, se, 0, 1) + bytes(bw.out)
+
+    # scan 8: DC refinement (raw bit per block, interleaved)
+    bw = _BitWriter()
+    for my in range(rows):
+        for mx in range(cols):
+            for ci in range(3):
+                bw.put(int(grids[ci][my, mx, 0]) & 1, 1)
+    bw.flush()
+    out += sos_hdr([1, 2, 3], 0, 0, 1, 0) + bytes(bw.out)
+
+    # scans 9-14: AC refinement per component and band (Ah=1 → Al=0)
+    for ci, cid in enumerate((1, 2, 3)):
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            for my in range(rows):
+                for mx in range(cols):
+                    zz = grids[ci][my, mx]
+                    absv = [abs(int(zz[k])) for k in range(ss, se + 1)]
+                    eob = max(
+                        (j for j, t in enumerate(absv) if t == 1), default=-1
+                    )
+                    run = 0
+                    pending: list[int] = []  # buffered correction bits
+                    for j, t in enumerate(absv):
+                        if t == 0:
+                            run += 1
+                            continue
+                        while run > 15 and j <= eob:
+                            code, ln = ac.enc[0xF0]
+                            bw.put(code, ln)
+                            for b in pending:
+                                bw.put(b, 1)
+                            pending = []
+                            run -= 16
+                        if t > 1:  # history-nonzero: correction bit
+                            pending.append(t & 1)
+                            continue
+                        # newly nonzero (|coef| == 1 at this precision)
+                        code, ln = ac.enc[(run << 4) | 1]
+                        bw.put(code, ln)
+                        bw.put(1 if zz[ss + j] > 0 else 0, 1)
+                        for b in pending:
+                            bw.put(b, 1)
+                        pending = []
+                        run = 0
+                    if run > 0 or pending:
+                        code, ln = ac.enc[0x00]  # EOB run of one block
+                        bw.put(code, ln)
+                        for b in pending:
+                            bw.put(b, 1)
+            bw.flush()
+            out += sos_hdr([cid], ss, se, 1, 0) + bytes(bw.out)
+
+    out += b"\xff\xd9"
+    return bytes(out)

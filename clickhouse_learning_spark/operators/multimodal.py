@@ -15,12 +15,13 @@ metadata struct. The pipeline is REAL for uncompressed formats:
 stdlib ``zlib`` inflate + numpy scanline unfiltering (all five PNG
 filters; 8-bit gray / gray+alpha / RGB / RGBA / palette,
 non-interlaced), GIF via a pure-python variable-width LZW + palette
-mapping (87a/89a, interlaced included), JPEG via a numpy baseline
-sequential-DCT decoder (operators/jpeg.py: canonical Huffman, EXTEND,
-dequant, orthonormal IDCT, 4:4:4/4:2:2/4:2:0, restart markers) — no
-imaging library needed. Remaining *compressed* codecs
-(progressive/arithmetic JPEG, WebP, MP4/Opus…, 16-bit or interlaced
-PNG) are gated: no media libraries ship in this container, so decode
+mapping (87a/89a, interlaced included), JPEG via a numpy
+sequential-DCT decoder covering baseline AND progressive streams
+(operators/jpeg.py: canonical Huffman, EXTEND, dequant, orthonormal
+IDCT, 4:4:4/4:2:2/4:2:0, restart markers, SOF2 spectral-selection +
+successive-approximation scans) — no imaging library needed. Remaining
+*compressed* codecs (arithmetic/12-bit JPEG, WebP, MP4/Opus…, 16-bit
+or interlaced PNG) are gated: no media libraries ship in this container, so decode
 raises a clear NotImplementedError for those magics (install Pillow/av
 and extend the parser; the mapInPandas plumbing is format-agnostic; the
 legacy ``FIMG`` fake header is still parsed for older fixtures).
@@ -662,12 +663,12 @@ def _pil_decode(payload: bytes):
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         raise NotImplementedError(
-            "compressed image PIXEL decode (progressive/arithmetic JPEG, "
+            "compressed image PIXEL decode (arithmetic/12-bit JPEG, "
             "WebP, 16-bit PNG, malformed GIF) needs Pillow (`pip install "
             "Pillow`); 8-bit PNG (_png_decode), GIF (_gif_decode) and "
-            "baseline JPEG (operators/jpeg.decode_baseline) decode "
-            "natively, header-only dimensions work for every format "
-            "(decode_image_meta), and the mapInPandas plumbing is "
+            "baseline + progressive JPEG (operators/jpeg.decode_baseline) "
+            "decode natively, header-only dimensions work for every "
+            "format (decode_image_meta), and the mapInPandas plumbing is "
             "format-agnostic"
         ) from None
 
@@ -718,7 +719,7 @@ def _pixels(payload: bytes):
         px = decode_baseline(payload)
         if px is not None:
             return px
-        return _pil_decode(payload)  # progressive / arithmetic / 12-bit
+        return _pil_decode(payload)  # arithmetic / 12-bit / hierarchical
     return None
 
 

@@ -114,6 +114,45 @@ def test_jpeg_roundtrip_smooth_random(w, h, seed):
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
 
 
+@settings(max_examples=12, deadline=None)
+@given(
+    w=st.integers(4, 40),
+    h=st.integers(4, 40),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.sampled_from([50, 75, 90]),
+)
+def test_jpeg_progressive_equals_baseline_random(w, h, seed, quality):
+    """Progressive (SOF2: spectral selection + successive approximation
+    on DC and AC) carries the SAME quantized coefficients as baseline,
+    so both decodes must reconstruct the IDENTICAL image — a single
+    differing pixel anywhere means a scan kind mis-decoded (round 4,
+    operators/jpeg.py)."""
+    from clickhouse_learning_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    base = J.decode_baseline(J.encode_baseline(img, quality=quality))
+    prog_payload = J.encode_progressive(img, quality=quality)
+    prog = J.decode_baseline(prog_payload)
+    assert prog is not None and base is not None
+    assert prog_payload[3] != 0xC0  # really SOF2 after SOI+DQT
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_through_pixels_gate():
+    """operators/multimodal._pixels must decode a progressive payload
+    natively (no Pillow in this container)."""
+    from clickhouse_learning_spark.operators import jpeg as J
+    from clickhouse_learning_spark.operators.multimodal import _pixels
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 17, 3)).astype(np.uint8)
+    payload = J.encode_progressive(img, quality=90)
+    got = _pixels(payload)
+    assert got is not None
+    assert np.array_equal(got, J.decode_baseline(J.encode_baseline(img, quality=90)))
+
+
 @settings(max_examples=15, deadline=None)
 @given(
     w=st.integers(1, 30),

@@ -607,9 +607,11 @@ def test_jpeg_decode_native():
     assert got is not None and got.shape == (8, 8, 3)
     assert np.all(got == 133), got[:2, :2, 0]
 
-    # progressive SOF2 → None (falls to the Pillow gate upstream)
-    prog = golden.replace(bytes([0xFF, 0xC0]), bytes([0xFF, 0xC2]), 1)
-    assert J.decode_baseline(prog) is None
+    # arithmetic-coded SOF9 stays out of scope → None (Pillow gate);
+    # progressive SOF2 is decoded natively as of round 4
+    # (test_codec_properties.test_jpeg_progressive_equals_baseline_random)
+    arith = golden.replace(bytes([0xFF, 0xC0]), bytes([0xFF, 0xC9]), 1)
+    assert J.decode_baseline(arith) is None
     assert J.decode_baseline(b"\xff\xd8\xff\xe0junk") is None
 
 
