@@ -61,6 +61,8 @@ _PRIORITY = [
     # oracle upgrades: rows-only → independent-golden hash checks
     "multimodal_features",
     "multimodal_jpeg_features",
+    # native SOF2 decode over progressive payloads, same golden
+    "multimodal_progressive_jpeg_features",
     # --- (b) families touched by round-4 changes ----------------------
     # dialect (modular casts, round→bround, arraySlice, formatReadable*)
     "ch_dialect_query",

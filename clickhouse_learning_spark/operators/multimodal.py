@@ -463,8 +463,10 @@ def build_media_table(
     real zlib-compressed PNGs (pixel values identical to the PPM form;
     per-line filter cycles through all five PNG filters so decode
     exercises every unfilter path)."""
-    if fmt not in ("ppm", "png", "jpeg", "gif"):
-        raise ValueError(f"fmt must be ppm|png|jpeg|gif, got {fmt!r}")
+    if fmt not in ("ppm", "png", "jpeg", "jpeg_progressive", "gif"):
+        raise ValueError(
+            f"fmt must be ppm|png|jpeg|jpeg_progressive|gif, got {fmt!r}"
+        )
     w = (F.col(id_col) % 64 + 16).cast("int")
     h = (F.col(id_col) % 48 + 16).cast("int")
     pdf = (
@@ -484,18 +486,23 @@ def build_media_table(
         make = lambda m, wi, hi: png_image(m, wi, hi, filter_type=m % 5)  # noqa: E731
         mime = "image/png"
     else:
+        progressive = fmt == "jpeg_progressive"
 
         def make(m, wi, hi):
             import numpy as np
 
-            from clickhouse_learning_spark.operators.jpeg import encode_baseline
+            from clickhouse_learning_spark.operators.jpeg import (
+                encode_baseline,
+                encode_progressive,
+            )
 
             idx = np.arange(wi * hi * 3, dtype=np.uint64)
             px = (
                 (np.uint64(m) * np.uint64(2654435761) + idx * np.uint64(40503))
                 & np.uint64(0xFF)
             ).astype(np.uint8).reshape(hi, wi, 3)
-            return encode_baseline(px, quality=90)
+            enc = encode_progressive if progressive else encode_baseline
+            return enc(px, quality=90)
 
         mime = "image/jpeg"
 

@@ -678,6 +678,10 @@ def _register_multimodal_goldens() -> None:
         ["media_id", "mean_r", "mean_g", "mean_b"],
         ["BIGINT", "DOUBLE", "DOUBLE", "DOUBLE"],
     )
+    # progressive carries the same quantized coefficients → same golden
+    _ORACLES["multimodal_progressive_jpeg_features"] = _ORACLES[
+        "multimodal_jpeg_features"
+    ]
 
 
 def multimodal_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -805,6 +809,26 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_jpeg_features"] = multimodal_jpeg_features
+
+
+def multimodal_progressive_jpeg_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same features over PROGRESSIVE (SOF2) payloads — round-4 native
+    multi-scan decode (operators/jpeg.py: spectral selection +
+    successive approximation). Both fixture encoders emit the same
+    quantized coefficients, so the reconstruction — and therefore the
+    golden oracle — is IDENTICAL to the baseline JPEG query: a
+    mis-decoded scan kind anywhere breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.image_features(
+        MM.build_media_table(spark, docs, fmt="jpeg_progressive")
+    )
+
+
+QUERIES["multimodal_progressive_jpeg_features"] = (
+    multimodal_progressive_jpeg_features
+)
 _register_multimodal_goldens()
 
 
