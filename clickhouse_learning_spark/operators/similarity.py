@@ -216,6 +216,22 @@ def _quantize_to_bytes():
     return q
 
 
+def _dequantize_udf():
+    """packed int8 bytes → array<double> (direction only — cosine is
+    scale-invariant, so the lost per-vector scale is irrelevant for
+    re-clustering during index maintenance)."""
+
+    @F.pandas_udf("array<double>")
+    def dq(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda b: None
+            if b is None
+            else np.frombuffer(b, dtype=np.int8).astype(np.float64).tolist()
+        )
+
+    return dq
+
+
 def _qcos_udf():
     """(packed int8 bytes, query array<double>) → cosine."""
 
@@ -306,6 +322,105 @@ class IvfIndex:
             .parquet(self.path + "/data")
         )
         return self
+
+    def maintain(
+        self,
+        spark: SparkSession,
+        max_cell_factor: float = 2.0,
+        refine_iters: int = 2,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> dict:
+        """The OPTIMIZE-analog for an appended-into index (round 4):
+        :meth:`append` admits against FROZEN centroids, so cell balance
+        drifts as the corpus distribution shifts — an overgrown cell
+        makes every probe that touches it read far more than
+        ``1/n_centroids`` of the index. One maintenance sweep:
+
+        1. per-cell counts (one aggregate over partition metadata-sized
+           output);
+        2. cells above ``max_cell_factor ×`` the mean size are SPLIT:
+           a cell-local k-means (``ceil(count/target)`` centroids,
+           ``train_centroids`` on just that cell's vectors) replaces
+           the old centroid and appends the rest;
+        3. only the split cells' partitions are rewritten (dynamic
+           partition overwrite — the ``OPTIMIZE PARTITION`` scoping;
+           resident cells are never touched). Quantized indexes keep
+           their original int8 payloads — vectors are dequantized only
+           transiently for the re-clustering.
+
+        Probes are unchanged structurally (more centroids → finer
+        probe-ranking); recall preservation is asserted in
+        tests/test_ivf_index.py. Returns a report dict."""
+        import json
+        from pathlib import Path
+
+        cents = [list(c) for c in self.centroids()]
+        data = spark.read.parquet(self.path + "/data")
+        counts = {
+            r["cell"]: r["cnt"]
+            for r in data.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        total = sum(counts.values())
+        if not total:
+            return {"cells_split": [], "n_centroids": len(cents),
+                    "rows_reassigned": 0}
+        target = total / max(len(cents), 1)
+        overgrown = sorted(
+            c for c, n in counts.items() if n > max_cell_factor * target
+        )
+        report = {"cells_split": list(overgrown), "n_centroids": len(cents),
+                  "rows_reassigned": 0}
+        if not overgrown:
+            return report
+
+        quantized = self.quantized
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            for cell in overgrown:
+                sub = data.filter(F.col("cell") == cell).drop("cell")
+                if quantized:
+                    sub = sub.withColumn(emb_col, _dequantize_udf()(F.col("qv")))
+                n_split = max(2, int(np.ceil(counts[cell] / target)))
+                new_cents = train_centroids(
+                    sub, n_split, emb_col, id_col, refine_iters
+                )
+                cents[cell] = new_cents[0]
+                extra_ids = list(
+                    range(len(cents), len(cents) + len(new_cents) - 1)
+                )
+                cents.extend(new_cents[1:])
+                mapping = F.array(
+                    F.lit(cell), *[F.lit(i) for i in extra_ids]
+                )
+                reassigned = assign_cells(sub, new_cents, emb_col).withColumn(
+                    "cell", F.element_at(mapping, F.col("cell") + 1)
+                )
+                if quantized:
+                    reassigned = reassigned.drop(emb_col)
+                # sever lineage from the path being overwritten
+                reassigned = reassigned.localCheckpoint(eager=True)
+                (
+                    reassigned.write.mode("overwrite")
+                    .partitionBy("cell")
+                    .parquet(self.path + "/data")
+                )
+                report["rows_reassigned"] += counts[cell]
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        Path(self.path, "centroids.json").write_text(
+            json.dumps({"centroids": cents, "quantized": quantized})
+        )
+        self._centroids = cents
+        report["n_centroids"] = len(cents)
+        return report
 
     def _assign(
         self,

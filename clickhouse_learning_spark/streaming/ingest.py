@@ -34,14 +34,27 @@ from clickhouse_learning_spark.mv.engine import MaterializedView
 
 @dataclass
 class StreamingMV:
-    """A materialized view maintained by a streaming query."""
+    """A materialized view maintained by a streaming query.
+
+    ``enrich`` (optional, ``DataFrame -> DataFrame``) runs per
+    micro-batch BEFORE aggregation — the streaming seat of the
+    reference MVs' ``dictGet`` enrichment (dwm…sql:46: the MV SELECT
+    joins the user dictionary on every insert block). Because it is
+    re-applied per batch, a :class:`functions.dictionary.Dictionary`
+    whose LIFETIME has lapsed re-reads its source INSIDE the running
+    stream — new dimension rows take effect from the next micro-batch,
+    exactly ClickHouse's dictionary-refresh-under-ingest behavior
+    (tested in tests/test_streaming.py)."""
 
     mv: MaterializedView
     checkpoint: str
+    enrich: object | None = None
 
     def _process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
+        if self.enrich is not None:
+            batch = self.enrich(batch)
         states = self.mv.materialize_batch(batch)
         # neutral-fill so several StreamingMVs can share one wide table
         filled = self.mv.union_merge(states)

@@ -120,3 +120,96 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     assert got == want
     # odd (appended) ids are reachable
     assert any(v % 2 == 1 for _, v in got)
+
+
+def test_ivf_index_maintain_splits_overgrown_cells(spark, tmp_path):
+    """maintain() (the OPTIMIZE analog, round 4): after skewed appends
+    the overgrown cells split via cell-local k-means, only their
+    partitions are rewritten, the corpus is preserved exactly, and
+    search recall does not regress."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = S.IvfIndex(str(tmp_path / "m")).build(emb, n_centroids=8)
+
+    # skewed append: re-land ONLY cell 0's vectors three more times —
+    # that cell grows ~4x while the rest stay put, breaching the factor
+    cell0 = (
+        S.assign_cells(emb, idx.centroids())
+        .filter(F.col("cell") == 0)
+        .select("vec_id", "embedding")
+    )
+    for shift in (100_000, 200_000, 300_000):
+        idx.append(
+            cell0.select(
+                (F.col("vec_id") + shift).alias("vec_id"), "embedding"
+            )
+        )
+    data = spark.read.parquet(str(tmp_path / "m") + "/data")
+    before = {r["cell"]: r["n"] for r in
+              data.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_rows = sum(before.values())
+    n_cents_before = len(idx.centroids())
+
+    report = idx.maintain(spark, max_cell_factor=1.5)
+    assert report["cells_split"], before
+    assert report["n_centroids"] > n_cents_before
+
+    after_df = spark.read.parquet(str(tmp_path / "m") + "/data")
+    after = {r["cell"]: r["n"] for r in
+             after_df.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # corpus preserved exactly (every id once), split cells shrank
+    assert sum(after.values()) == n_rows
+    assert after_df.select("vec_id").distinct().count() == n_rows
+    assert max(after.values()) < max(before.values())
+    # every split cell is smaller than it was
+    for c in report["cells_split"]:
+        assert after.get(c, 0) < before[c]
+
+    # recall vs brute force does not regress after the split
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = spark.read.parquet(str(tmp_path / "m") + "/data").select(
+        "vec_id", "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk_bruteforce(full, q, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in idx.search(spark, q, k=10, n_probes=8).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_ivf_index_maintain_quantized_keeps_payloads(spark, tmp_path):
+    """Quantized index maintenance: int8 payloads survive the split
+    byte-identically (vectors are dequantized only transiently for the
+    re-clustering), and search still works."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = S.IvfIndex(str(tmp_path / "mq")).build(
+        emb, n_centroids=4, quantized=True
+    )
+    cell0 = (
+        S.assign_cells(emb, idx.centroids())
+        .filter(F.col("cell") == 0)
+        .select("vec_id", "embedding")
+    )
+    for shift in (100_000, 200_000, 300_000):
+        idx.append(
+            cell0.select(
+                (F.col("vec_id") + shift).alias("vec_id"), "embedding"
+            )
+        )
+    path = str(tmp_path / "mq") + "/data"
+    before = {r["vec_id"]: bytes(r["qv"])
+              for r in spark.read.parquet(path).collect()}
+    report = idx.maintain(spark, max_cell_factor=1.2)
+    assert report["cells_split"]
+    after = {r["vec_id"]: bytes(r["qv"])
+             for r in spark.read.parquet(path).collect()}
+    assert after == before  # payloads untouched, only cell placement
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert len(idx.search(spark, q, k=5, n_probes=4).collect()) == 15
