@@ -20,8 +20,8 @@ sequential-DCT decoder covering baseline AND progressive streams
 (operators/jpeg.py: canonical Huffman, EXTEND, dequant, orthonormal
 IDCT, 4:4:4/4:2:2/4:2:0, restart markers, SOF2 spectral-selection +
 successive-approximation scans) — no imaging library needed. Remaining
-*compressed* codecs (arithmetic/12-bit JPEG, WebP, MP4/Opus…, 16-bit
-or interlaced PNG) are gated: no media libraries ship in this container, so decode
+*compressed* codecs (arithmetic/12-bit JPEG, WebP, MP4/Opus…) are
+gated: no media libraries ship in this container, so decode
 raises a clear NotImplementedError for those magics (install Pillow/av
 and extend the parser; the mapInPandas plumbing is format-agnostic; the
 legacy ``FIMG`` fake header is still parsed for older fixtures).
@@ -357,16 +357,67 @@ def _gif_decode(payload: bytes):
         return None
 
 
-def _png_decode(payload: bytes):
-    """HxWx3 uint8 pixels of a non-interlaced 8-bit PNG (gray /
-    gray+alpha / RGB / RGBA / palette) via stdlib zlib + numpy scanline
-    unfiltering — or None when the payload is a PNG this pure-python
-    path can't handle (16-bit, interlaced, malformed), letting the
-    caller fall through to the Pillow gate. Filters: None and Up are
+def _png_unfilter(data, height, stride, bpp):
+    """Reverse the PNG scanline filters over a (height, stride+1) byte
+    block (filter byte + raw line). Filters: None and Up are
     vectorized; Sub is a per-byte-lane modular cumsum; Average/Paeth
-    fall back to a per-byte walk (those lines are rare in practice —
-    cost is per-image and the outer mapInPandas already streams Arrow
-    batches)."""
+    fall back to a per-byte walk (those lines are rare in practice).
+    Returns (height, stride) int32 or None on an unknown filter."""
+    import numpy as np
+
+    ftypes = data[:, 0]
+    filt = data[:, 1:].astype(np.int32)
+    out = np.zeros((height, stride), dtype=np.int32)
+    for y in range(height):
+        line = filt[y]
+        prior = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        ft = ftypes[y]
+        if ft == 0:
+            out[y] = line
+        elif ft == 2:
+            out[y] = (line + prior) & 0xFF
+        elif ft == 1:
+            lanes = line.reshape(stride // bpp, bpp)
+            out[y] = (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF).reshape(
+                stride
+            )
+        elif ft == 3:
+            rec = out[y]
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + (a + prior[x]) // 2) & 0xFF
+        elif ft == 4:
+            rec = out[y]
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                c = prior[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+    return out
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_decode(payload: bytes):
+    """HxWx3 uint8 pixels of an 8- or 16-bit PNG (gray / gray+alpha /
+    RGB / RGBA / 8-bit palette), non-interlaced OR Adam7-interlaced,
+    via stdlib zlib + numpy scanline unfiltering — or None when the
+    payload is a PNG this pure-python path can't handle (sub-byte
+    depths, malformed), letting the caller fall through to the Pillow
+    gate. 16-bit samples reduce to 8-bit by the high byte (v >> 8, the
+    standard 16→8 convention); Adam7 passes unfilter independently and
+    scatter into the full grid (same pass geometry as the GIF
+    interlace path)."""
     import zlib
 
     import numpy as np
@@ -398,50 +449,44 @@ def _png_decode(payload: bytes):
         if (
             width is None
             or channels is None
-            or bit_depth != 8
-            or interlace != 0
-            or (color_type == 3 and palette is None)
+            or bit_depth not in (8, 16)
+            or interlace not in (0, 1)
+            or (color_type == 3 and (palette is None or bit_depth != 8))
         ):
             return None
-        stride = width * channels
-        data = np.frombuffer(
-            zlib.decompress(bytes(idat)), dtype=np.uint8
-        ).reshape(height, stride + 1)
-        ftypes = data[:, 0]
-        filt = data[:, 1:].astype(np.int32)
-        out = np.zeros((height, stride), dtype=np.int32)
-        bpp = channels
-        for y in range(height):
-            line = filt[y]
-            prior = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
-            ft = ftypes[y]
-            if ft == 0:
-                out[y] = line
-            elif ft == 2:
-                out[y] = (line + prior) & 0xFF
-            elif ft == 1:
-                lanes = line.reshape(width, bpp)
-                out[y] = (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF).reshape(
-                    stride
-                )
-            elif ft == 3:
-                rec = out[y]
-                for x in range(stride):
-                    a = rec[x - bpp] if x >= bpp else 0
-                    rec[x] = (line[x] + (a + prior[x]) // 2) & 0xFF
-            elif ft == 4:
-                rec = out[y]
-                for x in range(stride):
-                    a = rec[x - bpp] if x >= bpp else 0
-                    c = prior[x - bpp] if x >= bpp else 0
-                    b = prior[x]
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    rec[x] = (line[x] + pred) & 0xFF
-            else:
+        sb = bit_depth // 8  # bytes per sample
+        bpp = channels * sb
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+
+        def to_px(samples, h, w):
+            """(h, w*bpp) byte samples → (h, w, channels) uint8."""
+            b = samples.astype(np.uint8).reshape(h, w * channels, sb)
+            return b[:, :, 0].reshape(h, w, channels)  # 16-bit: high byte
+
+        if interlace == 0:
+            stride = width * bpp
+            data = raw.reshape(height, stride + 1)
+            out = _png_unfilter(data, height, stride, bpp)
+            if out is None:
                 return None
-        px = out.astype(np.uint8).reshape(height, width, channels)
+            px = to_px(out, height, width)
+        else:  # Adam7
+            px = np.zeros((height, width, channels), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (height - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                stride = pw * bpp
+                block = raw[off : off + ph * (stride + 1)].reshape(
+                    ph, stride + 1
+                )
+                off += ph * (stride + 1)
+                out = _png_unfilter(block, ph, stride, bpp)
+                if out is None:
+                    return None
+                px[y0::dy, x0::dx] = to_px(out, ph, pw)
         if color_type == 2:
             return px
         if color_type == 6:
@@ -671,7 +716,7 @@ def _pil_decode(payload: bytes):
     except ImportError:
         raise NotImplementedError(
             "compressed image PIXEL decode (arithmetic/12-bit JPEG, "
-            "WebP, 16-bit PNG, malformed GIF) needs Pillow (`pip install "
+            "WebP, sub-byte-depth PNG, malformed GIF) needs Pillow (`pip install "
             "Pillow`); 8-bit PNG (_png_decode), GIF (_gif_decode) and "
             "baseline + progressive JPEG (operators/jpeg.decode_baseline) "
             "decode natively, header-only dimensions work for every "
@@ -714,7 +759,7 @@ def _pixels(payload: bytes):
         px = _png_decode(payload)
         if px is not None:
             return px
-        return _pil_decode(payload)  # 16-bit / interlaced / exotic PNGs
+        return _pil_decode(payload)  # sub-byte depth / exotic PNGs
     if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
         px = _gif_decode(payload)
         if px is not None:

@@ -227,3 +227,97 @@ def test_gif_roundtrip_random(w, h, ncol, seed, interlace):
     got = MM._gif_decode(gif)
     assert got is not None
     assert np.array_equal(got, np.asarray(pal, dtype=np.uint8)[rows])
+
+
+def _png_encode_spec(px, bit_depth=8, color_type=2, interlace=0):
+    """In-test PNG spec encoder (filter 0 rows; 8/16-bit gray or RGB,
+    optional Adam7) — independent of the production decoder, like the
+    GIF in-test encoder."""
+    import struct
+    import zlib
+
+    from clickhouse_learning_spark.operators.multimodal import _ADAM7
+
+    h, w = px.shape[:2]
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def rows(img):
+        out = bytearray()
+        for y in range(img.shape[0]):
+            out.append(0)  # filter: None
+            if bit_depth == 8:
+                out += img[y].astype(np.uint8).tobytes()
+            else:
+                out += img[y].astype(">u2").tobytes()
+        return out
+
+    if interlace == 0:
+        raw = rows(px)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += rows(sub)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    interlace=st.sampled_from([0, 1]),
+)
+def test_png_16bit_decode(w, h, seed, interlace):
+    """16-bit PNGs decode natively (round 4): samples reduce by the
+    high byte, interlaced or not."""
+    from clickhouse_learning_spark.operators.multimodal import _png_decode
+
+    rng = np.random.default_rng(seed)
+    px16 = rng.integers(0, 65536, size=(h, w, 3), dtype=np.uint16)
+    payload = _png_encode_spec(px16, bit_depth=16, interlace=interlace)
+    got = _png_decode(payload)
+    assert got is not None
+    assert np.array_equal(got, (px16 >> 8).astype(np.uint8))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_adam7_8bit_decode(w, h, seed):
+    """Adam7-interlaced 8-bit PNGs reassemble exactly (round 4) —
+    every pass geometry hit across random shapes incl. < 8px edges."""
+    from clickhouse_learning_spark.operators.multimodal import _png_decode
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = _png_decode(_png_encode_spec(px, bit_depth=8, interlace=1))
+    assert got is not None
+    assert np.array_equal(got, px)
+
+
+def test_png_16bit_gray_decode():
+    from clickhouse_learning_spark.operators.multimodal import _png_decode
+
+    rng = np.random.default_rng(3)
+    g16 = rng.integers(0, 65536, size=(11, 7, 1), dtype=np.uint16)
+    payload = _png_encode_spec(g16, bit_depth=16, color_type=0, interlace=1)
+    got = _png_decode(payload)
+    assert got is not None
+    want = np.repeat((g16 >> 8).astype(np.uint8), 3, axis=2)
+    assert np.array_equal(got, want)
