@@ -73,6 +73,7 @@ _PRIORITY = [
     "ch_any_join_enrich",
     "ch_limit_by_topn",
     "ch_with_fill_dialect",
+    "ch_interpolate_dialect",
     "json_extract_agg",
     # ddl/deployment read-path changes (schema re-pin, Nullable default)
     "replacing_latest_event",

@@ -2534,7 +2534,8 @@ _OB_RE = re.compile(r"\border\s+by\b", re.I)
 _FTS_RE = re.compile(r"\b(from|to|step|interpolate)\b", re.I)
 
 
-def with_fill(df, col: str, start=None, stop=None, step=None):
+def with_fill(df, col: str, start=None, stop=None, step=None,
+              interpolate: dict | None = None):
     """ClickHouse ``ORDER BY col WITH FILL [FROM][TO][STEP]`` semantics
     on a DataFrame: insert the missing values of ``col`` over the range
     (defaults: the result's own min/max; ``stop`` is EXCLUSIVE, as in
@@ -2544,10 +2545,24 @@ def with_fill(df, col: str, start=None, stop=None, step=None):
     a textual rewrite: the defaults need the schema). Original rows —
     including any outside [start, stop) — pass through untouched.
 
+    ``interpolate`` maps column name → fill rule for the INSERTED rows
+    (ClickHouse ``INTERPOLATE (c [AS expr])``): ``None`` carries the
+    previous original value forward; an expression string of the form
+    ``c + K`` / ``c - K`` / ``c * K`` (numeric literal K, evaluated
+    from the previous row, i.e. compounding across consecutive fill
+    rows exactly as ClickHouse chains expr over each inserted row —
+    linear forms close under iteration: n steps after the last original
+    row give ``v + n*K`` / ``v * K^n``). Non-linear expressions raise:
+    they would need a sequential scan. Fill rows BEFORE the first
+    original row keep the type default (nothing to interpolate from).
+
     Plan shape: the bounds are a 1-row aggregate, the series explodes
     from it and anti-joins the (small, post-aggregation) result on the
     fill key — both joins broadcast; the fact-side shuffle happened
-    upstream in the user's aggregation."""
+    upstream in the user's aggregation. The INTERPOLATE pass adds one
+    unpartitioned window over the FILLED result — fine here because a
+    fill series is calendar/range-bounded (post-aggregation size), not
+    data-proportional."""
     from pyspark.sql import functions as F
 
     dt = dict(df.dtypes)[col]
@@ -2596,7 +2611,57 @@ def with_fill(df, col: str, start=None, stop=None, step=None):
             d = F.lit(None).cast(dtype)
         defaults.append(d.alias(name))
     filled = missing.select(F.col(col), *defaults).select(df.columns)
-    return df.unionByName(filled).orderBy(col)
+    if not interpolate:
+        return df.unionByName(filled).orderBy(col)
+
+    from pyspark.sql import Window
+
+    _LIN_RE = re.compile(
+        r"^\s*([A-Za-z_]\w*)\s*([+\-*])\s*(-?\d+(?:\.\d+)?)\s*$"
+    )
+    out = df.withColumn("__ch_orig", F.lit(True)).unionByName(
+        filled.withColumn("__ch_orig", F.lit(False))
+    )
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    rn = F.row_number().over(Window.orderBy(col))
+    out = out.withColumn("__ch_rn", rn)
+    orig = F.col("__ch_orig")
+    for name, expr_s in interpolate.items():
+        if name not in df.columns:
+            raise ValueError(f"INTERPOLATE: unknown column {name!r}")
+        if name == col:
+            raise ValueError("INTERPOLATE cannot target the fill key")
+        prev = F.last(F.when(orig, F.col(name)), ignorenulls=True).over(w)
+        steps = (
+            F.col("__ch_rn")
+            - F.last(F.when(orig, F.col("__ch_rn")), ignorenulls=True).over(w)
+        )
+        if expr_s is None or expr_s.strip() == name:
+            val = prev  # bare column: carry the previous value forward
+        else:
+            m = _LIN_RE.match(expr_s)
+            if not m or m.group(1) != name:
+                raise ValueError(
+                    f"INTERPOLATE ({name} AS {expr_s}): only carry-forward "
+                    "and linear forms (col +|-|* literal) are translated — "
+                    "arbitrary expressions compound per inserted row and "
+                    "need a sequential scan; apply a window after "
+                    "with_fill() instead"
+                )
+            op, k = m.group(2), F.lit(float(m.group(3)))
+            if op == "+":
+                val = prev + k * steps
+            elif op == "-":
+                val = prev - k * steps
+            else:
+                val = prev * F.pow(k, steps.cast("double"))
+        out = out.withColumn(
+            name,
+            F.when(orig | prev.isNull(), F.col(name)).otherwise(
+                val.cast(dict(df.dtypes)[name])
+            ),
+        )
+    return out.drop("__ch_orig", "__ch_rn").orderBy(col)
 
 
 _FINAL_REF_RE = re.compile(r"(\bfrom\s+)([A-Za-z_][\w.]*)\s+final\b", re.I)
@@ -2657,11 +2722,6 @@ def run(
         )
     tail = sql[wf.end() :]
     tmask = mask[wf.end() :]
-    if re.search(r"\binterpolate\b", tmask, re.I):
-        raise ValueError(
-            "WITH FILL … INTERPOLATE is not translated (use a window "
-            "last_value(ignorenulls) over the filled frame)"
-        )
     kws = list(_FTS_RE.finditer(tmask))
     parts: dict[str, str] = {}
     for i, m in enumerate(kws):
@@ -2678,6 +2738,24 @@ def run(
             return int(tok)
         return F.expr(translate(tok, dictionaries))
 
+    interp = None
+    itok = parts.pop("interpolate", None)
+    if itok is not None:
+        body = itok.strip()
+        if not (body.startswith("(") and body.endswith(")")):
+            raise ValueError(f"INTERPOLATE: expected (col [AS expr], …), "
+                             f"got {itok!r}")
+        interp = {}
+        for item in body[1:-1].split(","):
+            item = item.strip()
+            if not item:
+                continue
+            m = re.match(r"^([A-Za-z_]\w*)(?:\s+as\s+(.+))?$", item,
+                         re.I | re.S)
+            if not m:
+                raise ValueError(f"INTERPOLATE: unparsed item {item!r}")
+            interp[m.group(1)] = m.group(2)
+
     df = spark.sql(translate(sql[: ob.start()], dictionaries))
     return with_fill(
         df,
@@ -2685,4 +2763,5 @@ def run(
         start=ex(parts.get("from")),
         stop=ex(parts.get("to")),
         step=ex(parts.get("step")),
+        interpolate=interp,
     )

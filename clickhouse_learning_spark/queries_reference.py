@@ -685,3 +685,73 @@ def ch_final_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("n_users").cast("long").alias("n_users"),
         _F.col("amount_sum").cast("long").alias("amount_sum"),
     )
+
+
+@query(
+    "ch_interpolate_dialect",
+    """
+    WITH a AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(max(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS vmax,
+             CAST(min(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS vbase
+      FROM events
+      WHERE event_type = 'signup' AND user_id % 211 = 0
+      GROUP BY day),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM a),
+    cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+            FROM b),
+    j AS (SELECT cal.day, a.cnt, a.vmax, a.vbase
+          FROM cal LEFT JOIN a USING (day))
+    SELECT day,
+           CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,
+           CAST(coalesce(last_value(vmax IGNORE NULLS)
+                  OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0)
+                AS BIGINT) AS vmax,
+           CAST(CASE WHEN vbase IS NOT NULL THEN vbase
+                ELSE coalesce(
+                  last_value(vbase IGNORE NULLS)
+                    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                  + 7 * date_diff('day',
+                      max(CASE WHEN cnt IS NOT NULL THEN day END)
+                        OVER (ORDER BY day ROWS UNBOUNDED PRECEDING),
+                      day), 0) END AS BIGINT) AS vbase
+    FROM j
+    """,
+)
+def ch_interpolate_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY day WITH FILL INTERPOLATE (vmax, vbase AS
+    vbase + 7)`` pasted verbatim through ``dialect.run`` (round 4): the
+    non-interpolated count fills with the type default 0, ``vmax``
+    carries the previous original value forward, and ``vbase + 7``
+    compounds per inserted row — ClickHouse evaluates INTERPOLATE
+    expressions from the previous row, so an n-day gap lands at
+    ``vbase + 7*n`` (the linear closed form the operator uses; see
+    ``dialect.with_fill``). Oracle re-derives the calendar with
+    generate_series and the carry/accumulate rules via IGNORE-NULLS
+    window functions. Filter ``user_id % 211`` keeps ~7 active days
+    over a ~30-day span at sf0.01, so the fill inserts real gap runs."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.functions.dialect import run
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        _F.to_date("ts").alias("day"),
+        "event_type",
+        "user_id",
+        _F.floor(_F.col("value") * 1000).cast("long").alias("val"),
+    ).createOrReplaceTempView("ch_itp_events")
+    ch = """
+        SELECT day, count() AS cnt, max(val) AS vmax, min(val) AS vbase
+        FROM ch_itp_events
+        WHERE event_type = 'signup' AND user_id % 211 = 0
+        GROUP BY day
+        ORDER BY day WITH FILL INTERPOLATE (vmax, vbase AS vbase + 7)
+    """
+    return run(spark, ch).select(
+        "day",
+        _F.col("cnt").cast("long").alias("cnt"),
+        _F.col("vmax").cast("long").alias("vmax"),
+        _F.col("vbase").cast("long").alias("vbase"),
+    )

@@ -1247,9 +1247,6 @@ def test_with_fill_runner(spark):
     # gates
     with pytest.raises(ValueError, match="single simple sort key"):
         run(spark, "SELECT k, v FROM wf_t ORDER BY k, v WITH FILL")
-    with pytest.raises(ValueError, match="INTERPOLATE"):
-        run(spark, "SELECT k, sum(v) AS v FROM wf_t GROUP BY k "
-                   "ORDER BY k WITH FILL INTERPOLATE (v)")
     # bare translate still gates with the run() pointer
     with pytest.raises(ValueError, match="dialect.run"):
         translate("SELECT k FROM wf_t ORDER BY k WITH FILL")
@@ -1260,6 +1257,76 @@ def test_with_fill_runner(spark):
     assert [(r.k, r.v) for r in got.collect()] == [
         (0, 0), (1, 0), (2, 9), (3, 0),
     ]
+
+
+def test_with_fill_interpolate(spark):
+    """Round-4: ``WITH FILL … INTERPOLATE (c [AS expr])``. ClickHouse
+    evaluates expr from the PREVIOUS row for each inserted row, so
+    ``v AS v + 1`` compounds across consecutive gaps; a bare column
+    carries forward; columns NOT listed keep the type-default fill.
+    Leading fill rows (before any original) keep the default — there is
+    nothing to interpolate from. Non-linear expressions gate."""
+    from clickhouse_learning_spark.functions.dialect import run, with_fill
+
+    spark.createDataFrame(
+        [(1, 10, 100), (4, 40, 400), (6, 60, 600)],
+        "k int, v long, w long",
+    ).createOrReplaceTempView("wf_i")
+
+    # carry-forward (bare column) + untouched default column
+    rows = run(
+        spark, "SELECT k, sum(v) AS v, sum(w) AS w FROM wf_i GROUP BY k "
+        "ORDER BY k WITH FILL INTERPOLATE (v)"
+    ).collect()
+    assert [(r.k, r.v, r.w) for r in rows] == [
+        (1, 10, 100), (2, 10, 0), (3, 10, 0), (4, 40, 400),
+        (5, 40, 0), (6, 60, 600),
+    ]
+
+    # linear accumulation: v + 5 per inserted row (CH docs' `inter + 1`
+    # shape), chained over the 2-row gap
+    rows2 = run(
+        spark, "SELECT k, sum(v) AS v FROM wf_i GROUP BY k "
+        "ORDER BY k WITH FILL INTERPOLATE (v AS v + 5)"
+    ).collect()
+    assert [(r.k, r.v) for r in rows2] == [
+        (1, 10), (2, 15), (3, 20), (4, 40), (5, 45), (6, 60),
+    ]
+
+    # leading fill rows before the first original keep the default
+    rows3 = run(
+        spark, "SELECT k, sum(v) AS v FROM wf_i GROUP BY k "
+        "ORDER BY k WITH FILL FROM -1 INTERPOLATE (v AS v + 5)"
+    ).collect()
+    assert [(r.k, r.v) for r in rows3][:3] == [(-1, 0), (0, 0), (1, 10)]
+
+    # multiplicative form + explicit AS-self carry, parsed together
+    rows4 = run(
+        spark, "SELECT k, sum(v) AS v, sum(w) AS w FROM wf_i GROUP BY k "
+        "ORDER BY k WITH FILL INTERPOLATE (v AS v * 2, w AS w)"
+    ).collect()
+    assert [(r.k, r.v, r.w) for r in rows4] == [
+        (1, 10, 100), (2, 20, 100), (3, 40, 100), (4, 40, 400),
+        (5, 80, 400), (6, 60, 600),
+    ]
+
+    # FROM/TO/STEP compose with INTERPOLATE
+    rows5 = run(
+        spark, "SELECT k, sum(v) AS v FROM wf_i GROUP BY k "
+        "ORDER BY k WITH FILL FROM 1 TO 8 STEP 2 INTERPOLATE (v)"
+    ).collect()
+    assert [(r.k, r.v) for r in rows5] == [
+        (1, 10), (3, 10), (4, 40), (5, 40), (6, 60), (7, 60),
+    ]
+
+    # gates: non-linear expression, unknown column, the fill key itself
+    df = spark.createDataFrame([(1, 10)], "k int, v long")
+    with pytest.raises(ValueError, match="linear"):
+        with_fill(df, "k", stop=F.lit(4), interpolate={"v": "v * v"})
+    with pytest.raises(ValueError, match="unknown column"):
+        with_fill(df, "k", stop=F.lit(4), interpolate={"z": None})
+    with pytest.raises(ValueError, match="fill key"):
+        with_fill(df, "k", stop=F.lit(4), interpolate={"k": None})
 
 
 def test_translate_week_start_functions(spark):
