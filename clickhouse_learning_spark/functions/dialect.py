@@ -1179,6 +1179,48 @@ _MAPPING = _mapping()
 
 # ClickHouse parameterized aggregates: name(params)(args). The value in
 # this table receives (params, args), both already translated.
+def _topk_sql(x: str, k: str, weight: str | None = None) -> str:
+    """Single-expression Spark SQL for ``topK(k)(x)`` /
+    ``topKWeighted(k)(x, w)``: sort the collected values so equal ones
+    are adjacent, fold into run-length ``(val, cnt)`` pairs with one
+    ``aggregate()`` pass (cnt = row count, or the summed weight), then
+    order by ``(-cnt, val)`` and keep ``k``. Runs entirely in the JVM;
+    the typed empty accumulator comes from ``slice(transform(S, …), 1,
+    0)`` so no element type needs spelling out."""
+    if weight is None:
+        S = f"sort_array(collect_list({x}))"
+        cur0 = f"try_element_at({S}, 1)"
+        vof, wof = "v", "1L"
+    else:
+        # IF-NULL wrapper: collect_list drops NULL entries but keeps
+        # structs with null fields — ClickHouse skips NULL x either way
+        S = (f"sort_array(collect_list(IF(({x}) IS NULL, NULL, "
+             f"struct({x} AS val, CAST({weight} AS BIGINT) AS wt))))")
+        cur0 = f"try_element_at({S}, 1).val"
+        vof, wof = "v.val", "v.wt"
+    zero = (
+        f"struct({cur0} AS cur, 0L AS cnt, "
+        f"slice(transform({S}, v -> struct({vof} AS val, 0L AS c)), 1, 0) "
+        f"AS out)"
+    )
+    merge = (
+        f"(acc, v) -> IF({vof} <=> acc.cur, "
+        f"struct(acc.cur AS cur, acc.cnt + {wof} AS cnt, acc.out AS out), "
+        f"struct({vof} AS cur, {wof} AS cnt, "
+        f"array_append(acc.out, struct(acc.cur AS val, acc.cnt AS c)) "
+        f"AS out))"
+    )
+    finish = (
+        "acc -> IF(acc.cnt = 0L AND acc.cur IS NULL, acc.out, "
+        "array_append(acc.out, struct(acc.cur AS val, acc.cnt AS c)))"
+    )
+    runs = f"aggregate({S}, {zero}, {merge}, {finish})"
+    return (
+        f"transform(slice(array_sort(transform({runs}, "
+        f"s -> struct(-s.c AS negc, s.val AS val))), 1, {k}), s -> s.val)"
+    )
+
+
 _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileExact": lambda p, a: (
@@ -1263,19 +1305,17 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantilesTiming": lambda p, a: (
         f"approx_percentile({a[0]}, array({', '.join(p)}))"
     ),
-    "topK": lambda p, a: (_ for _ in ()).throw(
-        ValueError(
-            "topK(k)(x) has no single-expression Spark SQL form; use "
-            "MetricSpec(kind='topk', k=...) via metrics.build_states — the "
-            "relational Space-Saving write path (see topk_heavy_hitters)"
-        )
-    ),
-    "topKWeighted": lambda p, a: (_ for _ in ()).throw(
-        ValueError(
-            "topKWeighted(k)(x, w) maps to MetricSpec(kind='topk', k=..., "
-            "weight=w) via metrics.build_states"
-        )
-    ),
+    # topK(k)(x): array of the k most frequent x values, frequency
+    # descending. ClickHouse's SpaceSaving counters are APPROXIMATE by
+    # contract; this expression is exact — collect, sort (equal values
+    # adjacent), one aggregate() pass folding the sorted list into
+    # run-length (val, cnt) pairs, then sort by (-cnt, val) and slice k
+    # (val as tiebreak: deterministic where CH leaves ties unspecified).
+    # O(|group| log |group|) inside codegen; for heavy-hitter groups too
+    # big to collect, MetricSpec(kind='topk') stays the mergeable
+    # two-phase path (topk_heavy_hitters).
+    "topK": lambda p, a: _topk_sql(a[0], p[0]),
+    "topKWeighted": lambda p, a: _topk_sql(a[0], p[0], weight=a[1]),
     "quantileExactWeighted": lambda p, a: (_ for _ in ()).throw(
         ValueError(
             "quantileExactWeighted(p)(x, w) maps to MetricSpec("
@@ -2375,9 +2415,11 @@ def _rewrite_clauses(sql: str) -> str:
         )
         if _SAMPLE_ROWS_RE.search(s):
             raise ValueError(
-                "SAMPLE n (approximate row count) needs table statistics; use "
-                "the fractional form SAMPLE 0.1 (→ TABLESAMPLE) or "
-                "df.sample(fraction)/operators.packing.stratified_sample"
+                "SAMPLE n (approximate row count) needs table statistics; "
+                "execute through functions.dialect.run (it resolves the row "
+                "count and rewrites to TABLESAMPLE), use the fractional form "
+                "SAMPLE 0.1, or df.sample(fraction)/"
+                "operators.packing.stratified_sample"
             )
         return s
 
@@ -2664,6 +2706,32 @@ def with_fill(df, col: str, start=None, stop=None, step=None,
     return out.drop("__ch_orig", "__ch_rn").orderBy(col)
 
 
+_SAMPLE_ROWS_REF_RE = re.compile(
+    r"(\bfrom\s+)([A-Za-z_][\w.]*)(\s+sample\s+)(\d+)\b(?!\s*\.)", re.I
+)
+
+
+def _substitute_sample_rows(spark, sql: str) -> str:
+    """``FROM t SAMPLE n`` (n ≥ 1: ClickHouse's approximate-row-count
+    form) → ``FROM t TABLESAMPLE (pct PERCENT)`` with pct derived from
+    the table's actual row count — the engine context ``translate``
+    alone doesn't have (for parquet-backed views the count is a
+    metadata-only job). ClickHouse's row form is approximate by
+    contract (reads whole sampling-key granules), so the Bernoulli
+    TABLESAMPLE's ±binomial spread is within semantics."""
+
+    def seg(s: str) -> str:
+        def rep(m: re.Match) -> str:
+            tbl, n = m.group(2), int(m.group(4))
+            total = spark.table(tbl).count()
+            pct = min(100.0, 100.0 * n / max(total, 1))
+            return f"{m.group(1)}{tbl} TABLESAMPLE ({pct:.8f} PERCENT)"
+
+        return _SAMPLE_ROWS_REF_RE.sub(rep, s)
+
+    return _map_outside_strings(sql, seg)
+
+
 _FINAL_REF_RE = re.compile(r"(\bfrom\s+)([A-Za-z_][\w.]*)\s+final\b", re.I)
 
 
@@ -2696,8 +2764,11 @@ def run(
     plus the clauses that NEED engine context — a trailing
     ``ORDER BY key WITH FILL [FROM x] [TO y] [STEP n]`` is stripped,
     the inner statement runs, and :func:`with_fill` inserts the gap
-    rows with ClickHouse's type-default fill values (multi-key fills /
-    INTERPOLATE raise with a pointer); with ``deployment`` given,
+    rows with ClickHouse's type-default fill values, applying any
+    ``INTERPOLATE (c [AS expr])`` rules (multi-key fills raise with a
+    pointer); ``FROM t SAMPLE n`` (row-count form) resolves the table's
+    row count and rewrites to a percentage ``TABLESAMPLE``
+    (:func:`_substitute_sample_rows`); with ``deployment`` given,
     ``FROM t FINAL`` dispatches to the deployment's merge-on-read
     (:func:`_substitute_final`) instead of raising."""
     from pyspark.sql import functions as F
@@ -2705,6 +2776,7 @@ def run(
     sql = sql.rstrip().rstrip(";")
     if deployment is not None:
         sql = _substitute_final(spark, sql, deployment)
+    sql = _substitute_sample_rows(spark, sql)
     mask = _depth0_mask(sql)
     wf = _WITH_FILL_RE.search(mask)
     if not wf:

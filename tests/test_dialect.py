@@ -346,8 +346,40 @@ def test_translate_sample_and_limit_by_clauses(spark, star_views):
     n = spark.sql(sql).collect()[0]["n"]
     assert 0 < n < total
     assert translate("SELECT 'SAMPLE 0.5' AS s") == "SELECT 'SAMPLE 0.5' AS s"
-    with pytest.raises(ValueError, match="stratified_sample"):
+    with pytest.raises(ValueError, match="dialect.run"):
         translate("SELECT count(*) FROM t SAMPLE 1000")
+
+
+def test_run_sample_rows_form(spark):
+    """Round-4: ``SAMPLE n`` (row-count form) through dialect.run — the
+    runner resolves the table's row count and rewrites to a percentage
+    TABLESAMPLE, so ClickHouse's approximate-row-target semantics hold:
+    the sampled count lands near n (Bernoulli spread), never the full
+    table. Literals and the fractional form are untouched."""
+    from clickhouse_learning_spark.functions.dialect import (
+        _substitute_sample_rows,
+        run,
+    )
+
+    spark.range(10_000).selectExpr(
+        "id", "id % 7 AS g"
+    ).createOrReplaceTempView("smp_t")
+    n = run(spark, "SELECT count() AS n FROM smp_t SAMPLE 500").collect()[0].n
+    assert 250 < n < 1000  # ~500 ± binomial spread, far from 10 000
+
+    # n >= table size clamps to 100% (every row)
+    n2 = run(
+        spark, "SELECT count() AS n FROM smp_t SAMPLE 99999"
+    ).collect()[0].n
+    assert n2 == 10_000
+
+    # the rewrite itself: pct derived from the actual count; strings safe
+    s = _substitute_sample_rows(
+        spark, "SELECT 'FROM x SAMPLE 5' AS lit, count(*) "
+        "FROM smp_t SAMPLE 100"
+    )
+    assert "TABLESAMPLE (1.00000000 PERCENT)" in s
+    assert "'FROM x SAMPLE 5'" in s
 
 
 def test_translate_limit_by(spark):
@@ -404,12 +436,54 @@ def test_translate_limit_by(spark):
 
 
 def test_translate_weighted_aggregate_gates():
-    with pytest.raises(ValueError, match="weight=w"):
-        translate("topKWeighted(3)(event_type, cents)")
     with pytest.raises(ValueError, match="quantile_weighted_state"):
         translate("quantileExactWeighted(0.9)(latency, calls)")
     with pytest.raises(ValueError, match="summap_event_values"):
         translate("sumMap(m)")
+
+
+def test_translate_topk(spark):
+    """Round-4: ``topK(k)(x)`` / ``topKWeighted(k)(x, w)`` translate to
+    a single JVM-side expression (sorted collect → run-length fold →
+    order by (-cnt, val) → slice k). ClickHouse's SpaceSaving result is
+    approximate by contract; this form is exact, with val as the
+    deterministic tiebreak. NULL x is skipped in both forms; an
+    all-NULL group yields an empty array."""
+    spark.createDataFrame(
+        [("a", "x", 1), ("a", "x", 1), ("a", "y", 9), ("a", "z", 2),
+         ("a", "z", 2), ("b", "q", 5), ("b", None, 7)],
+        "g string, v string, w int",
+    ).createOrReplaceTempView("ch_topk")
+
+    rows = spark.sql(
+        translate(
+            "SELECT g, topK(2)(v) AS top2 FROM ch_topk GROUP BY g "
+            "ORDER BY g"
+        )
+    ).collect()
+    assert [(r.g, r.top2) for r in rows] == [
+        ("a", ["x", "z"]), ("b", ["q"]),  # x ties z at 2 → val tiebreak
+    ]
+
+    # weights flip the order: y carries weight 9 over x's 2 and z's 4
+    rows2 = spark.sql(
+        translate(
+            "SELECT g, topKWeighted(2)(v, w) AS top2 FROM ch_topk "
+            "GROUP BY g ORDER BY g"
+        )
+    ).collect()
+    assert [(r.g, r.top2) for r in rows2] == [
+        ("a", ["y", "z"]), ("b", ["q"]),
+    ]
+
+    # all-NULL group → empty array, no error
+    spark.createDataFrame(
+        [("c", None, 1)], "g string, v string, w int"
+    ).createOrReplaceTempView("ch_topk_null")
+    r3 = spark.sql(
+        translate("SELECT topKWeighted(3)(v, w) AS t FROM ch_topk_null")
+    ).collect()[0].t
+    assert r3 == []
 
 
 def test_translate_array_functions(spark):
