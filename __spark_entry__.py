@@ -116,10 +116,6 @@ _PRIORITY = [
     "ref_funnel_6stage",
     "pricing_summary",
     "conditional_agg",
-    "uniq_exact",
-    "quantile_weighted_state",
-    "left_join_using",
-    "having_over_agg",
 ]
 
 
