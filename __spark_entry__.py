@@ -74,6 +74,7 @@ _PRIORITY = [
     "ch_limit_by_topn",
     "ch_with_fill_dialect",
     "ch_interpolate_dialect",
+    "ch_window_funnel_dialect",  # CH-exact windowFunnel fold (r4)
     "json_extract_agg",
     # ddl/deployment read-path changes (schema re-pin, Nullable default)
     "replacing_latest_event",
@@ -96,7 +97,6 @@ _PRIORITY = [
     "scalar_datetime_math",
     "parse_datetime_best_effort",
     "null_handling",
-    "distinct_rows",
     "median_exact",
     "window_functions_suite",
     # remaining slots: round-2-evidence representatives across operator

@@ -1221,6 +1221,46 @@ def _topk_sql(x: str, k: str, weight: str | None = None) -> str:
     )
 
 
+def _window_funnel_sql(p: list[str], a: list[str]) -> str:
+    """Single-expression Spark SQL for ``windowFunnel(w)(ts, conds…)``
+    (semantics note at the _PARAMETERIZED entry). ``ts`` is floored to
+    whole epoch seconds (CH DateTime resolution; numeric inputs pass
+    through the seconds→TIMESTAMP cast unchanged); the window is in
+    those units. Strict modes change the fold's transition rules and
+    stay gated."""
+    if len(p) != 1:
+        raise ValueError(
+            "windowFunnel strict modes ('strict_order', "
+            "'strict_deduplication', 'strict_increase') change the "
+            "chain-transition rules; base mode translates — for strict "
+            "variants use functions.funnel.funnel_levels semantics or "
+            "file the mode you need"
+        )
+    if len(a) < 2:
+        raise ValueError("windowFunnel(w)(ts, cond1, ...) needs >= 1 condition")
+    ts, conds = a[0], a[1:]
+    n = len(conds)
+    t = f"unix_seconds(CAST(({ts}) AS TIMESTAMP))"
+    entries = ", ".join(
+        f"named_struct('t', {t}, 'e', {i + 1}, "
+        f"'ok', coalesce(CAST(({c}) AS BOOLEAN), false))"
+        for i, c in enumerate(conds)
+    )
+    w = f"CAST(({p[0]}) AS BIGINT)"
+    return (
+        "aggregate("
+        f"array_sort(flatten(collect_list("
+        f"filter(array({entries}), x -> x.ok AND x.t IS NOT NULL)))), "
+        f"array_repeat(CAST(NULL AS BIGINT), {n}), "
+        "(acc, ev) -> CASE "
+        "WHEN ev.e = 1 THEN transform(acc, (x, i) -> IF(i = 0, ev.t, x)) "
+        f"WHEN acc[ev.e - 2] IS NOT NULL AND ev.t <= acc[ev.e - 2] + {w} "
+        "THEN transform(acc, (x, i) -> IF(i = ev.e - 1, acc[ev.e - 2], x)) "
+        "ELSE acc END, "
+        "acc -> CAST(size(filter(acc, x -> x IS NOT NULL)) AS INT))"
+    )
+
+
 _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileExact": lambda p, a: (
@@ -1323,13 +1363,24 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
             "(see quantile_weighted_state)"
         )
     ),
-    "windowFunnel": lambda p, a: (_ for _ in ()).throw(
-        ValueError(
-            "windowFunnel(w)(ts, conds...) is a multi-stage plan, not a "
-            "single expression; use functions.funnel.funnel_levels — one "
-            "shuffle, codegen chain walk (see window_funnel_levels)"
-        )
-    ),
+    # windowFunnel(w)(ts, cond1..condN): ClickHouse's exact base-mode
+    # algorithm (AggregateFunctionWindowFunnel semantics, public docs:
+    # max chain depth where cond_k events occur in order with
+    # t_k <= chain_start + w) as ONE codegen expression — a left fold
+    # over the (t, level) entries sorted by (t, level):
+    #   state et[0..N-1] = chain-start timestamps, init NULL;
+    #   level-1 entry      → et[0] = t (latest start: maximal slack,
+    #                        exactly CH's overwrite rule);
+    #   level-k entry      → if et[k-2] set and t <= et[k-2] + w,
+    #                        et[k-1] = et[k-2] (chain start propagates);
+    #   result             → count of non-NULL slots (prefix-closed:
+    #                        et[k] is only ever set after et[k-1]).
+    # Unlike funnel.funnel_levels' deliberate first-chance rule, this
+    # scans every candidate chain start, so a LATER cond-1 event can
+    # open a deeper chain — CH's documented behavior. Same-timestamp
+    # entries order by level ascending (deterministic where CH's
+    # insertion order is not). Strict modes gate below.
+    "windowFunnel": lambda p, a: _window_funnel_sql(p, a),
     "sequenceMatch": lambda p, a: (_ for _ in ()).throw(
         ValueError(
             "sequenceMatch(pattern)(ts, conds...) chain patterns map to "

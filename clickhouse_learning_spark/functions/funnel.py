@@ -13,6 +13,10 @@ stage-1 event opens a better window; the first-chance rule is the common
 product-analytics definition, is O(events-per-user) instead of
 O(chains×events), and — unlike the multi-chain scan — has a direct
 ANSI-SQL oracle, which keeps these queries inside the correctness gate.
+(CH's exact multi-chain base mode IS also available: the dialect
+translates ``windowFunnel`` to a single fold expression —
+``dialect._window_funnel_sql``, graded via ``ch_window_funnel_dialect``
+against a recursive-CTE replay oracle.)
 
 Scale design: ONE shuffle (groupBy user) collecting per-stage epoch
 arrays; the chain walk is codegen array HOFs (array_min / filter) over

@@ -240,3 +240,70 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy(F.col("cnt").desc(), "path")
     )
+
+
+@query(
+    "ch_window_funnel_dialect",
+    f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, lvl AS e,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), lvl) AS rn
+      FROM (
+        SELECT user_id, ts, 1 AS lvl FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, ts, 2 FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, 3 FROM events WHERE event_type = 'purchase')
+    ),
+    fold AS (
+      SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS et0,
+             CAST(NULL AS BIGINT) AS et1, CAST(NULL AS BIGINT) AS et2
+      FROM (SELECT DISTINCT user_id FROM events)
+      UNION ALL
+      SELECT f.user_id, e.rn,
+             CASE WHEN e.e = 1 THEN e.t ELSE f.et0 END,
+             CASE WHEN e.e = 2 AND f.et0 IS NOT NULL
+                   AND e.t <= f.et0 + {_W} THEN f.et0 ELSE f.et1 END,
+             CASE WHEN e.e = 3 AND f.et1 IS NOT NULL
+                   AND e.t <= f.et1 + {_W} THEN f.et1 ELSE f.et2 END
+      FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+    ),
+    last AS (
+      SELECT user_id,
+             max_by(CASE WHEN et2 IS NOT NULL THEN 3
+                         WHEN et1 IS NOT NULL THEN 2
+                         WHEN et0 IS NOT NULL THEN 1 ELSE 0 END, rn) AS level
+      FROM fold GROUP BY user_id)
+    SELECT level, CAST(count(*) AS BIGINT) AS users
+    FROM last GROUP BY level
+    """,
+)
+def ch_window_funnel_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel`` pasted verbatim through the dialect
+    shim (round-4 translation: the EXACT base-mode multi-chain fold as
+    one codegen ``aggregate()`` expression — dialect._window_funnel_sql).
+    This is CH's own semantics, unlike window_funnel_levels' deliberate
+    first-chance rule; the oracle is an imperative replay of the same
+    fold as a DuckDB recursive CTE (state = per-level chain-start
+    columns, one step per (t, level)-ordered event). One shuffle on
+    user_id; the fold runs inside whole-stage codegen."""
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).createOrReplaceTempView("ch_wf_events")
+    ch = f"""
+        SELECT level, count(*) AS users
+        FROM (
+          SELECT user_id,
+                 windowFunnel({_W})(ts, event_type = 'view',
+                                    event_type = 'click',
+                                    event_type = 'purchase') AS level
+          FROM ch_wf_events GROUP BY user_id)
+        GROUP BY level
+    """
+    out = spark.sql(translate(ch))
+    return out.select("level", F.col("users").cast("long").alias("users"))

@@ -538,7 +538,8 @@ def ch_with_fill_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ch_retention_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``retention()`` pasted verbatim through the dialect
     shim (round-3b translation: conditional-max products — order-free,
-    unlike windowFunnel/sequenceMatch which stay gated). The CH array
+    unlike sequenceMatch which stays gated; windowFunnel translates as
+    of r4 — ch_window_funnel_dialect). The CH array
     indexing ``r[1]`` exercises the 1-based ``element_at`` rewrite on
     the same statement. Cohort sums finalize the per-user flags, so the
     graded output is scalar (driver contract: no array columns)."""

@@ -53,13 +53,15 @@ def test_translate_rejects_unregistered_dictionary():
 
 
 def test_translate_points_behavioral_aggregates_at_engine_paths():
-    """windowFunnel/sequenceMatch are multi-stage ORDERED plans, not
-    expressions — translate() must say exactly where the engine
-    implements them (functions/funnel.py). retention is order-free
-    (per-condition OR states) and translates to conditional-max
-    products — see test_translate_retention_executes."""
-    with pytest.raises(ValueError, match="funnel_levels"):
-        translate("windowFunnel(3600)(ts, etype = 'view', etype = 'click')")
+    """sequenceMatch is a pattern-parsing multi-stage plan — translate()
+    must say exactly where the engine implements it
+    (functions/funnel.py). windowFunnel base mode translates as of r4
+    (test_translate_window_funnel); its strict modes still gate.
+    retention is order-free (per-condition OR states) and translates to
+    conditional-max products — see test_translate_retention_executes."""
+    assert "aggregate(" in translate(
+        "windowFunnel(3600)(ts, etype = 'view', etype = 'click')"
+    )
     with pytest.raises(ValueError, match="sequence_match"):
         translate("sequenceMatch('(?1).*(?2)')(ts, a = 1, b = 1)")
 
@@ -1599,3 +1601,39 @@ def test_translate_format_readable(spark):
     # is this — is served, the names differ by design)
     assert translate("toTypeName(x)") == "typeof(x)"
     assert spark.sql("SELECT " + translate("toTypeName(1)") + " AS t").collect()[0].t == "int"
+
+
+def test_translate_window_funnel(spark):
+    """Round-4: windowFunnel(w)(ts, conds…) translates to a single
+    fold expression with ClickHouse's exact base-mode semantics — in
+    particular the multi-chain scan: a LATER cond-1 event can open a
+    deeper chain (u1 below is the case where the deliberate
+    first-chance rule of funnel.funnel_levels reports 2 but CH
+    reports 3). Window is inclusive and counts from the CHAIN START,
+    not the previous stage (u7); strict modes gate."""
+    import pytest as _pytest
+
+    rows = [
+        # u1: first chain dies (c never within 10 of t=0); chain at
+        # t=100 completes all three stages
+        (1, 0, "a"), (1, 1, "b"), (1, 100, "a"), (1, 101, "b"), (1, 102, "c"),
+        (2, 0, "a"), (2, 10, "b"),   # boundary inclusive -> 2
+        (3, 0, "a"), (3, 11, "b"),   # boundary exceeded -> 1
+        (4, 0, "b"), (4, 5, "a"),    # out of order -> 1
+        (5, 3, "z"),                 # nothing matches -> 0
+        (6, 7, "a"), (6, 7, "b"),    # same-second tie, level order -> 2
+        (7, 0, "a"), (7, 8, "b"), (7, 12, "c"),  # 12 > 0+10 -> 2
+    ]
+    spark.createDataFrame(
+        rows, "uid int, t long, etype string"
+    ).createOrReplaceTempView("ch_wf")
+    out = spark.sql(
+        translate(
+            "SELECT uid, windowFunnel(10)(t, etype = 'a', etype = 'b', "
+            "etype = 'c') AS level FROM ch_wf GROUP BY uid"
+        )
+    ).collect()
+    got = {r.uid: r.level for r in out}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 1, 5: 0, 6: 2, 7: 2}
+    with _pytest.raises(ValueError, match="strict"):
+        translate("SELECT windowFunnel(10, 'strict_order')(t, x = 1) FROM ch_wf")
