@@ -63,6 +63,7 @@ _PRIORITY = [
     "multimodal_jpeg_features",
     # native SOF2 decode over progressive payloads, same golden
     "multimodal_progressive_jpeg_features",
+    "lm_quality_scores",  # bigram stupid-backoff perplexity filter (r4)
     # --- (b) families touched by round-4 changes ----------------------
     # dialect (modular casts, round→bround, arraySlice, formatReadable*)
     "ch_dialect_query",
@@ -75,6 +76,7 @@ _PRIORITY = [
     "ch_with_fill_dialect",
     "ch_interpolate_dialect",
     "ch_window_funnel_dialect",  # CH-exact windowFunnel fold (r4)
+    "ch_sequence_dialect",  # sequenceMatch subsequence grammar (r4)
     "json_extract_agg",
     # ddl/deployment read-path changes (schema re-pin, Nullable default)
     "replacing_latest_event",
@@ -87,8 +89,6 @@ _PRIORITY = [
     "multimodal_png_pixel_sums",
     "multimodal_gif_pixel_sums",
     # --- (c) r1-evidence rotation (driver-graded only in round 1) -----
-    "numbers_generator",
-    "array_join_tuples",
     "filter_project_prune",
     "modulo_skew_filter",
     "like_and_conjunction",

@@ -1261,6 +1261,108 @@ def _window_funnel_sql(p: list[str], a: list[str]) -> str:
     )
 
 
+def _sequence_pattern_levels(pattern: str, n_conds: int, fn: str) -> list[int]:
+    """Parse a ClickHouse sequenceMatch/Count pattern literal into the
+    pattern-order list of 1-based condition indices. Only the
+    ``.*``-separated subsequence grammar translates (the overwhelmingly
+    common form); strict adjacency ``(?1)(?2)`` and time guards
+    ``(?t<=N)`` change the matching rules and gate."""
+    s = pattern.strip()
+    if s and s[0] in "'\"" and s[-1] == s[0]:
+        s = s[1:-1]
+    toks = re.findall(r"\(\?t[^)]*\)|\(\?\d+\)|\.\*|\.|.", s)
+    if any(t.startswith("(?t") for t in toks):
+        raise ValueError(
+            f"{fn}: (?t…) time guards bound ADJACENT matched events "
+            "(windowFunnel bounds the chain start) — no mechanical "
+            "translation; use funnel_levels for chain-start windows"
+        )
+    levels: list[int] = []
+    prev_item = False
+    for t in toks:
+        if t == ".*":
+            prev_item = False
+        elif t.startswith("(?"):
+            if prev_item:
+                raise ValueError(
+                    f"{fn}: adjacent pattern items without .* require "
+                    "strict sequence adjacency (every intervening event "
+                    "breaks the match) — only the .*-separated "
+                    "subsequence form translates"
+                )
+            idx = int(t[2:-1])
+            if not 1 <= idx <= n_conds:
+                raise ValueError(f"{fn}: pattern references (?{idx}) "
+                                 f"but only {n_conds} conditions given")
+            levels.append(idx)
+            prev_item = True
+        else:
+            raise ValueError(
+                f"{fn}: unsupported pattern token {t!r} — only (?N) "
+                "items separated by .* translate"
+            )
+    if not levels:
+        raise ValueError(f"{fn}: pattern has no (?N) items")
+    return levels
+
+
+# effectively-infinite window for the sequence* folds (ts is epoch
+# seconds ~1.7e9; 2^62 cannot overflow BIGINT when added to it)
+_SEQ_NO_WINDOW = str(1 << 62)
+
+
+def _sequence_match_sql(p: list[str], a: list[str]) -> str:
+    """sequenceMatch(pattern)(ts, conds…): the windowFunnel fold with an
+    infinite window and the conditions reordered to pattern order
+    degenerates to greedy subsequence existence — exactly CH's
+    .*-separated semantics. Returns 1/0 (CH UInt8)."""
+    levels = _sequence_pattern_levels(p[0], len(a) - 1, "sequenceMatch")
+    conds = [a[i] for i in levels]
+    fold = _window_funnel_sql([_SEQ_NO_WINDOW], [a[0]] + conds)
+    return f"CAST(({fold}) = {len(levels)} AS INT)"
+
+
+def _sequence_count_sql(p: list[str], a: list[str]) -> str:
+    """sequenceCount(pattern)(ts, conds…): non-overlapping greedy count
+    — the same fold with a completion counter that resets the chain
+    state, matching CH's 'search for the next chain after the current
+    chain is matched' rule (earliest-completion is the classic optimal
+    non-overlapping strategy)."""
+    levels = _sequence_pattern_levels(p[0], len(a) - 1, "sequenceCount")
+    ts, conds = a[0], [a[i] for i in levels]
+    n = len(conds)
+    t = f"unix_seconds(CAST(({ts}) AS TIMESTAMP))"
+    entries = ", ".join(
+        f"named_struct('t', {t}, 'e', {i + 1}, "
+        f"'ok', coalesce(CAST(({c}) AS BOOLEAN), false))"
+        for i, c in enumerate(conds)
+    )
+    nulls = f"array_repeat(CAST(NULL AS BIGINT), {n})"
+    if n == 1:
+        # every matching event is a (trivially non-overlapping) chain
+        return (
+            f"CAST(count(IF(coalesce(CAST(({conds[0]}) AS BOOLEAN), "
+            f"false) AND ({ts}) IS NOT NULL, 1, NULL)) AS INT)"
+        )
+    return (
+        "aggregate("
+        f"array_sort(flatten(collect_list("
+        f"filter(array({entries}), x -> x.ok AND x.t IS NOT NULL)))), "
+        f"named_struct('cnt', 0, 'et', {nulls}), "
+        "(acc, ev) -> CASE "
+        "WHEN ev.e = 1 THEN named_struct('cnt', acc.cnt, "
+        "'et', transform(acc.et, (x, i) -> IF(i = 0, ev.t, x))) "
+        f"WHEN acc.et[ev.e - 2] IS NOT NULL AND ev.e = {n} THEN "
+        f"named_struct('cnt', acc.cnt + 1, 'et', {nulls}) "
+        "WHEN acc.et[ev.e - 2] IS NOT NULL THEN named_struct("
+        "'cnt', acc.cnt, "
+        "'et', transform(acc.et, (x, i) -> IF(i = ev.e - 1, "
+        "acc.et[ev.e - 2], x))) "
+        "ELSE acc END, "
+        "acc -> acc.cnt)"
+    )
+
+
 _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileExact": lambda p, a: (
@@ -1381,13 +1483,11 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     # entries order by level ascending (deterministic where CH's
     # insertion order is not). Strict modes gate below.
     "windowFunnel": lambda p, a: _window_funnel_sql(p, a),
-    "sequenceMatch": lambda p, a: (_ for _ in ()).throw(
-        ValueError(
-            "sequenceMatch(pattern)(ts, conds...) chain patterns map to "
-            "functions.funnel.sequence_match (see sequence_match_share); "
-            "time-bounded patterns map to funnel_levels"
-        )
-    ),
+    # sequenceMatch/sequenceCount: the .*-separated subsequence grammar
+    # translates exactly (builders above); strict adjacency and (?t…)
+    # guards gate with pointers inside _sequence_pattern_levels
+    "sequenceMatch": lambda p, a: _sequence_match_sql(p, a),
+    "sequenceCount": lambda p, a: _sequence_count_sql(p, a),
 }
 
 

@@ -1,0 +1,134 @@
+"""Distributed n-gram language-model scoring — the CCNet/Gopher-style
+quality signal: train a bigram model with stupid backoff (Brants et al.
+2007, "Large Language Models in Machine Translation" — the standard
+web-scale smoothing: no discounting, a fixed backoff factor, chosen
+precisely because it trains with nothing but count aggregations) over a
+reference corpus, then score candidate documents by average token
+log-probability. Low-scoring documents are gibberish/boilerplate;
+high-scoring ones resemble the reference corpus — the classic
+perplexity filter for LLM training data.
+
+Beyond-reference training-data operator (the reference engine has no LM
+code; this extends the pipeline family in BASELINE.json's spirit).
+
+Scale design (100 TB corpus):
+- training = two groupBy count aggregations (unigrams, bigrams) — both
+  map-side combinable, shuffle keyed on the gram; model size is
+  O(unique grams), never O(corpus).
+- scoring = two keyed left joins (doc bigrams → bigram counts, context
+  word → unigram counts) + one per-doc re-aggregation. Joins shuffle on
+  gram keys; AQE broadcasts the unigram side when it fits.
+- the corpus total enters as a 1-row broadcast cross-join — no driver
+  collect anywhere.
+- token/bigram explosion is pure Catalyst (``regexp_extract_all`` +
+  ``transform``/``slice``), no Python in the hot path.
+
+Tokenization matches operators/text.py (``[A-Za-z0-9]+`` on lowered
+text) so the DuckDB oracle reproduces it verbatim.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.operators.text import TOKEN_RE
+
+
+def _tokens(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+@dataclass
+class BigramLM:
+    """A trained stupid-backoff bigram model: unigram counts
+    (``w, c1``), bigram counts (``w1, w2, c2``) and the 1-row corpus
+    total (``n_total``). All counts are DOUBLE so probability ratios
+    divide identically in every engine."""
+
+    unigrams: DataFrame
+    bigrams: DataFrame
+    total: DataFrame  # single row: n_total double
+    alpha: float = 0.4
+
+
+def train_bigram_lm(
+    corpus: DataFrame, text_col: str = "text", alpha: float = 0.4
+) -> BigramLM:
+    """Two count shuffles over the exploded token/bigram streams."""
+    toks = corpus.select(_tokens(text_col).alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), "
+                "(x, i) -> struct(x AS w1, element_at(tk, i + 2) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    total = uni.agg(F.sum("c1").alias("n_total"))
+    return BigramLM(unigrams=uni, bigrams=bi, total=total, alpha=alpha)
+
+
+def score_docs(
+    docs: DataFrame,
+    lm: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average log10 transition probability under the
+    model: P(w2|w1) = c(w1 w2)/c(w1) when the bigram was seen, else
+    alpha * c(w2)/N (alpha * 1/N for OOV w2 — the stupid-backoff
+    ladder). Documents with fewer than two tokens score 0.0 with
+    n_trans = 0. Output: (id, n_trans, avg_logp10)."""
+    pairs = docs.select(
+        F.col(id_col).alias("_id"), _tokens(text_col).alias("tk")
+    ).select(
+        "_id",
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), "
+                "(x, i) -> struct(x AS w1, element_at(tk, i + 2) AS w2))"
+            )
+        ).alias("p"),
+    ).select("_id", "p.w1", "p.w2")
+    uni = lm.unigrams
+    joined = (
+        pairs.join(lm.bigrams, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("ctx")), "w1", "left")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("cur")), "w2", "left")
+        .crossJoin(F.broadcast(lm.total))
+    )
+    logp = F.log10(
+        F.when(
+            F.col("c2").isNotNull() & F.col("ctx").isNotNull(),
+            F.col("c2") / F.col("ctx"),
+        ).otherwise(
+            F.lit(lm.alpha) * F.coalesce(F.col("cur"), F.lit(1.0)) / F.col("n_total")
+        )
+    )
+    per_doc = joined.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_trans"),
+        F.sum(logp).alias("_sum_lp"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_trans"), F.lit(0)).cast("long").alias("n_trans"),
+            F.round(
+                F.coalesce(F.col("_sum_lp") / F.col("n_trans"), F.lit(0.0)), 2
+            ).alias("avg_logp10"),
+        )
+    )

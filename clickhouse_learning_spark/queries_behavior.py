@@ -307,3 +307,68 @@ def ch_window_funnel_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     out = spark.sql(translate(ch))
     return out.select("level", F.col("users").cast("long").alias("users"))
+
+
+@query(
+    "ch_sequence_dialect",
+    """
+    WITH s1 AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                       min(CAST(floor(epoch(ts)) AS BIGINT)) AS t1
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, day),
+    s2 AS (SELECT e.user_id, s1.day,
+                  min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t2
+           FROM events e JOIN s1
+             ON e.user_id = s1.user_id AND CAST(e.ts AS DATE) = s1.day
+           WHERE e.event_type = 'click'
+             AND CAST(floor(epoch(e.ts)) AS BIGINT) >= s1.t1
+           GROUP BY e.user_id, s1.day),
+    s3 AS (SELECT e.user_id, s2.day,
+                  min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t3
+           FROM events e JOIN s2
+             ON e.user_id = s2.user_id AND CAST(e.ts AS DATE) = s2.day
+           WHERE e.event_type = 'purchase'
+             AND CAST(floor(epoch(e.ts)) AS BIGINT) >= s2.t2
+           GROUP BY e.user_id, s2.day),
+    u AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    m AS (SELECT u.user_id, u.day,
+                 CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END AS matched
+          FROM u LEFT JOIN s3
+            ON u.user_id = s3.user_id AND u.day = s3.day)
+    SELECT day, CAST(sum(matched) AS BIGINT) AS matched_users,
+           CAST(count(*) AS BIGINT) AS groups
+    FROM m GROUP BY day
+    """,
+)
+def ch_sequence_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')`` pasted verbatim
+    through the dialect shim (round-4: the .*-separated subsequence
+    grammar translates to the infinite-window fold —
+    dialect._sequence_match_sql). Grouped per (user, day) so the
+    fixture's outcome actually splits (~2 events per user-day: 56 of
+    4006 groups match at sf0.01). The oracle is the greedy-min chain
+    walk, EXACT for subsequence existence (greedy earliest match is
+    optimal without time guards); non-strict >= mirrors the fold's
+    level-ascending same-second tie order. One shuffle; codegen fold."""
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).createOrReplaceTempView("ch_seq_events")
+    ch = """
+        SELECT day, sum(matched) AS matched_users, count(*) AS groups
+        FROM (
+          SELECT user_id, toDate(ts) AS day,
+                 sequenceMatch('(?1).*(?2).*(?3)')(
+                     ts, event_type = 'view', event_type = 'click',
+                     event_type = 'purchase') AS matched
+          FROM ch_seq_events GROUP BY user_id, toDate(ts))
+        GROUP BY day
+    """
+    out = spark.sql(translate(ch))
+    return out.select(
+        "day",
+        F.col("matched_users").cast("long").alias("matched_users"),
+        F.col("groups").cast("long").alias("groups"),
+    )

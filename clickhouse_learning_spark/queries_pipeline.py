@@ -1467,3 +1467,50 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = idx.build(b1).select("doc_id", F.lit(1).cast("long").alias("batch"))
     a2 = idx.append(b2).select("doc_id", F.lit(2).cast("long").alias("batch"))
     return a1.unionAll(a2)
+
+
+@query(
+    "lm_quality_scores",
+    """
+    WITH tk AS (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+                FROM documents),
+    uni AS (SELECT u AS w, CAST(count(*) AS DOUBLE) AS c1
+            FROM (SELECT unnest(t) AS u FROM tk) GROUP BY u),
+    tot AS (SELECT sum(c1) AS n FROM uni),
+    pairs AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+              FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g),
+    bi AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
+           FROM pairs GROUP BY w1, w2),
+    sc AS (SELECT p.doc_id,
+                  log10(CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+                             THEN b.c2 / u1.c1
+                             ELSE 0.4 * coalesce(u2.c1, 1.0)
+                                  / (SELECT n FROM tot) END) AS lp
+           FROM pairs p
+           LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+           LEFT JOIN uni u1 ON u1.w = p.w1
+           LEFT JOIN uni u2 ON u2.w = p.w2),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+                   round(sum(lp) / count(*), 2) AS avg_logp10
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_trans, 0) AS BIGINT) AS n_trans,
+           coalesce(a.avg_logp10, 0.0) AS avg_logp10
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff LM quality scores (operators/lm.py — the
+    CCNet-style perplexity filter): train on the documents corpus, score
+    every document by average log10 transition probability. Training =
+    two map-side-combinable count shuffles; scoring = two keyed joins +
+    per-doc re-aggregation; the corpus total is a 1-row broadcast. The
+    oracle replays the identical counts/ratios in DuckDB (same
+    tokenization; counts cast DOUBLE so the divisions are bit-equal;
+    per-doc mean rounded to 2dp on both sides)."""
+    from clickhouse_learning_spark.operators import lm as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = LM.train_bigram_lm(docs)
+    return LM.score_docs(docs, model)

@@ -53,17 +53,23 @@ def test_translate_rejects_unregistered_dictionary():
 
 
 def test_translate_points_behavioral_aggregates_at_engine_paths():
-    """sequenceMatch is a pattern-parsing multi-stage plan — translate()
-    must say exactly where the engine implements it
-    (functions/funnel.py). windowFunnel base mode translates as of r4
-    (test_translate_window_funnel); its strict modes still gate.
-    retention is order-free (per-condition OR states) and translates to
+    """As of r4, windowFunnel base mode and the .*-separated
+    sequenceMatch/sequenceCount grammar translate to fold expressions
+    (test_translate_window_funnel / test_translate_sequence_functions);
+    the shapes whose matching rules genuinely differ — strict
+    adjacency, (?t…) guards, windowFunnel strict modes — still gate
+    with pointers. retention is order-free and translates to
     conditional-max products — see test_translate_retention_executes."""
     assert "aggregate(" in translate(
         "windowFunnel(3600)(ts, etype = 'view', etype = 'click')"
     )
-    with pytest.raises(ValueError, match="sequence_match"):
-        translate("sequenceMatch('(?1).*(?2)')(ts, a = 1, b = 1)")
+    assert "aggregate(" in translate(
+        "sequenceMatch('(?1).*(?2)')(ts, a = 1, b = 1)"
+    )
+    with pytest.raises(ValueError, match="adjacen"):
+        translate("sequenceMatch('(?1)(?2)')(ts, a = 1, b = 1)")
+    with pytest.raises(ValueError, match="time guards"):
+        translate("sequenceCount('(?1)(?t<=10)(?2)')(ts, a = 1, b = 1)")
 
 
 def test_translate_retention_executes(spark):
@@ -1637,3 +1643,92 @@ def test_translate_window_funnel(spark):
     assert got == {1: 3, 2: 2, 3: 1, 4: 1, 5: 0, 6: 2, 7: 2}
     with _pytest.raises(ValueError, match="strict"):
         translate("SELECT windowFunnel(10, 'strict_order')(t, x = 1) FROM ch_wf")
+
+
+def test_rollup_cube_passthrough(spark):
+    """``GROUP BY … WITH ROLLUP / WITH CUBE``: ClickHouse and Spark
+    share the syntax, so translate() passes it through — pinned here so
+    a future clause rewrite can't break it. Subtotal rows carry NULL
+    keys in Spark where ClickHouse uses type defaults (0/''): the same
+    documented divergence as the WITH TOTALS mapping."""
+    spark.createDataFrame(
+        [(1, "x", 2), (1, "y", 3), (2, "x", 4)], "a int, b string, v int"
+    ).createOrReplaceTempView("ch_rollup")
+    r = spark.sql(
+        translate(
+            "SELECT a, b, sum(v) AS s FROM ch_rollup "
+            "GROUP BY a, b WITH ROLLUP ORDER BY a, b"
+        )
+    ).collect()
+    assert (r[0].a, r[0].b, r[0].s) == (None, None, 9)  # grand total
+    assert (r[1].a, r[1].b, r[1].s) == (1, None, 5)     # a=1 subtotal
+    c = spark.sql(
+        translate(
+            "SELECT a, b, sum(v) AS s FROM ch_rollup "
+            "GROUP BY a, b WITH CUBE ORDER BY a, b"
+        )
+    ).collect()
+    assert len(c) == 8  # cube adds the b-only slices
+
+
+def test_translate_sequence_functions(spark):
+    """Round-4: sequenceMatch/sequenceCount translate for the
+    .*-separated subsequence grammar — sequenceMatch is the
+    windowFunnel fold with an infinite window (greedy subsequence
+    existence), sequenceCount adds a completion counter that resets the
+    chain (CH's non-overlapping 'search next after match' rule).
+    Pattern indices may reference conditions in any order."""
+    rows = [
+        (1, 0, "a"), (1, 5, "b"), (1, 10, "a"), (1, 20, "b"),  # 2 chains
+        (2, 0, "b"), (2, 5, "a"),                              # wrong order
+        (3, 0, "a"), (3, 1, "a"), (3, 2, "b"),                 # overlap: 1
+        (6, 0, "a"), (6, 1, "b"), (6, 2, "a"),
+        (6, 3, "b"), (6, 4, "a"), (6, 5, "b"),                 # 3 chains
+    ]
+    spark.createDataFrame(
+        rows, "uid int, t long, etype string"
+    ).createOrReplaceTempView("ch_seq")
+    m = {
+        r.uid: r.m
+        for r in spark.sql(
+            translate(
+                "SELECT uid, sequenceMatch('(?1).*(?2)')(t, etype='a', "
+                "etype='b') AS m FROM ch_seq GROUP BY uid"
+            )
+        ).collect()
+    }
+    assert m == {1: 1, 2: 0, 3: 1, 6: 1}
+    c = {
+        r.uid: r.c
+        for r in spark.sql(
+            translate(
+                "SELECT uid, sequenceCount('(?1).*(?2)')(t, etype='a', "
+                "etype='b') AS c FROM ch_seq GROUP BY uid"
+            )
+        ).collect()
+    }
+    assert c == {1: 2, 2: 0, 3: 1, 6: 3}
+    # reversed pattern refs: (?2).*(?1) = b then a
+    rev = {
+        r.uid: r.m
+        for r in spark.sql(
+            translate(
+                "SELECT uid, sequenceMatch('(?2).*(?1)')(t, etype='a', "
+                "etype='b') AS m FROM ch_seq GROUP BY uid"
+            )
+        ).collect()
+    }
+    assert rev == {1: 1, 2: 1, 3: 0, 6: 1}
+    # single-condition count = plain conditional count
+    c1 = {
+        r.uid: r.c
+        for r in spark.sql(
+            translate(
+                "SELECT uid, sequenceCount('(?1)')(t, etype='a') AS c "
+                "FROM ch_seq GROUP BY uid"
+            )
+        ).collect()
+    }
+    assert c1 == {1: 2, 2: 1, 3: 2, 6: 3}
+    with pytest.raises(ValueError, match="only .* conditions given"):
+        translate("SELECT sequenceMatch('(?3).*(?1)')(t, a=1, b=1) FROM ch_seq")
