@@ -61,6 +61,7 @@ _PRIORITY = [
     # oracle upgrades: rows-only → independent-golden hash checks
     "multimodal_features",
     "multimodal_jpeg_features",
+    "audio_spectral",  # r4: formula-PCM + from-scratch-FFT golden
     # native SOF2 decode over progressive payloads, same golden
     "multimodal_progressive_jpeg_features",
     "lm_quality_scores",  # bigram stupid-backoff perplexity filter (r4)
@@ -90,7 +91,6 @@ _PRIORITY = [
     "multimodal_gif_pixel_sums",
     # --- (c) r1-evidence rotation (driver-graded only in round 1) -----
     "filter_project_prune",
-    "modulo_skew_filter",
     "like_and_conjunction",
     "cross_join_matrix",
     "union_all_batches",

@@ -682,6 +682,12 @@ def _register_multimodal_goldens() -> None:
     _ORACLES["multimodal_progressive_jpeg_features"] = _ORACLES[
         "multimodal_jpeg_features"
     ]
+    _ORACLES["audio_spectral"] = _values_oracle(
+        G.AUDIO_SPECTRAL,
+        ["media_id", "dominant_hz", "spectral_centroid",
+         "spectral_bandwidth", "rolloff_85", "zcr"],
+        ["BIGINT", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE"],
+    )
 
 
 def multimodal_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,10 +841,14 @@ _register_multimodal_goldens()
 def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio spectral features (operators/multimodal.py
     audio_spectral_features): numpy-rFFT dominant frequency, spectral
-    centroid/bandwidth, 85% rolloff, zero-crossing rate and log-band
-    energies over real PCM16 WAV payloads. FFT is not SQL-expressible →
-    rows-only driver check; pytest asserts the features recover the
-    synthesized harmonics exactly (test_pipeline_ops.py)."""
+    centroid/bandwidth, 85% rolloff and zero-crossing rate over real
+    PCM16 WAV payloads. Hash-checked as of round 4: the oracle embeds
+    golden values from tools/ref_audio.py — formula-derived PCM and a
+    from-scratch radix-2 FFT (no np.fft), with the WAV byte round-trip
+    asserted sample-exact at generation time — so a bug anywhere in
+    the generator, parser, framing, windowing or pocketfft call breaks
+    the match. pytest additionally asserts the features recover the
+    synthesized harmonics (test_pipeline_ops.py)."""
     docs = load_table(spark, sf_dir, "documents")
     audio = MM.build_audio_table(spark, docs)
     return MM.audio_spectral_features(audio).select(

@@ -16,6 +16,11 @@ Every value is derived INDEPENDENTLY of the engine's decode path:
   two decoders pixel-for-pixel and refuses to write goldens on any
   mismatch, so the committed values are agreed by two independent
   implementations of the specification.
+- ``audio_spectral``: features recomputed by tools/ref_audio.py —
+  formula-derived PCM and a from-scratch radix-2 FFT (no np.fft). The
+  script asserts the production WAV generator+parser round-trip to the
+  identical samples and that the reference FFT agrees with pocketfft
+  before writing anything.
 
 The fixtures are pure functions of doc_id, and the documents table
 carries ids 0..499 at every shipped SF, so one golden set serves all
@@ -39,7 +44,11 @@ from clickhouse_learning_spark.operators.jpeg import (  # noqa: E402
     decode_baseline,
     encode_baseline,
 )
-from tools import ref_jpeg  # noqa: E402
+from clickhouse_learning_spark.operators.multimodal import (  # noqa: E402
+    _parse_wav,
+    wav_audio,
+)
+from tools import ref_audio, ref_jpeg  # noqa: E402
 
 DOC_IDS = range(500)  # documents.parquet carries 0..499 at every SF
 
@@ -68,11 +77,34 @@ def audio_rms(doc_id: int) -> tuple[float, float]:
     return round(n / sr, 4), round(float(np.sqrt((pcm * pcm).mean())), 4)
 
 
+def check_audio_roundtrip(did: int) -> None:
+    """The golden PCM comes from the waveform formula; assert the
+    production WAV generator + parser round-trip to the identical
+    samples, so a byte-path bug can't hide behind a formula golden."""
+    sr_ref, pcm_ref = ref_audio.fixture_pcm(did)
+    payload = wav_audio(did, 8000, did % 5 * 2000 + 2000)
+    sr, n, off = _parse_wav(payload)
+    pcm = np.frombuffer(payload, dtype="<i2", count=n, offset=off).astype(
+        np.float64
+    ) / 32768.0
+    if sr != sr_ref or not np.array_equal(pcm, pcm_ref):
+        sys.exit(f"WAV round-trip mismatch doc_id={did} — goldens NOT written")
+
+
 def main() -> None:
     feat_rows = []
     jpeg_rows = []
+    audio_rows = []
     mismatches = 0
+    # transform sanity: the from-scratch radix-2 FFT must agree with
+    # pocketfft to float noise before any golden is derived from it
+    probe = np.cos(np.arange(512) * 0.37) + 0.1
+    assert (
+        np.abs(ref_audio.fft_radix2(probe) - np.fft.fft(probe)).max() < 1e-9
+    ), "radix-2 reference FFT disagrees with pocketfft"
     for did in DOC_IDS:
+        check_audio_roundtrip(did)
+        audio_rows.append((did, *ref_audio.spectral_features(did)))
         px = fixture_pixels(did)
         means = px.reshape(-1, 3).mean(axis=0)
         dur, rms = audio_rms(did)
@@ -131,9 +163,14 @@ def main() -> None:
         fh.write("JPEG_FEATURES = [\n")
         for r in jpeg_rows:
             fh.write(f"    {r!r},\n")
+        fh.write("]\n\n# (media_id, dominant_hz, spectral_centroid, "
+                 "spectral_bandwidth, rolloff_85, zcr)\n")
+        fh.write("AUDIO_SPECTRAL = [\n")
+        for r in audio_rows:
+            fh.write(f"    {r!r},\n")
         fh.write("]\n")
     print(f"wrote {out}: {len(feat_rows)} feature rows, "
-          f"{len(jpeg_rows)} jpeg rows")
+          f"{len(jpeg_rows)} jpeg rows, {len(audio_rows)} audio rows")
 
 
 if __name__ == "__main__":
