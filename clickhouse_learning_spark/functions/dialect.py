@@ -55,6 +55,60 @@ def _two(args: list[str], name: str) -> tuple[str, str]:
     return args[0], args[1]
 
 
+def _int_literal(s: str, what: str) -> int:
+    t = s.strip()
+    if not re.fullmatch(r"-?\d+", t):
+        raise ValueError(f"{what} must be an integer literal, got {s!r}")
+    return int(t)
+
+
+def _to_week_sql(a: list[str]) -> str:
+    """``toWeek(d[, mode])`` — MySQL WEEK(d, mode) numbering, which CH
+    adopts. Mode 0 (default): Sunday-start weeks 0–53, week 1 = the
+    first week containing a Sunday — week = ⌊(doy − fsd + 7)/7⌋ with
+    fsd = day-of-year of the year's first Sunday. Mode 1:
+    Monday-start weeks 0–53, week 1 = the first week with ≥ 4 days in
+    this year (ISO rule without the year wrap — early-January days
+    before week 1 are week 0, not last year's week). Mode 3 = ISO
+    (``weekofyear``). The remaining MySQL modes (2, 4–9) gate."""
+    x = a[0]
+    mode = _int_literal(a[1], "toWeek mode") if len(a) > 1 else 0
+    if mode == 0:
+        return (
+            f"CAST(floor((dayofyear({x}) - "
+            f"((8 - dayofweek(trunc({x}, 'YEAR'))) % 7 + 1) + 7) / 7) AS INT)"
+        )
+    if mode == 1:
+        # jan1_dow_mon: 0=Mon..6=Sun for Jan 1; the first partial week
+        # belongs to this year (week 1) iff it has >= 4 days
+        j = f"pmod(dayofweek(trunc({x}, 'YEAR')) + 5, 7)"
+        return (
+            f"CAST(floor((dayofyear({x}) - 1 + {j}) / 7) "
+            f"+ IF(7 - {j} >= 4, 1, 0) AS INT)"
+        )
+    if mode == 3:
+        return f"weekofyear({x})"
+    raise ValueError(
+        f"toWeek mode {mode} is not translated (modes 0, 1, 3 are; "
+        "the remaining MySQL week-mode table entries differ only in "
+        "first-day/range bookkeeping — file the mode you need)"
+    )
+
+
+def _to_day_of_week_sql(a: list[str]) -> str:
+    x = a[0]
+    mode = _int_literal(a[1], "toDayOfWeek mode") if len(a) > 1 else 0
+    forms = {
+        0: f"(pmod(dayofweek({x}) + 5, 7) + 1)",  # Mon=1..Sun=7
+        1: f"pmod(dayofweek({x}) + 5, 7)",        # Mon=0..Sun=6
+        2: f"dayofweek({x})",                      # Sun=1..Sat=7
+        3: f"(dayofweek({x}) - 1)",                # Sun=0..Sat=6
+    }
+    if mode not in forms:
+        raise ValueError(f"toDayOfWeek mode must be 0-3, got {mode}")
+    return forms[mode]
+
+
 def _tuple_or_one(args: list[str]) -> str:
     """Multi-argument distinct input hashes the tuple
     (docs/物化视图的实战经验分享.md:179-184)."""
@@ -211,10 +265,14 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["toStartOfMonth"] = lambda a: f"trunc({_one(a, 'toStartOfMonth')}, 'MONTH')"
     # CH toStartOfWeek defaults to mode 0 = SUNDAY-start (the Monday
     # round-down is toMonday / mode 1); Spark trunc(…,'WEEK') is
-    # Monday-start, so subtract (dayofweek-1) days instead
+    # Monday-start, so subtract (dayofweek-1) days instead. With an
+    # explicit mode argument (r4): even modes are Sunday-start, odd
+    # Monday-start — MySQL's WEEK mode table, which CH adopts.
     m["toStartOfWeek"] = lambda a: (
-        lambda x: f"date_sub(to_date({x}), dayofweek({x}) - 1)"
-    )(_one(a, "toStartOfWeek"))
+        (lambda x: f"date_sub(to_date({x}), dayofweek({x}) - 1)")(a[0])
+        if len(a) == 1 or _int_literal(a[1], "toStartOfWeek mode") % 2 == 0
+        else f"to_date(trunc({a[0]}, 'WEEK'))"
+    )
     m["toMonday"] = lambda a: (
         f"to_date(trunc({_one(a, 'toMonday')}, 'WEEK'))"
     )
@@ -229,19 +287,7 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     ):
         if _sp is not None:
             m[_ch] = (lambda sp, ch: lambda a: f"{sp}({_one(a, ch)})")(_sp, _ch)
-    m["toWeek"] = lambda a: (
-        # CH toWeek defaults to mode 0 (MySQL WEEK(d, 0)): Sunday-start
-        # weeks numbered 0–53, week 1 = the first week containing a
-        # Sunday — NOT ISO weekofyear. week = ⌊(doy − fsd + 7) / 7⌋
-        # where fsd = day-of-year of the year's first Sunday
-        # ((8 − dow(Jan 1)) % 7 + 1 with Spark's Sunday=1 dayofweek).
-        # Other modes aren't translated; toISOWeek covers mode 3's
-        # numbering.
-        lambda x: (
-            f"CAST(floor((dayofyear({x}) - "
-            f"((8 - dayofweek(trunc({x}, 'YEAR'))) % 7 + 1) + 7) / 7) AS INT)"
-        )
-    )(_one(a, "toWeek"))
+    m["toWeek"] = lambda a: _to_week_sql(a)
     m["toStartOfQuarter"] = lambda a: (
         f"to_date(date_trunc('QUARTER', {_one(a, 'toStartOfQuarter')}))"
     )
@@ -654,10 +700,10 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["toHour"] = lambda a: f"hour({_one(a, 'toHour')})"
     m["toMinute"] = lambda a: f"minute({_one(a, 'toMinute')})"
     m["toDayOfMonth"] = lambda a: f"day({_one(a, 'toDayOfMonth')})"
-    # ClickHouse toDayOfWeek: Monday=1..Sunday=7; Spark dayofweek: Sunday=1
-    m["toDayOfWeek"] = lambda a: (
-        f"(pmod(dayofweek({_one(a, 'toDayOfWeek')}) + 5, 7) + 1)"
-    )
+    # ClickHouse toDayOfWeek: Monday=1..Sunday=7; Spark dayofweek:
+    # Sunday=1. Mode argument (r4): 0 = Mon 1–7 (default), 1 = Mon 0–6,
+    # 2 = Sun 1–7, 3 = Sun 0–6 — CH's documented table.
+    m["toDayOfWeek"] = lambda a: _to_day_of_week_sql(a)
     # (formatDateTime is mapped above via _format_datetime — the CH
     # %-codes must be rewritten, not passed through to date_format)
 

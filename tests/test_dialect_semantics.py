@@ -127,10 +127,21 @@ def test_week_and_weekday_conventions(spark):
         [
             ("toDayOfWeek(toDate('2024-01-08'))", 1),  # Monday
             ("toDayOfWeek(toDate('2024-01-07'))", 7),  # Sunday
+            # r4: explicit mode arguments (CH's documented table)
+            ("toDayOfWeek(toDate('2024-01-08'), 1)", 0),  # Mon 0-6
+            ("toDayOfWeek(toDate('2024-01-07'), 2)", 1),  # Sun 1-7
+            ("toDayOfWeek(toDate('2024-01-06'), 3)", 6),  # Sat, Sun 0-6
             ("toStartOfWeek(toDate('2024-01-10'))", dt.date(2024, 1, 7)),
+            ("toStartOfWeek(toDate('2024-01-10'), 1)", dt.date(2024, 1, 8)),
             ("toMonday(toDate('2024-01-10'))", dt.date(2024, 1, 8)),
             ("toWeek(toDate('2021-01-01'))", 0),
             ("toWeek(toDate('2021-01-03'))", 1),  # first Sunday of 2021
+            # r4 mode 1: Monday-start, week 1 needs >= 4 days this year
+            ("toWeek(toDate('2021-01-01'), 1)", 0),  # Fri: 3-day first week
+            ("toWeek(toDate('2021-01-04'), 1)", 1),  # first Monday
+            ("toWeek(toDate('2024-01-01'), 1)", 1),  # Monday year start
+            ("toWeek(toDate('2024-12-31'), 1)", 53),  # no ISO year wrap
+            ("toWeek(toDate('2021-01-01'), 3)", 53),  # mode 3 = ISO
             ("toISOWeek(toDate('2021-01-01'))", 53),
             ("dateName('weekday', toDate('2024-01-08'))", "Monday"),
         ],
