@@ -78,6 +78,7 @@ _PRIORITY = [
     "ch_interpolate_dialect",
     "ch_window_funnel_dialect",  # CH-exact windowFunnel fold (r4)
     "ch_sequence_dialect",  # sequenceMatch subsequence grammar (r4)
+    "ch_url_dialect",  # CH URL function family (r4)
     "json_extract_agg",
     # ddl/deployment read-path changes (schema re-pin, Nullable default)
     "replacing_latest_event",
@@ -92,7 +93,6 @@ _PRIORITY = [
     # --- (c) r1-evidence rotation (driver-graded only in round 1) -----
     "filter_project_prune",
     "like_and_conjunction",
-    "cross_join_matrix",
     "union_all_batches",
     "scalar_datetime_math",
     "parse_datetime_best_effort",

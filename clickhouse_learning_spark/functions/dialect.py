@@ -807,6 +807,79 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["extractURLParameter"] = lambda a: (
         lambda u, k: f"parse_url({u}, 'QUERY', {k})"
     )(*_two(a, "extractURLParameter"))
+    # r4: the rest of the CH URL family. parse_url is Spark's JVM-side
+    # parser (requires a scheme — CH's scheme-less 'example.com/x'
+    # leniency is a documented divergence, pinned in the grid test).
+    m["pathFull"] = lambda a: f"parse_url({_one(a, 'pathFull')}, 'FILE')"
+    m["netloc"] = lambda a: f"parse_url({_one(a, 'netloc')}, 'AUTHORITY')"
+    m["domainWithoutWWW"] = lambda a: (
+        f"regexp_replace(parse_url({_one(a, 'domainWithoutWWW')}, 'HOST'), "
+        f"'^www\\\\.', '')"
+    )
+    m["topLevelDomain"] = lambda a: (
+        f"regexp_extract(parse_url({_one(a, 'topLevelDomain')}, 'HOST'), "
+        f"'([^.]+)$', 1)"
+    )
+    # firstSignificantSubdomain: the label before the effective TLD,
+    # where the effective TLD takes TWO labels when the second-to-last
+    # is in CH's short list (com/net/org/co) — 'news.clickhouse.com.tr'
+    # → 'clickhouse', 'www.example.com' → 'example'. Exotic public
+    # suffixes beyond that list follow the single-label rule, as CH's
+    # own short-list implementation does.
+
+    def _fss(u: str) -> str:
+        ls = f"split(parse_url({u}, 'HOST'), '\\\\.')"
+        sig2 = f"element_at({ls}, -2) IN ('com', 'net', 'org', 'co')"
+        return (
+            f"CASE WHEN size({ls}) >= 3 AND {sig2} "
+            f"THEN element_at({ls}, -3) "
+            f"WHEN size({ls}) >= 2 THEN element_at({ls}, -2) "
+            f"ELSE element_at({ls}, -1) END"
+        )
+
+    m["firstSignificantSubdomain"] = lambda a: _fss(
+        _one(a, "firstSignificantSubdomain")
+    )
+    m["cutToFirstSignificantSubdomain"] = lambda a: (
+        lambda u: (
+            lambda ls: (
+                f"CASE WHEN size({ls}) >= 3 AND element_at({ls}, -2) IN "
+                f"('com', 'net', 'org', 'co') "
+                f"THEN concat_ws('.', slice({ls}, size({ls}) - 2, 3)) "
+                f"WHEN size({ls}) >= 2 "
+                f"THEN concat_ws('.', slice({ls}, size({ls}) - 1, 2)) "
+                f"ELSE element_at({ls}, -1) END"
+            )
+        )(f"split(parse_url({u}, 'HOST'), '\\\\.')")
+    )(_one(a, "cutToFirstSignificantSubdomain"))
+    # textual cuts operate on the URL string itself
+    m["cutQueryString"] = lambda a: (
+        f"regexp_replace({_one(a, 'cutQueryString')}, '\\\\?[^#]*', '')"
+    )
+    m["cutFragment"] = lambda a: (
+        f"regexp_replace({_one(a, 'cutFragment')}, '#.*', '')"
+    )
+    m["cutQueryStringAndFragment"] = lambda a: (
+        f"regexp_replace({_one(a, 'cutQueryStringAndFragment')}, "
+        f"'[?#].*', '')"
+    )
+    m["cutWWW"] = lambda a: (
+        f"regexp_replace({_one(a, 'cutWWW')}, '(^|//)www\\\\.', '$1')"
+    )
+    # CH decodeURLComponent leaves '+' alone (it is percent-decoding
+    # only); java URLDecoder treats '+' as space — pre-escape it
+    m["decodeURLComponent"] = lambda a: (
+        f"url_decode(replace({_one(a, 'decodeURLComponent')}, "
+        f"'+', '%2B'))"
+    )
+    # java URLEncoder form-encodes space as '+'; CH percent-encodes
+    # ('%20') — post-replace. Remaining ulp of divergence: URLEncoder
+    # keeps '*' and encodes '~' where RFC 3986 does the opposite
+    # (pinned in the semantics grid as documented divergence).
+    m["encodeURLComponent"] = lambda a: (
+        f"replace(url_encode({_one(a, 'encodeURLComponent')}), "
+        f"'+', '%20')"
+    )
 
     # JSON extraction → get_json_object; ClickHouse passes the key as a
     # plain string argument, Spark as a '$.key' JSONPath — literal keys

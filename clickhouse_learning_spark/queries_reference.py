@@ -756,3 +756,84 @@ def ch_interpolate_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("vmax").cast("long").alias("vmax"),
         _F.col("vbase").cast("long").alias("vbase"),
     )
+
+
+@query(
+    "ch_url_dialect",
+    """
+    WITH u AS (
+      SELECT doc_id, lang,
+             'https://www.' || source || '.' ||
+             CASE WHEN doc_id % 3 = 0 THEN 'com.tr'
+                  WHEN doc_id % 3 = 1 THEN 'org' ELSE 'io' END ||
+             '/docs/' || CAST(doc_id AS VARCHAR) ||
+             '?q=' || lang || '&p=' || CAST(doc_id % 7 AS VARCHAR) AS url
+      FROM documents),
+    parts AS (
+      SELECT regexp_extract(regexp_extract(url, '^https://([^/]+)', 1),
+                            '\\.([^.]+)$', 1) AS tld,
+             CASE WHEN len(string_split(
+                         regexp_extract(url, '^https://([^/]+)', 1),
+                         '.')) >= 3
+                   AND string_split(
+                         regexp_extract(url, '^https://([^/]+)', 1),
+                         '.')[-2] IN ('com', 'net', 'org', 'co')
+                  THEN string_split(
+                         regexp_extract(url, '^https://([^/]+)', 1),
+                         '.')[-3]
+                  ELSE string_split(
+                         regexp_extract(url, '^https://([^/]+)', 1),
+                         '.')[-2] END AS fss,
+             regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q,
+             regexp_extract(url, '^https://[^/]+(/[^?#]*)', 1) AS pth
+      FROM u)
+    SELECT tld, fss,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT q) AS BIGINT) AS langs,
+           CAST(sum(length(pth)) AS BIGINT) AS path_chars
+    FROM parts GROUP BY tld, fss
+    """,
+)
+def ch_url_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse URL-function family pasted verbatim through the
+    dialect shim (round-4: topLevelDomain / firstSignificantSubdomain
+    with CH's short-list effective-TLD rule / path /
+    extractURLParameter over parse_url). URLs are synthesized from the
+    documents columns inside the pasted SQL; the oracle re-derives
+    every part with its own regex/split expressions, so a wrong rule
+    on either side breaks the match. Map-only projection + one
+    aggregation shuffle."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    ).createOrReplaceTempView("ch_url_docs")
+    ch = """
+        SELECT tld, fss, count(*) AS n,
+               uniqExact(q) AS langs,
+               sum(length(pth)) AS path_chars
+        FROM (
+          SELECT topLevelDomain(url) AS tld,
+                 firstSignificantSubdomain(url) AS fss,
+                 extractURLParameter(url, 'q') AS q,
+                 path(url) AS pth
+          FROM (
+            SELECT concat('https://www.', source, '.',
+                          multiIf(modulo(doc_id, 3) = 0, 'com.tr',
+                                  modulo(doc_id, 3) = 1, 'org', 'io'),
+                          '/docs/', toString(doc_id),
+                          '?q=', lang, '&p=', toString(modulo(doc_id, 7)))
+                   AS url
+            FROM ch_url_docs))
+        GROUP BY tld, fss
+    """
+    out = spark.sql(translate(ch))
+    return out.select(
+        "tld", "fss",
+        _F.col("n").cast("long").alias("n"),
+        _F.col("langs").cast("long").alias("langs"),
+        _F.col("path_chars").cast("long").alias("path_chars"),
+    )

@@ -265,3 +265,44 @@ def test_documented_divergences(spark):
 
     with pytest.raises(AnalysisException):
         spark.sql(translate("SELECT empty('') AS v")).collect()
+
+
+def test_url_functions(spark):
+    """r4: the CH URL family — parse_url-backed parts, the short-list
+    firstSignificantSubdomain rule (effective TLD takes two labels when
+    the second-to-last is com/net/org/co), textual cut* forms, and
+    percent-encoding fixups (decode leaves '+' alone; encode writes
+    '%20', not '+'). Documented divergences: parse_url needs a scheme
+    (CH's scheme-less leniency is absent), and java URLEncoder's
+    '*'/'~' treatment differs from RFC 3986 for exotic characters."""
+    _grid(
+        spark,
+        [
+            ("domain('https://news.clickhouse.com.tr/p?q=1#f')",
+             "news.clickhouse.com.tr"),
+            ("domainWithoutWWW('https://www.example.com/p')", "example.com"),
+            ("topLevelDomain('https://news.clickhouse.com.tr/')", "tr"),
+            ("firstSignificantSubdomain('https://news.clickhouse.com.tr/')",
+             "clickhouse"),
+            ("firstSignificantSubdomain('https://www.example.com/')",
+             "example"),
+            ("firstSignificantSubdomain('http://localhost/x')", "localhost"),
+            ("cutToFirstSignificantSubdomain("
+             "'https://news.clickhouse.com.tr/')", "clickhouse.com.tr"),
+            ("cutToFirstSignificantSubdomain('https://www.example.com/')",
+             "example.com"),
+            ("cutQueryString('http://a.com/p?q=1#frag')",
+             "http://a.com/p#frag"),
+            ("cutFragment('http://a.com/p?q=1#frag')", "http://a.com/p?q=1"),
+            ("cutQueryStringAndFragment('http://a.com/p?q=1#frag')",
+             "http://a.com/p"),
+            ("cutWWW('http://www.example.com/p')", "http://example.com/p"),
+            ("netloc('http://u:p@host.com:8080/x')", "u:p@host.com:8080"),
+            ("pathFull('http://a.com/p/q?x=1')", "/p/q?x=1"),
+            ("extractURLParameter('http://a.com/?x=1&y=2', 'y')", "2"),
+            ("decodeURLComponent('a%20b+c')", "a b+c"),
+            ("encodeURLComponent('a b')", "a%20b"),
+            # documented divergence: scheme-less URLs need the scheme
+            ("domain('example.com/path')", None),
+        ],
+    )
