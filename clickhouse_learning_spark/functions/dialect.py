@@ -536,6 +536,25 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["base64Decode"] = lambda a: (
         f"CAST(unbase64({_one(a, 'base64Decode')}) AS STRING)"
     )
+    # tryBase64Decode: CH returns '' on malformed input — guard with
+    # the base64 grammar (padding-correct length) before decoding
+    m["tryBase64Decode"] = lambda a: (
+        lambda s: (
+            f"CASE WHEN {s} RLIKE '^[A-Za-z0-9+/]*={{0,2}}$' "
+            f"AND length({s}) % 4 = 0 "
+            f"THEN CAST(unbase64({s}) AS STRING) ELSE '' END"
+        )
+    )(_one(a, "tryBase64Decode"))
+    m["bitCount"] = lambda a: f"bit_count({_one(a, 'bitCount')})"
+    # isIPv4String: dotted-quad grammar + every octet in [0, 255]
+    # (returns UInt8 1/0 like CH)
+    m["isIPv4String"] = lambda a: (
+        lambda s: (
+            f"CAST({s} RLIKE '^[0-9]{{1,3}}(\\\\.[0-9]{{1,3}}){{3}}$' "
+            f"AND forall(split({s}, '\\\\.'), "
+            f"x -> CAST(x AS INT) BETWEEN 0 AND 255) AS INT)"
+        )
+    )(_one(a, "isIPv4String"))
     # IPv4 numeric ↔ dotted-quad
     m["IPv4NumToString"] = lambda a: (
         lambda n: (

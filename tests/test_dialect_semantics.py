@@ -306,3 +306,33 @@ def test_url_functions(spark):
             ("domain('example.com/path')", None),
         ],
     )
+
+
+def test_bit_ip_base64_and_math_passthrough(spark):
+    """r4: bitCount/isIPv4String/tryBase64Decode mappings, plus pins on
+    the name-identical passthrough set (log10/log2/cbrt/pi/unhex/bin
+    reach Spark's own functions untranslated — a future rewrite must
+    not break them)."""
+    _grid(
+        spark,
+        [
+            ("bitCount(255)", 8),
+            ("bitCount(0)", 0),
+            ("isIPv4String('127.0.0.1')", 1),
+            ("isIPv4String('256.1.1.1')", 0),
+            ("isIPv4String('1.2.3')", 0),
+            ("isIPv4String('a.b.c.d')", 0),
+            ("tryBase64Decode('aGk=')", "hi"),
+            ("tryBase64Decode('not base64!')", ""),
+            ("base64Decode(base64Encode('roundtrip'))", "roundtrip"),
+            ("IPv4NumToString(IPv4StringToNum('10.20.30.40'))",
+             "10.20.30.40"),
+            ("log10(1000)", 3.0),
+            ("log2(8)", 3.0),
+            ("cbrt(27.0)", 3.0),
+            ("pi()", 3.141592653589793),
+            ("hex(unhex('4142'))", "4142"),
+            ("bitTest(5, 0)", 1),
+            ("bitTest(5, 1)", 0),
+        ],
+    )
