@@ -991,6 +991,50 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["arraySum"] = lambda a: (
         f"aggregate({_one(a, 'arraySum')}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
+    m["arrayMin"] = lambda a: f"array_min({_one(a, 'arrayMin')})"
+    m["arrayMax"] = lambda a: f"array_max({_one(a, 'arrayMax')})"
+    m["arrayAvg"] = lambda a: (
+        lambda arr: (
+            f"(aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) "
+            f"/ size({arr}))"
+        )
+    )(_one(a, "arrayAvg"))
+    # arrayReduce('agg', arr): CH's apply-an-aggregate-to-an-array meta
+    # function — the common aggregate names map to array expressions
+    # (the name must be a string literal)
+
+    def _array_reduce(a):
+        fn, arr = _two(a, "arrayReduce")
+        name = fn.strip().strip("'\"").lower()
+        forms = {
+            "sum": f"aggregate({arr}, CAST(0 AS BIGINT), (acc, x) -> acc + x)",
+            "min": f"array_min({arr})",
+            "max": f"array_max({arr})",
+            "avg": (
+                f"(aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                f" / size({arr}))"
+            ),
+            "count": f"size({arr})",
+            "any": f"element_at({arr}, 1)",
+            "anylast": f"element_at({arr}, -1)",
+            "uniqexact": f"size(array_distinct({arr}))",
+            "uniq": f"size(array_distinct({arr}))",
+            # same rank rule as the quantileExact mapping (r1 audit)
+            "median": (
+                f"element_at(array_sort({arr}), "
+                f"least(CAST(floor(0.5 * size({arr})) AS INT) + 1, "
+                f"size({arr})))"
+            ),
+        }
+        if name not in forms:
+            raise ValueError(
+                f"arrayReduce({fn}): aggregate {name!r} has no array-"
+                "expression form here — supported: "
+                + ", ".join(sorted(forms))
+            )
+        return forms[name]
+
+    m["arrayReduce"] = _array_reduce
 
     # -- aggregate equivalents ----------------------------------------------
     m["argMax"] = lambda a: (lambda x, o: f"max_by({x}, {o})")(*_two(a, "argMax"))
@@ -999,6 +1043,34 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # any_value has the same non-deterministic contract
     m["any"] = lambda a: f"any_value({_one(a, 'any')})"
     m["anyLast"] = lambda a: f"any_value({_one(a, 'anyLast')})"
+    # -Array combinator (r4): the aggregate runs over every element of
+    # every array in the group
+    m["sumArray"] = lambda a: (
+        f"sum(aggregate({_one(a, 'sumArray')}, CAST(0 AS BIGINT), "
+        f"(acc, x) -> acc + x))"
+    )
+    m["countArray"] = lambda a: f"sum(size({_one(a, 'countArray')}))"
+    m["minArray"] = lambda a: f"min(array_min({_one(a, 'minArray')}))"
+    m["maxArray"] = lambda a: f"max(array_max({_one(a, 'maxArray')}))"
+    m["avgArray"] = lambda a: (
+        lambda arr: (
+            f"(sum(aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+            f" / sum(size({arr})))"
+        )
+    )(_one(a, "avgArray"))
+    # exact distinct across all elements (CH uniqArray is approximate;
+    # this is its uniqExactArray — strictly stronger, noted divergence)
+    m["uniqExactArray"] = lambda a: (
+        f"size(array_distinct(flatten(collect_list("
+        f"{_one(a, 'uniqExactArray')}))))"
+    )
+    m["uniqArray"] = lambda a: (
+        f"size(array_distinct(flatten(collect_list("
+        f"{_one(a, 'uniqArray')}))))"
+    )
+    m["groupArrayArray"] = lambda a: (
+        f"flatten(collect_list({_one(a, 'groupArrayArray')}))"
+    )
     m["groupArray"] = lambda a: f"collect_list({_one(a, 'groupArray')})"
     m["groupUniqArray"] = lambda a: f"collect_set({_one(a, 'groupUniqArray')})"
     m["groupArrayState"] = lambda a: f"collect_list({_one(a, 'groupArrayState')})"

@@ -336,3 +336,45 @@ def test_bit_ip_base64_and_math_passthrough(spark):
             ("bitTest(5, 1)", 0),
         ],
     )
+
+
+def test_array_reduce_and_array_combinator(spark):
+    """r4: arrayReduce('agg', arr) scalar forms and the -Array
+    combinator aggregates (the aggregate runs over every element of
+    every array in the group). median follows the repo's quantileExact
+    rank rule; uniqArray maps to the exact form (CH's is approximate —
+    strictly stronger, documented)."""
+    _grid(
+        spark,
+        [
+            ("arrayReduce('sum', [1, 2, 3])", 6),
+            ("arrayReduce('max', [1, 5, 3])", 5),
+            ("arrayReduce('avg', [1, 2, 3, 6])", 3.0),
+            ("arrayReduce('count', [1, 2, 3])", 3),
+            ("arrayReduce('uniqExact', [1, 2, 2, 3])", 3),
+            ("arrayReduce('median', [1, 2, 3])", 2),
+            ("arrayReduce('anyLast', [7, 8, 9])", 9),
+            ("arrayMin([3, 1, 2])", 1),
+            ("arrayMax([3, 1, 2])", 3),
+            ("arrayAvg([2, 4])", 3.0),
+        ],
+    )
+    spark.createDataFrame(
+        [(1, [1, 2]), (1, [2, 3, 4]), (2, [10])], "g int, arr array<int>"
+    ).createOrReplaceTempView("ch_arr_agg")
+    r = {
+        row.g: row
+        for row in spark.sql(
+            translate(
+                "SELECT g, sumArray(arr) AS s, countArray(arr) AS c, "
+                "minArray(arr) AS mn, maxArray(arr) AS mx, "
+                "avgArray(arr) AS av, uniqExactArray(arr) AS u "
+                "FROM ch_arr_agg GROUP BY g"
+            )
+        ).collect()
+    }
+    assert (r[1].s, r[1].c, r[1].mn, r[1].mx, r[1].u) == (12, 5, 1, 4, 4)
+    assert r[1].av == pytest.approx(2.4)
+    assert (r[2].s, r[2].c, r[2].u) == (10, 1, 1)
+    with pytest.raises(ValueError, match="no array-expression form"):
+        translate("arrayReduce('quantileTiming', [1])")
