@@ -1608,6 +1608,16 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
             ValueError("uniqCombined(K)(x): K must be an integer literal")
         )
     ),
+    # uniqCombined64(K)(x): same precision parameter, 64-bit hash — the
+    # rsd mapping is identical
+    "uniqCombined64": lambda p, a: (
+        f"approx_count_distinct({a[0]}, "
+        f"{1.04 / (2.0 ** (int(p[0]) / 2)):.6f})"
+        if p[0].strip().isdigit()
+        else (_ for _ in ()).throw(
+            ValueError("uniqCombined64(K)(x): K must be an integer literal")
+        )
+    ),
     # quantileDeterministic(p)(x, det): ClickHouse's reservoir sampler
     # with a deterministic seed — exact percentile is strictly stronger
     # and deterministic too, so the determinator argument drops
@@ -2868,6 +2878,21 @@ def translate(
                 ident in _MAPPING or ident in ("dictGet", "dictGetOrDefault")
             ):
                 close = _matching_paren(sql, k)
+                # name(params)(args) on a mapped-but-not-parameterized
+                # name would otherwise translate the params group alone
+                # and leave the trailing (args) — a silent
+                # mistranslation (e.g. uniqCombined64(12)(x) →
+                # approx_count_distinct(12)(x)). Raise instead.
+                j2 = close + 1
+                while j2 < n and sql[j2].isspace():
+                    j2 += 1
+                if j2 < n and sql[j2] == "(":
+                    raise ValueError(
+                        f"{ident}(params)(args): the parameterized form "
+                        f"of {ident} is not translated — drop the "
+                        "parameter list or register the form in "
+                        "_PARAMETERIZED"
+                    )
                 args = [
                     translate(a, dictionaries)
                     for a in _split_args(sql[k + 1 : close])

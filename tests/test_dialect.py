@@ -1796,3 +1796,20 @@ def test_window_funnel_and_sequence_count_match_python_reference(spark):
     assert not bad_sc, f"sequenceCount mismatches: {dict(list(bad_sc.items())[:5])}"
     # users with zero events don't appear in the grouped output — the
     # graded query's GROUP BY user over the full table covers level 0
+
+
+def test_parameterized_form_on_plain_mapping_raises():
+    """Round-4 regression: name(params)(args) where the name has only a
+    plain mapping used to translate the params group alone and leave
+    the trailing (args) — silent mistranslation (uniqCombined64(12)(x)
+    became approx_count_distinct(12)(x)). Registered parameterized
+    forms translate; unregistered ones raise."""
+    assert translate("uniqCombined64(12)(x)") == (
+        "approx_count_distinct(x, 0.016250)"
+    )
+    with pytest.raises(ValueError, match="parameterized form"):
+        translate("toDate(12)(x)")
+    # legitimate adjacent-paren shapes are untouched
+    assert translate("sum(x) OVER (PARTITION BY g)") == (
+        "sum(x) OVER (PARTITION BY g)"
+    )
