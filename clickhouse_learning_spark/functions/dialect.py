@@ -2840,7 +2840,19 @@ def translate(
             k = j
             while k < n and sql[k].isspace():
                 k += 1
-            if k < n and sql[k] == "(" and ident in _PARAMETERIZED:
+            # -If combinator on a parameterized aggregate (r4):
+            # NameIf(p)(args..., cond) — the trailing condition wraps
+            # every value argument in CASE WHEN cond THEN arg END;
+            # every parameterized mapping skips NULL inputs (percentile,
+            # collect_list folds, approx_count_distinct, the funnel/
+            # sequence folds filter NULL timestamps), so the wrap IS
+            # the row filter.
+            _param_base = (
+                ident[:-2]
+                if ident.endswith("If") and ident[:-2] in _PARAMETERIZED
+                else (ident if ident in _PARAMETERIZED else None)
+            )
+            if k < n and sql[k] == "(" and _param_base is not None:
                 # name(params)(args) — two consecutive paren groups
                 pclose = _matching_paren(sql, k)
                 j2 = pclose + 1
@@ -2856,7 +2868,18 @@ def translate(
                         translate(a, dictionaries)
                         for a in _split_args(sql[j2 + 1 : aclose])
                     ]
-                    out.append(_PARAMETERIZED[ident](params, args))
+                    if _param_base != ident:
+                        if len(args) < 2:
+                            raise ValueError(
+                                f"{ident}(p)(args..., cond) needs a "
+                                "trailing condition argument"
+                            )
+                        cond = args[-1]
+                        args = [
+                            f"CASE WHEN {cond} THEN {a} END"
+                            for a in args[:-1]
+                        ]
+                    out.append(_PARAMETERIZED[_param_base](params, args))
                     i = aclose + 1
                     continue
                 if ident in _MAPPING:

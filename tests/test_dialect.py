@@ -1813,3 +1813,26 @@ def test_parameterized_form_on_plain_mapping_raises():
     assert translate("sum(x) OVER (PARTITION BY g)") == (
         "sum(x) OVER (PARTITION BY g)"
     )
+
+
+def test_parameterized_if_combinator(spark):
+    """Round-4: -If on parameterized aggregates — NameIf(p)(args…, cond)
+    wraps every value argument in CASE WHEN cond THEN arg END (all
+    parameterized mappings skip NULL inputs, so the wrap IS the row
+    filter). quantileExactIf keeps the exact rank rule over the
+    filtered rows."""
+    spark.createDataFrame(
+        [(i, i % 2) for i in range(1, 11)], "x int, p int"
+    ).createOrReplaceTempView("ch_pif")
+    r = spark.sql(
+        translate(
+            "SELECT quantileExactIf(0.5)(x, p = 1) AS q, "
+            "topKIf(2)(x, x <= 4) AS t, "
+            "uniqCombinedIf(12)(x, p = 0) AS u FROM ch_pif"
+        )
+    ).collect()[0]
+    assert r.q == 5  # odds 1,3,5,7,9 -> floor(0.5*5)+1 = 3rd = 5
+    assert sorted(r.t) == [1, 2]
+    assert r.u == 5
+    with pytest.raises(ValueError, match="trailing condition"):
+        translate("quantileIf(0.5)(x)")
