@@ -55,6 +55,12 @@ def _two(args: list[str], name: str) -> tuple[str, str]:
     return args[0], args[1]
 
 
+def _three(args: list[str], name: str) -> tuple[str, str, str]:
+    if len(args) != 3:
+        raise ValueError(f"{name} expects 3 arguments, got {len(args)}")
+    return args[0], args[1], args[2]
+
+
 def _int_literal(s: str, what: str) -> int:
     t = s.strip()
     if not re.fullmatch(r"-?\d+", t):
@@ -1039,6 +1045,28 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # -- aggregate equivalents ----------------------------------------------
     m["argMax"] = lambda a: (lambda x, o: f"max_by({x}, {o})")(*_two(a, "argMax"))
     m["argMin"] = lambda a: (lambda x, o: f"min_by({x}, {o})")(*_two(a, "argMin"))
+    # argMax/argMin -If: wrapping the ORDER argument is the row filter
+    # (max_by/min_by skip NULL orderings); empty-match returns NULL
+    # where CH returns the type default — same documented class as
+    # assumeNotNull
+    m["argMaxIf"] = lambda a: (
+        lambda x, o, c: (
+            f"max_by(CASE WHEN {c} THEN {x} END, "
+            f"CASE WHEN {c} THEN {o} END)"
+        )
+    )(*_three(a, "argMaxIf"))
+    m["argMinIf"] = lambda a: (
+        lambda x, o, c: (
+            f"min_by(CASE WHEN {c} THEN {x} END, "
+            f"CASE WHEN {c} THEN {o} END)"
+        )
+    )(*_three(a, "argMinIf"))
+    # -Distinct combinator
+    m["sumDistinct"] = lambda a: f"sum(DISTINCT {_one(a, 'sumDistinct')})"
+    m["countDistinct"] = lambda a: (
+        f"count(DISTINCT {_one(a, 'countDistinct')})"
+    )
+    m["avgDistinct"] = lambda a: f"avg(DISTINCT {_one(a, 'avgDistinct')})"
     # ClickHouse any/anyLast pick an arbitrary encountered value — Spark's
     # any_value has the same non-deterministic contract
     m["any"] = lambda a: f"any_value({_one(a, 'any')})"

@@ -1836,3 +1836,21 @@ def test_parameterized_if_combinator(spark):
     assert r.u == 5
     with pytest.raises(ValueError, match="trailing condition"):
         translate("quantileIf(0.5)(x)")
+
+
+def test_distinct_and_arg_if_combinators(spark):
+    """Round-4: -Distinct combinator (sum/count/avgDistinct) and
+    argMaxIf/argMinIf (wrapping the ordering argument is the row
+    filter — max_by/min_by skip NULL orderings)."""
+    spark.createDataFrame(
+        [(1, 10, 0), (2, 20, 1), (3, 30, 1), (2, 5, 1)],
+        "x int, o int, p int",
+    ).createOrReplaceTempView("ch_dcomb")
+    r = spark.sql(
+        translate(
+            "SELECT sumDistinct(x) AS sd, countDistinct(x) AS cd, "
+            "avgDistinct(x) AS ad, argMaxIf(x, o, p = 1) AS amx, "
+            "argMinIf(x, o, p = 1) AS amn FROM ch_dcomb"
+        )
+    ).collect()[0]
+    assert (r.sd, r.cd, r.ad, r.amx, r.amn) == (6, 3, 2.0, 3, 2)
