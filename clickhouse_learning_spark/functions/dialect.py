@@ -1067,6 +1067,20 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         f"count(DISTINCT {_one(a, 'countDistinct')})"
     )
     m["avgDistinct"] = lambda a: f"avg(DISTINCT {_one(a, 'avgDistinct')})"
+    # -OrNull combinator: NULL instead of the type default when no rows
+    # aggregated — Spark aggregates already return NULL there, so the
+    # plain form IS the OrNull form (sum is the one whose plain mapping
+    # would otherwise coalesce to 0 in the -If path)
+    for _base in ("sum", "max", "min", "avg"):
+        m[f"{_base}OrNull"] = (
+            lambda b: lambda a: f"{b}({_one(a, b + 'OrNull')})"
+        )(_base)
+    m["uniqExactOrNull"] = lambda a: (
+        lambda x: (
+            f"CASE WHEN count({x}) > 0 "
+            f"THEN count(DISTINCT {x}) END"
+        )
+    )(_one(a, "uniqExactOrNull"))
     # ClickHouse any/anyLast pick an arbitrary encountered value — Spark's
     # any_value has the same non-deterministic contract
     m["any"] = lambda a: f"any_value({_one(a, 'any')})"
