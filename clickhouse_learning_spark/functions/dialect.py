@@ -1220,6 +1220,10 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         ("minState", "min"), ("minSimpleState", "min"), ("minMerge", "min"),
         ("maxState", "max"), ("maxSimpleState", "max"), ("maxMerge", "max"),
         ("anyState", "any_value"), ("anyMerge", "any_value"),
+        # SimpleAggregateFunction supports only simple-mergeable
+        # aggregates (sum/min/max/any/anyLast — no avg/count)
+        ("anySimpleState", "any_value"),
+        ("anyLastSimpleState", "any_value"),
     ):
         m[_fn] = (lambda agg, fn: lambda a: f"{agg}({_one(a, fn)})")(_agg, _fn)
     m["countState"] = lambda a: (
