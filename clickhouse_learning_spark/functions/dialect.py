@@ -1067,6 +1067,32 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         f"count(DISTINCT {_one(a, 'countDistinct')})"
     )
     m["avgDistinct"] = lambda a: f"avg(DISTINCT {_one(a, 'avgDistinct')})"
+    # -ForEach combinator: the aggregate runs per array POSITION across
+    # rows (CH pads shorter arrays with the type default). One fold
+    # over the collected arrays; zip_with pads with NULL, coalesce
+    # supplies the identity.
+    def _foreach(op_null: str, name: str):
+        def f(a):
+            arr = _one(a, name)
+            s = f"collect_list({arr})"
+            # typed empty accumulator from the first collected array
+            # (zip_with pads the shorter side with NULL, so the fold
+            # grows the accumulator to the longest array seen)
+            return (
+                f"aggregate({s}, slice(element_at({s}, 1), 1, 0), "
+                f"(acc, x) -> zip_with(acc, x, (p, q) -> {op_null}))"
+            )
+        return f
+
+    m["sumForEach"] = _foreach(
+        "coalesce(p, CAST(0 AS BIGINT)) + coalesce(q, CAST(0 AS BIGINT))",
+        "sumForEach",
+    )
+    m["minForEach"] = _foreach("least(coalesce(p, q), coalesce(q, p))",
+                               "minForEach")
+    m["maxForEach"] = _foreach("greatest(coalesce(p, q), coalesce(q, p))",
+                               "maxForEach")
+
     # -OrNull combinator: NULL instead of the type default when no rows
     # aggregated — Spark aggregates already return NULL there, so the
     # plain form IS the OrNull form (sum is the one whose plain mapping

@@ -378,3 +378,34 @@ def test_array_reduce_and_array_combinator(spark):
     assert (r[2].s, r[2].c, r[2].u) == (10, 1, 1)
     with pytest.raises(ValueError, match="no array-expression form"):
         translate("arrayReduce('quantileTiming', [1])")
+
+
+def test_foreach_and_ornull_combinators(spark):
+    """r4: -ForEach runs the aggregate per array position across rows
+    (shorter arrays padded — CH's type-default padding becomes the
+    aggregate's identity); -OrNull returns NULL instead of the type
+    default when nothing aggregates."""
+    spark.createDataFrame(
+        [(1, [1, 2]), (1, [3, 4, 5]), (2, [10])], "g int, arr array<bigint>"
+    ).createOrReplaceTempView("ch_fe")
+    r = {
+        row.g: row
+        for row in spark.sql(
+            translate(
+                "SELECT g, sumForEach(arr) AS s, minForEach(arr) AS mn, "
+                "maxForEach(arr) AS mx FROM ch_fe GROUP BY g"
+            )
+        ).collect()
+    }
+    assert r[1].s == [4, 6, 5] and r[1].mn == [1, 2, 5] and r[1].mx == [3, 4, 5]
+    assert r[2].s == [10]
+    spark.createDataFrame(
+        [(1, None)], "g int, x int"
+    ).createOrReplaceTempView("ch_ornull")
+    row = spark.sql(
+        translate(
+            "SELECT sumOrNull(x) AS s, maxOrNull(x) AS m, "
+            "uniqExactOrNull(x) AS u FROM ch_ornull"
+        )
+    ).collect()[0]
+    assert row.s is None and row.m is None and row.u is None
