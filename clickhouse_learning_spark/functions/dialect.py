@@ -258,8 +258,15 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # ClickHouse tuples → Spark structs: struct() names fields col1…
     # (1-based, matching tuple element numbering)
     m["tuple"] = lambda a: f"struct({', '.join(a)})"
+    # index form (tupleElement(t, 2)) → .col2; CH also accepts a NAMED
+    # element (tupleElement(t, 'name')) for named tuples → plain field
+    # access (r4 — the index form used to emit t.col'name')
     m["tupleElement"] = lambda a: (
-        lambda t, i: f"{t}.col{i}"
+        lambda t, i: (
+            f"{t}.{i.strip()[1:-1]}"
+            if i.strip()[:1] in "'\""
+            else f"{t}.col{i.strip()}"
+        )
     )(*_two(a, "tupleElement"))
     m["multiIf"] = _multi_if
 
@@ -1084,10 +1091,21 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             )
         return f
 
-    m["sumForEach"] = _foreach(
-        "coalesce(p, CAST(0 AS BIGINT)) + coalesce(q, CAST(0 AS BIGINT))",
-        "sumForEach",
-    )
+    # sum widens: the accumulator must be typed BIGINT up front or the
+    # fold's merge type (int + bigint → bigint) mismatches an int-array
+    # accumulator
+    def _sum_foreach(a):
+        arr = _one(a, "sumForEach")
+        s = f"collect_list({arr})"
+        return (
+            f"aggregate({s}, transform(slice(element_at({s}, 1), 1, 0), "
+            f"y -> CAST(y AS BIGINT)), "
+            f"(acc, x) -> zip_with(acc, x, (p, q) -> "
+            f"coalesce(p, CAST(0 AS BIGINT)) + "
+            f"coalesce(CAST(q AS BIGINT), CAST(0 AS BIGINT))))"
+        )
+
+    m["sumForEach"] = _sum_foreach
     m["minForEach"] = _foreach("least(coalesce(p, q), coalesce(q, p))",
                                "minForEach")
     m["maxForEach"] = _foreach("greatest(coalesce(p, q), coalesce(q, p))",

@@ -409,3 +409,24 @@ def test_foreach_and_ornull_combinators(spark):
         )
     ).collect()[0]
     assert row.s is None and row.m is None and row.u is None
+
+
+def test_sum_foreach_int_arrays_and_named_tuple_element(spark):
+    """r4 sweep findings: sumForEach over array<int> (the fold's
+    accumulator must be BIGINT-typed up front — int + bigint merge
+    mismatched an int accumulator) and tupleElement's NAMED-element
+    form (used to emit t.col'name')."""
+    spark.createDataFrame(
+        [(1, [1, 2]), (1, [3, 4, 5])], "g int, arr array<int>"
+    ).createOrReplaceTempView("ch_fe_int")
+    r = spark.sql(
+        translate("SELECT g, sumForEach(arr) AS s FROM ch_fe_int GROUP BY g")
+    ).collect()[0]
+    assert r.s == [4, 6, 5]
+    r2 = spark.sql(
+        translate(
+            "SELECT tupleElement(named_struct('a', 7), 'a') AS x, "
+            "tupleElement(struct(1, 2), 2) AS y"
+        )
+    ).collect()[0]
+    assert (r2.x, r2.y) == (7, 2)
