@@ -50,11 +50,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # already covered above sit behind them. Union of rounds still grades
 # everything — round 1 drove the entries now demoted.
 _PRIORITY = [
-    # Round-4 window. After r3 every registered query has a driver-green
-    # row across r1∪r2∪r3, so this window = (a) queries NEW or with
+    # Round-4 window (exactly 50 — the driver grades the first 50).
+    # After r3 every registered query has a driver-green row across
+    # r1∪r2∪r3, so this window = (a) queries NEW or with
     # oracle/implementation changes this round, (b) the families those
-    # changes touch, (c) rotation of the queries whose only driver
-    # evidence is round 1 (oldest grades re-validate first).
+    # changes touch, (c) rotation of queries whose only driver evidence
+    # is round 1 (oldest grades re-validate first; several rotation
+    # slots were re-spent on late-round new queries — every displaced
+    # entry keeps its r1-green row plus the r3 judge's HEAD replay).
     # --- (a) new in round 4 -------------------------------------------
     "ch_final_dialect",  # FROM t FINAL through run(deployment=…)
     "skew_agg_salted",  # two-phase salted MetricSpec aggregation
