@@ -1524,3 +1524,61 @@ def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     model = LM.train_bigram_lm(docs)
     return LM.score_docs(docs, model)
+
+
+@query(
+    "lm_heldout_scores",
+    """
+    WITH train AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+    test AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    tk_tr AS (SELECT regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+              FROM train),
+    uni AS (SELECT u AS w, CAST(count(*) AS DOUBLE) AS c1
+            FROM (SELECT unnest(t) AS u FROM tk_tr) GROUP BY u),
+    tot AS (SELECT sum(c1) AS n FROM uni),
+    bi AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
+           FROM (SELECT t[i] AS w1, t[i + 1] AS w2
+                 FROM tk_tr,
+                      LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+                               AS i) g)
+           GROUP BY w1, w2),
+    tk_te AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+              FROM test),
+    pairs AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+              FROM tk_te,
+                   LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+                            AS i) g),
+    sc AS (SELECT p.doc_id,
+                  log10(CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+                             THEN b.c2 / u1.c1
+                             ELSE 0.4 * coalesce(u2.c1, 1.0)
+                                  / (SELECT n FROM tot) END) AS lp
+           FROM pairs p
+           LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+           LEFT JOIN uni u1 ON u1.w = p.w1
+           LEFT JOIN uni u2 ON u2.w = p.w2),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+                   round(sum(lp) / count(*), 2) AS avg_logp10
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_trans, 0) AS BIGINT) AS n_trans,
+           coalesce(a.avg_logp10, 0.0) AS avg_logp10
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def lm_heldout_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM scoring (registered for the round-5 window): train
+    the bigram stupid-backoff model on even doc_ids, score the odd
+    ones — unlike lm_quality_scores (self-scored), this exercises the
+    unigram-backoff and OOV-floor branches under the driver's hash
+    gate, not just in unit tests. Same join/shuffle shape as
+    score_docs; the oracle replays the identical split and ratios."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.operators import lm as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = LM.train_bigram_lm(docs.filter(_F.col("doc_id") % 2 == 0))
+    return LM.score_docs(docs.filter(_F.col("doc_id") % 2 == 1), model)

@@ -837,3 +837,48 @@ def ch_url_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("langs").cast("long").alias("langs"),
         _F.col("path_chars").cast("long").alias("path_chars"),
     )
+
+
+@query(
+    "ch_rollup_dialect",
+    """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           CAST(coalesce(CAST(user_id % 5 AS BIGINT), -1) AS BIGINT) AS cohort,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(user_id % 5 AS BIGINT))
+    """,
+)
+def ch_rollup_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY … WITH ROLLUP`` pasted verbatim through the dialect
+    shim (registered for the round-5 window): ClickHouse and Spark
+    share the clause syntax so translate() passes it through; subtotal
+    rows carry NULL keys on both engines here (the documented
+    divergence from CH's type-default keys, same as the TOTALS
+    mapping). Oracle = DuckDB's GROUP BY ROLLUP."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    ).createOrReplaceTempView("ch_rollup_events")
+    ch = """
+        SELECT event_type,
+               modulo(user_id, 5) AS cohort,
+               count(*) AS n,
+               sum(toInt64(floor(value * 100))) AS v
+        FROM ch_rollup_events
+        GROUP BY event_type, modulo(user_id, 5) WITH ROLLUP
+    """
+    out = spark.sql(translate(ch))
+    # NULL rollup keys break order-insensitive hash compares (and CH
+    # itself fills type defaults there) — sentinel-fill on both sides
+    return out.select(
+        _F.coalesce(_F.col("event_type"), _F.lit("<all>")).alias("event_type"),
+        _F.coalesce(_F.col("cohort").cast("long"), _F.lit(-1)).alias("cohort"),
+        _F.col("n").cast("long").alias("n"),
+        _F.col("v").cast("long").alias("v"),
+    )
