@@ -882,3 +882,75 @@ def ch_rollup_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("n").cast("long").alias("n"),
         _F.col("v").cast("long").alias("v"),
     )
+
+
+@query(
+    "ch_array_combinators_dialect",
+    """
+    WITH ua AS (
+      SELECT user_id % 5 AS cohort,
+             list_sort(list_transform(
+               regexp_extract_all(event_type, '[a-z]+'),
+               x -> CAST(length(x) AS BIGINT))) AS arr,
+             CAST(floor(value * 10) AS BIGINT) % 7 AS v
+      FROM events),
+    fe AS (SELECT cohort,
+                  CAST(sum(arr[1]) AS BIGINT) AS p1,
+                  CAST(sum(list_sum(arr)) AS BIGINT) AS total,
+                  CAST(min(arr[1]) AS BIGINT) AS mn1,
+                  CAST(max(arr[1]) AS BIGINT) AS mx1,
+                  CAST(count(DISTINCT v) AS BIGINT) AS uv
+           FROM ua GROUP BY cohort)
+    SELECT CAST(cohort AS BIGINT) AS cohort, p1, total, mn1, mx1, uv
+    FROM fe
+    """,
+)
+def ch_array_combinators_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-Array / -ForEach combinator surface end-to-end (registered for
+    the round-5 window): pasted CH SQL builds a per-row array, then
+    sumForEach / sumArray / minForEach / maxForEach / uniqExact run
+    over the group — per-position results are projected to scalar
+    columns (driver contract: no array columns in graded outputs).
+    Here every row's array is the sorted token-length list of its
+    event_type (single word → length-1 arrays, so position 1 carries
+    everything; the oracle states that simplification directly). One
+    aggregation shuffle, all folds codegen-side."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).createOrReplaceTempView("ch_arrc_events")
+    ch = """
+        SELECT cohort,
+               fe[1] AS p1,
+               total,
+               mn[1] AS mn1,
+               mx[1] AS mx1,
+               uv
+        FROM (
+          SELECT modulo(user_id, 5) AS cohort,
+                 sumForEach(arr) AS fe,
+                 sumArray(arr) AS total,
+                 minForEach(arr) AS mn,
+                 maxForEach(arr) AS mx,
+                 uniqExact(v) AS uv
+          FROM (
+            SELECT user_id,
+                   arraySort(arrayMap(x -> toInt64(length(x)),
+                             extractAll(event_type, '[a-z]+'))) AS arr,
+                   modulo(toInt64(floor(value * 10)), 7) AS v
+            FROM ch_arrc_events)
+          GROUP BY modulo(user_id, 5))
+    """
+    out = spark.sql(translate(ch))
+    return out.select(
+        _F.col("cohort").cast("long").alias("cohort"),
+        _F.col("p1").cast("long").alias("p1"),
+        _F.col("total").cast("long").alias("total"),
+        _F.col("mn1").cast("long").alias("mn1"),
+        _F.col("mx1").cast("long").alias("mx1"),
+        _F.col("uv").cast("long").alias("uv"),
+    )
