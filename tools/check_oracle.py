@@ -44,7 +44,14 @@ def norm_cell(v):
 
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    # None-safe sort key: rows with NULL cells must still compare
+    # (sort by (is-null, stringified value) per cell)
+    def key(row):
+        return tuple((v is None, str(v)) for v in row)
+
+    out = sorted(
+        (tuple(norm_cell(r[i]) for i in order) for r in rows), key=key
+    )
     return [cols[i] for i in order], out
 
 
