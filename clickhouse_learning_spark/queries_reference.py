@@ -954,3 +954,61 @@ def ch_array_combinators_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("mx1").cast("long").alias("mx1"),
         _F.col("uv").cast("long").alias("uv"),
     )
+
+
+@query(
+    "ch_week_modes_dialect",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day FROM events),
+    w AS (
+      -- DuckDB dayofweek: 0=Sunday..6=Saturday; isodow: 1=Mon..7=Sun
+      SELECT day,
+             CAST(floor((dayofyear(day)
+               - ((7 - dayofweek(date_trunc('year', day))) % 7 + 1) + 7)
+               / 7) AS INT) AS w0,
+             CAST(floor((dayofyear(day) - 1
+                 + (isodow(date_trunc('year', day)) - 1)) / 7)
+               + CASE WHEN 7 - (isodow(date_trunc('year', day)) - 1) >= 4
+                      THEN 1 ELSE 0 END AS INT) AS w1,
+             CAST(weekofyear(day) AS INT) AS w3,
+             CAST(isodow(day) - 1 AS INT) AS dow1
+      FROM d)
+    SELECT w0, w1, w3, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dow1) AS BIGINT) AS dow_sum
+    FROM w GROUP BY w0, w1, w3
+    """,
+)
+def ch_week_modes_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-mode arguments end-to-end (registered for the round-5
+    window): pasted CH SQL uses toWeek modes 0/1/3 and
+    toDayOfWeek(d, 1) over the event log; the DuckDB oracle re-derives
+    each mode with its own first-Sunday / first-Monday / ISO
+    expressions (dayofweek in DuckDB is 0=Sunday, so the formulas are
+    genuinely independent re-derivations, not transliterations)."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select("ts").createOrReplaceTempView(
+        "ch_week_events"
+    )
+    ch = """
+        SELECT w0, w1, w3, count(*) AS n, sum(dow1) AS dow_sum
+        FROM (
+          SELECT toWeek(toDate(ts)) AS w0,
+                 toWeek(toDate(ts), 1) AS w1,
+                 toWeek(toDate(ts), 3) AS w3,
+                 toDayOfWeek(toDate(ts), 1) AS dow1
+          FROM ch_week_events)
+        GROUP BY w0, w1, w3
+    """
+    out = spark.sql(translate(ch))
+    return out.select(
+        _F.col("w0").cast("int").alias("w0"),
+        _F.col("w1").cast("int").alias("w1"),
+        _F.col("w3").cast("int").alias("w3"),
+        _F.col("n").cast("long").alias("n"),
+        _F.col("dow_sum").cast("long").alias("dow_sum"),
+    )
