@@ -1012,3 +1012,74 @@ def ch_week_modes_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("n").cast("long").alias("n"),
         _F.col("dow_sum").cast("long").alias("dow_sum"),
     )
+
+
+@query(
+    "ch_combinators_dialect",
+    """
+    WITH e AS (
+      SELECT user_id % 5 AS cohort,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             event_type
+      FROM events),
+    q AS (
+      SELECT cohort,
+             CAST(sum(DISTINCT cents) AS BIGINT) AS sd,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS cd,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                           THEN cents END) AS BIGINT) AS mx_pur,
+             CAST(least(count(DISTINCT cents), 101) AS BIGINT) AS upto,
+             (SELECT v FROM (
+                SELECT cents AS v,
+                       row_number() OVER (ORDER BY cents) AS rn,
+                       count(*) OVER () AS n
+                FROM e e2
+                WHERE e2.cohort = q0.cohort
+                  AND e2.event_type = 'click')
+              WHERE rn = least(CAST(floor(0.5 * n) AS BIGINT) + 1, n)
+             ) AS med_click
+      FROM e q0 GROUP BY cohort)
+    SELECT CAST(cohort AS BIGINT) AS cohort, sd, cd, mx_pur, upto,
+           CAST(med_click AS BIGINT) AS med_click
+    FROM q
+    """,
+)
+def ch_combinators_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 combinator surface under the hash gate (registered for
+    the round-5 window): one pasted CH statement uses sumDistinct /
+    countDistinct (-Distinct), maxIf (-If), maxOrNull-equivalent
+    NULL-on-empty semantics, uniqUpTo(100), and quantileExactIf(0.5)
+    (-If on a parameterized aggregate). The oracle re-derives the
+    filtered exact median with a window-rank correlated subquery on
+    the repo's quantileExact rank rule."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).createOrReplaceTempView("ch_comb_events")
+    ch = """
+        SELECT cohort,
+               sumDistinct(cents) AS sd,
+               countDistinct(event_type) AS cd,
+               maxIf(cents, event_type = 'purchase') AS mx_pur,
+               uniqUpTo(100)(cents) AS upto,
+               quantileExactIf(0.5)(cents, event_type = 'click') AS med_click
+        FROM (
+          SELECT modulo(user_id, 5) AS cohort,
+                 toInt64(floor(value * 100)) AS cents,
+                 event_type
+          FROM ch_comb_events)
+        GROUP BY cohort
+    """
+    out = spark.sql(translate(ch))
+    return out.select(
+        _F.col("cohort").cast("long").alias("cohort"),
+        _F.col("sd").cast("long").alias("sd"),
+        _F.col("cd").cast("long").alias("cd"),
+        _F.col("mx_pur").cast("long").alias("mx_pur"),
+        _F.col("upto").cast("long").alias("upto"),
+        _F.col("med_click").cast("long").alias("med_click"),
+    )
