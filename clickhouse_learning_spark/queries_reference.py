@@ -1083,3 +1083,69 @@ def ch_combinators_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("upto").cast("long").alias("upto"),
         _F.col("med_click").cast("long").alias("med_click"),
     )
+
+
+@query(
+    "ch_ip_bits_dialect",
+    """
+    WITH e AS (
+      SELECT DISTINCT user_id AS uid FROM events),
+    d AS (
+      SELECT uid,
+             ((uid * 2654435761) % 4294967296 + 4294967296) % 4294967296
+               AS ipn
+      FROM e),
+    f AS (
+      SELECT uid, ipn,
+             CAST(ipn // 16777216 % 256 AS VARCHAR) || '.' ||
+             CAST(ipn // 65536 % 256 AS VARCHAR) || '.' ||
+             CAST(ipn // 256 % 256 AS VARCHAR) || '.' ||
+             CAST(ipn % 256 AS VARCHAR) AS ip,
+             (SELECT sum((ipn // power(2, k.k)::BIGINT) % 2)
+              FROM (SELECT unnest(generate_series(0, 31)) AS k) k)
+               AS pop,
+             (ipn // 8) % 2 AS bit3
+      FROM d)
+    SELECT CAST(uid AS BIGINT) AS uid, ip,
+           CAST(pop AS BIGINT) AS pop,
+           CAST(bit3 AS BIGINT) AS bit3,
+           CAST(length(ip) AS BIGINT) AS ip_len
+    FROM f
+    """,
+)
+def ch_ip_bits_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4/bit surface under the hash gate (registered for the
+    round-5 window): per distinct user a deterministic 32-bit value
+    becomes a dotted quad via IPv4NumToString, bitCount pops its bits,
+    bitTest reads bit 3 — pasted CH SQL; the oracle re-derives the
+    quad with octet arithmetic and the popcount with a
+    shift-and-sum series (DuckDB's bit_count is for BIT strings, so
+    the re-derivation is genuinely independent)."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "user_id"
+    ).createOrReplaceTempView("ch_ip_events")
+    ch = """
+        SELECT uid,
+               IPv4NumToString(ipn) AS ip,
+               bitCount(ipn) AS pop,
+               bitTest(ipn, 3) AS bit3,
+               length(IPv4NumToString(ipn)) AS ip_len
+        FROM (
+          SELECT uid,
+                 modulo(modulo(uid * 2654435761, 4294967296)
+                        + 4294967296, 4294967296) AS ipn
+          FROM (SELECT DISTINCT user_id AS uid FROM ch_ip_events))
+    """
+    out = spark.sql(translate(ch))
+    return out.select(
+        _F.col("uid").cast("long").alias("uid"),
+        "ip",
+        _F.col("pop").cast("long").alias("pop"),
+        _F.col("bit3").cast("long").alias("bit3"),
+        _F.col("ip_len").cast("long").alias("ip_len"),
+    )
