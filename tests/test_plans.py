@@ -333,3 +333,19 @@ def test_lm_scoring_plan_is_jvm_side(spark):
     assert "CartesianProduct" not in p
     # the total enters as a broadcast, never a shuffle
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p[:3000]
+
+
+def test_window_funnel_fold_single_shuffle(spark):
+    """ch_window_funnel_dialect's fold (round-4): the whole
+    windowFunnel aggregate must be ONE aggregation over the events
+    scan — a single exchange pair (partial/final ObjectHashAggregate
+    around one shuffle), no Python stages, no joins."""
+    import clickhouse_learning_spark.queries_behavior  # noqa: F401
+    from clickhouse_learning_spark.queries import QUERIES
+
+    df = QUERIES["ch_window_funnel_dialect"](spark, SF_SMOKE)
+    p = plan_text(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p, p[:2000]
+    # two grouping levels (per-user fold, then the level histogram)
+    assert p.count("Exchange") <= 4, p[:2000]
