@@ -1854,3 +1854,41 @@ def test_distinct_and_arg_if_combinators(spark):
         )
     ).collect()[0]
     assert (r.sd, r.cd, r.ad, r.amx, r.amn) == (6, 3, 2.0, 3, 2)
+
+
+def test_topk_matches_python_reference(spark):
+    """Round-4 bulk randomized check: 200 random multisets through the
+    translated topK/topKWeighted run-length folds must match a direct
+    Counter-based reference (frequency descending, value ascending
+    tiebreak; weighted form sums weights and skips NULL values)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(0x7C)
+    rows, want, want_w = [], {}, {}
+    for g in range(200):
+        vals = [rng.randint(0, 8) for _ in range(rng.randint(1, 15))]
+        wts = [rng.randint(1, 5) for _ in vals]
+        for v, w in zip(vals, wts):
+            rows.append((g, v, w))
+        c = Counter(vals)
+        want[g] = [v for v, _ in sorted(c.items(), key=lambda t: (-t[1], t[0]))][:3]
+        cw = Counter()
+        for v, w in zip(vals, wts):
+            cw[v] += w
+        want_w[g] = [v for v, _ in sorted(cw.items(), key=lambda t: (-t[1], t[0]))][:3]
+    spark.createDataFrame(
+        rows, "g int, v int, w int"
+    ).createOrReplaceTempView("ch_topk_fuzz")
+    out = spark.sql(
+        translate(
+            "SELECT g, topK(3)(v) AS t, topKWeighted(3)(v, w) AS tw "
+            "FROM ch_topk_fuzz GROUP BY g"
+        )
+    ).collect()
+    bad = [
+        (r.g, r.t, want[r.g])
+        for r in out
+        if list(r.t) != want[r.g] or list(r.tw) != want_w[r.g]
+    ]
+    assert not bad, bad[:5]
