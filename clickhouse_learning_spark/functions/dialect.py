@@ -1521,23 +1521,131 @@ def _topk_sql(x: str, k: str, weight: str | None = None) -> str:
     )
 
 
-def _window_funnel_sql(p: list[str], a: list[str]) -> str:
-    """Single-expression Spark SQL for ``windowFunnel(w)(ts, conds…)``
-    (semantics note at the _PARAMETERIZED entry). ``ts`` is floored to
-    whole epoch seconds (CH DateTime resolution; numeric inputs pass
-    through the seconds→TIMESTAMP cast unchanged); the window is in
-    those units. Strict modes change the fold's transition rules and
-    stay gated."""
-    if len(p) != 1:
-        raise ValueError(
-            "windowFunnel strict modes ('strict_order', "
-            "'strict_deduplication', 'strict_increase') change the "
-            "chain-transition rules; base mode translates — for strict "
-            "variants use functions.funnel.funnel_levels semantics or "
-            "file the mode you need"
+def _funnel_modes(p: list[str]) -> tuple[bool, bool, bool]:
+    """Parse windowFunnel mode parameters (p[1:], translated string
+    literals) into (strict_order, strict_deduplication,
+    strict_increase). 'strict' is ClickHouse's deprecated alias for
+    'strict_deduplication' (AggregateFunctionWindowFunnel.cpp keeps
+    accepting it)."""
+    so = sd = si = False
+    for raw in p[1:]:
+        s = raw.strip()
+        if s and s[0] in "'\"" and s[-1] == s[0]:
+            s = s[1:-1]
+        if s == "strict_order":
+            so = True
+        elif s in ("strict_deduplication", "strict"):
+            sd = True
+        elif s == "strict_increase":
+            si = True
+        else:
+            raise ValueError(
+                f"windowFunnel: unknown mode {raw!r} — supported: "
+                "'strict_order', 'strict_deduplication' (alias "
+                "'strict'), 'strict_increase'"
+            )
+    return so, sd, si
+
+
+def _window_funnel_strict_sql(
+    w: str, t: str, conds: list[str], so: bool, sd: bool, si: bool
+) -> str:
+    """The full ClickHouse windowFunnel state machine as one
+    ``aggregate()`` fold, for any combination of strict modes
+    (reference AggregateFunctionWindowFunnel.h getEventLevel, public
+    ClickHouse source). Differences from the lean base-mode fold:
+
+    - per level the accumulator keeps BOTH the chain-start and the
+      last-matched timestamp (``strict_increase`` compares the last);
+    - a ``done`` slot models the algorithm's early returns — full
+      chain completion, ``strict_deduplication``'s interrupt (returns
+      the repeated level), ``strict_order``'s interrupts (an
+      out-of-order tracked event, or any untracked event after the
+      first level-1 match — the latter via sentinel ``e = 0`` entries
+      emitted for rows matching no condition);
+    - ``fe`` tracks "a level-1 event has been seen" (``first_event``).
+
+    Entries sort by (t, e) exactly like CH's pair sort, so sentinels
+    precede tracked events on timestamp ties."""
+    n = len(conds)
+    entries = [
+        f"named_struct('t', {t}, 'e', {i + 1}, "
+        f"'ok', coalesce(CAST(({c}) AS BOOLEAN), false))"
+        for i, c in enumerate(conds)
+    ]
+    if so:
+        none = " AND ".join(
+            f"NOT coalesce(CAST(({c}) AS BOOLEAN), false)" for c in conds
         )
+        entries.append(f"named_struct('t', {t}, 'e', 0, 'ok', {none})")
+    lvl = "CAST(size(filter(acc.arr, x -> x IS NOT NULL)) AS INT)"
+    keep = "named_struct('arr', acc.arr, 'fe', acc.fe, 'done', {d})"
+    set1 = (
+        "named_struct('arr', transform(acc.arr, (x, i) -> IF(i = 0, "
+        "named_struct('f', ev.t, 'l', ev.t), x)), 'fe', true, "
+        "'done', acc.done)"
+    )
+    advance_ok = f"acc.arr[ev.e - 2] IS NOT NULL AND ev.t <= acc.arr[ev.e - 2].f + {w}"
+    if si:
+        advance_ok += " AND acc.arr[ev.e - 2].l < ev.t"
+    advance = (
+        "named_struct('arr', transform(acc.arr, (x, i) -> "
+        "IF(i = ev.e - 1, named_struct('f', acc.arr[ev.e - 2].f, "
+        "'l', ev.t), x)), 'fe', acc.fe, "
+        f"'done', IF(ev.e = {n}, {n}, acc.done))"
+    )
+    branches = ["WHEN acc.done IS NOT NULL THEN acc"]
+    if so:
+        branches.append(
+            f"WHEN ev.e = 0 THEN IF(acc.fe, {keep.format(d=lvl)}, acc)"
+        )
+    branches.append(f"WHEN ev.e = 1 THEN {set1}")
+    if sd:
+        branches.append(
+            "WHEN acc.arr[ev.e - 1] IS NOT NULL THEN "
+            + keep.format(d="ev.e")
+        )
+    if so:
+        branches.append(
+            "WHEN acc.fe AND acc.arr[ev.e - 2] IS NULL THEN "
+            + keep.format(d=lvl)
+        )
+    branches.append(f"WHEN {advance_ok} THEN {advance}")
+    step = "CASE " + " ".join(branches) + " ELSE acc END"
+    zero = (
+        "named_struct('arr', array_repeat("
+        f"CAST(NULL AS STRUCT<f: BIGINT, l: BIGINT>), {n}), "
+        "'fe', false, 'done', CAST(NULL AS INT))"
+    )
+    return (
+        "aggregate("
+        f"array_sort(flatten(collect_list("
+        f"filter(array({', '.join(entries)}), "
+        "x -> x.ok AND x.t IS NOT NULL)))), "
+        f"{zero}, (acc, ev) -> {step}, "
+        f"acc -> coalesce(acc.done, {lvl}))"
+    )
+
+
+def _window_funnel_sql(p: list[str], a: list[str]) -> str:
+    """Single-expression Spark SQL for ``windowFunnel(w[, modes…])(ts,
+    conds…)`` (semantics note at the _PARAMETERIZED entry). ``ts`` is
+    floored to whole epoch seconds (CH DateTime resolution; numeric
+    inputs pass through the seconds→TIMESTAMP cast unchanged); the
+    window is in those units. Strict modes ('strict_order',
+    'strict_deduplication', 'strict_increase', any combination)
+    dispatch to the full CH state machine; base mode keeps the lean
+    chain-start-only fold."""
+    if not p:
+        raise ValueError("windowFunnel needs a window parameter")
     if len(a) < 2:
         raise ValueError("windowFunnel(w)(ts, cond1, ...) needs >= 1 condition")
+    so, sd, si = _funnel_modes(p)
+    if so or sd or si:
+        ts, conds = a[0], a[1:]
+        t = f"unix_seconds(CAST(({ts}) AS TIMESTAMP))"
+        w = f"CAST(({p[0]}) AS BIGINT)"
+        return _window_funnel_strict_sql(w, t, conds, so, sd, si)
     ts, conds = a[0], a[1:]
     n = len(conds)
     t = f"unix_seconds(CAST(({ts}) AS TIMESTAMP))"

@@ -310,6 +310,110 @@ def ch_window_funnel_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ch_funnel_strict_dialect",
+    f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS e,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                        CASE event_type WHEN 'view' THEN 1
+                             WHEN 'click' THEN 2
+                             WHEN 'purchase' THEN 3 ELSE 0 END,
+                        event_id) AS rn
+      FROM events
+    ),
+    fold AS (
+      SELECT user_id, 0 AS rn,
+             CAST(NULL AS BIGINT) AS f1, CAST(NULL AS BIGINT) AS l1,
+             CAST(NULL AS BIGINT) AS f2, CAST(NULL AS BIGINT) AS l2,
+             CAST(NULL AS BIGINT) AS f3, CAST(NULL AS BIGINT) AS l3,
+             false AS fe, CAST(NULL AS INT) AS done
+      FROM (SELECT DISTINCT user_id FROM events)
+      UNION ALL
+      SELECT user_id, rn,
+             CASE WHEN br = 'set1' THEN t ELSE f1 END,
+             CASE WHEN br = 'set1' THEN t ELSE l1 END,
+             CASE WHEN br = 'adv2' THEN f1 ELSE f2 END,
+             CASE WHEN br = 'adv2' THEN t ELSE l2 END,
+             CASE WHEN br = 'adv3' THEN f2 ELSE f3 END,
+             CASE WHEN br = 'adv3' THEN t ELSE l3 END,
+             fe OR br = 'set1',
+             CASE WHEN done IS NOT NULL THEN done
+                  WHEN br = 'halt' THEN
+                    (f1 IS NOT NULL)::INT + (f2 IS NOT NULL)::INT
+                    + (f3 IS NOT NULL)::INT
+                  WHEN br = 'dedup2' THEN 2
+                  WHEN br = 'adv3' THEN 3
+                  ELSE CAST(NULL AS INT) END
+      FROM (
+        SELECT f.user_id, e.rn, e.t, f.f1, f.l1, f.f2, f.l2, f.f3,
+               f.l3, f.fe, f.done,
+               CASE
+                 WHEN f.done IS NOT NULL THEN 'done'
+                 WHEN e.e = 0 THEN
+                   CASE WHEN f.fe THEN 'halt' ELSE 'skip' END
+                 WHEN e.e = 1 THEN 'set1'
+                 WHEN e.e = 2 AND f.f2 IS NOT NULL THEN 'dedup2'
+                 WHEN e.e = 2 AND f.f1 IS NOT NULL
+                      AND e.t <= f.f1 + {_W} AND f.l1 < e.t THEN 'adv2'
+                 WHEN e.e = 3 AND f.fe AND f.f2 IS NULL THEN 'halt'
+                 WHEN e.e = 3 AND f.f2 IS NOT NULL
+                      AND e.t <= f.f2 + {_W} AND f.l2 < e.t THEN 'adv3'
+                 ELSE 'skip'
+               END AS br
+        FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+      )
+    ),
+    last AS (
+      SELECT user_id,
+             max_by(CAST(coalesce(done,
+               (f1 IS NOT NULL)::INT + (f2 IS NOT NULL)::INT
+               + (f3 IS NOT NULL)::INT) AS INT), rn) AS level
+      FROM fold GROUP BY user_id)
+    SELECT level, CAST(count(*) AS BIGINT) AS users
+    FROM last GROUP BY level
+    """,
+)
+def ch_funnel_strict_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: ``windowFunnel`` with ALL THREE strict modes pasted
+    through the dialect shim (dialect._window_funnel_strict_sql — the
+    full CH state machine: per-level first/last timestamps, sentinel
+    level-0 entries for untracked event types, early-termination
+    ``done`` slot). ``error``/``signup`` rows exercise strict_order's
+    untracked-event interrupt; same-second collisions exercise
+    strict_increase; repeated clicks exercise strict_deduplication's
+    repeat interrupt. The oracle replays the identical state machine
+    imperatively as a DuckDB recursive CTE (branch discriminator +
+    per-column CASE transitions). One shuffle on user_id; the fold is
+    a single codegen aggregate() expression."""
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).createOrReplaceTempView("ch_wf_strict_events")
+    ch = f"""
+        SELECT level, count(*) AS users
+        FROM (
+          SELECT user_id,
+                 windowFunnel({_W}, 'strict_order',
+                              'strict_deduplication', 'strict_increase')(
+                     ts, event_type = 'view', event_type = 'click',
+                     event_type = 'purchase') AS level
+          FROM ch_wf_strict_events GROUP BY user_id)
+        GROUP BY level
+    """
+    out = spark.sql(translate(ch))
+    return out.select(
+        F.col("level").cast("int").alias("level"),
+        F.col("users").cast("long").alias("users"),
+    )
+
+
+@query(
     "ch_sequence_dialect",
     """
     WITH s1 AS (SELECT user_id, CAST(ts AS DATE) AS day,

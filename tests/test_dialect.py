@@ -1616,7 +1616,9 @@ def test_translate_window_funnel(spark):
     deeper chain (u1 below is the case where the deliberate
     first-chance rule of funnel.funnel_levels reports 2 but CH
     reports 3). Window is inclusive and counts from the CHAIN START,
-    not the previous stage (u7); strict modes gate."""
+    not the previous stage (u7); unknown modes raise (strict modes
+    translate as of round 5 — see
+    test_window_funnel_strict_modes_match_python_reference)."""
     import pytest as _pytest
 
     rows = [
@@ -1641,8 +1643,8 @@ def test_translate_window_funnel(spark):
     ).collect()
     got = {r.uid: r.level for r in out}
     assert got == {1: 3, 2: 2, 3: 1, 4: 1, 5: 0, 6: 2, 7: 2}
-    with _pytest.raises(ValueError, match="strict"):
-        translate("SELECT windowFunnel(10, 'strict_order')(t, x = 1) FROM ch_wf")
+    with _pytest.raises(ValueError, match="unknown mode"):
+        translate("SELECT windowFunnel(10, 'nonsense')(t, x = 1) FROM ch_wf")
 
 
 def test_rollup_cube_passthrough(spark):
@@ -1796,6 +1798,110 @@ def test_window_funnel_and_sequence_count_match_python_reference(spark):
     assert not bad_sc, f"sequenceCount mismatches: {dict(list(bad_sc.items())[:5])}"
     # users with zero events don't appear in the grouped output — the
     # graded query's GROUP BY user over the full table covers level 0
+
+
+def _ref_window_funnel(evs, window, preds, so=False, sd=False, si=False):
+    """Pure-Python replay of ClickHouse's windowFunnel state machine
+    (AggregateFunctionWindowFunnel.h getEventLevel, public source):
+    entries sorted by (t, level); per level (chain_start, last_matched)
+    timestamps; early returns for full completion,
+    strict_deduplication's repeat interrupt (returns the repeated
+    level), strict_order's out-of-order / untracked-event interrupts
+    (untracked rows become sentinel level-0 entries)."""
+    n = len(preds)
+    entries = []
+    for t, v in evs:
+        matched = [i + 1 for i, p in enumerate(preds) if p(v)]
+        entries.extend((t, e) for e in matched)
+        if so and not matched:
+            entries.append((t, 0))
+    entries.sort()
+    ets = [None] * n
+    fe = False
+    for t, e in entries:
+        if e == 0:
+            if fe:
+                break
+            continue
+        if e == 1:
+            ets[0] = (t, t)
+            fe = True
+        elif sd and ets[e - 1] is not None:
+            return e
+        elif so and fe and ets[e - 2] is None:
+            return sum(1 for x in ets if x is not None)
+        elif ets[e - 2] is not None:
+            ok = t <= ets[e - 2][0] + window
+            if si:
+                ok = ok and ets[e - 2][1] < t
+            if ok:
+                ets[e - 1] = (ets[e - 2][0], t)
+                if e == n:
+                    return n
+    return sum(1 for x in ets if x is not None)
+
+
+def test_window_funnel_strict_modes_match_python_reference(spark):
+    """Round-5: every strict-mode combination of the translated
+    windowFunnel fold vs the pure-Python CH state machine, over 200
+    random per-user event streams including timestamp collisions,
+    untracked events (lv = 4 matches no condition — strict_order's
+    sentinel path) and overlapping conditions (lv <= 2 overlaps
+    lv = 1)."""
+    import random
+
+    rng = random.Random(0x5F1C7)
+    rows = []
+    streams = {}
+    for uid in range(200):
+        evs = []
+        for _ in range(rng.randint(1, 14)):
+            t = rng.randint(0, 30)
+            lv = rng.randint(1, 4)
+            evs.append((t, lv))
+            rows.append((uid, t, lv))
+        streams[uid] = sorted(evs)
+    spark.createDataFrame(
+        rows, "uid int, t long, lv int"
+    ).createOrReplaceTempView("ch_wf_strict_fuzz")
+    W = 8
+    preds = [lambda v: v == 1, lambda v: v <= 2, lambda v: v == 3]
+    conds = "lv = 1, lv <= 2, lv = 3"
+    combos = [
+        ("'strict_order'", dict(so=True)),
+        ("'strict_deduplication'", dict(sd=True)),
+        ("'strict_increase'", dict(si=True)),
+        ("'strict_order', 'strict_deduplication'", dict(so=True, sd=True)),
+        ("'strict_order', 'strict_increase'", dict(so=True, si=True)),
+        ("'strict_deduplication', 'strict_increase'", dict(sd=True, si=True)),
+        (
+            "'strict_order', 'strict_deduplication', 'strict_increase'",
+            dict(so=True, sd=True, si=True),
+        ),
+    ]
+    sels = ", ".join(
+        f"windowFunnel({W}, {modes})(t, {conds}) AS m{i}"
+        for i, (modes, _) in enumerate(combos)
+    )
+    out = spark.sql(
+        translate(
+            f"SELECT uid, {sels} FROM ch_wf_strict_fuzz GROUP BY uid"
+        )
+    ).collect()
+    for i, (modes, kw) in enumerate(combos):
+        got = {r.uid: r[f"m{i}"] for r in out}
+        want = {
+            u: _ref_window_funnel(evs, W, preds, **kw)
+            for u, evs in streams.items()
+        }
+        bad = {u: (got[u], want[u]) for u in got if got[u] != want[u]}
+        assert not bad, f"[{modes}] mismatches: {dict(list(bad.items())[:5])}"
+    # 'strict' is the deprecated CH alias for strict_deduplication
+    assert translate(
+        f"windowFunnel({W}, 'strict')(t, lv = 1, lv = 2)"
+    ) == translate(f"windowFunnel({W}, 'strict_deduplication')(t, lv = 1, lv = 2)")
+    with pytest.raises(ValueError, match="unknown mode"):
+        translate("windowFunnel(10, 'strictest')(t, lv = 1)")
 
 
 def test_parameterized_form_on_plain_mapping_raises():
