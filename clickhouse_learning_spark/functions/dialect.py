@@ -1669,49 +1669,62 @@ def _window_funnel_sql(p: list[str], a: list[str]) -> str:
     )
 
 
-def _sequence_pattern_levels(pattern: str, n_conds: int, fn: str) -> list[int]:
-    """Parse a ClickHouse sequenceMatch/Count pattern literal into the
-    pattern-order list of 1-based condition indices. Only the
-    ``.*``-separated subsequence grammar translates (the overwhelmingly
-    common form); strict adjacency ``(?1)(?2)`` and time guards
-    ``(?t<=N)`` change the matching rules and gate."""
-    s = pattern.strip()
-    if s and s[0] in "'\"" and s[-1] == s[0]:
-        s = s[1:-1]
-    toks = re.findall(r"\(\?t[^)]*\)|\(\?\d+\)|\.\*|\.|.", s)
-    if any(t.startswith("(?t") for t in toks):
-        raise ValueError(
-            f"{fn}: (?t…) time guards bound ADJACENT matched events "
-            "(windowFunnel bounds the chain start) — no mechanical "
-            "translation; use funnel_levels for chain-start windows"
+def _sequence_compile(pattern: str, n_conds: int, fn: str):
+    """Compile a sequenceMatch/Count pattern via functions.seqmatch and
+    return (Pattern, plain_levels). ``plain_levels`` is the
+    pattern-order condition list when the pattern is the guard-free
+    ``.*``-separated subsequence form (→ JVM fold fast path), else
+    None (→ full-grammar grouped-agg Pandas UDF)."""
+    from clickhouse_learning_spark.functions import seqmatch
+
+    pat = seqmatch.compile_pattern(pattern, n_conds, fn)
+    plain = (
+        not pat.trail_dots
+        and all(
+            it.star and not it.dots and not it.guards for it in pat.items
         )
-    levels: list[int] = []
-    prev_item = False
-    for t in toks:
-        if t == ".*":
-            prev_item = False
-        elif t.startswith("(?"):
-            if prev_item:
-                raise ValueError(
-                    f"{fn}: adjacent pattern items without .* require "
-                    "strict sequence adjacency (every intervening event "
-                    "breaks the match) — only the .*-separated "
-                    "subsequence form translates"
-                )
-            idx = int(t[2:-1])
-            if not 1 <= idx <= n_conds:
-                raise ValueError(f"{fn}: pattern references (?{idx}) "
-                                 f"but only {n_conds} conditions given")
-            levels.append(idx)
-            prev_item = True
-        else:
-            raise ValueError(
-                f"{fn}: unsupported pattern token {t!r} — only (?N) "
-                "items separated by .* translate"
-            )
-    if not levels:
-        raise ValueError(f"{fn}: pattern has no (?N) items")
-    return levels
+    )
+    return pat, ([it.cond for it in pat.items] if plain else None)
+
+
+# full-grammar sequence UDFs emitted by translate(): name -> (pattern,
+# n_conds, kind). run() registers them on its session; translate()
+# registers eagerly against the active session so plain
+# spark.sql(translate(…)) works too.
+_SEQ_UDFS: dict[str, tuple[str, int, str]] = {}
+
+
+def register_sequence_udfs(spark) -> None:
+    """Idempotently register every full-grammar sequenceMatch/Count
+    grouped-agg Pandas UDF the dialect has emitted on this session."""
+    from clickhouse_learning_spark.functions import seqmatch
+
+    for name, (pattern, n, kind) in _SEQ_UDFS.items():
+        spark.udf.register(name, seqmatch.make_sequence_udf(pattern, n, kind))
+
+
+def _sequence_udf_sql(pattern: str, a: list[str], kind: str) -> str:
+    """Emit a call to the full-grammar matcher UDF (strict adjacency,
+    (?t…) time guards, '.' wildcards — functions/seqmatch.py). The
+    per-group tracked events cross into Python once via Arrow; this is
+    the documented slow-but-complete path, bounded by group size."""
+    import hashlib
+
+    n = len(a) - 1
+    key = hashlib.md5(f"{kind}|{n}|{pattern}".encode()).hexdigest()[:10]
+    name = f"ch_seq_{kind}_{key}"
+    _SEQ_UDFS[name] = (pattern, n, kind)
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        register_sequence_udfs(s)
+    t = f"unix_seconds(CAST(({a[0]}) AS TIMESTAMP))"
+    conds = ", ".join(
+        f"coalesce(CAST(({c}) AS BOOLEAN), false)" for c in a[1:]
+    )
+    out = "INT" if kind == "match" else "BIGINT"
+    return f"CAST({name}({t}, {conds}) AS {out})"
 
 
 # effectively-infinite window for the sequence* folds (ts is epoch
@@ -1723,8 +1736,12 @@ def _sequence_match_sql(p: list[str], a: list[str]) -> str:
     """sequenceMatch(pattern)(ts, conds…): the windowFunnel fold with an
     infinite window and the conditions reordered to pattern order
     degenerates to greedy subsequence existence — exactly CH's
-    .*-separated semantics. Returns 1/0 (CH UInt8)."""
-    levels = _sequence_pattern_levels(p[0], len(a) - 1, "sequenceMatch")
+    .*-separated semantics. Returns 1/0 (CH UInt8). Full-grammar
+    patterns (adjacency, (?t…) guards, '.') dispatch to the
+    seqmatch.py grouped-agg UDF instead (round 5)."""
+    _, levels = _sequence_compile(p[0], len(a) - 1, "sequenceMatch")
+    if levels is None:
+        return _sequence_udf_sql(p[0], a, "match")
     conds = [a[i] for i in levels]
     fold = _window_funnel_sql([_SEQ_NO_WINDOW], [a[0]] + conds)
     return f"CAST(({fold}) = {len(levels)} AS INT)"
@@ -1735,8 +1752,11 @@ def _sequence_count_sql(p: list[str], a: list[str]) -> str:
     — the same fold with a completion counter that resets the chain
     state, matching CH's 'search for the next chain after the current
     chain is matched' rule (earliest-completion is the classic optimal
-    non-overlapping strategy)."""
-    levels = _sequence_pattern_levels(p[0], len(a) - 1, "sequenceCount")
+    non-overlapping strategy). Full-grammar patterns dispatch to the
+    seqmatch.py grouped-agg UDF (round 5)."""
+    _, levels = _sequence_compile(p[0], len(a) - 1, "sequenceCount")
+    if levels is None:
+        return _sequence_udf_sql(p[0], a, "count")
     ts, conds = a[0], [a[i] for i in levels]
     n = len(conds)
     t = f"unix_seconds(CAST(({ts}) AS TIMESTAMP))"

@@ -476,3 +476,74 @@ def ch_sequence_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched_users").cast("long").alias("matched_users"),
         F.col("groups").cast("long").alias("groups"),
     )
+
+
+@query(
+    "ch_sequence_guard_dialect",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS mo
+      FROM events WHERE event_type IN ('view', 'click')),
+    nxt AS (
+      SELECT user_id, t, mo,
+             lead(t) OVER w AS t2, lead(mo) OVER w AS mo2
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, mo)),
+    f AS (
+      SELECT user_id,
+             max(CASE WHEN mo = 1 AND mo2 = 2 THEN 1 ELSE 0 END) AS m1,
+             max(CASE WHEN mo = 1 AND mo2 = 2 AND t2 - t <= 3600
+                      THEN 1 ELSE 0 END) AS m2,
+             max(CASE WHEN mo = 1 AND mo2 = 2 AND t2 - t > 7200
+                      THEN 1 ELSE 0 END) AS m3
+      FROM nxt GROUP BY user_id),
+    allu AS (
+      SELECT u.user_id, CAST(coalesce(f.m1, 0) AS INT) AS m1,
+             CAST(coalesce(f.m2, 0) AS INT) AS m2,
+             CAST(coalesce(f.m3, 0) AS INT) AS m3
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN f ON f.user_id = u.user_id)
+    SELECT m1, m2, m3, CAST(count(*) AS BIGINT) AS users
+    FROM allu GROUP BY m1, m2, m3
+    """,
+)
+def ch_sequence_guard_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: full-grammar ``sequenceMatch`` — strict adjacency and
+    ``(?t op N)`` time guards — pasted through the dialect shim, which
+    dispatches these patterns to the seqmatch.py grouped-agg Pandas
+    UDF (dialect._sequence_udf_sql; the guard-free subsequence form
+    stays on the JVM fold). Adjacency is over the TRACKED stream:
+    purchase/error/signup rows match no condition and are invisible,
+    per the CH docs' own example. The oracle derives each flag
+    independently with a lead() window over the filtered stream —
+    adjacent (view, click) pairs, gap-guarded — LEFT JOINed back to
+    all users. Tie order (t, bitmask) matches the matcher's sort. One
+    shuffle on user_id; the three patterns share one Arrow transfer
+    per group."""
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).createOrReplaceTempView("ch_seq_guard_events")
+    ch = """
+        SELECT m1, m2, m3, count(*) AS users
+        FROM (
+          SELECT user_id,
+                 sequenceMatch('(?1)(?2)')(
+                     ts, event_type = 'view', event_type = 'click') AS m1,
+                 sequenceMatch('(?1)(?t<=3600)(?2)')(
+                     ts, event_type = 'view', event_type = 'click') AS m2,
+                 sequenceMatch('(?1)(?t>7200)(?2)')(
+                     ts, event_type = 'view', event_type = 'click') AS m3
+          FROM ch_seq_guard_events GROUP BY user_id)
+        GROUP BY m1, m2, m3
+    """
+    out = spark.sql(translate(ch))
+    return out.select(
+        F.col("m1").cast("int").alias("m1"),
+        F.col("m2").cast("int").alias("m2"),
+        F.col("m3").cast("int").alias("m3"),
+        F.col("users").cast("long").alias("users"),
+    )

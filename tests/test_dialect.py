@@ -53,21 +53,22 @@ def test_translate_rejects_unregistered_dictionary():
 
 
 def test_translate_points_behavioral_aggregates_at_engine_paths():
-    """As of r4, windowFunnel base mode and the .*-separated
-    sequenceMatch/sequenceCount grammar translate to fold expressions
-    (test_translate_window_funnel / test_translate_sequence_functions);
-    the shapes whose matching rules genuinely differ — strict
-    adjacency, (?t…) guards, windowFunnel strict modes — still gate
-    with pointers. retention is order-free and translates to
-    conditional-max products — see test_translate_retention_executes."""
+    """As of r5 the whole behavioral surface translates: windowFunnel
+    (base + strict modes) and the .*-separated sequenceMatch/Count
+    grammar as JVM fold expressions; full-grammar sequence patterns
+    (strict adjacency, (?t…) guards, '.') as the seqmatch.py
+    grouped-agg UDF (test_seqmatch.py). retention is order-free and
+    translates to conditional-max products — see
+    test_translate_retention_executes."""
     assert "aggregate(" in translate(
         "windowFunnel(3600)(ts, etype = 'view', etype = 'click')"
     )
     assert "aggregate(" in translate(
         "sequenceMatch('(?1).*(?2)')(ts, a = 1, b = 1)"
     )
-    with pytest.raises(ValueError, match="adjacen"):
-        translate("sequenceMatch('(?1)(?2)')(ts, a = 1, b = 1)")
+    assert "ch_seq_match_" in translate(
+        "sequenceMatch('(?1)(?2)')(ts, a = 1, b = 1)"
+    )
     with pytest.raises(ValueError, match="time guards"):
         translate("sequenceCount('(?1)(?t<=10)(?2)')(ts, a = 1, b = 1)")
 
