@@ -1464,14 +1464,61 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
 
     m["retention"] = _retention
 
-    def _summap_gate(a):
-        raise ValueError(
-            "sumMap needs an explode+regroup plan, not one expression; use "
-            "MetricSpec(kind='summap', source=key, weight=value) via "
-            "metrics.build_states (see summap_event_values)"
-        )
+    def _map_agg(fn: str, name: str):
+        """sumMap/minMap/maxMap(keys, values) as one fold: collect the
+        (k, v) pairs of the group, sort (keys ascend — CH's output
+        order), run-length combine per key, return the CH tuple shape
+        (col1 = keys array, col2 = combined values array; tupleElement
+        index access works unchanged). NULL keys are skipped (CH maps
+        cannot hold NULL keys); for the large-scale explode+regroup
+        plan use MetricSpec(kind='summap') via metrics.build_states."""
 
-    m["sumMap"] = _summap_gate
+        def g(a):
+            if len(a) != 2:
+                raise ValueError(f"{name}(keys, values) takes two arrays")
+            k, v = a
+            S = (
+                "sort_array(flatten(collect_list(filter("
+                f"zip_with(({k}), ({v}), (k, v) -> "
+                "struct(k AS k, v AS v)), p -> p.k IS NOT NULL))))"
+            )
+            first = f"try_element_at({S}, 1)"
+            if fn == "sum":
+                acc0 = f"{first}.v - {first}.v"
+                upd = "acc.acc + p.v"
+            elif fn == "min":
+                acc0 = f"{first}.v"
+                upd = "least(acc.acc, p.v)"
+            else:
+                acc0 = f"{first}.v"
+                upd = "greatest(acc.acc, p.v)"
+            ek = f"slice(transform({S}, p -> p.k), 1, 0)"
+            ev2 = f"slice(transform({S}, p -> p.v), 1, 0)"
+            zero = (
+                f"named_struct('cur', {first}.k, 'acc', {acc0}, "
+                f"'ks', {ek}, 'vs', {ev2})"
+            )
+            merge = (
+                "(acc, p) -> IF(p.k <=> acc.cur, "
+                f"named_struct('cur', acc.cur, 'acc', {upd}, "
+                "'ks', acc.ks, 'vs', acc.vs), "
+                "named_struct('cur', p.k, 'acc', p.v, "
+                "'ks', array_append(acc.ks, acc.cur), "
+                "'vs', array_append(acc.vs, acc.acc)))"
+            )
+            fin = (
+                "acc -> IF(acc.cur IS NULL, "
+                "named_struct('col1', acc.ks, 'col2', acc.vs), "
+                "named_struct('col1', array_append(acc.ks, acc.cur), "
+                "'col2', array_append(acc.vs, acc.acc)))"
+            )
+            return f"aggregate({S}, {zero}, {merge}, {fin})"
+
+        return g
+
+    m["sumMap"] = _map_agg("sum", "sumMap")
+    m["minMap"] = _map_agg("min", "minMap")
+    m["maxMap"] = _map_agg("max", "maxMap")
     return m
 
 

@@ -1149,3 +1149,74 @@ def ch_ip_bits_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("bit3").cast("long").alias("bit3"),
         _F.col("ip_len").cast("long").alias("ip_len"),
     )
+
+
+@query(
+    "ch_summap_dialect",
+    """
+    WITH pairs AS (
+      SELECT event_type, user_id % 5 AS k, CAST(1 AS BIGINT) AS v
+      FROM events WHERE user_id IS NOT NULL
+      UNION ALL
+      SELECT event_type, (user_id % 3) + 10,
+             CAST(coalesce(floor(value), 0) AS BIGINT)
+      FROM events WHERE user_id IS NOT NULL),
+    agg AS (SELECT event_type, k, CAST(sum(v) AS BIGINT) AS sv,
+                   min(v) AS mnv, max(v) AS mxv
+            FROM pairs GROUP BY event_type, k)
+    SELECT event_type,
+           string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS keys,
+           string_agg(CAST(sv AS VARCHAR), ',' ORDER BY k) AS sums,
+           string_agg(CAST(mnv AS VARCHAR), ',' ORDER BY k) AS mins,
+           string_agg(CAST(mxv AS VARCHAR), ',' ORDER BY k) AS maxs
+    FROM agg GROUP BY event_type
+    """,
+)
+def ch_summap_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: sumMap/minMap/maxMap (two-array form) pasted through
+    the dialect — each translates to ONE run-length fold over the
+    group's sorted (k, v) pairs (dialect _map_agg: zip_with → sorted
+    collect → aggregate(); keys ascend like CH's output), returning
+    the CH tuple shape so tupleElement() indexes it. Arrays are
+    projected to comma-joined strings (driver contract: no array
+    columns). The oracle re-derives per-key sums/mins/maxes by
+    explode+regroup and string_aggs them in key order. One aggregation
+    shuffle; the folds run inside codegen."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).createOrReplaceTempView("ch_summap_events")
+    proj = (
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "tupleElement({agg}, {i})), ',')"
+    )
+    ch = f"""
+        SELECT event_type,
+               {proj.format(agg='s', i=1)} AS keys,
+               {proj.format(agg='s', i=2)} AS sums,
+               {proj.format(agg='mn', i=2)} AS mins,
+               {proj.format(agg='mx', i=2)} AS maxs
+        FROM (
+          SELECT event_type,
+                 sumMap([modulo(user_id, 5), modulo(user_id, 3) + 10],
+                        [toInt64(1), toInt64(coalesce(floor(value), 0))]) AS s,
+                 minMap([modulo(user_id, 5), modulo(user_id, 3) + 10],
+                        [toInt64(1), toInt64(coalesce(floor(value), 0))]) AS mn,
+                 maxMap([modulo(user_id, 5), modulo(user_id, 3) + 10],
+                        [toInt64(1), toInt64(coalesce(floor(value), 0))]) AS mx
+          FROM ch_summap_events
+          WHERE isNotNull(user_id)
+          GROUP BY event_type)
+    """
+    out = spark.sql(translate(ch))
+    return out.select(
+        "event_type",
+        _F.col("keys").cast("string").alias("keys"),
+        _F.col("sums").cast("string").alias("sums"),
+        _F.col("mins").cast("string").alias("mins"),
+        _F.col("maxs").cast("string").alias("maxs"),
+    )

@@ -447,8 +447,41 @@ def test_translate_limit_by(spark):
 def test_translate_weighted_aggregate_gates():
     with pytest.raises(ValueError, match="quantile_weighted_state"):
         translate("quantileExactWeighted(0.9)(latency, calls)")
-    with pytest.raises(ValueError, match="summap_event_values"):
+    # the single-argument Map-column form still gates; the canonical
+    # (keys, values) two-array form translates as of round 5
+    with pytest.raises(ValueError, match="two arrays"):
         translate("sumMap(m)")
+
+
+def test_translate_map_aggregates_execute(spark):
+    """Round-5: sumMap/minMap/maxMap(keys, values) as run-length folds
+    — keys ascend, values combine per key, result is the CH tuple
+    (col1 keys, col2 values) so tupleElement access works; NULL keys
+    skipped; empty group → empty arrays."""
+    rows = [
+        (1, [1, 2], [10, 20]),
+        (1, [2, 3], [5, 7]),
+        (2, [None, 4], [99, 1]),
+        (3, [], []),
+    ]
+    spark.createDataFrame(
+        rows, "g int, ks array<int>, vs array<int>"
+    ).createOrReplaceTempView("ch_summap")
+    out = {
+        r.g: r
+        for r in spark.sql(
+            translate(
+                "SELECT g, sumMap(ks, vs) AS s, minMap(ks, vs) AS mn, "
+                "maxMap(ks, vs) AS mx, tupleElement(sumMap(ks, vs), 1) "
+                "AS just_keys FROM ch_summap GROUP BY g"
+            )
+        ).collect()
+    }
+    assert out[1].s.col1 == [1, 2, 3] and out[1].s.col2 == [10, 25, 7]
+    assert out[1].mn.col2 == [10, 5, 7] and out[1].mx.col2 == [10, 20, 7]
+    assert out[1].just_keys == [1, 2, 3]
+    assert out[2].s.col1 == [4] and out[2].s.col2 == [1]
+    assert out[3].s.col1 == [] and out[3].s.col2 == []
 
 
 def test_translate_topk(spark):
