@@ -1464,6 +1464,67 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
 
     m["retention"] = _retention
 
+    # -- interval sweep-line aggregates -------------------------------------
+    def _interval_events(s: str, e: str) -> str:
+        """Sorted (+1 at start, −1 at end) boundary events of the
+        group's intervals, one collect + array_sort. Lexicographic
+        struct order puts ends BEFORE starts at the same point (−1 <
+        1), so touching intervals do not count as intersecting —
+        ClickHouse's pair-sort order. NULL or reversed (start > end)
+        segments are skipped."""
+        return (
+            "array_sort(flatten(collect_list(IF(({s}) IS NULL OR "
+            "({e}) IS NULL OR ({s}) > ({e}), "
+            "array(named_struct('p', CAST(NULL AS DOUBLE), 'd', 0)), "
+            "array(named_struct('p', CAST(({s}) AS DOUBLE), 'd', 1), "
+            "named_struct('p', CAST(({e}) AS DOUBLE), 'd', -1))))))"
+        ).format(s=s, e=e)
+
+    def _max_intersections(a):
+        s, e = _two(a, "maxIntersections")
+        return (
+            f"aggregate(filter({_interval_events(s, e)}, "
+            "x -> x.p IS NOT NULL), "
+            "named_struct('cur', 0L, 'best', 0L), "
+            "(acc, ev) -> named_struct('cur', acc.cur + ev.d, "
+            "'best', greatest(acc.best, acc.cur + ev.d)), "
+            "acc -> acc.best)"
+        )
+
+    def _max_intersections_position(a):
+        s, e = _two(a, "maxIntersectionsPosition")
+        return (
+            f"aggregate(filter({_interval_events(s, e)}, "
+            "x -> x.p IS NOT NULL), "
+            "named_struct('cur', 0L, 'best', 0L, "
+            "'pos', CAST(NULL AS DOUBLE)), "
+            "(acc, ev) -> IF(ev.d = 1 AND acc.cur + 1 > acc.best, "
+            "named_struct('cur', acc.cur + 1, 'best', acc.cur + 1, "
+            "'pos', ev.p), "
+            "named_struct('cur', acc.cur + ev.d, 'best', acc.best, "
+            "'pos', acc.pos)), "
+            "acc -> acc.pos)"
+        )
+
+    def _interval_length_sum(a):
+        s, e = _two(a, "intervalLengthSum")
+        return (
+            f"aggregate(filter({_interval_events(s, e)}, "
+            "x -> x.p IS NOT NULL), "
+            "named_struct('d', 0L, 'last', CAST(0 AS DOUBLE), "
+            "'tot', CAST(0 AS DOUBLE)), "
+            "(acc, ev) -> named_struct('d', acc.d + ev.d, 'last', ev.p, "
+            "'tot', acc.tot + IF(acc.d > 0, ev.p - acc.last, "
+            "CAST(0 AS DOUBLE))), "
+            "acc -> acc.tot)"
+        )
+
+    m["maxIntersections"] = _max_intersections
+    m["maxIntersectionsPosition"] = _max_intersections_position
+    m["intervalLengthSum"] = _interval_length_sum
+    # segmentLengthSum is intervalLengthSum's pre-21.9 name
+    m["segmentLengthSum"] = _interval_length_sum
+
     def _map_agg(fn: str, name: str):
         """sumMap/minMap/maxMap(keys, values) as one fold: collect the
         (k, v) pairs of the group, sort (keys ascend — CH's output

@@ -1220,3 +1220,84 @@ def ch_summap_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("mins").cast("string").alias("mins"),
         _F.col("maxs").cast("string").alias("maxs"),
     )
+
+
+@query(
+    "ch_intervals_dialect",
+    """
+    WITH iv AS (
+      SELECT event_type, (event_id % 1000) AS s,
+             (event_id % 1000) + 50 + (user_id % 7) * 37 AS e
+      FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+    pts AS (
+      SELECT event_type, s AS p, 1 AS d FROM iv
+      UNION ALL SELECT event_type, e, -1 FROM iv),
+    rs AS (
+      SELECT event_type, p, d,
+             sum(d) OVER (PARTITION BY event_type ORDER BY p, d
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM pts),
+    mi AS (SELECT event_type, CAST(max(c) AS BIGINT) AS mi
+           FROM rs GROUP BY event_type),
+    mip AS (SELECT rs.event_type, CAST(min(rs.p) AS BIGINT) AS mip
+            FROM rs JOIN mi ON mi.event_type = rs.event_type
+                            AND rs.c = mi.mi AND rs.d = 1
+            GROUP BY rs.event_type),
+    isl AS (
+      SELECT event_type, s, e,
+             max(e) OVER (PARTITION BY event_type ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM iv),
+    grp AS (
+      SELECT event_type, s, e,
+             sum(CASE WHEN pm IS NULL OR pm < s THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS gid
+      FROM isl),
+    un AS (SELECT event_type, gid, max(e) - min(s) AS len
+           FROM grp GROUP BY event_type, gid),
+    ils AS (SELECT event_type, CAST(sum(len) AS BIGINT) AS ils
+            FROM un GROUP BY event_type)
+    SELECT mi.event_type, mi.mi, mip.mip, ils.ils
+    FROM mi JOIN mip USING (event_type) JOIN ils USING (event_type)
+    """,
+)
+def ch_intervals_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: the interval sweep-line aggregates —
+    ``maxIntersections`` (peak concurrency), ``maxIntersectionsPosition``
+    (where the peak is first reached) and ``intervalLengthSum`` (union
+    length) — pasted through the dialect; each is ONE codegen fold over
+    the group's sorted ±1 boundary events (ends sort before starts at a
+    shared point, so touching intervals do not intersect). Intervals
+    are synthesized from (event_id, user_id) arithmetic. The oracle
+    uses a DIFFERENT algorithm per aggregate: a running-sum window for
+    the peak and its first position, gaps-and-islands for the union
+    length. One aggregation shuffle."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    ).createOrReplaceTempView("ch_iv_events")
+    ch = """
+        SELECT event_type,
+               maxIntersections(s, e) AS mi,
+               toInt64(maxIntersectionsPosition(s, e)) AS mip,
+               toInt64(intervalLengthSum(s, e)) AS ils
+        FROM (
+          SELECT event_type, modulo(event_id, 1000) AS s,
+                 modulo(event_id, 1000) + 50 + modulo(user_id, 7) * 37 AS e
+          FROM ch_iv_events
+          WHERE isNotNull(event_id) AND isNotNull(user_id))
+        GROUP BY event_type
+    """
+    out = spark.sql(translate(ch))
+    return out.select(
+        "event_type",
+        _F.col("mi").cast("long").alias("mi"),
+        _F.col("mip").cast("long").alias("mip"),
+        _F.col("ils").cast("long").alias("ils"),
+    )

@@ -484,6 +484,83 @@ def test_translate_map_aggregates_execute(spark):
     assert out[3].s.col1 == [] and out[3].s.col2 == []
 
 
+def test_interval_aggregates(spark):
+    """Round-5: maxIntersections / maxIntersectionsPosition /
+    intervalLengthSum sweep-line folds. Touching intervals do not
+    intersect (ends sort before starts at the same point — CH's pair
+    order); reversed/NULL segments are skipped; position is where the
+    maximum is first reached."""
+    import random
+
+    rows = [
+        (1, 0.0, 10.0), (1, 2.0, 5.0), (1, 4.0, 8.0),
+        (2, 0.0, 5.0), (2, 5.0, 10.0),
+        (3, 5.0, 2.0), (3, None, 4.0), (3, 1.0, 3.0),
+    ]
+    spark.createDataFrame(
+        rows, "g int, s double, e double"
+    ).createOrReplaceTempView("ch_iv")
+    out = {
+        r.g: r
+        for r in spark.sql(
+            translate(
+                "SELECT g, maxIntersections(s, e) AS mi, "
+                "maxIntersectionsPosition(s, e) AS mip, "
+                "intervalLengthSum(s, e) AS ils "
+                "FROM ch_iv GROUP BY g"
+            )
+        ).collect()
+    }
+    assert (out[1].mi, out[1].mip, out[1].ils) == (3, 4.0, 10.0)
+    assert (out[2].mi, out[2].ils) == (1, 10.0)
+    assert (out[3].mi, out[3].mip, out[3].ils) == (1, 1.0, 2.0)
+
+    # randomized sweep vs a pure-Python reference
+    rng = random.Random(0x1E1)
+    rrows, want = [], {}
+    for g in range(60):
+        ivs = []
+        for _ in range(rng.randint(0, 8)):
+            s = rng.randint(0, 20)
+            e = s + rng.randint(0, 10)
+            ivs.append((float(s), float(e)))
+            rrows.append((g, float(s), float(e)))
+        evs = sorted(
+            [(s, 1) for s, _ in ivs] + [(e, -1) for _, e in ivs],
+            key=lambda x: (x[0], x[1]),
+        )
+        cur = best = 0
+        pos = None
+        for p, d in evs:
+            if d == 1 and cur + 1 > best:
+                best = cur + 1
+                pos = p
+            cur += d
+        tot, depth, last = 0.0, 0, 0.0
+        for p, d in evs:
+            if depth > 0:
+                tot += p - last
+            last, depth = p, depth + d
+        want[g] = (best, pos, tot)
+    if rrows:
+        spark.createDataFrame(
+            rrows, "g int, s double, e double"
+        ).createOrReplaceTempView("ch_iv_fuzz")
+        got = {
+            r.g: (r.mi, r.mip, r.ils)
+            for r in spark.sql(
+                translate(
+                    "SELECT g, maxIntersections(s, e) AS mi, "
+                    "maxIntersectionsPosition(s, e) AS mip, "
+                    "intervalLengthSum(s, e) AS ils "
+                    "FROM ch_iv_fuzz GROUP BY g"
+                )
+            ).collect()
+        }
+        bad = {g: (got[g], want[g]) for g in got if got[g] != want[g]}
+        assert not bad, f"mismatches: {dict(list(bad.items())[:5])}"
+
+
 def test_translate_topk(spark):
     """Round-4: ``topK(k)(x)`` / ``topKWeighted(k)(x, w)`` translate to
     a single JVM-side expression (sorted collect → run-length fold →
