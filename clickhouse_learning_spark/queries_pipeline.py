@@ -1582,3 +1582,49 @@ def lm_heldout_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     model = LM.train_bigram_lm(docs.filter(_F.col("doc_id") % 2 == 0))
     return LM.score_docs(docs.filter(_F.col("doc_id") % 2 == 1), model)
+
+
+@query(
+    "semdedup_keep",
+    f"""
+    WITH c AS (SELECT vec_id AS cell, embedding AS cv
+               FROM embeddings WHERE vec_id < 8),
+    sc AS (SELECT e.vec_id, c.cell,
+                  {_cos_sql("e.embedding", "c.cv")} AS sim
+           FROM embeddings e CROSS JOIN c),
+    a AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cell ASC) AS rn
+            FROM sc) WHERE rn = 1),
+    p AS (SELECT x.vec_id,
+                 max({_cos_sql("ex.embedding", "ey.embedding")}) AS best
+          FROM a x JOIN a y ON x.cell = y.cell AND y.vec_id < x.vec_id
+          JOIN embeddings ex ON ex.vec_id = x.vec_id
+          JOIN embeddings ey ON ey.vec_id = y.vec_id
+          GROUP BY x.vec_id)
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+           (p.best IS NULL OR p.best < 0.4) AS kept,
+           round(p.best, 6) AS max_earlier_sim
+    FROM a LEFT JOIN p ON p.vec_id = a.vec_id
+    """,
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: SemDeDup (operators.dedup.semdedup) — semantic dedup by
+    clustered cosine: assign each embedding to its argmax-cosine
+    centroid (map-only Arrow stage, centroid matrix is a closure
+    broadcast), then per cell drop rows with an earlier same-cell
+    member at cos >= 0.4 (one shuffle on cell; within-cell GEMM).
+    Centroids here are the 8 lowest-id embeddings so the whole
+    pipeline is deterministic and the oracle can replay it: argmax
+    assignment as a ranked cross join, the drop rule as one
+    max-over-earlier-members aggregate. The production path feeds
+    kmeans_fit centroids instead (tests/test_pipeline_ops.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return D.semdedup(emb, cents, threshold=0.4)

@@ -644,3 +644,39 @@ def test_jpeg_restart_markers():
     got = J.decode_baseline(golden)
     assert got is not None and got.shape == (8, 16, 3)
     assert np.all(got == 133)
+
+
+def test_semdedup_with_kmeans_centroids(spark):
+    """SemDeDup production path: kmeans centroids -> assignment ->
+    within-cell earlier-id drop rule. Laws checked against a NumPy
+    replay: every row is assigned to its argmax-cosine centroid, and a
+    row is dropped iff some lower-id same-cell row has cosine >= t."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = S.train_centroids(emb, n_centroids=6, refine_iters=2)
+    cent_list = [(i, list(v)) for i, v in enumerate(cents)]
+    out = D.semdedup(emb, cent_list, threshold=0.4).collect()
+    got = {r["vec_id"]: (r["cell"], r["kept"]) for r in out}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+    cm = np.array([v for _, v in cent_list], dtype=np.float64)
+    cm = cm / np.sqrt((cm * cm).sum(axis=1))[:, None]
+    cell_ids = np.array([c for c, _ in cent_list])
+    assign = cell_ids[np.argmax(mat @ cm.T, axis=1)]
+    order = np.argsort(ids)
+    bad = 0
+    for pos in order:
+        vid, cell = int(ids[pos]), int(assign[pos])
+        earlier = (assign == cell) & (ids < ids[pos])
+        want_kept = True
+        if earlier.any():
+            want_kept = float((mat[earlier] @ mat[pos]).max()) < 0.4
+        if got[vid] != (cell, want_kept):
+            bad += 1
+    assert bad == 0, f"{bad} assignment/keep mismatches"
+    # the fixture's planted near-dups must actually drop something
+    assert any(not k for _, k in got.values())
