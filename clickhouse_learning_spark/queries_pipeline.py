@@ -1628,3 +1628,63 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return D.semdedup(emb, cents, threshold=0.4)
+
+
+@query(
+    "dsir_importance",
+    """
+    WITH docs2 AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_concat(t,
+               CASE WHEN len(t) < 2 THEN []
+                    ELSE list_transform(generate_series(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i + 1])
+               END)) AS gram
+      FROM docs2),
+    feat AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 4096
+               AS bucket,
+             count(*) AS cnt
+      FROM grams GROUP BY doc_id, bucket),
+    tf AS (SELECT bucket, sum(cnt) AS t FROM feat
+           WHERE doc_id % 7 = 0 GROUP BY bucket),
+    rf AS (SELECT bucket, sum(cnt) AS r FROM feat
+           WHERE doc_id % 7 <> 0 GROUP BY bucket),
+    tot AS (SELECT (SELECT coalesce(sum(t), 0) FROM tf) AS tt,
+                   (SELECT coalesce(sum(r), 0) FROM rf) AS rt),
+    lr AS (SELECT coalesce(tf.bucket, rf.bucket) AS bucket,
+                  CAST(round((ln((coalesce(t, 0) + 1.0) / (tt + 1.0 * 4096))
+                       - ln((coalesce(r, 0) + 1.0) / (rt + 1.0 * 4096)))
+                       * 1000000) AS BIGINT) AS rm
+           FROM tf FULL JOIN rf ON tf.bucket = rf.bucket CROSS JOIN tot),
+    w AS (SELECT f.doc_id, CAST(sum(f.cnt * lr.rm) AS BIGINT)
+                   AS weight_micro
+          FROM feat f JOIN lr USING (bucket)
+          WHERE f.doc_id % 7 <> 0 GROUP BY f.doc_id)
+    SELECT doc_id, weight_micro FROM (
+      SELECT doc_id, weight_micro,
+             row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS rn
+      FROM w)
+    WHERE rn <= 200
+    """,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: DSIR data selection (operators/dsir.py — Xie et al.
+    2023). Target pool = doc_id % 7 == 0, raw pool = the rest; hashed
+    unigram+bigram features (engine-portable md5 bucket hash), smoothed
+    per-bucket importance log-ratios rounded to integer MICRO-units so
+    per-doc weights are exact integer dot products (no float-sum hash
+    divergence), top-200 by (weight desc, id). The oracle replays the
+    identical pipeline in DuckDB SQL. Plan: one explode+regroup
+    shuffle for features, B-row broadcast for scoring,
+    TakeOrderedAndProject for the cut."""
+    from clickhouse_learning_spark.operators import dsir as DS
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    tgt = docs.filter(F.col("doc_id") % 7 == 0)
+    return DS.dsir_select(raw, tgt, k=200, buckets=4096)

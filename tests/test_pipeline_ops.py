@@ -680,3 +680,31 @@ def test_semdedup_with_kmeans_centroids(spark):
     assert bad == 0, f"{bad} assignment/keep mismatches"
     # the fixture's planted near-dups must actually drop something
     assert any(not k for _, k in got.values())
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR sanity laws: hashed features count unigrams+bigrams; docs
+    written in the target 'dialect' outscore off-target docs; the
+    selection cut is deterministic (weight desc, id asc)."""
+    from clickhouse_learning_spark.operators import dsir as DS
+
+    a_words = "alpha beta gamma delta epsilon"
+    b_words = "zulu yankee xray whiskey victor"
+    rows = [(i, f"{a_words} {a_words}") for i in range(20)]          # raw, A
+    rows += [(100 + i, f"{b_words} {b_words}") for i in range(20)]   # raw, B
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(1000 + i, a_words) for i in range(10)], "doc_id long, text string"
+    )
+    sel = DS.dsir_select(raw, tgt, k=20, buckets=512).collect()
+    assert len(sel) == 20
+    assert all(r["doc_id"] < 100 for r in sel), "picked off-target docs"
+    # identical docs -> identical weights -> id-ascending tie-break
+    assert [r["doc_id"] for r in sel] == sorted(r["doc_id"] for r in sel)
+
+    f = DS.hashed_ngram_features(
+        spark.createDataFrame([(1, "x y x")], "doc_id long, text string"),
+        buckets=1 << 20,
+    ).collect()
+    # grams: x, y, x, 'x y', 'y x' -> 4 distinct buckets w/ x counted twice
+    assert sorted(r["cnt"] for r in f) == [1, 1, 1, 2]
