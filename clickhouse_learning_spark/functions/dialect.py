@@ -39,6 +39,7 @@ Dictionary own those lifecycles.
 
 from __future__ import annotations
 
+import functools
 import re
 from collections.abc import Callable
 
@@ -1048,6 +1049,170 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         return forms[name]
 
     m["arrayReduce"] = _array_reduce
+
+    # -- vector distance / norm family (r4 late) -----------------------------
+    # CH's array-vector functions compute in Float64 regardless of the
+    # element type; every form below casts element-wise to DOUBLE and
+    # folds in index order (aggregate() is a left fold), which is also
+    # what the DuckDB oracles replay — bit-stable across engines.
+    def _dsum(items: str) -> str:
+        return f"aggregate({items}, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+    def _vdot(x: str, y: str) -> str:
+        return _dsum(
+            f"zip_with({x}, {y}, "
+            f"(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE))"
+        )
+
+    def _dot(a):
+        return _vdot(*_two(a, "dotProduct"))
+
+    m["dotProduct"] = _dot
+    m["scalarProduct"] = _dot
+    m["arrayDotProduct"] = _dot
+    m["cosineDistance"] = lambda a: (
+        lambda x, y: (
+            f"(1.0 - {_vdot(x, y)} / "
+            f"(sqrt({_vdot(x, x)}) * sqrt({_vdot(y, y)})))"
+        )
+    )(*_two(a, "cosineDistance"))
+    m["L1Distance"] = lambda a: (
+        lambda x, y: _dsum(
+            f"zip_with({x}, {y}, "
+            f"(p, q) -> abs(CAST(p AS DOUBLE) - CAST(q AS DOUBLE)))"
+        )
+    )(*_two(a, "L1Distance"))
+    m["L2SquaredDistance"] = lambda a: (
+        lambda x, y: _dsum(
+            f"zip_with({x}, {y}, (p, q) -> "
+            f"(CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) * "
+            f"(CAST(p AS DOUBLE) - CAST(q AS DOUBLE)))"
+        )
+    )(*_two(a, "L2SquaredDistance"))
+    m["L2Distance"] = lambda a: (
+        f"sqrt({m['L2SquaredDistance'](a)})"
+    )
+    m["LinfDistance"] = lambda a: (
+        lambda x, y: (
+            f"coalesce(array_max(zip_with({x}, {y}, "
+            f"(p, q) -> abs(CAST(p AS DOUBLE) - CAST(q AS DOUBLE)))), "
+            f"CAST(0 AS DOUBLE))"
+        )
+    )(*_two(a, "LinfDistance"))
+    m["LpDistance"] = lambda a: (
+        lambda x, y, p: (
+            # 1E0: a plain 1.0 literal is DECIMAL in Spark SQL and
+            # decimal division truncates the exponent to scale 6
+            f"power({_dsum(f'zip_with({x}, {y}, (u, v) -> power(abs(CAST(u AS DOUBLE) - CAST(v AS DOUBLE)), {p}))')}, "
+            f"1E0 / ({p}))"
+        )
+    )(*_three(a, "LpDistance"))
+    m["L1Norm"] = lambda a: (
+        lambda x: _dsum(f"transform({x}, p -> abs(CAST(p AS DOUBLE)))")
+    )(_one(a, "L1Norm"))
+    m["L2SquaredNorm"] = lambda a: (
+        lambda x: _vdot(x, x)
+    )(_one(a, "L2SquaredNorm"))
+    m["L2Norm"] = lambda a: (
+        lambda x: f"sqrt({_vdot(x, x)})"
+    )(_one(a, "L2Norm"))
+    m["LinfNorm"] = lambda a: (
+        lambda x: (
+            f"coalesce(array_max(transform({x}, "
+            f"p -> abs(CAST(p AS DOUBLE)))), CAST(0 AS DOUBLE))"
+        )
+    )(_one(a, "LinfNorm"))
+    m["LpNorm"] = lambda a: (
+        lambda x, p: (
+            f"power({_dsum(f'transform({x}, u -> power(abs(CAST(u AS DOUBLE)), {p}))')}, "
+            f"1E0 / ({p}))"
+        )
+    )(*_two(a, "LpNorm"))
+    # normalize*: x / norm(x). A zero vector divides 0/0 → NULL elements
+    # under Spark's non-ANSI division where CH produces nan — documented
+    # divergence (pinned in the grid test on non-zero inputs only).
+    m["normalizeL1"] = lambda a: (
+        lambda x: (
+            f"transform({x}, p -> CAST(p AS DOUBLE) / "
+            f"{_dsum(f'transform({x}, q -> abs(CAST(q AS DOUBLE)))')})"
+        )
+    )(_one(a, "normalizeL1"))
+    m["normalizeL2"] = lambda a: (
+        lambda x: (
+            f"transform({x}, p -> CAST(p AS DOUBLE) / sqrt({_vdot(x, x)}))"
+        )
+    )(_one(a, "normalizeL2"))
+    m["normalizeLinf"] = lambda a: (
+        lambda x: (
+            f"transform({x}, p -> CAST(p AS DOUBLE) / "
+            f"coalesce(array_max(transform({x}, "
+            f"q -> abs(CAST(q AS DOUBLE)))), CAST(0 AS DOUBLE)))"
+        )
+    )(_one(a, "normalizeLinf"))
+
+    # -- array set predicates (r4 late) ---------------------------------------
+    # hasAll/hasAny/hasSubstr return UInt8 in CH; booleans here (same
+    # convention as empty()/isIPv4String — the pasted SQL casts when it
+    # needs 0/1). NULL array elements probe with CH Null-as-value
+    # semantics only for hasSubstr (array equality is null-safe);
+    # hasAll/hasAny follow Spark's three-valued array_contains /
+    # arrays_overlap — documented at the grid test.
+    def _is_empty_array_literal(s: str) -> bool:
+        # a bare [] / array() literal is ARRAY<NULL>-typed in Spark and
+        # fails array_contains analysis — short-circuit it textually
+        # (typed empties from real columns resolve fine)
+        return s.strip().replace(" ", "") in ("[]", "array()")
+
+    m["hasAll"] = lambda a: (
+        lambda arr, sub: (
+            "true"
+            if _is_empty_array_literal(sub)
+            else f"forall({sub}, x -> array_contains({arr}, x))"
+        )
+    )(*_two(a, "hasAll"))
+    m["hasAny"] = lambda a: (
+        lambda x, y: (
+            "false"
+            if _is_empty_array_literal(x) or _is_empty_array_literal(y)
+            else f"arrays_overlap({x}, {y})"
+        )
+    )(*_two(a, "hasAny"))
+    m["hasSubstr"] = lambda a: (
+        # contiguous-subsequence test: any offset where the size(b)-long
+        # slice equals b; hasSubstr(a, []) = 1 per CH docs
+        lambda x, y: (
+            f"CASE WHEN size({y}) = 0 THEN true "
+            f"WHEN size({x}) < size({y}) THEN false "
+            f"ELSE exists(sequence(1, size({x}) - size({y}) + 1), "
+            f"i -> slice({x}, i, size({y})) = {y}) END"
+        )
+    )(*_two(a, "hasSubstr"))
+    m["arrayIntersect"] = lambda a: (
+        # n-ary fold; CH leaves result ORDER unspecified — Spark's
+        # array_intersect keeps first-array order (deterministic, and
+        # callers that need an order sort anyway)
+        functools.reduce(lambda acc, nxt: f"array_intersect({acc}, {nxt})", a)
+        if len(a) >= 2
+        else (_ for _ in ()).throw(
+            ValueError("arrayIntersect takes at least two arrays")
+        )
+    )
+    m["arrayJaccardIndex"] = lambda a: (
+        # |distinct ∩| / |distinct ∪|; both empty → 0/0 → NaN like CH
+        lambda x, y: (
+            f"CASE WHEN size(array_union({x}, {y})) = 0 "
+            f"THEN CAST('NaN' AS DOUBLE) "
+            f"ELSE CAST(size(array_intersect({x}, {y})) AS DOUBLE) / "
+            f"size(array_union({x}, {y})) END"
+        )
+    )(*_two(a, "arrayJaccardIndex"))
+    # arrayElement(arr, i): 1-based, negative from the end — exactly
+    # Spark's element_at, except out-of-bounds: CH returns the element
+    # type's default where try_element_at returns NULL (same documented
+    # class as assumeNotNull; the a[i] bracket rewrite shares it)
+    m["arrayElement"] = lambda a: (
+        lambda arr, i: f"try_element_at({arr}, {i})"
+    )(*_two(a, "arrayElement"))
 
     # -- aggregate equivalents ----------------------------------------------
     m["argMax"] = lambda a: (lambda x, o: f"max_by({x}, {o})")(*_two(a, "argMax"))

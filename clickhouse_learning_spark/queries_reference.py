@@ -1301,3 +1301,95 @@ def ch_intervals_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("mip").cast("long").alias("mip"),
         _F.col("ils").cast("long").alias("ils"),
     )
+
+
+def _vec_sql(a: str, term: str) -> str:
+    """Index-ordered double fold over ``a`` — ``term`` uses ``{a}[i]``
+    (and may reference the 1-based index ``i``)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> {term}))"
+    )
+
+
+@query(
+    "ch_vector_dialect",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_vec_sql("embedding", "embedding[i]::DOUBLE * (i / 64.0)")} AS dot_rv,
+             sqrt({_vec_sql("embedding", "embedding[i]::DOUBLE * embedding[i]::DOUBLE")}) AS l2,
+             {_vec_sql("embedding", "abs(embedding[i]::DOUBLE)")} AS l1,
+             list_max(list_transform(generate_series(1, len(embedding)),
+                                     i -> abs(embedding[i]::DOUBLE))) AS linf,
+             sqrt({_vec_sql("embedding", "(i / 64.0) * (i / 64.0)")}) AS rv_l2,
+             sqrt({_vec_sql("embedding", "(embedding[i]::DOUBLE - i / 64.0) * (embedding[i]::DOUBLE - i / 64.0)")}) AS l2_dist,
+             [CAST(vec_id % 5 AS INT), CAST(vec_id % 7 AS INT), 3] AS pa,
+             [3, CAST(vec_id % 5 AS INT)] AS pb
+      FROM embeddings)
+    SELECT vec_id,
+           round(dot_rv, 6) AS dot_rv,
+           round(l2, 6) AS l2,
+           round(l1, 6) AS l1,
+           round(linf, 6) AS linf,
+           round(1.0 - dot_rv / (l2 * rv_l2), 6) AS cos_dist,
+           round(l2_dist, 6) AS l2_dist,
+           round(embedding[1]::DOUBLE / l2, 6) AS n2_first,
+           CAST(list_has_all(pa, pb) AS BIGINT) AS has_all,
+           CAST(list_has_any(pa, [4, 6]) AS BIGINT) AS has_any,
+           CAST((pa[2] = pb[1] AND pa[3] = pb[2])
+                OR (pa[1] = pb[1] AND pa[2] = pb[2]) AS BIGINT) AS has_sub,
+           round(CAST(len(list_intersect(list_distinct(pa), list_distinct(pb))) AS DOUBLE)
+                 / len(list_distinct(pa || pb)), 6) AS jac
+    FROM v
+    """,
+)
+def ch_vector_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: the CH vector/array-predicate surface (r4-late
+    mappings) under the hash gate — dotProduct / L1-L2-Linf norms /
+    cosineDistance / L2Distance / normalizeL2 against a rational
+    reference vector rv[i] = i/64 (exact binary fractions: zero libm
+    divergence between engines), plus hasAll / hasAny / hasSubstr /
+    arrayJaccardIndex on small modulo-derived int arrays. Every Spark
+    form is an index-ordered DOUBLE fold inside codegen (map-only, no
+    shuffle); the oracle re-derives each value with DuckDB list
+    comprehensions, the set predicates with list_has_*, hasSubstr with
+    explicit offset logic, and Jaccard from distinct intersect/union
+    counts."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "ch_vec_emb"
+    )
+    ch = """
+        SELECT vec_id,
+               round(dotProduct(embedding, rv), 6) AS dot_rv,
+               round(L2Norm(embedding), 6) AS l2,
+               round(L1Norm(embedding), 6) AS l1,
+               round(LinfNorm(embedding), 6) AS linf,
+               round(cosineDistance(embedding, rv), 6) AS cos_dist,
+               round(L2Distance(embedding, rv), 6) AS l2_dist,
+               round(arrayElement(normalizeL2(embedding), 1), 6) AS n2_first,
+               toInt64(hasAll(pa, pb)) AS has_all,
+               toInt64(hasAny(pa, [4, 6])) AS has_any,
+               toInt64(hasSubstr(pa, pb)) AS has_sub,
+               round(arrayJaccardIndex(pa, pb), 6) AS jac
+        FROM (
+          SELECT vec_id, embedding,
+                 arrayMap(i -> toFloat64(i) / 64, arrayEnumerate(embedding)) AS rv,
+                 [toInt32(modulo(vec_id, 5)), toInt32(modulo(vec_id, 7)), toInt32(3)] AS pa,
+                 [toInt32(3), toInt32(modulo(vec_id, 5))] AS pb
+          FROM ch_vec_emb)
+    """
+    out = spark.sql(translate(ch))
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "dot_rv", "l2", "l1", "linf", "cos_dist", "l2_dist", "n2_first",
+        F.col("has_all").cast("long").alias("has_all"),
+        F.col("has_any").cast("long").alias("has_any"),
+        F.col("has_sub").cast("long").alias("has_sub"),
+        "jac",
+    )

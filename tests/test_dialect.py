@@ -69,8 +69,11 @@ def test_translate_points_behavioral_aggregates_at_engine_paths():
     assert "ch_seq_match_" in translate(
         "sequenceMatch('(?1)(?2)')(ts, a = 1, b = 1)"
     )
-    with pytest.raises(ValueError, match="time guards"):
-        translate("sequenceCount('(?1)(?t<=10)(?2)')(ts, a = 1, b = 1)")
+    # time-guard patterns route to the grouped-agg UDF as well
+    # (they need backtracking the greedy fold can't express)
+    assert "ch_seq_count_" in translate(
+        "sequenceCount('(?1)(?t<=10)(?2)')(ts, a = 1, b = 1)"
+    )
 
 
 def test_translate_retention_executes(spark):

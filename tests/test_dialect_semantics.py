@@ -430,3 +430,77 @@ def test_sum_foreach_int_arrays_and_named_tuple_element(spark):
         )
     ).collect()[0]
     assert (r2.x, r2.y) == (7, 2)
+
+
+def test_vector_distance_family(spark):
+    """r4 late sweep: CH's array-vector functions (dotProduct /
+    cosineDistance / Lp distances and norms / normalize*) — every form
+    computes in DOUBLE with an index-ordered fold. Values hand-computed:
+    a = [1,2,3], b = [4,6,8] → dot = 40, |a|₂ = √14, |b|₂ = √116,
+    L1 = 3+4+5 = 12, L2 = √50, Linf = 5."""
+    _grid(
+        spark,
+        [
+            ("dotProduct([1,2,3], [4,6,8])", 40.0),
+            ("scalarProduct([1,2,3], [4,6,8])", 40.0),
+            ("arrayDotProduct([1,2,3], [4,6,8])", 40.0),
+            (
+                "cosineDistance([1,2,3], [4,6,8])",
+                1.0 - 40.0 / (14.0**0.5 * 116.0**0.5),
+            ),
+            ("L1Distance([1,2,3], [4,6,8])", 12.0),
+            ("L2Distance([1,2,3], [4,6,8])", 50.0**0.5),
+            ("L2SquaredDistance([1,2,3], [4,6,8])", 50.0),
+            ("LinfDistance([1,2,3], [4,6,8])", 5.0),
+            ("LpDistance([1,2,3], [4,6,8], 3)", 216.0 ** (1.0 / 3)),
+            ("L1Norm([1,-2,3])", 6.0),
+            ("L2Norm([3,4])", 5.0),
+            ("L2SquaredNorm([3,4])", 25.0),
+            ("LinfNorm([1,-7,3])", 7.0),
+            ("LpNorm([3,4], 2)", 5.0),
+        ],
+    )
+    # normalize*: element-wise division by the corresponding norm
+    row = spark.sql(
+        translate(
+            "SELECT normalizeL2([3.0,4.0]) AS n2, "
+            "normalizeL1([1.0,3.0]) AS n1, "
+            "normalizeLinf([2.0,-4.0]) AS ni"
+        )
+    ).collect()[0]
+    assert row.n2 == pytest.approx([0.6, 0.8])
+    assert row.n1 == pytest.approx([0.25, 0.75])
+    assert row.ni == pytest.approx([0.5, -1.0])
+
+
+def test_array_set_predicates(spark):
+    """hasAll / hasAny / hasSubstr / arrayIntersect /
+    arrayJaccardIndex / arrayElement — CH's published examples, plus
+    the empty-operand edges (hasAll(a, []) = 1, hasSubstr(a, []) = 1;
+    hasSubstr is CONTIGUOUS where hasAll is set-inclusion)."""
+    _grid(
+        spark,
+        [
+            ("hasAll([1,2,3,4], [2,4])", True),
+            ("hasAll([1,2,3,4], [2,5])", False),
+            ("hasAll([1,2], [])", True),
+            ("hasAny([1,2,3], [3,5])", True),
+            ("hasAny([1,2,3], [4,5])", False),
+            ("hasSubstr([1,2,3,4], [2,3])", True),
+            ("hasSubstr([1,2,3,4], [2,4])", False),  # not contiguous
+            ("hasSubstr([1,2,3,4], [])", True),
+            ("hasSubstr([1,2], [1,2,3])", False),
+            ("arrayJaccardIndex([1,2,3], [2,3,4])", 0.5),
+            ("arrayElement([10,20,30], 2)", 20),
+            ("arrayElement([10,20,30], -1)", 30),
+            ("arrayElement([10,20,30], 9)", None),  # CH: type default
+        ],
+    )
+    row = spark.sql(
+        translate(
+            "SELECT arrayIntersect([1,2,3,4], [2,4,5], [4,2]) AS i2"
+        )
+    ).collect()[0]
+    assert sorted(row.i2) == [2, 4]
+    with pytest.raises(ValueError, match="at least two"):
+        translate("arrayIntersect([1,2])")
