@@ -1,0 +1,151 @@
+"""Distributed Naive-Bayes text classifier — the counting-only quality
+classifier for training-data curation (the fastText-style "does this
+look like the reference corpus" filter, restricted to the model family
+whose training IS aggregation: multinomial NB with Laplace smoothing,
+McCallum & Nigam 1998). Unlike gradient-trained classifiers, every
+model parameter is a ratio of corpus counts, so training distributes as
+one count shuffle and — like operators/lm.py — the whole train+score
+path replays exactly in any SQL engine (the DuckDB oracle).
+
+Beyond-reference training-data operator (the reference engine has no
+classifier code; extends the pipeline family in BASELINE.json's
+spirit).
+
+Scale design (100 TB corpus):
+- training = ONE groupBy over exploded tokens with two conditional
+  counts (map-side combinable; shuffle keyed on the token). Model size
+  is O(vocabulary), never O(corpus).
+- the class totals / vocabulary size / priors reduce to a 1-row frame
+  that enters scoring as a broadcast cross-join — no driver collect.
+- scoring = one keyed left join (doc tokens → word log-likelihood
+  ratios) + a per-document re-aggregation. AQE broadcasts the model
+  side when it fits; at web scale it hash-joins on the token key.
+- tokenization matches operators/text.py (``[A-Za-z0-9]+`` on lowered
+  text), pure Catalyst, no Python in the hot path.
+
+Numerics: all counts are DOUBLE and every probability is formed as
+``log10((c + 1.0) / (n_class + v))`` so an independent engine that
+replays the same expression gets bit-identical IEEE results (the same
+discipline the LM scorer uses).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.operators.text import TOKEN_RE
+
+
+def _tokens(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+@dataclass
+class NaiveBayesModel:
+    """A trained multinomial NB model in two frames:
+
+    - ``word_llr``: ``(w, llr)`` — per-word log10 likelihood ratio
+      ``log10 P(w|pos) − log10 P(w|neg)`` under Laplace smoothing.
+    - ``consts``: ONE row ``(prior_llr, oov_llr)`` — the class-prior
+      log-odds and the ratio an unseen-in-training word contributes
+      (Laplace gives every OOV word the same smoothed mass, so it
+      folds to a constant instead of a vocabulary miss).
+    """
+
+    word_llr: DataFrame
+    consts: DataFrame
+
+
+def train_nb(
+    corpus: DataFrame, label_col: str = "label", text_col: str = "text"
+) -> NaiveBayesModel:
+    """One count shuffle over the exploded token stream; ``label_col``
+    is boolean-ish (true/1 = positive class)."""
+    lab = F.col(label_col).cast("boolean")
+    tok = corpus.select(
+        lab.alias("_pos"), F.explode(_tokens(text_col)).alias("w")
+    )
+    counts = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0))
+        .cast("double")
+        .alias("c_pos"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1))
+        .cast("double")
+        .alias("c_neg"),
+    )
+    # 1-row totals: class token masses, vocabulary size, doc priors
+    totals = counts.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    priors = corpus.agg(
+        F.sum(F.when(lab, 1).otherwise(0)).cast("double").alias("d_pos"),
+        F.sum(F.when(lab, 0).otherwise(1)).cast("double").alias("d_neg"),
+    )
+    word_llr = counts.crossJoin(F.broadcast(totals)).select(
+        "w",
+        (
+            F.log10((F.col("c_pos") + 1.0) / (F.col("n_pos") + F.col("v")))
+            - F.log10((F.col("c_neg") + 1.0) / (F.col("n_neg") + F.col("v")))
+        ).alias("llr"),
+    )
+    consts = totals.crossJoin(priors).select(
+        (F.log10(F.col("d_pos")) - F.log10(F.col("d_neg"))).alias(
+            "prior_llr"
+        ),
+        (
+            F.log10(1.0 / (F.col("n_pos") + F.col("v")))
+            - F.log10(1.0 / (F.col("n_neg") + F.col("v")))
+        ).alias("oov_llr"),
+    )
+    return NaiveBayesModel(word_llr=word_llr, consts=consts)
+
+
+def score_nb(
+    docs: DataFrame,
+    model: NaiveBayesModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document log10 posterior odds: prior_llr + Σ llr(w) over all
+    token OCCURRENCES (multinomial NB), OOV words contributing oov_llr.
+    Zero-token documents score the bare prior. Output:
+    ``(id, n_tok, score, pred)`` with score rounded to 2dp and
+    ``pred = score > 0``."""
+    tok = docs.select(
+        F.col(id_col).alias("_id"), F.explode(_tokens(text_col)).alias("w")
+    )
+    # plain keyed join on the token: AQE broadcasts the O(vocab) model
+    # frame when it fits; at web scale it stays a hash join — do not
+    # force a broadcast of a frame whose size is data-dependent
+    contrib = tok.join(model.word_llr, "w", "left").crossJoin(
+        F.broadcast(model.consts)
+    )
+    per_doc = contrib.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.coalesce(F.col("llr"), F.col("oov_llr"))).alias("_sum_llr"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .crossJoin(F.broadcast(model.consts))
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_tok"), F.lit(0)).cast("long").alias("n_tok"),
+            F.round(
+                F.col("prior_llr") + F.coalesce(F.col("_sum_llr"), F.lit(0.0)),
+                2,
+            ).alias("score"),
+            (
+                F.col("prior_llr") + F.coalesce(F.col("_sum_llr"), F.lit(0.0))
+                > 0
+            )
+            .cast("long")
+            .alias("pred"),
+        )
+    )

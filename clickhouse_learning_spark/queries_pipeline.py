@@ -1688,3 +1688,74 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.filter(F.col("doc_id") % 7 != 0)
     tgt = docs.filter(F.col("doc_id") % 7 == 0)
     return DS.dsir_select(raw, tgt, k=200, buckets=4096)
+
+
+@query(
+    "nb_quality_scores",
+    """
+    WITH train AS (SELECT lang = 'en' AS pos, text FROM documents
+                   WHERE doc_id % 2 = 0),
+    tk_tr AS (SELECT pos,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[A-Za-z0-9]+')) AS w
+              FROM train),
+    counts AS (SELECT w,
+                      CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                           AS DOUBLE) AS c_pos,
+                      CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END)
+                           AS DOUBLE) AS c_neg
+               FROM tk_tr GROUP BY w),
+    tot AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM counts),
+    pri AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS d_pos,
+                   CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END)
+                        AS DOUBLE) AS d_neg
+            FROM train),
+    llr AS (SELECT w, log10((c_pos + 1.0) / (n_pos + v))
+                      - log10((c_neg + 1.0) / (n_neg + v)) AS llr
+            FROM counts, tot),
+    consts AS (SELECT log10(d_pos) - log10(d_neg) AS prior_llr,
+                      log10(1.0 / (n_pos + v))
+                      - log10(1.0 / (n_neg + v)) AS oov_llr
+               FROM tot, pri),
+    te AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text),
+                                            '[A-Za-z0-9]+')) AS w
+           FROM documents WHERE doc_id % 2 = 1),
+    sc AS (SELECT te.doc_id,
+                  coalesce(l.llr, (SELECT oov_llr FROM consts)) AS c
+           FROM te LEFT JOIN llr l USING (w)),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                   sum(c) AS s
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tok, 0) AS BIGINT) AS n_tok,
+           round((SELECT prior_llr FROM consts) + coalesce(a.s, 0.0), 2)
+             AS score,
+           CAST(((SELECT prior_llr FROM consts) + coalesce(a.s, 0.0)) > 0
+                AS BIGINT) AS pred
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: multinomial Naive-Bayes quality classifier
+    (operators/classifier.py) — train on even doc_ids labeled
+    lang='en', score the held-out odd half by log10 posterior odds.
+    The counting-only classifier for training-data curation: training
+    is ONE map-side-combinable count shuffle (model = O(vocab) word
+    log-likelihood ratios + a 1-row consts broadcast), scoring one
+    keyed token join + per-doc re-aggregation. The oracle replays the
+    identical counts and log-ratio expressions in DuckDB (counts cast
+    DOUBLE so the smoothed divisions are bit-equal; scores rounded to
+    2dp on both sides)."""
+    from clickhouse_learning_spark.operators import classifier as NB
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("lang") == "en").alias("label"), "text"
+    )
+    model = NB.train_nb(train)
+    return NB.score_nb(docs.filter(F.col("doc_id") % 2 == 1), model)
