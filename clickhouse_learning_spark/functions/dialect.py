@@ -1510,7 +1510,54 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         ValueError(
             "deltaSum depends on server-local block order; use "
             "sum(greatest(x - lag(x) OVER (ORDER BY …), 0)) for the "
-            "deterministic window form"
+            "deterministic window form, or deltaSumTimestamp(v, ts) "
+            "which orders by an explicit timestamp"
+        )
+    )
+    # deltaSumTimestamp(v, ts): Σ max(vᵢ − vᵢ₋₁, 0) over rows sorted by
+    # ts — CH's order-FREE form of deltaSum (the explicit timestamp
+    # makes it deterministic on a distributed engine). One sorted fold
+    # over the group's collected (ts, v) pairs; result is DOUBLE (CH
+    # keeps v's type — documented at the grid test).
+    m["deltaSumTimestamp"] = lambda a: (
+        lambda v, ts: (
+            f"aggregate(array_sort(collect_list(named_struct("
+            f"'t', {ts}, 'v', CAST({v} AS DOUBLE)))), "
+            f"named_struct('prev', CAST(NULL AS DOUBLE), "
+            f"'acc', CAST(0 AS DOUBLE)), "
+            f"(s, e) -> named_struct('prev', e.v, 'acc', s.acc + "
+            f"CASE WHEN s.prev IS NOT NULL AND e.v > s.prev "
+            f"THEN e.v - s.prev ELSE CAST(0 AS DOUBLE) END), "
+            f"s -> s.acc)"
+        )
+    )(*_two(a, "deltaSumTimestamp"))
+    # boundingRatio(x, y): slope of the bounding box — (y at max x −
+    # y at min x) / (max x − min x). Ties on x follow max_by/min_by's
+    # arbitrary pick, same as CH's unspecified tie rule.
+    m["boundingRatio"] = lambda a: (
+        lambda x, y: (
+            f"((max_by(CAST({y} AS DOUBLE), {x}) - "
+            f"min_by(CAST({y} AS DOUBLE), {x})) / "
+            f"(CAST(max({x}) AS DOUBLE) - min({x})))"
+        )
+    )(*_two(a, "boundingRatio"))
+    for _bad_mov in ("groupArrayMovingSum", "groupArrayMovingAvg"):
+        m[_bad_mov] = (
+            lambda name: lambda a: (_ for _ in ()).throw(
+                ValueError(
+                    f"{name} depends on server-local insertion order "
+                    "(meaningless on a distributed engine); use "
+                    "sum/avg(x) OVER (ORDER BY … ROWS N PRECEDING) "
+                    "for the deterministic window form"
+                )
+            )
+        )(_bad_mov)
+    m["exponentialMovingAverage"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "exponentialMovingAverage's merge rule is implementation-"
+            "defined across blocks; use the explicit window form "
+            "sum(v * pow(2, (t - t_max)/halflife)) / "
+            "sum(pow(2, (t - t_max)/halflife)) OVER (…)"
         )
     )
 
@@ -1966,14 +2013,42 @@ def _sequence_compile(pattern: str, n_conds: int, fn: str):
 # spark.sql(translate(…)) works too.
 _SEQ_UDFS: dict[str, tuple[str, int, str]] = {}
 
+# LTTB downsampling UDFs emitted by translate(): name -> n_points
+_LTTB_UDFS: dict[str, int] = {}
+
 
 def register_sequence_udfs(spark) -> None:
-    """Idempotently register every full-grammar sequenceMatch/Count
-    grouped-agg Pandas UDF the dialect has emitted on this session."""
-    from clickhouse_learning_spark.functions import seqmatch
+    """Idempotently register every grouped-agg Pandas UDF the dialect
+    has emitted on this session (full-grammar sequenceMatch/Count and
+    largestTriangleThreeBuckets)."""
+    from clickhouse_learning_spark.functions import lttb, seqmatch
 
     for name, (pattern, n, kind) in _SEQ_UDFS.items():
         spark.udf.register(name, seqmatch.make_sequence_udf(pattern, n, kind))
+    for name, n in _LTTB_UDFS.items():
+        spark.udf.register(name, lttb.make_lttb_udf(n))
+
+
+def _lttb_udf_sql(p: list[str], a: list[str]) -> str:
+    """largestTriangleThreeBuckets(n)(x, y): ClickHouse sorts by x, so
+    the aggregate is order-free and translates — as a grouped-agg
+    Pandas UDF (functions/lttb.py; the per-bucket selection depends on
+    the previous selection, a sequential fold no bounded SQL expression
+    covers). Returns ARRAY<ARRAY<DOUBLE>> of [x, y] pairs."""
+    n = _int_literal(p[0], "largestTriangleThreeBuckets bucket count")
+    if n <= 0:
+        raise ValueError(
+            "largestTriangleThreeBuckets(n): n must be positive"
+        )
+    x, y = _two(a, "largestTriangleThreeBuckets")
+    name = f"ch_lttb_{n}"
+    _LTTB_UDFS[name] = n
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        register_sequence_udfs(s)
+    return f"{name}(CAST(({x}) AS DOUBLE), CAST(({y}) AS DOUBLE))"
 
 
 def _sequence_udf_sql(pattern: str, a: list[str], kind: str) -> str:
@@ -2199,6 +2274,31 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     # guards gate with pointers inside _sequence_pattern_levels
     "sequenceMatch": lambda p, a: _sequence_match_sql(p, a),
     "sequenceCount": lambda p, a: _sequence_count_sql(p, a),
+    # order-dependent moving aggregates: same gates as the plain forms
+    # (insertion order is meaningless on a distributed engine)
+    "groupArrayMovingSum": lambda p, a: (_ for _ in ()).throw(
+        ValueError(
+            "groupArrayMovingSum depends on server-local insertion "
+            "order; use sum(x) OVER (ORDER BY … ROWS N PRECEDING) for "
+            "the deterministic window form"
+        )
+    ),
+    "groupArrayMovingAvg": lambda p, a: (_ for _ in ()).throw(
+        ValueError(
+            "groupArrayMovingAvg depends on server-local insertion "
+            "order; use avg(x) OVER (ORDER BY … ROWS N PRECEDING) for "
+            "the deterministic window form"
+        )
+    ),
+    "exponentialMovingAverage": lambda p, a: (_ for _ in ()).throw(
+        ValueError(
+            "exponentialMovingAverage's merge rule is implementation-"
+            "defined across blocks; use the explicit window form "
+            "sum(v * pow(2, (t - t_max)/halflife)) / "
+            "sum(pow(2, (t - t_max)/halflife)) OVER (…)"
+        )
+    ),
+    "largestTriangleThreeBuckets": lambda p, a: _lttb_udf_sql(p, a),
 }
 
 

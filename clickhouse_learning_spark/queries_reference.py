@@ -1393,3 +1393,86 @@ def ch_vector_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("has_sub").cast("long").alias("has_sub"),
         "jac",
     )
+
+
+@query(
+    "ch_lttb_dialect",
+    """
+    WITH RECURSIVE days AS (
+      SELECT event_type AS g,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             sum(CAST(floor(value) AS BIGINT)) AS yv
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    idx AS (SELECT g, CAST(d AS DOUBLE) AS x, CAST(yv AS DOUBLE) AS y,
+                   row_number() OVER (PARTITION BY g ORDER BY d) - 1 AS i
+            FROM days),
+    cnt AS (SELECT g, count(*) AS n FROM idx GROUP BY g),
+    sel(g, b, a_i) AS (
+      SELECT g, CAST(-1 AS INT), CAST(0 AS BIGINT) FROM cnt
+      UNION ALL
+      SELECT s.g, s.b + 1,
+        (SELECT p.i
+         FROM idx p, cnt c, idx ap
+         WHERE p.g = s.g AND c.g = s.g AND ap.g = s.g AND ap.i = s.a_i
+           AND p.i >= floor((s.b + 1) * (c.n - 2) / 10.0) + 1
+           AND p.i <  floor((s.b + 2) * (c.n - 2) / 10.0) + 1
+         ORDER BY abs(
+           (ap.x - (SELECT avg(q.x) FROM idx q, cnt c2
+                    WHERE q.g = s.g AND c2.g = s.g
+                      AND q.i >= floor((s.b + 2) * (c2.n - 2) / 10.0) + 1
+                      AND q.i < least(floor((s.b + 3) * (c2.n - 2) / 10.0)
+                                      + 1, c2.n)))
+             * (p.y - ap.y)
+           - (ap.x - p.x)
+             * ((SELECT avg(q.y) FROM idx q, cnt c2
+                 WHERE q.g = s.g AND c2.g = s.g
+                   AND q.i >= floor((s.b + 2) * (c2.n - 2) / 10.0) + 1
+                   AND q.i < least(floor((s.b + 3) * (c2.n - 2) / 10.0)
+                                   + 1, c2.n)) - ap.y)
+         ) DESC, p.i ASC
+         LIMIT 1)
+      FROM sel s WHERE s.b + 1 <= 9)
+    SELECT g AS event_type, x, y FROM (
+      SELECT s.g, i.x, i.y
+      FROM sel s JOIN idx i ON i.g = s.g AND i.i = s.a_i
+      UNION ALL
+      SELECT c.g, i.x, i.y
+      FROM cnt c JOIN idx i ON i.g = c.g AND i.i = c.n - 1)
+    """,
+)
+def ch_lttb_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: largestTriangleThreeBuckets(12)(x, y) — ClickHouse's
+    LTTB time-series downsampling aggregate (Steinarsson 2013; CH sorts
+    by x, making the aggregate order-free and hence translatable) over
+    each event_type's daily-revenue series, pasted through the dialect.
+    The engine path is the functions/lttb.py grouped-agg Pandas UDF
+    (the per-bucket pick depends on the previous pick — a sequential
+    fold). Inputs are INTEGER-valued doubles (day index, floored-value
+    sums), so triangle areas are bit-identical across engines and ties
+    break identically (first strictly-greater == lowest index on exact
+    equality). The oracle replays the published algorithm as a DuckDB
+    RECURSIVE CTE — per step an argmax-by-area correlated subquery
+    against the previous selection, first/last points appended."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).createOrReplaceTempView("ch_lttb_events")
+    ch = """
+        SELECT event_type, p[1] AS x, p[2] AS y FROM (
+          SELECT event_type, arrayJoin(pts) AS p FROM (
+            SELECT event_type,
+                   largestTriangleThreeBuckets(12)(x, y) AS pts
+            FROM (
+              SELECT event_type,
+                     toInt64(toRelativeDayNum(ts)) AS x,
+                     sum(toInt64(floor(value))) AS y
+              FROM ch_lttb_events
+              WHERE isNotNull(value)
+              GROUP BY event_type, x)
+            GROUP BY event_type))
+    """
+    return spark.sql(translate(ch)).select("event_type", "x", "y")

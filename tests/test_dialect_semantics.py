@@ -504,3 +504,32 @@ def test_array_set_predicates(spark):
     assert sorted(row.i2) == [2, 4]
     with pytest.raises(ValueError, match="at least two"):
         translate("arrayIntersect([1,2])")
+
+
+def test_delta_sum_timestamp_and_bounding_ratio(spark):
+    """deltaSumTimestamp: Σ max(vᵢ − vᵢ₋₁, 0) ordered by the explicit
+    timestamp (order-free, unlike gated deltaSum); boundingRatio:
+    bounding-box slope. Rows arrive shuffled to prove order
+    independence. Series by ts: v = 5, 3, 8, 8, 2, 9 →
+    rises 0+5+0+0+7 = 12 (first row contributes nothing).
+    boundingRatio: (y@maxx − y@minx)/(maxx − minx) = (9−5)/(60−10)."""
+    rows = [(30, 8.0), (10, 5.0), (60, 9.0), (20, 3.0), (50, 2.0), (40, 8.0)]
+    spark.createDataFrame(rows, "ts int, v double").createOrReplaceTempView(
+        "ch_dst"
+    )
+    r = spark.sql(
+        translate(
+            "SELECT deltaSumTimestamp(v, ts) AS ds, "
+            "boundingRatio(ts, v) AS br FROM ch_dst"
+        )
+    ).collect()[0]
+    assert r.ds == pytest.approx(12.0)
+    assert r.br == pytest.approx((9.0 - 5.0) / 50.0)
+    # order-dependent moving aggregates gate with the window pointer
+    for bad in (
+        "groupArrayMovingSum(v)",
+        "groupArrayMovingAvg(2)(v)",
+        "exponentialMovingAverage(10)(v, ts)",
+    ):
+        with pytest.raises(ValueError, match="window"):
+            translate(f"SELECT {bad} FROM ch_dst")
