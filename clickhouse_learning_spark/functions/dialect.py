@@ -1541,6 +1541,163 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             f"(CAST(max({x}) AS DOUBLE) - min({x})))"
         )
     )(*_two(a, "boundingRatio"))
+    # -- categorical association / dependency aggregates (r4 late) ----------
+    # entropy / contingency / cramersV(+BiasCorrected) / theilsU /
+    # rankCorr — every one a closed-form function of the group's
+    # category counts, computed as JVM folds over the SORTED collected
+    # values (sort_array fixes the fold order, so double summation is
+    # reproducible). Cost is O(|distinct|·N) per group — the analytics
+    # shape; at corpus scale pre-aggregate counts with groupBy first
+    # (the oracle replays exactly that shape in DuckDB). NULLs are
+    # skipped (CH aggregates skip NULLs).
+    def _bind(expr: str, var: str, body: str) -> str:
+        """Bind ``expr`` to lambda variable ``var`` evaluated ONCE:
+        a subtree referenced inside a HOF lambda body is re-evaluated
+        per element (a collected-and-sorted array would be re-sorted N
+        times — measured 40× slowdowns), so every fold below names its
+        input through this single-element transform."""
+        return f"element_at(transform(array({expr}), {var} -> {body}), 1)"
+
+    def _entropy(a):
+        x = _one(a, "entropy")
+        s = f"sort_array(filter(collect_list({x}), v -> v IS NOT NULL))"
+        return _bind(
+            s,
+            "es",
+            # Shannon entropy, log2 (CH: bits): −Σ (c/N)·log2(c/N)
+            "aggregate(transform(array_distinct(es), "
+            "d -> size(filter(es, v -> v <=> d))), CAST(0 AS DOUBLE), "
+            "(acc, c) -> acc - (CAST(c AS DOUBLE) / size(es)) * "
+            "log2(CAST(c AS DOUBLE) / size(es)))",
+        )
+
+    m["entropy"] = _entropy
+
+    def _pairs_sql(a: str, b: str) -> str:
+        return (
+            f"sort_array(filter(collect_list(struct(CAST({a} AS STRING) "
+            f"AS a, CAST({b} AS STRING) AS b)), "
+            f"p -> p.a IS NOT NULL AND p.b IS NOT NULL))"
+        )
+
+    def _chi2_body(s: str) -> str:
+        """Pearson χ² over ALL r×c cells (zero cells contribute e_ij —
+        folding only observed pairs would undercount): Σ (n_ij −
+        e_ij)²/e_ij, e_ij = rowᵢ·colⱼ/N, cells = distinct(a) ×
+        distinct(b). ``s`` must be a BOUND variable name."""
+        cells = (
+            f"flatten(transform(array_distinct(transform({s}, p -> p.a)), "
+            f"da -> transform(array_distinct(transform({s}, p -> p.b)), "
+            f"db -> struct(da AS a, db AS b))))"
+        )
+        nij = f"CAST(size(filter({s}, q -> q = d)) AS DOUBLE)"
+        ra = f"CAST(size(filter({s}, q -> q.a <=> d.a)) AS DOUBLE)"
+        cb = f"CAST(size(filter({s}, q -> q.b <=> d.b)) AS DOUBLE)"
+        e = f"({ra} * {cb} / size({s}))"
+        return (
+            f"aggregate({cells}, CAST(0 AS DOUBLE), "
+            f"(acc, d) -> acc + ({nij} - {e}) * ({nij} - {e}) / {e})"
+        )
+
+    def _assoc(kind: str, name: str):
+        def g(args):
+            a, b = _two(args, name)
+            chi2 = _chi2_body("cs")
+            n = "size(cs)"
+            r = "size(array_distinct(transform(cs, p -> p.a)))"
+            c = "size(array_distinct(transform(cs, p -> p.b)))"
+            if kind == "contingency":
+                # contingency coefficient: sqrt(χ² / (χ² + N))
+                body = f"sqrt({chi2} / ({chi2} + {n}))"
+            elif kind == "cramers":
+                body = f"sqrt({chi2} / {n} / least({r} - 1, {c} - 1))"
+            else:
+                # bias-corrected Cramér's V (Bergsma 2013): φ̃² =
+                # max(0, φ² − (r−1)(c−1)/(N−1)), r̃/c̃ shrunk likewise
+                phi2c = (
+                    f"greatest({chi2} / {n} - CAST(({r} - 1) AS DOUBLE) * "
+                    f"({c} - 1) / ({n} - 1), CAST(0 AS DOUBLE))"
+                )
+                rt = (
+                    f"({r} - CAST(({r} - 1) AS DOUBLE) * ({r} - 1) "
+                    f"/ ({n} - 1))"
+                )
+                ct = (
+                    f"({c} - CAST(({c} - 1) AS DOUBLE) * ({c} - 1) "
+                    f"/ ({n} - 1))"
+                )
+                body = f"sqrt({phi2c} / least({rt} - 1, {ct} - 1))"
+            return _bind(_pairs_sql(a, b), "cs", body)
+
+        return g
+
+    m["contingency"] = _assoc("contingency", "contingency")
+    m["cramersV"] = _assoc("cramers", "cramersV")
+    m["cramersVBiasCorrected"] = _assoc("cramers_bc", "cramersVBiasCorrected")
+
+    def _theils_u(args):
+        # Theil's uncertainty coefficient U(a|b) = (H(a) − H(a|b))/H(a)
+        # with natural log: how much knowing b reduces uncertainty in a.
+        # H(a|b) = −Σ_ij p_ij·ln(p_ij/p_j). H(a)=0 (constant a) → NaN
+        # (0/0), documented.
+        a, b = _two(args, "theilsU")
+        n = "size(ts)"
+        nij = "CAST(size(filter(ts, q -> q = d)) AS DOUBLE)"
+        cb = "CAST(size(filter(ts, q -> q.b <=> d.b)) AS DOUBLE)"
+        h_a = (
+            f"aggregate(array_distinct(transform(ts, p -> p.a)), "
+            f"CAST(0 AS DOUBLE), (acc, da) -> acc - "
+            f"(CAST(size(filter(ts, q -> q.a <=> da)) AS DOUBLE) / {n}) * "
+            f"ln(CAST(size(filter(ts, q -> q.a <=> da)) AS DOUBLE) / {n}))"
+        )
+        h_ab = (
+            f"aggregate(array_distinct(ts), CAST(0 AS DOUBLE), "
+            f"(acc, d) -> acc - ({nij} / {n}) * ln({nij} / {cb}))"
+        )
+        return _bind(
+            _pairs_sql(a, b), "ts", f"(({h_a} - {h_ab}) / {h_a})"
+        )
+
+    m["theilsU"] = _theils_u
+
+    def _rank_corr(args):
+        # Spearman ρ: average ranks (ties share the mean rank:
+        # rᵢ = #{<} + (#{=} + 1)/2), then Pearson over the rank pairs.
+        # Rank means are exactly (N+1)/2. The rank arrays are bound
+        # once each (rxs/rys) — O(N²) counting total, never O(N³).
+        x, y = _two(args, "rankCorr")
+        s = (
+            f"sort_array(filter(collect_list(struct("
+            f"CAST({x} AS DOUBLE) AS x, CAST({y} AS DOUBLE) AS y)), "
+            f"p -> p.x IS NOT NULL AND p.y IS NOT NULL))"
+        )
+        rx = (
+            "transform(rs, p -> size(filter(rs, q -> q.x < p.x)) + "
+            "(size(filter(rs, q -> q.x = p.x)) + 1) / CAST(2 AS DOUBLE))"
+        )
+        ry = (
+            "transform(rs, p -> size(filter(rs, q -> q.y < p.y)) + "
+            "(size(filter(rs, q -> q.y = p.y)) + 1) / CAST(2 AS DOUBLE))"
+        )
+        mean = "((size(rs) + 1) / CAST(2 AS DOUBLE))"
+        cov = (
+            f"aggregate(zip_with(rxs, rys, (u, v) -> "
+            f"(u - {mean}) * (v - {mean})), CAST(0 AS DOUBLE), "
+            f"(acc, t) -> acc + t)"
+        )
+        vx = (
+            f"aggregate(transform(rxs, u -> (u - {mean}) * (u - {mean})), "
+            f"CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+        )
+        vy = (
+            f"aggregate(transform(rys, u -> (u - {mean}) * (u - {mean})), "
+            f"CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+        )
+        body = _bind(rx, "rxs", _bind(ry, "rys", f"({cov} / sqrt({vx} * {vy}))"))
+        return _bind(s, "rs", body)
+
+    m["rankCorr"] = _rank_corr
+
     for _bad_mov in ("groupArrayMovingSum", "groupArrayMovingAvg"):
         m[_bad_mov] = (
             lambda name: lambda a: (_ for _ in ()).throw(

@@ -1476,3 +1476,131 @@ def ch_lttb_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY event_type))
     """
     return spark.sql(translate(ch)).select("event_type", "x", "y")
+
+
+@query(
+    "ch_stats_assoc_dialect",
+    """
+    WITH base AS (
+      SELECT event_type AS g, user_id % 7 AS u7,
+             CAST(user_id % 5 AS VARCHAR) AS a,
+             CAST(event_id % 3 AS VARCHAR) AS b,
+             CAST(user_id % 97 AS DOUBLE) AS rx,
+             CAST(CAST(floor(value * 100) AS BIGINT) % 89 AS DOUBLE) AS ry
+      FROM events
+      WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL),
+    hc AS (SELECT g, u7, count(*) AS c FROM base GROUP BY g, u7),
+    hn AS (SELECT g, sum(c) AS n FROM hc GROUP BY g),
+    h AS (SELECT hc.g,
+                 -sum((c::DOUBLE / n) * log2(c::DOUBLE / n)) AS h
+          FROM hc JOIN hn ON hn.g = hc.g GROUP BY hc.g),
+    pc AS (SELECT g, a, b, count(*) AS c FROM base GROUP BY g, a, b),
+    pn AS (SELECT g, sum(c) AS n FROM pc GROUP BY g),
+    ra AS (SELECT g, a, sum(c) AS ca FROM pc GROUP BY g, a),
+    cb AS (SELECT g, b, sum(c) AS cb FROM pc GROUP BY g, b),
+    cells AS (SELECT ra.g, ra.a, cb.b, ra.ca, cb.cb
+              FROM ra JOIN cb ON cb.g = ra.g),
+    chi AS (SELECT cells.g,
+                   sum(pow(coalesce(pc.c, 0) - cells.ca::DOUBLE * cells.cb
+                           / pn.n, 2)
+                       / (cells.ca::DOUBLE * cells.cb / pn.n)) AS chi2,
+                   max(pn.n) AS n,
+                   count(DISTINCT cells.a) AS r,
+                   count(DISTINCT cells.b) AS c
+            FROM cells
+            JOIN pn ON pn.g = cells.g
+            LEFT JOIN pc ON pc.g = cells.g AND pc.a = cells.a
+                        AND pc.b = cells.b
+            GROUP BY cells.g),
+    tu AS (SELECT pc.g,
+                  (-sum((ra.ca::DOUBLE / pn.n) * ln(ra.ca::DOUBLE / pn.n))
+                     / count(*)
+                   + sum((pc.c::DOUBLE / pn.n) * ln(pc.c::DOUBLE / cb.cb))
+                     / (-sum((ra.ca::DOUBLE / pn.n)
+                             * ln(ra.ca::DOUBLE / pn.n)) / count(*))
+                     * 0) AS h_a_dummy
+           FROM pc JOIN pn ON pn.g = pc.g
+           JOIN ra ON ra.g = pc.g AND ra.a = pc.a
+           JOIN cb ON cb.g = pc.g AND cb.b = pc.b
+           GROUP BY pc.g),
+    ha AS (SELECT g, -sum((ca::DOUBLE / n) * ln(ca::DOUBLE / n)) AS h_a
+           FROM ra JOIN pn USING (g) GROUP BY g),
+    hab AS (SELECT pc.g,
+                   -sum((pc.c::DOUBLE / pn.n) * ln(pc.c::DOUBLE / cb.cb))
+                     AS h_ab
+            FROM pc JOIN pn ON pn.g = pc.g
+            JOIN cb ON cb.g = pc.g AND cb.b = pc.b
+            GROUP BY pc.g),
+    rk AS (SELECT g,
+                  rank() OVER (PARTITION BY g ORDER BY rx)
+                    + (count(*) OVER (PARTITION BY g, rx) - 1)
+                      / CAST(2 AS DOUBLE) AS rrx,
+                  rank() OVER (PARTITION BY g ORDER BY ry)
+                    + (count(*) OVER (PARTITION BY g, ry) - 1)
+                      / CAST(2 AS DOUBLE) AS rry
+           FROM base),
+    rc AS (SELECT g, corr(rrx, rry) AS rc FROM rk GROUP BY g)
+    SELECT h.g AS event_type,
+           round(h.h, 6) AS h_user,
+           round(sqrt(chi.chi2 / chi.n / least(chi.r - 1, chi.c - 1)), 6)
+             AS cv,
+           round(sqrt(greatest(chi.chi2 / chi.n
+                               - (chi.r - 1)::DOUBLE * (chi.c - 1)
+                                 / (chi.n - 1), 0)
+                      / (least(chi.r - (chi.r - 1)::DOUBLE * (chi.r - 1)
+                               / (chi.n - 1),
+                               chi.c - (chi.c - 1)::DOUBLE * (chi.c - 1)
+                               / (chi.n - 1)) - 1)), 6) AS cvb,
+           round(sqrt(chi.chi2 / (chi.chi2 + chi.n)), 6) AS ct,
+           round((ha.h_a - hab.h_ab) / ha.h_a, 6) AS tu,
+           round(rc.rc, 6) AS rc
+    FROM h
+    JOIN chi ON chi.g = h.g
+    JOIN ha ON ha.g = h.g
+    JOIN hab ON hab.g = h.g
+    JOIN rc ON rc.g = h.g
+    """,
+)
+def ch_stats_assoc_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: the categorical association/dependency aggregates —
+    entropy, cramersV, cramersVBiasCorrected, contingency, theilsU,
+    rankCorr — pasted through the dialect, one value of each per
+    event_type over modulo-derived categories. The engine path is a
+    JVM fold over the group's sorted collected categories (O(|distinct|
+    × N) per group — the analytics shape; a corpus-scale run
+    pre-aggregates counts first, which is EXACTLY the shape the oracle
+    uses: GROUP BY cell counts, marginals, a full r×c cell cross join
+    for χ² (zero cells contribute their expectation), window average
+    ranks + corr() for Spearman. One aggregation shuffle on the Spark
+    side; everything inside codegen."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id", "value"
+    ).createOrReplaceTempView("ch_assoc_events")
+    ch = """
+        SELECT event_type,
+               round(entropy(modulo(user_id, 7)), 6) AS h_user,
+               round(cramersV(toString(modulo(user_id, 5)),
+                              toString(modulo(event_id, 3))), 6) AS cv,
+               round(cramersVBiasCorrected(toString(modulo(user_id, 5)),
+                              toString(modulo(event_id, 3))), 6) AS cvb,
+               round(contingency(toString(modulo(user_id, 5)),
+                              toString(modulo(event_id, 3))), 6) AS ct,
+               round(theilsU(toString(modulo(user_id, 5)),
+                             toString(modulo(event_id, 3))), 6) AS tu,
+               round(rankCorr(modulo(user_id, 97),
+                              modulo(toInt64(floor(value * 100)), 89)), 6)
+                 AS rc
+        FROM ch_assoc_events
+        WHERE isNotNull(user_id) AND isNotNull(event_id)
+          AND isNotNull(value)
+        GROUP BY event_type
+    """
+    return spark.sql(translate(ch)).select(
+        "event_type", "h_user", "cv", "cvb", "ct", "tu", "rc"
+    )

@@ -533,3 +533,54 @@ def test_delta_sum_timestamp_and_bounding_ratio(spark):
     ):
         with pytest.raises(ValueError, match="window"):
             translate(f"SELECT {bad} FROM ch_dst")
+
+
+def test_association_aggregates(spark):
+    """entropy / cramersV(+bias-corrected) / contingency / theilsU /
+    rankCorr — hand-computed on tiny tables. 2×3 case (a = p,p,q;
+    b = x,y,y): χ² = 0.75 (zero cell contributes its expectation),
+    V = √(0.75/3/1) = 0.5. theilsU: H(a) = −⅔ln⅔ − ⅓ln⅓,
+    H(a|b) = ⅔ln2 → U = 1 − H(a|b)/H(a). rankCorr with a tie:
+    rx = [1.5, 1.5, 3] vs ry = [1, 2, 3] → 1.5/√3."""
+    import math
+
+    spark.createDataFrame(
+        [(1, "p", "x"), (1, "p", "y"), (1, "q", "y")],
+        "g int, a string, b string",
+    ).createOrReplaceTempView("ch_assoc")
+    r = spark.sql(
+        translate(
+            "SELECT entropy(a) AS h, cramersV(a, b) AS cv, "
+            "contingency(a, b) AS ct, theilsU(a, b) AS tu "
+            "FROM ch_assoc"
+        )
+    ).collect()[0]
+    assert r.h == pytest.approx(
+        -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    )
+    assert r.cv == pytest.approx(0.5)
+    assert r.ct == pytest.approx(math.sqrt(0.75 / 3.75))
+    h_a = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert r.tu == pytest.approx((h_a - (2 / 3) * math.log(2)) / h_a)
+    # perfect association: V = 1 (and bias-corrected V = 1 on 2×2 with
+    # N = 8: the φ² correction and the r̃/c̃ shrinkage cancel exactly)
+    spark.createDataFrame(
+        [(1, "p", "x")] * 4 + [(1, "q", "y")] * 4,
+        "g int, a string, b string",
+    ).createOrReplaceTempView("ch_assoc2")
+    r2 = spark.sql(
+        translate(
+            "SELECT cramersV(a, b) AS cv, "
+            "cramersVBiasCorrected(a, b) AS cvb FROM ch_assoc2"
+        )
+    ).collect()[0]
+    assert r2.cv == pytest.approx(1.0)
+    assert r2.cvb == pytest.approx(1.0)
+    spark.createDataFrame(
+        [(1, 1.0, 1.0), (1, 1.0, 2.0), (1, 2.0, 3.0)],
+        "g int, x double, y double",
+    ).createOrReplaceTempView("ch_rc")
+    r3 = spark.sql(
+        translate("SELECT rankCorr(x, y) AS rc FROM ch_rc")
+    ).collect()[0]
+    assert r3.rc == pytest.approx(1.5 / math.sqrt(3))
