@@ -320,6 +320,56 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["addHours"] = lambda a: (
         lambda d, n: f"({d} + make_interval(0, 0, 0, 0, {n}))"
     )(*_two(a, "addHours"))
+    # rest of the add/subtract family (r4 late): make_interval slots are
+    # (years, months, weeks, days, hours, mins, secs)
+    for _nm, _slot in (
+        ("addYears", 0), ("addWeeks", 2), ("addMinutes", 5),
+        ("addSeconds", 6),
+    ):
+        m[_nm] = (
+            lambda slot, nm: lambda a: (
+                lambda d, n: (
+                    f"({d} + make_interval("
+                    + ", ".join(
+                        n if i == slot else "0" for i in range(7)
+                    )
+                    + "))"
+                )
+            )(*_two(a, nm))
+        )(_slot, _nm)
+    for _nm, _slot in (
+        ("subtractYears", 0), ("subtractWeeks", 2), ("subtractHours", 4),
+        ("subtractMinutes", 5), ("subtractSeconds", 6),
+    ):
+        m[_nm] = (
+            lambda slot, nm: lambda a: (
+                lambda d, n: (
+                    f"({d} - make_interval("
+                    + ", ".join(
+                        n if i == slot else "0" for i in range(7)
+                    )
+                    + "))"
+                )
+            )(*_two(a, nm))
+        )(_slot, _nm)
+    m["addQuarters"] = lambda a: (
+        lambda d, n: f"add_months({d}, 3 * ({n}))"
+    )(*_two(a, "addQuarters"))
+    m["subtractMonths"] = lambda a: (
+        lambda d, n: f"add_months({d}, -({n}))"
+    )(*_two(a, "subtractMonths"))
+    m["subtractQuarters"] = lambda a: (
+        lambda d, n: f"add_months({d}, -3 * ({n}))"
+    )(*_two(a, "subtractQuarters"))
+    m["toQuarter"] = lambda a: f"quarter({_one(a, 'toQuarter')})"
+    # toUnixTimestamp returns epoch SECONDS (CH: UInt32);
+    # fromUnixTimestamp is its inverse (CH: DateTime)
+    m["toUnixTimestamp"] = lambda a: (
+        f"unix_timestamp({_one(a, 'toUnixTimestamp')})"
+    )
+    m["fromUnixTimestamp"] = lambda a: (
+        f"timestamp_seconds({_one(a, 'fromUnixTimestamp')})"
+    )
     m["dateDiff"] = lambda a: (
         # CH dateDiff counts unit-BOUNDARY crossings, not complete
         # elapsed units — dateDiff('day', '…23:59', next-day '…00:01')
@@ -1213,6 +1263,104 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["arrayElement"] = lambda a: (
         lambda arr, i: f"try_element_at({arr}, {i})"
     )(*_two(a, "arrayElement"))
+    # -- array mutation / fold surface (r4 late) ------------------------------
+    m["arrayPushBack"] = lambda a: (
+        lambda arr, x: f"array_append({arr}, {x})"
+    )(*_two(a, "arrayPushBack"))
+    m["arrayPushFront"] = lambda a: (
+        lambda arr, x: f"array_prepend({arr}, {x})"
+    )(*_two(a, "arrayPushFront"))
+    m["arrayPopBack"] = lambda a: (
+        lambda arr: f"slice({arr}, 1, greatest(size({arr}) - 1, 0))"
+    )(_one(a, "arrayPopBack"))
+    m["arrayPopFront"] = lambda a: (
+        lambda arr: (
+            f"CASE WHEN size({arr}) <= 1 THEN slice({arr}, 1, 0) "
+            f"ELSE slice({arr}, 2, size({arr}) - 1) END"
+        )
+    )(_one(a, "arrayPopFront"))
+
+    def _array_resize(a):
+        # arrayResize(arr, size[, extender]): truncate or pad. CH's
+        # 2-arg form pads with the element type's DEFAULT (0/'') —
+        # unknowable textually, so it pads NULL instead (documented
+        # divergence, same class as assumeNotNull); pass the extender
+        # explicitly for exact CH behavior.
+        if len(a) == 2:
+            arr, n = a
+            ext = "NULL"
+        else:
+            arr, n, ext = a
+        return (
+            f"CASE WHEN ({n}) <= size({arr}) THEN slice({arr}, 1, {n}) "
+            f"ELSE concat({arr}, array_repeat({ext}, "
+            f"({n}) - size({arr}))) END"
+        )
+
+    m["arrayResize"] = _array_resize
+    m["arrayCompact"] = lambda a: (
+        # collapse CONSECUTIVE duplicates (run-length heads)
+        lambda arr: (
+            f"CASE WHEN size({arr}) = 0 THEN {arr} ELSE "
+            f"aggregate(slice({arr}, 2, size({arr}) - 1), "
+            f"array(element_at({arr}, 1)), "
+            f"(acc, x) -> IF(x <=> element_at(acc, -1), acc, "
+            f"array_append(acc, x))) END"
+        )
+    )(_one(a, "arrayCompact"))
+    # arrayFold(acc_lambda, arr, init) — CH's left fold; Spark's
+    # aggregate() is the same fold with (array, init, lambda) order
+    m["arrayFold"] = lambda a: (
+        (lambda lam, arr, init: f"aggregate({arr}, {init}, {lam})")(
+            *_three(a, "arrayFold")
+        )
+        if len(a) == 3
+        else (_ for _ in ()).throw(
+            ValueError(
+                "arrayFold over multiple arrays: zip the arrays first "
+                "(Spark aggregate folds one array)"
+            )
+        )
+    )
+    m["arrayLast"] = lambda a: (
+        lambda lam, arr: f"try_element_at(filter({arr}, {lam}), -1)"
+    )(*_two(a, "arrayLast"))
+    m["arrayLastIndex"] = lambda a: (
+        # last matching 1-based index, 0 if none: first match in the
+        # REVERSED array mapped back
+        lambda lam, arr: (
+            f"IF(coalesce(array_position(transform(reverse({arr}), "
+            f"{lam}), true), 0) = 0, 0, size({arr}) - "
+            f"coalesce(array_position(transform(reverse({arr}), {lam}), "
+            f"true), 0) + 1)"
+        )
+    )(*_two(a, "arrayLastIndex"))
+
+    def _array_auc(a):
+        # arrayAUC(scores, labels): ROC AUC with average ranks on score
+        # ties — (Σ ranks of positives − nPos(nPos+1)/2)/(nPos·nNeg).
+        # All-positive / all-negative labels divide 0/0 → NULL (CH: nan,
+        # same documented class as normalizeL2's zero vector).
+        sc, lb = _two(a, "arrayAUC")
+        zs = (
+            f"zip_with({sc}, {lb}, (sc, l) -> "
+            f"struct(CAST(sc AS DOUBLE) AS s, CAST(l AS DOUBLE) AS l))"
+        )
+        rsum = (
+            "aggregate(transform(zs, p -> IF(p.l > 0, "
+            "CAST(size(filter(zs, q -> q.s < p.s)) AS DOUBLE) + "
+            "(size(filter(zs, q -> q.s = p.s)) + 1) / CAST(2 AS DOUBLE), "
+            "CAST(0 AS DOUBLE))), CAST(0 AS DOUBLE), (acc, r) -> acc + r)"
+        )
+        npos = "CAST(size(filter(zs, p -> p.l > 0)) AS DOUBLE)"
+        nneg = "CAST(size(filter(zs, p -> NOT (p.l > 0))) AS DOUBLE)"
+        return _bind(
+            zs,
+            "zs",
+            f"(({rsum} - {npos} * ({npos} + 1) / 2) / ({npos} * {nneg}))",
+        )
+
+    m["arrayAUC"] = _array_auc
 
     # -- aggregate equivalents ----------------------------------------------
     m["argMax"] = lambda a: (lambda x, o: f"max_by({x}, {o})")(*_two(a, "argMax"))

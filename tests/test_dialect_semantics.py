@@ -584,3 +584,74 @@ def test_association_aggregates(spark):
         translate("SELECT rankCorr(x, y) AS rc FROM ch_rc")
     ).collect()[0]
     assert r3.rc == pytest.approx(1.5 / math.sqrt(3))
+
+
+def test_datetime_add_subtract_family(spark):
+    _grid(
+        spark,
+        [
+            ("addWeeks(toDate('2024-02-26'), 1)", dt.date(2024, 3, 4)),
+            ("addYears(toDate('2024-02-29'), 1)", dt.date(2025, 2, 28)),
+            ("addQuarters(toDate('2024-01-15'), 2)", dt.date(2024, 7, 15)),
+            ("subtractWeeks(toDate('2024-03-04'), 1)", dt.date(2024, 2, 26)),
+            ("subtractMonths(toDate('2024-03-31'), 1)", dt.date(2024, 2, 29)),
+            ("subtractQuarters(toDate('2024-07-15'), 2)", dt.date(2024, 1, 15)),
+            ("subtractYears(toDate('2024-02-29'), 1)", dt.date(2023, 2, 28)),
+            ("toQuarter(toDate('2024-08-15'))", 3),
+            (
+                "toUnixTimestamp(toDateTime('1970-01-02 00:00:00'))",
+                86400,
+            ),
+            (
+                "fromUnixTimestamp(86400)",
+                dt.datetime(1970, 1, 2, 0, 0),
+            ),
+            (
+                "addMinutes(toDateTime('2024-01-01 10:59:00'), 2)",
+                dt.datetime(2024, 1, 1, 11, 1),
+            ),
+            (
+                "addSeconds(toDateTime('2024-01-01 10:59:59'), 2)",
+                dt.datetime(2024, 1, 1, 11, 0, 1),
+            ),
+            (
+                "subtractHours(toDateTime('2024-01-01 00:30:00'), 1)",
+                dt.datetime(2023, 12, 31, 23, 30),
+            ),
+            (
+                "subtractMinutes(toDateTime('2024-01-01 00:00:30'), 1)",
+                dt.datetime(2023, 12, 31, 23, 59, 30),
+            ),
+            (
+                "subtractSeconds(toDateTime('2024-01-01 00:00:00'), 1)",
+                dt.datetime(2023, 12, 31, 23, 59, 59),
+            ),
+        ],
+    )
+
+
+def test_array_mutation_and_fold(spark):
+    """arrayPush*/Pop*/Resize/Compact/Fold/Last/LastIndex/AUC — CH's
+    published examples. arrayAUC hand-check: scores [0.1, 0.4, 0.35,
+    0.8], labels [0, 0, 1, 1] → positive ranks 2 and 4 → AUC =
+    (6 − 3)/(2·2) = 0.75."""
+    _grid(
+        spark,
+        [
+            ("arrayPushBack([1,2], 3)", [1, 2, 3]),
+            ("arrayPushFront([2,3], 1)", [1, 2, 3]),
+            ("arrayPopBack([1,2,3])", [1, 2]),
+            ("arrayPopFront([1,2,3])", [2, 3]),
+            ("arrayPopBack(arrayPopBack([1]))", []),
+            ("arrayPopFront(arraySlice([1], 1, 0))", []),
+            ("arrayResize([1,2,3], 2)", [1, 2]),
+            ("arrayResize([1,2], 4, 0)", [1, 2, 0, 0]),
+            ("arrayCompact([1,1,2,2,2,1,3,3])", [1, 2, 1, 3]),
+            ("arrayCompact(arraySlice([1], 1, 0))", []),
+            ("arrayFold((acc, x) -> acc + x, [1,2,3,4], toInt64(10))", 20),
+            ("arrayLast(x -> x < 3, [1,2,5,2,9])", 2),
+            ("arrayLastIndex(x -> x < 3, [1,2,5,2,9])", 4),
+            ("arrayLastIndex(x -> x > 99, [1,2])", 0),
+            ("arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1])", 0.75),
+        ],
+    )
