@@ -646,6 +646,31 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         # multiSearchAny(haystack, [n1, n2, …])
         lambda s_, arr: f"exists({arr}, x -> contains({s_}, x))"
     )(*_two(a, "multiSearchAny"))
+    # the rest of the multiSearch family (r4 late) — substring, not
+    # regex; positions/indexes are 1-based, 0 = not found (CH)
+    m["multiSearchAllPositions"] = lambda a: (
+        lambda s_, arr: f"transform({arr}, x -> position(x, {s_}))"
+    )(*_two(a, "multiSearchAllPositions"))
+    m["multiSearchFirstIndex"] = lambda a: (
+        # 1-based index of the FIRST needle that occurs, 0 if none
+        lambda s_, arr: (
+            f"coalesce(array_position(transform({arr}, "
+            f"x -> contains({s_}, x)), true), 0)"
+        )
+    )(*_two(a, "multiSearchFirstIndex"))
+    m["multiSearchFirstPosition"] = lambda a: (
+        # leftmost offset over all needles, 0 if none
+        lambda s_, arr: (
+            f"coalesce(array_min(filter(transform({arr}, "
+            f"x -> position(x, {s_})), p -> p > 0)), 0)"
+        )
+    )(*_two(a, "multiSearchFirstPosition"))
+    m["positionCaseInsensitive"] = lambda a: (
+        lambda s_, n_: f"position(lower({n_}), lower({s_}))"
+    )(*_two(a, "positionCaseInsensitive"))
+    m["countMatches"] = lambda a: (
+        lambda s_, p: f"size(regexp_extract_all({s_}, {p}, 0))"
+    )(*_two(a, "countMatches"))
     m["replaceRegexpAll"] = lambda a: f"regexp_replace({', '.join(a)})"
     m["replaceAll"] = lambda a: f"replace({', '.join(a)})"
     m["replaceOne"] = lambda a: (_ for _ in ()).throw(
@@ -1561,6 +1586,33 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["mapContains"] = lambda a: (
         lambda mm, k: f"map_contains_key({mm}, {k})"
     )(*_two(a, "mapContains"))
+    # map constructors / transforms (r4 late). map() is name-identical
+    # but pinned here so the interleaved-args form can't regress.
+    m["map"] = lambda a: f"map({', '.join(a)})"
+    m["mapFromArrays"] = lambda a: (
+        lambda ks, vs: f"map_from_arrays({ks}, {vs})"
+    )(*_two(a, "mapFromArrays"))
+    # CH writes the lambda FIRST (mapFilter((k, v) -> …, m)); Spark
+    # LAST — same swap as arrayMap
+    m["mapFilter"] = lambda a: (
+        lambda lam, mm: f"map_filter({mm}, {lam})"
+    )(*_two(a, "mapFilter"))
+    m["mapUpdate"] = lambda a: (
+        # m2 wins on key collision (CH semantics); Spark's map_concat
+        # ERRORS on duplicate keys under the default dedup policy, so
+        # m1's colliding keys are filtered away first
+        lambda m1, m2: (
+            f"map_concat(map_filter({m1}, (k, v) -> "
+            f"NOT array_contains(map_keys({m2}), k)), {m2})"
+        )
+    )(*_two(a, "mapUpdate"))
+    m["mapApply"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "mapApply's lambda returns a (k, v) TUPLE — Spark splits "
+            "that into transform_keys(m, (k, v) -> …) + "
+            "transform_values(m, (k, v) -> …); rewrite with those"
+        )
+    )
 
     # -- sums (plain-value states: the reference's own 8B finding) ----------
     m["sumIf"] = lambda a: (
@@ -3677,6 +3729,21 @@ def _rewrite_clauses(sql: str) -> str:
                 "outermost statement is); use a row_number() window over "
                 "the BY columns (see window_topk_per_group)"
             )
+        # star modifiers: * EXCEPT(cols) is shared syntax (Spark
+        # supports it natively — pinned in the grid test); APPLY /
+        # REPLACE rewrite columns by NAME PATTERN, which needs the
+        # result schema — gate, never guess
+        if re.search(r"\*\s*apply\s*\(", s, re.I):
+            raise ValueError(
+                "SELECT * APPLY(func) needs the result schema; apply "
+                "the function per column on the DataFrame "
+                "(df.select([func(c) for c in df.columns]))"
+            )
+        if re.search(r"\*\s*replace\s*\(", s, re.I):
+            raise ValueError(
+                "SELECT * REPLACE(expr AS col) needs the result schema; "
+                "use df.withColumn(col, expr) on the DataFrame"
+            )
         s = _SAMPLE_RE.sub(
             lambda m: f"TABLESAMPLE ({float(m.group(1)) * 100:g} PERCENT)", s
         )
@@ -3691,6 +3758,105 @@ def _rewrite_clauses(sql: str) -> str:
         return s
 
     return _map_outside_strings(sql, seg)
+
+
+def _split_depth0(s: str, sep: str = ",") -> list[str]:
+    """Split ``s`` on depth-0 separators (parens + strings respected)."""
+    parts, start, depth, i = [], 0, 0, 0
+    while i < len(s):
+        c = s[i]
+        if c in "'\"":
+            i = _skip_string(s, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
+_WITH_HEAD_RE = re.compile(r"^\s*with\b", re.I)
+_AS_SPLIT_RE = re.compile(r"\bas\b", re.I)
+
+
+def _rewrite_scalar_with(sql: str) -> str:
+    """ClickHouse's scalar WITH — ``WITH <expr> AS <ident>, … SELECT``
+    — binds expressions (or scalar subqueries), not CTEs; Spark's WITH
+    is CTE-only. Each scalar entry is substituted textually (whole
+    word, outside strings) into everything after it, including later
+    entries (CH allows chained references); genuine CTE entries
+    (``ident AS (SELECT …)``) stay in the WITH. The substitution is
+    textual, so an alias that shadows a column name follows the alias —
+    name aliases distinctly (CH's own resolution is ambiguous there)."""
+    m = _WITH_HEAD_RE.match(sql)
+    if not m:
+        return sql
+    # find the depth-0 SELECT that starts the main query
+    i, n = m.end(), len(sql)
+    depth = 0
+    sel = -1
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and sql[i : i + 6].lower() == "select" and (
+            i + 6 == n or not (sql[i + 6].isalnum() or sql[i + 6] == "_")
+        ) and (not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            sel = i
+            break
+        i += 1
+    if sel < 0:
+        return sql
+    body = sql[m.end() : sel]
+    rest = sql[sel:]
+    ctes: list[str] = []
+    subs: list[tuple[str, str]] = []
+    for entry in _split_depth0(body):
+        e = entry.strip().rstrip(",").strip()
+        if not e:
+            continue
+        # last depth-0 AS splits expr from alias (CAST(x AS T) is
+        # inside parens, so it can't be picked)
+        mask = _depth0_mask(e)
+        as_ms = list(_AS_SPLIT_RE.finditer(mask))
+        if not as_ms:
+            return sql  # not the scalar form; leave untouched
+        last = as_ms[-1]
+        left = e[: last.start()].strip()
+        right = e[last.end() :].strip()
+        if re.fullmatch(r"[A-Za-z_]\w*", right):
+            # scalar form: expr AS ident
+            subs.append((right, left))
+        elif re.fullmatch(r"[A-Za-z_]\w*", left) and right.startswith("("):
+            ctes.append(e)
+        else:
+            return sql  # unrecognized entry; pass through untouched
+    for i_sub, (ident, expr) in enumerate(subs):
+        pat = re.compile(rf"\b{re.escape(ident)}\b")
+        repl = f"({expr})"
+        rest = _map_outside_strings(rest, lambda s: pat.sub(repl, s))
+        ctes = [
+            _map_outside_strings(c, lambda s: pat.sub(repl, s))
+            for c in ctes
+        ]
+        # chained references: later scalar entries may use this alias
+        subs[i_sub + 1 :] = [
+            (nm, _map_outside_strings(ex, lambda s: pat.sub(repl, s)))
+            for nm, ex in subs[i_sub + 1 :]
+        ]
+    if ctes:
+        return "WITH " + ", ".join(ctes) + " " + rest
+    return rest
 
 
 def translate(
@@ -3710,6 +3876,7 @@ def translate(
     subquery at EVERY nesting level (_rewrite_limit_by_all; innermost
     paren spans rewritten as their own statements).
     """
+    sql = _rewrite_scalar_with(sql)
     sql = _rewrite_limit_by_all(sql)
     sql = _rewrite_limit_ties(sql)
     sql = _rewrite_array_literals(sql)

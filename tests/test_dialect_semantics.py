@@ -655,3 +655,87 @@ def test_array_mutation_and_fold(spark):
             ("arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1])", 0.75),
         ],
     )
+
+
+def test_scalar_with_rewrite(spark):
+    """CH's scalar WITH (``WITH expr AS ident``) binds expressions, not
+    CTEs — Spark's WITH is CTE-only, so scalar entries substitute
+    textually; genuine CTEs stay; mixed forms split; chained scalar
+    references expand in order; scalar subqueries pass through as
+    Spark scalar subqueries."""
+    r = spark.sql(
+        translate("WITH 2 AS k, k * 10 AS k10 SELECT k10 + k AS v")
+    ).collect()[0]
+    assert r.v == 22
+    r2 = spark.sql(
+        translate(
+            "WITH toDate('2024-01-15') AS d "
+            "SELECT toStartOfMonth(d) AS m, addWeeks(d, 2) AS w"
+        )
+    ).collect()[0]
+    assert str(r2.m) == "2024-01-01" and str(r2.w) == "2024-01-29"
+    r3 = spark.sql(
+        translate("WITH (SELECT 41) AS q SELECT q + 1 AS v")
+    ).collect()[0]
+    assert r3.v == 42
+    # mixed: scalar + CTE — the scalar substitutes INTO the CTE too
+    r4 = spark.sql(
+        translate(
+            "WITH 5 AS x, cte AS (SELECT x AS a) SELECT a, x AS b FROM cte"
+        )
+    ).collect()[0]
+    assert (r4.a, r4.b) == (5, 5)
+    # CAST's internal AS must not be mistaken for the alias separator
+    r5 = spark.sql(
+        translate("WITH CAST(5 AS INT) AS five SELECT five * 2 AS ten")
+    ).collect()[0]
+    assert r5.ten == 10
+
+
+def test_star_modifiers(spark):
+    """* EXCEPT(cols) is shared CH/Spark syntax and passes through;
+    * APPLY / * REPLACE need the result schema and gate."""
+    spark.createDataFrame(
+        [(1, 2, 3)], "a int, b int, c int"
+    ).createOrReplaceTempView("ch_star")
+    assert spark.sql(
+        translate("SELECT * EXCEPT(b) FROM ch_star")
+    ).columns == ["a", "c"]
+    with pytest.raises(ValueError, match="APPLY"):
+        translate("SELECT * APPLY(sum) FROM ch_star")
+    with pytest.raises(ValueError, match="REPLACE"):
+        translate("SELECT * REPLACE(a + 1 AS a) FROM ch_star")
+
+
+def test_multisearch_and_count_matches(spark):
+    _grid(
+        spark,
+        [
+            ("multiSearchAllPositions('hello world', ['lo', 'zz', 'wor'])",
+             [4, 0, 7]),
+            ("multiSearchFirstIndex('hello', ['zz', 'll', 'he'])", 2),
+            ("multiSearchFirstIndex('hello', ['zz'])", 0),
+            ("multiSearchFirstPosition('hello world', ['wor', 'ello'])", 2),
+            ("multiSearchFirstPosition('hello', ['zz'])", 0),
+            ("positionCaseInsensitive('Hello World', 'WORLD')", 7),
+            ("countMatches('aaa bb aa', 'a+')", 2),  # 'aaa', 'aa'
+            ("countMatches('none', 'zz')", 0),
+        ],
+    )
+
+
+def test_map_constructors_and_transforms(spark):
+    row = spark.sql(
+        translate(
+            "SELECT map('a', 1, 'b', 2) AS m1, "
+            "mapFromArrays(['x', 'y'], [7, 8]) AS m2, "
+            "mapKeys(mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2))) AS f, "
+            "mapUpdate(map('a', 1, 'b', 2), map('b', 20, 'c', 30)) AS u"
+        )
+    ).collect()[0]
+    assert dict(r for r in row.m1.items()) == {"a": 1, "b": 2}
+    assert dict(row.m2.items()) == {"x": 7, "y": 8}
+    assert row.f == ["b"]
+    assert dict(row.u.items()) == {"a": 1, "b": 20, "c": 30}
+    with pytest.raises(ValueError, match="transform_keys"):
+        translate("mapApply((k, v) -> (k, v * 2), map('a', 1))")
