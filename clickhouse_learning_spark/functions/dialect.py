@@ -1288,6 +1288,33 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["arrayElement"] = lambda a: (
         lambda arr, i: f"try_element_at({arr}, {i})"
     )(*_two(a, "arrayElement"))
+    # text shingling / n-gram builders (r4 late) — the dialect forms of
+    # the pipeline's dedup primitives
+    m["arrayShingles"] = lambda a: (
+        # consecutive length-n windows; n > size → [] (CH errors on
+        # n <= 0, Spark's sequence() errors there too — loud either way)
+        lambda arr, n: (
+            f"CASE WHEN size({arr}) < ({n}) THEN "
+            f"slice(array({arr}), 1, 0) ELSE "
+            f"transform(sequence(1, size({arr}) - ({n}) + 1), "
+            f"i -> slice({arr}, i, {n})) END"
+        )
+    )(*_two(a, "arrayShingles"))
+    m["ngrams"] = lambda a: (
+        # character n-grams of a string
+        lambda s_, n: (
+            f"CASE WHEN length({s_}) < ({n}) THEN "
+            f"slice(array(''), 1, 0) ELSE "
+            f"transform(sequence(1, length({s_}) - ({n}) + 1), "
+            f"i -> substring({s_}, i, {n})) END"
+        )
+    )(*_two(a, "ngrams"))
+    m["tokens"] = lambda a: (
+        # CH's default tokenizer: split on non-alphanumeric runs
+        lambda s_: (
+            f"filter(split({s_}, '[^A-Za-z0-9]+'), t -> t != '')"
+        )
+    )(_one(a, "tokens"))
     # -- array mutation / fold surface (r4 late) ------------------------------
     m["arrayPushBack"] = lambda a: (
         lambda arr, x: f"array_append({arr}, {x})"
@@ -2583,6 +2610,16 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         f"approx_percentile({a[0]}, {p[0]})"
     ),
     "quantileTiming": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
+    # quantileGK(accuracy)(x, level)? — CH's form is
+    # quantileGK(accuracy)(x) at the default 0.5, or
+    # quantilesGK(accuracy, l1, l2…)(x); Spark's approx_percentile IS
+    # the Greenwald-Khanna sketch with the same accuracy knob
+    "quantileGK": lambda p, a: (
+        f"approx_percentile({a[0]}, 0.5, {p[0]})"
+    ),
+    "quantilesGK": lambda p, a: (
+        f"approx_percentile({a[0]}, array({', '.join(p[1:])}), {p[0]})"
+    ),
     "quantileBFloat16": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantilesTDigest": lambda p, a: (
         f"approx_percentile({a[0]}, array({', '.join(p)}))"
@@ -3761,16 +3798,17 @@ def _rewrite_clauses(sql: str) -> str:
 
 
 def _split_depth0(s: str, sep: str = ",") -> list[str]:
-    """Split ``s`` on depth-0 separators (parens + strings respected)."""
+    """Split ``s`` on depth-0 separators (parens, BRACKETS — array
+    literals — and strings respected)."""
     parts, start, depth, i = [], 0, 0, 0
     while i < len(s):
         c = s[i]
         if c in "'\"":
             i = _skip_string(s, i)
             continue
-        if c == "(":
+        if c in "([":
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
         elif c == sep and depth == 0:
             parts.append(s[start:i])

@@ -1604,3 +1604,63 @@ def ch_stats_assoc_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(translate(ch)).select(
         "event_type", "h_user", "cv", "cvb", "ct", "tu", "rc"
     )
+
+
+@query(
+    "ch_scalar_with_dialect",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents WHERE length(text) >= 40),
+    pos AS (
+      SELECT doc_id, text,
+             [position('data' IN text), position('table' IN text),
+              position('spark' IN text)] AS ps,
+             toks
+      FROM t)
+    SELECT doc_id,
+           CAST(coalesce((SELECT min(i) FROM (SELECT unnest(generate_series(1, 3)) AS i)
+                          WHERE ps[i] > 0), 0) AS BIGINT) AS first_kw,
+           CAST(coalesce((SELECT min(p) FROM (SELECT unnest(ps) AS p) WHERE p > 0), 0)
+             AS BIGINT) AS first_pos,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+           CAST(len(list_distinct(list_transform(
+                 generate_series(1, greatest(len(substr(lower(text), 1, 20)) - 2, 0)),
+                 i -> substr(lower(text), i, 3)))) AS BIGINT) AS n_3grams
+    FROM pos
+    """,
+)
+def ch_scalar_with_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: the scalar-WITH rewrite + multiSearch family + text
+    shingling builders under the hash gate — pasted CH SQL binds the
+    minimum length and the needle array as scalar WITH aliases
+    (``WITH 40 AS min_len, [...] AS needles``), then probes each
+    document with multiSearchFirstIndex / multiSearchFirstPosition and
+    counts distinct tokens() and character ngrams(). Map-only plan (no
+    shuffle); the oracle re-derives needle positions with per-needle
+    position() + unnest-min, tokens with regexp_extract_all, and the
+    3-grams with a generate_series substring comprehension."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("ch_sw_docs")
+    ch = """
+        WITH 40 AS min_len, ['data', 'table', 'spark'] AS needles
+        SELECT doc_id,
+               toInt64(multiSearchFirstIndex(text, needles)) AS first_kw,
+               toInt64(multiSearchFirstPosition(text, needles))
+                 AS first_pos,
+               toInt64(arrayUniq(tokens(lower(text)))) AS n_uniq_tokens,
+               toInt64(arrayUniq(ngrams(substring(lower(text), 1, 20), 3)))
+                 AS n_3grams
+        FROM ch_sw_docs
+        WHERE length(text) >= min_len
+    """
+    return spark.sql(translate(ch)).select(
+        "doc_id", "first_kw", "first_pos", "n_uniq_tokens", "n_3grams"
+    )

@@ -739,3 +739,29 @@ def test_map_constructors_and_transforms(spark):
     assert dict(row.u.items()) == {"a": 1, "b": 20, "c": 30}
     with pytest.raises(ValueError, match="transform_keys"):
         translate("mapApply((k, v) -> (k, v * 2), map('a', 1))")
+
+
+def test_shingles_ngrams_tokens_quantile_gk(spark):
+    _grid(
+        spark,
+        [
+            ("arrayShingles([1,2,3,4], 3)", [[1, 2, 3], [2, 3, 4]]),
+            ("arrayShingles([1,2], 3)", []),
+            ("ngrams('abcd', 2)", ["ab", "bc", "cd"]),
+            ("ngrams('ab', 3)", []),
+            ("tokens('Hello, wo_rld!!42')", ["Hello", "wo", "rld", "42"]),
+            ("tokens('')", []),
+        ],
+    )
+    rows = spark.sql(
+        "SELECT explode(sequence(1, 100)) AS v"
+    )
+    rows.createOrReplaceTempView("ch_gk")
+    r = spark.sql(
+        translate(
+            "SELECT quantileGK(100)(v) AS med, "
+            "quantilesGK(100, 0.25, 0.75)(v) AS qs FROM ch_gk"
+        )
+    ).collect()[0]
+    assert 45 <= r.med <= 55
+    assert len(r.qs) == 2 and r.qs[0] < r.qs[1]
