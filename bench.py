@@ -591,6 +591,35 @@ def main() -> None:
     _lm_model.bigrams.unpersist()
     _lm_model.total.unpersist()
 
+    # Naive-Bayes quality classifier (operators/classifier.py, r4
+    # late): same 1M-doc corpus, alternating labels keyed off doc_id —
+    # train = ONE count shuffle; score against the PREBUILT model (the
+    # steady-state curation shape). ~7M tokens/run.
+    from clickhouse_learning_spark.operators import classifier as _NB
+
+    nb_docs = lm_docs.select(
+        "doc_id", (F.col("doc_id") % 2 == 0).alias("label"), "text"
+    )
+    timings["nb_train_1m_synthetic"] = best_of(
+        runs,
+        lambda: _NB.train_nb(nb_docs)
+        .word_llr.write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    _nb_model = _NB.train_nb(nb_docs)
+    _nb_model.word_llr.persist().count()
+    _nb_model.consts.persist().count()
+    timings["nb_score_1m_prebuilt"] = best_of(
+        runs,
+        lambda: _NB.score_nb(nb_docs, _nb_model)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    _nb_model.word_llr.unpersist()
+    _nb_model.consts.unpersist()
+
     # the reference's 1-billion-row sumState benchmark shape
     # (BASELINE.md: 3.201s / 312M rows/s on ClickHouse 21.3)
     timings["sum_1b_rows_1000_groups"] = best_of(

@@ -2617,6 +2617,16 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantileGK": lambda p, a: (
         f"approx_percentile({a[0]}, 0.5, {p[0]})"
     ),
+    # sumMapFiltered(keep_keys)(keys, values): sumMap restricted to the
+    # given key set — zip, filter on membership, unzip, same fold
+    "sumMapFiltered": lambda p, a: (
+        lambda zf: _MAPPING["sumMap"](
+            [f"transform({zf}, q -> q.k)", f"transform({zf}, q -> q.v)"]
+        )
+    )(
+        f"filter(zip_with({a[0]}, {a[1]}, (k, v) -> "
+        f"struct(k AS k, v AS v)), q -> array_contains({p[0]}, q.k))"
+    ),
     "quantilesGK": lambda p, a: (
         f"approx_percentile({a[0]}, array({', '.join(p[1:])}), {p[0]})"
     ),
@@ -3914,6 +3924,13 @@ def translate(
     subquery at EVERY nesting level (_rewrite_limit_by_all; innermost
     paren spans rewritten as their own statements).
     """
+    # trailing FORMAT <name> is an output-format directive (no query
+    # semantics — the DataFrame's writer decides the format here)
+    fm = re.search(
+        r"\bformat\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$", _depth0_mask(sql), re.I
+    )
+    if fm:
+        sql = sql[: fm.start()]
     sql = _rewrite_scalar_with(sql)
     sql = _rewrite_limit_by_all(sql)
     sql = _rewrite_limit_ties(sql)

@@ -77,6 +77,11 @@ def train_nb(
         .cast("double")
         .alias("c_neg"),
     )
+    # persist the O(vocab) counts: word_llr and the totals both read
+    # it — without the cache the totals branch re-runs the whole
+    # corpus tokenization + count shuffle (plan-asserted in
+    # tests/test_plans.py)
+    counts = counts.persist()
     # 1-row totals: class token masses, vocabulary size, doc priors
     totals = counts.agg(
         F.sum("c_pos").alias("n_pos"),

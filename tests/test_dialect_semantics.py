@@ -765,3 +765,25 @@ def test_shingles_ngrams_tokens_quantile_gk(spark):
     ).collect()[0]
     assert 45 <= r.med <= 55
     assert len(r.qs) == 2 and r.qs[0] < r.qs[1]
+
+
+def test_format_strip_and_summap_filtered(spark):
+    """Trailing FORMAT <name> is an output directive — stripped; an
+    identifier merely NAMED format survives. sumMapFiltered folds only
+    the pairs whose key is in the parameter set."""
+    assert spark.sql(translate("SELECT 1 AS a FORMAT JSONEachRow")).collect()[
+        0
+    ].a == 1
+    assert spark.sql(translate("SELECT 1 AS format")).collect()[0][0] == 1
+    spark.createDataFrame(
+        [(1, [1, 2, 3], [10, 20, 30]), (1, [2, 4], [200, 400])],
+        "g int, ks array<int>, vs array<int>",
+    ).createOrReplaceTempView("ch_smf")
+    r = spark.sql(
+        translate(
+            "SELECT tupleElement(sumMapFiltered([2, 3])(ks, vs), 1) AS k, "
+            "tupleElement(sumMapFiltered([2, 3])(ks, vs), 2) AS v "
+            "FROM ch_smf GROUP BY g"
+        )
+    ).collect()[0]
+    assert list(r.k) == [2, 3] and list(r.v) == [220, 30]

@@ -349,3 +349,30 @@ def test_window_funnel_fold_single_shuffle(spark):
     assert "Join" not in p, p[:2000]
     # two grouping levels (per-user fold, then the level histogram)
     assert p.count("Exchange") <= 4, p[:2000]
+
+
+def test_nb_train_is_single_exchange(spark):
+    """Naive-Bayes training (operators/classifier.py) must be ONE count
+    shuffle over the exploded token stream — the conditional class
+    counts are map-side-combinable columns of the same hash aggregate,
+    never a second exchange or a driver collect."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.operators import classifier as NB
+
+    docs = spark.range(100).select(
+        (F.col("id") % 2 == 0).alias("label"),
+        F.concat(F.lit("w"), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    model = NB.train_nb(docs)
+    p = plan_text(model.word_llr)
+    # the counts frame is cached, so the corpus-side count shuffle
+    # appears ONCE; the totals branch reads the cache (its own global
+    # agg moves O(vocab) pre-aggregated rows, not corpus tokens)
+    assert "InMemoryTableScan" in p, p[:4000]
+    corpus_shuffles = [
+        m.start() for m in re.finditer(r"Exchange hashpartitioning\(w", p)
+    ]
+    assert len(corpus_shuffles) <= 1, p[:4000]
