@@ -72,6 +72,111 @@ def contamination_report(
     )
 
 
+def build_gram_bloom(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    bits: int = 1 << 20,
+    hashes: int = 5,
+):
+    """Distributed Bloom-filter build over the eval set's n-gram
+    hashes: k = ``hashes`` positions per gram via seeded xxhash64
+    (hashing the (gram, seed) pair), mapped to (word, or-mask) pairs
+    and bit_or-reduced per 64-bit word — the driver collects only
+    ``bits/64`` longs, INDEPENDENT of eval size (the raw gram set never
+    leaves the executors). Returns a numpy uint64 array."""
+    import numpy as np
+
+    eg = word_ngram_rows(eval_df, text_col, id_col, n).select("g").distinct()
+    pos = eg.select(
+        F.explode(
+            F.array(*[
+                F.pmod(F.xxhash64("g", F.lit(i)), F.lit(bits))
+                for i in range(hashes)
+            ])
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            # SQL shiftleft: the python wrapper only takes a literal
+            # bit count, the SQL form shifts by a column fine
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .collect()
+    )
+    arr = np.zeros(bits // 64, dtype=np.uint64)
+    for r in words:
+        arr[r["w"]] = np.uint64(np.int64(r["mask"]).view(np.uint64))
+    return arr
+
+
+def bloom_contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    bits: int = 1 << 20,
+    hashes: int = 5,
+) -> DataFrame:
+    """EXACT contamination counts via a Bloom prefilter — the scale
+    path when the eval gram set is too large to broadcast raw (contam-
+    ination between two crawls): the train side drops every gram the
+    ``bits``-wide filter rejects (a vectorized Arrow UDF over numpy —
+    false-positive rate (1−e^{−kn/m})^k, ~0.1%% at the defaults for 1M
+    grams), and only the tiny surviving candidate set pays the exact
+    verification join. Output is identical to
+    :func:`contamination_report` (the verify join removes Bloom false
+    positives), so the same oracle grades both paths."""
+    from pyspark.sql.functions import pandas_udf
+
+    arr = build_gram_bloom(eval_df, text_col, id_col, n, bits, hashes)
+
+    def _membership(*pcols):
+        import numpy as np
+        import pandas as pd
+
+        ok = None
+        for p in pcols:
+            v = p.to_numpy(dtype=np.int64).astype(np.uint64)
+            hit = (
+                arr[(v >> np.uint64(6)).astype(np.int64)]
+                >> (v & np.uint64(63))
+            ) & np.uint64(1)
+            ok = hit.astype(bool) if ok is None else (ok & hit.astype(bool))
+        return pd.Series(ok)
+
+    # pandas_udf needs a FIXED arity (varargs signatures are rejected)
+    args = ", ".join(f"p{i}" for i in range(hashes))
+    ns = {"_membership": _membership}
+    exec(  # noqa: S102 — arity shim over the local closure only
+        f"def _shim({args}):\n    return _membership({args})\n", ns
+    )
+    _might_contain = pandas_udf(ns["_shim"], "boolean")
+
+    tg = word_ngram_rows(train, text_col, id_col, n)
+    pcols = [
+        F.pmod(F.xxhash64("g", F.lit(i)), F.lit(bits)).alias(f"p{i}")
+        for i in range(hashes)
+    ]
+    cand = (
+        tg.select("id", "g", *pcols)
+        .filter(_might_contain(*[F.col(f"p{i}") for i in range(hashes)]))
+        .select("id", "g")
+    )
+    eg = word_ngram_rows(eval_df, text_col, id_col, n).select("g").distinct()
+    return (
+        cand.join(eg, "g")  # exact verify: false positives die here
+        .groupBy("id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+        .select(F.col("id").alias(id_col), "n_shared")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -1759,3 +1759,42 @@ def nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = NB.train_nb(train)
     return NB.score_nb(docs.filter(F.col("doc_id") % 2 == 1), model)
+
+
+@query(
+    "bloom_decontamination",
+    f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len({_TOKENS}) - 4, 1)),
+               i -> array_to_string(list_slice({_TOKENS}, i::INT, (i + 4)::INT), ' ')
+             ))) AS g
+      FROM documents),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0)
+    SELECT t.doc_id, count(DISTINCT t.g) AS n_shared
+    FROM grams t JOIN eval_grams e USING (g)
+    WHERE t.doc_id % 17 <> 0
+    GROUP BY t.doc_id
+    """,
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: Bloom-prefiltered decontamination
+    (operators/decontamination.bloom_contamination_report) — the scale
+    path when the eval gram set is too large to broadcast raw
+    (crawl-vs-crawl contamination): the filter is built DISTRIBUTED
+    (seeded-xxhash64 positions → bit_or per 64-bit word; the driver
+    collects bits/64 longs, independent of eval size), the train side
+    drops non-members in a vectorized Arrow UDF, and only surviving
+    candidates pay the exact verification join — so the output is
+    EXACT and this query shares contamination_check's oracle verbatim
+    (Bloom false positives die in the verify join)."""
+    from clickhouse_learning_spark.operators.decontamination import (
+        bloom_contamination_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return bloom_contamination_report(train, eval_df)

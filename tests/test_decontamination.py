@@ -67,3 +67,51 @@ def test_shuffle_path_equals_broadcast(spark, corpus):
         )
     )
     assert a == b
+
+
+def test_bloom_path_equals_broadcast_path(spark):
+    """bloom_contamination_report must be EXACTLY contamination_report
+    (the verify join removes Bloom false positives) — including under
+    an adversarially TINY filter where nearly every gram is a false
+    positive (the prefilter then saves nothing, but correctness holds)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.operators import decontamination as DC
+    from clickhouse_learning_spark.schemas import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = docs.filter(F.col("doc_id") % 17 != 0)
+    want = sorted(
+        (r["doc_id"], r["n_shared"])
+        for r in DC.contamination_report(tr, ev).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["n_shared"])
+        for r in DC.bloom_contamination_report(tr, ev).collect()
+    )
+    assert got == want and len(want) > 0
+    tiny = sorted(
+        (r["doc_id"], r["n_shared"])
+        for r in DC.bloom_contamination_report(
+            tr, ev, bits=256, hashes=2
+        ).collect()
+    )
+    assert tiny == want
+
+
+def test_bloom_build_is_distributed_and_small(spark):
+    """The Bloom build collects bits/64 longs — never the gram set."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.operators import decontamination as DC
+
+    ev = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    arr = DC.build_gram_bloom(ev, bits=1 << 12, hashes=3)
+    assert arr.shape == (64,)  # 4096 bits / 64
+    assert int((arr != 0).sum()) > 0
