@@ -1719,6 +1719,18 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["skewPop"] = lambda a: f"skewness({_one(a, 'skewPop')})"
     m["kurtPop"] = lambda a: f"kurtosis({_one(a, 'kurtPop')})"
     m["anyHeavy"] = lambda a: f"mode({_one(a, 'anyHeavy')})"
+    # sumKahan: compensated summation — Spark's DOUBLE sum is plain
+    # IEEE accumulation (partial sums per partition actually REDUCE
+    # rounding vs a serial scan); the contract (sum of doubles) is the
+    # same, the low-order bits may differ from CH's compensated result
+    m["sumKahan"] = lambda a: f"sum(CAST({_one(a, 'sumKahan')} AS DOUBLE))"
+    # singleValueOrNull: the value when exactly one DISTINCT non-NULL
+    # value exists, else NULL
+    m["singleValueOrNull"] = lambda a: (
+        lambda x: (
+            f"CASE WHEN count(DISTINCT {x}) = 1 THEN min({x}) END"
+        )
+    )(_one(a, "singleValueOrNull"))
     m["sumCount"] = lambda a: (
         lambda x: f"named_struct('col1', sum({x}), 'col2', count({x}))"
     )(_one(a, "sumCount"))
@@ -2616,6 +2628,34 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     # the Greenwald-Khanna sketch with the same accuracy knob
     "quantileGK": lambda p, a: (
         f"approx_percentile({a[0]}, 0.5, {p[0]})"
+    ),
+    # Excel-style interpolated exact quantiles: Inclusive is Hyndman-Fan
+    # R-7 — EXACTLY Spark's percentile(), so it maps directly; Exclusive
+    # is R-6 (rank = p(n+1), clamped to the extremes), a bound
+    # interpolation over the sorted collected values
+    "quantileExactInclusive": lambda p, a: (
+        f"percentile({a[0]}, {p[0]})"
+    ),
+    "quantileExactExclusive": lambda p, a: (
+        lambda body: (
+            f"element_at(transform(array(array_sort(collect_list("
+            f"CAST({a[0]} AS DOUBLE)))), qs -> {body}), 1)"
+        )
+    )(
+        f"CASE WHEN ({p[0]}) * (size(qs) + 1) < 1 THEN element_at(qs, 1) "
+        f"WHEN ({p[0]}) * (size(qs) + 1) >= size(qs) "
+        f"THEN element_at(qs, -1) "
+        f"ELSE element_at(qs, CAST(floor(({p[0]}) * (size(qs) + 1)) "
+        f"AS INT)) + (({p[0]}) * (size(qs) + 1) "
+        f"- floor(({p[0]}) * (size(qs) + 1))) * "
+        f"(element_at(qs, CAST(floor(({p[0]}) * (size(qs) + 1)) AS INT) "
+        f"+ 1) - element_at(qs, CAST(floor(({p[0]}) * (size(qs) + 1)) "
+        f"AS INT))) END"
+    ),
+    # groupArraySorted(k)(x): the k SMALLEST values ascending —
+    # order-free (unlike groupArray) and deterministic
+    "groupArraySorted": lambda p, a: (
+        f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})"
     ),
     # sumMapFiltered(keep_keys)(keys, values): sumMap restricted to the
     # given key set — zip, filter on membership, unzip, same fold

@@ -787,3 +787,40 @@ def test_format_strip_and_summap_filtered(spark):
         )
     ).collect()[0]
     assert list(r.k) == [2, 3] and list(r.v) == [220, 30]
+
+
+def test_exact_interpolated_quantiles_and_sorted_topk(spark):
+    """quantileExactInclusive = Hyndman-Fan R-7 (Spark's percentile);
+    quantileExactExclusive = R-6 with rank p(n+1) clamped to the
+    extremes. Hand values over [1..10]: inclusive p25 = 3.25 (rank
+    0.25·9+1 = 3.25), exclusive p25 = 2.75 (rank 0.25·11 = 2.75);
+    exclusive clamps at the edges."""
+    spark.createDataFrame(
+        [(1, float(v)) for v in range(1, 11)], "g int, v double"
+    ).createOrReplaceTempView("ch_q")
+    r = spark.sql(
+        translate(
+            "SELECT quantileExactInclusive(0.25)(v) AS qi, "
+            "quantileExactExclusive(0.25)(v) AS qe, "
+            "quantileExactExclusive(0.05)(v) AS qlo, "
+            "quantileExactExclusive(0.95)(v) AS qhi, "
+            "groupArraySorted(3)(v) AS g3, "
+            "sumKahan(v) AS sk, "
+            "singleValueOrNull(v) AS sv "
+            "FROM ch_q"
+        )
+    ).collect()[0]
+    assert r.qi == pytest.approx(3.25)
+    assert r.qe == pytest.approx(2.75)
+    assert r.qlo == pytest.approx(1.0)  # 0.05·11 = 0.55 < 1 → min
+    assert r.qhi == pytest.approx(10.0)  # 0.95·11 = 10.45 ≥ n → max
+    assert r.g3 == [1.0, 2.0, 3.0]
+    assert r.sk == pytest.approx(55.0)
+    assert r.sv is None
+    r2 = spark.sql(
+        translate(
+            "SELECT singleValueOrNull(x) AS sv FROM "
+            "(SELECT 7 AS x UNION ALL SELECT 7)"
+        )
+    ).collect()[0]
+    assert r2.sv == 7
