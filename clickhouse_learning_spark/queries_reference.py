@@ -1664,3 +1664,69 @@ def ch_scalar_with_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(translate(ch)).select(
         "doc_id", "first_kw", "first_pos", "n_uniq_tokens", "n_3grams"
     )
+
+
+@query(
+    "ch_quantiles_dialect",
+    """
+    WITH v AS (
+      SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    s AS (SELECT g, list_sort(list(v)) AS ls, count(*) AS n
+          FROM v GROUP BY g)
+    SELECT g AS event_type,
+           CAST(ls[least(CAST(floor(0.3 * n) AS INT) + 1, n::INT)]
+             AS DOUBLE) AS qe,
+           round(CASE WHEN floor(0.3 * (n - 1)) + 1 >= n THEN ls[n::INT]
+                      ELSE ls[CAST(floor(0.3 * (n - 1)) AS INT) + 1]
+                           + (0.3 * (n - 1) - floor(0.3 * (n - 1)))
+                             * (ls[CAST(floor(0.3 * (n - 1)) AS INT) + 2]
+                                - ls[CAST(floor(0.3 * (n - 1)) AS INT) + 1])
+                 END, 6) AS qi,
+           round(CASE WHEN 0.3 * (n + 1) < 1 THEN ls[1]
+                      WHEN 0.3 * (n + 1) >= n THEN ls[n::INT]
+                      ELSE ls[CAST(floor(0.3 * (n + 1)) AS INT)]
+                           + (0.3 * (n + 1) - floor(0.3 * (n + 1)))
+                             * (ls[CAST(floor(0.3 * (n + 1)) AS INT) + 1]
+                                - ls[CAST(floor(0.3 * (n + 1)) AS INT)])
+                 END, 6) AS qx,
+           CAST(ls[CASE WHEN 0.3 * n >= 1 AND floor(0.3 * n) = 0.3 * n
+                        THEN CAST(0.3 * n AS INT)
+                        ELSE least(CAST(floor(0.3 * n) AS INT) + 1,
+                                   n::INT) END] AS DOUBLE) AS ql,
+           CAST(ls[least(CAST(floor(0.5 * n) AS INT) + 1, n::INT)]
+             AS DOUBLE) AS med
+    FROM s
+    """,
+)
+def ch_quantiles_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: the exact-quantile rank-rule family under one hash gate
+    — quantileExact (floor(pn)+1 pick, the r1 audit rule),
+    quantileExactInclusive (Hyndman-Fan R-7 = Spark percentile),
+    quantileExactExclusive (R-6, rank p(n+1) clamped),
+    quantileExactLow (even-count lower pick) and medianExact — per
+    event_type over integer-cent values (no float noise in the order
+    statistics). The oracle re-derives every pick and both published
+    interpolation rules by explicit list_sort indexing."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).createOrReplaceTempView("ch_qt_events")
+    ch = """
+        SELECT event_type,
+               toFloat64(quantileExact(0.3)(v)) AS qe,
+               round(quantileExactInclusive(0.3)(v), 6) AS qi,
+               round(quantileExactExclusive(0.3)(v), 6) AS qx,
+               toFloat64(quantileExactLow(0.3)(v)) AS ql,
+               toFloat64(medianExact(v)) AS med
+        FROM (SELECT event_type, toInt64(floor(value * 100)) AS v
+              FROM ch_qt_events WHERE isNotNull(value))
+        GROUP BY event_type
+    """
+    return spark.sql(translate(ch)).select(
+        "event_type", "qe", "qi", "qx", "ql", "med"
+    )
