@@ -1973,7 +1973,7 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["MD5"] = lambda a: f"unhex(md5({_one(a, 'MD5')}))"
     m["SHA256"] = lambda a: f"sha2({_one(a, 'SHA256')}, 256)"
     m["hex"] = lambda a: f"upper(hex({_one(a, 'hex')}))"  # CH hex is uppercase
-    for _h in ("cityHash64", "sipHash64", "farmHash64", "halfMD5"):
+    for _h in ("cityHash64", "sipHash64", "farmHash64", "farmFingerprint64"):
         m[_h] = (
             lambda name: lambda a: (_ for _ in ()).throw(
                 ValueError(
@@ -1984,6 +1984,24 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
                 )
             )
         )(_h)
+    # halfMD5: big-endian UInt64 of MD5's first 8 bytes — MD5 is a
+    # standard digest, so this one IS bit-exact: assemble from two
+    # 32-bit hex halves. shiftleft(hi, 32) + lo: the shift supplies the
+    # two's-complement wrap for digests above 2⁶³ (ANSI-safe — shifts
+    # never overflow-check, and the added low half lands in the zeroed
+    # bits); the signed view is the same documented class as toUInt64.
+    m["halfMD5"] = lambda a: (
+        lambda x: (
+            f"(shiftleft(CAST(conv(substring(md5({x}), 1, 8), 16, 10) "
+            f"AS BIGINT), 32) + "
+            f"CAST(conv(substring(md5({x}), 9, 8), 16, 10) AS BIGINT))"
+        )
+    )(_one(a, "halfMD5"))
+    # intHash64: ClickHouse's 64-bit integer mix is Murmur3's public
+    # fmix64 finalizer — its wrapping uint64 multiplies would raise
+    # under ANSI BIGINT arithmetic, so it runs as a vectorized Arrow
+    # UDF over numpy uint64 (exact wrap, batch-at-a-time)
+    m["intHash64"] = lambda a: _int_hash64_udf_sql(_one(a, "intHash64"))
     m["now64"] = lambda a: "now()"
     m["toDateTime64"] = lambda a: f"CAST({a[0]} AS TIMESTAMP_NTZ)"
     m["uniqCombinedIf"] = lambda a: (
@@ -2413,16 +2431,55 @@ _SEQ_UDFS: dict[str, tuple[str, int, str]] = {}
 _LTTB_UDFS: dict[str, int] = {}
 
 
+# set when translate() emits an intHash64 call
+_INT_HASH64_WANTED = False
+
+
+def _make_int_hash64_udf():
+    """ClickHouse intHash64 = Murmur3 fmix64 (Common/HashTable/Hash.h):
+    xorshift-33 / 0xff51afd7ed558ccd / xorshift-33 /
+    0xc4ceb9fe1a85ec53 / xorshift-33 over the uint64 view."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _f(v):
+        import numpy as np
+        import pandas as pd
+
+        x = v.to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xC4CEB9FE1A85EC53)
+            x ^= x >> np.uint64(33)
+        return pd.Series(x.astype(np.int64))
+
+    return pandas_udf(_f, "bigint")
+
+
+def _int_hash64_udf_sql(x: str) -> str:
+    global _INT_HASH64_WANTED
+    _INT_HASH64_WANTED = True
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        register_sequence_udfs(s)
+    return f"ch_int_hash64(CAST(({x}) AS BIGINT))"
+
+
 def register_sequence_udfs(spark) -> None:
-    """Idempotently register every grouped-agg Pandas UDF the dialect
-    has emitted on this session (full-grammar sequenceMatch/Count and
-    largestTriangleThreeBuckets)."""
+    """Idempotently register every Pandas UDF the dialect has emitted
+    on this session (full-grammar sequenceMatch/Count,
+    largestTriangleThreeBuckets, intHash64)."""
     from clickhouse_learning_spark.functions import lttb, seqmatch
 
     for name, (pattern, n, kind) in _SEQ_UDFS.items():
         spark.udf.register(name, seqmatch.make_sequence_udf(pattern, n, kind))
     for name, n in _LTTB_UDFS.items():
         spark.udf.register(name, lttb.make_lttb_udf(n))
+    if _INT_HASH64_WANTED:
+        spark.udf.register("ch_int_hash64", _make_int_hash64_udf())
 
 
 def _lttb_udf_sql(p: list[str], a: list[str]) -> str:

@@ -824,3 +824,40 @@ def test_exact_interpolated_quantiles_and_sorted_topk(spark):
         )
     ).collect()[0]
     assert r2.sv == 7
+
+
+def test_half_md5_and_int_hash64(spark):
+    """halfMD5 = big-endian UInt64 of MD5's first 8 bytes (signed
+    two's-complement view, same documented class as toUInt64);
+    intHash64 = Murmur3's fmix64 finalizer (ClickHouse's public integer
+    mix). Expected values computed by from-scratch Python references."""
+    import hashlib
+
+    def ref_half_md5(s: str) -> int:
+        v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def ref_int_hash64(x: int) -> int:
+        m = (1 << 64) - 1
+        x &= m
+        x ^= x >> 33
+        x = (x * 0xFF51AFD7ED558CCD) & m
+        x ^= x >> 33
+        x = (x * 0xC4CEB9FE1A85EC53) & m
+        x ^= x >> 33
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    _grid(
+        spark,
+        [
+            ("halfMD5('abc')", ref_half_md5("abc")),
+            ("halfMD5('')", ref_half_md5("")),
+            ("halfMD5('clickhouse')", ref_half_md5("clickhouse")),
+            ("intHash64(42)", ref_int_hash64(42)),
+            ("intHash64(0)", ref_int_hash64(0)),
+            ("intHash64(-7)", ref_int_hash64(-7)),
+            ("intHash64(123456789012345)", ref_int_hash64(123456789012345)),
+        ],
+    )
+    with pytest.raises(ValueError, match="xxhash64"):
+        translate("cityHash64('x')")
