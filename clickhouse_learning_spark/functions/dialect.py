@@ -1145,10 +1145,14 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["dotProduct"] = _dot
     m["scalarProduct"] = _dot
     m["arrayDotProduct"] = _dot
+    # try_divide everywhere a data-dependent denominator can be zero:
+    # ANSI division RAISES on /0 even for doubles — a zero-norm vector
+    # must yield NULL (CH: nan — the documented divergence class), not
+    # kill the job
     m["cosineDistance"] = lambda a: (
         lambda x, y: (
-            f"(1.0 - {_vdot(x, y)} / "
-            f"(sqrt({_vdot(x, x)}) * sqrt({_vdot(y, y)})))"
+            f"(1.0 - try_divide({_vdot(x, y)}, "
+            f"sqrt({_vdot(x, x)}) * sqrt({_vdot(y, y)})))"
         )
     )(*_two(a, "cosineDistance"))
     m["L1Distance"] = lambda a: (
@@ -1203,25 +1207,26 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             f"1E0 / ({p}))"
         )
     )(*_two(a, "LpNorm"))
-    # normalize*: x / norm(x). A zero vector divides 0/0 → NULL elements
-    # under Spark's non-ANSI division where CH produces nan — documented
-    # divergence (pinned in the grid test on non-zero inputs only).
+    # normalize*: x / norm(x). A zero vector's elements become NULL
+    # (try_divide) where CH produces nan — documented divergence
+    # (pinned in the grid test on non-zero inputs only).
     m["normalizeL1"] = lambda a: (
         lambda x: (
-            f"transform({x}, p -> CAST(p AS DOUBLE) / "
-            f"{_dsum(f'transform({x}, q -> abs(CAST(q AS DOUBLE)))')})"
+            f"transform({x}, p -> try_divide(CAST(p AS DOUBLE), "
+            f"{_dsum(f'transform({x}, q -> abs(CAST(q AS DOUBLE)))')}))"
         )
     )(_one(a, "normalizeL1"))
     m["normalizeL2"] = lambda a: (
         lambda x: (
-            f"transform({x}, p -> CAST(p AS DOUBLE) / sqrt({_vdot(x, x)}))"
+            f"transform({x}, p -> try_divide(CAST(p AS DOUBLE), "
+            f"sqrt({_vdot(x, x)})))"
         )
     )(_one(a, "normalizeL2"))
     m["normalizeLinf"] = lambda a: (
         lambda x: (
-            f"transform({x}, p -> CAST(p AS DOUBLE) / "
+            f"transform({x}, p -> try_divide(CAST(p AS DOUBLE), "
             f"coalesce(array_max(transform({x}, "
-            f"q -> abs(CAST(q AS DOUBLE)))), CAST(0 AS DOUBLE)))"
+            f"q -> abs(CAST(q AS DOUBLE)))), CAST(0 AS DOUBLE))))"
         )
     )(_one(a, "normalizeLinf"))
 
@@ -1409,10 +1414,12 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         return _bind(
             zs,
             "zs",
-            f"(({rsum} - {npos} * ({npos} + 1) / 2) / ({npos} * {nneg}))",
+            f"try_divide({rsum} - {npos} * ({npos} + 1) / 2, "
+            f"{npos} * {nneg})",
         )
 
     m["arrayAUC"] = _array_auc
+    m["arrayROCAUC"] = _array_auc  # post-24.x name for the same function
 
     # -- aggregate equivalents ----------------------------------------------
     m["argMax"] = lambda a: (lambda x, o: f"max_by({x}, {o})")(*_two(a, "argMax"))
@@ -1774,10 +1781,11 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # y at min x) / (max x − min x). Ties on x follow max_by/min_by's
     # arbitrary pick, same as CH's unspecified tie rule.
     m["boundingRatio"] = lambda a: (
+        # try_divide: a single-x group divides by zero → NULL
         lambda x, y: (
-            f"((max_by(CAST({y} AS DOUBLE), {x}) - "
-            f"min_by(CAST({y} AS DOUBLE), {x})) / "
-            f"(CAST(max({x}) AS DOUBLE) - min({x})))"
+            f"try_divide(max_by(CAST({y} AS DOUBLE), {x}) - "
+            f"min_by(CAST({y} AS DOUBLE), {x}), "
+            f"CAST(max({x}) AS DOUBLE) - min({x}))"
         )
     )(*_two(a, "boundingRatio"))
     # -- categorical association / dependency aggregates (r4 late) ----------
@@ -1849,23 +1857,33 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
                 # contingency coefficient: sqrt(χ² / (χ² + N))
                 body = f"sqrt({chi2} / ({chi2} + {n}))"
             elif kind == "cramers":
-                body = f"sqrt({chi2} / {n} / least({r} - 1, {c} - 1))"
+                # try_divide: a single-category side → NULL, not a
+                # job-killing ANSI /0
+                body = (
+                    f"sqrt(try_divide({chi2} / {n}, "
+                    f"least({r} - 1, {c} - 1)))"
+                )
             else:
                 # bias-corrected Cramér's V (Bergsma 2013): φ̃² =
-                # max(0, φ² − (r−1)(c−1)/(N−1)), r̃/c̃ shrunk likewise
+                # max(0, φ² − (r−1)(c−1)/(N−1)), r̃/c̃ shrunk likewise;
+                # try_divide guards n = 1 and single-category sides
                 phi2c = (
-                    f"greatest({chi2} / {n} - CAST(({r} - 1) AS DOUBLE) * "
-                    f"({c} - 1) / ({n} - 1), CAST(0 AS DOUBLE))"
+                    f"greatest({chi2} / {n} - try_divide("
+                    f"CAST(({r} - 1) AS DOUBLE) * ({c} - 1), {n} - 1), "
+                    f"CAST(0 AS DOUBLE))"
                 )
                 rt = (
-                    f"({r} - CAST(({r} - 1) AS DOUBLE) * ({r} - 1) "
-                    f"/ ({n} - 1))"
+                    f"({r} - try_divide(CAST(({r} - 1) AS DOUBLE) * "
+                    f"({r} - 1), {n} - 1))"
                 )
                 ct = (
-                    f"({c} - CAST(({c} - 1) AS DOUBLE) * ({c} - 1) "
-                    f"/ ({n} - 1))"
+                    f"({c} - try_divide(CAST(({c} - 1) AS DOUBLE) * "
+                    f"({c} - 1), {n} - 1))"
                 )
-                body = f"sqrt({phi2c} / least({rt} - 1, {ct} - 1))"
+                body = (
+                    f"sqrt(try_divide({phi2c}, "
+                    f"least({rt} - 1, {ct} - 1)))"
+                )
             return _bind(_pairs_sql(a, b), "cs", body)
 
         return g
@@ -1894,7 +1912,9 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             f"(acc, d) -> acc - ({nij} / {n}) * ln({nij} / {cb}))"
         )
         return _bind(
-            _pairs_sql(a, b), "ts", f"(({h_a} - {h_ab}) / {h_a})"
+            _pairs_sql(a, b),
+            "ts",
+            f"try_divide({h_a} - {h_ab}, {h_a})",
         )
 
     m["theilsU"] = _theils_u
@@ -1932,7 +1952,11 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             f"aggregate(transform(rys, u -> (u - {mean}) * (u - {mean})), "
             f"CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
         )
-        body = _bind(rx, "rxs", _bind(ry, "rys", f"({cov} / sqrt({vx} * {vy}))"))
+        body = _bind(
+            rx,
+            "rxs",
+            _bind(ry, "rys", f"try_divide({cov}, sqrt({vx} * {vy}))"),
+        )
         return _bind(s, "rs", body)
 
     m["rankCorr"] = _rank_corr

@@ -861,3 +861,58 @@ def test_half_md5_and_int_hash64(spark):
     )
     with pytest.raises(ValueError, match="xxhash64"):
         translate("cityHash64('x')")
+
+
+def test_r4_late_family_edges(spark):
+    """Empty / degenerate inputs across the r4-late families — the
+    class of silent edge the driver audits for. Typed empties are
+    built with arraySlice (bare [] is ARRAY<NULL> and cannot type some
+    builtins)."""
+    _grid(
+        spark,
+        [
+            # vector folds over empty arrays: sums are 0, cosine is
+            # 0/0 → NULL under Spark double division (CH: nan —
+            # documented divergence class), Linf coalesces to 0
+            ("dotProduct(arraySlice([1], 1, 0), arraySlice([1], 1, 0))", 0.0),
+            ("L2Norm(arraySlice([1.0], 1, 0))", 0.0),
+            ("LinfNorm(arraySlice([1.0], 1, 0))", 0.0),
+            (
+                "cosineDistance(arraySlice([1.0], 1, 0), "
+                "arraySlice([1.0], 1, 0))",
+                None,
+            ),
+            # single-element and duplicate-x edges
+            ("LpNorm([5], 3)", 5.0),
+            ("arrayAUC([0.5, 0.5], [0, 1])", 0.5),  # tied scores → 0.5
+            ("arrayROCAUC([0.1, 0.9], [0, 1])", 1.0),
+            # shingle/ngram degenerate sizes already pinned; resize to 0
+            ("arrayResize([1,2,3], 0)", []),
+            ("arrayCompact([7])", [7]),
+            ("arrayFold((acc, x) -> acc + x, arraySlice([1], 1, 0), 9)", 9),
+        ],
+    )
+    # deltaSumTimestamp: single row and empty group both fold to 0
+    spark.createDataFrame(
+        [(1, 10, 5.0)], "g int, ts int, v double"
+    ).createOrReplaceTempView("ch_dst1")
+    assert spark.sql(
+        translate("SELECT deltaSumTimestamp(v, ts) AS d FROM ch_dst1")
+    ).collect()[0].d == 0.0
+    # rankCorr with a constant side: 0/0 → NaN (CH: nan too)
+    spark.createDataFrame(
+        [(1, 1.0, 2.0), (1, 1.0, 3.0)], "g int, x double, y double"
+    ).createOrReplaceTempView("ch_rc0")
+    import math
+
+    v = spark.sql(
+        translate("SELECT rankCorr(x, y) AS r FROM ch_rc0")
+    ).collect()[0].r
+    assert v is None or math.isnan(v)
+    # entropy of a single repeated value is exactly 0
+    spark.createDataFrame(
+        [(1, "a"), (1, "a")], "g int, v string"
+    ).createOrReplaceTempView("ch_h0")
+    assert spark.sql(
+        translate("SELECT entropy(v) AS h FROM ch_h0")
+    ).collect()[0].h == 0.0
