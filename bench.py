@@ -620,6 +620,66 @@ def main() -> None:
     _nb_model.word_llr.unpersist()
     _nb_model.consts.unpersist()
 
+    # LTTB downsampling (functions/lttb.py, r4 late): 2M points in 200
+    # series → 500 representatives each, through the grouped-agg Arrow
+    # UDF — measures the one Python stage this operator has (per-group
+    # transfer bounded by series length; the per-bucket argmax is
+    # numpy-vectorized)
+    from clickhouse_learning_spark.functions.lttb import make_lttb_udf
+
+    lttb_pts = spark.range(2_000_000).select(
+        (F.col("id") % 200).alias("g"),
+        (F.col("id") / 200).cast("double").alias("x"),
+        ((F.col("id") * 2654435761) % 10007).cast("double").alias("y"),
+    )
+    _lttb_udf = make_lttb_udf(500)
+    timings["lttb_2m_200series"] = best_of(
+        runs,
+        lambda: lttb_pts.groupBy("g")
+        .agg(_lttb_udf("x", "y").alias("pts"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
+    # Bloom-prefiltered vs broadcast decontamination (r4 late) on a
+    # 500k-train / 100k-eval synthetic overlap: the broadcast form
+    # ships the raw eval gram hashes; the Bloom form ships bits/64
+    # longs and pays an Arrow membership stage + exact verify join.
+    # At THIS eval size broadcast wins — the Bloom entry documents the
+    # overhead you pay for the build's eval-size independence (the
+    # crawl-vs-crawl case where the gram set cannot broadcast at all).
+    from clickhouse_learning_spark.operators import decontamination as _DC
+
+    dc_words = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ).split()
+    dc_text = F.concat(
+        F.lit(" ".join(dc_words) + " "),
+        (F.col("id") % 4093).cast("string"),
+        F.lit(" trailing filler tokens here"),
+    )
+    dc_train = spark.range(500_000).select(
+        F.col("id").alias("doc_id"), dc_text.alias("text")
+    )
+    dc_eval = spark.range(100_000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"), dc_text.alias("text")
+    )
+    timings["decontam_broadcast_500k"] = best_of(
+        runs,
+        lambda: _DC.contamination_report(dc_train, dc_eval)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    timings["decontam_bloom_500k"] = best_of(
+        runs,
+        lambda: _DC.bloom_contamination_report(dc_train, dc_eval)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
     # the reference's 1-billion-row sumState benchmark shape
     # (BASELINE.md: 3.201s / 312M rows/s on ClickHouse 21.3)
     timings["sum_1b_rows_1000_groups"] = best_of(

@@ -11,8 +11,10 @@ the point forming the largest triangle with the PREVIOUSLY KEPT point
 and the AVERAGE of the next bucket. The previous-selection dependence
 makes it a left fold over buckets — a grouped-aggregate Pandas UDF here
 (one Arrow crossing per group, bounded by the series length; the
-selection loop is numpy-free on purpose so ties break on the FIRST
-strictly-greater area, matching the reference implementation).
+per-bucket argmax vectorizes with numpy for large buckets — the area
+expression is per-element IEEE-identical to the scalar loop and
+np.argmax keeps the FIRST maximum, so ties break identically; bucket
+means stay left-to-right sums to match the DuckDB oracle's list_sum).
 
 Ties in the x sort break by y (ClickHouse leaves same-x order
 unspecified; the tiebreak makes ours deterministic). NULL pairs are
@@ -23,6 +25,11 @@ first point; n ≤ 0 raises at translate time.
 from __future__ import annotations
 
 import math
+
+try:
+    import numpy as _np
+except ImportError:  # pragma: no cover — numpy is baked in
+    _np = None
 
 
 def lttb(points: list[tuple[float, float]], n: int) -> list[list[float]]:
@@ -55,16 +62,26 @@ def lttb(points: list[tuple[float, float]], n: int) -> list[list[float]]:
         lo = math.floor(i * every) + 1
         hi = math.floor((i + 1) * every) + 1
         ax, ay = pts[a]
-        best, best_area = lo, -1.0
-        for j in range(lo, hi):
-            # twice the triangle area (the constant factor is
-            # irrelevant to the argmax)
-            area = abs(
-                (ax - avg_x) * (pts[j][1] - ay)
-                - (ax - pts[j][0]) * (avg_y - ay)
+        if hi - lo > 16 and _np is not None:
+            # vectorized argmax over twice-the-triangle-areas: each
+            # area is the same per-element IEEE expression as the
+            # scalar loop (bit-identical), and np.argmax keeps the
+            # FIRST maximum — the same tie rule
+            cand = _np.asarray(pts[lo:hi], dtype=float)
+            areas = _np.abs(
+                (ax - avg_x) * (cand[:, 1] - ay)
+                - (ax - cand[:, 0]) * (avg_y - ay)
             )
-            if area > best_area:
-                best, best_area = j, area
+            best = lo + int(_np.argmax(areas))
+        else:
+            best, best_area = lo, -1.0
+            for j in range(lo, hi):
+                area = abs(
+                    (ax - avg_x) * (pts[j][1] - ay)
+                    - (ax - pts[j][0]) * (avg_y - ay)
+                )
+                if area > best_area:
+                    best, best_area = j, area
         out.append([pts[best][0], pts[best][1]])
         a = best
     out.append([pts[-1][0], pts[-1][1]])
