@@ -1730,3 +1730,76 @@ def ch_quantiles_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(translate(ch)).select(
         "event_type", "qe", "qi", "qx", "ql", "med"
     )
+
+
+@query(
+    "ch_hash_dialect",
+    """
+    WITH u0 AS (SELECT DISTINCT user_id AS uid FROM events
+                WHERE user_id IS NOT NULL),
+    md AS (SELECT uid, md5(CAST(uid AS VARCHAR)) AS h FROM u0),
+    hm AS (SELECT uid,
+                  list_reduce(list_transform(generate_series(1, 16),
+                    i -> (strpos('0123456789abcdef', substr(h, i, 1))
+                          - 1)::HUGEINT),
+                    (a, b) -> a * 16 + b) AS v
+           FROM md),
+    s0 AS (SELECT uid, uid::UBIGINT AS x FROM u0),
+    s1 AS (SELECT uid, xor(x, x >> 33) AS x FROM s0),
+    s2 AS (SELECT uid,
+                  (((x::HUGEINT * 3981806797) % 18446744073709551616::HUGEINT
+                    + ((x::HUGEINT * 4283543511) % 4294967296::HUGEINT)
+                      * 4294967296::HUGEINT)
+                   % 18446744073709551616::HUGEINT)::UBIGINT AS x
+           FROM s1),
+    s3 AS (SELECT uid, xor(x, x >> 33) AS x FROM s2),
+    s4 AS (SELECT uid,
+                  (((x::HUGEINT * 444984403) % 18446744073709551616::HUGEINT
+                    + ((x::HUGEINT * 3301882366) % 4294967296::HUGEINT)
+                      * 4294967296::HUGEINT)
+                   % 18446744073709551616::HUGEINT)::UBIGINT AS x
+           FROM s3),
+    s5 AS (SELECT uid, xor(x, x >> 33) AS x FROM s4)
+    SELECT u0.uid,
+           CAST(CASE WHEN hm.v >= 9223372036854775808::HUGEINT
+                     THEN hm.v - 18446744073709551616::HUGEINT
+                     ELSE hm.v END AS BIGINT) AS hmd5,
+           CAST(CASE WHEN s5.x::HUGEINT >= 9223372036854775808::HUGEINT
+                     THEN s5.x::HUGEINT - 18446744073709551616::HUGEINT
+                     ELSE s5.x::HUGEINT END AS BIGINT) AS ih64,
+           CAST(s5.x % 32 AS BIGINT) AS shard
+    FROM u0 JOIN hm ON hm.uid = u0.uid JOIN s5 ON s5.uid = u0.uid
+    """,
+)
+def ch_hash_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: the bit-exact hash surface — halfMD5 (big-endian
+    UInt64 of MD5's first 8 bytes, signed two's-complement view) and
+    intHash64 (ClickHouse's integer mix = Murmur3's public fmix64
+    finalizer, a vectorized Arrow UDF since ANSI BIGINT can't wrap) —
+    per distinct user, plus a 32-way shard assignment from the
+    unsigned hash. The oracle re-derives halfMD5 with a HUGEINT Horner
+    fold over the hex digits and replays fmix64 with split-multiply
+    modular arithmetic (u64×u32 products fit INT128); the unverifiable
+    CityHash/SipHash/FarmHash family stays gated."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "user_id"
+    ).createOrReplaceTempView("ch_hash_events")
+    ch = """
+        SELECT uid,
+               halfMD5(toString(uid)) AS hmd5,
+               intHash64(uid) AS ih64,
+               bitAnd(intHash64(uid), 31) AS shard
+        FROM (SELECT DISTINCT user_id AS uid FROM ch_hash_events
+              WHERE isNotNull(user_id))
+    """
+    return spark.sql(translate(ch)).select(
+        F.col("uid").cast("long").alias("uid"),
+        "hmd5",
+        "ih64",
+        F.col("shard").cast("long").alias("shard"),
+    )
