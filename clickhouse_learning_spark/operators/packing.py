@@ -148,6 +148,36 @@ def mix_sources(
     )
 
 
+def temperature_weights(
+    df: DataFrame, alpha: float, source_col: str = "source"
+) -> dict[str, float]:
+    """Temperature-scaled mix weights — the multilingual-LLM sampling
+    rule (mT5/PaLM style): wᵢ ∝ nᵢ^α, normalized. α = 1 reproduces the
+    natural distribution, α → 0 approaches uniform (boosting
+    low-resource sources). One tiny count aggregation; the returned
+    recipe feeds :func:`mix_sources`."""
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    scaled = {s: float(n) ** alpha for s, n in counts.items()}
+    z = sum(scaled.values())
+    return {s: v / z for s, v in scaled.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float,
+    total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """:func:`temperature_weights` → :func:`mix_sources`."""
+    w = temperature_weights(df, alpha, source_col)
+    return mix_sources(df, w, total, source_col, id_col, salt)
+
+
 def epoch_upsample(
     df: DataFrame,
     epochs: dict[str, float],

@@ -1798,3 +1798,40 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = docs.filter(F.col("doc_id") % 17 == 0)
     train = docs.filter(F.col("doc_id") % 17 != 0)
     return bloom_contamination_report(train, eval_df)
+
+
+@query(
+    "temperature_mixing",
+    """
+    WITH cnt AS (SELECT source, count(*) AS n FROM documents
+                 GROUP BY source),
+    z AS (SELECT sum(pow(n, 0.5)) AS z FROM cnt),
+    q AS (SELECT source, CAST(round(200 * pow(n, 0.5) / z) AS BIGINT)
+                 AS quota
+          FROM cnt, z),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents)
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN q USING (source)
+    WHERE r.rn <= q.quota
+    """,
+)
+def temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: temperature-scaled source mixing
+    (operators/packing.temperature_weights → mix_sources) — the
+    mT5/PaLM multilingual sampling rule wᵢ ∝ nᵢ^α at α = 0.5, drawing
+    ~200 docs: low-resource sources get boosted relative to the
+    natural distribution. Selection is the deterministic md5(id) rank
+    within each source (one window shuffle); the tiny per-source count
+    table is the only driver-side state. The oracle re-derives the
+    quotas (√n normalized, rounded) and the rank selection in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    from clickhouse_learning_spark.operators.packing import temperature_mix
+
+    return temperature_mix(docs, alpha=0.5, total=200).select(
+        "doc_id", "source"
+    )

@@ -109,3 +109,28 @@ def test_sample_per_group_exact_deterministic_and_salted(spark):
 def test_small_n_groups_keep_all_rows(spark):
     df = spark.createDataFrame([(1, "g"), (2, "g")], "doc_id long, g string")
     assert sample_per_group(df, ["g"], 10).count() == 2
+
+
+def test_temperature_weights_boost_low_resource(spark):
+    """α = 1 reproduces the natural distribution; α = 0 is uniform;
+    α = 0.5 sits between (low-resource share strictly rises as α
+    falls)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.operators.packing import (
+        temperature_weights,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, "rare").otherwise("common").alias(
+            "source"
+        ),
+    )
+    w1 = temperature_weights(df, 1.0)
+    w05 = temperature_weights(df, 0.5)
+    w0 = temperature_weights(df, 0.0)
+    assert w1["rare"] == pytest.approx(0.1)
+    assert w0["rare"] == pytest.approx(0.5)
+    assert w1["rare"] < w05["rare"] < w0["rare"]
+    assert sum(w05.values()) == pytest.approx(1.0)
