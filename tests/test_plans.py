@@ -376,3 +376,34 @@ def test_nb_train_is_single_exchange(spark):
         m.start() for m in re.finditer(r"Exchange hashpartitioning\(w", p)
     ]
     assert len(corpus_shuffles) <= 1, p[:4000]
+
+
+def test_vector_and_scalar_with_queries_are_map_only(spark):
+    """ch_vector_dialect / ch_scalar_with_dialect are pure per-row
+    projections over one scan — zero exchanges (the 100 TB shape for
+    embedding feature extraction and text probing)."""
+    import re
+
+    import clickhouse_learning_spark.queries_reference  # noqa: F401
+    from clickhouse_learning_spark.queries import QUERIES
+
+    for name in ("ch_vector_dialect", "ch_scalar_with_dialect"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        p = plan_text(df)
+        assert not re.search(r"\(\d+\) Exchange", p), (name, p[:3000])
+
+
+def test_quantiles_and_assoc_queries_single_shuffle(spark):
+    """The collected-fold aggregate queries (quantile rank rules,
+    association coefficients) group once — a single hash-partitioned
+    exchange on the grouping key, everything else inside codegen."""
+    import re
+
+    import clickhouse_learning_spark.queries_reference  # noqa: F401
+    from clickhouse_learning_spark.queries import QUERIES
+
+    for name in ("ch_quantiles_dialect", "ch_stats_assoc_dialect"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        p = plan_text(df)
+        shuffles = re.findall(r"\(\d+\) Exchange", p)
+        assert len(shuffles) <= 1, (name, len(shuffles), p[:3000])
