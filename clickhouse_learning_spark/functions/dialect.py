@@ -668,6 +668,20 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["positionCaseInsensitive"] = lambda a: (
         lambda s_, n_: f"position(lower({n_}), lower({s_}))"
     )(*_two(a, "positionCaseInsensitive"))
+    # Spark strings are always Unicode — the UTF8 variants coincide
+    m["positionUTF8"] = lambda a: (
+        lambda s_, n_: f"position({n_}, {s_})"
+    )(*_two(a, "positionUTF8"))
+    m["countSubstringsCaseInsensitive"] = lambda a: (
+        # same replace-and-measure trick as countSubstrings, lowered
+        lambda s_, n_: (
+            f"CAST((length(lower({s_})) - length(replace(lower({s_}), "
+            f"lower({n_}), ''))) / length(lower({n_})) AS BIGINT)"
+        )
+    )(*_two(a, "countSubstringsCaseInsensitive"))
+    m["splitByWhitespace"] = lambda a: (
+        lambda s_: f"filter(split({s_}, '\\\\s+'), t -> t != '')"
+    )(_one(a, "splitByWhitespace"))
     m["countMatches"] = lambda a: (
         lambda s_, p: f"size(regexp_extract_all({s_}, {p}, 0))"
     )(*_two(a, "countMatches"))
@@ -1063,6 +1077,10 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # range(N) TABLE function, which a scalar range→sequence mapping
     # would clobber; array-building uses sequence() directly
     m["arraySort"] = lambda a: f"array_sort({_one(a, 'arraySort')})"
+    m["arrayReverseSort"] = lambda a: (
+        # descending = reverse of ascending for a total order
+        f"reverse(array_sort({_one(a, 'arrayReverseSort')}))"
+    )
     m["arrayReverse"] = lambda a: f"reverse({_one(a, 'arrayReverse')})"
     m["arrayConcat"] = lambda a: f"concat({', '.join(a)})"
     def _array_slice(a):
@@ -4137,7 +4155,8 @@ def translate(
                     f"{ident}(params)(args)"
                 )
             if k < n and sql[k] == "(" and (
-                ident in _MAPPING or ident in ("dictGet", "dictGetOrDefault")
+                ident in _MAPPING
+                or ident in ("dictGet", "dictGetOrDefault", "dictHas")
             ):
                 close = _matching_paren(sql, k)
                 # name(params)(args) on a mapped-but-not-parameterized
@@ -4159,7 +4178,9 @@ def translate(
                     translate(a, dictionaries)
                     for a in _split_args(sql[k + 1 : close])
                 ]
-                if ident in ("dictGet", "dictGetOrDefault"):
+                if ident == "dictHas":
+                    out.append(_dict_has(args, dictionaries))
+                elif ident in ("dictGet", "dictGetOrDefault"):
                     out.append(_dict_get(args, dictionaries))
                 else:
                     out.append(_MAPPING[ident](args))
@@ -4215,6 +4236,25 @@ def _dict_get(args: list[str], dictionaries: dict | None) -> str:
         # default (dim.dict_user_dim.sql:2-12), not NULL
         return f"coalesce({lookup}, {_sql_literal(defaults[attr])})"
     return lookup
+
+
+def _dict_has(args: list[str], dictionaries: dict | None) -> str:
+    """dictHas(dict, key) → key-membership scalar subquery."""
+    if len(args) != 2:
+        raise ValueError(f"dictHas expects 2 arguments, got {len(args)}")
+    dname, key = args
+    dname = dname.strip().strip("'\"")
+    if not dictionaries or dname not in dictionaries:
+        known = sorted(dictionaries) if dictionaries else []
+        raise ValueError(
+            f"dictHas: dictionary {dname!r} not registered (known: "
+            f"{known})"
+        )
+    view, key_col = dictionaries[dname][0], dictionaries[dname][1]
+    return (
+        f"((SELECT count(*) FROM {view} "
+        f"WHERE {view}.{key_col} = {key}) > 0)"
+    )
 
 
 # -- ORDER BY … WITH FILL (schema-aware runner) -------------------------------

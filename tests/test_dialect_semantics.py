@@ -916,3 +916,30 @@ def test_r4_late_family_edges(spark):
     assert spark.sql(
         translate("SELECT entropy(v) AS h FROM ch_h0")
     ).collect()[0].h == 0.0
+
+
+def test_string_utf8_variants_and_dict_has(spark):
+    _grid(
+        spark,
+        [
+            ("arrayReverseSort([3, 1, 2])", [3, 2, 1]),
+            ("positionUTF8('héllo wörld', 'wörld')", 7),
+            ("countSubstringsCaseInsensitive('AbaBAb', 'ab')", 3),
+            ("countSubstringsCaseInsensitive('xyz', 'ab')", 0),
+            ("splitByWhitespace('  a  b\\tc ')", ["a", "b", "c"]),
+        ],
+    )
+    # dictHas: membership subquery against the registered view
+    spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "uid int, tier string"
+    ).createOrReplaceTempView("ch_dh_dim")
+    rows = spark.sql(
+        translate(
+            "SELECT dictHas('dim.tiers', 1) AS a, "
+            "dictHas('dim.tiers', 99) AS b",
+            dictionaries={"dim.tiers": ("ch_dh_dim", "uid")},
+        )
+    ).collect()[0]
+    assert (rows.a, rows.b) == (True, False)
+    with pytest.raises(ValueError, match="not registered"):
+        translate("dictHas('nope', 1)")
