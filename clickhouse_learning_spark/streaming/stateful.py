@@ -150,3 +150,87 @@ def streaming_funnel_levels(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_topk(
+    events: DataFrame,
+    item_col: str = "item",
+    shards: int = 16,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Streaming heavy hitters: per-shard Space-Saving counters
+    (Metwally et al. 2005 — ClickHouse's own ``topK`` sketch) held in
+    keyed state. Items route to ``shards`` state groups by hash, each
+    group maintaining at most ``capacity`` (item, count, err) counters:
+    a new item evicts the current minimum and inherits its count as
+    error (the classic admit rule), so per-shard counts obey
+    true ≤ count ≤ true + err with err ≤ shard_N/capacity. Emits every
+    shard's full counter table each batch (update mode); merge the
+    final micro-batch's rows with :func:`topk_merge` for the global
+    top-k. With ``capacity`` ≥ a shard's distinct items the counts are
+    EXACT — the dual-path test's equality case.
+
+    Scale: state is O(shards × capacity), independent of stream length;
+    each item crosses into Python once per micro-batch via Arrow,
+    pre-reduced by pandas value_counts (so state updates are per
+    DISTINCT item per batch, not per row)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (items, counts, errs) = state.get
+            tbl = {i: (c, e) for i, c, e in zip(items, counts, errs)}
+        else:
+            tbl = {}
+        for pdf in pdfs:
+            for item, w in pdf[item_col].value_counts().items():
+                w = int(w)
+                if item in tbl:
+                    c, e = tbl[item]
+                    tbl[item] = (c + w, e)
+                elif len(tbl) < capacity:
+                    tbl[item] = (w, 0)
+                else:
+                    # evict the minimum counter; the newcomer inherits
+                    # its count as over-estimation error
+                    victim = min(tbl, key=lambda k: tbl[k][0])
+                    mc = tbl[victim][0]
+                    del tbl[victim]
+                    tbl[item] = (mc + w, mc)
+        items = list(tbl)
+        state.update(
+            (items, [tbl[i][0] for i in items], [tbl[i][1] for i in items])
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(items),
+                "item": items,
+                "cnt": [tbl[i][0] for i in items],
+                "err": [tbl[i][1] for i in items],
+            }
+        )
+
+    routed = events.select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(shards)).alias("_shard"),
+        F.col(item_col).alias(item_col),
+    )
+    return routed.groupBy("_shard").applyInPandasWithState(
+        fn,
+        outputStructType="shard long, item string, cnt long, err long",
+        stateStructType=(
+            "items array<string>, counts array<long>, errs array<long>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def topk_merge(counters: DataFrame, k: int) -> DataFrame:
+    """Global top-k from the LAST emitted per-shard counter tables:
+    shards partition the item space (each item lives in exactly one
+    shard), so the merge is a plain orderBy-limit over the union —
+    TakeOrderedAndProject, no re-aggregation needed."""
+    return counters.orderBy(
+        F.col("cnt").desc(), F.col("item").asc()
+    ).limit(k)

@@ -104,3 +104,74 @@ def test_streaming_funnel_equals_batch_funnel(spark, tmp_path):
         for r in FN.funnel_levels(ev, "uid", "second", conds, window_s=86400).collect()
     }
     assert got == want
+
+
+def test_streaming_topk_exact_when_uncapped(spark, tmp_path):
+    """streaming_topk with capacity >= a shard's distinct items is
+    EXACT: the merged final counter tables equal the batch counts, and
+    topk_merge equals the batch top-k."""
+    from clickhouse_learning_spark.streaming.stateful import (
+        streaming_topk,
+        topk_merge,
+    )
+
+    ev, landing = _land(spark, tmp_path)
+    ev = ev.select(F.concat(F.lit("u"), (F.col("uid") % 97)).alias("item"))
+    landing2 = str(tmp_path / "items")
+    ev.repartition(4).write.parquet(landing2)
+    stream = parquet_stream(
+        spark, landing2, ev.schema, max_files_per_trigger=1
+    )
+    _run_to_memory(
+        streaming_topk(stream, shards=4, capacity=1000), "topk_out", "update"
+    )
+    # last emission per (shard, item) — multiple micro-batches update
+    final = spark.sql(
+        """
+        SELECT item, max(cnt) AS cnt, max(err) AS err FROM topk_out
+        GROUP BY item
+        """
+    )
+    got = {r["item"]: (r["cnt"], r["err"]) for r in final.collect()}
+    want = {
+        r["item"]: r["n"]
+        for r in ev.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+    assert all(e == 0 for _, e in got.values())
+    top = topk_merge(final, 5).collect()
+    want_top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["item"], r["cnt"]) for r in top] == want_top
+
+
+def test_streaming_topk_capped_error_bound(spark, tmp_path):
+    """With a tight capacity the Space-Saving bound holds per shard:
+    true <= cnt <= true + err, and every surviving count's
+    over-estimation err stays <= that shard's row count / capacity *
+    capacity... the canonical guarantee: err <= (shard rows) /
+    capacity is per-increment amortized — assert the weaker but exact
+    invariants cnt - err <= true <= cnt for surviving items."""
+    from clickhouse_learning_spark.streaming.stateful import streaming_topk
+
+    ev, landing = _land(spark, tmp_path)
+    ev = ev.select(F.concat(F.lit("u"), (F.col("uid") % 211)).alias("item"))
+    landing2 = str(tmp_path / "items_capped")
+    ev.repartition(4).write.parquet(landing2)
+    stream = parquet_stream(
+        spark, landing2, ev.schema, max_files_per_trigger=1
+    )
+    _run_to_memory(
+        streaming_topk(stream, shards=2, capacity=8), "topk_cap_out", "update"
+    )
+    final = spark.sql(
+        "SELECT item, max(cnt) AS cnt, max(err) AS err FROM topk_cap_out "
+        "GROUP BY item"
+    ).collect()
+    true = {
+        r["item"]: r["n"]
+        for r in ev.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert len(final) > 0
+    for r in final:
+        t = true[r["item"]]
+        assert r["cnt"] - r["err"] <= t <= r["cnt"], (r, t)
