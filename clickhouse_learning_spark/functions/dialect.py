@@ -362,6 +362,25 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         lambda d, n: f"add_months({d}, -3 * ({n}))"
     )(*_two(a, "subtractQuarters"))
     m["toQuarter"] = lambda a: f"quarter({_one(a, 'toQuarter')})"
+    # dateTrunc('unit', t): same arg order as Spark's date_trunc;
+    # ClickHouse accepts the unit case-insensitively, Spark too
+    m["dateTrunc"] = lambda a: (
+        lambda u, t: f"date_trunc({u}, {t})"
+    )(*_two(a, "dateTrunc"))
+    m["toMillisecond"] = lambda a: (
+        # millisecond component (CH 22.x+); Spark has no MILLISECONDS
+        # extract field — format the fractional part instead
+        f"CAST(date_format({_one(a, 'toMillisecond')}, 'SSS') AS INT)"
+    )
+    m["toISOYear"] = lambda a: (
+        # the ISO-8601 week-numbering year (Jan 1 can belong to the
+        # previous/next ISO year)
+        f"extract(YEAROFWEEK FROM {_one(a, 'toISOYear')})"
+    )
+    m["toUnixTimestamp64Milli"] = lambda a: (
+        f"unix_millis(CAST({_one(a, 'toUnixTimestamp64Milli')} "
+        f"AS TIMESTAMP))"
+    )
     # toUnixTimestamp returns epoch SECONDS (CH: UInt32);
     # fromUnixTimestamp is its inverse (CH: DateTime)
     m["toUnixTimestamp"] = lambda a: (
@@ -682,6 +701,19 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["splitByWhitespace"] = lambda a: (
         lambda s_: f"filter(split({s_}, '\\\\s+'), t -> t != '')"
     )(_one(a, "splitByWhitespace"))
+    # splitByRegexp keeps CH's empty-token semantics (it does NOT drop
+    # empties, unlike splitByWhitespace/alphaTokens) — Spark split
+    # matches except for the trailing-empty trim, documented here
+    m["splitByRegexp"] = lambda a: (
+        lambda re_, s_: f"split({s_}, {re_})"
+    )(*_two(a, "splitByRegexp"))
+    m["replaceRegexpOne"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "replaceRegexpOne replaces only the FIRST match; Spark's "
+            "regexp_replace replaces all — anchor the pattern or use "
+            "overlay()/regexp_instr() for a strict first-only replace"
+        )
+    )
     m["countMatches"] = lambda a: (
         lambda s_, p: f"size(regexp_extract_all({s_}, {p}, 0))"
     )(*_two(a, "countMatches"))

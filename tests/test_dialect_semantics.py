@@ -943,3 +943,29 @@ def test_string_utf8_variants_and_dict_has(spark):
     assert (rows.a, rows.b) == (True, False)
     with pytest.raises(ValueError, match="not registered"):
         translate("dictHas('nope', 1)")
+
+
+def test_date_trunc_iso_year_and_millis(spark):
+    _grid(
+        spark,
+        [
+            (
+                "dateTrunc('month', toDateTime('2024-03-05 07:08:09'))",
+                dt.datetime(2024, 3, 1),
+            ),
+            ("toISOYear(toDate('2021-01-01'))", 2020),  # ISO week 53/2020
+            ("toISOYear(toDate('2024-12-30'))", 2025),  # Monday of wk 1
+            ("toISOYear(toDate('2024-06-15'))", 2024),
+            (
+                "toUnixTimestamp64Milli(toDateTime('1970-01-02 00:00:00'))",
+                86400000,
+            ),
+            ("splitByRegexp('[0-9]+', 'a1bb22ccc')", ["a", "bb", "ccc"]),
+            (
+                "toMillisecond(toDateTime64('2024-01-01 00:00:02.123', 3))",
+                123,
+            ),
+        ],
+    )
+    with pytest.raises(ValueError, match="FIRST match"):
+        translate("replaceRegexpOne(s, 'a', 'b')")
