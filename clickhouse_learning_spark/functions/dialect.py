@@ -1081,6 +1081,24 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["arrayEnumerate"] = lambda a: (
         f"sequence(1, size({_one(a, 'arrayEnumerate')}))"
     )
+    # arrayEnumerateDense: dense id by FIRST-occurrence order
+    # (array_distinct preserves first-occurrence order);
+    # arrayEnumerateUniq: per-element occurrence counter. Both bind the
+    # input once (see _bind) — O(n²) in the ARRAY length only.
+    m["arrayEnumerateDense"] = lambda a: _bind(
+        _one(a, "arrayEnumerateDense"),
+        "ed",
+        "transform(ed, x -> "
+        "CAST(array_position(array_distinct(ed), x) AS INT))",
+    )
+    m["arrayEnumerateUniq"] = lambda a: _bind(
+        _one(a, "arrayEnumerateUniq"),
+        "eu",
+        # empty guard: sequence(1, 0) builds a DESCENDING range
+        "CASE WHEN size(eu) = 0 THEN CAST(array() AS ARRAY<INT>) "
+        "ELSE transform(sequence(1, size(eu)), i -> "
+        "size(filter(slice(eu, 1, i), v -> v <=> element_at(eu, i)))) END",
+    )
     m["arrayDifference"] = lambda a: (
         # [a1, a2-a1, a3-a2, …]: element-wise diff against the
         # 1-shifted array (first element pairs with itself → 0).
@@ -2144,6 +2162,78 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["bitmapOrCardinality"] = lambda a: (
         lambda x, y: f"size(array_union({x}, {y}))"
     )(*_two(a, "bitmapOrCardinality"))
+    # the rest of the bitmap algebra (r4 late) — same sorted-array
+    # representation (functions/metrics.py bitmap states)
+    m["bitmapXor"] = lambda a: (
+        # symmetric difference, kept sorted like the other ops
+        lambda x, y: (
+            f"array_sort(array_union(array_except({x}, {y}), "
+            f"array_except({y}, {x})))"
+        )
+    )(*_two(a, "bitmapXor"))
+    m["bitmapAndnot"] = lambda a: (
+        lambda x, y: f"array_except({x}, {y})"
+    )(*_two(a, "bitmapAndnot"))
+    m["bitmapXorCardinality"] = lambda a: (
+        lambda x, y: (
+            f"(size(array_except({x}, {y})) + "
+            f"size(array_except({y}, {x})))"
+        )
+    )(*_two(a, "bitmapXorCardinality"))
+    m["bitmapAndnotCardinality"] = lambda a: (
+        lambda x, y: f"size(array_except({x}, {y}))"
+    )(*_two(a, "bitmapAndnotCardinality"))
+    m["bitmapContains"] = lambda a: (
+        lambda x, v: f"array_contains({x}, {v})"
+    )(*_two(a, "bitmapContains"))
+    m["bitmapHasAny"] = lambda a: (
+        lambda x, y: f"arrays_overlap({x}, {y})"
+    )(*_two(a, "bitmapHasAny"))
+    m["bitmapHasAll"] = lambda a: (
+        lambda x, y: f"(size(array_except({y}, {x})) = 0)"
+    )(*_two(a, "bitmapHasAll"))
+    m["bitmapMin"] = lambda a: f"array_min({_one(a, 'bitmapMin')})"
+    m["bitmapMax"] = lambda a: f"array_max({_one(a, 'bitmapMax')})"
+    # subBitmap(b, offset, limit): slice by POSITION in ascending order
+    # (CH offset is 0-based; slice is 1-based)
+    m["subBitmap"] = lambda a: (
+        lambda x, off, lim: f"slice(array_sort({x}), ({off}) + 1, {lim})"
+    )(*_three(a, "subBitmap"))
+    # subBitmapInRange → bitmapSubsetInRange: VALUES in [lo, hi)
+    m["bitmapSubsetInRange"] = lambda a: (
+        lambda x, lo, hi: (
+            f"filter({x}, v -> v >= {lo} AND v < {hi})"
+        )
+    )(*_three(a, "bitmapSubsetInRange"))
+    m["bitmapSubsetLimit"] = lambda a: (
+        # values >= lo, at most lim of them in ascending order
+        lambda x, lo, lim: (
+            f"slice(array_sort(filter({x}, v -> v >= {lo})), 1, {lim})"
+        )
+    )(*_three(a, "bitmapSubsetLimit"))
+    # groupBitmapAnd/Or/Xor: fold the group's bitmaps (CH aggregates
+    # over a bitmap column) — returns CARDINALITY like CH
+    m["groupBitmapAnd"] = lambda a: (
+        lambda x: _bind(
+            f"collect_list({x})",
+            "gba",
+            "size(aggregate(slice(gba, 2, size(gba) - 1), "
+            "try_element_at(gba, 1), "
+            "(acc, b) -> array_intersect(acc, b)))",
+        )
+    )(_one(a, "groupBitmapAnd"))
+    m["groupBitmapOr"] = lambda a: (
+        f"size({_MERGED_BITMAP.format(_one(a, 'groupBitmapOr'))})"
+    )
+    m["groupBitmapXor"] = lambda a: (
+        # elements present in an ODD number of the group's bitmaps
+        lambda x: _bind(
+            f"flatten(collect_list({x}))",
+            "gbx",
+            "size(filter(array_distinct(gbx), v -> "
+            "size(filter(gbx, w -> w = v)) % 2 = 1))",
+        )
+    )(_one(a, "groupBitmapXor"))
 
     # -- behavioral / map aggregates ----------------------------------------
     def _retention(a):

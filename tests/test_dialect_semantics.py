@@ -969,3 +969,44 @@ def test_date_trunc_iso_year_and_millis(spark):
     )
     with pytest.raises(ValueError, match="FIRST match"):
         translate("replaceRegexpOne(s, 'a', 'b')")
+
+
+def test_bitmap_algebra_and_enumerates(spark):
+    """The rest of the bitmap algebra on the sorted-array state
+    representation, the groupBitmapAnd/Or/Xor aggregates (CH returns
+    CARDINALITY), and arrayEnumerateDense/Uniq."""
+    _grid(
+        spark,
+        [
+            ("bitmapXor([1,2,3], [2,3,4])", [1, 4]),
+            ("bitmapAndnot([1,2,3], [2,3,4])", [1]),
+            ("bitmapXorCardinality([1,2,3], [2,3,4])", 2),
+            ("bitmapAndnotCardinality([1,2,3], [2,3,4])", 1),
+            ("bitmapContains([1,5,9], 5)", True),
+            ("bitmapContains([1,5,9], 4)", False),
+            ("bitmapHasAny([1,2], [2,3])", True),
+            ("bitmapHasAll([1,2,3], [2,3])", True),
+            ("bitmapHasAll([1,2], [2,3])", False),
+            ("bitmapMin([4,1,9])", 1),
+            ("bitmapMax([4,1,9])", 9),
+            ("subBitmap([5,1,9,3], 1, 2)", [3, 5]),
+            ("bitmapSubsetInRange([1,5,9,12], 5, 12)", [5, 9]),
+            ("bitmapSubsetLimit([9,1,5,12], 5, 2)", [5, 9]),
+            ("arrayEnumerateDense([10, 20, 10, 30])", [1, 2, 1, 3]),
+            ("arrayEnumerateUniq([10, 20, 10, 10])", [1, 1, 2, 3]),
+            ("arrayEnumerateUniq(arraySlice([1], 1, 0))", []),
+        ],
+    )
+    spark.createDataFrame(
+        [(1, [1, 2, 3]), (1, [2, 3, 4]), (1, [2, 5])],
+        "g int, b array<int>",
+    ).createOrReplaceTempView("ch_gb")
+    r = spark.sql(
+        translate(
+            "SELECT groupBitmapAnd(b) AS a, groupBitmapOr(b) AS o, "
+            "groupBitmapXor(b) AS x FROM ch_gb GROUP BY g"
+        )
+    ).collect()[0]
+    # AND: {2}; OR: {1,2,3,4,5}; XOR (odd multiplicity): 1,4,5,3? —
+    # counts: 1:1, 2:3, 3:2, 4:1, 5:1 → odd: {1,2,4,5}
+    assert (r.a, r.o, r.x) == (1, 5, 4)
