@@ -1803,3 +1803,73 @@ def ch_hash_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ih64",
         F.col("shard").cast("long").alias("shard"),
     )
+
+
+@query(
+    "ch_bitmap_algebra_dialect",
+    """
+    WITH per AS (
+      SELECT event_type AS g,
+             list_sort(list(DISTINCT user_id % 1000)) AS b
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type),
+    ref AS (
+      SELECT list_sort(list(DISTINCT user_id % 1000)) AS r
+      FROM events WHERE user_id IS NOT NULL AND user_id % 7 = 0)
+    SELECT g AS event_type,
+           CAST(len(b) AS BIGINT) AS card,
+           CAST(len(list_intersect(b, r)) AS BIGINT) AS and_card,
+           CAST(len(list_filter(b, x -> NOT list_contains(r, x)))
+                + len(list_filter(r, x -> NOT list_contains(b, x)))
+             AS BIGINT) AS xor_card,
+           CAST(len(list_filter(b, x -> NOT list_contains(r, x)))
+             AS BIGINT) AS andnot_card,
+           CAST(list_min(b) AS BIGINT) AS mn,
+           CAST(list_max(b) AS BIGINT) AS mx,
+           CAST(len(list_filter(b, x -> x >= 100 AND x < 300))
+             AS BIGINT) AS range_card,
+           CAST(list_contains(b, 500) AS BIGINT) AS has500
+    FROM per, ref
+    """,
+)
+def ch_bitmap_algebra_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: the r4-late bitmap algebra under the hash gate — per
+    event_type the user-id%1000 bitmap (groupBitmapState's sorted-array
+    representation) measured against the heavy-clicker reference set
+    (user_id%7=0): cardinality, AND/XOR/ANDNOT cardinalities, min/max,
+    a value-range subset and membership — all pasted CH SQL. One
+    aggregation shuffle per side; the algebra itself is per-row array
+    expressions. The oracle re-derives each measure with DuckDB list
+    set operations."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).createOrReplaceTempView("ch_bm_events")
+    ch = """
+        WITH per AS (
+          SELECT event_type AS g,
+                 groupBitmapState(modulo(user_id, 1000)) AS b
+          FROM ch_bm_events WHERE isNotNull(user_id) GROUP BY event_type),
+        ref AS (
+          SELECT groupBitmapState(modulo(user_id, 1000)) AS r
+          FROM ch_bm_events
+          WHERE isNotNull(user_id) AND modulo(user_id, 7) = 0)
+        SELECT g AS event_type,
+               toInt64(bitmapCardinality(b)) AS card,
+               toInt64(bitmapAndCardinality(b, r)) AS and_card,
+               toInt64(bitmapXorCardinality(b, r)) AS xor_card,
+               toInt64(bitmapAndnotCardinality(b, r)) AS andnot_card,
+               toInt64(bitmapMin(b)) AS mn,
+               toInt64(bitmapMax(b)) AS mx,
+               toInt64(bitmapCardinality(
+                 bitmapSubsetInRange(b, 100, 300))) AS range_card,
+               toInt64(bitmapContains(b, 500)) AS has500
+        FROM per, ref
+    """
+    return spark.sql(translate(ch)).select(
+        "event_type", "card", "and_card", "xor_card", "andnot_card",
+        "mn", "mx", "range_card", "has500",
+    )
