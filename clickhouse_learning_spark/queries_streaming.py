@@ -356,3 +356,68 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("min_gap_s"),
     )
+
+
+@query(
+    "stream_topk_items",
+    """
+    WITH c AS (
+      SELECT 'u' || CAST(user_id % 97 AS VARCHAR) AS item, count(*) AS n
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+    SELECT item, n AS cnt FROM c
+    ORDER BY n DESC, item ASC LIMIT 20
+    """,
+)
+def stream_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL streaming heavy-hitters run, hash-checked: items land as
+    multiple parquet files (one per micro-batch), stream through the
+    sharded Space-Saving state operator
+    (streaming/stateful.streaming_topk), and the FINAL counter tables
+    merge to the global top-20. Capacity exceeds every shard's
+    distinct-item count, so Space-Saving is EXACT and the oracle is a
+    plain count/top-k — the capped/approximate regime is exercised by
+    the error-bound test instead (tests/test_stateful_streaming.py)."""
+    from clickhouse_learning_spark.streaming.ingest import parquet_stream
+    from clickhouse_learning_spark.streaming.stateful import (
+        streaming_topk,
+        topk_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    items = ev.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 97).cast("string")).alias(
+            "item"
+        )
+    )
+    work = tempfile.mkdtemp(prefix="stream_topk_")
+    landing = f"{work}/items"
+    items.repartition(4).write.mode("overwrite").parquet(landing)
+    out = streaming_topk(
+        parquet_stream(spark, landing, items.schema, max_files_per_trigger=1),
+        shards=4,
+        capacity=10_000,
+    )
+    # the parquet sink rejects update mode — append each batch's
+    # emissions via foreachBatch (max(cnt) below keeps the final value)
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(
+                f"{work}/counters"
+            )
+        )
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    from clickhouse_learning_spark.streaming.ingest import drain
+
+    drain(q)
+    counters = (
+        spark.read.parquet(f"{work}/counters")
+        .groupBy("item")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    return topk_merge(counters, 20).select("item", "cnt")
