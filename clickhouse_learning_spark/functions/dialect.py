@@ -707,6 +707,21 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["splitByRegexp"] = lambda a: (
         lambda re_, s_: f"split({s_}, {re_})"
     )(*_two(a, "splitByRegexp"))
+    # hasToken: the needle appears as a WHOLE token (delimited by
+    # non-alphanumerics) — tokenizer membership avoids regex-escaping
+    # the needle
+    m["hasToken"] = lambda a: (
+        lambda s_, t: (
+            f"array_contains(filter(split({s_}, '[^A-Za-z0-9]+'), "
+            f"x -> x != ''), {t})"
+        )
+    )(*_two(a, "hasToken"))
+    m["hasTokenCaseInsensitive"] = lambda a: (
+        lambda s_, t: (
+            f"array_contains(filter(split(lower({s_}), "
+            f"'[^a-z0-9]+'), x -> x != ''), lower({t}))"
+        )
+    )(*_two(a, "hasTokenCaseInsensitive"))
     m["replaceRegexpOne"] = lambda a: (_ for _ in ()).throw(
         ValueError(
             "replaceRegexpOne replaces only the FIRST match; Spark's "

@@ -1010,3 +1010,16 @@ def test_bitmap_algebra_and_enumerates(spark):
     # AND: {2}; OR: {1,2,3,4,5}; XOR (odd multiplicity): 1,4,5,3? —
     # counts: 1:1, 2:3, 3:2, 4:1, 5:1 → odd: {1,2,4,5}
     assert (r.a, r.o, r.x) == (1, 5, 4)
+
+
+def test_has_token(spark):
+    _grid(
+        spark,
+        [
+            ("hasToken('Hello.World kit', 'World')", True),
+            ("hasToken('HelloWorld', 'World')", False),  # not delimited
+            ("hasToken('a-b c', 'b')", True),
+            ("hasTokenCaseInsensitive('Hello.WORLD', 'world')", True),
+            ("hasTokenCaseInsensitive('HelloWORLD', 'world')", False),
+        ],
+    )
