@@ -62,6 +62,11 @@ def _three(args: list[str], name: str) -> tuple[str, str, str]:
     return args[0], args[1], args[2]
 
 
+def _raise_gate(msg: str) -> str:
+    """Expression-position raise for unsupported argument shapes."""
+    raise ValueError(msg)
+
+
 def _int_literal(s: str, what: str) -> int:
     t = s.strip()
     if not re.fullmatch(r"-?\d+", t):
@@ -1431,10 +1436,17 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             ext = "NULL"
         else:
             arr, n, ext = a
+        # negative size pads/truncates from the LEFT in CH: keep the
+        # last |n| elements, or prepend |n|-size(arr) extenders
         return (
+            f"CASE WHEN ({n}) >= 0 THEN "
             f"CASE WHEN ({n}) <= size({arr}) THEN slice({arr}, 1, {n}) "
             f"ELSE concat({arr}, array_repeat({ext}, "
-            f"({n}) - size({arr}))) END"
+            f"({n}) - size({arr}))) END "
+            f"ELSE CASE WHEN -({n}) <= size({arr}) THEN "
+            f"slice({arr}, size({arr}) + ({n}) + 1, -({n})) "
+            f"ELSE concat(array_repeat({ext}, -({n}) - size({arr})), "
+            f"{arr}) END END"
         )
 
     m["arrayResize"] = _array_resize
@@ -2229,12 +2241,16 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # groupBitmapAnd/Or/Xor: fold the group's bitmaps (CH aggregates
     # over a bitmap column) — returns CARDINALITY like CH
     m["groupBitmapAnd"] = lambda a: (
+        # collect_list skips NULLs, so an all-NULL group collects an
+        # empty array — guard it (slice length -1 would error) and
+        # return cardinality 0 like CH's empty intersection
         lambda x: _bind(
             f"collect_list({x})",
             "gba",
-            "size(aggregate(slice(gba, 2, size(gba) - 1), "
+            "CASE WHEN size(gba) = 0 THEN 0 ELSE "
+            "size(aggregate(slice(gba, 2, greatest(size(gba) - 1, 0)), "
             "try_element_at(gba, 1), "
-            "(acc, b) -> array_intersect(acc, b)))",
+            "(acc, b) -> array_intersect(acc, b))) END",
         )
     )(_one(a, "groupBitmapAnd"))
     m["groupBitmapOr"] = lambda a: (
@@ -2624,14 +2640,20 @@ def _make_int_hash64_udf():
         import numpy as np
         import pandas as pd
 
-        x = v.to_numpy(dtype=np.int64).astype(np.uint64)
+        # Nullable input hashes to NULL in CH: mask nulls to 0 for the
+        # vectorized pass, restore NULL after (to_numpy would raise on
+        # None/NaN with dtype=int64)
+        null = v.isna().to_numpy()
+        x = v.fillna(0).to_numpy(dtype=np.int64).astype(np.uint64)
         with np.errstate(over="ignore"):
             x ^= x >> np.uint64(33)
             x *= np.uint64(0xFF51AFD7ED558CCD)
             x ^= x >> np.uint64(33)
             x *= np.uint64(0xC4CEB9FE1A85EC53)
             x ^= x >> np.uint64(33)
-        return pd.Series(x.astype(np.int64))
+        out = pd.array(x.astype(np.int64), dtype="Int64")
+        out[null] = pd.NA
+        return pd.Series(out)
 
     return pandas_udf(_f, "bigint")
 
@@ -2858,12 +2880,17 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         f"approx_percentile({a[0]}, {p[0]})"
     ),
     "quantileTiming": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
-    # quantileGK(accuracy)(x, level)? — CH's form is
-    # quantileGK(accuracy)(x) at the default 0.5, or
+    # quantileGK(accuracy[, level])(x) — level defaults to the median;
     # quantilesGK(accuracy, l1, l2…)(x); Spark's approx_percentile IS
     # the Greenwald-Khanna sketch with the same accuracy knob
     "quantileGK": lambda p, a: (
-        f"approx_percentile({a[0]}, 0.5, {p[0]})"
+        f"approx_percentile({a[0]}, "
+        f"{p[1] if len(p) == 2 else '0.5'}, {p[0]})"
+        if len(p) in (1, 2)
+        else _raise_gate(
+            "quantileGK takes (accuracy[, level]) parameters; got "
+            f"{len(p)}"
+        )
     ),
     # Excel-style interpolated exact quantiles: Inclusive is Hyndman-Fan
     # R-7 — EXACTLY Spark's percentile(), so it maps directly; Exclusive
@@ -4168,14 +4195,16 @@ def _rewrite_scalar_with(sql: str) -> str:
     for i_sub, (ident, expr) in enumerate(subs):
         pat = re.compile(rf"\b{re.escape(ident)}\b")
         repl = f"({expr})"
-        rest = _map_outside_strings(rest, lambda s: pat.sub(repl, s))
-        ctes = [
-            _map_outside_strings(c, lambda s: pat.sub(repl, s))
-            for c in ctes
-        ]
+        # repl must be substituted LITERALLY: the bound expression may
+        # itself contain regex-special replacement sequences (a regex
+        # string literal like '\\s+' or '\1' inside replaceRegexpAll)
+        # that pat.sub would mangle or reject as a template
+        sub = lambda s, _p=pat, _r=repl: _p.sub(lambda _m: _r, s)
+        rest = _map_outside_strings(rest, sub)
+        ctes = [_map_outside_strings(c, sub) for c in ctes]
         # chained references: later scalar entries may use this alias
         subs[i_sub + 1 :] = [
-            (nm, _map_outside_strings(ex, lambda s: pat.sub(repl, s)))
+            (nm, _map_outside_strings(ex, sub))
             for nm, ex in subs[i_sub + 1 :]
         ]
     if ctes:

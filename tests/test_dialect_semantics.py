@@ -1023,3 +1023,37 @@ def test_has_token(spark):
             ("hasTokenCaseInsensitive('HelloWORLD', 'world')", False),
         ],
     )
+
+
+def test_advice_r4_regressions(spark):
+    """ADVICE r4 defects, each pinned: arrayResize negative size
+    (CH pads/truncates from the LEFT), intHash64(NULL) -> NULL,
+    quantileGK 2-param level honored, groupBitmapAnd over an all-NULL
+    group returns 0 instead of a negative-slice runtime error."""
+    _grid(
+        spark,
+        [
+            ("arrayResize([1,2,3], -2)", [2, 3]),
+            ("arrayResize([1,2,3], -5, 9)", [9, 9, 1, 2, 3]),
+            ("arrayResize([1,2,3], -3)", [1, 2, 3]),
+            ("arrayResize([1,2,3], 0)", []),
+            ("intHash64(NULL)", None),
+        ],
+    )
+    q = spark.sql(
+        translate(
+            "SELECT quantileGK(10000, 0.95)(x) AS q FROM "
+            "(SELECT explode(sequence(1, 100)) AS x) t"
+        )
+    ).collect()[0][0]
+    assert q == 95
+    with pytest.raises(ValueError, match="quantileGK"):
+        translate("SELECT quantileGK(100, 0.5, 1)(x) FROM t")
+    c = spark.sql(
+        translate(
+            "SELECT groupBitmapAnd(b) AS c FROM "
+            "(SELECT CAST(NULL AS ARRAY<INT>) AS b "
+            "UNION ALL SELECT CAST(NULL AS ARRAY<INT>)) t"
+        )
+    ).collect()[0][0]
+    assert c == 0

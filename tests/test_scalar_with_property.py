@@ -76,3 +76,23 @@ def test_alias_inside_string_survives(spark):
         translate("WITH 9 AS k SELECT 'k is not k' AS s, k AS v")
     ).collect()[0]
     assert r.s == "k is not k" and r.v == 9
+
+
+def test_backslash_expression_substitutes_literally(spark):
+    # ADVICE r4: pat.sub treated the bound expression as a regex
+    # replacement TEMPLATE — '\\s+' had its backslashes halved and
+    # '\1' raised re.error. Substitution must be literal.
+    sql = (
+        r"WITH replaceRegexpAll(txt, '\\s+', ' ') AS norm "
+        r"SELECT norm AS c FROM (SELECT 'a  b' AS txt) t"
+    )
+    out = _rewrite_scalar_with(sql)
+    assert r"'\\s+'" in out, out
+    got = spark.sql(translate(sql)).collect()[0][0]
+    assert got == "a b"
+    # backreference-looking literal must not raise
+    out2 = _rewrite_scalar_with(
+        r"WITH replaceRegexpAll(txt, '(a)', '\\1!') AS norm "
+        r"SELECT norm AS c"
+    )
+    assert r"'\\1!'" in out2, out2
