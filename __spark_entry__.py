@@ -50,75 +50,67 @@ def entry(spark: SparkSession) -> DataFrame:
 # already covered above sit behind them. Union of rounds still grades
 # everything — round 1 drove the entries now demoted.
 _PRIORITY = [
-    # Round-4 window (exactly 50 — the driver grades the first 50).
-    # After r3 every registered query has a driver-green row across
-    # r1∪r2∪r3, so this window = (a) queries NEW or with
-    # oracle/implementation changes this round, (b) the families those
-    # changes touch, (c) rotation of queries whose only driver evidence
-    # is round 1 (oldest grades re-validate first; several rotation
-    # slots were re-spent on late-round new queries — every displaced
-    # entry keeps its r1-green row plus the r3 judge's HEAD replay).
-    # --- (a) new in round 4 -------------------------------------------
-    "ch_final_dialect",  # FROM t FINAL through run(deployment=…)
-    "skew_agg_salted",  # two-phase salted MetricSpec aggregation
-    # oracle upgrades: rows-only → independent-golden hash checks
-    "multimodal_features",
-    "multimodal_jpeg_features",
-    "audio_spectral",  # r4: formula-PCM + from-scratch-FFT golden
-    # native SOF2 decode over progressive payloads, same golden
-    "multimodal_progressive_jpeg_features",
-    "lm_quality_scores",  # bigram stupid-backoff perplexity filter (r4)
-    # --- (b) families touched by round-4 changes ----------------------
-    # dialect (modular casts, round→bround, arraySlice, formatReadable*)
-    "ch_dialect_query",
-    "ch_asof_dialect",
-    "ch_retention_dialect",
-    "ch_time_buckets_dialect",
-    "ch_totals_rollup",
-    "ch_any_join_enrich",
-    "ch_limit_by_topn",
-    "ch_with_fill_dialect",
-    "ch_interpolate_dialect",
-    "ch_window_funnel_dialect",  # CH-exact windowFunnel fold (r4)
-    "ch_sequence_dialect",  # sequenceMatch subsequence grammar (r4)
-    "ch_url_dialect",  # CH URL function family (r4)
-    "json_extract_agg",
-    # ddl/deployment read-path changes (schema re-pin, Nullable default)
-    "replacing_latest_event",
-    # MinHashIndex admit/persist split + store write ordering
-    "dedup_incremental_index",
-    "dedup_minhash_lsh",
-    # multimodal family neighbors of the golden swap
-    "multimodal_decode",
-    "multimodal_pixel_sums",
-    "multimodal_png_pixel_sums",
-    "multimodal_gif_pixel_sums",
+    # Round-5 window (exactly 50 — the driver grades the first 50).
+    # Round 4 closed 50/50 hash-green, so this window = (a) every
+    # registered query with NO driver evidence yet (the 21 round-4
+    # staged queries plus the two funnel/sequence variants that have
+    # only judge-replay evidence), (b) queries new or oracle-upgraded
+    # in round 5, (c) rotation of queries whose only driver evidence
+    # is round 1 (oldest grades re-validate first).
+    # --- (a) never driver-graded: round-4 staged ----------------------
+    "lm_heldout_scores",
+    "ch_rollup_dialect",
+    "ch_array_combinators_dialect",
+    "ch_week_modes_dialect",
+    "ch_combinators_dialect",
+    "ch_ip_bits_dialect",
+    "ch_summap_dialect",
+    "ch_intervals_dialect",
+    "semdedup_keep",
+    "dsir_importance",
+    "ch_vector_dialect",
+    "nb_quality_scores",
+    "ch_lttb_dialect",
+    "ch_stats_assoc_dialect",
+    "bloom_decontamination",
+    "ch_scalar_with_dialect",
+    "ch_quantiles_dialect",
+    "ch_hash_dialect",
+    "temperature_mixing",
+    "ch_bitmap_algebra_dialect",
+    "stream_topk_items",
+    "ch_funnel_strict_dialect",
+    "ch_sequence_guard_dialect",
+    # --- (b) round-5 new / oracle-upgraded (swapped in as they land) --
+    "bpe_subword_stats",  # r5: golden merges/vocab oracle
+    "ann_ivf_topk",  # r5: deterministic seed-centroid oracle
     # --- (c) r1-evidence rotation (driver-graded only in round 1) -----
-    "filter_project_prune",
-    "like_and_conjunction",
-    "union_all_batches",
-    "scalar_datetime_math",
-    "parse_datetime_best_effort",
-    "null_handling",
-    "median_exact",
-    "window_functions_suite",
-    # remaining slots: round-2-evidence representatives across operator
-    # families (joins, unions, aggs, text/dedup/ann, reference MVs)
-    "dedup_exact",
-    "asof_attribution",
-    "range_join_campaigns",
-    "contamination_check",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "ann_cosine_topk",
-    "embedding_kmeans",
-    "bitmap_funnel_roaring",
-    "union_merge_wide",
-    "ref_wide_mv_5metric",
-    "ref_funnel_6stage",
-    "pricing_summary",
-    "conditional_agg",
+    "uniq_hll",
+    "quantile_sketch_dd",
+    "distinct_rows",
+    "global_topk_orders",
+    "stats_moments",
+    "intersect_except_sets",
+    "minmax_rollup_sorted",
+    "modulo_skew_filter",
+    "array_join_tuples",
+    "numbers_generator",
+    "cross_join_matrix",
+    "semi_join_exists",
+    "anti_join_not_exists",
+    "rollup_totals",
+    "window_topk_per_group",
+    "pivot_event_matrix",
+    "unpivot_event_matrix",
+    "argmax_top_event",
+    "grouping_sets_totals",
+    "cube_totals",
+    "text_quality_lang",
+    # remaining slots: oldest round-2-evidence representatives
+    "uniq_exact",
+    "median_state_merge",
+    "topk_heavy_hitters",
+    "dict_enrich_join",
 ]
 
 
