@@ -92,7 +92,7 @@ COMPACT = [
     "ref_funnel_query_prebuilt",
     "ref_wide_mv_5metric",
     "ref_funnel_6stage",
-    "dedup_exact_2m_synthetic",
+    "dedup_exact_2m_noop",
     "join_100m_fact_1m_dim",
     "skew_join_aqe_50m_2hot",
     "skew_join_targeted_50m_2hot",
@@ -117,9 +117,39 @@ def best_of(runs: int, fn) -> float:
     return round(best, 3)
 
 
+def _calibration(spark) -> float:
+    """Fixed-cost probe (sum over 2^28 ids, best-of-3): a box-load
+    thermometer. Identical work every round — if the bench box is hot,
+    this number inflates with it, so a reader can normalize cross-round
+    comparisons (VERDICT r4: the driver's r4 run was ~29% inflated by
+    environment load and nothing in the output said so)."""
+    return best_of(
+        3, lambda: spark.range(2**28).selectExpr("sum(id)").collect()
+    )
+
+
+def _quiet_bounded_window_warnings(spark) -> None:
+    """Silence WindowExec's 'No Partition Defined' warning for the
+    bench session ONLY: every unpartitioned window in the engine runs
+    over a post-aggregation frame bounded by group cardinality (daily
+    series, top-k ranks, WITH FILL result frames — a sorted-result-set
+    operation by definition), audited in VERDICT r4. Suppressing the
+    known-benign noise keeps a future REAL data-proportional
+    single-partition window visible in the tail."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # log4j2 API unavailable — cosmetic only, never fail bench
+
+
 def main() -> None:
     target = sf_dir()
     spark = get_spark(app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    _quiet_bounded_window_warnings(spark)
 
     import clickhouse_learning_spark.queries_behavior  # noqa: F401
     import clickhouse_learning_spark.queries_pipeline  # noqa: F401
@@ -130,6 +160,8 @@ def main() -> None:
 
     # JVM/codegen warmup — not measured
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    calib_start = _calibration(spark)
 
     timings: dict[str, float] = {}
     # best-of-3 by default (round-3): the r2→r1 ±15-25% flaps on
@@ -341,7 +373,7 @@ def main() -> None:
             (F.col("id") % 200_000).cast("string"),
         ).alias("text"),
     )
-    timings["dedup_exact_2m_synthetic"] = best_of(
+    timings["dedup_exact_2m_noop"] = best_of(
         runs,
         lambda: exact_dedup(docs2m, "text", "doc_id")
         .write.format("noop")
@@ -705,6 +737,9 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    calib_end = _calibration(spark)
+    calibration = {"start": calib_start, "end": calib_end}
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(target.rstrip("/")).replace("sf", "")
     try:
@@ -726,6 +761,7 @@ def main() -> None:
         "pre_agg": pre_agg,
         "bitmap_state_bytes": state_bytes,
         "runs": runs,
+        "calibration": calibration,
         "sf": sf_val,
     }
     with open(detail_path, "w") as fh:
@@ -741,6 +777,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {k: timings[k] for k in COMPACT if k in timings},
+                "calibration": calibration,
                 "n_timed": len(timings),
                 "detail_file": os.path.basename(detail_path),
                 "sf": sf_val,

@@ -4518,6 +4518,10 @@ def with_fill(df, col: str, start=None, stop=None, step=None,
     out = df.withColumn("__ch_orig", F.lit(True)).unionByName(
         filled.withColumn("__ch_orig", F.lit(False))
     )
+    # unpartitioned on purpose: WITH FILL / INTERPOLATE operate on the
+    # final SORTED RESULT SET (a bounded frame by definition — the query
+    # has already aggregated/limited), so the single-partition warning
+    # WindowExec emits here is benign, not a scale hazard
     w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
     rn = F.row_number().over(Window.orderBy(col))
     out = out.withColumn("__ch_rn", rn)

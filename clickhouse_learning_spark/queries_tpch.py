@@ -402,6 +402,9 @@ def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("daily_cents")
     )
+    # unpartitioned on purpose: the frame is the POST-AGGREGATION daily
+    # series (≤ one row per day — bounded by group cardinality, not data
+    # size), so WindowExec's single-partition warning is benign here
     w = (
         Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
         .rangeBetween(-6, 0)
