@@ -655,11 +655,13 @@ def _values_oracle(rows, cols, casts) -> str:
     vals = ",\n      ".join(
         "(" + ", ".join(repr(v) for v in r) + ")" for r in rows
     )
-    proj = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, casts))
+    proj = ", ".join(
+        f"CAST(g.{c} AS {t}) AS {c}" for c, t in zip(cols, casts)
+    )
     return f"""
     SELECT {proj}
     FROM (VALUES {vals}) AS g({', '.join(cols)})
-    JOIN (SELECT doc_id FROM documents) d ON g.media_id = d.doc_id
+    JOIN (SELECT doc_id FROM documents) d ON g.{cols[0]} = d.doc_id
     """
 
 
@@ -775,10 +777,13 @@ def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed word-count shuffle + bounded driver merge loop,
     operators/bpe.py) and encode every document with it — per-doc word
     / subword counts plus the compression ratio, the gate run before
-    committing to a tokenizer. Rows-only driver check (the merge loop
-    is iterative, not SQL-expressible; the algorithm itself is verified
-    against an independent reference implementation in
-    tests/test_bpe.py, including the published worked example)."""
+    committing to a tokenizer. Hash-checked as of round 5: training is
+    deterministic under the pinned tie-break, so the oracle embeds
+    golden per-doc stats derived by an INDEPENDENT second
+    implementation (different merge loop + encoder strategy,
+    tools/make_bpe_golden.py, refuse-on-mismatch at generation time);
+    the algorithm is additionally verified against tests/test_bpe.py's
+    reference, including the published worked example."""
     from clickhouse_learning_spark.operators import bpe as B
 
     docs = load_table(spark, sf_dir, "documents")
@@ -798,6 +803,19 @@ def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bpe_subword_stats"] = bpe_subword_stats
+
+
+def _register_bpe_golden() -> None:
+    from clickhouse_learning_spark import golden_bpe as G
+
+    _ORACLES["bpe_subword_stats"] = _values_oracle(
+        G.BPE_SUBWORD_STATS,
+        ["doc_id", "n_words", "n_subwords", "subwords_per_word"],
+        ["BIGINT", "BIGINT", "BIGINT", "DOUBLE"],
+    )
+
+
+_register_bpe_golden()
 
 
 def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
