@@ -570,8 +570,11 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (16 cells, 4 probes): cluster-pruned candidate scan.
-    Approximate by design → rows-only driver check; pytest measures
-    recall ≥ 0.9 vs the brute-force baseline."""
+    Approximate vs brute force (pytest measures recall ≥ 0.9), but the
+    query itself is DETERMINISTIC — lowest-id seed centroids, fixed
+    Lloyd sweeps, pinned probe/top-k tie-breaks — so as of round 5 it
+    hash-checks against golden rows derived by an independent numpy
+    implementation (tools/make_ivf_golden.py, refuse-on-mismatch)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -580,6 +583,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_ivf_topk"] = ann_ivf_topk
+
+
+def _register_ivf_golden() -> None:
+    from clickhouse_learning_spark import golden_ivf as G
+    from clickhouse_learning_spark.queries import ORACLES as _ORACLES
+
+    vals = ",\n      ".join(
+        "(" + ", ".join(repr(v) for v in r) + ")" for r in G.ANN_IVF_TOPK
+    )
+    _ORACLES["ann_ivf_topk"] = f"""
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(cos_sim AS DOUBLE) AS cos_sim,
+           CAST(rank AS INT) AS rank
+    FROM (VALUES {vals}) AS g(query_id, vec_id, cos_sim, rank)
+    """
+
+
+_register_ivf_golden()
 
 
 # ===========================================================================
