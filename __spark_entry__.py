@@ -82,8 +82,9 @@ _PRIORITY = [
     "ch_funnel_strict_dialect",
     "ch_sequence_guard_dialect",
     # --- (b) round-5 new / oracle-upgraded (swapped in as they land) --
-    "bpe_subword_stats",  # r5: golden merges/vocab oracle
-    "ann_ivf_topk",  # r5: deterministic seed-centroid oracle
+    "bpe_subword_stats",  # r5: golden encode-stats oracle
+    "ann_ivf_topk",  # r5: independent-numpy golden oracle
+    "ch_ttest_dialect",  # r5: studentTTest/welchTTest/mannWhitneyUTest
     # --- (c) r1-evidence rotation (driver-graded only in round 1) -----
     "uniq_hll",
     "quantile_sketch_dd",
@@ -110,7 +111,6 @@ _PRIORITY = [
     "uniq_exact",
     "median_state_merge",
     "topk_heavy_hitters",
-    "dict_enrich_join",
 ]
 
 

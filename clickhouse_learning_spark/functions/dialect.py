@@ -2056,6 +2056,66 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
 
     m["rankCorr"] = _rank_corr
 
+    def _ttest_moments(v: str, g: str):
+        # sample 0 = idx 0, sample 1 = any non-zero idx (CH only allows
+        # 0/1); conditional aggregates — Catalyst computes each once
+        v0 = f"CASE WHEN ({g}) = 0 THEN CAST(({v}) AS DOUBLE) END"
+        v1 = (
+            f"CASE WHEN ({g}) = 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE CAST(({v}) AS DOUBLE) END"
+        )
+        return (
+            f"count({v0})",
+            f"avg({v0})",
+            f"var_samp({v0})",
+            f"count({v1})",
+            f"avg({v1})",
+            f"var_samp({v1})",
+        )
+
+    def _student_ttest(a):
+        # studentTTest(v, idx) → (t_statistic, p_value) named tuple:
+        # pooled-variance two-sample t, df = n0+n1-2, two-sided p via
+        # the from-scratch incomplete beta (functions/stats_tests.py)
+        v, g = _two(a, "studentTTest")
+        n0, m0, s0, n1, m1, s1 = _ttest_moments(v, g)
+        t = (
+            f"(({m0}) - ({m1})) / sqrt(((({n0}) - 1) * ({s0}) + "
+            f"(({n1}) - 1) * ({s1})) / (({n0}) + ({n1}) - 2) * "
+            f"(1.0 / ({n0}) + 1.0 / ({n1})))"
+        )
+        df = f"CAST(({n0}) + ({n1}) - 2 AS DOUBLE)"
+        # no _bind: Spark rejects Python UDFs inside HOF lambdas, and
+        # the duplicated subtrees are pure arithmetic over aggregates
+        # Catalyst computes once
+        return (
+            f"named_struct('col1', {t}, "
+            f"'col2', {_t_pvalue_sql(t, df)})"
+        )
+
+    def _welch_ttest(a):
+        # welchTTest(v, idx): unpooled variances, Welch-Satterthwaite
+        # df; pinned to ClickHouse's published doc-example tuple in
+        # tests/test_stats_tests.py
+        v, g = _two(a, "welchTTest")
+        n0, m0, s0, n1, m1, s1 = _ttest_moments(v, g)
+        se0 = f"(({s0}) / ({n0}))"
+        se1 = f"(({s1}) / ({n1}))"
+        t = f"(({m0}) - ({m1})) / sqrt({se0} + {se1})"
+        df = (
+            f"(({se0} + {se1}) * ({se0} + {se1})) / "
+            f"({se0} * {se0} / (({n0}) - 1) + "
+            f"{se1} * {se1} / (({n1}) - 1))"
+        )
+        return (
+            f"named_struct('col1', {t}, "
+            f"'col2', {_t_pvalue_sql(t, df)})"
+        )
+
+    m["studentTTest"] = _student_ttest
+    m["welchTTest"] = _welch_ttest
+    m["mannWhitneyUTest"] = lambda a: _mw_test_sql([], a)
+
     for _bad_mov in ("groupArrayMovingSum", "groupArrayMovingAvg"):
         m[_bad_mov] = (
             lambda name: lambda a: (_ for _ in ()).throw(
@@ -2681,6 +2741,78 @@ def register_sequence_udfs(spark) -> None:
         spark.udf.register(name, lttb.make_lttb_udf(n))
     if _INT_HASH64_WANTED:
         spark.udf.register("ch_int_hash64", _make_int_hash64_udf())
+    if _TTEST_WANTED:
+        from clickhouse_learning_spark.functions import stats_tests
+
+        spark.udf.register("ch_t_pvalue", stats_tests.make_t_pvalue_udf())
+    for name, (alt, cc) in _MW_UDFS.items():
+        from clickhouse_learning_spark.functions import stats_tests
+
+        spark.udf.register(name, stats_tests.make_mann_whitney_udf(alt, cc))
+
+
+_TTEST_WANTED = False
+_MW_UDFS: dict[str, tuple[str, bool]] = {}
+
+
+def _t_pvalue_sql(t: str, df: str) -> str:
+    """Two-sided Student-t p-value via the registered scalar pandas UDF
+    (functions/stats_tests.py — from-scratch regularized incomplete
+    beta; runs post-aggregation, one row per group)."""
+    global _TTEST_WANTED
+    _TTEST_WANTED = True
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        register_sequence_udfs(s)
+    return f"ch_t_pvalue({t}, {df})"
+
+
+def _mw_test_sql(params: list[str], args: list[str]) -> str:
+    """mannWhitneyUTest([alternative[, continuity_correction]])(v, idx)
+    → named tuple (u_statistic, p_value). Conventions pinned in
+    tests/test_stats_tests.py against ClickHouse's documented example:
+    U of the FIRST sample (idx = 0), midranks, tie-corrected sigma,
+    continuity correction ON by default. Ranks need the whole combined
+    sample, so this is a grouped-agg pandas UDF (the seqmatch/LTTB
+    slow-complete pattern, state bounded by group size)."""
+    alternative, cc = "two-sided", True
+    if params:
+        m_lit = re.fullmatch(r"\s*'([^']*)'\s*", params[0])
+        if not m_lit or m_lit.group(1) not in ("two-sided", "greater", "less"):
+            raise ValueError(
+                "mannWhitneyUTest alternative must be the literal "
+                "'two-sided', 'greater' or 'less'; got "
+                f"{params[0]!r}"
+            )
+        alternative = m_lit.group(1)
+        if len(params) > 1:
+            cc = (
+                _int_literal(
+                    params[1], "mannWhitneyUTest continuity_correction"
+                )
+                != 0
+            )
+        if len(params) > 2:
+            raise ValueError(
+                "mannWhitneyUTest takes at most (alternative, "
+                f"continuity_correction) parameters; got {len(params)}"
+            )
+    v, g = _two(args, "mannWhitneyUTest")
+    slug = {"two-sided": "ts", "greater": "gt", "less": "lt"}[alternative]
+    name = f"ch_mw_{slug}_{1 if cc else 0}"
+    _MW_UDFS[name] = (alternative, cc)
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        register_sequence_udfs(s)
+    call = f"{name}(CAST(({v}) AS DOUBLE), CAST(({g}) AS INT))"
+    return (
+        f"element_at(transform(array({call}), mw -> "
+        f"named_struct('col1', mw[0], 'col2', mw[1])), 1)"
+    )
 
 
 def _lttb_udf_sql(p: list[str], a: list[str]) -> str:
@@ -3006,6 +3138,19 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         )
     ),
     "largestTriangleThreeBuckets": lambda p, a: _lttb_udf_sql(p, a),
+    "mannWhitneyUTest": lambda p, a: _mw_test_sql(p, a),
+    # the parameterized t-test forms add confidence intervals to the
+    # returned tuple — a different output shape; gate with a pointer
+    "studentTTest": lambda p, a: _raise_gate(
+        "studentTTest(confidence_level)(...) returns a 4-tuple with "
+        "confidence bounds; only the plain (t, p) form is mapped — "
+        "compute bounds as mean diff ± t_crit * se in SQL"
+    ),
+    "welchTTest": lambda p, a: _raise_gate(
+        "welchTTest(confidence_level)(...) returns a 4-tuple with "
+        "confidence bounds; only the plain (t, p) form is mapped — "
+        "compute bounds as mean diff ± t_crit * se in SQL"
+    ),
 }
 
 

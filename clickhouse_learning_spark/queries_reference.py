@@ -1873,3 +1873,74 @@ def ch_bitmap_algebra_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "card", "and_card", "xor_card", "andnot_card",
         "mn", "mx", "range_card", "has500",
     )
+
+
+@query("ch_ttest_dialect")
+def ch_ttest_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: the two-sample hypothesis-test aggregates —
+    studentTTest, welchTTest, mannWhitneyUTest — pasted as CH SQL: an
+    A/B readout of ``value`` between the even/odd user cohorts per
+    event_type. The statistics are conditional Catalyst aggregates (one
+    shuffle, map-side combinable); p-values run post-aggregation
+    through the from-scratch incomplete-beta / erfc machinery
+    (functions/stats_tests.py), with Mann-Whitney's ranks in a
+    grouped-agg pandas UDF bounded by group size. The oracle embeds
+    golden rows derived INDEPENDENTLY (tools/make_ttest_golden.py:
+    DuckDB moments + direct t-density tail integration + pure-Python
+    midranks, refuse-on-mismatch at generation time)."""
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    ).createOrReplaceTempView("ch_ttest_events")
+    # the t-tests and Mann-Whitney aggregate in separate subqueries:
+    # Spark cannot mix a grouped-agg pandas UDF with plain aggregates
+    # in one Aggregate node (INVALID_PANDAS_UDF_PLACEMENT)
+    ch = """
+        SELECT t.event_type AS event_type,
+               st_t, st_p, we_t, we_p, mw_u, mw_p
+        FROM (
+          SELECT event_type,
+                 round(tupleElement(studentTTest(value, modulo(user_id, 2)), 1), 6) AS st_t,
+                 round(tupleElement(studentTTest(value, modulo(user_id, 2)), 2), 6) AS st_p,
+                 round(tupleElement(welchTTest(value, modulo(user_id, 2)), 1), 6) AS we_t,
+                 round(tupleElement(welchTTest(value, modulo(user_id, 2)), 2), 6) AS we_p
+          FROM ch_ttest_events
+          WHERE isNotNull(value) AND isNotNull(user_id)
+          GROUP BY event_type) t
+        JOIN (
+          SELECT event_type,
+                 round(tupleElement(mannWhitneyUTest(value, modulo(user_id, 2)), 1), 1) AS mw_u,
+                 round(tupleElement(mannWhitneyUTest(value, modulo(user_id, 2)), 2), 6) AS mw_p
+          FROM ch_ttest_events
+          WHERE isNotNull(value) AND isNotNull(user_id)
+          GROUP BY event_type) m
+        ON t.event_type = m.event_type
+    """
+    return spark.sql(translate(ch)).select(
+        "event_type", "st_t", "st_p", "we_t", "we_p", "mw_u", "mw_p"
+    )
+
+
+def _register_ttest_golden() -> None:
+    try:
+        from clickhouse_learning_spark import golden_ttest as G
+    except ImportError:  # pragma: no cover - pre-generation bootstrap
+        return
+    from clickhouse_learning_spark.queries import ORACLES
+
+    vals = ",\n      ".join(
+        "(" + ", ".join(repr(v) for v in r) + ")" for r in G.CH_TTEST
+    )
+    ORACLES["ch_ttest_dialect"] = f"""
+    SELECT event_type,
+           CAST(st_t AS DOUBLE) AS st_t, CAST(st_p AS DOUBLE) AS st_p,
+           CAST(we_t AS DOUBLE) AS we_t, CAST(we_p AS DOUBLE) AS we_p,
+           CAST(mw_u AS DOUBLE) AS mw_u, CAST(mw_p AS DOUBLE) AS mw_p
+    FROM (VALUES {vals})
+      AS g(event_type, st_t, st_p, we_t, we_p, mw_u, mw_p)
+    """
+
+
+_register_ttest_golden()
