@@ -85,6 +85,7 @@ _PRIORITY = [
     "bpe_subword_stats",  # r5: golden encode-stats oracle
     "ann_ivf_topk",  # r5: independent-numpy golden oracle
     "ch_ttest_dialect",  # r5: studentTTest/welchTTest/mannWhitneyUTest
+    "ch_mv_routed_dialect",  # r5: pasted CH SQL auto-routed to MV state
     # --- (c) r1-evidence rotation (driver-graded only in round 1) -----
     "uniq_hll",
     "quantile_sketch_dd",
@@ -110,7 +111,6 @@ _PRIORITY = [
     # remaining slots: oldest round-2-evidence representatives
     "uniq_exact",
     "median_state_merge",
-    "topk_heavy_hitters",
 ]
 
 

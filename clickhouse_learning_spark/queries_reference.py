@@ -1944,3 +1944,82 @@ def _register_ttest_golden() -> None:
 
 
 _register_ttest_golden()
+
+
+@query(
+    "ch_mv_routed_dialect",
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS val_cents,
+           CAST(count(*) AS BIGINT) AS event_cnt,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def ch_mv_routed_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 (VERDICT r4 task 8): automatic state-table routing of
+    PASTED ClickHouse SQL end-to-end — raw-log aggregate SQL in, MV
+    merge/finalize plan out. The query materializes an MV over events
+    (sum / count / uniqExact states), registers it with the
+    MetricRouter, and pushes the raw-log CH SQL through
+    ``run_clickhouse`` with a SqlRewriter; the route is ASSERTED to hit
+    the MV (``mv:routed`` — never the raw fallback), and
+    tests/test_sql_rewrite.py asserts the raw scan is gone from the
+    physical plan. The oracle recomputes the same aggregate from the
+    raw events in DuckDB, so a routing bug that changed results (not
+    just plans) breaks the hash."""
+    import tempfile
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.functions.metrics import MetricSpec
+    from clickhouse_learning_spark.mv.engine import MaterializedView
+    from clickhouse_learning_spark.mv.router import MetricRouter
+    from clickhouse_learning_spark.mv.sql_rewrite import (
+        SqlRewriter,
+        run_clickhouse,
+    )
+    from clickhouse_learning_spark.schemas import load_table
+    from clickhouse_learning_spark.tables import Table
+    from pyspark.sql import functions as F
+
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            "user_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+    )
+    mv = MaterializedView(
+        "routed",
+        dims=("day", "event_type"),
+        metrics=(
+            MetricSpec("val_cents", "sum", "value_cents"),
+            MetricSpec("event_cnt", "count", "1"),
+            MetricSpec("uniq_users", "uniq_exact", "user_id"),
+        ),
+        storage=Table(
+            tempfile.mkdtemp(prefix="ch_mv_routed_") + "/state",
+            partition_by=(),
+        ),
+    )
+    mv.append_batch(raw)
+    router = MetricRouter(raw_source=lambda s: raw)
+    router.register(mv)
+    rw = SqlRewriter(router, "ch_routed_raw")
+    ch = """
+        SELECT day, event_type,
+               sum(value_cents) AS val_cents,
+               count() AS event_cnt,
+               uniqExact(user_id) AS uniq_users
+        FROM ch_routed_raw
+        GROUP BY day, event_type
+    """
+    route = rw.explain_route(spark, translate(ch))
+    assert route == "mv:routed", f"expected MV route, got {route!r}"
+    return run_clickhouse(spark, ch, rewriter=rw)

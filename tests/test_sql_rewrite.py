@@ -204,3 +204,23 @@ def test_run_clickhouse_routes_pasted_query_to_mv(spark):
         str(r["day"]): (r["view_cnt"], r["event_cnt"]) for r in direct.collect()
     }
     assert got == want
+
+
+def test_ch_mv_routed_dialect_plan_drops_raw_scan(spark):
+    """The graded routing query (queries_reference.ch_mv_routed_dialect)
+    must answer from the MV state table: the physical plan scans the
+    routed state directory and the raw events parquet is GONE."""
+    import io
+    from contextlib import redirect_stdout
+
+    import clickhouse_learning_spark.queries_reference  # noqa: F401
+    from clickhouse_learning_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    df = QUERIES["ch_mv_routed_dialect"](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "ch_mv_routed_" in plan, plan
+    assert "events.parquet" not in plan, plan
