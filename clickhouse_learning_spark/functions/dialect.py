@@ -727,25 +727,46 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             f"'[^a-z0-9]+'), x -> x != ''), lower({t}))"
         )
     )(*_two(a, "hasTokenCaseInsensitive"))
-    m["replaceRegexpOne"] = lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "replaceRegexpOne replaces only the FIRST match; Spark's "
-            "regexp_replace replaces all — anchor the pattern or use "
-            "overlay()/regexp_instr() for a strict first-only replace"
+    def _replace_regexp_one(a):
+        # first-match-only replace (r5): locate the first match with
+        # regexp_instr (0 = none), splice the replacement around the
+        # matched span. Empty-width matches insert at the match
+        # position, like CH. Backreference replacements stay gated
+        # (CH uses \1, Spark $1 — a silent mistranslation risk).
+        s_, p, r = _three(a, "replaceRegexpOne")
+        if re.search(r"\\+\d|\$", r):
+            raise ValueError(
+                "replaceRegexpOne with backreferences in the "
+                "replacement is not mapped (CH spells them \\1, Spark "
+                "$1); expand the backreference manually"
+            )
+        mtc = f"regexp_extract({s_}, {p}, 0)"
+        pos = f"regexp_instr({s_}, {p})"
+        return (
+            f"CASE WHEN {pos} = 0 THEN {s_} ELSE "
+            f"concat(substring({s_}, 1, {pos} - 1), {r}, "
+            f"substring({s_}, {pos} + length({mtc}))) END"
         )
-    )
+
+    m["replaceRegexpOne"] = _replace_regexp_one
     m["countMatches"] = lambda a: (
         lambda s_, p: f"size(regexp_extract_all({s_}, {p}, 0))"
     )(*_two(a, "countMatches"))
     m["replaceRegexpAll"] = lambda a: f"regexp_replace({', '.join(a)})"
     m["replaceAll"] = lambda a: f"replace({', '.join(a)})"
-    m["replaceOne"] = lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "replaceOne has no replace-first Spark builtin; "
-            "regexp_replace with \\\\Q…\\\\E replaces ALL occurrences — "
-            "use overlay()/instr() for a strict first-only replace"
+    def _replace_one(a):
+        # literal first-occurrence replace (r5): instr locates the
+        # span, concat splices. Empty needle leaves the string
+        # unchanged (CH behavior).
+        s_, n, r = _three(a, "replaceOne")
+        pos = f"instr({s_}, {n})"
+        return (
+            f"CASE WHEN length({n}) = 0 OR {pos} = 0 THEN {s_} ELSE "
+            f"concat(substring({s_}, 1, {pos} - 1), {r}, "
+            f"substring({s_}, {pos} + length({n}))) END"
         )
-    )
+
+    m["replaceOne"] = _replace_one
 
     def _extract(all_: bool):
         def f(a):
@@ -1379,7 +1400,15 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # type's default where try_element_at returns NULL (same documented
     # class as assumeNotNull; the a[i] bracket rewrite shares it)
     m["arrayElement"] = lambda a: (
-        lambda arr, i: f"try_element_at({arr}, {i})"
+        # index 0 / out-of-range yield NULL (CH returns the element
+        # type's DEFAULT — unknowable textually; same documented
+        # divergence class as arrayResize's 2-arg pad). Bare
+        # try_element_at raises INVALID_INDEX_OF_ZERO on 0 (r5 fix,
+        # found by the differential sweep).
+        lambda arr, i: (
+            f"CASE WHEN ({i}) = 0 THEN NULL "
+            f"ELSE try_element_at({arr}, {i}) END"
+        )
     )(*_two(a, "arrayElement"))
     # text shingling / n-gram builders (r4 late) — the dialect forms of
     # the pipeline's dedup primitives

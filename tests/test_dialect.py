@@ -1119,8 +1119,11 @@ def test_translate_regex_string_family(spark):
     assert r.ra == "x-y-z"  # literal replace, '.' not a regex
     assert r.cs == 3
     assert r.tb == "hi"
-    with pytest.raises(ValueError, match="first"):
-        translate("replaceOne(s, 'a', 'b')")
+    # replaceOne maps as of r5 (instr splice): first occurrence only
+    ro = spark.sql(
+        "SELECT " + translate("replaceOne('banana', 'an', 'X')") + " AS v"
+    ).collect()[0].v
+    assert ro == "bXana"
 
 
 def test_translate_bit_round_encode_ip(spark):

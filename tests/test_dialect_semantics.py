@@ -967,8 +967,18 @@ def test_date_trunc_iso_year_and_millis(spark):
             ),
         ],
     )
-    with pytest.raises(ValueError, match="FIRST match"):
-        translate("replaceRegexpOne(s, 'a', 'b')")
+    # replaceRegexpOne maps as of r5 (regexp_instr splice); only
+    # backreference replacements stay gated
+    _grid(
+        spark,
+        [
+            ("replaceRegexpOne('a1b22c', '[0-9]+', 'X')", "aXb22c"),
+            ("replaceRegexpOne('abc', '[0-9]+', 'X')", "abc"),
+            ("replaceRegexpOne('', '[0-9]+', 'X')", ""),
+        ],
+    )
+    with pytest.raises(ValueError, match="backreference"):
+        translate(r"replaceRegexpOne(s, '(a)', '\1x')")
 
 
 def test_bitmap_algebra_and_enumerates(spark):
