@@ -86,6 +86,7 @@ _PRIORITY = [
     "ann_ivf_topk",  # r5: independent-numpy golden oracle
     "ch_ttest_dialect",  # r5: studentTTest/welchTTest/mannWhitneyUTest
     "ch_mv_routed_dialect",  # r5: pasted CH SQL auto-routed to MV state
+    "multimodal_webp_pixel_sums",  # r5: native VP8L decode
     # --- (c) r1-evidence rotation (driver-graded only in round 1) -----
     "uniq_hll",
     "quantile_sketch_dd",
@@ -110,7 +111,6 @@ _PRIORITY = [
     "text_quality_lang",
     # remaining slots: oldest round-2-evidence representatives
     "uniq_exact",
-    "median_state_merge",
 ]
 
 

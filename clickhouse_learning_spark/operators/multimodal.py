@@ -508,9 +508,9 @@ def build_media_table(
     real zlib-compressed PNGs (pixel values identical to the PPM form;
     per-line filter cycles through all five PNG filters so decode
     exercises every unfilter path)."""
-    if fmt not in ("ppm", "png", "jpeg", "jpeg_progressive", "gif"):
+    if fmt not in ("ppm", "png", "jpeg", "jpeg_progressive", "gif", "webp"):
         raise ValueError(
-            f"fmt must be ppm|png|jpeg|jpeg_progressive|gif, got {fmt!r}"
+            f"fmt must be ppm|png|jpeg|jpeg_progressive|gif|webp, got {fmt!r}"
         )
     w = (F.col(id_col) % 64 + 16).cast("int")
     h = (F.col(id_col) % 48 + 16).cast("int")
@@ -530,6 +530,10 @@ def build_media_table(
     elif fmt == "png":
         make = lambda m, wi, hi: png_image(m, wi, hi, filter_type=m % 5)  # noqa: E731
         mime = "image/png"
+    elif fmt == "webp":
+        from clickhouse_learning_spark.operators.vp8l import webp_image
+
+        make, mime = webp_image, "image/webp"
     else:
         progressive = fmt == "jpeg_progressive"
 
@@ -673,6 +677,19 @@ def _gif_dims(p: bytes) -> tuple[int, int] | None:
     return int(w), int(h)
 
 
+def _webp_dims(p: bytes) -> tuple[int, int] | None:
+    """VP8L header dims: 14-bit width-1/height-1, LSB-first bit packing
+    right after the 0x2f signature byte."""
+    if len(p) < 25 or p[:4] != b"RIFF" or p[8:12] != b"WEBP":
+        return None
+    if p[12:16] != b"VP8L" or p[20] != 0x2F:
+        return None
+    b = p[21:25]
+    w = (b[0] | ((b[1] & 0x3F) << 8)) + 1
+    h = ((b[1] >> 6) | (b[2] << 2) | ((b[3] & 0x0F) << 10)) + 1
+    return int(w), int(h)
+
+
 def _jpeg_dims(p: bytes) -> tuple[int, int] | None:
     """JPEG dimensions from the first SOF0-SOF15 frame header (marker
     walk over length-prefixed segments; pixel data untouched)."""
@@ -716,9 +733,10 @@ def _pil_decode(payload: bytes):
     except ImportError:
         raise NotImplementedError(
             "compressed image PIXEL decode (arithmetic/12-bit JPEG, "
-            "WebP, sub-byte-depth PNG, malformed GIF) needs Pillow (`pip install "
-            "Pillow`); 8-bit PNG (_png_decode), GIF (_gif_decode) and "
-            "baseline + progressive JPEG (operators/jpeg.decode_baseline) "
+            "LOSSY WebP, sub-byte-depth PNG, malformed GIF) needs Pillow "
+            "(`pip install Pillow`); 8-bit PNG (_png_decode), GIF "
+            "(_gif_decode), baseline + progressive JPEG (operators/jpeg) "
+            "and lossless WebP (operators/vp8l.decode_vp8l, r5) "
             "decode natively, header-only dimensions work for every "
             "format (decode_image_meta), and the mapInPandas plumbing is "
             "format-agnostic"
@@ -735,7 +753,7 @@ def _decode_dims(payload: bytes) -> tuple[int, int] | None:
         return ppm[0], ppm[1]
     if payload is None:
         return None
-    for parse in (_png_dims, _gif_dims, _jpeg_dims):
+    for parse in (_png_dims, _gif_dims, _jpeg_dims, _webp_dims):
         d = parse(payload)
         if d is not None:
             return d
@@ -765,6 +783,18 @@ def _pixels(payload: bytes):
         if px is not None:
             return px
         return _pil_decode(payload)  # malformed / exotic GIFs
+    if (
+        payload is not None
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+    ):
+        if payload[12:16] == b"VP8L":
+            from clickhouse_learning_spark.operators.vp8l import decode_vp8l
+
+            px = decode_vp8l(payload)
+            if px is not None:
+                return px
+        return _pil_decode(payload)  # lossy VP8 / extended VP8X
     if payload is not None and payload.startswith(b"\xff\xd8\xff"):
         from clickhouse_learning_spark.operators.jpeg import decode_baseline
 
