@@ -87,6 +87,8 @@ _PRIORITY = [
     "ch_ttest_dialect",  # r5: studentTTest/welchTTest/mannWhitneyUTest
     "ch_mv_routed_dialect",  # r5: pasted CH SQL auto-routed to MV state
     "multimodal_webp_pixel_sums",  # r5: native VP8L decode
+    "gopher_quality_rules",  # r5: Gopher-style curation gates
+    "lexical_diversity",  # r5: type/token diversity fold
     # --- (c) r1-evidence rotation (driver-graded only in round 1) -----
     "uniq_hll",
     "quantile_sketch_dd",
@@ -109,8 +111,6 @@ _PRIORITY = [
     "grouping_sets_totals",
     "cube_totals",
     "text_quality_lang",
-    # remaining slots: oldest round-2-evidence representatives
-    "uniq_exact",
 ]
 
 

@@ -227,3 +227,132 @@ def oov_rate(
             6,
         ).alias("oov_rate"),
     )
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 —
+    the standard pre-training repetition/shape gates), all pure
+    Catalyst expressions over whitespace words:
+
+    - word count within [min_words, max_words] (50..100k in the paper;
+      the thresholds are columns here so the gate is auditable),
+    - mean word length within [3, 10],
+    - symbol-to-word ratio (#, ellipsis) below 0.1,
+    - >= 80% of words contain at least one alphabetic character,
+    - >= 2 distinct English stopwords present.
+
+    Emits the measured values AND the per-rule booleans plus the
+    overall pass flag — the curation report shape, so downstream can
+    tune thresholds without recomputing the scan."""
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words)
+    mean_wl = F.round(
+        F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w),
+        )
+        / F.greatest(n_words, F.lit(1)),
+        4,
+    )
+    n_sym = (
+        F.length(text)
+        - F.length(F.regexp_replace(text, r"#", ""))
+        + F.size(F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), 0))
+    )
+    symbol_ratio = F.round(n_sym / F.greatest(n_words, F.lit(1)), 4)
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.round(alpha_words / F.greatest(n_words, F.lit(1)), 4)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    sw_hits = F.size(
+        F.filter(sw, lambda s: F.array_contains(tokens(text), s))
+    )
+    r_words = (n_words >= 50) & (n_words <= 100_000)
+    r_wl = (mean_wl >= 3) & (mean_wl <= 10)
+    r_sym = symbol_ratio < 0.1
+    r_alpha = alpha_frac >= 0.8
+    r_sw = sw_hits >= 2
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        sw_hits.cast("int").alias("stopword_hits"),
+        r_words.alias("rule_words"),
+        r_wl.alias("rule_word_len"),
+        r_sym.alias("rule_symbols"),
+        r_alpha.alias("rule_alpha"),
+        r_sw.alias("rule_stopwords"),
+        (r_words & r_wl & r_sym & r_alpha & r_sw).alias("keep"),
+    )
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Type/token diversity metrics — the duplication-adjacent curation
+    signals (low diversity ⇒ boilerplate/templated text):
+
+    - type_token_ratio = |distinct words| / |words|,
+    - hapax_frac = fraction of TYPES occurring exactly once,
+    - top_share = most frequent word's share of all tokens.
+
+    One sorted-array run-length fold per document (O(n log n) sort +
+    O(n) fold, all codegen — no per-type rescans, no Python)."""
+    text = F.col(text_col)
+    w = F.sort_array(tokens(text))
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("types"),
+        F.lit(0).cast("long").alias("hapax"),
+        F.lit(0).cast("long").alias("maxrun"),
+    )
+
+    def step(acc, x):
+        same = acc.run > 0
+        is_cont = same & (x == acc.prev)
+        # close the previous run when the word changes
+        closed_types = F.when(is_cont, acc.types).otherwise(
+            acc.types + F.when(same, 1).otherwise(0)
+        )
+        closed_hapax = F.when(is_cont, acc.hapax).otherwise(
+            acc.hapax + F.when(same & (acc.run == 1), 1).otherwise(0)
+        )
+        closed_max = F.when(is_cont, acc.maxrun).otherwise(
+            F.greatest(acc.maxrun, acc.run)
+        )
+        new_run = F.when(is_cont, acc.run + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            closed_types.alias("types"),
+            closed_hapax.alias("hapax"),
+            closed_max.alias("maxrun"),
+        )
+
+    def fin(acc):
+        # close the final run
+        types = acc.types + F.when(acc.run > 0, 1).otherwise(0)
+        hapax = acc.hapax + F.when(acc.run == 1, 1).otherwise(0)
+        maxrun = F.greatest(acc.maxrun, acc.run)
+        return F.struct(
+            types.alias("types"), hapax.alias("hapax"), maxrun.alias("maxrun")
+        )
+
+    agg = F.aggregate(w, zero, step, fin)
+    n = F.size(w)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        agg.types.alias("n_types"),
+        F.round(agg.types / F.greatest(n, F.lit(1)), 4).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            agg.hapax / F.greatest(agg.types, F.lit(1)), 4
+        ).alias("hapax_frac"),
+        F.round(agg.maxrun / F.greatest(n, F.lit(1)), 4).alias("top_share"),
+    )

@@ -1896,3 +1896,111 @@ def temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(docs, alpha=0.5, total=200).select(
         "doc_id", "source"
     )
+
+
+@query(
+    "gopher_quality_rules",
+    """
+    WITH w AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS words,
+             regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(words) AS INT) AS n_words,
+           round(CAST(list_sum(list_transform(words, x -> length(x)))
+                      AS DOUBLE) / greatest(len(words), 1), 4)
+             AS mean_word_len,
+           round(CAST((length(text) - length(replace(text, '#', '')))
+                      + len(regexp_extract_all(text, '\\.\\.\\.|…'))
+                      AS DOUBLE) / greatest(len(words), 1), 4)
+             AS symbol_ratio,
+           round(CAST(len(list_filter(words,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                      AS DOUBLE) / greatest(len(words), 1), 4)
+             AS alpha_word_frac,
+           CAST(len(list_filter(['the','a','of','and','to','in','is',
+                                 'that','it','for'],
+                                s -> list_contains(toks, s))) AS INT)
+             AS stopword_hits,
+           len(words) >= 50 AND len(words) <= 100000 AS rule_words,
+           round(CAST(list_sum(list_transform(words, x -> length(x)))
+                      AS DOUBLE) / greatest(len(words), 1), 4)
+             BETWEEN 3 AND 10 AS rule_word_len,
+           round(CAST((length(text) - length(replace(text, '#', '')))
+                      + len(regexp_extract_all(text, '\\.\\.\\.|…'))
+                      AS DOUBLE) / greatest(len(words), 1), 4) < 0.1
+             AS rule_symbols,
+           round(CAST(len(list_filter(words,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                      AS DOUBLE) / greatest(len(words), 1), 4) >= 0.8
+             AS rule_alpha,
+           len(list_filter(['the','a','of','and','to','in','is','that',
+                            'it','for'],
+                           s -> list_contains(toks, s))) >= 2
+             AS rule_stopwords,
+           (len(words) >= 50 AND len(words) <= 100000)
+             AND (round(CAST(list_sum(list_transform(words,
+                    x -> length(x))) AS DOUBLE)
+                    / greatest(len(words), 1), 4) BETWEEN 3 AND 10)
+             AND (round(CAST((length(text)
+                    - length(replace(text, '#', '')))
+                    + len(regexp_extract_all(text, '\\.\\.\\.|…'))
+                    AS DOUBLE) / greatest(len(words), 1), 4) < 0.1)
+             AND (round(CAST(len(list_filter(words,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                    / greatest(len(words), 1), 4) >= 0.8)
+             AND (len(list_filter(['the','a','of','and','to','in','is',
+                    'that','it','for'],
+                    s -> list_contains(toks, s))) >= 2)
+             AS keep
+    FROM w
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: Gopher-style document quality gates (Rae et al. 2021
+    §A1.1 — word-count bounds, mean word length, symbol ratio,
+    alphabetic-word fraction, stopword presence) as pure Catalyst
+    expressions over the documents corpus, emitting measured values +
+    per-rule booleans + the overall keep flag (the curation-report
+    shape). Map-only — zero shuffles at any scale. The oracle
+    re-derives every value with DuckDB list lambdas."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.gopher_rules(docs)
+
+
+@query(
+    "lexical_diversity",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                            '[A-Za-z0-9]+')) AS t
+      FROM documents),
+    tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+    agg AS (SELECT doc_id, sum(c) AS n, count(*) AS types,
+                   sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+                   max(c) AS maxc
+            FROM tc GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.types, 0) AS BIGINT) AS n_types,
+           round(CAST(coalesce(a.types, 0) AS DOUBLE)
+                 / greatest(coalesce(a.n, 0), 1), 4) AS type_token_ratio,
+           round(CAST(coalesce(a.hapax, 0) AS DOUBLE)
+                 / greatest(coalesce(a.types, 0), 1), 4) AS hapax_frac,
+           round(CAST(coalesce(a.maxc, 0) AS DOUBLE)
+                 / greatest(coalesce(a.n, 0), 1), 4) AS top_share
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: type/token diversity metrics (type-token ratio, hapax
+    fraction, top-word dominance — the low-diversity/boilerplate
+    curation signals). One sorted-array run-length FOLD per document
+    (codegen aggregate(), no per-type rescans, no Python, no shuffle);
+    the oracle takes the classic unnest + GROUP BY route in DuckDB, so
+    the fold's run-length bookkeeping is checked against an independent
+    relational derivation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.lexical_diversity(docs)

@@ -708,3 +708,49 @@ def test_dsir_selects_target_like_docs(spark):
     ).collect()
     # grams: x, y, x, 'x y', 'y x' -> 4 distinct buckets w/ x counted twice
     assert sorted(r["cnt"] for r in f) == [1, 1, 1, 2]
+
+
+def test_gopher_rules_boundaries(spark):
+    """Rule boundaries on crafted docs: word-count bounds, alpha
+    fraction, stopword minimum, symbol ratio."""
+    from clickhouse_learning_spark.operators.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            # 0: 60 words incl. stopwords -> keep
+            (0, "the a of " + " ".join(f"word{i}" for i in range(57))),
+            # 1: too short (3 words)
+            (1, "the a short"),
+            # 2: numeric words -> alpha fraction fails; no stopwords
+            (2, " ".join(str(i) for i in range(60))),
+            # 3: symbol-heavy
+            (3, "the a " + "# " * 58),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in gopher_rules(docs).collect()}
+    assert r[0].keep and r[0].rule_words and r[0].rule_stopwords
+    assert not r[1].rule_words and not r[1].keep
+    assert not r[2].rule_alpha and not r[2].rule_stopwords
+    assert not r[3].rule_symbols and not r[3].keep
+    assert r[3].symbol_ratio > 0.9
+
+
+def test_lexical_diversity_fold(spark):
+    """The run-length fold against hand counts, including all-hapax and
+    all-same extremes."""
+    from clickhouse_learning_spark.operators.text import lexical_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b b c c c"),  # n=6 types=3 hapax=1 max=3
+            (1, "x y z"),  # all hapax
+            (2, "q q q q"),  # one type
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in lexical_diversity(docs).collect()}
+    assert (r[0].n_tokens, r[0].n_types) == (6, 3)
+    assert r[0].hapax_frac == 0.3333 and r[0].top_share == 0.5
+    assert r[1].type_token_ratio == 1.0 and r[1].hapax_frac == 1.0
+    assert (r[2].n_types, r[2].top_share) == (1, 1.0)
