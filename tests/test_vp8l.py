@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from struct import error as struct_error
 
 from clickhouse_learning_spark.operators.vp8l import (
     _argb_add,
@@ -306,3 +307,33 @@ def test_argb_helpers_inverse():
         a = int(rng.integers(0, 2**32))
         b = int(rng.integers(0, 2**32))
         assert _argb_add(_argb_sub(a, b), b) == a
+
+
+def test_corrupted_streams_fail_cleanly():
+    """Random byte corruptions must either still decode (untouched
+    regions), return a (possibly wrong) image, or raise a normal
+    exception quickly — never hang or crash the interpreter. The decode
+    loop always makes progress (literal/cache advance 1, copies >= 1),
+    so corruption cannot loop forever."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(12, 17, 3), dtype=np.uint8)
+    good = bytearray(encode_vp8l(img))
+    for trial in range(60):
+        bad = bytearray(good)
+        for _ in range(rng.integers(1, 4)):
+            bad[int(rng.integers(20, len(bad)))] = int(rng.integers(0, 256))
+        try:
+            out = decode_vp8l(bytes(bad))
+            assert out is None or out.ndim == 3
+        except (ValueError, IndexError, KeyError, struct_error):
+            pass
+
+
+def test_truncated_streams_fail_cleanly():
+    img = np.arange(9 * 9 * 3, dtype=np.uint8).reshape(9, 9, 3)
+    good = encode_vp8l(img)
+    for cut in (21, 25, len(good) // 2, len(good) - 3):
+        try:
+            decode_vp8l(good[:cut] )
+        except (ValueError, IndexError, struct_error):
+            pass
