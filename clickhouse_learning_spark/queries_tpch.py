@@ -894,3 +894,223 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_cents").alias("total_cents"),
         )
     )
+
+
+@query(
+    "nation_trade_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(100 - l_discount * 100) AS BIGINT))
+                AS BIGINT) AS revenue_units
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year — a 6-table snowflake with TWO independent nation legs (the
+    same dimension joined twice under different roles). Both nation
+    legs and supplier/customer broadcast; the fact table sees one
+    aggregation shuffle. Revenue kept in exact integer
+    cents × basis-points so the hash can't flap on float order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    df = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return df.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * F.round(100 - F.col("l_discount") * 100).cast("long")
+        ).alias("revenue_units")
+    )
+
+
+@query(
+    "market_share_by_year",
+    """
+    WITH base AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(100 - l_discount * 100) AS BIGINT) AS units,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'STANDARD')
+    SELECT CAST(o_year AS INT) AS o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN units
+                         ELSE 0 END) AS BIGINT) AS nation_units,
+           CAST(sum(units) AS BIGINT) AS total_units,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN units
+                              ELSE 0 END) AS DOUBLE)
+                 / sum(units), 6) AS mkt_share
+    FROM base GROUP BY 1
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of a region's filtered
+    part trade by order year — a 7-table snowflake where the share is a
+    conditional-sum ratio. Every dimension broadcasts; the share is
+    computed from exact integer units so numerator and denominator are
+    engine-portable, with one final rounded division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    units = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round(100 - F.col("l_discount") * 100).cast("long")
+    )
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(
+            F.broadcast(region), F.col("n2_region") == region.r_regionkey
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            units.alias("units"),
+            "supp_nation",
+        )
+    )
+    nat = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", F.col("units")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    return base.groupBy("o_year").agg(
+        nat.alias("nation_units"),
+        F.sum("units").alias("total_units"),
+        F.round(nat / F.sum("units"), 6).alias("mkt_share"),
+    )
+
+
+@query(
+    "sole_late_supplier_blame",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+    SELECT s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM li l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s_name
+    """,
+)
+def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (the hardest TPC-H join pattern): suppliers who
+    were the ONLY late supplier on a multi-supplier order — one
+    semi-join (another supplier exists on the order) plus one anti-join
+    (no OTHER supplier was late) against the same fact table.
+    'Late' adapts to this schema as shipping >60 days after the order
+    date (no commit/receipt dates in the fixture). Both existence
+    probes are keyed self-joins on l_orderkey — no correlated per-row
+    subquery execution; Spark plans them as broadcast/shuffle
+    hash joins with LeftSemi/LeftAnti."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    l1 = li.filter(F.col("late")).alias("l1")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    ).alias("l2")
+    l3 = (
+        li.filter(F.col("late"))
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+        .alias("l3")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    blamed = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("k2"))
+            & (F.col("l1.l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("k3"))
+            & (F.col("l1.l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+    )
+    return blamed.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
