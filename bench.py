@@ -74,6 +74,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "training_pipeline",
+    # round-5 additions
+    "ch_ttest_dialect",
+    "multimodal_webp_pixel_sums",
+    "gopher_quality_rules",
+    "lexical_diversity",
+    "sole_late_supplier_blame",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "embedding_kmeans",
