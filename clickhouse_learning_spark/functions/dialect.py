@@ -2144,6 +2144,7 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["studentTTest"] = _student_ttest
     m["welchTTest"] = _welch_ttest
     m["mannWhitneyUTest"] = lambda a: _mw_test_sql([], a)
+    m["kolmogorovSmirnovTest"] = lambda a: _ks_test_sql([], a)
 
     for _bad_mov in ("groupArrayMovingSum", "groupArrayMovingAvg"):
         m[_bad_mov] = (
@@ -2774,6 +2775,16 @@ def register_sequence_udfs(spark) -> None:
         from clickhouse_learning_spark.functions import stats_tests
 
         spark.udf.register("ch_t_pvalue", stats_tests.make_t_pvalue_udf())
+    if _ZTEST_WANTED:
+        from clickhouse_learning_spark.functions import stats_tests
+
+        spark.udf.register(
+            "ch_normal_two_sided_p", stats_tests.make_normal_pvalue_udf()
+        )
+    if _KS_WANTED:
+        from clickhouse_learning_spark.functions import stats_tests
+
+        spark.udf.register("ch_ks_test", stats_tests.make_ks_udf())
     for name, (alt, cc) in _MW_UDFS.items():
         from clickhouse_learning_spark.functions import stats_tests
 
@@ -2781,6 +2792,8 @@ def register_sequence_udfs(spark) -> None:
 
 
 _TTEST_WANTED = False
+_ZTEST_WANTED = False
+_KS_WANTED = False
 _MW_UDFS: dict[str, tuple[str, bool]] = {}
 
 
@@ -2796,6 +2809,101 @@ def _t_pvalue_sql(t: str, df: str) -> str:
     if s is not None:
         register_sequence_udfs(s)
     return f"ch_t_pvalue({t}, {df})"
+
+
+def _ks_test_sql(params: list[str], args: list[str]) -> str:
+    """kolmogorovSmirnovTest([alternative[, method]])(v, idx) → named
+    tuple (d_statistic, p_value). The D statistic is exact and
+    engine-portable; the p-value is the standard asymptotic Kolmogorov
+    limit Q(sqrt(n0 n1/(n0+n1))·D) — the 'exact' small-sample method
+    and one-sided alternatives gate (one-sided needs D+/D- statistics,
+    a different computation)."""
+    if params:
+        m_alt = re.fullmatch(r"\s*'([^']*)'\s*", params[0])
+        if not m_alt or m_alt.group(1) != "two-sided":
+            raise ValueError(
+                "kolmogorovSmirnovTest: only the 'two-sided' "
+                "alternative is mapped (one-sided needs the signed "
+                "D+/D- statistics)"
+            )
+        if len(params) > 1:
+            m_m = re.fullmatch(r"\s*'([^']*)'\s*", params[1])
+            if not m_m or m_m.group(1) not in ("asymp", "asymptotic", "auto"):
+                raise ValueError(
+                    "kolmogorovSmirnovTest: only the asymptotic p-value "
+                    "method is mapped; the exact small-sample "
+                    "distribution is not implemented"
+                )
+        if len(params) > 2:
+            raise ValueError(
+                "kolmogorovSmirnovTest takes at most (alternative, "
+                f"method) parameters; got {len(params)}"
+            )
+    v, g = _two(args, "kolmogorovSmirnovTest")
+    global _KS_WANTED
+    _KS_WANTED = True
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        register_sequence_udfs(s)
+    call = f"ch_ks_test(CAST(({v}) AS DOUBLE), CAST(({g}) AS INT))"
+    return (
+        f"element_at(transform(array({call}), ks -> "
+        f"named_struct('col1', ks[0], 'col2', ks[1])), 1)"
+    )
+
+
+def _mean_z_test_sql(params: list[str], args: list[str]) -> str:
+    """meanZTest(pop_var_x, pop_var_y, confidence_level)(v, idx) →
+    named tuple (z_statistic, p_value, ci_low, ci_high). The population
+    variances and confidence level are literals, so the critical value
+    comes from the from-scratch bisection probit at TRANSLATE time —
+    the emitted SQL is pure arithmetic over conditional aggregates plus
+    the erfc p-value UDF. CI bounds are for the mean difference."""
+    if len(params) != 3:
+        raise ValueError(
+            "meanZTest takes exactly (pop_var_x, pop_var_y, "
+            f"confidence_level) parameters; got {len(params)}"
+        )
+    try:
+        vx = float(params[0])
+        vy = float(params[1])
+        cl = float(params[2])
+    except ValueError:
+        raise ValueError(
+            "meanZTest parameters must be numeric literals; got "
+            f"{params!r}"
+        ) from None
+    if not 0.0 < cl < 1.0:
+        raise ValueError(f"meanZTest confidence_level must be in (0,1), got {cl}")
+    from clickhouse_learning_spark.functions.stats_tests import probit
+
+    zc = probit(1.0 - (1.0 - cl) / 2.0)
+    v, g = _two(args, "meanZTest")
+    v0 = f"CASE WHEN ({g}) = 0 THEN CAST(({v}) AS DOUBLE) END"
+    v1 = (
+        f"CASE WHEN ({g}) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE CAST(({v}) AS DOUBLE) END"
+    )
+    n0, m0 = f"count({v0})", f"avg({v0})"
+    n1, m1 = f"count({v1})", f"avg({v1})"
+    se = f"sqrt({vx!r} / ({n0}) + {vy!r} / ({n1}))"
+    z = f"(({m0}) - ({m1})) / {se}"
+    diff = f"(({m0}) - ({m1}))"
+    global _ZTEST_WANTED
+    _ZTEST_WANTED = True
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        register_sequence_udfs(s)
+    return (
+        f"named_struct('col1', {z}, "
+        f"'col2', ch_normal_two_sided_p({z}), "
+        f"'col3', {diff} - {zc!r} * {se}, "
+        f"'col4', {diff} + {zc!r} * {se})"
+    )
 
 
 def _mw_test_sql(params: list[str], args: list[str]) -> str:
@@ -3168,6 +3276,8 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     ),
     "largestTriangleThreeBuckets": lambda p, a: _lttb_udf_sql(p, a),
     "mannWhitneyUTest": lambda p, a: _mw_test_sql(p, a),
+    "kolmogorovSmirnovTest": lambda p, a: _ks_test_sql(p, a),
+    "meanZTest": lambda p, a: _mean_z_test_sql(p, a),
     # the parameterized t-test forms add confidence intervals to the
     # returned tuple — a different output shape; gate with a pointer
     "studentTTest": lambda p, a: _raise_gate(

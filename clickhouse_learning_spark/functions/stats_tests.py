@@ -204,3 +204,89 @@ def make_mann_whitney_udf(
         return [float(u), float(p)]
 
     return pandas_udf(_f, "array<double>", PandasUDFType.GROUPED_AGG)
+
+
+def make_normal_pvalue_udf():
+    """Scalar pandas UDF ``ch_normal_two_sided_p(z) -> double``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _f(z):
+        out = [
+            float("nan") if a is None else normal_two_sided_p(float(a))
+            for a in z
+        ]
+        return pd.Series(out, dtype="float64")
+
+    return pandas_udf(_f, "double")
+
+
+def probit(p: float) -> float:
+    """Inverse standard-normal CDF, solved by BISECTION on the erfc
+    identity Phi(z) = erfc(-z/sqrt 2)/2 — no rational approximation,
+    accurate to ~1e-15 (used for z-test confidence intervals; the
+    confidence level is a translate-time literal, so this runs once in
+    Python, never per row)."""
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"probit needs p in (0,1), got {p}")
+    lo, hi = -40.0, 40.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if math.erfc(-mid / math.sqrt(2.0)) / 2.0 < p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+def kolmogorov_q(lam: float) -> float:
+    """Kolmogorov limit distribution tail Q(lambda) =
+    2 * sum_{k>=1} (-1)^(k-1) exp(-2 k^2 lambda^2)."""
+    if lam <= 0:
+        return 1.0
+    s = 0.0
+    for k in range(1, 101):
+        term = math.exp(-2.0 * k * k * lam * lam)
+        s += term if k % 2 else -term
+        if term < 1e-18:
+            break
+    return min(max(2.0 * s, 0.0), 1.0)
+
+
+def ks_test(values, idx) -> tuple[float, float]:
+    """Two-sample Kolmogorov-Smirnov: D = sup |F0 - F1| over the
+    combined sample (ECDFs evaluated after each tie run), asymptotic
+    two-sided p = Q(sqrt(n0 n1/(n0+n1)) * D).
+
+    Convention note: the statistic is exact and engine-portable; the
+    p-value uses the PLAIN Kolmogorov limit (no small-sample
+    continuity refinement), which is the standard 'asymptotic' method.
+    The exact small-n method is gated at translate time."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.float64)
+    g = np.asarray(idx)
+    x0 = np.sort(v[g == 0])
+    x1 = np.sort(v[g != 0])
+    n0, n1 = len(x0), len(x1)
+    if n0 == 0 or n1 == 0:
+        return float("nan"), float("nan")
+    allv = np.unique(np.concatenate([x0, x1]))
+    f0 = np.searchsorted(x0, allv, side="right") / n0
+    f1 = np.searchsorted(x1, allv, side="right") / n1
+    d = float(np.abs(f0 - f1).max())
+    ne = n0 * n1 / (n0 + n1)
+    return d, kolmogorov_q(math.sqrt(ne) * d)
+
+
+def make_ks_udf():
+    """Grouped-agg pandas UDF ``(values, idx) -> array<double> [d, p]``
+    (same slow-complete pattern as Mann-Whitney: the ECDF sup needs the
+    whole combined sample; state bounded by group size)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _f(v, g) -> list:
+        d, p = ks_test(v.to_numpy(), g.to_numpy())
+        return [float(d), float(p)]
+
+    return pandas_udf(_f, "array<double>", PandasUDFType.GROUPED_AGG)

@@ -2023,3 +2023,69 @@ def ch_mv_routed_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     route = rw.explain_route(spark, translate(ch))
     assert route == "mv:routed", f"expected MV route, got {route!r}"
     return run_clickhouse(spark, ch, rewriter=rw)
+
+
+@query("ch_ztest_ks_dialect")
+def ch_ztest_ks_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 (staged for the r6 window): the remaining two-sample
+    tests — meanZTest (known population variances + confidence
+    interval; the critical value comes from the translate-time
+    bisection probit) and kolmogorovSmirnovTest (exact D statistic,
+    asymptotic Kolmogorov-limit p) — pasted as CH SQL over the same
+    even/odd cohorts as ch_ttest_dialect. The oracle embeds golden
+    rows derived INDEPENDENTLY (tools/make_ztest_ks_golden.py: DuckDB
+    moments, normal-density tail integration for p, density-integral
+    bisection for the critical value, and a plain merge-walk KS)."""
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    ).createOrReplaceTempView("ch_ztest_events")
+    ch = """
+        SELECT z.event_type AS event_type,
+               z_stat, z_p, ci_lo, ci_hi, ks_d, ks_p
+        FROM (
+          SELECT event_type,
+                 round(tupleElement(meanZTest(1.0, 1.0, 0.95)(value, modulo(user_id, 2)), 1), 6) AS z_stat,
+                 round(tupleElement(meanZTest(1.0, 1.0, 0.95)(value, modulo(user_id, 2)), 2), 6) AS z_p,
+                 round(tupleElement(meanZTest(1.0, 1.0, 0.95)(value, modulo(user_id, 2)), 3), 6) AS ci_lo,
+                 round(tupleElement(meanZTest(1.0, 1.0, 0.95)(value, modulo(user_id, 2)), 4), 6) AS ci_hi
+          FROM ch_ztest_events
+          WHERE isNotNull(value) AND isNotNull(user_id)
+          GROUP BY event_type) z
+        JOIN (
+          SELECT event_type,
+                 round(tupleElement(kolmogorovSmirnovTest(value, modulo(user_id, 2)), 1), 6) AS ks_d,
+                 round(tupleElement(kolmogorovSmirnovTest(value, modulo(user_id, 2)), 2), 6) AS ks_p
+          FROM ch_ztest_events
+          WHERE isNotNull(value) AND isNotNull(user_id)
+          GROUP BY event_type) k
+        ON z.event_type = k.event_type
+    """
+    return spark.sql(translate(ch)).select(
+        "event_type", "z_stat", "z_p", "ci_lo", "ci_hi", "ks_d", "ks_p"
+    )
+
+
+def _register_ztest_ks_golden() -> None:
+    try:
+        from clickhouse_learning_spark import golden_ztest_ks as G
+    except ImportError:  # pragma: no cover - pre-generation bootstrap
+        return
+    from clickhouse_learning_spark.queries import ORACLES
+
+    vals = ",\n      ".join(
+        "(" + ", ".join(repr(v) for v in r) + ")" for r in G.CH_ZTEST_KS
+    )
+    ORACLES["ch_ztest_ks_dialect"] = f"""
+    SELECT event_type,
+           CAST(z_stat AS DOUBLE) AS z_stat, CAST(z_p AS DOUBLE) AS z_p,
+           CAST(ci_lo AS DOUBLE) AS ci_lo, CAST(ci_hi AS DOUBLE) AS ci_hi,
+           CAST(ks_d AS DOUBLE) AS ks_d, CAST(ks_p AS DOUBLE) AS ks_p
+    FROM (VALUES {vals})
+      AS g(event_type, z_stat, z_p, ci_lo, ci_hi, ks_d, ks_p)
+    """
+
+
+_register_ztest_ks_golden()

@@ -168,3 +168,79 @@ def test_parameter_gates():
         translate("SELECT studentTTest(0.95)(v, g) FROM t")
     with pytest.raises(ValueError, match="confidence"):
         translate("SELECT welchTTest(0.9)(v, g) FROM t")
+
+
+def test_probit_and_kolmogorov_q():
+    from clickhouse_learning_spark.functions.stats_tests import (
+        kolmogorov_q,
+        probit,
+    )
+
+    # textbook normal quantiles
+    assert probit(0.975) == pytest.approx(1.959963984540054, abs=1e-12)
+    assert probit(0.995) == pytest.approx(2.5758293035489004, abs=1e-12)
+    assert probit(0.5) == pytest.approx(0.0, abs=1e-12)
+    # probit inverts the erfc CDF exactly
+    for p in (0.01, 0.2, 0.7, 0.999):
+        z = probit(p)
+        assert math.erfc(-z / math.sqrt(2)) / 2 == pytest.approx(p, abs=1e-13)
+    # Kolmogorov limit: the classic Q(1.0) ~ 0.27 and monotonicity
+    assert kolmogorov_q(1.0) == pytest.approx(0.26999967, abs=1e-6)
+    assert kolmogorov_q(0.0) == 1.0
+    qs = [kolmogorov_q(x / 10) for x in range(1, 30)]
+    assert all(a >= b for a, b in zip(qs, qs[1:]))
+
+
+def test_ks_statistic_hand_cases():
+    from clickhouse_learning_spark.functions.stats_tests import ks_test
+
+    # disjoint supports -> D = 1
+    d, p = ks_test([1, 2, 3, 10, 11, 12], [0, 0, 0, 1, 1, 1])
+    assert d == 1.0
+    # identical samples -> D = 0, p = 1
+    d, p = ks_test([5, 6, 7, 5, 6, 7], [0, 0, 0, 1, 1, 1])
+    assert d == 0.0 and p == 1.0
+    # hand case with ties across samples:
+    # x0=[1,2], x1=[2,3]: at 1 F0=.5 F1=0; at 2 F0=1 F1=.5; at 3 1,1
+    d, p = ks_test([1, 2, 2, 3], [0, 0, 1, 1])
+    assert d == pytest.approx(0.5)
+
+
+def test_ks_end_to_end(spark):
+    sql = translate(
+        "SELECT kolmogorovSmirnovTest(v, g) AS r "
+        "FROM (VALUES (1.0, 0), (2.0, 0), (3.0, 0), "
+        "(10.0, 1), (11.0, 1), (12.0, 1)) AS s(v, g)"
+    )
+    r = spark.sql(sql).collect()[0].r
+    assert r.col1 == pytest.approx(1.0)
+    from clickhouse_learning_spark.functions.stats_tests import kolmogorov_q
+
+    assert r.col2 == pytest.approx(kolmogorov_q(math.sqrt(1.5)), rel=1e-12)
+    with pytest.raises(ValueError, match="two-sided"):
+        translate("SELECT kolmogorovSmirnovTest('greater')(v, g) FROM t")
+    with pytest.raises(ValueError, match="exact"):
+        translate(
+            "SELECT kolmogorovSmirnovTest('two-sided', 'exact')(v, g) FROM t"
+        )
+
+
+def test_mean_z_test_end_to_end(spark):
+    """z-test with known population variances 1.0: a=[1,2,3] b=[2,3,4]
+    -> z = -1/sqrt(2/3); CI bounds from the bisection probit."""
+    from clickhouse_learning_spark.functions.stats_tests import probit
+
+    sql = translate(
+        "SELECT meanZTest(1.0, 1.0, 0.95)(v, g) AS r "
+        "FROM (VALUES (1.0, 0), (2.0, 0), (3.0, 0), "
+        "(2.0, 1), (3.0, 1), (4.0, 1)) AS s(v, g)"
+    )
+    r = spark.sql(sql).collect()[0].r
+    se = math.sqrt(2.0 / 3.0)
+    assert r.col1 == pytest.approx(-1.0 / se, rel=1e-12)
+    assert r.col2 == pytest.approx(math.erfc((1.0 / se) / math.sqrt(2)), rel=1e-12)
+    zc = probit(0.975)
+    assert r.col3 == pytest.approx(-1.0 - zc * se, rel=1e-12)
+    assert r.col4 == pytest.approx(-1.0 + zc * se, rel=1e-12)
+    with pytest.raises(ValueError, match="meanZTest"):
+        translate("SELECT meanZTest(1.0)(v, g) FROM t")
