@@ -183,11 +183,13 @@ class _BitReader:
 def decode_baseline(payload: bytes):
     """HxWx3 uint8 RGB (grayscale replicated), or None if not a JPEG
     this path handles. Covers the baseline sequential process (SOF0,
-    single scan) and — round 4 — the PROGRESSIVE process (SOF2):
-    spectral-selection and successive-approximation scans accumulate
-    into per-component coefficient arrays, reconstructed once at EOI.
-    Arithmetic coding, 12-bit and hierarchical processes still return
-    None (Pillow gate)."""
+    single scan), the PROGRESSIVE process (SOF2, r4): spectral-selection
+    and successive-approximation scans accumulate into per-component
+    coefficient arrays, reconstructed once at EOI — and the SEQUENTIAL
+    ARITHMETIC process (SOF9, r5): the T.81 Annex D QM-coder entropy
+    layer in operators/jparith.py. Progressive-arithmetic (SOF10),
+    12-bit and hierarchical processes still return None (Pillow
+    gate)."""
     try:
         if payload is None or payload[:2] != b"\xff\xd8":
             return None
@@ -197,6 +199,8 @@ def decode_baseline(payload: bytes):
         h = w = 0
         restart = 0
         progressive = False
+        arith = False
+        dac: dict = {}  # (class, table) -> conditioning (jparith.parse_dac)
         coefs = None  # per-comp (rows, cols, 64) zig-zag coefficient grids
         i = 2
         n = len(payload)
@@ -234,10 +238,13 @@ def decode_baseline(payload: bytes):
                     syms = list(body[j + 17 : j + 17 + nsym])
                     hufftabs[(tc, th)] = _Huff(counts, syms)
                     j += 17 + nsym
-            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            elif marker in (0xC0, 0xC2, 0xC9):
+                # SOF0 baseline / SOF2 progressive / SOF9 sequential
+                # arithmetic (entropy layer in operators/jparith.py)
                 if body[0] != 8:
                     return None
                 progressive = marker == 0xC2
+                arith = marker == 0xC9
                 h, w = struct.unpack(">HH", body[1:5])
                 nc = body[5]
                 comps = []
@@ -247,8 +254,12 @@ def decode_baseline(payload: bytes):
                         {"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq}
                     )
             elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
-                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline/non-progressive process
+            elif marker == 0xCC:  # DAC: arithmetic conditioning
+                from .jparith import parse_dac
+
+                parse_dac(body, dac)
             elif marker == 0xDD:  # DRI
                 (restart,) = struct.unpack(">H", body[:2])
             elif marker == 0xDA:  # SOS
@@ -260,6 +271,13 @@ def decode_baseline(payload: bytes):
                     sel[cid] = (tabs >> 4, tabs & 15)
                     scan_comps.append(cid)
                 if not progressive:
+                    if arith:
+                        from .jparith import scan_sequential
+
+                        return scan_sequential(
+                            payload, i + 2 + seglen, comps, sel, qt,
+                            h, w, restart, dac,
+                        )
                     return _scan(
                         payload, i + 2 + seglen, comps, sel, qt, hufftabs,
                         h, w, restart,

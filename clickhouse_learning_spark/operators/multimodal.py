@@ -508,9 +508,11 @@ def build_media_table(
     real zlib-compressed PNGs (pixel values identical to the PPM form;
     per-line filter cycles through all five PNG filters so decode
     exercises every unfilter path)."""
-    if fmt not in ("ppm", "png", "jpeg", "jpeg_progressive", "gif", "webp"):
+    if fmt not in ("ppm", "png", "jpeg", "jpeg_progressive", "jpeg_arith",
+                   "gif", "webp"):
         raise ValueError(
-            f"fmt must be ppm|png|jpeg|jpeg_progressive|gif|webp, got {fmt!r}"
+            "fmt must be ppm|png|jpeg|jpeg_progressive|jpeg_arith|gif|webp, "
+            f"got {fmt!r}"
         )
     w = (F.col(id_col) % 64 + 16).cast("int")
     h = (F.col(id_col) % 48 + 16).cast("int")
@@ -535,7 +537,7 @@ def build_media_table(
 
         make, mime = webp_image, "image/webp"
     else:
-        progressive = fmt == "jpeg_progressive"
+        jfmt = fmt
 
         def make(m, wi, hi):
             import numpy as np
@@ -550,8 +552,20 @@ def build_media_table(
                 (np.uint64(m) * np.uint64(2654435761) + idx * np.uint64(40503))
                 & np.uint64(0xFF)
             ).astype(np.uint8).reshape(hi, wi, 3)
-            enc = encode_progressive if progressive else encode_baseline
-            return enc(px, quality=90)
+            if jfmt == "jpeg_progressive":
+                return encode_progressive(px, quality=90)
+            if jfmt == "jpeg_arith":
+                from clickhouse_learning_spark.operators.jparith import (
+                    encode_arith_sequential,
+                )
+
+                # restart interval varies per payload so the graded
+                # query also exercises the RSTn resync + statistics
+                # reset path of the QM decoder
+                return encode_arith_sequential(
+                    px, quality=90, restart=m % 5
+                )
+            return encode_baseline(px, quality=90)
 
         mime = "image/jpeg"
 
