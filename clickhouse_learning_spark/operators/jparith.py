@@ -356,19 +356,23 @@ class _AcModel:
         self.stats = bytearray(AC_BINS)
         self.fixed = bytearray([_FIXED])
 
-    def decode_block(self, dec: ArithDecoder, coef: np.ndarray):
-        """Fill zig-zag positions 1..63 of ``coef`` (natural order via
-        ZIGZAG) from one block's AC decisions."""
+    def decode_band(self, dec: ArithDecoder, zz: np.ndarray,
+                    ss: int = 1, se: int = 63, al: int = 0):
+        """Decode AC coefficients for zig-zag band ``ss..se`` into the
+        ZIG-ZAG-indexed ``zz`` (values point-shifted by ``al``).  With
+        the defaults this is exactly the sequential model F.1.4.4.2;
+        with a band + Al it is the progressive AC-first scan G.1.3.2
+        (identical decision structure per the spec)."""
         stats = self.stats
-        k = 1
-        while k <= 63:
+        k = ss
+        while k <= se:
             st = 3 * (k - 1)
             if dec.decode(stats, st):
                 return  # EOB
             while dec.decode(stats, st + 1) == 0:
                 st += 3
                 k += 1
-                if k > 63:
+                if k > se:
                     raise EOFError("corrupt AC run")
             sign = dec.decode(self.fixed, 0)
             st += 2
@@ -389,26 +393,33 @@ class _AcModel:
                 if dec.decode(stats, st):
                     v |= m
             v += 1
-            coef[ZIGZAG[k]] = -v if sign else v
+            zz[k] = (-v if sign else v) << al
             k += 1
 
-    def encode_block(self, enc: ArithEncoder, zz: np.ndarray):
-        """``zz`` is the block in zig-zag order (index 0 = DC, ignored
-        here)."""
+    def encode_band(self, enc: ArithEncoder, zz: np.ndarray,
+                    ss: int = 1, se: int = 63, al: int = 0):
+        """Mirror of :meth:`decode_band`; ``zz`` is zig-zag indexed and
+        holds FULL-precision coefficients (the Al point transform —
+        magnitude shift toward zero, per G.1.3.2 — happens here)."""
         stats = self.stats
-        ke = 63
-        while ke > 0 and zz[ke] == 0:
+
+        def t(k: int) -> int:
+            v = int(zz[k])
+            return -((-v) >> al) if v < 0 else v >> al
+
+        ke = se
+        while ke >= ss and t(ke) == 0:
             ke -= 1
-        k = 1
+        k = ss
         while k <= ke:
             st = 3 * (k - 1)
             enc.encode(stats, st, 0)  # not EOB yet
-            while zz[k] == 0:
+            while t(k) == 0:
                 enc.encode(stats, st + 1, 0)
                 st += 3
                 k += 1
             enc.encode(stats, st + 1, 1)
-            v = int(zz[k])
+            v = t(k)
             if v > 0:
                 sign = 0
             else:
@@ -437,8 +448,78 @@ class _AcModel:
                 m >>= 1
                 enc.encode(stats, st, 1 if v & m else 0)
             k += 1
-        if ke < 63:
+        if ke < se:
             enc.encode(stats, 3 * (k - 1), 1)  # EOB decision
+
+    def decode_refine(self, dec: ArithDecoder, zz: np.ndarray,
+                      ss: int, se: int, al: int):
+        """AC successive-approximation refinement (G.1.3.3): correction
+        bits through ``st+2`` for history-nonzero coefficients, newly
+        nonzero ±1<<Al through ``st+1`` + the fixed sign bin, EOB
+        decisions only past the previous stage's end-of-block index."""
+        stats = self.stats
+        p1 = 1 << al
+        kex = se
+        while kex >= 1 and zz[kex] == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            st = 3 * (k - 1)
+            if k > kex and dec.decode(stats, st):
+                return  # EOB
+            while True:
+                z = int(zz[k])
+                if z:
+                    if dec.decode(stats, st + 2):
+                        zz[k] = z + (p1 if z > 0 else -p1)
+                    break
+                if dec.decode(stats, st + 1):
+                    zz[k] = -p1 if dec.decode(self.fixed, 0) else p1
+                    break
+                st += 3
+                k += 1
+                if k > se:
+                    raise EOFError("corrupt AC refine run")
+            k += 1
+
+    def encode_refine(self, enc: ArithEncoder, zz: np.ndarray,
+                      ss: int, se: int, al: int):
+        """Mirror of :meth:`decode_refine` over FULL-precision ``zz``:
+        history = magnitude truncated at Al+1, current bit = low bit of
+        the magnitude truncated at Al."""
+        stats = self.stats
+
+        def t(k: int, sh: int) -> int:
+            v = int(zz[k])
+            return -((-v) >> sh) if v < 0 else v >> sh
+
+        kex = se
+        while kex >= 1 and t(kex, al + 1) == 0:
+            kex -= 1
+        ke = se
+        while ke >= ss and t(ke, al) == 0:
+            ke -= 1
+        k = ss
+        while k <= se:
+            st = 3 * (k - 1)
+            if k > kex:
+                if k > ke:
+                    enc.encode(stats, st, 1)  # EOB
+                    return
+                enc.encode(stats, st, 0)
+            while True:
+                if t(k, al + 1):
+                    enc.encode(stats, st + 2, abs(t(k, al)) & 1)
+                    break
+                c = t(k, al)
+                if c:
+                    enc.encode(stats, st + 1, 1)
+                    enc.encode(self.fixed, 0, 1 if c < 0 else 0)
+                    break
+                enc.encode(stats, st + 1, 0)
+                st += 3
+                k += 1
+            k += 1
 
 
 # ---------------------------------------------------------------------------
@@ -511,12 +592,14 @@ def scan_sequential(payload, start, comps, sel, qt, h, w, restart, dac):
                     q = qt[c["tq"]]
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
-                            coef = np.zeros(64)
+                            zzc = np.zeros(64)
                             diff, ctxs[ci] = dcm[td].decode(dec, ctxs[ci])
                             preds[ci] += diff
-                            coef[0] = preds[ci]
-                            acm[ta].decode_block(dec, coef)
-                            block = _idct2(coef.reshape(8, 8) * q) + 128
+                            zzc[0] = preds[ci]
+                            acm[ta].decode_band(dec, zzc)
+                            nat = np.zeros(64)
+                            nat[ZIGZAG] = zzc
+                            block = _idct2(nat.reshape(8, 8) * q) + 128
                             y0 = (my * c["v"] + by) * 8
                             x0 = (mx * c["h"] + bx) * 8
                             planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
@@ -587,7 +670,193 @@ def encode_arith_sequential(rgb: np.ndarray, quality: int = 90,
                 diff = int(zz[0]) - preds[ci]
                 preds[ci] = int(zz[0])
                 ctxs[ci] = dcm.encode(enc, diff, ctxs[ci])
-                acm.encode_block(enc, zz)
+                acm.encode_band(enc, zz)
     out += enc.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive arithmetic (SOF10): scan-level decode + fixture encoder
+# ---------------------------------------------------------------------------
+
+
+def progressive_scan_arith(payload, start, comps, scan_comps, sel,
+                           h, w, restart, ss, se, ah, al, coefs, dac):
+    """Decode ONE progressive arithmetic scan into the zig-zag-indexed
+    ``coefs`` grids; returns the payload index of the terminating
+    marker.  The four scan kinds of T.81 G.1.3: DC first reuses the
+    sequential DC model on point-transformed diffs; DC refinement is
+    one fixed-probability decision per block; AC first is the
+    sequential AC band model; AC refinement adds correction/newly-
+    nonzero decisions with EOB checks past the previous stage's end.
+    Statistics initialize fresh per scan and per restart segment."""
+    from .jpeg import _comp_blocks, _split_entropy_upto
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    idx = {c["id"]: ci for ci, c in enumerate(comps)}
+    segs, end = _split_entropy_upto(payload, start)
+
+    def fresh():
+        dcm = {}
+        acm = {}
+        for cid in scan_comps:
+            td, ta = sel[cid]
+            if td not in dcm:
+                L, U = dac.get((0, td), (0, 1))
+                dcm[td] = _DcModel(L, U)
+            if ta not in acm:
+                acm[ta] = _AcModel(dac.get((1, ta), 5))
+        return dcm, acm
+
+    seg_i = 0
+    dec = ArithDecoder(segs[0])
+    dcm, acm = fresh()
+    preds = [0] * len(comps)
+    ctxs = [0] * len(comps)
+    fixed = bytearray([_FIXED])
+    unit_i = 0
+
+    def maybe_restart():
+        nonlocal seg_i, dec, dcm, acm, preds, ctxs, fixed
+        if restart and unit_i and unit_i % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise EOFError
+            dec = ArithDecoder(segs[seg_i])
+            dcm, acm = fresh()
+            preds = [0] * len(comps)
+            ctxs = [0] * len(comps)
+            fixed = bytearray([_FIXED])
+
+    def dc_unit(ci, by, bx):
+        c = comps[ci]
+        td = sel[c["id"]][0]
+        if ah == 0:  # first scan: diff of the point-transformed DC
+            diff, ctxs[ci] = dcm[td].decode(dec, ctxs[ci])
+            preds[ci] += diff
+            coefs[ci][by, bx, 0] = preds[ci] << al
+        else:  # refinement: one fixed-probability decision per block
+            if dec.decode(fixed, 0):
+                coefs[ci][by, bx, 0] = int(coefs[ci][by, bx, 0]) | (1 << al)
+
+    try:
+        if ss == 0:  # DC scan (may be interleaved)
+            order = [idx[cid] for cid in scan_comps]
+            if len(order) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        maybe_restart()
+                        unit_i += 1
+                        if dec.exhausted():
+                            raise EOFError
+                        for ci in order:
+                            c = comps[ci]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    dc_unit(ci, my * c["v"] + by,
+                                            mx * c["h"] + bx)
+            else:
+                ci = order[0]
+                bh_c, bw_c = _comp_blocks(comps[ci], h, w, hmax, vmax)
+                for by in range(bh_c):
+                    for bx in range(bw_c):
+                        maybe_restart()
+                        unit_i += 1
+                        if dec.exhausted():
+                            raise EOFError
+                        dc_unit(ci, by, bx)
+        else:  # AC scan: always single-component
+            ci = idx[scan_comps[0]]
+            ta = sel[scan_comps[0]][1]
+            bh_c, bw_c = _comp_blocks(comps[ci], h, w, hmax, vmax)
+            grid = coefs[ci]
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    maybe_restart()
+                    unit_i += 1
+                    if dec.exhausted():
+                        raise EOFError
+                    if ah == 0:
+                        acm[ta].decode_band(dec, grid[by, bx], ss, se, al)
+                    else:
+                        acm[ta].decode_refine(dec, grid[by, bx], ss, se, al)
+    except EOFError:
+        pass  # truncated tail: keep what decoded
+    return end
+
+
+def encode_arith_progressive(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """4:4:4 PROGRESSIVE arithmetic encoder (SOF10) exercising every
+    scan kind progressive_scan_arith implements: interleaved DC first
+    (Al=1) + DC refinement, AC spectral bands (1-5 / 6-63) first at
+    Al=1 and their Ah=1 -> Al=0 refinements.  Same quantized
+    coefficients as encode_baseline / encode_arith_sequential, so all
+    encodings reconstruct to the IDENTICAL image."""
+    h, w = rgb.shape[:2]
+    q = _quant_table(quality)
+    grids = _rgb_to_zz(rgb, q)
+    rows, cols = grids[0].shape[:2]
+
+    qz = np.zeros(64, dtype=np.uint8)
+    qz[np.arange(64)] = q.reshape(-1)[ZIGZAG]
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + qz.tobytes())
+    out += _seg(0xCA, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+                + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0])
+                + bytes([3, 0x11, 0]))
+    out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))  # L=0,U=1 / Kx=5
+
+    def sos_hdr(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic point transform)
+    enc = ArithEncoder()
+    dcm = _DcModel()
+    preds = [0, 0, 0]
+    ctxs = [0, 0, 0]
+    for my in range(rows):
+        for mx in range(cols):
+            for ci in range(3):
+                v = int(grids[ci][my, mx, 0]) >> 1
+                ctxs[ci] = dcm.encode(enc, v - preds[ci], ctxs[ci])
+                preds[ci] = v
+    out += sos_hdr([1, 2, 3], 0, 0, 0, 1) + enc.finish()
+
+    # scans 2-7: AC first per component, two spectral bands, Al=1
+    for ci, cid in enumerate((1, 2, 3)):
+        for ss, se in ((1, 5), (6, 63)):
+            enc = ArithEncoder()
+            acm = _AcModel()
+            for my in range(rows):
+                for mx in range(cols):
+                    acm.encode_band(enc, grids[ci][my, mx], ss, se, 1)
+            out += sos_hdr([cid], ss, se, 0, 1) + enc.finish()
+
+    # scan 8: DC refinement (fixed-probability bit per block)
+    enc = ArithEncoder()
+    fixed = bytearray([_FIXED])
+    for my in range(rows):
+        for mx in range(cols):
+            for ci in range(3):
+                enc.encode(fixed, 0, int(grids[ci][my, mx, 0]) & 1)
+    out += sos_hdr([1, 2, 3], 0, 0, 1, 0) + enc.finish()
+
+    # scans 9-14: AC refinement per component and band (Ah=1 -> Al=0)
+    for ci, cid in enumerate((1, 2, 3)):
+        for ss, se in ((1, 5), (6, 63)):
+            enc = ArithEncoder()
+            acm = _AcModel()
+            for my in range(rows):
+                for mx in range(cols):
+                    acm.encode_refine(enc, grids[ci][my, mx], ss, se, 0)
+            out += sos_hdr([cid], ss, se, 1, 0) + enc.finish()
+
     out += b"\xff\xd9"
     return bytes(out)

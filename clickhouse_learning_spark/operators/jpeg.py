@@ -185,11 +185,10 @@ def decode_baseline(payload: bytes):
     this path handles. Covers the baseline sequential process (SOF0,
     single scan), the PROGRESSIVE process (SOF2, r4): spectral-selection
     and successive-approximation scans accumulate into per-component
-    coefficient arrays, reconstructed once at EOI — and the SEQUENTIAL
-    ARITHMETIC process (SOF9, r5): the T.81 Annex D QM-coder entropy
-    layer in operators/jparith.py. Progressive-arithmetic (SOF10),
-    12-bit and hierarchical processes still return None (Pillow
-    gate)."""
+    coefficient arrays, reconstructed once at EOI — and the ARITHMETIC
+    processes (SOF9 sequential + SOF10 progressive, r5): the T.81
+    Annex D QM-coder entropy layer in operators/jparith.py. 12-bit and
+    hierarchical processes still return None (Pillow gate)."""
     try:
         if payload is None or payload[:2] != b"\xff\xd8":
             return None
@@ -238,13 +237,14 @@ def decode_baseline(payload: bytes):
                     syms = list(body[j + 17 : j + 17 + nsym])
                     hufftabs[(tc, th)] = _Huff(counts, syms)
                     j += 17 + nsym
-            elif marker in (0xC0, 0xC2, 0xC9):
+            elif marker in (0xC0, 0xC2, 0xC9, 0xCA):
                 # SOF0 baseline / SOF2 progressive / SOF9 sequential
-                # arithmetic (entropy layer in operators/jparith.py)
+                # arithmetic / SOF10 progressive arithmetic (the
+                # arithmetic entropy layer lives in operators/jparith.py)
                 if body[0] != 8:
                     return None
-                progressive = marker == 0xC2
-                arith = marker == 0xC9
+                progressive = marker in (0xC2, 0xCA)
+                arith = marker in (0xC9, 0xCA)
                 h, w = struct.unpack(">HH", body[1:5])
                 nc = body[5]
                 comps = []
@@ -254,7 +254,7 @@ def decode_baseline(payload: bytes):
                         {"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq}
                     )
             elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
-                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                            0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline/non-progressive process
             elif marker == 0xCC:  # DAC: arithmetic conditioning
                 from .jparith import parse_dac
@@ -288,11 +288,20 @@ def decode_baseline(payload: bytes):
                     coefs = _alloc_coefs(comps, h, w)
                     if coefs is None:
                         return None
-                i = _progressive_scan(
-                    payload, i + 2 + seglen, comps, scan_comps, sel,
-                    hufftabs, h, w, restart, ss, se, ahal >> 4, ahal & 15,
-                    coefs,
-                )
+                if arith:
+                    from .jparith import progressive_scan_arith
+
+                    i = progressive_scan_arith(
+                        payload, i + 2 + seglen, comps, scan_comps, sel,
+                        h, w, restart, ss, se, ahal >> 4, ahal & 15,
+                        coefs, dac,
+                    )
+                else:
+                    i = _progressive_scan(
+                        payload, i + 2 + seglen, comps, scan_comps, sel,
+                        hufftabs, h, w, restart, ss, se, ahal >> 4,
+                        ahal & 15, coefs,
+                    )
                 continue
             i += 2 + seglen
         if progressive and coefs is not None:

@@ -509,10 +509,10 @@ def build_media_table(
     per-line filter cycles through all five PNG filters so decode
     exercises every unfilter path)."""
     if fmt not in ("ppm", "png", "jpeg", "jpeg_progressive", "jpeg_arith",
-                   "gif", "webp"):
+                   "jpeg_arith_progressive", "gif", "webp"):
         raise ValueError(
-            "fmt must be ppm|png|jpeg|jpeg_progressive|jpeg_arith|gif|webp, "
-            f"got {fmt!r}"
+            "fmt must be ppm|png|jpeg|jpeg_progressive|jpeg_arith|"
+            f"jpeg_arith_progressive|gif|webp, got {fmt!r}"
         )
     w = (F.col(id_col) % 64 + 16).cast("int")
     h = (F.col(id_col) % 48 + 16).cast("int")
@@ -565,6 +565,12 @@ def build_media_table(
                 return encode_arith_sequential(
                     px, quality=90, restart=m % 5
                 )
+            if jfmt == "jpeg_arith_progressive":
+                from clickhouse_learning_spark.operators.jparith import (
+                    encode_arith_progressive,
+                )
+
+                return encode_arith_progressive(px, quality=90)
             return encode_baseline(px, quality=90)
 
         mime = "image/jpeg"

@@ -710,6 +710,9 @@ def _register_multimodal_goldens() -> None:
     _ORACLES["multimodal_arith_jpeg_features"] = _ORACLES[
         "multimodal_jpeg_features"
     ]
+    _ORACLES["multimodal_prog_arith_jpeg_features"] = _ORACLES[
+        "multimodal_jpeg_features"
+    ]
     _ORACLES["audio_spectral"] = _values_oracle(
         G.AUDIO_SPECTRAL,
         ["media_id", "dominant_hz", "spectral_centroid",
@@ -923,6 +926,26 @@ def multimodal_arith_jpeg_features(
 
 
 QUERIES["multimodal_arith_jpeg_features"] = multimodal_arith_jpeg_features
+
+
+def multimodal_prog_arith_jpeg_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE ARITHMETIC (SOF10) payloads — all fourteen scan
+    kinds of the r5 QM-coder progressive path (interleaved DC first at
+    Al=1, fixed-bin DC refinement, per-band AC first scans, AC
+    successive-approximation refinements with history-driven EOB
+    decisions). Coefficients match the baseline encoder's, so the same
+    independent-chain golden oracle applies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.image_features(
+        MM.build_media_table(spark, docs, fmt="jpeg_arith_progressive")
+    )
+
+
+QUERIES["multimodal_prog_arith_jpeg_features"] = (
+    multimodal_prog_arith_jpeg_features
+)
 _register_multimodal_goldens()
 
 

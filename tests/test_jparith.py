@@ -212,3 +212,52 @@ def test_compression_beats_huffman_on_smooth_images():
     a = len(JA.encode_arith_sequential(img, quality=85))
     hf = len(J.encode_baseline(img, quality=85))
     assert a < hf * 1.05
+
+
+# ---------------------------------------------------------------------------
+# Progressive arithmetic (SOF10)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "h,w,quality", [(16, 16, 90), (33, 17, 60), (40, 48, 95), (8, 8, 40)]
+)
+def test_progressive_arith_equals_huffman_decode(h, w, quality):
+    # all 14 scan kinds (interleaved DC first Al=1, DC refine, AC band
+    # first scans, AC refinements) reconstruct the same coefficients
+    # the single-scan Huffman stream carries
+    rng = np.random.default_rng(h * 77 + w + quality)
+    img = _rand_img(rng, h, w)
+    dp = J.decode_baseline(JA.encode_arith_progressive(img, quality=quality))
+    dh = J.decode_baseline(J.encode_baseline(img, quality=quality))
+    assert dp is not None and np.array_equal(dp, dh)
+
+
+def test_progressive_arith_equals_progressive_huffman():
+    rng = np.random.default_rng(42)
+    img = _rand_img(rng, 24, 32)
+    dp = J.decode_baseline(JA.encode_arith_progressive(img, quality=85))
+    dhp = J.decode_baseline(J.encode_progressive(img, quality=85))
+    assert np.array_equal(dp, dhp)
+
+
+def test_progressive_arith_truncation_no_crash():
+    rng = np.random.default_rng(17)
+    img = _rand_img(rng, 32, 32)
+    pay = JA.encode_arith_progressive(img, quality=85)
+    for cut in (len(pay) // 6, len(pay) // 3, len(pay) // 2, len(pay) - 4):
+        out = J.decode_baseline(pay[:cut])
+        assert out is None or out.shape == (32, 32, 3)
+
+
+def test_progressive_arith_corruption_never_raises():
+    rng = np.random.default_rng(19)
+    img = _rand_img(rng, 24, 24)
+    pay = bytearray(JA.encode_arith_progressive(img, quality=85))
+    random.seed(23)
+    for _ in range(30):
+        p = bytearray(pay)
+        for _ in range(random.randint(1, 5)):
+            p[random.randrange(len(p))] = random.randrange(256)
+        out = J.decode_baseline(bytes(p))
+        assert out is None or out.dtype == np.uint8
