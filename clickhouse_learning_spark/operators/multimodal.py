@@ -19,8 +19,10 @@ mapping (87a/89a, interlaced included), JPEG via a numpy
 sequential-DCT decoder covering baseline AND progressive streams
 (operators/jpeg.py: canonical Huffman, EXTEND, dequant, orthonormal
 IDCT, 4:4:4/4:2:2/4:2:0, restart markers, SOF2 spectral-selection +
-successive-approximation scans) — no imaging library needed. Remaining
-*compressed* codecs (arithmetic/12-bit JPEG, WebP, MP4/Opus…) are
+successive-approximation scans, and — r5 — SOF9/SOF10 arithmetic
+coding via the T.81 QM-coder in operators/jparith.py) — no imaging
+library needed. Remaining
+*compressed* codecs (12-bit/hierarchical JPEG, lossy WebP, MP4/Opus…) are
 gated: no media libraries ship in this container, so decode
 raises a clear NotImplementedError for those magics (install Pillow/av
 and extend the parser; the mapInPandas plumbing is format-agnostic; the
@@ -752,10 +754,11 @@ def _pil_decode(payload: bytes):
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         raise NotImplementedError(
-            "compressed image PIXEL decode (arithmetic/12-bit JPEG, "
+            "compressed image PIXEL decode (12-bit/hierarchical JPEG, "
             "LOSSY WebP, sub-byte-depth PNG, malformed GIF) needs Pillow "
             "(`pip install Pillow`); 8-bit PNG (_png_decode), GIF "
-            "(_gif_decode), baseline + progressive JPEG (operators/jpeg) "
+            "(_gif_decode), baseline + progressive + arithmetic JPEG "
+            "(operators/jpeg + operators/jparith, r5) "
             "and lossless WebP (operators/vp8l.decode_vp8l, r5) "
             "decode natively, header-only dimensions work for every "
             "format (decode_image_meta), and the mapInPandas plumbing is "
