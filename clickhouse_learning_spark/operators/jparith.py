@@ -538,7 +538,8 @@ def parse_dac(body: bytes, dac: dict):
             dac[(1, tb)] = v  # Kx
 
 
-def scan_sequential(payload, start, comps, sel, qt, h, w, restart, dac):
+def scan_sequential(payload, start, comps, sel, qt, h, w, restart, dac,
+                    prec=8):
     """Sequential arithmetic scan: the MCU walk of jpeg._scan with the
     QM entropy layer.  Restart intervals reset coder AND statistics
     (F.1.4.4: statistics conditioning is reinitialized at RSTn)."""
@@ -599,7 +600,8 @@ def scan_sequential(payload, start, comps, sel, qt, h, w, restart, dac):
                             acm[ta].decode_band(dec, zzc)
                             nat = np.zeros(64)
                             nat[ZIGZAG] = zzc
-                            block = _idct2(nat.reshape(8, 8) * q) + 128
+                            block = (_idct2(nat.reshape(8, 8) * q)
+                                     + (1 << (prec - 1)))
                             y0 = (my * c["v"] + by) * 8
                             x0 = (mx * c["h"] + bx) * 8
                             planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
@@ -610,7 +612,7 @@ def scan_sequential(payload, start, comps, sel, qt, h, w, restart, dac):
         p = planes[ci]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                       hmax // c["h"], axis=1)
-        out.append(p[:h, :w])
+        out.append(p[:h, :w] / (1 << (prec - 8)))
     return _to_rgb(out)
 
 

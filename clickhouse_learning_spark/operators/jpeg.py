@@ -1,10 +1,12 @@
 """JPEG (ITU-T T.81) decode — pure numpy + stdlib, no imaging library.
 
-Scope: baseline sequential DCT (SOF0) and — round 4 — the PROGRESSIVE
-DCT process (SOF2: spectral-selection and successive-approximation
-scans, DC and AC, with EOB-run accumulation per G.2), 8-bit, grayscale
-or YCbCr with sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), restart
-markers, byte stuffing. Arithmetic coding, 12-bit and hierarchical
+Scope: baseline sequential DCT (SOF0), the PROGRESSIVE DCT process
+(SOF2: spectral-selection and successive-approximation scans, DC and
+AC, with EOB-run accumulation per G.2, r4), the ARITHMETIC processes
+(SOF9/SOF10 via the T.81 QM-coder in operators/jparith.py, r5) and
+12-BIT extended sequential data (SOF1/SOF9, Pq=1 16-bit quantization
+tables, r5) — grayscale or YCbCr with sampling factors 1–2
+(4:4:4 / 4:2:2 / 4:2:0), restart markers, byte stuffing. Hierarchical
 processes return None so the caller can fall to the Pillow gate.
 
 Everything here is from the public JPEG specification: canonical
@@ -185,10 +187,13 @@ def decode_baseline(payload: bytes):
     this path handles. Covers the baseline sequential process (SOF0,
     single scan), the PROGRESSIVE process (SOF2, r4): spectral-selection
     and successive-approximation scans accumulate into per-component
-    coefficient arrays, reconstructed once at EOI — and the ARITHMETIC
+    coefficient arrays, reconstructed once at EOI — the ARITHMETIC
     processes (SOF9 sequential + SOF10 progressive, r5): the T.81
-    Annex D QM-coder entropy layer in operators/jparith.py. 12-bit and
-    hierarchical processes still return None (Pillow gate)."""
+    Annex D QM-coder entropy layer in operators/jparith.py — and
+    12-BIT data (r5): SOF1 extended sequential, Pq=1 16-bit
+    quantization tables, 2048 level shift, output rescaled to the
+    8-bit RGB contract. Hierarchical processes still return None
+    (Pillow gate)."""
     try:
         if payload is None or payload[:2] != b"\xff\xd8":
             return None
@@ -197,6 +202,7 @@ def decode_baseline(payload: bytes):
         comps = None
         h = w = 0
         restart = 0
+        prec = 8
         progressive = False
         arith = False
         dac: dict = {}  # (class, table) -> conditioning (jparith.parse_dac)
@@ -216,18 +222,22 @@ def decode_baseline(payload: bytes):
                 break
             (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
             body = payload[i + 4 : i + 2 + seglen]
-            if marker == 0xDB:  # DQT
+            if marker == 0xDB:  # DQT (Pq=1 16-bit tables: 12-bit data)
                 j = 0
                 while j < len(body):
                     pq, tq = body[j] >> 4, body[j] & 15
-                    if pq != 0:
-                        return None  # 16-bit tables: not baseline-8
                     tbl = np.zeros(64)
-                    tbl[ZIGZAG] = np.frombuffer(
-                        body, dtype=np.uint8, count=64, offset=j + 1
-                    )
+                    if pq == 0:
+                        tbl[ZIGZAG] = np.frombuffer(
+                            body, dtype=np.uint8, count=64, offset=j + 1
+                        )
+                        j += 65
+                    else:
+                        tbl[ZIGZAG] = np.frombuffer(
+                            body, dtype=">u2", count=64, offset=j + 1
+                        )
+                        j += 129
                     qt[tq] = tbl.reshape(8, 8)
-                    j += 65
             elif marker == 0xC4:  # DHT
                 j = 0
                 while j < len(body):
@@ -237,11 +247,14 @@ def decode_baseline(payload: bytes):
                     syms = list(body[j + 17 : j + 17 + nsym])
                     hufftabs[(tc, th)] = _Huff(counts, syms)
                     j += 17 + nsym
-            elif marker in (0xC0, 0xC2, 0xC9, 0xCA):
-                # SOF0 baseline / SOF2 progressive / SOF9 sequential
-                # arithmetic / SOF10 progressive arithmetic (the
-                # arithmetic entropy layer lives in operators/jparith.py)
-                if body[0] != 8:
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+                # SOF0 baseline / SOF1 extended sequential / SOF2
+                # progressive / SOF9 sequential arithmetic / SOF10
+                # progressive arithmetic (the arithmetic entropy layer
+                # lives in operators/jparith.py). Precision 12 is legal
+                # for every process except baseline SOF0 (B.2.2).
+                prec = body[0]
+                if prec not in (8, 12) or (prec == 12 and marker == 0xC0):
                     return None
                 progressive = marker in (0xC2, 0xCA)
                 arith = marker in (0xC9, 0xCA)
@@ -253,7 +266,7 @@ def decode_baseline(payload: bytes):
                     comps.append(
                         {"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq}
                     )
-            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                             0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline/non-progressive process
             elif marker == 0xCC:  # DAC: arithmetic conditioning
@@ -276,11 +289,11 @@ def decode_baseline(payload: bytes):
 
                         return scan_sequential(
                             payload, i + 2 + seglen, comps, sel, qt,
-                            h, w, restart, dac,
+                            h, w, restart, dac, prec,
                         )
                     return _scan(
                         payload, i + 2 + seglen, comps, sel, qt, hufftabs,
-                        h, w, restart,
+                        h, w, restart, prec,
                     )
                 ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
                 ahal = body[3 + 2 * ns]
@@ -305,7 +318,7 @@ def decode_baseline(payload: bytes):
                 continue
             i += 2 + seglen
         if progressive and coefs is not None:
-            return _reconstruct(comps, coefs, qt, h, w)
+            return _reconstruct(comps, coefs, qt, h, w, prec)
         return None
     except Exception:
         return None
@@ -492,9 +505,10 @@ def _ac_refine(br, ac_t, zz, ss, se, al, eobrun):
     return eobrun
 
 
-def _reconstruct(comps, coefs, qt, h, w):
+def _reconstruct(comps, coefs, qt, h, w, prec=8):
     """Dequantize + IDCT the accumulated coefficient grids and finish
-    with the same upsample / color-convert tail as the baseline path."""
+    with the same upsample / color-convert tail as the baseline path
+    (12-bit data rescales to the 8-bit output range)."""
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     out = []
@@ -508,12 +522,12 @@ def _reconstruct(comps, coefs, qt, h, w):
                 blk = np.zeros(64)
                 blk[ZIGZAG] = grid[by, bx]
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _idct2(blk.reshape(8, 8) * q) + 128
+                    _idct2(blk.reshape(8, 8) * q) + (1 << (prec - 1))
                 )
         plane = np.repeat(
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )
-        out.append(plane[:h, :w])
+        out.append(plane[:h, :w] / (1 << (prec - 8)))
     return _to_rgb(out)
 
 
@@ -528,7 +542,7 @@ def _to_rgb(out):
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
 
 
-def _scan(payload, start, comps, sel, qt, hufftabs, h, w, restart):
+def _scan(payload, start, comps, sel, qt, hufftabs, h, w, restart, prec=8):
     if not comps or any(c["h"] not in (1, 2) or c["v"] not in (1, 2)
                         for c in comps):
         return None
@@ -578,7 +592,8 @@ def _scan(payload, start, comps, sel, qt, hufftabs, h, w, restart):
                                     return None
                                 coef[ZIGZAG[k]] = br.receive_extend(rs & 15)
                                 k += 1
-                            block = _idct2(coef.reshape(8, 8) * q) + 128
+                            block = (_idct2(coef.reshape(8, 8) * q)
+                                     + (1 << (prec - 1)))
                             y0 = (my * c["v"] + by) * 8
                             x0 = (mx * c["h"] + bx) * 8
                             planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
@@ -588,7 +603,7 @@ def _scan(payload, start, comps, sel, qt, hufftabs, h, w, restart):
     for ci, c in enumerate(comps):
         p = planes[ci]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        out.append(p[:h, :w])
+        out.append(p[:h, :w] / (1 << (prec - 8)))
     return _to_rgb(out)
 
 
@@ -887,3 +902,131 @@ def encode_progressive(rgb: np.ndarray, quality: int = 90) -> bytes:
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit encoder (tests / fixtures): SOF1 extended sequential, 4:4:4
+# ---------------------------------------------------------------------------
+
+
+def _rgb12_to_zz(rgb12: np.ndarray, q: np.ndarray):
+    """Quantized zig-zag grids for 12-bit samples (0..4095): the 8-bit
+    pipeline with a 2048 level shift and chroma offset."""
+    h, w = rgb12.shape[:2]
+    f = rgb12.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = (-0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1]
+          + 0.5 * f[:, :, 2] + 2048)
+    cr = (0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1]
+          - 0.081312 * f[:, :, 2] + 2048)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    inv_zz = np.argsort(ZIGZAG).reshape(8, 8).reshape(-1)
+    grids = []
+    for plane in (y, cb, cr):
+        p = np.empty((ph, pw))
+        p[:h, :w] = plane
+        p[h:, :w] = plane[-1:, :]
+        p[:, w:] = p[:, w - 1 : w]
+        p -= 2048
+        grid = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = np.round(_fdct2(block) / q).astype(np.int64)
+                zz = np.zeros(64, dtype=np.int64)
+                zz[inv_zz] = coef.reshape(-1)
+                grid[by, bx] = zz
+        grids.append(grid)
+    return grids
+
+
+def encode_extended12(rgb12: np.ndarray, quality: int = 90,
+                      arith: bool = False) -> bytes:
+    """Encode 12-bit RGB (uint16, 0..4095) as extended sequential JPEG:
+    SOF1 with Huffman tables wide enough for 12-bit magnitude
+    categories (DC sizes 0..15, AC sizes 1..14 — the Annex K 8-bit
+    examples only reach 11), Pq=1 16-bit quantization tables, or the
+    arithmetic variant (SOF9 precision 12; the QM models are
+    magnitude-generic so nothing else changes)."""
+    h, w = rgb12.shape[:2]
+    q = np.clip(_quant_table(quality) * 16, 1, 65535)
+    grids = _rgb12_to_zz(rgb12, q)
+    rows, cols = grids[0].shape[:2]
+
+    qz = np.zeros(64, dtype=">u2")
+    qz[np.arange(64)] = q.reshape(-1)[ZIGZAG]
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x10]) + qz.tobytes())
+    sof_marker = 0xC9 if arith else 0xC1
+    out += _seg(sof_marker, bytes([12]) + struct.pack(">HH", h, w)
+                + bytes([3]) + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0])
+                + bytes([3, 0x11, 0]))
+    if arith:
+        from .jparith import ArithEncoder, _AcModel, _DcModel
+
+        out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))
+        out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        enc = ArithEncoder()
+        dcm = _DcModel()
+        acm = _AcModel()
+        preds = [0, 0, 0]
+        ctxs = [0, 0, 0]
+        for my in range(rows):
+            for mx in range(cols):
+                for ci in range(3):
+                    zz = grids[ci][my, mx]
+                    diff = int(zz[0]) - preds[ci]
+                    preds[ci] = int(zz[0])
+                    ctxs[ci] = dcm.encode(enc, diff, ctxs[ci])
+                    acm.encode_band(enc, zz)
+        out += enc.finish() + b"\xff\xd9"
+        return bytes(out)
+
+    # flat canonical Huffman tables covering the 12-bit symbol ranges:
+    # DC sizes 0..15 at 5 bits; AC (run, size<=14) + EOB + ZRL at 9 bits
+    dc_counts = [0, 0, 0, 0, 16] + [0] * 11
+    dc_syms = list(range(16))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 15)
+    ]
+    ac_counts = [0] * 16
+    ac_counts[8] = len(ac_syms)
+    dc = _Huff(dc_counts, dc_syms)
+    ac = _Huff(ac_counts, ac_syms)
+    out += _seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    out += _seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(rows):
+        for mx in range(cols):
+            for ci in range(3):
+                zz = grids[ci][my, mx]
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                s, bits = _encode_coef(diff)
+                code, ln = dc.enc[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(bits, s)
+                run = 0
+                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac.enc[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                    s, bits = _encode_coef(int(zz[k]))
+                    code, ln = ac.enc[(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(bits, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac.enc[0x00]
+                    bw.put(code, ln)
+    bw.flush()
+    return bytes(out + bytes(bw.out) + b"\xff\xd9")

@@ -261,3 +261,52 @@ def test_progressive_arith_corruption_never_raises():
             p[random.randrange(len(p))] = random.randrange(256)
         out = J.decode_baseline(bytes(p))
         assert out is None or out.dtype == np.uint8
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential (SOF1 Huffman / SOF9 arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def _rand_img12(rng, h, w):
+    base = rng.integers(0, 4096, size=(-(-h // 8), -(-w // 8), 3))
+    img = np.kron(base.astype(np.float64), np.ones((8, 8, 1)))[:h, :w]
+    img = img + rng.normal(0, 100, img.shape)
+    return np.clip(img, 0, 4095).astype(np.uint16)
+
+
+@pytest.mark.parametrize("h,w,quality", [(16, 16, 90), (28, 37, 75),
+                                         (8, 8, 95)])
+def test_12bit_huffman_and_arith_identical(h, w, quality):
+    img12 = _rand_img12(np.random.default_rng(h + w + quality), h, w)
+    dh = J.decode_baseline(J.encode_extended12(img12, quality, arith=False))
+    da = J.decode_baseline(J.encode_extended12(img12, quality, arith=True))
+    assert dh is not None and da is not None
+    assert np.array_equal(dh, da)  # same coefficients, two entropy layers
+    # lossy but faithful: output approximates the 12->8-bit reference
+    ref = img12 / 16.0
+    assert np.abs(dh.astype(float) - ref).mean() < 8.0
+
+
+def test_12bit_magnitudes_exceed_8bit_categories():
+    # DC diffs in a 12-bit stream reach categories the 8-bit Annex K
+    # tables cannot code — this pins that the wide tables and the QM
+    # magnitude ladders actually carry >11-bit values
+    rng = np.random.default_rng(2)
+    img12 = (np.indices((16, 16)).sum(axis=0) % 2 * 4095).astype(np.uint16)
+    img12 = np.repeat(img12[:, :, None], 3, axis=2)
+    dh = J.decode_baseline(J.encode_extended12(img12, 97, arith=False))
+    da = J.decode_baseline(J.encode_extended12(img12, 97, arith=True))
+    assert np.array_equal(dh, da)
+    # checkerboard survives: extremes map near 0 / 255
+    assert dh.max() > 200 and dh.min() < 55
+
+
+def test_12bit_baseline_sof0_rejected():
+    # precision 12 is illegal in the baseline process (B.2.2): a forged
+    # SOF0 with precision 12 must be rejected, not half-decoded
+    img12 = _rand_img12(np.random.default_rng(4), 16, 16)
+    pay = bytearray(J.encode_extended12(img12, 90, arith=False))
+    i = pay.index(b"\xff\xc1")
+    pay[i + 1] = 0xC0
+    assert J.decode_baseline(bytes(pay)) is None
