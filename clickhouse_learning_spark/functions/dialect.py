@@ -531,14 +531,41 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             "haversine, <0.5% difference) if that accuracy suffices"
         )
     )
-    m["pointInPolygon"] = lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "pointInPolygon needs a ray-casting pass over the vertex "
-            "array — no single Spark expression; express the polygon "
-            "test with an aggregate over zip_with(vertices, "
-            "shifted-vertices) or a pandas UDF"
+    # pointInPolygon((x, y), ring[, holes…]) — even-odd ray casting as
+    # pure Catalyst: each ring pairs every vertex with its predecessor
+    # (zip_with against the rotated array), tests the half-open
+    # upward-crossing rule, and XOR-folds the crossings; holes XOR into
+    # the outer ring (even-odd over all rings ≡ inside-outer-and-
+    # outside-holes for proper hole nesting, CH's boost::geometry
+    # semantics). The crossing division is nullif-guarded so ANSI mode
+    # cannot raise on horizontal edges; boundary points follow the
+    # half-open rule (CH/boost leave exact-boundary behavior to float
+    # rounding as well).
+    def _pp_ring(pt: str, ring: str) -> str:
+        px, py = f"({pt}).col1", f"({pt}).col2"
+        prev = (f"concat(slice({ring}, size({ring}), 1), "
+                f"slice({ring}, 1, size({ring}) - 1))")
+        cross = (
+            f"IF((pp_a.col2 > {py}) != (pp_b.col2 > {py}), "
+            f"coalesce({px} < CAST(pp_b.col1 - pp_a.col1 AS DOUBLE) "
+            f"* ({py} - pp_a.col2) "
+            f"/ nullif(CAST(pp_b.col2 - pp_a.col2 AS DOUBLE), 0D) "
+            f"+ pp_a.col1, false), false)"
         )
-    )
+        return (f"aggregate(zip_with({ring}, {prev}, "
+                f"(pp_a, pp_b) -> {cross}), false, (acc, x) -> acc != x)")
+
+    def _point_in_polygon(a):
+        if len(a) < 2:
+            raise ValueError(
+                "pointInPolygon expects ((x, y), ring[, holes…])"
+            )
+        out = _pp_ring(a[0], a[1])
+        for hole in a[2:]:
+            out = f"(({out}) != ({_pp_ring(a[0], hole)}))"
+        return out
+
+    m["pointInPolygon"] = _point_in_polygon
     # null handling / strings
     m["ifNull"] = lambda a: f"coalesce({', '.join(a)})"
     m["nullIf"] = lambda a: f"nullif({', '.join(a)})"

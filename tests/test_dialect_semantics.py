@@ -1067,3 +1067,62 @@ def test_advice_r4_regressions(spark):
         )
     ).collect()[0][0]
     assert c == 0
+
+
+def test_point_in_polygon_ray_cast(spark):
+    """pointInPolygon vs an independent pure-Python even-odd ray
+    caster, over randomized polygons + hand-picked shapes (concave,
+    holes, horizontal edges)."""
+    import random
+
+    def ref_inside(px, py, ring):
+        inside = False
+        n = len(ring)
+        for i in range(n):
+            ax, ay = ring[i - 1]
+            bx, by = ring[i]
+            if (ay > py) != (by > py):
+                xcross = (bx - ax) * (py - ay) / (by - ay) + ax
+                if px < xcross:
+                    inside = not inside
+        return inside
+
+    random.seed(5)
+    cases = []
+    for _ in range(40):
+        n = random.randint(3, 8)
+        ring = [
+            (round(random.uniform(0, 4), 3), round(random.uniform(0, 4), 3))
+            for _ in range(n)
+        ]
+        px = round(random.uniform(-0.5, 4.5), 3)
+        py = round(random.uniform(-0.5, 4.5), 3)
+        cases.append((px, py, ring))
+    # hand-picked: concave notch, horizontal edges, degenerate sliver
+    cases += [
+        (1.0, 1.5, [(0, 0), (2, 0), (2, 2), (1, 0.8), (0, 2)]),
+        (0.5, 0.0001, [(0, 0), (1, 0), (0.5, 1)]),
+        (0.5, 0.5, [(0, 0), (1, 0), (1, 0), (0, 1)]),
+    ]
+    sqls, want = [], []
+    for px, py, ring in cases:
+        ring_sql = "[" + ",".join(f"({x!r},{y!r})" for x, y in ring) + "]"
+        sqls.append(f"pointInPolygon(({px!r}, {py!r}), {ring_sql})")
+        want.append(ref_inside(px, py, [(float(x), float(y))
+                                        for x, y in ring]))
+    row = spark.sql(translate(
+        "SELECT " + ", ".join(f"{s} AS c{i}" for i, s in enumerate(sqls))
+    )).collect()[0]
+    for i, w in enumerate(want):
+        assert row[f"c{i}"] == w, (i, cases[i])
+    # holes: even-odd across rings
+    q = translate(
+        "SELECT pointInPolygon((2.0, 2.0), "
+        "[(0.,0.),(4.,0.),(4.,4.),(0.,4.)], "
+        "[(1.,1.),(3.,1.),(3.,3.),(1.,3.)]) AS a, "
+        "pointInPolygon((0.5, 2.0), "
+        "[(0.,0.),(4.,0.),(4.,4.),(0.,4.)], "
+        "[(1.,1.),(3.,1.),(3.,3.),(1.,3.)]) AS b"
+    )
+    r = spark.sql(q).collect()[0]
+    assert r["a"] is False and r["b"] is True
