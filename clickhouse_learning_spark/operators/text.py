@@ -356,3 +356,50 @@ def lexical_diversity(
         ).alias("hapax_frac"),
         F.round(agg.maxrun / F.greatest(n, F.lit(1)), 4).alias("top_share"),
     )
+
+
+def c4_clean(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the
+    published Colossal Clean Crawled Corpus rules), pure Catalyst over
+    ``split(text, '\\n')`` with array HOFs (no UDF, map-only):
+
+    line rules — a line is RETAINED iff it
+      - ends in a terminal punctuation mark (. ! ? "),
+      - has at least 5 whitespace words,
+      - does not contain the word "javascript" (case-insensitive);
+
+    page rules — the cleaned document is KEPT iff it
+      - still contains at least 3 sentences (terminal-mark count),
+      - contains neither "lorem ipsum" (case-insensitive) nor "{".
+
+    Emits the cleaned text plus the audit counters (lines in/kept,
+    sentence count, page flag) so thresholds stay tunable downstream
+    without re-scanning — the same report shape as gopher_rules.
+
+    Scale: one projection; the line fold is per-row compute inside
+    whole-stage codegen, no shuffle, no driver involvement."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    terminal = lambda l: l.rlike(r'[.!?"]\s*$')  # noqa: E731
+    wc5 = lambda l: F.size(F.split(F.trim(l), r"\s+")) >= 5  # noqa: E731
+    no_js = lambda l: ~F.lower(l).contains("javascript")  # noqa: E731
+    kept = F.filter(
+        lines, lambda l: terminal(l) & wc5(l) & no_js(l)
+    )
+    cleaned = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(cleaned, F.lit(r"[.!?]"), 0))
+    page_keep = (
+        (n_sent >= 3)
+        & ~F.lower(cleaned).contains("lorem ipsum")
+        & ~cleaned.contains("{")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        cleaned.alias("cleaned_text"),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_lines_kept"),
+        n_sent.cast("int").alias("n_sentences"),
+        page_keep.alias("keep_page"),
+    )

@@ -2054,3 +2054,98 @@ def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational derivation."""
     docs = load_table(spark, sf_dir, "documents")
     return X.lexical_diversity(docs)
+
+
+@query(
+    "c4_line_cleaning",
+    """
+    WITH asm AS (
+      SELECT doc_id,
+             4 + doc_id % 5 AS sz,
+             regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents
+    ), built AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 generate_series(0, CAST(ceil(CAST(len(words) AS DOUBLE)
+                                              / sz) AS BIGINT) - 1),
+                 j -> array_to_string(
+                        list_slice(words, j * sz + 1, j * sz + sz), ' ')
+                      || CASE WHEN (doc_id + j) % 7 = 2
+                              THEN ' javascript' ELSE '' END
+                      || CASE WHEN (doc_id * 3 + j) % 41 = 5
+                              THEN ' {' ELSE '' END
+                      || CASE WHEN (doc_id + j) % 3 = 0
+                              THEN '' ELSE '.' END),
+               chr(10)) AS page
+      FROM asm
+    ), cleaned AS (
+      SELECT doc_id,
+             str_split(page, chr(10)) AS lines,
+             -- DuckDB's array_to_string of an EMPTY list is NULL;
+             -- Spark's array_join is '' - coalesce to match
+             coalesce(array_to_string(
+               list_filter(str_split(page, chr(10)),
+                 l -> regexp_matches(l, '[.!?"]\\s*$')
+                      AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+                      AND NOT contains(lower(l), 'javascript')), chr(10)),
+               '') AS ctext,
+             len(list_filter(str_split(page, chr(10)),
+               l -> regexp_matches(l, '[.!?"]\\s*$')
+                    AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+                    AND NOT contains(lower(l), 'javascript'))) AS n_kept
+      FROM built
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(ctext) AS cleaned_md5,
+           CAST(length(ctext) AS INT) AS cleaned_len,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(n_kept AS INT) AS n_lines_kept,
+           CAST(len(regexp_extract_all(ctext, '[.!?]')) AS INT)
+               AS n_sentences,
+           (len(regexp_extract_all(ctext, '[.!?]')) >= 3
+            AND NOT contains(lower(ctext), 'lorem ipsum')
+            AND NOT contains(ctext, '{')) AS keep_page
+    FROM cleaned
+    """,
+)
+def c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over deterministic
+    pseudo-pages: the flat fixture word stream is assembled into lines
+    of (4 + doc_id % 5) words with hash-scheduled terminal punctuation,
+    'javascript' and '{' injections — so every line AND page rule fires
+    on real data — then text.c4_clean applies the published retain/drop
+    rules. The oracle re-derives assembly + cleaning with DuckDB list
+    lambdas; the cleaned text itself is compared by md5 + length, so a
+    single mis-kept line or lost character anywhere breaks the hash.
+
+    Scale: assembly + cleaning are one map-only projection in
+    whole-stage codegen — no shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    sz = (F.lit(4) + F.col("doc_id") % 5).cast("int")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(words).cast("double") / sz).cast("int")
+    line_j = lambda j: F.concat(  # noqa: E731
+        F.array_join(F.slice(words, j * sz + 1, sz), " "),
+        F.when((F.col("doc_id") + j) % 7 == 2, F.lit(" javascript"))
+         .otherwise(F.lit("")),
+        F.when((F.col("doc_id") * 3 + j) % 41 == 5, F.lit(" {"))
+         .otherwise(F.lit("")),
+        F.when((F.col("doc_id") + j) % 3 == 0, F.lit(""))
+         .otherwise(F.lit(".")),
+    )
+    page = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_lines - 1), line_j), "\n"
+    )
+    built = docs.select(F.col("doc_id"), page.alias("text"))
+    out = X.c4_clean(built)
+    return out.select(
+        "doc_id",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        F.length("cleaned_text").cast("int").alias("cleaned_len"),
+        "n_lines",
+        "n_lines_kept",
+        "n_sentences",
+        "keep_page",
+    )

@@ -754,3 +754,37 @@ def test_lexical_diversity_fold(spark):
     assert r[0].hapax_frac == 0.3333 and r[0].top_share == 0.5
     assert r[1].type_token_ratio == 1.0 and r[1].hapax_frac == 1.0
     assert (r[2].n_types, r[2].top_share) == (1, 1.0)
+
+
+def test_c4_clean_rules(spark):
+    """C4 line/page rules on hand cases covering every rule branch."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.operators.text import c4_clean
+
+    docs = spark.createDataFrame(
+        [
+            # kept lines + 3 sentences -> page kept
+            (1, "one two three four five.\nsix seven eight nine ten!\n"
+                "alpha beta gamma delta eps?\nshort no."),
+            # javascript line dropped; page falls under 3 sentences
+            (2, "one two three four five javascript.\n"
+                "six seven eight nine ten.\nalpha beta gamma delta eps."),
+            # no terminal punctuation anywhere -> nothing kept
+            (3, "one two three four five six\nseven eight nine ten eleven"),
+            # lorem ipsum survives line rules but kills the page
+            (4, "lorem ipsum dolor sit amet one.\n"
+                "six seven eight nine ten.\nalpha beta gamma delta eps."),
+            # '{' in a kept line kills the page rule, not the line
+            (5, "one two three four { five.\n"
+                "six seven eight nine ten.\nalpha beta gamma delta eps."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert rows[1]["n_lines_kept"] == 3 and rows[1]["keep_page"] is True
+    assert rows[1]["n_sentences"] == 3
+    assert rows[2]["n_lines_kept"] == 2 and rows[2]["keep_page"] is False
+    assert rows[3]["n_lines_kept"] == 0 and rows[3]["cleaned_text"] == ""
+    assert rows[4]["n_lines_kept"] == 3 and rows[4]["keep_page"] is False
+    assert rows[5]["n_lines_kept"] == 3 and rows[5]["keep_page"] is False
