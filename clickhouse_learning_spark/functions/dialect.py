@@ -541,8 +541,20 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # cannot raise on horizontal edges; boundary points follow the
     # half-open rule (CH/boost leave exact-boundary behavior to float
     # rounding as well).
+    def _pp_point(pt: str) -> tuple[str, str]:
+        # a source-level tuple translates to struct(X, Y) whose field
+        # NAMES follow the member expressions (only literal members get
+        # col1/col2) — unwrap the struct call instead of guessing names
+        s = pt.strip()
+        for head in ("struct(", "("):
+            if s.startswith(head) and s.endswith(")"):
+                parts = _split_args(s[len(head) : -1])
+                if len(parts) == 2:
+                    return f"({parts[0]})", f"({parts[1]})"
+        return f"({pt}).col1", f"({pt}).col2"
+
     def _pp_ring(pt: str, ring: str) -> str:
-        px, py = f"({pt}).col1", f"({pt}).col2"
+        px, py = _pp_point(pt)
         prev = (f"concat(slice({ring}, size({ring}), 1), "
                 f"slice({ring}, 1, size({ring}) - 1))")
         cross = (
@@ -566,6 +578,27 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         return out
 
     m["pointInPolygon"] = _point_in_polygon
+
+    # geohash family: standard Niemeyer base-32 interleaved bisection,
+    # vectorized numpy UDFs (functions/geo.py; anchored to the
+    # published example hashes). Encode default precision 12;
+    # geohashDecode returns the CELL-CENTER (lon, lat) tuple.
+    def _geohash_encode(a):
+        if len(a) == 2:
+            a = [*a, "12"]
+        if len(a) != 3:
+            raise ValueError(
+                "geohashEncode expects (longitude, latitude[, precision])"
+            )
+        return _geohash_udf_sql(
+            f"ch_geohash_encode(CAST(({a[0]}) AS DOUBLE), "
+            f"CAST(({a[1]}) AS DOUBLE), CAST(({a[2]}) AS BIGINT))"
+        )
+
+    m["geohashEncode"] = _geohash_encode
+    m["geohashDecode"] = lambda a: _geohash_udf_sql(
+        f"ch_geohash_decode(CAST(({_one(a, 'geohashDecode')}) AS STRING))"
+    )
     # null handling / strings
     m["ifNull"] = lambda a: f"coalesce({', '.join(a)})"
     m["nullIf"] = lambda a: f"nullif({', '.join(a)})"
@@ -2746,6 +2779,20 @@ _LTTB_UDFS: dict[str, int] = {}
 # set when translate() emits an intHash64 call
 _INT_HASH64_WANTED = False
 
+# set when translate() emits a geohashEncode/Decode call
+_GEOHASH_WANTED = False
+
+
+def _geohash_udf_sql(expr: str) -> str:
+    global _GEOHASH_WANTED
+    _GEOHASH_WANTED = True
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        register_sequence_udfs(s)
+    return expr
+
 
 def _make_int_hash64_udf():
     """ClickHouse intHash64 = Murmur3 fmix64 (Common/HashTable/Hash.h):
@@ -2798,6 +2845,13 @@ def register_sequence_udfs(spark) -> None:
         spark.udf.register(name, lttb.make_lttb_udf(n))
     if _INT_HASH64_WANTED:
         spark.udf.register("ch_int_hash64", _make_int_hash64_udf())
+    if _GEOHASH_WANTED:
+        from clickhouse_learning_spark.functions import geo
+
+        spark.udf.register("ch_geohash_encode",
+                           geo.make_geohash_encode_udf())
+        spark.udf.register("ch_geohash_decode",
+                           geo.make_geohash_decode_udf())
     if _TTEST_WANTED:
         from clickhouse_learning_spark.functions import stats_tests
 
@@ -3801,6 +3855,9 @@ def _rewrite_array_join(sql: str) -> str:
 _SYSTEM_ONE_RE = re.compile(r"\bsystem\.one\b", re.I)
 _NUMBERS_RE = re.compile(r"\bnumbers\s*\(\s*(\d+)\s*\)", re.I)
 _TUPLE_ACCESS_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\.([0-9]+)\b")
+# f(x).1 — tuple access on a call/parenthesized expression (a digit
+# after ')' + '.' can never be a float literal)
+_PAREN_TUPLE_ACCESS_RE = re.compile(r"\)\.([0-9]+)\b")
 
 
 def _rewrite_table_refs(sql: str) -> str:
@@ -3815,7 +3872,8 @@ def _rewrite_table_refs(sql: str) -> str:
             lambda m: f"(SELECT id AS number FROM range({m.group(1)})) __ch_numbers",
             s,
         )
-        return _TUPLE_ACCESS_RE.sub(r"\1.col\2", s)
+        s = _TUPLE_ACCESS_RE.sub(r"\1.col\2", s)
+        return _PAREN_TUPLE_ACCESS_RE.sub(r").col\1", s)
 
     return _map_outside_strings(sql, seg)
 

@@ -2089,3 +2089,86 @@ def _register_ztest_ks_golden() -> None:
 
 
 _register_ztest_ks_golden()
+
+
+@query(
+    "ch_geo_dialect",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey % 3600) / 10.0 - 180.0 AS lon,
+             (c_custkey % 1700) / 10.0 - 85.0 AS lat
+      FROM customer
+    ), q AS (
+      SELECT id, lon, lat,
+             LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 32768)
+                                 AS BIGINT), 0), 32767) AS lonq,
+             LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 32768)
+                                 AS BIGINT), 0), 32767) AS latq
+      FROM pts
+    ), v AS (
+      SELECT id, lon, lat, lonq, latq,
+             list_sum(list_transform(generate_series(0, 29),
+               i -> ((CASE WHEN i % 2 = 0 THEN lonq >> (14 - i // 2)
+                           ELSE latq >> (14 - i // 2) END) & 1)
+                    * (CAST(1 AS BIGINT) << (29 - i)))) AS val
+      FROM q
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           array_to_string(list_transform(generate_series(0, 5),
+             k -> substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                         CAST((val >> (5 * (5 - k))) & 31 AS INT) + 1, 1)),
+             '') AS gh,
+           round(2 * 6372795.0 * asin(sqrt(
+                 pow(sin(radians(0.0 - lat) / 2), 2)
+                 + cos(radians(lat)) * cos(radians(0.0))
+                   * pow(sin(radians(0.0 - lon) / 2), 2))) / 1000.0, 2)
+               AS dist_km,
+           (lon BETWEEN -29.95 AND 29.95 AND lat BETWEEN -29.95 AND 29.95)
+               AS in_box,
+           round((lonq + 0.5) / 32768 * 360.0 - 180.0, 4) AS cell_lon,
+           round((latq + 0.5) / 32768 * 180.0 - 90.0, 4) AS cell_lat
+    FROM v
+    """,
+)
+def ch_geo_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 geo surface under the hash gate: geohashEncode
+    (vectorized base-32 bisection, functions/geo.py — anchored to the
+    published 'ezs42'/'u4pruydqqvj' examples), geohashDecode cell
+    centers via an encode→decode round trip, greatCircleDistance
+    (haversine, the CH-documented 6372795 m radius) and pointInPolygon
+    (the pure-Catalyst even-odd ray cast) — on coordinates derived
+    from customer keys. The oracle re-derives the geohash with a
+    DuckDB bit-interleave (list_sum over generate_series) + base-32
+    substr map, the distance with the identical double formula, and
+    the polygon test as a box containment (bounds chosen off the
+    0.1-degree grid so the half-open boundary rule cannot differ)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey"
+    ).createOrReplaceTempView("ch_geo_customer")
+    ch = """
+        SELECT id,
+               geohashEncode(lon, lat, 6) AS gh,
+               round(greatCircleDistance(lon, lat, 0.0, 0.0)
+                     / 1000.0, 2) AS dist_km,
+               pointInPolygon((lon, lat),
+                 [(-29.95, -29.95), (29.95, -29.95),
+                  (29.95, 29.95), (-29.95, 29.95)]) AS in_box,
+               round(geohashDecode(geohashEncode(lon, lat, 6)).1, 4)
+                   AS cell_lon,
+               round(geohashDecode(geohashEncode(lon, lat, 6)).2, 4)
+                   AS cell_lat
+        FROM (SELECT c_custkey AS id,
+                     (c_custkey % 3600) / 10.0 - 180.0 AS lon,
+                     (c_custkey % 1700) / 10.0 - 85.0 AS lat
+              FROM ch_geo_customer)
+    """
+    return spark.sql(translate(ch)).select(
+        F.col("id").cast("long").alias("id"),
+        "gh", "dist_km", "in_box", "cell_lon", "cell_lat",
+    )

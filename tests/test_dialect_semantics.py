@@ -1126,3 +1126,44 @@ def test_point_in_polygon_ray_cast(spark):
     )
     r = spark.sql(q).collect()[0]
     assert r["a"] is False and r["b"] is True
+
+
+def test_geohash_published_anchors(spark):
+    """geohashEncode/Decode against the published example hashes and
+    round-trip properties (cell size shrinks 32x per character)."""
+    import random
+
+    q = translate(
+        "SELECT geohashEncode(-5.60302734375, 42.60498046875, 5) AS g5, "
+        "geohashEncode(10.40744, 57.64911, 11) AS g11, "
+        "length(geohashEncode(1.0, 2.0)) AS dflt, "
+        "geohashDecode('ezs42').1 AS lon, "
+        "geohashDecode('ezs42').2 AS lat, "
+        "geohashEncode(NULL, 1.0, 5) AS gnull, "
+        "geohashDecode('not a hash!').1 AS bad"
+    )
+    r = spark.sql(q).collect()[0]
+    assert r["g5"] == "ezs42"
+    assert r["g11"] == "u4pruydqqvj"
+    assert r["dflt"] == 12  # CH default precision
+    assert abs(r["lon"] + 5.603) < 0.01 and abs(r["lat"] - 42.605) < 0.01
+    assert r["gnull"] is None and r["bad"] is None
+
+    random.seed(9)
+    cases = [
+        (round(random.uniform(-180, 180), 5), round(random.uniform(-90, 90), 5),
+         random.randint(1, 12))
+        for _ in range(25)
+    ]
+    sel = ", ".join(
+        f"geohashDecode(geohashEncode({lo!r}, {la!r}, {p})).1 AS lo{i}, "
+        f"geohashDecode(geohashEncode({lo!r}, {la!r}, {p})).2 AS la{i}"
+        for i, (lo, la, p) in enumerate(cases)
+    )
+    row = spark.sql(translate(f"SELECT {sel}")).collect()[0]
+    for i, (lo, la, p) in enumerate(cases):
+        nbits = 5 * p
+        cell_lon = 360.0 / (1 << ((nbits + 1) // 2))
+        cell_lat = 180.0 / (1 << (nbits // 2))
+        assert abs(row[f"lo{i}"] - lo) <= cell_lon / 2 + 1e-9, (i, cases[i])
+        assert abs(row[f"la{i}"] - la) <= cell_lat / 2 + 1e-9, (i, cases[i])
