@@ -1714,6 +1714,15 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         f"flatten(collect_list({_one(a, 'groupArrayArray')}))"
     )
     m["groupArray"] = lambda a: f"collect_list({_one(a, 'groupArray')})"
+    # plain groupArrayInsertAt pads gaps with the column TYPE's default
+    # value, which text-level translation cannot infer — the
+    # parameterized form (in _PARAMETERIZED) is the supported one
+    m["groupArrayInsertAt"] = lambda a: _raise_gate(
+        "groupArrayInsertAt without parameters pads gaps with the "
+        "column type's default value, which translate cannot infer "
+        "from text — use the explicit default form "
+        "groupArrayInsertAt(default[, size])(x, pos)"
+    )
     m["groupUniqArray"] = lambda a: f"collect_set({_one(a, 'groupUniqArray')})"
     m["groupArrayState"] = lambda a: f"collect_list({_one(a, 'groupArrayState')})"
     m["groupArrayMerge"] = lambda a: _MERGED_LIST.format(
@@ -2794,6 +2803,39 @@ def _geohash_udf_sql(expr: str) -> str:
     return expr
 
 
+def _group_array_insert_at(p: list[str], a: list[str]) -> str:
+    """Single-expression ``groupArrayInsertAt(default[, size])(x, pos)``
+    (semantics note at the _PARAMETERIZED entry)."""
+    if not p:
+        raise ValueError(
+            "groupArrayInsertAt without parameters pads gaps with the "
+            "column type's default value, which translate cannot infer "
+            "from text — use groupArrayInsertAt(default[, size])(x, pos)"
+        )
+    if len(a) != 2:
+        raise ValueError("groupArrayInsertAt(default[, size])(x, pos)")
+    x, pos = a
+    default = p[0]
+    pairs = (
+        f"array_sort(collect_list(IF(({pos}) IS NOT NULL, "
+        f"named_struct('p', CAST(({pos}) AS INT), 'v', ({x})), NULL)))"
+    )
+    first = (  # keep the first (= min-v) entry per position
+        f"filter({pairs}, (gia_e, gia_i) -> gia_i = 0 OR "
+        f"try_element_at({pairs}, gia_i).p != gia_e.p)"
+    )
+    entries = f"map_from_entries(transform({first}, q -> struct(q.p, q.v)))"
+    size = (
+        p[1] if len(p) > 1
+        else f"coalesce(try_element_at({pairs}, -1).p + 1, 0)"
+    )
+    return (
+        f"IF(({size}) <= 0, slice(array({default}), 1, 0), "
+        f"transform(sequence(0, CAST(({size}) AS INT) - 1), "
+        f"gia_k -> coalesce(try_element_at({entries}, gia_k), {default})))"
+    )
+
+
 def _make_int_hash64_udf():
     """ClickHouse intHash64 = Murmur3 fmix64 (Common/HashTable/Hash.h):
     xorshift-33 / 0xff51afd7ed558ccd / xorshift-33 /
@@ -3270,6 +3312,15 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     "groupArraySorted": lambda p, a: (
         f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})"
     ),
+    # groupArrayInsertAt(default[, size])(x, pos): place x at 0-based
+    # position pos; gaps pad with the default, explicit size truncates/
+    # extends. CH documents duplicate-position resolution as thread-
+    # order-dependent ("undetermined" multi-threaded); translate pins
+    # the MINIMUM value per position so the distributed result is
+    # deterministic. The parameterless form pads with the column
+    # TYPE's default, which cannot be inferred from text — pass an
+    # explicit default.
+    "groupArrayInsertAt": lambda p, a: _group_array_insert_at(p, a),
     # sumMapFiltered(keep_keys)(keys, values): sumMap restricted to the
     # given key set — zip, filter on membership, unzip, same fold
     "sumMapFiltered": lambda p, a: (

@@ -1701,8 +1701,11 @@ def test_translate_date_arithmetic_and_geo(spark):
     assert abs(r.gc - 343_653) < 1000  # London-Paris
     with pytest.raises(ValueError, match="greatCircleDistance"):
         translate("geoDistance(0.0, 0.0, 1.0, 1.0)")
-    with pytest.raises(ValueError, match="ray-casting"):
-        translate("pointInPolygon((1,2),[(0,0),(1,0),(1,1)])")
+    # r5: pointInPolygon is a real mapping now (even-odd ray cast;
+    # semantics pinned in test_dialect_semantics.py) — the 1-arg form
+    # still gates
+    with pytest.raises(ValueError, match="pointInPolygon"):
+        translate("pointInPolygon((1,2))")
 
 
 def test_translate_format_readable(spark):

@@ -1167,3 +1167,32 @@ def test_geohash_published_anchors(spark):
         cell_lat = 180.0 / (1 << (nbits // 2))
         assert abs(row[f"lo{i}"] - lo) <= cell_lon / 2 + 1e-9, (i, cases[i])
         assert abs(row[f"la{i}"] - la) <= cell_lat / 2 + 1e-9, (i, cases[i])
+
+
+def test_group_array_insert_at(spark):
+    """groupArrayInsertAt(default[, size])(x, pos): positions fill,
+    gaps pad with the explicit default, duplicate positions pin to the
+    MINIMUM value (CH documents multi-threaded resolution as
+    undetermined — translate makes it deterministic), NULL positions
+    are skipped, and the parameterless form gates."""
+    import pytest as _pytest
+
+    spark.createDataFrame(
+        [(1, 0, 10), (1, 3, 30), (1, 3, 25), (1, 1, 11),
+         (2, 2, 7), (3, None, 9)],
+        "g int, pos int, v int",
+    ).createOrReplaceTempView("gia_t")
+    rows = {
+        r["g"]: r
+        for r in spark.sql(translate(
+            "SELECT g, groupArrayInsertAt(-1)(v, pos) AS a, "
+            "groupArrayInsertAt(0, 6)(v, pos) AS b "
+            "FROM gia_t GROUP BY g"
+        )).collect()
+    }
+    assert rows[1]["a"] == [10, 11, -1, 25]  # min of the pos-3 pair
+    assert rows[1]["b"] == [10, 11, 0, 25, 0, 0]
+    assert rows[2]["a"] == [-1, -1, 7]
+    assert rows[3]["a"] == []  # only NULL positions -> empty
+    with _pytest.raises(ValueError, match="default"):
+        translate("SELECT groupArrayInsertAt(v, pos) FROM gia_t")
