@@ -1539,6 +1539,76 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         )
 
     m["arrayResize"] = _array_resize
+    # arrayRotateLeft/Right(arr, n): cyclic rotation, negative n flips
+    # direction, empty arrays pass through (r5 late)
+    def _array_rotate(a, name, flip):
+        arr, n = _two(a, name)
+        nn = f"-({n})" if flip else f"({n})"
+        return _bind(arr, "ra", _bind(
+            f"IF(size(ra) = 0, 0, "
+            f"((CAST({nn} AS INT) % size(ra)) + size(ra)) % size(ra))",
+            "rm",
+            "IF(size(ra) = 0, ra, concat(slice(ra, rm + 1, "
+            "size(ra) - rm), slice(ra, 1, rm)))"))
+
+    m["arrayRotateLeft"] = lambda a: _array_rotate(a, "arrayRotateLeft",
+                                                   False)
+    m["arrayRotateRight"] = lambda a: _array_rotate(a, "arrayRotateRight",
+                                                    True)
+
+    # arrayShiftLeft/Right(arr, n, default): length-preserving shift,
+    # vacated slots take the EXPLICIT default; negative n flips
+    # direction. The 2-arg forms pad with the column type's default,
+    # which text-level translation cannot infer, so they gate.
+    def _array_shift(a, name, flip):
+        if len(a) == 2:
+            raise ValueError(
+                f"{name}(arr, n) pads with the array type's default "
+                "value, which translate cannot infer from text — pass "
+                f"the explicit 3-arg form {name}(arr, n, default)"
+            )
+        if len(a) != 3:
+            raise ValueError(f"{name}(arr, n, default)")
+        arr, n, d = a
+        nn = f"-({n})" if flip else f"({n})"
+        return _bind(arr, "sa", _bind(
+            f"CAST({nn} AS INT)", "sn", _bind(
+                "least(abs(sn), size(sa))", "sk",
+                f"CASE WHEN sn >= 0 THEN concat(slice(sa, sk + 1, "
+                f"size(sa) - sk), array_repeat({d}, sk)) "
+                f"ELSE concat(array_repeat({d}, sk), "
+                f"slice(sa, 1, size(sa) - sk)) END")))
+
+    m["arrayShiftLeft"] = lambda a: _array_shift(a, "arrayShiftLeft", False)
+    m["arrayShiftRight"] = lambda a: _array_shift(a, "arrayShiftRight", True)
+
+    # arrayPartialSort(limit, arr): CH sorts the first `limit` slots
+    # and leaves the REST in unspecified order — a full sort is a
+    # conforming (and deterministic) instance, so that is what we emit;
+    # the lambda-keyed 3-arg form gates
+    def _partial_sort(a, name, rev):
+        if len(a) != 2:
+            raise ValueError(
+                f"{name}: only the ({name}(limit, arr)) form maps (a "
+                "full sort is a conforming instance of the unspecified "
+                "tail); the lambda-keyed form has no textual translation"
+            )
+        body = f"array_sort({a[1]})"
+        return f"reverse({body})" if rev else body
+
+    m["arrayPartialSort"] = lambda a: _partial_sort(
+        a, "arrayPartialSort", False)
+    m["arrayPartialReverseSort"] = lambda a: _partial_sort(
+        a, "arrayPartialReverseSort", True)
+
+    for _nd in ("arrayShuffle", "arrayRandomSample"):
+        m[_nd] = (lambda name: lambda a: _raise_gate(
+            f"{name} is randomized (nondeterministic across runs and "
+            "engines) and cannot be hash-verified; sample "
+            "deterministically with arraySlice after an md5-keyed "
+            "array_sort if reproducibility is wanted"
+        ))(_nd)
+
     m["arrayCompact"] = lambda a: (
         # collapse CONSECUTIVE duplicates (run-length heads)
         lambda arr: (

@@ -1196,3 +1196,35 @@ def test_group_array_insert_at(spark):
     assert rows[3]["a"] == []  # only NULL positions -> empty
     with _pytest.raises(ValueError, match="default"):
         translate("SELECT groupArrayInsertAt(v, pos) FROM gia_t")
+
+
+def test_array_rotate_shift_partial_sort(spark):
+    """arrayRotateLeft/Right (cyclic, negative flips, modulo size),
+    arrayShiftLeft/Right (length-preserving, explicit default), and
+    arrayPartialSort (full sort = conforming instance of CH's
+    unspecified tail); 2-arg shifts and randomized samplers gate."""
+    import pytest as _pytest
+
+    r = spark.sql(translate(
+        "SELECT arrayRotateLeft([1,2,3,4,5], 2) AS rl, "
+        "arrayRotateLeft([1,2,3,4,5], -1) AS rln, "
+        "arrayRotateRight([1,2,3,4,5], 2) AS rr, "
+        "arrayRotateLeft([1,2,3], 7) AS rbig, "
+        "arrayRotateLeft(CAST(array() AS ARRAY<INT>), 3) AS rempty, "
+        "arrayShiftLeft([1,2,3,4,5], 2, 0) AS sl, "
+        "arrayShiftRight([1,2,3,4,5], 2, 0) AS sr, "
+        "arrayShiftLeft([1,2,3], -1, 9) AS sln, "
+        "arrayShiftLeft([1,2,3], 99, 0) AS sbig, "
+        "arrayPartialSort(2, [5,1,4,2,3]) AS ps, "
+        "arrayPartialReverseSort(2, [5,1,4,2,3]) AS prs"
+    )).collect()[0]
+    assert r["rl"] == [3, 4, 5, 1, 2] and r["rln"] == [5, 1, 2, 3, 4]
+    assert r["rr"] == [4, 5, 1, 2, 3] and r["rbig"] == [2, 3, 1]
+    assert r["rempty"] == []
+    assert r["sl"] == [3, 4, 5, 0, 0] and r["sr"] == [0, 0, 1, 2, 3]
+    assert r["sln"] == [9, 1, 2] and r["sbig"] == [0, 0, 0]
+    assert r["ps"] == [1, 2, 3, 4, 5] and r["prs"] == [5, 4, 3, 2, 1]
+    with _pytest.raises(ValueError, match="default"):
+        translate("SELECT arrayShiftLeft([1,2], 1)")
+    with _pytest.raises(ValueError, match="nondeterministic"):
+        translate("SELECT arrayShuffle([1,2,3])")
