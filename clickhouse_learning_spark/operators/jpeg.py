@@ -3,9 +3,11 @@
 Scope: baseline sequential DCT (SOF0), the PROGRESSIVE DCT process
 (SOF2: spectral-selection and successive-approximation scans, DC and
 AC, with EOB-run accumulation per G.2, r4), the ARITHMETIC processes
-(SOF9/SOF10 via the T.81 QM-coder in operators/jparith.py, r5) and
+(SOF9/SOF10 via the T.81 QM-coder in operators/jparith.py, r5),
 12-BIT extended sequential data (SOF1/SOF9, Pq=1 16-bit quantization
-tables, r5) — grayscale or YCbCr with sampling factors 1–2
+tables, r5) and the LOSSLESS predictive process (SOF3, Annex H: all
+seven predictors, modulo-65536 reconstruction, 2-16 bit, point
+transform, r5 late) — grayscale or YCbCr with sampling factors 1–2
 (4:4:4 / 4:2:2 / 4:2:0), restart markers, byte stuffing. Hierarchical
 processes return None so the caller can fall to the Pillow gate.
 
@@ -192,8 +194,9 @@ def decode_baseline(payload: bytes):
     Annex D QM-coder entropy layer in operators/jparith.py — and
     12-BIT data (r5): SOF1 extended sequential, Pq=1 16-bit
     quantization tables, 2048 level shift, output rescaled to the
-    8-bit RGB contract. Hierarchical processes still return None
-    (Pillow gate)."""
+    8-bit RGB contract — and the LOSSLESS process (SOF3, r5 late):
+    predictive Huffman with exact reconstruction. Hierarchical
+    processes still return None (Pillow gate)."""
     try:
         if payload is None or payload[:2] != b"\xff\xd8":
             return None
@@ -205,6 +208,7 @@ def decode_baseline(payload: bytes):
         prec = 8
         progressive = False
         arith = False
+        lossless = False
         dac: dict = {}  # (class, table) -> conditioning (jparith.parse_dac)
         coefs = None  # per-comp (rows, cols, 64) zig-zag coefficient grids
         i = 2
@@ -247,14 +251,20 @@ def decode_baseline(payload: bytes):
                     syms = list(body[j + 17 : j + 17 + nsym])
                     hufftabs[(tc, th)] = _Huff(counts, syms)
                     j += 17 + nsym
-            elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
                 # SOF0 baseline / SOF1 extended sequential / SOF2
-                # progressive / SOF9 sequential arithmetic / SOF10
-                # progressive arithmetic (the arithmetic entropy layer
-                # lives in operators/jparith.py). Precision 12 is legal
-                # for every process except baseline SOF0 (B.2.2).
+                # progressive / SOF3 lossless / SOF9 sequential
+                # arithmetic / SOF10 progressive arithmetic (the
+                # arithmetic entropy layer lives in
+                # operators/jparith.py). Precision 12 is legal for
+                # every process except baseline SOF0 (B.2.2); the
+                # lossless process allows 2..16 (B.2.2 note).
                 prec = body[0]
-                if prec not in (8, 12) or (prec == 12 and marker == 0xC0):
+                lossless = marker == 0xC3
+                if lossless:
+                    if not (2 <= prec <= 16):
+                        return None
+                elif prec not in (8, 12) or (prec == 12 and marker == 0xC0):
                     return None
                 progressive = marker in (0xC2, 0xCA)
                 arith = marker in (0xC9, 0xCA)
@@ -266,7 +276,7 @@ def decode_baseline(payload: bytes):
                     comps.append(
                         {"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq}
                     )
-            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC5, 0xC6, 0xC7,
                             0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline/non-progressive process
             elif marker == 0xCC:  # DAC: arithmetic conditioning
@@ -283,6 +293,13 @@ def decode_baseline(payload: bytes):
                     cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                     sel[cid] = (tabs >> 4, tabs & 15)
                     scan_comps.append(cid)
+                if lossless:
+                    ss_pred = body[1 + 2 * ns]
+                    ahal_l = body[3 + 2 * ns]
+                    return _scan_lossless(
+                        payload, i + 2 + seglen, comps, sel, hufftabs,
+                        h, w, restart, prec, ss_pred, ahal_l & 15,
+                    )
                 if not progressive:
                     if arith:
                         from .jparith import scan_sequential
@@ -1030,3 +1047,163 @@ def encode_extended12(rgb12: np.ndarray, quality: int = 90,
                     bw.put(code, ln)
     bw.flush()
     return bytes(out + bytes(bw.out) + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 Annex H): predictive Huffman process
+# ---------------------------------------------------------------------------
+
+# predictor formulas (Table H.1), selected by the scan's Ss field
+def _predict(mode, ra, rb, rc):
+    if mode == 1:
+        return ra
+    if mode == 2:
+        return rb
+    if mode == 3:
+        return rc
+    if mode == 4:
+        return ra + rb - rc
+    if mode == 5:
+        return ra + ((rb - rc) >> 1)
+    if mode == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # mode 7
+
+
+def _scan_lossless(payload, start, comps, sel, hufftabs, h, w, restart,
+                   prec, pred_mode, al):
+    """One lossless scan (interleaved, sampling factors all 1): each
+    sample is a Huffman-coded prediction difference (DC-style category
+    + EXTEND bits; category 16 means +32768 with no appended bits),
+    modulo-65536 reconstruction per H.1.2.  The first sample of the
+    scan AND of each restart interval predicts 2^(P-1-Pt); the rest of
+    the first row predicts from Ra, the first column from Rb.  Output
+    rescales through the point transform and precision to the 8-bit
+    RGB contract (3-component SOF3 is taken as direct RGB — lossless
+    JPEG mandates no color transform)."""
+    if not comps or any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        return None
+    if not (1 <= pred_mode <= 7):
+        return None
+    nc = len(comps)
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in range(nc)]
+    segs = _split_entropy(payload, start)
+    seg_i = 0
+    br = _BitReader(segs[0])
+    default = 1 << (prec - 1 - al)
+    mcu_i = 0
+    fresh = True  # next sample uses the default prediction
+    try:
+        for y in range(h):
+            for x in range(w):
+                if restart and mcu_i and mcu_i % restart == 0:
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise EOFError
+                    br = _BitReader(segs[seg_i])
+                    fresh = True
+                mcu_i += 1
+                for ci, c in enumerate(comps):
+                    t = hufftabs.get((0, sel[c["id"]][0]))
+                    s = br.huff(t)
+                    diff = 32768 if s == 16 else br.receive_extend(s)
+                    p = planes[ci]
+                    if fresh:
+                        pred = default
+                    elif y == 0:
+                        pred = int(p[y, x - 1])
+                    elif x == 0:
+                        pred = int(p[y - 1, x])
+                    else:
+                        pred = _predict(
+                            pred_mode, int(p[y, x - 1]), int(p[y - 1, x]),
+                            int(p[y - 1, x - 1]),
+                        )
+                    p[y, x] = (pred + diff) & 0xFFFF
+                fresh = False
+    except EOFError:
+        pass  # truncated tail: keep what decoded
+    scale = float(1 << al) / (1 << (prec - 8))
+    out = [p.astype(np.float64) * scale for p in planes]
+    if nc == 1:
+        g = np.clip(out[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if nc == 3:  # direct RGB, no YCbCr in the lossless process
+        return np.clip(np.stack(out, axis=2), 0, 255).astype(np.uint8)
+    return None
+
+
+def encode_lossless(rgb: np.ndarray, predictor: int = 4,
+                    prec: int = 8, point_transform: int = 0,
+                    restart: int = 0) -> bytes:
+    """Lossless SOF3 fixture encoder (3-component direct RGB or 2-D
+    grayscale), wide-category Huffman table (sizes 0..16), optional
+    restart intervals. ``rgb`` dtype uint8 for prec=8 or uint16 for
+    12/16-bit; decode of the emitted stream reproduces the (point-
+    transformed) samples EXACTLY — the round-trip test anchor."""
+    if rgb.ndim == 2:
+        rgb = rgb[:, :, None]
+    h, w, nc = rgb.shape
+    al = point_transform
+    planes = [
+        (rgb[:, :, ci].astype(np.int64) >> al) for ci in range(nc)
+    ]
+    counts = [0, 0, 0, 0, 17] + [0] * 11  # 17 symbols, 5 bits each
+    syms = list(range(17))
+    huff = _Huff(counts, syms)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xC3, bytes([prec]) + struct.pack(">HH", h, w) + bytes([nc])
+                + b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(nc)))
+    out += _seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(syms))
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
+    out += _seg(0xDA, bytes([nc])
+                + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+                + bytes([predictor, 0, al]))
+
+    bw = _BitWriter()
+    default = 1 << (prec - 1 - al)
+    segs_out = []
+    mcu_i = 0
+    rst = 0
+    fresh = True
+    for y in range(h):
+        for x in range(w):
+            if restart and mcu_i and mcu_i % restart == 0:
+                bw.flush()
+                segs_out.append(bytes(bw.out))
+                segs_out.append(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) & 7
+                bw = _BitWriter()
+                fresh = True
+            mcu_i += 1
+            for ci in range(nc):
+                p = planes[ci]
+                if fresh:
+                    pred = default
+                elif y == 0:
+                    pred = int(p[y, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, x])
+                else:
+                    pred = _predict(
+                        predictor, int(p[y, x - 1]), int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]),
+                    )
+                diff = (int(p[y, x]) - pred) & 0xFFFF
+                if diff >= 0x8000:  # modulo window → signed
+                    diff -= 0x10000
+                if diff == -32768:  # category 16, no appended bits
+                    code, ln = huff.enc[16]
+                    bw.put(code, ln)
+                    continue
+                s, bits = _encode_coef(diff)
+                code, ln = huff.enc[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(bits, s)
+            fresh = False
+    bw.flush()
+    segs_out.append(bytes(bw.out))
+    return bytes(out) + b"".join(segs_out) + b"\xff\xd9"

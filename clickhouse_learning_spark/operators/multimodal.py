@@ -20,9 +20,10 @@ sequential-DCT decoder covering baseline AND progressive streams
 (operators/jpeg.py: canonical Huffman, EXTEND, dequant, orthonormal
 IDCT, 4:4:4/4:2:2/4:2:0, restart markers, SOF2 spectral-selection +
 successive-approximation scans, and — r5 — SOF9/SOF10 arithmetic
-coding via the T.81 QM-coder in operators/jparith.py) — no imaging
+coding via the T.81 QM-coder in operators/jparith.py, 12-bit extended
+sequential, and SOF3 lossless predictive) — no imaging
 library needed. Remaining
-*compressed* codecs (12-bit/hierarchical JPEG, lossy WebP, MP4/Opus…) are
+*compressed* codecs (hierarchical JPEG, lossy WebP, MP4/Opus…) are
 gated: no media libraries ship in this container, so decode
 raises a clear NotImplementedError for those magics (install Pillow/av
 and extend the parser; the mapInPandas plumbing is format-agnostic; the
@@ -511,10 +512,10 @@ def build_media_table(
     per-line filter cycles through all five PNG filters so decode
     exercises every unfilter path)."""
     if fmt not in ("ppm", "png", "jpeg", "jpeg_progressive", "jpeg_arith",
-                   "jpeg_arith_progressive", "gif", "webp"):
+                   "jpeg_arith_progressive", "jpeg_lossless", "gif", "webp"):
         raise ValueError(
             "fmt must be ppm|png|jpeg|jpeg_progressive|jpeg_arith|"
-            f"jpeg_arith_progressive|gif|webp, got {fmt!r}"
+            f"jpeg_arith_progressive|jpeg_lossless|gif|webp, got {fmt!r}"
         )
     w = (F.col(id_col) % 64 + 16).cast("int")
     h = (F.col(id_col) % 48 + 16).cast("int")
@@ -573,6 +574,17 @@ def build_media_table(
                 )
 
                 return encode_arith_progressive(px, quality=90)
+            if jfmt == "jpeg_lossless":
+                from clickhouse_learning_spark.operators.jpeg import (
+                    encode_lossless,
+                )
+
+                # rotate through all 7 predictors + restart intervals;
+                # lossless => the PPM pixel-formula oracle matches
+                # integer-exactly
+                return encode_lossless(
+                    px, predictor=m % 7 + 1, restart=m % 4
+                )
             return encode_baseline(px, quality=90)
 
         mime = "image/jpeg"
@@ -754,7 +766,7 @@ def _pil_decode(payload: bytes):
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         raise NotImplementedError(
-            "compressed image PIXEL decode (12-bit/hierarchical JPEG, "
+            "compressed image PIXEL decode (hierarchical JPEG, "
             "LOSSY WebP, sub-byte-depth PNG, malformed GIF) needs Pillow "
             "(`pip install Pillow`); 8-bit PNG (_png_decode), GIF "
             "(_gif_decode), baseline + progressive + arithmetic JPEG "

@@ -2149,3 +2149,26 @@ def c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sentences",
         "keep_page",
     )
+
+
+def multimodal_lossless_jpeg_pixel_sums(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL lossless-JPEG (SOF3) pixel decode, hash-checked: payloads
+    rotate through all seven Annex H predictors and varied restart
+    intervals; the process is LOSSLESS, so per-channel sums must equal
+    DuckDB's arithmetic recomputation of the shared pixel formula
+    integer-exactly — one wrong predictor branch, modulo wrap or
+    restart resync anywhere breaks the hash (r5 late)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.image_channel_sums(
+        MM.build_media_table(spark, docs, fmt="jpeg_lossless")
+    )
+
+
+QUERIES["multimodal_lossless_jpeg_pixel_sums"] = (
+    multimodal_lossless_jpeg_pixel_sums
+)
+_ORACLES["multimodal_lossless_jpeg_pixel_sums"] = _ORACLES[
+    "multimodal_pixel_sums"
+]

@@ -321,3 +321,42 @@ def test_png_16bit_gray_decode():
     assert got is not None
     want = np.repeat((g16 >> 8).astype(np.uint8), 3, axis=2)
     assert np.array_equal(got, want)
+
+
+def test_lossless_jpeg_exact_roundtrip():
+    """SOF3 is LOSSLESS: decode must reproduce the source pixels
+    bit-exactly for every predictor (Table H.1)."""
+    import numpy as np
+
+    from clickhouse_learning_spark.operators import jpeg as J
+
+    for pred in range(1, 8):
+        rng = np.random.default_rng(100 + pred)
+        img = rng.integers(0, 256, size=(13, 17, 3)).astype(np.uint8)
+        out = J.decode_baseline(J.encode_lossless(img, predictor=pred))
+        assert out is not None and np.array_equal(out, img), pred
+
+
+def test_lossless_jpeg_variants():
+    import numpy as np
+
+    from clickhouse_learning_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(7)
+    # 16-bit grayscale rescales to the 8-bit contract
+    g = rng.integers(0, 65536, size=(9, 11)).astype(np.uint16)
+    out = J.decode_baseline(J.encode_lossless(g, predictor=4, prec=16))
+    assert np.array_equal(out[:, :, 0], (g / 256).astype(np.uint8))
+    img = rng.integers(0, 256, size=(10, 12, 3)).astype(np.uint8)
+    # restart intervals resync and reset the first prediction
+    out = J.decode_baseline(J.encode_lossless(img, predictor=6, restart=5))
+    assert np.array_equal(out, img)
+    # point transform drops the low bit on both sides
+    out = J.decode_baseline(
+        J.encode_lossless(img, predictor=2, point_transform=1)
+    )
+    assert np.array_equal(out, (img >> 1) << 1)
+    # truncation keeps the decoded prefix without raising
+    pay = J.encode_lossless(img, predictor=4)
+    cut = J.decode_baseline(pay[: len(pay) // 2])
+    assert cut is None or cut.shape == (10, 12, 3)
