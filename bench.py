@@ -388,8 +388,15 @@ def main() -> None:
     from clickhouse_learning_spark.operators import multimodal as _MM
     from clickhouse_learning_spark.schemas import load_table as _lt
 
+    # repartition BEFORE persist so the timed decode stage actually
+    # parallelizes (limit() collapses to one partition, which would
+    # price a single-core decode instead of the operator)
     _docs500 = _lt(spark, target, "documents").limit(500)
-    _media = _MM.build_media_table(spark, _docs500, fmt="webp").persist()
+    _media = (
+        _MM.build_media_table(spark, _docs500, fmt="webp")
+        .repartition(64)
+        .persist()
+    )
     _media.count()  # materialize payloads before timing
     timings["webp_decode_500imgs"] = best_of(
         runs,
@@ -399,6 +406,24 @@ def main() -> None:
         .save(),
     )
     _media.unpersist()
+
+    # arithmetic-JPEG decode throughput (r5 late): same bounded shape —
+    # 500 real SOF9 payloads (varied restart intervals) encoded once
+    # outside the timed region, QM decode + features timed best-of-N
+    _media_aj = (
+        _MM.build_media_table(spark, _docs500, fmt="jpeg_arith")
+        .repartition(64)
+        .persist()
+    )
+    _media_aj.count()  # materialize payloads before timing
+    timings["arith_jpeg_decode_500imgs"] = best_of(
+        runs,
+        lambda: _MM.image_features(_media_aj)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    _media_aj.unpersist()
 
     timings["dedup_exact_2m_noop"] = best_of(
         runs,

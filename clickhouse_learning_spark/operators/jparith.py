@@ -175,9 +175,12 @@ class ArithDecoder:
                 d = mps ^ 1
                 stats[i] = ((mps ^ sw) << 7) | nlps
             a = qe
-        while a < 0x8000:
-            a <<= 1
-            self.c = (self.c << 1) | self._take(1)
+        # batched renormalization: double A up to [0x8000, 0x10000) in
+        # one shift, pulling the matching bit count into C
+        k = 16 - a.bit_length()
+        if k:
+            self.c = (self.c << k) | self._take(k)
+            a <<= k
         self.a = a
         return d
 
@@ -220,11 +223,16 @@ class ArithEncoder:
         if self.c >= 0x10000:  # carry out of the 16-bit window
             self._carry()
             self.c -= 0x10000
-        while a < 0x8000:
-            a <<= 1
-            self.c <<= 1
-            self.bits.append((self.c >> 16) & 1)
-            self.c &= 0xFFFF
+        # batched renormalization (mirror of the decoder's)
+        k = 16 - a.bit_length()
+        if k:
+            c = self.c << k
+            out = c >> 16
+            self.bits.extend(
+                (out >> j) & 1 for j in range(k - 1, -1, -1)
+            )
+            self.c = c & 0xFFFF
+            a <<= k
         self.a = a
 
     def finish(self) -> bytes:
