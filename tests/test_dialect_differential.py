@@ -434,6 +434,29 @@ CASES = [
     C("arrayUniq", "arrayUniq({0})", "length(list_distinct({0}))", [gia]),
     C("arrayConcat", "arrayConcat({0}, {1})", "list_concat({0}, {1})",
       [gia, gia]),
+    # r5 late: rotate / shift / partial sort
+    C("arrayRotateLeft", "arrayRotateLeft({0}, {1})",
+      "CASE WHEN len({0}) = 0 THEN {0} ELSE list_concat("
+      "list_slice({0}, ((({1}) % len({0})) + len({0})) % len({0}) + 1, "
+      "len({0})), "
+      "list_slice({0}, 1, ((({1}) % len({0})) + len({0})) % len({0})))"
+      " END", [gia, gi]),
+    C("arrayRotateRight", "arrayRotateRight({0}, {1})",
+      "CASE WHEN len({0}) = 0 THEN {0} ELSE list_concat("
+      "list_slice({0}, (((-({1})) % len({0})) + len({0})) % len({0}) + 1, "
+      "len({0})), "
+      "list_slice({0}, 1, (((-({1})) % len({0})) + len({0})) % len({0})))"
+      " END", [gia, gi]),
+    C("arrayShiftLeft", "arrayShiftLeft({0}, {1}, {2})",
+      "CASE WHEN ({1}) >= 0 THEN list_concat("
+      "list_slice({0}, least(abs({1}), len({0})) + 1, len({0})), "
+      "[({2}) for __x in range(least(abs({1}), len({0})))]) "
+      "ELSE list_concat("
+      "[({2}) for __x in range(least(abs({1}), len({0})))], "
+      "list_slice({0}, 1, len({0}) - least(abs({1}), len({0})))) END",
+      [gia, gi, gi]),
+    C("arrayPartialSort", "arrayPartialSort({0}, {1})",
+      "list_sort({1})", [lambda r: r.randint(1, 5), gia]),
     C("arrayPushBack", "arrayPushBack({0}, {1})",
       "list_append({0}, {1})", [gia, gi]),
     C("arrayPushFront", "arrayPushFront({0}, {1})",
