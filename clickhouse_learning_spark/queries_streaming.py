@@ -421,3 +421,124 @@ def stream_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("cnt").alias("cnt"))
     )
     return topk_merge(counters, 20).select("item", "cnt")
+
+
+def _slq_oracle() -> str:
+    import math
+
+    from clickhouse_learning_spark.functions.metrics import (
+        DD_ZERO_BUCKET,
+        dd_gamma,
+    )
+
+    g = dd_gamma(0.01)
+    lng = math.log(g)
+    return f"""
+    WITH b AS (
+      SELECT event_type AS k,
+             CASE WHEN value > 0
+                  THEN CAST(ceil(ln(value) / {lng!r}) AS BIGINT)
+                  ELSE CAST({DD_ZERO_BUCKET} AS BIGINT) END AS bucket
+      FROM events
+    ), h AS (
+      SELECT k, bucket, count(*) AS cnt FROM b GROUP BY 1, 2
+    ), c AS (
+      SELECT k, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY k ORDER BY bucket) AS cum,
+             sum(cnt) OVER (PARTITION BY k) AS n
+      FROM h
+    ), q AS (
+      SELECT k, n,
+             min(CASE WHEN cum >= ceil(0.50 * n) THEN bucket END) AS b50,
+             min(CASE WHEN cum >= ceil(0.95 * n) THEN bucket END) AS b95,
+             min(CASE WHEN cum >= ceil(0.99 * n) THEN bucket END) AS b99
+      FROM c GROUP BY k, n
+    )
+    SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+           round(2 * power({g!r}, b50) / ({g!r} + 1), 4) AS p50,
+           round(2 * power({g!r}, b95) / ({g!r} + 1), 4) AS p95,
+           round(2 * power({g!r}, b99) / ({g!r} + 1), 4) AS p99
+    FROM q
+    """
+
+
+@query("stream_latency_quantiles", _slq_oracle())
+def stream_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL streaming quantile run, hash-checked: event values are
+    DDSketch-bucketed IN CATALYST (functions/metrics.dd_bucket,
+    α=0.01), land as multiple parquet files (one per micro-batch),
+    stream through per-event-type keyed state
+    (streaming/stateful.streaming_dd_sketch — exact integer bucket
+    counts, O(log range/α) state), and the final histograms yield
+    p50/p95/p99 from bucket midpoints. Bucket counts are exact and
+    merge-order invariant, so the DuckDB oracle recomputes the
+    identical histogram and rank rule — the approximation is ONLY the
+    ≤α relative error baked into the shared bucket width, not
+    stream-vs-batch drift."""
+    from clickhouse_learning_spark.functions.metrics import dd_bucket
+    from clickhouse_learning_spark.streaming.ingest import (
+        drain,
+        parquet_stream,
+    )
+    from clickhouse_learning_spark.streaming.stateful import (
+        streaming_dd_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("k"),
+        dd_bucket(F.col("value"), 0.01).alias("bucket"),
+    )
+    work = tempfile.mkdtemp(prefix="stream_ddq_")
+    landing = f"{work}/buckets"
+    ev.repartition(4).write.mode("overwrite").parquet(landing)
+    out = streaming_dd_sketch(
+        parquet_stream(spark, landing, ev.schema, max_files_per_trigger=1)
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(
+                f"{work}/hists"
+            )
+        )
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+    hist = (
+        spark.read.parquet(f"{work}/hists")
+        .groupBy("k", "bucket")
+        .agg(F.max("cnt").alias("cnt"))  # update mode: counts monotone
+    )
+    from pyspark.sql import Window
+
+    from clickhouse_learning_spark.functions.metrics import dd_value
+
+    wk = Window.partitionBy("k").orderBy("bucket")
+    c = hist.select(
+        "k", "bucket", "cnt",
+        F.sum("cnt").over(wk).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy("k").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(lvl) * F.col("n")),
+                F.col("bucket"),
+            )
+        ).alias(name)
+        for lvl, name in ((0.50, "b50"), (0.95, "b95"), (0.99, "b99"))
+    ]
+    qdf = c.groupBy("k", "n").agg(*picks)
+    return qdf.select(
+        F.col("k").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+        dd_value(F.col("b50"), 0.01).alias("p50"),
+        dd_value(F.col("b95"), 0.01).alias("p95"),
+        dd_value(F.col("b99"), 0.01).alias("p99"),
+    )

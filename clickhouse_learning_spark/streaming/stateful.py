@@ -234,3 +234,50 @@ def topk_merge(counters: DataFrame, k: int) -> DataFrame:
     return counters.orderBy(
         F.col("cnt").desc(), F.col("item").asc()
     ).limit(k)
+
+
+def streaming_dd_sketch(
+    events: DataFrame, key_col: str = "k", bucket_col: str = "bucket"
+) -> DataFrame:
+    """Streaming DDSketch histograms in keyed state: the input carries
+    PRE-BUCKETED values (functions/metrics.dd_bucket computed in
+    Catalyst before entering state — no float math crosses the Arrow
+    boundary, so the state is exact integer counts and the whole run
+    is hash-deterministic). Each key's state is the bucket→count table,
+    size O(log(value range)/α) independent of stream length; every
+    micro-batch pre-reduces via pandas value_counts, so state updates
+    are per DISTINCT bucket per batch. Emits the full histogram per
+    batch (update mode; counts are monotone, so max-per-bucket
+    downstream recovers the final table). Quantiles come later from
+    the bucket midpoints — the batch MV DDSketch's exact finalize rule
+    (the stream≡batch law tests/test_stateful_streaming.py pins)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bs, cs = state.get
+            tbl = dict(zip(bs, cs))
+        else:
+            tbl = {}
+        for pdf in pdfs:
+            for b, w in pdf[bucket_col].value_counts().items():
+                b = int(b)
+                tbl[b] = tbl.get(b, 0) + int(w)
+        bs = list(tbl)
+        state.update((bs, [tbl[b] for b in bs]))
+        yield pd.DataFrame(
+            {
+                "k": [key[0]] * len(bs),
+                "bucket": bs,
+                "cnt": [tbl[b] for b in bs],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType="k string, bucket long, cnt long",
+        stateStructType="buckets array<long>, counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -175,3 +175,36 @@ def test_streaming_topk_capped_error_bound(spark, tmp_path):
     for r in final:
         t = true[r["item"]]
         assert r["cnt"] - r["err"] <= t <= r["cnt"], (r, t)
+
+
+def test_streaming_dd_sketch_equals_batch_histogram(spark, tmp_path):
+    """streaming_dd_sketch's final state equals the batch bucket
+    histogram exactly (counts are integers; merge-order invariant),
+    across multiple micro-batches and keys."""
+    from clickhouse_learning_spark.functions.metrics import dd_bucket
+    from clickhouse_learning_spark.streaming.stateful import (
+        streaming_dd_sketch,
+    )
+
+    ev, _ = _land(spark, tmp_path)
+    vals = ev.select(
+        F.concat(F.lit("k"), (F.col("uid") % 3)).alias("k"),
+        dd_bucket((F.col("uid") % 50).cast("double") / 7.0 + 0.01, 0.01)
+        .alias("bucket"),
+    )
+    landing = str(tmp_path / "ddq")
+    vals.repartition(5).write.parquet(landing)
+    stream = parquet_stream(spark, landing, vals.schema,
+                            max_files_per_trigger=1)
+    _run_to_memory(streaming_dd_sketch(stream), "ddq_out", "update")
+    final = spark.sql(
+        "SELECT k, bucket, max(cnt) AS cnt FROM ddq_out GROUP BY k, bucket"
+    )
+    got = {(r["k"], r["bucket"]): r["cnt"] for r in final.collect()}
+    want = {
+        (r["k"], r["bucket"]): r["n"]
+        for r in vals.groupBy("k", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
