@@ -7,9 +7,11 @@ AC, with EOB-run accumulation per G.2, r4), the ARITHMETIC processes
 12-BIT extended sequential data (SOF1/SOF9, Pq=1 16-bit quantization
 tables, r5) and the LOSSLESS predictive process (SOF3, Annex H: all
 seven predictors, modulo-65536 reconstruction, 2-16 bit, point
-transform, r5 late) — grayscale or YCbCr with sampling factors 1–2
-(4:4:4 / 4:2:2 / 4:2:0), restart markers, byte stuffing. Hierarchical
-processes return None so the caller can fall to the Pillow gate.
+transform, r5 late) and the HIERARCHICAL process (Annex J: DHP frame
+header, EXP reference expansion, differential sequential frames with
+zero DC prediction, r5 late) — grayscale or YCbCr with sampling
+factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, byte stuffing.
+Every process of the T.81 standard decodes natively.
 
 Everything here is from the public JPEG specification: canonical
 Huffman tables from the DHT count/symbol lists, zig-zag coefficient
@@ -194,9 +196,10 @@ def decode_baseline(payload: bytes):
     Annex D QM-coder entropy layer in operators/jparith.py — and
     12-BIT data (r5): SOF1 extended sequential, Pq=1 16-bit
     quantization tables, 2048 level shift, output rescaled to the
-    8-bit RGB contract — and the LOSSLESS process (SOF3, r5 late):
-    predictive Huffman with exact reconstruction. Hierarchical
-    processes still return None (Pillow gate)."""
+    8-bit RGB contract — the LOSSLESS process (SOF3, r5 late):
+    predictive Huffman with exact reconstruction — and the
+    HIERARCHICAL process (DHP/EXP/differential frames, Annex J, r5
+    late): every T.81 process now decodes natively."""
     try:
         if payload is None or payload[:2] != b"\xff\xd8":
             return None
@@ -219,6 +222,8 @@ def decode_baseline(payload: bytes):
             marker = payload[i + 1]
             if marker == 0xD9:  # EOI
                 break
+            if marker == 0xDE:  # DHP: hierarchical process (Annex J)
+                return _decode_hierarchical(payload)
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
@@ -1207,3 +1212,378 @@ def encode_lossless(rgb: np.ndarray, predictor: int = 4,
     bw.flush()
     segs_out.append(bytes(bw.out))
     return bytes(out) + b"".join(segs_out) + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical JPEG (T.81 Annex J): DHP / EXP / differential frames
+# ---------------------------------------------------------------------------
+
+
+def _exp_upsample(p: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """J.1.1.2 reference expansion: out[2i] = in[i],
+    out[2i+1] = (in[i] + in[i+1] + 1) >> 1 (last column/row repeats),
+    applied horizontally and/or vertically on integer samples."""
+    q = p.astype(np.int64)
+    if eh:
+        nxt = np.concatenate([q[:, 1:], q[:, -1:]], axis=1)
+        out = np.empty((q.shape[0], q.shape[1] * 2), dtype=np.int64)
+        out[:, 0::2] = q
+        out[:, 1::2] = (q + nxt + 1) >> 1
+        q = out
+    if ev:
+        nxt = np.concatenate([q[1:, :], q[-1:, :]], axis=0)
+        out = np.empty((q.shape[0] * 2, q.shape[1]), dtype=np.int64)
+        out[0::2, :] = q
+        out[1::2, :] = (q + nxt + 1) >> 1
+        q = out
+    return q
+
+
+def _hier_scan(payload, start, comps, sel, qt, hufftabs, fh, fw,
+               restart, diff, refs):
+    """One hierarchical frame's scan (sequential Huffman, sampling
+    factors 1, single interleaved scan). Non-differential frames
+    reconstruct level-shifted samples; differential frames decode the
+    DIFFERENCE (DC prediction is ZERO — there is no cross-block DC
+    prediction in differential frames) and add it to the reference.
+    Returns (planes, end_index); planes are integer sample arrays in
+    the unsigned domain, clamped like a real sample store."""
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        return None, start
+    bh, bw = -(-fh // 8), -(-fw // 8)
+    nc = len(comps)
+    planes = []
+    for ci in range(nc):
+        p = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        if diff:
+            if refs is None or ci >= len(refs):
+                return None, start
+            r = refs[ci]
+            p[: min(r.shape[0], p.shape[0]), : min(r.shape[1], p.shape[1])] = (
+                r[: p.shape[0], : p.shape[1]]
+            )
+        planes.append(p)
+    segs, end = _split_entropy_upto(payload, start)
+    seg_i = 0
+    br = _BitReader(segs[0])
+    preds = [0] * nc
+    mcu_i = 0
+    try:
+        for by in range(bh):
+            for bx in range(bw):
+                if restart and mcu_i and mcu_i % restart == 0:
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise EOFError
+                    br = _BitReader(segs[seg_i])
+                    preds = [0] * nc
+                mcu_i += 1
+                for ci, c in enumerate(comps):
+                    dc_t = hufftabs.get((0, sel[c["id"]][0]))
+                    ac_t = hufftabs.get((1, sel[c["id"]][1]))
+                    q = qt[c["tq"]]
+                    coef = np.zeros(64)
+                    t = br.huff(dc_t)
+                    d = br.receive_extend(t)
+                    if diff:
+                        coef[0] = d  # zero prediction
+                    else:
+                        preds[ci] += d
+                        coef[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = br.huff(ac_t)
+                        if rs == 0:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            return None, end
+                        coef[ZIGZAG[k]] = br.receive_extend(rs & 15)
+                        k += 1
+                    sp = _idct2(coef.reshape(8, 8) * q)  # natural order
+                    y0, x0 = by * 8, bx * 8
+                    if diff:
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] += np.round(
+                            sp
+                        ).astype(np.int64)
+                    else:
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = np.round(
+                            sp + 128
+                        ).astype(np.int64)
+    except EOFError:
+        pass  # truncated tail
+    planes = [np.clip(p, 0, 255)[:fh, :fw] for p in planes]
+    return planes, end
+
+
+def _decode_hierarchical(payload: bytes):
+    """T.81 Annex J hierarchical process: a DHP frame header, then a
+    pyramid of frames — a non-differential sequential first frame and
+    differential refinement frames, each optionally preceded by an EXP
+    marker doubling the reference resolution. Scope: 8-bit, Huffman,
+    sampling factors 1, one interleaved scan per frame (the form the
+    fixture encoder emits; no mainstream codec ships hierarchical
+    support to cross-check against, which this docstring records
+    honestly — the composition law tests verify each stage against the
+    standalone primitives instead)."""
+    try:
+        qt: dict[int, np.ndarray] = {}
+        hufftabs: dict[tuple[int, int], _Huff] = {}
+        H = W = 0
+        refs = None
+        frame = None  # (comps, fh, fw, diff)
+        restart = 0
+        i, n = 2, len(payload)
+        while i + 2 <= n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0xD9:
+                break
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > n:
+                break
+            (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            body = payload[i + 4 : i + 2 + seglen]
+            if marker == 0xDB:
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 15
+                    tbl = np.zeros(64)
+                    if pq == 0:
+                        tbl[ZIGZAG] = np.frombuffer(
+                            body, dtype=np.uint8, count=64, offset=j + 1
+                        )
+                        j += 65
+                    else:
+                        tbl[ZIGZAG] = np.frombuffer(
+                            body, dtype=">u2", count=64, offset=j + 1
+                        )
+                        j += 129
+                    qt[tq] = tbl.reshape(8, 8)
+            elif marker == 0xC4:
+                j = 0
+                while j < len(body):
+                    tc, th = body[j] >> 4, body[j] & 15
+                    counts = list(body[j + 1 : j + 17])
+                    nsym = sum(counts)
+                    hufftabs[(tc, th)] = _Huff(
+                        counts, list(body[j + 17 : j + 17 + nsym])
+                    )
+                    j += 17 + nsym
+            elif marker == 0xDE:  # DHP: final dimensions
+                if body[0] != 8:
+                    return None
+                H, W = struct.unpack(">HH", body[1:5])
+            elif marker == 0xDF:  # EXP: expand reference
+                if refs is None:
+                    return None
+                eh, ev = body[0] >> 4, body[0] & 15
+                refs = [_exp_upsample(p, eh, ev) for p in refs]
+            elif marker in (0xC0, 0xC1, 0xC5):
+                if body[0] != 8:
+                    return None
+                fh, fw = struct.unpack(">HH", body[1:5])
+                nc = body[5]
+                comps = []
+                for c in range(nc):
+                    cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                    comps.append(
+                        {"id": cid, "h": samp >> 4, "v": samp & 15,
+                         "tq": tq}
+                    )
+                frame = (comps, fh, fw, marker == 0xC5)
+            elif marker in (0xC2, 0xC3, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                return None  # frame kind outside the supported scope
+            elif marker == 0xDD:
+                (restart,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:
+                if frame is None:
+                    return None
+                comps, fh, fw, diff = frame
+                ns = body[0]
+                sel = {}
+                for c in range(ns):
+                    cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                    sel[cid] = (tabs >> 4, tabs & 15)
+                planes, i = _hier_scan(
+                    payload, i + 2 + seglen, comps, sel, qt, hufftabs,
+                    fh, fw, restart, diff, refs,
+                )
+                if planes is None:
+                    return None
+                refs = planes
+                continue
+            i += 2 + seglen
+        if refs is None or H == 0:
+            return None
+        out = [p.astype(np.float64)[:H, :W] for p in refs]
+        return _to_rgb(out)
+    except Exception:
+        return None
+
+
+def encode_hierarchical(rgb: np.ndarray, quality: int = 90,
+                        levels: int = 2) -> bytes:
+    """Hierarchical fixture encoder: a 2x-per-level pyramid — the
+    coarsest level as a non-differential sequential frame, then EXP +
+    differential frames coding input-minus-reference at each doubling.
+    The encoder SIMULATES the decoder (same quantized coefficients,
+    same IDCT rounding, same clamps), so the decode is exactly the
+    accumulated reconstruction the composition tests recompute from
+    the standalone primitives."""
+    h, w = rgb.shape[:2]
+    q = _quant_table(quality)
+    # level-0 YCbCr planes (unsigned domain)
+    f = rgb.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = (-0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1]
+          + 0.5 * f[:, :, 2] + 128)
+    cr = (0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1]
+          - 0.081312 * f[:, :, 2] + 128)
+    full = [np.round(p).astype(np.int64) for p in (y, cb, cr)]
+    pyramid = [full]
+    for _ in range(levels - 1):
+        prev = pyramid[0]
+        small = []
+        for p in prev:
+            ph = (p.shape[0] + 1) // 2
+            pw = (p.shape[1] + 1) // 2
+            pad = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                         mode="edge")
+            small.append(
+                (pad[0::2, 0::2] + pad[0::2, 1::2] + pad[1::2, 0::2]
+                 + pad[1::2, 1::2] + 2) // 4
+            )
+            assert small[-1].shape == (ph, pw)
+        pyramid.insert(0, small)
+
+    # wide flat Huffman tables shared by every frame
+    dc_counts = [0, 0, 0, 0, 17] + [0] * 11
+    dc_syms = list(range(17))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 15)
+    ]
+    ac_counts = [0] * 16
+    ac_counts[8] = len(ac_syms)
+    dc = _Huff(dc_counts, dc_syms)
+    ac = _Huff(ac_counts, ac_syms)
+
+    qz = np.zeros(64, dtype=np.uint8)
+    qz[np.arange(64)] = q.reshape(-1)[ZIGZAG]
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDE, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+                + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0])
+                + bytes([3, 0x11, 0]))
+    out += _seg(0xDB, bytes([0]) + qz.tobytes())
+    out += _seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    out += _seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+
+    def emit_frame(planes_in, refs, diff):
+        fh, fw = planes_in[0].shape
+        bh, bw = -(-fh // 8), -(-fw // 8)
+        bw8, bh8 = bw * 8, bh * 8
+        sof = 0xC5 if diff else 0xC0
+        seg = _seg(sof, bytes([8]) + struct.pack(">HH", fh, fw) + bytes([3])
+                   + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0])
+                   + bytes([3, 0x11, 0]))
+        seg += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        bwtr = _BitWriter()
+        preds = [0, 0, 0]
+        new_refs = []
+        # per-component padded sample/target grids
+        src = []
+        for ci in range(3):
+            t = np.zeros((bh8, bw8), dtype=np.int64)
+            p = planes_in[ci]
+            t[: p.shape[0], : p.shape[1]] = p
+            t[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+            t[:, p.shape[1] :] = t[:, p.shape[1] - 1 : p.shape[1]]
+            base = np.zeros((bh8, bw8), dtype=np.int64)
+            if diff:
+                r = refs[ci]
+                base[: min(r.shape[0], bh8), : min(r.shape[1], bw8)] = (
+                    r[:bh8, :bw8]
+                )
+            src.append((t, base))
+            new_refs.append(base.copy())
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(3):
+                    t, base = src[ci]
+                    y0, x0 = by * 8, bx * 8
+                    tgt = t[y0 : y0 + 8, x0 : x0 + 8].astype(np.float64)
+                    if diff:
+                        tgt = tgt - base[y0 : y0 + 8, x0 : x0 + 8]
+                    else:
+                        tgt = tgt - 128
+                    coef = np.round(_fdct2(tgt) / q).astype(np.int64)
+                    zz = np.zeros(64, dtype=np.int64)
+                    inv_zz = np.argsort(ZIGZAG)
+                    zz[inv_zz.reshape(8, 8).reshape(-1)] = coef.reshape(-1)
+                    # entropy-code the block
+                    dcv = int(zz[0])
+                    d = dcv if diff else dcv - preds[ci]
+                    if not diff:
+                        preds[ci] = dcv
+                    s, bits = _encode_coef(d)
+                    code, ln = dc.enc[s]
+                    bwtr.put(code, ln)
+                    if s:
+                        bwtr.put(bits, s)
+                    run = 0
+                    last_nz = max(
+                        (k for k in range(1, 64) if zz[k]), default=0
+                    )
+                    for k in range(1, last_nz + 1):
+                        if zz[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac.enc[0xF0]
+                            bwtr.put(code, ln)
+                            run -= 16
+                        s, bits = _encode_coef(int(zz[k]))
+                        code, ln = ac.enc[(run << 4) | s]
+                        bwtr.put(code, ln)
+                        bwtr.put(bits, s)
+                        run = 0
+                    if last_nz < 63:
+                        code, ln = ac.enc[0x00]
+                        bwtr.put(code, ln)
+                    # simulate the decoder's reconstruction
+                    blk = np.zeros(64)
+                    blk[ZIGZAG] = zz
+                    sp = _idct2(blk.reshape(8, 8) * q)
+                    if diff:
+                        new_refs[ci][y0 : y0 + 8, x0 : x0 + 8] = (
+                            base[y0 : y0 + 8, x0 : x0 + 8]
+                            + np.round(sp).astype(np.int64)
+                        )
+                    else:
+                        new_refs[ci][y0 : y0 + 8, x0 : x0 + 8] = np.round(
+                            sp + 128
+                        ).astype(np.int64)
+        bwtr.flush()
+        new_refs = [np.clip(p, 0, 255)[:fh, :fw] for p in new_refs]
+        return seg + bytes(bwtr.out), new_refs
+
+    seg, refs = emit_frame(pyramid[0], None, diff=False)
+    out += seg
+    for lvl in range(1, len(pyramid)):
+        out += _seg(0xDF, bytes([0x11]))  # expand both directions
+        refs = [_exp_upsample(p, 1, 1) for p in refs]
+        tgt = pyramid[lvl]
+        refs = [
+            r[: t.shape[0], : t.shape[1]] for r, t in zip(refs, tgt)
+        ]
+        seg, refs = emit_frame(tgt, refs, diff=True)
+        out += seg
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -22,8 +22,10 @@ IDCT, 4:4:4/4:2:2/4:2:0, restart markers, SOF2 spectral-selection +
 successive-approximation scans, and — r5 — SOF9/SOF10 arithmetic
 coding via the T.81 QM-coder in operators/jparith.py, 12-bit extended
 sequential, and SOF3 lossless predictive) — no imaging
-library needed. Remaining
-*compressed* codecs (hierarchical JPEG, lossy WebP, MP4/Opus…) are
+library needed (hierarchical
+DHP/EXP differential frames included — the full T.81 standard,
+r5 late). Remaining
+*compressed* codecs (lossy WebP, MP4/Opus…) are
 gated: no media libraries ship in this container, so decode
 raises a clear NotImplementedError for those magics (install Pillow/av
 and extend the parser; the mapInPandas plumbing is format-agnostic; the
@@ -766,7 +768,7 @@ def _pil_decode(payload: bytes):
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         raise NotImplementedError(
-            "compressed image PIXEL decode (hierarchical JPEG, "
+            "compressed image PIXEL decode ("
             "LOSSY WebP, sub-byte-depth PNG, malformed GIF) needs Pillow "
             "(`pip install Pillow`); 8-bit PNG (_png_decode), GIF "
             "(_gif_decode), baseline + progressive + arithmetic JPEG "

@@ -360,3 +360,90 @@ def test_lossless_jpeg_variants():
     pay = J.encode_lossless(img, predictor=4)
     cut = J.decode_baseline(pay[: len(pay) // 2])
     assert cut is None or cut.shape == (10, 12, 3)
+
+
+def test_hierarchical_jpeg_composition_law():
+    """Hierarchical (Annex J) decode equals the composition of the
+    standalone primitives: quantize/IDCT the coarse frame, EXP-upsample
+    (out[2i]=in[i], out[2i+1]=(a+b+1)>>1), add the decoded differential
+    coefficients — recomputed here independently of the codec's own
+    reference bookkeeping."""
+    import numpy as np
+
+    from clickhouse_learning_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(11)
+    img = (
+        np.kron(
+            rng.integers(0, 256, (2, 2, 3)).astype(float),
+            np.ones((8, 8, 1)),
+        )[:16, :16]
+    ).astype(np.uint8)
+    pay = J.encode_hierarchical(img, quality=90, levels=2)
+    out = J.decode_baseline(pay)
+    assert out is not None and out.shape == (16, 16, 3)
+
+    f = img.astype(np.float64)
+    planes0 = [
+        np.round(0.299 * f[:, :, 0] + 0.587 * f[:, :, 1]
+                 + 0.114 * f[:, :, 2]),
+        np.round(-0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1]
+                 + 0.5 * f[:, :, 2] + 128),
+        np.round(0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1]
+                 - 0.081312 * f[:, :, 2] + 128),
+    ]
+    q = J._quant_table(90)
+    sim = []
+    for p in (pp.astype(np.int64) for pp in planes0):
+        small = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]
+                 + p[1::2, 1::2] + 2) // 4
+        coef = np.round(J._fdct2(small.astype(float) - 128) / q)
+        rec = np.clip(np.round(J._idct2(coef * q) + 128), 0, 255)
+        up = J._exp_upsample(rec.astype(np.int64), 1, 1)
+        d = p - up
+        acc = np.zeros((16, 16), dtype=np.int64)
+        for by in range(2):
+            for bx in range(2):
+                db = d[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                dc = np.round(J._fdct2(db.astype(float)) / q)
+                acc[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    up[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    + np.round(J._idct2(dc * q)).astype(np.int64)
+                )
+        sim.append(np.clip(acc, 0, 255).astype(np.float64))
+    want = J._to_rgb(sim)
+    assert np.array_equal(out, want)
+
+
+def test_hierarchical_jpeg_levels_and_robustness():
+    import numpy as np
+
+    from clickhouse_learning_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, size=(5, 4, 3)).astype(np.float64)
+    img = np.clip(
+        np.kron(base, np.ones((8, 8, 1)))[:37, :27]
+        + rng.normal(0, 8, (37, 27, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    for levels in (1, 2, 3):
+        out = J.decode_baseline(
+            J.encode_hierarchical(img, quality=90, levels=levels)
+        )
+        assert out is not None and out.shape == (37, 27, 3)
+        # refinement keeps full-image quality at every pyramid depth
+        assert np.abs(out.astype(float) - img).mean() < 8.0
+    pay = J.encode_hierarchical(img, quality=90, levels=2)
+    for cut in (len(pay) // 3, len(pay) // 2, len(pay) - 5):
+        t = J.decode_baseline(pay[:cut])
+        assert t is None or t.dtype == np.uint8
+    import random
+
+    random.seed(5)
+    for _ in range(25):
+        p = bytearray(pay)
+        for _ in range(random.randint(1, 5)):
+            p[random.randrange(len(p))] = random.randrange(256)
+        t = J.decode_baseline(bytes(p))
+        assert t is None or t.dtype == np.uint8
