@@ -645,6 +645,51 @@ def wav_audio(media_id: int, sample_rate: int = 8000, n_samples: int = 4000) -> 
     return hdr + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
 
 
+def flac_audio(media_id: int, sample_rate: int = 8000,
+               n_samples: int = 4000) -> bytes:
+    """The SAME deterministic waveform as :func:`wav_audio`, encoded as
+    native FLAC (operators/flac.py) — lossless, so every downstream
+    feature is identical to the WAV twin's (the graded FLAC query
+    reuses the WAV-derived golden oracle on that basis)."""
+    import math
+
+    import numpy as np
+
+    from clickhouse_learning_spark.operators.flac import encode_flac
+
+    t = np.arange(n_samples, dtype=np.float64) / sample_rate
+    f1 = 110.0 + (media_id % 40) * 10.0
+    f2 = 2.0 * f1
+    wave = 0.6 * np.sin(2 * math.pi * f1 * t) + 0.3 * np.sin(2 * math.pi * f2 * t)
+    return encode_flac((wave * 32767).astype("<i2"), sample_rate)
+
+
+def _audio_pcm(payload: bytes):
+    """(sample_rate, n_samples, float64 pcm in [-1, 1)) for PCM16 WAV
+    or native-FLAC payloads, else None — the shared front end of every
+    audio stage (FLAC is lossless, so both containers yield identical
+    sample streams for the same source)."""
+    import numpy as np
+
+    parsed = _parse_wav(payload)
+    if parsed is not None:
+        sr, n, off = parsed
+        pcm = np.frombuffer(payload, dtype="<i2", count=n, offset=off).astype(
+            np.float64
+        ) / 32768.0
+        return sr, n, pcm
+    if payload is not None and payload[:4] == b"fLaC":
+        from clickhouse_learning_spark.operators.flac import decode_flac
+
+        r = decode_flac(payload)
+        if r is None:
+            return None
+        sr, chans = r
+        pcm = chans[0].astype(np.float64) / 32768.0
+        return sr, len(pcm), pcm
+    return None
+
+
 def _parse_wav(payload: bytes) -> tuple[int, int, int] | None:
     """(sample_rate, n_samples, data_offset) of a PCM16 mono WAV."""
     if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -968,8 +1013,12 @@ def resize_image(media: DataFrame, target: int = 32) -> DataFrame:
     )
 
 
-def build_audio_table(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One deterministic PCM16 WAV per doc (duration varies by id)."""
+def build_audio_table(spark, docs: DataFrame, id_col: str = "doc_id",
+                      fmt: str = "wav") -> DataFrame:
+    """One deterministic audio payload per doc (duration varies by
+    id): PCM16 WAV, or the lossless native-FLAC twin (fmt='flac')."""
+    if fmt not in ("wav", "flac"):
+        raise ValueError(f"fmt must be wav|flac, got {fmt!r}")
     pdf = docs.select(
         F.col(id_col).alias("media_id"),
         F.lit("audio").alias("kind"),
@@ -984,7 +1033,9 @@ def build_audio_table(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFra
                     "media_id": b["media_id"],
                     "kind": b["kind"],
                     "payload": [
-                        wav_audio(int(m), 8000, int(n))
+                        (flac_audio if fmt == "flac" else wav_audio)(
+                            int(m), 8000, int(n)
+                        )
                         for m, n in zip(b["media_id"], b["n"])
                     ],
                     "source": b["source"],
@@ -1000,7 +1051,7 @@ def build_audio_table(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFra
         "payload",
         F.struct(
             F.col("source"),
-            F.lit("audio/wav").alias("mime"),
+            F.lit("audio/flac" if fmt == "flac" else "audio/wav").alias("mime"),
             F.length("payload").cast("long").alias("bytes"),
         ).alias("meta"),
     )
@@ -1021,15 +1072,12 @@ def decode_audio_meta(media: DataFrame) -> DataFrame:
                 "rms": [],
             }
             for p in b["payload"]:
-                parsed = _parse_wav(p)
+                parsed = _audio_pcm(p)
                 if parsed is None:
                     for k in ("sample_rate", "n_samples", "duration_s", "rms"):
                         out[k].append(None)
                     continue
-                sr, n, off = parsed
-                pcm = np.frombuffer(p, dtype="<i2", count=n, offset=off).astype(
-                    np.float64
-                ) / 32768.0
+                sr, n, pcm = parsed
                 out["sample_rate"].append(sr)
                 out["n_samples"].append(n)
                 out["duration_s"].append(round(n / sr, 4))
@@ -1093,18 +1141,14 @@ def audio_spectral_features(
                     out[k].append(None)
 
             for p in b["payload"]:
-                parsed = _parse_wav(p)
+                parsed = _audio_pcm(p)
                 if parsed is None:
                     null_row()
                     continue
-                sr, n, off = parsed
+                sr, n, pcm = parsed
                 if n < n_fft:
                     null_row()
                     continue
-                pcm = (
-                    np.frombuffer(p, dtype="<i2", count=n, offset=off).astype(np.float64)
-                    / 32768.0
-                )
                 n_frames = 1 + (n - n_fft) // hop
                 idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
                 mag = np.abs(np.fft.rfft(pcm[idx] * window, axis=1)).mean(axis=0)

@@ -719,6 +719,8 @@ def _register_multimodal_goldens() -> None:
          "spectral_bandwidth", "rolloff_85", "zcr"],
         ["BIGINT", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE"],
     )
+    # FLAC is lossless and carries the same waveform → same golden
+    _ORACLES["audio_flac_spectral"] = _ORACLES["audio_spectral"]
 
 
 def multimodal_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -973,6 +975,31 @@ def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["audio_spectral"] = audio_spectral
+
+
+def audio_flac_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same spectral features over NATIVE-FLAC payloads (r5 late):
+    operators/flac.py — full-surface decoder (CONSTANT / VERBATIM /
+    FIXED / LPC subframes, Rice + escape partitions, stereo
+    decorrelation, CRC-8/CRC-16 integrity) with a real compressing
+    FIXED-predictor encoder. FLAC is LOSSLESS and the fixture carries
+    the SAME waveform as the WAV twin, so the independent-chain golden
+    oracle (tools/ref_audio.py from-scratch FFT) applies verbatim —
+    one wrong Rice parameter, predictor branch or CRC anywhere breaks
+    the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    audio = MM.build_audio_table(spark, docs, fmt="flac")
+    return MM.audio_spectral_features(audio).select(
+        "media_id",
+        "dominant_hz",
+        "spectral_centroid",
+        "spectral_bandwidth",
+        "rolloff_85",
+        "zcr",
+    )
+
+
+QUERIES["audio_flac_spectral"] = audio_flac_spectral
 
 
 @query(
