@@ -84,6 +84,11 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "embedding_kmeans",
+    # round-5 late additions: the hardest new TPC-H shapes + the
+    # map-only C4 line cleaner over the full corpus
+    "product_profit_by_nation_year",
+    "min_cost_supplier",
+    "c4_line_cleaning",
 ]
 
 # the subset that goes on the final stdout line (driver tail window is
