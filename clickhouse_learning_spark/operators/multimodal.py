@@ -725,6 +725,8 @@ def raw_video(media_id: int, n_frames: int, width: int, height: int) -> bytes:
 
 
 def _video_frames(payload: bytes) -> list[bytes] | None:
+    if payload is not None and payload[:4] == b"RIFF":
+        return _avi_frames(payload)  # AVI container (DIB / MJPG)
     if payload is None or payload[:4] != _VID_MAGIC:
         return None
     (n,) = struct.unpack(">I", payload[4:8])
@@ -1192,9 +1194,13 @@ def audio_spectral_features(
 
 
 def build_video_table(
-    spark, docs: DataFrame, id_col: str = "doc_id", n_frames: int = 12
+    spark, docs: DataFrame, id_col: str = "doc_id", n_frames: int = 12,
+    fmt: str = "rvid",
 ) -> DataFrame:
-    """One raw-container video per doc (RVID frame train of PPMs)."""
+    """One video per doc: the RVID frame train of PPMs, or a real AVI
+    container (fmt='avi_dib' uncompressed / 'avi_mjpg' Motion-JPEG)."""
+    if fmt not in ("rvid", "avi_dib", "avi_mjpg"):
+        raise ValueError(f"fmt must be rvid|avi_dib|avi_mjpg, got {fmt!r}")
     pdf = docs.select(
         F.col(id_col).alias("media_id"),
         F.lit("video").alias("kind"),
@@ -1208,7 +1214,12 @@ def build_video_table(
                     "media_id": b["media_id"],
                     "kind": b["kind"],
                     "payload": [
-                        raw_video(int(m), n_frames, int(m) % 16 + 8, int(m) % 12 + 8)
+                        raw_video(int(m), n_frames, int(m) % 16 + 8,
+                                  int(m) % 12 + 8)
+                        if fmt == "rvid"
+                        else avi_video(int(m), n_frames, int(m) % 16 + 8,
+                                       int(m) % 12 + 8,
+                                       codec=fmt.split("_")[1])
                         for m in b["media_id"]
                     ],
                     "source": b["source"],
@@ -1224,7 +1235,7 @@ def build_video_table(
         "payload",
         F.struct(
             F.col("source"),
-            F.lit("video/x-raw-ppm").alias("mime"),
+            F.lit("video/x-msvideo" if fmt.startswith("avi") else "video/x-raw-ppm").alias("mime"),
             F.length("payload").cast("long").alias("bytes"),
         ).alias("meta"),
     )
@@ -1267,3 +1278,123 @@ def resize_plan(media: DataFrame, target: int = 32) -> DataFrame:
         F.round(F.col("width") * scale).cast("int").alias("out_width"),
         F.round(F.col("height") * scale).cast("int").alias("out_height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AVI container (RIFF): DIB and Motion-JPEG video streams
+# ---------------------------------------------------------------------------
+
+
+def _avi_chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _avi_list(tag: bytes, body: bytes) -> bytes:
+    return _avi_chunk(b"LIST", tag + body)
+
+
+def avi_video(media_id: int, n_frames: int, width: int, height: int,
+              codec: str = "dib") -> bytes:
+    """A VALID AVI (RIFF) with one video stream: ``codec='dib'`` packs
+    uncompressed bottom-up BGR DIB frames ('00db' chunks, stride padded
+    to 4 — lossless, so frame pixels keep the closed-form fixture
+    formula for the SQL oracle); ``codec='mjpg'`` packs real baseline
+    JPEG frames ('00dc', the Motion-JPEG convention) decoded by the
+    native T.81 decoder downstream. Frame f's pixels use media id
+    ``media_id*1000 + f`` — the same schedule as the RVID container."""
+    import numpy as np
+
+    frames = []
+    for f in range(n_frames):
+        fid = media_id * 1000 + f
+        idx = np.arange(width * height * 3, dtype=np.uint64)
+        px = (
+            (np.uint64(fid) * np.uint64(2654435761)
+             + idx * np.uint64(40503)) & np.uint64(0xFF)
+        ).astype(np.uint8).reshape(height, width, 3)
+        if codec == "mjpg":
+            from clickhouse_learning_spark.operators.jpeg import (
+                encode_baseline,
+            )
+
+            frames.append((b"00dc", encode_baseline(px, quality=90)))
+        else:
+            stride = (3 * width + 3) & ~3
+            rows = np.zeros((height, stride), dtype=np.uint8)
+            rows[:, : 3 * width] = px[::-1, :, ::-1].reshape(height, -1)
+            frames.append((b"00db", rows.tobytes()))
+
+    fcc_handler = b"MJPG" if codec == "mjpg" else b"DIB "
+    compression = b"MJPG" if codec == "mjpg" else b"\x00\x00\x00\x00"
+    avih = struct.pack(
+        "<IIIIIIIIII", 33333, 0, 0, 0x10, n_frames, 0, 1, 0, width, height
+    ) + b"\x00" * 16
+    strh = (b"vids" + fcc_handler
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 30, 0, n_frames,
+                          0, 0xFFFFFFFF, 0)
+            + struct.pack("<HHHH", 0, 0, width, height))
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, compression,
+        len(frames[0][1]) if frames else 0, 0, 0, 0, 0,
+    )
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh)
+                    + _avi_chunk(b"strf", strf)),
+    )
+    movi = _avi_list(b"movi", b"".join(
+        _avi_chunk(tag, data) for tag, data in frames
+    ))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_frames(payload: bytes) -> list[bytes] | None:
+    """Frame payloads of an AVI: '00dc' (MJPG) chunks pass through as
+    the embedded JPEG bytes; '00db' DIB frames repack to binary PPM
+    (bottom-up BGR → top-down RGB) so every returned frame is
+    decodable by the image stages."""
+    import numpy as np
+
+    if (payload is None or payload[:4] != b"RIFF"
+            or payload[8:12] != b"AVI "):
+        return None
+    width = height = 0
+
+    def walk(buf, out):
+        nonlocal width, height
+        i = 0
+        while i + 8 <= len(buf):
+            fourcc = buf[i : i + 4]
+            (sz,) = struct.unpack("<I", buf[i + 4 : i + 8])
+            data = buf[i + 8 : i + 8 + sz]
+            if fourcc == b"LIST":
+                walk(data[4:], out)
+            elif fourcc == b"strf" and len(data) >= 40:
+                width = struct.unpack("<i", data[4:8])[0]
+                height = abs(struct.unpack("<i", data[8:12])[0])
+            elif fourcc[2:4] == b"dc":
+                out.append(bytes(data))
+            elif fourcc[2:4] == b"db" and width and height:
+                stride = (3 * width + 3) & ~3
+                if len(data) >= stride * height:
+                    rows = np.frombuffer(
+                        data, dtype=np.uint8, count=stride * height
+                    ).reshape(height, stride)
+                    rgb = rows[:, : 3 * width].reshape(
+                        height, width, 3
+                    )[::-1, :, ::-1]
+                    out.append(
+                        f"P6\n{width} {height}\n255\n".encode()
+                        + rgb.tobytes()
+                    )
+            i += 8 + sz + (sz & 1)
+
+    out: list[bytes] = []
+    try:
+        walk(payload[12:], out)
+    except Exception:
+        return None
+    return out or None

@@ -790,3 +790,38 @@ def test_c4_clean_rules(spark):
     assert rows[3]["n_lines_kept"] == 0 and rows[3]["cleaned_text"] == ""
     assert rows[4]["n_lines_kept"] == 3 and rows[4]["keep_page"] is False
     assert rows[5]["n_lines_kept"] == 3 and rows[5]["keep_page"] is False
+
+
+def test_avi_container_dib_and_mjpg():
+    """AVI RIFF walker: DIB frames repack to exact PPM (stride/flip/
+    BGR handled); MJPG frames pass through as real JPEGs decodable by
+    the native T.81 decoder and match a direct encode of the same
+    pixels."""
+    import numpy as np
+
+    from clickhouse_learning_spark.operators import multimodal as MM
+    from clickhouse_learning_spark.operators.jpeg import (
+        decode_baseline,
+        encode_baseline,
+    )
+
+    for codec in ("dib", "mjpg"):
+        pay = MM.avi_video(7, 4, 13, 10, codec=codec)  # odd width: stride pad
+        frames = MM._video_frames(pay)  # via the shared dispatcher
+        assert frames is not None and len(frames) == 4
+        for f_idx, frame in enumerate(frames):
+            fid = 7 * 1000 + f_idx
+            idx = np.arange(13 * 10 * 3, dtype=np.uint64)
+            px = (
+                (np.uint64(fid) * np.uint64(2654435761)
+                 + idx * np.uint64(40503)) & np.uint64(0xFF)
+            ).astype(np.uint8).reshape(10, 13, 3)
+            if codec == "dib":
+                assert frame == b"P6\n13 10\n255\n" + px.tobytes()
+            else:
+                got = decode_baseline(frame)
+                want = decode_baseline(encode_baseline(px, quality=90))
+                assert got is not None and np.array_equal(got, want)
+    # garbage tolerance
+    assert MM._avi_frames(b"RIFFxxxxAVI garbage") is None
+    assert MM._avi_frames(b"not riff") is None
