@@ -12,7 +12,7 @@ decode reproduces the PCM samples bit-exactly, which is what the
 round-trip tests and the graded audio query pin.
 
 The encoder half is a REAL compressing encoder (fixture generator):
-per-block best-of FIXED predictor orders 0-2 selected by residual
+per-block best-of FIXED predictor orders 0-4 selected by residual
 magnitude, Rice parameter fitted per block, spec-exact headers and
 CRCs.  LPC subframes are exercised by hand-built streams in
 tests/test_flac.py (the encoder never emits them, so the decode path
@@ -163,8 +163,6 @@ def _residuals(br: _Bits, blocksize: int, order: int) -> np.ndarray:
     escape = (1 << pbits) - 1
     porder = br.read(4)
     nparts = 1 << porder
-    if blocksize % nparts or blocksize >> porder <= order and nparts > 1:
-        pass  # tolerated: spec requires divisibility; fall through
     res = np.empty(blocksize - order, dtype=np.int64)
     idx = 0
     for part in range(nparts):
@@ -346,7 +344,7 @@ def _rice_param(res: np.ndarray) -> int:
 def encode_flac(pcm: np.ndarray, sample_rate: int = 8000,
                 block: int = 4096) -> bytes:
     """Real compressing mono FLAC encoder: per-block best FIXED
-    predictor (orders 0-2 by residual magnitude), one Rice partition
+    predictor (orders 0-4 by residual magnitude), one Rice partition
     with a fitted parameter, spec headers + CRC-8/CRC-16. ``pcm`` is
     int16; decode_flac(encode_flac(x)) == x bit-exactly."""
     pcm = np.asarray(pcm, dtype=np.int64)
@@ -406,7 +404,8 @@ def encode_flac(pcm: np.ndarray, sample_rate: int = 8000,
             v = int(v)
             u = (v << 1) ^ (v >> 63)  # zigzag
             q = u >> param
-            body.write(0, q) if q else None
+            if q:
+                body.write(0, q)
             body.write(1, 1)
             if param:
                 body.write(u & ((1 << param) - 1), param)
