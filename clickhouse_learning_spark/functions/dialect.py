@@ -139,23 +139,14 @@ _FD_MAP = {
 }
 
 
-def _format_datetime(args: list[str]) -> str:
-    """formatDateTime(t, '%-format') → date_format(t, 'java-pattern').
-    The format must be a plain string LITERAL (the codes are rewritten
-    textually); literal letter runs are pattern-quoted so they aren't
-    read as Java pattern letters. ISO-week codes (%G/%g/%V/%u) have no
-    Spark 3+ pattern equivalent and raise; a third timezone argument
-    raises (convert with to_utc_timestamp/from_utc_timestamp first)."""
-    if len(args) == 3:
-        raise ValueError(
-            "formatDateTime with a timezone argument: convert first via "
-            "from_utc_timestamp(t, tz), then format"
-        )
-    t, fmt = _two(args, "formatDateTime")
+def _mysql_pattern(fmt: str, fname: str) -> str:
+    """Rewrite a ClickHouse/MySQL %-format string LITERAL into a Java
+    date pattern (shared by formatDateTime and the parseDateTime
+    family)."""
     fm = re.fullmatch(r"'((?:[^']|'')*)'", fmt.strip())
     if not fm:
         raise ValueError(
-            "formatDateTime needs a literal format string to rewrite "
+            f"{fname} needs a literal format string to rewrite "
             "%-codes textually"
         )
     src = fm.group(1).replace("''", "'")
@@ -179,8 +170,8 @@ def _format_datetime(args: list[str]) -> str:
             piece = _FD_MAP.get(code)
             if piece is None:
                 raise ValueError(
-                    f"formatDateTime %-code %{code} has no Spark "
-                    "date_format equivalent (ISO-week codes need the "
+                    f"{fname} %-code %{code} has no Spark pattern "
+                    "equivalent (ISO-week codes need the "
                     "weekofyear()/toISOWeek() functions)"
                 )
             flush()
@@ -190,8 +181,63 @@ def _format_datetime(args: list[str]) -> str:
             lit.append(src[i])
             i += 1
     flush()
-    pattern = "".join(out).replace("'", "''")
+    return "".join(out).replace("'", "''")
+
+
+def _format_datetime(args: list[str]) -> str:
+    """formatDateTime(t, '%-format') → date_format(t, 'java-pattern').
+    The format must be a plain string LITERAL (the codes are rewritten
+    textually); literal letter runs are pattern-quoted so they aren't
+    read as Java pattern letters. ISO-week codes (%G/%g/%V/%u) have no
+    Spark 3+ pattern equivalent and raise; a third timezone argument
+    raises (convert with to_utc_timestamp/from_utc_timestamp first)."""
+    if len(args) == 3:
+        raise ValueError(
+            "formatDateTime with a timezone argument: convert first via "
+            "from_utc_timestamp(t, tz), then format"
+        )
+    t, fmt = _two(args, "formatDateTime")
+    pattern = _mysql_pattern(fmt, "formatDateTime")
     return f"date_format({t}, '{pattern}')"
+
+
+def _parse_datetime(args: list[str], fname: str, mode: str) -> str:
+    """parseDateTime[OrZero|OrNull](str, '%-format'): the MySQL-syntax
+    parser — the same %-code rewrite as formatDateTime feeding
+    to_timestamp. Strict mode raises on malformed input in BOTH
+    engines (ANSI to_timestamp ≙ CH's throwing parse); OrNull uses
+    try_to_timestamp; OrZero falls back to the 1970 epoch like CH."""
+    if len(args) == 3:
+        raise ValueError(
+            f"{fname} with a timezone argument: parse first, then "
+            "convert via to_utc_timestamp(t, tz)"
+        )
+    t, fmt = _two(args, fname)
+    pattern = _mysql_pattern(fmt, fname)
+    if mode == "strict":
+        return f"to_timestamp({t}, '{pattern}')"
+    if mode == "null":
+        return f"try_to_timestamp({t}, '{pattern}')"
+    return (f"coalesce(try_to_timestamp({t}, '{pattern}'), "
+            f"TIMESTAMP '1970-01-01 00:00:00')")
+
+
+def _parse_datetime_joda(args: list[str], fname: str, mode: str) -> str:
+    """parseDateTimeInJodaSyntax family: Joda patterns coincide with
+    Java date patterns for the supported letters, so the literal
+    passes through unchanged."""
+    if len(args) == 3:
+        raise ValueError(
+            f"{fname} with a timezone argument: parse first, then "
+            "convert via to_utc_timestamp(t, tz)"
+        )
+    t, fmt = _two(args, fname)
+    if mode == "strict":
+        return f"to_timestamp({t}, {fmt})"
+    if mode == "null":
+        return f"try_to_timestamp({t}, {fmt})"
+    return (f"coalesce(try_to_timestamp({t}, {fmt}), "
+            f"TIMESTAMP '1970-01-01 00:00:00')")
 
 
 def _multi_if(args: list[str]) -> str:
@@ -657,6 +703,32 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         f"'yyyyMMddHHmmss') AS BIGINT)"
     )
     m["formatDateTime"] = _format_datetime
+    for _nm, _md in (("parseDateTime", "strict"),
+                     ("parseDateTimeOrNull", "null"),
+                     ("parseDateTimeOrZero", "zero")):
+        m[_nm] = (lambda nm, md: lambda a: _parse_datetime(a, nm, md))(
+            _nm, _md)
+        jn = _nm.replace("parseDateTime", "parseDateTimeInJodaSyntax")
+        m[jn] = (lambda nm, md: lambda a: _parse_datetime_joda(a, nm, md))(
+            jn, _md)
+
+    # timeSlots(start, duration[, size=1800]): the size-aligned slot
+    # starts covering [start, start+duration] (CH returns DateTime[])
+    def _time_slots(a):
+        if len(a) == 2:
+            a = [*a, "1800"]
+        if len(a) != 3:
+            raise ValueError("timeSlots(start, duration[, size])")
+        st, dur, size = a
+        u = f"unix_seconds(CAST(({st}) AS TIMESTAMP))"
+        return (
+            f"transform(sequence("
+            f"CAST(floor({u} / ({size})) AS BIGINT) * ({size}), "
+            f"CAST(floor(({u} + ({dur})) / ({size})) AS BIGINT) * ({size}), "
+            f"CAST(({size}) AS BIGINT)), ts_v -> timestamp_seconds(ts_v))"
+        )
+
+    m["timeSlots"] = _time_slots
     m["formatDateTimeInJodaSyntax"] = lambda a: (
         # Joda patterns ARE Spark's date_format patterns
         lambda t, f: f"date_format({t}, {f})"
@@ -1889,6 +1961,48 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["mapFromArrays"] = lambda a: (
         lambda ks, vs: f"map_from_arrays({ks}, {vs})"
     )(*_two(a, "mapFromArrays"))
+
+    # mapAdd/mapSubtract over Map-typed args: map_zip_with unions the
+    # key sets, missing values count as 0 (CH's summing semantics).
+    # The legacy tuple-of-arrays signature has a different result type
+    # and gates with a pointer.
+    def _map_arith(a, name, op):
+        if len(a) < 2:
+            raise ValueError(f"{name} expects at least two maps")
+        for arg in a:
+            if arg.strip().startswith("("):
+                raise ValueError(
+                    f"{name} on the tuple-of-arrays form: build Maps "
+                    "first (mapFromArrays/CAST) — the Map overload is "
+                    "the supported one"
+                )
+        out = a[0]
+        for nxt in a[1:]:
+            out = (f"map_zip_with({out}, {nxt}, (ma_k, ma_a, ma_b) -> "
+                   f"coalesce(ma_a, 0) {op} coalesce(ma_b, 0))")
+        return out
+
+    m["mapAdd"] = lambda a: _map_arith(a, "mapAdd", "+")
+    m["mapSubtract"] = lambda a: _map_arith(a, "mapSubtract", "-")
+
+    # mapPopulateSeries(m[, max]): fill integer-key gaps with 0 from
+    # the smallest key up to max (default: the largest key present)
+    def _map_populate(a):
+        if len(a) == 1:
+            hi = "array_max(map_keys(mp_m))"
+        elif len(a) == 2:
+            hi = f"CAST(({a[1]}) AS BIGINT)"
+        else:
+            raise ValueError("mapPopulateSeries(map[, max])")
+        return _bind(a[0], "mp_m", _bind(
+            "array_min(map_keys(mp_m))", "mp_lo", _bind(
+                hi, "mp_hi",
+                "IF(size(map_keys(mp_m)) = 0, mp_m, "
+                "map_from_arrays(sequence(mp_lo, mp_hi), "
+                "transform(sequence(mp_lo, mp_hi), "
+                "mp_k -> coalesce(try_element_at(mp_m, mp_k), 0))))")))
+
+    m["mapPopulateSeries"] = _map_populate
     # CH writes the lambda FIRST (mapFilter((k, v) -> …, m)); Spark
     # LAST — same swap as arrayMap
     m["mapFilter"] = lambda a: (

@@ -1228,3 +1228,44 @@ def test_array_rotate_shift_partial_sort(spark):
         translate("SELECT arrayShiftLeft([1,2], 1)")
     with _pytest.raises(ValueError, match="nondeterministic"):
         translate("SELECT arrayShuffle([1,2,3])")
+
+
+def test_parse_datetime_timeslots_map_arith(spark):
+    """parseDateTime family (MySQL %-codes via the shared rewriter;
+    strict raises in both engines, OrNull/OrZero soften), timeSlots
+    slot alignment, and the Map arithmetic family (union keys, missing
+    = 0; integer-key gap fill)."""
+    import pytest as _pytest
+
+    r = spark.sql(translate(
+        "SELECT parseDateTime('2024-02-29 13:45:01', "
+        "'%Y-%m-%d %H:%i:%S') AS p1, "
+        "parseDateTimeOrNull('bogus', '%Y-%m-%d') AS p2, "
+        "parseDateTimeOrZero('bogus', '%Y-%m-%d') AS p3, "
+        "parseDateTimeInJodaSyntax('2024/02/29', 'yyyy/MM/dd') AS p4, "
+        "timeSlots(toDateTime('2024-01-01 10:05:00'), 3600, 1800) AS ts, "
+        "size(timeSlots(toDateTime('2024-01-01 10:05:00'), 600)) AS tsd, "
+        "mapAdd(map('a', 1, 'b', 2), map('b', 10, 'c', 3)) AS ma, "
+        "mapSubtract(map('a', 5), map('a', 2, 'z', 1)) AS ms, "
+        "mapPopulateSeries(map(1, 11, 4, 44)) AS mp, "
+        "mapPopulateSeries(map(1, 11, 3, 33), 5) AS mp2"
+    )).collect()[0]
+    assert str(r["p1"]) == "2024-02-29 13:45:01"
+    assert r["p2"] is None and str(r["p3"]).startswith("1970-01-01")
+    assert str(r["p4"]).startswith("2024-02-29")
+    assert [str(t)[11:16] for t in r["ts"]] == ["10:00", "10:30", "11:00"]
+    assert r["tsd"] == 1  # 10:05+600s stays inside the 10:00 slot
+    assert sorted(r["ma"].items()) == [("a", 1), ("b", 12), ("c", 3)]
+    assert sorted(r["ms"].items()) == [("a", 3), ("z", -1)]
+    assert sorted(r["mp"].items()) == [(1, 11), (2, 0), (3, 0), (4, 44)]
+    assert sorted(r["mp2"].items()) == [
+        (1, 11), (2, 0), (3, 33), (4, 0), (5, 0)]
+    with _pytest.raises(ValueError, match="tuple-of-arrays"):
+        translate("SELECT mapAdd(([1],[2]), ([1],[3]))")
+    with _pytest.raises(ValueError, match="timezone"):
+        translate("SELECT parseDateTime('x', '%Y', 'UTC')")
+    # strict parse of malformed input raises at runtime in both engines
+    with _pytest.raises(Exception):
+        spark.sql(translate(
+            "SELECT parseDateTime('nope', '%Y-%m-%d') AS x"
+        )).collect()
