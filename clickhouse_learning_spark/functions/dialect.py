@@ -1246,7 +1246,22 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["simpleJSONExtractString"] = _json_extract(None, "''")
     m["visitParamExtractString"] = _json_extract(None, "''")
 
-    m["arrayZip"] = lambda a: f"arrays_zip({', '.join(a)})"
+    # CH tuples address elements as .1/.2 (→ .col1/.col2 here), so the
+    # zip must emit col1… field names — Spark's arrays_zip would name
+    # them "0"/"1" (or after the input exprs) instead
+    def _array_zip(a):
+        if len(a) < 2:
+            raise ValueError("arrayZip expects at least two arrays")
+        if len(a) == 2:
+            return (f"zip_with({a[0]}, {a[1]}, (az_a, az_b) -> "
+                    f"struct(az_a AS col1, az_b AS col2))")
+        fields = ", ".join(
+            f"az_t.`{i}` AS col{i + 1}" for i in range(len(a))
+        )
+        return (f"transform(arrays_zip({', '.join(a)}), "
+                f"az_t -> struct({fields}))")
+
+    m["arrayZip"] = _array_zip
     m["arrayFlatten"] = lambda a: f"flatten({_one(a, 'arrayFlatten')})"
     m["arrayUniq"] = lambda a: (
         f"size(array_distinct({_one(a, 'arrayUniq')}))"

@@ -2172,3 +2172,73 @@ def ch_geo_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("id"),
         "gh", "dist_km", "in_box", "cell_lon", "cell_lat",
     )
+
+
+@query(
+    "ch_maps_datetime_dialect",
+    """
+    WITH e AS (
+      SELECT event_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS s,
+             CAST(floor(value) AS BIGINT) % 7 AS v,
+             CAST(epoch(ts) AS BIGINT) AS u
+      FROM events WHERE event_id % 37 = 0
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           strptime(s, '%Y-%m-%d %H:%M:%S') AS parsed,
+           CAST((CAST(floor((u + 3600) / 1800) AS BIGINT)
+                 - CAST(floor(u / 1800) AS BIGINT) + 1) AS INT)
+               AS n_slots,
+           'a:' || CAST(1 + v AS VARCHAR) || ',b:' || CAST(10 - v AS VARCHAR)
+               AS map_sum,
+           'k1:5,k2:0,k3:' || CAST(v AS VARCHAR) AS map_fill
+    FROM e
+    """,
+)
+def ch_maps_datetime_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: the parseDateTime / timeSlots / Map-arithmetic
+    surface under the hash gate. Timestamps format out and parse back
+    through the MySQL %-code rewriter (value-identical round trip);
+    timeSlots counts 30-minute slots covering a 1-hour window; mapAdd
+    unions keys with missing-as-0; mapPopulateSeries fills integer-key
+    gaps — map results serialize as sorted 'k:v' strings so both
+    engines compare exactly. The oracle re-derives the slot count in
+    epoch arithmetic and the map strings by construction."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 37 == 0
+    )
+    ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s"),
+        (F.col("value").cast("long") % 7).alias("v"),
+        F.col("ts").cast("timestamp").alias("t"),
+    ).createOrReplaceTempView("ch_mdt_events")
+    ch = """
+        SELECT event_id,
+               parseDateTime(s, '%Y-%m-%d %H:%i:%S') AS parsed,
+               toInt32(arrayCount(x -> isNotNull(x), timeSlots(t, 3600, 1800))) AS n_slots,
+               arrayStringConcat(arrayMap(
+                 x -> concat(x.1, ':', toString(x.2)),
+                 arraySort(arrayZip(
+                   mapKeys(mapAdd(map('a', 1, 'b', 10),
+                                  map('a', v, 'b', -v))),
+                   mapValues(mapAdd(map('a', 1, 'b', 10),
+                                    map('a', v, 'b', -v)))))), ',')
+                   AS map_sum,
+               arrayStringConcat(arrayMap(
+                 x -> concat('k', toString(x.1), ':', toString(x.2)),
+                 arraySort(arrayZip(
+                   mapKeys(mapPopulateSeries(map(1, 5, 3, v))),
+                   mapValues(mapPopulateSeries(map(1, 5, 3, v)))))), ',')
+                   AS map_fill
+        FROM ch_mdt_events
+    """
+    return spark.sql(translate(ch)).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "parsed", "n_slots", "map_sum", "map_fill",
+    )

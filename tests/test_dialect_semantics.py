@@ -1269,3 +1269,19 @@ def test_parse_datetime_timeslots_map_arith(spark):
         spark.sql(translate(
             "SELECT parseDateTime('nope', '%Y-%m-%d') AS x"
         )).collect()
+
+
+def test_array_zip_tuple_field_names(spark):
+    """arrayZip must yield tuples whose elements answer to CH's .1/.2
+    positional access (col1/col2… struct fields here) — Spark's raw
+    arrays_zip names fields after the input expressions instead."""
+    r = spark.sql(translate(
+        "SELECT arrayZip(['a','b'], [1,2]) AS z2, "
+        "arrayMap(t -> concat(t.1, toString(t.2)), "
+        "arrayZip(['x','y'], [7,8])) AS acc, "
+        "arrayMap(t -> t.3, arrayZip([1], [2], [30])) AS z3"
+    )).collect()[0]
+    assert [t.asDict() for t in r["z2"]] == [
+        {"col1": "a", "col2": 1}, {"col1": "b", "col2": 2}]
+    assert list(r["acc"]) == ["x7", "y8"]
+    assert list(r["z3"]) == [30]
