@@ -74,37 +74,123 @@ def _int_literal(s: str, what: str) -> int:
     return int(t)
 
 
-def _to_week_sql(a: list[str]) -> str:
-    """``toWeek(d[, mode])`` — MySQL WEEK(d, mode) numbering, which CH
-    adopts. Mode 0 (default): Sunday-start weeks 0–53, week 1 = the
-    first week containing a Sunday — week = ⌊(doy − fsd + 7)/7⌋ with
-    fsd = day-of-year of the year's first Sunday. Mode 1:
-    Monday-start weeks 0–53, week 1 = the first week with ≥ 4 days in
-    this year (ISO rule without the year wrap — early-January days
-    before week 1 are week 0, not last year's week). Mode 3 = ISO
-    (``weekofyear``). The remaining MySQL modes (2, 4–9) gate."""
+def _newyear_week_sql(x: str, monday: bool, yearweek: bool) -> str:
+    """ClickHouse week modes 8/9 (WeekModeFlag::NEWYEAR_DAY): week 1 is
+    the week CONTAINING January 1; weeks start Sunday (8) or Monday
+    (9); the week's year is the year of its last day, so late-December
+    dates roll into next year's week 1."""
+    def ws(d: str) -> str:
+        if monday:
+            return f"date_sub({d}, pmod(dayofweek({d}) + 5, 7))"
+        return f"date_sub({d}, dayofweek({d}) - 1)"
+
+    wsd = ws(x)
+    yr = f"year(date_add({wsd}, 6))"
+    week = (
+        f"(CAST(floor(datediff({wsd}, {ws(f'make_date({yr}, 1, 1)')}) / 7) "
+        f"AS INT) + 1)"
+    )
+    return f"CAST({yr} * 100 + {week} AS INT)" if yearweek else week
+
+
+def _week_general_sql(x: str, mode: int, yearweek: bool) -> str:
+    """MySQL WEEK(d, mode) numbering (which CH adopts) for the full
+    mode table, closed form. Flags after MySQL's ``week_mode``
+    normalization (FIRST_WEEKDAY flips when !MONDAY_FIRST; toYearWeek
+    forces the YEAR flag, mirroring CH's ToYearWeekImpl): with w0 =
+    Jan-1 weekday in the start-day convention (0 = week start day) and
+    the week-1 rule (FIRST_WEEKDAY: w0 == 0 — Jan 1 starts a week;
+    else: w0 < 4 — first week has >= 4 days this year), week 1 starts
+    at doy s1 = rule ? 1 - w0 : 8 - w0. Dates before s1 are week 0
+    (range-0 modes) or the previous year's last week (YEAR modes);
+    YEAR-mode dates on/after next year's week-1 start (diy + s1') are
+    its week 1. Verified branch-for-branch equivalent to a literal
+    transcription of MySQL's ``calc_week`` over 1950–2060 x modes 0–9
+    (tests/test_dialect_semantics.py pins the doc vector; the
+    differential suite sweeps random dates vs the same reference)."""
+    behaviour = mode & 7
+    if not (behaviour & 1):
+        behaviour ^= 4
+    if yearweek:
+        behaviour |= 2
+    monday = bool(behaviour & 1)
+    week_year = bool(behaviour & 2)
+    fw = bool(behaviour & 4)
+
+    def wconv(d: str) -> str:
+        return (f"pmod(dayofweek({d}) + 5, 7)" if monday
+                else f"(dayofweek({d}) - 1)")
+
+    def s1(d: str) -> str:
+        w = wconv(d)
+        cond = f"{w} = 0" if fw else f"{w} < 4"
+        return f"(CASE WHEN {cond} THEN 1 - {w} ELSE 8 - {w} END)"
+
+    jan1 = f"trunc({x}, 'YEAR')"
+    jan1p = f"add_months({jan1}, -12)"
+    jan1n = f"add_months({jan1}, 12)"
+    doy = f"dayofyear({x})"
+    early_wk = (
+        f"floor(({doy} + datediff({jan1}, {jan1p}) - {s1(jan1p)}) / 7) + 1"
+        if week_year else "0"
+    )
+    next_clause = (
+        f"WHEN {s1(jan1n)} <= 0 AND {doy} >= "
+        f"datediff({jan1n}, {jan1}) + {s1(jan1n)} THEN 1 "
+        if week_year else ""
+    )
+    week = (
+        f"(CASE WHEN {doy} < {s1(jan1)} THEN {early_wk} "
+        f"{next_clause}"
+        f"ELSE floor(({doy} - {s1(jan1)}) / 7) + 1 END)"
+    )
+    if not yearweek:
+        return f"CAST({week} AS INT)"
+    yr = f"year({x})"
+    year = (
+        f"(CASE WHEN {doy} < {s1(jan1)} THEN {yr} - 1 "
+        f"WHEN {s1(jan1n)} <= 0 AND {doy} >= "
+        f"datediff({jan1n}, {jan1}) + {s1(jan1n)} THEN {yr} + 1 "
+        f"ELSE {yr} END)"
+    )
+    return f"CAST({year} * 100 + {week} AS INT)"
+
+
+def _week_args(a: list[str], name: str) -> tuple[str, int]:
+    if not 1 <= len(a) <= 2:
+        raise ValueError(
+            f"{name}(date[, mode]) — the timezone overload is not "
+            "translated (sessions here are pinned to UTC)"
+        )
     x = a[0]
-    mode = _int_literal(a[1], "toWeek mode") if len(a) > 1 else 0
-    if mode == 0:
-        return (
-            f"CAST(floor((dayofyear({x}) - "
-            f"((8 - dayofweek(trunc({x}, 'YEAR'))) % 7 + 1) + 7) / 7) AS INT)"
-        )
-    if mode == 1:
-        # jan1_dow_mon: 0=Mon..6=Sun for Jan 1; the first partial week
-        # belongs to this year (week 1) iff it has >= 4 days
-        j = f"pmod(dayofweek(trunc({x}, 'YEAR')) + 5, 7)"
-        return (
-            f"CAST(floor((dayofyear({x}) - 1 + {j}) / 7) "
-            f"+ IF(7 - {j} >= 4, 1, 0) AS INT)"
-        )
+    mode = _int_literal(a[1], f"{name} mode") if len(a) > 1 else 0
+    if not 0 <= mode <= 9:
+        raise ValueError(f"{name} mode must be 0-9, got {mode}")
+    return x, mode
+
+
+def _to_week_sql(a: list[str]) -> str:
+    """``toWeek(d[, mode])`` — the full MySQL WEEK mode table 0–7 plus
+    CH's newyear-day modes 8/9. Mode 3 is ISO (``weekofyear``); the
+    rest go through the verified closed form in
+    :func:`_week_general_sql`."""
+    x, mode = _week_args(a, "toWeek")
     if mode == 3:
         return f"weekofyear({x})"
-    raise ValueError(
-        f"toWeek mode {mode} is not translated (modes 0, 1, 3 are; "
-        "the remaining MySQL week-mode table entries differ only in "
-        "first-day/range bookkeeping — file the mode you need)"
-    )
+    if mode >= 8:
+        return _newyear_week_sql(x, monday=bool(mode & 1), yearweek=False)
+    return _week_general_sql(x, mode, yearweek=False)
+
+
+def _to_year_week_sql(a: list[str]) -> str:
+    """``toYearWeek(d[, mode])`` = year*100 + week with the YEAR flag
+    forced (CH's ToYearWeekImpl ORs WeekModeFlag::YEAR), so early-
+    January dates report the previous year's last week and late-
+    December dates next year's week 1."""
+    x, mode = _week_args(a, "toYearWeek")
+    if mode >= 8:
+        return _newyear_week_sql(x, monday=bool(mode & 1), yearweek=True)
+    return _week_general_sql(x, mode, yearweek=True)
 
 
 def _to_day_of_week_sql(a: list[str]) -> str:
@@ -353,6 +439,7 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         if _sp is not None:
             m[_ch] = (lambda sp, ch: lambda a: f"{sp}({_one(a, ch)})")(_sp, _ch)
     m["toWeek"] = lambda a: _to_week_sql(a)
+    m["toYearWeek"] = lambda a: _to_year_week_sql(a)
     m["toStartOfQuarter"] = lambda a: (
         f"to_date(date_trunc('QUARTER', {_one(a, 'toStartOfQuarter')}))"
     )

@@ -2242,3 +2242,115 @@ def ch_maps_datetime_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("long").alias("event_id"),
         "parsed", "n_slots", "map_sum", "map_fill",
     )
+
+
+def _duck_week(day: str, mode: int, yearweek: bool = False) -> str:
+    """DuckDB re-derivation of MySQL/CH week numbering for the oracle
+    (DuckDB dayofweek is 0=Sunday..6=Saturday; DATE - DATE is integer
+    days), mirroring the closed form that
+    tests/test_dialect_semantics.py verifies against a literal
+    transcription of MySQL calc_week."""
+    if mode >= 8:
+        monday = bool(mode & 1)
+
+        def ws(d: str) -> str:
+            off = (f"((dayofweek({d}) + 6) % 7)" if monday
+                   else f"dayofweek({d})")
+            return f"({d} - CAST({off} AS INT))"
+
+        wsd = ws(day)
+        yr = f"year({wsd} + 6)"
+        wk = f"(({wsd} - {ws(f'make_date({yr}, 1, 1)')}) // 7 + 1)"
+        out = f"{yr} * 100 + {wk}" if yearweek else wk
+        return f"CAST({out} AS INT)"
+
+    behaviour = mode & 7
+    if not (behaviour & 1):
+        behaviour ^= 4
+    if yearweek:
+        behaviour |= 2
+    monday = bool(behaviour & 1)
+    week_year = bool(behaviour & 2)
+    fw = bool(behaviour & 4)
+
+    def wconv(d: str) -> str:
+        return (f"((dayofweek({d}) + 6) % 7)" if monday
+                else f"dayofweek({d})")
+
+    def s1(d: str) -> str:
+        w = wconv(d)
+        cond = f"{w} = 0" if fw else f"{w} < 4"
+        return f"(CASE WHEN {cond} THEN 1 - {w} ELSE 8 - {w} END)"
+
+    jan1 = f"date_trunc('year', {day})"
+    jan1p = f"make_date(year({day}) - 1, 1, 1)"
+    jan1n = f"make_date(year({day}) + 1, 1, 1)"
+    doy = f"dayofyear({day})"
+    early = (f"({doy} + ({jan1} - {jan1p}) - {s1(jan1p)}) // 7 + 1"
+             if week_year else "0")
+    nxt = (f"WHEN {s1(jan1n)} <= 0 AND {doy} >= "
+           f"({jan1n} - {jan1}) + {s1(jan1n)} THEN 1 "
+           if week_year else "")
+    week = (f"(CASE WHEN {doy} < {s1(jan1)} THEN {early} "
+            f"{nxt}ELSE ({doy} - {s1(jan1)}) // 7 + 1 END)")
+    if not yearweek:
+        return f"CAST({week} AS INT)"
+    yr = f"year({day})"
+    year = (f"(CASE WHEN {doy} < {s1(jan1)} THEN {yr} - 1 "
+            f"WHEN {s1(jan1n)} <= 0 AND {doy} >= "
+            f"({jan1n} - {jan1}) + {s1(jan1n)} THEN {yr} + 1 "
+            f"ELSE {yr} END)")
+    return f"CAST({year} * 100 + {week} AS INT)"
+
+
+_WEEK_FULL_COLS = ", ".join(
+    [f"{_duck_week('day', m)} AS w{m}" for m in (2, 4, 5, 6, 7, 8, 9)]
+    + [f"{_duck_week('day', m, yearweek=True)} AS yw{m}" for m in (0, 6, 9)]
+)
+
+
+@query(
+    "ch_week_modes_full_dialect",
+    f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) + CAST(event_id % 1100 AS INT) AS day
+      FROM events),
+    w AS (SELECT day, {_WEEK_FULL_COLS} FROM d)
+    SELECT w2, w4, w5, w6, w7, w8, w9, yw0, yw6, yw9,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w
+    GROUP BY w2, w4, w5, w6, w7, w8, w9, yw0, yw6, yw9
+    """,
+)
+def ch_week_modes_full_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the week-mode table (staged for the round-6 window;
+    ch_week_modes_dialect already grades 0/1/3): toWeek modes
+    2/4-9 and toYearWeek through pasted CH SQL, over event dates
+    spread deterministically across ~3 years of year boundaries. The
+    DuckDB oracle re-derives every mode from DuckDB's Sunday-based
+    dayofweek; the Spark closed form is independently pinned against
+    a literal MySQL calc_week transcription in
+    tests/test_dialect_semantics.py."""
+    from pyspark.sql import functions as _F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").selectExpr(
+        "date_add(CAST(ts AS DATE), CAST(event_id % 1100 AS INT)) AS day"
+    ).createOrReplaceTempView("ch_week_full_events")
+    mode_cols = ", ".join(
+        [f"toWeek(day, {m}) AS w{m}" for m in (2, 4, 5, 6, 7, 8, 9)]
+        + [f"toYearWeek(day, {m}) AS yw{m}" for m in (0, 6, 9)]
+    )
+    ch = f"""
+        SELECT w2, w4, w5, w6, w7, w8, w9, yw0, yw6, yw9,
+               count(*) AS n
+        FROM (SELECT {mode_cols} FROM ch_week_full_events)
+        GROUP BY w2, w4, w5, w6, w7, w8, w9, yw0, yw6, yw9
+    """
+    out = spark.sql(translate(ch))
+    cols = [_F.col(c).cast("int").alias(c)
+            for c in ("w2", "w4", "w5", "w6", "w7", "w8", "w9",
+                      "yw0", "yw6", "yw9")]
+    return out.select(*cols, _F.col("n").cast("long").alias("n"))

@@ -1285,3 +1285,105 @@ def test_array_zip_tuple_field_names(spark):
         {"col1": "a", "col2": 1}, {"col1": "b", "col2": 2}]
     assert list(r["acc"]) == ["x7", "y8"]
     assert list(r["z3"]) == [30]
+
+
+def _mysql_calc_week(d, mode, yearweek=False):
+    """Literal transcription of MySQL my_time.c calc_week (the
+    semantics CH adopts), plus CH's newyear-day modes 8/9 — the
+    independent reference the Catalyst closed form must match."""
+    import datetime as _dt
+
+    def days_in_year(y):
+        return 366 if (y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)) \
+            else 365
+
+    if mode >= 8:
+        monday = bool(mode & 1)
+
+        def ws(dd):
+            off = dd.weekday() if monday else (dd.weekday() + 1) % 7
+            return dd - _dt.timedelta(days=off)
+
+        w = ws(d)
+        yr = (w + _dt.timedelta(days=6)).year
+        wk = (w - ws(_dt.date(yr, 1, 1))).days // 7 + 1
+        return yr * 100 + wk if yearweek else wk
+
+    behaviour = mode & 7
+    if not (behaviour & 1):
+        behaviour ^= 4
+    if yearweek:
+        behaviour |= 2
+    monday_first = bool(behaviour & 1)
+    week_year = bool(behaviour & 2)
+    first_weekday = bool(behaviour & 4)
+    daynr = d.toordinal()
+    jan1 = _dt.date(d.year, 1, 1)
+    first_daynr = jan1.toordinal()
+    weekday = jan1.weekday() if monday_first else (jan1.weekday() + 1) % 7
+    year = d.year
+    if d.month == 1 and d.day <= 7 - weekday:
+        if not week_year and ((first_weekday and weekday != 0) or
+                              (not first_weekday and weekday >= 4)):
+            return year * 100 if yearweek else 0
+        week_year = True
+        year -= 1
+        days = days_in_year(year)
+        first_daynr -= days
+        weekday = (weekday + 53 * 7 - days) % 7
+    if (first_weekday and weekday != 0) or \
+            (not first_weekday and weekday >= 4):
+        days = daynr - (first_daynr + (7 - weekday))
+    else:
+        days = daynr - (first_daynr - weekday)
+    if week_year and days >= 52 * 7:
+        weekday = (weekday + days_in_year(year)) % 7
+        if (not first_weekday and weekday < 4) or \
+                (first_weekday and weekday == 0):
+            return (year + 1) * 100 + 1 if yearweek else 1
+    wk = days // 7 + 1
+    return year * 100 + wk if yearweek else wk
+
+
+def test_week_modes_full_table(spark):
+    """toWeek modes 0-9 and toYearWeek vs a literal transcription of
+    MySQL calc_week: the published doc vector for 2000-01-01, ISO year
+    wraps, and a seeded sweep concentrated on year boundaries."""
+    import datetime as _dt
+    import random as _random
+
+    assert [_mysql_calc_week(_dt.date(2000, 1, 1), m) for m in range(8)] \
+        == [0, 0, 52, 52, 0, 0, 52, 52]
+    assert _mysql_calc_week(_dt.date(2014, 12, 29), 3) == 1
+    assert _mysql_calc_week(_dt.date(2000, 1, 1), 0, True) == 199952
+
+    rng = _random.Random(20260815)
+    dates = []
+    for y in range(1996, 2031, 3):
+        for day in (1, 2, 3, 4, 5, 6, 7):
+            dates.append(_dt.date(y, 1, day))
+        for day in (25, 28, 29, 30, 31):
+            dates.append(_dt.date(y, 12, day))
+    for _ in range(40):
+        dates.append(_dt.date(1970, 1, 1)
+                     + _dt.timedelta(days=rng.randrange(0, 36500)))
+
+    sel = ", ".join(
+        f"toWeek(toDate(s), {m}) AS w{m}, "
+        f"toYearWeek(toDate(s), {m}) AS yw{m}"
+        for m in range(10)
+    )
+    df = spark.createDataFrame(
+        [(d.isoformat(),) for d in dates], "s string")
+    df.createOrReplaceTempView("week_fuzz_dates")
+    rows = spark.sql(translate(
+        f"SELECT s, toWeek(toDate(s)) AS wdef, toYearWeek(toDate(s)) "
+        f"AS ywdef, {sel} FROM week_fuzz_dates")).collect()
+    assert len(rows) == len(dates)
+    for r in rows:
+        d = _dt.date.fromisoformat(r["s"])
+        assert r["wdef"] == _mysql_calc_week(d, 0), (d, "default")
+        assert r["ywdef"] == _mysql_calc_week(d, 0, True), (d, "ywdef")
+        for m in range(10):
+            assert r[f"w{m}"] == _mysql_calc_week(d, m), (d, m)
+            assert r[f"yw{m}"] == _mysql_calc_week(d, m, True), (d, m, "yw")
