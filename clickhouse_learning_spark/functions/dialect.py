@@ -67,6 +67,17 @@ def _raise_gate(msg: str) -> str:
     raise ValueError(msg)
 
 
+def _string_literal_len(s: str) -> int | None:
+    """Character count of a quoted string literal, or None when the
+    expression is not a plain literal (escapes count as one char)."""
+    t = s.strip()
+    mtch = re.fullmatch(r"'((?:[^'\\]|\\.|'')*)'", t)
+    if not mtch:
+        return None
+    body = mtch.group(1)
+    return len(re.findall(r"\\.|''|.", body))
+
+
 def _int_literal(s: str, what: str) -> int:
     t = s.strip()
     if not re.fullmatch(r"-?\d+", t):
@@ -440,6 +451,30 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             m[_ch] = (lambda sp, ch: lambda a: f"{sp}({_one(a, ch)})")(_sp, _ch)
     m["toWeek"] = lambda a: _to_week_sql(a)
     m["toYearWeek"] = lambda a: _to_year_week_sql(a)
+
+    # Modified Julian Day: day 0 = 1858-11-17. CH's documented domain is
+    # 0000-01-01..9999-12-31; Spark's proleptic calendar starts at
+    # 0001-01-01 (MJD -678575), so the OrNull guards clamp there — the
+    # lone year-0 day range differs only in which error/NULL you get.
+    m["toModifiedJulianDay"] = lambda a: (
+        f"datediff(CAST({_one(a, 'toModifiedJulianDay')} AS DATE), "
+        f"DATE '1858-11-17')"
+    )
+    m["toModifiedJulianDayOrNull"] = lambda a: (
+        f"datediff(try_to_timestamp({_one(a, 'toModifiedJulianDayOrNull')}, "
+        f"'yyyy-MM-dd'), DATE '1858-11-17')"
+    )
+    m["fromModifiedJulianDay"] = lambda a: (
+        f"date_format(date_add(DATE '1858-11-17', "
+        f"CAST({_one(a, 'fromModifiedJulianDay')} AS INT)), 'yyyy-MM-dd')"
+    )
+    m["fromModifiedJulianDayOrNull"] = lambda a: (
+        lambda n: (
+            f"(CASE WHEN {n} BETWEEN -678575 AND 2973483 THEN "
+            f"date_format(date_add(DATE '1858-11-17', CAST({n} AS INT)), "
+            f"'yyyy-MM-dd') END)"
+        )
+    )(_one(a, "fromModifiedJulianDayOrNull"))
     m["toStartOfQuarter"] = lambda a: (
         f"to_date(date_trunc('QUARTER', {_one(a, 'toStartOfQuarter')}))"
     )
@@ -839,6 +874,38 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # float rule wins the mapping.
     m["round"] = lambda a: f"bround({', '.join(a)})"
     m["roundBankers"] = lambda a: f"bround({', '.join(a)})"
+
+    # roundDuration / roundAge: documented fixed ladders (session-length
+    # and age buckets); roundToExp2: 0 below 1, else the largest power
+    # of two <= x — exact via the binary digit count of floor(x), which
+    # agrees with 2^floor(log2(x)) for all x >= 1 because power-of-two
+    # boundaries are integers (no float log2 rounding hazard).
+    def _bucket_ladder(x: str, ladder: list[int]) -> str:
+        arms = " ".join(
+            f"WHEN {x} >= {v} THEN {v}" for v in reversed(ladder)
+        )
+        return f"(CASE {arms} ELSE 0 END)"
+
+    _DURATION_LADDER = [1, 10, 30, 60, 120, 180, 240, 300, 600,
+                        1200, 1800, 3600, 7200, 18000, 36000]
+    m["roundDuration"] = lambda a: _bucket_ladder(
+        _one(a, "roundDuration"), _DURATION_LADDER
+    )
+    m["roundAge"] = lambda a: (
+        lambda x: (
+            f"(CASE WHEN {x} < 1 THEN 0 WHEN {x} < 18 THEN 17 "
+            f"WHEN {x} < 25 THEN 18 WHEN {x} < 35 THEN 25 "
+            f"WHEN {x} < 45 THEN 35 WHEN {x} < 55 THEN 45 "
+            f"ELSE 55 END)"
+        )
+    )(_one(a, "roundAge"))
+    m["roundToExp2"] = lambda a: (
+        lambda x: (
+            f"(CASE WHEN {x} < 1 THEN 0 ELSE "
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"length(conv(CAST({x} AS BIGINT), 10, 2)) - 1) END)"
+        )
+    )(_one(a, "roundToExp2"))
     m["base64Encode"] = lambda a: f"base64({_one(a, 'base64Encode')})"
     m["base64Decode"] = lambda a: (
         f"CAST(unbase64({_one(a, 'base64Decode')}) AS STRING)"
@@ -1011,6 +1078,44 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["trimLeft"] = lambda a: f"ltrim({_one(a, 'trimLeft')})"
     m["trimRight"] = lambda a: f"rtrim({_one(a, 'trimRight')})"
     m["trimBoth"] = lambda a: f"trim({_one(a, 'trimBoth')})"
+
+    # CH concatWithSeparator (alias concat_ws) returns NULL when ANY
+    # argument is NULL; Spark's concat_ws skips NULL pieces — guard
+    # explicitly. Mapping Spark's own name too is deliberate: pasted CH
+    # SQL saying concat_ws means the CH semantics.
+    def _concat_ws(a: list[str]) -> str:
+        if len(a) < 2:
+            raise ValueError("concatWithSeparator(sep, s1[, ...])")
+        guard = " OR ".join(f"({x}) IS NULL" for x in a)
+        return (f"(CASE WHEN {guard} THEN NULL "
+                f"ELSE concat_ws({', '.join(a)}) END)")
+
+    m["concatWithSeparator"] = _concat_ws
+    m["concat_ws"] = _concat_ws
+
+    # translate/translateUTF8: CH requires equal-length from/to and
+    # errors otherwise; Spark's translate DELETES characters when `to`
+    # is shorter — a silent divergence, so unequal literal lengths gate
+    # at translate time (non-literal args pass through; CH would have
+    # rejected non-constant maps anyway).
+    def _translate_chars(a: list[str], name: str) -> str:
+        x, frm, to = _three(a, name)
+        lf, lt = _string_literal_len(frm), _string_literal_len(to)
+        if lf is not None and lt is not None and lf != lt:
+            raise ValueError(
+                f"{name}: from/to must be the same length in ClickHouse "
+                f"(got {lf} vs {lt}); Spark would silently delete "
+                "characters instead"
+            )
+        return f"translate({x}, {frm}, {to})"
+
+    m["translate"] = lambda a: _translate_chars(a, "translate")
+    m["translateUTF8"] = lambda a: _translate_chars(a, "translateUTF8")
+
+    # Spark string columns are already validated UTF-8 (invalid bytes
+    # were replaced at the binary->string boundary), so CH's
+    # toValidUTF8 is the identity here.
+    m["toValidUTF8"] = lambda a: _one(a, "toValidUTF8")
     m["lengthUTF8"] = lambda a: f"length({_one(a, 'lengthUTF8')})"
     m["substringUTF8"] = lambda a: f"substring({', '.join(a)})"
     m["leftPad"] = lambda a: f"lpad({', '.join(a)})"
@@ -2204,6 +2309,22 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         )(_sp, _ch)
     m["skewPop"] = lambda a: f"skewness({_one(a, 'skewPop')})"
     m["kurtPop"] = lambda a: f"kurtosis({_one(a, 'kurtPop')})"
+    # *Stable variants: identical math with a numerically-stable
+    # accumulator — Spark's builtins already use the two-pass/merge
+    # formulations, so they map to the same functions.
+    for _ch, _sp in (("corrStable", "corr"),
+                     ("covarPopStable", "covar_pop"),
+                     ("covarSampStable", "covar_samp")):
+        m[_ch] = (
+            lambda sp, ch: lambda a: (
+                lambda x, y: f"{sp}({x}, {y})"
+            )(*_two(a, ch))
+        )(_sp, _ch)
+    for _ch, _sp in (("varPopStable", "var_pop"),
+                     ("varSampStable", "var_samp"),
+                     ("stddevPopStable", "stddev_pop"),
+                     ("stddevSampStable", "stddev_samp")):
+        m[_ch] = (lambda sp, ch: lambda a: f"{sp}({_one(a, ch)})")(_sp, _ch)
     m["anyHeavy"] = lambda a: f"mode({_one(a, 'anyHeavy')})"
     # sumKahan: compensated summation — Spark's DOUBLE sum is plain
     # IEEE accumulation (partial sums per partition actually REDUCE
@@ -2599,6 +2720,19 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
 
     # -- exact median -------------------------------------------------------
     m["median"] = lambda a: f"percentile({_one(a, 'median')}, 0.5)"
+    # medianDeterministic(x, determinator): CH's deterministic reservoir
+    # is the identity below its 8192-sample capacity, where the result
+    # is the same interpolated quantile `median` maps to; beyond that CH
+    # subsamples and we stay exact (same stance as the plain
+    # `quantile`->percentile mapping). The determinator only seeds the
+    # reservoir, so it is validated for arity and dropped.
+    m["medianDeterministic"] = lambda a: (
+        lambda x, _d: f"percentile({x}, 0.5)"
+    )(*_two(a, "medianDeterministic"))
+    # bare quantileDeterministic(x, d) defaults the level to 0.5
+    m["quantileDeterministic"] = lambda a: (
+        lambda x, _d: f"percentile({x}, 0.5)"
+    )(*_two(a, "quantileDeterministic"))
     m["medianExact"] = lambda a: _median_exact_sql(
         f"collect_list({_one(a, 'medianExact')})"
     )
@@ -3473,6 +3607,18 @@ def _sequence_count_sql(p: list[str], a: list[str]) -> str:
 
 _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    # Deterministic variants: reservoir-with-determinator is the
+    # identity below its 8192-sample capacity (where CH is the same
+    # interpolated quantile); the determinator argument is arity-checked
+    # and dropped (see medianDeterministic).
+    "quantileDeterministic": lambda p, a: (
+        f"percentile({_two(a, 'quantileDeterministic')[0]}, "
+        f"{p[0] if p else '0.5'})"
+    ),
+    "quantilesDeterministic": lambda p, a: (
+        f"percentile({_two(a, 'quantilesDeterministic')[0]}, "
+        f"array({', '.join(p)}))"
+    ),
     "quantileExact": lambda p, a: (
         # ClickHouse quantileExact: 0-based index floor(level·n) into the
         # sorted values, clamped to the last element (no interpolation) —

@@ -530,6 +530,32 @@ CASES = [
       "json_extract_string({0}, '$.k')", [g_json]),
     C("JSONExtractInt", "JSONExtractInt({0}, 'n')",
       "CAST(json_extract({0}, '$.n') AS BIGINT)", [g_json]),
+    # ---- r5-late batch: ladders, MJD, separators --------------------
+    C("roundDuration", "roundDuration({0})",
+      "(SELECT coalesce(max(v), 0) FROM (VALUES (1), (10), (30), (60), "
+      "(120), (180), (240), (300), (600), (1200), (1800), (3600), "
+      "(7200), (18000), (36000)) t(v) WHERE v <= ({0}))",
+      [lambda r: r.randint(0, 40000)]),
+    C("roundAge", "roundAge({0})",
+      "(CASE WHEN ({0}) < 1 THEN 0 WHEN ({0}) < 18 THEN 17 "
+      "WHEN ({0}) < 25 THEN 18 WHEN ({0}) < 35 THEN 25 "
+      "WHEN ({0}) < 45 THEN 35 WHEN ({0}) < 55 THEN 45 ELSE 55 END)",
+      [lambda r: r.randint(0, 120)]),
+    C("roundToExp2", "roundToExp2({0})",
+      # independent derivation: largest power of two <= x via float
+      # log2 with an off-by-one guard (safe in DuckDB's domain here)
+      "(CASE WHEN ({0}) < 1 THEN 0 ELSE CAST(power(2, CAST(floor("
+      "log2(CAST(({0}) AS DOUBLE) + 0.5)) AS INT)) AS BIGINT) END)",
+      [lambda r: r.randint(0, 10**6)]),
+    C("toModifiedJulianDay", "toModifiedJulianDay(toString({0}))",
+      "(CAST(({0}) AS DATE) - DATE '1858-11-17')", [gd]),
+    C("fromModifiedJulianDay", "fromModifiedJulianDay({0})",
+      "strftime(DATE '1858-11-17' + CAST(({0}) AS INT), '%Y-%m-%d')",
+      [lambda r: r.randint(-678575, 2973483)]),
+    C("concatWithSeparator",
+      "concatWithSeparator('-', toString({0}), toString({1}))",
+      "concat(CAST(({0}) AS VARCHAR), '-', CAST(({1}) AS VARCHAR))",
+      [gpos, gpos]),
 ]
 
 

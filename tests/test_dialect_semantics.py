@@ -1387,3 +1387,56 @@ def test_week_modes_full_table(spark):
         for m in range(10):
             assert r[f"w{m}"] == _mysql_calc_week(d, m), (d, m)
             assert r[f"yw{m}"] == _mysql_calc_week(d, m, True), (d, m, "yw")
+
+
+def test_round_ladders_mjd_and_misc_batch(spark):
+    """roundDuration/roundAge documented ladders, roundToExp2 power-of-
+    two floor, Modified Julian Day round trips, NULL-propagating
+    concatWithSeparator, equal-length translate, *Stable stats, and
+    deterministic quantiles (determinator dropped)."""
+    import pytest as _pytest
+
+    r = spark.sql(translate(
+        "SELECT roundDuration(230) AS rd1, roundDuration(0) AS rd2, "
+        "roundDuration(36001) AS rd3, "
+        "roundAge(0) AS ra0, roundAge(17) AS ra17, roundAge(23) AS ra23, "
+        "roundAge(44) AS ra44, roundAge(100) AS ra100, "
+        "roundToExp2(0) AS re0, roundToExp2(1) AS re1, "
+        "roundToExp2(300) AS re300, roundToExp2(1024) AS re1024, "
+        "toModifiedJulianDay('1858-11-17') AS mjd0, "
+        "toModifiedJulianDay('2020-01-01') AS mjd1, "
+        "fromModifiedJulianDay(58849) AS fmjd, "
+        "toModifiedJulianDayOrNull('bogus') AS mjdn, "
+        "fromModifiedJulianDayOrNull(99999999) AS fmjdn, "
+        "concatWithSeparator('-', 'a', 'b') AS cw1, "
+        "concat_ws(',', 'x', CAST(NULL AS STRING)) AS cw2, "
+        "translate('abca', 'ab', 'xy') AS tr1, "
+        "toValidUTF8('plain') AS tv"
+    )).collect()[0]
+    assert (r["rd1"], r["rd2"], r["rd3"]) == (180, 0, 36000)
+    assert (r["ra0"], r["ra17"], r["ra23"], r["ra44"], r["ra100"]) == \
+        (0, 17, 18, 35, 55)
+    assert (r["re0"], r["re1"], r["re300"], r["re1024"]) == (0, 1, 256, 1024)
+    assert r["mjd0"] == 0 and r["mjd1"] == 58849
+    assert r["fmjd"] == "2020-01-01"
+    assert r["mjdn"] is None and r["fmjdn"] is None
+    assert r["cw1"] == "a-b" and r["cw2"] is None  # CH: any NULL -> NULL
+    assert r["tr1"] == "xycx" and r["tv"] == "plain"
+
+    g = spark.sql(translate(
+        "SELECT corrStable(x, y) AS c, varPopStable(x) AS v, "
+        "stddevSampStable(y) AS s, "
+        "medianDeterministic(x, 17) AS md, "
+        "quantileDeterministic(0.5)(x, 17) AS qd, "
+        "quantilesDeterministic(0.0, 1.0)(y, 17) AS qsd "
+        "FROM VALUES (1.0, 2.0), (2.0, 4.0), (3.0, 7.0) AS t(x, y)"
+    )).collect()[0]
+    assert abs(g["c"] - 0.9933992677987828) < 1e-9
+    assert abs(g["v"] - 2.0 / 3.0) < 1e-12
+    assert g["md"] == 2.0 and g["qd"] == 2.0
+    assert list(g["qsd"]) == [2.0, 7.0]
+
+    with _pytest.raises(ValueError, match="same length"):
+        translate("SELECT translate(s, 'ab', 'xyz')")
+    with _pytest.raises(ValueError, match="same length"):
+        translate("SELECT translateUTF8(s, 'abc', 'x')")
