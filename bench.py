@@ -712,6 +712,39 @@ def main() -> None:
     _nb_model.word_llr.unpersist()
     _nb_model.consts.unpersist()
 
+    # Logistic-regression quality classifier (operators/logreg.py, r5
+    # late): 1M docs, 3 features — train = 6 Newton iterations, each
+    # ONE map-side-combinable aggregation down to 9 doubles + a
+    # driver-side 3x3 solve; score against prebuilt weights is
+    # map-only codegen. The feature frame is persisted (the
+    # steady-state shape: features computed once, reused per pass).
+    from clickhouse_learning_spark.operators import logreg as _LR
+
+    lr_feats = spark.range(1_000_000).select(
+        F.lit(1.0).alias("x0"),
+        ((F.col("id") % 997).cast("double") / 499.0 - 1.0).alias("x1"),
+        ((F.col("id") % 101).cast("double") / 50.0 - 1.0).alias("x2"),
+        ((F.col("id") % 997 > 520) == (F.col("id") % 3 > 0))
+        .cast("double")
+        .alias("y"),
+    )
+    lr_feats.persist().count()
+    timings["lr_train_1m_synthetic"] = best_of(
+        runs,
+        lambda: _LR.train_logreg(
+            lr_feats, ["x0", "x1", "x2"], "y", iters=6
+        ),
+    )
+    _lr_w = _LR.train_logreg(lr_feats, ["x0", "x1", "x2"], "y", iters=6)
+    timings["lr_score_1m_prebuilt"] = best_of(
+        runs,
+        lambda: _LR.score_logreg(lr_feats, ["x0", "x1", "x2"], _lr_w)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    lr_feats.unpersist()
+
     # LTTB downsampling (functions/lttb.py, r4 late): 2M points in 200
     # series → 500 representatives each, through the grouped-agg Arrow
     # UDF — measures the one Python stage this operator has (per-group

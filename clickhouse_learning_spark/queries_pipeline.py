@@ -2276,3 +2276,105 @@ def video_avi_frame_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["video_avi_frame_sums"] = video_avi_frame_sums
+
+
+# ---- logistic-regression quality classifier (operators/logreg.py) ----
+
+_LR_RIDGE = 0.001
+_LR_ITERS = 6
+# identical feature expressions on both engines: intercept, chars/400,
+# ' the ' occurrences / 3 (an English-ness signal)
+_LR_FEATS_DUCK = (
+    "1.0 AS x0, n_chars / 400.0 AS x1, "
+    "((length(text) - length(replace(text, ' the ', ''))) / 5.0) / 3.0 "
+    "AS x2, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y"
+)
+
+
+def _det3(m: list[list[str]]) -> str:
+    (a, b, c), (d, e, f), (g, h, i) = m
+    return (f"(({a})*(({e})*({i}) - ({f})*({h})) "
+            f"- ({b})*(({d})*({i}) - ({f})*({g})) "
+            f"+ ({c})*(({d})*({h}) - ({e})*({g})))")
+
+
+def _duck_irls_sql() -> str:
+    """Unrolled ridge-Newton in plain DuckDB SQL: per iteration, one
+    aggregate CTE with the 6 Hessian + 3 gradient sums and a 1-row
+    weight CTE solving the 3x3 system by Cramer's rule — a fully
+    independent re-derivation of train_logreg's math (numpy LU there,
+    cofactor expansion here)."""
+    lam = repr(_LR_RIDGE)
+    parts = [
+        f"WITH f AS (SELECT doc_id, {_LR_FEATS_DUCK} FROM documents)",
+        "w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)",
+    ]
+    for t in range(1, _LR_ITERS + 1):
+        p = f"w{t - 1}"
+        parts.append(
+            f"s{t} AS (SELECT "
+            "sum(s*x0*x0) AS h00, sum(s*x0*x1) AS h01, "
+            "sum(s*x0*x2) AS h02, sum(s*x1*x1) AS h11, "
+            "sum(s*x1*x2) AS h12, sum(s*x2*x2) AS h22, "
+            "sum((y-mu)*x0) AS g0, sum((y-mu)*x1) AS g1, "
+            "sum((y-mu)*x2) AS g2 FROM ("
+            "SELECT x0, x1, x2, y, mu, mu*(1.0-mu) AS s FROM ("
+            "SELECT f.*, 1.0/(1.0+exp(-(b0*x0+b1*x1+b2*x2))) AS mu "
+            f"FROM f, {p})))"
+        )
+        hm = [[f"h00+{lam}", "h01", "h02"],
+              ["h01", f"h11+{lam}", "h12"],
+              ["h02", "h12", f"h22+{lam}"]]
+        rhs = [f"(g0-{lam}*b0)", f"(g1-{lam}*b1)", f"(g2-{lam}*b2)"]
+        det = _det3(hm)
+        deltas = []
+        for i in range(3):
+            mi = [row[:] for row in hm]
+            for r in range(3):
+                mi[r][i] = rhs[r]
+            deltas.append(f"({_det3(mi)}) / ({det})")
+        parts.append(
+            f"w{t} AS (SELECT b0 + {deltas[0]} AS b0, "
+            f"b1 + {deltas[1]} AS b1, b2 + {deltas[2]} AS b2 "
+            f"FROM s{t}, {p})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT doc_id, CAST(y AS BIGINT) AS y,
+           round(1.0/(1.0+exp(-(b0*x0+b1*x1+b2*x2))), 4) AS prob
+    FROM f, w{_LR_ITERS}
+    """
+    )
+
+
+@query("lr_quality_scores", _duck_irls_sql())
+def lr_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: gradient-trained linear quality classifier
+    (operators/logreg.py) — ridge-Newton logistic regression on
+    (chars, ' the '-rate) features, label lang='en', probabilities for
+    every document. Each Newton iteration is ONE map-side-combinable
+    aggregation down to 9 doubles + a driver-side 3x3 solve, so
+    training is deterministic and partition-independent; the oracle
+    replays all 6 iterations as unrolled DuckDB CTEs solved by
+    Cramer's rule. Scores rounded to 4dp on both sides (the two
+    solvers agree to ~1e-10; see tests/test_logreg.py for the
+    independent-optimum law)."""
+    from clickhouse_learning_spark.operators import logreg as LR
+
+    feats = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / 400.0).alias("x1"),
+        F.expr("((length(text) - length(replace(text, ' the ', ''))) "
+               "/ 5.0) / 3.0").alias("x2"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    w = LR.train_logreg(feats, ["x0", "x1", "x2"], "y",
+                        iters=_LR_ITERS, ridge=_LR_RIDGE)
+    scored = LR.score_logreg(feats, ["x0", "x1", "x2"], w)
+    return scored.select(
+        "doc_id",
+        F.col("y").cast("long").alias("y"),
+        F.round("prob", 4).alias("prob"),
+    )
