@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from clickhouse_learning_spark.operators.text import TOKEN_RE
@@ -140,3 +140,49 @@ def score_docs(
             ).alias("avg_logp10"),
         )
     )
+
+
+def score_buckets(
+    scored: DataFrame,
+    part_col: str,
+    score_col: str,
+    labels: tuple[str, str, str] = ("tail", "middle", "head"),
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020
+    §4.4: tercile cutoffs on the LM score per language; higher
+    avg-log-prob = lower perplexity = head).
+
+    Thresholds are derived EXACTLY and scalably: scores arrive
+    pre-rounded (2dp from score_docs), so the per-partition score
+    histogram is small regardless of corpus size — the heavy step is
+    one map-side-combinable (part, score) count; the cumulative walk
+    and threshold pick run on that tiny frame (the per-part window is
+    bounded by distinct rounded scores, not by rows), and the
+    threshold comparison is integer logic (3*cum >= k*n), so 1 or
+    1000 executors produce identical buckets. Whole tie-groups land
+    in one bucket, as in CCNet's cutoff-comparison assignment."""
+    t_lo, t_mid, t_hi = labels
+    hist = scored.groupBy(part_col, score_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.partitionBy(part_col).orderBy(score_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(part_col)
+    cum = hist.select(
+        part_col, score_col,
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    thr = cum.groupBy(part_col).agg(
+        F.min(F.when(3 * F.col("cc") >= F.col("n"), F.col(score_col)))
+        .alias("_t1"),
+        F.min(F.when(3 * F.col("cc") >= 2 * F.col("n"), F.col(score_col)))
+        .alias("_t2"),
+    )
+    out = scored.join(F.broadcast(thr), part_col)
+    bucket = (
+        F.when(F.col(score_col) <= F.col("_t1"), F.lit(t_lo))
+        .when(F.col(score_col) <= F.col("_t2"), F.lit(t_mid))
+        .otherwise(F.lit(t_hi))
+    )
+    return out.withColumn("bucket", bucket).drop("_t1", "_t2")

@@ -2378,3 +2378,74 @@ def lr_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("long").alias("y"),
         F.round("prob", 4).alias("prob"),
     )
+
+
+# shared LM-score CTE chain (identical to lm_quality_scores's oracle)
+_LM_SCORE_CTES = """
+    tk AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+           FROM documents),
+    uni AS (SELECT u AS w, CAST(count(*) AS DOUBLE) AS c1
+            FROM (SELECT unnest(t) AS u FROM tk) GROUP BY u),
+    tot AS (SELECT sum(c1) AS n FROM uni),
+    pairs AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+              FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g),
+    bi AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
+           FROM pairs GROUP BY w1, w2),
+    sc AS (SELECT p.doc_id,
+                  log10(CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+                             THEN b.c2 / u1.c1
+                             ELSE 0.4 * coalesce(u2.c1, 1.0)
+                                  / (SELECT n FROM tot) END) AS lp
+           FROM pairs p
+           LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+           LEFT JOIN uni u1 ON u1.w = p.w1
+           LEFT JOIN uni u2 ON u2.w = p.w2),
+    agg AS (SELECT doc_id, round(sum(lp) / count(*), 2) AS avg_logp10
+            FROM sc GROUP BY doc_id),
+    scores AS (SELECT d.doc_id, d.lang,
+                      coalesce(a.avg_logp10, 0.0) AS s
+               FROM documents d LEFT JOIN agg a USING (doc_id))
+"""
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH {_LM_SCORE_CTES},
+    hist AS (SELECT lang, s, count(*) AS c FROM scores GROUP BY lang, s),
+    cum AS (SELECT lang, s,
+                   sum(c) OVER (PARTITION BY lang ORDER BY s) AS cc,
+                   sum(c) OVER (PARTITION BY lang) AS n
+            FROM hist),
+    thr AS (SELECT lang,
+                   min(CASE WHEN 3 * cc >= n THEN s END) AS t1,
+                   min(CASE WHEN 3 * cc >= 2 * n THEN s END) AS t2
+            FROM cum GROUP BY lang)
+    SELECT sc2.doc_id, sc2.lang, sc2.s AS avg_logp10,
+           CASE WHEN sc2.s <= thr.t1 THEN 'tail'
+                WHEN sc2.s <= thr.t2 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM scores sc2 JOIN thr USING (lang)
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: CCNet head/middle/tail perplexity bucketing
+    (Wenzek et al. 2020 §4.4) — bigram-LM scores per document, then
+    per-language tercile cutoffs via lm.score_buckets. Thresholds come
+    from a (lang, rounded-score) histogram with integer cumulative
+    logic (3*cum >= k*n), so both engines pick identical data-valued
+    cutoffs — no float interpolation anywhere. The oracle replays the
+    LM score chain (same CTEs lm_quality_scores proved bit-equal) plus
+    the same histogram walk in DuckDB."""
+    from clickhouse_learning_spark.operators import lm as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = LM.train_bigram_lm(docs)
+    scored = LM.score_docs(docs, model).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    out = LM.score_buckets(scored, "lang", "avg_logp10")
+    return out.select(
+        "doc_id", "lang", "avg_logp10", "bucket"
+    )

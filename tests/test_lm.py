@@ -61,3 +61,30 @@ def test_lower_quality_scores_lower(spark, model):
     )
     s = {r.doc_id: r.avg_logp10 for r in LM.score_docs(docs, model).collect()}
     assert s[1] > s[2]
+
+
+def test_score_buckets_terciles_and_determinism(spark):
+    """score_buckets: bucket boundaries are data values, tie-groups
+    stay together, each bucket is within one tie-group of n/3, order
+    head >= middle >= tail holds, and partitioning doesn't matter."""
+    rows = [(i, "en", round((i % 30) / 10.0, 2)) for i in range(90)]
+    rows += [(100 + i, "fr", float(i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    out = LM.score_buckets(df, "lang", "s").collect()
+    by = {}
+    for r in out:
+        by.setdefault((r.lang, r.bucket), []).append(r.s)
+    # ordering law within each language
+    for lang in ("en", "fr"):
+        assert max(by[(lang, "tail")]) <= min(by[(lang, "middle")])
+        assert max(by[(lang, "middle")]) <= min(by[(lang, "head")])
+    # en: 30 distinct scores x 3 -> exact terciles of 90
+    assert sorted(len(by[("en", b)]) for b in ("tail", "middle", "head")) \
+        == [30, 30, 30]
+    # fr: 3 tie-groups of 10 -> one group per bucket
+    assert all(len(set(by[("fr", b)])) == 1
+               for b in ("tail", "middle", "head"))
+    # partition independence
+    again = LM.score_buckets(df.repartition(13), "lang", "s").collect()
+    assert {(r.doc_id, r.bucket) for r in again} == \
+        {(r.doc_id, r.bucket) for r in out}
