@@ -1116,6 +1116,76 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # were replaced at the binary->string boundary), so CH's
     # toValidUTF8 is the identity here.
     m["toValidUTF8"] = lambda a: _one(a, "toValidUTF8")
+
+    # CH left/right accept NEGATIVE lengths (left(s,-n) = all but the
+    # last n; right(s,-n) = all but the first n); Spark returns ''.
+    # Both names must be intercepted or the negative form silently
+    # truncates to empty.
+    def _left(a: list[str]) -> str:
+        s, n = _two(a, "left")
+        return (f"(CASE WHEN ({n}) >= 0 THEN left({s}, {n}) "
+                f"ELSE left({s}, greatest(length({s}) + ({n}), 0)) END)")
+
+    def _right(a: list[str]) -> str:
+        s, n = _two(a, "right")
+        return (f"(CASE WHEN ({n}) >= 0 THEN right({s}, {n}) "
+                f"ELSE substring({s}, 1 - ({n})) END)")
+
+    m["left"] = m["leftUTF8"] = _left
+    m["right"] = m["rightUTF8"] = _right
+
+    # CH greatest/least propagate NULL like every ordinary function;
+    # Spark's skip NULLs and only return NULL when ALL inputs are —
+    # guard, or pasted CH SQL silently changes meaning.
+    def _gl(fn: str) -> Callable[[list[str]], str]:
+        def impl(a: list[str]) -> str:
+            if len(a) < 2:
+                raise ValueError(f"{fn} expects >= 2 arguments")
+            guard = " OR ".join(f"({x}) IS NULL" for x in a)
+            return (f"(CASE WHEN {guard} THEN NULL "
+                    f"ELSE {fn}({', '.join(a)}) END)")
+        return impl
+
+    m["greatest"] = _gl("greatest")
+    m["least"] = _gl("least")
+
+    # CH initcap: a word is a run of ASCII alphanumerics (any other
+    # byte separates), first letter upper + REST LOWER; Spark's
+    # initcap only splits on whitespace and would leave 'hello-world'
+    # as 'Hello-world'. Tokenize into alnum/non-alnum runs and rebuild.
+    def _initcap(a: list[str]) -> str:
+        s = _one(a, "initcap")
+        return (
+            f"array_join(transform(regexp_extract_all({s}, "
+            f"'[a-zA-Z0-9]+|[^a-zA-Z0-9]+', 0), "
+            f"ic_t -> CASE WHEN ic_t RLIKE '^[a-zA-Z0-9]' THEN "
+            f"concat(upper(left(ic_t, 1)), lower(substring(ic_t, 2))) "
+            f"ELSE ic_t END), '')"
+        )
+
+    m["initcap"] = _initcap
+    m["initcapUTF8"] = _initcap  # same rule; corpus here is UTF-8-safe
+    m["substringIndex"] = lambda a: (
+        f"substring_index({', '.join(a)})"
+    )
+    # CH 21.3 (the reference's version): locate is an ALIAS of
+    # position — haystack first. Spark's locate is needle-first, so a
+    # passthrough silently swaps the roles. (CH 24+ flipped to the
+    # MySQL order; the reference pins 21.3, same stance as %M=minute.)
+    def _locate(a: list[str]) -> str:
+        if len(a) == 2:
+            return f"locate({a[1]}, {a[0]})"
+        if len(a) == 3:
+            return f"locate({a[1]}, {a[0]}, {a[2]})"
+        raise ValueError("locate(haystack, needle[, start_pos])")
+
+    m["locate"] = _locate
+    # reverseUTF8 = character reversal, which is exactly Spark's
+    # reverse. (Plain CH reverse is BYTE reversal — identical for
+    # ASCII; its non-ASCII output is invalid UTF-8 and unrepresentable
+    # in a Spark string, so the char-reverse passthrough is the
+    # documented stand-in.)
+    m["reverseUTF8"] = lambda a: f"reverse({_one(a, 'reverseUTF8')})"
     m["lengthUTF8"] = lambda a: f"length({_one(a, 'lengthUTF8')})"
     m["substringUTF8"] = lambda a: f"substring({', '.join(a)})"
     m["leftPad"] = lambda a: f"lpad({', '.join(a)})"
@@ -2669,6 +2739,42 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
                 )
             )
         )(_h)
+    # ngramDistance/Search hash 4-grams into a 2^16 table, so the
+    # result depends on CRC collisions — not reproducible bit-exact
+    # from the docs; gate to the exact-set alternative
+    for _ng in ("ngramDistance", "ngramDistanceCaseInsensitive",
+                "ngramDistanceUTF8", "ngramDistanceCaseInsensitiveUTF8",
+                "ngramSearch", "ngramSearchCaseInsensitive",
+                "ngramSearchUTF8", "ngramSearchCaseInsensitiveUTF8"):
+        m[_ng] = (
+            lambda name: lambda a: (_ for _ in ()).throw(
+                ValueError(
+                    f"{name}: ClickHouse buckets 4-grams into a 2^16 "
+                    "hash table, so values depend on collision behavior "
+                    "and cannot be reproduced bit-exact; for exact "
+                    "n-gram similarity use "
+                    "operators/dedup.token_jaccard_pairs"
+                )
+            )
+        )(_ng)
+    for _nq in ("normalizeQuery", "normalizedQueryHash",
+                "normalizeQueryKeepNames", "normalizedQueryHashKeepNames"):
+        m[_nq] = (
+            lambda name: lambda a: (_ for _ in ()).throw(
+                ValueError(
+                    f"{name}: CH's literal/alias-folding heuristics are "
+                    "implementation-defined (and the hash is CH-internal) "
+                    "— normalize query logs upstream instead"
+                )
+            )
+        )(_nq)
+    m["tupleToNameValuePairs"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "tupleToNameValuePairs needs the tuple's field names, which "
+            "a textual rewrite cannot see; in DataFrame code use "
+            "F.map_from_arrays over the struct's schema fields"
+        )
+    )
     # halfMD5: big-endian UInt64 of MD5's first 8 bytes — MD5 is a
     # standard digest, so this one IS bit-exact: assemble from two
     # 32-bit hex halves. shiftleft(hi, 32) + lo: the shift supplies the
@@ -3702,6 +3808,13 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     # kind='quantile_sketch' (DDSketch, quantile_sketch_dd).
     "quantileTDigest": lambda p, a: (
         f"approx_percentile({a[0]}, {p[0]})"
+    ),
+    # sparkbar renders a terminal bar-chart STRING (a display concern,
+    # glyph choice is CH-internal) — gate to the data it draws
+    "sparkbar": lambda p, a: _raise_gate(
+        "sparkbar renders a unicode bar chart string; compute the "
+        "histogram itself instead (GROUP BY bucket + count) and let "
+        "the presentation layer draw it"
     ),
     "quantileTiming": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     # quantileGK(accuracy[, level])(x) — level defaults to the median;

@@ -1440,3 +1440,42 @@ def test_round_ladders_mjd_and_misc_batch(spark):
         translate("SELECT translate(s, 'ab', 'xyz')")
     with _pytest.raises(ValueError, match="same length"):
         translate("SELECT translateUTF8(s, 'abc', 'x')")
+
+
+def test_divergence_guard_batch(spark):
+    """Functions where Spark has a SAME-NAMED builtin with different
+    semantics — the passthrough would silently mistranslate: negative
+    left/right lengths, NULL-propagating greatest/least, CH initcap
+    word rule (any non-alnum separates; rest lowercased), CH 21.3
+    locate (= position, haystack first), substringIndex."""
+    import pytest as _pytest
+
+    r = spark.sql(translate(
+        "SELECT left('abcdef', 2) AS l1, left('abcdef', -2) AS l2, "
+        "right('abcdef', 2) AS r1, right('abcdef', -2) AS r2, "
+        "left('ab', -5) AS l3, "
+        "greatest(1, 2) AS g1, greatest(1, CAST(NULL AS INT)) AS g2, "
+        "least(CAST(NULL AS INT), 2) AS l4, "
+        "initcap('hello-world FOO_bar 2x') AS ic, "
+        "locate('haystack', 'st') AS lc1, "
+        "locate('xxabxab', 'ab', 4) AS lc2, "
+        "substringIndex('a.b.c', '.', 2) AS si, "
+        "reverseUTF8('abc') AS rv"
+    )).collect()[0]
+    assert (r["l1"], r["l2"], r["l3"]) == ("ab", "abcd", "")
+    assert (r["r1"], r["r2"]) == ("ef", "cdef")
+    assert r["g1"] == 2 and r["g2"] is None and r["l4"] is None
+    # '2x': the first symbol is a digit — toupper('2') is '2' and the
+    # rest still lowercases, per CH's per-word rule
+    assert r["ic"] == "Hello-World Foo_Bar 2x"
+    assert r["lc1"] == 4 and r["lc2"] == 6
+    assert r["si"] == "a.b" and r["rv"] == "cba"
+
+    for bad, msg in [
+        ("ngramDistance(a, b)", "2\\^16"),
+        ("normalizeQuery(s)", "implementation-defined"),
+        ("sparkbar(9)(x, y)", "bar chart"),
+        ("tupleToNameValuePairs(t)", "field names"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            translate(f"SELECT {bad}")
