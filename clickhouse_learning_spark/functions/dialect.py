@@ -4038,7 +4038,9 @@ _SAMPLE_ROWS_RE = re.compile(r"\bsample\s+\d+\b", re.I)
 # skipping offset) per distinct BY-value, applied before the final
 # LIMIT. Spark has no such clause; _rewrite_limit_by rebuilds it as a
 # row_number() window over the BY columns.
-_LIMIT_BY_HEAD = re.compile(r"\blimit\s+(\d+)\s*(?:,\s*(\d+)\s*)?by\b", re.I)
+_LIMIT_BY_HEAD = re.compile(
+    r"\blimit\s+(\d+)\s*(?:,\s*(\d+)\s*|offset\s+(\d+)\s+)?by\b", re.I
+)
 _ORDER_BY_RE = re.compile(r"\border\s+by\b", re.I)
 _LIMIT_TAIL_RE = re.compile(r"\blimit\b|\bsettings\b|\bformat\b", re.I)
 
@@ -4089,9 +4091,12 @@ def _rewrite_limit_by(sql: str) -> str:
     m = _LIMIT_BY_HEAD.search(mask)
     if not m:
         return sql
-    # offset form: LIMIT off, n BY  →  group(1)=off, group(2)=n
+    # offset forms: LIMIT off, n BY → groups (1, 2);
+    # LIMIT n OFFSET off BY → groups (1, 3)
     if m.group(2) is not None:
         offset, take = int(m.group(1)), int(m.group(2))
+    elif m.group(3) is not None:
+        offset, take = int(m.group(3)), int(m.group(1))
     else:
         offset, take = 0, int(m.group(1))
 
@@ -4478,6 +4483,9 @@ _GLOBAL_RE = re.compile(
     r"\bglobal\s+(?=(?:any|all|semi|anti|asof|inner|left|right|full|cross|join)\b)",
     re.I,
 )
+# GLOBAL IN / GLOBAL NOT IN: same distribution hint in predicate
+# position — single-engine semantics are identical to plain IN
+_GLOBAL_IN_RE = re.compile(r"\bglobal\s+(?=(?:not\s+)?in\s*\()", re.I)
 _ALL_JOIN_RE = re.compile(
     r"\ball\s+(?=(?:inner|left|right|full)\s+join\b|join\b)", re.I
 )
@@ -4516,6 +4524,7 @@ def _rewrite_joins(sql: str) -> str:
                 "the join inputs and use SEMI/ANTI LEFT JOIN"
             )
         s = _GLOBAL_RE.sub("", s)
+        s = _GLOBAL_IN_RE.sub("", s)
         s = _ALL_JOIN_RE.sub("", s)
         s = _SEMI_ANTI_RE.sub(lambda m: f"LEFT {m.group(1).upper()} JOIN", s)
         return s

@@ -414,6 +414,24 @@ def test_translate_limit_by(spark):
     got = sorted((r["g"], r["v"]) for r in rows)
     assert got == [("a", 3), ("a", 5), ("b", 3), ("b", 5)]
 
+    # equivalent OFFSET keyword spelling: LIMIT n OFFSET off BY
+    rows = spark.sql(
+        translate(
+            "SELECT g, v FROM ch_lb ORDER BY v DESC LIMIT 2 OFFSET 1 BY g"
+        )
+    ).collect()
+    assert sorted((r["g"], r["v"]) for r in rows) == got
+
+    # GLOBAL IN strips like GLOBAL JOIN (distribution hint only)
+    rows = spark.sql(
+        translate(
+            "SELECT g, v FROM ch_lb WHERE v GLOBAL IN "
+            "(SELECT v FROM ch_lb WHERE v > 5)"
+        )
+    ).collect()
+    assert sorted((r["g"], r["v"]) for r in rows) == \
+        [("a", 9), ("b", 9)]
+
     # trailing LIMIT applies after LIMIT BY; final order preserved
     rows = spark.sql(
         translate("SELECT g, v FROM ch_lb ORDER BY v DESC, g LIMIT 1 BY g LIMIT 1")
