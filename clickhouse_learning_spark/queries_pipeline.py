@@ -2449,3 +2449,45 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "avg_logp10", "bucket"
     )
+
+
+@query(
+    "rowbinary_roundtrip",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus, strftime(o_orderdate, '%Y-%m')
+    """,
+)
+def rowbinary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: ClickHouse RowBinaryWithNamesAndTypes source/sink
+    (sources/rowbinary.py — the `INTO OUTFILE ... FORMAT RowBinary...`
+    migration path): land the orders table as RowBinary (Int64 /
+    LowCardinality(String) / Float64 / DateTime / Nullable(String)
+    columns exercise the codec surface), read it back through the
+    distributed per-file byte-walk, aggregate. The oracle reads the
+    ORIGINAL parquet — green means the binary round-trip is lossless
+    down to timestamps and floats."""
+    import tempfile
+
+    from clickhouse_learning_spark.sources import rowbinary as RB
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    types = ["Int64", "Int64", "LowCardinality(String)", "Float64",
+             "DateTime", "Nullable(String)"]
+    path = tempfile.mkdtemp(prefix="rowbinary_rt_") + "/orders_rb"
+    RB.write_rowbinary(orders.repartition(4), path, types)
+    back = RB.read_rowbinary(spark, path)
+    return back.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

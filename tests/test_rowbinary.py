@@ -1,0 +1,130 @@
+"""RowBinary source/sink (sources/rowbinary.py): hand-built golden
+byte streams pin the format independently of the writer; roundtrips
+cover every supported type; the Spark reader distributes per file."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import struct
+
+import pytest
+
+from clickhouse_learning_spark.sources import rowbinary as RB
+
+
+def _s(x: str) -> bytes:  # LEB128 String
+    b = x.encode()
+    return bytes([len(b)]) + b
+
+
+def test_golden_bytes_with_names_and_types():
+    """A two-column stream written BY HAND from the spec (not via the
+    encoder): UInt32 id + String name, WithNamesAndTypes header."""
+    buf = (
+        bytes([2])                       # column count
+        + _s("id") + _s("name")          # names
+        + _s("UInt32") + _s("String")    # types
+        + struct.pack("<I", 7) + _s("alpha")
+        + struct.pack("<I", 4294967295) + _s("")
+    )
+    names, types, rows = RB.parse_rowbinary(buf)
+    assert names == ["id", "name"] and types == ["UInt32", "String"]
+    assert rows == [(7, "alpha"), (4294967295, "")]
+
+
+def test_golden_bytes_nullable_array_dates_enum():
+    buf = (
+        # Nullable(Int64): NULL then -5
+        b"\x01" + b"\x00" + struct.pack("<q", -5)
+        # Array(UInt16): [1, 300]
+        + bytes([2]) + struct.pack("<H", 1) + struct.pack("<H", 300)
+        # Date: 2020-01-01 = 18262 days
+        + struct.pack("<H", 18262)
+        # DateTime: 2020-01-01 00:00:05 UTC
+        + struct.pack("<I", 1577836805)
+        # DateTime64(3): same second + 250 ms
+        + struct.pack("<q", 1577836805250)
+        # Enum8('a'=1,'b'=2): b
+        + struct.pack("<b", 2)
+        # FixedString(4): 'ab' zero-padded
+        + b"ab\x00\x00"
+    )
+    types = ["Nullable(Int64)", "Nullable(Int64)", "Array(UInt16)",
+             "Date", "DateTime", "DateTime64(3)",
+             "Enum8('a' = 1, 'b' = 2)", "FixedString(4)"]
+    _, _, rows = RB.parse_rowbinary(buf, types)
+    (row,) = rows
+    assert row[0] is None and row[1] == -5
+    assert row[2] == [1, 300]
+    assert row[3] == dt.date(2020, 1, 1)
+    assert row[4] == dt.datetime(2020, 1, 1, 0, 0, 5)
+    assert row[5] == dt.datetime(2020, 1, 1, 0, 0, 5, 250000)
+    assert row[6] == "b" and row[7] == "ab"
+
+
+def test_varint_lengths_and_uint64_wrap():
+    long_str = "x" * 300  # forces a 2-byte LEB128 length
+    enc = RB._TypeCodec("String").encode(long_str)
+    assert enc[:2] == bytes([0xAC, 0x02])  # 300 = 0x12C
+    v, pos = RB._TypeCodec("String").decode(enc, 0)
+    assert v == long_str and pos == len(enc)
+    # UInt64 top half wraps to negative LongType (repo convention)
+    c = RB._TypeCodec("UInt64")
+    raw = struct.pack("<Q", (1 << 64) - 2)
+    v, _ = c.decode(raw, 0)
+    assert v == -2
+    assert c.encode(-2) == raw
+
+
+def test_unsupported_types_gate():
+    for t in ("Decimal(10, 2)", "UUID", "Map(String, UInt8)",
+              "Tuple(UInt8, String)"):
+        with pytest.raises(ValueError, match="not supported"):
+            RB._TypeCodec(t)
+    with pytest.raises(ValueError, match="mid-row"):
+        RB.parse_rowbinary(struct.pack("<H", 1)[:1], ["UInt16"])
+
+
+def test_low_cardinality_unwraps():
+    c = RB._TypeCodec("LowCardinality(Nullable(String))")
+    assert c.nullable and c.kind == "String"
+    assert c.decode(c.encode(None), 0)[0] is None
+    assert c.decode(c.encode("hi"), 0)[0] == "hi"
+
+
+def test_spark_roundtrip(spark, tmp_path):
+    types = ["Int64", "Nullable(String)", "Float64", "Date",
+             "Array(Int32)", "LowCardinality(String)"]
+    rows = [
+        (1, "a", 1.5, dt.date(2021, 3, 4), [1, 2], "x"),
+        (2, None, -0.25, dt.date(1999, 12, 31), [], "y"),
+        (3, "c", 0.0, dt.date(1970, 1, 1), [7], "x"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, s string, f double, d date, a array<int>, lc string",
+    ).repartition(2)
+    out = str(tmp_path / "rb")
+    nfiles = RB.write_rowbinary(df, out, types)
+    assert 1 <= nfiles <= 2
+    back = RB.read_rowbinary(spark, out)
+    assert back.columns == ["id", "s", "f", "d", "a", "lc"]
+    got = sorted((tuple(r) for r in back.collect()))
+    assert [tuple(x) for x in got] == sorted(
+        (a, b, c, d, tuple(e) if False else e, f)
+        for a, b, c, d, e, f in rows
+    )
+
+
+def test_headerless_read(spark, tmp_path):
+    types = ["UInt8", "String"]
+    df = spark.createDataFrame([(1, "u"), (2, "v")], "k int, s string")
+    out = str(tmp_path / "rb2")
+    RB.write_rowbinary(df.coalesce(1), out, types, with_header=False)
+    back = RB.read_rowbinary(spark, out, ch_types=types,
+                             names=["k", "s"])
+    assert sorted(tuple(r) for r in back.collect()) == \
+        [(1, "u"), (2, "v")]
+    with pytest.raises(ValueError, match="both names and ch_types"):
+        RB.read_rowbinary(spark, out, ch_types=types)
