@@ -2491,3 +2491,46 @@ def rowbinary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+def unigram_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: unigram-LM subword tokenizer (Kudo 2018,
+    SentencePiece's default trainer — operators/unigram.py) in the
+    deterministic hard-EM form: one distributed word-count shuffle +
+    bounded driver EM/pruning rounds, then a map-only Arrow encode of
+    every document. Hash-checked like bpe_subword_stats: the oracle
+    embeds golden per-doc stats derived by an INDEPENDENT second
+    implementation (top-down memoized segmenter + rebuild-style EM,
+    tools/make_unigram_golden.py, refuse-on-mismatch)."""
+    from clickhouse_learning_spark.operators import unigram as UG
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = UG.train_unigram(
+        docs, vocab_size=300, max_piece_len=6, max_words=50_000
+    )
+    enc = UG.unigram_encode(docs, model)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        "n_words", "n_pieces", "n_unk",
+        F.round(
+            F.col("n_pieces") / F.greatest(F.col("n_words"), F.lit(1)), 4
+        ).alias("pieces_per_word"),
+    )
+
+
+QUERIES["unigram_subword_stats"] = unigram_subword_stats
+
+
+def _register_unigram_golden() -> None:
+    try:
+        from clickhouse_learning_spark import golden_unigram as G
+    except ImportError:  # pre-generation bootstrap
+        return
+    _ORACLES["unigram_subword_stats"] = _values_oracle(
+        G.UNIGRAM_SUBWORD_STATS,
+        ["doc_id", "n_words", "n_pieces", "n_unk", "pieces_per_word"],
+        ["BIGINT", "BIGINT", "BIGINT", "BIGINT", "DOUBLE"],
+    )
+
+
+_register_unigram_golden()
