@@ -403,3 +403,77 @@ def c4_clean(
         n_sent.cast("int").alias("n_sentences"),
         page_keep.alias("keep_page"),
     )
+
+
+def blocklist_flags(
+    df: DataFrame,
+    words: list[str],
+    phrases: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style blocklist document filtering (Raffel et al. 2020 §2.2
+    drops any page containing a word from a public blocklist; the
+    list itself is the caller's input). Pure Catalyst, map-only:
+    distinct-token intersection against a literal array for words,
+    plus ONE compiled case-insensitive regex alternation for multi-
+    word phrases. Emits per-doc ``bad_word_hits`` (distinct blocked
+    tokens present), ``has_bad_phrase``, and ``keep``.
+
+    This is the <=~10k-entry path (the literal array broadcasts with
+    the plan); for web-scale lists use :func:`blocklist_filter_join`.
+    """
+    import re as _re
+
+    words_l = sorted({w.lower() for w in words})
+    if not words_l:
+        raise ValueError("blocklist_flags needs at least one word")
+    txt = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = clean
+    arr = F.array(*[F.lit(w) for w in words_l])
+    hits = F.size(F.array_intersect(F.array_distinct(tokens(txt)), arr))
+    if phrases:
+        pat = "(?i)" + "|".join(
+            _re.escape(p.lower()) for p in sorted(set(phrases))
+        )
+        phrase_hit = txt.rlike(pat)
+    else:
+        phrase_hit = F.lit(False)
+    return df.select(
+        id_col,
+        hits.cast("int").alias("bad_word_hits"),
+        phrase_hit.alias("has_bad_phrase"),
+        ((hits == 0) & ~phrase_hit).alias("keep"),
+    )
+
+
+def blocklist_filter_join(
+    df: DataFrame,
+    words_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Web-scale blocklist path: the list arrives as a DataFrame
+    (column ``w``, pre-lowercased); docs explode to distinct tokens
+    and LEFT SEMI join the list (AQE broadcasts it while it fits,
+    falls back to a shuffle join beyond that), then flagged ids join
+    back. Two keyed joins, no driver-side list materialization —
+    survives lists that would blow the literal-array plan."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
+    )
+    flagged = (
+        toks.join(words_df.select("w"), "w", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("bad_word_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(flagged, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("bad_word_hits", F.lit(0)).cast("int")
+            .alias("bad_word_hits"),
+            (F.coalesce("bad_word_hits", F.lit(0)) == 0).alias("keep"),
+        )
+    )

@@ -2534,3 +2534,38 @@ def _register_unigram_golden() -> None:
 
 
 _register_unigram_golden()
+
+
+@query(
+    "blocklist_filtering",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(regexp_extract_all(lower(text),
+                                              '[A-Za-z0-9]+')) AS t,
+             lower(text) AS lt
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(list_intersect(t, ['slow', 'fail', 'drop'])) AS INT)
+               AS bad_word_hits,
+           regexp_matches(lt, 'slow scan|drop table') AS has_bad_phrase,
+           (len(list_intersect(t, ['slow', 'fail', 'drop'])) = 0
+            AND NOT regexp_matches(lt, 'slow scan|drop table')) AS keep
+    FROM toks
+    """,
+)
+def blocklist_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: C4-style blocklist filtering
+    (text.blocklist_flags — Raffel et al. 2020 §2.2's badword page
+    drop): distinct-token intersection with a literal word list plus
+    one compiled phrase-alternation regex, all map-only Catalyst. The
+    blocklist here is drawn from the synthetic corpus's own
+    vocabulary so every branch fires; the oracle re-derives with
+    DuckDB list_intersect + regexp_matches."""
+    from clickhouse_learning_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.blocklist_flags(
+        docs, words=["slow", "fail", "drop"],
+        phrases=["slow scan", "drop table"],
+    )
