@@ -1224,6 +1224,7 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["toStartOfFifteenMinutes"] = lambda a: _floor_seconds(
         _one(a, "toStartOfFifteenMinutes"), 900
     )
+    m["toStartOfFiveMinutes"] = m["toStartOfFiveMinute"]  # CH alias
     # timeSlot = the half-hour bucket (CH rounds down to 30 min)
     m["timeSlot"] = lambda a: _floor_seconds(_one(a, "timeSlot"), 1800)
 
@@ -1286,6 +1287,131 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["toRelativeDayNum"] = lambda a: (
         f"CAST(floor(unix_timestamp({_one(a, 'toRelativeDayNum')}) / 86400) AS BIGINT)"
     )
+    # completion of the family per DateLUTImpl.h's published formulas:
+    # week = (days + 8 - monday_dow) / 7 (epoch week = 0), month =
+    # year*12 + month, quarter = year*4 + quarter-1, year = year
+    m["toRelativeWeekNum"] = lambda a: (
+        lambda x: (
+            f"CAST(floor((datediff({x}, DATE '1970-01-01') + 8 - "
+            f"(pmod(dayofweek({x}) + 5, 7) + 1)) / 7) AS BIGINT)"
+        )
+    )(_one(a, "toRelativeWeekNum"))
+    m["toRelativeMonthNum"] = lambda a: (
+        lambda x: f"(year({x}) * 12 + month({x}))"
+    )(_one(a, "toRelativeMonthNum"))
+    m["toRelativeQuarterNum"] = lambda a: (
+        lambda x: f"(year({x}) * 4 + quarter({x}) - 1)"
+    )(_one(a, "toRelativeQuarterNum"))
+    m["toRelativeYearNum"] = lambda a: (
+        f"year({_one(a, 'toRelativeYearNum')})"
+    )
+
+    # sub-second unix timestamp family (DateTime64 ticks). Nano forms
+    # truncate/scale at Spark's microsecond timestamp precision.
+    m["fromUnixTimestamp64Milli"] = lambda a: (
+        f"timestamp_millis({_one(a, 'fromUnixTimestamp64Milli')})"
+    )
+    m["fromUnixTimestamp64Micro"] = lambda a: (
+        f"timestamp_micros({_one(a, 'fromUnixTimestamp64Micro')})"
+    )
+    m["fromUnixTimestamp64Nano"] = lambda a: (
+        f"timestamp_micros(CAST(floor({_one(a, 'fromUnixTimestamp64Nano')}"
+        f" / 1000) AS BIGINT))"
+    )
+    m["toUnixTimestamp64Micro"] = lambda a: (
+        f"unix_micros(CAST({_one(a, 'toUnixTimestamp64Micro')} "
+        f"AS TIMESTAMP))"
+    )
+    m["toUnixTimestamp64Nano"] = lambda a: (
+        f"(unix_micros(CAST({_one(a, 'toUnixTimestamp64Nano')} "
+        f"AS TIMESTAMP)) * 1000)"
+    )
+
+    # Twitter snowflake IDs: ms timestamp in the top 41 bits above a
+    # 22-bit sequence/machine field, epoch 2010-11-04T01:42:54.657Z =
+    # 1288834974657 ms (the constant in CH's FunctionsSnowflake)
+    _SNOWFLAKE_EPOCH_MS = 1288834974657
+    m["snowflakeToDateTime"] = lambda a: (
+        f"timestamp_seconds(CAST(floor((shiftright("
+        f"{_one(a, 'snowflakeToDateTime')}, 22) + {_SNOWFLAKE_EPOCH_MS})"
+        f" / 1000) AS BIGINT))"
+    )
+    m["snowflakeToDateTime64"] = lambda a: (
+        f"timestamp_millis(shiftright({_one(a, 'snowflakeToDateTime64')},"
+        f" 22) + {_SNOWFLAKE_EPOCH_MS})"
+    )
+    m["dateTimeToSnowflake"] = lambda a: (
+        f"shiftleft(unix_timestamp({_one(a, 'dateTimeToSnowflake')}) "
+        f"* 1000 - {_SNOWFLAKE_EPOCH_MS}, 22)"
+    )
+    m["dateTime64ToSnowflake"] = lambda a: (
+        f"shiftleft(unix_millis(CAST({_one(a, 'dateTime64ToSnowflake')} "
+        f"AS TIMESTAMP)) - {_SNOWFLAKE_EPOCH_MS}, 22)"
+    )
+
+    # constructors
+    def _make_date(a: list[str]) -> str:
+        if len(a) == 3:
+            return f"make_date({', '.join(a)})"
+        if len(a) == 2:  # (year, day_of_year)
+            return (f"date_add(make_date({a[0]}, 1, 1), "
+                    f"CAST({a[1]} AS INT) - 1)")
+        raise ValueError("makeDate(year, month, day) or (year, doy)")
+
+    m["makeDate"] = _make_date
+    m["makeDate32"] = _make_date
+    m["makeDateTime"] = lambda a: (
+        f"make_timestamp({', '.join(a)})"
+        if len(a) == 6
+        else _raise_gate(
+            "makeDateTime(y, m, d, h, mi, s) — the timezone overload "
+            "is not translated (sessions here are pinned to UTC)"
+        )
+    )
+
+    # days since 0000-01-01 (proleptic; 1970-01-01 = day 719528)
+    m["toDaysSinceYearZero"] = lambda a: (
+        f"(datediff({_one(a, 'toDaysSinceYearZero')}, "
+        f"DATE '1970-01-01') + 719528)"
+    )
+    m["fromDaysSinceYearZero"] = lambda a: (
+        f"date_add(DATE '1970-01-01', "
+        f"CAST({_one(a, 'fromDaysSinceYearZero')} - 719528 AS INT))"
+    )
+
+    # session timezone is pinned UTC across the engine
+    m["nowInBlock"] = lambda a: "current_timestamp()"
+    m["UTCTimestamp"] = lambda a: "current_timestamp()"
+    m["serverTimezone"] = lambda a: "'UTC'"
+    m["timeZoneOf"] = lambda a: "'UTC'"
+
+    def _to_timezone(a: list[str]) -> str:
+        x, tz = _two(a, "toTimezone")
+        if tz.strip().upper() in ("'UTC'", "'ETC/UTC'", "'GMT'"):
+            return x  # no-op under the pinned-UTC session
+        raise ValueError(
+            "toTimezone to a non-UTC zone: the engine pins sessions to "
+            "UTC; shift explicitly with from_utc_timestamp(...) if a "
+            "wall-clock rendering is required"
+        )
+
+    m["toTimezone"] = _to_timezone
+    m["toTimeZone"] = _to_timezone
+    # timeDiff(a, b) = seconds from a to b (dateDiff('second', …))
+    m["timeDiff"] = lambda a: (
+        lambda x, y: f"(unix_timestamp({y}) - unix_timestamp({x}))"
+    )(*_two(a, "timeDiff"))
+
+    def _last_day_of_week(a: list[str]) -> str:
+        x = a[0]
+        mode = _int_literal(a[1], "toLastDayOfWeek mode") if len(a) > 1 \
+            else 0
+        if mode % 2 == 0:  # Sunday-start week ends Saturday
+            return (f"date_add(date_sub(to_date({x}), "
+                    f"dayofweek({x}) - 1), 6)")
+        return f"date_add(to_date(trunc({x}, 'WEEK')), 6)"
+
+    m["toLastDayOfWeek"] = _last_day_of_week
     m["toHour"] = lambda a: f"hour({_one(a, 'toHour')})"
     m["toMinute"] = lambda a: f"minute({_one(a, 'toMinute')})"
     m["toDayOfMonth"] = lambda a: f"day({_one(a, 'toDayOfMonth')})"

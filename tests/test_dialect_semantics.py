@@ -1479,3 +1479,56 @@ def test_divergence_guard_batch(spark):
     ]:
         with _pytest.raises(ValueError, match=msg):
             translate(f"SELECT {bad}")
+
+
+def test_datetime_completion_batch(spark):
+    """r5-late date/time completion: toRelative{Week,Month,Quarter,
+    Year}Num (DateLUTImpl formulas — week 0 contains the epoch, weeks
+    roll on Mondays), DateTime64 tick family, snowflake IDs (epoch
+    1288834974657 ms), makeDate both arities, days-since-year-zero,
+    toLastDayOfWeek both conventions, pinned-UTC constants."""
+    import pytest as _pytest
+
+    r = spark.sql(translate(
+        "SELECT toRelativeWeekNum(toDate('1970-01-01')) AS w0, "
+        "toRelativeWeekNum(toDate('1970-01-04')) AS w0b, "   # Sunday
+        "toRelativeWeekNum(toDate('1970-01-05')) AS w1, "    # Monday
+        "toRelativeMonthNum(toDate('2002-01-15')) AS mn, "
+        "toRelativeQuarterNum(toDate('2002-04-01')) AS qn, "
+        "toRelativeYearNum(toDate('2002-04-01')) AS yn, "
+        "fromUnixTimestamp64Milli(1577836805250) AS f64, "
+        "toUnixTimestamp64Micro(toDateTime('2020-01-01 00:00:05')) AS u64, "
+        "toUnixTimestamp64Nano(toDateTime('2020-01-01 00:00:05')) AS n64, "
+        "snowflakeToDateTime(1426860702736191488) AS sf, "
+        "dateTime64ToSnowflake(snowflakeToDateTime64(1426860702736191488)) AS sfrt, "
+        "makeDate(2024, 5, 1) AS md, makeDate(2024, 32) AS md2, "
+        "makeDateTime(2024, 2, 29, 13, 45, 1) AS mdt, "
+        "toDaysSinceYearZero(toDate('1970-01-01')) AS dz, "
+        "fromDaysSinceYearZero(719528) AS dzr, "
+        "toLastDayOfWeek(toDate('2024-01-03')) AS lw0, "   # Wed -> Sat
+        "toLastDayOfWeek(toDate('2024-01-03'), 1) AS lw1, "  # -> Sun
+        "timeDiff(toDateTime('2020-01-01 00:00:00'), "
+        "toDateTime('2020-01-01 00:01:30')) AS td, "
+        "serverTimezone() AS tz, "
+        "toTimezone(toDateTime('2020-01-01 00:00:05'), 'UTC') AS tt"
+    )).collect()[0]
+    assert (r["w0"], r["w0b"], r["w1"]) == (0, 0, 1)
+    assert r["mn"] == 2002 * 12 + 1
+    assert r["qn"] == 2002 * 4 + 1 and r["yn"] == 2002
+    assert str(r["f64"]) == "2020-01-01 00:00:05.250000"
+    assert r["u64"] == 1577836805000000 and r["n64"] == r["u64"] * 1000
+    # snowflake 1426860702736191488 >> 22 = 340211812770 ms after the
+    # twitter epoch -> 2021-12-15 ... just pin the round trip + year
+    assert str(r["sf"]).startswith("2021-")
+    assert r["sfrt"] >> 22 == 1426860702736191488 >> 22
+    assert str(r["md"]) == "2024-05-01" and str(r["md2"]) == "2024-02-01"
+    assert str(r["mdt"]) == "2024-02-29 13:45:01"
+    assert r["dz"] == 719528 and str(r["dzr"]) == "1970-01-01"
+    assert str(r["lw0"]) == "2024-01-06" and str(r["lw1"]) == "2024-01-07"
+    assert r["td"] == 90 and r["tz"] == "UTC"
+    assert str(r["tt"]) == "2020-01-01 00:00:05"
+
+    with _pytest.raises(ValueError, match="pins sessions to UTC"):
+        translate("SELECT toTimezone(t, 'Asia/Shanghai')")
+    with _pytest.raises(ValueError, match="timezone overload"):
+        translate("SELECT makeDateTime(2024, 1, 1, 0, 0, 0, 'UTC')")
