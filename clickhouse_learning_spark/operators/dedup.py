@@ -1171,3 +1171,63 @@ def semdedup(
         )
         .withColumnsRenamed({"id": id_col})
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    paras_col: str = "paras",
+    id_col: str = "doc_id",
+    joiner: str = " ",
+) -> DataFrame:
+    """Paragraph-level exact dedup across the whole corpus (the
+    Dolma/CCNet step below document granularity: a paragraph survives
+    only at its FIRST occurrence — smallest (doc, position) — and
+    every later copy is cut out of its document's text).
+
+    Input is an ``array<string>`` column (the caller picks the
+    paragraph boundary — '\\n' for real corpora, fixed token windows
+    for flat streams). Shape at 100 TB: one map-side-combinable
+    min-aggregation keyed on the paragraph, one keyed join back, one
+    per-doc regroup — no windows over data-proportional partitions,
+    no driver state. Emits (id, clean_text, n_paras, n_dropped);
+    documents whose every paragraph was a later copy come back with
+    empty text, not dropped rows."""
+    pos = F.posexplode(F.col(paras_col))
+    exploded = df.select(
+        F.col(id_col), pos.alias("pos", "para")
+    ).filter(F.col("para") != "")
+    wins = exploded.groupBy("para").agg(
+        F.min(F.struct(
+            F.col(id_col).alias("i"), F.col("pos").alias("p")
+        )).alias("w")
+    )
+    kept = (
+        exploded.join(wins, "para")
+        .where((F.col(id_col) == F.col("w.i"))
+               & (F.col("pos") == F.col("w.p")))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "para"))
+                    ),
+                    lambda s: s["para"],
+                ),
+                joiner,
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        df.select(id_col, F.size(paras_col).alias("n_paras"))
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_paras").cast("int").alias("n_paras"),
+            (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_dropped"),
+        )
+    )

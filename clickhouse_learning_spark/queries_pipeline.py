@@ -2569,3 +2569,61 @@ def blocklist_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, words=["slow", "fail", "drop"],
         phrases=["slow scan", "drop table"],
     )
+
+
+@query(
+    "paragraph_dedup_clean",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+      FROM documents),
+    paras AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ')
+                 AS para
+      FROM toks, LATERAL (SELECT unnest(generate_series(0,
+               CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS i) g
+      WHERE len(t) > 0),
+    wins AS (
+      SELECT para, min(doc_id * 100000 + pos) AS wk
+      FROM paras GROUP BY para),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.para
+      FROM paras p JOIN wins w
+        ON p.para = w.para AND p.doc_id * 100000 + p.pos = w.wk),
+    agg AS (
+      SELECT doc_id,
+             string_agg(para, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id),
+    base AS (
+      SELECT doc_id,
+             CAST(ceil(len(t) / 10.0) AS INT) AS n_paras
+      FROM toks)
+    SELECT b.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(b.n_paras AS INT) AS n_paras,
+           CAST(b.n_paras - coalesce(a.n_kept, 0) AS INT) AS n_dropped
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def paragraph_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: paragraph-level exact dedup (dedup.paragraph_dedup
+    — the Dolma/CCNet sub-document step: a paragraph survives only at
+    its first (doc, position) occurrence corpus-wide). The flat
+    synthetic docs are chunked into 10-token windows as paragraphs in
+    pure Catalyst; the operator's min-struct winner rule is re-derived
+    in DuckDB as min(doc_id*100000 + pos) + ordered string_agg."""
+    from clickhouse_learning_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_paras = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, CAST(ceil(size(regexp_extract_all("
+            "lower(text), '[A-Za-z0-9]+', 0)) / 10.0) AS INT) - 1, 1), "
+            "i -> array_join(slice(regexp_extract_all(lower(text), "
+            "'[A-Za-z0-9]+', 0), i * 10 + 1, 10), ' '))"
+        ).alias("paras"),
+    ).filter(F.size("paras") > 0)
+    return DD.paragraph_dedup(with_paras)
