@@ -128,3 +128,58 @@ def test_headerless_read(spark, tmp_path):
         [(1, "u"), (2, "v")]
     with pytest.raises(ValueError, match="both names and ch_types"):
         RB.read_rowbinary(spark, out, ch_types=types)
+
+
+def test_property_roundtrip_fuzz():
+    """Hypothesis-style seeded fuzz (plain random — keeps the suite
+    deterministic): every supported codec round-trips arbitrary
+    values, including type-boundary integers."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(20260815)
+    cases = {
+        "UInt8": lambda: rng.randint(0, 255),
+        "Int8": lambda: rng.randint(-128, 127),
+        "UInt16": lambda: rng.randint(0, 65535),
+        "Int16": lambda: rng.randint(-32768, 32767),
+        "UInt32": lambda: rng.randint(0, 2**32 - 1),
+        "Int32": lambda: rng.randint(-2**31, 2**31 - 1),
+        "Int64": lambda: rng.randint(-2**63, 2**63 - 1),
+        "Float64": lambda: rng.uniform(-1e12, 1e12),
+        "String": lambda: "".join(
+            rng.choice("abc ABC 123 é中") for _ in
+            range(rng.randint(0, 50))),
+        "Date": lambda: dt.date(1970, 1, 1) + dt.timedelta(
+            days=rng.randint(0, 40000)),
+        "DateTime": lambda: dt.datetime(1970, 1, 1) + dt.timedelta(
+            seconds=rng.randint(0, 2**31)),
+        "DateTime64(6)": lambda: dt.datetime(1970, 1, 1) + dt.timedelta(
+            seconds=rng.randint(0, 2**31),
+            microseconds=rng.randint(0, 999999)),
+        "Array(Int32)": lambda: [rng.randint(-1000, 1000) for _ in
+                                 range(rng.randint(0, 20))],
+        "Nullable(Float32)": lambda: None if rng.random() < 0.3
+        else round(rng.uniform(-100, 100), 2),
+    }
+    for t, gen in cases.items():
+        c = RB._TypeCodec(t)
+        for _ in range(60):
+            v = gen()
+            enc = c.encode(v)
+            got, pos = c.decode(enc, 0)
+            assert pos == len(enc), (t, v)
+            if t == "Nullable(Float32)" and v is not None:
+                assert got == pytest.approx(v, rel=1e-6), (t, v)
+            else:
+                assert got == v, (t, v, got)
+    # boundary values explicitly
+    for t, vals in {
+        "UInt64": [0, 1, 2**63 - 1, -1, -2**63],  # wrapped negatives
+        "Int64": [-2**63, 2**63 - 1, 0],
+        "UInt8": [0, 255],
+    }.items():
+        c = RB._TypeCodec(t)
+        for v in vals:
+            got, _ = c.decode(c.encode(v), 0)
+            assert got == v, (t, v, got)
