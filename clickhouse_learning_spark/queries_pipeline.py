@@ -2627,3 +2627,50 @@ def paragraph_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("paras"),
     ).filter(F.size("paras") > 0)
     return DD.paragraph_dedup(with_paras)
+
+
+@query(
+    "video_mp4_metadata",
+    """
+    WITH ids AS (SELECT unnest(generate_series(0, 199)) AS media_id)
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           (media_id % 97 + 1) * 0.5 AS duration_s,
+           CAST(1 + CASE WHEN media_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+               AS n_tracks,
+           'avc1' AS video_codec,
+           CAST(320 + 16 * (media_id % 8) AS INT) AS video_w,
+           CAST(240 + 16 * (media_id % 5) AS INT) AS video_h,
+           CAST(media_id % 50 + 10 AS INT) AS video_frames,
+           CASE WHEN media_id % 3 = 0 THEN 'mp4a' END AS audio_codec
+    FROM ids
+    """,
+)
+def video_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: ISO-BMFF (MP4) container metadata extraction
+    (operators/mp4.py) — the metadata-only first pass of a video
+    curation pipeline (filter by duration / resolution / codec before
+    paying for decode). 200 deterministic fixture MP4s are built
+    executor-side from media_id formulas, then parsed back through
+    the independent generic box walk; the oracle recomputes every
+    field from the same formulas WITHOUT parsing, so green means the
+    parser inverts real ISO-BMFF structure exactly."""
+    import pandas as pd
+
+    from clickhouse_learning_spark.operators import mp4 as M
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "content": [M.build_fixture_mp4(int(i))
+                            for i in pdf["id"]],
+            })
+
+    payloads = spark.range(200).repartition(8).mapInPandas(
+        build, "media_id long, content binary"
+    )
+    meta = M.mp4_metadata(payloads)
+    return meta.filter(F.col("mp4_error").isNull()).select(
+        "media_id", "duration_s", "n_tracks", "video_codec",
+        "video_w", "video_h", "video_frames", "audio_codec",
+    )
