@@ -2674,3 +2674,52 @@ def video_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "duration_s", "n_tracks", "video_codec",
         "video_w", "video_h", "video_frames", "audio_codec",
     )
+
+
+@query(
+    "audio_mp3_metadata",
+    """
+    WITH ids AS (SELECT unnest(generate_series(0, 179)) AS media_id)
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(media_id % 40 + 5 AS INT) AS n_frames,
+           round((media_id % 40 + 5) * 1152.0
+                 / ([44100, 48000, 32000][(media_id + 1) % 3 + 1]), 4)
+               AS duration_s,
+           CAST([128, 192, 256][media_id % 3 + 1] AS DOUBLE)
+               AS bitrate_kbps,
+           CAST([44100, 48000, 32000][(media_id + 1) % 3 + 1] AS INT)
+               AS sample_rate,
+           CASE WHEN media_id % 2 = 0 THEN 'stereo' ELSE 'mono' END
+               AS mode
+    FROM ids
+    """,
+)
+def audio_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: MPEG-1 Layer III frame-header walk
+    (operators/mp3.py) — the audio pre-transcription filter
+    (duration / bitrate / sample rate / channel mode straight from
+    the published 4-byte header tables, ID3v2 shells skipped).
+    Fixture streams are built executor-side from media_id formulas
+    with REAL frame headers and zero-filled payloads; the oracle
+    recomputes every field from the formulas without parsing."""
+    import pandas as pd
+
+    from clickhouse_learning_spark.operators import mp3 as M3
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "content": [M3.build_fixture_mp3(int(i))
+                            for i in pdf["id"]],
+            })
+
+    payloads = spark.range(180).repartition(8).mapInPandas(
+        build, "media_id long, content binary"
+    )
+    meta = M3.mp3_metadata(payloads)
+    return meta.filter(F.col("mp3_error").isNull()).select(
+        "media_id", "n_frames",
+        F.round("duration_s", 4).alias("duration_s"),
+        "bitrate_kbps", "sample_rate", "mode",
+    )
