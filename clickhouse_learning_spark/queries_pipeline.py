@@ -2723,3 +2723,75 @@ def audio_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("duration_s", 4).alias("duration_s"),
         "bitrate_kbps", "sample_rate", "mode",
     )
+
+
+def _duck_pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled power iteration in DuckDB CTEs — the independent
+    replay of graph.pagerank over the item-transition graph."""
+    parts = [
+        """edges0 AS (
+      SELECT (event_id % 500) AS item, user_id, ts, event_id
+      FROM events),
+    hops AS (
+      SELECT item AS src,
+             lead(item) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS dst
+      FROM edges0),
+    e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+          FROM hops WHERE dst IS NOT NULL GROUP BY src, dst),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+    en AS (SELECT e.src, e.dst, e.w / ow.wout AS share
+           FROM e JOIN ow USING (src)),
+    r0 AS (SELECT node, 1.0 AS rank FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""r{k} AS (
+      SELECT n.node,
+             {1 - d} + {d} * coalesce(m.mass, 0.0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT en.dst AS node, sum(en.share * r.rank) AS mass
+        FROM en JOIN r{k - 1} r ON en.src = r.node
+        GROUP BY en.dst) m USING (node))"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS item,
+           round(rank, 6) AS rank
+    FROM r{iters}
+    """
+    )
+
+
+@query("item_pagerank", _duck_pagerank_sql())
+def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: weighted PageRank (operators/graph.py) over the
+    item-transition graph (consecutive items per user's event stream,
+    multi-edge weights = transition counts) — link-graph centrality
+    as a quality prior, the Common-Crawl-web-graph shape. Five damped
+    power iterations, each one keyed join + one map-side-combinable
+    sum; the oracle unrolls all five as chained DuckDB CTEs."""
+    from pyspark.sql import Window
+
+    from clickhouse_learning_spark.operators import graph as G
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 500).alias("item"), "user_id", "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = ev.select(
+        F.col("item").alias("src"),
+        F.lead("item").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    edges = hops.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    ranks = G.pagerank(edges, weight="w", iters=5)
+    return ranks.select(
+        F.col("node").cast("long").alias("item"),
+        F.round("rank", 6).alias("rank"),
+    )
