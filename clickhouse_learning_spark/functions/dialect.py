@@ -1329,7 +1329,9 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
 
     # Twitter snowflake IDs: ms timestamp in the top 41 bits above a
     # 22-bit sequence/machine field, epoch 2010-11-04T01:42:54.657Z =
-    # 1288834974657 ms (the constant in CH's FunctionsSnowflake)
+    # 1288834974657 ms (the constant in CH's FunctionsSnowflake).
+    # Valid domain is the 41-bit ms horizon (~2080): past it the
+    # << 22 overflows Int64 in any engine — same as CH on Int64 input.
     _SNOWFLAKE_EPOCH_MS = 1288834974657
     m["snowflakeToDateTime"] = lambda a: (
         f"timestamp_seconds(CAST(floor((shiftright("

@@ -558,6 +558,40 @@ CASES = [
       [gpos, gpos]),
 ]
 
+# week-mode closed forms re-derived with DuckDB's Sunday-based
+# dayofweek by the helper queries_reference._duck_week — independent
+# of the Spark-side Monday-convention generation in dialect.py
+from clickhouse_learning_spark.queries_reference import _duck_week  # noqa: E402
+
+for _m in (0, 2, 4, 5, 6, 7, 8, 9):
+    CASES.append(C(f"toWeek_m{_m}", f"toWeek({{0}}, {_m})",
+                   _duck_week("{0}", _m), [gd]))
+for _m in (0, 3, 7, 9):
+    CASES.append(C(f"toYearWeek_m{_m}", f"toYearWeek({{0}}, {_m})",
+                   _duck_week("{0}", _m, yearweek=True), [gd]))
+CASES += [
+    C("toLastDayOfWeek_sun", "toLastDayOfWeek({0})",
+      "(({0}) - CAST(dayofweek({0}) AS INT) + 6)", [gd]),
+    C("toLastDayOfWeek_mon", "toLastDayOfWeek({0}, 1)",
+      "(({0}) + CAST(7 - isodow({0}) AS INT))", [gd]),
+    C("toRelativeWeekNum", "toRelativeWeekNum({0})",
+      "((({0}) - DATE '1970-01-01' + 8 - isodow({0})) // 7)", [gd]),
+    C("toRelativeMonthNum", "toRelativeMonthNum({0})",
+      "(year({0}) * 12 + month({0}))", [gd]),
+    C("toDaysSinceYearZero", "toDaysSinceYearZero({0})",
+      "((({0}) - DATE '1970-01-01') + 719528)", [gd]),
+    C("makeDate_doy", "makeDate({0}, {1})",
+      "(make_date({0}, 1, 1) + CAST(({1}) - 1 AS INT))",
+      [lambda r: r.randint(1971, 2030), lambda r: r.randint(1, 365)]),
+    # valid snowflake domain: 41 bits of ms after 2010-11-04 (~2080);
+    # beyond it the << 22 overflows Int64 in ANY engine
+    C("snowflake_roundtrip",
+      "toUnixTimestamp(snowflakeToDateTime(dateTimeToSnowflake({0})))",
+      "CAST(epoch({0}) AS BIGINT)",
+      [lambda r: dt.datetime(2011, 1, 1)
+       + dt.timedelta(seconds=r.randint(0, 60 * 365 * 86400))]),
+]
+
 
 def _norm(v):
     from decimal import Decimal
