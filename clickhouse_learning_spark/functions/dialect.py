@@ -2506,7 +2506,60 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             )(*_two(a, ch))
         )(_sp, _ch)
     m["skewPop"] = lambda a: f"skewness({_one(a, 'skewPop')})"
-    m["kurtPop"] = lambda a: f"kurtosis({_one(a, 'kurtPop')})"
+    # CH kurtPop is the RAW Pearson kurtosis mu4/sigma^4 (normal = 3);
+    # Spark's kurtosis subtracts 3 (excess, normal = 0) — the bare
+    # passthrough was wrong by exactly 3 (caught r5-late)
+    m["kurtPop"] = lambda a: f"(kurtosis({_one(a, 'kurtPop')}) + 3.0d)"
+    # sample variants divide the same central moments by sample
+    # variance: ratio varPop/varSamp = (n-1)/n, so they reduce to the
+    # population builtins times a bias factor — numerically stable
+    # (no raw-moment expansion)
+    m["skewSamp"] = lambda a: (
+        lambda x: (
+            f"(skewness({x}) * pow((count({x}) - 1) "
+            f"/ CAST(count({x}) AS DOUBLE), 1.5))"
+        )
+    )(_one(a, "skewSamp"))
+    m["kurtSamp"] = lambda a: (
+        lambda x: (
+            f"((kurtosis({x}) + 3.0d) * pow((count({x}) - 1) "
+            f"/ CAST(count({x}) AS DOUBLE), 2))"
+        )
+    )(_one(a, "kurtSamp"))
+
+    # matrix forms (row i = corr/covar of arg i against every arg)
+    def _stat_matrix(fn: str, name: str) -> Callable[[list[str]], str]:
+        def impl(a: list[str]) -> str:
+            if len(a) < 2:
+                raise ValueError(f"{name} expects >= 2 columns")
+            rows = ", ".join(
+                "array(" + ", ".join(
+                    f"{fn}({x}, {y})" for y in a
+                ) + ")"
+                for x in a
+            )
+            return f"array({rows})"
+        return impl
+
+    m["corrMatrix"] = _stat_matrix("corr", "corrMatrix")
+    m["covarPopMatrix"] = _stat_matrix("covar_pop", "covarPopMatrix")
+    m["covarSampMatrix"] = _stat_matrix("covar_samp", "covarSampMatrix")
+
+    # named gates: shapes a textual rewrite cannot make faithful
+    m["sumWithOverflow"] = lambda a: (_ for _ in ()).throw(ValueError(
+        "sumWithOverflow wraps at the ARGUMENT's integer width, which "
+        "a textual rewrite cannot see; use sum(...) or cast to the "
+        "width you want wrapped"
+    ))
+    m["groupArrayLast"] = lambda a: (_ for _ in ()).throw(ValueError(
+        "groupArrayLast depends on server-local insertion order; use "
+        "max_by/collect over an explicit ORDER BY key instead"
+    ))
+    m["sequenceNextNode"] = lambda a: (_ for _ in ()).throw(ValueError(
+        "sequenceNextNode (experimental in CH) — the chain-walk "
+        "semantics live in functions/seqmatch.py; compose "
+        "sequence_match with a lead() window for the next-node readout"
+    ))
     # *Stable variants: identical math with a numerically-stable
     # accumulator — Spark's builtins already use the two-pass/merge
     # formulations, so they map to the same functions.
@@ -3943,6 +3996,20 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         "sparkbar renders a unicode bar chart string; compute the "
         "histogram itself instead (GROUP BY bucket + count) and let "
         "the presentation layer draw it"
+    ),
+    "groupArrayLast": lambda p, a: _raise_gate(
+        "groupArrayLast depends on server-local insertion order; use "
+        "max_by/collect over an explicit ORDER BY key instead"
+    ),
+    "sequenceNextNode": lambda p, a: _raise_gate(
+        "sequenceNextNode (experimental in CH) — the chain-walk "
+        "semantics live in functions/seqmatch.py; compose "
+        "sequence_match with a lead() window for the next-node readout"
+    ),
+    "quantileTimingWeighted": lambda p, a: _raise_gate(
+        "quantileTimingWeighted: the weighted Timing histogram has no "
+        "Spark analog; quantileExactWeighted(p)(x, w) maps exactly, "
+        "or approx_percentile on the unweighted column"
     ),
     "quantileTiming": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     # quantileGK(accuracy[, level])(x) — level defaults to the median;

@@ -1532,3 +1532,37 @@ def test_datetime_completion_batch(spark):
         translate("SELECT toTimezone(t, 'Asia/Shanghai')")
     with _pytest.raises(ValueError, match="timezone overload"):
         translate("SELECT makeDateTime(2024, 1, 1, 0, 0, 0, 'UTC')")
+
+
+def test_moment_aggregates_pearson_vs_excess(spark):
+    """CH kurtPop is raw Pearson mu4/sigma^4 (normal = 3); Spark's
+    kurtosis is excess — the mapping must add 3. Sample variants =
+    population x ((n-1)/n)^k. Hand set {0,0,1,1}: m2=.25, m4=.0625
+    -> kurtPop 1.0; varSamp=1/3 -> kurtSamp = .0625/(1/9) = 0.5625."""
+    import pytest as _pytest
+
+    r = spark.sql(translate(
+        "SELECT kurtPop(x) AS kp, kurtSamp(x) AS ks, "
+        "skewPop(y) AS sp, skewSamp(y) AS ss, "
+        "corrMatrix(x, y) AS cm "
+        "FROM VALUES (0.0, 0.0), (0.0, 0.0), (1.0, 1.0), (1.0, 0.0) "
+        "AS t(x, y)"
+    )).collect()[0]
+    assert r["kp"] == _pytest.approx(1.0)
+    assert r["ks"] == _pytest.approx(0.5625)
+    # y = {0,0,1,0}: m2 = 3/16, m3 = (3*(-.25)^3 + .75^3)/4 = 0.09375
+    # skewPop = m3/m2^1.5; skewSamp = skewPop * (3/4)^1.5
+    sp = 0.09375 / (3 / 16) ** 1.5
+    assert r["sp"] == _pytest.approx(sp)
+    assert r["ss"] == _pytest.approx(sp * 0.75 ** 1.5)
+    cm = [list(row) for row in r["cm"]]
+    assert cm[0][0] == _pytest.approx(1.0)
+    assert cm[0][1] == _pytest.approx(cm[1][0])
+
+    for bad, msg in [
+        ("sumWithOverflow(x)", "integer width"),
+        ("groupArrayLast(3)(x)", "insertion order"),
+        ("sequenceNextNode('forward', 'head')(t, e, c)", "seqmatch"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            translate(f"SELECT {bad}")
