@@ -2795,3 +2795,53 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("item"),
         F.round("rank", 6).alias("rank"),
     )
+
+
+@query(
+    "video_webm_metadata",
+    """
+    WITH ids AS (SELECT unnest(generate_series(0, 149)) AS media_id)
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           'webm' AS doctype,
+           (media_id % 89 + 1) * 0.25 AS duration_s,
+           CAST(CASE WHEN media_id % 2 = 0 THEN 2 ELSE 1 END AS INT)
+               AS n_tracks,
+           'V_VP9' AS video_codec,
+           CAST(426 + 2 * (media_id % 128) AS INT) AS video_w,
+           CAST(240 + 2 * (media_id % 60) AS INT) AS video_h,
+           CASE WHEN media_id % 2 = 0 THEN 'A_OPUS' END AS audio_codec,
+           CASE WHEN media_id % 2 = 0 THEN CAST(48000 AS INT) END
+               AS audio_rate
+    FROM ids
+    """,
+)
+def video_webm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: Matroska/WebM (EBML, RFC 8794) metadata walk
+    (operators/mkv.py) — the third container of the pre-decode filter
+    family (MP4, MP3, now WebM). Fixture shells built executor-side
+    from media_id formulas, parsed back through the independent
+    varint/element walk; the oracle recomputes every field from the
+    formulas without parsing. VP9/Opus payload decode stays out of
+    scope by design."""
+    import pandas as pd
+
+    from clickhouse_learning_spark.operators import mkv as KV
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "content": [KV.build_fixture_mkv(int(i))
+                            for i in pdf["id"]],
+            })
+
+    payloads = spark.range(150).repartition(8).mapInPandas(
+        build, "media_id long, content binary"
+    )
+    meta = KV.mkv_metadata(payloads)
+    return meta.filter(F.col("mkv_error").isNull()).select(
+        "media_id", "doctype",
+        F.round("duration_s", 6).alias("duration_s"),
+        "n_tracks", "video_codec", "video_w", "video_h",
+        "audio_codec", "audio_rate",
+    )
