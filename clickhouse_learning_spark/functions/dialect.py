@@ -1636,6 +1636,144 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["simpleJSONExtractString"] = _json_extract(None, "''")
     m["visitParamExtractString"] = _json_extract(None, "''")
 
+    # JSON structure family (r5 late). CH's simdjson functions yield
+    # defaults on unparseable input — coalesce matches that.
+    m["JSONExtractKeys"] = lambda a: (
+        f"json_object_keys({_one(a, 'JSONExtractKeys')})"
+        if len(a) == 1
+        else _raise_gate("JSONExtractKeys with a path is not "
+                         "translated — extract the subobject first")
+    )
+    m["JSONLength"] = lambda a: (
+        lambda j: (
+            f"coalesce(json_array_length({j}), "
+            f"size(json_object_keys({j})), 0)"
+        )
+    )(_one(a, "JSONLength"))
+    m["isValidJSON"] = lambda a: (
+        f"(try_parse_json({_one(a, 'isValidJSON')}) IS NOT NULL)"
+    )
+    _JSON_VALUE_TYPES = {
+        "'String'": "string", "'Int64'": "bigint",
+        "'UInt64'": "bigint", "'Float64'": "double",
+        "'Double'": "double", "'Bool'": "boolean",
+    }
+
+    def _json_keys_values(a: list[str]) -> str:
+        if len(a) != 2 or a[1].strip() not in _JSON_VALUE_TYPES:
+            raise ValueError(
+                "JSONExtractKeysAndValues(json, 'String'|'Int64'|"
+                "'UInt64'|'Float64'|'Bool') — path arguments are not "
+                "translated"
+            )
+        t = _JSON_VALUE_TYPES[a[1].strip()]
+        return (
+            f"transform(map_entries(from_json({a[0]}, "
+            f"'map<string,{t}>')), jkv_e -> "
+            f"struct(jkv_e.key AS col1, jkv_e.value AS col2))"
+        )
+
+    m["JSONExtractKeysAndValues"] = _json_keys_values
+    m["toJSONString"] = lambda a: f"to_json({_one(a, 'toJSONString')})"
+
+    # Map algebra completion. mapSort orders by key (struct compare
+    # hits the key field first); the lambda overloads gate.
+    m["mapSort"] = lambda a: (
+        f"map_from_entries(array_sort(map_entries("
+        f"{_one(a, 'mapSort')})))"
+        if len(a) == 1
+        else _raise_gate("mapSort with a comparator lambda is not "
+                         "translated — sort map_entries(...) directly")
+    )
+    m["mapReverseSort"] = lambda a: (
+        f"map_from_entries(reverse(array_sort(map_entries("
+        f"{_one(a, 'mapReverseSort')}))))"
+        if len(a) == 1
+        else _raise_gate("mapReverseSort with a comparator lambda is "
+                         "not translated")
+    )
+    m["mapExists"] = lambda a: (
+        lambda lam, mp: f"(size(map_filter({mp}, {lam})) > 0)"
+    )(*_two(a, "mapExists"))
+    m["mapAll"] = lambda a: (
+        lambda lam, mp: (
+            f"(size(map_filter({mp}, {lam})) = size({mp}))"
+        )
+    )(*_two(a, "mapAll"))
+    m["mapContainsKeyLike"] = lambda a: (
+        lambda mp, pat: (
+            f"(size(filter(map_keys({mp}), mk_k -> mk_k LIKE {pat})) "
+            f"> 0)"
+        )
+    )(*_two(a, "mapContainsKeyLike"))
+    m["mapExtractKeyLike"] = lambda a: (
+        lambda mp, pat: (
+            f"map_filter({mp}, (mk_k, mk_v) -> mk_k LIKE {pat})"
+        )
+    )(*_two(a, "mapExtractKeyLike"))
+    m["mapConcat"] = lambda a: (_ for _ in ()).throw(ValueError(
+        "mapConcat's duplicate-key rule (first map wins) has no Spark "
+        "analog (map_concat errors on duplicates); mapUpdate maps — "
+        "reorder arguments if last-wins is what you meant"
+    ))
+
+    # regex capture groups: group count read from the literal pattern
+    def _regex_group_count(pat: str) -> int | None:
+        mm = re.fullmatch(r"'((?:[^'\\]|\\.|'')*)'", pat.strip())
+        if not mm:
+            return None
+        body, n, i = mm.group(1), 0, 0
+        while i < len(body):
+            if body[i] == "\\":
+                i += 2
+                continue
+            if body[i] == "(" and not body.startswith("(?", i):
+                n += 1
+            i += 1
+        return n
+
+    def _extract_groups(a: list[str], vertical: bool | None) -> str:
+        s, pat = _two(a, "extractGroups")
+        n = _regex_group_count(pat)
+        if not n:
+            raise ValueError(
+                "extractGroups/extractAllGroups* need a literal "
+                "pattern with at least one capture group (the group "
+                "count drives the rewrite)"
+            )
+        if vertical is None:  # first match only; [] when no match
+            one = ", ".join(
+                f"regexp_extract({s}, {pat}, {i})"
+                for i in range(1, n + 1)
+            )
+            return (f"(CASE WHEN {s} RLIKE {pat} THEN array({one}) "
+                    f"ELSE array() END)")
+        horiz = [f"regexp_extract_all({s}, {pat}, {i})"
+                 for i in range(1, n + 1)]
+        if not vertical:
+            return f"array({', '.join(horiz)})"
+        elems = ", ".join(
+            f"element_at({h}, vg_i)" for h in horiz
+        )
+        return (f"transform(sequence(1, size({horiz[0]})), "
+                f"vg_i -> array({elems}))")
+
+    m["extractGroups"] = lambda a: _extract_groups(a, None)
+    m["extractAllGroupsHorizontal"] = lambda a: _extract_groups(a, False)
+    m["extractAllGroupsVertical"] = lambda a: _extract_groups(a, True)
+    m["regexpExtract"] = lambda a: f"regexp_extract({', '.join(a)})" \
+        if len(a) in (2, 3) else _raise_gate(
+            "regexpExtract(haystack, pattern[, index])")
+
+    # queryStringAndFragment = query + '#fragment' (no leading '?')
+    m["queryStringAndFragment"] = lambda a: (
+        lambda u: (
+            f"concat(coalesce(parse_url({u}, 'QUERY'), ''), "
+            f"CASE WHEN parse_url({u}, 'REF') IS NOT NULL "
+            f"THEN concat('#', parse_url({u}, 'REF')) ELSE '' END)"
+        )
+    )(_one(a, "queryStringAndFragment"))
+
     # CH tuples address elements as .1/.2 (→ .col1/.col2 here), so the
     # zip must emit col1… field names — Spark's arrays_zip would name
     # them "0"/"1" (or after the input exprs) instead

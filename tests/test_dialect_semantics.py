@@ -1566,3 +1566,55 @@ def test_moment_aggregates_pearson_vs_excess(spark):
     ]:
         with _pytest.raises(ValueError, match=msg):
             translate(f"SELECT {bad}")
+
+
+def test_json_map_regex_groups_batch(spark):
+    """r5-late JSON structure family, map algebra completion, and
+    capture-group extraction with the group count read from the
+    literal pattern."""
+    import pytest as _pytest
+
+    r = spark.sql(translate(
+        """SELECT JSONExtractKeys('{"a":1,"b":2}') AS jk,
+        JSONLength('[1,2,3]') AS jl1, JSONLength('{"a":1}') AS jl2,
+        JSONLength('nope') AS jl3,
+        isValidJSON('{"a":1}') AS v1, isValidJSON('{bad') AS v2,
+        JSONExtractKeysAndValues('{"a":"x","b":"y"}', 'String') AS kv,
+        toJSONString(map('k', 7)) AS tj,
+        mapSort(map('b', 2, 'a', 1)) AS ms,
+        mapExists((k, v) -> v > 1, map('a', 1, 'b', 2)) AS me,
+        mapAll((k, v) -> v > 0, map('a', 1, 'b', 2)) AS ma,
+        mapContainsKeyLike(map('abc', 1), 'ab%') AS mk,
+        mapExtractKeyLike(map('abc', 1, 'xyz', 2), 'a%') AS mek,
+        extractGroups('a12b34', '([a-z])(\\\\d+)') AS eg,
+        extractGroups('zzz', '([a-z])(\\\\d+)') AS eg0,
+        extractAllGroupsHorizontal('a12b34', '([a-z])(\\\\d+)') AS eh,
+        extractAllGroupsVertical('a12b34', '([a-z])(\\\\d+)') AS ev,
+        regexpExtract('num-42', '(\\\\d+)') AS rx,
+        queryStringAndFragment('http://h/p?x=1#frag') AS qf,
+        queryStringAndFragment('http://h/p') AS qf2"""
+    )).collect()[0]
+    assert sorted(r["jk"]) == ["a", "b"]
+    assert (r["jl1"], r["jl2"], r["jl3"]) == (3, 1, 0)
+    assert r["v1"] and not r["v2"]
+    assert [(t["col1"], t["col2"]) for t in r["kv"]] == \
+        [("a", "x"), ("b", "y")]
+    assert r["tj"] == '{"k":7}'
+    assert list(r["ms"].items()) == [("a", 1), ("b", 2)]
+    assert r["me"] and r["ma"] and r["mk"]
+    assert dict(r["mek"]) == {"abc": 1}
+    assert list(r["eg"]) == ["a", "12"]
+    assert list(r["eg0"]) == []
+    assert [list(x) for x in r["eh"]] == [["a", "b"], ["12", "34"]]
+    assert [list(x) for x in r["ev"]] == [["a", "12"], ["b", "34"]]
+    assert r["rx"] == "42"
+    assert r["qf"] == "x=1#frag" and r["qf2"] == ""
+
+    for bad, msg in [
+        ("mapConcat(m1, m2)", "duplicate-key"),
+        ("extractGroups(s, re_col)", "literal pattern"),
+        ("JSONExtractKeysAndValues(j, 'k', 'String')", "path arguments"),
+        ("mapSort((k, v) -> v, m)", "comparator"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            translate(f"SELECT {bad}")
