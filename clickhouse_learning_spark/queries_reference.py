@@ -2354,3 +2354,62 @@ def ch_week_modes_full_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("w2", "w4", "w5", "w6", "w7", "w8", "w9",
                       "yw0", "yw6", "yw9")]
     return out.select(*cols, _F.col("n").cast("long").alias("n"))
+
+
+@query(
+    "ch_json_struct_dialect",
+    """
+    WITH e AS (
+      SELECT event_id, props FROM events WHERE event_id % 41 = 0)
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           array_to_string(json_keys(props), ',') AS keys,
+           CAST(len(json_keys(props)) AS INT) AS jlen,
+           (props IS NOT NULL AND json_valid(props)) AS ok,
+           array_to_string(list_transform(json_keys(props),
+             kk -> kk || '=' ||
+                   CAST(json_extract(props, '$.' || kk) AS VARCHAR)),
+             ';') AS kv,
+           CAST(event_id % 100 AS VARCHAR) || '|x' AS eg,
+           's=' || CAST(json_extract(props, '$.k') AS VARCHAR) AS srt
+    FROM e
+    """,
+)
+def ch_json_struct_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: the JSON structure / map-algebra / capture-group
+    batch under the hash gate — JSONExtractKeys/Length, isValidJSON,
+    JSONExtractKeysAndValues serialized through mapSort (key order
+    pinned), extractGroups with the group count from the literal
+    pattern. The oracle re-derives everything from DuckDB's json_keys
+    / json_extract / json_valid."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 41 == 0
+    ).select("event_id", "props").createOrReplaceTempView(
+        "ch_json_events"
+    )
+    ch = r"""
+        SELECT event_id,
+               arrayStringConcat(JSONExtractKeys(props), ',') AS keys,
+               JSONLength(props) AS jlen,
+               isValidJSON(props) AS ok,
+               arrayStringConcat(arrayMap(
+                 t -> concat(t.1, '=', toString(t.2)),
+                 JSONExtractKeysAndValues(props, 'Int64')), ';') AS kv,
+               arrayStringConcat(
+                 extractGroups(concat('v', toString(event_id % 100),
+                                      'x'), 'v(\\d+)(x)'), '|') AS eg,
+               concat('s=', toString(arrayElement(mapValues(mapSort(
+                 map('z', 1, 'k', JSONExtractInt(props, 'k')))), 1)))
+                 AS srt
+        FROM ch_json_events
+    """
+    return spark.sql(translate(ch)).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "keys",
+        F.col("jlen").cast("int").alias("jlen"),
+        "ok", "kv", "eg", "srt",
+    )
