@@ -618,6 +618,79 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         ],
         "",
     )
+    m["formatReadableDecimalSize"] = _format_readable(
+        [
+            (1e18, "EB"), (1e15, "PB"), (1e12, "TB"),
+            (1e9, "GB"), (1e6, "MB"), (1e3, "KB"),
+        ],
+        "B",
+    )
+
+    # float classification: Spark only ships isnan — finite/infinite
+    # compose from it (NULL propagates like CH Nullable)
+    m["isNaN"] = lambda a: f"isnan({_one(a, 'isNaN')})"
+    m["isInfinite"] = lambda a: (
+        lambda x: f"(abs({x}) = double('Infinity'))"
+    )(_one(a, "isInfinite"))
+    m["isFinite"] = lambda a: (
+        lambda x: (
+            f"(NOT isnan({x}) AND abs({x}) != double('Infinity'))"
+        )
+    )(_one(a, "isFinite"))
+    m["ifNotFinite"] = lambda a: (
+        lambda x, y: (
+            f"(CASE WHEN NOT isnan({x}) AND abs({x}) != "
+            f"double('Infinity') THEN {x} ELSE {y} END)"
+        )
+    )(*_two(a, "ifNotFinite"))
+
+    # server-side no-ops / hints: value semantics preserved exactly
+    m["identity"] = lambda a: _one(a, "identity")
+    m["materialize"] = lambda a: _one(a, "materialize")
+    m["ignore"] = lambda a: "0"  # CH: evaluates args, returns 0
+    # indexHint(cond) returns 1 and only STEERS index selection — the
+    # condition is deliberately NOT applied to rows, so TRUE is the
+    # value-faithful translation
+    m["indexHint"] = lambda a: "true"
+
+    # great-circle angle: same haversine as greatCircleDistance in
+    # degrees instead of meters
+    m["greatCircleAngle"] = lambda a: (
+        lambda lon1, lat1, lon2, lat2: (
+            f"degrees(2 * asin(sqrt("
+            f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) "
+            f"+ cos(radians({lat1})) * cos(radians({lat2})) "
+            f"* pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+        )
+    )(*a) if len(a) == 4 else _raise_gate(
+        "greatCircleAngle(lon1, lat1, lon2, lat2)")
+
+    def _point_in_ellipses(a: list[str]) -> str:
+        if len(a) < 6 or (len(a) - 2) % 4:
+            raise ValueError(
+                "pointInEllipses(x, y, x0, y0, a0, b0[, x1, y1, a1, "
+                "b1 ...])"
+            )
+        x, y = a[0], a[1]
+        terms = []
+        for i in range(2, len(a), 4):
+            cx, cy, ra, rb = a[i:i + 4]
+            terms.append(
+                f"(pow((({x}) - ({cx})) / ({ra}), 2) + "
+                f"pow((({y}) - ({cy})) / ({rb}), 2) <= 1.0)"
+            )
+        return "(" + " OR ".join(terms) + ")"
+
+    m["pointInEllipses"] = _point_in_ellipses
+    m["sleep"] = lambda a: (_ for _ in ()).throw(ValueError(
+        "sleep is a server-side testing side effect — drop it"
+    ))
+    m["sleepEachRow"] = m["sleep"]
+    m["bar"] = lambda a: (_ for _ in ()).throw(ValueError(
+        "bar renders partial unicode blocks (eighth glyph choice is "
+        "CH-internal); compute the value and let the presentation "
+        "layer draw it"
+    ))
     # toTypeName: the reference docs use it to inspect state-column
     # types (docs/物化视图的实战经验分享.md) — maps to typeof(), which
     # serves the same introspection with SPARK's type vocabulary

@@ -1618,3 +1618,41 @@ def test_json_map_regex_groups_batch(spark):
     ]:
         with _pytest.raises(ValueError, match=msg):
             translate(f"SELECT {bad}")
+
+
+def test_float_classification_noops_geo_batch(spark):
+    """isFinite/isInfinite/isNaN/ifNotFinite composition, server-side
+    no-ops (identity/materialize/ignore/indexHint value semantics),
+    formatReadableDecimalSize 1000-ladder, greatCircleAngle vs the
+    distance formula, pointInEllipses any-of rule."""
+    import pytest as _pytest
+
+    r = spark.sql(translate(
+        "SELECT isFinite(1.5) AS f1, isFinite(double('Infinity')) AS f2, "
+        "isFinite(double('NaN')) AS f3, "
+        "isInfinite(-double('Infinity')) AS i1, isInfinite(2.0) AS i2, "
+        "isNaN(double('NaN')) AS n1, "
+        "ifNotFinite(3.5, 0.0) AS nf1, ifNotFinite(double('Infinity'), -1.0) AS nf2, "
+        "identity(42) AS idn, materialize(7) AS mat, "
+        "ignore('x', 9) AS ign, indexHint(1 = 2) AS ih, "
+        "formatReadableDecimalSize(1000) AS ds1, "
+        "formatReadableDecimalSize(1234567) AS ds2, "
+        "round(greatCircleAngle(0, 0, 0, 90), 6) AS gca, "
+        "pointInEllipses(1.0, 0.0, 0, 0, 2, 1) AS pe1, "
+        "pointInEllipses(3.0, 0.0, 0, 0, 2, 1) AS pe2, "
+        "pointInEllipses(3.0, 0.0, 0, 0, 2, 1, 3, 0, 0.5, 0.5) AS pe3"
+    )).collect()[0]
+    assert r["f1"] and not r["f2"] and not r["f3"]
+    assert r["i1"] and not r["i2"] and r["n1"]
+    assert r["nf1"] == 3.5 and r["nf2"] == -1.0
+    assert r["idn"] == 42 and r["mat"] == 7 and r["ign"] == 0
+    assert r["ih"] is True
+    assert r["ds1"] == "1.00 KB" and r["ds2"] == "1.23 MB"
+    assert r["gca"] == _pytest.approx(90.0)
+    assert r["pe1"] and not r["pe2"] and r["pe3"]
+
+    for bad, msg in [("sleep(1)", "side effect"),
+                     ("bar(x, 0, 100, 10)", "unicode blocks"),
+                     ("pointInEllipses(x, y, 1, 2)", "pointInEllipses")]:
+        with _pytest.raises(ValueError, match=msg):
+            translate(f"SELECT {bad}")
