@@ -1864,6 +1864,119 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
 
     m["arrayZip"] = _array_zip
     m["arrayFlatten"] = lambda a: f"flatten({_one(a, 'arrayFlatten')})"
+
+    def _lam_apply(lam: str, value: str) -> str:
+        """Evaluate a textual single-param CH lambda on one value (the
+        _bind single-element-transform idiom)."""
+        return f"element_at(transform(array({value}), {lam}), 1)"
+
+    # arraySort/arrayReverseSort BY-KEY lambda forms: Spark's
+    # comparator array_sort with CH's rule that NULL keys sort last in
+    # BOTH directions
+    def _sort_by_key(a: list[str], reverse: bool, name: str) -> str:
+        lam, arr = _two(a, name)
+        kl = _lam_apply(lam, "sk_l")
+        kr = _lam_apply(lam, "sk_r")
+        lt, gt = ("1", "-1") if reverse else ("-1", "1")
+        return (
+            f"array_sort({arr}, (sk_l, sk_r) -> CASE "
+            f"WHEN {kl} IS NULL AND {kr} IS NULL THEN 0 "
+            f"WHEN {kl} IS NULL THEN 1 WHEN {kr} IS NULL THEN -1 "
+            f"WHEN {kl} < {kr} THEN {lt} WHEN {kl} > {kr} THEN {gt} "
+            f"ELSE 0 END)"
+        )
+
+    # typed empty-array constructors
+    for _ch_t, _sp_t in (
+        ("UInt8", "INT"), ("UInt16", "INT"), ("UInt32", "BIGINT"),
+        ("UInt64", "BIGINT"), ("Int8", "INT"), ("Int16", "INT"),
+        ("Int32", "INT"), ("Int64", "BIGINT"), ("Float32", "FLOAT"),
+        ("Float64", "DOUBLE"), ("String", "STRING"), ("Date", "DATE"),
+        ("DateTime", "TIMESTAMP"),
+    ):
+        m[f"emptyArray{_ch_t}"] = (
+            lambda sp_t: lambda a: f"CAST(array() AS ARRAY<{sp_t}>)"
+        )(_sp_t)
+
+    m["arrayWithConstant"] = lambda a: (
+        lambda n, x: f"array_repeat({x}, CAST({n} AS INT))"
+    )(*_two(a, "arrayWithConstant"))
+    # countEqual counts NULLs too — null-safe equality
+    m["countEqual"] = lambda a: (
+        lambda arr, v: f"size(filter({arr}, ce_t -> ce_t <=> {v}))"
+    )(*_two(a, "countEqual"))
+    m["arrayElementOrNull"] = lambda a: (
+        lambda arr, i: (
+            f"(CASE WHEN ({i}) = 0 THEN NULL "
+            f"ELSE try_element_at({arr}, CAST({i} AS INT)) END)"
+        )
+    )(*_two(a, "arrayElementOrNull"))
+    m["arrayProduct"] = lambda a: (
+        f"aggregate({_one(a, 'arrayProduct')}, CAST(1 AS DOUBLE), "
+        f"(ap_acc, ap_x) -> ap_acc * ap_x)"
+    )
+    m["arrayCumSumNonNegative"] = lambda a: (
+        lambda arr: (
+            f"aggregate({arr}, "
+            f"named_struct('r', CAST(array() AS ARRAY<BIGINT>), "
+            f"'s', CAST(0 AS BIGINT)), "
+            f"(cn_acc, cn_x) -> named_struct("
+            f"'r', concat(cn_acc.r, array(greatest(cn_acc.s + cn_x, "
+            f"0))), 's', greatest(cn_acc.s + cn_x, 0)), "
+            f"cn_acc -> cn_acc.r)"
+        )
+    )(_one(a, "arrayCumSumNonNegative"))
+
+    # arrayFill: carry the last PASSING element forward over failing
+    # positions; elements before the first pass stay unchanged.
+    # arrayReverseFill: same backward (fold the reversed array).
+    def _array_fill(a: list[str], reverse: bool, name: str) -> str:
+        lam, arr = _two(a, name)
+        src = f"reverse({arr})" if reverse else arr
+        pred = _lam_apply(lam, "af_x")
+        fold = (
+            f"aggregate({src}, "
+            f"named_struct('r', slice({arr}, 1, 0), "
+            f"'last', try_element_at({arr}, 1), 'seen', false), "
+            f"(af_acc, af_x) -> CASE WHEN {pred} THEN named_struct("
+            f"'r', concat(af_acc.r, array(af_x)), 'last', af_x, "
+            f"'seen', true) WHEN af_acc.seen THEN named_struct("
+            f"'r', concat(af_acc.r, array(af_acc.last)), "
+            f"'last', af_acc.last, 'seen', true) ELSE named_struct("
+            f"'r', concat(af_acc.r, array(af_x)), "
+            f"'last', af_acc.last, 'seen', false) END, "
+            f"af_acc -> af_acc.r)"
+        )
+        return f"reverse({fold})" if reverse else fold
+
+    m["arrayFill"] = lambda a: _array_fill(a, False, "arrayFill")
+    m["arrayReverseFill"] = lambda a: _array_fill(
+        a, True, "arrayReverseFill"
+    )
+
+    # zip to the LONGEST input, padding with NULLs (CH names the
+    # fields like arrayZip does)
+    def _array_zip_unaligned(a: list[str]) -> str:
+        if len(a) < 2:
+            raise ValueError("arrayZipUnaligned expects >= 2 arrays")
+        n = "greatest(" + ", ".join(f"size({x})" for x in a) + ")"
+        fields = ", ".join(
+            f"try_element_at({x}, zu_i) AS col{i + 1}"
+            for i, x in enumerate(a)
+        )
+        empty_fields = ", ".join(
+            f"try_element_at({x}, zu_i) AS col{i + 1}"
+            for i, x in enumerate(a)
+        )
+        return (
+            f"(CASE WHEN {n} = 0 THEN "
+            f"filter(transform(array(1), zu_i -> "
+            f"struct({empty_fields})), zu_f -> false) "
+            f"ELSE transform(sequence(1, {n}), "
+            f"zu_i -> struct({fields})) END)"
+        )
+
+    m["arrayZipUnaligned"] = _array_zip_unaligned
     m["arrayUniq"] = lambda a: (
         f"size(array_distinct({_one(a, 'arrayUniq')}))"
     )
@@ -1915,10 +2028,15 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # NOTE: no m["range"] mapping — numbers(N) rewrites to Spark's
     # range(N) TABLE function, which a scalar range→sequence mapping
     # would clobber; array-building uses sequence() directly
-    m["arraySort"] = lambda a: f"array_sort({_one(a, 'arraySort')})"
+    # lambda forms sort BY KEY via the comparator builder above
+    m["arraySort"] = lambda a: (
+        f"array_sort({a[0]})" if len(a) == 1
+        else _sort_by_key(a, False, "arraySort")
+    )
     m["arrayReverseSort"] = lambda a: (
         # descending = reverse of ascending for a total order
-        f"reverse(array_sort({_one(a, 'arrayReverseSort')}))"
+        f"reverse(array_sort({a[0]}))" if len(a) == 1
+        else _sort_by_key(a, True, "arrayReverseSort")
     )
     m["arrayReverse"] = lambda a: f"reverse({_one(a, 'arrayReverse')})"
     m["arrayConcat"] = lambda a: f"concat({', '.join(a)})"

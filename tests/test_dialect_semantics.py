@@ -1656,3 +1656,41 @@ def test_float_classification_noops_geo_batch(spark):
                      ("pointInEllipses(x, y, 1, 2)", "pointInEllipses")]:
         with _pytest.raises(ValueError, match=msg):
             translate(f"SELECT {bad}")
+
+
+def test_array_completion_batch(spark):
+    """r5-late array completion: by-key sort lambdas (NULL keys last
+    both directions), typed empty constructors, arrayWithConstant,
+    null-safe countEqual, arrayElementOrNull 0-guard, product,
+    clamped cumulative sum, carry-forward/backward fills, unaligned
+    zip with NULL padding."""
+    r = spark.sql(translate(
+        "SELECT arraySort(x -> -x, [3, 1, 2]) AS s1, "
+        "arrayReverseSort(x -> x, [3, 1, 2]) AS s2, "
+        "arraySort(x -> nullIf(x, 2), [2, 3, 1]) AS s3, "
+        "emptyArrayInt64() AS e1, emptyArrayString() AS e2, "
+        "arrayWithConstant(3, 'ab') AS wc, "
+        "countEqual([1, NULL, 2, NULL], NULL) AS ceq, "
+        "countEqual([1, 2, 2], 2) AS ceq2, "
+        "arrayElementOrNull([10, 20], 5) AS eon, "
+        "arrayElementOrNull([10, 20], 0) AS eon0, "
+        "arrayElementOrNull([10, 20], -1) AS eonm, "
+        "arrayProduct([2, 3, 4]) AS pr, "
+        "arrayCumSumNonNegative([2, -4, 3, -1]) AS cns, "
+        "arrayFill(x -> x > 0, [-1, 5, -2, -3, 7, -4]) AS fl, "
+        "arrayReverseFill(x -> x > 0, [-1, 5, -2, -3, 7, -4]) AS rfl, "
+        "arrayZipUnaligned([1, 2, 3], ['a']) AS zu"
+    )).collect()[0]
+    assert list(r["s1"]) == [3, 2, 1]
+    assert list(r["s2"]) == [3, 2, 1]
+    assert list(r["s3"]) == [1, 3, 2]  # NULL key (the 2) sorts last
+    assert list(r["e1"]) == [] and list(r["e2"]) == []
+    assert list(r["wc"]) == ["ab", "ab", "ab"]
+    assert r["ceq"] == 2 and r["ceq2"] == 2
+    assert r["eon"] is None and r["eon0"] is None and r["eonm"] == 20
+    assert r["pr"] == 24.0
+    assert list(r["cns"]) == [2, 0, 3, 2]
+    assert list(r["fl"]) == [-1, 5, 5, 5, 7, 7]
+    assert list(r["rfl"]) == [5, 5, 7, 7, 7, -4]
+    assert [(t["col1"], t["col2"]) for t in r["zu"]] == \
+        [(1, "a"), (2, None), (3, None)]
