@@ -106,7 +106,9 @@ def _parse_trak(data: bytes, start: int, end: int) -> dict:
             ver, p = _full_box(data, b0)
             if ver == 1:
                 (out["track_id"],) = struct.unpack_from(">I", data, p + 16)
-                fixed = p + 16 + 4 + 8 + 8 + 2 + 2 + 2 + 2 + 36
+                # ctime(8) mtime(8) id(4) reserved(4) duration(8)
+                # reserved(8) layer/alt/volume/reserved(2*4) matrix(36)
+                fixed = p + 16 + 4 + 4 + 8 + 8 + 2 + 2 + 2 + 2 + 36
             else:
                 (out["track_id"],) = struct.unpack_from(">I", data, p + 8)
                 fixed = p + 8 + 4 + 4 + 4 + 8 + 2 + 2 + 2 + 2 + 36

@@ -92,3 +92,25 @@ def test_mp4_metadata_quarantines(spark):
     assert rows[1].mp4_error is not None and rows[1].duration_s is None
     assert rows[3].mp4_error is not None
     assert rows[4].video_frames == 4 % 50 + 10
+
+
+def test_version1_tkhd_offsets():
+    """v1 tkhd hand-built from ISO 14496-12: 64-bit times, the 4-byte
+    reserved after track_ID, width/height at body offset 84."""
+    tkhd = _box(b"tkhd", b"\x01\x00\x00\x07"
+                + struct.pack(">QQ", 0, 0)       # ctime mtime
+                + struct.pack(">II", 9, 0)       # track_id reserved
+                + struct.pack(">Q", 1000)        # duration
+                + b"\x00" * 8                    # reserved
+                + b"\x00" * 8                    # layer/alt/vol/res
+                + b"\x00" * 36                   # matrix
+                + struct.pack(">II", 1920 << 16, 1080 << 16))
+    mvhd = _box(b"mvhd", b"\x00\x00\x00\x00"
+                + struct.pack(">IIII", 0, 0, 1000, 2000)
+                + b"\x00" * 80)
+    data = (_box(b"ftyp", b"isom\x00\x00\x00\x00")
+            + _box(b"moov", mvhd + _box(b"trak", tkhd)))
+    meta = M.parse_mp4_meta(data)
+    t = meta["tracks"][0]
+    assert t["track_id"] == 9
+    assert (t["width"], t["height"]) == (1920, 1080)
