@@ -18,7 +18,9 @@ serialized as plain T in row formats (the dictionary encoding is
 Native-format-only). The WithNamesAndTypes header is LEB128 column
 count, then the names as Strings, then the type names as Strings.
 
-Unsupported types (Decimal, UUID, Map, Tuple, IPv6, AggregateFunction
+Decimal(P<=38, S) decodes as the scaled little-endian integer the
+format specifies (4/8/16 bytes by precision) into DecimalType.
+Unsupported types (Decimal256, UUID, Map, Tuple, IPv6, AggregateFunction
 states) raise with the type name — a wrong byte-walk would corrupt
 every following value in the file, so the gate is load-bearing.
 
@@ -37,11 +39,13 @@ import re
 import struct
 import uuid as _uuid
 from datetime import date, datetime, timedelta, timezone
+from decimal import Context as _DecContext, Decimal as _Dec
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _EPOCH = date(1970, 1, 1)
+_DEC_CTX = _DecContext(prec=60)
 
 _SCALARS = {
     "UInt8": ("<B", 1), "Int8": ("<b", 1),
@@ -115,6 +119,24 @@ class _TypeCodec:
             self.kind = "DateTime64"
             self.scale = 10 ** int(dt64.group(1))
             return
+        dec = re.fullmatch(
+            r"Decimal\((\d+)\s*,\s*(\d+)\)|Decimal(32|64|128)\((\d+)\)", t
+        )
+        if dec:
+            if dec.group(3):
+                width_bits = int(dec.group(3))
+                prec = {32: 9, 64: 18, 128: 38}[width_bits]
+                scale = int(dec.group(4))
+            else:
+                prec, scale = int(dec.group(1)), int(dec.group(2))
+            if prec > 38:
+                raise ValueError(
+                    "Decimal256 exceeds Spark's 38-digit DecimalType"
+                )
+            self.kind = "Decimal"
+            self.dec_prec, self.dec_scale = prec, scale
+            self.dec_width = 4 if prec <= 9 else 8 if prec <= 18 else 16
+            return
         enum = re.fullmatch(r"Enum(8|16)\((.*)\)", t)
         if enum:
             self.kind = "Enum"
@@ -134,7 +156,7 @@ class _TypeCodec:
             return
         raise ValueError(
             f"RowBinary type {ch_type!r} is not supported here "
-            "(Decimal/UUID/Map/Tuple/IPv6/states would desync the "
+            "(UUID/Map/Tuple/IPv6/states would desync the "
             "byte-walk); re-export those columns as String/Float64"
         )
 
@@ -147,6 +169,8 @@ class _TypeCodec:
             return T.StringType()
         if self.kind == "DateTime64":
             return T.TimestampType()
+        if self.kind == "Decimal":
+            return T.DecimalType(self.dec_prec, self.dec_scale)
         return _SPARK_TYPES[self.kind]
 
     # -- decode ----------------------------------------------------------
@@ -188,6 +212,14 @@ class _TypeCodec:
             return (datetime.fromtimestamp(whole, tz=timezone.utc)
                     .replace(tzinfo=None)
                     + timedelta(microseconds=micros)), pos + 8
+        if k == "Decimal":
+            w = self.dec_width
+            if pos + w > len(buf):
+                raise ValueError("RowBinary stream ended mid-row")
+            raw = int.from_bytes(buf[pos:pos + w], "little", signed=True)
+            # default Decimal context rounds at 28 digits — Decimal128
+            # carries up to 38, so scale in an explicit wide context
+            return _Dec(raw).scaleb(-self.dec_scale, _DEC_CTX), pos + w
         if k == "Enum":
             (v,) = struct.unpack_from(self.enum_fmt, buf, pos)
             return self.enum_map.get(v, str(v)), pos + self.enum_width
@@ -238,6 +270,9 @@ class _TypeCodec:
             ticks = (int(ts.timestamp()) * self.scale
                      + v.microsecond * self.scale // 1_000_000)
             return struct.pack("<q", ticks)
+        if k == "Decimal":
+            raw = int(_Dec(v).scaleb(self.dec_scale, _DEC_CTX))
+            return raw.to_bytes(self.dec_width, "little", signed=True)
         if k == "Enum":
             return struct.pack(self.enum_fmt, self.enum_rev[v])
         fmt, _ = _SCALARS[k]

@@ -78,9 +78,10 @@ def test_varint_lengths_and_uint64_wrap():
 
 
 def test_unsupported_types_gate():
-    for t in ("Decimal(10, 2)", "UUID", "Map(String, UInt8)",
+    for t in ("Decimal(76, 2)", "UUID", "Map(String, UInt8)",
               "Tuple(UInt8, String)"):
-        with pytest.raises(ValueError, match="not supported"):
+        with pytest.raises(ValueError,
+                           match="not supported|38-digit"):
             RB._TypeCodec(t)
     with pytest.raises(ValueError, match="mid-row"):
         RB.parse_rowbinary(struct.pack("<H", 1)[:1], ["UInt16"])
@@ -183,3 +184,36 @@ def test_property_roundtrip_fuzz():
         for v in vals:
             got, _ = c.decode(c.encode(v), 0)
             assert got == v, (t, v, got)
+
+
+def test_decimal_codecs(spark, tmp_path):
+    """Decimal(P,S) = scaled little-endian integer, 4/8/16 bytes by
+    precision; golden bytes hand-packed; Spark roundtrip keeps exact
+    DecimalType values; Decimal256 gates."""
+    from decimal import Decimal as D
+
+    c32 = RB._TypeCodec("Decimal(9, 2)")
+    assert c32.dec_width == 4
+    # 123.45 -> raw 12345 LE
+    assert c32.encode(D("123.45")) == struct.pack("<i", 12345)
+    assert c32.decode(struct.pack("<i", -12345), 0)[0] == D("-123.45")
+    c64 = RB._TypeCodec("Decimal64(4)")
+    assert c64.dec_width == 8 and c64.dec_prec == 18
+    assert c64.decode(struct.pack("<q", 31415926), 0)[0] == \
+        D("3141.5926")
+    c128 = RB._TypeCodec("Decimal(38, 10)")
+    big = D("12345678901234567890.0123456789")
+    enc = c128.encode(big)
+    assert len(enc) == 16 and c128.decode(enc, 0)[0] == big
+    with pytest.raises(ValueError, match="38-digit"):
+        RB._TypeCodec("Decimal(76, 2)")
+
+    df = spark.createDataFrame(
+        [(1, D("10.25")), (2, D("-0.01")), (3, None)],
+        "id long, amt decimal(12,2)",
+    )
+    out = str(tmp_path / "rbdec")
+    RB.write_rowbinary(df.coalesce(1), out,
+                       ["Int64", "Nullable(Decimal(12, 2))"])
+    back = {r.id: r.amt for r in RB.read_rowbinary(spark, out).collect()}
+    assert back == {1: D("10.25"), 2: D("-0.01"), 3: None}
