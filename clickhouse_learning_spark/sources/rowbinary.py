@@ -20,7 +20,9 @@ count, then the names as Strings, then the type names as Strings.
 
 Decimal(P<=38, S) decodes as the scaled little-endian integer the
 format specifies (4/8/16 bytes by precision) into DecimalType.
-Unsupported types (Decimal256, UUID, Map, Tuple, IPv6, AggregateFunction
+UUID is the two-LE-UInt64-halves layout of the public
+clickhouse-driver, rendered canonical. Unsupported types (Decimal256,
+Map, Tuple, IPv6, AggregateFunction
 states) raise with the type name — a wrong byte-walk would corrupt
 every following value in the file, so the gate is load-bearing.
 
@@ -148,6 +150,9 @@ class _TypeCodec:
                 self.enum_map[int(m.group(2))] = m.group(1)
             self.enum_rev = {v: k for k, v in self.enum_map.items()}
             return
+        if t == "UUID":
+            self.kind = "UUID"
+            return
         if re.fullmatch(r"DateTime(\(.*\))?", t):
             self.kind = "DateTime"
             return
@@ -156,7 +161,7 @@ class _TypeCodec:
             return
         raise ValueError(
             f"RowBinary type {ch_type!r} is not supported here "
-            "(UUID/Map/Tuple/IPv6/states would desync the "
+            "(Map/Tuple/IPv6/states would desync the "
             "byte-walk); re-export those columns as String/Float64"
         )
 
@@ -165,7 +170,7 @@ class _TypeCodec:
         if self.kind == "Array":
             return T.ArrayType(self.array_of.spark_type(),
                                self.array_of.nullable)
-        if self.kind in ("FixedString", "Enum"):
+        if self.kind in ("FixedString", "Enum", "UUID"):
             return T.StringType()
         if self.kind == "DateTime64":
             return T.TimestampType()
@@ -220,6 +225,11 @@ class _TypeCodec:
             # default Decimal context rounds at 28 digits — Decimal128
             # carries up to 38, so scale in an explicit wide context
             return _Dec(raw).scaleb(-self.dec_scale, _DEC_CTX), pos + w
+        if k == "UUID":
+            # CH writes the UInt128 as two little-endian UInt64 words,
+            # high half first (public clickhouse-driver layout)
+            hi, lo = struct.unpack_from("<QQ", buf, pos)
+            return str(_uuid.UUID(int=(hi << 64) | lo)), pos + 16
         if k == "Enum":
             (v,) = struct.unpack_from(self.enum_fmt, buf, pos)
             return self.enum_map.get(v, str(v)), pos + self.enum_width
@@ -273,6 +283,10 @@ class _TypeCodec:
         if k == "Decimal":
             raw = int(_Dec(v).scaleb(self.dec_scale, _DEC_CTX))
             return raw.to_bytes(self.dec_width, "little", signed=True)
+        if k == "UUID":
+            n = _uuid.UUID(str(v)).int
+            return struct.pack("<QQ", (n >> 64) & (2**64 - 1),
+                               n & (2**64 - 1))
         if k == "Enum":
             return struct.pack(self.enum_fmt, self.enum_rev[v])
         fmt, _ = _SCALARS[k]

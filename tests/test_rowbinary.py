@@ -78,8 +78,8 @@ def test_varint_lengths_and_uint64_wrap():
 
 
 def test_unsupported_types_gate():
-    for t in ("Decimal(76, 2)", "UUID", "Map(String, UInt8)",
-              "Tuple(UInt8, String)"):
+    for t in ("Decimal(76, 2)", "Map(String, UInt8)",
+              "Tuple(UInt8, String)", "IPv6"):
         with pytest.raises(ValueError,
                            match="not supported|38-digit"):
             RB._TypeCodec(t)
@@ -217,3 +217,21 @@ def test_decimal_codecs(spark, tmp_path):
                        ["Int64", "Nullable(Decimal(12, 2))"])
     back = {r.id: r.amt for r in RB.read_rowbinary(spark, out).collect()}
     assert back == {1: D("10.25"), 2: D("-0.01"), 3: None}
+
+
+def test_uuid_codec_golden_bytes():
+    """CH serializes UUID as two little-endian UInt64 words, high
+    half first (the public clickhouse-driver layout): canonical
+    00112233-4455-6677-8899-aabbccddeeff pins the byte order."""
+    c = RB._TypeCodec("UUID")
+    canon = "00112233-4455-6677-8899-aabbccddeeff"
+    golden = bytes([0x77, 0x66, 0x55, 0x44, 0x33, 0x22, 0x11, 0x00,
+                    0xFF, 0xEE, 0xDD, 0xCC, 0xBB, 0xAA, 0x99, 0x88])
+    assert c.encode(canon) == golden
+    v, pos = c.decode(golden, 0)
+    assert v == canon and pos == 16
+    # roundtrip a few arbitrary uuids
+    import uuid as _u
+    for i in range(5):
+        u = str(_u.uuid5(_u.NAMESPACE_DNS, f"probe{i}"))
+        assert c.decode(c.encode(u), 0)[0] == u
