@@ -21,8 +21,11 @@ count, then the names as Strings, then the type names as Strings.
 Decimal(P<=38, S) decodes as the scaled little-endian integer the
 format specifies (4/8/16 bytes by precision) into DecimalType.
 UUID is the two-LE-UInt64-halves layout of the public
-clickhouse-driver, rendered canonical. Unsupported types (Decimal256,
-Map, Tuple, IPv6, AggregateFunction
+clickhouse-driver, rendered canonical; IPv6 = 16 network-order
+bytes, IPv4 = LE UInt32, Map = LEB128 count + key/value pairs,
+Tuple = the element sequence (col1..colN struct). Unsupported types
+(Decimal256,
+AggregateFunction
 states) raise with the type name — a wrong byte-walk would corrupt
 every following value in the file, so the gate is load-bearing.
 
@@ -39,6 +42,7 @@ import glob as _glob
 import os
 import re
 import struct
+import ipaddress as _ip
 import uuid as _uuid
 from datetime import date, datetime, timedelta, timezone
 from decimal import Context as _DecContext, Decimal as _Dec
@@ -89,6 +93,35 @@ def _write_leb128(n: int) -> bytes:
         else:
             out.append(b)
             return bytes(out)
+
+
+def _split_types(s: str, n: int | None = 2) -> list[str]:
+    """Split a CH type argument list at depth 0 (commas inside nested
+    parentheses/quotes belong to inner types)."""
+    parts, depth, cur, i = [], 0, [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < len(s) and s[j] != "'":
+                j += 2 if s[j] == "\\" else 1
+            cur.append(s[i:j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    parts.append("".join(cur).strip())
+    if n is not None and len(parts) != n:
+        raise ValueError(f"expected {n} type arguments in {s!r}")
+    return parts
 
 
 class _TypeCodec:
@@ -153,6 +186,25 @@ class _TypeCodec:
         if t == "UUID":
             self.kind = "UUID"
             return
+        if t == "IPv6":
+            self.kind = "IPv6"
+            return
+        if t == "IPv4":
+            self.kind = "IPv4"
+            return
+        mp = re.fullmatch(r"Map\((.*)\)", t)
+        if mp:
+            kt, vt = _split_types(mp.group(1))
+            self.kind = "Map"
+            self.map_k = _TypeCodec(kt)
+            self.map_v = _TypeCodec(vt)
+            return
+        tup = re.fullmatch(r"Tuple\((.*)\)", t)
+        if tup:
+            self.kind = "Tuple"
+            self.tuple_of = [_TypeCodec(x)
+                             for x in _split_types(tup.group(1), n=None)]
+            return
         if re.fullmatch(r"DateTime(\(.*\))?", t):
             self.kind = "DateTime"
             return
@@ -161,7 +213,7 @@ class _TypeCodec:
             return
         raise ValueError(
             f"RowBinary type {ch_type!r} is not supported here "
-            "(Map/Tuple/IPv6/states would desync the "
+            "(aggregate states would desync the "
             "byte-walk); re-export those columns as String/Float64"
         )
 
@@ -170,8 +222,19 @@ class _TypeCodec:
         if self.kind == "Array":
             return T.ArrayType(self.array_of.spark_type(),
                                self.array_of.nullable)
-        if self.kind in ("FixedString", "Enum", "UUID"):
+        if self.kind in ("FixedString", "Enum", "UUID", "IPv6",
+                         "IPv4"):
             return T.StringType()
+        if self.kind == "Map":
+            return T.MapType(self.map_k.spark_type(),
+                             self.map_v.spark_type(),
+                             self.map_v.nullable)
+        if self.kind == "Tuple":
+            return T.StructType([
+                T.StructField(f"col{i + 1}", c.spark_type(),
+                              c.nullable)
+                for i, c in enumerate(self.tuple_of)
+            ])
         if self.kind == "DateTime64":
             return T.TimestampType()
         if self.kind == "Decimal":
@@ -230,6 +293,27 @@ class _TypeCodec:
             # high half first (public clickhouse-driver layout)
             hi, lo = struct.unpack_from("<QQ", buf, pos)
             return str(_uuid.UUID(int=(hi << 64) | lo)), pos + 16
+        if k == "IPv6":  # 16 network-order bytes
+            if pos + 16 > len(buf):
+                raise ValueError("RowBinary stream ended mid-row")
+            return str(_ip.IPv6Address(buf[pos:pos + 16])), pos + 16
+        if k == "IPv4":  # UInt32 little-endian
+            (v,) = struct.unpack_from("<I", buf, pos)
+            return str(_ip.IPv4Address(v)), pos + 4
+        if k == "Map":
+            n, pos = _read_leb128(buf, pos)
+            out = {}
+            for _ in range(n):
+                kk, pos = self.map_k.decode(buf, pos)
+                vv, pos = self.map_v.decode(buf, pos)
+                out[kk] = vv
+            return out, pos
+        if k == "Tuple":
+            vals = []
+            for c in self.tuple_of:
+                v, pos = c.decode(buf, pos)
+                vals.append(v)
+            return tuple(vals), pos
         if k == "Enum":
             (v,) = struct.unpack_from(self.enum_fmt, buf, pos)
             return self.enum_map.get(v, str(v)), pos + self.enum_width
@@ -287,6 +371,20 @@ class _TypeCodec:
             n = _uuid.UUID(str(v)).int
             return struct.pack("<QQ", (n >> 64) & (2**64 - 1),
                                n & (2**64 - 1))
+        if k == "IPv6":
+            return _ip.IPv6Address(v).packed
+        if k == "IPv4":
+            return struct.pack("<I", int(_ip.IPv4Address(v)))
+        if k == "Map":
+            items = v.items() if isinstance(v, dict) else list(v)
+            out = [_write_leb128(len(v))]
+            for kk, vv in items:
+                out.append(self.map_k.encode(kk))
+                out.append(self.map_v.encode(vv))
+            return b"".join(out)
+        if k == "Tuple":
+            return b"".join(c.encode(x)
+                            for c, x in zip(self.tuple_of, v))
         if k == "Enum":
             return struct.pack(self.enum_fmt, self.enum_rev[v])
         fmt, _ = _SCALARS[k]

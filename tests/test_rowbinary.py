@@ -78,8 +78,8 @@ def test_varint_lengths_and_uint64_wrap():
 
 
 def test_unsupported_types_gate():
-    for t in ("Decimal(76, 2)", "Map(String, UInt8)",
-              "Tuple(UInt8, String)", "IPv6"):
+    for t in ("Decimal(76, 2)",
+              "AggregateFunction(sum, UInt64)", "Int128"):
         with pytest.raises(ValueError,
                            match="not supported|38-digit"):
             RB._TypeCodec(t)
@@ -235,3 +235,36 @@ def test_uuid_codec_golden_bytes():
     for i in range(5):
         u = str(_u.uuid5(_u.NAMESPACE_DNS, f"probe{i}"))
         assert c.decode(c.encode(u), 0)[0] == u
+
+
+def test_map_tuple_ip_codecs(spark, tmp_path):
+    """Map = LEB128 count + pairs, Tuple = element sequence, IPv6 =
+    16 network-order bytes, IPv4 = LE UInt32 — golden bytes by hand,
+    nested forms, and a Spark roundtrip with map/struct columns."""
+    c = RB._TypeCodec("Map(String, UInt8)")
+    golden = bytes([1]) + _s("k") + bytes([7])
+    assert c.encode({"k": 7}) == golden
+    assert c.decode(golden, 0)[0] == {"k": 7}
+    t = RB._TypeCodec("Tuple(UInt16, String)")
+    assert t.encode((300, "ab")) == struct.pack("<H", 300) + _s("ab")
+    i6 = RB._TypeCodec("IPv6")
+    assert i6.encode("::1") == b"\x00" * 15 + b"\x01"
+    i4 = RB._TypeCodec("IPv4")
+    assert i4.encode("1.2.3.4") == bytes([4, 3, 2, 1])  # LE UInt32
+    nested = RB._TypeCodec("Map(String, Array(Nullable(Int32)))")
+    v = {"a": [1, None, 3]}
+    assert nested.decode(nested.encode(v), 0)[0] == v
+
+    df = spark.createDataFrame(
+        [(1, {"x": 2}, (7, "s"), "10.0.0.1")],
+        "id long, m map<string,int>, t struct<col1:int,col2:string>, "
+        "ip string",
+    )
+    out = str(tmp_path / "rbmt")
+    RB.write_rowbinary(df.coalesce(1), out,
+                       ["Int64", "Map(String, Int32)",
+                        "Tuple(Int32, String)", "IPv4"])
+    back = RB.read_rowbinary(spark, out).collect()[0]
+    assert back.id == 1 and dict(back.m) == {"x": 2}
+    assert (back.t.col1, back.t.col2) == (7, "s")
+    assert back.ip == "10.0.0.1"
