@@ -2845,3 +2845,77 @@ def video_webm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tracks", "video_codec", "video_w", "video_h",
         "audio_codec", "audio_rate",
     )
+
+
+@query(
+    "rowbinary_typed_roundtrip",
+    """
+    WITH e AS (SELECT event_id, user_id, value, event_type
+               FROM events WHERE event_id % 53 = 0)
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(round(value, 4) AS DOUBLE) AS dec_v,
+           CAST((event_id % 223) AS VARCHAR) || '.' ||
+           CAST((event_id % 251) AS VARCHAR) || '.' ||
+           CAST((event_id % 17) AS VARCHAR) || '.' ||
+           CAST((event_id % 97) AS VARCHAR) AS ip,
+           substr(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-' ||
+           substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-' ||
+           substr(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-' ||
+           substr(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-' ||
+           substr(md5(CAST(event_id AS VARCHAR)), 21, 12) AS uid,
+           CAST(user_id % 10 AS BIGINT) AS m_val,
+           event_type AS t_str
+    FROM e
+    """,
+)
+def rowbinary_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: the exotic RowBinary codecs end-to-end —
+    Decimal(18,4), IPv4, UUID (md5-derived, so both engines can state
+    the expected canonical string), Map(String,Int64) and
+    Tuple(Int64,String) columns round-trip through the binary
+    sink/source; the oracle recomputes every value from the events
+    table WITHOUT the binary hop, so green = the codec walk inverts
+    the writer exactly."""
+    import tempfile
+
+    from clickhouse_learning_spark.sources import rowbinary as RB
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 53 == 0
+    )
+    md5 = F.md5(F.col("event_id").cast("string"))
+    src = ev.select(
+        "event_id",
+        F.round("value", 4).cast("decimal(18,4)").alias("dec_v"),
+        F.concat_ws(
+            ".",
+            (F.col("event_id") % 223).cast("string"),
+            (F.col("event_id") % 251).cast("string"),
+            (F.col("event_id") % 17).cast("string"),
+            (F.col("event_id") % 97).cast("string"),
+        ).alias("ip"),
+        F.concat_ws(
+            "-",
+            F.substring(md5, 1, 8), F.substring(md5, 9, 4),
+            F.substring(md5, 13, 4), F.substring(md5, 17, 4),
+            F.substring(md5, 21, 12),
+        ).alias("uid"),
+        F.create_map(F.lit("k"), F.col("user_id") % 10).alias("m"),
+        F.struct(
+            F.col("user_id").alias("col1"),
+            F.col("event_type").alias("col2"),
+        ).alias("t"),
+    )
+    types = ["Int64", "Decimal(18, 4)", "IPv4", "UUID",
+             "Map(String, Int64)", "Tuple(Int64, String)"]
+    path = tempfile.mkdtemp(prefix="rowbinary_typed_") + "/typed_rb"
+    RB.write_rowbinary(src.repartition(4), path, types)
+    back = RB.read_rowbinary(spark, path)
+    return back.select(
+        "event_id",
+        F.col("dec_v").cast("double").alias("dec_v"),
+        "ip",
+        F.col("uid").alias("uid"),
+        F.element_at("m", "k").alias("m_val"),
+        F.col("t.col2").alias("t_str"),
+    )
