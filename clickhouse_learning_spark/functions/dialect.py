@@ -397,6 +397,28 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["now"] = lambda a: "current_timestamp()"
     m["today"] = lambda a: "current_date()"
     m["rand"] = lambda a: "CAST(rand() * 4294967296 AS BIGINT)"
+    m["rand32"] = m["rand"]
+    # rand64: two independent 32-bit halves (top half wraps LongType)
+    m["rand64"] = lambda a: (
+        "(shiftleft(CAST(rand() * 4294967296 AS BIGINT), 32) | "
+        "CAST(rand() * 4294967296 AS BIGINT))"
+    )
+    m["randCanonical"] = lambda a: "rand()"  # uniform [0, 1)
+    # randConstant: ONE draw per query (CH: per block) — a scalar
+    # subquery evaluates once
+    m["randConstant"] = lambda a: "(SELECT CAST(rand() * 4294967296 AS BIGINT))"
+    m["generateUUIDv4"] = lambda a: "uuid()"
+    m["currentUser"] = lambda a: "current_user()"
+    m["currentDatabase"] = lambda a: "current_database()"
+    # blockNumber/rowNumberInBlock/blockSize: block-order introspection
+    for _blk in ("blockNumber", "rowNumberInBlock", "blockSize"):
+        m[_blk] = (
+            lambda name: lambda a: (_ for _ in ()).throw(ValueError(
+                f"{name} exposes server-local block layout, which has "
+                "no Spark analog; use row_number() OVER an explicit "
+                "ORDER BY for a deterministic row index"
+            ))
+        )(_blk)
     m["isNotNull"] = lambda a: f"({_one(a, 'isNotNull')} IS NOT NULL)"
     m["toIntervalDay"] = lambda a: f"(INTERVAL '1' DAY * ({a[0]}))"
     m["toIntervalHour"] = lambda a: f"(INTERVAL '1' HOUR * ({a[0]}))"
@@ -1019,6 +1041,41 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             f"+ CAST(split({s_}, '\\\\.')[3] AS BIGINT))"
         )
     )(_one(a, "IPv4StringToNum"))
+
+    m["toIPv4"] = m["IPv4StringToNum"]
+
+    def _ipv4_or(default: str, name: str) -> Callable[[list[str]], str]:
+        def impl(a: list[str]) -> str:
+            s_ = _one(a, name)
+            num = m["IPv4StringToNum"]([s_])
+            guard = (
+                f"{s_} RLIKE '^[0-9]{{1,3}}(\\\\.[0-9]{{1,3}}){{3}}$' "
+                f"AND forall(split({s_}, '\\\\.'), "
+                f"ip_o -> CAST(ip_o AS INT) <= 255)"
+            )
+            return f"(CASE WHEN {guard} THEN {num} ELSE {default} END)"
+        return impl
+
+    m["toIPv4OrNull"] = _ipv4_or("NULL", "toIPv4OrNull")
+    m["toIPv4OrZero"] = _ipv4_or("0", "toIPv4OrZero")
+    m["IPv4CIDRToRange"] = lambda a: (
+        lambda ip, n: (
+            f"struct(shiftleft(shiftright({ip}, 32 - ({n})), "
+            f"32 - ({n})) AS col1, "
+            f"shiftleft(shiftright({ip}, 32 - ({n})), 32 - ({n})) "
+            f"+ shiftleft(CAST(1 AS BIGINT), 32 - ({n})) - 1 AS col2)"
+        )
+    )(*_two(a, "IPv4CIDRToRange"))
+    # MAC addresses: 48-bit int <-> uppercase colon-hex
+    m["MACNumToString"] = lambda a: (
+        lambda x: "concat_ws(':', " + ", ".join(
+            f"lpad(hex(shiftright({x}, {s}) & 255), 2, '0')"
+            for s in (40, 32, 24, 16, 8, 0)
+        ) + ")"
+    )(_one(a, "MACNumToString"))
+    m["MACStringToNum"] = lambda a: (
+        lambda s_: f"CAST(conv(replace({s_}, ':', ''), 16, 10) AS BIGINT)"
+    )(_one(a, "MACStringToNum"))
 
     # regex / substring family
     m["match"] = lambda a: (
@@ -1885,6 +1942,31 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             f"WHEN {kl} < {kr} THEN {lt} WHEN {kl} > {kr} THEN {gt} "
             f"ELSE 0 END)"
         )
+
+    # bitmask decompositions over the low 63 bits (CH takes unsigned;
+    # the sign bit of LongType is out of domain here)
+    m["bitmaskToArray"] = lambda a: (
+        lambda x: (
+            f"filter(transform(sequence(0, 62), bm_i -> "
+            f"shiftleft(CAST(1 AS BIGINT), bm_i)), "
+            f"bm_p -> ({x} & bm_p) != 0)"
+        )
+    )(_one(a, "bitmaskToArray"))
+    m["bitmaskToList"] = lambda a: (
+        lambda x: (
+            f"array_join(filter(transform(sequence(0, 62), bm_i -> "
+            f"shiftleft(CAST(1 AS BIGINT), bm_i)), "
+            f"bm_p -> ({x} & bm_p) != 0), ',')"
+        )
+    )(_one(a, "bitmaskToList"))
+    m["bitPositionsToArray"] = lambda a: (
+        lambda x: (
+            # cast first: INT shifts wrap their amount mod 32 in the
+            # JVM, so bit 33 of an INT input would alias bit 1
+            f"filter(sequence(0, 62), bp_i -> "
+            f"((shiftright(CAST({x} AS BIGINT), bp_i)) & 1) = 1)"
+        )
+    )(_one(a, "bitPositionsToArray"))
 
     # typed empty-array constructors
     for _ch_t, _sp_t in (

@@ -1694,3 +1694,38 @@ def test_array_completion_batch(spark):
     assert list(r["rfl"]) == [5, 5, 7, 7, 7, -4]
     assert [(t["col1"], t["col2"]) for t in r["zu"]] == \
         [(1, "a"), (2, None), (3, None)]
+
+
+def test_bitmask_mac_ipv4_rand_batch(spark):
+    """Bitmask decompositions, MAC int<->colon-hex, IPv4 CIDR ranges,
+    toIPv4 OrNull/OrZero guards, rand-family contracts (domains, not
+    values), and block-introspection gates."""
+    import pytest as _pytest
+
+    r = spark.sql(translate(
+        "SELECT bitmaskToArray(50) AS ba, bitmaskToList(50) AS bl, "
+        "bitPositionsToArray(50) AS bp, "
+        "MACNumToString(1093292146198) AS ms, "
+        "MACStringToNum('00:FE:8D:4A:3E:16') AS mn, "
+        "IPv4CIDRToRange(IPv4StringToNum('192.168.5.2'), 16) AS cr, "
+        "toIPv4('1.2.3.4') AS i1, toIPv4OrNull('999.2.3.4') AS i2, "
+        "toIPv4OrNull('not an ip') AS i3, toIPv4OrZero('bogus') AS i4, "
+        "rand() AS r1, rand64() AS r2, randCanonical() AS r3, "
+        "randConstant() AS r4, generateUUIDv4() AS u1"
+    )).collect()[0]
+    assert list(r["ba"]) == [2, 16, 32]  # 50 = 2 + 16 + 32
+    assert r["bl"] == "2,16,32"
+    assert list(r["bp"]) == [1, 4, 5]
+    assert r["ms"] == "00:FE:8D:4A:3E:16"
+    assert r["mn"] == 1093292146198
+    lo, hi = r["cr"]["col1"], r["cr"]["col2"]
+    assert lo == (192 << 24) + (168 << 16)
+    assert hi == lo + 65535
+    assert r["i1"] == 16909060  # 1*2^24 + 2*2^16 + 3*2^8 + 4
+    assert r["i2"] is None and r["i3"] is None and r["i4"] == 0
+    assert 0 <= r["r1"] < 2**32 and 0.0 <= r["r3"] < 1.0
+    assert isinstance(r["r2"], int) and 0 <= r["r4"] < 2**32
+    assert len(r["u1"]) == 36
+
+    with _pytest.raises(ValueError, match="block layout"):
+        translate("SELECT blockNumber()")
