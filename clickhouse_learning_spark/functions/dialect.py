@@ -1943,6 +1943,10 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             f"ELSE 0 END)"
         )
 
+    m["widthBucket"] = lambda a: (
+        f"width_bucket({', '.join(a)})" if len(a) == 4
+        else _raise_gate("widthBucket(x, low, high, count)")
+    )
     # bitmask decompositions over the low 63 bits (CH takes unsigned;
     # the sign bit of LongType is out of domain here)
     m["bitmaskToArray"] = lambda a: (
