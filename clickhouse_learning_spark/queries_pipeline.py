@@ -2919,3 +2919,45 @@ def rowbinary_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("m", "k").alias("m_val"),
         F.col("t.col2").alias("t_str"),
     )
+
+
+@query(
+    "warc_text_extraction",
+    """
+    WITH ids AS (SELECT unnest(generate_series(0, 39)) AS i)
+    SELECT 'http://site' || CAST(i % 13 AS VARCHAR) || '.example/p/' ||
+               CAST(i AS VARCHAR) AS url,
+           '2024-01-' || lpad(CAST(i % 27 + 1 AS VARCHAR), 2, '0') ||
+               'T00:00:00Z' AS warc_date,
+           CAST(200 AS INT) AS http_status,
+           'Doc ' || i || chr(10) || 'Heading ' || i || chr(10) ||
+           'alpha beta ' || i || ' & gamma' || chr(10) ||
+           'delta epsilon ' || (i * 7 % 100) AS text,
+           CAST(length('Doc ' || i || chr(10) || 'Heading ' || i ||
+                chr(10) || 'alpha beta ' || i || ' & gamma' ||
+                chr(10) || 'delta epsilon ' || (i * 7 % 100)) AS INT)
+               AS n_chars
+    FROM ids
+    """,
+)
+def warc_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: WARC ingestion + C4-style HTML text extraction
+    (sources/warc.py) — the Common-Crawl entry step of the pipeline.
+    40 per-record-gzipped WARC files (warcinfo + HTML response each)
+    are parsed through the distributed record walk; script/style/
+    comment stripping, block-tag newlines and entity decoding must
+    invert the page template EXACTLY — the oracle states the full
+    expected text per id as a string formula, no parsing involved."""
+    import tempfile
+
+    from clickhouse_learning_spark.sources import warc as W
+
+    d = tempfile.mkdtemp(prefix="warc_fixture_")
+    for i in range(40):
+        with open(f"{d}/crawl-{i:03d}.warc.gz", "wb") as f:
+            f.write(W.build_fixture_warc(i))
+    out = W.read_warc(spark, d)
+    return out.filter(F.col("warc_error").isNull()).select(
+        "url", "warc_date", "http_status", "text",
+        F.length("text").cast("int").alias("n_chars"),
+    )
