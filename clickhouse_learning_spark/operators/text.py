@@ -477,3 +477,37 @@ def blocklist_filter_join(
             (F.coalesce("bad_word_hits", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical URL key for crawl dedup/grouping (the near-universal
+    c14n rules: scheme+host lowercase, default :80/:443 ports and
+    fragments dropped, tracking parameters — utm_*, gclid, fbclid,
+    ref — removed, remaining query parameters SORTED, trailing slash
+    trimmed off non-root paths, a bare host gets '/'). Pure Catalyst,
+    map-only; NULL stays NULL."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # fragment
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    path_q = F.regexp_replace(rest, r"^[^/?]+", "")
+    path = F.regexp_extract(path_q, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", "$1")
+    )
+    query = F.regexp_extract(path_q, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="),
+    )
+    qs = F.array_join(F.array_sort(kept), "&")
+    return F.when(
+        url.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            scheme, F.lit("://"), host, path,
+            F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+        )
+    )

@@ -2961,3 +2961,50 @@ def warc_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "warc_date", "http_status", "text",
         F.length("text").cast("int").alias("n_chars"),
     )
+
+
+@query(
+    "url_canonicalization",
+    """
+    WITH ids AS (SELECT unnest(generate_series(0, 199)) AS i)
+    SELECT CAST(i AS BIGINT) AS i,
+           CASE i % 4
+             WHEN 0 THEN 'https://shop' || CAST(i % 7 AS VARCHAR) ||
+               '.example/cart?item=' || CAST(i AS VARCHAR)
+             WHEN 1 THEN 'http://site' || CAST(i % 7 AS VARCHAR) ||
+               '.example/Path' || CAST(i % 5 AS VARCHAR) ||
+               '?a=' || CAST(i % 3 AS VARCHAR) || '&z=1'
+             WHEN 2 THEN 'http://host' || CAST(i % 7 AS VARCHAR) ||
+               '.example/'
+             ELSE 'https://news' || CAST(i % 7 AS VARCHAR) ||
+               '.example/story' || CAST(i AS VARCHAR)
+           END AS canon
+    FROM ids
+    """,
+)
+def url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: URL canonicalization (text.canonical_url — the
+    crawl-dedup URL key): scheme/host lowercase, default ports and
+    fragments dropped, utm_*/gclid/fbclid/ref parameters removed,
+    remaining parameters sorted, trailing slash trimmed off non-root
+    paths. Messy fixture URLs are built per id in four shapes; the
+    oracle states the canonical result by formula."""
+    from clickhouse_learning_spark.operators import text as TX
+
+    messy = spark.range(200).selectExpr(
+        "id AS i",
+        """CASE CAST(id % 4 AS INT)
+             WHEN 0 THEN concat('HTTPS://Shop', id % 7,
+               '.Example:443/cart?utm_source=mail&item=', id,
+               '&fbclid=abc#top')
+             WHEN 1 THEN concat('http://SITE', id % 7,
+               '.example:80/Path', id % 5, '?z=1&a=', id % 3,
+               '&utm_campaign=x')
+             WHEN 2 THEN concat('http://Host', id % 7, '.EXAMPLE')
+             ELSE concat('https://News', id % 7, '.example/story',
+               id, '/#frag')
+           END AS url""",
+    )
+    return messy.select(
+        "i", TX.canonical_url(F.col("url")).alias("canon")
+    )

@@ -3,6 +3,8 @@ literal-array and semi-join paths agree, the literal path is
 shuffle-free, phrases match across word boundaries, NULL text is
 clean."""
 
+from pyspark.sql import functions as F
+
 def test_blocklist_flags_and_join_path_agree(spark):
     """Literal-array and semi-join blocklist paths flag identically;
     the literal path is shuffle-free; phrases hit across word
@@ -42,3 +44,28 @@ def test_blocklist_flags_and_join_path_agree(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="at least one word"):
         TX.blocklist_flags(docs, [])
+
+
+def test_canonical_url_rules(spark):
+    """c14n rules one by one: case, default ports, fragments,
+    tracking params, param sort, trailing slash, bare host, NULL."""
+    from clickhouse_learning_spark.operators.text import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/B/", "http://www.ex.com/A/B"),
+        ("https://ex.com:443/x?b=2&a=1", "https://ex.com/x?a=1&b=2"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),  # kept
+        ("http://ex.com/p?utm_source=a&q=1&gclid=z&ref=t",
+         "http://ex.com/p?q=1"),
+        ("http://ex.com/p?utm_source=only", "http://ex.com/p"),
+        ("http://EX.com", "http://ex.com/"),
+        ("http://ex.com/#frag", "http://ex.com/"),
+        ("http://ex.com/deep/path/?x=1#y", "http://ex.com/deep/path?x=1"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
+    got = {r.i: r.c for r in
+           df.select("i", canonical_url(F.col("u")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
