@@ -3682,6 +3682,21 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["sumMap"] = _map_agg("sum", "sumMap")
     m["minMap"] = _map_agg("min", "minMap")
     m["maxMap"] = _map_agg("max", "maxMap")
+
+    # -If forms: the condition filters ROWS — rows failing it
+    # contribute empty key/value arrays, which the fold ignores
+    def _map_agg_if(base: str) -> Callable[[list[str]], str]:
+        def impl(a: list[str]) -> str:
+            k, v, c = _three(a, f"{base}If")
+            return m[base]([
+                f"(CASE WHEN {c} THEN {k} ELSE slice({k}, 1, 0) END)",
+                f"(CASE WHEN {c} THEN {v} ELSE slice({v}, 1, 0) END)",
+            ])
+        return impl
+
+    m["sumMapIf"] = _map_agg_if("sumMap")
+    m["minMapIf"] = _map_agg_if("minMap")
+    m["maxMapIf"] = _map_agg_if("maxMap")
     return m
 
 

@@ -1729,3 +1729,18 @@ def test_bitmask_mac_ipv4_rand_batch(spark):
 
     with _pytest.raises(ValueError, match="block layout"):
         translate("SELECT blockNumber()")
+
+
+def test_map_agg_if_forms(spark):
+    """sumMapIf/minMapIf/maxMapIf: the condition filters ROWS (failing
+    rows contribute empty arrays the fold ignores)."""
+    r = spark.sql(translate(
+        "SELECT sumMapIf(k, v, keep) AS sm, maxMapIf(k, v, keep) AS xm "
+        "FROM VALUES (array('a','b'), array(1,2), true), "
+        "(array('a','c'), array(10,20), true), "
+        "(array('a'), array(100), false) AS t(k, v, keep)"
+    )).collect()[0]
+    assert dict(zip(r["sm"]["col1"], r["sm"]["col2"])) == \
+        {"a": 11, "b": 2, "c": 20}
+    assert dict(zip(r["xm"]["col1"], r["xm"]["col2"])) == \
+        {"a": 10, "b": 2, "c": 20}
