@@ -4322,8 +4322,67 @@ def _sequence_count_sql(p: list[str], a: list[str]) -> str:
     )
 
 
+def _resample(base: str):
+    """``<agg>Resample(start, end, step)(x[, key])`` — CH's bucketed
+    aggregate: one result per key bucket [start + i*step, start +
+    (i+1)*step). Bucket count is static (literal params), so the
+    rewrite collects (key, value) pairs ONCE (the _bind idiom keeps
+    the collect subtree single-evaluation) and folds each bucket's
+    slice. Numeric sums run as DOUBLE (exactness note: integer sums
+    past 2^53 would need a dedicated BIGINT form)."""
+
+    def impl(p: list[str], a: list[str]) -> str:
+        if len(p) != 3:
+            raise ValueError(f"{base}Resample(start, end, step)(…)")
+        start = _int_literal(p[0], "Resample start")
+        end = _int_literal(p[1], "Resample end")
+        step = _int_literal(p[2], "Resample step")
+        if step <= 0 or end <= start:
+            raise ValueError("Resample needs end > start and step > 0")
+        nb = -(-(end - start) // step)
+        if base == "count":
+            x, key = "CAST(1 AS DOUBLE)", _one(a, "countResample")
+        else:
+            x, key = _two(a, f"{base}Resample")
+        pairs = (
+            f"collect_list(named_struct('k', CAST({key} AS DOUBLE), "
+            f"'v', CAST({x} AS DOUBLE)))"
+        )
+        bucket_vals = (
+            f"transform(filter(rs_p, rs_e -> rs_e.k >= {start} + "
+            f"rs_b * {step} AND rs_e.k < {start} + (rs_b + 1) * "
+            f"{step}), rs_e -> rs_e.v)"
+        )
+        forms = {
+            "sum": f"aggregate({bucket_vals}, CAST(0 AS DOUBLE), "
+                   f"(rs_acc, rs_v) -> rs_acc + rs_v)",
+            "count": f"CAST(size({bucket_vals}) AS BIGINT)",
+            "min": f"array_min({bucket_vals})",
+            "max": f"array_max({bucket_vals})",
+            "avg": f"try_divide(aggregate({bucket_vals}, "
+                   f"CAST(0 AS DOUBLE), (rs_acc, rs_v) -> rs_acc + "
+                   f"rs_v), size({bucket_vals}))",
+            "uniqExact": f"CAST(size(array_distinct({bucket_vals})) "
+                         f"AS BIGINT)",
+        }
+        body = forms[base]
+        return (
+            f"element_at(transform(array({pairs}), rs_p -> "
+            f"transform(sequence(0, {nb - 1}), rs_b -> {body})), 1)"
+        )
+
+    return impl
+
+
 _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    # -Resample combinator family (bucketed aggregate arrays)
+    "sumResample": _resample("sum"),
+    "countResample": _resample("count"),
+    "avgResample": _resample("avg"),
+    "minResample": _resample("min"),
+    "maxResample": _resample("max"),
+    "uniqExactResample": _resample("uniqExact"),
     # Deterministic variants: reservoir-with-determinator is the
     # identity below its 8192-sample capacity (where CH is the same
     # interpolated quantile); the determinator argument is arity-checked

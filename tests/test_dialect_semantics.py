@@ -1744,3 +1744,24 @@ def test_map_agg_if_forms(spark):
         {"a": 11, "b": 2, "c": 20}
     assert dict(zip(r["xm"]["col1"], r["xm"]["col2"])) == \
         {"a": 10, "b": 2, "c": 20}
+
+
+def test_resample_combinator(spark):
+    """<agg>Resample(start, end, step)(x, key): one result per key
+    bucket, empty buckets = neutral (sum 0 / count 0 / min NULL)."""
+    import pytest as _pytest
+
+    r = spark.sql(translate(
+        "SELECT sumResample(0, 30, 10)(v, k) AS s, "
+        "countResample(0, 30, 10)(k) AS c, "
+        "maxResample(0, 30, 10)(v, k) AS mx "
+        "FROM VALUES (5, 1.0), (7, 3.0), (25, 7.0), (25, 9.0), "
+        "(99, 100.0) AS t(k, v)"  # 99 out of range, middle bucket empty
+    )).collect()[0]
+    assert list(r["s"]) == [4.0, 0.0, 16.0]
+    assert list(r["c"]) == [2, 0, 2]
+    assert r["mx"][0] == 3.0 and r["mx"][1] is None and r["mx"][2] == 9.0
+    with _pytest.raises(ValueError, match="end > start"):
+        translate("SELECT sumResample(10, 10, 5)(v, k)")
+    with _pytest.raises(ValueError, match="integer literal"):
+        translate("SELECT sumResample(a, 10, 5)(v, k)")
