@@ -2413,3 +2413,64 @@ def ch_json_struct_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jlen").cast("int").alias("jlen"),
         "ok", "kv", "eg", "srt",
     )
+
+
+@query(
+    "ch_resample_dialect",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value * 10) AS BIGINT) % 100 AS k,
+             value AS v
+      FROM events),
+    b AS (
+      SELECT event_type, CAST(k // 25 AS INT) AS bucket,
+             sum(v) AS s, count(*) AS c, min(v) AS mn
+      FROM e WHERE k >= 0 AND k < 100
+      GROUP BY event_type, k // 25),
+    g AS (SELECT DISTINCT event_type FROM e),
+    buckets AS (SELECT unnest(generate_series(0, 3)) AS bucket)
+    SELECT g.event_type,
+           CAST(bk.bucket AS INT) AS bucket,
+           round(coalesce(b.s, 0.0), 4) AS s,
+           CAST(coalesce(b.c, 0) AS BIGINT) AS c,
+           round(b.mn, 4) AS mn
+    FROM g CROSS JOIN buckets bk
+    LEFT JOIN b ON b.event_type = g.event_type AND b.bucket = bk.bucket
+    """,
+)
+def ch_resample_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: the -Resample combinator under the hash gate —
+    per event_type, sum/count/min of value over four key buckets as
+    CH bucketed-aggregate arrays, then exploded to rows so the DuckDB
+    oracle can re-derive with plain conditional aggregation + an
+    explicit bucket spine (empty buckets = the neutral value)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.col("value") * 10).cast("long") % 100).alias("k"),
+        F.col("value").alias("v"),
+    )
+    ev.createOrReplaceTempView("ch_resample_events")
+    ch = """
+        SELECT event_type,
+               sumResample(0, 100, 25)(v, k) AS s_arr,
+               countResample(0, 100, 25)(k) AS c_arr,
+               minResample(0, 100, 25)(v, k) AS m_arr
+        FROM ch_resample_events GROUP BY event_type
+    """
+    agg = spark.sql(translate(ch))
+    return agg.select(
+        "event_type",
+        F.posexplode(F.arrays_zip("s_arr", "c_arr", "m_arr")),
+    ).select(
+        "event_type",
+        F.col("pos").cast("int").alias("bucket"),
+        F.round(F.col("col.s_arr"), 4).alias("s"),
+        F.col("col.c_arr").cast("long").alias("c"),
+        F.round(F.col("col.m_arr"), 4).alias("mn"),
+    )
