@@ -251,6 +251,9 @@ class _TypeCodec:
         k = self.kind
         if k == "Array":
             n, pos = _read_leb128(buf, pos)
+            if n > len(buf) - pos:  # every element costs >= 1 byte —
+                # a crafted count would otherwise loop forever
+                raise ValueError("Array count exceeds remaining bytes")
             out = []
             for _ in range(n):
                 v, pos = self.array_of.decode(buf, pos)
@@ -302,6 +305,8 @@ class _TypeCodec:
             return str(_ip.IPv4Address(v)), pos + 4
         if k == "Map":
             n, pos = _read_leb128(buf, pos)
+            if n > len(buf) - pos:
+                raise ValueError("Map count exceeds remaining bytes")
             out = {}
             for _ in range(n):
                 kk, pos = self.map_k.decode(buf, pos)
