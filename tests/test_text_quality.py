@@ -69,3 +69,53 @@ def test_canonical_url_rules(spark):
            df.select("i", canonical_url(F.col("u")).alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i][0], got[i], want)
+
+
+def test_canonical_url_vs_urllib_reference(spark):
+    """Seeded sweep vs an INDEPENDENT reference built on
+    urllib.parse (different machinery from the regex pipeline)."""
+    import random
+    from urllib.parse import urlsplit
+
+    def ref(url):
+        sp = urlsplit(url)
+        scheme = sp.scheme.lower()
+        host = sp.netloc.lower()
+        # the op drops :80/:443 regardless of scheme (documented
+        # simplification) — mirror that
+        if host.endswith(":80") or host.endswith(":443"):
+            host = host.rsplit(":", 1)[0]
+        path = sp.path or "/"
+        if len(path) > 1 and path.endswith("/"):
+            path = path[:-1]
+        params = [p for p in sp.query.split("&") if p]
+        # the op strips tracking params in NAME=value form only
+        kept = [p for p in params if "=" not in p or not (
+            p.split("=", 1)[0].startswith("utm_")
+            or p.split("=", 1)[0] in ("gclid", "fbclid", "ref"))]
+        q = "&".join(sorted(kept))
+        return f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
+
+    rng = random.Random(42)
+    hosts = ["Ex.COM", "a.b.example", "X9.net:80", "s.example:443",
+             "odd.example:8080"]
+    paths = ["", "/", "/A/b", "/A/b/", "/x%20y/"]
+    queries = ["", "?b=2&a=1", "?utm_source=m&q=1", "?gclid=1",
+               "?z=9&utm_campaign=c&y=8", "?ref=t&k=v"]
+    frags = ["", "#top"]
+    urls = []
+    for _ in range(150):
+        scheme = rng.choice(["http", "HTTPS"])
+        u = (scheme + "://" + rng.choice(hosts) + rng.choice(paths)
+             + rng.choice(queries) + rng.choice(frags))
+        urls.append(u)
+    from clickhouse_learning_spark.operators.text import canonical_url
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, u string")
+    got = {r.i: r.c for r in df.select(
+        "i", canonical_url(F.col("u")).alias("c")).collect()}
+    for i, u in enumerate(urls):
+        # the op treats :80/:443 as default regardless of scheme —
+        # mirror that (documented simplification)
+        assert got[i] == ref(u), (u, got[i], ref(u))
