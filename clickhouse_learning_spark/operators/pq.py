@@ -1,0 +1,152 @@
+"""Product quantization (PQ) for memory-compressed ANN.
+
+The FAISS IVF-PQ lineage (Jégou, Douze & Schmid 2011, "Product
+Quantization for Nearest Neighbor Search" — public algorithm): split
+the embedding into ``m`` subspaces, k-means each subspace to ``k``
+centroids, store every vector as ``m`` small codes (64-dim float32 →
+4 bytes at m=4/k=256-class codes — here k defaults to 16 for the
+fixture scale). Queries scan COMPRESSED codes with asymmetric
+distance (ADC): per subspace a k-entry lookup table of exact
+query-to-centroid distances, scored as ``Σ table[s][code[s]]``.
+
+At 100 TB this is the memory story the brute-force and IVF paths
+(operators/similarity.py) can't tell: the corpus-resident state per
+vector is m bytes instead of 4·dim, the ADC scan is pure Catalyst
+(literal lookup tables + element_at sums — no Python, no shuffle
+until top-k), and training reuses the deterministic lowest-id-seed
+Lloyd sweeps of train_centroids on sliced sub-vectors. Codebooks are
+ROUNDED to 6 decimals after training so independent implementations
+(tools/make_pq_golden.py) and any cluster layout reproduce identical
+codes bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.operators.similarity import train_centroids
+
+
+def train_pq(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine_iters: int = 2,
+) -> list[list[list[float]]]:
+    """``codebooks[s][j]`` = centroid j of subspace s. Deterministic:
+    lowest-id seeds + fixed Lloyd sweeps per subspace, 6-decimal
+    rounding pins the result across layouts and implementations."""
+    first = corpus.select(F.size(emb_col).alias("d")).head()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(emb_col), s * dsub + 1, dsub).alias(emb_col),
+        )
+        cents = train_centroids(
+            sub, n_centroids=k, emb_col=emb_col, id_col=id_col,
+            refine_iters=refine_iters,
+        )
+        books.append([[round(float(x), 6) for x in c] for c in cents])
+    return books
+
+
+def _sq_dist(a: Column, lit_vec: list[float]) -> Column:
+    arr = F.array(*[F.lit(float(x)) for x in lit_vec])
+    return F.aggregate(
+        F.zip_with(a, arr, lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def encode_pq(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    emb_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append the m-element code array: per subspace the argmin-
+    distance centroid id (ties -> lowest id via strict-<). The argmin
+    runs as an ``aggregate`` fold over a LITERAL candidate array — a
+    chained when/otherwise would duplicate the accumulator subtree
+    per candidate and blow the plan up exponentially (measured OOM at
+    k=16); the fold keeps the expression linear and evaluates
+    iteratively at runtime. Pure Catalyst, map-only."""
+    m = len(books)
+    dsub = len(books[0][0])
+    codes = []
+    for s in range(m):
+        sub = F.slice(F.col(emb_col), s * dsub + 1, dsub)
+        cand = F.array(*[
+            F.struct(
+                F.lit(j).alias("i"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for j, c in enumerate(books[s])
+        ])
+
+        def make_step(sub_col):
+            def step(acc, e):  # pyspark reads the 2-arg signature
+                d = F.aggregate(
+                    F.zip_with(sub_col, e["c"],
+                               lambda p, q: (p - q) * (p - q)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                return F.when(
+                    d < acc["d"],
+                    F.struct(d.alias("d"), e["i"].alias("i")),
+                ).otherwise(acc)
+            return step
+
+        step = make_step(sub)
+
+        init = F.struct(
+            F.lit(float("inf")).alias("d"),
+            F.lit(-1).alias("i"),
+        )
+        codes.append(F.aggregate(cand, init, step)["i"])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def adc_topk(
+    codes_df: DataFrame,
+    query: list[float],
+    books: list[list[list[float]]],
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance top-k over compressed codes: the per-
+    subspace query→centroid distance tables are computed driver-side
+    (m·k floats) and enter the plan as literal arrays; the scan is
+    ``Σ element_at(table_s, code_s + 1)`` — codegen, no UDF. Ties
+    break on id. Returns (id, adc_dist)."""
+    m = len(books)
+    dsub = len(books[0][0])
+    score = F.lit(0.0)
+    for s in range(m):
+        qsub = query[s * dsub:(s + 1) * dsub]
+        table = [
+            round(sum((a - b) ** 2 for a, b in zip(qsub, cent)), 9)
+            for cent in books[s]
+        ]
+        tbl = F.array(*[F.lit(float(x)) for x in table])
+        score = score + F.element_at(
+            tbl, F.element_at(F.col(code_col), s + 1) + F.lit(1)
+        )
+    return (
+        codes_df.select(F.col(id_col), score.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(top_k)
+    )

@@ -3008,3 +3008,51 @@ def url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return messy.select(
         "i", TX.canonical_url(F.col("url")).alias("canon")
     )
+
+
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: product-quantization ANN (operators/pq.py —
+    Jégou et al. 2011): per-subspace codebooks trained with the
+    deterministic lowest-id-seed Lloyd sweeps, vectors stored as m
+    small codes, queries scored over the COMPRESSED codes with
+    asymmetric-distance lookup tables (pure Catalyst, no UDF in the
+    scan). Top-5 per query for the 4 lowest-id query vectors.
+    Hash-checked via independent numpy goldens
+    (tools/make_pq_golden.py, refuse-on-mismatch)."""
+    from clickhouse_learning_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.train_pq(emb, m=4, k=16)
+    codes = PQ.encode_pq(emb, books).select("vec_id", "pq_code")
+    codes = codes.persist()
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    out = None
+    for qid, qvec in queries:
+        top = PQ.adc_topk(codes, qvec, books, top_k=5).select(
+            F.lit(qid).alias("query_id"),
+            F.col("vec_id"),
+            F.round("adc_dist", 5).alias("adc_dist"),
+        )
+        out = top if out is None else out.unionAll(top)
+    return out
+
+
+QUERIES["pq_ann_topk"] = pq_ann_topk
+
+
+def _register_pq_golden() -> None:
+    try:
+        from clickhouse_learning_spark import golden_pq as G
+    except ImportError:
+        return
+    _ORACLES["pq_ann_topk"] = _values_oracle(
+        G.PQ_ANN_TOPK,
+        ["query_id", "vec_id", "adc_dist"],
+        ["BIGINT", "BIGINT", "DOUBLE"],
+    )
+
+
+_register_pq_golden()
