@@ -745,6 +745,44 @@ def main() -> None:
     )
     lr_feats.unpersist()
 
+    # Product-quantization ANN (operators/pq.py, r5 late): encode 1M
+    # 16-dim vectors against prebuilt codebooks (Arrow/BLAS hot path —
+    # the Catalyst fold is the oracle path, interpreted HOFs are the
+    # documented 10-60x slow lane), then one ADC probe over the
+    # compressed codes (pure-codegen lookup-table sums + top-k).
+    from clickhouse_learning_spark.operators import pq as _PQ
+
+    pq_vecs = spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: ((F.col("id") * 37 + i * 101) % 997
+                       ).cast("float") / 997.0,
+        ).alias("embedding"),
+    )
+    pq_vecs.persist().count()
+    _pq_books = _PQ.train_pq(
+        pq_vecs.filter(F.col("vec_id") < 50_000), m=4, k=16
+    )
+    timings["pq_encode_1m_arrow"] = best_of(
+        runs,
+        lambda: _PQ.encode_pq_arrow(pq_vecs, _pq_books)
+        .select("vec_id", "pq_code")
+        .write.format("noop").mode("overwrite").save(),
+    )
+    _pq_codes = _PQ.encode_pq_arrow(pq_vecs, _pq_books).select(
+        "vec_id", "pq_code"
+    )
+    _pq_codes.persist().count()
+    _pq_query = [((7 * 37 + i * 101) % 997) / 997.0 for i in range(16)]
+    timings["pq_adc_probe_1m_prebuilt"] = best_of(
+        runs,
+        lambda: _PQ.adc_topk(_pq_codes, _pq_query, _pq_books,
+                             top_k=10).collect(),
+    )
+    _pq_codes.unpersist()
+    pq_vecs.unpersist()
+
     # LTTB downsampling (functions/lttb.py, r4 late): 2M points in 200
     # series → 500 representatives each, through the grouped-agg Arrow
     # UDF — measures the one Python stage this operator has (per-group

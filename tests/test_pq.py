@@ -73,3 +73,33 @@ def test_dim_divisibility_gate(spark):
     df = _df(spark, [(1, [1.0, 2.0, 3.0])])
     with pytest.raises(ValueError, match="divisible"):
         PQ.train_pq(df, m=2, k=1)
+
+
+def test_arrow_encode_agrees_with_catalyst(spark):
+    """The BLAS hot path and the Catalyst fold implement one spec;
+    where codes differ the distances must be numerically tied (the
+    expanded |x|^2 - 2xC + |c|^2 form can flip exact ties)."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(200)]
+    df = _df(spark, rows)
+    books = PQ.train_pq(df, m=2, k=4, refine_iters=1)
+    a = {r.vec_id: list(r.pq_code) for r in
+         PQ.encode_pq(df, books).collect()}
+    b = {r.vec_id: list(r.pq_code) for r in
+         PQ.encode_pq_arrow(df, books).collect()}
+    vecs = dict(rows)
+    dsub = 4
+    for vid in a:
+        for s in range(2):
+            if a[vid][s] == b[vid][s]:
+                continue
+            xs = vecs[vid][s * dsub:(s + 1) * dsub]
+            d1 = sum((p - q) ** 2 for p, q in
+                     zip(xs, books[s][a[vid][s]]))
+            d2 = sum((p - q) ** 2 for p, q in
+                     zip(xs, books[s][b[vid][s]]))
+            assert math.isclose(d1, d2, rel_tol=1e-9), (vid, s, d1, d2)
