@@ -421,6 +421,12 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         )(_blk)
     m["isNotNull"] = lambda a: f"({_one(a, 'isNotNull')} IS NOT NULL)"
     m["toIntervalDay"] = lambda a: f"(INTERVAL '1' DAY * ({a[0]}))"
+    m["toIntervalSecond"] = lambda a: f"(INTERVAL '1' SECOND * ({a[0]}))"
+    m["toIntervalMinute"] = lambda a: f"(INTERVAL '1' MINUTE * ({a[0]}))"
+    m["toIntervalWeek"] = lambda a: f"(INTERVAL '7' DAY * ({a[0]}))"
+    m["toIntervalMonth"] = lambda a: f"(INTERVAL '1' MONTH * ({a[0]}))"
+    m["toIntervalQuarter"] = lambda a: f"(INTERVAL '3' MONTH * ({a[0]}))"
+    m["toIntervalYear"] = lambda a: f"(INTERVAL '1' YEAR * ({a[0]}))"
     m["toIntervalHour"] = lambda a: f"(INTERVAL '1' HOUR * ({a[0]}))"
     m["parseDateTimeBestEffortOrZero"] = lambda a: (
         f"coalesce(try_to_timestamp({a[0]}), TIMESTAMP '1970-01-01 00:00:00')"
@@ -515,6 +521,31 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["addHours"] = lambda a: (
         lambda d, n: f"({d} + make_interval(0, 0, 0, 0, {n}))"
     )(*_two(a, "addHours"))
+    # sub-second arithmetic at Spark's microsecond precision
+    m["addMilliseconds"] = lambda a: (
+        lambda d, n: (
+            f"timestamp_micros(unix_micros(CAST({d} AS TIMESTAMP)) "
+            f"+ ({n}) * 1000)"
+        )
+    )(*_two(a, "addMilliseconds"))
+    m["addMicroseconds"] = lambda a: (
+        lambda d, n: (
+            f"timestamp_micros(unix_micros(CAST({d} AS TIMESTAMP)) "
+            f"+ ({n}))"
+        )
+    )(*_two(a, "addMicroseconds"))
+    m["subtractMilliseconds"] = lambda a: (
+        lambda d, n: (
+            f"timestamp_micros(unix_micros(CAST({d} AS TIMESTAMP)) "
+            f"- ({n}) * 1000)"
+        )
+    )(*_two(a, "subtractMilliseconds"))
+    m["subtractMicroseconds"] = lambda a: (
+        lambda d, n: (
+            f"timestamp_micros(unix_micros(CAST({d} AS TIMESTAMP)) "
+            f"- ({n}))"
+        )
+    )(*_two(a, "subtractMicroseconds"))
     # rest of the add/subtract family (r4 late): make_interval slots are
     # (years, months, weeks, days, hours, mins, secs)
     for _nm, _slot in (
@@ -581,8 +612,32 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["toUnixTimestamp"] = lambda a: (
         f"unix_timestamp({_one(a, 'toUnixTimestamp')})"
     )
-    m["fromUnixTimestamp"] = lambda a: (
-        f"timestamp_seconds({_one(a, 'fromUnixTimestamp')})"
+    def _from_unix_ts(a: list[str]) -> str:
+        if len(a) == 1:
+            return f"timestamp_seconds({a[0]})"
+        if len(a) == 2:
+            # 2-arg form formats: = formatDateTime(toDateTime(x), fmt)
+            return m["formatDateTime"]([
+                f"timestamp_seconds({a[0]})", a[1]
+            ])
+        raise ValueError("fromUnixTimestamp(x[, format])")
+
+    m["fromUnixTimestamp"] = _from_unix_ts
+    # date_diff is CH's alias of dateDiff — Spark ALSO has a 3-arg
+    # date_diff whose bare-unit form counts raw elapsed units instead
+    # of boundary crossings, so the passthrough would silently change
+    # results; route through the same truncating rewrite
+    m["date_diff"] = lambda a: m["dateDiff"](a)
+    m["toDate32"] = lambda a: f"CAST({_one(a, 'toDate32')} AS DATE)"
+    m["toDate32OrNull"] = lambda a: (
+        f"try_cast({_one(a, 'toDate32OrNull')} AS DATE)"
+    )
+    m["toDate32OrZero"] = lambda a: (
+        f"coalesce(try_cast({_one(a, 'toDate32OrZero')} AS DATE), "
+        f"DATE '1970-01-01')"
+    )
+    m["toStartOfSecond"] = lambda a: (
+        f"date_trunc('SECOND', {_one(a, 'toStartOfSecond')})"
     )
     m["dateDiff"] = lambda a: (
         # CH dateDiff counts unit-BOUNDARY crossings, not complete

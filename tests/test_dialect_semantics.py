@@ -1765,3 +1765,36 @@ def test_resample_combinator(spark):
         translate("SELECT sumResample(10, 10, 5)(v, k)")
     with _pytest.raises(ValueError, match="integer literal"):
         translate("SELECT sumResample(a, 10, 5)(v, k)")
+
+
+def test_interval_subsecond_date32_batch(spark):
+    """toInterval* completion, sub-second add/subtract at microsecond
+    precision, toDate32 family, toStartOfSecond, the date_diff alias
+    (boundary-crossing semantics, NOT Spark's raw-unit 3-arg form),
+    and 2-arg fromUnixTimestamp formatting."""
+    r = spark.sql(translate(
+        "SELECT toDateTime('2024-01-01 00:00:00') "
+        "+ toIntervalMinute(90) AS t1, "
+        "toDate('2024-01-31') + toIntervalMonth(1) AS t2, "
+        "toDate('2024-01-01') + toIntervalQuarter(1) AS t3, "
+        "addMilliseconds(toDateTime('2024-01-01 00:00:00'), 1250) AS ms, "
+        "subtractMicroseconds(toDateTime64('2024-01-01 00:00:00.000500',"
+        " 6), 700) AS us, "
+        "toDate32('2024-05-06') AS d32, "
+        "toDate32OrNull('bogus') AS d32n, "
+        "toDate32OrZero('bogus') AS d32z, "
+        "toStartOfSecond(toDateTime64('2024-01-01 00:00:00.789', 3)) "
+        "AS ss, "
+        "date_diff('day', toDateTime('2024-01-01 23:59:00'), "
+        "toDateTime('2024-01-02 00:01:00')) AS dd, "
+        "fromUnixTimestamp(1704067200, '%Y-%m-%d %H:%i:%S') AS fu"
+    )).collect()[0]
+    assert str(r["t1"]) == "2024-01-01 01:30:00"
+    assert str(r["t2"]) == "2024-02-29" and str(r["t3"]) == "2024-04-01"
+    assert str(r["ms"]) == "2024-01-01 00:00:01.250000"
+    assert str(r["us"]).endswith("23:59:59.999800")
+    assert str(r["d32"]) == "2024-05-06" and r["d32n"] is None
+    assert str(r["d32z"]) == "1970-01-01"
+    assert str(r["ss"]) == "2024-01-01 00:00:00"
+    assert r["dd"] == 1  # boundary crossing, not raw 24h units
+    assert r["fu"] == "2024-01-01 00:00:00"
