@@ -50,7 +50,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # already covered above sit behind them. Union of rounds still grades
 # everything — round 1 drove the entries now demoted.
 _PRIORITY = [
-    # Round-5 window (exactly 50 — the driver grades the first 50).
+    # Round-5 window (51 listed; the driver grades the first 50 and
+    # the final rotation slot rides as spare).
     # Round 4 closed 50/50 hash-green, so this window = (a) every
     # registered query with NO driver evidence yet (the 21 round-4
     # staged queries plus the two funnel/sequence variants that have
