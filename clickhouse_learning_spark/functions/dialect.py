@@ -1301,6 +1301,14 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # were replaced at the binary->string boundary), so CH's
     # toValidUTF8 is the identity here.
     m["toValidUTF8"] = lambda a: _one(a, "toValidUTF8")
+    # RFC 3492 punycode through the stdlib codec (Arrow UDF — there is
+    # no Catalyst form); tryPunycodeDecode yields '' on bad input
+    m["punycodeEncode"] = lambda a: _punycode_udf_sql(
+        "ch_punycode_encode", _one(a, "punycodeEncode"))
+    m["punycodeDecode"] = lambda a: _punycode_udf_sql(
+        "ch_punycode_decode", _one(a, "punycodeDecode"))
+    m["tryPunycodeDecode"] = lambda a: _punycode_udf_sql(
+        "ch_try_punycode_decode", _one(a, "tryPunycodeDecode"))
 
     # CH left/right accept NEGATIVE lengths (left(s,-n) = all but the
     # last n; right(s,-n) = all but the first n); Spark returns ''.
@@ -3979,6 +3987,7 @@ _LTTB_UDFS: dict[str, int] = {}
 
 # set when translate() emits an intHash64 call
 _INT_HASH64_WANTED = False
+_PUNYCODE_WANTED = False
 
 # set when translate() emits a geohashEncode/Decode call
 _GEOHASH_WANTED = False
@@ -4067,6 +4076,52 @@ def _int_hash64_udf_sql(x: str) -> str:
     return f"ch_int_hash64(CAST(({x}) AS BIGINT))"
 
 
+def _punycode_udf_sql(fn: str, x: str) -> str:
+    global _PUNYCODE_WANTED
+    _PUNYCODE_WANTED = True
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        register_sequence_udfs(s)
+    return f"{fn}({x})"
+
+
+def _make_punycode_udfs():
+    """RFC 3492 via the stdlib codec — spec-exact, so no golden
+    hazard. Decode failures: strict raises (CH punycodeDecode), try
+    yields '' (CH tryPunycodeDecode)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _enc(v):
+        return v.map(
+            lambda s: None if s is None
+            else s.encode("punycode").decode("ascii")
+        )
+
+    def _dec(v):
+        return v.map(
+            lambda s: None if s is None
+            else s.encode("ascii").decode("punycode")
+        )
+
+    def _try_dec(v):
+        def one(s):
+            if s is None:
+                return None
+            try:
+                return s.encode("ascii").decode("punycode")
+            except Exception:
+                return ""
+        return v.map(one)
+
+    return (
+        pandas_udf(_enc, "string"),
+        pandas_udf(_dec, "string"),
+        pandas_udf(_try_dec, "string"),
+    )
+
+
 def register_sequence_udfs(spark) -> None:
     """Idempotently register every Pandas UDF the dialect has emitted
     on this session (full-grammar sequenceMatch/Count,
@@ -4079,6 +4134,11 @@ def register_sequence_udfs(spark) -> None:
         spark.udf.register(name, lttb.make_lttb_udf(n))
     if _INT_HASH64_WANTED:
         spark.udf.register("ch_int_hash64", _make_int_hash64_udf())
+    if _PUNYCODE_WANTED:
+        enc, dec, tdec = _make_punycode_udfs()
+        spark.udf.register("ch_punycode_encode", enc)
+        spark.udf.register("ch_punycode_decode", dec)
+        spark.udf.register("ch_try_punycode_decode", tdec)
     if _GEOHASH_WANTED:
         from clickhouse_learning_spark.functions import geo
 

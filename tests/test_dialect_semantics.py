@@ -1798,3 +1798,19 @@ def test_interval_subsecond_date32_batch(spark):
     assert str(r["ss"]) == "2024-01-01 00:00:00"
     assert r["dd"] == 1  # boundary crossing, not raw 24h units
     assert r["fu"] == "2024-01-01 00:00:00"
+
+
+def test_punycode_family(spark):
+    """RFC 3492 through the stdlib codec: the spec's own München
+    example, ASCII passthrough shape, strict-vs-try failure modes."""
+    r = spark.sql(translate(
+        "SELECT punycodeEncode('München') AS e1, "
+        "punycodeEncode('abc') AS e2, "
+        "punycodeDecode('Mnchen-3ya') AS d1, "
+        "tryPunycodeDecode('Mnchen-3ya') AS t1, "
+        "tryPunycodeDecode('!!bad??') AS t2, "
+        "punycodeEncode(CAST(NULL AS STRING)) AS n1"
+    )).collect()[0]
+    assert r["e1"] == "Mnchen-3ya" and r["e2"] == "abc-"
+    assert r["d1"] == "München" and r["t1"] == "München"
+    assert r["t2"] == "" and r["n1"] is None
