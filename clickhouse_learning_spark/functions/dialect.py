@@ -4695,6 +4695,11 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         "Spark analog; quantileExactWeighted(p)(x, w) maps exactly, "
         "or approx_percentile on the unweighted column"
     ),
+    "groupArraySample": lambda p, a: _raise_gate(
+        "groupArraySample is randomized (nondeterministic across runs "
+        "and engines); sample deterministically with min_by/slice over "
+        "an md5-keyed ordering if reproducibility is wanted"
+    ),
     "quantileTiming": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     # quantileGK(accuracy[, level])(x) — level defaults to the median;
     # quantilesGK(accuracy, l1, l2…)(x); Spark's approx_percentile IS
