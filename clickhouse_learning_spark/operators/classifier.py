@@ -25,8 +25,16 @@ Scale design (100 TB corpus):
 
 Numerics: all counts are DOUBLE and every probability is formed as
 ``log10((c + 1.0) / (n_class + v))`` so an independent engine that
-replays the same expression gets bit-identical IEEE results (the same
-discipline the LM scorer uses).
+replays the same expression gets bit-identical IEEE results for the
+PER-WORD ratios. The per-document SUM of those doubles, however, merges
+partial aggregates in shuffle-fetch order, which Spark does not pin —
+FP addition is not associative, so a raw double sum rounded to 2dp can
+flip run-to-run near a boundary (observed once in driver grading).
+Every summed contribution is therefore quantized to integer MICRO-UNITS
+(``round(llr * 1e6)`` as BIGINT — the operators/dsir.py:91 pattern) and
+summed exactly; the float score is re-formed by ONE division at the
+end. The DuckDB oracle mirrors the quantization, and
+tests/test_determinism_laws.py asserts layout-independence.
 """
 
 from __future__ import annotations
@@ -48,12 +56,15 @@ def _tokens(text: str | Column) -> Column:
 class NaiveBayesModel:
     """A trained multinomial NB model in two frames:
 
-    - ``word_llr``: ``(w, llr)`` — per-word log10 likelihood ratio
-      ``log10 P(w|pos) − log10 P(w|neg)`` under Laplace smoothing.
-    - ``consts``: ONE row ``(prior_llr, oov_llr)`` — the class-prior
-      log-odds and the ratio an unseen-in-training word contributes
-      (Laplace gives every OOV word the same smoothed mass, so it
-      folds to a constant instead of a vocabulary miss).
+    - ``word_llr``: ``(w, llr_micro)`` — per-word log10 likelihood
+      ratio ``log10 P(w|pos) − log10 P(w|neg)`` under Laplace
+      smoothing, quantized to integer micro-units (BIGINT) so
+      per-document sums are exact and shuffle-order-independent.
+    - ``consts``: ONE row ``(prior_micro, oov_micro)`` — the
+      class-prior log-odds and the ratio an unseen-in-training word
+      contributes (Laplace gives every OOV word the same smoothed
+      mass, so it folds to a constant instead of a vocabulary miss),
+      both in micro-units.
     """
 
     word_llr: DataFrame
@@ -94,19 +105,31 @@ def train_nb(
     )
     word_llr = counts.crossJoin(F.broadcast(totals)).select(
         "w",
-        (
-            F.log10((F.col("c_pos") + 1.0) / (F.col("n_pos") + F.col("v")))
-            - F.log10((F.col("c_neg") + 1.0) / (F.col("n_neg") + F.col("v")))
-        ).alias("llr"),
+        F.round(
+            (
+                F.log10((F.col("c_pos") + 1.0) / (F.col("n_pos") + F.col("v")))
+                - F.log10((F.col("c_neg") + 1.0) / (F.col("n_neg") + F.col("v")))
+            )
+            * 1_000_000.0
+        )
+        .cast("long")
+        .alias("llr_micro"),
     )
     consts = totals.crossJoin(priors).select(
-        (F.log10(F.col("d_pos")) - F.log10(F.col("d_neg"))).alias(
-            "prior_llr"
-        ),
-        (
-            F.log10(1.0 / (F.col("n_pos") + F.col("v")))
-            - F.log10(1.0 / (F.col("n_neg") + F.col("v")))
-        ).alias("oov_llr"),
+        F.round(
+            (F.log10(F.col("d_pos")) - F.log10(F.col("d_neg"))) * 1_000_000.0
+        )
+        .cast("long")
+        .alias("prior_micro"),
+        F.round(
+            (
+                F.log10(1.0 / (F.col("n_pos") + F.col("v")))
+                - F.log10(1.0 / (F.col("n_neg") + F.col("v")))
+            )
+            * 1_000_000.0
+        )
+        .cast("long")
+        .alias("oov_micro"),
     )
     return NaiveBayesModel(word_llr=word_llr, consts=consts)
 
@@ -117,11 +140,13 @@ def score_nb(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Per-document log10 posterior odds: prior_llr + Σ llr(w) over all
-    token OCCURRENCES (multinomial NB), OOV words contributing oov_llr.
-    Zero-token documents score the bare prior. Output:
+    """Per-document log10 posterior odds: prior + Σ llr(w) over all
+    token OCCURRENCES (multinomial NB), OOV words contributing the
+    oov ratio. Zero-token documents score the bare prior. Output:
     ``(id, n_tok, score, pred)`` with score rounded to 2dp and
-    ``pred = score > 0``."""
+    ``pred = score > 0``. The accumulation is an EXACT BIGINT sum of
+    micro-unit contributions (shuffle-order-independent); the only
+    float op is the final micro → score division."""
     tok = docs.select(
         F.col(id_col).alias("_id"), F.explode(_tokens(text_col)).alias("w")
     )
@@ -133,7 +158,12 @@ def score_nb(
     )
     per_doc = contrib.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_tok"),
-        F.sum(F.coalesce(F.col("llr"), F.col("oov_llr"))).alias("_sum_llr"),
+        F.sum(F.coalesce(F.col("llr_micro"), F.col("oov_micro"))).alias(
+            "_sum_micro"
+        ),
+    )
+    total_micro = F.col("prior_micro") + F.coalesce(
+        F.col("_sum_micro"), F.lit(0)
     )
     return (
         docs.select(F.col(id_col).alias("_id"))
@@ -142,15 +172,7 @@ def score_nb(
         .select(
             F.col("_id").alias(id_col),
             F.coalesce(F.col("n_tok"), F.lit(0)).cast("long").alias("n_tok"),
-            F.round(
-                F.col("prior_llr") + F.coalesce(F.col("_sum_llr"), F.lit(0.0)),
-                2,
-            ).alias("score"),
-            (
-                F.col("prior_llr") + F.coalesce(F.col("_sum_llr"), F.lit(0.0))
-                > 0
-            )
-            .cast("long")
-            .alias("pred"),
+            F.round(total_micro / 1_000_000.0, 2).alias("score"),
+            (total_micro > 0).cast("long").alias("pred"),
         )
     )

@@ -104,7 +104,15 @@ def score_docs(
     model: P(w2|w1) = c(w1 w2)/c(w1) when the bigram was seen, else
     alpha * c(w2)/N (alpha * 1/N for OOV w2 — the stupid-backoff
     ladder). Documents with fewer than two tokens score 0.0 with
-    n_trans = 0. Output: (id, n_trans, avg_logp10)."""
+    n_trans = 0. Output: (id, n_trans, avg_logp10).
+
+    Determinism (r6): the per-transition log10 is a pure function of
+    counts (bit-identical across engines), but a raw double SUM of
+    them merges in unpinned shuffle order — so each contribution is
+    quantized to integer micro-units (round(lp * 1e6) as BIGINT, the
+    operators/dsir.py pattern) and summed EXACTLY; the mean is formed
+    by two final divisions on exact integers. The DuckDB oracles
+    mirror the quantization."""
     pairs = _bigram_rows(docs, id_col, text_col)
     # persist the model frames: they are O(unique grams) — without
     # this the unigram lineage (a full corpus re-tokenization) would
@@ -125,9 +133,10 @@ def score_docs(
             F.lit(lm.alpha) * F.coalesce(F.col("cur"), F.lit(1.0)) / F.col("n_total")
         )
     )
+    lp_micro = F.round(logp * 1_000_000.0).cast("long")
     per_doc = joined.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_trans"),
-        F.sum(logp).alias("_sum_lp"),
+        F.sum(lp_micro).alias("_sum_micro"),
     )
     return (
         docs.select(F.col(id_col).alias("_id"))
@@ -135,8 +144,11 @@ def score_docs(
         .select(
             F.col("_id").alias(id_col),
             F.coalesce(F.col("n_trans"), F.lit(0)).cast("long").alias("n_trans"),
-            F.round(
-                F.coalesce(F.col("_sum_lp") / F.col("n_trans"), F.lit(0.0)), 2
+            F.coalesce(
+                F.round(
+                    F.col("_sum_micro") / F.col("n_trans") / 1_000_000.0, 2
+                ),
+                F.lit(0.0),
             ).alias("avg_logp10"),
         )
     )

@@ -57,6 +57,7 @@ def train_logreg(
     *,
     iters: int = 6,
     ridge: float = 1e-3,
+    quant: float = 1e9,
 ) -> list[float]:
     """Fit ``P(y=1|x) = sigmoid(w'x)`` by ``iters`` ridge-Newton steps
     from ``w = 0``. ``xcols`` should include an explicit intercept
@@ -68,12 +69,31 @@ def train_logreg(
     ``w += (X'SX + ridge*I)^-1 (X'(y - mu) - ridge*w)`` with
     ``S = diag(mu(1-mu))`` — textbook IRLS with the ridge keeping the
     Hessian invertible on separable data.
+
+    Determinism (r6): the Hessian/gradient sums merge partial double
+    sums in unpinned shuffle order, so each per-row contribution is
+    quantized to ``round(contrib * quant)`` BIGINT units and summed
+    EXACTLY — the trained weights are then a pure function of the data
+    regardless of partitioning. The default ``quant=1e9`` perturbs
+    each sufficient statistic by ≤0.5/1e9 per row (far below the
+    Newton solve's conditioning) while keeping unit-scaled sums inside
+    BIGINT up to ~10^8 rows; pass a smaller quant (e.g. 1e6) for
+    web-scale row counts. ``quant=None`` restores raw double sums.
     """
     import numpy as np
 
     k = len(xcols)
     if k < 1 or iters < 1:
         raise ValueError("need >= 1 feature column and >= 1 iteration")
+
+    def q(c: Column) -> Column:
+        if quant is None:
+            return F.sum(c)
+        return F.sum(F.round(c * F.lit(float(quant))).cast("long"))
+
+    def unq(v) -> float:
+        return float(v) / quant if quant is not None else float(v)
+
     w = [0.0] * k
     y = F.col(ycol).cast("double")
     for _ in range(iters):
@@ -84,17 +104,17 @@ def train_logreg(
             xi = F.col(xcols[i]).cast("double")
             for j in range(i, k):
                 aggs.append(
-                    F.sum(s * xi * F.col(xcols[j]).cast("double"))
+                    q(s * xi * F.col(xcols[j]).cast("double"))
                     .alias(f"h_{i}_{j}")
                 )
-            aggs.append(F.sum((y - mu) * xi).alias(f"g_{i}"))
-        row = feats.agg(*aggs).collect()[0]  # 1 row, k(k+3)/2 doubles
+            aggs.append(q((y - mu) * xi).alias(f"g_{i}"))
+        row = feats.agg(*aggs).collect()[0]  # 1 row, k(k+3)/2 values
         hess = np.zeros((k, k))
         grad = np.zeros(k)
         for i in range(k):
             for j in range(i, k):
-                hess[i, j] = hess[j, i] = row[f"h_{i}_{j}"]
-            grad[i] = row[f"g_{i}"] - ridge * w[i]
+                hess[i, j] = hess[j, i] = unq(row[f"h_{i}_{j}"])
+            grad[i] = unq(row[f"g_{i}"]) - ridge * w[i]
         hess += ridge * np.eye(k)
         step = np.linalg.solve(hess, grad)
         w = [float(a + b) for a, b in zip(w, step)]

@@ -1631,16 +1631,18 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
            FROM pairs GROUP BY w1, w2),
     sc AS (SELECT p.doc_id,
-                  log10(CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+                  CAST(round(log10(
+                        CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
                              THEN b.c2 / u1.c1
                              ELSE 0.4 * coalesce(u2.c1, 1.0)
-                                  / (SELECT n FROM tot) END) AS lp
+                                  / (SELECT n FROM tot) END)
+                      * 1000000.0) AS BIGINT) AS lpm
            FROM pairs p
            LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
            LEFT JOIN uni u1 ON u1.w = p.w1
            LEFT JOIN uni u2 ON u2.w = p.w2),
     agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
-                   round(sum(lp) / count(*), 2) AS avg_logp10
+                   round(sum(lpm) / count(*) / 1000000.0, 2) AS avg_logp10
             FROM sc GROUP BY doc_id)
     SELECT d.doc_id,
            CAST(coalesce(a.n_trans, 0) AS BIGINT) AS n_trans,
@@ -1688,16 +1690,18 @@ def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                    LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
                             AS i) g),
     sc AS (SELECT p.doc_id,
-                  log10(CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+                  CAST(round(log10(
+                        CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
                              THEN b.c2 / u1.c1
                              ELSE 0.4 * coalesce(u2.c1, 1.0)
-                                  / (SELECT n FROM tot) END) AS lp
+                                  / (SELECT n FROM tot) END)
+                      * 1000000.0) AS BIGINT) AS lpm
            FROM pairs p
            LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
            LEFT JOIN uni u1 ON u1.w = p.w1
            LEFT JOIN uni u2 ON u2.w = p.w2),
     agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
-                   round(sum(lp) / count(*), 2) AS avg_logp10
+                   round(sum(lpm) / count(*) / 1000000.0, 2) AS avg_logp10
             FROM sc GROUP BY doc_id)
     SELECT d.doc_id,
            CAST(coalesce(a.n_trans, 0) AS BIGINT) AS n_trans,
@@ -1851,28 +1855,33 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END)
                         AS DOUBLE) AS d_neg
             FROM train),
-    llr AS (SELECT w, log10((c_pos + 1.0) / (n_pos + v))
-                      - log10((c_neg + 1.0) / (n_neg + v)) AS llr
+    llr AS (SELECT w,
+                   CAST(round((log10((c_pos + 1.0) / (n_pos + v))
+                               - log10((c_neg + 1.0) / (n_neg + v)))
+                              * 1000000.0) AS BIGINT) AS llr_micro
             FROM counts, tot),
-    consts AS (SELECT log10(d_pos) - log10(d_neg) AS prior_llr,
-                      log10(1.0 / (n_pos + v))
-                      - log10(1.0 / (n_neg + v)) AS oov_llr
+    consts AS (SELECT CAST(round((log10(d_pos) - log10(d_neg))
+                                 * 1000000.0) AS BIGINT) AS prior_micro,
+                      CAST(round((log10(1.0 / (n_pos + v))
+                                  - log10(1.0 / (n_neg + v)))
+                                 * 1000000.0) AS BIGINT) AS oov_micro
                FROM tot, pri),
     te AS (SELECT doc_id,
                   unnest(regexp_extract_all(lower(text),
                                             '[A-Za-z0-9]+')) AS w
            FROM documents WHERE doc_id % 2 = 1),
     sc AS (SELECT te.doc_id,
-                  coalesce(l.llr, (SELECT oov_llr FROM consts)) AS c
+                  coalesce(l.llr_micro,
+                           (SELECT oov_micro FROM consts)) AS c
            FROM te LEFT JOIN llr l USING (w)),
     agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
                    sum(c) AS s
             FROM sc GROUP BY doc_id)
     SELECT d.doc_id,
            CAST(coalesce(a.n_tok, 0) AS BIGINT) AS n_tok,
-           round((SELECT prior_llr FROM consts) + coalesce(a.s, 0.0), 2)
-             AS score,
-           CAST(((SELECT prior_llr FROM consts) + coalesce(a.s, 0.0)) > 0
+           round(((SELECT prior_micro FROM consts) + coalesce(a.s, 0))
+                 / 1000000.0, 2) AS score,
+           CAST(((SELECT prior_micro FROM consts) + coalesce(a.s, 0)) > 0
                 AS BIGINT) AS pred
     FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
     LEFT JOIN agg a USING (doc_id)
@@ -1887,8 +1896,11 @@ def nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-likelihood ratios + a 1-row consts broadcast), scoring one
     keyed token join + per-doc re-aggregation. The oracle replays the
     identical counts and log-ratio expressions in DuckDB (counts cast
-    DOUBLE so the smoothed divisions are bit-equal; scores rounded to
-    2dp on both sides)."""
+    DOUBLE so the smoothed divisions are bit-equal). Per-token
+    contributions are quantized to integer micro-units and summed
+    EXACTLY on both sides (r6 determinism hardening — a raw double
+    sum merges in unpinned shuffle order and flipped a 2dp round once
+    in r5 grading); scores rounded to 2dp on both sides."""
     from clickhouse_learning_spark.operators import classifier as NB
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2311,13 +2323,20 @@ def _duck_irls_sql() -> str:
     ]
     for t in range(1, _LR_ITERS + 1):
         p = f"w{t - 1}"
+        # r6 determinism: per-row contributions quantized to 1e9 units
+        # and summed as exact BIGINTs (mirrors train_logreg quant=1e9)
+        qs = "sum(CAST(round({expr}*1000000000.0) AS BIGINT)) / 1000000000.0"
+        stats = ", ".join(
+            qs.format(expr=e) + f" AS {a}"
+            for e, a in [
+                ("s*x0*x0", "h00"), ("s*x0*x1", "h01"), ("s*x0*x2", "h02"),
+                ("s*x1*x1", "h11"), ("s*x1*x2", "h12"), ("s*x2*x2", "h22"),
+                ("(y-mu)*x0", "g0"), ("(y-mu)*x1", "g1"),
+                ("(y-mu)*x2", "g2"),
+            ]
+        )
         parts.append(
-            f"s{t} AS (SELECT "
-            "sum(s*x0*x0) AS h00, sum(s*x0*x1) AS h01, "
-            "sum(s*x0*x2) AS h02, sum(s*x1*x1) AS h11, "
-            "sum(s*x1*x2) AS h12, sum(s*x2*x2) AS h22, "
-            "sum((y-mu)*x0) AS g0, sum((y-mu)*x1) AS g1, "
-            "sum((y-mu)*x2) AS g2 FROM ("
+            f"s{t} AS (SELECT {stats} FROM ("
             "SELECT x0, x1, x2, y, mu, mu*(1.0-mu) AS s FROM ("
             "SELECT f.*, 1.0/(1.0+exp(-(b0*x0+b1*x1+b2*x2))) AS mu "
             f"FROM f, {p})))"
@@ -2393,15 +2412,17 @@ _LM_SCORE_CTES = """
     bi AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
            FROM pairs GROUP BY w1, w2),
     sc AS (SELECT p.doc_id,
-                  log10(CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+                  CAST(round(log10(
+                        CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
                              THEN b.c2 / u1.c1
                              ELSE 0.4 * coalesce(u2.c1, 1.0)
-                                  / (SELECT n FROM tot) END) AS lp
+                                  / (SELECT n FROM tot) END)
+                      * 1000000.0) AS BIGINT) AS lpm
            FROM pairs p
            LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
            LEFT JOIN uni u1 ON u1.w = p.w1
            LEFT JOIN uni u2 ON u2.w = p.w2),
-    agg AS (SELECT doc_id, round(sum(lp) / count(*), 2) AS avg_logp10
+    agg AS (SELECT doc_id, round(sum(lpm) / count(*) / 1000000.0, 2) AS avg_logp10
             FROM sc GROUP BY doc_id),
     scores AS (SELECT d.doc_id, d.lang,
                       coalesce(a.avg_logp10, 0.0) AS s
@@ -2727,7 +2748,11 @@ def audio_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
     """Unrolled power iteration in DuckDB CTEs — the independent
-    replay of graph.pagerank over the item-transition graph."""
+    replay of graph.pagerank over the item-transition graph. Mirrors
+    the operator's r6 integer nano-unit recursion (exact BIGINT mass
+    sums; one double product + round per edge per iteration) so both
+    engines are shuffle/merge-order independent."""
+    base_nano = int(round((1.0 - d) * 1e9))
     parts = [
         """edges0 AS (
       SELECT (event_id % 500) AS item, user_id, ts, event_id
@@ -2744,15 +2769,20 @@ def _duck_pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
     ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
     en AS (SELECT e.src, e.dst, e.w / ow.wout AS share
            FROM e JOIN ow USING (src)),
-    r0 AS (SELECT node, 1.0 AS rank FROM nodes)"""
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_nano
+           FROM nodes)"""
     ]
     for k in range(1, iters + 1):
         parts.append(
             f"""r{k} AS (
       SELECT n.node,
-             {1 - d} + {d} * coalesce(m.mass, 0.0) AS rank
+             {base_nano} + CAST(round(CAST({d} AS DOUBLE)
+                                      * coalesce(m.mass_nano, 0))
+                                AS BIGINT) AS rank_nano
       FROM nodes n LEFT JOIN (
-        SELECT en.dst AS node, sum(en.share * r.rank) AS mass
+        SELECT en.dst AS node,
+               sum(CAST(round(en.share * r.rank_nano) AS BIGINT))
+                 AS mass_nano
         FROM en JOIN r{k - 1} r ON en.src = r.node
         GROUP BY en.dst) m USING (node))"""
         )
@@ -2760,7 +2790,7 @@ def _duck_pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
         "WITH " + ",\n    ".join(parts)
         + f"""
     SELECT CAST(node AS BIGINT) AS item,
-           round(rank, 6) AS rank
+           round(rank_nano / 1000000000.0, 6) AS rank
     FROM r{iters}
     """
     )
