@@ -632,9 +632,11 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["toDate32OrNull"] = lambda a: (
         f"try_cast({_one(a, 'toDate32OrNull')} AS DATE)"
     )
+    # Date32's zero is its type minimum 1900-01-01 (unlike Date's
+    # 1970-01-01) — ADVICE r5
     m["toDate32OrZero"] = lambda a: (
         f"coalesce(try_cast({_one(a, 'toDate32OrZero')} AS DATE), "
-        f"DATE '1970-01-01')"
+        f"DATE '1900-01-01')"
     )
     m["toStartOfSecond"] = lambda a: (
         f"date_trunc('SECOND', {_one(a, 'toStartOfSecond')})"
@@ -4137,7 +4139,11 @@ def _make_base58_udfs():
         body = n.to_bytes((n.bit_length() + 7) // 8, "big") if n \
             else b""
         pad = len(s) - len(s.lstrip("1"))
-        return (b"\x00" * pad + body).decode("utf-8")
+        # valid base58 whose payload isn't UTF-8 still succeeds in CH
+        # (returns the bytes); 'replace' is the repo's documented
+        # binary-to-string boundary (rowbinary.py) — only an invalid
+        # alphabet char is a strict failure (ADVICE r5)
+        return (b"\x00" * pad + body).decode("utf-8", errors="replace")
 
     def _enc(v):
         return v.map(enc_one)
@@ -4543,10 +4549,13 @@ def _resample(base: str):
             f"collect_list(named_struct('k', CAST({key} AS DOUBLE), "
             f"'v', CAST({x} AS DOUBLE)))"
         )
+        # CH's AggregateFunctionResample drops keys >= end outright,
+        # so a non-step-divisible range must clamp the LAST bucket's
+        # upper bound to end (ADVICE r5): k < min(start+(b+1)*step, end)
         bucket_vals = (
             f"transform(filter(rs_p, rs_e -> rs_e.k >= {start} + "
             f"rs_b * {step} AND rs_e.k < {start} + (rs_b + 1) * "
-            f"{step}), rs_e -> rs_e.v)"
+            f"{step} AND rs_e.k < {end}), rs_e -> rs_e.v)"
         )
         forms = {
             "sum": f"aggregate({bucket_vals}, CAST(0 AS DOUBLE), "

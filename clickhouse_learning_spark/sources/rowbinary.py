@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _EPOCH = date(1970, 1, 1)
+_EPOCH_DT = datetime(1970, 1, 1, tzinfo=timezone.utc)
 _DEC_CTX = _DecContext(prec=60)
 
 _SCALARS = {
@@ -365,10 +366,16 @@ class _TypeCodec:
                 "<I", int(v.replace(tzinfo=timezone.utc).timestamp())
             )
         if k == "DateTime64":
-            ts = v.replace(tzinfo=timezone.utc)
-            ticks = (int(ts.timestamp()) * self.scale
-                     + v.microsecond * self.scale // 1_000_000)
-            return struct.pack("<q", ticks)
+            # total integer microseconds since epoch, floor-divided to
+            # ticks: int(timestamp())*scale truncates toward zero, so
+            # pre-epoch sub-second values (e.g. 1969-12-31 23:59:59.5)
+            # would encode the fractional part with the wrong sign and
+            # break the decode roundtrip (ADVICE r5)
+            micros = (
+                v.replace(tzinfo=timezone.utc)
+                - _EPOCH_DT
+            ) // timedelta(microseconds=1)
+            return struct.pack("<q", micros * self.scale // 1_000_000)
         if k == "Decimal":
             raw = int(_Dec(v).scaleb(self.dec_scale, _DEC_CTX))
             return raw.to_bytes(self.dec_width, "little", signed=True)

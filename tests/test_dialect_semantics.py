@@ -1761,6 +1761,17 @@ def test_resample_combinator(spark):
     assert list(r["s"]) == [4.0, 0.0, 16.0]
     assert list(r["c"]) == [2, 0, 2]
     assert r["mx"][0] == 3.0 and r["mx"][1] is None and r["mx"][2] == 9.0
+    # ADVICE r5: non-step-divisible range — CH drops keys >= end, so
+    # the last bucket [20, 25) must exclude 27 (and 25) even though
+    # they sit below start + nb*step = 30
+    r2 = spark.sql(translate(
+        "SELECT sumResample(0, 25, 10)(v, k) AS s, "
+        "countResample(0, 25, 10)(k) AS c "
+        "FROM VALUES (5, 1.0), (24, 2.0), (25, 4.0), (27, 8.0) "
+        "AS t(k, v)"
+    )).collect()[0]
+    assert list(r2["s"]) == [1.0, 0.0, 2.0]
+    assert list(r2["c"]) == [1, 0, 1]
     with _pytest.raises(ValueError, match="end > start"):
         translate("SELECT sumResample(10, 10, 5)(v, k)")
     with _pytest.raises(ValueError, match="integer literal"):
@@ -1794,7 +1805,9 @@ def test_interval_subsecond_date32_batch(spark):
     assert str(r["ms"]) == "2024-01-01 00:00:01.250000"
     assert str(r["us"]).endswith("23:59:59.999800")
     assert str(r["d32"]) == "2024-05-06" and r["d32n"] is None
-    assert str(r["d32z"]) == "1970-01-01"
+    # ADVICE r5: Date32's zero is the type minimum 1900-01-01, not
+    # Date's 1970-01-01
+    assert str(r["d32z"]) == "1900-01-01"
     assert str(r["ss"]) == "2024-01-01 00:00:00"
     assert r["dd"] == 1  # boundary crossing, not raw 24h units
     assert r["fu"] == "2024-01-01 00:00:00"
@@ -1827,10 +1840,17 @@ def test_base58_family(spark):
         "base58Decode('2NEpo7TZRRrLZSi2U') AS d, "
         "tryBase58Decode('2NEpo7TZRRrLZSi2U') AS t1, "
         "tryBase58Decode('l0O') AS t2, "
-        "base58Encode('') AS z"
+        "base58Encode('') AS z, "
+        "base58Decode('3D') AS nb, "
+        "tryBase58Decode('3D') AS nbt"
     )).collect()[0]
     assert r["e"] == "2NEpo7TZRRrLZSi2U" and r["d"] == "Hello World!"
     assert r["t1"] == "Hello World!" and r["t2"] == "" and r["z"] == ""
+    # ADVICE r5: '3D' is VALID base58 whose payload byte 0x80 is not
+    # UTF-8 — CH succeeds (returns the bytes); the repo's documented
+    # binary-to-string boundary renders it with U+FFFD, and the try
+    # form must NOT collapse it to '' (only invalid alphabet chars do)
+    assert r["nb"] == "�" and r["nbt"] == "�"
 
     rng = random.Random(5)
     vals = ["".join(rng.choice("abcXYZ 019_") for _ in

@@ -186,6 +186,42 @@ def test_property_roundtrip_fuzz():
             assert got == v, (t, v, got)
 
 
+def test_datetime64_pre_epoch_roundtrip():
+    """ADVICE r5 regression: int(ts.timestamp())*scale truncates toward
+    zero, so pre-epoch sub-second values encoded the fractional part
+    with the wrong sign (1969-12-31 23:59:59.5 → +0.5s ticks) and broke
+    the decode roundtrip. Encode now floors total integer microseconds;
+    divmod on decode already floored."""
+    import datetime as dt
+
+    for scale_t, vals in {
+        "DateTime64(3)": [
+            dt.datetime(1969, 12, 31, 23, 59, 59, 500000),
+            dt.datetime(1969, 12, 31, 23, 59, 59, 1000),
+            dt.datetime(1969, 6, 1, 12, 0, 0, 250000),
+            dt.datetime(1970, 1, 1, 0, 0, 0, 500000),  # post-epoch ctrl
+        ],
+        "DateTime64(6)": [
+            dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+            dt.datetime(1900, 1, 1, 0, 0, 0, 123456),
+        ],
+    }.items():
+        c = RB._TypeCodec(scale_t)
+        for v in vals:
+            got, pos = c.decode(c.encode(v), 0)
+            assert got == v, (scale_t, v, got)
+    # the exact ADVICE vector: -0.5 s must encode as -500 ms ticks
+    import struct as _s
+
+    (ticks,) = _s.unpack(
+        "<q",
+        RB._TypeCodec("DateTime64(3)").encode(
+            dt.datetime(1969, 12, 31, 23, 59, 59, 500000)
+        ),
+    )
+    assert ticks == -500
+
+
 def test_decimal_codecs(spark, tmp_path):
     """Decimal(P,S) = scaled little-endian integer, 4/8/16 bytes by
     precision; golden bytes hand-packed; Spark roundtrip keeps exact
