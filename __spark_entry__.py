@@ -50,68 +50,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # already covered above sit behind them. Union of rounds still grades
 # everything — round 1 drove the entries now demoted.
 _PRIORITY = [
-    # Round-5 window (51 listed; the driver grades the first 50 and
+    # Round-6 window (51 listed; the driver grades the first 50 and
     # the final rotation slot rides as spare).
-    # Round 4 closed 50/50 hash-green, so this window = (a) every
-    # registered query with NO driver evidence yet (the 21 round-4
-    # staged queries plus the two funnel/sequence variants that have
-    # only judge-replay evidence), (b) queries new or oracle-upgraded
-    # in round 5, (c) rotation of queries whose only driver evidence
-    # is round 1 (oldest grades re-validate first).
-    # --- (a) never driver-graded: round-4 staged ----------------------
-    "lm_heldout_scores",
-    "ch_rollup_dialect",
-    "ch_array_combinators_dialect",
-    "ch_week_modes_dialect",
-    "ch_combinators_dialect",
-    "ch_ip_bits_dialect",
-    "ch_summap_dialect",
-    "ch_intervals_dialect",
-    "semdedup_keep",
-    "dsir_importance",
-    "ch_vector_dialect",
-    "nb_quality_scores",
-    "ch_lttb_dialect",
-    "ch_stats_assoc_dialect",
-    "bloom_decontamination",
-    "ch_scalar_with_dialect",
-    "ch_quantiles_dialect",
-    "ch_hash_dialect",
-    "temperature_mixing",
-    "ch_bitmap_algebra_dialect",
-    "stream_topk_items",
-    "ch_funnel_strict_dialect",
-    "ch_sequence_guard_dialect",
-    # --- (b) round-5 new / oracle-upgraded (swapped in as they land) --
-    "bpe_subword_stats",  # r5: golden encode-stats oracle
-    "ann_ivf_topk",  # r5: independent-numpy golden oracle
-    "ch_ttest_dialect",  # r5: studentTTest/welchTTest/mannWhitneyUTest
-    "ch_mv_routed_dialect",  # r5: pasted CH SQL auto-routed to MV state
-    "multimodal_webp_pixel_sums",  # r5: native VP8L decode
-    "gopher_quality_rules",  # r5: Gopher-style curation gates
-    "lexical_diversity",  # r5: type/token diversity fold
-    # --- (c) r1-evidence rotation (driver-graded only in round 1) -----
-    "uniq_hll",
-    "quantile_sketch_dd",
-    "distinct_rows",
-    "global_topk_orders",
-    "stats_moments",
-    "intersect_except_sets",
-    "minmax_rollup_sorted",
-    "modulo_skew_filter",
-    "array_join_tuples",
-    "numbers_generator",
-    "cross_join_matrix",
-    "semi_join_exists",
-    "anti_join_not_exists",
-    "rollup_totals",
-    "window_topk_per_group",
-    "pivot_event_matrix",
-    "unpivot_event_matrix",
-    "argmax_top_event",
-    "grouping_sets_totals",
-    "cube_totals",
-    "text_quality_lang",
+    # Round 5 came back 48/50 hard-green + 1 rows-only by contract +
+    # 1 hash-red (nb_quality_scores — an order-dependent float-sum
+    # determinism defect, fixed this round by integer micro-unit
+    # quantization). This window = (a) the regrade + the three staged
+    # members of the same determinism class, all hardened the same
+    # way; (b) every other round-5-staged query with judge-only
+    # evidence (docs/CHANGES_r5.md worklist); (c) the two new r6
+    # ε-companion queries that give the irreducibly-approximate
+    # sketches hash-graded bound evidence; (d) rotation of queries
+    # whose newest driver evidence is round 2/3.
+    # --- (a) determinism-class: regrade + staged members --------------
+    "nb_quality_scores",  # r5 hash-red; quantized + law-tested
+    "item_pagerank",  # integer nano-unit ranks
+    "lr_quality_scores",  # quantized Newton sufficient stats
+    "ccnet_perplexity_buckets",  # consumes hardened lm scores
+    # --- (b) round-5 staged, judge-green, never driver-graded ---------
+    "lm_quality_scores",  # hardened lm.score_docs (r2-evidence + class)
+    "pq_ann_topk",
+    "unigram_subword_stats",
+    "rowbinary_roundtrip",
+    "rowbinary_typed_roundtrip",
+    "warc_text_extraction",
+    "paragraph_dedup_clean",
+    "url_canonicalization",
+    "blocklist_filtering",
+    "c4_line_cleaning",
+    "stream_latency_quantiles",
+    "video_mp4_metadata",
+    "audio_mp3_metadata",
+    "video_webm_metadata",
+    "video_avi_frame_sums",
+    "audio_flac_spectral",
+    "multimodal_arith_jpeg_features",
+    "multimodal_prog_arith_jpeg_features",
+    "multimodal_lossless_jpeg_pixel_sums",
+    "ch_geo_dialect",
+    "ch_ztest_ks_dialect",
+    "ch_resample_dialect",  # also carries the r6 end-clamp ADVICE fix
+    "ch_json_struct_dialect",
+    "ch_maps_datetime_dialect",
+    "ch_week_modes_full_dialect",
+    "nation_trade_volume",
+    "market_share_by_year",
+    "sole_late_supplier_blame",
+    "min_cost_supplier",
+    "product_profit_by_nation_year",
+    "important_part_value",
+    "supplier_part_counts",
+    "excess_shipments_suppliers",
+    # --- (c) new r6: hash-graded ε-bounds for the two sketches --------
+    "uniq_hll_error_bound",
+    "theta_funnel_error_bound",
+    # --- (d) r2/r3-evidence rotation (oldest grades re-validate) ------
+    "topk_heavy_hitters",
+    "median_state_merge",
+    "dict_enrich_join",
+    "bitmap_funnel",
+    "retention_cohorts",
+    "with_fill_days",
+    "uniq_exact",
+    "avg_state_merge",
+    "having_over_agg",
+    "left_join_using",
+    "composite_key_left_join",
+    "jsonl_dim_roundtrip",
+    "stream_click_attribution",  # spare (51st)
 ]
 
 

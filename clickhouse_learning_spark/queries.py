@@ -163,6 +163,37 @@ QUERIES["uniq_hll"] = uniq_hll
 
 
 @query(
+    "uniq_hll_error_bound",
+    f"""
+    SELECT day, count(DISTINCT uid) AS uv_exact, TRUE AS within_eps
+    FROM {_EV} GROUP BY day
+    """,
+)
+def uniq_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-companion to uniq_hll (r6): the sketch itself is irreducibly
+    approximate (rows-only by contract), but its ERROR BOUND is
+    contractual — HLL at lg_k=12 has ~1.6% relative standard error, so
+    |estimate − exact| ≤ max(3, 5%·exact) (3σ) per group. The Spark
+    side computes BOTH the sketch estimate and the exact distinct and
+    emits the bound as a boolean; the oracle computes the exact side
+    and pins the boolean TRUE — so the sketch gets hash-graded driver
+    evidence without pretending it is exact."""
+    ev = _events(spark, sf_dir)
+    spec = M.MetricSpec("uv_est", "uniq", "uid")
+    states = ev.groupBy("day", "event_type").agg(spec.partial())
+    est = states.groupBy("day").agg(spec.merged_finalized())
+    exact = ev.groupBy("day").agg(F.count_distinct("uid").alias("uv_exact"))
+    return est.join(exact, "day").select(
+        "day",
+        "uv_exact",
+        (
+            F.abs(F.col("uv_est") - F.col("uv_exact"))
+            <= F.greatest(F.lit(3.0), F.lit(0.05) * F.col("uv_exact"))
+        ).alias("within_eps"),
+    )
+
+
+@query(
     "median_exact",
     f"""
     SELECT event_type,
@@ -430,6 +461,86 @@ def theta_funnel_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["theta_funnel_approx"] = theta_funnel_approx
+
+
+@query(
+    "theta_funnel_error_bound",
+    f"""
+    WITH flags AS (
+      SELECT day, uid,
+             bool_or(event_type = 'view') AS v,
+             bool_or(event_type = 'click') AS c,
+             bool_or(event_type = 'purchase') AS p
+      FROM {_EV} GROUP BY day, uid)
+    SELECT day,
+           CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT)
+             AS exact_view,
+           CAST(sum(CASE WHEN v AND c THEN 1 ELSE 0 END) AS BIGINT)
+             AS exact_click,
+           CAST(sum(CASE WHEN v AND c AND p THEN 1 ELSE 0 END)
+                AS BIGINT) AS exact_purchase,
+           TRUE AS within_eps
+    FROM flags GROUP BY day
+    """,
+)
+def theta_funnel_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-companion to theta_funnel_approx (r6): theta intersections
+    are approximate by contract, but every stage estimate must sit
+    within max(3, 5%·exact) of the exact intersection cardinality.
+    The exact side is one (day, uid) flag rollup (the same shape
+    bitmap_funnel grades exactly); the boolean conjunction over all
+    three stages is what the oracle pins TRUE — driver-checkable
+    evidence for the sketch's contractual error bound."""
+    ev = _events(spark, sf_dir)
+    stage = lambda t: M.MetricSpec(  # noqa: E731
+        f"{t}_th", "uniq_theta", "uid", f"event_type = '{t}'"
+    )
+    specs = [stage(t) for t in ("view", "click", "purchase")]
+    th = ev.groupBy("day").agg(*[s.partial() for s in specs])
+    s1 = F.col("view_th")
+    s2 = M.theta_and(s1, F.col("click_th"))
+    s3 = M.theta_and(s2, F.col("purchase_th"))
+    est = th.select(
+        "day",
+        M.theta_cardinality(s1).alias("est_view"),
+        M.theta_cardinality(s2).alias("est_click"),
+        M.theta_cardinality(s3).alias("est_purchase"),
+    )
+    exact = (
+        ev.groupBy("day", "uid")
+        .agg(
+            F.max(F.col("event_type") == "view").alias("v"),
+            F.max(F.col("event_type") == "click").alias("c"),
+            F.max(F.col("event_type") == "purchase").alias("p"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("v"), 1).otherwise(0)).alias("exact_view"),
+            F.sum(F.when(F.col("v") & F.col("c"), 1).otherwise(0)).alias(
+                "exact_click"
+            ),
+            F.sum(
+                F.when(F.col("v") & F.col("c") & F.col("p"), 1).otherwise(0)
+            ).alias("exact_purchase"),
+        )
+    )
+
+    def _ok(e: str, x: str):
+        return F.abs(F.col(e) - F.col(x)) <= F.greatest(
+            F.lit(3.0), F.lit(0.05) * F.col(x)
+        )
+
+    return est.join(exact, "day").select(
+        "day",
+        "exact_view",
+        "exact_click",
+        "exact_purchase",
+        (
+            _ok("est_view", "exact_view")
+            & _ok("est_click", "exact_click")
+            & _ok("est_purchase", "exact_purchase")
+        ).alias("within_eps"),
+    )
 
 
 @query(
