@@ -173,6 +173,19 @@ def main() -> None:
     # JVM/codegen warmup — not measured
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # cold probe: taken right after minimal warmup — historically
+    # contaminated by residual JIT/page-cache warmup (VERDICT r5: start
+    # probe read 0.19-0.20 while every settled end probe agreed at
+    # ~0.07), so it OVERSTATES load. Kept for continuity; readers
+    # should normalize on warm_start/mid/end.
+    calib_cold = _calibration(spark)
+    # settle the JVM properly (JIT the agg/shuffle paths the probe
+    # exercises), then take the trustworthy start-of-run thermometer
+    for _ in range(3):
+        spark.range(2**27).selectExpr("sum(id)").collect()
+        spark.range(2**22).selectExpr("id % 101 AS k", "id").groupBy(
+            "k"
+        ).sum("id").write.format("noop").mode("overwrite").save()
     calib_start = _calibration(spark)
 
     timings: dict[str, float] = {}
@@ -855,6 +868,11 @@ def main() -> None:
         .save(),
     )
 
+    # mid-run probe: brackets the HEADLINE block so {start, mid, end}
+    # let a reader detect load drift DURING the run, not just at its
+    # edges (VERDICT r5 process note)
+    calib_mid = _calibration(spark)
+
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
@@ -866,7 +884,12 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     calib_end = _calibration(spark)
-    calibration = {"start": calib_start, "end": calib_end}
+    calibration = {
+        "cold": calib_cold,
+        "start": calib_start,
+        "mid": calib_mid,
+        "end": calib_end,
+    }
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(target.rstrip("/")).replace("sf", "")
