@@ -556,6 +556,74 @@ CASES = [
       "concatWithSeparator('-', toString({0}), toString({1}))",
       "concat(CAST(({0}) AS VARCHAR), '-', CAST(({1}) AS VARCHAR))",
       [gpos, gpos]),
+    # ---- r6 batch (VERDICT r5 task 4's ADVICE classes) ----------------
+    # negative/zero size-and-index arguments
+    C("arrayResize", "arrayResize({0}, {1}, {2})",
+      # CH: size >= 0 truncates/pads on the RIGHT, size < 0 keeps the
+      # TAIL / pads on the LEFT (the r5 ADVICE left-pad rule)
+      "(CASE WHEN ({1}) >= 0 THEN list_concat("
+      "list_slice({0}, 1, least({1}, len({0}))), "
+      "[({2}) for __x in range(greatest(({1}) - len({0}), 0))]) "
+      "ELSE list_concat("
+      "[({2}) for __x in range(greatest(-({1}) - len({0}), 0))], "
+      "list_slice({0}, greatest(len({0}) + ({1}) + 1, 1), len({0}))) "
+      "END)",
+      [gia, lambda r: r.randint(-6, 6), gi]),
+    C("arraySlice_neg", "arraySlice({0}, {1}, {2})",
+      # negative offset indents from the END (kept in-range: |off| <= 4
+      # on a fixed 4-element array — the out-of-range rule is pinned in
+      # the grid, not fuzzed)
+      "list_slice({0}, len({0}) + ({1}) + 1, "
+      "len({0}) + ({1}) + ({2}))",
+      [lambda r: [r.randint(-9, 9) for _ in range(4)],
+       lambda r: r.randint(-4, -1), lambda r: r.randint(0, 4)]),
+    C("substring_neg", "substring({0}, {1}, {2})",
+      # CH negative start counts from the end (strings are 5-10 chars,
+      # start >= -5 stays in range)
+      "substring({0}, CAST(length({0}) + ({1}) + 1 AS INT), {2})",
+      [lambda r: "".join(r.choice("abcxyz012")
+                         for _ in range(r.randint(5, 10))),
+       lambda r: r.randint(-5, -1), lambda r: r.randint(0, 4)]),
+    C("repeat_zero", "repeat({0}, {1})", "repeat({0}, {1})",
+      [gw, lambda r: r.randint(0, 4)]),
+    C("left_neg", "left({0}, {1})",
+      # CH left(s, -n) = s minus its last n chars
+      "(CASE WHEN ({1}) >= 0 THEN substring({0}, 1, {1}) "
+      "ELSE substring({0}, 1, greatest(length({0}) + ({1}), 0)) END)",
+      [gs, lambda r: r.randint(-6, 6)]),
+    C("right_neg", "right({0}, {1})",
+      # CH right(s, -n) = s minus its first n chars
+      "(CASE WHEN ({1}) >= 0 THEN "
+      "substring({0}, greatest(length({0}) - ({1}) + 1, 1)) "
+      "ELSE substring({0}, -({1}) + 1) END)",
+      [gs, lambda r: r.randint(-6, 6)]),
+    # regex-template literals (the r5 ADVICE class: templates carrying
+    # regex syntax through the rewriter)
+    C("extract_nogroup", "extract({0}, '[0-9]+')",
+      "coalesce(regexp_extract({0}, '[0-9]+', 0), '')", [gs]),
+    C("extract_group", "extract({0}, '([a-c])[0-9]')",
+      "coalesce(regexp_extract({0}, '([a-c])[0-9]', 1), '')", [gs]),
+    C("extractAll_nums", "extractAll({0}, '[0-9]+')",
+      "regexp_extract_all({0}, '[0-9]+')", [gs], elem="STRING"),
+    C("match_re", "match({0}, '[a-c][0-9]')",
+      "regexp_matches({0}, '[a-c][0-9]')", [gs]),
+    C("countMatches_re", "countMatches({0}, '[0-9]+')",
+      "CAST(length(regexp_extract_all({0}, '[0-9]+')) AS BIGINT)", [gs]),
+    # OrZero parse fallbacks (r5 ADVICE: toDate32OrZero's zero is the
+    # Date32 minimum 1900-01-01; Date's stays 1970-01-01)
+    C("toDate32OrZero_fuzz", "toDate32OrZero({0})",
+      "coalesce(TRY_CAST(({0}) AS DATE), DATE '1900-01-01')",
+      [lambda r: r.choice([
+          gd(r).isoformat(), "bogus", "", "2024-13-40",
+          gd(r).isoformat()])]),
+    C("toDateOrZero_fuzz", "toDateOrZero({0})",
+      "coalesce(TRY_CAST(({0}) AS DATE), DATE '1970-01-01')",
+      [lambda r: r.choice([
+          gd(r).isoformat(), "nope", "", gd(r).isoformat()])]),
+    # pandas-UDF mapping roundtrip under non-ASCII input (r5 ADVICE
+    # class: UDF boundary encoding)
+    C("base58_roundtrip_unicode", "base58Decode(base58Encode({0}))",
+      "({0})", [gsu]),
 ]
 
 # week-mode closed forms re-derived with DuckDB's Sunday-based
@@ -660,11 +728,18 @@ def test_differential_sweep(spark):
 
 def test_case_table_covers_target():
     """The standing harness must keep covering >= 100 distinct mapped
-    functions (the verdict's done-bar)."""
+    functions in the scalar sweep and >= 200 together with the
+    aggregate sweep (VERDICT r5 task 4's done-bar)."""
     import re
+
+    from tests.test_dialect_differential_agg import CASES as AGG_CASES
 
     fns = set()
     for c in CASES:
         fns.update(re.findall(r"[A-Za-z_][A-Za-z0-9_]*(?=\()", c.ch))
     fns -= {"x", "i"}
     assert len(fns) >= 100, sorted(fns)
+    both = set(fns)
+    for c in AGG_CASES:
+        both.update(re.findall(r"[A-Za-z_][A-Za-z0-9_]*(?=\()", c.ch))
+    assert len(both) >= 200, (len(both), sorted(both))
