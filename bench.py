@@ -312,6 +312,96 @@ def main() -> None:
         pre_agg["state_rows_300m"] = mv10.storage.read(spark).count()
         pre_agg["raw_rows_300m"] = 300_000_000
 
+        # r6: the ADVERSARIAL layout — same 300M-row pipeline with ~90%
+        # of rows on ONE (day, etype) key while uid stays high-card (the
+        # HLL-state stress case). Partial/final hash aggregation absorbs
+        # the hot group map-side (every state kind here is combinable),
+        # so this should price close to the uniform entry — a big gap
+        # would mean the write path needs salting after all.
+        # Correctness under this layout: tests/test_mv_scale_laws.py.
+        def _pipeline_300m_hotkey(run_dir: str):
+            spark.range(300_000_000).select(
+                (F.col("id") % 3_000_000).alias("uid"),
+                F.when(
+                    F.col("id") % 10 < 9, F.lit("2024-01-01").cast("date")
+                )
+                .otherwise(
+                    F.date_add(
+                        F.lit("2024-01-01").cast("date"),
+                        (F.col("id") % 30).cast("int"),
+                    )
+                )
+                .alias("day"),
+                F.when(F.col("id") % 10 < 9, F.lit(0))
+                .otherwise(F.col("id") % 5)
+                .alias("etype"),
+                (F.col("id") % 1000).alias("val"),
+            ).write.option("compression", "lz4").parquet(run_dir + "/raw")
+            evh = spark.read.parquet(run_dir + "/raw")
+            mvh = MaterializedView(
+                "scale300m_hot",
+                ("day", "etype"),
+                (
+                    MetricSpec("uv", "uniq", "uid"),
+                    MetricSpec("val_sum", "sum", "val"),
+                    MetricSpec("cnt", "count", "1"),
+                ),
+                Table(run_dir + "/state", ("day",)),
+            )
+            mvh.append_batch(evh)
+            mvh.merge_query(spark, ["day"], ["uv", "val_sum", "cnt"]).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        best = float("inf")
+        for i in range(min(runs, 2)):
+            run_dir = d + f"/hot{i}"
+            t0 = time.time()
+            _pipeline_300m_hotkey(run_dir)
+            best = min(best, time.time() - t0)
+            shutil.rmtree(run_dir, ignore_errors=True)
+        timings["mv_pipeline_300m_hotkey"] = round(best, 3)
+
+        # r6: two-writer wide MV — two 50M-row streams fill DISJOINT
+        # metric columns of one wide state table (the reference's
+        # join-avoidance pattern, docs/…md:822-828); timed region =
+        # both writers' materialize+neutral-fill appends + the
+        # merge-on-read rollup across the sparse rows
+        def _two_writer_wide(run_dir: str):
+            m_all = (
+                MetricSpec("a_sum", "sum", "val", "src = 0"),
+                MetricSpec("b_cnt", "sum", "1", "src = 1"),
+            )
+            mvw = MaterializedView(
+                "wide2w",
+                ("day",),
+                m_all,
+                Table(run_dir + "/state", ("day",)),
+            )
+            for src in (0, 1):
+                log = spark.range(50_000_000).select(
+                    F.lit(src).alias("src"),
+                    F.date_add(
+                        F.lit("2024-01-01").cast("date"),
+                        (F.col("id") % 30).cast("int"),
+                    ).alias("day"),
+                    (F.col("id") % 1000).alias("val"),
+                )
+                s = log.groupBy("day").agg(m_all[src].partial())
+                mvw.storage.append(mvw.union_merge(s))
+            mvw.merge_query(spark, ["day"]).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        best = float("inf")
+        for i in range(runs):
+            run_dir = d + f"/w2{i}"
+            t0 = time.time()
+            _two_writer_wide(run_dir)
+            best = min(best, time.time() - t0)
+            shutil.rmtree(run_dir, ignore_errors=True)
+        timings["wide_mv_two_writer_100m"] = round(best, 3)
+
     # roaring vs array bitmap state representation: parquet bytes of the
     # same 30 dense 100k-uid day-level uid-sets (functions/roaring.py;
     # the reference's groupBitmap is roaring for exactly this reason)
