@@ -946,6 +946,36 @@ def main() -> None:
         .save(),
     )
 
+    # r6: the WARC straggler pair — FOUR big archives on a 32-core box
+    # is the adversarial layout (file-level parallelism 4). The unsplit
+    # walk's wall clock is pinned to the per-file cost; the two-phase
+    # member-boundary split (sources/warc.py read_warc_split) re-spreads
+    # the decode+extract work across all cores. Parity law-tested in
+    # tests/test_warc.py.
+    from clickhouse_learning_spark.sources import warc as _W
+
+    with tempfile.TemporaryDirectory() as wd:
+        # pad=300 ≈ 14 KB of markup per record (real Common-Crawl pages
+        # are bigger still) so extraction dominates — the regime where
+        # file-level parallelism is the wrong unit
+        for fidx in range(4):
+            blob = b"".join(
+                _W.build_fixture_warc(fidx * 3000 + i, pad=300)
+                for i in range(3000)
+            )
+            with open(f"{wd}/f{fidx}.warc.gz", "wb") as fh:
+                fh.write(blob)
+        timings["warc_extract_4x3k_unsplit"] = best_of(
+            runs,
+            lambda: _W.read_warc(spark, wd)
+            .write.format("noop").mode("overwrite").save(),
+        )
+        timings["warc_extract_4x3k_split"] = best_of(
+            runs,
+            lambda: _W.read_warc_split(spark, wd, chunk_bytes=512 * 1024)
+            .write.format("noop").mode("overwrite").save(),
+        )
+
     # the reference's 1-billion-row sumState benchmark shape
     # (BASELINE.md: 3.201s / 312M rows/s on ClickHouse 21.3)
     timings["sum_1b_rows_1000_groups"] = best_of(
