@@ -870,6 +870,54 @@ def _register_bpe_golden() -> None:
 _register_bpe_golden()
 
 
+def wordpiece_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6: WordPiece tokenizer (operators/wordpiece.py — the BERT
+    tokenizer, completing the BPE/Unigram/WordPiece subword family):
+    one distributed word-count shuffle + a bounded driver merge loop
+    picking the LIKELIHOOD-best pair count(ab)/(count(a)count(b)) as
+    exact integer fractions, then map-only greedy longest-match-first
+    encoding of every document. Training is deterministic under the
+    pinned fraction/tie rules, so the oracle embeds golden per-doc
+    stats from an INDEPENDENT second implementation
+    (tools/make_wordpiece_golden.py: from-scratch per-sweep recounts,
+    a length-bucketed encoder, refuse-on-mismatch at generation
+    time)."""
+    from clickhouse_learning_spark.operators import wordpiece as WP
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 25 merges for the same reason as bpe_subword_stats: the fixture
+    # vocabulary is small, so a partial budget keeps per-doc variance
+    vocab = WP.train_wordpiece(docs, n_merges=25, max_words=50_000)
+    enc = WP.wordpiece_encode(docs, vocab, id_col="doc_id")
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "n_subwords",
+        "n_unk",
+        F.round(
+            F.col("n_subwords") / F.greatest(F.col("n_words"), F.lit(1)), 4
+        ).alias("subwords_per_word"),
+    )
+
+
+QUERIES["wordpiece_subword_stats"] = wordpiece_subword_stats
+
+
+def _register_wordpiece_golden() -> None:
+    try:
+        from clickhouse_learning_spark import golden_wordpiece as G
+    except ImportError:  # pragma: no cover - regenerate via tools/
+        return
+    _ORACLES["wordpiece_subword_stats"] = _values_oracle(
+        G.WORDPIECE_SUBWORD_STATS,
+        ["doc_id", "n_words", "n_subwords", "n_unk", "subwords_per_word"],
+        ["BIGINT", "BIGINT", "BIGINT", "BIGINT", "DOUBLE"],
+    )
+
+
+_register_wordpiece_golden()
+
+
 def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-channel feature extraction over REAL baseline JPEG payloads:
     payloads are encoded by operators/jpeg.encode_baseline and decoded
