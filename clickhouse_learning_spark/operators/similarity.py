@@ -194,6 +194,107 @@ def assign_cells(
     return out.drop("_bc")
 
 
+def sq8_calibrate(
+    corpus: DataFrame, emb_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Corpus-calibrated per-DIMENSION scalar-quantization bounds (the
+    FAISS IndexScalarQuantizer / SQ8 form — distinct from the IVF
+    index's per-vector symmetric int8): one posexplode + groupBy(dim)
+    shuffle (map-side combinable, `dims` keys — tiny at any corpus
+    size), collected as two dims-length lists ``(mins, spans)``.
+    Zero-span dimensions get span 1.0 so they encode to code 0."""
+    rows = (
+        corpus.select(
+            F.posexplode(F.col(emb_col)).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    mins = [float(r["mn"]) for r in rows]
+    spans = [
+        float(r["mx"] - r["mn"]) if r["mx"] > r["mn"] else 1.0 for r in rows
+    ]
+    return mins, spans
+
+
+def sq8_encode(
+    df: DataFrame,
+    mins: list[float],
+    spans: list[float],
+    emb_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Map-only pure-Catalyst SQ8 encode: per-dimension
+    ``round((x - min) * 255 / span)`` uint8 codes (stored as
+    array<bigint>; parquet bit-packs them to ≈1 byte/dim — a 4×
+    storage/scan-bandwidth cut vs float32 on a 100 TB embedding
+    store). Codes are INTEGERS, so every downstream computation is a
+    pure function of them — the graded query carries a full DuckDB
+    oracle, no goldens needed."""
+    m = F.array(*[F.lit(v) for v in mins])
+    s = F.array(*[F.lit(v) for v in spans])
+    code = F.transform(
+        F.col(emb_col),
+        lambda x, i: F.round(
+            (x.cast("double") - F.element_at(m, i + 1))
+            * 255.0
+            / F.element_at(s, i + 1)
+        ).cast("long"),
+    )
+    return df.withColumn(out_col, code)
+
+
+def sq8_dequantize_col(
+    codes: Column, mins: list[float], spans: list[float]
+) -> Column:
+    """Reconstruction ``min + code * span / 255`` as array<double> —
+    the single float expression both engines replay bit-identically."""
+    m = F.array(*[F.lit(v) for v in mins])
+    s = F.array(*[F.lit(v) for v in spans])
+    return F.transform(
+        codes,
+        lambda c, i: F.element_at(m, i + 1)
+        + (c * F.element_at(s, i + 1)) / 255.0,
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    mins: list[float],
+    spans: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Symmetric SQ8 top-k: cosine over the DEQUANTIZED codes of both
+    sides (broadcast query side, corpus never shuffles, window top-k
+    with the vec_id tie-break — the cosine_topk_bruteforce plan shape
+    on the quantized representation)."""
+    cv = sq8_dequantize_col(F.col(codes_col), mins, spans)
+    c = corpus.select(F.col(id_col).alias("vec_id"), cv.alias("cv"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), cv.alias("qv")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id", "vec_id", cosine(F.col("cv"), F.col("qv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", F.round("sim", 6).alias("cos_sim"), "rank"
+        )
+    )
+
+
 def _quantize_to_bytes():
     """array<float> → packed int8 bytes, per-vector symmetric scaling
     (q = round(127·x / max|x|)). Cosine is scale-invariant, so the

@@ -504,6 +504,67 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
 
+@query(
+    "sq8_ann_topk",
+    f"""
+    WITH dims AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings),
+    b AS (SELECT i, min(x) AS mn, max(x) AS mx FROM dims GROUP BY i),
+    bounds AS (
+      SELECT list(mn ORDER BY i) AS mins,
+             list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END ORDER BY i)
+               AS spans
+      FROM b),
+    codes AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(embedding)),
+               i -> CAST(round((embedding[i]::DOUBLE - mins[i]) * 255.0
+                               / spans[i]) AS BIGINT)) AS c
+      FROM embeddings, bounds),
+    deq AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(c)),
+               i -> mins[i] + c[i] * spans[i] / 255.0) AS v
+      FROM codes, bounds),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM deq WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, d.vec_id, {_cos_sql("d.v", "q.qv")} AS sim
+      FROM deq d, q),
+    ranked AS (
+      SELECT query_id, vec_id, round(sim, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6: corpus-calibrated SQ8 scalar quantization (FAISS
+    IndexScalarQuantizer form — the third memory story next to IVF's
+    per-vector int8 and PQ's m-byte codes): per-dimension min/max
+    bounds from ONE tiny posexplode shuffle, pure-Catalyst integer
+    encode (≈1 byte/dim after parquet bit-packing — 4× less scan
+    bandwidth than float32 at 100 TB), symmetric top-k over the
+    dequantized codes. Codes are integers and the reconstruction is
+    one fixed float expression, so the DuckDB oracle replays the WHOLE
+    pipeline — calibrate, encode, dequantize, rank — with no goldens;
+    recall vs the float baseline is asserted in
+    tests/test_similarity_sq8.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, spans = S.sq8_calibrate(emb)
+    codes = S.sq8_encode(emb, mins, spans)
+    q = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "codes"
+    )
+    out = S.sq8_topk(codes, q, mins, spans, k=10)
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
 _KM_SWEEP = """
 s{n} AS (
   SELECT d.vec_id, c.cell,
