@@ -514,10 +514,11 @@ def build_media_table(
     per-line filter cycles through all five PNG filters so decode
     exercises every unfilter path)."""
     if fmt not in ("ppm", "png", "jpeg", "jpeg_progressive", "jpeg_arith",
-                   "jpeg_arith_progressive", "jpeg_lossless", "gif", "webp"):
+                   "jpeg_arith_progressive", "jpeg_lossless", "gif", "webp",
+                   "tiff"):
         raise ValueError(
             "fmt must be ppm|png|jpeg|jpeg_progressive|jpeg_arith|"
-            f"jpeg_arith_progressive|jpeg_lossless|gif|webp, got {fmt!r}"
+            f"jpeg_arith_progressive|jpeg_lossless|gif|webp|tiff, got {fmt!r}"
         )
     w = (F.col(id_col) % 64 + 16).cast("int")
     h = (F.col(id_col) % 48 + 16).cast("int")
@@ -541,6 +542,10 @@ def build_media_table(
         from clickhouse_learning_spark.operators.vp8l import webp_image
 
         make, mime = webp_image, "image/webp"
+    elif fmt == "tiff":
+        from clickhouse_learning_spark.operators.tiff import tiff_image
+
+        make, mime = tiff_image, "image/tiff"
     else:
         jfmt = fmt
 
@@ -879,6 +884,13 @@ def _pixels(payload: bytes):
             if px is not None:
                 return px
         return _pil_decode(payload)  # lossy VP8 / extended VP8X
+    if payload is not None and payload[:2] in (b"II", b"MM"):
+        from clickhouse_learning_spark.operators.tiff import decode_tiff
+
+        px = decode_tiff(payload)
+        if px is not None:
+            return px
+        return _pil_decode(payload)  # exotic TIFF variants
     if payload is not None and payload.startswith(b"\xff\xd8\xff"):
         from clickhouse_learning_spark.operators.jpeg import decode_baseline
 

@@ -854,6 +854,27 @@ QUERIES["multimodal_webp_pixel_sums"] = multimodal_webp_pixel_sums
 _ORACLES["multimodal_webp_pixel_sums"] = _ORACLES["multimodal_pixel_sums"]
 
 
+def multimodal_tiff_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF pixel decode, hash-checked (round 6): payloads are
+    genuine baseline-RGB TIFF 6.0 files built by the from-scratch
+    encoder (operators/tiff.encode_tiff), rotating per id through
+    compression none / PackBits / LZW / LZW+Predictor-2 AND both byte
+    orders (II and MM), multi-strip — decoded back by the independent
+    IFD walk + per-compression inflate (decode_tiff). Per-channel sums
+    must equal DuckDB's arithmetic recomputation of the shared pixel
+    formula — integer-exact, so one wrong early-change LZW width,
+    PackBits run, predictor delta, strip offset or byte-swap anywhere
+    breaks the hash. PackBits is additionally pinned on the TIFF
+    spec's own worked example and LZW cross-checked against an
+    independent spec-pseudocode decoder in tests/test_tiff.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.image_channel_sums(MM.build_media_table(spark, docs, fmt="tiff"))
+
+
+QUERIES["multimodal_tiff_pixel_sums"] = multimodal_tiff_pixel_sums
+_ORACLES["multimodal_tiff_pixel_sums"] = _ORACLES["multimodal_pixel_sums"]
+
+
 def multimodal_gif_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF pixel decode, hash-checked: payloads are genuine
     LZW-compressed GIF89a images (operators/multimodal.gif_image:
