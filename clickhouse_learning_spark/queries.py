@@ -629,7 +629,9 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "avg_state_merge",
     f"""
     SELECT event_type,
-           CAST(round(avg(value), 6) AS DOUBLE) AS value_avg,
+           CAST(round(sum(CAST(round(value * 1000000) AS BIGINT))
+                      / count(value) / 1000000.0, 6) AS DOUBLE)
+             AS value_avg,
            CAST(count(*) AS BIGINT) AS n
     FROM {_EV} GROUP BY event_type
     """,
@@ -638,9 +640,15 @@ def avg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """avgState/avgMerge (ClickHouse avg combinators): the mergeable avg
     state is a (sum, count) struct — built per (event_type, day), merged
     per event_type, finalized to sum/count. Unlike averaging averages,
-    the struct state is exactly re-mergeable at any grouping."""
+    the struct state is exactly re-mergeable at any grouping. The metric
+    input is quantized to integer micro-units (r6 determinism
+    discipline) so the state's sum half is an EXACT long — a raw double
+    sum merges in unpinned shuffle order; the oracle mirrors the
+    quantization."""
     ev = _events(spark, sf_dir)
-    spec = M.MetricSpec("value_avg", "avg", "value")
+    spec = M.MetricSpec(
+        "value_avg", "avg", F.round(F.col("value") * 1_000_000).cast("long")
+    )
     states = ev.groupBy("event_type", "day").agg(
         spec.partial(), F.count(F.lit(1)).alias("n")
     )
@@ -649,7 +657,7 @@ def avg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(spec.merge(), F.sum("n").alias("n"))
         .select(
             "event_type",
-            F.round(spec.finalize(), 6).alias("value_avg"),
+            F.round(spec.finalize() / 1_000_000.0, 6).alias("value_avg"),
             "n",
         )
     )

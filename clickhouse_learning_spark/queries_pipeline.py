@@ -1137,7 +1137,8 @@ QUERIES["audio_flac_spectral"] = audio_flac_spectral
     """
     SELECT c_mktsegment AS segment,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS acctbal_sum
+           CAST(round(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                      / 100.0, 2) AS DOUBLE) AS acctbal_sum
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -1166,9 +1167,14 @@ def jsonl_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     dim = read_jsonl(spark, path, schema)
+    # exact integer-cents sum (r6 determinism discipline): a raw double
+    # sum merges in unpinned shuffle order; money columns quantize
+    # losslessly to cents
     return dim.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+        F.round(
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0, 2
+        ).alias("acctbal_sum"),
     )
 
 
@@ -2608,7 +2614,8 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus AS status,
            CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+           CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      / 100.0, 2) AS DOUBLE) AS total
     FROM orders GROUP BY o_orderstatus, strftime(o_orderdate, '%Y-%m')
     """,
 )
@@ -2635,12 +2642,18 @@ def rowbinary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="rowbinary_rt_") + "/orders_rb"
     RB.write_rowbinary(orders.repartition(4), path, types)
     back = RB.read_rowbinary(spark, path)
+    # exact integer-cents sum (r6 determinism discipline; the binary
+    # roundtrip under test is unchanged — only the grading aggregation
+    # is made shuffle-order-proof)
     return back.groupBy(
         F.col("o_orderstatus").alias("status"),
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0,
+            2,
+        ).alias("total"),
     )
 
 

@@ -36,6 +36,10 @@ _CLASS = [
     "lr_quality_scores",
     "item_pagerank",
     "dsir_importance",
+    # money-sum shapes hardened to integer cents / micro-units in r6
+    "jsonl_dim_roundtrip",
+    "rowbinary_roundtrip",
+    "avg_state_merge",
 ]
 
 _LAYOUTS = [
