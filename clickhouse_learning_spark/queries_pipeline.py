@@ -2657,6 +2657,118 @@ def rowbinary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "native_roundtrip",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      / 100.0, 2) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus, strftime(o_orderdate, '%Y-%m')
+    """,
+)
+def native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6: ClickHouse Native-format source/sink
+    (sources/native.py — `INTO OUTFILE ... FORMAT Native`, CH's own
+    columnar block serialization and its most efficient offboarding
+    container): land the orders table as Native blocks (column-wise
+    scalars, null-mask Nullable, block framing), read it back through
+    the distributed per-file block walk, aggregate with the exact
+    integer-cents sum. The oracle reads the ORIGINAL parquet — green
+    means the columnar round-trip is lossless down to timestamps and
+    floats."""
+    import tempfile
+
+    from clickhouse_learning_spark.sources import native as NV
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    types = ["Int64", "Int64", "String", "Float64",
+             "DateTime", "Nullable(String)"]
+    path = tempfile.mkdtemp(prefix="native_rt_") + "/orders_native"
+    NV.write_native(orders.repartition(4), path, types, block_rows=500)
+    back = NV.read_native(spark, path)
+    return back.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0,
+            2,
+        ).alias("total"),
+    )
+
+
+@query(
+    "native_typed_roundtrip",
+    """
+    WITH e AS (SELECT event_id, user_id, value, event_type
+               FROM events WHERE event_id % 41 = 0)
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           [event_id % 7, event_id % 11, event_id % 13] AS arr,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE CAST(round(value * 10000) AS BIGINT) END AS nv,
+           CAST(user_id AS BIGINT) AS t_num,
+           event_type AS t_str,
+           CAST(user_id % 10 AS BIGINT) AS m_val
+    FROM e
+    """,
+)
+def native_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6: the Native format's COLUMNAR composites end-to-end —
+    Array (cumulative UInt64 offsets + flattened inner column),
+    Nullable (mask-first), Tuple (element columns in sequence) and
+    Map (offsets + keys column + values column) round-trip through
+    the block sink/source; the oracle recomputes every value from the
+    events table WITHOUT the binary hop, so green = the columnar walk
+    inverts the writer exactly. (RowBinary's row-interleaved forms of
+    the same types are graded by rowbinary_typed_roundtrip — the two
+    serializations share value codecs but not layout.)"""
+    import tempfile
+
+    from clickhouse_learning_spark.sources import native as NV
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 41 == 0
+    )
+    src = ev.select(
+        "event_id",
+        F.array(
+            F.col("event_id") % 7,
+            F.col("event_id") % 11,
+            F.col("event_id") % 13,
+        ).alias("arr"),
+        F.when(
+            F.col("event_id") % 3 != 0,
+            F.round(F.col("value") * 10000).cast("long"),
+        ).alias("nv"),
+        F.struct(
+            F.col("user_id").alias("col1"),
+            F.col("event_type").alias("col2"),
+        ).alias("t"),
+        F.create_map(F.lit("k"), F.col("user_id") % 10).alias("m"),
+    )
+    types = ["Int64", "Array(Int64)", "Nullable(Int64)",
+             "Tuple(Int64, String)", "Map(String, Int64)"]
+    path = tempfile.mkdtemp(prefix="native_typed_") + "/typed_native"
+    NV.write_native(src.repartition(3), path, types, block_rows=100)
+    back = NV.read_native(spark, path)
+    # the grading canonicalizer hashes scalar/array cells, not structs:
+    # project the roundtripped tuple's fields (the struct column itself
+    # is asserted in tests/test_native.py)
+    return back.select(
+        "event_id", "arr", "nv",
+        F.col("t.col1").alias("t_num"),
+        F.col("t.col2").alias("t_str"),
+        F.element_at(F.col("m"), "k").alias("m_val"),
+    )
+
+
 def unigram_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 late: unigram-LM subword tokenizer (Kudo 2018,
     SentencePiece's default trainer — operators/unigram.py) in the
