@@ -515,10 +515,11 @@ def build_media_table(
     exercises every unfilter path)."""
     if fmt not in ("ppm", "png", "jpeg", "jpeg_progressive", "jpeg_arith",
                    "jpeg_arith_progressive", "jpeg_lossless", "gif", "webp",
-                   "tiff"):
+                   "tiff", "bmp"):
         raise ValueError(
             "fmt must be ppm|png|jpeg|jpeg_progressive|jpeg_arith|"
-            f"jpeg_arith_progressive|jpeg_lossless|gif|webp|tiff, got {fmt!r}"
+            "jpeg_arith_progressive|jpeg_lossless|gif|webp|tiff|bmp, "
+            f"got {fmt!r}"
         )
     w = (F.col(id_col) % 64 + 16).cast("int")
     h = (F.col(id_col) % 48 + 16).cast("int")
@@ -546,6 +547,8 @@ def build_media_table(
         from clickhouse_learning_spark.operators.tiff import tiff_image
 
         make, mime = tiff_image, "image/tiff"
+    elif fmt == "bmp":
+        make, mime = bmp_image, "image/bmp"
     else:
         jfmt = fmt
 
@@ -884,6 +887,11 @@ def _pixels(payload: bytes):
             if px is not None:
                 return px
         return _pil_decode(payload)  # lossy VP8 / extended VP8X
+    if payload is not None and payload[:2] == b"BM":
+        px = _bmp_decode(payload)
+        if px is not None:
+            return px
+        return _pil_decode(payload)  # RLE / paletted BMPs
     if payload is not None and payload[:2] in (b"II", b"MM"):
         from clickhouse_learning_spark.operators.tiff import decode_tiff
 
@@ -1293,6 +1301,87 @@ def resize_plan(media: DataFrame, target: int = 32) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BMP (Windows DIB) — the uncompressed interchange format
+# ---------------------------------------------------------------------------
+
+
+def bmp_image(media_id: int, width: int, height: int) -> bytes:
+    """A VALID BMP with the shared deterministic pixel formula,
+    rotating layout per id for decoder coverage: 24-bit bottom-up
+    (id%3==0), 24-bit TOP-DOWN via negative biHeight (id%3==1), and
+    32-bit BGRA (id%3==2). BI_RGB only — BMP's ubiquitous form."""
+    import numpy as np
+
+    idx = np.arange(width * height * 3, dtype=np.uint64)
+    px = (
+        (np.uint64(media_id) * np.uint64(2654435761)
+         + idx * np.uint64(40503)) & np.uint64(0xFF)
+    ).astype(np.uint8).reshape(height, width, 3)
+    variant = media_id % 3
+    if variant == 2:  # 32-bit BGRA, bottom-up
+        bgra = np.zeros((height, width, 4), dtype=np.uint8)
+        bgra[:, :, :3] = px[::-1, :, ::-1]
+        bgra[:, :, 3] = 0xFF
+        body = bgra.tobytes()
+        bpp, bih_h = 32, height
+    else:
+        stride = (3 * width + 3) & ~3
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        if variant == 0:  # bottom-up
+            rows[:, : 3 * width] = px[::-1, :, ::-1].reshape(height, -1)
+            bih_h = height
+        else:  # top-down (negative height)
+            rows[:, : 3 * width] = px[:, :, ::-1].reshape(height, -1)
+            bih_h = -height
+        body = rows.tobytes()
+        bpp = 24
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, bih_h, 1, bpp, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    head = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 54)
+    return head + info + body
+
+
+def _bmp_decode(payload: bytes):
+    """HxWx3 uint8 for BI_RGB 24/32-bit BMPs (both row orders), else
+    None."""
+    import numpy as np
+
+    try:
+        if payload is None or payload[:2] != b"BM" or len(payload) < 54:
+            return None
+        (off,) = struct.unpack_from("<I", payload, 10)
+        bi_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        if bi_size < 40:
+            return None
+        planes, bpp, comp = struct.unpack_from("<HHI", payload, 26)
+        if planes != 1 or comp != 0 or bpp not in (24, 32):
+            return None
+        top_down = h < 0
+        h = abs(h)
+        if bpp == 32:
+            need = w * h * 4
+            if len(payload) - off < need:
+                return None
+            a = np.frombuffer(payload, dtype=np.uint8, count=need,
+                              offset=off).reshape(h, w, 4)
+            px = a[:, :, :3][:, :, ::-1]  # BGRA channels -> RGB
+        else:
+            stride = (3 * w + 3) & ~3
+            need = stride * h
+            if len(payload) - off < need:
+                return None
+            a = np.frombuffer(payload, dtype=np.uint8, count=need,
+                              offset=off).reshape(h, stride)
+            px = a[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]
+        if not top_down:
+            px = px[::-1]
+        return np.ascontiguousarray(px)
+    except Exception:
+        return None
+
+
 # AVI container (RIFF): DIB and Motion-JPEG video streams
 # ---------------------------------------------------------------------------
 

@@ -854,6 +854,22 @@ QUERIES["multimodal_webp_pixel_sums"] = multimodal_webp_pixel_sums
 _ORACLES["multimodal_webp_pixel_sums"] = _ORACLES["multimodal_pixel_sums"]
 
 
+def multimodal_bmp_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP pixel decode, hash-checked (round 6): payloads are
+    genuine BI_RGB BMPs rotating per id through 24-bit bottom-up,
+    24-bit top-down (negative biHeight) and 32-bit BGRA layouts —
+    decoded by the numpy DIB walk (multimodal._bmp_decode: stride-4
+    padding, row-order flip, BGR(A) channel swap) and the per-channel
+    sums must equal DuckDB's arithmetic recomputation of the shared
+    pixel formula, integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.image_channel_sums(MM.build_media_table(spark, docs, fmt="bmp"))
+
+
+QUERIES["multimodal_bmp_pixel_sums"] = multimodal_bmp_pixel_sums
+_ORACLES["multimodal_bmp_pixel_sums"] = _ORACLES["multimodal_pixel_sums"]
+
+
 def multimodal_tiff_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TIFF pixel decode, hash-checked (round 6): payloads are
     genuine baseline-RGB TIFF 6.0 files built by the from-scratch
