@@ -2721,6 +2721,52 @@ def native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tsv_roundtrip",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      / 100.0, 2) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus, strftime(o_orderdate, '%Y-%m')
+    """,
+)
+def tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6: ClickHouse TabSeparated source/sink (sources/tsv.py —
+    `FORMAT TSVWithNamesAndTypes`, the text member of the CH export
+    family; never-quoted values with the CH escape set, \\N NULLs,
+    two-row headers, shortest-roundtrip floats). Completes the format
+    trio: RowBinary = binary rows, Native = binary columns, TSV = text
+    rows — one graded roundtrip each over the same orders shape with
+    the exact integer-cents aggregation, so all three sit under the
+    same lossless-roundtrip hash gate."""
+    import tempfile
+
+    from clickhouse_learning_spark.sources import tsv as TSV
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    types = ["Int64", "Int64", "String", "Float64",
+             "DateTime", "Nullable(String)"]
+    path = tempfile.mkdtemp(prefix="tsv_rt_") + "/orders_tsv"
+    TSV.write_tsv(orders.repartition(4), path, types)
+    back = TSV.read_tsv(spark, path)
+    return back.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0,
+            2,
+        ).alias("total"),
+    )
+
+
+@query(
     "native_typed_roundtrip",
     """
     WITH e AS (SELECT event_id, user_id, value, event_type

@@ -1,0 +1,297 @@
+"""ClickHouse TabSeparated (TSV) source + sink — the text member of
+the CH export family (RowBinary = binary rows, Native = binary
+columns, TabSeparated = text rows; ``FORMAT TSV`` /
+``TSVWithNamesAndTypes`` in CH docs).
+
+CH TSV is NOT csv: values are never quoted. Instead a fixed escape set
+applies inside values — ``\\\\  \\t  \\n  \\r  \\b  \\f  \\0  \\'`` —
+rows end with ``\\n``, and a SQL NULL renders as ``\\N``. The
+WithNamesAndTypes form prepends two header rows (escaped names, then
+CH type names). Scalar types render as CH does: integers plain,
+floats in shortest-roundtrip form, Date ``YYYY-MM-DD``, DateTime
+``YYYY-MM-DD hh:mm:ss``, DateTime64 with the scale's fractional
+digits.
+
+Composite types (Array/Map/Tuple) use CH's quoted-literal TEXT forms
+in TSV and are deliberately gated here with a pointer — the binary
+paths (sources/rowbinary.py, sources/native.py) carry them exactly,
+and a text re-parse of nested quoted literals is where silent data
+corruption lives. Scalars + Nullable cover the dimension/fact export
+shapes TSV is actually used for.
+
+Scale shape: one export file = one task (binaryFile), identical to the
+RowBinary reader; writing emits one file per partition.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import uuid as _uuid
+from datetime import date, datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_ESCAPES = {
+    "\\": "\\\\", "\t": "\\t", "\n": "\\n", "\r": "\\r",
+    "\b": "\\b", "\f": "\\f", "\0": "\\0", "'": "\\'",
+}
+_UNESCAPES = {
+    "\\": "\\", "t": "\t", "n": "\n", "r": "\r",
+    "b": "\b", "f": "\f", "0": "\0", "'": "'", "N": None,
+}
+
+
+def escape_value(s: str) -> str:
+    out = []
+    for ch in s:
+        out.append(_ESCAPES.get(ch, ch))
+    return "".join(out)
+
+
+def _split_row(line: str) -> list[str | None]:
+    """Split one TSV row on UNESCAPED tabs and unescape each field;
+    a field that is exactly ``\\N`` is NULL."""
+    fields: list[str | None] = []
+    cur: list[str] = []
+    is_null = False
+    i, n = 0, len(line)
+    start = True
+    while i < n:
+        ch = line[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = line[i + 1]
+            if nxt == "N" and start and (i + 2 == n or line[i + 2] == "\t"):
+                is_null = True
+                i += 2
+                start = False
+                continue
+            if nxt in _UNESCAPES and nxt != "N":
+                cur.append(_UNESCAPES[nxt])
+                i += 2
+                start = False
+                continue
+            # unknown escape: CH keeps the char
+            cur.append(nxt)
+            i += 2
+            start = False
+            continue
+        if ch == "\t":
+            fields.append(None if is_null else "".join(cur))
+            cur, is_null, start = [], False, True
+            i += 1
+            continue
+        cur.append(ch)
+        start = False
+        i += 1
+    fields.append(None if is_null else "".join(cur))
+    return fields
+
+
+class _TsvType:
+    """CH-type ↔ text value converter for the scalar TSV surface."""
+
+    _GATED = re.compile(r"^(Array|Map|Tuple|AggregateFunction)\(")
+
+    def __init__(self, ch_type: str):
+        t = ch_type.strip()
+        low = re.fullmatch(r"LowCardinality\((.*)\)", t)
+        if low:
+            t = low.group(1).strip()
+        self.nullable = False
+        nul = re.fullmatch(r"Nullable\((.*)\)", t)
+        if nul:
+            self.nullable = True
+            t = nul.group(1).strip()
+        if self._GATED.match(t):
+            raise ValueError(
+                f"TSV type {ch_type!r}: composite types use CH's "
+                "quoted-literal text forms — export them via the exact "
+                "binary paths instead (sources/rowbinary.py or "
+                "sources/native.py)"
+            )
+        self.ch_type = ch_type
+        dt64 = re.fullmatch(r"DateTime64\((\d+)(?:\s*,.*)?\)", t)
+        self.scale = int(dt64.group(1)) if dt64 else None
+        if dt64:
+            self.base = "DateTime64"
+        elif re.fullmatch(r"DateTime(\(.*\))?", t):
+            self.base = "DateTime"
+        elif re.fullmatch(r"FixedString\(\d+\)", t):
+            self.base = "String"
+        elif t in ("Date", "Date32"):
+            self.base = "Date"
+        elif t.startswith("Float"):
+            self.base = "Float"
+        elif re.fullmatch(r"U?Int(8|16|32|64)", t):
+            self.base = "Int"
+            self.signed64 = t == "UInt64"
+        elif t == "String":
+            self.base = "String"
+        else:
+            raise ValueError(
+                f"TSV type {ch_type!r} is not supported here; use the "
+                "binary paths for exotic types"
+            )
+
+    def spark_type(self) -> T.DataType:
+        return {
+            "Int": T.LongType(), "Float": T.DoubleType(),
+            "String": T.StringType(), "Date": T.DateType(),
+            "DateTime": T.TimestampType(), "DateTime64": T.TimestampType(),
+        }[self.base]
+
+    def render(self, v) -> str:
+        if v is None:
+            return "\\N"
+        if self.base == "Int":
+            return str(int(v))
+        if self.base == "Float":
+            return repr(float(v))  # shortest roundtrip, like CH
+        if self.base == "String":
+            return escape_value(str(v))
+        if self.base == "Date":
+            return v.isoformat()
+        if self.base == "DateTime":
+            return v.strftime("%Y-%m-%d %H:%M:%S")
+        # DateTime64: the scale's fractional digits
+        frac = f"{v.microsecond:06d}"[: self.scale]
+        base = v.strftime("%Y-%m-%d %H:%M:%S")
+        return f"{base}.{frac}" if self.scale else base
+
+    def parse(self, s: str | None):
+        if s is None:
+            return None
+        if self.base == "Int":
+            return int(s)
+        if self.base == "Float":
+            return float(s)
+        if self.base == "String":
+            return s
+        if self.base == "Date":
+            return date.fromisoformat(s)
+        if self.base in ("DateTime", "DateTime64"):
+            if "." in s:
+                head, frac = s.split(".", 1)
+                micros = int(frac.ljust(6, "0")[:6])
+            else:
+                head, micros = s, 0
+            return datetime.strptime(
+                head, "%Y-%m-%d %H:%M:%S"
+            ).replace(microsecond=micros)
+        raise AssertionError
+
+
+def parse_tsv(
+    text: str, ch_types: list[str] | None = None
+) -> tuple[list[str] | None, list[str], list[tuple]]:
+    """Decode one TSVWithNamesAndTypes stream (or headerless TSV when
+    ``ch_types`` is given). Returns (names, types, rows)."""
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    names = None
+    if ch_types is None:
+        if len(lines) < 2:
+            raise ValueError("TSVWithNamesAndTypes needs two header rows")
+        names = [f or "" for f in _split_row(lines[0])]
+        ch_types = [f or "" for f in _split_row(lines[1])]
+        lines = lines[2:]
+    convs = [_TsvType(t) for t in ch_types]
+    rows = []
+    for ln in lines:
+        fields = _split_row(ln)
+        if len(fields) != len(convs):
+            raise ValueError(
+                f"TSV row has {len(fields)} fields, expected {len(convs)}"
+            )
+        rows.append(tuple(c.parse(f) for c, f in zip(convs, fields)))
+    return names, ch_types, rows
+
+
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    ch_types: list[str] | None = None,
+    names: list[str] | None = None,
+) -> DataFrame:
+    """Read a directory/glob of TSVWithNamesAndTypes files (or
+    headerless TSV with explicit names + ch_types); one file per
+    task."""
+    import pandas as pd
+
+    if (ch_types is None) != (names is None):
+        raise ValueError("pass both names and ch_types, or neither")
+    binf = spark.read.format("binaryFile").load(path)
+    expect_header = ch_types is None
+    if expect_header:
+        head = binf.select("content").head()
+        if head is None:
+            raise ValueError(f"no TSV files under {path}")
+        names, ch_types, _ = parse_tsv(
+            bytes(head["content"]).decode("utf-8")
+        )
+    fields = [
+        T.StructField(n, _TsvType(t).spark_type(), True)
+        for n, t in zip(names, ch_types)
+    ]
+    schema = T.StructType(fields)
+    names_bc, types_bc = list(names), list(ch_types)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for blob in pdf["content"]:
+                txt = bytes(blob).decode("utf-8")
+                if expect_header:
+                    _, ts, rows = parse_tsv(txt)
+                    if ts != types_bc:
+                        raise ValueError(
+                            f"file types {ts} != expected {types_bc}"
+                        )
+                else:
+                    _, _, rows = parse_tsv(txt, types_bc)
+                out.extend(rows)
+            yield pd.DataFrame(out, columns=names_bc)
+
+    return binf.select("content").mapInPandas(gen, schema=schema)
+
+
+def write_tsv(
+    df: DataFrame,
+    out_dir: str,
+    ch_types: list[str],
+    *,
+    with_header: bool = True,
+) -> int:
+    """One ``part-*.tsv`` per partition; returns the file count."""
+    names = df.columns
+    if len(ch_types) != len(names):
+        raise ValueError("ch_types must match df.columns")
+    os.makedirs(out_dir, exist_ok=True)
+    types_local = list(ch_types)
+    header = ""
+    if with_header:
+        header = (
+            "\t".join(escape_value(n) for n in names) + "\n"
+            + "\t".join(escape_value(t) for t in ch_types) + "\n"
+        )
+
+    def write_part(it):
+        convs = [_TsvType(t) for t in types_local]
+        lines = [header] if header else []
+        n = 0
+        for row in it:
+            lines.append(
+                "\t".join(c.render(v) for c, v in zip(convs, row)) + "\n"
+            )
+            n += 1
+        if n == 0:
+            return iter(())
+        fname = os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.tsv")
+        with open(fname, "w", encoding="utf-8", newline="") as f:
+            f.write("".join(lines))
+        return iter((fname,))
+
+    return len(df.rdd.mapPartitions(write_part).collect())

@@ -1,0 +1,92 @@
+"""ClickHouse TabSeparated source/sink (sources/tsv.py): the CH escape
+set (never-quoted values), \\N NULLs, two-row headers, float
+shortest-roundtrip, DateTime64 fractional digits, composite-type gates,
+and the Spark roundtrip."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from clickhouse_learning_spark.sources import tsv as TSV
+
+
+def test_escape_set_roundtrip():
+    nasty = "a\tb\nc\\d'e\rf\bg\fh\0i"
+    esc = TSV.escape_value(nasty)
+    assert "\t" not in esc and "\n" not in esc and "\0" not in esc
+    [val] = TSV._split_row(esc)
+    assert val == nasty
+
+
+def test_null_vs_literal_backslash_n():
+    # a field that is exactly \N is NULL; \N as an escape elsewhere is
+    # the literal 'N'
+    assert TSV._split_row("\\N") == [None]
+    assert TSV._split_row("a\t\\N\tb") == ["a", None, "b"]
+    assert TSV._split_row("x\\Ny") == ["xNy"]
+    assert TSV._split_row("") == [""]
+
+
+def test_header_and_values():
+    text = (
+        "k\tname\tts\n"
+        "Int64\tNullable(String)\tDateTime64(3)\n"
+        "1\thi\\tthere\t2024-01-02 03:04:05.250\n"
+        "-7\t\\N\t1969-12-31 23:59:59.500\n"
+    )
+    names, types, rows = TSV.parse_tsv(text)
+    assert names == ["k", "name", "ts"]
+    assert rows[0] == (1, "hi\tthere",
+                       dt.datetime(2024, 1, 2, 3, 4, 5, 250000))
+    assert rows[1] == (-7, None,
+                       dt.datetime(1969, 12, 31, 23, 59, 59, 500000))
+
+
+def test_float_shortest_roundtrip():
+    c = TSV._TsvType("Float64")
+    for v in (0.1, -2.5e-10, 1e300, 123456.789):
+        assert c.parse(c.render(v)) == v
+
+
+def test_datetime64_scale_digits():
+    c3 = TSV._TsvType("DateTime64(3)")
+    v = dt.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    assert c3.render(v).endswith(".123")
+    c0 = TSV._TsvType("DateTime")
+    assert c0.render(v) == "2024-01-01 00:00:00"
+
+
+def test_composite_gate():
+    with pytest.raises(ValueError, match="binary paths"):
+        TSV._TsvType("Array(Int64)")
+    with pytest.raises(ValueError, match="binary paths"):
+        TSV._TsvType("Map(String, Int64)")
+
+
+def test_field_count_mismatch():
+    with pytest.raises(ValueError, match="fields"):
+        TSV.parse_tsv("1\t2\n", ["Int64"])
+
+
+def test_spark_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 7.0).alias("x"),
+        F.when(F.col("id") % 3 == 0, F.concat(
+            F.lit("v\t"), F.col("id").cast("string"), F.lit("\nz")
+        )).alias("s"),
+        F.timestamp_seconds(F.col("id") * 97).alias("ts"),
+    )
+    out = str(tmp_path / "tsv_rt")
+    n = TSV.write_tsv(df.repartition(3), out,
+                      ["Int64", "Float64", "Nullable(String)", "DateTime"])
+    assert n == 3
+    back = TSV.read_tsv(spark, out)
+    key = lambda t: (t[0],)  # noqa: E731
+    a = sorted((tuple(r) for r in df.collect()), key=key)
+    b = sorted((tuple(r) for r in back.collect()), key=key)
+    assert a == b
