@@ -295,6 +295,62 @@ def sq8_topk(
     )
 
 
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    seed: int = 0,
+    emb_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a seeded ±1 sign
+    matrix (Achlioptas 2003's database-friendly form): ``proj[j] =
+    Σ_i emb[i]·sign(i,j) / √out_dim`` where ``sign(i,j)`` derives from
+    the first hex digit of ``md5(seed_i_j)`` — engine-portable, so the
+    WHOLE operator (matrix included) replays in a DuckDB oracle with
+    no goldens. Map-only pure Catalyst (one fold per output dim over
+    the input array — out_dim·in_dim multiply-adds per row, the same
+    cost class as the cosine scorer); the standard shrink step before
+    brute-force/LSH search or embedding dedup at web scale (store
+    16-32 projected dims instead of the full vector for the candidate
+    pass, re-rank survivors at full precision).
+
+    The sign matrix is data-INDEPENDENT, so it's derived once
+    driver-side (hashlib md5 — bit-identical to Spark's and DuckDB's
+    md5 of the same string) and embedded as literal arrays: per row
+    the plan does out_dim folds of in_dim multiply-adds, no per-row
+    hashing; the DuckDB oracle re-derives the matrix with SQL md5, so
+    the driver-side generation is independently checked."""
+    import hashlib
+
+    head = df.select(F.size(F.col(emb_col)).alias("n")).head()
+    if head is None:
+        return df.withColumn(
+            out_col, F.array(*[F.lit(0.0) for _ in range(out_dim)])
+        )
+    in_dim = int(head["n"])
+    inv = 1.0 / float(out_dim) ** 0.5
+
+    def sgn(i: int, j: int) -> float:
+        h = hashlib.md5(f"{seed}_{i}_{j}".encode()).hexdigest()
+        return 1.0 if h[0] < "8" else -1.0
+
+    dims = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(sgn(i, j)) for i in range(in_dim)])
+        dims.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col(emb_col), signs,
+                    lambda x, sg: x.cast("double") * sg,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(inv)
+        )
+    return df.withColumn(out_col, F.array(*dims))
+
+
 def _quantize_to_bytes():
     """array<float> → packed int8 bytes, per-vector symmetric scaling
     (q = round(127·x / max|x|)). Cosine is scale-invariant, so the

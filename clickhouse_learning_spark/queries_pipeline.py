@@ -505,6 +505,57 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jl_projection_topk",
+    f"""
+    WITH proj AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, 16), j ->
+               list_sum(list_transform(
+                 generate_series(1, len(embedding)), i ->
+                 embedding[i]::DOUBLE *
+                 (CASE WHEN substr(md5('0_' || (i - 1)::VARCHAR || '_'
+                                       || (j - 1)::VARCHAR), 1, 1) < '8'
+                       THEN 1.0 ELSE -1.0 END)))
+               / sqrt(16.0)) AS v
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM proj
+          WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, p.vec_id, {_cos_sql("p.v", "q.qv")} AS sim
+      FROM proj p, q),
+    ranked AS (
+      SELECT query_id, vec_id, round(sim, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6: Johnson–Lindenstrauss random projection
+    (operators/similarity.random_projection — Achlioptas ±1 signs from
+    md5, the standard shrink step before candidate search at web
+    scale): project 64-dim embeddings to 16 dims, brute-force cosine
+    top-k in the PROJECTED space. The sign matrix derives from an
+    engine-portable md5 formula, so the DuckDB oracle re-derives the
+    matrix in SQL and replays projection + scoring + rank end-to-end —
+    a full-pipeline hash gate including the matrix generation itself;
+    recall vs the full-precision baseline is asserted in
+    tests/test_similarity_sq8.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = S.random_projection(emb, out_dim=16, seed=0)
+    base = proj.select("vec_id", F.col("proj").alias("embedding"))
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.cosine_topk_bruteforce(base, q, k=10)
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@query(
     "sq8_ann_topk",
     f"""
     WITH dims AS (
