@@ -407,3 +407,65 @@ def test_quantiles_and_assoc_queries_single_shuffle(spark):
         p = plan_text(df)
         shuffles = re.findall(r"\(\d+\) Exchange", p)
         assert len(shuffles) <= 1, (name, len(shuffles), p[:3000])
+
+
+def test_sq8_pipeline_is_pure_catalyst(spark):
+    """SQ8 (r6): encode and the symmetric top-k must be JVM-side
+    end-to-end — integer codes via transform literals, dequantized
+    cosine via zip_with/aggregate, no Python stages; the query side
+    enters as a broadcast."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    mins, spans = S.sq8_calibrate(emb)
+    codes = S.sq8_encode(emb, mins, spans)
+    q = codes.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "codes"
+    )
+    p = plan_text(S.sq8_topk(codes, q, mins, spans, k=5))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_jl_projection_is_map_only(spark):
+    """JL projection (r6): a literal sign matrix folded per row — no
+    shuffle, no Python stage, no join in the projection itself."""
+    from clickhouse_learning_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    p = plan_text(S.random_projection(emb, 8))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p, p[:2000]
+    assert "Join" not in p
+
+
+def test_wordpiece_count_is_single_exchange(spark):
+    """WordPiece training's distributed half (r6) must be ONE count
+    shuffle over the exploded token stream + the TakeOrdered cap —
+    same contract as train_bpe."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.operators.text import TOKEN_RE
+    from clickhouse_learning_spark.schemas import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    counts = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0)
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(50_000)
+    )
+    p = plan_text(counts)
+    assert "TakeOrderedAndProject" in p
+    # formatted mode prints each node twice (tree line + detail header)
+    assert p.count("Exchange") <= 2, p[:2000]
