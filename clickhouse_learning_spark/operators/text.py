@@ -358,6 +358,83 @@ def lexical_diversity(
     )
 
 
+def _fix_mojibake_once(s: str) -> str | None:
+    """One reversal of the UTF-8-bytes-mis-decoded-as-Latin-1/cp1252
+    defect (the ftfy core case, a public heuristic): if the text
+    encodes back to a single-byte charset AND those bytes are valid
+    UTF-8 that actually collapses multibyte sequences, the mis-decode
+    is reversed; otherwise None. cp1252 is tried first (real crawls'
+    curly-quote range 0x80-0x9F), Latin-1 second (covers the C1
+    control points cp1252 leaves unmapped)."""
+    for enc in ("cp1252", "latin-1"):
+        try:
+            b = s.encode(enc)
+        except UnicodeEncodeError:
+            continue
+        try:
+            d = b.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        if len(d) < len(s):  # at least one multibyte char collapsed
+            return d
+    return None
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fixed",
+    passes_col: str | None = "n_passes",
+    max_passes: int = 3,
+) -> DataFrame:
+    """Repair double-encoded text ('mojibake': UTF-8 bytes mis-decoded
+    as Latin-1/cp1252 somewhere upstream — the single most common
+    encoding defect in web crawls; ftfy's core transformation). Up to
+    ``max_passes`` reversals handle double- and triple-encoded text.
+    Plain ASCII and already-correct text pass through unchanged (the
+    reversal condition is unsatisfiable for them). Inherent ambiguity
+    is documented rather than hidden: text that LEGITIMATELY spells a
+    valid-UTF-8 byte sequence in Latin-1 characters (e.g. a document
+    ABOUT mojibake) is indistinguishable from the defect and will be
+    'repaired' — the same ambiguity every repair heuristic carries.
+
+    Map-only Arrow-batched pandas UDF; zero shuffles at any scale."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(f"struct<{out_col}: string, np: int>")
+    def fx(texts):
+        def one(s):
+            if s is None:
+                return (None, 0)
+            n = 0
+            while n < max_passes:
+                d = _fix_mojibake_once(s)
+                if d is None:
+                    break
+                s = d
+                n += 1
+            return (s, n)
+
+        rows = [one(t) for t in texts]
+        return pd.DataFrame(rows, columns=[out_col, "np"])
+
+    out = df.withColumn("_fx", fx(F.col(text_col)))
+    cols = [c for c in df.columns if c != text_col]
+    sel = [*cols, F.col(f"_fx.{out_col}").alias(out_col)]
+    if passes_col:
+        sel.append(F.col("_fx.np").alias(passes_col))
+    return out.select(*sel)
+
+
+def make_mojibake(s: str, passes: int = 1) -> str:
+    """Fixture helper: apply the defect itself (UTF-8 bytes read back
+    as Latin-1) ``passes`` times — what a mis-configured reader does."""
+    for _ in range(passes):
+        s = s.encode("utf-8").decode("latin-1")
+    return s
+
+
 def c4_clean(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

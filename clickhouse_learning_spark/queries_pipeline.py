@@ -2772,6 +2772,60 @@ def native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mojibake_repair",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || ' café naïve — résumé'
+                ELSE text END AS fixed,
+           CAST(CASE WHEN doc_id % 6 = 0 THEN 2
+                     WHEN doc_id % 3 = 0 THEN 1
+                     ELSE 0 END AS INT) AS n_passes
+    FROM documents
+    """,
+)
+def mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6: encoding repair (operators/text.fix_mojibake — the
+    ftfy-core UTF-8-as-Latin-1 reversal, web crawls' most common
+    encoding defect). The fixture corpus is ASCII, so every third doc
+    gets a non-ASCII suffix appended and is then CORRUPTED by the
+    defect itself (every sixth doc twice — the double-encoding case);
+    repair runs over ALL docs and must restore the corrupted ones
+    byte-exactly while leaving clean docs untouched, reporting the
+    pass count. The oracle states the expected text and pass count in
+    plain SQL — no goldens, and a false-positive 'repair' of any clean
+    document breaks the hash."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from clickhouse_learning_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @pandas_udf("string")
+    def corrupt(ids, texts):
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            if i % 3 == 0:
+                out.append(
+                    TX.make_mojibake(
+                        t + " café naïve — résumé", 2 if i % 6 == 0 else 1
+                    )
+                )
+            else:
+                out.append(t)
+        return pd.Series(out)
+
+    dirty = docs.select(
+        "doc_id", corrupt(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return TX.fix_mojibake(dirty, out_col="fixed").select(
+        "doc_id", "fixed", F.col("n_passes").cast("int").alias("n_passes")
+    )
+
+
+@query(
     "tsv_roundtrip",
     """
     SELECT o_orderstatus AS status,

@@ -119,3 +119,55 @@ def test_canonical_url_vs_urllib_reference(spark):
         # the op treats :80/:443 as default regardless of scheme —
         # mirror that (documented simplification)
         assert got[i] == ref(u), (u, got[i], ref(u))
+
+
+# ------------------------------------------------------------- mojibake
+def test_mojibake_single_and_double_repair(spark):
+    from clickhouse_learning_spark.operators import text as TX
+
+    orig = "café — naïve résumé 中文 ok"
+    rows = [
+        (1, TX.make_mojibake(orig, 1)),
+        (2, TX.make_mojibake(orig, 2)),
+        (3, orig),                      # already correct: untouched
+        (4, "plain ascii stays"),       # ascii: untouched
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["fixed"], r["n_passes"])
+           for r in TX.fix_mojibake(df).collect()}
+    assert got[1] == (orig, 1)
+    assert got[2] == (orig, 2)
+    assert got[3] == (orig, 0)
+    assert got[4] == ("plain ascii stays", 0)
+    assert got[5] == (None, 0)
+
+
+def test_mojibake_cp1252_curly_quote_range(spark):
+    """The 0x80-0x9F range: curly quotes / em-dash corrupt into cp1252
+    punctuation (â€™ â€” etc.) — the branch Latin-1 alone can't
+    reverse when the corrupting reader was cp1252."""
+    from clickhouse_learning_spark.operators import text as TX
+
+    orig = "it’s fine — really…"
+    bad = orig.encode("utf-8").decode("cp1252")
+    assert "â€™" in bad
+    df = spark.createDataFrame([(1, bad)], "doc_id long, text string")
+    [r] = TX.fix_mojibake(df).collect()
+    assert (r["fixed"], r["n_passes"]) == (orig, 1)
+
+
+def test_mojibake_no_false_positive_on_stray_high_bytes(spark):
+    """A lone é (an invalid UTF-8 byte sequence when re-encoded) must
+    NOT be 'repaired'; the documented ambiguity case (text that
+    legitimately spells valid UTF-8 in Latin-1 chars) IS repaired."""
+    from clickhouse_learning_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "café plain"), (2, "literally Ã© here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["fixed"], r["n_passes"])
+           for r in TX.fix_mojibake(df).collect()}
+    assert got[1] == ("café plain", 0)
+    assert got[2] == ("literally é here", 1)  # inherent ambiguity
