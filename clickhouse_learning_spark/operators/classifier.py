@@ -172,7 +172,14 @@ def score_nb(
         .select(
             F.col("_id").alias(id_col),
             F.coalesce(F.col("n_tok"), F.lit(0)).cast("long").alias("n_tok"),
-            F.round(total_micro / 1_000_000.0, 2).alias("score"),
+            # + 0.0 pins the sign of zero (IEEE: -0.0 + 0.0 = +0.0).
+            # Spark's BigDecimal round already yields +0.0, but DuckDB's
+            # libm round keeps -0.0, so BOTH engines add 0.0 after the
+            # round — the hash-graded cell can never diverge on a zero
+            # sign bit again (r6 driver red, VERDICT_r6 root cause).
+            (F.round(total_micro / 1_000_000.0, 2) + F.lit(0.0)).alias(
+                "score"
+            ),
             (total_micro > 0).cast("long").alias("pred"),
         )
     )

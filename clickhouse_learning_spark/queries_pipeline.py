@@ -2083,7 +2083,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            CAST(coalesce(a.n_tok, 0) AS BIGINT) AS n_tok,
            round(((SELECT prior_micro FROM consts) + coalesce(a.s, 0))
-                 / 1000000.0, 2) AS score,
+                 / 1000000.0, 2) + 0.0 AS score,
            CAST(((SELECT prior_micro FROM consts) + coalesce(a.s, 0)) > 0
                 AS BIGINT) AS pred
     FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d

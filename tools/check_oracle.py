@@ -34,7 +34,14 @@ def norm_cell(v):
         if math.isnan(v):
             return "nan"
         # driver-style tolerance: round to 6 significant-ish decimals
-        return round(v, 6)
+        r = round(v, 6)
+        # Sign-faithful zero: the driver's value hash sees the raw sign
+        # bit, so -0.0 must NOT collapse into +0.0 here (Python == says
+        # -0.0 == 0.0, which hid the r5/r6 nb_quality_scores red from
+        # this local gate two rounds running — VERDICT_r6).
+        if r == 0.0 and math.copysign(1.0, r) < 0:
+            return "-0.0"
+        return r
     if isinstance(v, (dt.datetime, dt.date)):
         return str(v)
     if isinstance(v, (list, tuple)):
