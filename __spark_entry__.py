@@ -50,74 +50,81 @@ def entry(spark: SparkSession) -> DataFrame:
 # already covered above sit behind them. Union of rounds still grades
 # everything — round 1 drove the entries now demoted.
 _PRIORITY = [
-    # Round-6 window (51 listed; the driver grades the first 50 and
-    # the final rotation slot rides as spare).
-    # Round 5 came back 48/50 hard-green + 1 rows-only by contract +
-    # 1 hash-red (nb_quality_scores — an order-dependent float-sum
-    # determinism defect, fixed this round by integer micro-unit
-    # quantization). This window = (a) the regrade + the three staged
-    # members of the same determinism class, all hardened the same
-    # way; (b) every other round-5-staged query with judge-only
-    # evidence (docs/CHANGES_r5.md worklist); (c) the two new r6
-    # ε-companion queries that give the irreducibly-approximate
-    # sketches hash-graded bound evidence; (d) rotation of queries
-    # whose newest driver evidence is round 2/3.
-    # --- (a) determinism-class: regrade + staged members --------------
-    "nb_quality_scores",  # r5 hash-red; quantized + law-tested
-    "item_pagerank",  # integer nano-unit ranks
-    "lr_quality_scores",  # quantized Newton sufficient stats
-    "ccnet_perplexity_buckets",  # consumes hardened lm scores
-    # --- (b) round-5 staged, judge-green, never driver-graded ---------
-    "lm_quality_scores",  # hardened lm.score_docs (r2-evidence + class)
-    "pq_ann_topk",
-    "unigram_subword_stats",
-    "rowbinary_roundtrip",
-    "rowbinary_typed_roundtrip",
-    "warc_text_extraction",
-    "paragraph_dedup_clean",
-    "url_canonicalization",
-    "blocklist_filtering",
-    "c4_line_cleaning",
-    "stream_latency_quantiles",
-    "video_mp4_metadata",
-    "audio_mp3_metadata",
-    "video_webm_metadata",
-    "video_avi_frame_sums",
-    "audio_flac_spectral",
-    "multimodal_arith_jpeg_features",
-    "multimodal_prog_arith_jpeg_features",
-    "multimodal_lossless_jpeg_pixel_sums",
-    "ch_geo_dialect",
-    "ch_ztest_ks_dialect",
-    "ch_resample_dialect",  # also carries the r6 end-clamp ADVICE fix
-    "ch_json_struct_dialect",
-    "ch_maps_datetime_dialect",
-    "ch_week_modes_full_dialect",
-    "nation_trade_volume",
-    "market_share_by_year",
-    "sole_late_supplier_blame",
-    "min_cost_supplier",
-    "product_profit_by_nation_year",
-    "important_part_value",
-    "supplier_part_counts",
-    "excess_shipments_suppliers",
-    # --- (c) new r6: hash-graded ε-bounds for the two sketches --------
-    "uniq_hll_error_bound",
-    "theta_funnel_error_bound",
-    # --- (d) r2/r3-evidence rotation (oldest grades re-validate) ------
-    "topk_heavy_hitters",
-    "median_state_merge",
-    "dict_enrich_join",
-    "bitmap_funnel",
-    "retention_cohorts",
-    "with_fill_days",
-    "uniq_exact",
-    "avg_state_merge",
-    "having_over_agg",
-    "left_join_using",
-    "composite_key_left_join",
-    "jsonl_dim_roundtrip",
-    "stream_click_attribution",  # spare (51st)
+    # Round-7 window — 51 names listed: the driver grades the FIRST 50
+    # (positions 1-50); position 51 is the labeled spare and nothing
+    # else rides outside the window (the r6 list held 52 and silently
+    # dropped jsonl_dim_roundtrip to 51 — ADVICE r6; fixed: it now sits
+    # inside the graded 50).
+    # Round 6 came back 49/50 hard-green; the one red was
+    # nb_quality_scores — a deterministic -0.0 vs +0.0 sign-bit
+    # divergence (Spark BigDecimal round → +0.0, DuckDB libm round →
+    # -0.0 on two held-out docs), fixed this round by `+ 0.0` after the
+    # rounded score on BOTH engines, a sign-faithful norm_cell in
+    # tools/check_oracle.py, and a standing cross-engine sweep
+    # (tests/test_negative_zero_sweep.py). This window =
+    # (a) that regrade; (b) the nine round-6-staged queries with
+    # judge-only evidence (docs/CHANGES_r6.md worklist) — grading them
+    # closes the driver-evidence union to 209/209 registered;
+    # (c) rotation of the queries with the OLDEST driver evidence:
+    # every r1/r2-graded query (20) plus twenty of the thirty-one
+    # r3-graded, chosen for family diversity; the eleven r3 queries
+    # left out rotate in round 8.
+    # --- (a) the regrade ----------------------------------------------
+    "nb_quality_scores",  # r6 hash-red; -0.0 fix + sweep law
+    # --- (b) round-6 staged, judge-green, never driver-graded ---------
+    "wordpiece_subword_stats",
+    "sq8_ann_topk",
+    "jl_projection_topk",
+    "multimodal_tiff_pixel_sums",
+    "multimodal_bmp_pixel_sums",
+    "native_roundtrip",
+    "native_typed_roundtrip",
+    "tsv_roundtrip",
+    "mojibake_repair",
+    # --- (c) oldest-evidence rotation: r1 (1) + r2 (19) ----------------
+    "text_quality_lang",  # r1
+    "bm25_topk",
+    "chunk_assignment",
+    "doc_fingerprint",
+    "greedy_pack_bins",
+    "jsonl_dim_roundtrip",  # inside the graded 50 this time (ADVICE r6)
+    "promo_revenue_share",
+    "quantile_weighted_state",
+    "reconciliation_check",
+    "regional_supplier_volume",
+    "returned_item_report",
+    "sample_stratified",
+    "sequence_match_share",
+    "sessionization_stats",
+    "shipping_priority",
+    "sql_auto_rewrite",
+    "streaming_mv_rollup",
+    "text_repetition",
+    "text_token_stats",
+    "window_funnel_levels",
+    # --- (c) oldest-evidence rotation: 20 of the 31 r3-graded ---------
+    "value_histogram",
+    "summap_event_values",
+    "top_event_paths",
+    "stream_click_attribution",
+    "csv_roundtrip",
+    "orc_roundtrip",
+    "dedup_embedding_cosine",
+    "dedup_report",
+    "dedup_substring_spans",
+    "pii_redaction",
+    "scd2_point_in_time",
+    "skew_targeted_join",
+    "training_pipeline",
+    "vocab_oov_rate",
+    "windowed_uv",
+    "hopping_window_uv",
+    "rolling_revenue_7d",
+    "rfm_segments",
+    "source_mixing",
+    "part_pair_affinity",
+    # --- spare (position 51; graded only if the driver widens) --------
+    "epoch_upsampling",  # r3
 ]
 
 
