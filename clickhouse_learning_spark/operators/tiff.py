@@ -320,6 +320,11 @@ def decode_tiff(payload: bytes):
         (ifd,) = struct.unpack_from(bo + "I", payload, 4)
         (cnt,) = struct.unpack_from(bo + "H", payload, ifd)
         tags: dict[int, tuple[int, int, int]] = {}
+        # value-field file offset per tag, recorded while walking the
+        # IFD — arr() must not re-derive it from sorted key order,
+        # since TIFF 6.0 only RECOMMENDS ascending tag order and a
+        # foreign writer may violate it (ADVICE r6)
+        value_off: dict[int, int] = {}
         for i in range(cnt):
             tag, typ, n = struct.unpack_from(
                 bo + "HHI", payload, ifd + 2 + 12 * i
@@ -333,6 +338,7 @@ def decode_tiff(payload: bytes):
                     bo + "I", payload, ifd + 2 + 12 * i + 8
                 )
             tags[tag] = (typ, n, val)
+            value_off[tag] = ifd + 2 + 12 * i + 8
 
         def arr(tag: int) -> list[int]:
             typ, n, val = tags[tag]
@@ -341,10 +347,10 @@ def decode_tiff(payload: bytes):
             if n * size <= 4:
                 if n == 1:
                     return [val]
-                # n SHORTs packed into the value field
+                # n SHORTs packed into the value field at the entry's
+                # recorded offset
                 return list(struct.unpack_from(
-                    bo + f"{n}{f}", payload,
-                    ifd + 2 + 12 * sorted(tags).index(tag) + 8))
+                    bo + f"{n}{f}", payload, value_off[tag]))
             return list(struct.unpack_from(bo + f"{n}{f}", payload, val))
 
         w = tags[256][2]

@@ -155,8 +155,11 @@ class _TsvType:
             return v.isoformat()
         if self.base == "DateTime":
             return v.strftime("%Y-%m-%d %H:%M:%S")
-        # DateTime64: the scale's fractional digits
-        frac = f"{v.microsecond:06d}"[: self.scale]
+        # DateTime64: exactly `scale` fractional digits, like CH text
+        # output. Spark timestamps carry microseconds, so scales 7-9
+        # zero-pad on the right (ADVICE r6: truncating at 6 digits was
+        # self-consistent but not CH text parity).
+        frac = f"{v.microsecond:06d}"[: self.scale].ljust(self.scale, "0")
         base = v.strftime("%Y-%m-%d %H:%M:%S")
         return f"{base}.{frac}" if self.scale else base
 

@@ -89,13 +89,13 @@ def _walk_gzip_members(data: bytes):
         if consumed <= 0:
             raise ValueError("gzip member made no progress")
         pos += consumed
-        yield start, b"".join(out)
+        yield start, pos, b"".join(out)
 
 
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress concatenated gzip members (the WARC convention of
     one member per record)."""
-    return b"".join(body for _, body in _walk_gzip_members(data))
+    return b"".join(body for _, _, body in _walk_gzip_members(data))
 
 
 def parse_warc(data: bytes) -> list[dict]:
@@ -200,8 +200,11 @@ def read_warc(
 ) -> DataFrame:
     """One row per WARC record of the requested types across a
     directory/glob of (optionally gzipped) WARC files. Map-only Arrow
-    pass, one archive per task; a malformed FILE yields a single
-    quarantine row naming the error instead of killing the task."""
+    pass, one archive per task; salvage is per gzip member / record
+    span (:func:`_salvage_units`): a malformed unit yields a single
+    quarantine row naming the error, the rest of the file still
+    extracts — identical salvage to :func:`read_warc_split`
+    (parity law in tests/test_warc.py)."""
     import pandas as pd
 
     binf = spark.read.format("binaryFile").load(path)
@@ -211,36 +214,40 @@ def read_warc(
         for pdf in batches:
             rows = []
             for blob in pdf["content"]:
-                try:
-                    for rec in parse_warc(bytes(blob)):
-                        h = rec["headers"]
-                        rtype = h.get("warc-type", "")
-                        if rtype not in want:
-                            continue
-                        status = None
-                        ctype = h.get("content-type")
-                        text = None
-                        if rtype == "response":
-                            st, hh, body = parse_http_response(
-                                rec["payload"])
-                            status = st
-                            ctype = hh.get("content-type", ctype)
-                            if ctype and "html" in ctype:
-                                text = html_to_text(body)
-                            else:
-                                text = body.decode("utf-8", "replace")
-                        rows.append((
-                            h.get("warc-target-uri"),
-                            h.get("warc-date"), rtype, status,
-                            ctype, text, None,
-                        ))
-                except Exception as exc:
-                    rows.append((None, None, None, None, None, None,
-                                 str(exc)[:200]))
+                rows.extend(_rows_from_stream(bytes(blob), want))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WARC_SCHEMA.fields])
 
     return binf.select("content").mapInPandas(gen, WARC_SCHEMA)
+
+
+def _plain_record_spans(data: bytes):
+    """Yield ``(start, end)`` per record of an UNCOMPRESSED WARC stream
+    (header walk, no payload decode); raises at the first structural
+    malformation — callers that salvage keep the spans yielded so
+    far."""
+    n = len(data)
+    pos = 0
+    while pos < n:
+        while pos < n and data[pos:pos + 2] == _CRLF:
+            pos += 2  # inter-record blank lines belong to no span
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"expected WARC/ version line at {pos}")
+        start = pos
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            raise ValueError("truncated WARC header block")
+        length = None
+        for line in data[pos:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-length":
+                length = int(v)
+        if length is None:
+            raise ValueError("record without a valid Content-Length")
+        pos = hdr_end + 4 + length
+        yield start, min(pos, n)
 
 
 def _member_boundaries(data: bytes) -> list[int]:
@@ -248,35 +255,76 @@ def _member_boundaries(data: bytes) -> list[int]:
     zlib — decompress-only, no record parsing), or of every WARC record
     start if the stream is uncompressed (header walk, no payload
     decode). The final sentinel offset is ``len(data)``."""
-    offs = [0]
     n = len(data)
     if data[:2] == b"\x1f\x8b":
-        offs = [start for start, _ in _walk_gzip_members(data)]
+        offs = [start for start, _, _ in _walk_gzip_members(data)]
     else:
-        pos = 0
-        starts = []
-        while pos < n:
-            while pos < n and data[pos:pos + 2] == _CRLF:
-                pos += 2  # inter-record blank lines belong to no chunk
-            if pos >= n:
-                break
-            if not data.startswith(b"WARC/", pos):
-                raise ValueError(f"expected WARC/ version line at {pos}")
-            starts.append(pos)
-            hdr_end = data.find(_CRLF + _CRLF, pos)
-            if hdr_end < 0:
-                raise ValueError("truncated WARC header block")
-            length = None
-            for line in data[pos:hdr_end].split(_CRLF)[1:]:
-                k, _, v = line.partition(b":")
-                if k.strip().lower() == b"content-length":
-                    length = int(v)
-            if length is None:
-                raise ValueError("record without a valid Content-Length")
-            pos = hdr_end + 4 + length
+        starts = [s for s, _ in _plain_record_spans(data)]
         offs = [0, *starts[1:]]
     offs.append(n)
     return offs
+
+
+def _salvage_units(data: bytes):
+    """Yield ``("unit", bytes)`` per independently parseable span of a
+    WARC stream — one DECOMPRESSED gzip member each for gzipped input
+    (the WARC convention is one record per member), one raw record
+    span each for plain input. A mid-stream structural failure yields
+    the units before it, then one ``("error", message)`` sentinel for
+    the unreadable tail. This is the shared salvage granularity of
+    read_warc and read_warc_split (parity law, ADVICE r6): a single
+    malformed record/member quarantines ONLY itself, not the file."""
+    try:
+        if data[:2] == b"\x1f\x8b":
+            for _, _, body in _walk_gzip_members(data):
+                yield "unit", body
+        else:
+            for s, e in _plain_record_spans(data):
+                yield "unit", data[s:e]
+    except Exception as exc:  # noqa: BLE001 — quarantine, don't kill
+        yield "error", str(exc)[:200]
+
+
+def _record_row(rec: dict, want: tuple[str, ...]):
+    """WARC_SCHEMA row for one parsed record, or None if its type is
+    not requested."""
+    h = rec["headers"]
+    rtype = h.get("warc-type", "")
+    if rtype not in want:
+        return None
+    status = None
+    ctype = h.get("content-type")
+    text = None
+    if rtype == "response":
+        st, hh, body = parse_http_response(rec["payload"])
+        status = st
+        ctype = hh.get("content-type", ctype)
+        if ctype and "html" in ctype:
+            text = html_to_text(body)
+        else:
+            text = body.decode("utf-8", "replace")
+    return (h.get("warc-target-uri"), h.get("warc-date"), rtype,
+            status, ctype, text, None)
+
+
+def _rows_from_stream(data: bytes, want: tuple[str, ...]) -> list:
+    """All WARC_SCHEMA rows of one WARC stream with per-unit salvage:
+    a unit (gzip member / record span) that fails to parse becomes one
+    quarantine row; every healthy unit still yields its rows."""
+    rows = []
+    for kind, unit in _salvage_units(data):
+        if kind == "error":
+            rows.append((None, None, None, None, None, None, unit))
+            continue
+        try:
+            for rec in parse_warc(unit):
+                row = _record_row(rec, want)
+                if row is not None:
+                    rows.append(row)
+        except Exception as exc:  # noqa: BLE001
+            rows.append((None, None, None, None, None, None,
+                         str(exc)[:200]))
+    return rows
 
 
 def _chunk_ranges(offs: list[int], chunk_bytes: int) -> list[tuple[int, int]]:
@@ -293,6 +341,40 @@ def _chunk_ranges(offs: list[int], chunk_bytes: int) -> list[tuple[int, int]]:
     return out
 
 
+def _boundaries_salvage(
+    data: bytes, chunk_bytes: int
+) -> tuple[list[tuple[int, int]], str | None]:
+    """``(chunk_ranges, tail_error)`` for one file: ranges cover the
+    walkable PREFIX of the stream; a mid-walk structural failure
+    returns the prefix's chunks plus the error message for the
+    unreadable tail (None when the whole stream walks). Mirrors
+    :func:`_salvage_units` so split and unsplit reads quarantine the
+    same spans."""
+    starts: list[int] = []
+    last_end = 0
+    err: str | None = None
+    try:
+        if data[:2] == b"\x1f\x8b":
+            for s, e, _ in _walk_gzip_members(data):
+                starts.append(s)
+                last_end = e
+        else:
+            for s, e in _plain_record_spans(data):
+                starts.append(s)
+                last_end = e
+    except Exception as exc:  # noqa: BLE001 — quarantine the tail
+        err = str(exc)[:200]
+    if not starts:
+        return [], err
+    if err is None:
+        last_end = len(data)
+    # first chunk starts at 0 (gzip member 0 is at 0; plain streams
+    # fold leading blank lines into the first span, like
+    # _member_boundaries)
+    offs = [0, *starts[1:], last_end]
+    return _chunk_ranges(offs, chunk_bytes), err
+
+
 def read_warc_split(
     spark: SparkSession,
     path: str,
@@ -303,8 +385,11 @@ def read_warc_split(
     boundaries per file (distributed, decompress-only — no parse, no
     HTML work); phase 2 range-reads each ~``chunk_bytes`` span and
     parses it as an independent WARC stream. Same output schema and
-    quarantine convention as read_warc; a file whose INDEX pass fails
-    yields one quarantine row and no chunks."""
+    SALVAGE convention as read_warc (parity law): a malformed unit
+    inside a chunk quarantines only itself, and a file whose boundary
+    walk fails mid-stream still yields chunks for the walkable prefix
+    plus one quarantine row for the unreadable tail — exactly the rows
+    the unsplit walk produces."""
     import pandas as pd
 
     binf = spark.read.format("binaryFile").load(path)
@@ -321,12 +406,12 @@ def read_warc_split(
         for pdf in batches:
             rows = []
             for p, blob in zip(pdf["path"], pdf["content"]):
-                try:
-                    offs = _member_boundaries(bytes(blob))
-                    for s, e in _chunk_ranges(offs, chunk_bytes):
-                        rows.append((p, s, e, None))
-                except Exception as exc:
-                    rows.append((p, None, None, str(exc)[:200]))
+                ranges, err = _boundaries_salvage(bytes(blob),
+                                                  chunk_bytes)
+                for s, e in ranges:
+                    rows.append((p, s, e, None))
+                if err is not None:
+                    rows.append((p, None, None, err))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in idx_schema.fields])
 
@@ -354,28 +439,10 @@ def read_warc_split(
                     with open(local, "rb") as fh:  # range GET at scale
                         fh.seek(int(s))
                         data = fh.read(int(e) - int(s))
-                    for rec in parse_warc(data):
-                        h = rec["headers"]
-                        rtype = h.get("warc-type", "")
-                        if rtype not in want:
-                            continue
-                        status = None
-                        ctype = h.get("content-type")
-                        text = None
-                        if rtype == "response":
-                            st, hh, body = parse_http_response(
-                                rec["payload"])
-                            status = st
-                            ctype = hh.get("content-type", ctype)
-                            if ctype and "html" in ctype:
-                                text = html_to_text(body)
-                            else:
-                                text = body.decode("utf-8", "replace")
-                        rows.append((
-                            h.get("warc-target-uri"),
-                            h.get("warc-date"), rtype, status,
-                            ctype, text, None,
-                        ))
+                    # per-unit salvage inside the chunk — same helper
+                    # as read_warc, so a malformed member quarantines
+                    # only itself (parity law)
+                    rows.extend(_rows_from_stream(data, want))
                 except Exception as exc:
                     rows.append((None, None, None, None, None, None,
                                  str(exc)[:200]))

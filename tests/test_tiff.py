@@ -128,6 +128,43 @@ def test_tiff_matrix_roundtrip(comp, pred, bo):
     assert got is not None and (got == px).all()
 
 
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_decode_unsorted_ifd(bo):
+    """TIFF 6.0 only RECOMMENDS ascending tag order in the IFD; a
+    foreign writer may emit any order. Reversing the 12-byte entries
+    must not change the decode — in particular the packed-multi-SHORT
+    value fields (BitsPerSample) must be read at each entry's own
+    offset, not an offset re-derived from sorted key order
+    (ADVICE r6)."""
+    import struct
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(9, 7, 3)).astype(np.uint8)
+    payload = bytearray(TF.encode_tiff(px, byte_order=bo,
+                                       rows_per_strip=5))  # 2 strips
+    (ifd,) = struct.unpack_from(bo + "I", payload, 4)
+    (cnt,) = struct.unpack_from(bo + "H", payload, ifd)
+    entries = []
+    for i in range(cnt):
+        off = ifd + 2 + 12 * i
+        tag, typ, n = struct.unpack_from(bo + "HHI", payload, off)
+        if tag in (273, 279) and typ == 4 and n == 2:
+            # foreign-writer shape: 2 strip LONGs via aux pointer
+            # rewritten as 2 SHORTs PACKED into the value field — the
+            # branch the sorted-index bug corrupted
+            (ptr,) = struct.unpack_from(bo + "I", payload, off + 8)
+            a, b = struct.unpack_from(bo + "2I", payload, ptr)
+            assert a < 0x10000 and b < 0x10000
+            entries.append(struct.pack(bo + "HHIHH", tag, 3, 2, a, b))
+        else:
+            entries.append(bytes(payload[off: off + 12]))
+    assert cnt >= 2
+    for i, e in enumerate(reversed(entries)):
+        payload[ifd + 2 + 12 * i: ifd + 2 + 12 * (i + 1)] = e
+    got = TF.decode_tiff(bytes(payload))
+    assert got is not None and (got == px).all()
+
+
 def test_decode_rejects_corrupt():
     px = np.zeros((4, 4, 3), dtype=np.uint8)
     good = TF.encode_tiff(px, compression="lzw")

@@ -56,6 +56,11 @@ def test_datetime64_scale_digits():
     assert c3.render(v).endswith(".123")
     c0 = TSV._TsvType("DateTime")
     assert c0.render(v) == "2024-01-01 00:00:00"
+    # scale > 6: CH prints exactly `scale` digits; Spark timestamps
+    # stop at microseconds, so digits 7-9 are zero-padded (ADVICE r6)
+    c9 = TSV._TsvType("DateTime64(9)")
+    assert c9.render(v).endswith(".123456000")
+    assert c9.parse(c9.render(v)) == v
 
 
 def test_composite_gate():

@@ -151,3 +151,64 @@ def test_read_warc_split_parity(spark, tmp_path, gzipped):
     assert [r for r in base if r[-1] is None] == \
         [r for r in split if r[-1] is None]
     assert len([r for r in base if r[-1] is None]) == 60
+
+
+@pytest.mark.parametrize("gzipped", [True, False])
+def test_salvage_parity_one_malformed_record(spark, tmp_path, gzipped):
+    """ADVICE r6: a file that decompresses cleanly but contains ONE
+    malformed record must salvage identically through both readers —
+    good rows from every healthy unit plus exactly one quarantine row
+    for the broken unit, with the SAME error message (both paths run
+    the shared _rows_from_stream salvage)."""
+    import gzip as _gz
+
+    sub = tmp_path / "d"
+    sub.mkdir()
+    bad_unit = b"NOT-A-WARC-RECORD\r\n\r\n"
+    if gzipped:
+        blob = (W.build_fixture_warc(0) + _gz.compress(bad_unit)
+                + W.build_fixture_warc(1))
+    else:
+        # plain stream: the header walk dies AT the malformed record,
+        # so the good record BEFORE it salvages; the one after is part
+        # of the unreadable tail on both sides
+        blob = (W.build_fixture_warc(0, gzipped=False) + bad_unit
+                + W.build_fixture_warc(1, gzipped=False))
+    (sub / f"f.warc{'.gz' if gzipped else ''}").write_bytes(blob)
+
+    def key(t):
+        return tuple((x is None, str(x)) for x in t)
+
+    base = sorted((tuple(r) for r in
+                   W.read_warc(spark, str(sub)).collect()), key=key)
+    split = sorted((tuple(r) for r in W.read_warc_split(
+        spark, str(sub), chunk_bytes=512).collect()), key=key)
+    assert base == split  # full rows INCLUDING the error message
+    good = [r for r in base if r[-1] is None]
+    bad = [r for r in base if r[-1] is not None]
+    assert len(bad) == 1
+    # gzip: units are members, both flanking records survive; plain:
+    # the walk can't resync past the malformed bytes, prefix only
+    assert len(good) == (2 if gzipped else 1)
+
+
+def test_salvage_parity_truncated_gzip_tail(spark, tmp_path):
+    """A stream whose gzip walk dies mid-file salvages the walkable
+    PREFIX through both readers: the split index emits chunks for the
+    walked members plus one tail-quarantine row, matching the unsplit
+    per-member salvage row-for-row."""
+    sub = tmp_path / "d"
+    sub.mkdir()
+    good = W.build_fixture_warc(3)
+    (sub / "f.warc.gz").write_bytes(good + b"\x1f\x8btruncated tail")
+
+    def key(t):
+        return tuple((x is None, str(x)) for x in t)
+
+    base = sorted((tuple(r) for r in
+                   W.read_warc(spark, str(sub)).collect()), key=key)
+    split = sorted((tuple(r) for r in W.read_warc_split(
+        spark, str(sub), chunk_bytes=512).collect()), key=key)
+    assert base == split
+    assert len([r for r in base if r[-1] is None]) == 1  # the response
+    assert len([r for r in base if r[-1] is not None]) == 1
