@@ -66,9 +66,11 @@ _PRIORITY = [
     # judge-only evidence (docs/CHANGES_r6.md worklist) — grading them
     # closes the driver-evidence union to 209/209 registered;
     # (c) rotation of the queries with the OLDEST driver evidence:
-    # every r1/r2-graded query (20) plus twenty of the thirty-one
-    # r3-graded, chosen for family diversity; the eleven r3 queries
-    # left out rotate in round 8.
+    # every r1/r2-graded query (20) plus nineteen of the thirty-one
+    # r3-graded, chosen for family diversity; the twelve r3 queries
+    # left out rotate in round 8; (d) the r7-new streaming ingest
+    # query, graded immediately because it is the round's one genuinely
+    # new end-to-end story.
     # --- (a) the regrade ----------------------------------------------
     "nb_quality_scores",  # r6 hash-red; -0.0 fix + sweep law
     # --- (b) round-6 staged, judge-green, never driver-graded ---------
@@ -102,7 +104,7 @@ _PRIORITY = [
     "text_repetition",
     "text_token_stats",
     "window_funnel_levels",
-    # --- (c) oldest-evidence rotation: 20 of the 31 r3-graded ---------
+    # --- (c) oldest-evidence rotation: 19 of the 31 r3-graded ---------
     "value_histogram",
     "summap_event_values",
     "top_event_paths",
@@ -122,7 +124,10 @@ _PRIORITY = [
     "rolling_revenue_7d",
     "rfm_segments",
     "source_mixing",
-    "part_pair_affinity",
+    # r7-new: the end-to-end streaming Common-Crawl ingest (VERDICT r6
+    # item 6) — graded THIS round in place of one r3 rotation entry
+    # (part_pair_affinity moves to the r8 rotation)
+    "stream_warc_pipeline",
     # --- spare (position 51; graded only if the driver widens) --------
     "epoch_upsampling",  # r3
 ]

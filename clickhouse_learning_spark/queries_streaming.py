@@ -542,3 +542,53 @@ def stream_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd_value(F.col("b95"), 0.01).alias("p95"),
         dd_value(F.col("b99"), 0.01).alias("p99"),
     )
+
+
+@query(
+    "stream_warc_pipeline",
+    """
+    WITH ids AS (SELECT unnest(generate_series(0, 199)) AS i),
+    x AS (SELECT i,
+                 CASE WHEN i >= 100 AND i % 10 = 7 THEN i - 100
+                      ELSE i END AS e
+          FROM ids)
+    SELECT CAST(i AS BIGINT) AS doc_id,
+           'Stream ' || CAST(e AS VARCHAR) || chr(10) || 'payload ' ||
+               CAST(e * 7 % 97 AS VARCHAR) || ' café ' ||
+               CAST(e AS VARCHAR) AS text,
+           CAST(CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_passes,
+           CAST(CASE WHEN i >= 100 AND i % 10 = 7 THEN 1 ELSE 0 END
+                AS BIGINT) AS is_dup
+    FROM x
+    """,
+)
+def stream_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7: the Common-Crawl ingest story END-TO-END AS A STREAM
+    (streaming/warc_ingest.py — VERDICT r6 item 6): 8 WARC waves land
+    as chunk-list announcements; each micro-batch range-reads and
+    parses its chunks (read_warc_split's extract stage), repairs
+    double-encoded text (fix_mojibake: every i%5==0 doc ships the
+    UTF-8-as-Latin-1 defect and must come back byte-exact in ONE
+    pass), and probes the persisted fingerprint index — docs whose
+    content repeats an EARLIER micro-batch (i>=100, i%10==7 repeat
+    wave w-4's content) must be flagged is_dup=1, which only a
+    stateful cross-batch index can know. The oracle re-derives text,
+    repair counts and duplicate flags from the id formulas alone;
+    stream ≡ batch parity is law-tested in
+    tests/test_streaming_warc.py."""
+    from clickhouse_learning_spark.streaming.warc_ingest import (
+        stream_warc_ingest,
+        write_fixture_waves,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_warc_")
+    write_fixture_waves(f"{work}/warc", f"{work}/landing")
+    out = stream_warc_ingest(spark, f"{work}/landing", work)
+    return out.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "text",
+        F.col("n_passes").cast("long").alias("n_passes"),
+        F.col("is_dup").cast("long").alias("is_dup"),
+    )

@@ -34,9 +34,13 @@ walk would desync every following column, so re-export those columns
 as plain T (CH casts implicitly) or use the RowBinary path, where LC
 serializes as the inner type.
 
-Scale shape: one export file = one task (CH exports are per-shard /
-per-chunk); inside a task the scalar columns decode via single
-``struct.unpack_from`` batch calls rather than per-value loops.
+Scale shape: :func:`read_native` is one export file = one task (CH
+exports are per-shard / per-chunk); :func:`read_native_split` (r7)
+re-chunks big exports on BLOCK boundaries so parallelism is
+total-bytes / chunk_bytes — use it when a crawl ships as a few huge
+files. Inside a task the scalar columns decode via single
+``struct.unpack_from`` batch calls rather than per-value loops;
+the split index pass skip-walks blocks without building values.
 """
 
 from __future__ import annotations
@@ -204,6 +208,45 @@ class _NativeCol:
             vals.append(v)
         return vals, pos
 
+    # -- skip (split-reader index pass) --------------------------------
+    def skip_column(self, buf: bytes, pos: int, n: int) -> int:
+        """Advance past ``n`` values WITHOUT materializing Python
+        objects where the layout allows — fixed-width scalar columns
+        are one pointer bump; var-width columns walk their length
+        prefixes. This is the cheap walk :func:`_block_spans` runs so
+        the split reader's index pass prices like decompression, not
+        like a full decode."""
+        if self.nullable:
+            if pos + n > len(buf):
+                raise ValueError("Native stream ended in a null mask")
+            pos += n
+        return self._skip_inner(buf, pos, n)
+
+    def _skip_inner(self, buf: bytes, pos: int, n: int) -> int:
+        if self.kind in ("Array", "Map"):
+            total = (
+                int(struct.unpack_from("<Q", buf, pos + 8 * (n - 1))[0])
+                if n else 0
+            )
+            pos += 8 * n
+            if self.kind == "Array":
+                return self.inner.skip_column(buf, pos, total)
+            pos = self.key_col.skip_column(buf, pos, total)
+            return self.val_col.skip_column(buf, pos, total)
+        if self.kind == "Tuple":
+            for e in self.elems:
+                pos = e.skip_column(buf, pos, n)
+            return pos
+        c = self.codec
+        if c.kind in _SCALARS:
+            end = pos + _SCALARS[c.kind][1] * n
+            if end > len(buf):
+                raise ValueError("Native column data overruns the file")
+            return end
+        for _ in range(n):  # var-width (String etc.): length walk
+            _, pos = c.decode(buf, pos)
+        return pos
+
     # -- encode ------------------------------------------------------
     def encode_column(self, values) -> bytes:
         if self.nullable:
@@ -341,6 +384,103 @@ def read_native(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(out_rows, columns=names_bc)
 
     return binf.select("content").mapInPandas(gen, schema=schema)
+
+
+def _block_spans(buf: bytes):
+    """Yield ``(start, end)`` per Native block via the skip walk. Any
+    block boundary is a valid stream start — every block repeats its
+    (name, type) pairs — so spans can be regrouped into arbitrary
+    chunk ranges for the split reader."""
+    pos, end = 0, len(buf)
+    while pos < end:
+        start = pos
+        ncols, pos = _read_leb128(buf, pos)
+        nrows, pos = _read_leb128(buf, pos)
+        for _ in range(ncols):
+            _, pos = _read_string(buf, pos)
+            tp, pos = _read_string(buf, pos)
+            pos = _NativeCol(tp).skip_column(buf, pos, nrows)
+        if pos > end:
+            raise ValueError("Native block overruns the file")
+        yield start, pos
+
+
+def read_native_split(
+    spark: SparkSession,
+    path: str,
+    chunk_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Straggler-resistant :func:`read_native` — the same two-phase
+    shape as ``sources/warc.read_warc_split`` (the block framing maps
+    onto it almost verbatim): phase 1 indexes BLOCK boundaries per file
+    (distributed skip walk — fixed-width columns advance by pointer
+    arithmetic, no Python values built) and groups them into
+    ~``chunk_bytes`` ranges; phase 2 range-reads each chunk (an
+    S3/HDFS range GET at cluster scale) and decodes it as an
+    independent Native stream. Parallelism becomes total-bytes /
+    chunk_bytes instead of file count — the fix for few-huge-exports
+    layouts, where the one-file-per-task reader serializes on the
+    biggest file. Same STRICT error convention as read_native
+    (schema comes from real CH exports; a malformed file is a job
+    error, not a quarantine row). Parity with read_native is
+    law-tested (tests/test_native.py)."""
+    import pandas as pd
+
+    from clickhouse_learning_spark.sources.warc import _chunk_ranges
+
+    binf = spark.read.format("binaryFile").load(path)
+    head = binf.select("content").head()
+    if head is None:
+        raise ValueError(f"no Native files under {path}")
+    names, types, _ = parse_native(bytes(head["content"]))
+    schema = spark_schema(names, types)
+    names_bc, types_bc = list(names), list(types)
+
+    from pyspark.sql import types as T
+
+    idx_schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("start", T.LongType()),
+        T.StructField("end", T.LongType()),
+    ])
+
+    def index(batches):
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                offs = [s for s, _ in _block_spans(data)]
+                offs.append(len(data))
+                for s, e in _chunk_ranges(offs, chunk_bytes):
+                    rows.append((p, s, e))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in idx_schema.fields])
+
+    chunks = binf.select("path", "content").mapInPandas(index, idx_schema)
+    # explicit COUNT, same reason as read_warc_split: chunk rows are
+    # bytes-sized, AQE would coalesce a column-only repartition to one
+    # partition and re-serialize the decode stage
+    chunks = chunks.repartition(
+        spark.sparkContext.defaultParallelism, "path", "start"
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            out_rows = []
+            for p, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
+                local = re.sub(r"^file:/*", "/", p)
+                with open(local, "rb") as fh:  # range GET at scale
+                    fh.seek(int(s))
+                    data = fh.read(int(e) - int(s))
+                ns, ts, rows = parse_native(data)
+                if ts != types_bc:
+                    raise ValueError(
+                        f"chunk types {ts} != expected {types_bc}"
+                    )
+                out_rows.extend(rows)
+            yield pd.DataFrame(out_rows, columns=names_bc)
+
+    return chunks.mapInPandas(extract, schema=schema)
 
 
 def write_native(

@@ -261,6 +261,96 @@ def read_tsv(
     return binf.select("content").mapInPandas(gen, schema=schema)
 
 
+def read_tsv_split(
+    spark: SparkSession,
+    path: str,
+    ch_types: list[str] | None = None,
+    names: list[str] | None = None,
+    chunk_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Straggler-resistant :func:`read_tsv` (two-phase, like
+    ``warc.read_warc_split``). CH TSV never carries a RAW newline
+    inside a value — the escape set rewrites it to ``\\n`` — so EVERY
+    ``\\n`` byte is a row boundary and chunking is a byte scan: phase 1
+    records, per file, the header end plus ~``chunk_bytes`` ranges
+    snapped forward to the next newline; phase 2 range-reads each
+    chunk and parses its lines with the broadcast type row. Parity
+    with read_tsv is law-tested (tests/test_tsv.py)."""
+    import pandas as pd
+
+    if (ch_types is None) != (names is None):
+        raise ValueError("pass both names and ch_types, or neither")
+    binf = spark.read.format("binaryFile").load(path)
+    expect_header = ch_types is None
+    if expect_header:
+        head = binf.select("content").head()
+        if head is None:
+            raise ValueError(f"no TSV files under {path}")
+        names, ch_types, _ = parse_tsv(
+            bytes(head["content"]).decode("utf-8")
+        )
+    fields = [
+        T.StructField(n, _TsvType(t).spark_type(), True)
+        for n, t in zip(names, ch_types)
+    ]
+    schema = T.StructType(fields)
+    names_bc, types_bc = list(names), list(ch_types)
+    skip_header = expect_header
+
+    idx_schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("start", T.LongType()),
+        T.StructField("end", T.LongType()),
+    ])
+
+    def index(batches):
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                n = len(data)
+                pos = 0
+                if skip_header:  # two header lines belong to no chunk
+                    for _ in range(2):
+                        nl = data.find(b"\n", pos)
+                        if nl < 0:
+                            raise ValueError(
+                                f"{p}: missing TSV header rows")
+                        pos = nl + 1
+                while pos < n:
+                    end = min(pos + chunk_bytes, n)
+                    if end < n:
+                        nl = data.find(b"\n", end)
+                        end = n if nl < 0 else nl + 1
+                    rows.append((p, pos, end))
+                    pos = end
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in idx_schema.fields])
+
+    chunks = binf.select("path", "content").mapInPandas(index, idx_schema)
+    # explicit COUNT (same as warc/native split): AQE would coalesce
+    # the bytes-sized chunk rows into one partition
+    chunks = chunks.repartition(
+        spark.sparkContext.defaultParallelism, "path", "start"
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            out = []
+            for p, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
+                local = re.sub(r"^file:/*", "/", p)
+                with open(local, "rb") as fh:  # range GET at scale
+                    fh.seek(int(s))
+                    data = fh.read(int(e) - int(s))
+                _, _, rows = parse_tsv(
+                    data.decode("utf-8"), types_bc
+                )
+                out.extend(rows)
+            yield pd.DataFrame(out, columns=names_bc)
+
+    return chunks.mapInPandas(extract, schema=schema)
+
+
 def write_tsv(
     df: DataFrame,
     out_dir: str,

@@ -154,3 +154,67 @@ def test_spark_roundtrip(spark, tmp_path):
     b = sorted(tuple(r) if r[2] is not None else (r[0], r[1], None, r[3])
                for r in back.collect())
     assert a == b
+
+
+def test_block_spans_cover_stream():
+    """The skip walk's spans tile the file exactly and each span start
+    is a decodable block boundary (block framing repeats names/types,
+    so any span grouping is an independent stream)."""
+    import pandas as pd  # noqa: F401
+
+    cols = {
+        "k": ("Int64", list(range(50))),
+        "s": ("Nullable(String)",
+              [None if i % 4 == 0 else f"v{i}" for i in range(50)]),
+        "a": ("Array(Int64)", [[i, i + 1] for i in range(50)]),
+        "m": ("Map(String, Int64)", [{"x": i} for i in range(50)]),
+    }
+    blocks = []
+    for lo in range(0, 50, 10):  # 5 blocks of 10 rows
+        chunk = NV._write_leb128(len(cols)) + NV._write_leb128(10)
+        for name, (tp, vals) in cols.items():
+            chunk += (NV._write_string(name) + NV._write_string(tp)
+                      + NV._NativeCol(tp).encode_column(vals[lo:lo + 10]))
+        blocks.append(chunk)
+    buf = b"".join(blocks)
+    spans = list(NV._block_spans(buf))
+    assert spans[0][0] == 0 and spans[-1][1] == len(buf)
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    assert len(spans) == 5
+    # every span start parses as its own stream
+    for s, e in spans:
+        _, _, rows = NV.parse_native(buf[s:e])
+        assert len(rows) == 10
+    with pytest.raises(ValueError, match="overruns|truncated|ended"):
+        list(NV._block_spans(buf[:-3]))
+
+
+def test_read_native_split_parity(spark, tmp_path):
+    """read_native_split == read_native row-for-row, with chunk_bytes
+    small enough to force many chunks per file (the few-huge-exports
+    layout the split reader exists for), across the composite types."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("x"),
+        F.when(F.col("id") % 3 == 0, F.col("id").cast("string"))
+        .alias("s"),
+        F.array((F.col("id") % 5).cast("int"),
+                (F.col("id") % 11).cast("int")).alias("a"),
+    )
+    out = str(tmp_path / "native_split")
+    NV.write_native(df.repartition(2), out,
+                    ["Int64", "Float64", "Nullable(String)",
+                     "Array(Int32)"], block_rows=100)
+
+    def key(t):
+        return tuple((x is None, str(x)) for x in t)
+
+    base = sorted((tuple(r) for r in
+                   NV.read_native(spark, out).collect()), key=key)
+    split_df = NV.read_native_split(spark, out, chunk_bytes=4096)
+    assert split_df.schema == NV.read_native(spark, out).schema
+    split = sorted((tuple(r) for r in split_df.collect()), key=key)
+    assert base == split
+    assert len(base) == 3000

@@ -95,3 +95,45 @@ def test_spark_roundtrip(spark, tmp_path):
     a = sorted((tuple(r) for r in df.collect()), key=key)
     b = sorted((tuple(r) for r in back.collect()), key=key)
     assert a == b
+
+
+def test_read_tsv_split_parity(spark, tmp_path):
+    """read_tsv_split == read_tsv row-for-row with tiny chunk_bytes
+    (many chunks per file); newline snapping must never split a row or
+    a multibyte codepoint, and the two header rows belong to no
+    chunk."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.concat(F.lit("héllo\tß\n"),
+                            F.col("id").cast("string"))).alias("s"),
+        (F.col("id") % 9).cast("double").alias("x"),
+    )
+    out = str(tmp_path / "tsv_split")
+    TSV.write_tsv(df.repartition(2), out,
+                  ["Int64", "Nullable(String)", "Float64"])
+
+    def key(t):
+        return tuple((x is None, str(x)) for x in t)
+
+    base = sorted((tuple(r) for r in
+                   TSV.read_tsv(spark, out).collect()), key=key)
+    split_df = TSV.read_tsv_split(spark, out, chunk_bytes=1024)
+    split = sorted((tuple(r) for r in split_df.collect()), key=key)
+    assert base == split
+    assert len(base) == 2000
+    # headerless files through the headerless split form
+    out2 = str(tmp_path / "tsv_split_nh")
+    TSV.write_tsv(df.repartition(2), out2,
+                  ["Int64", "Nullable(String)", "Float64"],
+                  with_header=False)
+    split2 = sorted(
+        (tuple(r) for r in TSV.read_tsv_split(
+            spark, out2, chunk_bytes=1024,
+            ch_types=["Int64", "Nullable(String)", "Float64"],
+            names=["k", "s", "x"]).collect()),
+        key=key,
+    )
+    assert split2 == base
