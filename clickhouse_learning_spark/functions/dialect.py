@@ -3462,7 +3462,45 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # UDF over numpy uint64 (exact wrap, batch-at-a-time)
     m["intHash64"] = lambda a: _int_hash64_udf_sql(_one(a, "intHash64"))
     m["now64"] = lambda a: "now()"
-    m["toDateTime64"] = lambda a: f"CAST({a[0]} AS TIMESTAMP_NTZ)"
+
+    # toDateTime64 family: CH TRUNCATES the fractional part to the
+    # scale (toDateTime64('… .123456', 3) → .123000). The truncation
+    # must be an exact floor on integer microseconds — `x - pmod(x, P)`
+    # (never double division: unix_micros near DateTime64's 2299 upper
+    # bound exceeds 2^53) — which also handles pre-epoch values
+    # correctly (floor, matching decimal-string digit truncation).
+    # Scale > 6 is Spark's microsecond ceiling: digits 7-9 are zero in
+    # a Spark timestamp, so the cast alone is already exact.
+    def _dt64(x: str, scale: int, try_cast: bool) -> str:
+        cast = "try_cast" if try_cast else "CAST"
+        src = f"{cast}({x} AS TIMESTAMP)"
+        if scale >= 6:
+            return f"CAST({src} AS TIMESTAMP_NTZ)"
+        p = 10 ** (6 - scale)
+        um = f"unix_micros({src})"
+        return (
+            f"CAST(timestamp_micros({um} - pmod({um}, {p})) "
+            f"AS TIMESTAMP_NTZ)"
+        )
+
+    def _dt64_args(a: list[str], name: str) -> tuple[str, int]:
+        if len(a) == 1:
+            return a[0], 3  # CH's default DateTime64 scale
+        x, s = _two(a, name)
+        return x, _int_literal(s, f"{name} scale")
+
+    m["toDateTime64"] = lambda a: _dt64(*_dt64_args(a, "toDateTime64"),
+                                        try_cast=False)
+    m["toDateTime64OrNull"] = lambda a: _dt64(
+        *_dt64_args(a, "toDateTime64OrNull"), try_cast=True
+    )
+    # CH: the OrZero fallback is the TYPE MINIMUM — 1900-01-01 for the
+    # extended-range DateTime64 (same rule as toDate32OrZero's
+    # 1900-01-01, ADVICE r5), NOT the epoch
+    m["toDateTime64OrZero"] = lambda a: (
+        f"coalesce({_dt64(*_dt64_args(a, 'toDateTime64OrZero'), try_cast=True)}, "
+        f"TIMESTAMP_NTZ '1900-01-01 00:00:00')"
+    )
     m["uniqCombinedIf"] = lambda a: (
         lambda x, c: f"approx_count_distinct(CASE WHEN {c} THEN {x} END)"
     )(*_two(a, "uniqCombinedIf"))

@@ -626,6 +626,71 @@ CASES = [
       "({0})", [gsu]),
 ]
 
+# ---- r7 (VERDICT r6 item 4): OrZero/OrNull fallback constants per
+# type and DateTime64 scale truncation, incl. PRE-EPOCH inputs --------
+def g_ts_whole(r):
+    """timestamp string (whole seconds), ~25% pre-epoch, ~25% garbage."""
+    roll = r.random()
+    if roll < 0.25:
+        return r.choice(["nope", "", "2024-13-40 00:00:00", "12:99"])
+    base = dt.datetime(1969, 12, 26) if roll < 0.5 else dt.datetime(2024, 1, 1)
+    t = base + dt.timedelta(seconds=r.randint(0, 6 * 86400))
+    return t.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def g_ts_frac(r):
+    """VALID timestamp string with 0-6 fractional digits, ~40%
+    pre-epoch (the floor-vs-truncate hazard class)."""
+    base = dt.datetime(1969, 12, 26) if r.random() < 0.4 \
+        else dt.datetime(2024, 1, 1)
+    t = base + dt.timedelta(seconds=r.randint(0, 6 * 86400),
+                            microseconds=r.randint(0, 999_999))
+    s = t.strftime("%Y-%m-%d %H:%M:%S")
+    nd = r.randint(0, 6)
+    return s + ("." + f"{t.microsecond:06d}"[:nd] if nd else "")
+
+
+def g_ts_frac_or_garbage(r):
+    return g_ts_frac(r) if r.random() < 0.7 else \
+        r.choice(["nope", "", "2024-13-40 00:00:00"])
+
+
+def _duck_dt64(x: str, scale: int) -> str:
+    """DuckDB form of CH's DateTime64 scale truncation: exact floor on
+    integer microseconds (epoch_us is exact; P*floor(x/P) via the
+    sign-safe double floor is exact for test-era timestamps)."""
+    p = 10 ** (6 - scale)
+    if scale >= 6:
+        return f"TRY_CAST({x} AS TIMESTAMP)"
+    return (f"make_timestamp(CAST(floor(epoch_us(TRY_CAST({x} AS "
+            f"TIMESTAMP)) / {p}) * {p} AS BIGINT))")
+
+
+CASES += [
+    # fallback constants: DateTime zero = epoch; DateTime64 zero = the
+    # extended-range type minimum 1900-01-01 (same rule family as
+    # toDate32OrZero's 1900-01-01, ADVICE r5)
+    C("toDateTimeOrNull_fuzz", "toDateTimeOrNull({0})",
+      "TRY_CAST({0} AS TIMESTAMP)", [g_ts_whole]),
+    C("toDateTimeOrZero_fuzz", "toDateTimeOrZero({0})",
+      "coalesce(TRY_CAST({0} AS TIMESTAMP), "
+      "TIMESTAMP '1970-01-01 00:00:00')", [g_ts_whole]),
+    C("toDateTime64OrNull_s3", "toDateTime64OrNull({0}, 3)",
+      _duck_dt64("{0}", 3), [g_ts_frac_or_garbage]),
+    C("toDateTime64OrZero_s3", "toDateTime64OrZero({0}, 3)",
+      f"coalesce({_duck_dt64('{0}', 3)}, TIMESTAMP '1900-01-01')",
+      [g_ts_frac_or_garbage]),
+    C("toDateTime64OrZero_s0", "toDateTime64OrZero({0}, 0)",
+      f"coalesce({_duck_dt64('{0}', 0)}, TIMESTAMP '1900-01-01')",
+      [g_ts_frac_or_garbage]),
+]
+# scale truncation sweep (valid inputs; every scale 0..6, pre-epoch
+# included by the generator — floor must match decimal digit drop)
+for _s in range(7):
+    CASES.append(C(f"toDateTime64_s{_s}", f"toDateTime64({{0}}, {_s})",
+                   _duck_dt64("{0}", _s), [g_ts_frac]))
+
+
 # week-mode closed forms re-derived with DuckDB's Sunday-based
 # dayofweek by the helper queries_reference._duck_week — independent
 # of the Spark-side Monday-convention generation in dialect.py
@@ -675,7 +740,9 @@ def _norm(v):
             return "nan"
         return round(v, 9)
     if isinstance(v, dt.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        # sub-second faithful (r7: the toDateTime64 scale-truncation
+        # cases are ABOUT the fractional digits)
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

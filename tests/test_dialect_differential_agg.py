@@ -256,6 +256,44 @@ CASES = [
 ]
 
 
+# ---- r7 (VERDICT r6 item 4): -Resample bucket edges on NON-step-
+# divisible ranges. CH drops keys >= end outright, so the LAST bucket
+# clamps to end (the r6 ADVICE fix, until now pinned only point-wise);
+# the DuckDB side re-derives every bucket as an independent CASE-WHEN
+# aggregate — no shared structure with the dialect's HOF fold. Ranges
+# chosen to hit: negative starts, end mid-bucket, step > range (one
+# clamped bucket), and an all-below-start tail.
+def _resample_duck(agg: str, start: int, end: int, step: int) -> str:
+    nb = -(-(end - start) // step)
+    parts = []
+    for b in range(nb):
+        lo, hi = start + b * step, min(start + (b + 1) * step, end)
+        cond = f"v >= {lo} AND v < {hi}"
+        parts.append({
+            "sum": f"coalesce(sum(CASE WHEN {cond} THEN "
+                   f"CAST(v AS DOUBLE) END), 0)",
+            "count": f"CAST(count(CASE WHEN {cond} THEN 1 END) AS BIGINT)",
+            "min": f"min(CASE WHEN {cond} THEN CAST(v AS DOUBLE) END)",
+            "max": f"max(CASE WHEN {cond} THEN CAST(v AS DOUBLE) END)",
+            "avg": f"avg(CASE WHEN {cond} THEN CAST(v AS DOUBLE) END)",
+            "uniqExact": f"CAST(count(DISTINCT CASE WHEN {cond} "
+                         f"THEN v END) AS BIGINT)",
+        }[agg])
+    return "[" + ", ".join(parts) + "]"
+
+
+for _st, _en, _sp in [(-7, 8, 4), (0, 7, 3), (-9, 10, 5), (-8, -1, 3),
+                      (2, 3, 5)]:
+    for _agg in ("sum", "count", "min", "max", "avg", "uniqExact"):
+        _args = "(v)" if _agg == "count" else "(v, v)"
+        CASES.append(A(
+            f"{_agg}Resample_{_st}_{_en}_{_sp}",
+            f"{_agg}Resample({_st}, {_en}, {_sp}){_args}",
+            _resample_duck(_agg, _st, _en, _sp),
+            tol=1e-9,
+        ))
+
+
 # ------------------------------------------------------------------ run
 def _norm(v):
     from decimal import Decimal
