@@ -191,3 +191,148 @@ def adc_topk(
         .orderBy("adc_dist", id_col)
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------- IVF-PQ
+# The composed FAISS workhorse (IndexIVFPQ, Jégou et al. 2011 §V):
+# a coarse quantizer partitions the corpus into cells, PQ codes store
+# each vector's RESIDUAL from its cell centroid, and a query probes
+# only the nearest cells — the ADC tables are rebuilt per probed cell
+# from (query − centroid), so the code distance approximates
+# ‖query − (centroid + pq_recon(residual))‖², far tighter than PQ on
+# raw vectors at the same code budget. Everything deterministic:
+# cosine argmax-first coarse assignment (assign_cells), lowest-id-seed
+# Lloyd for both quantizer levels, 6dp-rounded codebooks, strict-<
+# argmin codes, (dist, id) top-k ties.
+#
+# Scale shape: residual compute + encode are map-only; the codes table
+# is written partitioned by ``cell`` so a probe is a PARTITION-PRUNED
+# scan (the IvfIndex layout, similarity.py); the per-cell ADC scan is
+# pure Catalyst (a CASE over n_probes literal table sets, m element_at
+# lookups each); one global top-k shuffle of k rows per partition.
+
+
+def _cents_lit(cents: list[list[float]]):
+    return F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
+
+
+def train_ivfpq(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    m: int = 4,
+    k: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine_iters: int = 2,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """``(coarse_centroids, residual_codebooks)``. The coarse level is
+    train_centroids (cosine Lloyd, the repo's IVF convention); the PQ
+    level trains on residuals v − c_cell(v), like FAISS's
+    by-residual=true default. Coarse centroids are 6dp-rounded for the
+    same cross-implementation determinism as the codebooks."""
+    cents = train_centroids(
+        corpus, n_centroids=n_cells, emb_col=emb_col, id_col=id_col,
+        refine_iters=refine_iters,
+    )
+    cents = [[round(float(x), 6) for x in c] for c in cents]
+    resid = _with_residual(corpus, cents, emb_col)
+    books = train_pq(
+        resid.select(id_col, F.col("_resid").alias(emb_col)),
+        m=m, k=k, emb_col=emb_col, id_col=id_col,
+        refine_iters=refine_iters,
+    )
+    return cents, books
+
+
+def _with_residual(
+    df: DataFrame, cents: list[list[float]], emb_col: str
+) -> DataFrame:
+    """Append ``cell`` (coarse assignment) and ``_resid`` = v − c_cell
+    (pure Catalyst once the cell is known; the assignment itself is
+    the Arrow-batched argmax of assign_cells)."""
+    from clickhouse_learning_spark.operators.similarity import assign_cells
+
+    out = assign_cells(df, cents, emb_col)
+    cent_of_row = F.element_at(_cents_lit(cents), F.col("cell") + 1)
+    return out.withColumn(
+        "_resid",
+        F.zip_with(F.col(emb_col), cent_of_row, lambda a, b: a - b),
+    )
+
+
+def encode_ivfpq(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    arrow: bool = False,
+) -> DataFrame:
+    """``(id, cell, pq_code)`` — the m-byte-per-vector corpus state.
+    ``arrow=True`` uses the BLAS batch encoder (the hot path at scale);
+    the default Catalyst fold matches the golden generator's direct
+    squared-difference argmin expression-for-expression."""
+    resid = _with_residual(corpus, cents, emb_col)
+    resid = resid.select(id_col, "cell", F.col("_resid").alias(emb_col))
+    enc = encode_pq_arrow if arrow else encode_pq
+    return enc(resid, books, emb_col=emb_col).select(
+        id_col, "cell", "pq_code"
+    )
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    query: list[float],
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    n_probes: int = 4,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ADC top-k over the probed cells only. Probe choice is the
+    n_probes highest-cosine centroids (ties → lowest cell, matching
+    assign_cells); per probed cell the m·k ADC table is computed
+    driver-side from the query's residual and enters the plan as
+    literals — the scan is a CASE over probed cells of element_at
+    sums: codegen, no UDF, and partition-pruned when ``codes_df`` is
+    stored partitioned by cell. Returns (id, cell, adc_dist)."""
+    import math as _math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a))
+        nb = _math.sqrt(sum(x * x for x in b))
+        return num / (na * nb)
+
+    sims = [(cos(query, c), -i) for i, c in enumerate(cents)]
+    probe_cells = [-ni for _, ni in
+                   sorted(sims, reverse=True)[:n_probes]]
+
+    m = len(books)
+    dsub = len(books[0][0])
+    score = None
+    for cell in probe_cells:
+        resid = [q - c for q, c in zip(query, cents[cell])]
+        cell_score = F.lit(0.0)
+        for s in range(m):
+            rsub = resid[s * dsub:(s + 1) * dsub]
+            table = [
+                round(sum((a - b) ** 2 for a, b in zip(rsub, cent)), 9)
+                for cent in books[s]
+            ]
+            tbl = F.array(*[F.lit(float(x)) for x in table])
+            cell_score = cell_score + F.element_at(
+                tbl, F.element_at(F.col(code_col), s + 1) + F.lit(1)
+            )
+        branch = (F.col("cell") == cell, cell_score)
+        score = F.when(*branch) if score is None else score.when(*branch)
+
+    return (
+        codes_df.filter(F.col("cell").isin([int(c) for c in probe_cells]))
+        .select(F.col(id_col), F.col("cell"), score.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(top_k)
+    )

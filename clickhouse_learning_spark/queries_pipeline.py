@@ -3508,3 +3508,57 @@ def _register_pq_golden() -> None:
 
 
 _register_pq_golden()
+
+
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7: IVF-PQ residual ANN (operators/pq.py train_ivfpq /
+    encode_ivfpq / ivfpq_topk — FAISS IndexIVFPQ, Jégou et al. 2011
+    §V): a coarse quantizer (8 cells, the repo's deterministic cosine
+    Lloyd) partitions the corpus, PQ codes (m=4, k=16) store each
+    vector's RESIDUAL from its cell centroid, and each query probes
+    its 4 nearest cells with per-cell ADC tables rebuilt from
+    (query − centroid). The memory story of pq_ann_topk plus the
+    partition-pruned probe of ann_ivf_topk in one composed index;
+    scan is pure Catalyst (CASE over probed cells of element_at
+    sums), plan-asserted in tests/test_plans.py. Hash-checked via
+    independent numpy goldens (tools/make_ivfpq_golden.py,
+    refuse-on-mismatch)."""
+    from clickhouse_learning_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books = PQ.train_ivfpq(emb, n_cells=8, m=4, k=16)
+    codes = PQ.encode_ivfpq(emb, cents, books).persist()
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    out = None
+    for qid, qvec in queries:
+        top = PQ.ivfpq_topk(
+            codes, qvec, cents, books, n_probes=4, top_k=5
+        ).select(
+            F.lit(qid).alias("query_id"),
+            F.col("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            F.round("adc_dist", 5).alias("adc_dist"),
+        )
+        out = top if out is None else out.unionAll(top)
+    return out
+
+
+QUERIES["ivfpq_ann_topk"] = ivfpq_ann_topk
+
+
+def _register_ivfpq_golden() -> None:
+    try:
+        from clickhouse_learning_spark import golden_ivfpq as G
+    except ImportError:
+        return
+    _ORACLES["ivfpq_ann_topk"] = _values_oracle(
+        G.IVFPQ_ANN_TOPK,
+        ["query_id", "vec_id", "cell", "adc_dist"],
+        ["BIGINT", "BIGINT", "BIGINT", "DOUBLE"],
+    )
+
+
+_register_ivfpq_golden()

@@ -469,3 +469,28 @@ def test_wordpiece_count_is_single_exchange(spark):
     assert "TakeOrderedAndProject" in p
     # formatted mode prints each node twice (tree line + detail header)
     assert p.count("Exchange") <= 2, p[:2000]
+
+
+def test_ivfpq_scan_is_pure_catalyst(spark, tmp_path):
+    """IVF-PQ (r7): the probe scan must be JVM-side — the per-cell ADC
+    tables enter as literals, the scan is a CASE of element_at sums
+    over the cell filter; no Python stage, no join. The codes table is
+    read from parquet PARTITIONED BY cell (the at-scale layout:
+    training/encode are offline), so the probe filter must show up as
+    a partition PRUNE, not a post-scan filter."""
+    from clickhouse_learning_spark.operators import pq as PQ
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents, books = PQ.train_ivfpq(emb, n_cells=4, m=4, k=8)
+    out = str(tmp_path / "ivfpq_codes")
+    PQ.encode_ivfpq(emb, cents, books).write.partitionBy(
+        "cell").parquet(out)
+    codes_tbl = spark.read.parquet(out)
+    q = [float(x) for x in
+         emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    p = plan_text(PQ.ivfpq_topk(codes_tbl, q, cents, books,
+                                n_probes=2, top_k=5))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "PartitionFilters: [cell" in p.replace("\n", " ") or \
+        "cell#" in p.split("PartitionFilters")[1][:200], p[:3000]
