@@ -3562,3 +3562,55 @@ def _register_ivfpq_golden() -> None:
 
 
 _register_ivfpq_golden()
+
+
+@query(
+    "arrow_roundtrip",
+    """
+    SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+           CAST(strftime(l_shipdate, '%Y') AS VARCHAR) AS year,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      / 100.0, 2) AS DOUBLE) AS revenue,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus, strftime(l_shipdate, '%Y')
+    """,
+)
+def arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7: Apache Arrow IPC source/sink (sources/arrow_ipc.py —
+    CH `FORMAT Arrow`, the interop member of the export family next
+    to RowBinary/Native/TSV): land lineitem as Arrow FILE-format
+    parts straight from Spark's internal Arrow batches (mapInArrow,
+    no pandas hop), read it back through the footer-indexed SPLIT
+    reader (parallelism = record batches / chunk, not file count),
+    and aggregate with the exact integer-cents sum. The oracle reads
+    the ORIGINAL parquet — green means the IPC round-trip is lossless
+    down to dates, floats and nullable ints."""
+    import tempfile
+
+    from clickhouse_learning_spark.sources import arrow_ipc as AR
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice", "l_shipdate",
+    )
+    path = tempfile.mkdtemp(prefix="arrow_rt_") + "/lineitem_arrow"
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+    try:
+        AR.write_arrow(li.repartition(4), path)
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    back = AR.read_arrow_split(spark, path, batches_per_chunk=2)
+    return back.groupBy(
+        F.col("l_returnflag").alias("rflag"),
+        F.col("l_linestatus").alias("lstatus"),
+        F.date_format("l_shipdate", "yyyy").alias("year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            / 100.0, 2,
+        ).alias("revenue"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
