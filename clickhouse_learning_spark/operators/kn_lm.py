@@ -1,0 +1,205 @@
+"""Interpolated Kneser–Ney trigram language model — the KenLM-family
+smoothing CCNet actually ships (Wenzek et al. 2020 train KenLM 5-grams;
+Chen & Goodman 1999 §3 is the interpolated-KN definition). Extends
+operators/lm.py's bigram stupid-backoff with the smoothing that made
+count-based LMs competitive: absolute discounting plus CONTINUATION
+counts — "how many contexts has this word completed" — instead of raw
+frequency at the backoff levels.
+
+Model (fixed discount D = 0.75, the textbook value; exact in every
+engine as a dyadic float):
+
+    p(w3 | w1 w2) = max(c3(w1w2w3) − D, 0) / cctx(w1w2)
+                    + (D · N1+(w1w2•) / cctx(w1w2)) · p(w3 | w2)
+    p(w3 | w2)    = max(N1+(•w2w3) − D, 0) / N1+(•w2•)
+                    + (D · N1+(w2•) / N1+(•w2•)) · pcont(w3)
+    pcont(w3)     = (N1+(•w3) + 1) / (N1+(••) + V + 1)
+
+where cctx(w1w2) = Σ_w c3(w1w2w) (contexts that HAVE continuations —
+the KN-correct denominator, which also makes the "context seen"
+branch test exact), N1+ are distinct-continuation counts, V the
+unigram vocabulary size, and pcont carries a +1/(…+V+1) floor so every
+token — including OOV — scores a finite log-probability (the
+documented practical smoothing of the continuation distribution; CCNet
+reaches the same end through KenLM's <unk>). An UNSEEN context backs
+off a level with weight 1 — mass is not strictly normalized there,
+which is irrelevant for quality SCORING and keeps both engines on one
+shared closed form.
+
+Scale design (100 TB corpus):
+- training = three count shuffles (trigrams, bigrams, unigrams), all
+  map-side combinable; the N1+ tables are cheap re-aggregations of the
+  trigram/bigram COUNT tables (model-sized, never corpus-sized).
+- scoring = keyed left joins of the test trigram stream against six
+  model-sized tables + one per-doc re-aggregation; AQE broadcasts
+  every side that fits, and the two 1-row totals ride an explicit
+  broadcast cross-join.
+- per-token log10 contributions are quantized to INTEGER micro-units
+  and summed exactly (the repo's determinism discipline — a raw
+  double sum merges in unpinned shuffle order); the per-doc mean is
+  two final divisions on exact integers, `+ 0.0` to pin the sign of
+  zero.
+
+Tokenization matches operators/text.py so the DuckDB oracle replays
+it verbatim.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.operators.lm import _bigram_rows, _tokens
+
+D = 0.75
+
+
+@dataclass
+class KNTrigramLM:
+    """Count tables, all DOUBLE-valued so ratios divide identically in
+    every engine; each is O(unique grams)."""
+
+    tri: DataFrame        # (w1, w2, w3, c3)
+    cctx: DataFrame       # (w1, w2, cctx, n3d)   Σc3 + N1+(w1w2•)
+    mid: DataFrame        # (w2, w3, nleft)        N1+(•w2w3)
+    midctx: DataFrame     # (w2, npairs, nfol)     N1+(•w2•), N1+(w2•)
+    pre: DataFrame        # (w3, npre)             N1+(•w3)
+    totals: DataFrame     # 1 row: nbi, v          N1+(••), |vocab|
+
+
+def _trigram_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, w1, w2, w3) adjacent triples — the bigram window walk plus
+    one more lead; one shuffle keyed by document id."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_tokens(text_col)).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    return (
+        tok.withColumn("w2", F.lead("w1").over(w))
+        .withColumn("w3", F.lead("w1", 2).over(w))
+        .filter(F.col("w3").isNotNull())
+        .select("_id", "w1", "w2", "w3")
+    )
+
+
+def train_kn_trigram(corpus: DataFrame, text_col: str = "text") -> KNTrigramLM:
+    """Three count shuffles + model-sized re-aggregations."""
+    cid = corpus.select(
+        F.monotonically_increasing_id().alias("_kn_id"), F.col(text_col)
+    )
+    tri = (
+        _trigram_rows(cid, "_kn_id", text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("double").alias("c3"))
+    )
+    tri = tri.persist()
+    cctx = tri.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("cctx"),
+        F.count(F.lit(1)).cast("double").alias("n3d"),
+    )
+    mid = tri.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("double").alias("nleft")
+    )
+    midctx = tri.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("npairs")
+    )
+    bi = (
+        _bigram_rows(cid, "_kn_id", text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    bi = bi.persist()
+    nfol = bi.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("double").alias("nfol")
+    ).withColumnRenamed("w1", "w2")
+    midctx = midctx.join(nfol, "w2", "left")
+    pre = bi.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("npre")
+    ).withColumnRenamed("w2", "w3")
+    vocab = corpus.select(F.explode(_tokens(text_col)).alias("w")).distinct()
+    totals = bi.agg(F.count(F.lit(1)).cast("double").alias("nbi")).crossJoin(
+        vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    return KNTrigramLM(tri=tri, cctx=cctx, mid=mid, midctx=midctx,
+                       pre=pre, totals=totals)
+
+
+def score_kn(
+    docs: DataFrame,
+    lm: KNTrigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tri, avg_logp10) — average interpolated-KN log10
+    probability over the document's trigram positions (tokens with two
+    predecessors; documents under three tokens score 0.0 with
+    n_tri = 0). Expressions are parenthesized EXACTLY like the DuckDB
+    oracle so both engines evaluate the same float dag."""
+    trigrams = _trigram_rows(docs, id_col, text_col)
+    joined = (
+        trigrams
+        .join(lm.tri, ["w1", "w2", "w3"], "left")
+        .join(lm.cctx, ["w1", "w2"], "left")
+        .join(lm.mid, ["w2", "w3"], "left")
+        .join(lm.midctx, ["w2"], "left")
+        .join(lm.pre, ["w3"], "left")
+        .crossJoin(F.broadcast(lm.totals))
+    )
+    pcont = (F.coalesce(F.col("npre"), F.lit(0.0)) + F.lit(1.0)) / (
+        F.col("nbi") + F.col("v") + F.lit(1.0)
+    )
+    pbi = F.when(
+        F.col("npairs").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("nleft"), F.lit(0.0)) - F.lit(D),
+                F.lit(0.0),
+            )
+            / F.col("npairs")
+        )
+        + (
+            (F.lit(D) * F.coalesce(F.col("nfol"), F.lit(0.0)))
+            / F.col("npairs")
+        )
+        * pcont,
+    ).otherwise(pcont)
+    p = F.when(
+        F.col("cctx").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("c3"), F.lit(0.0)) - F.lit(D),
+                F.lit(0.0),
+            )
+            / F.col("cctx")
+        )
+        + ((F.lit(D) * F.col("n3d")) / F.col("cctx")) * pbi,
+    ).otherwise(pbi)
+    lp_micro = F.round(F.log10(p) * 1_000_000.0).cast("long")
+    per_doc = joined.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.sum(lp_micro).alias("_sum_micro"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long")
+            .alias("n_tri"),
+            (
+                F.coalesce(
+                    F.round(
+                        F.col("_sum_micro") / F.col("n_tri")
+                        / 1_000_000.0, 2,
+                    ),
+                    F.lit(0.0),
+                )
+                + F.lit(0.0)  # pin the sign of zero (sweep law)
+            ).alias("avg_logp10"),
+        )
+    )

@@ -3614,3 +3614,97 @@ def arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.sum(F.col("l_quantity").cast("long")).alias("qty"),
     )
+
+
+_KN_PCONT = "((coalesce(pr.npre, 0.0) + 1.0) / (tot.nbi + tot.v + 1.0))"
+_KN_PBI = (
+    "(CASE WHEN mc.npairs IS NOT NULL THEN "
+    "(greatest(coalesce(mi.nleft, 0.0) - 0.75, 0.0) / mc.npairs) "
+    "+ ((0.75 * coalesce(mc.nfol, 0.0)) / mc.npairs) * " + _KN_PCONT +
+    " ELSE " + _KN_PCONT + " END)"
+)
+
+
+@query(
+    "kn_trigram_scores",
+    f"""
+    WITH train AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+    test AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    tk_tr AS (SELECT regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+              FROM train),
+    tri_rows AS (SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+                 FROM tk_tr,
+                      LATERAL (SELECT unnest(generate_series(1, len(t) - 2))
+                               AS i) g),
+    tri AS (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c3
+            FROM tri_rows GROUP BY w1, w2, w3),
+    cctx AS (SELECT w1, w2, sum(c3) AS cctx,
+                    CAST(count(*) AS DOUBLE) AS n3d
+             FROM tri GROUP BY w1, w2),
+    mid AS (SELECT w2, w3, CAST(count(*) AS DOUBLE) AS nleft
+            FROM tri GROUP BY w2, w3),
+    midctx0 AS (SELECT w2, CAST(count(*) AS DOUBLE) AS npairs
+                FROM tri GROUP BY w2),
+    bi AS (SELECT w1, w2 FROM
+             (SELECT t[i] AS w1, t[i + 1] AS w2
+              FROM tk_tr,
+                   LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+                            AS i) g)
+           GROUP BY w1, w2),
+    nfol AS (SELECT w1 AS w2, CAST(count(*) AS DOUBLE) AS nfol
+             FROM bi GROUP BY w1),
+    midctx AS (SELECT m.w2, m.npairs, f.nfol
+               FROM midctx0 m LEFT JOIN nfol f USING (w2)),
+    pre AS (SELECT w2 AS w3, CAST(count(*) AS DOUBLE) AS npre
+            FROM bi GROUP BY w2),
+    tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM bi) AS nbi,
+                   (SELECT CAST(count(DISTINCT u) AS DOUBLE)
+                    FROM (SELECT unnest(t) AS u FROM tk_tr)) AS v),
+    tk_te AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+              FROM test),
+    te AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+           FROM tk_te,
+                LATERAL (SELECT unnest(generate_series(1, len(t) - 2))
+                         AS i) g),
+    sc AS (SELECT te.doc_id,
+                  CAST(round(log10(
+                    CASE WHEN cc.cctx IS NOT NULL THEN
+                      (greatest(coalesce(tr.c3, 0.0) - 0.75, 0.0)
+                       / cc.cctx)
+                      + ((0.75 * cc.n3d) / cc.cctx) * {_KN_PBI}
+                    ELSE {_KN_PBI} END) * 1000000.0) AS BIGINT) AS lpm
+           FROM te
+           LEFT JOIN tri tr USING (w1, w2, w3)
+           LEFT JOIN cctx cc USING (w1, w2)
+           LEFT JOIN mid mi USING (w2, w3)
+           LEFT JOIN midctx mc USING (w2)
+           LEFT JOIN pre pr USING (w3), tot),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+                   round(sum(lpm) / count(*) / 1000000.0, 2) + 0.0
+                       AS avg_logp10
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_tri,
+           coalesce(a.avg_logp10, 0.0) + 0.0 AS avg_logp10
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def kn_trigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7: interpolated Kneser–Ney trigram LM
+    (operators/kn_lm.py — the KenLM-family smoothing CCNet actually
+    ships, vs lm.py's stupid-backoff bigram): train on even doc_ids,
+    score the held-out odd half by average interpolated-KN log10
+    probability over trigram positions. Training = three count
+    shuffles + model-sized N1+ re-aggregations; scoring = keyed joins
+    against six model tables. The oracle replays the identical counts,
+    discounting and continuation formulas in DuckDB with matching
+    parenthesization; per-token contributions quantized to integer
+    micro-units and summed exactly (determinism class), `+ 0.0` on the
+    rounded mean (negative-zero sweep law)."""
+    from clickhouse_learning_spark.operators import kn_lm as KN
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = KN.train_kn_trigram(docs.filter(F.col("doc_id") % 2 == 0))
+    return KN.score_kn(docs.filter(F.col("doc_id") % 2 == 1), model)

@@ -32,6 +32,7 @@ _CLASS = [
     "nb_quality_scores",
     "lm_quality_scores",
     "lm_heldout_scores",
+    "kn_trigram_scores",  # r7: interpolated-KN trigram (kn_lm.py)
     "ccnet_perplexity_buckets",
     "lr_quality_scores",
     "item_pagerank",

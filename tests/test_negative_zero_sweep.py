@@ -88,6 +88,7 @@ _SPARK_CLASS = [
     "nb_quality_scores",
     "lm_quality_scores",
     "lm_heldout_scores",
+    "kn_trigram_scores",
     "ccnet_perplexity_buckets",
     "lr_quality_scores",
     "item_pagerank",
