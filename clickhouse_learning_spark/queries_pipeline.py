@@ -3708,3 +3708,52 @@ def kn_trigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     model = KN.train_kn_trigram(docs.filter(F.col("doc_id") % 2 == 0))
     return KN.score_kn(docs.filter(F.col("doc_id") % 2 == 1), model)
+
+
+@query(
+    "avro_roundtrip",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(strftime(o_orderdate, '%Y') AS VARCHAR) AS year,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      / 100.0, 2) AS DOUBLE) AS total,
+           CAST(count(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END)
+                AS BIGINT) AS n_status
+    FROM orders
+    GROUP BY o_orderpriority, strftime(o_orderdate, '%Y')
+    """,
+)
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7: Avro Object Container source/sink (sources/avro.py —
+    CH `FORMAT Avro`; pure-Python spec codec since the container
+    ships no avro jar): land the orders table as deflate-compressed
+    OCF blocks (zigzag varints, null unions, date logical type), read
+    it back through the block-header-indexed SPLIT reader, aggregate
+    with the exact integer-cents sum. The oracle reads the ORIGINAL
+    parquet — green means the roundtrip is lossless down to dates,
+    floats and nullable strings."""
+    import tempfile
+
+    from clickhouse_learning_spark.sources import avro as AV
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_orderstatus"))
+        .alias("o_status"),  # exercise the null union
+    )
+    path = tempfile.mkdtemp(prefix="avro_rt_") + "/orders_avro"
+    AV.write_avro(orders.repartition(4), path, block_rows=500)
+    back = AV.read_avro_split(spark, path, rows_per_chunk=1500)
+    return back.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy").alias("year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / 100.0, 2,
+        ).alias("total"),
+        F.count("o_status").alias("n_status"),
+    )

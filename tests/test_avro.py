@@ -1,0 +1,129 @@
+"""Avro OCF source/sink laws (sources/avro.py — CH FORMAT Avro).
+
+The spec's own worked examples pin the wire encoding (no avro library
+ships in this container, so the independent second implementation is a
+minimal test-side decoder plus a hand-assembled container file)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_learning_spark.sources import avro as AV
+
+
+def test_zigzag_spec_vectors():
+    """Avro spec 'Binary Encoding' table: 0→00, -1→01, 1→02, -2→03,
+    2→04, -64→7f, 64→80 01; plus the string example 'foo' →
+    06 66 6f 6f."""
+    vec = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03",
+           2: b"\x04", -64: b"\x7f", 64: b"\x80\x01"}
+    for n, b in vec.items():
+        assert AV.zigzag_encode(n) == b, n
+        assert AV.zigzag_decode(b, 0) == (n, len(b)), n
+    assert AV._wstr("foo") == b"\x06foo"
+    # 64-bit extremes roundtrip
+    for n in (2**63 - 1, -(2**63), 12345678901234, -987654321098):
+        got, pos = AV.zigzag_decode(AV.zigzag_encode(n), 0)
+        assert got == n
+
+
+def test_hand_assembled_container_decodes():
+    """A container file built BYTE BY BYTE from the spec rules (magic,
+    metadata map, sync, one deflate block of two records) — the
+    reader must decode it; this pins the container framing
+    independently of the writer."""
+    schema = (b'{"type":"record","name":"r","fields":'
+              b'[{"name":"k","type":"long"},'
+              b'{"name":"s","type":["null","string"]}]}')
+    sync = bytes(range(16))
+    hdr = bytearray(b"Obj\x01")
+    hdr += AV.zigzag_encode(2)
+    hdr += AV.zigzag_encode(11) + b"avro.schema"
+    hdr += AV.zigzag_encode(len(schema)) + schema
+    hdr += AV.zigzag_encode(10) + b"avro.codec"
+    hdr += AV.zigzag_encode(7) + b"deflate"
+    hdr += AV.zigzag_encode(0)
+    hdr += sync
+    # two records: (7, "hi"), (-3, null)
+    payload = (AV.zigzag_encode(7) + AV.zigzag_encode(1)
+               + AV.zigzag_encode(2) + b"hi"
+               + AV.zigzag_encode(-3) + AV.zigzag_encode(0))
+    comp = zlib.compress(payload, 6)[2:-4]
+    blob = (bytes(hdr) + AV.zigzag_encode(2)
+            + AV.zigzag_encode(len(comp)) + comp + sync)
+    sch, codec, got_sync, _ = AV.parse_header(blob)
+    assert codec == "deflate" and got_sync == sync
+    spans = list(AV.block_spans(blob))
+    assert len(spans) == 1 and spans[0][0] == 2
+    cnt, _, s, e = spans[0]
+    rows = AV._decode_block(blob[s:e], codec, cnt, AV._decoder(sch))
+    assert rows == [(7, "hi"), (-3, None)]
+
+
+def _mk(spark):
+    return spark.range(2500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 9).cast("double").alias("x"),
+        F.when(F.col("id") % 3 == 0, F.concat(F.lit("héllo\n"),
+               F.col("id").cast("string"))).alias("s"),
+        (F.col("id") % 2 == 0).alias("b"),
+        F.date_add(F.lit("1969-11-01").cast("date"),
+                   (F.col("id") % 900).cast("int")).alias("d"),  # pre-epoch too
+        F.timestamp_micros(F.col("id") * 1_000_003 - F.lit(10**9)).alias("ts"),
+        F.array((F.col("id") % 5).cast("int"),
+                (F.col("id") % 11).cast("int")).alias("a"),
+        F.create_map(F.lit("n"), F.col("id") % 7).alias("m"),
+        F.struct(F.col("id").alias("u"),
+                 (F.col("id") % 4).cast("string").alias("v")).alias("st"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("raw"),
+    )
+
+
+def _key(t):
+    return tuple((x is None, str(x)) for x in t)
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_spark_roundtrip_type_matrix(spark, tmp_path, codec):
+    df = _mk(spark)
+    out = str(tmp_path / codec)
+    n = AV.write_avro(df.repartition(3), out, codec=codec,
+                      block_rows=200)
+    assert n == 3
+    back = AV.read_avro(spark, out)
+    assert back.schema == df.schema
+    a = sorted((tuple(r) for r in df.collect()), key=_key)
+    b = sorted((tuple(r) for r in back.collect()), key=_key)
+    assert a == b
+
+
+def test_split_parity(spark, tmp_path):
+    df = _mk(spark)
+    out = str(tmp_path / "split")
+    AV.write_avro(df.repartition(2), out, block_rows=100)
+    base = sorted((tuple(r) for r in
+                   AV.read_avro(spark, out).collect()), key=_key)
+    split = sorted((tuple(r) for r in AV.read_avro_split(
+        spark, out, rows_per_chunk=300).collect()), key=_key)
+    assert base == split and len(base) == 2500
+
+
+def test_unsupported_gates(spark):
+    dec = spark.range(1).select(
+        F.col("id").cast("decimal(10,2)").alias("d"))
+    with pytest.raises(ValueError, match="binary paths"):
+        AV.schema_to_avro_json(dec.schema)
+    intmap = spark.range(1).select(
+        F.create_map(F.col("id"), F.col("id")).alias("m"))
+    with pytest.raises(ValueError, match="STRING"):
+        AV.schema_to_avro_json(intmap.schema)
+
+
+def test_corrupt_gates():
+    with pytest.raises(ValueError, match="not an Avro"):
+        AV.parse_header(b"PAR1xxxx")
