@@ -1070,6 +1070,39 @@ def main() -> None:
             ts.append(time.time() - t0)
         timings["tsv_roundtrip_200k"] = _timed(ts)
 
+        # r7: the interop members — Arrow IPC rides Spark's internal
+        # Arrow batches both ways (mapInArrow; should price near
+        # parquet), Avro's pure-Python row codec is priced honestly at
+        # the same 1M rows so the gap is visible
+        from clickhouse_learning_spark.sources import arrow_ipc as _AR
+        from clickhouse_learning_spark.sources import avro as _AV
+
+        def _arrow_rt(i: int) -> None:
+            out = d + f"/arr{i}"
+            _AR.write_arrow(exp, out)
+            _AR.read_arrow_split(spark, out, batches_per_chunk=4) \
+                .write.format("noop").mode("overwrite").save()
+
+        ts = []
+        for i in range(min(runs, 2)):
+            t0 = time.time()
+            _arrow_rt(i)
+            ts.append(time.time() - t0)
+        timings["arrow_roundtrip_1m"] = _timed(ts)
+
+        def _avro_rt(i: int) -> None:
+            out = d + f"/avr{i}"
+            _AV.write_avro(exp_small, out, block_rows=8192)
+            _AV.read_avro_split(spark, out, rows_per_chunk=16384) \
+                .write.format("noop").mode("overwrite").save()
+
+        ts = []
+        for i in range(min(runs, 2)):
+            t0 = time.time()
+            _avro_rt(i)
+            ts.append(time.time() - t0)
+        timings["avro_roundtrip_200k"] = _timed(ts)
+
     # the reference's 1-billion-row sumState benchmark shape
     # (BASELINE.md: 3.201s / 312M rows/s on ClickHouse 21.3)
     timings["sum_1b_rows_1000_groups"] = best_of(

@@ -3757,3 +3757,101 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total"),
         F.count("o_status").alias("n_status"),
     )
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    f"""
+    WITH qt AS (
+      SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+      FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)})
+           AS qs(query_id, qtext)),
+    tok AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored_b AS (
+      SELECT qt.query_id, tf.doc_id,
+             sum(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * dl.dl / stats.avgdl))) AS score
+      FROM tf JOIN qt USING (term)
+      JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY qt.query_id, tf.doc_id),
+    ranked_b AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(score, 6) DESC, doc_id)
+                 AS rank
+      FROM scored_b),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id IN (1, 2, 3)),
+    scored_c AS (
+      SELECT q.query_id, c.vec_id,
+             {_cos_sql("c.embedding", "q.qv")} AS sim
+      FROM embeddings c, q),
+    ranked_c AS (
+      SELECT query_id, vec_id AS doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored_c),
+    contrib AS (
+      SELECT query_id, doc_id,
+             CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS c
+      FROM ranked_b WHERE rank <= 20
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS c
+      FROM ranked_c WHERE rank <= 20),
+    fused AS (SELECT query_id, doc_id, sum(c) AS rrf_nano,
+                     CAST(count(*) AS BIGINT) AS n_lists
+              FROM contrib GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, rrf_nano, n_lists,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_nano DESC, doc_id) AS rank
+      FROM fused)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rrf_nano AS BIGINT) AS rrf_nano, n_lists,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7: hybrid sparse+dense retrieval fused with Reciprocal
+    Rank Fusion (operators/retrieval.py — Cormack et al. 2009, the
+    calibration-free fusion every RAG/dedup candidate generator uses):
+    each query carries a TEXT form (BM25 over the documents
+    inverted-index shape, top-20) and a DENSE form (its embedding,
+    brute-force cosine top-20), fused as Σ 1/(60 + rank) in integer
+    nano-units (shuffle-order-independent exact sum), per-query top-10
+    with id tie-break. The oracle replays both sub-rankings and the
+    fusion in one SQL pipeline."""
+    from clickhouse_learning_spark.operators import retrieval as R
+    from clickhouse_learning_spark.operators import similarity as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qt = spark.createDataFrame(
+        [(i, t) for i, q in _BM25_QUERIES for t in q.split()],
+        "query_id long, term string",
+    )
+    sparse = R.bm25_rank(docs, qt, top_k=20)
+    qv = emb.filter(F.col("vec_id").isin([1, 2, 3])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = S.cosine_topk_bruteforce(emb, qv, k=20).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return R.rrf_fuse(
+        [sparse.select("query_id", "doc_id", "rank"), dense],
+        k=60, top_k=10,
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rrf_nano", "n_lists", "rank",
+    )
