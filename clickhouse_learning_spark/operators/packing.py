@@ -213,3 +213,81 @@ def epoch_upsample(
         .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_n"))))
         .drop("_e", "_n")
     )
+
+
+def pack_token_spans(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tok",
+    id_col: str = "doc_id",
+    eos: int = 1,
+    bucket_docs: int = 4096,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing WITH span metadata:
+    documents (id order, ``eos`` boundary tokens appended to each) are
+    concatenated into one global token stream and cut into fixed
+    ``seq_len`` windows; the output is one row per (sequence, document)
+    INTERSECTION — exactly the map a document-level attention mask or
+    a provenance audit needs:
+
+        (seq_id, doc_id, seq_off, doc_off, span_len)
+
+    where the document's tokens [doc_off, doc_off + span_len) land at
+    [seq_off, seq_off + span_len) of sequence seq_id. A document longer
+    than ``seq_len`` spans several sequences; a short one shares its
+    sequence with neighbors.
+
+    Scale: the global prefix sum is NOT a single-partition window (the
+    classic scale-killer) — docs bucket by ``id / bucket_docs``, bucket
+    totals aggregate to a BOUNDED table whose running offsets broadcast
+    back, and the per-doc cumsum windows only within its bucket. The
+    span fan-out is a map-side ``explode(sequence(...))``. Everything
+    integer arithmetic — hash-exact on any layout."""
+    toks = F.col(token_col) + F.lit(eos)
+    b = df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.floor(F.col(id_col) / F.lit(bucket_docs)).alias("_bkt"),
+    )
+    bucket_tot = b.groupBy("_bkt").agg(F.sum("_t").alias("_bt"))
+    wb = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the bucket table is bounded (corpus/bucket_docs rows), so this
+    # one tiny ordered window is NOT data-proportional
+    bucket_off = bucket_tot.select(
+        "_bkt", (F.sum("_bt").over(wb) - F.col("_bt")).alias("_boff")
+    )
+    wd = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = b.withColumn("_cum", F.sum("_t").over(wd)).join(
+        F.broadcast(bucket_off), "_bkt"
+    ).select(
+        F.col(id_col),
+        F.col("_t"),
+        (F.col("_boff") + F.col("_cum") - F.col("_t")).alias("_start"),
+    )
+    start, end = F.col("_start"), F.col("_start") + F.col("_t")
+    first_seq = F.floor(start / F.lit(seq_len))
+    last_seq = F.floor((end - 1) / F.lit(seq_len))
+    spans = pos.select(
+        F.col(id_col), "_t", "_start",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    g0 = F.greatest(F.col("_start"), F.col("seq_id") * F.lit(seq_len))
+    g1 = F.least(
+        F.col("_start") + F.col("_t"),
+        (F.col("seq_id") + 1) * F.lit(seq_len),
+    )
+    return spans.select(
+        F.col("seq_id").cast("long"),
+        F.col(id_col),
+        (g0 - F.col("seq_id") * F.lit(seq_len)).cast("long")
+        .alias("seq_off"),
+        (g0 - F.col("_start")).cast("long").alias("doc_off"),
+        (g1 - g0).cast("long").alias("span_len"),
+    )

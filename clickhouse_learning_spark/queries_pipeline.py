@@ -3855,3 +3855,44 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         "rrf_nano", "n_lists", "rank",
     )
+
+
+@query(
+    "sequence_packing_spans",
+    f"""
+    WITH n AS (SELECT doc_id, len({_TOKENS}) + 1 AS t FROM documents),
+    pos AS (SELECT doc_id, t,
+                   sum(t) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - t AS s
+            FROM n),
+    spans AS (
+      SELECT doc_id, t, s,
+             unnest(generate_series(CAST(s // 256 AS BIGINT),
+                                    CAST((s + t - 1) // 256 AS BIGINT)))
+                 AS seq_id
+      FROM pos)
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(s, seq_id * 256) - seq_id * 256 AS BIGINT)
+               AS seq_off,
+           CAST(greatest(s, seq_id * 256) - s AS BIGINT) AS doc_off,
+           CAST(least(s + t, (seq_id + 1) * 256)
+                - greatest(s, seq_id * 256) AS BIGINT) AS span_len
+    FROM spans
+    """,
+)
+def sequence_packing_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7: GPT-style concat-and-chunk sequence packing with span
+    metadata (operators/packing.pack_token_spans): documents in id
+    order, one EOS each, cut into 256-token windows; one output row per
+    (sequence, document) intersection — the provenance/attention-mask
+    map. The global prefix sum runs as the distributed two-phase form
+    (bucket totals + bounded running offsets + per-bucket windows),
+    never a data-proportional single-partition window; the oracle is
+    the single-window DuckDB cumsum with the same integer span math."""
+    from clickhouse_learning_spark.operators.packing import pack_token_spans
+    from clickhouse_learning_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).alias("n_tok")
+    )
+    return pack_token_spans(docs, seq_len=256, bucket_docs=64)

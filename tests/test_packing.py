@@ -134,3 +134,48 @@ def test_temperature_weights_boost_low_resource(spark):
     assert w0["rare"] == pytest.approx(0.5)
     assert w1["rare"] < w05["rare"] < w0["rare"]
     assert sum(w05.values()) == pytest.approx(1.0)
+
+
+def test_pack_token_spans_laws(spark):
+    """Span tiling laws for the concat-and-chunk packer: (a) each
+    document's spans reconstruct exactly [0, n_tok + eos) in order;
+    (b) each sequence's spans tile [0, 256) contiguously (last
+    sequence tiles a prefix); (c) bucket size — the distributed
+    prefix-sum's only knob — does not change a single row."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.operators.packing import pack_token_spans
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        # lengths 0..599, incl. > seq_len docs and empty docs
+        ((F.col("id") * 37) % 600).cast("long").alias("n_tok"),
+    )
+    out = pack_token_spans(docs, seq_len=256, bucket_docs=16).collect()
+    by_doc = {}
+    by_seq = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    lens = {r["doc_id"]: r["n_tok"] for r in docs.collect()}
+    for d, spans in by_doc.items():
+        spans.sort(key=lambda r: r["doc_off"])
+        assert spans[0]["doc_off"] == 0
+        for a, b in zip(spans, spans[1:]):
+            assert a["doc_off"] + a["span_len"] == b["doc_off"]
+        total = spans[-1]["doc_off"] + spans[-1]["span_len"]
+        assert total == lens[d] + 1, d  # +1 = the EOS token
+    assert set(by_doc) == set(lens)  # empty docs still carry their EOS
+    last_seq = max(by_seq)
+    for sid, spans in by_seq.items():
+        spans.sort(key=lambda r: r["seq_off"])
+        assert spans[0]["seq_off"] == 0
+        for a, b in zip(spans, spans[1:]):
+            assert a["seq_off"] + a["span_len"] == b["seq_off"]
+        width = spans[-1]["seq_off"] + spans[-1]["span_len"]
+        assert width == 256 or (sid == last_seq and width <= 256), sid
+    # (c) bucket-size independence
+    alt = pack_token_spans(docs, seq_len=256, bucket_docs=7).collect()
+    key = lambda r: (r["seq_id"], r["doc_id"], r["seq_off"])  # noqa: E731
+    assert sorted(map(tuple, alt), key=lambda t: t[:3]) == \
+        sorted(map(tuple, out), key=lambda t: t[:3])
