@@ -4044,11 +4044,8 @@ _GEOHASH_WANTED = False
 def _geohash_udf_sql(expr: str) -> str:
     global _GEOHASH_WANTED
     _GEOHASH_WANTED = True
-    from pyspark.sql import SparkSession
-
-    s = SparkSession.getActiveSession()
-    if s is not None:
-        register_sequence_udfs(s)
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
     return expr
 
 
@@ -4116,33 +4113,24 @@ def _make_int_hash64_udf():
 def _int_hash64_udf_sql(x: str) -> str:
     global _INT_HASH64_WANTED
     _INT_HASH64_WANTED = True
-    from pyspark.sql import SparkSession
-
-    s = SparkSession.getActiveSession()
-    if s is not None:
-        register_sequence_udfs(s)
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
     return f"ch_int_hash64(CAST(({x}) AS BIGINT))"
 
 
 def _punycode_udf_sql(fn: str, x: str) -> str:
     global _PUNYCODE_WANTED
     _PUNYCODE_WANTED = True
-    from pyspark.sql import SparkSession
-
-    s = SparkSession.getActiveSession()
-    if s is not None:
-        register_sequence_udfs(s)
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
     return f"{fn}({x})"
 
 
 def _base58_udf_sql(fn: str, x: str) -> str:
     global _BASE58_WANTED
     _BASE58_WANTED = True
-    from pyspark.sql import SparkSession
-
-    s = SparkSession.getActiveSession()
-    if s is not None:
-        register_sequence_udfs(s)
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
     return f"{fn}({x})"
 
 
@@ -4241,6 +4229,27 @@ def _make_punycode_udfs():
     )
 
 
+def _live_sessions():
+    """Every session dialect UDFs must land on. Session-scoped temp
+    functions registered on the WRONG session surface later as
+    UNRESOLVED_ROUTINE — and after a Structured Streaming query runs in
+    the process (e.g. a graded streaming query earlier in the same
+    replay), ``getActiveSession()`` on the main thread returns the
+    MICRO-BATCH CLONE, not the default session the caller's
+    ``spark.sql`` uses (observed r7: registration landed on the clone,
+    the guard query failed on the default). Register on BOTH the
+    active session and the instantiated default; they are usually the
+    same object."""
+    from pyspark.sql import SparkSession
+
+    out = []
+    for s in (SparkSession.getActiveSession(),
+              getattr(SparkSession, "_instantiatedSession", None)):
+        if s is not None and not any(s is x for x in out):
+            out.append(s)
+    return out
+
+
 def register_sequence_udfs(spark) -> None:
     """Idempotently register every Pandas UDF the dialect has emitted
     on this session (full-grammar sequenceMatch/Count,
@@ -4302,11 +4311,8 @@ def _t_pvalue_sql(t: str, df: str) -> str:
     beta; runs post-aggregation, one row per group)."""
     global _TTEST_WANTED
     _TTEST_WANTED = True
-    from pyspark.sql import SparkSession
-
-    s = SparkSession.getActiveSession()
-    if s is not None:
-        register_sequence_udfs(s)
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
     return f"ch_t_pvalue({t}, {df})"
 
 
@@ -4341,11 +4347,8 @@ def _ks_test_sql(params: list[str], args: list[str]) -> str:
     v, g = _two(args, "kolmogorovSmirnovTest")
     global _KS_WANTED
     _KS_WANTED = True
-    from pyspark.sql import SparkSession
-
-    s = SparkSession.getActiveSession()
-    if s is not None:
-        register_sequence_udfs(s)
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
     call = f"ch_ks_test(CAST(({v}) AS DOUBLE), CAST(({g}) AS INT))"
     return (
         f"element_at(transform(array({call}), ks -> "
@@ -4392,11 +4395,8 @@ def _mean_z_test_sql(params: list[str], args: list[str]) -> str:
     diff = f"(({m0}) - ({m1}))"
     global _ZTEST_WANTED
     _ZTEST_WANTED = True
-    from pyspark.sql import SparkSession
-
-    s = SparkSession.getActiveSession()
-    if s is not None:
-        register_sequence_udfs(s)
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
     return (
         f"named_struct('col1', {z}, "
         f"'col2', ch_normal_two_sided_p({z}), "
@@ -4439,11 +4439,8 @@ def _mw_test_sql(params: list[str], args: list[str]) -> str:
     slug = {"two-sided": "ts", "greater": "gt", "less": "lt"}[alternative]
     name = f"ch_mw_{slug}_{1 if cc else 0}"
     _MW_UDFS[name] = (alternative, cc)
-    from pyspark.sql import SparkSession
-
-    s = SparkSession.getActiveSession()
-    if s is not None:
-        register_sequence_udfs(s)
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
     call = f"{name}(CAST(({v}) AS DOUBLE), CAST(({g}) AS INT))"
     return (
         f"element_at(transform(array({call}), mw -> "
@@ -4465,11 +4462,8 @@ def _lttb_udf_sql(p: list[str], a: list[str]) -> str:
     x, y = _two(a, "largestTriangleThreeBuckets")
     name = f"ch_lttb_{n}"
     _LTTB_UDFS[name] = n
-    from pyspark.sql import SparkSession
-
-    s = SparkSession.getActiveSession()
-    if s is not None:
-        register_sequence_udfs(s)
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
     return f"{name}(CAST(({x}) AS DOUBLE), CAST(({y}) AS DOUBLE))"
 
 
@@ -4484,11 +4478,8 @@ def _sequence_udf_sql(pattern: str, a: list[str], kind: str) -> str:
     key = hashlib.md5(f"{kind}|{n}|{pattern}".encode()).hexdigest()[:10]
     name = f"ch_seq_{kind}_{key}"
     _SEQ_UDFS[name] = (pattern, n, kind)
-    from pyspark.sql import SparkSession
-
-    s = SparkSession.getActiveSession()
-    if s is not None:
-        register_sequence_udfs(s)
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
     t = f"unix_seconds(CAST(({a[0]}) AS TIMESTAMP))"
     conds = ", ".join(
         f"coalesce(CAST(({c}) AS BOOLEAN), false)" for c in a[1:]

@@ -2136,3 +2136,49 @@ def test_topk_matches_python_reference(spark):
         if list(r.t) != want[r.g] or list(r.tw) != want_w[r.g]
     ]
     assert not bad, bad[:5]
+
+
+def test_dialect_udfs_survive_streaming_session_clone(spark, tmp_path):
+    """After ANY Structured Streaming query runs, getActiveSession()
+    on the main thread returns the micro-batch CLONE — dialect UDF
+    registration must still land on the DEFAULT session the caller's
+    spark.sql uses (r7: sequenceMatch guard queries failed with
+    UNRESOLVED_ROUTINE whenever a streaming query ran earlier in the
+    process)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    land = str(tmp_path / "land")
+    spark.range(10).select(
+        F.col("id").alias("u"),
+        F.col("id").cast("timestamp").alias("ts"),
+        (F.col("id") % 2 == 0).alias("a"),
+    ).write.parquet(land)
+    def _noop(batch, epoch):
+        batch.count()  # touches batch.sparkSession (the clone)
+
+    q = (
+        spark.readStream.schema("u long, ts timestamp, a boolean")
+        .parquet(land)
+        .writeStream.foreachBatch(_noop)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # (whether the clone is left active is version/timing-dependent —
+    # the CONTRACT under test is only that the dialect query below
+    # resolves on the default session either way)
+    spark.range(5).select(
+        (F.col("id") % 3).alias("u"),
+        F.col("id").cast("timestamp").alias("ts"),
+        (F.col("id") % 2 == 0).alias("a"),
+        (F.col("id") % 2 == 1).alias("b"),
+    ).createOrReplaceTempView("seq_clone_t")
+    out = spark.sql(translate(
+        "SELECT u, sequenceMatch('(?1)(?t<=10)(?2)')(ts, a, b) AS m "
+        "FROM seq_clone_t GROUP BY u"
+    )).collect()
+    assert len(out) == 3
