@@ -3425,6 +3425,50 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
                 )
             )
         )(_ng)
+    # -- string distances (r7: these used to PASS THROUGH untranslated
+    # — the silent-mistranslation class; now mapped where the public
+    # definition is unambiguous, gated with pointers where CH's edge
+    # rules aren't pinned offline) ------------------------------------
+    # CH's UTF8 variants are codepoint-level — exactly Spark's builtin
+    m["editDistanceUTF8"] = lambda a: (
+        lambda x, y: f"levenshtein({x}, {y})"
+    )(*_two(a, "editDistanceUTF8"))
+    m["levenshteinDistanceUTF8"] = m["editDistanceUTF8"]
+    # the plain forms are BYTE-level; identical to codepoint level for
+    # ASCII, and the byte DP runs as an Arrow UDF for the general case
+    m["editDistance"] = lambda a: _edit_distance_udf_sql(
+        *_two(a, "editDistance")
+    )
+    m["levenshteinDistance"] = m["editDistance"]
+    # textbook Jaro / Jaro–Winkler (Winkler 1990: p=0.1, prefix<=4);
+    # empty-edge convention documented at the UDF: both empty -> 1.0,
+    # exactly one empty -> 0.0. Differential-fuzzed against DuckDB's
+    # independent jaro_similarity/jaro_winkler_similarity.
+    m["jaroSimilarity"] = lambda a: _jaro_udf_sql(
+        *_two(a, "jaroSimilarity"), winkler=False
+    )
+    m["jaroWinklerSimilarity"] = lambda a: _jaro_udf_sql(
+        *_two(a, "jaroWinklerSimilarity"), winkler=True
+    )
+    # CH documents stringJaccardIndex over BYTE sets; both-empty -> 1.0
+    # (|∩|/|∪| with the empty union defined as identity), one-empty ->
+    # 0.0. Fuzzed against DuckDB's character-set jaccard on ASCII.
+    m["stringJaccardIndex"] = lambda a: _jaccard_bytes_udf_sql(
+        *_two(a, "stringJaccardIndex")
+    )
+    for _sd in ("damerauLevenshteinDistance", "byteHammingDistance"):
+        m[_sd] = (
+            lambda name: lambda a: (_ for _ in ()).throw(
+                ValueError(
+                    f"{name}: CH's exact rule is not pinned offline "
+                    "(Damerau: restricted-OSA vs full-DL transposition "
+                    "handling; byteHamming: the unequal-length tail "
+                    "convention) — a guessed edge rule would silently "
+                    "mistranslate; use editDistance/levenshtein for a "
+                    "verified metric"
+                )
+            )
+        )(_sd)
     for _nq in ("normalizeQuery", "normalizedQueryHash",
                 "normalizeQueryKeepNames", "normalizedQueryHashKeepNames"):
         m[_nq] = (
@@ -4118,6 +4162,132 @@ def _int_hash64_udf_sql(x: str) -> str:
     return f"ch_int_hash64(CAST(({x}) AS BIGINT))"
 
 
+_STRDIST_WANTED = False
+
+
+def _edit_distance_udf_sql(x: str, y: str) -> str:
+    global _STRDIST_WANTED
+    _STRDIST_WANTED = True
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
+    return f"ch_edit_distance({x}, {y})"
+
+
+def _jaro_udf_sql(x: str, y: str, winkler: bool) -> str:
+    global _STRDIST_WANTED
+    _STRDIST_WANTED = True
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
+    fn = "ch_jaro_winkler" if winkler else "ch_jaro"
+    return f"{fn}({x}, {y})"
+
+
+def _jaccard_bytes_udf_sql(x: str, y: str) -> str:
+    global _STRDIST_WANTED
+    _STRDIST_WANTED = True
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
+    return f"ch_string_jaccard({x}, {y})"
+
+
+def _make_strdist_udfs():
+    """Arrow-batched string-distance UDFs: byte-level Levenshtein DP,
+    textbook Jaro / Jaro–Winkler (matches window floor(max/2)-1,
+    half-transpositions, p=0.1, prefix cap 4), byte-set Jaccard.
+    Empty-string edges: both empty -> 1.0 similarity / 0 distance,
+    exactly one empty -> 0.0 similarity / len(other) distance."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _lev(a: bytes, b: bytes) -> int:
+        if not a:
+            return len(b)
+        if not b:
+            return len(a)
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    def _jaro(a: str, b: str) -> float:
+        if not a and not b:
+            return 1.0
+        if not a or not b:
+            return 0.0
+        la, lb = len(a), len(b)
+        window = max(la, lb) // 2 - 1
+        if window < 0:
+            window = 0
+        ma = [False] * la
+        mb = [False] * lb
+        matches = 0
+        for i in range(la):
+            lo, hi = max(0, i - window), min(lb, i + window + 1)
+            for j in range(lo, hi):
+                if not mb[j] and a[i] == b[j]:
+                    ma[i] = mb[j] = True
+                    matches += 1
+                    break
+        if matches == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(la):
+            if ma[i]:
+                while not mb[k]:
+                    k += 1
+                if a[i] != b[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        return (matches / la + matches / lb
+                + (matches - t) / matches) / 3.0
+
+    def _jw(a: str, b: str) -> float:
+        j = _jaro(a, b)
+        l = 0
+        for ca, cb in zip(a[:4], b[:4]):
+            if ca != cb:
+                break
+            l += 1
+        return j + l * 0.1 * (1.0 - j)
+
+    def _mk(fn):
+        # no type hints: dialect.py stringizes annotations (future
+        # import) and the local `pd` alias is invisible to pyspark's
+        # hint resolver — hint-less pandas_udf defaults to SCALAR
+        @pandas_udf("double")
+        def u(xs, ys):
+            return pd.Series([
+                None if x is None or y is None else float(fn(x, y))
+                for x, y in zip(xs, ys)
+            ], dtype="float64")
+
+        return u
+
+    def _ed(x, y):
+        return _lev(x.encode("utf-8"), y.encode("utf-8"))
+
+    def _jac(x, y):
+        sa, sb = set(x.encode("utf-8")), set(y.encode("utf-8"))
+        if not sa and not sb:
+            return 1.0
+        return len(sa & sb) / len(sa | sb)
+
+    @pandas_udf("long")
+    def ed(xs, ys):
+        return pd.Series([
+            None if x is None or y is None else _ed(x, y)
+            for x, y in zip(xs, ys)
+        ], dtype="Int64")
+
+    return ed, _mk(_jaro), _mk(_jw), _mk(_jac)
+
+
 def _punycode_udf_sql(fn: str, x: str) -> str:
     global _PUNYCODE_WANTED
     _PUNYCODE_WANTED = True
@@ -4267,6 +4437,12 @@ def register_sequence_udfs(spark) -> None:
         spark.udf.register("ch_punycode_encode", enc)
         spark.udf.register("ch_punycode_decode", dec)
         spark.udf.register("ch_try_punycode_decode", tdec)
+    if _STRDIST_WANTED:
+        ed, jr, jw, jac = _make_strdist_udfs()
+        spark.udf.register("ch_edit_distance", ed)
+        spark.udf.register("ch_jaro", jr)
+        spark.udf.register("ch_jaro_winkler", jw)
+        spark.udf.register("ch_string_jaccard", jac)
     if _BASE58_WANTED:
         enc, dec, tdec = _make_base58_udfs()
         spark.udf.register("ch_base58_encode", enc)

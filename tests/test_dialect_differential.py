@@ -691,6 +691,29 @@ for _s in range(7):
                    _duck_dt64("{0}", _s), [g_ts_frac]))
 
 
+# ---- r7: string distances (were silent passthroughs; now mapped) ----
+# DuckDB's levenshtein is BYTE-level (measured: levenshtein('café',
+# 'cafe') = 2), exactly CH editDistance's convention — so the byte
+# variant fuzzes over UNICODE too; the UTF8 (codepoint) variant fuzzes
+# over ASCII where the two levels coincide. jaro/jaccard: non-empty
+# inputs (the empty-string conventions differ between implementations
+# and are documented at the dialect mapping, not fuzzable).
+CASES += [
+    C("editDistance_bytes", "editDistance({0}, {1})",
+      "levenshtein({0}, {1})", [gsu, gsu]),
+    C("editDistanceUTF8_ascii", "editDistanceUTF8({0}, {1})",
+      "levenshtein({0}, {1})", [gs, gs]),
+    C("jaroSimilarity_fuzz", "jaroSimilarity({0}, {1})",
+      "jaro_similarity({0}, {1})", [gw, gw]),
+    C("jaroWinkler_fuzz", "jaroWinklerSimilarity({0}, {1})",
+      "jaro_winkler_similarity({0}, {1})", [gw, gw]),
+    C("jaroSimilarity_selfish", "jaroSimilarity({0}, {0})",
+      "jaro_similarity({0}, {0})", [gw]),
+    C("stringJaccardIndex_fuzz", "stringJaccardIndex({0}, {1})",
+      "jaccard({0}, {1})", [gw, gw]),
+]
+
+
 # week-mode closed forms re-derived with DuckDB's Sunday-based
 # dayofweek by the helper queries_reference._duck_week — independent
 # of the Spark-side Monday-convention generation in dialect.py
