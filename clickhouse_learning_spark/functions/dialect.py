@@ -3396,7 +3396,23 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["MD5"] = lambda a: f"unhex(md5({_one(a, 'MD5')}))"
     m["SHA256"] = lambda a: f"sha2({_one(a, 'SHA256')}, 256)"
     m["hex"] = lambda a: f"upper(hex({_one(a, 'hex')}))"  # CH hex is uppercase
-    for _h in ("cityHash64", "sipHash64", "farmHash64", "farmFingerprint64"):
+    # r7: xxHash64/murmurHash3_32 are the TRAP members of this family —
+    # Spark resolves function names case-insensitively, so xxHash64(...)
+    # would silently bind to Spark's xxhash64 (SEED 42) while CH's
+    # xxHash64 is XXH64 with seed 0: every value differs. They gate
+    # like the rest instead of resolving by accident.
+    for _h in ("cityHash64", "sipHash64", "sipHash128", "farmHash64",
+               "farmFingerprint64", "xxHash64", "xxHash32", "xxHash3",
+               "metroHash64", "murmurHash2_32", "murmurHash2_64",
+               "gccMurmurHash", "murmurHash3_32", "murmurHash3_64",
+               "murmurHash3_128", "javaHashUTF16LE",
+               "wordShingleSimHash", "wordShingleSimHashCaseInsensitive",
+               "wordShingleSimHashUTF8",
+               "wordShingleSimHashCaseInsensitiveUTF8",
+               "wordShingleMinHash", "wordShingleMinHashCaseInsensitive",
+               "wordShingleMinHashUTF8",
+               "wordShingleMinHashCaseInsensitiveUTF8",
+               "ngramSimHash", "ngramMinHash"):
         m[_h] = (
             lambda name: lambda a: (_ for _ in ()).throw(
                 ValueError(
@@ -3425,6 +3441,30 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
                 )
             )
         )(_ng)
+    m["tupleHammingDistance"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "tupleHammingDistance needs the tuple arity, which a textual "
+            "rewrite cannot see; write the per-element comparison sum "
+            "explicitly (CAST(t1.col1 <> t2.col1 AS INT) + ...)"
+        )
+    )
+    # UTF8 normalization forms are spec-exact (Unicode UAX #15) via
+    # the stdlib — r7: these passed through untranslated before
+    for _nf in ("NFC", "NFD", "NFKC", "NFKD"):
+        m[f"normalizeUTF8{_nf}"] = (
+            lambda form: lambda a: _normalize_utf8_udf_sql(
+                _one(a, f"normalizeUTF8{form}"), form
+            )
+        )(_nf)
+    # Java String.hashCode over UTF-16 code units — a PUBLISHED exact
+    # algorithm (pinned on its public vectors: '' -> 0, 'a' -> 97,
+    # 'abc' -> 96354); hiveHash is the same with the sign bit cleared
+    m["javaHash"] = lambda a: _java_hash_udf_sql(
+        _one(a, "javaHash"), hive=False
+    )
+    m["hiveHash"] = lambda a: _java_hash_udf_sql(
+        _one(a, "hiveHash"), hive=True
+    )
     # -- string distances (r7: these used to PASS THROUGH untranslated
     # — the silent-mistranslation class; now mapped where the public
     # definition is unambiguous, gated with pointers where CH's edge
@@ -4190,6 +4230,71 @@ def _jaccard_bytes_udf_sql(x: str, y: str) -> str:
     return f"ch_string_jaccard({x}, {y})"
 
 
+_TEXTNORM_WANTED = False
+
+
+def _normalize_utf8_udf_sql(x: str, form: str) -> str:
+    global _TEXTNORM_WANTED
+    _TEXTNORM_WANTED = True
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
+    return f"ch_normalize_utf8_{form.lower()}({x})"
+
+
+def _java_hash_udf_sql(x: str, hive: bool) -> str:
+    global _TEXTNORM_WANTED
+    _TEXTNORM_WANTED = True
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
+    return f"{'ch_hive_hash' if hive else 'ch_java_hash'}({x})"
+
+
+def _make_textnorm_udfs():
+    """UAX #15 normalization via the stdlib + Java String.hashCode over
+    UTF-16 code units (astral chars contribute their two surrogate
+    units, exactly like the JVM; result is the signed Int32 wrap;
+    hiveHash clears the sign bit)."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm_maker(form):
+        @pandas_udf("string")
+        def u(xs):
+            return xs.map(
+                lambda v: None if v is None
+                else unicodedata.normalize(form, v)
+            )
+
+        return u
+
+    def _jhash(s: str) -> int:
+        h = 0
+        b = s.encode("utf-16-be")
+        for i in range(0, len(b), 2):
+            h = (31 * h + (b[i] << 8 | b[i + 1])) & 0xFFFFFFFF
+        return h - 2**32 if h >= 2**31 else h
+
+    @pandas_udf("int")
+    def jh(xs):
+        return pd.Series(
+            [None if v is None else _jhash(v) for v in xs],
+            dtype="Int32",
+        )
+
+    @pandas_udf("int")
+    def hh(xs):
+        return pd.Series(
+            [None if v is None else _jhash(v) & 0x7FFFFFFF for v in xs],
+            dtype="Int32",
+        )
+
+    return {f"ch_normalize_utf8_{f.lower()}": _norm_maker(f)
+            for f in ("NFC", "NFD", "NFKC", "NFKD")} | {
+        "ch_java_hash": jh, "ch_hive_hash": hh}
+
+
 def _make_strdist_udfs():
     """Arrow-batched string-distance UDFs: byte-level Levenshtein DP,
     textbook Jaro / Jaro–Winkler (matches window floor(max/2)-1,
@@ -4443,6 +4548,9 @@ def register_sequence_udfs(spark) -> None:
         spark.udf.register("ch_jaro", jr)
         spark.udf.register("ch_jaro_winkler", jw)
         spark.udf.register("ch_string_jaccard", jac)
+    if _TEXTNORM_WANTED:
+        for _n, _u in _make_textnorm_udfs().items():
+            spark.udf.register(_n, _u)
     if _BASE58_WANTED:
         enc, dec, tdec = _make_base58_udfs()
         spark.udf.register("ch_base58_encode", enc)

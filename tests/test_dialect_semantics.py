@@ -1863,3 +1863,49 @@ def test_base58_family(spark):
     )).collect()
     for row in rows:
         assert row["rt"] == vals[row["i"]]
+
+
+def test_string_distance_and_textnorm_family(spark):
+    """r7: these names used to PASS THROUGH untranslated (the silent-
+    mistranslation class). Pinned: public javaHash vectors ('' -> 0,
+    'a' -> 97, 'abc' -> 96354, 'hello' -> 99162322), hiveHash =
+    javaHash with the sign bit cleared (vector with a negative
+    javaHash), UAX #15 normalization roundtrip, byte-vs-codepoint
+    editDistance split, textbook Jaro/Winkler worked example, and the
+    actionable gates — including xxHash64, which Spark would otherwise
+    CASE-INSENSITIVELY resolve to its own seed-42 xxhash64 while CH
+    uses seed 0 (every value would differ silently)."""
+    import pytest
+
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    r = spark.sql(translate(
+        "SELECT javaHash('') AS j0, javaHash('a') AS j1, "
+        "javaHash('abc') AS j2, javaHash('hello') AS j3, "
+        "javaHash('Hello World!') AS jneg, "
+        "hiveHash('Hello World!') AS hpos, "
+        "normalizeUTF8NFC(normalizeUTF8NFD('é')) AS nfc, "
+        "length(normalizeUTF8NFD('é')) AS nfd_len, "
+        "editDistance('café', 'cafe') AS ed_b, "
+        "editDistanceUTF8('café', 'cafe') AS ed_c, "
+        "round(jaroSimilarity('MARTHA', 'MARHTA'), 9) AS jr, "
+        "round(jaroWinklerSimilarity('MARTHA', 'MARHTA'), 9) AS jw, "
+        "stringJaccardIndex('abc', 'bcd') AS jac"
+    )).collect()[0]
+    assert (r["j0"], r["j1"], r["j2"], r["j3"]) == (0, 97, 96354, 99162322)
+    assert r["jneg"] < 0 and r["hpos"] == r["jneg"] & 0x7FFFFFFF
+    assert r["nfc"] == "é" and r["nfd_len"] == 2
+    assert r["ed_b"] == 2 and r["ed_c"] == 1  # bytes vs codepoints
+    assert r["jr"] == pytest.approx(0.944444444, abs=1e-9)
+    assert r["jw"] == pytest.approx(0.961111111, abs=1e-9)
+    assert r["jac"] == 0.5
+    for bad, hint in (
+        ("xxHash64('x')", "hash family"),
+        ("murmurHash3_64('x')", "hash family"),
+        ("wordShingleSimHash('x')", "hash family"),
+        ("damerauLevenshteinDistance('a','b')", "not pinned offline"),
+        ("byteHammingDistance('a','b')", "not pinned offline"),
+        ("tupleHammingDistance((1,2),(1,3))", "tuple arity"),
+    ):
+        with pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad}")
