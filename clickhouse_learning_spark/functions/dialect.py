@@ -1185,6 +1185,12 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["splitByRegexp"] = lambda a: (
         lambda re_, s_: f"split({s_}, {re_})"
     )(*_two(a, "splitByRegexp"))
+    # r7 (was a silent passthrough): whitespace + punctuation
+    # separators, empties not emitted — same convention as
+    # splitByWhitespace; CH's separator set is ASCII non-alphanumeric
+    m["splitByNonAlpha"] = lambda a: (
+        lambda s_: f"filter(split({s_}, '[^a-zA-Z0-9]+'), t -> t != '')"
+    )(_one(a, "splitByNonAlpha"))
     # hasToken: the needle appears as a WHOLE token (delimited by
     # non-alphanumerics) — tokenizer membership avoids regex-escaping
     # the needle
@@ -3441,6 +3447,35 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
                 )
             )
         )(_ng)
+    for _nlp in ("stem", "lemmatize", "synonyms", "detectLanguage",
+                 "detectLanguageMixed", "detectLanguageUnknown",
+                 "detectCharset", "detectTonality",
+                 "detectProgrammingLanguage",
+                 "categoricalInformationValue"):
+        m[_nlp] = (
+            lambda name: lambda a: (_ for _ in ()).throw(
+                ValueError(
+                    f"{name}: CH backs this with bundled NLP models/"
+                    "experimental stats whose outputs are not "
+                    "reproducible offline; use operators/text.py "
+                    "(lang_id heuristics, quality signals) instead"
+                )
+            )
+        )(_nlp)
+    m["bitSlice"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "bitSlice's sub-byte addressing has no Spark counterpart; "
+            "use substring for byte granularity or the binary paths "
+            "(sources/rowbinary.py) for bit-packed layouts"
+        )
+    )
+    m["extractAllGroupsVertical"] = lambda a: _extract_groups_udf_sql(
+        *_two(a, "extractAllGroupsVertical"), horizontal=False
+    )
+    m["extractAllGroups"] = m["extractAllGroupsVertical"]
+    m["extractAllGroupsHorizontal"] = lambda a: _extract_groups_udf_sql(
+        *_two(a, "extractAllGroupsHorizontal"), horizontal=True
+    )
     m["tupleHammingDistance"] = lambda a: (_ for _ in ()).throw(
         ValueError(
             "tupleHammingDistance needs the tuple arity, which a textual "
@@ -4249,6 +4284,49 @@ def _java_hash_udf_sql(x: str, hive: bool) -> str:
     return f"{'ch_hive_hash' if hive else 'ch_java_hash'}({x})"
 
 
+def _extract_groups_udf_sql(x: str, pattern: str, horizontal: bool) -> str:
+    global _TEXTNORM_WANTED
+    _TEXTNORM_WANTED = True
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
+    fn = ("ch_extract_groups_h" if horizontal
+          else "ch_extract_groups_v")
+    return f"{fn}({x}, {pattern})"
+
+
+def _make_extract_groups_udfs():
+    """CH extractAllGroupsVertical: one inner array PER MATCH holding
+    every capture group; Horizontal is its transpose (one inner array
+    PER GROUP across matches). Unmatched optional groups yield ''."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _v(s, p):
+        if s is None or p is None:
+            return None
+        rx = _re.compile(p)
+        return [[g if g is not None else "" for g in m.groups()]
+                for m in rx.finditer(s)]
+
+    @pandas_udf("array<array<string>>")
+    def v(xs, ps):
+        return pd.Series([_v(s, p) for s, p in zip(xs, ps)])
+
+    @pandas_udf("array<array<string>>")
+    def h(xs, ps):
+        out = []
+        for s, p in zip(xs, ps):
+            rows = _v(s, p)
+            out.append(None if rows is None
+                       else [list(col) for col in zip(*rows)] if rows
+                       else [])
+        return pd.Series(out)
+
+    return v, h
+
+
 def _make_textnorm_udfs():
     """UAX #15 normalization via the stdlib + Java String.hashCode over
     UTF-16 code units (astral chars contribute their two surrogate
@@ -4551,6 +4629,9 @@ def register_sequence_udfs(spark) -> None:
     if _TEXTNORM_WANTED:
         for _n, _u in _make_textnorm_udfs().items():
             spark.udf.register(_n, _u)
+        _gv, _gh = _make_extract_groups_udfs()
+        spark.udf.register("ch_extract_groups_v", _gv)
+        spark.udf.register("ch_extract_groups_h", _gh)
     if _BASE58_WANTED:
         enc, dec, tdec = _make_base58_udfs()
         spark.udf.register("ch_base58_encode", enc)

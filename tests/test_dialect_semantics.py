@@ -1909,3 +1909,35 @@ def test_string_distance_and_textnorm_family(spark):
     ):
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad}")
+
+
+def test_extract_groups_split_nonalpha_and_nlp_gates(spark):
+    """r7 batch-2 audit: extractAllGroups{,Vertical,Horizontal} (one
+    inner array per MATCH / per GROUP; unmatched optional groups ''),
+    splitByNonAlpha (whitespace+punct separators, no empties), and the
+    actionable gates for the NLP-model-backed names + bitSlice."""
+    import pytest
+
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    r = spark.sql(translate(
+        "SELECT extractAllGroupsVertical('a1 b2', '([a-z])(\\\\d)') AS v, "
+        "extractAllGroupsHorizontal('a1 b2', '([a-z])(\\\\d)') AS h, "
+        "extractAllGroups('x', '(y)') AS none_match, "
+        "extractAllGroupsVertical('ab', '(a)(c)?') AS opt, "
+        "splitByNonAlpha('ab,cd  ef!') AS sp, "
+        "splitByNonAlpha('...') AS sp_empty"
+    )).collect()[0]
+    assert r["v"] == [["a", "1"], ["b", "2"]]
+    assert r["h"] == [["a", "b"], ["1", "2"]]
+    assert r["none_match"] == []
+    assert r["opt"] == [["a", ""]]  # unmatched optional group -> ''
+    assert r["sp"] == ["ab", "cd", "ef"] and r["sp_empty"] == []
+    for bad, hint in (
+        ("stem('running')", "NLP models"),
+        ("detectLanguage('x')", "NLP models"),
+        ("categoricalInformationValue(a, b)", "NLP models"),
+        ("bitSlice('ab', 1, 4)", "sub-byte"),
+    ):
+        with pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad}")
