@@ -1,0 +1,93 @@
+"""Standing surface audit: no silent passthroughs (r7).
+
+The dialect's policy lets unknown function names pass through so Spark
+builtins keep working — but a CH-specific name that Spark lacks (or
+worse, resolves CASE-INSENSITIVELY to a different algorithm, like
+xxHash64 → Spark's seed-42 xxhash64) then fails or silently changes
+values at runtime. This suite walks a curated list of ClickHouse
+function names and asserts each is either MAPPED (the name does not
+survive translation), GATED (translate raises an actionable
+ValueError), or on the explicit SAME-SEMANTICS whitelist of names
+Spark shares. Round 7's audits found seven string-distance names, four
+normalization forms, two Java hashes, the extractAllGroups family,
+splitByNonAlpha and the xxHash64 seed trap this way — this test keeps
+the class closed as the dialect grows."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_learning_spark.functions.dialect import translate
+
+# CH names Spark shares with IDENTICAL semantics (audited by hand):
+# these may pass through untranslated
+_SHARED_OK = {
+    "soundex",  # same 4-char code algorithm
+    "initcap",
+    "repeat", "reverse", "concat", "substring", "lower", "upper",
+    "abs", "round", "floor", "ceil", "exp", "ln", "log2", "log10",
+    "sqrt", "cbrt", "sin", "cos", "tan", "asin", "acos", "atan",
+    "pi", "e", "sign", "degrees", "radians",
+}
+
+# every name here must be mapped or gated — NEVER a passthrough
+_MUST_HANDLE = [
+    # string distance / similarity (r7)
+    "editDistance('a','b')", "editDistanceUTF8('a','b')",
+    "levenshteinDistance('a','b')", "levenshteinDistanceUTF8('a','b')",
+    "jaroSimilarity('a','b')", "jaroWinklerSimilarity('a','b')",
+    "stringJaccardIndex('a','b')", "damerauLevenshteinDistance('a','b')",
+    "byteHammingDistance('a','b')",
+    # hash families incl. the case-insensitive resolution traps
+    "xxHash64('x')", "xxHash32('x')", "cityHash64('x')",
+    "sipHash64('x')", "sipHash128('x')", "farmHash64('x')",
+    "metroHash64('x')", "murmurHash2_64('x')", "murmurHash3_32('x')",
+    "murmurHash3_64('x')", "murmurHash3_128('x')", "javaHash('x')",
+    "hiveHash('x')", "javaHashUTF16LE('x')", "intHash64(1)",
+    "halfMD5('x')",
+    # normalization / text
+    "normalizeUTF8NFC('a')", "normalizeUTF8NFD('a')",
+    "normalizeUTF8NFKC('a')", "normalizeUTF8NFKD('a')",
+    "toValidUTF8('a')", "splitByNonAlpha('a b')",
+    "splitByWhitespace('a b')", "alphaTokens('a b')",
+    "extractAllGroups('a1', '(\\\\d)')",
+    "extractAllGroupsVertical('a1', '(\\\\d)')",
+    "extractAllGroupsHorizontal('a1', '(\\\\d)')",
+    "stem('x')", "lemmatize('en', 'x')", "detectLanguage('x')",
+    "detectCharset('x')", "detectTonality('x')",
+    "ngramDistance('a','b')", "ngramSearch('a','b')",
+    "wordShingleSimHash('x')", "wordShingleMinHash('x')",
+    "bitSlice('ab', 1, 4)", "tupleHammingDistance((1,2),(1,3))",
+    # datetime families r7 touched
+    "toDateTime64OrZero('x', 3)", "toDateTime64OrNull('x', 3)",
+    "toDateTimeOrZero('x')", "toDateTimeOrNull('x')",
+    "toDate32OrZero('x')", "toDate32OrNull('x')",
+    # misc CH-only
+    "formatReadableSize(1)", "formatReadableQuantity(1)",
+    "bar(1, 0, 10, 10)", "transform(1, [1], ['a'], 'b')",
+    "normalizeQuery('x')", "sparkbar(9)(1, 1)",
+]
+
+
+@pytest.mark.parametrize("expr", _MUST_HANDLE,
+                         ids=[e.split("(")[0] for e in _MUST_HANDLE])
+def test_no_silent_passthrough(expr):
+    name = expr.split("(")[0]
+    try:
+        out = translate(f"SELECT {expr}")
+    except ValueError:
+        return  # gated with an actionable message — correct handling
+    assert f"{name}(" not in out, (
+        f"{name} passed through UNTRANSLATED — Spark will either fail "
+        f"UNRESOLVED_ROUTINE at runtime or (worse) case-insensitively "
+        f"resolve it to a different algorithm: {out}"
+    )
+
+
+def test_shared_whitelist_names_resolve(spark):
+    """The whitelist is only legitimate while Spark actually shares
+    the name — spot-check a few execute."""
+    row = spark.sql(
+        "SELECT soundex('Robert') AS s, initcap('ab cd') AS i"
+    ).collect()[0]
+    assert row["s"] == "R163" and row["i"] == "Ab Cd"
