@@ -4432,6 +4432,8 @@ def _make_strdist_udfs():
 
     def _jw(a: str, b: str) -> float:
         j = _jaro(a, b)
+        if j < 0.7:  # Winkler's boost threshold: no prefix bonus
+            return j  # below it (the standard rule; DuckDB agrees)
         l = 0
         for ca, cb in zip(a[:4], b[:4]):
             if ca != cb:
