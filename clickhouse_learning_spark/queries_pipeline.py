@@ -3896,3 +3896,46 @@ def sequence_packing_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(TX.tokens(F.col("text"))).alias("n_tok")
     )
     return pack_token_spans(docs, seq_len=256, bucket_docs=64)
+
+
+def byte_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7: BYTE-level BPE — the GPT-2 production tokenizer base
+    (operators/bpe.py train_byte_bpe/byte_bpe_encode): words carry
+    their leading space as Ġ through the exact public GPT-2
+    byte↔unicode bijection, no </w> marker, arbitrary bytes encodable.
+    Same trainer scale shape as char BPE (one count shuffle + bounded
+    driver loop; encode map-only Arrow). Hash-checked via goldens from
+    an INDEPENDENT second implementation (its own table construction,
+    full-recount trainer, sequential-by-rank encoder —
+    tools/make_byte_bpe_golden.py, refuse-on-mismatch)."""
+    from clickhouse_learning_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.train_byte_bpe(docs, n_merges=30, max_words=50_000)
+    enc = B.byte_bpe_encode(docs, merges, id_col="doc_id")
+    return enc.select(
+        F.col("doc_id"),
+        "n_words",
+        "n_subwords",
+        F.round(
+            F.col("n_subwords") / F.greatest(F.col("n_words"), F.lit(1)), 4
+        ).alias("subwords_per_word"),
+    )
+
+
+QUERIES["byte_bpe_subword_stats"] = byte_bpe_subword_stats
+
+
+def _register_byte_bpe_golden() -> None:
+    try:
+        from clickhouse_learning_spark import golden_byte_bpe as G
+    except ImportError:
+        return
+    _ORACLES["byte_bpe_subword_stats"] = _values_oracle(
+        G.BYTE_BPE_SUBWORD_STATS,
+        ["doc_id", "n_words", "n_subwords", "subwords_per_word"],
+        ["BIGINT", "BIGINT", "BIGINT", "DOUBLE"],
+    )
+
+
+_register_byte_bpe_golden()

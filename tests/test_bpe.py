@@ -83,3 +83,44 @@ def test_encode_word_rank_order():
     # without the (ab,c) merge, b+c can't pair once ab merged
     ranks2 = {("a", "b"): 0, ("b", "c"): 1}
     assert B.encode_word("abc", ranks2)[0] == "ab"
+
+
+def test_gpt2_byte_table_and_remap_laws():
+    """The byte table is the exact public GPT-2 construction: a
+    256-entry bijection, identity on printable ASCII and the two
+    Latin-1 ranges, gap bytes mapped to 256+n in ascending order;
+    remap/unmap invert each other on arbitrary bytes."""
+    t = B.gpt2_byte_table()
+    assert len(t) == 256 and len(set(t.values())) == 256
+    for b in list(range(33, 127)) + list(range(161, 173)) + \
+            list(range(174, 256)):
+        assert t[b] == chr(b), b  # identity on the kept ranges
+    assert t[32] == "Ġ"  # space -> Ġ
+    assert t[10] == "Ċ"  # newline -> Ċ
+    for s in ("hello world", "héllo wörld", "日本語 text", "a\nb\tc",
+              "".join(chr(i) for i in range(1, 128))):
+        assert B.byte_unmap(B.byte_remap(s)) == s, s
+
+
+def test_byte_bpe_roundtrip_and_space_convention(spark):
+    """Encoding is LOSSLESS: concatenating a word's subword tokens and
+    unmapping yields ' ' + word; the first token of every word starts
+    with Ġ (the leading-space convention); the merge loop is
+    deterministic under the pinned tie-break."""
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the mat the cat"),
+         (2, "catalog matting")],
+        "doc_id long, text string",
+    )
+    merges = B.train_byte_bpe(docs, n_merges=10)
+    assert merges == B.train_byte_bpe(docs, n_merges=10)  # deterministic
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ("the", "cat", "mat", "catalog", "unseen", "zebra"):
+        toks = B.encode_byte_word(B.byte_remap(" " + w), ranks)
+        assert B.byte_unmap("".join(toks)) == " " + w, w
+        assert toks[0].startswith("Ġ"), (w, toks)
+    out = {r["doc_id"]: r for r in
+           B.byte_bpe_encode(docs, merges).collect()}
+    assert out[0]["n_words"] == 6
+    # frequent words compress below one-token-per-char
+    assert out[1]["n_subwords"] < len("the mat the cat".replace(" ", "")) + 4
