@@ -50,86 +50,84 @@ def entry(spark: SparkSession) -> DataFrame:
 # already covered above sit behind them. Union of rounds still grades
 # everything — round 1 drove the entries now demoted.
 _PRIORITY = [
-    # Round-7 window — 51 names listed: the driver grades the FIRST 50
-    # (positions 1-50); position 51 is the labeled spare and nothing
-    # else rides outside the window (the r6 list held 52 and silently
-    # dropped jsonl_dim_roundtrip to 51 — ADVICE r6; fixed: it now sits
-    # inside the graded 50).
-    # Round 6 came back 49/50 hard-green; the one red was
-    # nb_quality_scores — a deterministic -0.0 vs +0.0 sign-bit
-    # divergence (Spark BigDecimal round → +0.0, DuckDB libm round →
-    # -0.0 on two held-out docs), fixed this round by `+ 0.0` after the
-    # rounded score on BOTH engines, a sign-faithful norm_cell in
-    # tools/check_oracle.py, and a standing cross-engine sweep
-    # (tests/test_negative_zero_sweep.py). This window =
-    # (a) that regrade; (b) the nine round-6-staged queries with
-    # judge-only evidence (docs/CHANGES_r6.md worklist) — grading them
-    # closes the driver-evidence union to 209/209 registered;
-    # (c) rotation of the queries with the OLDEST driver evidence:
-    # every r1/r2-graded query (20) plus nineteen of the thirty-one
-    # r3-graded, chosen for family diversity; the twelve r3 queries
-    # left out rotate in round 8; (d) the r7-new streaming ingest
-    # query, graded immediately because it is the round's one genuinely
-    # new end-to-end story.
+    # Round-8 window — 51 names: the driver grades the FIRST 50;
+    # position 51 is the labeled spare. Round 7 came back 49/50; the
+    # one red (native_typed_roundtrip) was a HARNESS-SHAPE defect —
+    # the graded projection kept a raw Array(Int64) column and the
+    # driver's pandas canonicalizer cannot sort list cells. Fixed by
+    # serializing the array for grading (concat_ws / array_to_string)
+    # plus a standing atomic-only-schema law over every registered
+    # query (tests/test_graded_shape_law.py, also enforced in
+    # tools/check_oracle.py so the local gate is never more permissive
+    # than the driver). This window = (a) that regrade; (b) the eight
+    # round-7-staged queries with judge-only evidence
+    # (docs/CHANGES_r7.md worklist) — grading them moves the
+    # driver-evidence union to 216/219 registered (everything but the
+    # two rows-only-by-contract sketches and the r8-staged tail);
+    # (c) the r8-new streaming Arrow export, graded immediately as the
+    # round's one genuinely new end-to-end story (VERDICT r7 item 6 —
+    # the stream_warc_pipeline precedent); (d) rotation of the OLDEST
+    # driver evidence: all twelve remaining r3-latest queries plus
+    # twenty-eight of the forty-nine r4-latest, chosen for family
+    # diversity; the twenty-one r4 queries left out (incl. the spare)
+    # lead the r9 rotation.
     # --- (a) the regrade ----------------------------------------------
-    "nb_quality_scores",  # r6 hash-red; -0.0 fix + sweep law
-    # --- (b) round-6 staged, judge-green, never driver-graded ---------
-    "wordpiece_subword_stats",
-    "sq8_ann_topk",
-    "jl_projection_topk",
-    "multimodal_tiff_pixel_sums",
-    "multimodal_bmp_pixel_sums",
-    "native_roundtrip",
-    "native_typed_roundtrip",
-    "tsv_roundtrip",
-    "mojibake_repair",
-    # --- (c) oldest-evidence rotation: r1 (1) + r2 (19) ----------------
-    "text_quality_lang",  # r1
-    "bm25_topk",
-    "chunk_assignment",
-    "doc_fingerprint",
-    "greedy_pack_bins",
-    "jsonl_dim_roundtrip",  # inside the graded 50 this time (ADVICE r6)
-    "promo_revenue_share",
-    "quantile_weighted_state",
-    "reconciliation_check",
-    "regional_supplier_volume",
-    "returned_item_report",
-    "sample_stratified",
-    "sequence_match_share",
-    "sessionization_stats",
-    "shipping_priority",
-    "sql_auto_rewrite",
-    "streaming_mv_rollup",
-    "text_repetition",
-    "text_token_stats",
-    "window_funnel_levels",
-    # --- (c) oldest-evidence rotation: 19 of the 31 r3-graded ---------
-    "value_histogram",
-    "summap_event_values",
-    "top_event_paths",
-    "stream_click_attribution",
-    "csv_roundtrip",
-    "orc_roundtrip",
-    "dedup_embedding_cosine",
-    "dedup_report",
-    "dedup_substring_spans",
-    "pii_redaction",
-    "scd2_point_in_time",
-    "skew_targeted_join",
-    "training_pipeline",
-    "vocab_oov_rate",
-    "windowed_uv",
-    "hopping_window_uv",
-    "rolling_revenue_7d",
-    "rfm_segments",
-    "source_mixing",
-    # r7-new: the end-to-end streaming Common-Crawl ingest (VERDICT r6
-    # item 6) — graded THIS round in place of one r3 rotation entry
-    # (part_pair_affinity moves to the r8 rotation)
-    "stream_warc_pipeline",
+    "native_typed_roundtrip",  # r7 harness-shape red; serialized + law
+    # --- (b) round-7 staged, judge-green, never driver-graded ---------
+    "ivfpq_ann_topk",
+    "arrow_roundtrip",
+    "avro_roundtrip",
+    "kn_trigram_scores",
+    "hybrid_retrieval_rrf",
+    "sequence_packing_spans",
+    "ch_strdist_dialect",
+    "byte_bpe_subword_stats",
+    # --- (c) r8-new: streaming offboarding end-to-end -----------------
+    "stream_arrow_export",
+    # --- (d) oldest-evidence rotation: the 12 remaining r3-latest -----
+    "disjunctive_brand_revenue",
+    "epoch_upsampling",
+    "forecast_revenue_change",
+    "idle_rich_customers",
+    "large_volume_orders",
+    "late_ship_priority",
+    "order_count_distribution",
+    "part_pair_affinity",
+    "revenue_anomaly_days",
+    "shipmode_priority_split",
+    "small_quantity_revenue",
+    "top_supplier",
+    # --- (d) oldest-evidence rotation: 28 of the 49 r4-latest ---------
+    "median_exact",
+    "json_extract_agg",
+    "window_functions_suite",
+    "asof_attribution",
+    "ann_cosine_topk",
+    "audio_spectral",
+    "bitmap_funnel_roaring",
+    "ch_any_join_enrich",
+    "ch_asof_dialect",
+    "ch_dialect_query",
+    "ch_final_dialect",
+    "ch_limit_by_topn",
+    "ch_retention_dialect",
+    "ch_url_dialect",
+    "conditional_agg",
+    "contamination_check",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_kmeans",
+    "filter_project_prune",
+    "like_and_conjunction",
+    "multimodal_decode",
+    "multimodal_jpeg_features",
+    "null_handling",
+    "parse_datetime_best_effort",
+    "pricing_summary",
+    "range_join_campaigns",
     # --- spare (position 51; graded only if the driver widens) --------
-    "epoch_upsampling",  # r3
+    "ref_funnel_6stage",  # r4
 ]
 
 

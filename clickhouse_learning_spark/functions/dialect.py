@@ -1185,11 +1185,18 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["splitByRegexp"] = lambda a: (
         lambda re_, s_: f"split({s_}, {re_})"
     )(*_two(a, "splitByRegexp"))
-    # r7 (was a silent passthrough): whitespace + punctuation
-    # separators, empties not emitted — same convention as
-    # splitByWhitespace; CH's separator set is ASCII non-alphanumeric
+    # r7 (was a silent passthrough); r8 ADVICE fix: CH's separator set
+    # is ASCII whitespace + ASCII punctuation ONLY (SplitByNonAlphaImpl:
+    # isWhitespaceASCII || isPunctuationASCII) — NOT "everything
+    # non-alphanumeric", so non-ASCII letters (café) and control chars
+    # outside \t\n\v\f\r stay INSIDE tokens. Empties not emitted — same
+    # convention as splitByWhitespace.
     m["splitByNonAlpha"] = lambda a: (
-        lambda s_: f"filter(split({s_}, '[^a-zA-Z0-9]+'), t -> t != '')"
+        lambda s_: (
+            f"filter(split({s_}, "
+            "'[\\\\t\\\\n\\\\x0B\\\\f\\\\r !-/:-@\\\\[-`{-~]+'), "
+            "t -> t != '')"
+        )
     )(_one(a, "splitByNonAlpha"))
     # hasToken: the needle appears as a WHOLE token (delimited by
     # non-alphanumerics) — tokenizer membership avoids regex-escaping

@@ -90,8 +90,13 @@ def bm25_rank(
     queries_pipeline.bm25_topk, factored for reuse: tf/dl/df count
     shuffles over the token stream, query terms + df broadcast,
     per-query window over scored candidates only. ``query_terms`` is
-    (query_id, term). Ranks order by round(score, 6) with id
-    tie-break so engine last-bit drift cannot reorder equal scores.
+    (query_id, term). Determinism (ADVICE r7): each per-(doc, term)
+    contribution is quantized to INTEGER micro-units before the
+    distributed sum, so the accumulated score is exact and
+    shuffle-order-independent (the rrf_contribution / kn_lm lp_micro
+    pattern) — a raw double Σ(idf·tfn) could flip a 1e-6-rounded
+    ordering when the order-dependent sum straddled a rounding
+    boundary. Ranks order by the integer score with id tie-break.
     Returns (query_id, id_col, bm25, rank)."""
     from clickhouse_learning_spark.operators import text as X
 
@@ -115,14 +120,25 @@ def bm25_rank(
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", id_col)
-        .agg(F.sum(idf * tfn).alias("score"))
+        .agg(
+            F.sum(
+                F.round((idf * tfn) * F.lit(1e6)).cast("long")
+            ).alias("score_micro")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("score", 6)), F.asc(id_col)
+        F.desc("score_micro"), F.asc(id_col)
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
-        .select("query_id", id_col, F.round("score", 4).alias("bm25"),
-                F.col("rank").cast("int").alias("rank"))
+        .select(
+            "query_id", id_col,
+            # emit at the lattice's OWN scale (6dp): the quotient is a
+            # 6-decimal lattice point, so round-to-6 is exact on both
+            # engines; rounding to fewer digits would put ~1% of values
+            # exactly halfway and expose BigDecimal-vs-libm tie rules
+            F.round(F.col("score_micro") / F.lit(1e6), 6).alias("bm25"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

@@ -223,17 +223,20 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     scored AS (
       SELECT qt.query_id, tf.doc_id,
-             sum(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-                 * tf.tf * ({_BM25_K1} + 1.0)
-                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                    + {_BM25_B} * dl.dl / stats.avgdl))) AS score
+             sum(CAST(round((ln(1.0 + (stats.n - dfreq.df + 0.5)
+                                       / (dfreq.df + 0.5))
+                             * (tf.tf * ({_BM25_K1} + 1.0)
+                                / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                   + {_BM25_B} * dl.dl / stats.avgdl))))
+                            * 1000000.0) AS BIGINT)) AS score_micro
       FROM tf JOIN qt USING (term)
       JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
       GROUP BY qt.query_id, tf.doc_id),
     ranked AS (
-      SELECT query_id, doc_id, round(score, 4) AS bm25,
+      SELECT query_id, doc_id,
+             round(score_micro / 1000000.0, 6) AS bm25,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+                                ORDER BY score_micro DESC, doc_id) AS rank
       FROM scored)
     SELECT query_id, doc_id, bm25, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 10
@@ -247,8 +250,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document-frequency table broadcast (vocab is bounded); the final
     per-query top-k is a window over the scored candidates only (docs
     sharing ≥1 query term) — the corpus is never rescanned or shuffled
-    per query. Ranks order by round(score, 6) with doc_id tie-break so
-    engine last-bit drift cannot reorder equal scores."""
+    per query. Determinism (ADVICE r7): each per-(doc, term)
+    contribution quantizes to integer micro-units BEFORE the
+    distributed sum (the rrf/kn_lm pattern), so the accumulated score
+    is exact and shuffle-order-independent; ranks order by the integer
+    score with doc_id tie-break, and bm25 is emitted at the lattice's
+    own 6dp scale so the final round is exact on both engines."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -278,16 +285,22 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
-        .agg(F.sum(idf * tfn).alias("score"))
+        .agg(
+            F.sum(
+                F.round((idf * tfn) * F.lit(1e6)).cast("long")
+            ).alias("score_micro")
+        )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select(
             "query_id",
             "doc_id",
-            F.round("score", 4).alias("bm25"),
+            F.round(F.col("score_micro") / F.lit(1e6), 6).alias("bm25"),
             F.col("rank").cast("int").alias("rank"),
         )
     )
@@ -2877,7 +2890,8 @@ def tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT event_id, user_id, value, event_type
                FROM events WHERE event_id % 41 = 0)
     SELECT CAST(event_id AS BIGINT) AS event_id,
-           [event_id % 7, event_id % 11, event_id % 13] AS arr,
+           array_to_string([event_id % 7, event_id % 11, event_id % 13],
+                           ',') AS arr,
            CASE WHEN event_id % 3 = 0 THEN NULL
                 ELSE CAST(round(value * 10000) AS BIGINT) END AS nv,
            CAST(user_id AS BIGINT) AS t_num,
@@ -2925,11 +2939,18 @@ def native_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="native_typed_") + "/typed_native"
     NV.write_native(src.repartition(3), path, types, block_rows=100)
     back = NV.read_native(spark, path)
-    # the grading canonicalizer hashes scalar/array cells, not structs:
-    # project the roundtripped tuple's fields (the struct column itself
-    # is asserted in tests/test_native.py)
+    # Graded output must be ATOMIC columns only (VERDICT r7: the
+    # driver's pandas canonicalizer sort_values dies on list cells —
+    # "unhashable type: 'list'" — before any comparison), so the
+    # roundtripped array is serialized to a CSV string for grading and
+    # the tuple's fields are projected; the typed Array/Tuple/Map
+    # columns themselves are asserted in tests/test_native.py. The
+    # standing law in tests/test_graded_shape_law.py keeps this class
+    # closed for every registered query.
     return back.select(
-        "event_id", "arr", "nv",
+        "event_id",
+        F.concat_ws(",", F.col("arr").cast("array<string>")).alias("arr"),
+        "nv",
         F.col("t.col1").alias("t_num"),
         F.col("t.col2").alias("t_str"),
         F.element_at(F.col("m"), "k").alias("m_val"),
@@ -3774,17 +3795,19 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     scored_b AS (
       SELECT qt.query_id, tf.doc_id,
-             sum(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-                 * tf.tf * ({_BM25_K1} + 1.0)
-                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                    + {_BM25_B} * dl.dl / stats.avgdl))) AS score
+             sum(CAST(round((ln(1.0 + (stats.n - dfreq.df + 0.5)
+                                       / (dfreq.df + 0.5))
+                             * (tf.tf * ({_BM25_K1} + 1.0)
+                                / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                   + {_BM25_B} * dl.dl / stats.avgdl))))
+                            * 1000000.0) AS BIGINT)) AS score_micro
       FROM tf JOIN qt USING (term)
       JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
       GROUP BY qt.query_id, tf.doc_id),
     ranked_b AS (
       SELECT query_id, doc_id,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY round(score, 6) DESC, doc_id)
+                                ORDER BY score_micro DESC, doc_id)
                  AS rank
       FROM scored_b),
     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

@@ -175,10 +175,24 @@ def _encoder(sch):
             epoch = dt.date(1970, 1, 1)
             return lambda v: zigzag_encode((v - epoch).days)
         if t == "long" and lt == "timestamp-micros":
-            epoch = dt.datetime(1970, 1, 1)
-            return lambda v: zigzag_encode(
-                (v - epoch) // dt.timedelta(microseconds=1)
-            )
+            # ADVICE r7: the spec says timestamp-micros is UTC-relative.
+            # Values arriving from df.rdd are NAIVE datetimes that
+            # TimestampType.fromInternal built with fromtimestamp() in
+            # the OS-local zone — astimezone() re-attaches that same
+            # zone, so subtracting the AWARE UTC epoch yields the true
+            # instant whatever the host/session timezone is (the one
+            # residual: the annual DST-fold hour under a non-UTC OS tz,
+            # where naive local time is genuinely ambiguous).
+            epoch_utc = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+
+            def enc_ts(v):
+                if v.tzinfo is None:
+                    v = v.astimezone()
+                return zigzag_encode(
+                    (v - epoch_utc) // dt.timedelta(microseconds=1)
+                )
+
+            return enc_ts
         if t == "array":
             item = _encoder(sch["items"])
 
@@ -252,11 +266,16 @@ def _decoder(sch):
 
             return dec_d
         if t == "long" and lt == "timestamp-micros":
-            epoch = dt.datetime(1970, 1, 1)
+            # Decode to AWARE UTC datetimes (micros are UTC per spec;
+            # ADVICE r7): pandas/Arrow then carries the true instant
+            # into Spark's TimestampType under ANY session timezone,
+            # where naive values would be re-interpreted as session-
+            # local wall time.
+            epoch_utc = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
 
             def dec_ts(buf, pos):
                 n, pos = zigzag_decode(buf, pos)
-                return epoch + dt.timedelta(microseconds=n), pos
+                return epoch_utc + dt.timedelta(microseconds=n), pos
 
             return dec_ts
         if t == "array":

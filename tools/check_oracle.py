@@ -23,6 +23,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def non_atomic_columns(schema) -> list[str]:
+    """Graded-output SHAPE contract (VERDICT r7): the driver's pandas
+    canonicalizer sorts every output column with ``sort_values``; list/
+    dict/struct cells are unhashable there, so a registered query whose
+    output schema contains Array/Map/Struct columns errors in the
+    harness BEFORE any comparison (native_typed_roundtrip, r7). The
+    local gate must therefore be at least as strict: reject non-atomic
+    top-level columns. Pure schema walk — no execution."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def norm_cell(v):
     if v is None:
         return None
@@ -81,6 +98,15 @@ def main(only: list[str]) -> int:
         t0 = time.time()
         try:
             df = qs[name](spark, SF_DIR)
+            bad = non_atomic_columns(df.schema)
+            if bad:
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: non-atomic graded columns {bad} — the "
+                    "driver's canonicalizer cannot sort list/struct cells "
+                    "(serialize with concat_ws/to_json for grading)"
+                )
+                continue
             scols = df.columns
             srows = [tuple(r) for r in df.collect()]
         except Exception as e:  # noqa: BLE001
