@@ -861,6 +861,58 @@ def main() -> None:
     _lm_model.bigrams.unpersist()
     _lm_model.total.unpersist()
 
+    # Interpolated Kneser–Ney trigram LM (operators/kn_lm.py, r7;
+    # bench entries = VERDICT r7 item 4): train = 3 count shuffles +
+    # model-sized re-aggregations over the same 1M-doc corpus; score
+    # against the PREBUILT (persisted) model — trigram candidate joins
+    # + the exact integer micro-unit log-prob form. ~5M trigram
+    # positions/run.
+    from clickhouse_learning_spark.operators import kn_lm as _KN
+
+    def _kn_train():
+        # clearCache: train persists its tri/bi count frames and the
+        # cache manager matches by logical plan (the _nb_train lesson)
+        spark.catalog.clearCache()
+        mdl = _KN.train_kn_trigram(lm_docs)
+        mdl.tri.write.format("noop").mode("overwrite").save()
+        mdl.cctx.write.format("noop").mode("overwrite").save()
+        mdl.midctx.write.format("noop").mode("overwrite").save()
+
+    timings["kn_train_1m_synthetic"] = best_of(runs, _kn_train)
+    spark.catalog.clearCache()
+    _kn_model = _KN.train_kn_trigram(lm_docs)
+    _kn_parts = (_kn_model.tri, _kn_model.cctx, _kn_model.mid,
+                 _kn_model.midctx, _kn_model.pre, _kn_model.totals)
+    for _t in _kn_parts:
+        _t.persist().count()
+    timings["kn_score_1m_prebuilt"] = best_of(
+        runs,
+        lambda: _KN.score_kn(lm_docs, _kn_model)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    for _t in _kn_parts:
+        _t.unpersist()
+
+    # Byte-level BPE (operators/bpe.py, r7; VERDICT r7 item 4): train
+    # the 200-merge table on a 100k-doc slice (one count shuffle +
+    # bounded driver loop, untimed — the tokenizer-training cost story
+    # is bpe/unigram/wordpiece's), then time the map-only Arrow encode
+    # of all 1M documents through the byte-remapped alphabet.
+    from clickhouse_learning_spark.operators import bpe as _BPE
+
+    _bb_merges = _BPE.train_byte_bpe(
+        lm_docs.filter(F.col("doc_id") < 100_000), n_merges=200
+    )
+    timings["byte_bpe_encode_1m"] = best_of(
+        runs,
+        lambda: _BPE.byte_bpe_encode(lm_docs, _bb_merges)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
     # Naive-Bayes quality classifier (operators/classifier.py, r4
     # late): same 1M-doc corpus, alternating labels keyed off doc_id —
     # train = ONE count shuffle; score against the PREBUILT model (the
@@ -1186,11 +1238,20 @@ def main() -> None:
     # per-entry variance: {best, spread, times} for every entry whose
     # timing loop recorded its runs (VERDICT r6 item 3 — lets a reader
     # see flaps without a judge arbitration)
+    # calibration-normalized best (VERDICT r7 item 3): scale each entry
+    # by (quiet-box reference probe / this run's settled mid probe) so
+    # cross-round comparisons survive host drift without judge
+    # arbitration. ADVISORY — the probe is a CPU-bound agg, so it
+    # tracks steal/contention well and IO pressure only loosely; the
+    # raw ``best`` stays the number of record.
+    _REF_PROBE = 0.075  # r6 quiet-box settled mid-probe (VERDICT r7)
+    _norm_ratio = _REF_PROBE / max(float(calib_mid), 1e-9)
     spreads = {
         k: {
             "best": float(v),
             "spread": round(max(v.times) - min(v.times), 3),
             "times": v.times,
+            "norm_best": round(float(v) * _norm_ratio, 3),
         }
         for k, v in timings.items()
         if isinstance(v, _Timed) and len(v.times) > 1
@@ -1205,6 +1266,8 @@ def main() -> None:
         "bitmap_state_bytes": state_bytes,
         "runs": runs,
         "calibration": calibration,
+        "calibration_reference": _REF_PROBE,
+        "calibration_norm_ratio": round(_norm_ratio, 4),
         "sf": sf_val,
     }
     with open(detail_path, "w") as fh:

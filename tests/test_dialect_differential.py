@@ -133,6 +133,14 @@ def g_sep_str(r):
     return (sep, sep.join(parts))
 
 
+def g_sep_meta(r):
+    """(multichar-or-metachar separator, string containing it) for the
+    splitByString literal-separator guard."""
+    sep = r.choice([".", "|", "[", "(", "*", "?", "..", ".|", "ab", ", "])
+    parts = [gw(r) if r.random() < 0.75 else "" for _ in range(r.randint(0, 4))]
+    return (sep, sep.join(parts))
+
+
 def g_ip(r):
     if r.random() < 0.7:
         return ".".join(str(r.randint(0, 255)) for _ in range(4))
@@ -337,6 +345,36 @@ CASES = [
       "date_diff('hour', ({0}), ({1}))", [gt, gt]),
     C("dateDiff_month", "dateDiff('month', {0}, {1})",
       "date_diff('month', ({0}), ({1}))", [gt, gt]),
+    # r8 (VERDICT r7 item 5): the REST of the boundary-crossing unit
+    # grid — DuckDB's date_diff counts partition boundaries, an
+    # independent implementation of CH's documented rule (week
+    # boundaries are Monday in CH, Spark date_trunc('WEEK') and DuckDB
+    # alike)
+    C("dateDiff_second", "dateDiff('second', {0}, {1})",
+      "date_diff('second', ({0}), ({1}))", [gt, gt]),
+    C("dateDiff_minute", "dateDiff('minute', {0}, {1})",
+      "date_diff('minute', ({0}), ({1}))", [gt, gt]),
+    C("dateDiff_week", "dateDiff('week', {0}, {1})",
+      "date_diff('week', ({0}), ({1}))", [gt, gt]),
+    C("dateDiff_quarter", "dateDiff('quarter', {0}, {1})",
+      "date_diff('quarter', ({0}), ({1}))", [gt, gt]),
+    C("dateDiff_year", "dateDiff('year', {0}, {1})",
+      "date_diff('year', ({0}), ({1}))", [gt, gt]),
+    C("date_diff_alias", "date_diff('day', {0}, {1})",
+      "date_diff('day', ({0}), ({1}))", [gt, gt]),
+    C("dateDiff_mixed_date_ts", "dateDiff('day', {0}, {1})",
+      "date_diff('day', CAST(({0}) AS TIMESTAMP), ({1}))", [gd, gt]),
+    C("timeDiff", "timeDiff({0}, {1})",
+      "date_diff('second', ({0}), ({1}))", [gt, gt]),
+    # toStartOfWeek mode 0 = SUNDAY-start (shift through Monday-start
+    # trunc), mode 1 = Monday-start; both return Date in CH
+    C("toStartOfWeek_mode0", "toStartOfWeek({0})",
+      "CAST(date_trunc('week', ({0}) + INTERVAL 1 DAY) "
+      "- INTERVAL 1 DAY AS DATE)", [gt]),
+    C("toStartOfWeek_mode1", "toStartOfWeek({0}, 1)",
+      "CAST(date_trunc('week', {0}) AS DATE)", [gt]),
+    C("toStartOfSecond_fz", "toStartOfSecond({0})",
+      "date_trunc('second', {0})", [gt]),
     C("toYYYYMM", "toYYYYMM({0})", "CAST(strftime({0}, '%Y%m') AS INT)",
       [gt]),
     C("toYYYYMMDD", "toYYYYMMDD({0})",
@@ -407,6 +445,17 @@ CASES = [
     C("splitByString", "splitByString({0}, {1})",
       "string_split({1}, {0})",
       [lambda r: (gw(r)[:2] or "ab", gs(r))], elem="STRING"),
+    # r8: regex-metachar separators must stay LITERAL (the \\Q…\\E
+    # guard), incl. separators embedded in the haystack
+    C("splitByString_meta", "splitByString({0}, {1})",
+      "string_split({1}, {0})", [g_sep_meta], elem="STRING"),
+    # r8: CH's empty separator = split into single characters, NO
+    # empties ('' → []); DuckDB's string_split shares the rule for
+    # non-empty input, and the ''-input edge is pinned in the
+    # semantics grid
+    C("splitByString_empty_sep", "splitByString('', {0})",
+      "list_filter(string_split({0}, ''), x -> x <> '')",
+      [gw], elem="STRING"),
     C("splitByWhitespace", "splitByWhitespace({0})",
       "list_filter(string_split_regex({0}, ' +'), x -> x <> '')",
       [lambda r: " ".join(gw(r) for _ in range(r.randint(0, 4)))],

@@ -304,8 +304,52 @@ def test_url_functions(spark):
             ("encodeURLComponent('a b')", "a%20b"),
             # documented divergence: scheme-less URLs need the scheme
             ("domain('example.com/path')", None),
+            # r8 additions (VERDICT r7 item 5)
+            ("port('http://a.com:8080/x')", 8080),
+            ("port('http://a.com/x')", 0),
+            ("decodeURLFormComponent('a+b%20c')", "a b c"),
+            ("encodeURLFormComponent('a b')", "a+b"),
+            ("extractURLParameters('http://a.com/?x=1&y=2')",
+             ["x=1", "y=2"]),
+            ("extractURLParameters('http://a.com/p')", []),
+            ("extractURLParameterNames('http://a.com/?x=1&y=2&z')",
+             ["x", "y", "z"]),
         ],
     )
+    import pytest
+
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    for gated in ("URLHierarchy('http://a.b/c')",
+                  "URLPathHierarchy('http://a.b/c')"):
+        with pytest.raises(ValueError, match="prefix-list"):
+            translate(f"SELECT {gated}")
+
+
+def test_split_edge_semantics(spark):
+    """r8: splitByString's EMPTY separator = split into single
+    characters with no empty fragments ('' input → [], per CH's rule
+    that empty substrings only arise from NON-empty separators), and
+    splitByChar statically rejects separators that are not exactly one
+    character (CH raises Illegal separator)."""
+    import pytest
+
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    _grid(
+        spark,
+        [
+            ("splitByString('', 'abc')", ["a", "b", "c"]),
+            ("splitByString('', '')", []),
+            ("splitByString(', ', 'a, b, c')", ["a", "b", "c"]),
+            ("splitByString('.', 'a.b')", ["a", "b"]),  # literal dot
+            ("splitByString('|', 'a|b')", ["a", "b"]),
+            ("splitByChar('.', 'a.b.c')", ["a", "b", "c"]),
+        ],
+    )
+    for bad in ("splitByChar('', 'abc')", "splitByChar('ab', 'aabb')"):
+        with pytest.raises(ValueError, match="exactly one character"):
+            translate(f"SELECT {bad}")
 
 
 def test_bit_ip_base64_and_math_passthrough(spark):

@@ -66,6 +66,41 @@ _MUST_HANDLE = [
     "formatReadableSize(1)", "formatReadableQuantity(1)",
     "bar(1, 0, 10, 10)", "transform(1, [1], ['a'], 'b')",
     "normalizeQuery('x')", "sparkbar(9)(1, 1)",
+    # r8 (VERDICT r7 item 5): the URL family a crawl-analytics user
+    # actually hits — every name mapped (parse_url/regex forms with
+    # documented divergences) or gated (the hierarchy walks)
+    "domain('http://a.b/c')", "domainWithoutWWW('http://www.a.b/c')",
+    "topLevelDomain('http://a.b.c/')",
+    "firstSignificantSubdomain('http://news.a.com/')",
+    "cutToFirstSignificantSubdomain('http://news.a.com/')",
+    "protocol('http://a.b/')", "path('http://a.b/c?d=1')",
+    "pathFull('http://a.b/c?d=1')", "netloc('http://a.b:8080/c')",
+    "fragment('http://a.b/#f')", "queryString('http://a.b/?x=1')",
+    "queryStringAndFragment('http://a.b/?x=1#f')",
+    "extractURLParameter('http://a.b/?x=1', 'x')",
+    "extractURLParameters('http://a.b/?x=1&y=2')",
+    "extractURLParameterNames('http://a.b/?x=1&y=2')",
+    "cutQueryString('http://a.b/?x=1')",
+    "cutFragment('http://a.b/#f')",
+    "cutQueryStringAndFragment('http://a.b/?x=1#f')",
+    "cutWWW('http://www.a.b/')", "port('http://a.b:8080/')",
+    "decodeURLComponent('a%20b')", "encodeURLComponent('a b')",
+    "decodeURLFormComponent('a+b')", "encodeURLFormComponent('a b')",
+    "URLHierarchy('http://a.b/c/d')", "URLPathHierarchy('http://a.b/c/d')",
+    # r8: split edge semantics + the toStartOf*/dateDiff unit grid
+    "splitByChar(',', 'a,b')", "splitByString(', ', 'a, b')",
+    "splitByRegexp('[0-9]+', 'a1b')",
+    "toStartOfSecond(now64())", "toStartOfMinute(now())",
+    "toStartOfFiveMinute(now())", "toStartOfFiveMinutes(now())",
+    "toStartOfTenMinutes(now())", "toStartOfFifteenMinutes(now())",
+    "toStartOfHour(now())", "toStartOfDay(now())",
+    "toStartOfWeek(today())", "toStartOfWeek(today(), 1)",
+    "toStartOfMonth(today())", "toStartOfQuarter(today())",
+    "toStartOfYear(today())",
+    "toStartOfInterval(now(), INTERVAL 5 MINUTE)",
+    "dateDiff('day', today(), today())",
+    "date_diff('week', today(), today())",
+    "timeDiff(now(), now())",
 ]
 
 
