@@ -3484,10 +3484,26 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # r7: xxHash64/murmurHash3_32 are the TRAP members of this family —
     # Spark resolves function names case-insensitively, so xxHash64(...)
     # would silently bind to Spark's xxhash64 (SEED 42) while CH's
-    # xxHash64 is XXH64 with seed 0: every value differs. They gate
-    # like the rest instead of resolving by accident.
+    # xxHash64 is XXH64 with seed 0: every value differs.
+    # r8: xxHash64/xxHash32 are now EXACT — functions/xxh.py implements
+    # the public XXH spec with the seed as a parameter, verified
+    # against Spark's own builtin at seed 42 over every length class
+    # (tests/test_xxh.py) and the canonical empty-input vectors; the
+    # dialect binds them at CH's seed 0. Strings hash their UTF-8
+    # bytes, integer columns their width-matched little-endian bytes
+    # (both CH's forms); the UInt64 result surfaces in Spark's signed
+    # BIGINT view — the same documented class as toUInt64/halfMD5.
+    m["xxHash64"] = lambda a: _xxh_udf_sql(
+        "ch_xxhash64", _one(a, "xxHash64")
+    )
+    m["xxHash32"] = lambda a: _xxh_udf_sql(
+        "ch_xxhash32", _one(a, "xxHash32")
+    )
+    # the remaining families stay gated: their reference constants are
+    # not pinned offline (CityHash 1.0.2's CH-vendored variant, SipHash
+    # key conventions, farm/metro/murmur seeds)
     for _h in ("cityHash64", "sipHash64", "sipHash128", "farmHash64",
-               "farmFingerprint64", "xxHash64", "xxHash32", "xxHash3",
+               "farmFingerprint64", "xxHash3",
                "metroHash64", "murmurHash2_32", "murmurHash2_64",
                "gccMurmurHash", "murmurHash3_32", "murmurHash3_64",
                "murmurHash3_128", "javaHashUTF16LE",
@@ -4316,6 +4332,77 @@ def _int_hash64_udf_sql(x: str) -> str:
     return f"ch_int_hash64(CAST(({x}) AS BIGINT))"
 
 
+_XXH_WANTED = False
+
+
+def _xxh_udf_sql(fn: str, x: str) -> str:
+    global _XXH_WANTED
+    _XXH_WANTED = True
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
+    return f"{fn}({x})"
+
+
+def _make_xxh_udfs():
+    """ch_xxhash64 / ch_xxhash32 — CH's xxHash64/xxHash32 (seed 0,
+    functions/xxh.py). Polymorphic over the ARRIVING dtype: strings
+    hash UTF-8 bytes, integer columns hash their width-matched
+    little-endian bytes (int8→1, int16→2, int32→4, int64→8 — exactly
+    CH's per-type byte forms). Float/decimal input RAISES with a
+    pointer instead of silently hashing the wrong representation
+    (nullable-int columns reach pandas as float64 — coalesce or cast
+    first)."""
+    import struct as _struct
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(hash_fn, to_out):
+        def _f(v):
+            import numpy as np
+            import pandas as pd
+
+            kind = getattr(v.dtype, "kind", "O")
+            if kind in ("i", "u"):
+                width = v.dtype.itemsize
+                fmt = {1: "<b", 2: "<h", 4: "<i", 8: "<q"}[width]
+                vals = v.to_numpy()
+                out = [to_out(hash_fn(_struct.pack(fmt, int(x))))
+                       for x in vals]
+                return pd.Series(pd.array(out, dtype="Int64"))
+            if kind == "f":
+                raise ValueError(
+                    "ch_xxhash*: float input would hash an ambiguous "
+                    "byte form (nullable ints arrive as float64) — "
+                    "CAST to a concrete integer width or STRING first"
+                )
+            out = []
+            for x in v:
+                if x is None or (isinstance(x, float) and np.isnan(x)):
+                    out.append(None)
+                elif isinstance(x, (bytes, bytearray)):
+                    out.append(to_out(hash_fn(bytes(x))))
+                elif isinstance(x, str):
+                    out.append(to_out(hash_fn(x.encode("utf-8"))))
+                else:
+                    raise ValueError(
+                        f"ch_xxhash*: unsupported input type {type(x)}; "
+                        "CAST to STRING or an integer width first"
+                    )
+            return pd.Series(pd.array(out, dtype="Int64"))
+
+        return pandas_udf(_f, "bigint")
+
+    from clickhouse_learning_spark.functions import xxh as _xxh
+
+    def _signed64(u: int) -> int:
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    return (
+        _mk(lambda b: _xxh.xxh64(b, 0), _signed64),
+        _mk(lambda b: _xxh.xxh32(b, 0), int),
+    )
+
+
 _STRDIST_WANTED = False
 
 
@@ -4696,6 +4783,10 @@ def register_sequence_udfs(spark) -> None:
         spark.udf.register(name, lttb.make_lttb_udf(n))
     if _INT_HASH64_WANTED:
         spark.udf.register("ch_int_hash64", _make_int_hash64_udf())
+    if _XXH_WANTED:
+        x64, x32 = _make_xxh_udfs()
+        spark.udf.register("ch_xxhash64", x64)
+        spark.udf.register("ch_xxhash32", x32)
     if _PUNYCODE_WANTED:
         enc, dec, tdec = _make_punycode_udfs()
         spark.udf.register("ch_punycode_encode", enc)

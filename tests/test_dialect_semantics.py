@@ -1944,7 +1944,9 @@ def test_string_distance_and_textnorm_family(spark):
     assert r["jw"] == pytest.approx(0.961111111, abs=1e-9)
     assert r["jac"] == 0.5
     for bad, hint in (
-        ("xxHash64('x')", "hash family"),
+        # xxHash64/xxHash32 are EXACT since r8 (functions/xxh.py,
+        # verified in tests/test_xxh.py) — the remaining families gate
+        ("xxHash3('x')", "hash family"),
         ("murmurHash3_64('x')", "hash family"),
         ("wordShingleSimHash('x')", "hash family"),
         ("damerauLevenshteinDistance('a','b')", "not pinned offline"),
