@@ -1153,6 +1153,26 @@ def main() -> None:
             ts.append(time.time() - t0)
         timings["tsv_roundtrip_200k"] = _timed(ts)
 
+        # r8: the Values (INSERT-wire SQL-text) member, priced at the
+        # same honest 200k rows as TSV — per-value Python render plus
+        # a real tokenizing reader through the \n( split snapper
+        from clickhouse_learning_spark.sources import values as _VAL
+
+        def _values_rt(i: int) -> None:
+            out = d + f"/val{i}"
+            _VAL.write_values(exp_small, out, nat_types)
+            _VAL.read_values_split(
+                spark, out, ["k", "x", "s"], nat_types,
+                chunk_bytes=4 * 1024 * 1024,
+            ).write.format("noop").mode("overwrite").save()
+
+        ts = []
+        for i in range(min(runs, 2)):
+            t0 = time.time()
+            _values_rt(i)
+            ts.append(time.time() - t0)
+        timings["values_roundtrip_200k"] = _timed(ts)
+
         # r7: the interop members — Arrow IPC rides Spark's internal
         # Arrow batches both ways (mapInArrow; should price near
         # parquet), Avro's pure-Python row codec is priced honestly at

@@ -2885,6 +2885,75 @@ def tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "values_roundtrip",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      / 100.0, 2) AS DOUBLE) AS total,
+           CAST(count(CASE WHEN o_orderkey % 5 <> 0
+                           THEN o_orderpriority END) AS BIGINT) AS n_pri,
+           CAST(sum(o_orderkey % 7 + o_orderkey % 11) AS BIGINT)
+               AS arr_sum
+    FROM orders GROUP BY o_orderstatus, strftime(o_orderdate, '%Y-%m')
+    """,
+)
+def values_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8: ClickHouse Values format source/sink
+    (sources/values.py — the `INSERT … VALUES` / `FORMAT Values` wire
+    form): parenthesized tuple rows, single-quoted backslash-escaped
+    strings, bare NULL literals, bracketed Array(scalar) — the fourth
+    member of the per-format roundtrip family (RowBinary = binary
+    rows, Native = binary columns, TSV = text rows, Values = SQL-text
+    rows), graded over the same orders shape with the exact
+    integer-cents aggregation PLUS a Nullable column (every 5th
+    priority nulled) and a native array column folded element-wise.
+    Readback goes through the SPLIT reader (byte ranges snapped to
+    `\\n(` row heads) at an adversarially small chunk size, so the
+    split walk itself sits under the hash gate. The oracle recomputes
+    everything from the ORIGINAL parquet — green = the text
+    round-trip loses nothing."""
+    import tempfile
+
+    from clickhouse_learning_spark.sources import values as VV
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        F.when(
+            F.col("o_orderkey") % 5 != 0, F.col("o_orderpriority")
+        ).alias("o_orderpriority"),
+        F.array(
+            F.col("o_orderkey") % 7, F.col("o_orderkey") % 11
+        ).alias("arr"),
+    )
+    types = ["Int64", "String", "Float64", "DateTime",
+             "Nullable(String)", "Array(Int64)"]
+    path = tempfile.mkdtemp(prefix="values_rt_") + "/orders_values"
+    VV.write_values(orders.repartition(4), path, types)
+    back = VV.read_values_split(
+        spark, path, orders.columns, types, chunk_bytes=64 * 1024
+    )
+    return back.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / 100.0, 2,
+        ).alias("total"),
+        F.count("o_orderpriority").alias("n_pri"),
+        F.sum(
+            F.aggregate(
+                "arr", F.lit(0).cast("long"), lambda a, x: a + x
+            )
+        ).alias("arr_sum"),
+    )
+
+
+@query(
     "native_typed_roundtrip",
     """
     WITH e AS (SELECT event_id, user_id, value, event_type
