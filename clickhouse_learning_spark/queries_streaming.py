@@ -646,3 +646,53 @@ def stream_arrow_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("users"),
         F.max(F.to_date("ts")).alias("last_day"),
     )
+
+
+@query(
+    "stream_avro_export",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+               AS value_milli,
+           CAST(min(event_id) AS BIGINT) AS min_event,
+           CAST(max(event_id) AS BIGINT) AS max_event,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+           CAST(max(CAST(ts AS DATE)) AS DATE) AS last_day
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_avro_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8: the Avro twin of stream_arrow_export — the same
+    6-wave micro-batch offboarding through streaming/export.py, but
+    each epoch lands as Avro OCF containers (the pure-Python spec
+    codec with true-UTC timestamp-micros per ADVICE r7) and the full
+    multi-epoch export is read back through the Avro source. Same
+    original-parquet oracle: green = the streamed OCF export is
+    lossless across micro-batch boundaries, closing the
+    format-streaming matrix (Arrow + Avro, each graded end-to-end)."""
+    from clickhouse_learning_spark.streaming.export import stream_export
+
+    work = tempfile.mkdtemp(prefix="stream_avro_export_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    ev.repartition(6).write.mode("overwrite").parquet(f"{work}/landing")
+    back = stream_export(
+        spark,
+        f"{work}/landing",
+        ev.schema,
+        f"{work}/avro_out",
+        fmt="avro",
+        checkpoint=f"{work}/ckpt",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1000).cast("long"))
+        .alias("value_milli"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+        F.countDistinct("user_id").alias("users"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
