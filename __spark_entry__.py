@@ -50,84 +50,84 @@ def entry(spark: SparkSession) -> DataFrame:
 # already covered above sit behind them. Union of rounds still grades
 # everything — round 1 drove the entries now demoted.
 _PRIORITY = [
-    # Round-8 window — 51 names: the driver grades the FIRST 50;
-    # position 51 is the labeled spare. Round 7 came back 49/50; the
-    # one red (native_typed_roundtrip) was a HARNESS-SHAPE defect —
-    # the graded projection kept a raw Array(Int64) column and the
-    # driver's pandas canonicalizer cannot sort list cells. Fixed by
-    # serializing the array for grading (concat_ws / array_to_string)
-    # plus a standing atomic-only-schema law over every registered
-    # query (tests/test_graded_shape_law.py, also enforced in
-    # tools/check_oracle.py so the local gate is never more permissive
-    # than the driver). This window = (a) that regrade; (b) the eight
-    # round-7-staged queries with judge-only evidence
-    # (docs/CHANGES_r7.md worklist) — grading them moves the
-    # driver-evidence union to 216/219 registered (everything but the
-    # two rows-only-by-contract sketches and the r8-staged tail);
-    # (c) the r8-new streaming Arrow export, graded immediately as the
-    # round's one genuinely new end-to-end story (VERDICT r7 item 6 —
-    # the stream_warc_pipeline precedent); (d) rotation of the OLDEST
-    # driver evidence: all twelve remaining r3-latest queries plus
-    # twenty-eight of the forty-nine r4-latest, chosen for family
-    # diversity; the twenty-one r4 queries left out (incl. the spare)
-    # lead the r9 rotation.
-    # --- (a) the regrade ----------------------------------------------
-    "native_typed_roundtrip",  # r7 harness-shape red; serialized + law
-    # --- (b) round-7 staged, judge-green, never driver-graded ---------
-    "ivfpq_ann_topk",
-    "arrow_roundtrip",
-    "avro_roundtrip",
-    "kn_trigram_scores",
-    "hybrid_retrieval_rrf",
-    "sequence_packing_spans",
-    "ch_strdist_dialect",
-    "byte_bpe_subword_stats",
-    # --- (c) r8-new: streaming offboarding end-to-end -----------------
-    "stream_arrow_export",
-    # --- (d) oldest-evidence rotation: the 12 remaining r3-latest -----
-    "disjunctive_brand_revenue",
-    "epoch_upsampling",
-    "forecast_revenue_change",
-    "idle_rich_customers",
-    "large_volume_orders",
-    "late_ship_priority",
-    "order_count_distribution",
-    "part_pair_affinity",
-    "revenue_anomaly_days",
-    "shipmode_priority_split",
-    "small_quantity_revenue",
-    "top_supplier",
-    # --- (d) oldest-evidence rotation: 28 of the 49 r4-latest ---------
-    "median_exact",
-    "json_extract_agg",
-    "window_functions_suite",
-    "asof_attribution",
-    "ann_cosine_topk",
-    "audio_spectral",
-    "bitmap_funnel_roaring",
-    "ch_any_join_enrich",
-    "ch_asof_dialect",
-    "ch_dialect_query",
-    "ch_final_dialect",
-    "ch_limit_by_topn",
-    "ch_retention_dialect",
-    "ch_url_dialect",
-    "conditional_agg",
-    "contamination_check",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "embedding_kmeans",
-    "filter_project_prune",
-    "like_and_conjunction",
-    "multimodal_decode",
-    "multimodal_jpeg_features",
-    "null_handling",
-    "parse_datetime_best_effort",
-    "pricing_summary",
-    "range_join_campaigns",
+    # Round-9 window — 51 names: the driver grades the FIRST 50;
+    # position 51 is the labeled spare. Round 8 came back 50/50 (the
+    # first fully green window); VERDICT r8 item 1 prescribes this
+    # window exactly: (a) the three r8-staged queries with judge-only
+    # evidence (`ch_url_full_dialect`, `values_roundtrip`,
+    # `stream_avro_export` — each oracle-green on r8 HEAD); (b) the
+    # rotation's OLDEST driver evidence: all 21 remaining r4-latest
+    # queries (incl. `ref_funnel_6stage`, the r8 spare the driver did
+    # not widen to); (c) 26 of the 48 r5-latest, chosen for family
+    # diversity (ANN, anti/semi/cross joins, argmax, array join,
+    # bloom decontamination, BPE, totals grids, set ops, DSIR, top-k,
+    # text-quality, LM, plus 8 of the 18 r5 dialect suites); the 22
+    # r5 queries left out (incl. the spare) lead the r10 rotation:
+    # ch_mv_routed_dialect, ch_quantiles_dialect, ch_rollup_dialect,
+    # ch_scalar_with_dialect, ch_sequence_guard_dialect,
+    # ch_stats_assoc_dialect, ch_summap_dialect, ch_ttest_dialect,
+    # ch_vector_dialect, ch_week_modes_dialect, minmax_rollup_sorted,
+    # modulo_skew_filter, pivot_event_matrix, quantile_sketch_dd,
+    # rollup_totals, semdedup_keep, semi_join_exists, stats_moments,
+    # stream_topk_items, temperature_mixing, unpivot_event_matrix,
+    # window_topk_per_group (the spare below). New r9 queries
+    # (murmur/sipHash dialect lifts) stage BEHIND the window for r10
+    # per the staging discipline.
+    # --- (a) r8-staged, judge-green, never driver-graded --------------
+    "ch_url_full_dialect",
+    "values_roundtrip",
+    "stream_avro_export",
+    # --- (b) oldest-evidence rotation: the 21 remaining r4-latest -----
+    "ch_interpolate_dialect",
+    "ch_sequence_dialect",
+    "ch_time_buckets_dialect",
+    "ch_totals_rollup",
+    "ch_window_funnel_dialect",
+    "ch_with_fill_dialect",
+    "dedup_clusters",
+    "dedup_incremental_index",
+    "dedup_ngram_jaccard",
+    "multimodal_features",
+    "multimodal_gif_pixel_sums",
+    "multimodal_pixel_sums",
+    "multimodal_png_pixel_sums",
+    "multimodal_progressive_jpeg_features",
+    "ref_funnel_6stage",
+    "ref_wide_mv_5metric",
+    "replacing_latest_event",
+    "scalar_datetime_math",
+    "skew_agg_salted",
+    "union_all_batches",
+    "union_merge_wide",
+    # --- (c) oldest-evidence rotation: 26 of the 48 r5-latest ---------
+    "ann_ivf_topk",
+    "anti_join_not_exists",
+    "argmax_top_event",
+    "array_join_tuples",
+    "bloom_decontamination",
+    "bpe_subword_stats",
+    "ch_array_combinators_dialect",
+    "ch_bitmap_algebra_dialect",
+    "ch_combinators_dialect",
+    "ch_funnel_strict_dialect",
+    "ch_hash_dialect",
+    "ch_intervals_dialect",
+    "ch_ip_bits_dialect",
+    "ch_lttb_dialect",
+    "cross_join_matrix",
+    "cube_totals",
+    "distinct_rows",
+    "dsir_importance",
+    "global_topk_orders",
+    "gopher_quality_rules",
+    "grouping_sets_totals",
+    "intersect_except_sets",
+    "lexical_diversity",
+    "lm_heldout_scores",
+    "multimodal_webp_pixel_sums",
+    "numbers_generator",
     # --- spare (position 51; graded only if the driver widens) --------
-    "ref_funnel_6stage",  # r4
+    "window_topk_per_group",  # r5
 ]
 
 

@@ -5,7 +5,10 @@ fourth text/binary member of the CH export family next to RowBinary
 
 Rendering per CH's text output: rows are parenthesized tuples
 separated by commas; strings/dates/datetimes are SINGLE-QUOTED with
-backslash escapes (``\\\\ \\' \\n \\t \\r \\b \\f \\0``), SQL NULL is
+backslash escapes (``\\\\ \\' \\n \\t \\r \\b \\f \\0``) — the reader
+additionally accepts SQL doubled-quote escaping (``''`` inside a
+literal = one quote), which CH's INSERT-wire Values parser allows
+(ADVICE r8) — SQL NULL is
 the bare literal ``NULL``, integers plain, floats shortest-roundtrip
 (``inf``/``-inf``/``nan`` spelled like CH), Date ``'YYYY-MM-DD'``,
 DateTime ``'YYYY-MM-DD hh:mm:ss'``, DateTime64 with the scale's
@@ -69,6 +72,13 @@ def _unquote(s: str) -> str:
             nxt = s[i + 1]
             # unknown escape keeps the char (the TSV/CH convention)
             out.append(_UNESCAPES.get(nxt, nxt))
+            i += 2
+            continue
+        if ch == "'" and i + 1 < n and s[i + 1] == "'":
+            # SQL doubled-quote escape — CH's Values (INSERT wire)
+            # parser accepts '' inside a literal alongside \' (ADVICE
+            # r8: 'x''y' must decode to x'y, not x''y)
+            out.append("'")
             i += 2
             continue
         out.append(ch)
@@ -165,6 +175,11 @@ def _split_fields(body: str) -> list[str]:
                     continue
                 i += 1
                 if d == "'":
+                    if i < n and body[i] == "'":
+                        # SQL '' escape: still inside the literal
+                        cur.append(body[i])
+                        i += 1
+                        continue
                     break
             continue
         if ch == "[":
@@ -223,6 +238,11 @@ def parse_values(text: str, ch_types: list[str]) -> list[tuple]:
                         continue
                     i += 1
                     if d == "'":
+                        if i < n and text[i] == "'":
+                            # SQL '' escape: still inside the literal
+                            cur.append(text[i])
+                            i += 1
+                            continue
                         break
                 continue
             if c == "[":

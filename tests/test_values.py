@@ -51,6 +51,31 @@ def test_parse_ch_style_streams():
     assert V.parse_values("('a\\qb')", ["String"]) == [("aqb",)]
 
 
+def test_sql_doubled_quote_escape():
+    """ADVICE r8 (medium): CH's INSERT-wire Values parser accepts SQL
+    doubled-quote escaping — 'x''y' is the 3-char string x'y, not a
+    parse boundary. Pinned: the walk, the field splitter, and the
+    array-element path."""
+    assert V.parse_values("('x''y')", ["String"]) == [("x'y",)]
+    # doubled quote does not end the literal even before a comma
+    assert V.parse_values(
+        "(1,'a'',b''c',2)", ["Int64", "String", "Int64"]
+    ) == [(1, "a',b'c", 2)]
+    # a string that is ONLY an escaped quote: '''' → '
+    assert V.parse_values("('''')", ["String"]) == [("'",)]
+    # adjacent empty strings stay empty (the '' literal is NOT an
+    # escape when it is the whole field)
+    assert V.parse_values(
+        "('','')", ["String", "String"]
+    ) == [("", "")]
+    # array elements: ['a''b', ''] with separators after the escape
+    assert V.parse_values(
+        "(['a''b',''])", ["Array(String)"]
+    ) == [(["a'b", ""],)]
+    # mixed with backslash escapes in one literal: \' then '' → a''b
+    assert V.parse_values("('a\\'''b')", ["String"]) == [("a''b",)]
+
+
 def test_malformed_rejected():
     with pytest.raises(ValueError, match="expected '\\('"):
         V.parse_values("1,2", ["Int64", "Int64"])
