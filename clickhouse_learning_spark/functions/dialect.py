@@ -1658,7 +1658,22 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         sep, x = _two(a, "splitByChar")
         s = sep.strip()
         if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
-            if len(s[1:-1].replace("''", "'")) != 1:
+            # count LOGICAL characters of the literal (ADVICE r8): a
+            # backslash escape ('\t', '\\', '\xHH') and a doubled ''
+            # are one character each, not the raw SQL-text length
+            inner = s[1:-1]
+            logical = 0
+            i = 0
+            while i < len(inner):
+                if inner[i] == "\\" and i + 1 < len(inner):
+                    i += 4 if inner[i + 1] in "xX" and i + 3 < len(inner) \
+                        else 2
+                elif inner[i : i + 2] == "''":
+                    i += 2
+                else:
+                    i += 1
+                logical += 1
+            if logical != 1:
                 raise ValueError(
                     "splitByChar: ClickHouse requires the separator to "
                     "be exactly one character (got "
@@ -1856,24 +1871,29 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["encodeURLFormComponent"] = lambda a: (
         f"url_encode({_one(a, 'encodeURLFormComponent')})"
     )
-    # extractURLParameters: the raw 'name=value' fragments of the query
-    # string, in order, empties dropped (CH returns [] when there is no
-    # query string).
-    m["extractURLParameters"] = lambda a: (
-        lambda u: (
-            f"filter(split(coalesce(parse_url({u}, 'QUERY'), ''), "
+    # extractURLParameters: the raw 'name=value' fragments of the
+    # param region, in order, empties dropped (CH returns [] when
+    # there are no params). ADVICE r8: CH's scanner starts at the
+    # first '?' OR '#' and splits on '&'/'#', so fragment-borne params
+    # ('http://a/#x=1') count too — parse_url already cuts QUERY and
+    # REF apart at '#', so query-then-fragment joined with '&'
+    # reproduces CH's left-to-right flattened list exactly.
+    def _url_param_segments(u: str) -> str:
+        return (
+            f"filter(split(concat(coalesce(parse_url({u}, 'QUERY'), "
+            f"''), '&', coalesce(parse_url({u}, 'REF'), '')), "
             f"'\\\\Q&\\\\E'), x -> x != '')"
         )
-    )(_one(a, "extractURLParameters"))
+
+    m["extractURLParameters"] = lambda a: _url_param_segments(
+        _one(a, "extractURLParameters")
+    )
     # extractURLParameterNames: the part of each fragment before the
     # first '='.
     m["extractURLParameterNames"] = lambda a: (
-        lambda u: (
-            f"transform(filter(split(coalesce(parse_url({u}, 'QUERY'), "
-            f"''), '\\\\Q&\\\\E'), x -> x != ''), "
-            f"x -> element_at(split(x, '\\\\Q=\\\\E'), 1))"
-        )
-    )(_one(a, "extractURLParameterNames"))
+        f"transform({_url_param_segments(_one(a, 'extractURLParameterNames'))}, "
+        f"x -> element_at(split(x, '\\\\Q=\\\\E'), 1))"
+    )
     # URLHierarchy/URLPathHierarchy return prefix LISTS whose exact
     # cut points (protocol, host, every path element, query) follow
     # CH's own tokenizer — not pinned offline; gate with the
@@ -3493,20 +3513,68 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # bytes, integer columns their width-matched little-endian bytes
     # (both CH's forms); the UInt64 result surfaces in Spark's signed
     # BIGINT view — the same documented class as toUInt64/halfMD5.
+    # ADVICE r8 (literal-width divergence): CH types a bare integer
+    # LITERAL as its narrowest unsigned type (42 → UInt8 → 1 byte
+    # hashed), while here it would arrive as Spark INT/BIGINT (4/8 LE
+    # bytes) — a silent value divergence for pasted literal args. The
+    # mapping therefore REQUIRES an explicit cast on bare integer
+    # literals so the hashed width is always the one the user chose;
+    # typed columns are unaffected. Pinned in test_dialect_semantics.
+    def _xxh_arg(a, name):
+        x = _one(a, name)
+        if re.fullmatch(r"-?\d+", x.strip()):
+            raise ValueError(
+                f"{name}({x}): ClickHouse hashes a bare integer literal "
+                "at its NARROWEST type (UInt8/UInt16/…), which this "
+                "engine cannot infer from Spark's INT literal — write "
+                f"{name}(CAST({x} AS TINYINT/SMALLINT/INT/BIGINT)) to "
+                "pin the byte width, or hash a typed column"
+            )
+        return x
+
     m["xxHash64"] = lambda a: _xxh_udf_sql(
-        "ch_xxhash64", _one(a, "xxHash64")
+        "ch_xxhash64", _xxh_arg(a, "xxHash64")
     )
     m["xxHash32"] = lambda a: _xxh_udf_sql(
-        "ch_xxhash32", _one(a, "xxHash32")
+        "ch_xxhash32", _xxh_arg(a, "xxHash32")
+    )
+    # r9: the murmurHash3 family is EXACT — functions/murmur.py
+    # implements the public-domain Appleby spec (seed-parametric),
+    # verified by smhasher's own published verification constants over
+    # every length class 0..255 × 256 seeds AND bit-for-bit against
+    # Spark's builtin hash() (= Murmur3 x86_32 at seed 42) on aligned
+    # lengths (tests/test_murmur.py); the dialect binds CH's seed 0.
+    # murmurHash3_64 is the XOR-fold of x64_128's two output words
+    # (ClickHouse FunctionsHashing.h MurmurHash3Impl64), surfaced in
+    # Spark's signed BIGINT view; murmurHash3_128 returns CH's
+    # FixedString(16) as BINARY (hex() renders it CH-style). The
+    # integer-literal width gate (_xxh_arg) applies as for xxHash.
+    m["murmurHash3_32"] = lambda a: _murmur_udf_sql(
+        "ch_murmur3_32", _xxh_arg(a, "murmurHash3_32")
+    )
+    m["murmurHash3_64"] = lambda a: _murmur_udf_sql(
+        "ch_murmur3_64", _xxh_arg(a, "murmurHash3_64")
+    )
+    m["murmurHash3_128"] = lambda a: _murmur_udf_sql(
+        "ch_murmur3_128", _xxh_arg(a, "murmurHash3_128")
+    )
+    # r9: sipHash64 is EXACT — functions/siphash.py implements
+    # SipHash-2-4 from the public spec (key-parametric), verified by
+    # the paper's Appendix-A worked example and the reference
+    # vectors_sip64 empty-input entry (tests/test_siphash.py); CH
+    # binds the fixed key (0, 0). sipHash128 stays gated below — CH's
+    # 128-bit variant is historically NON-standard (see
+    # sipHash128Reference in CH's own docs) and not pinned offline.
+    m["sipHash64"] = lambda a: _murmur_udf_sql(
+        "ch_siphash64", _xxh_arg(a, "sipHash64")
     )
     # the remaining families stay gated: their reference constants are
-    # not pinned offline (CityHash 1.0.2's CH-vendored variant, SipHash
-    # key conventions, farm/metro/murmur seeds)
-    for _h in ("cityHash64", "sipHash64", "sipHash128", "farmHash64",
+    # not pinned offline (CityHash 1.0.2's CH-vendored variant, CH's
+    # non-standard sipHash128, farm/metro seeds, MurmurHash2's CH use)
+    for _h in ("cityHash64", "sipHash128", "farmHash64",
                "farmFingerprint64", "xxHash3",
                "metroHash64", "murmurHash2_32", "murmurHash2_64",
-               "gccMurmurHash", "murmurHash3_32", "murmurHash3_64",
-               "murmurHash3_128", "javaHashUTF16LE",
+               "gccMurmurHash", "javaHashUTF16LE",
                "wordShingleSimHash", "wordShingleSimHashCaseInsensitive",
                "wordShingleSimHashUTF8",
                "wordShingleSimHashCaseInsensitiveUTF8",
@@ -4343,10 +4411,10 @@ def _xxh_udf_sql(fn: str, x: str) -> str:
     return f"{fn}({x})"
 
 
-def _make_xxh_udfs():
-    """ch_xxhash64 / ch_xxhash32 — CH's xxHash64/xxHash32 (seed 0,
-    functions/xxh.py). Polymorphic over the ARRIVING dtype: strings
-    hash UTF-8 bytes, integer columns hash their width-matched
+def _make_poly_hash_udf(hash_fn, to_out, ret_sql_type, label):
+    """Shared byte-form walker for the exact CH hash families
+    (xxHash r8, MurmurHash3 r9). Polymorphic over the ARRIVING dtype:
+    strings hash UTF-8 bytes, integer columns their width-matched
     little-endian bytes (int8→1, int16→2, int32→4, int64→8 — exactly
     CH's per-type byte forms). Float/decimal input RAISES with a
     pointer instead of silently hashing the wrong representation
@@ -4356,50 +4424,107 @@ def _make_xxh_udfs():
 
     from pyspark.sql.functions import pandas_udf
 
-    def _mk(hash_fn, to_out):
-        def _f(v):
-            import numpy as np
-            import pandas as pd
+    int_like = ret_sql_type == "bigint"
 
-            kind = getattr(v.dtype, "kind", "O")
-            if kind in ("i", "u"):
-                width = v.dtype.itemsize
-                fmt = {1: "<b", 2: "<h", 4: "<i", 8: "<q"}[width]
-                vals = v.to_numpy()
-                out = [to_out(hash_fn(_struct.pack(fmt, int(x))))
-                       for x in vals]
-                return pd.Series(pd.array(out, dtype="Int64"))
-            if kind == "f":
-                raise ValueError(
-                    "ch_xxhash*: float input would hash an ambiguous "
-                    "byte form (nullable ints arrive as float64) — "
-                    "CAST to a concrete integer width or STRING first"
-                )
-            out = []
-            for x in v:
-                if x is None or (isinstance(x, float) and np.isnan(x)):
-                    out.append(None)
-                elif isinstance(x, (bytes, bytearray)):
-                    out.append(to_out(hash_fn(bytes(x))))
-                elif isinstance(x, str):
-                    out.append(to_out(hash_fn(x.encode("utf-8"))))
-                else:
-                    raise ValueError(
-                        f"ch_xxhash*: unsupported input type {type(x)}; "
-                        "CAST to STRING or an integer width first"
-                    )
+    def _pack(out):
+        import pandas as pd
+
+        if int_like:
             return pd.Series(pd.array(out, dtype="Int64"))
+        return pd.Series(out, dtype="object")
 
-        return pandas_udf(_f, "bigint")
+    def _f(v):
+        import numpy as np
 
+        kind = getattr(v.dtype, "kind", "O")
+        if kind in ("i", "u"):
+            width = v.dtype.itemsize
+            fmt = {1: "<b", 2: "<h", 4: "<i", 8: "<q"}[width]
+            return _pack([
+                to_out(hash_fn(_struct.pack(fmt, int(x))))
+                for x in v.to_numpy()
+            ])
+        if kind == "f":
+            raise ValueError(
+                f"{label}: float input would hash an ambiguous "
+                "byte form (nullable ints arrive as float64) — "
+                "CAST to a concrete integer width or STRING first"
+            )
+        out = []
+        for x in v:
+            if x is None or (isinstance(x, float) and np.isnan(x)):
+                out.append(None)
+            elif isinstance(x, (bytes, bytearray)):
+                out.append(to_out(hash_fn(bytes(x))))
+            elif isinstance(x, str):
+                out.append(to_out(hash_fn(x.encode("utf-8"))))
+            else:
+                raise ValueError(
+                    f"{label}: unsupported input type {type(x)}; "
+                    "CAST to STRING or an integer width first"
+                )
+        return _pack(out)
+
+    return pandas_udf(_f, ret_sql_type)
+
+
+def _signed64_view(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _make_xxh_udfs():
+    """ch_xxhash64 / ch_xxhash32 — CH's xxHash64/xxHash32 (seed 0,
+    functions/xxh.py) over the shared byte-form walker."""
     from clickhouse_learning_spark.functions import xxh as _xxh
 
-    def _signed64(u: int) -> int:
-        return u - (1 << 64) if u >= (1 << 63) else u
+    return (
+        _make_poly_hash_udf(
+            lambda b: _xxh.xxh64(b, 0), _signed64_view, "bigint",
+            "ch_xxhash64"),
+        _make_poly_hash_udf(
+            lambda b: _xxh.xxh32(b, 0), int, "bigint", "ch_xxhash32"),
+    )
+
+
+_MURMUR_WANTED = False
+
+
+def _murmur_udf_sql(fn: str, x: str) -> str:
+    global _MURMUR_WANTED
+    _MURMUR_WANTED = True
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
+    return f"{fn}({x})"
+
+
+def _make_murmur_udfs():
+    """ch_murmur3_32 / ch_murmur3_64 / ch_murmur3_128 / ch_siphash64 —
+    CH's murmurHash3 family at seed 0 (functions/murmur.py,
+    public-domain Appleby spec; smhasher verification constants +
+    Spark-builtin cross-check in tests/test_murmur.py) and sipHash64 =
+    SipHash-2-4 at key (0, 0) (functions/siphash.py, paper vectors in
+    tests/test_siphash.py). _32 surfaces UInt32 as BIGINT
+    (0..2^32-1), _64/sipHash64 the UInt64 in Spark's signed BIGINT
+    view (the xxHash64/toUInt64 documented class), _128 the canonical
+    16 bytes as BINARY — CH's FixedString(16), so
+    hex(murmurHash3_128(x)) renders exactly like CH."""
+    from clickhouse_learning_spark.functions import murmur as _mm
+
+    from clickhouse_learning_spark.functions import siphash as _sh
 
     return (
-        _mk(lambda b: _xxh.xxh64(b, 0), _signed64),
-        _mk(lambda b: _xxh.xxh32(b, 0), int),
+        _make_poly_hash_udf(
+            lambda b: _mm.murmur3_x86_32(b, 0), int, "bigint",
+            "ch_murmur3_32"),
+        _make_poly_hash_udf(
+            _mm.ch_murmur3_64, _signed64_view, "bigint",
+            "ch_murmur3_64"),
+        _make_poly_hash_udf(
+            lambda b: _mm.murmur3_x64_128_bytes(b, 0), lambda b: b,
+            "binary", "ch_murmur3_128"),
+        _make_poly_hash_udf(
+            _sh.ch_siphash64, _signed64_view, "bigint",
+            "ch_siphash64"),
     )
 
 
@@ -4787,6 +4912,12 @@ def register_sequence_udfs(spark) -> None:
         x64, x32 = _make_xxh_udfs()
         spark.udf.register("ch_xxhash64", x64)
         spark.udf.register("ch_xxhash32", x32)
+    if _MURMUR_WANTED:
+        m32, m64, m128, sip64 = _make_murmur_udfs()
+        spark.udf.register("ch_murmur3_32", m32)
+        spark.udf.register("ch_murmur3_64", m64)
+        spark.udf.register("ch_murmur3_128", m128)
+        spark.udf.register("ch_siphash64", sip64)
     if _PUNYCODE_WANTED:
         enc, dec, tdec = _make_punycode_udfs()
         spark.udf.register("ch_punycode_encode", enc)

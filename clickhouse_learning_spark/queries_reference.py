@@ -2613,3 +2613,189 @@ def ch_strdist_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaro", "jw", "jac",
         F.col("src_ed").cast("long").alias("src_ed"),
     )
+
+
+_MURMUR_ORACLE = """
+    WITH u0 AS (
+      SELECT DISTINCT user_id % list_extract(
+               [10, 100, 1000, 10000, 100000, 1000000, 10000000],
+               CAST(user_id % 7 AS INT) + 1) AS v
+      FROM events WHERE user_id IS NOT NULL),
+    b0 AS (
+      SELECT v, CAST(v AS VARCHAR) AS s FROM u0),
+    b1 AS (
+      SELECT v, s, length(s) AS n,
+             list_transform(generate_series(1, length(s)),
+                            i -> ord(substr(s, CAST(i AS INT), 1))) AS b
+      FROM b0),
+    -- ======= Murmur3 x86_32, seed 0 (<= 1 four-byte block + tail) =======
+    w0 AS (
+      SELECT v, n, b,
+             CASE WHEN n >= 4
+                  THEN CAST(b[1] + 256*b[2] + 65536*b[3]
+                            + 16777216*b[4] AS HUGEINT)
+                  ELSE 0::HUGEINT END AS blk,
+             CASE WHEN n >= 4 THEN 4 ELSE 0 END AS toff
+      FROM b1),
+    w1 AS (SELECT *, (blk * 3432918353) % 4294967296 AS ka FROM w0),
+    w2 AS (SELECT *, ((ka * 32768) % 4294967296 + ka // 131072) AS kb
+           FROM w1),
+    w3 AS (SELECT *, (kb * 461845907) % 4294967296 AS kc FROM w2),
+    w4 AS (SELECT *, CASE WHEN n >= 4
+                          THEN ((kc * 8192) % 4294967296 + kc // 524288)
+                          ELSE 0::HUGEINT END AS hr FROM w3),
+    w5 AS (SELECT *, CASE WHEN n >= 4
+                          THEN (hr * 5 + 3864292196) % 4294967296
+                          ELSE 0::HUGEINT END AS hblk FROM w4),
+    w6 AS (SELECT *, n - toff AS tl FROM w5),
+    w7 AS (SELECT *,
+             (CASE WHEN tl >= 1 THEN CAST(b[toff+1] AS HUGEINT)
+                   ELSE 0::HUGEINT END
+            + CASE WHEN tl >= 2 THEN CAST(256*b[toff+2] AS HUGEINT)
+                   ELSE 0::HUGEINT END
+            + CASE WHEN tl >= 3 THEN CAST(65536*b[toff+3] AS HUGEINT)
+                   ELSE 0::HUGEINT END) AS tk0 FROM w6),
+    w8 AS (SELECT *, (tk0 * 3432918353) % 4294967296 AS ta FROM w7),
+    w9 AS (SELECT *, ((ta * 32768) % 4294967296 + ta // 131072) AS tb
+           FROM w8),
+    wa AS (SELECT *, CASE WHEN tl >= 1
+                          THEN (tb * 461845907) % 4294967296
+                          ELSE 0::HUGEINT END AS tk3 FROM w9),
+    wb AS (SELECT *, xor(CAST(hblk AS UBIGINT), CAST(tk3 AS UBIGINT))
+                     AS hx FROM wa),
+    wc AS (SELECT *, xor(hx, CAST(n AS UBIGINT)) AS f0 FROM wb),
+    wd AS (SELECT *, xor(f0, f0 >> 16) AS f1 FROM wc),
+    we AS (SELECT *, CAST((CAST(f1 AS HUGEINT) * 2246822507)
+                          % 4294967296 AS UBIGINT) AS f2 FROM wd),
+    wf AS (SELECT *, xor(f2, f2 >> 13) AS f3 FROM we),
+    wg AS (SELECT *, CAST((CAST(f3 AS HUGEINT) * 3266489909)
+                          % 4294967296 AS UBIGINT) AS f4 FROM wf),
+    wh AS (SELECT v, n, b, xor(f4, f4 >> 16) AS m32u FROM wg),
+    -- ======= Murmur3 x64_128, seed 0 (n <= 7 -> tail-only, k2 = 0) ======
+    x0 AS (
+      SELECT v, n, m32u,
+             list_reduce(
+               list_reverse(list_transform(b,
+                                           x -> CAST(x AS HUGEINT))),
+               (a, x) -> a * 256 + x) AS k1 FROM wh),
+    x1 AS (SELECT *, ((k1 * 289559509) % 18446744073709551616::HUGEINT
+             + ((k1 * 2277735313) % 4294967296) * 4294967296)
+             % 18446744073709551616::HUGEINT AS q1 FROM x0),
+    x2 AS (SELECT *, ((q1 * 2147483648) % 18446744073709551616::HUGEINT
+             + q1 // 8589934592) AS q2 FROM x1),
+    x3 AS (SELECT *, ((q2 * 658871167) % 18446744073709551616::HUGEINT
+             + ((q2 * 1291169091) % 4294967296) * 4294967296)
+             % 18446744073709551616::HUGEINT AS q3 FROM x2),
+    x4 AS (SELECT *, CAST(xor(CAST(q3 AS UBIGINT), CAST(n AS UBIGINT))
+                          AS HUGEINT) AS h1b,
+                     CAST(n AS HUGEINT) AS h2b FROM x3),
+    x5 AS (SELECT *, (h1b + h2b) % 18446744073709551616::HUGEINT AS h1c
+           FROM x4),
+    x6 AS (SELECT *, (h2b + h1c) % 18446744073709551616::HUGEINT AS h2c
+           FROM x5),
+    -- fmix64(h1c)
+    y1 AS (SELECT *, CAST(xor(CAST(h1c AS UBIGINT),
+                              CAST(h1c AS UBIGINT) >> 33)
+                          AS HUGEINT) AS a1 FROM x6),
+    y2 AS (SELECT *, ((a1 * 3981806797) % 18446744073709551616::HUGEINT
+             + ((a1 * 4283543511) % 4294967296) * 4294967296)
+             % 18446744073709551616::HUGEINT AS a2 FROM y1),
+    y3 AS (SELECT *, CAST(xor(CAST(a2 AS UBIGINT),
+                              CAST(a2 AS UBIGINT) >> 33)
+                          AS HUGEINT) AS a3 FROM y2),
+    y4 AS (SELECT *, ((a3 * 444984403) % 18446744073709551616::HUGEINT
+             + ((a3 * 3301882366) % 4294967296) * 4294967296)
+             % 18446744073709551616::HUGEINT AS a4 FROM y3),
+    y5 AS (SELECT *, CAST(xor(CAST(a4 AS UBIGINT),
+                              CAST(a4 AS UBIGINT) >> 33)
+                          AS HUGEINT) AS h1d FROM y4),
+    -- fmix64(h2c)
+    z1 AS (SELECT *, CAST(xor(CAST(h2c AS UBIGINT),
+                              CAST(h2c AS UBIGINT) >> 33)
+                          AS HUGEINT) AS c1 FROM y5),
+    z2 AS (SELECT *, ((c1 * 3981806797) % 18446744073709551616::HUGEINT
+             + ((c1 * 4283543511) % 4294967296) * 4294967296)
+             % 18446744073709551616::HUGEINT AS c2 FROM z1),
+    z3 AS (SELECT *, CAST(xor(CAST(c2 AS UBIGINT),
+                              CAST(c2 AS UBIGINT) >> 33)
+                          AS HUGEINT) AS c3 FROM z2),
+    z4 AS (SELECT *, ((c3 * 444984403) % 18446744073709551616::HUGEINT
+             + ((c3 * 3301882366) % 4294967296) * 4294967296)
+             % 18446744073709551616::HUGEINT AS c4 FROM z3),
+    z5 AS (SELECT *, CAST(xor(CAST(c4 AS UBIGINT),
+                              CAST(c4 AS UBIGINT) >> 33)
+                          AS HUGEINT) AS h2d FROM z4),
+    z6 AS (SELECT *, (h1d + h2d) % 18446744073709551616::HUGEINT AS h1e
+           FROM z5),
+    z7 AS (SELECT *, (h2d + h1e) % 18446744073709551616::HUGEINT AS h2e
+           FROM z6),
+    z8 AS (SELECT v, m32u,
+                  xor(CAST(h1e AS UBIGINT), CAST(h2e AS UBIGINT)) AS m64u,
+                  CAST(h1e AS UBIGINT) AS w1_,
+                  CAST(h2e AS UBIGINT) AS w2_ FROM z7)
+    SELECT CAST(v AS BIGINT) AS v,
+           CAST(m32u AS BIGINT) AS m32,
+           CAST(CASE WHEN CAST(m64u AS HUGEINT)
+                          >= 9223372036854775808::HUGEINT
+                     THEN CAST(m64u AS HUGEINT)
+                          - 18446744073709551616::HUGEINT
+                     ELSE CAST(m64u AS HUGEINT) END AS BIGINT) AS m64,
+           array_to_string(list_transform(generate_series(0, 7), i ->
+             substr('0123456789ABCDEF',
+                    CAST(((w1_ >> CAST(i*8 AS INT)) & 255) // 16 AS INT)
+                    + 1, 1)
+             || substr('0123456789ABCDEF',
+                       CAST(((w1_ >> CAST(i*8 AS INT)) & 255) % 16 AS INT)
+                       + 1, 1)), '')
+           || array_to_string(list_transform(generate_series(0, 7), i ->
+             substr('0123456789ABCDEF',
+                    CAST(((w2_ >> CAST(i*8 AS INT)) & 255) // 16 AS INT)
+                    + 1, 1)
+             || substr('0123456789ABCDEF',
+                       CAST(((w2_ >> CAST(i*8 AS INT)) & 255) % 16 AS INT)
+                       + 1, 1)), '') AS m128
+    FROM z8
+"""
+
+
+@query("ch_murmur_dialect", _MURMUR_ORACLE)
+def ch_murmur_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 (VERDICT r8 item 2): the murmurHash3 family lifted from
+    gate to EXACT mapping — murmurHash3_32 / murmurHash3_64 /
+    hex(murmurHash3_128) pasted verbatim through the dialect shim over
+    variable-length digit strings (1-7 bytes, so x86_32 exercises both
+    the block and every tail class while x64_128 exercises the k1 tail
+    + finalize; the block machinery is pinned by smhasher verification
+    constants and the Spark-builtin cross-check in tests/
+    test_murmur.py). The oracle RE-DERIVES all three hashes in pure
+    DuckDB HUGEINT arithmetic (split-multiply mod-2^64 products,
+    UBIGINT xor/shift rounds — the ch_hash_dialect fmix64 pattern
+    extended to the full algorithm), so engine and oracle share only
+    the input formula, never hash code. Map-only projection + one
+    distinct shuffle; the hash UDFs are Arrow-batched."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "user_id"
+    ).createOrReplaceTempView("ch_murmur_events")
+    ch = """
+        SELECT v,
+               murmurHash3_32(toString(v)) AS m32,
+               murmurHash3_64(toString(v)) AS m64,
+               hex(murmurHash3_128(toString(v))) AS m128
+        FROM (SELECT DISTINCT modulo(user_id, arrayElement(
+                    [10, 100, 1000, 10000, 100000, 1000000, 10000000],
+                    toInt32(modulo(user_id, 7)) + 1)) AS v
+              FROM ch_murmur_events
+              WHERE isNotNull(user_id))
+    """
+    out = spark.sql(translate(ch))
+    return out.select(
+        F.col("v").cast("long").alias("v"),
+        F.col("m32").cast("long").alias("m32"),
+        F.col("m64").cast("long").alias("m64"),
+        F.col("m128").alias("m128"),
+    )

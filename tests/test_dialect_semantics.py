@@ -314,6 +314,13 @@ def test_url_functions(spark):
             ("extractURLParameters('http://a.com/p')", []),
             ("extractURLParameterNames('http://a.com/?x=1&y=2&z')",
              ["x", "y", "z"]),
+            # ADVICE r9: CH's param scanner starts at the first '?' OR
+            # '#' and splits on '&'/'#' — fragment-borne params count
+            ("extractURLParameters('http://a.com/#x=1')", ["x=1"]),
+            ("extractURLParameters('http://a.com/?y=2#x=1&z=3')",
+             ["y=2", "x=1", "z=3"]),
+            ("extractURLParameterNames('http://a.com/#x=1&y')",
+             ["x", "y"]),
         ],
     )
     import pytest
@@ -345,9 +352,16 @@ def test_split_edge_semantics(spark):
             ("splitByString('.', 'a.b')", ["a", "b"]),  # literal dot
             ("splitByString('|', 'a|b')", ["a", "b"]),
             ("splitByChar('.', 'a.b.c')", ["a", "b", "c"]),
+            # ADVICE r9: escape-sequence separators are ONE logical
+            # character — the static check must not count raw SQL text
+            ("splitByChar('\\t', 'a\\tb\\tc')", ["a", "b", "c"]),
+            ("splitByChar('\\\\', 'a\\\\b')", ["a", "b"]),
+            ("splitByChar('''', 'a''b')", ["a", "b"]),
         ],
     )
-    for bad in ("splitByChar('', 'abc')", "splitByChar('ab', 'aabb')"):
+    for bad in ("splitByChar('', 'abc')", "splitByChar('ab', 'aabb')",
+                "splitByChar('\\t\\t', 'ab')",
+                "splitByChar('\\xAB\\xCD', 'ab')"):
         with pytest.raises(ValueError, match="exactly one character"):
             translate(f"SELECT {bad}")
 
@@ -1947,14 +1961,34 @@ def test_string_distance_and_textnorm_family(spark):
         # xxHash64/xxHash32 are EXACT since r8 (functions/xxh.py,
         # verified in tests/test_xxh.py) — the remaining families gate
         ("xxHash3('x')", "hash family"),
-        ("murmurHash3_64('x')", "hash family"),
+        # murmurHash3_32/_64/_128 are EXACT since r9 (functions/
+        # murmur.py, tests/test_murmur.py) — murmurHash2 stays gated
+        ("murmurHash2_64('x')", "hash family"),
         ("wordShingleSimHash('x')", "hash family"),
         ("damerauLevenshteinDistance('a','b')", "not pinned offline"),
         ("byteHammingDistance('a','b')", "not pinned offline"),
         ("tupleHammingDistance((1,2),(1,3))", "tuple arity"),
+        # ADVICE r8: CH hashes a bare integer literal at its NARROWEST
+        # type (42 → UInt8 → 1 byte) — unknowable from Spark's INT
+        # literal, so the mapping demands an explicit width cast
+        ("xxHash64(42)", "NARROWEST"),
+        ("xxHash32(-7)", "NARROWEST"),
     ):
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad}")
+    # …while an explicit cast pins the byte width (8 LE bytes here ≡
+    # hashing the typed BIGINT column form) and typed columns are
+    # untouched by the literal gate
+    r2 = spark.sql(translate(
+        "SELECT xxHash64(CAST(42 AS BIGINT)) AS h64, "
+        "xxHash64('42') AS hs"
+    )).collect()[0]
+    from clickhouse_learning_spark.functions.xxh import xxh64
+
+    import struct
+    assert (r2["h64"] + (1 << 64)) % (1 << 64) == \
+        xxh64(struct.pack("<q", 42), seed=0)
+    assert (r2["hs"] + (1 << 64)) % (1 << 64) == xxh64(b"42", seed=0)
 
 
 def test_extract_groups_split_nonalpha_and_nlp_gates(spark):
