@@ -1206,6 +1206,42 @@ def main() -> None:
             ts.append(time.time() - t0)
         timings["avro_roundtrip_200k"] = _timed(ts)
 
+        # r9 (VERDICT r8 item 3): the STREAMING export twins — prices
+        # the foreachBatch machinery (6 micro-batches: epoch-keyed
+        # clear+write, one query lifecycle, availableNow drain) on top
+        # of the already-priced batch roundtrips. Landing waves are
+        # written untimed; the timed body is stream → format-native
+        # epochs → full multi-epoch readback. Arrow rides mapInArrow
+        # at 600k rows; Avro's pure-Python row codec keeps TSV's
+        # honest 200k.
+        from clickhouse_learning_spark.streaming.export import (
+            stream_export as _SE,
+        )
+
+        exp600 = exp.filter(F.col("id") < 600_000)
+
+        def _stream_export_rt(fmt: str, df, i: int) -> None:
+            _SE(
+                spark,
+                d + f"/se_land_{fmt}{i}",
+                df.schema,
+                d + f"/se_out_{fmt}{i}",
+                fmt=fmt,
+                checkpoint=d + f"/se_ckpt_{fmt}{i}",
+            ).write.format("noop").mode("overwrite").save()
+
+        for fmt, df in (("arrow", exp600), ("avro", exp_small)):
+            ts = []
+            for i in range(min(runs, 2)):
+                df.repartition(6).write.mode("overwrite").parquet(
+                    d + f"/se_land_{fmt}{i}"
+                )
+                t0 = time.time()
+                _stream_export_rt(fmt, df, i)
+                ts.append(time.time() - t0)
+            n = "600k" if fmt == "arrow" else "200k"
+            timings[f"stream_export_{fmt}_6x_{n}"] = _timed(ts)
+
     # the reference's 1-billion-row sumState benchmark shape
     # (BASELINE.md: 3.201s / 312M rows/s on ClickHouse 21.3)
     timings["sum_1b_rows_1000_groups"] = best_of(

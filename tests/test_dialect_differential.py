@@ -151,6 +151,43 @@ def g_json(r):
     return ('{"k": "' + gw(r) + '", "n": ' + str(r.randint(-99, 99)) + "}",)
 
 
+def _g_json_value(r, depth):
+    """Whitespace-free JSON value text (raw slices are byte-compared,
+    so the generator avoids string escapes — those are unit-tested in
+    functions/jsonraw.py's own laws)."""
+    if depth < 2 and r.random() < 0.35:
+        if r.random() < 0.5:
+            return "[" + ",".join(
+                _g_json_value(r, depth + 1)
+                for _ in range(r.randint(0, 3))) + "]"
+        return "{" + ",".join(
+            f'"n{i}":' + _g_json_value(r, depth + 1)
+            for i in range(r.randint(0, 3))) + "}"
+    c = r.random()
+    if c < 0.3:
+        return str(r.randint(-99, 99))
+    if c < 0.6:
+        return '"' + "".join(
+            r.choice("abwxyz09_ -") for _ in range(r.randint(0, 8))
+        ) + '"'
+    if c < 0.7:
+        return "null"
+    if c < 0.8:
+        return r.choice(["true", "false"])
+    return f"{r.randint(-9, 9)}.{r.randint(0, 99)}"
+
+
+def g_json_arr(r):
+    return ("[" + ",".join(
+        _g_json_value(r, 0) for _ in range(r.randint(0, 5))) + "]",)
+
+
+def g_json_obj(r):
+    return ("{" + ",".join(
+        f'"k{i}":' + _g_json_value(r, 0)
+        for i in range(r.randint(0, 4))) + "}",)
+
+
 # ---------------------------------------------------------------- rendering
 def _q(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
@@ -579,6 +616,25 @@ CASES = [
       "json_extract_string({0}, '$.k')", [g_json]),
     C("JSONExtractInt", "JSONExtractInt({0}, 'n')",
       "CAST(json_extract({0}, '$.n') AS BIGINT)", [g_json]),
+    # r9 raw-slice family: DuckDB's json_extract returns RAW JSON text
+    # (quotes kept on strings, braces on objects) — an independent
+    # scanner to differential-check ours against; whitespace-free
+    # inputs make raw == minified on both sides
+    C("JSONExtractArrayRaw",
+      "arrayStringConcat(JSONExtractArrayRaw({0}), '|')",
+      # DuckDB maps JSON null -> SQL NULL; the raw text is 'null'
+      "coalesce(array_to_string(list_transform("
+      "generate_series(0, CAST(json_array_length({0}) AS BIGINT) - 1), "
+      "i -> coalesce(CAST(json_extract({0}, '$[' || i || ']') "
+      "AS VARCHAR), 'null')), '|'), '')",
+      [g_json_arr]),
+    C("JSONExtractKeysAndValuesRaw",
+      "arrayStringConcat(arrayMap(t -> concat(t.1, '=', t.2), "
+      "JSONExtractKeysAndValuesRaw({0})), ';')",
+      "coalesce(array_to_string(list_transform(json_keys({0}), "
+      "k -> k || '=' || coalesce(CAST(json_extract({0}, '$.' || k) "
+      "AS VARCHAR), 'null')), ';'), '')",
+      [g_json_obj]),
     # ---- r5-late batch: ladders, MJD, separators --------------------
     C("roundDuration", "roundDuration({0})",
       "(SELECT coalesce(max(v), 0) FROM (VALUES (1), (10), (30), (60), "

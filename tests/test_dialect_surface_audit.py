@@ -101,6 +101,19 @@ _MUST_HANDLE = [
     "dateDiff('day', today(), today())",
     "date_diff('week', today(), today())",
     "timeDiff(now(), now())",
+    # r9 (VERDICT r8 item 6): the raw-slice JSON family (mapped to the
+    # jsonraw scanner UDFs), JSONType's gate, the toRelative grid, and
+    # the arrayEnumerate/arrayReduce corners — all mapped-or-gated
+    "JSONExtractArrayRaw('[1,2]')",
+    "JSONExtractKeysAndValuesRaw('{\"a\":1}')",
+    "JSONType('{}')", "JSONExtractRaw('{\"a\":1}', 'a')",
+    "JSONExtractKeys('{\"a\":1}')", "JSONLength('[1,2]')",
+    "toRelativeYearNum(today())", "toRelativeQuarterNum(today())",
+    "toRelativeMonthNum(today())", "toRelativeWeekNum(today())",
+    "toRelativeDayNum(today())", "toRelativeHourNum(now())",
+    "toRelativeMinuteNum(now())", "toRelativeSecondNum(now())",
+    "arrayEnumerate([1,2])", "arrayEnumerateDense([1,1,2])",
+    "arrayEnumerateUniq([1,1,2])", "arrayReduce('sum', [1,2])",
 ]
 
 
