@@ -1242,6 +1242,41 @@ def main() -> None:
             n = "600k" if fmt == "arrow" else "200k"
             timings[f"stream_export_{fmt}_6x_{n}"] = _timed(ts)
 
+    # r9: price the exact hash-family surface (murmur/sip/xx) — the
+    # VECTORIZED integer lane (functions/hash_vec.py: whole-array
+    # numpy per Arrow batch) vs the per-value string lane (ragged
+    # inputs, inherently a loop), three hashes per row each. The CH
+    # names go through the dialect shim exactly as a pasted query
+    # would.
+    from clickhouse_learning_spark.functions.dialect import (
+        translate as _translate,
+    )
+
+    spark.range(5_000_000).createOrReplaceTempView("bench_hash_ints")
+    _sql_hash_int = _translate(
+        "SELECT sum(bitAnd(murmurHash3_64(id), 1023)) AS m, "
+        "sum(bitAnd(sipHash64(id), 1023)) AS s, "
+        "sum(bitAnd(xxHash64(id), 1023)) AS x FROM bench_hash_ints"
+    )
+    timings["hash_family_int_5m"] = best_of(
+        runs,
+        lambda: spark.sql(_sql_hash_int)
+        .write.format("noop").mode("overwrite").save(),
+    )
+    spark.range(1_000_000).selectExpr(
+        "concat('user-', CAST(id AS STRING)) AS s"
+    ).createOrReplaceTempView("bench_hash_strs")
+    _sql_hash_str = _translate(
+        "SELECT sum(bitAnd(murmurHash3_64(s), 1023)) AS m, "
+        "sum(bitAnd(sipHash64(s), 1023)) AS p, "
+        "sum(bitAnd(xxHash64(s), 1023)) AS x FROM bench_hash_strs"
+    )
+    timings["hash_family_str_1m"] = best_of(
+        runs,
+        lambda: spark.sql(_sql_hash_str)
+        .write.format("noop").mode("overwrite").save(),
+    )
+
     # the reference's 1-billion-row sumState benchmark shape
     # (BASELINE.md: 3.201s / 312M rows/s on ClickHouse 21.3)
     timings["sum_1b_rows_1000_groups"] = best_of(
