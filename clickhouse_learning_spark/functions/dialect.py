@@ -3614,7 +3614,7 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     for _h in ("cityHash64", "sipHash128", "farmHash64",
                "farmFingerprint64", "xxHash3",
                "metroHash64", "murmurHash2_32", "murmurHash2_64",
-               "gccMurmurHash", "javaHashUTF16LE",
+               "gccMurmurHash",
                "wordShingleSimHash", "wordShingleSimHashCaseInsensitive",
                "wordShingleSimHashUTF8",
                "wordShingleSimHashCaseInsensitiveUTF8",
@@ -3702,6 +3702,13 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     )
     m["hiveHash"] = lambda a: _java_hash_udf_sql(
         _one(a, "hiveHash"), hive=True
+    )
+    # r9: javaHashUTF16LE = the same published fold over the value's
+    # bytes read as little-endian UTF-16 units (odd byte length
+    # raises, as CH does); derivation law pinned in
+    # test_dialect_semantics: javaHashUTF16LE(utf16le(s)) == javaHash(s)
+    m["javaHashUTF16LE"] = lambda a: _java_hash16le_udf_sql(
+        _one(a, "javaHashUTF16LE")
     )
     # -- string distances (r7: these used to PASS THROUGH untranslated
     # — the silent-mistranslation class; now mapped where the public
@@ -4687,6 +4694,14 @@ def _java_hash_udf_sql(x: str, hive: bool) -> str:
     return f"{'ch_hive_hash' if hive else 'ch_java_hash'}({x})"
 
 
+def _java_hash16le_udf_sql(x: str) -> str:
+    global _TEXTNORM_WANTED
+    _TEXTNORM_WANTED = True
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
+    return f"ch_java_hash_utf16le({x})"
+
+
 def _extract_groups_udf_sql(x: str, pattern: str, horizontal: bool) -> str:
     global _TEXTNORM_WANTED
     _TEXTNORM_WANTED = True
@@ -4771,9 +4786,36 @@ def _make_textnorm_udfs():
             dtype="Int32",
         )
 
+    # javaHashUTF16LE (r9): the value's BYTES are UTF-16LE data — the
+    # hash folds 31h + unit over the little-endian 16-bit units
+    # (strings contribute their UTF-8 bytes, the engine's universal
+    # byte form, so byte-identical content hashes identically to CH);
+    # an odd byte length is not valid UTF-16LE and raises, as CH does.
+    def _jhash16le(raw: bytes) -> int:
+        if len(raw) % 2:
+            raise ValueError(
+                "javaHashUTF16LE: odd byte length is not valid "
+                "UTF-16LE (ClickHouse throws here too)"
+            )
+        h = 0
+        for i in range(0, len(raw), 2):
+            h = (31 * h + (raw[i] | raw[i + 1] << 8)) & 0xFFFFFFFF
+        return h - 2**32 if h >= 2**31 else h
+
+    @pandas_udf("int")
+    def jh16(xs):
+        return pd.Series(
+            [None if v is None else _jhash16le(
+                bytes(v) if isinstance(v, (bytes, bytearray))
+                else v.encode("utf-8"))
+             for v in xs],
+            dtype="Int32",
+        )
+
     return {f"ch_normalize_utf8_{f.lower()}": _norm_maker(f)
             for f in ("NFC", "NFD", "NFKC", "NFKD")} | {
-        "ch_java_hash": jh, "ch_hive_hash": hh}
+        "ch_java_hash": jh, "ch_hive_hash": hh,
+        "ch_java_hash_utf16le": jh16}
 
 
 def _make_strdist_udfs():

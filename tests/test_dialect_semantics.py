@@ -1976,6 +1976,17 @@ def test_string_distance_and_textnorm_family(spark):
     ):
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad}")
+    # r9: javaHashUTF16LE — the value's bytes read as UTF-16LE units;
+    # derivation law vs the vector-pinned javaHash (an ASCII string's
+    # UTF-16LE encoding interleaves NULs), and odd byte length raises
+    # like CH
+    r16 = spark.sql(translate(
+        "SELECT javaHashUTF16LE(concat('a', char(0), 'b', char(0), "
+        "'c', char(0))) AS h16, javaHash('abc') AS jh"
+    )).collect()[0]
+    assert r16["h16"] == r16["jh"] == 96354
+    with pytest.raises(Exception, match="odd byte length"):
+        spark.sql(translate("SELECT javaHashUTF16LE('abc')")).collect()
     # …while an explicit cast pins the byte width (8 LE bytes here ≡
     # hashing the typed BIGINT column form) and typed columns are
     # untouched by the literal gate
