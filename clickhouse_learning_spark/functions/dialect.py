@@ -408,6 +408,31 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # subquery evaluates once
     m["randConstant"] = lambda a: "(SELECT CAST(rand() * 4294967296 AS BIGINT))"
     m["generateUUIDv4"] = lambda a: "uuid()"
+    # r9 audit: the UUID text↔FixedString(16) pair used to PASS
+    # THROUGH. ClickHouse's internal UUID byte layout is the
+    # two-LE-halves form (see sources/rowbinary.py), and the variant-2
+    # (MS-GUID) swap adds a second convention — neither is pinned
+    # offline for these functions' exact output, so they GATE with the
+    # unambiguous composition instead of guessing a byte order.
+    for _uu in ("UUIDStringToNum", "UUIDNumToString"):
+        m[_uu] = (lambda nm: lambda a: (_ for _ in ()).throw(ValueError(
+            f"{nm}: ClickHouse's FixedString(16) byte order for this "
+            "function (text order vs the engine's two-LE-halves UUID "
+            "layout vs the variant-2 GUID swap) is not pinned offline "
+            "— for the text-order bytes use "
+            "unhex(replace(u, '-', '')) / re-insert dashes over hex(b) "
+            "explicitly"
+        )))(_uu)
+    # regexpQuoteMeta: CH documents the exact escape set — \0 \\ | ( )
+    # ^ $ . [ ] ? * + { : -  (note: '}' is NOT escaped). NUL can't
+    # ride a SQL literal here, so it is handled via chr(0) replace.
+    m["regexpQuoteMeta"] = lambda a: (
+        lambda s: (
+            f"replace(regexp_replace({s}, "
+            f"'([\\\\\\\\|()^$.\\\\[\\\\]?*+{{:-])', '\\\\\\\\$1'), "
+            f"chr(0), concat('\\\\\\\\', chr(0)))"
+        )
+    )(_one(a, "regexpQuoteMeta"))
     m["currentUser"] = lambda a: "current_user()"
     m["currentDatabase"] = lambda a: "current_database()"
     # blockNumber/rowNumberInBlock/blockSize: block-order introspection
@@ -1079,6 +1104,13 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         )
     )(_one(a, "tryBase64Decode"))
     m["bitCount"] = lambda a: f"bit_count({_one(a, 'bitCount')})"
+    # r9 audit: bitHammingDistance used to PASS THROUGH — it is
+    # exactly popcount(xor) on the integer forms
+    m["bitHammingDistance"] = lambda a: (
+        lambda x, y: (
+            f"bit_count(CAST(({x}) AS BIGINT) ^ CAST(({y}) AS BIGINT))"
+        )
+    )(*_two(a, "bitHammingDistance"))
     # isIPv4String: dotted-quad grammar + every octet in [0, 255]
     # (returns UInt8 1/0 like CH)
     m["isIPv4String"] = lambda a: (
@@ -1088,6 +1120,26 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             f"x -> CAST(x AS INT) BETWEEN 0 AND 255) AS INT)"
         )
     )(_one(a, "isIPv4String"))
+    # r9: the IPv6 text↔binary pair. RFC 5952 shortening (longest
+    # zero run → '::', lowercase hex) via the stdlib ipaddress module
+    # in an Arrow-batched UDF; IPv4-mapped addresses render dotted
+    # ('::ffff:1.2.3.4'), matching CH's documented form, which Python
+    # itself would render as '::ffff:102:304'. The binary form is the
+    # address's 16 network-order bytes (CH FixedString(16)).
+    m["IPv6NumToString"] = lambda a: _ipv6_udf_sql(
+        "ch_ipv6_num_to_string", _one(a, "IPv6NumToString")
+    )
+    m["IPv6StringToNum"] = lambda a: _ipv6_udf_sql(
+        "ch_ipv6_string_to_num", _one(a, "IPv6StringToNum")
+    )
+    m["IPv6StringToNumOrNull"] = lambda a: _ipv6_udf_sql(
+        "ch_ipv6_string_to_num_or_null",
+        _one(a, "IPv6StringToNumOrNull"),
+    )
+    m["isIPv6String"] = lambda a: (
+        f"CAST({_ipv6_udf_sql('ch_ipv6_string_to_num_or_null', _one(a, 'isIPv6String'))}"
+        f" IS NOT NULL AS INT)"
+    )
     # IPv4 numeric ↔ dotted-quad
     m["IPv4NumToString"] = lambda a: (
         lambda n: (
@@ -4561,6 +4613,63 @@ def _murmur_udf_sql(fn: str, x: str) -> str:
     return f"{fn}({x})"
 
 
+_IPV6_WANTED = False
+
+
+def _ipv6_udf_sql(fn: str, x: str) -> str:
+    global _IPV6_WANTED
+    _IPV6_WANTED = True
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
+    return f"{fn}({x})"
+
+
+def _make_ipv6_udfs():
+    """ch_ipv6_num_to_string / ch_ipv6_string_to_num(_or_null) — the
+    stdlib ipaddress module does the exact RFC 5952 compression and
+    parsing; CH's IPv4-mapped dotted rendering is the one divergence
+    from Python's default and is special-cased. Invalid input raises
+    in the strict form (CH throws too) and nulls in OrNull."""
+    import ipaddress
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _render(raw) -> str | None:
+        if raw is None:
+            return None
+        a = ipaddress.IPv6Address(bytes(raw))
+        v4 = a.ipv4_mapped
+        if v4 is not None:
+            return f"::ffff:{v4}"
+        return a.compressed
+
+    def _parse(s: str | None):
+        if s is None:
+            return None
+        return ipaddress.IPv6Address(s).packed
+
+    @pandas_udf("string")
+    def n2s(xs):
+        return pd.Series([_render(v) for v in xs], dtype="object")
+
+    @pandas_udf("binary")
+    def s2n(xs):
+        return pd.Series([_parse(v) for v in xs], dtype="object")
+
+    @pandas_udf("binary")
+    def s2n_null(xs):
+        out = []
+        for v in xs:
+            try:
+                out.append(_parse(v))
+            except ValueError:
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return n2s, s2n, s2n_null
+
+
 _JSONRAW_WANTED = False
 
 
@@ -5076,6 +5185,11 @@ def register_sequence_udfs(spark) -> None:
         jarr, jkv = _make_jsonraw_udfs()
         spark.udf.register("ch_json_array_raw", jarr)
         spark.udf.register("ch_json_kv_raw", jkv)
+    if _IPV6_WANTED:
+        n2s, s2n, s2n_null = _make_ipv6_udfs()
+        spark.udf.register("ch_ipv6_num_to_string", n2s)
+        spark.udf.register("ch_ipv6_string_to_num", s2n)
+        spark.udf.register("ch_ipv6_string_to_num_or_null", s2n_null)
     if _PUNYCODE_WANTED:
         enc, dec, tdec = _make_punycode_udfs()
         spark.udf.register("ch_punycode_encode", enc)

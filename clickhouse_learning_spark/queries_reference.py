@@ -3025,3 +3025,142 @@ def ch_json_raw_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "meta_kv",
         F.col("top_keys").cast("long").alias("top_keys"),
     )
+
+
+# Generated by tools/make_inthash_oracle.py — do not hand-edit
+# (tests/test_inthash_oracle_gen.py pins constant == generator output).
+_INTHASH_ORACLE = """
+    WITH u0_in AS (
+      SELECT DISTINCT CAST(user_id % 100000000 AS BIGINT) AS v
+      FROM events WHERE user_id IS NOT NULL),
+    x0 AS (
+      SELECT v, ((CAST(v AS HUGEINT) % 18446744073709551616::HUGEINT) + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT AS x
+      FROM u0_in),
+    maa AS (SELECT *, ((x % 4294967296) * 3432918353) % 4294967296 AS ma_k1 FROM x0),
+    mab AS (SELECT *, ((ma_k1 * 32768) % 4294967296 + ma_k1 // 131072) AS ma_k2 FROM maa),
+    mac AS (SELECT *, CAST(xor(CAST(0::HUGEINT AS UBIGINT), CAST(((ma_k2 * 461845907) % 4294967296) AS UBIGINT)) AS HUGEINT) AS ma_hx FROM mab),
+    mad AS (SELECT *, (((ma_hx * 8192) % 4294967296 + ma_hx // 524288) * 5 + 3864292196) % 4294967296 AS ma_h FROM mac),
+    mba AS (SELECT *, ((x // 4294967296) * 3432918353) % 4294967296 AS mb_k1 FROM mad),
+    mbb AS (SELECT *, ((mb_k1 * 32768) % 4294967296 + mb_k1 // 131072) AS mb_k2 FROM mba),
+    mbc AS (SELECT *, CAST(xor(CAST(ma_h AS UBIGINT), CAST(((mb_k2 * 461845907) % 4294967296) AS UBIGINT)) AS HUGEINT) AS mb_hx FROM mbb),
+    mbd AS (SELECT *, (((mb_hx * 8192) % 4294967296 + mb_hx // 524288) * 5 + 3864292196) % 4294967296 AS mb_h FROM mbc),
+    mf0 AS (SELECT *, CAST(xor(CAST(mb_h AS UBIGINT), CAST(8::HUGEINT AS UBIGINT)) AS HUGEINT) AS mf_f0 FROM mbd),
+    mf1 AS (SELECT *, CAST(xor(CAST(mf_f0 AS UBIGINT), CAST(mf_f0 AS UBIGINT) >> 16) AS HUGEINT) AS mf_f1 FROM mf0),
+    mf2 AS (SELECT *, (mf_f1 * 2246822507) % 4294967296 AS mf_f2 FROM mf1),
+    mf3 AS (SELECT *, CAST(xor(CAST(mf_f2 AS UBIGINT), CAST(mf_f2 AS UBIGINT) >> 13) AS HUGEINT) AS mf_f3 FROM mf2),
+    mf4 AS (SELECT *, (mf_f3 * 3266489909) % 4294967296 AS mf_f4 FROM mf3),
+    mf5 AS (SELECT *, CAST(xor(CAST(mf_f4 AS UBIGINT), CAST(mf_f4 AS UBIGINT) >> 16) AS HUGEINT) AS m32_out FROM mf4),
+    q1 AS (SELECT *, ((x * 289559509) % 18446744073709551616::HUGEINT + ((x * 2277735313) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS q_1 FROM mf5),
+    q2 AS (SELECT *, ((q_1 * 2147483648) % 18446744073709551616::HUGEINT + q_1 // 8589934592) AS q_2 FROM q1),
+    q3 AS (SELECT *, ((q_2 * 658871167) % 18446744073709551616::HUGEINT + ((q_2 * 1291169091) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS q_3 FROM q2),
+    q4 AS (SELECT *, CAST(xor(CAST(q_3 AS UBIGINT), CAST(8::HUGEINT AS UBIGINT)) AS HUGEINT) AS q_h1, 8::HUGEINT AS q_h2 FROM q3),
+    q5 AS (SELECT *, (q_h1 + q_h2) % 18446744073709551616::HUGEINT AS q_h1b FROM q4),
+    q6 AS (SELECT *, (q_h2 + q_h1b) % 18446744073709551616::HUGEINT AS q_h2b FROM q5),
+    qf1a AS (SELECT *, CAST(xor(CAST(q_h1b AS UBIGINT), CAST(q_h1b AS UBIGINT) >> 33) AS HUGEINT) AS qf1_x1 FROM q6),
+    qf1b AS (SELECT *, ((qf1_x1 * 3981806797) % 18446744073709551616::HUGEINT + ((qf1_x1 * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS qf1_x2 FROM qf1a),
+    qf1c AS (SELECT *, CAST(xor(CAST(qf1_x2 AS UBIGINT), CAST(qf1_x2 AS UBIGINT) >> 33) AS HUGEINT) AS qf1_x3 FROM qf1b),
+    qf1d AS (SELECT *, ((qf1_x3 * 444984403) % 18446744073709551616::HUGEINT + ((qf1_x3 * 3301882366) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS qf1_x4 FROM qf1c),
+    qf1e AS (SELECT *, CAST(xor(CAST(qf1_x4 AS UBIGINT), CAST(qf1_x4 AS UBIGINT) >> 33) AS HUGEINT) AS qf1_out FROM qf1d),
+    qf2a AS (SELECT *, CAST(xor(CAST(q_h2b AS UBIGINT), CAST(q_h2b AS UBIGINT) >> 33) AS HUGEINT) AS qf2_x1 FROM qf1e),
+    qf2b AS (SELECT *, ((qf2_x1 * 3981806797) % 18446744073709551616::HUGEINT + ((qf2_x1 * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS qf2_x2 FROM qf2a),
+    qf2c AS (SELECT *, CAST(xor(CAST(qf2_x2 AS UBIGINT), CAST(qf2_x2 AS UBIGINT) >> 33) AS HUGEINT) AS qf2_x3 FROM qf2b),
+    qf2d AS (SELECT *, ((qf2_x3 * 444984403) % 18446744073709551616::HUGEINT + ((qf2_x3 * 3301882366) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS qf2_x4 FROM qf2c),
+    qf2e AS (SELECT *, CAST(xor(CAST(qf2_x4 AS UBIGINT), CAST(qf2_x4 AS UBIGINT) >> 33) AS HUGEINT) AS qf2_out FROM qf2d),
+    q7 AS (SELECT *, (qf1_out + qf2_out) % 18446744073709551616::HUGEINT AS q_e1 FROM qf2e),
+    q8 AS (SELECT *, (qf2_out + q_e1) % 18446744073709551616::HUGEINT AS q_e2 FROM q7),
+    q9 AS (SELECT *, CAST(xor(CAST(q_e1 AS UBIGINT), CAST(q_e2 AS UBIGINT)) AS HUGEINT) AS m64_out FROM q8),
+    s0 AS (SELECT *, 8317987319222330741::HUGEINT AS s_a0, 7237128888997146477::HUGEINT AS s_a1, 7816392313619706465::HUGEINT AS s_a2, CAST(xor(CAST(8387220255154660723::HUGEINT AS UBIGINT), CAST(x AS UBIGINT)) AS HUGEINT) AS s_a3 FROM q9),
+    sc1a AS (SELECT *, ((s_a0 + s_a1) % 18446744073709551616::HUGEINT) AS sc1_t0, ((s_a2 + s_a3) % 18446744073709551616::HUGEINT) AS sc1_t2, ((s_a1 * 8192) % 18446744073709551616::HUGEINT + s_a1 // 2251799813685248) AS sc1_r1, ((s_a3 * 65536) % 18446744073709551616::HUGEINT + s_a3 // 281474976710656) AS sc1_r3 FROM s0),
+    sc1b AS (SELECT *, CAST(xor(CAST(sc1_r1 AS UBIGINT), CAST(sc1_t0 AS UBIGINT)) AS HUGEINT) AS sc1_n1, CAST(xor(CAST(sc1_r3 AS UBIGINT), CAST(sc1_t2 AS UBIGINT)) AS HUGEINT) AS sc1_n3, ((sc1_t0 * 4294967296) % 18446744073709551616::HUGEINT + sc1_t0 // 4294967296) AS sc1_t0r FROM sc1a),
+    sc1c AS (SELECT *, ((sc1_t0r + sc1_n3) % 18446744073709551616::HUGEINT) AS sc1_u0, ((sc1_t2 + sc1_n1) % 18446744073709551616::HUGEINT) AS sc1_u2 FROM sc1b),
+    sc1d AS (SELECT *, sc1_u0 AS sc1_s0, CAST(xor(CAST(((sc1_n1 * 131072) % 18446744073709551616::HUGEINT + sc1_n1 // 140737488355328) AS UBIGINT), CAST(sc1_u2 AS UBIGINT)) AS HUGEINT) AS sc1_s1, ((sc1_u2 * 4294967296) % 18446744073709551616::HUGEINT + sc1_u2 // 4294967296) AS sc1_s2, CAST(xor(CAST(((sc1_n3 * 2097152) % 18446744073709551616::HUGEINT + sc1_n3 // 8796093022208) AS UBIGINT), CAST(sc1_u0 AS UBIGINT)) AS HUGEINT) AS sc1_s3 FROM sc1c),
+    sc2a AS (SELECT *, ((sc1_s0 + sc1_s1) % 18446744073709551616::HUGEINT) AS sc2_t0, ((sc1_s2 + sc1_s3) % 18446744073709551616::HUGEINT) AS sc2_t2, ((sc1_s1 * 8192) % 18446744073709551616::HUGEINT + sc1_s1 // 2251799813685248) AS sc2_r1, ((sc1_s3 * 65536) % 18446744073709551616::HUGEINT + sc1_s3 // 281474976710656) AS sc2_r3 FROM sc1d),
+    sc2b AS (SELECT *, CAST(xor(CAST(sc2_r1 AS UBIGINT), CAST(sc2_t0 AS UBIGINT)) AS HUGEINT) AS sc2_n1, CAST(xor(CAST(sc2_r3 AS UBIGINT), CAST(sc2_t2 AS UBIGINT)) AS HUGEINT) AS sc2_n3, ((sc2_t0 * 4294967296) % 18446744073709551616::HUGEINT + sc2_t0 // 4294967296) AS sc2_t0r FROM sc2a),
+    sc2c AS (SELECT *, ((sc2_t0r + sc2_n3) % 18446744073709551616::HUGEINT) AS sc2_u0, ((sc2_t2 + sc2_n1) % 18446744073709551616::HUGEINT) AS sc2_u2 FROM sc2b),
+    sc2d AS (SELECT *, sc2_u0 AS sc2_s0, CAST(xor(CAST(((sc2_n1 * 131072) % 18446744073709551616::HUGEINT + sc2_n1 // 140737488355328) AS UBIGINT), CAST(sc2_u2 AS UBIGINT)) AS HUGEINT) AS sc2_s1, ((sc2_u2 * 4294967296) % 18446744073709551616::HUGEINT + sc2_u2 // 4294967296) AS sc2_s2, CAST(xor(CAST(((sc2_n3 * 2097152) % 18446744073709551616::HUGEINT + sc2_n3 // 8796093022208) AS UBIGINT), CAST(sc2_u0 AS UBIGINT)) AS HUGEINT) AS sc2_s3 FROM sc2c),
+    s1 AS (SELECT *, CAST(xor(CAST(sc2_s0 AS UBIGINT), CAST(x AS UBIGINT)) AS HUGEINT) AS s_b0, CAST(xor(CAST(sc2_s3 AS UBIGINT), CAST(576460752303423488::HUGEINT AS UBIGINT)) AS HUGEINT) AS s_b3 FROM sc2d),
+    sc3a AS (SELECT *, ((s_b0 + sc2_s1) % 18446744073709551616::HUGEINT) AS sc3_t0, ((sc2_s2 + s_b3) % 18446744073709551616::HUGEINT) AS sc3_t2, ((sc2_s1 * 8192) % 18446744073709551616::HUGEINT + sc2_s1 // 2251799813685248) AS sc3_r1, ((s_b3 * 65536) % 18446744073709551616::HUGEINT + s_b3 // 281474976710656) AS sc3_r3 FROM s1),
+    sc3b AS (SELECT *, CAST(xor(CAST(sc3_r1 AS UBIGINT), CAST(sc3_t0 AS UBIGINT)) AS HUGEINT) AS sc3_n1, CAST(xor(CAST(sc3_r3 AS UBIGINT), CAST(sc3_t2 AS UBIGINT)) AS HUGEINT) AS sc3_n3, ((sc3_t0 * 4294967296) % 18446744073709551616::HUGEINT + sc3_t0 // 4294967296) AS sc3_t0r FROM sc3a),
+    sc3c AS (SELECT *, ((sc3_t0r + sc3_n3) % 18446744073709551616::HUGEINT) AS sc3_u0, ((sc3_t2 + sc3_n1) % 18446744073709551616::HUGEINT) AS sc3_u2 FROM sc3b),
+    sc3d AS (SELECT *, sc3_u0 AS sc3_s0, CAST(xor(CAST(((sc3_n1 * 131072) % 18446744073709551616::HUGEINT + sc3_n1 // 140737488355328) AS UBIGINT), CAST(sc3_u2 AS UBIGINT)) AS HUGEINT) AS sc3_s1, ((sc3_u2 * 4294967296) % 18446744073709551616::HUGEINT + sc3_u2 // 4294967296) AS sc3_s2, CAST(xor(CAST(((sc3_n3 * 2097152) % 18446744073709551616::HUGEINT + sc3_n3 // 8796093022208) AS UBIGINT), CAST(sc3_u0 AS UBIGINT)) AS HUGEINT) AS sc3_s3 FROM sc3c),
+    sc4a AS (SELECT *, ((sc3_s0 + sc3_s1) % 18446744073709551616::HUGEINT) AS sc4_t0, ((sc3_s2 + sc3_s3) % 18446744073709551616::HUGEINT) AS sc4_t2, ((sc3_s1 * 8192) % 18446744073709551616::HUGEINT + sc3_s1 // 2251799813685248) AS sc4_r1, ((sc3_s3 * 65536) % 18446744073709551616::HUGEINT + sc3_s3 // 281474976710656) AS sc4_r3 FROM sc3d),
+    sc4b AS (SELECT *, CAST(xor(CAST(sc4_r1 AS UBIGINT), CAST(sc4_t0 AS UBIGINT)) AS HUGEINT) AS sc4_n1, CAST(xor(CAST(sc4_r3 AS UBIGINT), CAST(sc4_t2 AS UBIGINT)) AS HUGEINT) AS sc4_n3, ((sc4_t0 * 4294967296) % 18446744073709551616::HUGEINT + sc4_t0 // 4294967296) AS sc4_t0r FROM sc4a),
+    sc4c AS (SELECT *, ((sc4_t0r + sc4_n3) % 18446744073709551616::HUGEINT) AS sc4_u0, ((sc4_t2 + sc4_n1) % 18446744073709551616::HUGEINT) AS sc4_u2 FROM sc4b),
+    sc4d AS (SELECT *, sc4_u0 AS sc4_s0, CAST(xor(CAST(((sc4_n1 * 131072) % 18446744073709551616::HUGEINT + sc4_n1 // 140737488355328) AS UBIGINT), CAST(sc4_u2 AS UBIGINT)) AS HUGEINT) AS sc4_s1, ((sc4_u2 * 4294967296) % 18446744073709551616::HUGEINT + sc4_u2 // 4294967296) AS sc4_s2, CAST(xor(CAST(((sc4_n3 * 2097152) % 18446744073709551616::HUGEINT + sc4_n3 // 8796093022208) AS UBIGINT), CAST(sc4_u0 AS UBIGINT)) AS HUGEINT) AS sc4_s3 FROM sc4c),
+    s2 AS (SELECT *, CAST(xor(CAST(sc4_s0 AS UBIGINT), CAST(576460752303423488::HUGEINT AS UBIGINT)) AS HUGEINT) AS s_c0, CAST(xor(CAST(sc4_s2 AS UBIGINT), CAST(255::HUGEINT AS UBIGINT)) AS HUGEINT) AS s_c2 FROM sc4d),
+    sf5a AS (SELECT *, ((s_c0 + sc4_s1) % 18446744073709551616::HUGEINT) AS sf5_t0, ((s_c2 + sc4_s3) % 18446744073709551616::HUGEINT) AS sf5_t2, ((sc4_s1 * 8192) % 18446744073709551616::HUGEINT + sc4_s1 // 2251799813685248) AS sf5_r1, ((sc4_s3 * 65536) % 18446744073709551616::HUGEINT + sc4_s3 // 281474976710656) AS sf5_r3 FROM s2),
+    sf5b AS (SELECT *, CAST(xor(CAST(sf5_r1 AS UBIGINT), CAST(sf5_t0 AS UBIGINT)) AS HUGEINT) AS sf5_n1, CAST(xor(CAST(sf5_r3 AS UBIGINT), CAST(sf5_t2 AS UBIGINT)) AS HUGEINT) AS sf5_n3, ((sf5_t0 * 4294967296) % 18446744073709551616::HUGEINT + sf5_t0 // 4294967296) AS sf5_t0r FROM sf5a),
+    sf5c AS (SELECT *, ((sf5_t0r + sf5_n3) % 18446744073709551616::HUGEINT) AS sf5_u0, ((sf5_t2 + sf5_n1) % 18446744073709551616::HUGEINT) AS sf5_u2 FROM sf5b),
+    sf5d AS (SELECT *, sf5_u0 AS sf5_s0, CAST(xor(CAST(((sf5_n1 * 131072) % 18446744073709551616::HUGEINT + sf5_n1 // 140737488355328) AS UBIGINT), CAST(sf5_u2 AS UBIGINT)) AS HUGEINT) AS sf5_s1, ((sf5_u2 * 4294967296) % 18446744073709551616::HUGEINT + sf5_u2 // 4294967296) AS sf5_s2, CAST(xor(CAST(((sf5_n3 * 2097152) % 18446744073709551616::HUGEINT + sf5_n3 // 8796093022208) AS UBIGINT), CAST(sf5_u0 AS UBIGINT)) AS HUGEINT) AS sf5_s3 FROM sf5c),
+    sf6a AS (SELECT *, ((sf5_s0 + sf5_s1) % 18446744073709551616::HUGEINT) AS sf6_t0, ((sf5_s2 + sf5_s3) % 18446744073709551616::HUGEINT) AS sf6_t2, ((sf5_s1 * 8192) % 18446744073709551616::HUGEINT + sf5_s1 // 2251799813685248) AS sf6_r1, ((sf5_s3 * 65536) % 18446744073709551616::HUGEINT + sf5_s3 // 281474976710656) AS sf6_r3 FROM sf5d),
+    sf6b AS (SELECT *, CAST(xor(CAST(sf6_r1 AS UBIGINT), CAST(sf6_t0 AS UBIGINT)) AS HUGEINT) AS sf6_n1, CAST(xor(CAST(sf6_r3 AS UBIGINT), CAST(sf6_t2 AS UBIGINT)) AS HUGEINT) AS sf6_n3, ((sf6_t0 * 4294967296) % 18446744073709551616::HUGEINT + sf6_t0 // 4294967296) AS sf6_t0r FROM sf6a),
+    sf6c AS (SELECT *, ((sf6_t0r + sf6_n3) % 18446744073709551616::HUGEINT) AS sf6_u0, ((sf6_t2 + sf6_n1) % 18446744073709551616::HUGEINT) AS sf6_u2 FROM sf6b),
+    sf6d AS (SELECT *, sf6_u0 AS sf6_s0, CAST(xor(CAST(((sf6_n1 * 131072) % 18446744073709551616::HUGEINT + sf6_n1 // 140737488355328) AS UBIGINT), CAST(sf6_u2 AS UBIGINT)) AS HUGEINT) AS sf6_s1, ((sf6_u2 * 4294967296) % 18446744073709551616::HUGEINT + sf6_u2 // 4294967296) AS sf6_s2, CAST(xor(CAST(((sf6_n3 * 2097152) % 18446744073709551616::HUGEINT + sf6_n3 // 8796093022208) AS UBIGINT), CAST(sf6_u0 AS UBIGINT)) AS HUGEINT) AS sf6_s3 FROM sf6c),
+    sf7a AS (SELECT *, ((sf6_s0 + sf6_s1) % 18446744073709551616::HUGEINT) AS sf7_t0, ((sf6_s2 + sf6_s3) % 18446744073709551616::HUGEINT) AS sf7_t2, ((sf6_s1 * 8192) % 18446744073709551616::HUGEINT + sf6_s1 // 2251799813685248) AS sf7_r1, ((sf6_s3 * 65536) % 18446744073709551616::HUGEINT + sf6_s3 // 281474976710656) AS sf7_r3 FROM sf6d),
+    sf7b AS (SELECT *, CAST(xor(CAST(sf7_r1 AS UBIGINT), CAST(sf7_t0 AS UBIGINT)) AS HUGEINT) AS sf7_n1, CAST(xor(CAST(sf7_r3 AS UBIGINT), CAST(sf7_t2 AS UBIGINT)) AS HUGEINT) AS sf7_n3, ((sf7_t0 * 4294967296) % 18446744073709551616::HUGEINT + sf7_t0 // 4294967296) AS sf7_t0r FROM sf7a),
+    sf7c AS (SELECT *, ((sf7_t0r + sf7_n3) % 18446744073709551616::HUGEINT) AS sf7_u0, ((sf7_t2 + sf7_n1) % 18446744073709551616::HUGEINT) AS sf7_u2 FROM sf7b),
+    sf7d AS (SELECT *, sf7_u0 AS sf7_s0, CAST(xor(CAST(((sf7_n1 * 131072) % 18446744073709551616::HUGEINT + sf7_n1 // 140737488355328) AS UBIGINT), CAST(sf7_u2 AS UBIGINT)) AS HUGEINT) AS sf7_s1, ((sf7_u2 * 4294967296) % 18446744073709551616::HUGEINT + sf7_u2 // 4294967296) AS sf7_s2, CAST(xor(CAST(((sf7_n3 * 2097152) % 18446744073709551616::HUGEINT + sf7_n3 // 8796093022208) AS UBIGINT), CAST(sf7_u0 AS UBIGINT)) AS HUGEINT) AS sf7_s3 FROM sf7c),
+    sf8a AS (SELECT *, ((sf7_s0 + sf7_s1) % 18446744073709551616::HUGEINT) AS sf8_t0, ((sf7_s2 + sf7_s3) % 18446744073709551616::HUGEINT) AS sf8_t2, ((sf7_s1 * 8192) % 18446744073709551616::HUGEINT + sf7_s1 // 2251799813685248) AS sf8_r1, ((sf7_s3 * 65536) % 18446744073709551616::HUGEINT + sf7_s3 // 281474976710656) AS sf8_r3 FROM sf7d),
+    sf8b AS (SELECT *, CAST(xor(CAST(sf8_r1 AS UBIGINT), CAST(sf8_t0 AS UBIGINT)) AS HUGEINT) AS sf8_n1, CAST(xor(CAST(sf8_r3 AS UBIGINT), CAST(sf8_t2 AS UBIGINT)) AS HUGEINT) AS sf8_n3, ((sf8_t0 * 4294967296) % 18446744073709551616::HUGEINT + sf8_t0 // 4294967296) AS sf8_t0r FROM sf8a),
+    sf8c AS (SELECT *, ((sf8_t0r + sf8_n3) % 18446744073709551616::HUGEINT) AS sf8_u0, ((sf8_t2 + sf8_n1) % 18446744073709551616::HUGEINT) AS sf8_u2 FROM sf8b),
+    sf8d AS (SELECT *, sf8_u0 AS sf8_s0, CAST(xor(CAST(((sf8_n1 * 131072) % 18446744073709551616::HUGEINT + sf8_n1 // 140737488355328) AS UBIGINT), CAST(sf8_u2 AS UBIGINT)) AS HUGEINT) AS sf8_s1, ((sf8_u2 * 4294967296) % 18446744073709551616::HUGEINT + sf8_u2 // 4294967296) AS sf8_s2, CAST(xor(CAST(((sf8_n3 * 2097152) % 18446744073709551616::HUGEINT + sf8_n3 // 8796093022208) AS UBIGINT), CAST(sf8_u0 AS UBIGINT)) AS HUGEINT) AS sf8_s3 FROM sf8c),
+    s3 AS (SELECT *, CAST(xor(CAST(CAST(xor(CAST(sf8_s0 AS UBIGINT), CAST(sf8_s1 AS UBIGINT)) AS HUGEINT) AS UBIGINT), CAST(CAST(xor(CAST(sf8_s2 AS UBIGINT), CAST(sf8_s3 AS UBIGINT)) AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS sip_out FROM sf8d),
+    x1 AS (SELECT *, ((x * 668265295) % 18446744073709551616::HUGEINT + ((x * 3266489917) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS x_k0 FROM s3),
+    x2 AS (SELECT *, ((x_k0 * 2147483648) % 18446744073709551616::HUGEINT + x_k0 // 8589934592) AS x_k1 FROM x1),
+    x3 AS (SELECT *, ((x_k1 * 2246822535) % 18446744073709551616::HUGEINT + ((x_k1 * 2654435761) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS x_k2 FROM x2),
+    x4 AS (SELECT *, CAST(xor(CAST(2870177450012600269::HUGEINT AS UBIGINT), CAST(x_k2 AS UBIGINT)) AS HUGEINT) AS x_h0 FROM x3),
+    x5 AS (SELECT *, ((x_h0 * 134217728) % 18446744073709551616::HUGEINT + x_h0 // 137438953472) AS x_h1 FROM x4),
+    x6 AS (SELECT *, (((x_h1 * 2246822535) % 18446744073709551616::HUGEINT + ((x_h1 * 2654435761) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT + 9650029242287828579) % 18446744073709551616::HUGEINT AS x_h2 FROM x5),
+    x7 AS (SELECT *, CAST(xor(CAST(x_h2 AS UBIGINT), CAST(x_h2 AS UBIGINT) >> 33) AS HUGEINT) AS x_v1 FROM x6),
+    x8 AS (SELECT *, ((x_v1 * 668265295) % 18446744073709551616::HUGEINT + ((x_v1 * 3266489917) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS x_v2 FROM x7),
+    x9 AS (SELECT *, CAST(xor(CAST(x_v2 AS UBIGINT), CAST(x_v2 AS UBIGINT) >> 29) AS HUGEINT) AS x_v3 FROM x8),
+    xa AS (SELECT *, ((x_v3 * 2654435833) % 18446744073709551616::HUGEINT + ((x_v3 * 374761393) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS x_v4 FROM x9),
+    xb AS (SELECT *, CAST(xor(CAST(x_v4 AS UBIGINT), CAST(x_v4 AS UBIGINT) >> 32) AS HUGEINT) AS xx_out FROM xa)
+    SELECT CAST(v AS BIGINT) AS v,
+       CAST(m32_out AS BIGINT) AS m32,
+       CAST(CASE WHEN m64_out >= 9223372036854775808::HUGEINT THEN m64_out - 18446744073709551616::HUGEINT ELSE m64_out END AS BIGINT) AS m64,
+       CAST(CASE WHEN sip_out >= 9223372036854775808::HUGEINT THEN sip_out - 18446744073709551616::HUGEINT ELSE sip_out END AS BIGINT) AS sip,
+       CAST(CASE WHEN xx_out >= 9223372036854775808::HUGEINT THEN xx_out - 18446744073709551616::HUGEINT ELSE xx_out END AS BIGINT) AS xx
+FROM xb
+"""
+
+
+@query("ch_hash_int_dialect", _INTHASH_ORACLE)
+def ch_hash_int_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9: driver-graded evidence for the VECTORIZED integer hash
+    lane (functions/hash_vec.py — whole-array numpy per Arrow batch,
+    the lane bench prices at ~29M hashes/s) — murmurHash3_32/_64,
+    sipHash64 and xxHash64 pasted verbatim over a BIGINT key, which is
+    the 8-byte little-endian byte form on both engines. The oracle
+    re-derives ALL FOUR algorithms in pure DuckDB SQL (two-block
+    x86_32, 8-byte-tail x64_128 with both fmix64 chains, the full
+    2+2+4-round SipHash with its one compression block and
+    length-byte tail word, XXH64's single lane merge + avalanche),
+    machine-generated by tools/make_inthash_oracle.py and
+    generator-pinned. Engine and oracle share only the input formula.
+    One distinct shuffle; hashes run post-distinct."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "user_id"
+    ).createOrReplaceTempView("ch_hash_int_events")
+    ch = """
+        SELECT v,
+               murmurHash3_32(v) AS m32,
+               murmurHash3_64(v) AS m64,
+               sipHash64(v) AS sip,
+               xxHash64(v) AS xx
+        FROM (SELECT DISTINCT toInt64(modulo(user_id, 100000000)) AS v
+              FROM ch_hash_int_events
+              WHERE isNotNull(user_id))
+    """
+    return spark.sql(translate(ch)).select(
+        F.col("v").cast("long").alias("v"),
+        F.col("m32").cast("long").alias("m32"),
+        F.col("m64").cast("long").alias("m64"),
+        F.col("sip").cast("long").alias("sip"),
+        F.col("xx").cast("long").alias("xx"),
+    )

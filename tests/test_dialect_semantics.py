@@ -2040,3 +2040,46 @@ def test_extract_groups_split_nonalpha_and_nlp_gates(spark):
     ):
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad}")
+
+
+def test_ipv6_bithamming_quotemeta(spark):
+    """r9 late batch: former silent passthroughs. IPv6 codec = stdlib
+    RFC 5952 with CH's dotted IPv4-mapped rendering special-cased;
+    bitHammingDistance = popcount(xor); regexpQuoteMeta escapes CH's
+    documented set (\\0 \\\\ | ( ) ^ $ . [ ] ? * + { : -) and NOT '}';
+    UUID byte-order pair gates."""
+    import re
+
+    import pytest
+
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    r = spark.sql(translate(
+        "SELECT IPv6NumToString(IPv6StringToNum("
+        "'2001:0db8:0000:0000:0000:ff00:0042:8329')) AS a, "
+        "IPv6NumToString(IPv6StringToNum('::ffff:1.2.3.4')) AS b, "
+        "IPv6NumToString(IPv6StringToNum('::')) AS z, "
+        "isIPv6String('::1') AS c, isIPv6String('nope') AS d, "
+        "IPv6StringToNumOrNull('bad') AS e, "
+        "length(IPv6StringToNum('::1')) AS n16, "
+        "bitHammingDistance(5, 6) AS f, "
+        "bitHammingDistance(0, -1) AS f64, "
+        "regexpQuoteMeta('a.b[c]{d}|e^$?*+:-\\\\f(g)') AS g"
+    )).collect()[0]
+    assert r["a"] == "2001:db8::ff00:42:8329"  # RFC 5952 shortening
+    assert r["b"] == "::ffff:1.2.3.4"  # CH's dotted IPv4-mapped form
+    assert r["z"] == "::"
+    assert (r["c"], r["d"]) == (1, 0) and r["e"] is None
+    assert r["n16"] == 16
+    assert r["f"] == 2 and r["f64"] == 64
+    orig = "a.b[c]{d}|e^$?*+:-\\f(g)"
+    assert "\\{d}" in r["g"] and "\\}" not in r["g"]  # '{' yes, '}' no
+    assert re.fullmatch(r["g"], orig)  # escaped form matches literally
+    # strict parse throws on invalid input (CH throws too)
+    with pytest.raises(Exception, match="IPv6|does not appear"):
+        spark.sql(translate(
+            "SELECT IPv6StringToNum('not-an-address')"
+        )).collect()
+    for bad in ("UUIDStringToNum('x')", "UUIDNumToString(b)"):
+        with pytest.raises(ValueError, match="byte order"):
+            translate(f"SELECT {bad}")

@@ -114,6 +114,17 @@ _MUST_HANDLE = [
     "toRelativeMinuteNum(now())", "toRelativeSecondNum(now())",
     "arrayEnumerate([1,2])", "arrayEnumerateDense([1,1,2])",
     "arrayEnumerateUniq([1,1,2])", "arrayReduce('sum', [1,2])",
+    # r9 late batch: former silent passthroughs caught by a candidate
+    # sweep — the IPv6 codec pair (mapped via stdlib RFC 5952),
+    # bitHammingDistance (popcount-of-xor), regexpQuoteMeta (CH's
+    # documented escape set), and the UUID byte-order gates
+    "IPv6NumToString(x)", "IPv6StringToNum('::1')",
+    "IPv6StringToNumOrNull('::1')", "isIPv6String('::1')",
+    "bitHammingDistance(1, 3)", "regexpQuoteMeta('a.b')",
+    "UUIDStringToNum('00000000-0000-0000-0000-000000000000')",
+    "UUIDNumToString(x)",
+    "snowflakeToDateTime(1)", "dateTimeToSnowflake(now())",
+    "toUnixTimestamp64Milli(x)", "fromUnixTimestamp64Milli(1)",
 ]
 
 
