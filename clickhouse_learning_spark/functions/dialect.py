@@ -423,6 +423,28 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             "unhex(replace(u, '-', '')) / re-insert dashes over hex(b) "
             "explicitly"
         )))(_uu)
+    # r9 audit gates: English-prose renderers and the tuple-iteration
+    # helpers whose exact forms aren't pinned offline
+    m["formatReadableTimeDelta"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "formatReadableTimeDelta: ClickHouse's English rendering "
+            "(unit pluralization, the years/months day-count "
+            "convention, maximum_unit truncation) is not pinned "
+            "offline — format explicitly with intDiv/modulo + concat"
+        )
+    )
+    m["addTupleOfIntervals"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "addTupleOfIntervals: compose the additions explicitly "
+            "(date_add / timestampadd chain) — tuple-of-interval "
+            "iteration is not translated"
+        )
+    )
+    m["nested"] = lambda a: (_ for _ in ()).throw(ValueError(
+        "nested(): the Nested TYPE constructor is a DDL concern — "
+        "model it as parallel arrays (arrays_zip for row view); see "
+        "ddl.py for Nested column handling"
+    ))
     # regexpQuoteMeta: CH documents the exact escape set — \0 \\ | ( )
     # ^ $ . [ ] ? * + { : -  (note: '}' is NOT escaped). NUL can't
     # ride a SQL literal here, so it is handled via chr(0) replace.
@@ -1202,6 +1224,32 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         # multiSearchAny(haystack, [n1, n2, …])
         lambda s_, arr: f"exists({arr}, x -> contains({s_}, x))"
     )(*_two(a, "multiSearchAny"))
+    # r9 audit: the CaseInsensitive multiSearch variants used to PASS
+    # THROUGH. CH's non-UTF8 CaseInsensitive forms fold ASCII case
+    # ONLY — translate() over the ASCII alphabet reproduces that
+    # exactly (Spark's lower() would also fold 'É'→'é', a divergence)
+    _ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    _ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+
+    def _ascii_lower(e: str) -> str:
+        return f"translate({e}, '{_ASCII_UP}', '{_ASCII_LO}')"
+
+    m["multiSearchAnyCaseInsensitive"] = lambda a: (
+        lambda s_, arr: (
+            f"exists({arr}, x -> contains({_ascii_lower(s_)}, "
+            f"{_ascii_lower('x')}))"
+        )
+    )(*_two(a, "multiSearchAnyCaseInsensitive"))
+    m["multiSearchAllPositionsCaseInsensitive"] = lambda a: (
+        lambda s_, arr: (
+            f"transform({arr}, x -> position({_ascii_lower('x')}, "
+            f"{_ascii_lower(s_)}))"
+        )
+    )(*_two(a, "multiSearchAllPositionsCaseInsensitive"))
+    m["positionCaseInsensitiveUTF8"] = lambda a: (
+        # full-Unicode fold IS the UTF8 variant's contract
+        lambda s_, n: f"position(lower({n}), lower({s_}))"
+    )(*_two(a, "positionCaseInsensitiveUTF8"))
     # the rest of the multiSearch family (r4 late) — substring, not
     # regex; positions/indexes are 1-based, 0 = not found (CH)
     m["multiSearchAllPositions"] = lambda a: (
@@ -3037,6 +3085,68 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
 
     m["accurateCastOrNull"] = _accurate_cast(True)
     m["accurateCastOrDefault"] = _accurate_cast(False)
+
+    # r9 audit: plain accurateCast used to PASS THROUGH. CH's contract
+    # is cast-or-THROW (never wrap, never null) — the guarded try_cast
+    # with a raise_error branch reproduces it (raise_error's NullType
+    # coerces to the value branch's type).
+    def _accurate_cast_strict(a: list[str]) -> str:
+        x, t = _two(a, "accurateCast")
+        t = t.strip().strip("'\"")
+        if t not in _OR_CASTS:
+            raise ValueError(
+                f"accurateCast*: unmapped target type {t!r} "
+                f"(supported: {sorted(_OR_CASTS)})"
+            )
+        sp, _zero, rng = _OR_CASTS[t]
+        g = _guarded_try_cast(x, sp, rng)
+        return (
+            f"CASE WHEN ({x}) IS NOT NULL AND {g} IS NULL THEN "
+            f"raise_error('accurateCast: value out of range for {t}') "
+            f"ELSE {g} END"
+        )
+
+    m["accurateCast"] = _accurate_cast_strict
+
+    # toDecimalN(x, S): CAST to Spark DECIMAL at CH's per-width
+    # precision (Decimal32→9, 64→18, 128→38); OrZero/OrNull through
+    # try_cast. Decimal256 (P=76) exceeds Spark's 38 and gates.
+    # Documented divergence (pinned in test_dialect_semantics): input
+    # with MORE fractional digits than S rounds HALF_UP here
+    # ('1.555', 2 → 1.56); CH's excess-digit convention is not pinned
+    # offline — feed exact-scale inputs where the distinction matters.
+    def _to_decimal(p: int, mode: str | None, name: str):
+        def f(a):
+            x, s = _two(a, name)
+            s_i = _int_literal(s, f"{name} scale")
+            if not 0 <= s_i <= p:
+                raise ValueError(f"{name}: scale {s_i} out of 0..{p}")
+            g = f"try_cast({x} AS DECIMAL({p}, {s_i}))"
+            if mode == "zero":
+                return f"coalesce({g}, CAST(0 AS DECIMAL({p}, {s_i})))"
+            if mode == "null":
+                return g
+            return f"CAST({x} AS DECIMAL({p}, {s_i}))"
+
+        return f
+
+    for _p, _nm in ((9, "toDecimal32"), (18, "toDecimal64"),
+                    (38, "toDecimal128")):
+        m[_nm] = _to_decimal(_p, None, _nm)
+        m[_nm + "OrZero"] = _to_decimal(_p, "zero", _nm + "OrZero")
+        m[_nm + "OrNull"] = _to_decimal(_p, "null", _nm + "OrNull")
+    for _nm in ("toDecimal256", "toDecimal256OrZero",
+                "toDecimal256OrNull"):
+        m[_nm] = (lambda nm: lambda a: (_ for _ in ()).throw(ValueError(
+            f"{nm}: Decimal256's precision 76 exceeds Spark DECIMAL's "
+            "38 — use toDecimal128 if the values fit, or keep the "
+            "value as a scaled BIGINT/STRING"
+        )))(_nm)
+    # toBool: the true/false/1/0 core is identical; Spark's cast also
+    # accepts t/f/y/n/yes/no (inputs CH would REJECT with an
+    # exception) and yields NULL instead of throwing on garbage —
+    # lenient-superset divergence on error inputs only, documented.
+    m["toBool"] = lambda a: f"CAST({_one(a, 'toBool')} AS BOOLEAN)"
 
     # -- Map type functions ---------------------------------------------------
     m["mapKeys"] = lambda a: f"map_keys({_one(a, 'mapKeys')})"

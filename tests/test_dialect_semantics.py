@@ -2083,3 +2083,47 @@ def test_ipv6_bithamming_quotemeta(spark):
     for bad in ("UUIDStringToNum('x')", "UUIDNumToString(b)"):
         with pytest.raises(ValueError, match="byte order"):
             translate(f"SELECT {bad}")
+
+
+def test_ci_multisearch_decimal_accuratecast(spark):
+    """r9 late batch 2: former passthroughs. CH's non-UTF8
+    CaseInsensitive variants fold ASCII ONLY (translate over the
+    alphabet — 'CAFÉ' must NOT match 'café'); toDecimalN casts at the
+    width's precision (excess fractional digits round HALF_UP here —
+    the documented divergence); accurateCast throws on overflow
+    instead of wrapping or nulling; toBool's true/false/1/0 core."""
+    import pytest
+
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    r = spark.sql(translate(
+        "SELECT multiSearchAnyCaseInsensitive('Hello World', "
+        "['WORLD', 'xx']) AS a, "
+        "multiSearchAnyCaseInsensitive('café', ['CAFÉ']) AS na, "
+        "multiSearchAllPositionsCaseInsensitive('aXbX', ['x', 'zz']) "
+        "AS pos, "
+        "toDecimal64('1.555', 2) AS d1, "
+        "CAST(toDecimal32OrZero('xx', 2) AS STRING) AS d2, "
+        "toDecimal32OrNull('xx', 2) AS d3, "
+        "accurateCast(300, 'Int64') AS ac, "
+        "accurateCastOrNull(300, 'UInt8') AS acn, "
+        "toBool('true') AS b1, toBool(0) AS b2"
+    )).collect()[0]
+    assert r["a"] is True and r["na"] is False  # ASCII-only folding
+    assert r["pos"] == [2, 0]  # 1-based, 0 = not found
+    assert str(r["d1"]) == "1.56" and r["d2"] == "0.00"
+    assert r["d3"] is None and r["ac"] == 300 and r["acn"] is None
+    assert r["b1"] is True and r["b2"] is False
+    with pytest.raises(Exception, match="out of range"):
+        spark.sql(translate(
+            "SELECT accurateCast(300, 'UInt8')"
+        )).collect()
+    for gated, hint in (
+        ("formatReadableTimeDelta(1)", "English rendering"),
+        ("addTupleOfIntervals(today(), (toIntervalDay(1),))",
+         "compose the additions"),
+        ("nested(['k'], [1])", "parallel arrays"),
+        ("toDecimal256('1', 2)", "precision 76"),
+    ):
+        with pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {gated}")

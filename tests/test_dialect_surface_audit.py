@@ -125,6 +125,18 @@ _MUST_HANDLE = [
     "UUIDNumToString(x)",
     "snowflakeToDateTime(1)", "dateTimeToSnowflake(now())",
     "toUnixTimestamp64Milli(x)", "fromUnixTimestamp64Milli(1)",
+    # r9 late batch 2: CI multisearch, decimal casts, strict cast,
+    # bool cast, prose/tuple gates
+    "multiSearchAnyCaseInsensitive('a', ['A'])",
+    "multiSearchAllPositionsCaseInsensitive('a', ['A'])",
+    "positionCaseInsensitiveUTF8('a', 'A')",
+    "toDecimal32('1', 2)", "toDecimal64('1', 2)",
+    "toDecimal128('1', 2)", "toDecimal64OrZero('1', 2)",
+    "toDecimal64OrNull('1', 2)", "toDecimal256('1', 2)",
+    "accurateCast(1, 'Int64')", "toBool('true')",
+    "formatReadableTimeDelta(1)",
+    "addTupleOfIntervals(today(), (toIntervalDay(1),))",
+    "nested(['k'], [1])",
 ]
 
 
