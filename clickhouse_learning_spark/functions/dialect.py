@@ -3812,6 +3812,20 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
                 )
             )
         )(_ng)
+    # r9: the SGD-trained regression states join this class — their
+    # results depend on iteration order/learning schedule, not
+    # reproducible offline; operators/logreg.py is the deterministic
+    # alternative
+    for _sgd in ("stochasticLinearRegression",
+                 "stochasticLogisticRegression"):
+        m[_sgd] = (lambda name: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{name}: CH's SGD training state depends on row order "
+                "and learning schedule (not reproducible offline); use "
+                "operators/logreg.py (deterministic full-batch) or "
+                "simpleLinearRegression for the closed-form fit"
+            )
+        ))(_sgd)
     for _nlp in ("stem", "lemmatize", "synonyms", "detectLanguage",
                  "detectLanguageMixed", "detectLanguageUnknown",
                  "detectCharset", "detectTonality",
@@ -5657,6 +5671,28 @@ def _resample(base: str):
     return impl
 
 
+def _qx_exclusive_expr(level: str, col: str) -> str:
+    """quantileExactExclusive body (Hyndman-Fan R-6: rank = p(n+1),
+    clamped to the extremes, linear between) — shared by the singular
+    and the r9 plural form."""
+    return (
+        lambda body: (
+            f"element_at(transform(array(array_sort(collect_list("
+            f"CAST({col} AS DOUBLE)))), qs -> {body}), 1)"
+        )
+    )(
+        f"CASE WHEN ({level}) * (size(qs) + 1) < 1 THEN element_at(qs, 1) "
+        f"WHEN ({level}) * (size(qs) + 1) >= size(qs) "
+        f"THEN element_at(qs, -1) "
+        f"ELSE element_at(qs, CAST(floor(({level}) * (size(qs) + 1)) "
+        f"AS INT)) + (({level}) * (size(qs) + 1) "
+        f"- floor(({level}) * (size(qs) + 1))) * "
+        f"(element_at(qs, CAST(floor(({level}) * (size(qs) + 1)) AS INT) "
+        f"+ 1) - element_at(qs, CAST(floor(({level}) * (size(qs) + 1)) "
+        f"AS INT))) END"
+    )
+
+
 _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
     # -Resample combinator family (bucketed aggregate arrays)
@@ -5808,21 +5844,19 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantileExactInclusive": lambda p, a: (
         f"percentile({a[0]}, {p[0]})"
     ),
-    "quantileExactExclusive": lambda p, a: (
-        lambda body: (
-            f"element_at(transform(array(array_sort(collect_list("
-            f"CAST({a[0]} AS DOUBLE)))), qs -> {body}), 1)"
-        )
-    )(
-        f"CASE WHEN ({p[0]}) * (size(qs) + 1) < 1 THEN element_at(qs, 1) "
-        f"WHEN ({p[0]}) * (size(qs) + 1) >= size(qs) "
-        f"THEN element_at(qs, -1) "
-        f"ELSE element_at(qs, CAST(floor(({p[0]}) * (size(qs) + 1)) "
-        f"AS INT)) + (({p[0]}) * (size(qs) + 1) "
-        f"- floor(({p[0]}) * (size(qs) + 1))) * "
-        f"(element_at(qs, CAST(floor(({p[0]}) * (size(qs) + 1)) AS INT) "
-        f"+ 1) - element_at(qs, CAST(floor(({p[0]}) * (size(qs) + 1)) "
-        f"AS INT))) END"
+    "quantileExactExclusive": lambda p, a: _qx_exclusive_expr(
+        p[0], a[0]
+    ),
+    # r9 audit: the PLURAL Excel-style forms used to pass through —
+    # one pick per level, returned as an array (the quantilesExact
+    # convention)
+    "quantilesExactInclusive": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}))"
+    ),
+    "quantilesExactExclusive": lambda p, a: (
+        "array("
+        + ", ".join(_qx_exclusive_expr(lv, a[0]) for lv in p)
+        + ")"
     ),
     # groupArraySorted(k)(x): the k SMALLEST values ascending —
     # order-free (unlike groupArray) and deterministic

@@ -92,6 +92,18 @@ class A:
         self.full, self.where, self.tol = full, where, tol
 
 
+def _qx6(p):  # Hyndman-Fan R-6 mirror: rank = p*(n+1), clamped
+    h = f"(({p}) * (count(f) + 1))"
+    lst = "list(CAST(f AS DOUBLE) ORDER BY f)"
+    fl = f"CAST(floor({h}) AS INT)"
+    return (
+        f"(CASE WHEN {h} < 1 THEN {lst}[1] "
+        f"WHEN {h} >= count(f) THEN {lst}[count(f)] "
+        f"ELSE {lst}[{fl}] + ({h} - floor({h})) "
+        f"* ({lst}[{fl} + 1] - {lst}[{fl}]) END)"
+    )
+
+
 def _qe(p):  # CH quantileExact index rule: 0-based floor(p*n), clamped
     return (
         f"list_sort(list(v))[least(CAST(floor({p} * count(v)) AS INT), "
@@ -194,6 +206,17 @@ CASES = [
     A("medianExact", "medianExact(v)", _qe("0.5")),
     A("quantilesExact", "quantilesExact(0.25, 0.75)(v)",
       f"[{_qe('0.25')}, {_qe('0.75')}]"),
+    # r9: Excel-style plurals. Inclusive is Hyndman-Fan R-7 — DuckDB's
+    # quantile_cont IS an independent R-7 implementation; Exclusive is
+    # R-6 (rank = p(n+1) clamped), mirrored over a sorted list
+    A("quantileExactInclusive", "quantileExactInclusive(0.3)(f)",
+      "quantile_cont(f, 0.3)", tol=1e-9),
+    A("quantilesExactInclusive",
+      "quantilesExactInclusive(0.25, 0.75)(f)",
+      "quantile_cont(f, [0.25, 0.75])", tol=1e-9),
+    A("quantilesExactExclusive",
+      "quantilesExactExclusive(0.25, 0.75)(f)",
+      f"[{_qx6('0.25')}, {_qx6('0.75')}]", tol=1e-9),
     # ---- entropy: unnest/window derivation vs the dialect's HOF fold -
     A("entropy", "entropy(v)",
       "SELECT k, -sum(p * log2(p)) AS r FROM ("

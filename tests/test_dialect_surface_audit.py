@@ -28,6 +28,10 @@ _SHARED_OK = {
     "abs", "round", "floor", "ceil", "exp", "ln", "log2", "log10",
     "sqrt", "cbrt", "sin", "cos", "tan", "asin", "acos", "atan",
     "pi", "e", "sign", "degrees", "radians",
+    # r9: name-identical WINDOW functions — CH and Spark agree on the
+    # frame semantics; in an aggregate context both engines' first/
+    # last are insertion-order non-deterministic, the same contract
+    "first_value", "last_value", "nth_value",
 }
 
 # every name here must be mapped or gated — NEVER a passthrough
@@ -137,6 +141,10 @@ _MUST_HANDLE = [
     "formatReadableTimeDelta(1)",
     "addTupleOfIntervals(today(), (toIntervalDay(1),))",
     "nested(['k'], [1])",
+    "quantilesExactInclusive(0.5)(x)",
+    "quantilesExactExclusive(0.5)(x)",
+    "stochasticLinearRegression(x, y)",
+    "stochasticLogisticRegression(x, y)",
 ]
 
 
