@@ -70,10 +70,11 @@ _PRIORITY = [
     # modulo_skew_filter, pivot_event_matrix, quantile_sketch_dd,
     # rollup_totals, semdedup_keep, semi_join_exists, stats_moments,
     # stream_topk_items, temperature_mixing, unpivot_event_matrix,
-    # window_topk_per_group (the spare below). The three r9-NEW
+    # window_topk_per_group (the spare below). The four r9-NEW
     # graded queries — ch_murmur_dialect, ch_siphash_dialect,
-    # ch_json_raw_dialect (each oracle-green on HEAD) — stage BEHIND
-    # the window and lead the r10 rotation per the staging discipline.
+    # ch_json_raw_dialect, ch_hash_int_dialect (each oracle-green on
+    # HEAD) — stage BEHIND the window and lead the r10 rotation per
+    # the staging discipline.
     # --- (a) r8-staged, judge-green, never driver-graded --------------
     "ch_url_full_dialect",
     "values_roundtrip",
