@@ -423,6 +423,61 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             "unhex(replace(u, '-', '')) / re-insert dashes over hex(b) "
             "explicitly"
         )))(_uu)
+    # r9 audit batch 3 (geo/encoding/string sweep):
+    # upperUTF8/lowerUTF8's contract is the full-Unicode fold — that
+    # IS Spark's upper/lower
+    m["upperUTF8"] = lambda a: f"upper({_one(a, 'upperUTF8')})"
+    m["lowerUTF8"] = lambda a: f"lower({_one(a, 'lowerUTF8')})"
+    # toStringCutToZero: the prefix before the first NUL byte
+    m["toStringCutToZero"] = lambda a: (
+        lambda x: (
+            f"element_at(split({x}, concat('\\\\Q', chr(0), '\\\\E')), 1)"
+        )
+    )(_one(a, "toStringCutToZero"))
+    # CH ascii = the first BYTE of the UTF-8 form (Spark's ascii is
+    # the first CODEPOINT — 'é' is 195 in CH, 233 in Spark)
+    m["ascii"] = lambda a: (
+        lambda x: (
+            f"coalesce(try_cast(conv(substr(hex(encode({x}, 'UTF-8')), "
+            f"1, 2), 16, 10) AS INT), 0)"
+        )
+    )(_one(a, "ascii"))
+    # CH char(a, b, …) = one BYTE per argument (truncated mod 256),
+    # decoded as a string — not Spark's codepoint char. CH strings are
+    # raw bytes; this engine's are UTF-8-valid, so byte sequences that
+    # are not valid UTF-8 fail LOUDLY (MALFORMED_CHARACTER_CODING)
+    # instead of round-tripping — pinned in test_dialect_semantics.
+    m["char"] = lambda a: (
+        "decode(unhex(concat("
+        + ", ".join(
+            f"lpad(hex(CAST((({x}) % 256 + 256) % 256 AS INT)), 2, '0')"
+            for x in (a or ["0"])
+        )
+        + ")), 'UTF-8')"
+    )
+    for _g, _why in (
+        ("h3ToGeo", "the H3 index math needs Uber's H3 tables"),
+        ("geoToH3", "the H3 index math needs Uber's H3 tables"),
+        ("h3kRing", "the H3 index math needs Uber's H3 tables"),
+        ("base64URLEncode",
+         "CH's URL-safe alphabet/padding convention is not pinned "
+         "offline — compose translate(base64(x), '+/', '-_') with the "
+         "padding rule you need"),
+        ("base64URLDecode",
+         "CH's URL-safe alphabet/padding convention is not pinned "
+         "offline — compose unbase64(translate(x, '-_', '+/'))"),
+        ("convertCharset",
+         "arbitrary iconv charsets are not translated — encode(x, "
+         "'UTF-8')/decode(b, cs) cover the UTF family explicitly"),
+        ("bin",
+         "CH bin() renders per-byte 8-bit groups of the value's byte "
+         "form (not Spark's unpadded numeric bin) — use the exact "
+         "hex() mapping instead"),
+        ("unbin", "see bin — use the exact unhex() path instead"),
+    ):
+        m[_g] = (lambda name, why: lambda a: (_ for _ in ()).throw(
+            ValueError(f"{name}: {why}")
+        ))(_g, _why)
     # r9 audit gates: English-prose renderers and the tuple-iteration
     # helpers whose exact forms aren't pinned offline
     m["formatReadableTimeDelta"] = lambda a: (_ for _ in ()).throw(

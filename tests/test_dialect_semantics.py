@@ -2127,3 +2127,41 @@ def test_ci_multisearch_decimal_accuratecast(spark):
     ):
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {gated}")
+
+
+def test_utf8_case_cutzero_ascii_char(spark):
+    """r9 late batch 3 (geo/encoding/string sweep): upperUTF8/
+    lowerUTF8 = the full-Unicode fold; toStringCutToZero cuts at the
+    first NUL byte; ascii = the first UTF-8 BYTE (195 for 'é', not
+    Spark's codepoint 233); char builds one byte per argument mod 256
+    and fails LOUDLY on non-UTF-8 byte sequences (CH's raw-byte
+    strings are unrepresentable here); the H3/base64URL/convertCharset/
+    bin/unbin names gate with pointers."""
+    import pytest
+
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    r = spark.sql(translate(
+        "SELECT upperUTF8('héllo É') AS u, lowerUTF8('HÉLLO') AS l, "
+        "toStringCutToZero(concat('ab', char(0), 'cd')) AS z, "
+        "toStringCutToZero('plain') AS z2, "
+        "ascii('a') AS a1, ascii('é') AS a2, ascii('') AS a0, "
+        "char(72, 101, 108) AS c1, char(256 + 65) AS c3"
+    )).collect()[0]
+    assert r["u"] == "HÉLLO É" and r["l"] == "héllo"
+    assert r["z"] == "ab" and r["z2"] == "plain"
+    assert (r["a1"], r["a2"], r["a0"]) == (97, 195, 0)
+    assert r["c1"] == "Hel" and r["c3"] == "A"  # byte mod 256
+    with pytest.raises(Exception, match="MALFORMED|decode"):
+        spark.sql(translate("SELECT char(233)")).collect()
+    for gated, hint in (
+        ("h3ToGeo(1)", "H3"),
+        ("geoToH3(1.0, 2.0, 9)", "H3"),
+        ("base64URLEncode('x')", "padding"),
+        ("base64URLDecode('x')", "padding"),
+        ("convertCharset('x', 'a', 'b')", "iconv"),
+        ("bin('a')", "per-byte"),
+        ("unbin('0')", "unhex"),
+    ):
+        with pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {gated}")

@@ -145,6 +145,12 @@ _MUST_HANDLE = [
     "quantilesExactExclusive(0.5)(x)",
     "stochasticLinearRegression(x, y)",
     "stochasticLogisticRegression(x, y)",
+    # r9 late batch 3: geo/encoding/string sweep
+    "upperUTF8('a')", "lowerUTF8('A')", "toStringCutToZero('a')",
+    "ascii('a')", "char(65)",
+    "h3ToGeo(1)", "geoToH3(1.0, 2.0, 9)",
+    "base64URLEncode('x')", "base64URLDecode('x')",
+    "convertCharset('x', 'a', 'b')", "bin('a')", "unbin('0')",
 ]
 
 
