@@ -435,11 +435,15 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         )
     )(_one(a, "toStringCutToZero"))
     # CH ascii = the first BYTE of the UTF-8 form (Spark's ascii is
-    # the first CODEPOINT — 'é' is 195 in CH, 233 in Spark)
+    # the first CODEPOINT — 'é' is 195 in CH, 233 in Spark). The
+    # coalesce(..., 0) covers the EMPTY-string case only; a NULL
+    # input propagates NULL (ADVICE r9: the outer coalesce must not
+    # fold Nullable inputs to 0).
     m["ascii"] = lambda a: (
         lambda x: (
+            f"CASE WHEN ({x}) IS NULL THEN NULL ELSE "
             f"coalesce(try_cast(conv(substr(hex(encode({x}, 'UTF-8')), "
-            f"1, 2), 16, 10) AS INT), 0)"
+            f"1, 2), 16, 10) AS INT), 0) END"
         )
     )(_one(a, "ascii"))
     # CH char(a, b, …) = one BYTE per argument (truncated mod 256),
@@ -1213,10 +1217,15 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         "ch_ipv6_string_to_num_or_null",
         _one(a, "IPv6StringToNumOrNull"),
     )
+    # NULL input propagates NULL (ADVICE r9: IS NOT NULL would fold
+    # the Nullable input to 0, but CH propagates NULL)
     m["isIPv6String"] = lambda a: (
-        f"CAST({_ipv6_udf_sql('ch_ipv6_string_to_num_or_null', _one(a, 'isIPv6String'))}"
-        f" IS NOT NULL AS INT)"
-    )
+        lambda s: (
+            f"CASE WHEN ({s}) IS NULL THEN NULL ELSE "
+            f"CAST({_ipv6_udf_sql('ch_ipv6_string_to_num_or_null', s)}"
+            f" IS NOT NULL AS INT) END"
+        )
+    )(_one(a, "isIPv6String"))
     # IPv4 numeric ↔ dotted-quad
     m["IPv4NumToString"] = lambda a: (
         lambda n: (
@@ -2064,9 +2073,24 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # plain string argument, Spark as a '$.key' JSONPath — literal keys
     # rewrite directly, computed keys concat the path
     def _json_path(k: str) -> str:
+        # ADVICE r9: CH's JSON accessors treat an INTEGER argument as a
+        # 1-based element index (negative = from the end), not a member
+        # name — a bare literal N must become $[N-1], never '$.N'.
+        # Negative/zero indexes are gated: get_json_object has no
+        # from-the-end addressing.
         k = k.strip()
         if len(k) >= 2 and k[0] == k[-1] == "'":
             return f"'$.{k[1:-1]}'"
+        if re.fullmatch(r"[+-]?\d+", k):
+            n = int(k)
+            if n < 1:
+                raise ValueError(
+                    "JSON path: ClickHouse's from-the-end (negative) or "
+                    "zero integer indexes are not translated — Spark's "
+                    "get_json_object has no $[-N]; index from the front "
+                    "or explode the array"
+                )
+            return f"'$[{n - 1}]'"
         return f"concat('$.', {k})"
 
     def _json_extract(cast: str | None, default: str | None = None):
@@ -2150,9 +2174,24 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         if len(a) == 1:
             return a[0]
         keys = [k.strip() for k in a[1:]]
-        if all(len(k) >= 2 and k[0] == k[-1] == "'" for k in keys):
-            path = "$." + ".".join(k[1:-1] for k in keys)
-            return f"get_json_object({a[0]}, '{path}')"
+
+        def _seg(k: str) -> str | None:
+            # static path segment: quoted member name or 1-based index
+            if len(k) >= 2 and k[0] == k[-1] == "'":
+                return "." + k[1:-1]
+            if re.fullmatch(r"[+-]?\d+", k):
+                n = int(k)
+                if n < 1:
+                    raise ValueError(
+                        f"{name}: ClickHouse's from-the-end (negative) "
+                        "or zero integer indexes are not translated"
+                    )
+                return f"[{n - 1}]"
+            return None
+
+        segs = [_seg(k) for k in keys]
+        if all(s is not None for s in segs):
+            return f"get_json_object({a[0]}, '${''.join(segs)}')"
         if len(keys) == 1:
             return f"get_json_object({a[0]}, {_json_path(keys[0])})"
         raise ValueError(

@@ -2165,3 +2165,41 @@ def test_utf8_case_cutzero_ascii_char(spark):
     ):
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {gated}")
+
+
+def test_advice_r9_null_propagation_and_json_index(spark):
+    """ADVICE r9 (all three items, pinned):
+
+    1. ascii(NULL) is NULL — the empty-string coalesce(...,0) must not
+       fold a NULL input (CH propagates NULL through Nullable args).
+    2. JSONExtract*'s bare-integer argument is a 1-BASED ELEMENT INDEX
+       (CH semantics), not a member name: JSONExtractArrayRaw(j, 2)
+       reads $[1], never $.2; negative (from-the-end) and zero
+       indexes gate with a pointer.
+    3. isIPv6String(NULL) is NULL, not 0.
+    """
+    import pytest
+
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    r = spark.sql(translate(
+        "SELECT ascii(CAST(NULL AS STRING)) AS a_null, "
+        "ascii('') AS a_empty, ascii('a') AS a_a, "
+        "isIPv6String(CAST(NULL AS STRING)) AS v6_null, "
+        "isIPv6String('::1') AS v6_yes, isIPv6String('nope') AS v6_no, "
+        # item 2: integer args address elements 1-based
+        "JSONExtractArrayRaw('{\"a\":[[1,2],[3]],\"2\":[9]}', 'a', 2) AS el2, "
+        "JSONExtractArrayRaw('[[7],[8,9]]', 2) AS one2, "
+        "JSONExtractString('[\"x\",\"y\",\"z\"]', 3) AS s3"
+    )).collect()[0]
+    assert r["a_null"] is None and r["a_empty"] == 0 and r["a_a"] == 97
+    assert r["v6_null"] is None and r["v6_yes"] == 1 and r["v6_no"] == 0
+    # $.a[1] = [3] — NOT the member "2" ([9])
+    assert r["el2"] == ["3"]
+    assert r["one2"] == ["8", "9"] and r["s3"] == "z"
+    for gated in (
+        "JSONExtractArrayRaw('[1]', -1)",
+        "JSONExtractString('[1]', 0)",
+    ):
+        with pytest.raises(ValueError, match="from-the-end|zero"):
+            translate(f"SELECT {gated}")
