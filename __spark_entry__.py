@@ -50,86 +50,89 @@ def entry(spark: SparkSession) -> DataFrame:
 # already covered above sit behind them. Union of rounds still grades
 # everything — round 1 drove the entries now demoted.
 _PRIORITY = [
-    # Round-9 window — 51 names: the driver grades the FIRST 50;
-    # position 51 is the labeled spare. Round 8 came back 50/50 (the
-    # first fully green window); VERDICT r8 item 1 prescribes this
-    # window exactly: (a) the three r8-staged queries with judge-only
-    # evidence (`ch_url_full_dialect`, `values_roundtrip`,
-    # `stream_avro_export` — each oracle-green on r8 HEAD); (b) the
-    # rotation's OLDEST driver evidence: all 21 remaining r4-latest
-    # queries (incl. `ref_funnel_6stage`, the r8 spare the driver did
-    # not widen to); (c) 26 of the 48 r5-latest, chosen for family
-    # diversity (ANN, anti/semi/cross joins, argmax, array join,
-    # bloom decontamination, BPE, totals grids, set ops, DSIR, top-k,
-    # text-quality, LM, plus 8 of the 18 r5 dialect suites); the 22
-    # r5 queries left out (incl. the spare) lead the r10 rotation:
-    # ch_mv_routed_dialect, ch_quantiles_dialect, ch_rollup_dialect,
-    # ch_scalar_with_dialect, ch_sequence_guard_dialect,
-    # ch_stats_assoc_dialect, ch_summap_dialect, ch_ttest_dialect,
-    # ch_vector_dialect, ch_week_modes_dialect, minmax_rollup_sorted,
-    # modulo_skew_filter, pivot_event_matrix, quantile_sketch_dd,
-    # rollup_totals, semdedup_keep, semi_join_exists, stats_moments,
-    # stream_topk_items, temperature_mixing, unpivot_event_matrix,
-    # window_topk_per_group (the spare below). The four r9-NEW
-    # graded queries — ch_murmur_dialect, ch_siphash_dialect,
-    # ch_json_raw_dialect, ch_hash_int_dialect (each oracle-green on
-    # HEAD) — stage BEHIND the window and lead the r10 rotation per
-    # the staging discipline.
-    # --- (a) r8-staged, judge-green, never driver-graded --------------
-    "ch_url_full_dialect",
-    "values_roundtrip",
-    "stream_avro_export",
-    # --- (b) oldest-evidence rotation: the 21 remaining r4-latest -----
-    "ch_interpolate_dialect",
-    "ch_sequence_dialect",
-    "ch_time_buckets_dialect",
-    "ch_totals_rollup",
-    "ch_window_funnel_dialect",
-    "ch_with_fill_dialect",
-    "dedup_clusters",
-    "dedup_incremental_index",
-    "dedup_ngram_jaccard",
-    "multimodal_features",
-    "multimodal_gif_pixel_sums",
-    "multimodal_pixel_sums",
-    "multimodal_png_pixel_sums",
-    "multimodal_progressive_jpeg_features",
-    "ref_funnel_6stage",
-    "ref_wide_mv_5metric",
-    "replacing_latest_event",
-    "scalar_datetime_math",
-    "skew_agg_salted",
-    "union_all_batches",
-    "union_merge_wide",
-    # --- (c) oldest-evidence rotation: 26 of the 48 r5-latest ---------
-    "ann_ivf_topk",
-    "anti_join_not_exists",
-    "argmax_top_event",
-    "array_join_tuples",
-    "bloom_decontamination",
-    "bpe_subword_stats",
-    "ch_array_combinators_dialect",
-    "ch_bitmap_algebra_dialect",
-    "ch_combinators_dialect",
-    "ch_funnel_strict_dialect",
-    "ch_hash_dialect",
-    "ch_intervals_dialect",
-    "ch_ip_bits_dialect",
-    "ch_lttb_dialect",
-    "cross_join_matrix",
-    "cube_totals",
-    "distinct_rows",
-    "dsir_importance",
-    "global_topk_orders",
-    "gopher_quality_rules",
-    "grouping_sets_totals",
-    "intersect_except_sets",
-    "lexical_diversity",
-    "lm_heldout_scores",
-    "multimodal_webp_pixel_sums",
-    "numbers_generator",
-    # --- spare (position 51; graded only if the driver widens) --------
-    "window_topk_per_group",  # r5
+    # Round-10 window -- 51 names: the driver grades the FIRST 50;
+    # position 51 is the labeled spare. Round 9 came back 50/50 (the
+    # second consecutive clean sweep); VERDICT r9 item 2 prescribes
+    # this window: (a) the four r9-staged queries with judge-only
+    # evidence (ch_murmur_dialect, ch_siphash_dialect,
+    # ch_json_raw_dialect, ch_hash_int_dialect -- each oracle-green on
+    # r9 HEAD); (b) the rotation's OLDEST driver evidence: all 22
+    # remaining r5-latest oracle-backed queries (uniq_hll is
+    # rows-only by contract and stays out, as does the r3-latest
+    # rows-only theta_funnel_approx); (c) 24 of the 49 r6-latest,
+    # chosen for family diversity (audio/multimodal, agg states,
+    # bitmap funnel, text pipeline, LM buckets, five dialect suites,
+    # joins, pagerank, ANN-PQ, cohorts, RowBinary, streaming
+    # quantiles, heavy hitters, uniqExact) + the spare. The 24
+    # r6-latest left out (audio_mp3_metadata,
+    # ch_week_modes_full_dialect, excess_shipments_suppliers,
+    # important_part_value, lm_quality_scores, lr_quality_scores,
+    # market_share_by_year, min_cost_supplier,
+    # multimodal_arith_jpeg_features,
+    # multimodal_prog_arith_jpeg_features, nation_trade_volume,
+    # paragraph_dedup_clean, product_profit_by_nation_year,
+    # rowbinary_typed_roundtrip, sole_late_supplier_blame,
+    # supplier_part_counts, theta_funnel_error_bound,
+    # unigram_subword_stats, uniq_hll_error_bound,
+    # video_avi_frame_sums, video_mp4_metadata, video_webm_metadata,
+    # warc_text_extraction, with_fill_days) lead the r11 rotation.
+    # Queries NEW this round stage BEHIND the window per the staging
+    # discipline.
+    # --- (a) r9-staged, judge-green, never driver-graded ----------
+    "ch_murmur_dialect",
+    "ch_siphash_dialect",
+    "ch_json_raw_dialect",
+    "ch_hash_int_dialect",
+    # --- (b) oldest-evidence rotation: the 22 r5-latest -----------
+    "ch_mv_routed_dialect",
+    "ch_quantiles_dialect",
+    "ch_rollup_dialect",
+    "ch_scalar_with_dialect",
+    "ch_sequence_guard_dialect",
+    "ch_stats_assoc_dialect",
+    "ch_summap_dialect",
+    "ch_ttest_dialect",
+    "ch_vector_dialect",
+    "ch_week_modes_dialect",
+    "minmax_rollup_sorted",
+    "modulo_skew_filter",
+    "pivot_event_matrix",
+    "quantile_sketch_dd",
+    "rollup_totals",
+    "semdedup_keep",
+    "semi_join_exists",
+    "stats_moments",
+    "stream_topk_items",
+    "temperature_mixing",
+    "unpivot_event_matrix",
+    "window_topk_per_group",
+    # --- (c) oldest-evidence rotation: 24 of the 49 r6-latest -----
+    "audio_flac_spectral",
+    "avg_state_merge",
+    "bitmap_funnel",
+    "blocklist_filtering",
+    "c4_line_cleaning",
+    "ccnet_perplexity_buckets",
+    "ch_geo_dialect",
+    "ch_json_struct_dialect",
+    "ch_maps_datetime_dialect",
+    "ch_resample_dialect",
+    "ch_ztest_ks_dialect",
+    "composite_key_left_join",
+    "dict_enrich_join",
+    "having_over_agg",
+    "item_pagerank",
+    "left_join_using",
+    "median_state_merge",
+    "multimodal_lossless_jpeg_pixel_sums",
+    "pq_ann_topk",
+    "retention_cohorts",
+    "rowbinary_roundtrip",
+    "stream_latency_quantiles",
+    "topk_heavy_hitters",
+    "uniq_exact",
+    # --- spare (position 51; graded only if the driver widens) ----
+    "url_canonicalization",  # r6
 ]
 
 

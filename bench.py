@@ -186,6 +186,64 @@ def _calibration(spark) -> float:
     )
 
 
+def _pandas_probe(spark) -> float:
+    """Fixed-cost Python-worker-lane probe (VERDICT r9 item 6): a
+    100k-row identity ``mapInPandas`` pass, best-of-3. The JVM probe
+    above prices the executor/agg lane; this one prices the
+    Arrow-serialize → Python-worker → Arrow-deserialize round trip, so
+    pandas-UDF-lane drift (worker spawn cost, Arrow version changes,
+    container Python drift) is separable from JVM/host drift in every
+    round's calibration block. Identical work every round."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("id", LongType())])
+
+    def _identity(batches):
+        yield from batches
+
+    return best_of(
+        3,
+        lambda: spark.range(100_000)
+        .mapInPandas(_identity, schema)
+        .selectExpr("sum(id)")
+        .collect(),
+    )
+
+
+def _env_versions(spark) -> dict:
+    """Library/interpreter versions + the Python-worker-lane confs that
+    change effective Arrow batch shapes (VERDICT r9 item 1: if the
+    container's packages drift between rounds, the answer must be
+    readable from the committed artifact)."""
+    import platform
+
+    import numpy
+    import pandas
+    import pyarrow
+    import pyspark
+
+    def _conf(key: str) -> str:
+        try:
+            return spark.conf.get(key)
+        except Exception:
+            return "<unset>"
+
+    return {
+        "python": platform.python_version(),
+        "pyspark": pyspark.__version__,
+        "pandas": pandas.__version__,
+        "pyarrow": pyarrow.__version__,
+        "numpy": numpy.__version__,
+        "arrow_max_records_per_batch": _conf(
+            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        ),
+        "python_worker_reuse": _conf("spark.python.worker.reuse"),
+        "arrow_pyspark_enabled": _conf(
+            "spark.sql.execution.arrow.pyspark.enabled"
+        ),
+    }
+
+
 def _quiet_bounded_window_warnings(spark) -> None:
     """Silence WindowExec's 'No Partition Defined' warning for the
     bench session ONLY: every unpartitioned window in the engine runs
@@ -233,6 +291,7 @@ def main() -> None:
             "k"
         ).sum("id").write.format("noop").mode("overwrite").save()
     calib_start = _calibration(spark)
+    pandas_start = _pandas_probe(spark)
 
     timings: dict[str, float] = {}
     # best-of-3 by default (round-3): the r2→r1 ±15-25% flaps on
@@ -1294,6 +1353,7 @@ def main() -> None:
     # let a reader detect load drift DURING the run, not just at its
     # edges (VERDICT r5 process note)
     calib_mid = _calibration(spark)
+    pandas_mid = _pandas_probe(spark)
 
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -1306,11 +1366,18 @@ def main() -> None:
         timings[name] = _timed(ts)
 
     calib_end = _calibration(spark)
+    pandas_end = _pandas_probe(spark)
     calibration = {
         "cold": calib_cold,
         "start": calib_start,
         "mid": calib_mid,
         "end": calib_end,
+        # Python-worker-lane thermometers (VERDICT r9 item 6): fixed
+        # 100k-row identity mapInPandas — prices the Arrow/worker round
+        # trip so pandas-UDF-lane drift is separable from JVM drift
+        "pandas_start": pandas_start,
+        "pandas_mid": pandas_mid,
+        "pandas_end": pandas_end,
     }
 
     total = round(sum(timings.values()), 3)
@@ -1359,6 +1426,7 @@ def main() -> None:
         "calibration": calibration,
         "calibration_reference": _REF_PROBE,
         "calibration_norm_ratio": round(_norm_ratio, 4),
+        "env": _env_versions(spark),
         "sf": sf_val,
     }
     with open(detail_path, "w") as fh:
