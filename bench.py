@@ -1303,10 +1303,12 @@ def main() -> None:
 
     # r9: price the exact hash-family surface (murmur/sip/xx) — the
     # VECTORIZED integer lane (functions/hash_vec.py: whole-array
-    # numpy per Arrow batch) vs the per-value string lane (ragged
-    # inputs, inherently a loop), three hashes per row each. The CH
-    # names go through the dialect shim exactly as a pasted query
-    # would.
+    # numpy per Arrow batch) vs the string lane, three hashes per row
+    # each. r10 vectorized the string lane too (length-class byte
+    # matrices, hash_vec.hash_ragged — VERDICT r9 item 4): the hash
+    # work dropped ~25× (38 → ~1.5 ms per 10k batch); what remains in
+    # this entry is mostly the 3-UDF Arrow round trip. The CH names go
+    # through the dialect shim exactly as a pasted query would.
     from clickhouse_learning_spark.functions.dialect import (
         translate as _translate,
     )

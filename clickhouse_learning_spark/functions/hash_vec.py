@@ -238,3 +238,259 @@ def siphash64_int_vec(vals: np.ndarray, width: int) -> np.ndarray:
     v2 = v2 ^ np.uint64(0xFF)
     v0, v1, v2, v3 = _sip_rounds(4, v0, v1, v2, v3)
     return v0 ^ v1 ^ v2 ^ v3
+
+
+# ----------------------------------------------- ragged string lane
+# VERDICT r9 What's-missing #5: the string lane was a per-value
+# Python loop inside the Arrow batch (~1.7 M hashes/s vs the int
+# lane's 29 M/s). Strings are ragged, but rows sharing a BYTE LENGTH
+# L have an identical block/tail schedule — every algorithm here is a
+# pure function of L — so the batch groups by length class and each
+# class runs as an (n_L, L) uint8 matrix through whole-array numpy,
+# exactly like the fixed-width integer lane above. Same verification
+# contract: property-tested bit-for-bit against the spec-verified
+# scalar code (tests/test_hash_vec.py); the scalar side keeps the
+# public-vector proofs.
+
+def _mat_u64(mat: np.ndarray, o: int) -> np.ndarray:
+    """u64 little-endian word at byte offset o of each row."""
+    return np.ascontiguousarray(mat[:, o:o + 8]).view(
+        np.dtype("<u8")).ravel().astype(np.uint64)
+
+
+def _mat_u32(mat: np.ndarray, o: int) -> np.ndarray:
+    """u32 little-endian word at byte offset o, widened to uint64."""
+    return np.ascontiguousarray(mat[:, o:o + 4]).view(
+        np.dtype("<u4")).ravel().astype(np.uint64)
+
+
+_M64_PY = (1 << 64) - 1
+
+
+def xxh64_mat(mat: np.ndarray, seed: int = 0) -> np.ndarray:
+    """XXH64 of each row of an (n, L) uint8 matrix."""
+    n, width = mat.shape
+    pos = 0
+    if width >= 32:
+        a1 = np.full(n, np.uint64((seed + int(_XP1) + int(_XP2))
+                                  & _M64_PY), dtype=np.uint64)
+        a2 = np.full(n, np.uint64((seed + int(_XP2)) & _M64_PY),
+                     dtype=np.uint64)
+        a3 = np.full(n, np.uint64(seed & _M64_PY), dtype=np.uint64)
+        a4 = np.full(n, np.uint64((seed - int(_XP1)) & _M64_PY),
+                     dtype=np.uint64)
+        while pos <= width - 32:
+            a1 = _rotl64(a1 + _mat_u64(mat, pos) * _XP2, 31) * _XP1
+            a2 = _rotl64(a2 + _mat_u64(mat, pos + 8) * _XP2, 31) * _XP1
+            a3 = _rotl64(a3 + _mat_u64(mat, pos + 16) * _XP2, 31) * _XP1
+            a4 = _rotl64(a4 + _mat_u64(mat, pos + 24) * _XP2, 31) * _XP1
+            pos += 32
+        h = (_rotl64(a1, 1) + _rotl64(a2, 7) + _rotl64(a3, 12)
+             + _rotl64(a4, 18))
+        for a in (a1, a2, a3, a4):
+            h = h ^ (_rotl64(a * _XP2, 31) * _XP1)
+            h = h * _XP1 + _XP4
+    else:
+        h = np.full(n, np.uint64((seed + int(_XP5)) & _M64_PY),
+                    dtype=np.uint64)
+    h = h + np.uint64(width)
+    while pos + 8 <= width:
+        h = h ^ (_rotl64(_mat_u64(mat, pos) * _XP2, 31) * _XP1)
+        h = _rotl64(h, 27) * _XP1 + _XP4
+        pos += 8
+    if pos + 4 <= width:
+        h = h ^ (_mat_u32(mat, pos) * _XP1)
+        h = _rotl64(h, 23) * _XP2 + _XP3
+        pos += 4
+    while pos < width:
+        h = h ^ (mat[:, pos].astype(np.uint64) * _XP5)
+        h = _rotl64(h, 11) * _XP1
+        pos += 1
+    return _xxh64_avalanche(h)
+
+
+def xxh32_mat(mat: np.ndarray, seed: int = 0) -> np.ndarray:
+    """XXH32 of each row; math in uint64 lanes masked to 32 bits."""
+    n, width = mat.shape
+    pos = 0
+    if width >= 16:
+        a1 = np.full(n, np.uint64((seed + int(_YP1) + int(_YP2))
+                                  & 0xFFFFFFFF), dtype=np.uint64)
+        a2 = np.full(n, np.uint64((seed + int(_YP2)) & 0xFFFFFFFF),
+                     dtype=np.uint64)
+        a3 = np.full(n, np.uint64(seed & 0xFFFFFFFF), dtype=np.uint64)
+        a4 = np.full(n, np.uint64((seed - int(_YP1)) & 0xFFFFFFFF),
+                     dtype=np.uint64)
+        while pos <= width - 16:
+            a1 = (_rotl32((a1 + _mat_u32(mat, pos) * _YP2) & _U32, 13)
+                  * _YP1) & _U32
+            a2 = (_rotl32((a2 + _mat_u32(mat, pos + 4) * _YP2) & _U32,
+                          13) * _YP1) & _U32
+            a3 = (_rotl32((a3 + _mat_u32(mat, pos + 8) * _YP2) & _U32,
+                          13) * _YP1) & _U32
+            a4 = (_rotl32((a4 + _mat_u32(mat, pos + 12) * _YP2) & _U32,
+                          13) * _YP1) & _U32
+            pos += 16
+        h = (_rotl32(a1, 1) + _rotl32(a2, 7) + _rotl32(a3, 12)
+             + _rotl32(a4, 18)) & _U32
+    else:
+        h = np.full(n, (np.uint64(seed) + _YP5) & _U32,
+                    dtype=np.uint64)
+    h = (h + np.uint64(width)) & _U32
+    while pos + 4 <= width:
+        h = (h + ((_mat_u32(mat, pos) * _YP3) & _U32)) & _U32
+        h = (_rotl32(h, 17) * _YP4) & _U32
+        pos += 4
+    while pos < width:
+        b = mat[:, pos].astype(np.uint64)
+        h = (h + ((b * _YP5) & _U32)) & _U32
+        h = (_rotl32(h, 11) * _YP1) & _U32
+        pos += 1
+    h = h ^ (h >> np.uint64(15))
+    h = (h * _YP2) & _U32
+    h = h ^ (h >> np.uint64(13))
+    h = (h * _YP3) & _U32
+    h = h ^ (h >> np.uint64(16))
+    return h
+
+
+def murmur32_mat(mat: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Murmur3 x86_32 of each row."""
+    n, width = mat.shape
+    h = np.full(n, np.uint64(seed & 0xFFFFFFFF), dtype=np.uint64)
+    nblocks = width // 4
+    for i in range(nblocks):
+        k = _mat_u32(mat, i * 4)
+        k = (k * _MC1_32) & _U32
+        k = _rotl32(k, 15)
+        k = (k * _MC2_32) & _U32
+        h = h ^ k
+        h = _rotl32(h, 13)
+        h = (h * np.uint64(5) + np.uint64(0xE6546B64)) & _U32
+    t = width % 4
+    if t:
+        o = nblocks * 4
+        k = mat[:, o].astype(np.uint64)
+        if t >= 2:
+            k = k | (mat[:, o + 1].astype(np.uint64) << np.uint64(8))
+        if t >= 3:
+            k = k | (mat[:, o + 2].astype(np.uint64) << np.uint64(16))
+        k = (k * _MC1_32) & _U32
+        k = _rotl32(k, 15)
+        k = (k * _MC2_32) & _U32
+        h = h ^ k
+    h = h ^ np.uint64(width)
+    h = h ^ (h >> np.uint64(16))
+    h = (h * np.uint64(0x85EBCA6B)) & _U32
+    h = h ^ (h >> np.uint64(13))
+    h = (h * np.uint64(0xC2B2AE35)) & _U32
+    h = h ^ (h >> np.uint64(16))
+    return h
+
+
+def murmur128_mat(mat: np.ndarray, seed: int = 0
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Murmur3 x64_128 (h1, h2) of each row."""
+    n, width = mat.shape
+    h1 = np.full(n, np.uint64(seed & _M64_PY), dtype=np.uint64)
+    h2 = h1.copy()
+    nblocks = width // 16
+    for i in range(nblocks):
+        o = i * 16
+        k1 = _mat_u64(mat, o) * _MC1_64
+        k1 = _rotl64(k1, 31) * _MC2_64
+        h1 = h1 ^ k1
+        h1 = _rotl64(h1, 27) + h2
+        h1 = h1 * np.uint64(5) + np.uint64(0x52DCE729)
+        k2 = _mat_u64(mat, o + 8) * _MC2_64
+        k2 = _rotl64(k2, 33) * _MC1_64
+        h2 = h2 ^ k2
+        h2 = _rotl64(h2, 31) + h1
+        h2 = h2 * np.uint64(5) + np.uint64(0x38495AB5)
+    t = width - nblocks * 16
+    o = nblocks * 16
+    if t > 8:
+        k2 = np.zeros(n, dtype=np.uint64)
+        for j in range(8, t):
+            k2 = k2 | (mat[:, o + j].astype(np.uint64)
+                       << np.uint64(8 * (j - 8)))
+        k2 = k2 * _MC2_64
+        k2 = _rotl64(k2, 33) * _MC1_64
+        h2 = h2 ^ k2
+    if t > 0:
+        k1 = np.zeros(n, dtype=np.uint64)
+        for j in range(min(t, 8)):
+            k1 = k1 | (mat[:, o + j].astype(np.uint64)
+                       << np.uint64(8 * j))
+        k1 = k1 * _MC1_64
+        k1 = _rotl64(k1, 31) * _MC2_64
+        h1 = h1 ^ k1
+    h1 = h1 ^ np.uint64(width)
+    h2 = h2 ^ np.uint64(width)
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _fmix64_vec(h1)
+    h2 = _fmix64_vec(h2)
+    h1 = h1 + h2
+    h2 = h2 + h1
+    return h1, h2
+
+
+def siphash64_mat(mat: np.ndarray, k0: int = 0,
+                  k1: int = 0) -> np.ndarray:
+    """SipHash-2-4 of each row at key (k0, k1)."""
+    n, width = mat.shape
+    v0 = np.full(n, _SV0 ^ np.uint64(k0 & _M64_PY), dtype=np.uint64)
+    v1 = np.full(n, _SV1 ^ np.uint64(k1 & _M64_PY), dtype=np.uint64)
+    v2 = np.full(n, _SV2 ^ np.uint64(k0 & _M64_PY), dtype=np.uint64)
+    v3 = np.full(n, _SV3 ^ np.uint64(k1 & _M64_PY), dtype=np.uint64)
+    nblocks = width // 8
+    for i in range(nblocks):
+        m = _mat_u64(mat, i * 8)
+        v3 = v3 ^ m
+        v0, v1, v2, v3 = _sip_rounds(2, v0, v1, v2, v3)
+        v0 = v0 ^ m
+    o = nblocks * 8
+    b = np.full(n, np.uint64(width & 0xFF) << np.uint64(56),
+                dtype=np.uint64)
+    for j in range(width - o):
+        b = b | (mat[:, o + j].astype(np.uint64) << np.uint64(8 * j))
+    v3 = v3 ^ b
+    v0, v1, v2, v3 = _sip_rounds(2, v0, v1, v2, v3)
+    v0 = v0 ^ b
+    v2 = v2 ^ np.uint64(0xFF)
+    v0, v1, v2, v3 = _sip_rounds(4, v0, v1, v2, v3)
+    return v0 ^ v1 ^ v2 ^ v3
+
+
+def hash_ragged(data: np.ndarray, offsets: np.ndarray, mat_fn):
+    """Hash a ragged byte batch (Arrow-layout data buffer + row
+    offsets, offsets[i]..offsets[i+1] = row i's bytes) by LENGTH
+    CLASS: rows sharing byte length L gather into one (n_L, L) uint8
+    matrix and ``mat_fn`` runs the whole class vectorized. Returns
+    uint64[n] (or a tuple of them when mat_fn returns one, e.g. the
+    128-bit form)."""
+    n = len(offsets) - 1
+    if n <= 0:
+        res = mat_fn(np.zeros((0, 0), dtype=np.uint8))
+        return res
+    lengths = offsets[1:] - offsets[:-1]
+    order = np.argsort(lengths, kind="stable")
+    slen = lengths[order]
+    bounds = np.flatnonzero(np.diff(slen)) + 1
+    out = None
+    for idx in np.split(order, bounds):
+        width = int(lengths[idx[0]])
+        if width:
+            gather = offsets[idx][:, None] + np.arange(
+                width, dtype=offsets.dtype)[None, :]
+            mat = data[gather]
+        else:
+            mat = np.zeros((len(idx), 0), dtype=np.uint8)
+        res = mat_fn(mat)
+        tup = res if isinstance(res, tuple) else (res,)
+        if out is None:
+            out = tuple(np.zeros(n, dtype=np.uint64) for _ in tup)
+        for o_arr, r in zip(out, tup):
+            o_arr[idx] = r
+    return out[0] if len(out) == 1 else out

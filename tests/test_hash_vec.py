@@ -75,3 +75,88 @@ def test_seed_parametric_paths_match_scalar():
         assert [int(g) for g in HV.murmur32_int_vec(vals, 8, seed)] == [
             murmur3_x86_32(p, seed) for p in packed
         ]
+
+
+# ----------------------------------------------- ragged string lane
+# (r10, VERDICT r9 What's-missing #5): the length-class matrix lane
+# must be bit-identical to the spec-verified scalar code over ragged
+# byte batches covering every block/tail schedule — all lengths 0..80
+# exercise each algorithm's full tail grid (xxh64's 8/4/1-byte tails,
+# xxh32's 4/1, murmur32's 1..3, murmur128's k1/k2 split at 8,
+# siphash's 0..7 + length byte), and 32/16-byte-stripe multiples
+# exercise the block loops.
+
+
+def _ragged_batch() -> tuple[list[bytes], np.ndarray, np.ndarray]:
+    r = random.Random(4242)
+    vals = [bytes(r.randrange(256) for _ in range(L))
+            for L in (list(range(0, 81))
+                      + [r.randrange(0, 300) for _ in range(300)]
+                      + [127, 128, 129, 255, 256, 300])]
+    r.shuffle(vals)  # length classes must scatter back correctly
+    data = np.frombuffer(b"".join(vals), dtype=np.uint8)
+    offsets = np.zeros(len(vals) + 1, dtype=np.int64)
+    np.cumsum([len(v) for v in vals], out=offsets[1:])
+    return vals, data, offsets
+
+
+def test_ragged_matrix_lanes_match_scalar():
+    vals, data, offsets = _ragged_batch()
+
+    got = HV.hash_ragged(data, offsets, lambda m: HV.xxh64_mat(m, 0))
+    assert [int(g) for g in got] == [xxh64(v, 0) for v in vals]
+
+    got = HV.hash_ragged(data, offsets, lambda m: HV.xxh32_mat(m, 0))
+    assert [int(g) for g in got] == [xxh32(v, 0) for v in vals]
+
+    got = HV.hash_ragged(data, offsets,
+                         lambda m: HV.murmur32_mat(m, 0))
+    assert [int(g) for g in got] == [
+        murmur3_x86_32(v, 0) for v in vals
+    ]
+
+    g1, g2 = HV.hash_ragged(data, offsets, HV.murmur128_mat)
+    assert [(int(a), int(b)) for a, b in zip(g1, g2)] == [
+        murmur3_x64_128(v, 0) for v in vals
+    ]
+
+    got = HV.hash_ragged(data, offsets, HV.siphash64_mat)
+    assert [int(g) for g in got] == [ch_siphash64(v) for v in vals]
+
+
+def test_ragged_seed_and_key_parametric():
+    from clickhouse_learning_spark.functions.siphash import siphash24
+
+    vals, data, offsets = _ragged_batch()
+    for seed in (42, 0x9747B28C):
+        got = HV.hash_ragged(data, offsets,
+                             lambda m: HV.xxh64_mat(m, seed))
+        assert [int(g) for g in got] == [xxh64(v, seed) for v in vals]
+        got = HV.hash_ragged(data, offsets,
+                             lambda m: HV.murmur32_mat(m, seed))
+        assert [int(g) for g in got] == [
+            murmur3_x86_32(v, seed) for v in vals
+        ]
+        g1, g2 = HV.hash_ragged(
+            data, offsets, lambda m: HV.murmur128_mat(m, seed))
+        assert [(int(a), int(b)) for a, b in zip(g1, g2)] == [
+            murmur3_x64_128(v, seed) for v in vals
+        ]
+    # SipHash key enters only the v0..v3 init — pin the paper key
+    k0, k1 = 0x0706050403020100, 0x0F0E0D0C0B0A0908
+    got = HV.hash_ragged(data, offsets,
+                         lambda m: HV.siphash64_mat(m, k0, k1))
+    assert [int(g) for g in got] == [
+        siphash24(v, k0, k1) for v in vals
+    ]
+
+
+def test_ragged_empty_batch_and_all_empty_rows():
+    empty = np.zeros(0, dtype=np.uint8)
+    off0 = np.zeros(1, dtype=np.int64)
+    assert len(HV.hash_ragged(empty, off0,
+                              lambda m: HV.xxh64_mat(m, 0))) == 0
+    # 3 rows, all zero-length: one L=0 class, no data buffer reads
+    off3 = np.zeros(4, dtype=np.int64)
+    got = HV.hash_ragged(empty, off3, HV.siphash64_mat)
+    assert [int(g) for g in got] == [ch_siphash64(b"")] * 3
