@@ -504,6 +504,230 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         "model it as parallel arrays (arrays_zip for row view); see "
         "ddl.py for Nested column handling"
     ))
+    # ---- r10 sweep batch (VERDICT r9 item 5): the wide candidate
+    # sweep flagged ~50 silent passthroughs across the vector-math,
+    # tuple-math, datetime-corner, string-corner, bit, JSON-lite and
+    # respect-nulls families. Exact maps below; width-/config-/
+    # server-dependent names gate with pointers. Pinned in
+    # tests/test_dialect_surface_audit.py + test_dialect_semantics.
+
+    # vector normalize over ARRAYS (the engine's vector convention,
+    # same as the L*Norm/L*Distance family): x / norm, IEEE semantics
+    # (zero vector -> inf/NaN lanes, matching CH Float64 division)
+    m["L1Normalize"] = lambda a: (lambda v: (
+        f"transform({v}, l1n_x -> CAST(l1n_x AS DOUBLE) / "
+        f"aggregate({v}, CAST(0 AS DOUBLE), "
+        f"(l1n_acc, l1n_e) -> l1n_acc + abs(CAST(l1n_e AS DOUBLE))))"
+    ))(_one(a, "L1Normalize"))
+    m["L2Normalize"] = lambda a: (lambda v: (
+        f"transform({v}, l2n_x -> CAST(l2n_x AS DOUBLE) / "
+        f"sqrt(aggregate({v}, CAST(0 AS DOUBLE), (l2n_acc, l2n_e) -> "
+        f"l2n_acc + CAST(l2n_e AS DOUBLE) * CAST(l2n_e AS DOUBLE))))"
+    ))(_one(a, "L2Normalize"))
+    # tuple math: not translated — vectors are ARRAYS here
+    for _tm in ("tuplePlus", "tupleMinus", "tupleNegate",
+                "tupleConcat", "tupleMultiply", "tupleDivide",
+                "tupleMultiplyByNumber", "tupleDivideByNumber",
+                "tupleIntDiv", "tupleIntDivOrZero", "tupleModulo",
+                "tupleModuloByNumber"):
+        m[_tm] = (lambda name: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{name}: tuple math is not translated — model "
+                "vectors as ARRAYS (zip_with element-wise; the "
+                "L*Norm/L*Distance/dotProduct family here accepts "
+                "arrays)"
+            )))(_tm)
+    for _er in ("arrayEnumerateUniqRanked", "arrayEnumerateDenseRanked"):
+        m[_er] = (lambda name: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{name}: the Ranked depth parameter walks nested "
+                "arrays server-side; flatten explicitly and use "
+                "arrayEnumerateUniq/arrayEnumerateDense (mapped)"
+            )))(_er)
+    # datetime corners
+    m["makeDateTime64"] = lambda a: (
+        f"make_timestamp({', '.join(a[:6])})" if len(a) == 6
+        else (_ for _ in ()).throw(ValueError(
+            "makeDateTime64 with fraction/precision/timezone "
+            "arguments is not translated — Spark timestamps are "
+            "fixed microsecond precision; compose make_timestamp(y, "
+            "mo, d, h, mi, s) + an interval for the fraction"
+        ))
+    )
+    m["YYYYMMDDToDate"] = lambda a: (lambda x: (
+        f"coalesce(try_to_date(CAST(CAST(({x}) AS BIGINT) AS STRING), "
+        f"'yyyyMMdd'), DATE '1970-01-01')"
+    ))(_one(a, "YYYYMMDDToDate"))
+    m["YYYYMMDDToDate32"] = lambda a: (lambda x: (
+        f"coalesce(try_to_date(CAST(CAST(({x}) AS BIGINT) AS STRING), "
+        f"'yyyyMMdd'), DATE '1970-01-01')"
+    ))(_one(a, "YYYYMMDDToDate32"))
+    m["YYYYMMDDhhmmssToDateTime"] = lambda a: (lambda x: (
+        f"coalesce(try_to_timestamp(CAST(CAST(({x}) AS BIGINT) AS "
+        f"STRING), 'yyyyMMddHHmmss'), TIMESTAMP '1970-01-01 00:00:00')"
+    ))(_one(a, "YYYYMMDDhhmmssToDateTime"))
+    m["YYYYMMDDhhmmssToDateTime64"] = m["YYYYMMDDhhmmssToDateTime"]
+    # sub-second toStartOf*: Spark timestamps are MICROsecond fixed —
+    # millisecond truncates (pmod keeps floor semantics pre-1970),
+    # micro/nanosecond are the identity at this precision
+    m["toStartOfMillisecond"] = lambda a: (lambda x: (
+        f"timestamp_micros(unix_micros(CAST({x} AS TIMESTAMP)) - "
+        f"pmod(unix_micros(CAST({x} AS TIMESTAMP)), 1000))"
+    ))(_one(a, "toStartOfMillisecond"))
+    m["toStartOfMicrosecond"] = lambda a: (
+        f"CAST({_one(a, 'toStartOfMicrosecond')} AS TIMESTAMP)"
+    )
+    m["toStartOfNanosecond"] = lambda a: (
+        f"CAST({_one(a, 'toStartOfNanosecond')} AS TIMESTAMP)"
+    )
+    # string corners
+    m["concatAssumeInjective"] = lambda a: (
+        f"concat({', '.join(a)})"  # the injectivity is a GROUP BY
+    )                              # optimization hint, not semantics
+    m["leftPadUTF8"] = lambda a: f"lpad({', '.join(a)})"
+    m["rightPadUTF8"] = lambda a: f"rpad({', '.join(a)})"
+
+    def _string_compare(a):
+        # 2-arg strcmp; Spark string ordering is byte-wise on UTF-8
+        # (UTF8String), exactly CH's memcmp contract
+        if len(a) != 2:
+            raise ValueError(
+                "stringCompare with offset/length arguments is not "
+                "translated — substr() both sides explicitly, then "
+                "stringCompare(a, b)"
+            )
+        x, y = a
+        return (f"CASE WHEN ({x}) IS NULL OR ({y}) IS NULL THEN NULL "
+                f"WHEN ({x}) < ({y}) THEN -1 "
+                f"WHEN ({x}) > ({y}) THEN 1 ELSE 0 END")
+
+    m["stringCompare"] = _string_compare
+    # min2/max2: CH returns Float64 and propagates NULL; Spark's
+    # least/greatest SKIP nulls, so guard first
+    m["min2"] = lambda a: (lambda x, y: (
+        f"CASE WHEN ({x}) IS NULL OR ({y}) IS NULL THEN NULL ELSE "
+        f"least(CAST(({x}) AS DOUBLE), CAST(({y}) AS DOUBLE)) END"
+    ))(*_two(a, "min2"))
+    m["max2"] = lambda a: (lambda x, y: (
+        f"CASE WHEN ({x}) IS NULL OR ({y}) IS NULL THEN NULL ELSE "
+        f"greatest(CAST(({x}) AS DOUBLE), CAST(({y}) AS DOUBLE)) END"
+    ))(*_two(a, "max2"))
+    # bit corners
+    m["bitTestAll"] = lambda a: (
+        "(" + " AND ".join(
+            f"((shiftright({a[0]}, {p}) & 1) = 1)" for p in a[1:]
+        ) + ")" if len(a) >= 2
+        else (_ for _ in ()).throw(
+            ValueError("bitTestAll(x, pos, ...)"))
+    )
+    m["bitTestAny"] = lambda a: (
+        "(" + " OR ".join(
+            f"((shiftright({a[0]}, {p}) & 1) = 1)" for p in a[1:]
+        ) + ")" if len(a) >= 2
+        else (_ for _ in ()).throw(
+            ValueError("bitTestAny(x, pos, ...)"))
+    )
+    for _br in ("bitRotateLeft", "bitRotateRight"):
+        m[_br] = (lambda name: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{name}: the rotation width is the argument's CH "
+                "TYPE width (UInt8 rotates in 8 bits), which cannot "
+                "be inferred from a Spark literal/column — compose "
+                "(shiftleft(x, r) | shiftright(x, W - r)) & mask at "
+                "the width you mean"
+            )))(_br)
+    m["roundDown"] = lambda a: (lambda x, arr: (
+        f"coalesce(array_max(filter({arr}, rd_e -> rd_e <= ({x}))), "
+        f"array_min({arr}))"
+    ))(*_two(a, "roundDown"))
+
+    def _case_with_expression(a):
+        if len(a) < 4 or len(a) % 2 != 0:
+            raise ValueError(
+                "caseWithExpression(expr, when1, then1, ..., default)"
+            )
+        whens = " ".join(
+            f"WHEN {a[i]} THEN {a[i + 1]}"
+            for i in range(1, len(a) - 1, 2)
+        )
+        return f"(CASE ({a[0]}) {whens} ELSE {a[-1]} END)"
+
+    m["caseWithExpression"] = _case_with_expression
+    # decimal explicit-scale arithmetic
+    for _dm in ("multiplyDecimal", "divideDecimal"):
+        m[_dm] = (lambda name: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{name}: CH's explicit-result-scale decimal op is "
+                "not translated — use native decimal arithmetic and "
+                "CAST(... AS DECIMAL(p, s)) to pin the scale you mean"
+            )))(_dm)
+    # respect-nulls aggregate variants: Spark first/last RESPECT
+    # nulls by default (isIgnoreNull=false) — the exact CH contract
+    m["any_respect_nulls"] = lambda a: (
+        f"first({_one(a, 'any_respect_nulls')})"
+    )
+    m["anyLast_respect_nulls"] = lambda a: (
+        f"last({_one(a, 'anyLast_respect_nulls')})"
+    )
+    m["first_value_respect_nulls"] = lambda a: (
+        f"first({_one(a, 'first_value_respect_nulls')})"
+    )
+    m["last_value_respect_nulls"] = lambda a: (
+        f"last({_one(a, 'last_value_respect_nulls')})"
+    )
+    m["nothing"] = lambda a: "any_value(NULL)"  # type Nothing = NULL
+    # server/introspection gates
+    for _sv, _alt in (
+        ("uptime", "no server-uptime analog in a Spark job"),
+        ("serverUUID", "no stable server identity in a Spark job"),
+        ("zookeeperSessionUptime", "no ZooKeeper in this engine"),
+        ("defaultValueOfArgumentType",
+         "the type is not inferrable from query text — write the "
+         "default you mean (0 / '' / NULL)"),
+        ("isConstant", "constant-folding introspection has no Spark "
+         "analog"),
+        ("aggThrow", "a ClickHouse test harness function"),
+        ("visibleWidth", "CH's text-format width (NULL renders 4 "
+         "wide, arrays bracket-counted) is a client-display concern "
+         "— char_length(CAST(x AS STRING)) for plain strings"),
+        ("sparseGrams", "the CH-specific minimal-ngram set is not "
+         "pinned offline — ngrams()/tokens() cover the shingle use"),
+        ("JSONMergePatch", "RFC 7386 merge-patch is not translated — "
+         "merge parsed maps (map_concat over from_json) or "
+         "preprocess upstream"),
+    ):
+        m[_sv] = (lambda name, why: lambda a: (_ for _ in ()).throw(
+            ValueError(f"{name}: {why}")))(_sv, _alt)
+    for _cu in ("firstSignificantSubdomainCustom",
+                "cutToFirstSignificantSubdomainCustom",
+                "firstSignificantSubdomainCustomRFC",
+                "cutToFirstSignificantSubdomainCustomWithWWW"):
+        m[_cu] = (lambda name: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{name}: custom TLD lists live in ClickHouse server "
+                "config, not in the query — use the non-custom form "
+                "(mapped) or express the list with array ops"
+            )))(_cu)
+    # IDNA: CH implements the UTS #46 flavor; Python's stdlib codec is
+    # IDNA2003 — they DIVERGE on deviation characters ('faß.de' →
+    # 'fass.de' in 2003, 'xn--fa-hia.de' in UTS46), so mapping the
+    # stdlib would silently change values. The label codec itself
+    # (punycode, RFC 3492) is unambiguous and mapped.
+    for _idna in ("idnaEncode", "tryIdnaEncode", "idnaDecode"):
+        m[_idna] = (lambda name: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{name}: ClickHouse implements UTS #46 IDNA; the "
+                "offline facilities here implement IDNA2003, which "
+                "diverges on deviation characters — use "
+                "punycodeEncode/punycodeDecode (RFC 3492-exact) for "
+                "the per-label codec"
+            )))(_idna)
+    m["proportionsZTest"] = lambda a: (_ for _ in ()).throw(ValueError(
+        "proportionsZTest: the p-value needs the normal CDF (no erf "
+        "builtin in Spark SQL) — use meanZTest(m0, m1, conf)(x, g) on "
+        "0/1 indicator columns (same z statistic), or the stats_tests "
+        "module's exact goldens"
+    ))
     # regexpQuoteMeta: CH documents the exact escape set — \0 \\ | ( )
     # ^ $ . [ ] ? * + { : -  (note: '}' is NOT escaped). NUL can't
     # ride a SQL literal here, so it is handled via chr(0) replace.
@@ -2121,6 +2345,39 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     )(*_two(a, "JSONHas"))
     m["simpleJSONExtractString"] = _json_extract(None, "''")
     m["visitParamExtractString"] = _json_extract(None, "''")
+    # r10 sweep: the rest of the simpleJSON/visitParam family used to
+    # PASS THROUGH. CH's simpleJSON* scan for the first `"key":`
+    # occurrence without a full parse — on well-formed single-level
+    # documents (the family's documented contract) that agrees with
+    # the parsed forms mapped here, same precedent as
+    # simpleJSONExtractString above.
+    m["simpleJSONExtractInt"] = _json_extract(
+        "BIGINT", "CAST(0 AS BIGINT)")
+    m["simpleJSONExtractUInt"] = _json_extract(
+        "BIGINT", "CAST(0 AS BIGINT)")
+    m["simpleJSONExtractFloat"] = _json_extract(
+        "DOUBLE", "CAST(0 AS DOUBLE)")
+    m["simpleJSONExtractBool"] = lambda a: (
+        lambda j, k: (  # missing key -> false (CH returns 0)
+            f"coalesce(get_json_object({j}, {_json_path(k)}) = 'true',"
+            f" false)"
+        )
+    )(*_two(a, "simpleJSONExtractBool"))
+    m["simpleJSONExtractRaw"] = _json_extract(None, "''")
+    m["simpleJSONHas"] = lambda a: (
+        lambda j, k: f"(get_json_object({j}, {_json_path(k)}) IS NOT NULL)"
+    )(*_two(a, "simpleJSONHas"))
+    for _vp, _sj in (("visitParamExtractInt", "simpleJSONExtractInt"),
+                     ("visitParamExtractUInt", "simpleJSONExtractUInt"),
+                     ("visitParamExtractFloat",
+                      "simpleJSONExtractFloat"),
+                     ("visitParamExtractBool", "simpleJSONExtractBool"),
+                     ("visitParamExtractRaw", "simpleJSONExtractRaw"),
+                     ("visitParamHas", "simpleJSONHas")):
+        m[_vp] = m[_sj]
+    m["JSONArrayLength"] = lambda a: (
+        f"json_array_length({_one(a, 'JSONArrayLength')})"
+    )  # both engines yield NULL on invalid/non-array input
 
     # JSON structure family (r5 late). CH's simdjson functions yield
     # defaults on unparseable input — coalesce matches that.
@@ -2549,17 +2806,30 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["indexOf"] = lambda a: (
         lambda arr, x: f"array_position({arr}, {x})"
     )(*_two(a, "indexOf"))
+    # arraySum/Min/Max/Avg([func,] arr): CH's optional leading lambda
+    # (r10 sweep — the 2-arg form used to be rejected) applies
+    # element-wise first, which is exactly transform()
+    def _arr_maybe_map(a, name):
+        if len(a) == 2:
+            return f"transform({a[1]}, {a[0]})"
+        return _one(a, name)
+
     m["arraySum"] = lambda a: (
-        f"aggregate({_one(a, 'arraySum')}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        f"aggregate({_arr_maybe_map(a, 'arraySum')}, "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    m["arrayMin"] = lambda a: f"array_min({_one(a, 'arrayMin')})"
-    m["arrayMax"] = lambda a: f"array_max({_one(a, 'arrayMax')})"
+    m["arrayMin"] = lambda a: (
+        f"array_min({_arr_maybe_map(a, 'arrayMin')})"
+    )
+    m["arrayMax"] = lambda a: (
+        f"array_max({_arr_maybe_map(a, 'arrayMax')})"
+    )
     m["arrayAvg"] = lambda a: (
         lambda arr: (
             f"(aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) "
             f"/ size({arr}))"
         )
-    )(_one(a, "arrayAvg"))
+    )(_arr_maybe_map(a, "arrayAvg"))
     # arrayReduce('agg', arr): CH's apply-an-aggregate-to-an-array meta
     # function — the common aggregate names map to array expressions
     # (the name must be a string literal)
@@ -3087,6 +3357,12 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         f"flatten(collect_list({_one(a, 'groupArrayArray')}))"
     )
     m["groupArray"] = lambda a: f"collect_list({_one(a, 'groupArray')})"
+    # r10 sweep: plain groupConcat(x) — empty separator; the
+    # parameterized groupConcat(sep)(x) lives in _PARAMETERIZED
+    m["groupConcat"] = lambda a: (
+        f"concat_ws('', collect_list(CAST({_one(a, 'groupConcat')} "
+        f"AS STRING)))"
+    )
     # plain groupArrayInsertAt pads gaps with the column TYPE's default
     # value, which text-level translation cannot infer — the
     # parameterized form (in _PARAMETERIZED) is the supported one
@@ -5996,6 +6272,19 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         "quantileTimingWeighted: the weighted Timing histogram has no "
         "Spark analog; quantileExactWeighted(p)(x, w) maps exactly, "
         "or approx_percentile on the unweighted column"
+    ),
+    # groupConcat(sep[, limit])(x) — parameterized form; insertion
+    # order is non-deterministic in BOTH engines (same contract as
+    # groupArray). limit gates: collect-then-slice changes which
+    # elements survive under nondeterministic order.
+    "groupConcat": lambda p, a: (
+        f"concat_ws({p[0]}, collect_list(CAST({a[0]} AS STRING)))"
+        if len(p) == 1 and len(a) == 1
+        else _raise_gate(
+            "groupConcat(sep)(x): the limit parameter selects a "
+            "nondeterministic prefix — slice(collect_list(...)) over "
+            "an explicit ORDER BY instead"
+        )
     ),
     "groupArraySample": lambda p, a: _raise_gate(
         "groupArraySample is randomized (nondeterministic across runs "

@@ -32,6 +32,10 @@ _SHARED_OK = {
     # frame semantics; in an aggregate context both engines' first/
     # last are insertion-order non-deterministic, the same contract
     "first_value", "last_value", "nth_value",
+    # r10: version() returns THIS engine's version in both systems —
+    # Spark's builtin is the honest analog (engine identity, not a
+    # ClickHouse version string)
+    "version",
 }
 
 # every name here must be mapped or gated — NEVER a passthrough
@@ -151,6 +155,45 @@ _MUST_HANDLE = [
     "h3ToGeo(1)", "geoToH3(1.0, 2.0, 9)",
     "base64URLEncode('x')", "base64URLDecode('x')",
     "convertCharset('x', 'a', 'b')", "bin('a')", "unbin('0')",
+    # r10 sweep: vector/tuple math, datetime corners, string corners,
+    # bit corners, JSON-lite family, respect-nulls variants, server
+    # introspection, IDNA
+    "L1Normalize([1,2])", "L2Normalize([3,4])",
+    "tuplePlus((1,2),(3,4))", "tupleMinus((1,),(2,))",
+    "tupleNegate((1,2))", "tupleConcat((1,),(2,))",
+    "tupleMultiplyByNumber((1,),2)", "tupleDivideByNumber((1,),2)",
+    "arrayEnumerateUniqRanked([1,1])", "arrayEnumerateDenseRanked([1])",
+    "makeDateTime64(2024,1,15,10,0,0)", "YYYYMMDDToDate(20240115)",
+    "YYYYMMDDToDate32(20240115)",
+    "YYYYMMDDhhmmssToDateTime(20240115102030)",
+    "toStartOfMillisecond(now64())", "toStartOfMicrosecond(now64())",
+    "toStartOfNanosecond(now64())",
+    "concatAssumeInjective('a','b')", "leftPadUTF8('x', 3, 'y')",
+    "rightPadUTF8('x', 3, 'y')", "stringCompare('a','b')",
+    "min2(1,2)", "max2(1,2)",
+    "bitTestAll(5, 0, 2)", "bitTestAny(5, 1)",
+    "bitRotateLeft(1, 2)", "bitRotateRight(1, 2)",
+    "roundDown(5, [1,4,6])", "caseWithExpression(1, 1, 'a', 'b')",
+    "multiplyDecimal(a, b)", "divideDecimal(a, b)",
+    "any_respect_nulls(x)", "anyLast_respect_nulls(x)",
+    "first_value_respect_nulls(x)", "last_value_respect_nulls(x)",
+    "nothing(x)", "groupConcat(x)",
+    "uptime()", "serverUUID()", "zookeeperSessionUptime()",
+    "defaultValueOfArgumentType(1)", "isConstant(1)", "aggThrow(0.5)",
+    "visibleWidth('x')", "sparseGrams('abc', 3)",
+    "JSONMergePatch('{}','{}')", "JSONArrayLength('[1,2]')",
+    "firstSignificantSubdomainCustom('http://a.co','x')",
+    "cutToFirstSignificantSubdomainCustom('http://a.co','x')",
+    "idnaEncode('a.de')", "tryIdnaEncode('a.de')", "idnaDecode('a.de')",
+    "proportionsZTest(1,2,3,4,0.95,'unpooled')",
+    "simpleJSONExtractInt('{}','a')", "simpleJSONExtractUInt('{}','a')",
+    "simpleJSONExtractFloat('{}','a')",
+    "simpleJSONExtractBool('{}','a')", "simpleJSONExtractRaw('{}','a')",
+    "simpleJSONHas('{}','a')", "visitParamExtractInt('{}','a')",
+    "visitParamExtractUInt('{}','a')",
+    "visitParamExtractFloat('{}','a')",
+    "visitParamExtractBool('{}','a')", "visitParamExtractRaw('{}','a')",
+    "visitParamHas('{}','a')",
 ]
 
 
