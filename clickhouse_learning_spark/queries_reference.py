@@ -3164,3 +3164,183 @@ def ch_hash_int_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sip").cast("long").alias("sip"),
         F.col("xx").cast("long").alias("xx"),
     )
+
+
+@query(
+    "ch_sweep_scalar_dialect",
+    """
+    SELECT CAST(o_orderkey % 50 AS BIGINT) AS bucket,
+           CAST(SUM(LEAST(o_orderkey % 97, o_orderkey % 89))
+                AS BIGINT) AS min2_sum,
+           CAST(SUM(GREATEST(o_orderkey % 97, o_orderkey % 89))
+                AS BIGINT) AS max2_sum,
+           CAST(SUM(CASE WHEN o_orderkey % 100 < 25 THEN 10
+                         WHEN o_orderkey % 100 < 50 THEN 25
+                         WHEN o_orderkey % 100 < 75 THEN 50
+                         ELSE 75 END) AS BIGINT) AS rd_sum,
+           CAST(SUM(CASE WHEN (o_orderkey & 3) = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS bta_sum,
+           CAST(SUM(CASE WHEN (o_orderkey & 6) != 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS bty_sum,
+           CAST(SUM(CASE WHEN o_orderpriority < '3-MEDIUM' THEN -1
+                         WHEN o_orderpriority > '3-MEDIUM' THEN 1
+                         ELSE 0 END) AS BIGINT) AS cmp_sum,
+           CAST(SUM(CASE o_orderkey % 3 WHEN 0 THEN 10 WHEN 1 THEN 20
+                    ELSE 30 END) AS BIGINT) AS cw_sum,
+           CAST(COUNT(DISTINCT strptime(CAST(20200101 + o_orderkey % 28
+                AS VARCHAR), '%Y%m%d')::DATE) AS BIGINT) AS d_cnt,
+           MIN(strptime(CAST(20200101 + o_orderkey % 28 AS VARCHAR),
+               '%Y%m%d')::DATE) AS d_min,
+           CAST(SUM(CAST(round(((o_orderkey % 5 + 1)
+                / sqrt((o_orderkey % 5 + 1) * (o_orderkey % 5 + 1.0)
+                     + (o_orderkey % 7 + 1) * (o_orderkey % 7 + 1.0))
+                + (o_orderkey % 7 + 1)
+                / sqrt((o_orderkey % 5 + 1) * (o_orderkey % 5 + 1.0)
+                     + (o_orderkey % 7 + 1) * (o_orderkey % 7 + 1.0)))
+                * 1000000) AS BIGINT)) AS BIGINT) AS l2n_sum
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def ch_sweep_scalar_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 sweep batch as a graded query (VERDICT r9 item 5):
+    min2/max2 (Float64, null-propagating), roundDown, bitTestAll/Any,
+    stringCompare (byte-wise strcmp both engines), caseWithExpression,
+    YYYYMMDDToDate, and L2Normalize (summed at the micro-unit lattice
+    — both engines compute ((0+a)+b)/sqrt(a*a+b*b) in IEEE double with
+    identical parenthesization). The DuckDB oracle re-derives every
+    function from first principles (LEAST/GREATEST, CASE ladders,
+    strptime, explicit sqrt arithmetic) — no shared code path. One
+    scan, one shuffle on the 50-bucket key; integer-unit sums per the
+    graded-floats discipline."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).createOrReplaceTempView("ch_sweep_orders")
+    ch = """
+        SELECT modulo(o_orderkey, 50) AS bucket,
+               sum(toInt64(min2(modulo(o_orderkey, 97),
+                                modulo(o_orderkey, 89)))) AS min2_sum,
+               sum(toInt64(max2(modulo(o_orderkey, 97),
+                                modulo(o_orderkey, 89)))) AS max2_sum,
+               sum(toInt64(roundDown(modulo(o_orderkey, 100),
+                                     [10, 25, 50, 75]))) AS rd_sum,
+               sum(toInt64(bitTestAll(o_orderkey, 0, 1))) AS bta_sum,
+               sum(toInt64(bitTestAny(o_orderkey, 1, 2))) AS bty_sum,
+               sum(stringCompare(o_orderpriority, '3-MEDIUM'))
+                   AS cmp_sum,
+               sum(caseWithExpression(modulo(o_orderkey, 3),
+                                      0, 10, 1, 20, 30)) AS cw_sum,
+               uniqExact(YYYYMMDDToDate(20200101
+                   + modulo(o_orderkey, 28))) AS d_cnt,
+               min(YYYYMMDDToDate(20200101 + modulo(o_orderkey, 28)))
+                   AS d_min,
+               sum(toInt64(round((arrayElement(
+                   L2Normalize([toFloat64(modulo(o_orderkey, 5) + 1),
+                                toFloat64(modulo(o_orderkey, 7) + 1)]),
+                   1) + arrayElement(
+                   L2Normalize([toFloat64(modulo(o_orderkey, 5) + 1),
+                                toFloat64(modulo(o_orderkey, 7) + 1)]),
+                   2)) * 1000000))) AS l2n_sum
+        FROM ch_sweep_orders
+        GROUP BY bucket
+    """
+    return spark.sql(translate(ch)).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("min2_sum").cast("long").alias("min2_sum"),
+        F.col("max2_sum").cast("long").alias("max2_sum"),
+        F.col("rd_sum").cast("long").alias("rd_sum"),
+        F.col("bta_sum").cast("long").alias("bta_sum"),
+        F.col("bty_sum").cast("long").alias("bty_sum"),
+        F.col("cmp_sum").cast("long").alias("cmp_sum"),
+        F.col("cw_sum").cast("long").alias("cw_sum"),
+        F.col("d_cnt").cast("long").alias("d_cnt"),
+        F.col("d_min").cast("date").alias("d_min"),
+        F.col("l2n_sum").cast("long").alias("l2n_sum"),
+    )
+
+
+@query(
+    "ch_json_lite_dialect",
+    """
+    WITH docs AS (
+      SELECT doc_id, lang,
+             '{"n":' || CAST(doc_id % 9 AS VARCHAR) || ',"f":'
+               || CAST(doc_id % 4 AS VARCHAR) || '.5,"ok":'
+               || CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END
+               || ',"lang":"' || lang || '","obj":{"a":'
+               || CAST(doc_id % 3 AS VARCHAR) || '},"arr":[1,2'
+               || CASE WHEN doc_id % 2 = 1 THEN ',3' ELSE '' END
+               || ']}' AS j
+      FROM documents)
+    SELECT doc_id,
+           CAST(coalesce(CAST(json_extract(j, '$.n') AS BIGINT), 0)
+                AS BIGINT) AS n_int,
+           CAST(round(coalesce(CAST(json_extract(j, '$.f') AS DOUBLE),
+                0) * 10) AS BIGINT) AS f_x10,
+           CAST(CASE WHEN CAST(json_extract(j, '$.ok') AS VARCHAR)
+                = 'true' THEN 1 ELSE 0 END AS BIGINT) AS ok_int,
+           json_extract_string(j, '$.lang') AS lang2,
+           CAST(json_extract(j, '$.obj') AS VARCHAR) AS obj_raw,
+           CAST(1 AS BIGINT) AS has_n,
+           CAST(0 AS BIGINT) AS has_zz,
+           CAST(json_array_length(json_extract(j, '$.arr'))
+                AS BIGINT) AS arr_len
+    FROM docs
+    """,
+)
+def ch_json_lite_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 sweep batch, JSON-lite lane: the simpleJSON/visitParam
+    family (Int/Float/Bool/String/Raw/Has) + JSONArrayLength as a
+    graded query. Documents synthesized whitespace-free from
+    documents-table formulas INSIDE the pasted CH SQL (the raw slice
+    then equals the input slice on both engines); the DuckDB oracle
+    re-walks them with DuckDB's own JSON parser. The .5 float lattice
+    is exactly representable, graded at the x10 integer unit. Map-only
+    projection — no shuffle beyond the scan."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    ).createOrReplaceTempView("ch_json_lite_docs")
+    ch = """
+        SELECT doc_id,
+               simpleJSONExtractInt(j, 'n') AS n_int,
+               toInt64(round(simpleJSONExtractFloat(j, 'f') * 10))
+                   AS f_x10,
+               toInt64(simpleJSONExtractBool(j, 'ok')) AS ok_int,
+               simpleJSONExtractString(j, 'lang') AS lang2,
+               visitParamExtractRaw(j, 'obj') AS obj_raw,
+               toInt64(simpleJSONHas(j, 'n')) AS has_n,
+               toInt64(visitParamHas(j, 'zz')) AS has_zz,
+               JSONArrayLength(simpleJSONExtractRaw(j, 'arr'))
+                   AS arr_len
+        FROM (
+          SELECT doc_id,
+                 concat('{"n":', toString(modulo(doc_id, 9)), ',"f":',
+                        toString(modulo(doc_id, 4)), '.5,"ok":',
+                        if(modulo(doc_id, 2) = 0, 'true', 'false'),
+                        ',"lang":"', lang, '","obj":{"a":',
+                        toString(modulo(doc_id, 3)), '},"arr":[1,2',
+                        if(modulo(doc_id, 2) = 1, ',3', ''),
+                        ']}') AS j
+          FROM ch_json_lite_docs)
+    """
+    return spark.sql(translate(ch)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_int").cast("long").alias("n_int"),
+        F.col("f_x10").cast("long").alias("f_x10"),
+        F.col("ok_int").cast("long").alias("ok_int"),
+        "lang2",
+        "obj_raw",
+        F.col("has_n").cast("long").alias("has_n"),
+        F.col("has_zz").cast("long").alias("has_zz"),
+        F.col("arr_len").cast("long").alias("arr_len"),
+    )
