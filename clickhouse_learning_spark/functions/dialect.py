@@ -414,7 +414,9 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # (MS-GUID) swap adds a second convention — neither is pinned
     # offline for these functions' exact output, so they GATE with the
     # unambiguous composition instead of guessing a byte order.
-    for _uu in ("UUIDStringToNum", "UUIDNumToString"):
+    for _uu in ("UUIDStringToNum", "UUIDNumToString",
+                "UUIDToNum", "toUUIDFromNum"):  # r10: same byte-order
+        # ambiguity for the typed-UUID spellings
         m[_uu] = (lambda nm: lambda a: (_ for _ in ()).throw(ValueError(
             f"{nm}: ClickHouse's FixedString(16) byte order for this "
             "function (text order vs the engine's two-LE-halves UUID "
@@ -586,6 +588,9 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     )                              # optimization hint, not semantics
     m["leftPadUTF8"] = lambda a: f"lpad({', '.join(a)})"
     m["rightPadUTF8"] = lambda a: f"rpad({', '.join(a)})"
+    # Spark's overlay IS the SQL-standard char-based form = CH's UTF8
+    # variant (plain overlay is name-shared and whitelisted)
+    m["overlayUTF8"] = lambda a: f"overlay({', '.join(a)})"
 
     def _string_compare(a):
         # 2-arg strcmp; Spark string ordering is byte-wise on UTF-8
@@ -728,6 +733,200 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         "0/1 indicator columns (same z statistic), or the stats_tests "
         "module's exact goldens"
     ))
+    # ---- r10 sweep batch 2: ids/curves/datetime-component/math ----
+    # UUID family: this engine's UUID convention is the canonical
+    # lowercase 36-char text form (Spark has no UUID type)
+    _UUID_RE = ("'^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+                "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$'")
+    m["toUUIDOrNull"] = lambda a: (lambda x: (
+        f"CASE WHEN ({x}) RLIKE {_UUID_RE} THEN lower({x}) END"
+    ))(_one(a, "toUUIDOrNull"))
+    m["toUUIDOrZero"] = lambda a: (lambda x: (
+        f"coalesce(CASE WHEN ({x}) RLIKE {_UUID_RE} THEN lower({x}) "
+        f"END, '00000000-0000-0000-0000-000000000000')"
+    ))(_one(a, "toUUIDOrZero"))
+    m["toUUID"] = lambda a: (lambda x: (  # CH throws on invalid
+        f"CASE WHEN ({x}) RLIKE {_UUID_RE} THEN lower({x}) "
+        f"ELSE CAST(raise_error(concat('toUUID: invalid UUID: ', "
+        f"coalesce(CAST(({x}) AS STRING), 'NULL'))) AS STRING) END"
+    ))(_one(a, "toUUID"))
+    # UUIDv7: the first 48 bits are unix milliseconds (RFC 9562)
+    m["UUIDv7ToDateTime"] = lambda a: (lambda u: (
+        f"timestamp_millis(CAST(conv(substr(replace(lower({u}), '-', "
+        f"''), 1, 12), 16, 10) AS BIGINT))"
+    ))(_one(a, "UUIDv7ToDateTime"))
+    m["generateUUIDv7"] = lambda a: (_ for _ in ()).throw(ValueError(
+        "generateUUIDv7: Spark's uuid() is v4 (random, not "
+        "time-ordered) — generateUUIDv4 maps; for a sortable id "
+        "compose unix_millis(now()) with a random suffix explicitly"
+    ))
+    m["generateULID"] = lambda a: (_ for _ in ()).throw(ValueError(
+        "generateULID: no offline instrument for CH's monotonic ULID "
+        "generator — generateUUIDv4() maps, or compose a sortable id "
+        "from unix_millis(now()) explicitly"
+    ))
+    # ULID: chars 1-10 are 48-bit unix ms in Crockford base32, whose
+    # alphabet (0-9, ABCDEFGHJKMNPQRSTVWXYZ — I/L/O/U skipped) is
+    # ORDER-preserving onto conv()'s base-32 digits 0-9a-v
+    m["ULIDStringToDateTime"] = lambda a: (lambda u: (
+        f"timestamp_millis(CAST(conv(translate(upper(substr({u}, 1, "
+        f"10)), 'ABCDEFGHJKMNPQRSTVWXYZ', 'abcdefghijklmnopqrstuv'), "
+        f"32, 10) AS BIGINT))"
+    ))(_one(a, "ULIDStringToDateTime"))
+    # snowflakeIDToDateTime / dateTimeToSnowflakeID (the NON-deprecated
+    # pair): ms = (id >> 22) + epoch, DEFAULT EPOCH 0 — unlike the
+    # deprecated snowflakeToDateTime pair, which pins Twitter's
+    # 1288834974657 (mapped above)
+    m["snowflakeIDToDateTime"] = lambda a: (
+        f"timestamp_millis(shiftright(CAST(({a[0]}) AS BIGINT), 22)"
+        + (f" + CAST(({a[1]}) AS BIGINT))" if len(a) >= 2 else ")")
+    )
+    m["snowflakeIDToDateTime64"] = m["snowflakeIDToDateTime"]
+    m["dateTimeToSnowflakeID"] = lambda a: (
+        f"shiftleft(unix_millis(CAST({a[0]} AS TIMESTAMP))"
+        + (f" - CAST(({a[1]}) AS BIGINT), 22)" if len(a) >= 2
+           else ", 22)")
+    )
+    m["dateTime64ToSnowflakeID"] = m["dateTimeToSnowflakeID"]
+    m["timezoneOf"] = lambda a: "current_timezone()"  # session-zoned
+    # datetime components below the second (Spark is µs-precision;
+    # the nanosecond component is therefore always µs*1000)
+    m["toMicrosecond"] = lambda a: (lambda t: (
+        f"CAST(pmod(unix_micros(CAST({t} AS TIMESTAMP)), 1000000) "
+        f"AS INT)"
+    ))(_one(a, "toMicrosecond"))
+    m["toNanosecond"] = lambda a: (lambda t: (
+        f"(CAST(pmod(unix_micros(CAST({t} AS TIMESTAMP)), 1000000) "
+        f"AS BIGINT) * 1000)"
+    ))(_one(a, "toNanosecond"))
+    m["toTimeWithFixedDate"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "toTimeWithFixedDate: use toTime (mapped, fixed "
+            "1970-01-02 date) or compose make_timestamp with the "
+            "date you mean"
+        ))
+
+    # changeYear/Month/Day/Hour/Minute/Second: recompose via
+    # make_timestamp, preserving the sub-second µs; an INVALID
+    # recomposition (changeDay(.., 31) in February) yields NULL
+    # (Spark's make_timestamp contract)
+    def _make_change(which, slot):
+        def f(a):
+            t, v = _two(a, f"change{which}")
+            ct = f"CAST(({t}) AS TIMESTAMP)"
+            base = [f"year({ct})", f"month({ct})", f"day({ct})",
+                    f"hour({ct})", f"minute({ct})", f"second({ct})"]
+            base[slot] = f"CAST(({v}) AS INT)"
+            # try_: an invalid recomposition is NULL in ANSI and
+            # legacy sessions alike
+            mk = f"try_make_timestamp({', '.join(base)})"
+            return (f"timestamp_micros(unix_micros({mk}) + "
+                    f"pmod(unix_micros({ct}), 1000000))")
+        return f
+
+    for _slot, _which in enumerate(
+            ("Year", "Month", "Day", "Hour", "Minute", "Second")):
+        m[f"change{_which}"] = _make_change(_which, _slot)
+
+    # mortonEncode (2-arg): the standard 5-step bit-spread interleave
+    # of two UInt32 lanes into UInt64 (surfaced in the signed BIGINT
+    # view, the documented UInt64 class); pinned against a Python
+    # bit-loop reference in test_dialect_semantics
+    def _morton_spread(x):
+        e = f"(CAST(({x}) AS BIGINT) & 4294967295)"
+        for _sh, _mask in ((16, 0x0000FFFF0000FFFF),
+                           (8, 0x00FF00FF00FF00FF),
+                           (4, 0x0F0F0F0F0F0F0F0F),
+                           (2, 0x3333333333333333),
+                           (1, 0x5555555555555555)):
+            e = f"((({e}) | shiftleft(({e}), {_sh})) & {_mask})"
+        return e
+
+    m["mortonEncode"] = lambda a: (
+        f"({_morton_spread(a[0])} | "
+        f"shiftleft({_morton_spread(a[1])}, 1))"
+        if len(a) == 2
+        else (_ for _ in ()).throw(ValueError(
+            "mortonEncode maps for exactly 2 coordinates (the Z-order "
+            "layout case, functions/layout.py) — N-ary and "
+            "range-masked forms are not translated"
+        ))
+    )
+    for _sf in ("mortonDecode", "hilbertEncode", "hilbertDecode"):
+        m[_sf] = (lambda name: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{name}: not translated — mortonEncode(a, b) maps "
+                "for 2-D Z-order keys; decode/Hilbert walks have no "
+                "single-expression Spark form"
+            )))(_sf)
+    # consistent-hash / unpinned-hash gates (same class as cityHash:
+    # no decisive offline instrument for CH's exact variant)
+    for _chash, _why in (
+        ("kostikConsistentHash", "CH-specific algorithm"),
+        ("yandexConsistentHash", "CH-specific algorithm"),
+        ("jumpConsistentHash", "the Lamping-Veach loop has no "
+         "single-expression Spark form"),
+        ("wyHash64", "CH pins one wyhash revision of several "
+         "published"),
+        # the CRC family is registered CASE-INSENSITIVELY in CH, so
+        # the lowercase pastes are valid CH too — gate both casings
+        # (lowercase crc32 would otherwise silently bind Spark's
+        # builtin, the xxHash64 trap class)
+        ("CRC32", "CH ships two CRC32 flavors (zlib-init vs IEEE) "
+         "and the choice is not pinned offline"),
+        ("crc32", "CH ships two CRC32 flavors (zlib-init vs IEEE) "
+         "and the choice is not pinned offline"),
+        ("CRC32IEEE", "variant parameters not pinned offline"),
+        ("crc32ieee", "variant parameters not pinned offline"),
+        ("CRC64", "CH's polynomial/reflect parameters not pinned "
+         "offline"),
+        ("crc64", "CH's polynomial/reflect parameters not pinned "
+         "offline"),
+    ):
+        m[_chash] = (lambda name, why: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{name}: {why} — for sharding/sampling keys use "
+                "xxhash64(...) explicitly (same statistical contract, "
+                "different values)"
+            )))(_chash, _why)
+    # math without a Spark builtin
+    for _mg in ("erf", "erfc", "lgamma", "tgamma"):
+        m[_mg] = (lambda name: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{name}: no Spark SQL builtin — the stats_tests "
+                "module computes normal-CDF terms where graded; for "
+                "ad-hoc use run a vectorized pandas UDF"
+            )))(_mg)
+    # sub-second intervals: Spark day-time intervals carry µs
+    m["toIntervalMillisecond"] = lambda a: (
+        f"(INTERVAL '0.001' SECOND * ({a[0]}))"
+    )
+    m["toIntervalMicrosecond"] = lambda a: (
+        f"(INTERVAL '0.000001' SECOND * ({a[0]}))"
+    )
+    m["toIntervalNanosecond"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "toIntervalNanosecond: Spark intervals are microsecond "
+            "precision — use toIntervalMicrosecond at a 1000x scale"
+        ))
+    m["addInterval"] = lambda a: (_ for _ in ()).throw(ValueError(
+        "addInterval composes interval TUPLES (CH-specific) — chain "
+        "the additions explicitly (x + INTERVAL ... + INTERVAL ...)"
+    ))
+    m["groupArrayIntersect"] = lambda a: (lambda x: (
+        f"aggregate(slice(collect_list({x}), 2, "
+        f"size(collect_list({x}))), try_element_at(collect_list({x}), "
+        f"1), (gai_acc, gai_e) -> array_intersect(gai_acc, gai_e))"
+    ))(_one(a, "groupArrayIntersect"))
+    for _ig in ("studentTTestOneSample", "analysisOfVariance",
+                "flameGraph", "distinctDynamicTypes",
+                "distinctJSONPaths", "distinctJSONPathsAndTypes"):
+        m[_ig] = (lambda name: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{name}: not translated — the two-sample tests "
+                "(studentTTest/welchTTest/meanZTest) map; dynamic-"
+                "type introspection has no Spark analog"
+            )))(_ig)
     # regexpQuoteMeta: CH documents the exact escape set — \0 \\ | ( )
     # ^ $ . [ ] ? * + { : -  (note: '}' is NOT escaped). NUL can't
     # ride a SQL literal here, so it is handled via chr(0) replace.
@@ -6349,6 +6548,10 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         f"filter(zip_with({a[0]}, {a[1]}, (k, v) -> "
         f"struct(k AS k, v AS v)), q -> array_contains({p[0]}, q.k))"
     ),
+    # WithOverflow: same fold — Spark BIGINT arithmetic wraps mod 2^64
+    # exactly like CH's sum-with-overflow contract
+    "sumMapFilteredWithOverflow": lambda p, a: _PARAMETERIZED[
+        "sumMapFiltered"](p, a),
     "quantilesGK": lambda p, a: (
         f"approx_percentile({a[0]}, array({', '.join(p[1:])}), {p[0]})"
     ),
@@ -6370,6 +6573,28 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     # two-phase path (topk_heavy_hitters).
     "topK": lambda p, a: _topk_sql(a[0], p[0]),
     "topKWeighted": lambda p, a: _topk_sql(a[0], p[0], weight=a[1]),
+    # r10 sweep 2: the approx_top_* spellings are CH aliases of
+    # topK/topKWeighted
+    "approx_top_k": lambda p, a: _topk_sql(a[0], p[0]),
+    "approx_top_count": lambda p, a: _topk_sql(a[0], p[0]),
+    "approx_top_sum": lambda p, a: _topk_sql(a[0], p[0], weight=a[1]),
+    # quantileDD(relative_accuracy[, level])(x): DDSketch is
+    # approximate by contract, the same class as quantileTiming →
+    # approx_percentile (GK) honors it
+    "quantileDD": lambda p, a: (
+        f"approx_percentile({a[0]}, "
+        f"{p[1] if len(p) >= 2 else '0.5'})"
+    ),
+    "quantileTDigestWeighted": lambda p, a: _raise_gate(
+        "quantileTDigestWeighted: no weighted sketch in Spark — "
+        "quantileExactWeighted(p)(x, w) maps exactly via MetricSpec, "
+        "or approx_percentile on the unweighted column"
+    ),
+    "quantileInterpolatedWeighted": lambda p, a: _raise_gate(
+        "quantileInterpolatedWeighted: the weighted-interpolation "
+        "rank rule has no Spark analog — quantileExactWeighted(p)"
+        "(x, w) maps exactly via MetricSpec"
+    ),
     "quantileExactWeighted": lambda p, a: (_ for _ in ()).throw(
         ValueError(
             "quantileExactWeighted(p)(x, w) maps to MetricSpec("

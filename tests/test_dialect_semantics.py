@@ -2291,3 +2291,94 @@ def test_r10_sweep_batch(spark):
         "FROM r10_sweep_tv WHERE x = 1)"
     )).collect()
     assert rows[0]["a"] is None
+
+
+def test_r10_sweep_batch2(spark):
+    """r10 candidate sweep, batch 2: ids (UUID/ULID/snowflake),
+    sub-second datetime components, changeX recomposition, 2-D morton
+    interleave (pinned against a Python bit-loop reference), and the
+    parameterized aliases. Gates asserted in the surface audit."""
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    def q(sql):
+        return spark.sql(translate(sql)).collect()[0]
+
+    r = q("SELECT toUUID('F47AC10B-58CC-4372-A567-0E02B2C3D479') AS u,"
+          " toUUIDOrNull('nope') AS n, toUUIDOrZero('nope') AS z, "
+          "UUIDv7ToDateTime('01912e5c-8e80-7000-8000-000000000000') "
+          "AS v7")
+    assert r["u"] == "f47ac10b-58cc-4372-a567-0e02b2c3d479"
+    assert r["n"] is None
+    assert r["z"] == "00000000-0000-0000-0000-000000000000"
+    assert int(r["v7"].timestamp() * 1000) == 0x01912E5C8E80
+
+    # ULID: Crockford base32 is order-preserving onto conv()'s 0-9a-v
+    ulid = "01GNB2S2FGN2P93QPXDNB4EN2R"
+    alphabet = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+    ms = 0
+    for ch in ulid[:10]:
+        ms = ms * 32 + alphabet.index(ch)
+    r = q(f"SELECT ULIDStringToDateTime('{ulid}') AS t")
+    assert int(r["t"].timestamp() * 1000) == ms
+
+    # snowflakeID pair: default epoch 0 (the deprecated
+    # snowflakeToDateTime pair pins Twitter's 1288834974657)
+    r = q("SELECT snowflakeIDToDateTime(shiftleft("
+          "CAST(1722493636224 AS BIGINT), 22)) AS t, "
+          "dateTimeToSnowflakeID(timestamp_millis(1722493636224)) "
+          "AS i, snowflakeIDToDateTime(shiftleft(CAST(1000 AS "
+          "BIGINT), 22), 1722493636224) AS te")
+    assert int(r["t"].timestamp() * 1000) == 1722493636224
+    assert r["i"] == 1722493636224 << 22
+    assert int(r["te"].timestamp() * 1000) == 1722493637224
+
+    r = q("SELECT toMicrosecond(CAST('2024-01-15 10:20:30.123456' AS "
+          "TIMESTAMP)) AS us, toNanosecond(CAST("
+          "'2024-01-15 10:20:30.123456' AS TIMESTAMP)) AS ns, "
+          "changeYear(CAST('2024-01-15 10:20:30.5' AS TIMESTAMP), "
+          "2000) AS cy, changeDay(CAST('2024-02-15' AS TIMESTAMP), "
+          "31) AS cd_bad, changeSecond(CAST('2024-01-15 10:20:30.5' "
+          "AS TIMESTAMP), 5) AS cs")
+    assert r["us"] == 123456 and r["ns"] == 123456000
+    assert str(r["cy"]) == "2000-01-15 10:20:30.500000"
+    assert r["cd_bad"] is None  # invalid recomposition -> NULL
+    assert str(r["cs"]) == "2024-01-15 10:20:05.500000"
+
+    def _morton_ref(a, b):
+        out = 0
+        for i in range(32):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    for a, b in [(1, 2), (123456, 654321), (0, 0),
+                 (2**32 - 1, 2**32 - 1), (99, 0)]:
+        r = q(f"SELECT mortonEncode({a}, {b}) AS mo")
+        assert r["mo"] == _morton_ref(a, b), (a, b)
+
+    r = q("SELECT (CAST('2024-01-15 00:00:00' AS TIMESTAMP) "
+          "+ toIntervalMillisecond(1500)) AS tms, "
+          "(CAST('2024-01-15 00:00:00' AS TIMESTAMP) "
+          "+ toIntervalMicrosecond(7)) AS tus, "
+          "overlayUTF8('héllo', 'XY', 2) AS ov")
+    assert str(r["tms"]) == "2024-01-15 00:00:01.500000"
+    assert str(r["tus"]) == "2024-01-15 00:00:00.000007"
+    assert r["ov"] == "hXYlo"
+
+    spark.sql(
+        "SELECT * FROM VALUES (array(1,2,3)), (array(2,3,4)), "
+        "(array(3,2,9)) AS t(a)"
+    ).createOrReplaceTempView("r10b2_gai")
+    r = spark.sql(translate(
+        "SELECT groupArrayIntersect(a) AS g FROM r10b2_gai"
+    )).collect()[0]
+    assert sorted(r["g"]) == [2, 3]
+    spark.sql(
+        "SELECT explode(array(1,1,1,2,2,3)) AS x"
+    ).createOrReplaceTempView("r10b2_tk")
+    r = spark.sql(translate(
+        "SELECT approx_top_k(2)(x) AS t, quantileDD(0.01, 0.5)(x) "
+        "AS qd, sumMapFilteredWithOverflow([1,3])(array(x, x+1), "
+        "array(10, 20)) AS sm FROM r10b2_tk"
+    )).collect()[0]
+    assert list(r["t"]) == [1, 2]

@@ -36,6 +36,10 @@ _SHARED_OK = {
     # Spark's builtin is the honest analog (engine identity, not a
     # ClickHouse version string)
     "version",
+    # r10 sweep 2: name-identical math/string builtins with the same
+    # IEEE/SQL-standard semantics in both engines
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "atan2",
+    "hypot", "log1p", "expm1", "factorial", "width_bucket", "overlay",
 }
 
 # every name here must be mapped or gated — NEVER a passthrough
@@ -194,6 +198,34 @@ _MUST_HANDLE = [
     "visitParamExtractFloat('{}','a')",
     "visitParamExtractBool('{}','a')", "visitParamExtractRaw('{}','a')",
     "visitParamHas('{}','a')",
+    # r10 sweep 2: ids/curves/datetime-components/consistent-hash/math
+    "toUUID('x')", "toUUIDOrNull('x')", "toUUIDOrZero('x')",
+    "UUIDToNum(u)", "toUUIDFromNum(b)", "UUIDv7ToDateTime(u)",
+    "generateUUIDv7()", "generateULID()",
+    "ULIDStringToDateTime('01GNB2S2FGN2P93QPXDNB4EN2R')",
+    "snowflakeIDToDateTime(123)", "snowflakeIDToDateTime64(123)",
+    "dateTimeToSnowflakeID(now())", "dateTime64ToSnowflakeID(now64())",
+    "timezoneOf(now())", "toMicrosecond(now64())",
+    "toNanosecond(now64())", "toTimeWithFixedDate(now())",
+    "changeYear(today(), 2000)", "changeMonth(today(), 2)",
+    "changeDay(today(), 2)", "changeHour(now(), 2)",
+    "changeMinute(now(), 2)", "changeSecond(now(), 2)",
+    "mortonEncode(1, 2)", "mortonDecode(2, 5)",
+    "hilbertEncode(1, 2)", "hilbertDecode(2, 5)",
+    "kostikConsistentHash(1, 2)", "yandexConsistentHash(1, 2)",
+    "jumpConsistentHash(1, 2)", "wyHash64('x')",
+    "CRC32('x')", "CRC32IEEE('x')", "CRC64('x')",
+    "crc32('x')", "crc32ieee('x')", "crc64('x')",
+    "erf(1.0)", "erfc(1.0)", "lgamma(1.0)", "tgamma(1.0)",
+    "toIntervalMillisecond(5)", "toIntervalMicrosecond(5)",
+    "toIntervalNanosecond(5)", "addInterval(x, y)",
+    "overlayUTF8('hello', 'XX', 2)", "groupArrayIntersect(a)",
+    "studentTTestOneSample(x, 1.0)", "analysisOfVariance(x, g)",
+    "flameGraph(t)", "distinctDynamicTypes(d)", "distinctJSONPaths(j)",
+    "approx_top_k(3)(x)", "approx_top_sum(3)(x, w)",
+    "quantileDD(0.01, 0.5)(x)", "quantileTDigestWeighted(0.5)(x, w)",
+    "quantileInterpolatedWeighted(0.5)(x, w)",
+    "sumMapFilteredWithOverflow([1])(k, v)",
 ]
 
 
