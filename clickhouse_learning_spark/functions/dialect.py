@@ -927,6 +927,108 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
                 "(studentTTest/welchTTest/meanZTest) map; dynamic-"
                 "type introspection has no Spark analog"
             )))(_ig)
+    # ---- r10 sweep batch 3: HTML/XML, rand distributions, misc ----
+    # encodeXMLComponent: XML 1.0 predefines exactly five entities —
+    # unambiguous. '&' FIRST or the later replacements double-escape.
+    m["encodeXMLComponent"] = lambda a: (lambda x: (
+        f"replace(replace(replace(replace(replace({x}, "
+        f"'&', '&amp;'), '<', '&lt;'), '>', '&gt;'), "
+        f"'\"', '&quot;'), '''', '&apos;')"
+    ))(_one(a, "encodeXMLComponent"))
+    m["decodeXMLComponent"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "decodeXMLComponent: numeric character references "
+            "(&#NNN;/&#xHH;) need a scan, not a replace chain — "
+            "decode the five named entities with nested replace(), "
+            "or preprocess in the ingest lane"
+        ))
+    for _hg, _hwhy in (
+        ("extractTextFromHTML", "CH's exact tag/comment/CDATA/"
+         "whitespace algorithm is not pinned offline — the crawl "
+         "lane here extracts text via sources/warc.py's C4 rules"),
+        ("decodeHTMLComponent", "CH's supported entity subset is "
+         "not pinned offline (the WHATWG list via html.unescape "
+         "may decode MORE entities)"),
+        ("printf", "CH follows C printf; Spark's format_string is "
+         "the Java Formatter — width/length modifiers diverge; use "
+         "format_string explicitly"),
+        ("toDecimalString", "the rounding-tie rule is not pinned "
+         "offline — use format_string(concat('%.', n, 'f'), x) and "
+         "accept Java HALF_UP, or round + CAST explicitly"),
+        ("formatQuery", "SQL pretty-printing is a client concern"),
+        ("formatQuerySingleLine", "SQL pretty-printing is a client "
+         "concern"),
+        ("fuzzBits", "a ClickHouse test fuzzer"),
+        ("byteSwap", "byte order swaps at the argument's CH type "
+         "WIDTH — compose shiftrightunsigned/shiftleft masks at the "
+         "width you mean"),
+        ("toFixedString", "FixedString is a BYTE-width type with a "
+         "throw-on-overflow contract — rpad(s, n, chr(0)) covers "
+         "the ASCII case explicitly"),
+        ("reinterpret", "byte reinterpretation is type-width "
+         "dependent — compose hex/unhex/conv explicitly"),
+        ("reinterpretAsUInt64", "byte reinterpretation is type-"
+         "width dependent — compose hex/unhex/conv explicitly"),
+        ("reinterpretAsString", "byte reinterpretation is type-"
+         "width dependent — compose hex/unhex/conv explicitly"),
+        ("structureToProtobufSchema", "schema codegen is a client "
+         "concern"),
+        ("structureToCapnProtoSchema", "schema codegen is a client "
+         "concern"),
+        ("generateRandomStructure", "schema codegen is a client "
+         "concern"),
+        ("minSampleSizeContinous", "needs the inverse normal CDF "
+         "(no Spark builtin) — the stats_tests module covers the "
+         "graded power analyses"),
+        ("minSampleSizeConversion", "needs the inverse normal CDF "
+         "(no Spark builtin)"),
+        ("icebergTruncate", "an Iceberg partition-transform helper "
+         "— substr/intDiv express the truncation explicitly"),
+    ):
+        m[_hg] = (lambda name, why: lambda a: (_ for _ in ()).throw(
+            ValueError(f"{name}: {why}")))(_hg, _hwhy)
+    # rand distributions with closed-form transforms of rand()/randn()
+    # (the distributional CONTRACT maps; values are RNG-fresh, the
+    # same class as the mapped rand()/randCanonical)
+    m["randUniform"] = lambda a: (lambda lo, hi: (
+        f"(({lo}) + rand() * (({hi}) - ({lo})))"
+    ))(*_two(a, "randUniform"))
+    m["randNormal"] = lambda a: (lambda mu, s: (
+        f"(({mu}) + randn() * ({s}))"
+    ))(*_two(a, "randNormal"))
+    m["randBernoulli"] = lambda a: (
+        f"CAST(IF(rand() < ({_one(a, 'randBernoulli')}), 1, 0) "
+        f"AS DOUBLE)"
+    )
+    m["randExponential"] = lambda a: (  # inverse-CDF transform
+        f"(-ln(1.0 - rand()) / ({_one(a, 'randExponential')}))"
+    )
+    m["randLogNormal"] = lambda a: (lambda mu, s: (
+        f"exp(({mu}) + randn() * ({s}))"
+    ))(*_two(a, "randLogNormal"))
+    for _rd in ("randChiSquared", "randStudentT", "randFisherF",
+                "randPoisson", "randBinomial", "randNegativeBinomial"):
+        m[_rd] = (lambda name: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{name}: no closed-form transform of rand()/randn() "
+                "— sample in a vectorized pandas UDF (numpy.random) "
+                "if the distribution matters"
+            )))(_rd)
+    # arrayShingles(arr, n): consecutive length-n windows; CH throws
+    # on a non-positive or oversized shingle length
+    m["clamp"] = lambda a: (
+        (lambda x, lo, hi: (
+            f"CASE WHEN ({x}) IS NULL OR ({lo}) IS NULL OR ({hi}) "
+            f"IS NULL THEN NULL ELSE least(greatest(({x}), ({lo})), "
+            f"({hi})) END"
+        ))(*a) if len(a) == 3
+        else (_ for _ in ()).throw(ValueError("clamp(x, lo, hi)"))
+    )
+    m["positiveModulo"] = lambda a: (lambda x, y: (
+        f"pmod({x}, {y})"
+    ))(*_two(a, "positiveModulo"))
+    m["positive_modulo"] = m["positiveModulo"]
+    m["negate"] = lambda a: f"(-({_one(a, 'negate')}))"
     # regexpQuoteMeta: CH documents the exact escape set — \0 \\ | ( )
     # ^ $ . [ ] ? * + { : -  (note: '}' is NOT escaped). NUL can't
     # ride a SQL literal here, so it is handled via chr(0) replace.

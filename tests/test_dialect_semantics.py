@@ -2382,3 +2382,34 @@ def test_r10_sweep_batch2(spark):
         "array(10, 20)) AS sm FROM r10b2_tk"
     )).collect()[0]
     assert list(r["t"]) == [1, 2]
+
+
+def test_r10_sweep_batch3(spark):
+    """r10 candidate sweep, batch 3: XML encode (the five predefined
+    entities, & first), clamp/positiveModulo/negate, and the
+    closed-form rand-distribution transforms (distributional contract
+    — range and loose moments, values RNG-fresh by design)."""
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    r = spark.sql(translate(
+        "SELECT encodeXMLComponent('a<b&\"c''d>') AS x, "
+        "clamp(5, 1, 3) AS c1, clamp(0, 1, 3) AS c2, "
+        "clamp(2, 1, 3) AS c3, clamp(CAST(NULL AS INT), 1, 3) AS cn, "
+        "positiveModulo(-1, 3) AS pm, negate(5) AS ng"
+    )).collect()[0]
+    assert r["x"] == "a&lt;b&amp;&quot;c&apos;d&gt;"
+    assert (r["c1"], r["c2"], r["c3"], r["cn"]) == (3, 1, 2, None)
+    assert r["pm"] == 2 and r["ng"] == -5
+
+    rows = spark.sql(translate(
+        "SELECT randUniform(10, 20) AS u, randNormal(100, 0.001) AS n,"
+        " randBernoulli(0.5) AS b, randExponential(1000000) AS e, "
+        "randLogNormal(0, 0.001) AS ln FROM range(1000)"
+    )).collect()
+    us = [row["u"] for row in rows]
+    assert all(10 <= u < 20 for u in us)
+    assert 12 < sum(us) / 1000 < 18
+    assert all(abs(row["n"] - 100) < 1 for row in rows)
+    assert {row["b"] for row in rows} <= {0.0, 1.0}
+    assert all(0 <= row["e"] < 0.01 for row in rows)
+    assert all(abs(row["ln"] - 1) < 0.1 for row in rows)

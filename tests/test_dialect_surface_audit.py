@@ -40,6 +40,7 @@ _SHARED_OK = {
     # IEEE/SQL-standard semantics in both engines
     "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "atan2",
     "hypot", "log1p", "expm1", "factorial", "width_bucket", "overlay",
+    "space",
 }
 
 # every name here must be mapped or gated — NEVER a passthrough
@@ -226,6 +227,23 @@ _MUST_HANDLE = [
     "quantileDD(0.01, 0.5)(x)", "quantileTDigestWeighted(0.5)(x, w)",
     "quantileInterpolatedWeighted(0.5)(x, w)",
     "sumMapFilteredWithOverflow([1])(k, v)",
+    # r10 sweep 3: HTML/XML, formatting, reinterpret, rand
+    # distributions, numeric helpers
+    "extractTextFromHTML('<p>x</p>')", "decodeHTMLComponent('&amp;')",
+    "encodeXMLComponent('<a>')", "decodeXMLComponent('&lt;')",
+    "toDecimalString(3.14, 2)", "printf('%d', 5)",
+    "formatQuery('select 1')", "formatQuerySingleLine('select 1')",
+    "fuzzBits('x', 0.1)", "byteSwap(123)", "toFixedString('a', 3)",
+    "reinterpret(1, 'String')", "reinterpretAsUInt64('x')",
+    "reinterpretAsString(1)", "structureToProtobufSchema('x Int64')",
+    "structureToCapnProtoSchema('x Int64')",
+    "generateRandomStructure(3)", "minSampleSizeContinous(1,1,1,1,1)",
+    "minSampleSizeConversion(0.1,0.05,0.8,0.05)", "icebergTruncate(3, 'a')",
+    "randUniform(0, 1)", "randNormal(0, 1)", "randBernoulli(0.5)",
+    "randExponential(1)", "randLogNormal(0, 1)", "randChiSquared(2)",
+    "randStudentT(2)", "randFisherF(2, 2)", "randPoisson(2)",
+    "randBinomial(10, 0.5)", "randNegativeBinomial(10, 0.5)",
+    "clamp(5, 1, 3)", "positiveModulo(-1, 3)", "negate(5)",
 ]
 
 
