@@ -2291,6 +2291,17 @@ def test_r10_sweep_batch(spark):
         "FROM r10_sweep_tv WHERE x = 1)"
     )).collect()
     assert rows[0]["a"] is None
+    # decisive ordered check: over [NULL, 5] in one partition the
+    # respect-nulls head is NULL while the tail is 5 (skip-nulls
+    # semantics would return 5 for both)
+    spark.sql(
+        "SELECT IF(id = 0, NULL, 5) AS v FROM range(2)"
+    ).coalesce(1).createOrReplaceTempView("r10_sweep_rn")
+    r = spark.sql(translate(
+        "SELECT any_respect_nulls(v) AS a, anyLast_respect_nulls(v) "
+        "AS l FROM r10_sweep_rn"
+    )).collect()[0]
+    assert r["a"] is None and r["l"] == 5
 
 
 def test_r10_sweep_batch2(spark):
