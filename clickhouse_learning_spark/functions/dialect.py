@@ -1029,6 +1029,50 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     ))(*_two(a, "positiveModulo"))
     m["positive_modulo"] = m["positiveModulo"]
     m["negate"] = lambda a: f"(-({_one(a, 'negate')}))"
+    # ---- r10 sweep batch 4: combinator-suffix corners ----
+    # -OrNull / -OrDefault on the basic aggregates: Spark aggregates
+    # already yield NULL over an empty/all-null group, so OrNull maps
+    # to the plain form; count is the exception (0, never NULL) and
+    # sumOrDefault restores CH's 0-on-empty
+    m["anyOrNull"] = lambda a: f"any_value({_one(a, 'anyOrNull')})"
+    m["countOrNull"] = lambda a: (
+        f"nullif(count({_one(a, 'countOrNull')}), 0)"
+    )
+    m["sumOrDefault"] = lambda a: (
+        f"coalesce(sum({_one(a, 'sumOrDefault')}), 0)"
+    )
+    m["argMinOrNull"] = lambda a: (
+        lambda x, y: f"min_by({x}, {y})")(*_two(a, "argMinOrNull"))
+    m["argMaxOrNull"] = lambda a: (
+        lambda x, y: f"max_by({x}, {y})")(*_two(a, "argMaxOrNull"))
+    # avgWeightedIf: the avgWeighted fold with both lanes gated on
+    # the condition (same NaN-on-zero-weight contract as avgWeighted)
+    m["avgWeightedIf"] = lambda a: (
+        (lambda x, w, c: (
+            f"(sum(CASE WHEN {c} THEN ({x}) * ({w}) END) / "
+            f"sum(CASE WHEN {c} THEN ({w}) END))"
+        ))(*a) if len(a) == 3
+        else (_ for _ in ()).throw(
+            ValueError("avgWeightedIf(x, w, cond)"))
+    )
+    # bitwise aggregates: Spark's bit_and/bit_or/bit_xor are the
+    # exact two's-complement folds
+    m["groupBitAnd"] = lambda a: f"bit_and({_one(a, 'groupBitAnd')})"
+    m["groupBitOr"] = lambda a: f"bit_or({_one(a, 'groupBitOr')})"
+    m["groupBitXor"] = lambda a: f"bit_xor({_one(a, 'groupBitXor')})"
+    m["sequenceMatchEvents"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "sequenceMatchEvents (matched-event timestamps) is not "
+            "translated — sequenceMatch/sequenceCount map via "
+            "functions/seqmatch.py; join the matched flag back to "
+            "the events for their timestamps"
+        ))
+    m["bitmapTransform"] = lambda a: (_ for _ in ()).throw(ValueError(
+        "bitmapTransform: the from/to remap pairs with bitmap "
+        "membership tests inside a lambda, which Spark HOFs cannot "
+        "host a UDF in — compose bitmapAndnot + bitmapOr over "
+        "bitmapBuild of the remapped values explicitly"
+    ))
     # regexpQuoteMeta: CH documents the exact escape set — \0 \\ | ( )
     # ^ $ . [ ] ? * + { : -  (note: '}' is NOT escaped). NUL can't
     # ride a SQL literal here, so it is handled via chr(0) replace.
@@ -6544,6 +6588,39 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         f"element_at(array_sort(collect_list({a[0]})), "
         f"least(CAST(floor(({p[0]}) * count({a[0]})) AS INT) + 1, "
         f"CAST(count({a[0]}) AS INT)))"
+    ),
+    # r10 sweep 4: the PLURAL low/high forms — one pick per level,
+    # returned as an array (the quantilesExact convention)
+    "quantilesExactLow": lambda p, a: (
+        "array(" + ", ".join(
+            _PARAMETERIZED["quantileExactLow"]([lv], a) for lv in p
+        ) + ")"
+    ),
+    "quantilesExactHigh": lambda p, a: (
+        "array(" + ", ".join(
+            _PARAMETERIZED["quantileExactHigh"]([lv], a) for lv in p
+        ) + ")"
+    ),
+    # time-decayed window family: CH defines these as WINDOW functions
+    # (each row is its own evaluation point) — a plain-aggregate
+    # translation would silently pick one reference time
+    "exponentialTimeDecayedAvg": lambda p, a: _raise_gate(
+        "exponentialTimeDecayedAvg is a WINDOW function in CH (each "
+        "row decays to its own time) — write the decay explicitly: "
+        "sum(v * exp((t - t_ref)/λ)) / sum(exp((t - t_ref)/λ)) OVER "
+        "your frame"
+    ),
+    "exponentialTimeDecayedSum": lambda p, a: _raise_gate(
+        "exponentialTimeDecayedSum is a WINDOW function in CH — "
+        "write sum(v * exp((t - t_ref)/λ)) OVER your frame explicitly"
+    ),
+    "exponentialTimeDecayedCount": lambda p, a: _raise_gate(
+        "exponentialTimeDecayedCount is a WINDOW function in CH — "
+        "write sum(exp((t - t_ref)/λ)) OVER your frame explicitly"
+    ),
+    "exponentialTimeDecayedMax": lambda p, a: _raise_gate(
+        "exponentialTimeDecayedMax is a WINDOW function in CH — "
+        "write max(v * exp((t - t_ref)/λ)) OVER your frame explicitly"
     ),
     # approximate quantile sketches: ClickHouse's t-digest / timing /
     # bfloat16 families are all "fast approximate quantile" — Spark's

@@ -2424,3 +2424,38 @@ def test_r10_sweep_batch3(spark):
     assert {row["b"] for row in rows} <= {0.0, 1.0}
     assert all(0 <= row["e"] < 0.01 for row in rows)
     assert all(abs(row["ln"] - 1) < 0.1 for row in rows)
+
+
+def test_r10_sweep_batch4(spark):
+    """r10 candidate sweep, batch 4: combinator-suffix corners —
+    -OrNull/-OrDefault on basic aggregates (Spark aggregates are
+    already NULL-on-empty; count and sum are the exceptions),
+    argM*OrNull, avgWeightedIf, the bitwise aggregate folds, and the
+    plural exact-low/high quantiles."""
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    spark.sql(
+        "SELECT explode(array(5, 3, 12, 7)) AS x"
+    ).createOrReplaceTempView("r10b4")
+    r = spark.sql(translate(
+        "SELECT countOrNull(x) AS cn, sumOrDefault(x) AS sd, "
+        "argMinOrNull(x, x) AS amn, argMaxOrNull(x, x) AS amx, "
+        "avgWeightedIf(x, 2, x > 4) AS awi, "
+        "groupBitAnd(x) AS ba, groupBitOr(x) AS bo, "
+        "groupBitXor(x) AS bx, "
+        "quantilesExactLow(0.25, 0.75)(x) AS ql, "
+        "quantilesExactHigh(0.25, 0.75)(x) AS qh FROM r10b4"
+    )).collect()[0]
+    assert r["cn"] == 4 and r["sd"] == 27
+    assert r["amn"] == 3 and r["amx"] == 12
+    assert abs(r["awi"] - (5 + 12 + 7) / 3) < 1e-9
+    assert r["ba"] == 5 & 3 & 12 & 7
+    assert r["bo"] == 5 | 3 | 12 | 7
+    assert r["bx"] == 5 ^ 3 ^ 12 ^ 7
+    assert list(r["ql"]) == [3, 7] and list(r["qh"]) == [5, 12]
+    # empty group: OrNull -> NULL, sumOrDefault -> CH's 0
+    r = spark.sql(translate(
+        "SELECT countOrNull(x) AS cn, sumOrDefault(x) AS sd, "
+        "anyOrNull(x) AS an FROM r10b4 WHERE x > 100"
+    )).collect()[0]
+    assert r["cn"] is None and r["sd"] == 0 and r["an"] is None

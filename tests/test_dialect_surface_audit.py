@@ -244,6 +244,17 @@ _MUST_HANDLE = [
     "randStudentT(2)", "randFisherF(2, 2)", "randPoisson(2)",
     "randBinomial(10, 0.5)", "randNegativeBinomial(10, 0.5)",
     "clamp(5, 1, 3)", "positiveModulo(-1, 3)", "negate(5)",
+    # r10 sweep 4: combinator-suffix corners
+    "anyOrNull(x)", "countOrNull(x)", "sumOrDefault(x)",
+    "argMinOrNull(a, b)", "argMaxOrNull(a, b)",
+    "avgWeightedIf(x, w, c)",
+    "groupBitAnd(x)", "groupBitOr(x)", "groupBitXor(x)",
+    "quantilesExactLow(0.5)(x)", "quantilesExactHigh(0.5)(x)",
+    "exponentialTimeDecayedAvg(10)(v, t)",
+    "exponentialTimeDecayedSum(10)(v, t)",
+    "exponentialTimeDecayedCount(10)(t)",
+    "exponentialTimeDecayedMax(10)(v, t)",
+    "sequenceMatchEvents('(?1)')(t, c)", "bitmapTransform(b, f, t)",
 ]
 
 
