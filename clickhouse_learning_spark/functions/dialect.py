@@ -2680,7 +2680,29 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         return f
 
     m["JSONExtractString"] = _json_extract(None, "''")
-    m["JSONExtractRaw"] = _json_extract(None, "''")
+
+    # JSONExtractRaw (r10): EXACT raw slices via the jsonraw scanner —
+    # get_json_object would UNQUOTE string scalars and re-serialize,
+    # while CH returns the slice verbatim (quotes and escapes kept).
+    # A bare integer key is a 1-based element index (ADVICE r9 rule):
+    # raw Nth element of the array form, negatives from the end.
+    def _extract_raw(a):
+        j, k = _two(a, "JSONExtract*Raw")
+        ks = k.strip()
+        if re.fullmatch(r"-?\d+", ks):
+            if int(ks) == 0:
+                raise ValueError(
+                    "JSONExtractRaw(json, 0): ClickHouse element "
+                    "indexes are 1-based (negative = from the end)"
+                )
+            arr = _jsonraw_udf_sql("ch_json_array_raw", j)
+            return f"coalesce(try_element_at({arr}, {ks}), '')"
+        return (
+            f"coalesce({_jsonraw_udf_sql('ch_json_raw_at', f'{j}, {k}')}"
+            f", '')"
+        )
+
+    m["JSONExtractRaw"] = _extract_raw
     m["JSONExtractInt"] = _json_extract("BIGINT", "CAST(0 AS BIGINT)")
     m["JSONExtractUInt"] = _json_extract("BIGINT", "CAST(0 AS BIGINT)")
     m["JSONExtractFloat"] = _json_extract("DOUBLE", "CAST(0 AS DOUBLE)")
@@ -2708,7 +2730,7 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             f" false)"
         )
     )(*_two(a, "simpleJSONExtractBool"))
-    m["simpleJSONExtractRaw"] = _json_extract(None, "''")
+    m["simpleJSONExtractRaw"] = _extract_raw  # raw-exact (r10)
     m["simpleJSONHas"] = lambda a: (
         lambda j, k: f"(get_json_object({j}, {_json_path(k)}) IS NOT NULL)"
     )(*_two(a, "simpleJSONHas"))
@@ -5614,9 +5636,18 @@ def _make_jsonraw_udfs():
             dtype="object",
         )
 
+    def _raw_at(v, k):
+        import pandas as pd
+
+        return pd.Series(
+            [_jr.raw_at_key(x, kk) for x, kk in zip(v, k)],
+            dtype="object",
+        )
+
     return (
         pandas_udf(_arr, "array<string>"),
         pandas_udf(_kv, "array<struct<col1:string,col2:string>>"),
+        pandas_udf(_raw_at, "string"),
     )
 
 
@@ -6105,9 +6136,10 @@ def register_sequence_udfs(spark) -> None:
         spark.udf.register("ch_murmur3_128", m128)
         spark.udf.register("ch_siphash64", sip64)
     if _JSONRAW_WANTED:
-        jarr, jkv = _make_jsonraw_udfs()
+        jarr, jkv, jraw = _make_jsonraw_udfs()
         spark.udf.register("ch_json_array_raw", jarr)
         spark.udf.register("ch_json_kv_raw", jkv)
+        spark.udf.register("ch_json_raw_at", jraw)
     if _IPV6_WANTED:
         n2s, s2n, s2n_null = _make_ipv6_udfs()
         spark.udf.register("ch_ipv6_num_to_string", n2s)

@@ -145,3 +145,18 @@ def object_keys_values_raw(s: str | None) -> list[tuple[str, str]]:
             i = _skip_ws(s, i + 1)
     except ValueError:
         return []
+
+
+def raw_at_key(s: str | None, key: str | None) -> str | None:
+    """Raw value slice at a top-level object key (first occurrence in
+    document order); None when the input is not a JSON object or the
+    key is absent — the dialect applies ClickHouse's ''-default.
+    Unlike a parsed extraction, the slice keeps quotes and escape
+    sequences exactly as written (CH JSONExtractRaw's contract;
+    get_json_object would unquote string scalars)."""
+    if s is None or key is None:
+        return None
+    for k, r in object_keys_values_raw(s):
+        if k == key:
+            return r
+    return None

@@ -2459,3 +2459,29 @@ def test_r10_sweep_batch4(spark):
         "anyOrNull(x) AS an FROM r10b4 WHERE x > 100"
     )).collect()[0]
     assert r["cn"] is None and r["sd"] == 0 and r["an"] is None
+
+
+def test_json_extract_raw_exact_slices(spark):
+    """r10: JSONExtractRaw/simpleJSONExtractRaw return the slice
+    VERBATIM via the jsonraw scanner — quotes and escape sequences
+    kept on string scalars (get_json_object would unquote), objects
+    byte-identical, '' on missing/invalid (CH's type default), and
+    bare integer keys are 1-based element indexes (negatives from
+    the end, the ADVICE-r9 rule)."""
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    r = spark.sql(translate(
+        'SELECT JSONExtractRaw(\'{"a":"x\\\\n","b":{"c":1}}\', \'a\')'
+        " AS sraw, "
+        'JSONExtractRaw(\'{"a":"x","b":{"c":1}}\', \'b\') AS oraw, '
+        "JSONExtractRaw('{\"a\":1}', 'zz') AS missing, "
+        "JSONExtractRaw('not json', 'a') AS bad, "
+        "JSONExtractRaw('[10, \"t\", null]', 2) AS el2, "
+        "JSONExtractRaw('[10, \"t\", null]', -1) AS elm1, "
+        "simpleJSONExtractRaw('{\"o\":{\"k\":2}}', 'o') AS sj"
+    )).collect()[0]
+    assert r["sraw"] == '"x\\n"'  # raw: quotes + the \n escape kept
+    assert r["oraw"] == '{"c":1}'
+    assert r["missing"] == "" and r["bad"] == ""
+    assert r["el2"] == '"t"' and r["elm1"] == "null"
+    assert r["sj"] == '{"k":2}'
