@@ -1073,6 +1073,52 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         "host a UDF in — compose bitmapAndnot + bitmapOr over "
         "bitmapBuild of the remapped values explicitly"
     ))
+    # ---- r10 sweep batch 5: array set ops + server introspection --
+    m["arrayUnion"] = lambda a: (lambda x, y: (
+        f"array_union({x}, {y})"  # distinct union; CH leaves the
+    ))(*_two(a, "arrayUnion"))    # order unspecified
+    m["arraySymmetricDifference"] = lambda a: (lambda x, y: (
+        f"array_union(array_except({x}, {y}), array_except({y}, {x}))"
+    ))(*_two(a, "arraySymmetricDifference"))
+    m["nonNegativeDerivative"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "nonNegativeDerivative is a WINDOW function in CH — "
+            "write greatest(0, (v - lag(v) OVER w) / (t - lag(t) "
+            "OVER w)) explicitly"
+        ))
+    for _si, _siwhy in (
+        ("hostName", "executor hostnames are not SQL-addressable; "
+         "partition-local identity is spark_partition_id()"),
+        ("FQDN", "executor hostnames are not SQL-addressable"),
+        ("shardNum", "no shard concept in a Spark job — "
+         "spark_partition_id() for partition-local logic"),
+        ("shardCount", "no shard concept in a Spark job"),
+        ("queryID", "no SQL-addressable query id — read it from the "
+         "SparkContext"),
+        ("initialQueryID", "no SQL-addressable query id"),
+        ("partitionID", "CH partition ids are storage-layout "
+         "internals; the engine's partition key columns are plain "
+         "columns here"),
+        ("getSetting", "session settings are Spark confs — "
+         "spark.conf.get from the driver"),
+        ("getServerSetting", "server settings are Spark confs"),
+        ("globalVariable", "server globals are Spark confs"),
+        ("getMacro", "server macros have no Spark analog"),
+        ("getClientHTTPHeader", "no HTTP client context"),
+        ("connectionId", "no connection concept"),
+        ("displayName", "no server display name"),
+        ("showCertificate", "no server TLS context"),
+        ("tcpPort", "no server port concept"),
+        ("filesystemAvailable", "driver-side filesystem introspection"
+         " — query the storage layer directly"),
+        ("filesystemCapacity", "driver-side filesystem introspection"),
+        ("filesystemUnreserved", "driver-side filesystem "
+         "introspection"),
+        ("estimateCompressionRatio", "storage-codec introspection "
+         "has no Spark analog"),
+    ):
+        m[_si] = (lambda name, why: lambda a: (_ for _ in ()).throw(
+            ValueError(f"{name}: {why}")))(_si, _siwhy)
     # regexpQuoteMeta: CH documents the exact escape set — \0 \\ | ( )
     # ^ $ . [ ] ? * + { : -  (note: '}' is NOT escaped). NUL can't
     # ride a SQL literal here, so it is handled via chr(0) replace.
@@ -1280,6 +1326,10 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     )
     m["toUnixTimestamp64Milli"] = lambda a: (
         f"unix_millis(CAST({_one(a, 'toUnixTimestamp64Milli')} "
+        f"AS TIMESTAMP))"
+    )
+    m["toUnixTimestamp64Second"] = lambda a: (  # r10 sweep 5
+        f"unix_seconds(CAST({_one(a, 'toUnixTimestamp64Second')} "
         f"AS TIMESTAMP))"
     )
     # toUnixTimestamp returns epoch SECONDS (CH: UInt32);

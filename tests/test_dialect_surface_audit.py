@@ -41,6 +41,11 @@ _SHARED_OK = {
     "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "atan2",
     "hypot", "log1p", "expm1", "factorial", "width_bucket", "overlay",
     "space",
+    # r10 sweep 5: name-identical WINDOW functions (same frame
+    # semantics; CH requires an OVER clause for these exactly as
+    # Spark does)
+    "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+    "ntile",
 }
 
 # every name here must be mapped or gated — NEVER a passthrough
@@ -255,6 +260,16 @@ _MUST_HANDLE = [
     "exponentialTimeDecayedCount(10)(t)",
     "exponentialTimeDecayedMax(10)(v, t)",
     "sequenceMatchEvents('(?1)')(t, c)", "bitmapTransform(b, f, t)",
+    # r10 sweep 5: array set ops + server introspection
+    "arrayUnion([1],[2])", "arraySymmetricDifference([1],[2])",
+    "toUnixTimestamp64Second(t)", "nonNegativeDerivative(v, t)",
+    "hostName()", "FQDN()", "shardNum()", "shardCount()",
+    "queryID()", "initialQueryID()", "partitionID(a)",
+    "getSetting('x')", "getServerSetting('x')", "globalVariable('x')",
+    "getMacro('x')", "getClientHTTPHeader('x')", "connectionId()",
+    "displayName()", "showCertificate()", "tcpPort()",
+    "filesystemAvailable()", "filesystemCapacity()",
+    "filesystemUnreserved()", "estimateCompressionRatio('lz4')(x)",
 ]
 
 
