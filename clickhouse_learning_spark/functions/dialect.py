@@ -1073,6 +1073,300 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         "host a UDF in — compose bitmapAndnot + bitmapOr over "
         "bitmapBuild of the remapped values explicitly"
     ))
+    # ---- r10 sweep batch 6: subsequence/token search, range(),
+    # IPv6 CIDR algebra, null classifiers, datetime arithmetic ------
+    def _subseq_fold(h: str, n: str, byte: bool) -> str:
+        # hasSubsequence core: a left fold advancing a cursor into
+        # the needle whenever the current haystack unit matches.
+        # byte=True walks UTF-8 BYTES (CH's non-UTF8 variants) as
+        # hex pairs — split on the \G-anchored lookbehind chunks the
+        # hex string into 2-char cells; the trailing '' cell is
+        # harmless (the cursor guard short-circuits it).
+        if byte:
+            hs = f"split(hex(encode({h}, 'UTF-8')), '(?<=\\\\G..)')"
+            nh = f"hex(encode({n}, 'UTF-8'))"
+            return (
+                f"(aggregate({hs}, 0, (acc, c) -> "
+                f"IF(acc * 2 < length({nh}) AND c = substr({nh}, "
+                f"acc * 2 + 1, 2), acc + 1, acc)) * 2 = length({nh}))"
+            )
+        return (
+            f"(aggregate(split({h}, ''), 0, (acc, c) -> "
+            f"IF(acc < length({n}) AND c = substr({n}, acc + 1, 1), "
+            f"acc + 1, acc)) = length({n}))"
+        )
+
+    _AZ_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    _AZ_LO = "abcdefghijklmnopqrstuvwxyz"
+
+    def _ascii_lower(x: str) -> str:
+        # CH's non-UTF8 CaseInsensitive variants lowercase ASCII
+        # bytes ONLY (é stays é); translate() is that exact fold
+        return f"translate({x}, '{_AZ_UP}', '{_AZ_LO}')"
+
+    m["hasSubsequence"] = lambda a: _subseq_fold(
+        *_two(a, "hasSubsequence"), byte=True)
+    m["hasSubsequenceUTF8"] = lambda a: _subseq_fold(
+        *_two(a, "hasSubsequenceUTF8"), byte=False)
+    m["hasSubsequenceCaseInsensitive"] = lambda a: (
+        lambda h, n: _subseq_fold(
+            _ascii_lower(h), _ascii_lower(n), byte=True)
+    )(*_two(a, "hasSubsequenceCaseInsensitive"))
+    m["hasSubsequenceCaseInsensitiveUTF8"] = lambda a: (
+        lambda h, n: _subseq_fold(
+            f"lower({h})", f"lower({n})", byte=False)
+    )(*_two(a, "hasSubsequenceCaseInsensitiveUTF8"))
+
+    # hasTokenOrNull: NULL when the needle is not a well-formed token
+    # (empty, or contains a separator byte); else = hasToken
+    def _has_token_or_null(name: str, base: str):
+        def impl(a):
+            s_, t = _two(a, name)
+            body = m[base]([s_, t])
+            return (
+                f"(CASE WHEN ({t}) IS NULL OR ({t}) = '' OR "
+                f"({t}) RLIKE '[^A-Za-z0-9]' THEN NULL "
+                f"ELSE {body} END)"
+            )
+        return impl
+
+    m["hasTokenOrNull"] = _has_token_or_null(
+        "hasTokenOrNull", "hasToken")
+    m["hasTokenCaseInsensitiveOrNull"] = _has_token_or_null(
+        "hasTokenCaseInsensitiveOrNull", "hasTokenCaseInsensitive")
+
+    m["countMatchesCaseInsensitive"] = lambda a: (
+        lambda s_, p: (
+            f"size(regexp_extract_all({s_}, concat('(?i)', {p}), 0))"
+        )
+    )(*_two(a, "countMatchesCaseInsensitive"))
+    # Spark's substring_index counts codepoints = the UTF8 variant
+    m["substringIndexUTF8"] = lambda a: (
+        f"substring_index({', '.join(_three(a, 'substringIndexUTF8'))})"
+    )
+    m["firstLine"] = lambda a: (
+        f"regexp_extract({_one(a, 'firstLine')}, '^[^\\\\n\\\\r]*', 0)"
+    )
+
+    # range([start,] end[, step]): CH's end is EXCLUSIVE and an empty
+    # progression yields [] — Spark's sequence is INCLUSIVE and
+    # auto-reverses, so the last element and the empty case are
+    # computed explicitly (DIV keeps the arithmetic integer-exact)
+    def _ch_range(a):
+        if len(a) == 1:
+            s_, e = "0", a[0]
+        elif len(a) == 2:
+            s_, e = a
+        elif len(a) == 3:
+            s_, e, st = a
+            sb = f"CAST({s_} AS BIGINT)"
+            eb = f"CAST({e} AS BIGINT)"
+            return (
+                f"(CASE WHEN ({st}) > 0 AND {eb} > {sb} THEN "
+                f"sequence({sb}, {sb} + (({eb} - {sb} - 1) DIV ({st}))"
+                f" * ({st}), CAST({st} AS BIGINT)) "
+                f"WHEN ({st}) < 0 AND {eb} < {sb} THEN "
+                f"sequence({sb}, {sb} + (({sb} - {eb} - 1) DIV "
+                f"(-({st}))) * ({st}), CAST({st} AS BIGINT)) "
+                f"ELSE array() END)"
+            )
+        else:
+            raise ValueError("range([start,] end[, step])")
+        return (
+            f"(CASE WHEN CAST({e} AS BIGINT) > CAST({s_} AS BIGINT) "
+            f"THEN sequence(CAST({s_} AS BIGINT), "
+            f"CAST({e} AS BIGINT) - 1) ELSE array() END)"
+        )
+
+    m["range"] = _ch_range
+
+    # null classifiers (CH returns UInt8; boolean is this dialect's
+    # predicate convention, same as isNotNull above)
+    m["isNull"] = lambda a: f"({_one(a, 'isNull')} IS NULL)"
+    m["isZeroOrNull"] = lambda a: (
+        lambda x: f"(({x}) IS NULL OR ({x}) = 0)"
+    )(_one(a, "isZeroOrNull"))
+    m["isNotDistinctFrom"] = lambda a: (
+        lambda x, y: f"(({x}) <=> ({y}))"
+    )(*_two(a, "isNotDistinctFrom"))
+
+    # aggregate/alias corners
+    m["anyLastOrNull"] = lambda a: (
+        f"any_value({_one(a, 'anyLastOrNull')})"
+    )
+    # median* sketch aliases = quantile*(0.5); the sketches map to
+    # approx_percentile like their quantile forms
+    for _md in ("medianTiming", "medianTDigest", "medianBFloat16",
+                "medianDD"):
+        m[_md] = (lambda name: lambda a: (
+            f"approx_percentile({_one(a, name)}, 0.5)"
+        ))(_md)
+    # their weighted forms gate like the quantile*Weighted sketches
+    for _mw in ("medianTimingWeighted", "medianTDigestWeighted",
+                "medianBFloat16Weighted",
+                "medianInterpolatedWeighted"):
+        m[_mw] = (lambda name: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{name}: no weighted sketch in Spark — "
+                "quantileExactWeighted(0.5)(x, w) maps exactly via "
+                "MetricSpec"
+            )))(_mw)
+
+    # IPv6 CIDR algebra rides the ipaddress-module UDF family (exact
+    # RFC-4291 byte math; ch_ipv6_* registered on demand)
+    m["IPv6CIDRToRange"] = lambda a: (
+        lambda ip, n: (
+            f"struct({_ipv6_udf_sqln('ch_ipv6_cidr_lo', ip, n)} "
+            f"AS col1, "
+            f"{_ipv6_udf_sqln('ch_ipv6_cidr_hi', ip, n)} AS col2)"
+        )
+    )(*_two(a, "IPv6CIDRToRange"))
+    m["cutIPv6"] = lambda a: _ipv6_udf_sqln(
+        "ch_ipv6_cut", *_three(a, "cutIPv6"))
+    m["isIPAddressInRange"] = lambda a: _ipv6_udf_sqln(
+        "ch_ip_in_range", *_two(a, "isIPAddressInRange"))
+    # OUI = the first 3 octets ("AA:BB:CC" = chars 1..8)
+    m["MACStringToOUI"] = lambda a: (
+        lambda s_: (
+            f"CAST(conv(replace(substring({s_}, 1, 8), ':', ''), "
+            f"16, 10) AS BIGINT)"
+        )
+    )(_one(a, "MACStringToOUI"))
+    # IPv4-mapped IPv6: 80 zero bits + ffff + the 32 address bits
+    m["IPv4ToIPv6"] = lambda a: (
+        lambda x: (
+            f"unhex(concat('00000000000000000000FFFF', "
+            f"lpad(hex(CAST({x} AS BIGINT) & 4294967295), 8, '0')))"
+        )
+    )(_one(a, "IPv4ToIPv6"))
+
+    # datetime arithmetic aliases: interval-typed second argument
+    for _da, _op in (("addDate", "+"), ("subDate", "-"),
+                     ("timestampAdd", "+"), ("timestampSub", "-")):
+        m[_da] = (lambda name, op: lambda a: (
+            lambda d, i: f"(({d}) {op} ({i}))"
+        )(*_two(a, name)))(_da, _op)
+
+    def _ch_timestamp(a):
+        # timestamp(date[, time]): DateTime64 from a date-ish string,
+        # plus an optional hh:mm:ss[.ffffff] time-of-day
+        if len(a) == 1:
+            return f"CAST({a[0]} AS TIMESTAMP)"
+        if len(a) == 2:
+            d, t = a
+            return (
+                f"(CAST({d} AS TIMESTAMP) + make_dt_interval(0, "
+                f"CAST(element_at(split({t}, ':'), 1) AS INT), "
+                f"CAST(element_at(split({t}, ':'), 2) AS INT), "
+                f"CAST(element_at(split({t}, ':'), 3) "
+                f"AS DECIMAL(12, 6))))"
+            )
+        raise ValueError("timestamp(date[, time])")
+
+    m["timestamp"] = _ch_timestamp
+    m["timezone"] = lambda a: "current_timezone()"  # session-zoned
+
+    def _from_unix_joda(a):
+        if len(a) == 1:
+            return f"timestamp_seconds({a[0]})"
+        if len(a) == 2:
+            # Joda patterns ARE Spark's date_format patterns
+            return f"date_format(timestamp_seconds({a[0]}), {a[1]})"
+        raise ValueError(
+            "fromUnixTimestampInJodaSyntax with an explicit timezone "
+            "is not translated — set spark.sql.session.timeZone"
+        )
+
+    m["fromUnixTimestampInJodaSyntax"] = _from_unix_joda
+
+    m["generateSnowflakeID"] = lambda a: (
+        # 41-bit epoch-0 millisecond timestamp << 22 | 22 random
+        # machine/sequence bits (CH's default epoch-0 layout; an ID
+        # generator, nondeterministic like generateUUIDv4 → uuid())
+        "(shiftleft(unix_millis(current_timestamp()), 22) + "
+        "CAST(rand() * 4194304 AS BIGINT))"
+    )
+    m["toLowCardinality"] = lambda a: (
+        f"({_one(a, 'toLowCardinality')})"  # encoding hint, identity
+    )
+
+    def _map_partial_sort(name: str, rev: bool):
+        def impl(a):
+            if len(a) != 2:
+                raise ValueError(
+                    f"{name} with a comparator lambda is not "
+                    "translated — sort map_entries(...) directly"
+                )
+            body = (
+                f"map_from_entries(array_sort(map_entries({a[1]})))"
+            )
+            if rev:
+                body = (
+                    f"map_from_entries(reverse(array_sort("
+                    f"map_entries({a[1]}))))"
+                )
+            # CH leaves positions past the limit unspecified; the
+            # full key sort satisfies the partial-sort contract
+            return body
+        return impl
+
+    m["mapPartialSort"] = _map_partial_sort("mapPartialSort", False)
+    m["mapPartialReverseSort"] = _map_partial_sort(
+        "mapPartialReverseSort", True)
+
+    for _g6, _g6why in (
+        ("formatRow", "row formatting is an output-format concern — "
+         "the RowBinary/Native/TSV/Values serializers in sources/ "
+         "cover the formats"),
+        ("formatRowNoNewline", "row formatting is an output-format "
+         "concern — see sources/ serializers"),
+        ("sqidEncode", "the Sqids blocklist+shuffle alphabet is not "
+         "implemented offline; hex/base58 encoders are mapped"),
+        ("sqidDecode", "the Sqids alphabet is not implemented "
+         "offline; hex/base58 decoders are mapped"),
+        ("geohashesInBox", "the box set-cover enumeration is not "
+         "translated; geohashEncode maps per-point"),
+        ("arrayPRAUC", "CH's PR-curve step interpolation is not "
+         "pinned offline — arrayAUC/arrayROCAUC map exactly"),
+        ("arrayLevenshteinDistance", "element-level edit distance "
+         "is not translated; editDistance maps for strings"),
+        ("arrayLevenshteinDistanceWeighted", "weighted element-level "
+         "edit distance is not translated"),
+        ("arraySimilarity", "the weighted-Levenshtein similarity "
+         "normalization is not translated"),
+        ("arrayNormalizedGini", "the Gini normalization constant is "
+         "not pinned offline — arrayAUC maps exactly"),
+        ("untuple", "untuple splats into the SELECT list, which an "
+         "expression rewrite cannot host — select struct.* instead"),
+        ("toColumnTypeName", "Const/LowCardinality column wrappers "
+         "are CH engine internals — toTypeName maps to typeof()"),
+        ("lowCardinalityKeys", "dictionary-block introspection has "
+         "no Spark analog (LowCardinality is an encoding detail)"),
+        ("lowCardinalityIndices", "dictionary-block introspection "
+         "has no Spark analog"),
+        ("dictGetHierarchy", "hierarchical dictionary walks are "
+         "iterative self-joins — see functions/dictionary.py"),
+        ("dictGetChildren", "hierarchical dictionary walks are "
+         "iterative self-joins — see functions/dictionary.py"),
+        ("dictGetDescendants", "hierarchical dictionary walks are "
+         "iterative self-joins — see functions/dictionary.py"),
+        ("dictIsIn", "hierarchical dictionary membership is an "
+         "iterative self-join — see functions/dictionary.py"),
+        ("regionToCity", "the embedded geobase is not shipped — "
+         "model regions as a dimension table + dictGet"),
+        ("regionToArea", "the embedded geobase is not shipped"),
+        ("regionToDistrict", "the embedded geobase is not shipped"),
+        ("regionToCountry", "the embedded geobase is not shipped"),
+        ("regionToContinent", "the embedded geobase is not shipped"),
+        ("regionToTopContinent", "the embedded geobase is not "
+         "shipped"),
+        ("regionToPopulation", "the embedded geobase is not shipped"),
+        ("regionIn", "the embedded geobase is not shipped"),
+        ("regionHierarchy", "the embedded geobase is not shipped"),
+    ):
+        m[_g6] = (lambda name, why: lambda a: (_ for _ in ()).throw(
+            ValueError(f"{name}: {why}")))(_g6, _g6why)
+
     # ---- r10 sweep batch 5: array set ops + server introspection --
     m["arrayUnion"] = lambda a: (lambda x, y: (
         f"array_union({x}, {y})"  # distinct union; CH leaves the
@@ -3591,7 +3885,8 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["arrayPartialReverseSort"] = lambda a: _partial_sort(
         a, "arrayPartialReverseSort", True)
 
-    for _nd in ("arrayShuffle", "arrayRandomSample"):
+    for _nd in ("arrayShuffle", "arrayRandomSample",
+                "arrayPartialShuffle"):
         m[_nd] = (lambda name: lambda a: _raise_gate(
             f"{name} is randomized (nondeterministic across runs and "
             "engines) and cannot be hash-verified; sample "
@@ -5600,6 +5895,14 @@ def _ipv6_udf_sql(fn: str, x: str) -> str:
     return f"{fn}({x})"
 
 
+def _ipv6_udf_sqln(fn: str, *xs: str) -> str:
+    global _IPV6_WANTED
+    _IPV6_WANTED = True
+    for _s in _live_sessions():
+        register_sequence_udfs(_s)
+    return f"{fn}({', '.join(xs)})"
+
+
 def _make_ipv6_udfs():
     """ch_ipv6_num_to_string / ch_ipv6_string_to_num(_or_null) — the
     stdlib ipaddress module does the exact RFC 5952 compression and
@@ -5643,7 +5946,68 @@ def _make_ipv6_udfs():
                 out.append(None)
         return pd.Series(out, dtype="object")
 
-    return n2s, s2n, s2n_null
+    def _cidr(raw, n, hi: bool):
+        # IPv6CIDRToRange byte math: keep the top n bits for the low
+        # bound, fill the host bits for the high bound
+        if raw is None or n is None:
+            return None
+        a = int.from_bytes(bytes(raw), "big")
+        host = 128 - int(n)
+        lo = ((a >> host) << host) if host < 128 else 0
+        if hi:
+            lo |= (1 << host) - 1
+        return lo.to_bytes(16, "big")
+
+    @pandas_udf("binary")
+    def cidr_lo(xs, ns):
+        return pd.Series(
+            [_cidr(v, n, False) for v, n in zip(xs, ns)],
+            dtype="object",
+        )
+
+    @pandas_udf("binary")
+    def cidr_hi(xs, ns):
+        return pd.Series(
+            [_cidr(v, n, True) for v, n in zip(xs, ns)],
+            dtype="object",
+        )
+
+    def _cut(raw, b6, b4):
+        # cutIPv6: zero the low b6 bytes (b4 for IPv4-mapped
+        # addresses), then render via the same CH-dotted rule
+        if raw is None or b6 is None or b4 is None:
+            return None
+        b = bytes(raw)
+        mapped = ipaddress.IPv6Address(b).ipv4_mapped is not None
+        keep = max(0, 16 - int(b4 if mapped else b6))
+        return _render(b[:keep] + b"\x00" * (16 - keep))
+
+    @pandas_udf("string")
+    def cut6(xs, b6s, b4s):
+        return pd.Series(
+            [_cut(v, a, b) for v, a, b in zip(xs, b6s, b4s)],
+            dtype="object",
+        )
+
+    def _in_range(a, c):
+        # isIPAddressInRange: prefix membership; mixed v4/v6
+        # families → 0; invalid input raises (CH throws too)
+        if a is None or c is None:
+            return None
+        net = ipaddress.ip_network(c, strict=False)
+        ip = ipaddress.ip_address(a)
+        if ip.version != net.version:
+            return 0
+        return int(ip in net)
+
+    @pandas_udf("integer")
+    def inrange(acol, ccol):
+        return pd.Series(
+            [_in_range(x, y) for x, y in zip(acol, ccol)],
+            dtype="object",
+        )
+
+    return n2s, s2n, s2n_null, cidr_lo, cidr_hi, cut6, inrange
 
 
 _JSONRAW_WANTED = False
@@ -6191,10 +6555,16 @@ def register_sequence_udfs(spark) -> None:
         spark.udf.register("ch_json_kv_raw", jkv)
         spark.udf.register("ch_json_raw_at", jraw)
     if _IPV6_WANTED:
-        n2s, s2n, s2n_null = _make_ipv6_udfs()
+        n2s, s2n, s2n_null, cidr_lo, cidr_hi, cut6, inrange = (
+            _make_ipv6_udfs()
+        )
         spark.udf.register("ch_ipv6_num_to_string", n2s)
         spark.udf.register("ch_ipv6_string_to_num", s2n)
         spark.udf.register("ch_ipv6_string_to_num_or_null", s2n_null)
+        spark.udf.register("ch_ipv6_cidr_lo", cidr_lo)
+        spark.udf.register("ch_ipv6_cidr_hi", cidr_hi)
+        spark.udf.register("ch_ipv6_cut", cut6)
+        spark.udf.register("ch_ip_in_range", inrange)
     if _PUNYCODE_WANTED:
         enc, dec, tdec = _make_punycode_udfs()
         spark.udf.register("ch_punycode_encode", enc)
@@ -6848,6 +7218,11 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
     ),
     "quantileTDigestWeighted": lambda p, a: _raise_gate(
         "quantileTDigestWeighted: no weighted sketch in Spark — "
+        "quantileExactWeighted(p)(x, w) maps exactly via MetricSpec, "
+        "or approx_percentile on the unweighted column"
+    ),
+    "quantileBFloat16Weighted": lambda p, a: _raise_gate(
+        "quantileBFloat16Weighted: no weighted sketch in Spark — "
         "quantileExactWeighted(p)(x, w) maps exactly via MetricSpec, "
         "or approx_percentile on the unweighted column"
     ),

@@ -2485,3 +2485,114 @@ def test_json_extract_raw_exact_slices(spark):
     assert r["missing"] == "" and r["bad"] == ""
     assert r["el2"] == '"t"' and r["elm1"] == "null"
     assert r["sj"] == '{"k":2}'
+
+
+def test_r10_sweep_batch6(spark):
+    """r10 candidate sweep, batch 6: subsequence/token search (byte
+    vs codepoint lanes, ASCII-only CI for the non-UTF8 forms),
+    range() with CH's exclusive end and empty-progression rule, IPv6
+    CIDR algebra over the ipaddress-module UDFs, null classifiers,
+    and interval-typed datetime arithmetic. Gates are asserted in
+    test_dialect_surface_audit; this pins the values."""
+    import ipaddress
+
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    r = spark.sql(translate(
+        "SELECT hasSubsequence('garbage', 'arg') AS ss, "
+        "hasSubsequence('garbage', 'arbw') AS ss_no, "
+        "hasSubsequenceUTF8('désormais', 'éoa') AS ssu, "
+        "hasSubsequenceCaseInsensitive('GaRbAgE', 'ARG') AS ssci, "
+        "hasSubsequenceCaseInsensitiveUTF8('ÉCOLE', 'él') AS ssciu, "
+        "hasSubsequence('', '') AS ss_ee, "
+        "hasSubsequence('', 'x') AS ss_ex, "
+        "hasTokenOrNull('a bc d', 'bc') AS tk, "
+        "hasTokenOrNull('a bc d', 'b c') AS tk_bad, "
+        "hasTokenOrNull('a bc d', '') AS tk_empty, "
+        "hasTokenCaseInsensitiveOrNull('a BC d', 'bc') AS tk_ci"
+    )).collect()[0]
+    assert (r["ss"], r["ss_no"], r["ssu"]) == (True, False, True)
+    assert (r["ssci"], r["ssciu"]) == (True, True)
+    assert (r["ss_ee"], r["ss_ex"]) == (True, False)
+    assert r["tk"] is True and r["tk_ci"] is True
+    assert r["tk_bad"] is None and r["tk_empty"] is None
+
+    # range(): CH end is EXCLUSIVE; empty progressions (end <= start
+    # for positive step) are [], never Spark sequence's auto-reverse
+    r = spark.sql(translate(
+        "SELECT range(5) AS r1, range(2, 5) AS r2, "
+        "range(1, 10, 3) AS r3, range(5, 2) AS r_empty, "
+        "range(10, 1, -3) AS r_neg, range(0) AS r_zero"
+    )).collect()[0]
+    assert r["r1"] == [0, 1, 2, 3, 4] and r["r2"] == [2, 3, 4]
+    assert r["r3"] == [1, 4, 7] and r["r_neg"] == [10, 7, 4]
+    assert r["r_empty"] == [] and r["r_zero"] == []
+
+    r = spark.sql(translate(
+        "SELECT countMatchesCaseInsensitive('aAbA', 'a') AS cm, "
+        "firstLine('one\\ntwo\\nthree') AS fl, "
+        "substringIndexUTF8('a.b.c', '.', 2) AS si, "
+        "isNull(NULL) AS n1, isZeroOrNull(0) AS z1, "
+        "isZeroOrNull(NULL) AS z2, isZeroOrNull(3) AS z3, "
+        "isNotDistinctFrom(NULL, NULL) AS nd, "
+        "MACStringToOUI('12:34:56:78:9A:BC') AS oui, "
+        "hex(IPv4ToIPv6(3232235521)) AS v4v6"
+    )).collect()[0]
+    assert r["cm"] == 3 and r["fl"] == "one" and r["si"] == "a.b"
+    assert r["n1"] is True and r["nd"] is True
+    assert (r["z1"], r["z2"], r["z3"]) == (True, True, False)
+    assert r["oui"] == 0x123456
+    assert r["v4v6"] == "00000000000000000000FFFFC0A80001"
+
+    # IPv6 CIDR algebra: lo/hi bounds, cut-and-render, membership
+    r = spark.sql(translate(
+        "SELECT IPv6CIDRToRange(IPv6StringToNum('2001:db8::1'), 32) "
+        "AS rng, "
+        "cutIPv6(IPv6StringToNum("
+        "'2001:db8:ac10:fe01:feed:babe:cafe:f00d'), 2, 0) AS cut6, "
+        "cutIPv6(IPv6StringToNum('::ffff:192.168.1.2'), 0, 2) "
+        "AS cut4, "
+        "isIPAddressInRange('127.0.0.1', '127.0.0.0/8') AS ir1, "
+        "isIPAddressInRange('10.0.0.1', '127.0.0.0/8') AS ir0, "
+        "isIPAddressInRange('::ffff:1.2.3.4', '::ffff:1.2.3.0/120') "
+        "AS ir6, "
+        "isIPAddressInRange('1.2.3.4', '::/0') AS ir_mixed"
+    )).collect()[0]
+    lo = ipaddress.IPv6Address(bytes(r["rng"]["col1"]))
+    hi = ipaddress.IPv6Address(bytes(r["rng"]["col2"]))
+    assert str(lo) == "2001:db8::"
+    assert str(hi) == "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff"
+    assert r["cut6"] == "2001:db8:ac10:fe01:feed:babe:cafe:0"
+    assert r["cut4"] == "::ffff:192.168.0.0"
+    assert (r["ir1"], r["ir0"], r["ir6"], r["ir_mixed"]) == (1, 0, 1, 0)
+
+    # datetime arithmetic + misc
+    r = spark.sql(translate(
+        "SELECT addDate(DATE '2024-01-01', INTERVAL 1 DAY) AS ad, "
+        "subDate(DATE '2024-01-01', INTERVAL 1 MONTH) AS sd, "
+        "timestampAdd(TIMESTAMP '2024-01-01 00:00:00', "
+        "INTERVAL 2 HOUR) AS ta, "
+        "timestamp('2024-01-01') AS t1, "
+        "timestamp('2024-01-01', '01:02:03.25') AS t2, "
+        "fromUnixTimestampInJodaSyntax(86400, 'yyyy-MM-dd') AS joda, "
+        "toLowCardinality('v') AS lc, "
+        "mapPartialSort(2, map('b', 2, 'a', 1)) AS mps, "
+        "medianTiming(x) AS mt, anyLastOrNull(x) AS alon "
+        "FROM (SELECT 5 AS x)"
+    )).collect()[0]
+    assert str(r["ad"]) == "2024-01-02"
+    assert str(r["sd"]) == "2023-12-01"
+    assert str(r["ta"]) == "2024-01-01 02:00:00"
+    assert str(r["t1"]) == "2024-01-01 00:00:00"
+    assert str(r["t2"]) == "2024-01-01 01:02:03.250000"
+    assert r["joda"] == "1970-01-02"
+    assert r["lc"] == "v" and list(r["mps"].keys()) == ["a", "b"]
+    assert r["mt"] == 5 and r["alon"] == 5
+
+    # generateSnowflakeID: 41-bit ms timestamp in the high bits —
+    # monotone lower bound is the epoch-0 layout's signature
+    sf = spark.sql(translate(
+        "SELECT generateSnowflakeID() AS id"
+    )).collect()[0]["id"]
+    assert (sf >> 22) > 1_500_000_000_000  # ms since 1970 > 2017
+

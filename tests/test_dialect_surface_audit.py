@@ -270,6 +270,44 @@ _MUST_HANDLE = [
     "displayName()", "showCertificate()", "tcpPort()",
     "filesystemAvailable()", "filesystemCapacity()",
     "filesystemUnreserved()", "estimateCompressionRatio('lz4')(x)",
+    # r10 sweep 6: subsequence/token search, range(), IPv6 CIDR
+    # algebra, null classifiers, datetime arithmetic
+    "hasSubsequence('ab', 'a')", "hasSubsequenceUTF8('ab', 'a')",
+    "hasSubsequenceCaseInsensitive('ab', 'A')",
+    "hasSubsequenceCaseInsensitiveUTF8('ab', 'A')",
+    "hasTokenOrNull('a b', 'a')",
+    "hasTokenCaseInsensitiveOrNull('a b', 'A')",
+    "countMatchesCaseInsensitive('aA', 'a')",
+    "substringIndexUTF8('a.b', '.', 1)", "firstLine('a')",
+    "range(5)", "range(1, 5)", "range(1, 10, 2)",
+    "isNull(x)", "isZeroOrNull(x)", "isNotDistinctFrom(a, b)",
+    "anyLastOrNull(x)", "medianTiming(x)", "medianTDigest(x)",
+    "medianBFloat16(x)", "medianDD(x)", "medianTimingWeighted(x, w)",
+    "medianTDigestWeighted(x, w)", "medianBFloat16Weighted(x, w)",
+    "quantileBFloat16Weighted(0.5)(x, w)",
+    "IPv6CIDRToRange(ip, 32)", "cutIPv6(ip, 2, 0)",
+    "isIPAddressInRange('1.2.3.4', '1.2.3.0/24')",
+    "MACStringToOUI('12:34:56:78:9A:BC')", "IPv4ToIPv6(1)",
+    "addDate(d, INTERVAL 1 DAY)", "subDate(d, INTERVAL 1 DAY)",
+    "timestampAdd(d, INTERVAL 1 DAY)",
+    "timestampSub(d, INTERVAL 1 DAY)",
+    "timestamp('2024-01-01')", "timezone()",
+    "fromUnixTimestampInJodaSyntax(x, 'yyyy')",
+    "generateSnowflakeID()", "toLowCardinality(x)",
+    "mapPartialSort(2, mp)", "mapPartialReverseSort(2, mp)",
+    "arrayPartialShuffle(a, 2)",
+    "formatRow('CSV', a)", "formatRowNoNewline('CSV', a)",
+    "sqidEncode(1)", "sqidDecode('x')", "geohashesInBox(1,2,3,4,5)",
+    "arrayPRAUC(s, l)", "arrayLevenshteinDistance(a, b)",
+    "arrayLevenshteinDistanceWeighted(a, b, wa, wb)",
+    "arraySimilarity(a, b, wa, wb)", "arrayNormalizedGini(a, b)",
+    "untuple(t)", "toColumnTypeName(x)", "lowCardinalityKeys(x)",
+    "lowCardinalityIndices(x)", "dictGetHierarchy(d, k)",
+    "dictGetChildren(d, k)", "dictGetDescendants(d, k)",
+    "dictIsIn(d, c, p)", "regionToCity(x)", "regionToArea(x)",
+    "regionToDistrict(x)", "regionToCountry(x)",
+    "regionToContinent(x)", "regionToTopContinent(x)",
+    "regionToPopulation(x)", "regionIn(a, b)", "regionHierarchy(x)",
 ]
 
 
@@ -281,7 +319,11 @@ def test_no_silent_passthrough(expr):
         out = translate(f"SELECT {expr}")
     except ValueError:
         return  # gated with an actionable message — correct handling
-    assert f"{name}(" not in out, (
+    import re
+
+    # word-boundary match: a translation to a LONGER builtin that
+    # merely embeds the name (timezone → current_timezone) is fine
+    assert not re.search(rf"\b{re.escape(name)}\s*\(", out), (
         f"{name} passed through UNTRANSLATED — Spark will either fail "
         f"UNRESOLVED_ROUTINE at runtime or (worse) case-insensitively "
         f"resolve it to a different algorithm: {out}"
