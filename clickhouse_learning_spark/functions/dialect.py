@@ -1118,14 +1118,17 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     )(*_two(a, "hasSubsequenceCaseInsensitiveUTF8"))
 
     # hasTokenOrNull: NULL when the needle is not a well-formed token
-    # (empty, or contains a separator byte); else = hasToken
+    # (empty, or contains a separator byte — non-alnum ASCII; non-
+    # ASCII bytes are token chars in CH); else = hasToken
     def _has_token_or_null(name: str, base: str):
         def impl(a):
             s_, t = _two(a, name)
             body = m[base]([s_, t])
             return (
                 f"(CASE WHEN ({t}) IS NULL OR ({t}) = '' OR "
-                f"({t}) RLIKE '[^A-Za-z0-9]' THEN NULL "
+                f"({t}) RLIKE "
+                f"'[\\\\x00-\\\\x2F\\\\x3A-\\\\x40\\\\x5B-\\\\x60"
+                f"\\\\x7B-\\\\x7F]' THEN NULL "
                 f"ELSE {body} END)"
             )
         return impl
@@ -2282,19 +2285,26 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             "t -> t != '')"
         )
     )(_one(a, "splitByNonAlpha"))
-    # hasToken: the needle appears as a WHOLE token (delimited by
-    # non-alphanumerics) — tokenizer membership avoids regex-escaping
-    # the needle
+    # hasToken: the needle appears as a WHOLE token. CH's separators
+    # are the non-alphanumeric ASCII bytes ONLY (isAlphaNumericASCII)
+    # — non-ASCII bytes stay INSIDE tokens ('naïve' is one token), so
+    # the class is the explicit ASCII ranges, not [^A-Za-z0-9]. The
+    # CI variant lowercases ASCII only, like every non-UTF8 CI form.
+    _TOKEN_SEP = "[\\\\x00-\\\\x2F\\\\x3A-\\\\x40\\\\x5B-\\\\x60\\\\x7B-\\\\x7F]"
     m["hasToken"] = lambda a: (
         lambda s_, t: (
-            f"array_contains(filter(split({s_}, '[^A-Za-z0-9]+'), "
+            f"array_contains(filter(split({s_}, '{_TOKEN_SEP}+'), "
             f"x -> x != ''), {t})"
         )
     )(*_two(a, "hasToken"))
     m["hasTokenCaseInsensitive"] = lambda a: (
         lambda s_, t: (
-            f"array_contains(filter(split(lower({s_}), "
-            f"'[^a-z0-9]+'), x -> x != ''), lower({t}))"
+            f"array_contains(filter(split(translate({s_}, "
+            f"'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+            f"'abcdefghijklmnopqrstuvwxyz'), '{_TOKEN_SEP}+'), "
+            f"x -> x != ''), translate({t}, "
+            f"'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+            f"'abcdefghijklmnopqrstuvwxyz'))"
         )
     )(*_two(a, "hasTokenCaseInsensitive"))
     def _replace_regexp_one(a):

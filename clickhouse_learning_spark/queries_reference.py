@@ -3344,3 +3344,116 @@ def ch_json_lite_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("has_zz").cast("long").alias("has_zz"),
         F.col("arr_len").cast("long").alias("arr_len"),
     )
+
+
+@query(
+    "ch_subseq_net_dialect",
+    r"""
+    SELECT doc_id,
+           CAST(regexp_matches(text, 'q.*u.*i.*c.*k') AS BIGINT)
+               AS ss_q,
+           CAST(regexp_matches(text, '(?i)T.*H.*E') AS BIGINT)
+               AS ss_ci,
+           CAST(regexp_matches(text, 'd.*a.*t.*a') AS BIGINT)
+               AS ss_u,
+           CAST(list_contains(regexp_split_to_array(text,
+                '[\x00-\x2F\x3A-\x40\x5B-\x60\x7B-\x7F]+'), 'the')
+                AS BIGINT) AS tok_the,
+           CAST((doc_id % 6) * ((doc_id % 6) - 1) // 2 AS BIGINT)
+               AS rng_sum,
+           CAST(((doc_id % 5) // 2 + 1) * ((doc_id % 5) // 2 + 1)
+                AS BIGINT) AS rng_step,
+           CAST(len(regexp_extract_all(text, '(?i)e')) AS BIGINT)
+               AS cm_e,
+           lang AS fl,
+           lang || '.' || source AS siu,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS zn,
+           '00000000000000000000FFFF'
+               || upper(lpad(to_hex(doc_id + 167772160), 8, '0'))
+               AS v6hex,
+           CAST(CASE WHEN doc_id % 256 >= 128 THEN 1 ELSE 0 END
+                AS BIGINT) AS in_range,
+           CAST(662272 + (doc_id % 200 + 16) AS BIGINT) AS oui,
+           DATE '2024-01-01' + CAST(doc_id % 30 AS INTEGER) AS d_add,
+           CAST('2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                2, '0') || ' 06:30:00' AS TIMESTAMP) AS t2
+    FROM documents
+    """,
+)
+def ch_subseq_net_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 sweep batch 6 as a graded query: the hasSubsequence
+    family (byte + codepoint + ASCII-CI lanes), hasTokenOrNull with
+    CH's ASCII-only separator bytes (non-ASCII stays inside tokens),
+    range() with the exclusive end, countMatchesCaseInsensitive,
+    firstLine, substringIndexUTF8, isZeroOrNull, the IPv4→IPv6
+    byte-math pair, isIPAddressInRange prefix membership,
+    MACStringToOUI, and interval-typed addDate/timestamp(). The
+    DuckDB oracle re-derives everything from first principles
+    (subsequence ⇔ '.*'-interleaved regex for ASCII needles, the
+    token split re-run by DuckDB's own RE2 engine, range sums in
+    closed form, hex via to_hex). Map-only projection over the
+    documents scan — no shuffle, no UDF except the ipaddress-module
+    range check."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import (
+        register_sequence_udfs,
+        translate,
+    )
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).createOrReplaceTempView("ch_subseq_docs")
+    ch = """
+        SELECT doc_id,
+               toInt64(hasSubsequence(text, 'quick')) AS ss_q,
+               toInt64(hasSubsequenceCaseInsensitive(text, 'THE'))
+                   AS ss_ci,
+               toInt64(hasSubsequenceUTF8(text, 'data')) AS ss_u,
+               toInt64(hasTokenOrNull(text, 'the')) AS tok_the,
+               arraySum(x -> x, range(modulo(doc_id, 6))) AS rng_sum,
+               arraySum(x -> x, range(1, modulo(doc_id, 5) + 2, 2))
+                   AS rng_step,
+               toInt64(countMatchesCaseInsensitive(text, 'e'))
+                   AS cm_e,
+               firstLine(concat(lang, '\\n', source)) AS fl,
+               substringIndexUTF8(concat(lang, '.', source, '.',
+                   toString(modulo(doc_id, 4))), '.', 2) AS siu,
+               toInt64(isZeroOrNull(modulo(doc_id, 4))) AS zn,
+               hex(IPv4ToIPv6(toUInt32(doc_id + 167772160)))
+                   AS v6hex,
+               toInt64(isIPAddressInRange(concat('10.',
+                   toString(modulo(doc_id, 256)), '.0.1'),
+                   '10.128.0.0/9')) AS in_range,
+               MACStringToOUI(concat('0A:1B:',
+                   leftPad(hex(modulo(doc_id, 200) + 16), 2, '0'),
+                   ':00:00:01')) AS oui,
+               addDate(toDate('2024-01-01'),
+                   toIntervalDay(modulo(doc_id, 30))) AS d_add,
+               timestamp(concat('2024-01-',
+                   leftPad(toString(modulo(doc_id, 28) + 1), 2,
+                           '0')), '06:30:00') AS t2
+        FROM ch_subseq_docs
+    """
+    sql = translate(ch)
+    register_sequence_udfs(spark)
+    return spark.sql(sql).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("ss_q").cast("long").alias("ss_q"),
+        F.col("ss_ci").cast("long").alias("ss_ci"),
+        F.col("ss_u").cast("long").alias("ss_u"),
+        F.col("tok_the").cast("long").alias("tok_the"),
+        F.col("rng_sum").cast("long").alias("rng_sum"),
+        F.col("rng_step").cast("long").alias("rng_step"),
+        F.col("cm_e").cast("long").alias("cm_e"),
+        "fl",
+        "siu",
+        F.col("zn").cast("long").alias("zn"),
+        "v6hex",
+        F.col("in_range").cast("long").alias("in_range"),
+        F.col("oui").cast("long").alias("oui"),
+        F.col("d_add").cast("date").alias("d_add"),
+        F.col("t2").cast("timestamp").alias("t2"),
+    )

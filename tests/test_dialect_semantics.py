@@ -2517,6 +2517,21 @@ def test_r10_sweep_batch6(spark):
     assert r["tk"] is True and r["tk_ci"] is True
     assert r["tk_bad"] is None and r["tk_empty"] is None
 
+    # CH tokenizes on non-alnum ASCII bytes ONLY: non-ASCII stays
+    # inside tokens ('xéthe' is ONE token), CI lowering is
+    # ASCII-only (É does not fold to é), and a non-ASCII needle is
+    # WELL-FORMED for the OrNull form (boolean, not NULL)
+    r = spark.sql(translate(
+        "SELECT hasToken('a naïve the b', 'naïve') AS t1, "
+        "hasToken('a xéthe b', 'the') AS t2, "
+        "hasTokenCaseInsensitive('a ÉTHE b', 'éthe') AS t3, "
+        "hasTokenCaseInsensitive('a THE b', 'the') AS t4, "
+        "hasTokenOrNull('x', 'naïve') AS t5"
+    )).collect()[0]
+    assert r["t1"] is True and r["t2"] is False
+    assert r["t3"] is False and r["t4"] is True
+    assert r["t5"] is False
+
     # range(): CH end is EXCLUSIVE; empty progressions (end <= start
     # for positive step) are [], never Spark sequence's auto-reverse
     r = spark.sql(translate(
