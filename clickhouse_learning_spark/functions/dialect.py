@@ -1370,6 +1370,195 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         m[_g6] = (lambda name, why: lambda a: (_ for _ in ()).throw(
             ValueError(f"{name}: {why}")))(_g6, _g6why)
 
+    # ---- r10 sweep batch 7: array split corners, OrDefault
+    # conversions, typed JSONExtract, AES-ECB, misc -----------------
+    def _array_split(name: str, rev: bool):
+        # arraySplit cuts BEFORE matching elements (never before the
+        # first); arrayReverseSplit cuts AFTER (never after the
+        # last). Built as cut-position discovery + slice windows —
+        # type-safe for any element type (no empty-array literals of
+        # unknown type). The lambda is applied to one element via
+        # exists(array(e), lam).
+        def impl(a):
+            lam, arr = _two(a, name)
+            if "," in lam.split("->")[0]:
+                raise ValueError(
+                    f"{name} with a multi-argument lambda is not "
+                    "translated — zip the arrays first"
+                )
+            ap = f"exists(array(ch_sp_x), {lam})"
+            if rev:
+                cuts = (
+                    f"filter(transform({arr}, (ch_sp_x, ch_sp_i) -> "
+                    f"IF({ap} AND ch_sp_i < size({arr}) - 1, "
+                    f"ch_sp_i + 1, -1)), ch_sp_p -> ch_sp_p >= 0)"
+                )
+            else:
+                cuts = (
+                    f"filter(transform({arr}, (ch_sp_x, ch_sp_i) -> "
+                    f"IF({ap} AND ch_sp_i > 0, ch_sp_i, -1)), "
+                    f"ch_sp_p -> ch_sp_p >= 0)"
+                )
+            pos = f"concat(array(0), {cuts})"
+            # empty input → [[]], the left-fold model's seed group
+            return (
+                f"transform(sequence(1, size({pos})), ch_sp_k -> "
+                f"slice({arr}, element_at({pos}, ch_sp_k) + 1, "
+                f"IF(ch_sp_k = size({pos}), size({arr}), "
+                f"element_at({pos}, ch_sp_k + 1)) - "
+                f"element_at({pos}, ch_sp_k)))"
+            )
+        return impl
+
+    m["arraySplit"] = _array_split("arraySplit", False)
+    m["arrayReverseSplit"] = _array_split("arrayReverseSplit", True)
+    # the OrNull forms ARE Spark's try_element_at-over-filter shape
+    m["arrayFirstOrNull"] = lambda a: (
+        f"try_element_at({_hof('filter', 'arrayFirstOrNull')(a)}, 1)"
+    )
+    m["arrayLastOrNull"] = lambda a: (
+        f"try_element_at({_hof('filter', 'arrayLastOrNull')(a)}, -1)"
+    )
+    # the sortedness hint has no Spark analog; semantics = indexOf
+    m["indexOfAssumeSorted"] = lambda a: (
+        f"array_position({', '.join(_two(a, 'indexOfAssumeSorted'))})"
+    )
+    m["arrayReduceInRanges"] = lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "arrayReduceInRanges is not translated — compose "
+            "arrayReduce over arraySlice per (offset, length) pair"
+        ))
+
+    # 128/256-bit integer widths have no Spark type
+    for _w128 in ("toInt128", "toInt256", "toUInt128", "toUInt256"):
+        for _wsuf in ("", "OrNull", "OrZero", "OrDefault"):
+            m[_w128 + _wsuf] = (lambda name: lambda a: (
+                _ for _ in ()).throw(ValueError(
+                    f"{name}: no 128/256-bit integer type in Spark — "
+                    "DECIMAL(38,0) covers |x| < 1e38; cast explicitly "
+                    "if the range fits"
+                )))(_w128 + _wsuf)
+
+    # toXOrDefault(x[, default]) = coalesce(toXOrNull(x), default);
+    # the 1-arg form falls back to the OrZero mapping
+    def _or_default(base: str):
+        def impl(a):
+            if len(a) == 1:
+                return m[base + "OrZero"]([a[0]])
+            if len(a) != 2:
+                raise ValueError(f"{base}OrDefault(x[, default])")
+            return f"coalesce({m[base + 'OrNull']([a[0]])}, {a[1]})"
+        return impl
+
+    for _od in ("toInt8", "toInt16", "toInt32", "toInt64", "toUInt8",
+                "toUInt16", "toUInt32", "toUInt64", "toFloat32",
+                "toFloat64", "toDate", "toDate32", "toDateTime"):
+        m[_od + "OrDefault"] = _or_default(_od)
+
+    # generic JSONExtract(json, key, 'Type'): delegate the scalar
+    # types to the typed extractors; width-narrowing and composite
+    # types gate (CH's saturation/structural rules aren't worth a
+    # silent approximation)
+    def _json_extract_generic(a):
+        if len(a) != 3:
+            raise ValueError(
+                "JSONExtract(json, key, 'Type') — multi-key paths "
+                "and the 2-arg dynamic form are not translated"
+            )
+        ty = a[-1].strip()
+        if not (ty.startswith("'") and ty.endswith("'")):
+            raise ValueError(
+                "JSONExtract: the type argument must be a string "
+                "literal"
+            )
+        base = {
+            "Int64": "JSONExtractInt",
+            "UInt64": "JSONExtractUInt",
+            "Float64": "JSONExtractFloat",
+            "String": "JSONExtractString",
+            "Bool": "JSONExtractBool",
+        }.get(ty[1:-1])
+        if base is None:
+            raise ValueError(
+                f"JSONExtract type {ty} is not translated — use the "
+                "typed JSONExtract* forms for scalars or "
+                "JSONExtractArrayRaw/KeysAndValuesRaw + casts for "
+                "composites"
+            )
+        return m[base](a[:-1])
+
+    m["JSONExtract"] = _json_extract_generic
+    for _jp in ("JSONAllPaths", "JSONAllPathsWithTypes",
+                "JSONDynamicPaths", "JSONSharedDataPaths"):
+        m[_jp] = (lambda name: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{name} introspects CH's dynamic JSON column type, "
+                "which has no Spark analog — extract keys with "
+                "JSONExtractKeys"
+            )))(_jp)
+
+    # AES: only the deterministic ECB lane is byte-exact — Spark's
+    # CBC/GCM prepend a (random) IV to the ciphertext while CH
+    # returns the raw ciphertext (+tag for GCM), so those modes gate
+    def _aes(name: str, fn: str, out_str: bool):
+        def impl(a):
+            if len(a) != 3:
+                raise ValueError(f"{name}(mode, input, key)")
+            mm = re.fullmatch(r"'aes-(128|192|256)-(\w+)'",
+                              a[0].strip())
+            if not mm or mm.group(2) != "ecb":
+                raise ValueError(
+                    f"{name}: only literal 'aes-NNN-ecb' modes are "
+                    "translated (PKCS7 both engines); CH's CBC/GCM/"
+                    "CTR ciphertext layout differs from Spark's "
+                    "prepended-IV convention"
+                )
+            # key length is validated against the mode by CH but
+            # inferred from the actual key bytes by Spark
+            body = f"{fn}({a[1]}, {a[2]}, 'ECB', 'PKCS')"
+            return f"CAST({body} AS STRING)" if out_str else body
+        return impl
+
+    m["encrypt"] = _aes("encrypt", "aes_encrypt", False)
+    m["decrypt"] = _aes("decrypt", "aes_decrypt", True)
+    m["tryDecrypt"] = _aes("tryDecrypt", "try_aes_decrypt", True)
+    for _am in ("aes_encrypt_mysql", "aes_decrypt_mysql"):
+        m[_am] = (lambda name: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{name}: MySQL's key-folding rule for over-long "
+                "keys is not replicated — use encrypt/decrypt with "
+                "an exact-length key"
+            )))(_am)
+
+    m["appendTrailingCharIfAbsent"] = lambda a: (
+        lambda s_, c: (
+            f"(CASE WHEN ({s_}) != '' AND NOT endswith({s_}, {c}) "
+            f"THEN concat({s_}, {c}) ELSE ({s_}) END)"
+        )
+    )(*_two(a, "appendTrailingCharIfAbsent"))
+    # Spark strings were validated at the binary->string boundary
+    # (same reasoning as toValidUTF8 = identity): always valid
+    m["isValidUTF8"] = lambda a: (
+        lambda s_: f"(CASE WHEN ({s_}) IS NULL THEN NULL ELSE 1 END)"
+    )(_one(a, "isValidUTF8"))
+
+    for _g7, _g7why in (
+        ("bech32Encode", "the BIP-173 charset/checksum is not "
+         "implemented offline; hex/base58/base64 encoders are "
+         "mapped"),
+        ("bech32Decode", "the BIP-173 charset/checksum is not "
+         "implemented offline"),
+        ("stringToH3", "the H3 index math needs Uber's H3 tables"),
+        ("h3ToString", "the H3 index math needs Uber's H3 tables"),
+        ("avgMap", "compose sumMap(k, v) and countMap via "
+         "sumMap(k, arrayWithConstant(length(k), 1)), then divide "
+         "elementwise"),
+        ("countMap", "countMap(k) = sumMap(k, "
+         "arrayWithConstant(length(k), 1))"),
+    ):
+        m[_g7] = (lambda name, why: lambda a: (_ for _ in ()).throw(
+            ValueError(f"{name}: {why}")))(_g7, _g7why)
+
     # ---- r10 sweep batch 5: array set ops + server introspection --
     m["arrayUnion"] = lambda a: (lambda x, y: (
         f"array_union({x}, {y})"  # distinct union; CH leaves the
@@ -1383,9 +1572,17 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             "write greatest(0, (v - lag(v) OVER w) / (t - lag(t) "
             "OVER w)) explicitly"
         ))
+    # hostName(): CH returns the name of the server executing the
+    # function — the per-executor JVM hostname IS that semantics
+    # (reflect() evaluates row-side on the executor; the reference's
+    # own MV docs use it inside uniqCombined as a shard
+    # discriminator, so this must translate, not gate).
+    # InetAddress.toString() is "name/addr" — keep the name part.
+    m["hostName"] = lambda a: (
+        "element_at(split(reflect('java.net.InetAddress', "
+        "'getLocalHost'), '/'), 1)"
+    )
     for _si, _siwhy in (
-        ("hostName", "executor hostnames are not SQL-addressable; "
-         "partition-local identity is spark_partition_id()"),
         ("FQDN", "executor hostnames are not SQL-addressable"),
         ("shardNum", "no shard concept in a Spark job — "
          "spark_partition_id() for partition-local logic"),
@@ -7113,6 +7310,11 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         "Spark analog; quantileExactWeighted(p)(x, w) maps exactly, "
         "or approx_percentile on the unweighted column"
     ),
+    "quantilesTimingWeighted": lambda p, a: _raise_gate(
+        "quantilesTimingWeighted: the weighted Timing histogram has "
+        "no Spark analog; quantileExactWeighted(p)(x, w) per level "
+        "maps exactly via MetricSpec"
+    ),
     # groupConcat(sep[, limit])(x) — parameterized form; insertion
     # order is non-deterministic in BOTH engines (same contract as
     # groupArray). limit gates: collect-then-slice changes which
@@ -7814,7 +8016,11 @@ def _rewrite_table_refs(sql: str) -> str:
     def seg(s: str) -> str:
         s = _SYSTEM_ONE_RE.sub("(SELECT 1 AS __ch_one) __ch_one_t", s)
         s = _NUMBERS_RE.sub(
-            lambda m: f"(SELECT id AS number FROM range({m.group(1)})) __ch_numbers",
+            # RANGE (upper) so the later function scan's exact-case
+            # lookup skips it — m["range"] is CH's ARRAY range(),
+            # not Spark's table-valued range; Spark resolves the
+            # TVF name case-insensitively
+            lambda m: f"(SELECT id AS number FROM RANGE({m.group(1)})) __ch_numbers",
             s,
         )
         s = _TUPLE_ACCESS_RE.sub(r"\1.col\2", s)

@@ -2611,3 +2611,63 @@ def test_r10_sweep_batch6(spark):
     )).collect()[0]["id"]
     assert (sf >> 22) > 1_500_000_000_000  # ms since 1970 > 2017
 
+
+
+def test_r10_sweep_batch7(spark):
+    """r10 candidate sweep, batch 7: arraySplit/arrayReverseSplit
+    (cut-position + slice-window construction, [[]] on empty input
+    per the left-fold model), the OrNull array picks, the OrDefault
+    conversion family, generic typed JSONExtract, and the
+    deterministic AES-ECB lane (PKCS7 both engines; a round trip
+    plus a reference ciphertext pin). Gates are asserted in
+    test_dialect_surface_audit."""
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    r = spark.sql(translate(
+        "SELECT arraySplit(x -> x = 1, [1,2,3,1,2,3]) AS sp, "
+        "arrayReverseSplit(x -> x = 1, [1,2,3,1,2,3]) AS rsp, "
+        "arraySplit(x -> x = 9, [1,2,3]) AS sp_none, "
+        "arraySplit(x -> x = 1, CAST(array() AS ARRAY<INT>)) "
+        "AS sp_empty, "
+        "arrayFirstOrNull(x -> x > 10, [1,2]) AS fo, "
+        "arrayLastOrNull(x -> x > 1, [1,2,3]) AS lo, "
+        "indexOfAssumeSorted([1,3,5], 5) AS idx"
+    )).collect()[0]
+    assert r["sp"] == [[1, 2, 3], [1, 2, 3]]
+    assert r["rsp"] == [[1], [2, 3, 1], [2, 3]]
+    assert r["sp_none"] == [[1, 2, 3]] and r["sp_empty"] == [[]]
+    assert r["fo"] is None and r["lo"] == 3 and r["idx"] == 3
+
+    r = spark.sql(translate(
+        "SELECT toInt64OrDefault('x', 7) AS d1, "
+        "toInt64OrDefault('5', 7) AS d2, "
+        "toDateOrDefault('nope', DATE '2020-01-01') AS d3, "
+        "toUInt8OrDefault('300', 9) AS d4, "
+        "toInt32OrDefault('bad') AS d5, "
+        "JSONExtract('{\"k\": 42}', 'k', 'Int64') AS j1, "
+        "JSONExtract('{\"k\": \"v\"}', 'k', 'String') AS j2, "
+        "JSONExtract('{\"k\": true}', 'k', 'Bool') AS j3, "
+        "appendTrailingCharIfAbsent('dir', '/') AS ap1, "
+        "appendTrailingCharIfAbsent('dir/', '/') AS ap2, "
+        "appendTrailingCharIfAbsent('', '/') AS ap3, "
+        "isValidUTF8('ok') AS vu, isValidUTF8(NULL) AS vu_null"
+    )).collect()[0]
+    assert r["d1"] == 7 and r["d2"] == 5 and str(r["d3"]) == "2020-01-01"
+    assert r["d4"] == 9 and r["d5"] == 0
+    assert r["j1"] == 42 and r["j2"] == "v" and r["j3"] is True
+    assert (r["ap1"], r["ap2"], r["ap3"]) == ("dir/", "dir/", "")
+    assert r["vu"] == 1 and r["vu_null"] is None
+
+    # AES-ECB: deterministic, PKCS7 in both engines. The ciphertext
+    # is pinned (JDK AES, 'secret' under key '1234567890123456') and
+    # the round trip + corrupt-input try form asserted.
+    r = spark.sql(translate(
+        "SELECT hex(encrypt('aes-128-ecb', 'secret', "
+        "'1234567890123456')) AS ct, "
+        "decrypt('aes-128-ecb', encrypt('aes-128-ecb', 'secret', "
+        "'1234567890123456'), '1234567890123456') AS rt, "
+        "tryDecrypt('aes-128-ecb', 'garbagegarbage!!', "
+        "'1234567890123456') AS bad"
+    )).collect()[0]
+    assert r["ct"] == "472095246DCD6D4C387A36AE92F7E3B9"
+    assert r["rt"] == "secret" and r["bad"] is None

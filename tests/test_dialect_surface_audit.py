@@ -308,6 +308,28 @@ _MUST_HANDLE = [
     "regionToDistrict(x)", "regionToCountry(x)",
     "regionToContinent(x)", "regionToTopContinent(x)",
     "regionToPopulation(x)", "regionIn(a, b)", "regionHierarchy(x)",
+    # r10 sweep 7: array split corners, OrDefault conversions,
+    # typed JSONExtract, AES-ECB, misc
+    "arraySplit(f, a)", "arrayReverseSplit(f, a)",
+    "arrayFirstOrNull(f, a)", "arrayLastOrNull(f, a)",
+    "indexOfAssumeSorted(a, 3)", "arrayReduceInRanges('sum', r, a)",
+    "toInt128(x)", "toInt256(x)", "toUInt128(x)", "toUInt256(x)",
+    "toInt128OrNull(x)", "toUInt256OrZero(x)",
+    "toInt64OrDefault(x, 0)", "toUInt8OrDefault(x, 0)",
+    "toFloat64OrDefault(x, 0.0)", "toDateOrDefault(x, d)",
+    "toDate32OrDefault(x, d)", "toDateTimeOrDefault(x, t)",
+    "JSONExtract(j, 'a', 'Int64')",
+    "JSONAllPaths(j)", "JSONAllPathsWithTypes(j)",
+    "JSONDynamicPaths(j)", "JSONSharedDataPaths(j)",
+    "encrypt('aes-128-ecb', s, k)", "decrypt('aes-128-ecb', s, k)",
+    "tryDecrypt('aes-128-ecb', s, k)",
+    "aes_encrypt_mysql('aes-128-ecb', s, k)",
+    "aes_decrypt_mysql('aes-128-ecb', s, k)",
+    "appendTrailingCharIfAbsent(s, '/')", "isValidUTF8(s)",
+    "bech32Encode('bc', s)", "bech32Decode(s)",
+    "stringToH3(s)", "h3ToString(x)",
+    "avgMap(k, v)", "countMap(k)",
+    "quantilesTimingWeighted(0.5, 0.9)(x, w)",
 ]
 
 
