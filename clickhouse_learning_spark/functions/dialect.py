@@ -1559,6 +1559,183 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         m[_g7] = (lambda name, why: lambda a: (_ for _ in ()).throw(
             ValueError(f"{name}: {why}")))(_g7, _g7why)
 
+    # ---- r10 sweep batch 8: best-effort parse aliases, map-state
+    # combinators, tumble windows, geometry/ML/txn gates ------------
+    # parseDateTimeBestEffort: strict form throws on bad input in
+    # both engines (ANSI to_timestamp); OrNull = try; OrZero mapped
+    # above. The 32/64 spellings are width aliases.
+    m["parseDateTimeBestEffort"] = lambda a: (
+        f"to_timestamp({_one(a, 'parseDateTimeBestEffort')})"
+    )
+    m["parseDateTimeBestEffortOrNull"] = lambda a: (
+        f"try_to_timestamp({_one(a, 'parseDateTimeBestEffortOrNull')})"
+    )
+    for _pa, _pb in (
+        ("parseDateTime32BestEffort", "parseDateTimeBestEffort"),
+        ("parseDateTime32BestEffortOrNull",
+         "parseDateTimeBestEffortOrNull"),
+        ("parseDateTime32BestEffortOrZero",
+         "parseDateTimeBestEffortOrZero"),
+    ):
+        m[_pa] = (lambda base: lambda a: m[base](a))(_pb)
+
+    def _parse_dt64(base: str):
+        def impl(a):
+            if len(a) != 1:
+                raise ValueError(
+                    f"{base} with an explicit precision/timezone is "
+                    "not translated — Spark timestamps are fixed "
+                    "microsecond precision in the session zone"
+                )
+            return m[base.replace("DateTime64", "DateTime")](a)
+        return impl
+
+    for _p64 in ("parseDateTime64BestEffort",
+                 "parseDateTime64BestEffortOrNull",
+                 "parseDateTime64BestEffortOrZero"):
+        m[_p64] = _parse_dt64(_p64)
+
+    # sumMap/minMap/maxMap State/Merge: the state here IS the
+    # finalized (keys, values) tuple, so State = the aggregate and
+    # Merge re-aggregates the tuple's arrays
+    for _ms in ("sumMap", "minMap", "maxMap"):
+        m[_ms + "State"] = (lambda base: lambda a: m[base](a))(_ms)
+        m[_ms + "Merge"] = (lambda base, nm: lambda a: (
+            lambda st: m[base]([f"{st}.col1", f"{st}.col2"])
+        )(_one(a, nm)))(_ms, _ms + "Merge")
+
+    # tumble: epoch-aligned fixed windows as pure arithmetic (CH
+    # aligns to the epoch in session tz; session zone is UTC here).
+    # Month-based and non-literal intervals gate — month lengths
+    # vary, date_trunc is the calendar-unit form.
+    _TUMBLE_IV_RE = re.compile(
+        r"(?i)^\s*INTERVAL\s+'?(\d+)'?\s+"
+        r"(SECOND|MINUTE|HOUR|DAY)S?\s*$"
+    )
+
+    def _tumble(name: str, part: str):
+        def impl(a):
+            t, iv = _two(a, name)
+            mm = _TUMBLE_IV_RE.match(iv)
+            if not mm:
+                raise ValueError(
+                    f"{name}: only literal second/minute/hour/day "
+                    "intervals are translated (month lengths vary — "
+                    "use date_trunc for calendar units)"
+                )
+            sec = int(mm.group(1)) * {
+                "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400,
+            }[mm.group(2).upper()]
+            start = (
+                f"timestamp_seconds((unix_timestamp({t}) "
+                f"DIV {sec}) * {sec})"
+            )
+            if part == "start":
+                return start
+            end = (
+                f"timestamp_seconds((unix_timestamp({t}) "
+                f"DIV {sec}) * {sec} + {sec})"
+            )
+            if part == "end":
+                return end
+            return f"named_struct('col1', {start}, 'col2', {end})"
+        return impl
+
+    m["tumble"] = _tumble("tumble", "struct")
+    m["tumbleStart"] = _tumble("tumbleStart", "start")
+    m["tumbleEnd"] = _tumble("tumbleEnd", "end")
+
+    # basename: the part after the last slash or backslash
+    m["basename"] = lambda a: (
+        f"regexp_extract({_one(a, 'basename')}, '[^/\\\\\\\\]*$', 0)"
+    )
+
+    for _g8, _g8why in (
+        ("hop", "hop assigns each row to MULTIPLE overlapping "
+         "windows — explode a sequence of window starts explicitly"),
+        ("hopStart", "see hop: explode the window starts"),
+        ("hopEnd", "see hop: explode the window starts"),
+        ("joinGet", "Join-engine tables are dimension lookups here — "
+         "dictGet over a registered dictionary view "
+         "(functions/dictionary.py)"),
+        ("joinGetOrNull", "see joinGet: dictGet over a dictionary "
+         "view"),
+        ("evalMLMethod", "trained-model application lives in "
+         "operators/logreg.py / operators/classifier.py"),
+        ("runningConcurrency", "depends on server-local row order — "
+         "count overlapping intervals with a window over explicit "
+         "ORDER BY"),
+        ("runningDifferenceStartingWithFirstValue", "depends on "
+         "server-local row order; v - lag(v) OVER an explicit ORDER "
+         "BY is the deterministic form"),
+        ("initializeAggregation", "construct the state expression "
+         "directly — the *State mappings emit mergeable forms"),
+        ("finalizeAggregation", "states here are already their "
+         "finalized representations — apply the matching *Merge "
+         "mapping"),
+        ("subtractInterval", "composes interval TUPLES "
+         "(CH-specific) — chain t - INTERVAL ... explicitly"),
+        ("quantileExactState", "two-phase exact quantiles ride "
+         "MetricSpec(kind='quantile') via metrics.build_states"),
+        ("quantileExactMerge", "two-phase exact quantiles ride "
+         "MetricSpec(kind='quantile') via metrics.build_states"),
+        ("file", "file contents are a source concern — read through "
+         "sources/ and join, or spark.read"),
+        ("defaultValueOfTypeName", "type-default introspection has "
+         "no Spark analog — write the literal default"),
+        ("hasColumnInTable", "catalog introspection is driver-side "
+         "(spark.catalog.listColumns)"),
+        ("transactionID", "no transaction concept in this engine"),
+        ("transactionLatestSnapshot", "no transaction concept in "
+         "this engine"),
+        ("revision", "server-build introspection has no Spark "
+         "analog; version() maps"),
+        ("buildId", "server-build introspection has no Spark "
+         "analog; version() maps"),
+        ("uptime", "no server-uptime analog in a Spark job"),
+        ("zookeeperSessionUptime", "no ZooKeeper in this engine"),
+        ("getOSKernelVersion", "host introspection has no Spark "
+         "analog"),
+        ("currentProfiles", "no settings-profile concept — Spark "
+         "confs are driver-side"),
+        ("enabledProfiles", "no settings-profile concept"),
+        ("defaultProfiles", "no settings-profile concept"),
+        ("currentRoles", "no SQL-addressable role concept here"),
+        ("enabledRoles", "no SQL-addressable role concept here"),
+        ("defaultRoles", "no SQL-addressable role concept here"),
+        ("wkt", "computational geometry is not implemented offline — "
+         "the point distance functions map"),
+        ("svg", "computational geometry is not implemented offline"),
+        ("readWKTPoint", "computational geometry is not implemented "
+         "offline"),
+        ("readWKTPolygon", "computational geometry is not "
+         "implemented offline"),
+        ("readWKTMultiPolygon", "computational geometry is not "
+         "implemented offline"),
+        ("readWKTLineString", "computational geometry is not "
+         "implemented offline"),
+        ("readWKTRing", "computational geometry is not implemented "
+         "offline"),
+        ("polygonAreaCartesian", "computational geometry is not "
+         "implemented offline"),
+        ("polygonPerimeterCartesian", "computational geometry is "
+         "not implemented offline"),
+        ("polygonsUnionCartesian", "computational geometry is not "
+         "implemented offline"),
+        ("polygonsIntersectionCartesian", "computational geometry "
+         "is not implemented offline"),
+        ("polygonAreaSpherical", "computational geometry is not "
+         "implemented offline"),
+        ("polygonPerimeterSpherical", "computational geometry is "
+         "not implemented offline"),
+        ("polygonsDistanceSpherical", "computational geometry is "
+         "not implemented offline"),
+        ("polygonConvexHullCartesian", "computational geometry is "
+         "not implemented offline"),
+    ):
+        m[_g8] = (lambda name, why: lambda a: (_ for _ in ()).throw(
+            ValueError(f"{name}: {why}")))(_g8, _g8why)
+
     # ---- r10 sweep batch 5: array set ops + server introspection --
     m["arrayUnion"] = lambda a: (lambda x, y: (
         f"array_union({x}, {y})"  # distinct union; CH leaves the

@@ -2671,3 +2671,47 @@ def test_r10_sweep_batch7(spark):
     )).collect()[0]
     assert r["ct"] == "472095246DCD6D4C387A36AE92F7E3B9"
     assert r["rt"] == "secret" and r["bad"] is None
+
+
+def test_r10_sweep_batch8(spark):
+    """r10 candidate sweep, batch 8: parseDateTimeBestEffort family
+    (strict throws, OrNull tries, 32/64 width aliases), the
+    sumMap/minMap/maxMap State/Merge combinators (state = the
+    finalized (keys, values) tuple, Merge re-aggregates its arrays),
+    epoch-aligned tumble windows as pure arithmetic, and basename.
+    Gates are asserted in test_dialect_surface_audit."""
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    r = spark.sql(translate(
+        "SELECT parseDateTimeBestEffort('2024-01-15 10:20:30') AS p1, "
+        "parseDateTimeBestEffortOrNull('garbage') AS p2, "
+        "parseDateTime32BestEffort('2024-01-15 10:20:30') AS p3, "
+        "parseDateTime64BestEffortOrNull('2024-01-15 10:20:30.123') "
+        "AS p4, "
+        "tumbleStart(TIMESTAMP '2024-01-15 10:23:45', "
+        "INTERVAL 5 MINUTE) AS ts, "
+        "tumbleEnd(TIMESTAMP '2024-01-15 10:23:45', "
+        "INTERVAL 5 MINUTE) AS te, "
+        "tumble(TIMESTAMP '2024-01-15 10:23:45', INTERVAL 1 HOUR) "
+        "AS tw, "
+        "basename('a/b/c.txt') AS b1, basename('plain') AS b2"
+    )).collect()[0]
+    assert str(r["p1"]) == "2024-01-15 10:20:30" and r["p2"] is None
+    assert str(r["p3"]) == "2024-01-15 10:20:30"
+    assert str(r["p4"]) == "2024-01-15 10:20:30.123000"
+    assert str(r["ts"]) == "2024-01-15 10:20:00"
+    assert str(r["te"]) == "2024-01-15 10:25:00"
+    assert str(r["tw"]["col1"]) == "2024-01-15 10:00:00"
+    assert str(r["tw"]["col2"]) == "2024-01-15 11:00:00"
+    assert r["b1"] == "c.txt" and r["b2"] == "plain"
+
+    # map-state round trip: per-key partial states merge to the
+    # all-rows sumMap
+    r = spark.sql(translate(
+        "SELECT sumMapMerge(st) AS merged FROM ("
+        "  SELECT sumMapState([k, k + 1], [v, v * 10]) AS st FROM ("
+        "    SELECT 1 AS k, 5 AS v UNION ALL SELECT 1, 7 "
+        "    UNION ALL SELECT 2, 1) GROUP BY k)"
+    )).collect()[0]
+    assert r["merged"]["col1"] == [1, 2, 3]
+    assert r["merged"]["col2"] == [12, 121, 10]

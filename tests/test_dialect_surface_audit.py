@@ -46,6 +46,9 @@ _SHARED_OK = {
     # Spark does)
     "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
     "ntile",
+    # r10 sweep 8: LAST_DAY is CH's toLastDayOfMonth alias and
+    # Spark's last_day — identical last-day-of-month semantics
+    "last_day",
 }
 
 # every name here must be mapped or gated — NEVER a passthrough
@@ -330,6 +333,44 @@ _MUST_HANDLE = [
     "stringToH3(s)", "h3ToString(x)",
     "avgMap(k, v)", "countMap(k)",
     "quantilesTimingWeighted(0.5, 0.9)(x, w)",
+    # r10 sweep 8: best-effort parse aliases, map-state combinators,
+    # tumble windows, geometry/ML/transaction gates
+    "parseDateTimeBestEffort(s)", "parseDateTimeBestEffortOrNull(s)",
+    "parseDateTime32BestEffort(s)",
+    "parseDateTime32BestEffortOrNull(s)",
+    "parseDateTime32BestEffortOrZero(s)",
+    "parseDateTime64BestEffort(s)",
+    "parseDateTime64BestEffortOrNull(s)",
+    "parseDateTime64BestEffortOrZero(s)",
+    "sumMapState(k, v)", "sumMapMerge(st)", "minMapState(k, v)",
+    "minMapMerge(st)", "maxMapState(k, v)", "maxMapMerge(st)",
+    "tumble(t, INTERVAL 5 MINUTE)",
+    "tumbleStart(t, INTERVAL 5 MINUTE)",
+    "tumbleEnd(t, INTERVAL 5 MINUTE)",
+    "hop(t, INTERVAL 1 MINUTE, INTERVAL 5 MINUTE)",
+    "hopStart(t, INTERVAL 1 MINUTE, INTERVAL 5 MINUTE)",
+    "hopEnd(t, INTERVAL 1 MINUTE, INTERVAL 5 MINUTE)",
+    "basename(p)", "joinGet('db.t', 'col', k)",
+    "joinGetOrNull('db.t', 'col', k)", "evalMLMethod(st, f)",
+    "runningConcurrency(s, e)",
+    "runningDifferenceStartingWithFirstValue(x)",
+    "initializeAggregation('sumState', x)", "finalizeAggregation(st)",
+    "subtractInterval(t, i)", "quantileExactState(x)",
+    "quantileExactMerge(st)", "file('p')",
+    "defaultValueOfTypeName('Int32')", "hasColumnInTable('d','t','c')",
+    "transactionID()", "transactionLatestSnapshot()", "revision()",
+    "buildId()", "uptime()", "zookeeperSessionUptime()",
+    "getOSKernelVersion()", "currentProfiles()", "enabledProfiles()",
+    "defaultProfiles()", "currentRoles()", "enabledRoles()",
+    "defaultRoles()", "wkt(p)", "svg(p)", "readWKTPoint(s)",
+    "readWKTPolygon(s)", "readWKTMultiPolygon(s)",
+    "readWKTLineString(s)", "readWKTRing(s)",
+    "polygonAreaCartesian(p)", "polygonPerimeterCartesian(p)",
+    "polygonsUnionCartesian(p, q)",
+    "polygonsIntersectionCartesian(p, q)",
+    "polygonAreaSpherical(p)", "polygonPerimeterSpherical(p)",
+    "polygonsDistanceSpherical(p, q)",
+    "polygonConvexHullCartesian(p)",
 ]
 
 
