@@ -1096,13 +1096,9 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
             f"acc + 1, acc)) = length({n}))"
         )
 
-    _AZ_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-    _AZ_LO = "abcdefghijklmnopqrstuvwxyz"
-
-    def _ascii_lower(x: str) -> str:
-        # CH's non-UTF8 CaseInsensitive variants lowercase ASCII
-        # bytes ONLY (é stays é); translate() is that exact fold
-        return f"translate({x}, '{_AZ_UP}', '{_AZ_LO}')"
+    # _ascii_lower (the ASCII-only translate() fold for non-UTF8 CI
+    # variants) is defined once in the multiSearch section below;
+    # closures here resolve it at call time.
 
     m["hasSubsequence"] = lambda a: _subseq_fold(
         *_two(a, "hasSubsequence"), byte=True)
@@ -2340,10 +2336,29 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     m["endsWith"] = lambda a: (
         lambda s, p: f"endswith({s}, {p})"
     )(*_two(a, "endsWith"))
-    m["position"] = lambda a: (
-        # CH position(haystack, needle); Spark instr(str, substr) — both 1-based
-        lambda h, n: f"instr({h}, {n})"
-    )(*_two(a, "position"))
+    # CH position(haystack, needle) is a 1-based BYTE offset
+    # (positionUTF8 is the codepoint form). The first byte-level
+    # occurrence of a valid-UTF-8 needle is the first char-level
+    # occurrence (UTF-8 self-synchronizes), so: find with instr,
+    # convert the prefix to bytes. 0 = not found, NULL propagates
+    # through the ELSE branch.
+    def _byte_pos(h: str, cp: str) -> str:
+        return (
+            f"(CASE WHEN {cp} = 0 THEN 0 ELSE "
+            f"octet_length(substr({h}, 1, {cp} - 1)) + 1 END)"
+        )
+
+    def _position(a):
+        if len(a) != 2:
+            raise ValueError(
+                "position(haystack, needle) — the start_pos form is "
+                "not translated (byte-offset arithmetic); slice the "
+                "haystack with substr first"
+            )
+        h, n = a
+        return _byte_pos(h, f"instr({h}, {n})")
+
+    m["position"] = _position
     # ClickHouse transform(x, [from…], [to…][, default]): value
     # remapping via a broadcastable literal map. (No clash with Spark's
     # transform HOF: ClickHouse input always has 3-4 args; the 2-arg
@@ -2595,10 +2610,12 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         )
     )(*_two(a, "multiSearchAnyCaseInsensitive"))
     m["multiSearchAllPositionsCaseInsensitive"] = lambda a: (
+        # ASCII-CI byte offsets (the fold preserves byte lengths)
         lambda s_, arr: (
-            f"transform({arr}, x -> position({_ascii_lower('x')}, "
-            f"{_ascii_lower(s_)}))"
-        )
+            lambda ls: (
+                f"transform({arr}, x -> {_byte_pos(ls, f'instr({ls}, ' + _ascii_lower('x') + ')')})"
+            )
+        )(_ascii_lower(s_))
     )(*_two(a, "multiSearchAllPositionsCaseInsensitive"))
     m["positionCaseInsensitiveUTF8"] = lambda a: (
         # full-Unicode fold IS the UTF8 variant's contract
@@ -2607,7 +2624,11 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # the rest of the multiSearch family (r4 late) — substring, not
     # regex; positions/indexes are 1-based, 0 = not found (CH)
     m["multiSearchAllPositions"] = lambda a: (
-        lambda s_, arr: f"transform({arr}, x -> position(x, {s_}))"
+        # byte offsets, like position()
+        lambda s_, arr: (
+            f"transform({arr}, x -> "
+            f"{_byte_pos(s_, f'instr({s_}, x)')})"
+        )
     )(*_two(a, "multiSearchAllPositions"))
     m["multiSearchFirstIndex"] = lambda a: (
         # 1-based index of the FIRST needle that occurs, 0 if none
@@ -2617,14 +2638,21 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         )
     )(*_two(a, "multiSearchFirstIndex"))
     m["multiSearchFirstPosition"] = lambda a: (
-        # leftmost offset over all needles, 0 if none
+        # leftmost BYTE offset over all needles, 0 if none
         lambda s_, arr: (
             f"coalesce(array_min(filter(transform({arr}, "
-            f"x -> position(x, {s_})), p -> p > 0)), 0)"
+            f"x -> {_byte_pos(s_, f'instr({s_}, x)')}), "
+            f"p -> p > 0)), 0)"
         )
     )(*_two(a, "multiSearchFirstPosition"))
+    # ASCII-only CI fold + byte offset (ASCII lowering preserves
+    # byte lengths, so offsets in the folded string are offsets in
+    # the original)
     m["positionCaseInsensitive"] = lambda a: (
-        lambda s_, n_: f"position(lower({n_}), lower({s_}))"
+        lambda s_, n_: _byte_pos(
+            _ascii_lower(s_),
+            f"instr({_ascii_lower(s_)}, {_ascii_lower(n_)})",
+        )
     )(*_two(a, "positionCaseInsensitive"))
     # Spark strings are always Unicode — the UTF8 variants coincide
     m["positionUTF8"] = lambda a: (
@@ -2856,11 +2884,16 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # passthrough silently swaps the roles. (CH 24+ flipped to the
     # MySQL order; the reference pins 21.3, same stance as %M=minute.)
     def _locate(a: list[str]) -> str:
+        # CH ≤23 locate = position alias (haystack, needle) → the
+        # same BYTE offset as position(); the start_pos form gates
+        # with the same pointer
         if len(a) == 2:
-            return f"locate({a[1]}, {a[0]})"
-        if len(a) == 3:
-            return f"locate({a[1]}, {a[0]}, {a[2]})"
-        raise ValueError("locate(haystack, needle[, start_pos])")
+            return _position(a)
+        raise ValueError(
+            "locate(haystack, needle) — the start_pos form is not "
+            "translated (byte-offset arithmetic); slice the "
+            "haystack with substr first"
+        )
 
     m["locate"] = _locate
     # reverseUTF8 = character reversal, which is exactly Spark's
@@ -2870,6 +2903,11 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
     # documented stand-in.)
     m["reverseUTF8"] = lambda a: f"reverse({_one(a, 'reverseUTF8')})"
     m["lengthUTF8"] = lambda a: f"length({_one(a, 'lengthUTF8')})"
+    # CH length(String) counts BYTES (lengthUTF8 is the codepoint
+    # form = Spark's length); octet_length is the byte-exact map.
+    # CH's length(Array) is size() — Spark raises loudly there
+    # (octet_length rejects arrays), never silently miscounts.
+    m["length"] = lambda a: f"octet_length({_one(a, 'length')})"
     m["substringUTF8"] = lambda a: f"substring({', '.join(a)})"
     m["leftPad"] = lambda a: f"lpad({', '.join(a)})"
     m["rightPad"] = lambda a: f"rpad({', '.join(a)})"
@@ -4369,6 +4407,20 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         f"count(DISTINCT {_one(a, 'countDistinct')})"
     )
     m["avgDistinct"] = lambda a: f"avg(DISTINCT {_one(a, 'avgDistinct')})"
+    # r10 sweep 9: -Distinct cross products. uniqExact over distinct
+    # values IS uniqExact; the If×Distinct orders both reduce to
+    # agg(DISTINCT CASE WHEN cond THEN x END) — the CASE's NULL arm
+    # is skipped by DISTINCT aggregation in both engines
+    m["uniqExactDistinct"] = lambda a: (
+        f"count(DISTINCT {_one(a, 'uniqExactDistinct')})"
+    )
+    for _dagg in ("sum", "avg", "count"):
+        for _dn in (f"{_dagg}IfDistinct", f"{_dagg}DistinctIf"):
+            m[_dn] = (lambda agg, nm: lambda a: (
+                lambda x, c: (
+                    f"{agg}(DISTINCT CASE WHEN {c} THEN {x} END)"
+                )
+            )(*_two(a, nm)))(_dagg, _dn)
     # -ForEach combinator: the aggregate runs per array POSITION across
     # rows (CH pads shorter arrays with the type default). One fold
     # over the collected arrays; zip_with pads with NULL, coalesce
@@ -4405,6 +4457,48 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
                                "minForEach")
     m["maxForEach"] = _foreach("greatest(coalesce(p, q), coalesce(q, p))",
                                "maxForEach")
+
+    # r10 sweep 9: countForEach (per-position presence count) and
+    # avgForEach (= sumForEach / countForEach elementwise)
+    def _count_foreach_body(arr: str) -> str:
+        s = f"collect_list({arr})"
+        return (
+            f"aggregate({s}, transform(slice(element_at({s}, 1), "
+            f"1, 0), y -> CAST(0 AS BIGINT)), "
+            f"(acc, x) -> zip_with(acc, x, (p, q) -> "
+            f"coalesce(p, CAST(0 AS BIGINT)) + "
+            f"IF(q IS NULL, CAST(0 AS BIGINT), CAST(1 AS BIGINT))))"
+        )
+
+    m["countForEach"] = lambda a: _count_foreach_body(
+        _one(a, "countForEach"))
+    m["avgForEach"] = lambda a: (
+        lambda arr: (
+            f"zip_with({_sum_foreach([arr])}, "
+            f"{_count_foreach_body(arr)}, "
+            f"(fe_s, fe_c) -> fe_s / CAST(fe_c AS DOUBLE))"
+        )
+    )(_one(a, "avgForEach"))
+    # If×ForEach / If×Array cross products: the row filter is the
+    # CASE's NULL arm (collect_list skips NULLs; aggregate over a
+    # NULL array is NULL, which the outer aggregate skips)
+    for _feagg in ("sum", "min", "max", "avg", "count"):
+        for _fesuf, _febase in (
+            ("ForEachIf", f"{_feagg}ForEach"),
+            ("IfForEach", f"{_feagg}ForEach"),
+            ("ArrayIf", f"{_feagg}Array"),
+            ("IfArray", f"{_feagg}Array"),
+        ):
+            _fen = f"{_feagg}{_fesuf}"
+            m[_fen] = (lambda base, nm: lambda a: (
+                lambda x, c: m[base]([f"(CASE WHEN {c} THEN {x} END)"])
+            )(*_two(a, nm)))(_febase, _fen)
+    # anyArray: an arbitrary element of an arbitrary collected array
+    # (same non-deterministic contract as any)
+    m["anyArray"] = lambda a: (
+        f"try_element_at(flatten(collect_list("
+        f"{_one(a, 'anyArray')})), 1)"
+    )
 
     # -OrNull combinator: NULL instead of the type default when no rows
     # aggregated — Spark aggregates already return NULL there, so the
@@ -4730,6 +4824,111 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         f"CAST(size(array_distinct(flatten(collect_list("
         f"{_one(a, 'uniqExactMerge')})))) AS BIGINT)"
     )
+    # r10 sweep 9: more State/Merge pairs.
+    # anyLast states are their own values (non-deterministic pick,
+    # same contract as any)
+    m["anyLastState"] = lambda a: (
+        f"any_value({_one(a, 'anyLastState')})"
+    )
+    m["anyLastMerge"] = lambda a: (
+        f"any_value({_one(a, 'anyLastMerge')})"
+    )
+    # argMax/argMin states carry (arg, ordering value) so merges can
+    # re-compare; Merge picks the arg of the extreme value
+    m["argMaxState"] = lambda a: (
+        lambda x, o: (
+            f"named_struct('arg', max_by({x}, {o}), 'val', max({o}))"
+        )
+    )(*_two(a, "argMaxState"))
+    m["argMinState"] = lambda a: (
+        lambda x, o: (
+            f"named_struct('arg', min_by({x}, {o}), 'val', min({o}))"
+        )
+    )(*_two(a, "argMinState"))
+    m["argMaxMerge"] = lambda a: (
+        lambda st: f"max_by({st}.arg, {st}.val)"
+    )(_one(a, "argMaxMerge"))
+    m["argMinMerge"] = lambda a: (
+        lambda st: f"min_by({st}.arg, {st}.val)"
+    )(_one(a, "argMinMerge"))
+    # If×State compositions (both combinator orders): the CASE's NULL
+    # arm is the row filter, the state shape is the base State's
+    for _ifs in ("sum", "min", "max", "avg", "count", "anyLast"):
+        for _ifsn in (f"{_ifs}IfState", f"{_ifs}StateIf"):
+            m[_ifsn] = (lambda base, nm: lambda a: (
+                lambda x, c: m[base + "State"](
+                    [f"(CASE WHEN {c} THEN {x} END)"])
+            )(*_two(a, nm)))(_ifs, _ifsn)
+    m["countIfState"] = lambda a: (
+        f"count(CASE WHEN {_one(a, 'countIfState')} THEN 1 END)"
+    )
+    m["countStateIf"] = m["countIfState"]
+
+    # moment-family State/Merge: the state is the mergeable moment
+    # tuple (n, Σx, Σx²) — or the 6-tuple for two-variable forms;
+    # Merge recombines the summed components. (Float re-association
+    # is inherent to any mergeable-state formulation; CH's states
+    # reorder the same way.)
+    def _mom1_state(name: str):
+        def impl(a):
+            x = _one(a, name)
+            return (
+                f"named_struct('n', count({x}), 's', "
+                f"sum(CAST({x} AS DOUBLE)), 'q', "
+                f"sum(CAST({x} AS DOUBLE) * CAST({x} AS DOUBLE)))"
+            )
+        return impl
+
+    def _mom1_merge(name: str, samp: bool, sqrt_: bool):
+        def impl(a):
+            st = _one(a, name)
+            n = f"sum({st}.n)"
+            var = (
+                f"((sum({st}.q) - sum({st}.s) * sum({st}.s) / {n}) "
+                f"/ ({n}{' - 1' if samp else ''}))"
+            )
+            return f"sqrt({var})" if sqrt_ else var
+        return impl
+
+    for _m1 in ("varPop", "varSamp", "stddevPop", "stddevSamp"):
+        m[_m1 + "State"] = _mom1_state(_m1 + "State")
+        m[_m1 + "Merge"] = _mom1_merge(
+            _m1 + "Merge", samp="Samp" in _m1, sqrt_="stddev" in _m1)
+
+    def _mom2_state(name: str):
+        def impl(a):
+            x, y = _two(a, name)
+            xd, yd = f"CAST({x} AS DOUBLE)", f"CAST({y} AS DOUBLE)"
+            return (
+                f"named_struct('n', count(IF({x} IS NOT NULL AND "
+                f"{y} IS NOT NULL, 1, NULL)), "
+                f"'sx', sum({xd}), 'sy', sum({yd}), "
+                f"'sxx', sum({xd} * {xd}), 'syy', sum({yd} * {yd}), "
+                f"'sxy', sum({xd} * {yd}))"
+            )
+        return impl
+
+    def _mom2_merge(name: str, kind: str):
+        def impl(a):
+            st = _one(a, name)
+            n = f"sum({st}.n)"
+            sx, sy = f"sum({st}.sx)", f"sum({st}.sy)"
+            sxx, syy = f"sum({st}.sxx)", f"sum({st}.syy)"
+            sxy = f"sum({st}.sxy)"
+            cov = f"({sxy} - {sx} * {sy} / {n})"
+            if kind == "covarPop":
+                return f"({cov} / {n})"
+            if kind == "covarSamp":
+                return f"({cov} / ({n} - 1))"
+            return (
+                f"({cov} / sqrt(({sxx} - {sx} * {sx} / {n}) * "
+                f"({syy} - {sy} * {sy} / {n})))"
+            )
+        return impl
+
+    for _m2 in ("covarPop", "covarSamp", "corr"):
+        m[_m2 + "State"] = _mom2_state(_m2 + "State")
+        m[_m2 + "Merge"] = _mom2_merge(_m2 + "Merge", _m2)
 
     # -- remaining -If combinators (ClickHouse applies -If uniformly) -------
     m["minIf"] = lambda a: (
@@ -7491,6 +7690,34 @@ _PARAMETERIZED: dict[str, Callable[[list[str], list[str]], str]] = {
         "quantilesTimingWeighted: the weighted Timing histogram has "
         "no Spark analog; quantileExactWeighted(p)(x, w) per level "
         "maps exactly via MetricSpec"
+    ),
+    # r10 sweep 9: parameterized State/Merge forms
+    "topKState": lambda p, a: _raise_gate(
+        "topKState: the count-weighted heavy-hitter sketch state is "
+        "not SQL-mergeable here — MetricSpec(kind='topk') via "
+        "metrics.build_states is the two-phase form"
+    ),
+    "topKMerge": lambda p, a: _raise_gate(
+        "topKMerge: MetricSpec(kind='topk') via metrics.build_states "
+        "is the two-phase form"
+    ),
+    "windowFunnelState": lambda p, a: _raise_gate(
+        "windowFunnelState: the funnel chain state is not "
+        "SQL-mergeable — keep (ts, level) event rows as the state "
+        "and run windowFunnel at merge time (functions/funnel.py)"
+    ),
+    "windowFunnelMerge": lambda p, a: _raise_gate(
+        "windowFunnelMerge: keep (ts, level) event rows as the "
+        "state and run windowFunnel at merge time "
+        "(functions/funnel.py)"
+    ),
+    "quantilesExactState": lambda p, a: _raise_gate(
+        "quantilesExactState: two-phase exact quantiles ride "
+        "MetricSpec(kind='quantile') via metrics.build_states"
+    ),
+    "quantilesExactMerge": lambda p, a: _raise_gate(
+        "quantilesExactMerge: two-phase exact quantiles ride "
+        "MetricSpec(kind='quantile') via metrics.build_states"
     ),
     # groupConcat(sep[, limit])(x) — parameterized form; insertion
     # order is non-deterministic in BOTH engines (same contract as

@@ -1691,11 +1691,20 @@ def ch_stats_assoc_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, text,
              regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-      FROM documents WHERE length(text) >= 40),
+      FROM documents WHERE strlen(text) >= 40),
     pos AS (
       SELECT doc_id, text,
-             [position('data' IN text), position('table' IN text),
-              position('spark' IN text)] AS ps,
+             -- CH positions are BYTE offsets: char position -> byte
+             -- offset of the preceding prefix + 1
+             [CASE WHEN position('data' IN text) = 0 THEN 0
+                   ELSE strlen(substr(text, 1,
+                        position('data' IN text) - 1)) + 1 END,
+              CASE WHEN position('table' IN text) = 0 THEN 0
+                   ELSE strlen(substr(text, 1,
+                        position('table' IN text) - 1)) + 1 END,
+              CASE WHEN position('spark' IN text) = 0 THEN 0
+                   ELSE strlen(substr(text, 1,
+                        position('spark' IN text) - 1)) + 1 END] AS ps,
              toks
       FROM t)
     SELECT doc_id,
@@ -3456,4 +3465,79 @@ def ch_subseq_net_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("oui").cast("long").alias("oui"),
         F.col("d_add").cast("date").alias("d_add"),
         F.col("t2").cast("timestamp").alias("t2"),
+    )
+
+
+@query(
+    "ch_split_window_dialect",
+    """
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+           time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours'
+               AS w_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1
+                         ELSE 1 + (event_id % 7 - 1) // 3 END)
+                AS BIGINT) AS split_groups,
+           CAST(SUM(CASE WHEN event_id % 5 = 0 THEN -1
+                         ELSE event_id % 100 END) AS BIGINT)
+               AS ord_sum,
+           CAST(SUM(CASE WHEN event_id % 4 = 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS parsed_cnt,
+           min(event_type) AS base_name
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def ch_split_window_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 sweep batches 7-8 as a graded query: tumble windows
+    (epoch-aligned = DuckDB's time_bucket — both origins are UTC
+    midnights, so every sub-day bucket agrees), arraySplit group
+    counts in closed form (splits of [y%3 for y in range(m)] cut at
+    multiples of 3), toInt64OrDefault on a mixed parse/fallback
+    column, parseDateTimeBestEffortOrNull validity counting, and
+    basename. The DuckDB oracle re-derives everything from integer
+    formulas — no shared code path. One scan, one shuffle on the
+    (window, type) key."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    ).createOrReplaceTempView("ch_sw_events")
+    ch = """
+        SELECT tumbleStart(ts, INTERVAL 6 HOUR) AS w_start,
+               tumbleEnd(ts, INTERVAL 6 HOUR) AS w_end,
+               event_type,
+               count() AS cnt,
+               sum(toInt64(arrayCount(g -> true,
+                   arraySplit(x -> x = 0,
+                       arrayMap(y -> modulo(y, 3),
+                                range(modulo(event_id, 7)))))))
+                   AS split_groups,
+               sum(toInt64OrDefault(
+                   if(modulo(event_id, 5) = 0, 'x',
+                      toString(modulo(event_id, 100))), -1))
+                   AS ord_sum,
+               sum(toInt64(isNotNull(parseDateTimeBestEffortOrNull(
+                   if(modulo(event_id, 4) = 0, 'bad',
+                      concat('2024-01-0',
+                             toString(modulo(event_id, 9) + 1)))))))
+                   AS parsed_cnt,
+               min(basename(concat('a/b/', event_type)))
+                   AS base_name
+        FROM ch_sw_events
+        GROUP BY w_start, w_end, event_type
+    """
+    return spark.sql(translate(ch)).select(
+        F.col("w_start").cast("timestamp").alias("w_start"),
+        F.col("w_end").cast("timestamp").alias("w_end"),
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("split_groups").cast("long").alias("split_groups"),
+        F.col("ord_sum").cast("long").alias("ord_sum"),
+        F.col("parsed_cnt").cast("long").alias("parsed_cnt"),
+        "base_name",
     )

@@ -1516,17 +1516,19 @@ def test_divergence_guard_batch(spark):
         "least(CAST(NULL AS INT), 2) AS l4, "
         "initcap('hello-world FOO_bar 2x') AS ic, "
         "locate('haystack', 'st') AS lc1, "
-        "locate('xxabxab', 'ab', 4) AS lc2, "
         "substringIndex('a.b.c', '.', 2) AS si, "
         "reverseUTF8('abc') AS rv"
     )).collect()[0]
+    # locate's start_pos form gates (byte-offset arithmetic)
+    with pytest.raises(ValueError, match="start_pos"):
+        translate("SELECT locate('xxabxab', 'ab', 4)")
     assert (r["l1"], r["l2"], r["l3"]) == ("ab", "abcd", "")
     assert (r["r1"], r["r2"]) == ("ef", "cdef")
     assert r["g1"] == 2 and r["g2"] is None and r["l4"] is None
     # '2x': the first symbol is a digit — toupper('2') is '2' and the
     # rest still lowercases, per CH's per-word rule
     assert r["ic"] == "Hello-World Foo_Bar 2x"
-    assert r["lc1"] == 4 and r["lc2"] == 6
+    assert r["lc1"] == 4
     assert r["si"] == "a.b" and r["rv"] == "cba"
 
     for bad, msg in [
@@ -1952,7 +1954,8 @@ def test_string_distance_and_textnorm_family(spark):
     )).collect()[0]
     assert (r["j0"], r["j1"], r["j2"], r["j3"]) == (0, 97, 96354, 99162322)
     assert r["jneg"] < 0 and r["hpos"] == r["jneg"] & 0x7FFFFFFF
-    assert r["nfc"] == "é" and r["nfd_len"] == 2
+    # CH length() is BYTES: NFD('é') = 'e' + U+0301 = 1 + 2 bytes
+    assert r["nfc"] == "é" and r["nfd_len"] == 3
     assert r["ed_b"] == 2 and r["ed_c"] == 1  # bytes vs codepoints
     assert r["jr"] == pytest.approx(0.944444444, abs=1e-9)
     assert r["jw"] == pytest.approx(0.961111111, abs=1e-9)
@@ -2415,7 +2418,7 @@ def test_r10_sweep_batch3(spark):
     rows = spark.sql(translate(
         "SELECT randUniform(10, 20) AS u, randNormal(100, 0.001) AS n,"
         " randBernoulli(0.5) AS b, randExponential(1000000) AS e, "
-        "randLogNormal(0, 0.001) AS ln FROM range(1000)"
+        "randLogNormal(0, 0.001) AS ln FROM numbers(1000)"
     )).collect()
     us = [row["u"] for row in rows]
     assert all(10 <= u < 20 for u in us)
@@ -2715,3 +2718,93 @@ def test_r10_sweep_batch8(spark):
     )).collect()[0]
     assert r["merged"]["col1"] == [1, 2, 3]
     assert r["merged"]["col2"] == [12, 121, 10]
+
+
+def test_length_position_byte_semantics(spark):
+    """CH length()/position()/locate() are BYTE-based on String
+    (the UTF8 spellings are the codepoint forms). Pinned against
+    2-byte é: length counts bytes, every position-family offset is
+    the byte offset of the match, the ASCII-CI fold preserves those
+    offsets, and the multiSearch positions agree."""
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    r = spark.sql(translate(
+        "SELECT length('héllo') AS blen, lengthUTF8('héllo') AS clen, "
+        "position('héllo data', 'data') AS p, "
+        "positionUTF8('héllo data', 'data') AS pu, "
+        "positionCaseInsensitive('héLLo DAta', 'data') AS pci, "
+        "position('héllo', 'zz') AS p0, "
+        "locate('héllo data', 'data') AS loc, "
+        "multiSearchFirstPosition('héllo data table', "
+        "['table', 'data']) AS mfp, "
+        "multiSearchAllPositions('héllo data', ['data', 'zz']) "
+        "AS map_, "
+        "multiSearchAllPositionsCaseInsensitive('héllo DAta', "
+        "['data', 'zz']) AS mapci"
+    )).collect()[0]
+    assert r["blen"] == 6 and r["clen"] == 5
+    assert r["p"] == 8 and r["pu"] == 7 and r["pci"] == 8
+    assert r["p0"] == 0 and r["loc"] == 8 and r["mfp"] == 8
+    assert r["map_"] == [8, 0] and r["mapci"] == [8, 0]
+
+
+def test_r10_sweep_batch9(spark):
+    """r10 candidate sweep, batch 9: combinator cross products
+    (-Distinct×If, -ForEach/-Array×If, If×State both orders) and
+    the moment-family State/Merge pairs (mergeable (n, Σx, Σx²) /
+    6-tuple states whose merges reproduce the direct aggregates).
+    Gates are asserted in test_dialect_surface_audit."""
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 10.0D, 2.0D, array(1,2)), "
+        "(2, 20.0D, 8.0D, array(3,4,5)), (3, 30.0D, 18.0D, array(6)) "
+        "t(id, x, y, arr)"
+    ).createOrReplaceTempView("t_sweep9")
+
+    r = spark.sql(translate(
+        "SELECT uniqExactDistinct(id) AS u, "
+        "sumIfDistinct(x, id < 3) AS sd, "
+        "avgForEach(arr) AS afe, countForEach(arr) AS cfe, "
+        "sumArrayIf(arr, id > 1) AS saif, anyArray(arr) AS aa "
+        "FROM t_sweep9"
+    )).collect()[0]
+    assert r["u"] == 3 and float(r["sd"]) == 30.0
+    assert r["cfe"] == [3, 2, 1]
+    assert r["afe"] == [(1 + 3 + 6) / 3, 3.0, 5.0]
+    assert r["saif"] == 3 + 4 + 5 + 6
+    assert r["aa"] in (1, 3, 6)
+
+    # moment State/Merge round trips == the direct aggregates
+    merged = spark.sql(translate(
+        "SELECT stddevPopMerge(st) AS sp, varSampMerge(st2) AS vs, "
+        "corrMerge(cst) AS c, covarPopMerge(cst2) AS cp FROM ("
+        "  SELECT stddevPopState(x) AS st, varSampState(x) AS st2, "
+        "  corrState(x, y) AS cst, covarPopState(x, y) AS cst2 "
+        "  FROM t_sweep9 GROUP BY id % 2)"
+    )).collect()[0]
+    direct = spark.sql(
+        "SELECT stddev_pop(x) sp, var_samp(x) vs, corr(x, y) c, "
+        "covar_pop(x, y) cp FROM t_sweep9"
+    ).collect()[0]
+    for a, b in zip(merged, direct):
+        assert abs(a - b) < 1e-9
+
+    # argMax state carries (arg, val); merge re-compares on val
+    r = spark.sql(translate(
+        "SELECT argMaxMerge(st) AS am, argMinMerge(st2) AS an FROM ("
+        "  SELECT argMaxState(id, x) AS st, argMinState(id, x) AS st2 "
+        "  FROM t_sweep9 GROUP BY id % 2)"
+    )).collect()[0]
+    assert r["am"] == 3 and r["an"] == 1
+
+    # If×State both orders + count form
+    r = spark.sql(translate(
+        "SELECT avgMerge(st) AS a, sumMerge(st2) AS s, "
+        "countMerge(st3) AS c FROM ("
+        "  SELECT avgIfState(x, id < 3) AS st, "
+        "  sumStateIf(x, id > 1) AS st2, "
+        "  countIfState(id > 1) AS st3 FROM t_sweep9 GROUP BY id)"
+    )).collect()[0]
+    assert float(r["a"]) == 15.0 and float(r["s"]) == 50.0
+    assert r["c"] == 2

@@ -371,6 +371,31 @@ _MUST_HANDLE = [
     "polygonAreaSpherical(p)", "polygonPerimeterSpherical(p)",
     "polygonsDistanceSpherical(p, q)",
     "polygonConvexHullCartesian(p)",
+    # r10 sweep 9: combinator cross products + moment State/Merge
+    "uniqExactDistinct(x)", "sumIfDistinct(x, c)",
+    "sumDistinctIf(x, c)", "avgIfDistinct(x, c)",
+    "countIfDistinct(x, c)",
+    "avgForEach(a)", "countForEach(a)",
+    "sumForEachIf(a, c)", "avgForEachIf(a, c)",
+    "sumArrayIf(a, c)", "sumIfArray(a, c)", "avgArrayIf(a, c)",
+    "minArrayIf(a, c)", "maxIfArray(a, c)", "countArrayIf(a, c)",
+    "anyArray(a)",
+    "anyLastState(x)", "anyLastMerge(st)",
+    "argMaxState(a, b)", "argMaxMerge(st)",
+    "argMinState(a, b)", "argMinMerge(st)",
+    "sumIfState(x, c)", "sumStateIf(x, c)", "avgIfState(x, c)",
+    "minIfState(x, c)", "maxStateIf(x, c)", "countIfState(c)",
+    "countStateIf(c)", "anyLastIfState(x, c)",
+    "varPopState(x)", "varPopMerge(st)", "varSampState(x)",
+    "varSampMerge(st)", "stddevPopState(x)", "stddevPopMerge(st)",
+    "stddevSampState(x)", "stddevSampMerge(st)",
+    "covarPopState(x, y)", "covarPopMerge(st)",
+    "covarSampState(x, y)", "covarSampMerge(st)",
+    "corrState(x, y)", "corrMerge(st)",
+    "topKState(5)(x)", "topKMerge(5)(st)",
+    "windowFunnelState(10)(t, a)", "windowFunnelMerge(10)(st)",
+    "quantilesExactState(0.5, 0.9)(x)",
+    "quantilesExactMerge(0.5, 0.9)(st)",
 ]
 
 
