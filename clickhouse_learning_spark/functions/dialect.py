@@ -1732,6 +1732,173 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
         m[_g8] = (lambda name, why: lambda a: (_ for _ in ()).throw(
             ValueError(f"{name}: {why}")))(_g8, _g8why)
 
+    # ---- r10 sweep batch 10: arithmetic leftovers, IPv6 strict
+    # conversions, readable-size parsing, norm variants ------------
+    m["moduloOrZero"] = lambda a: (
+        lambda x, y: f"coalesce(({x} % nullif({y}, 0)), 0)"
+    )(*_two(a, "moduloOrZero"))
+    m["divideOrNull"] = lambda a: (
+        lambda x, y: f"try_divide(CAST({x} AS DOUBLE), {y})"
+    )(*_two(a, "divideOrNull"))
+
+    # gcd/lcm: Spark has no builtins — a bounded Euclid fold (64
+    # steps covers the 64-bit worst case; each step is a cheap IF)
+    def _gcd_expr(x: str, y: str) -> str:
+        return (
+            f"aggregate(sequence(1, 64), "
+            f"named_struct('a', abs(CAST({x} AS BIGINT)), "
+            f"'b', abs(CAST({y} AS BIGINT))), "
+            f"(gcd_acc, gcd_i) -> IF(gcd_acc.b = 0, gcd_acc, "
+            f"named_struct('a', gcd_acc.b, 'b', gcd_acc.a % gcd_acc.b)), "
+            f"gcd_acc -> gcd_acc.a)"
+        )
+
+    m["gcd"] = lambda a: _gcd_expr(*_two(a, "gcd"))
+    m["lcm"] = lambda a: (
+        lambda x, y: (
+            f"(CASE WHEN ({x}) = 0 OR ({y}) = 0 THEN 0 ELSE "
+            f"abs(CAST({x} AS BIGINT)) DIV {_gcd_expr(x, y)} "
+            f"* abs(CAST({y} AS BIGINT)) END)"
+        )
+    )(*_two(a, "lcm"))
+
+    # trunc/truncate: toward-zero (Spark's bare trunc is the DATE
+    # truncator — a silent-resolution trap)
+    def _ch_trunc(name: str):
+        def impl(a):
+            if len(a) == 1:
+                x = a[0]
+                return (
+                    f"CAST((CASE WHEN ({x}) >= 0 THEN floor({x}) "
+                    f"ELSE ceil({x}) END) AS DOUBLE)"
+                )
+            if len(a) == 2:
+                x, n = a
+                p = f"power(10, {n})"
+                return (
+                    f"((CASE WHEN ({x}) >= 0 THEN floor(({x}) * {p}) "
+                    f"ELSE ceil(({x}) * {p}) END) / {p})"
+                )
+            raise ValueError(f"{name}(x[, n])")
+        return impl
+
+    m["trunc"] = _ch_trunc("trunc")
+    m["truncate"] = _ch_trunc("truncate")
+    m["canonicalRand"] = lambda a: "rand()"  # old randCanonical alias
+    m["toUUIDOrDefault"] = lambda a: (
+        f"coalesce({m['toUUIDOrNull']([a[0]])}, {a[1]})"
+        if len(a) == 2
+        else (_ for _ in ()).throw(
+            ValueError("toUUIDOrDefault(s, default)"))
+    )
+
+    # strict/Or* IPv6 text→binary conversions (= IPv6StringToNum
+    # family; the UDFs registered on demand)
+    m["toIPv6"] = lambda a: _ipv6_udf_sqln(
+        "ch_ipv6_string_to_num", _one(a, "toIPv6"))
+    m["toIPv6OrNull"] = lambda a: _ipv6_udf_sqln(
+        "ch_ipv6_string_to_num_or_null", _one(a, "toIPv6OrNull"))
+    m["toIPv6OrZero"] = lambda a: (
+        f"coalesce({_ipv6_udf_sqln('ch_ipv6_string_to_num_or_null', _one(a, 'toIPv6OrZero'))}, "
+        f"unhex('{'0' * 32}'))"
+    )
+    m["toIPv6OrDefault"] = lambda a: (
+        m["toIPv6OrZero"]([a[0]])
+        if len(a) == 1
+        else f"coalesce({_ipv6_udf_sqln('ch_ipv6_string_to_num_or_null', a[0])}, {a[1]})"
+    )
+    m["toIPv4OrDefault"] = lambda a: (
+        m["toIPv4OrZero"]([a[0]])
+        if len(a) == 1
+        else f"coalesce({m['toIPv4OrNull']([a[0]])}, {a[1]})"
+    )
+    # Class-C rendering: first three octets + literal 'xxx'
+    m["IPv4NumToStringClassC"] = lambda a: (
+        lambda n: (
+            f"concat_ws('.', CAST(({n} div 16777216) % 256 AS STRING), "
+            f"CAST(({n} div 65536) % 256 AS STRING), "
+            f"CAST(({n} div 256) % 256 AS STRING), 'xxx')"
+        )
+    )(_one(a, "IPv4NumToStringClassC"))
+
+    # Linf/Lp normalize: x / the matching norm (same style as
+    # L1Normalize/L2Normalize above)
+    m["LinfNormalize"] = lambda a: (
+        lambda v: (
+            f"transform({v}, linfn_x -> CAST(linfn_x AS DOUBLE) / "
+            f"array_max(transform({v}, "
+            f"linfn_p -> abs(CAST(linfn_p AS DOUBLE)))))"
+        )
+    )(_one(a, "LinfNormalize"))
+    m["LpNormalize"] = lambda a: (
+        lambda v, p: (
+            f"transform({v}, lpn_x -> CAST(lpn_x AS DOUBLE) / "
+            f"{m['LpNorm']([v, p])})"
+        )
+    )(*_two(a, "LpNormalize"))
+
+    # parseReadableSize: '<num> <unit>' → bytes rounded UP; decimal
+    # (KB=1e3) and binary (KiB=1024) suffix ladders
+    def _readable_size(name: str, on_bad: str):
+        def impl(a):
+            s_ = _one(a, name)
+            # try_cast: a non-matching extract yields '' which must
+            # flow as NULL, not an ANSI cast error
+            num = (
+                f"try_cast(regexp_extract({s_}, "
+                f"'^\\\\s*([0-9]*\\\\.?[0-9]+)\\\\s*([A-Za-z]+)"
+                f"\\\\s*$', 1) AS DOUBLE)"
+            )
+            unit = (
+                f"regexp_extract({s_}, "
+                f"'^\\\\s*([0-9]*\\\\.?[0-9]+)\\\\s*([A-Za-z]+)"
+                f"\\\\s*$', 2)"
+            )
+            mult = (
+                f"(CASE {unit} WHEN 'B' THEN 1E0 "
+                f"WHEN 'KB' THEN 1E3 WHEN 'MB' THEN 1E6 "
+                f"WHEN 'GB' THEN 1E9 WHEN 'TB' THEN 1E12 "
+                f"WHEN 'PB' THEN 1E15 WHEN 'EB' THEN 1E18 "
+                f"WHEN 'KiB' THEN 1024E0 WHEN 'MiB' THEN power(1024, 2) "
+                f"WHEN 'GiB' THEN power(1024, 3) "
+                f"WHEN 'TiB' THEN power(1024, 4) "
+                f"WHEN 'PiB' THEN power(1024, 5) "
+                f"WHEN 'EiB' THEN power(1024, 6) END)"
+            )
+            val = f"CAST(ceil({num} * {mult}) AS BIGINT)"
+            if on_bad == "raise":
+                return (
+                    f"(CASE WHEN {mult} IS NULL OR {num} IS NULL THEN "
+                    f"CAST(raise_error(concat('parseReadableSize: "
+                    f"invalid input ', coalesce({s_}, 'NULL'))) "
+                    f"AS BIGINT) ELSE {val} END)"
+                )
+            if on_bad == "zero":
+                return f"coalesce({val}, 0)"
+            return val  # NULL propagates
+        return impl
+
+    m["parseReadableSize"] = _readable_size(
+        "parseReadableSize", "raise")
+    m["parseReadableSizeOrNull"] = _readable_size(
+        "parseReadableSizeOrNull", "null")
+    m["parseReadableSizeOrZero"] = _readable_size(
+        "parseReadableSizeOrZero", "zero")
+
+    for _g10, _g10why in (
+        ("moduloLegacy", "the pre-21.x sign rule is not pinned "
+         "offline — modulo maps with CH's current semantics"),
+        ("emptyArrayToSingle", "the element type's default value is "
+         "not statically known — IF(empty(a), [x], a) explicitly"),
+        ("dictGetAll", "multi-row attribute lookups are plain joins "
+         "against the dictionary view (functions/dictionary.py)"),
+        ("parseTimeDelta", "CH's month/year unit constants are not "
+         "pinned offline — unix_timestamp arithmetic on explicit "
+         "intervals instead"),
+    ):
+        m[_g10] = (lambda name, why: lambda a: (_ for _ in ()).throw(
+            ValueError(f"{name}: {why}")))(_g10, _g10why)
+
     # ---- r10 sweep batch 5: array set ops + server introspection --
     m["arrayUnion"] = lambda a: (lambda x, y: (
         f"array_union({x}, {y})"  # distinct union; CH leaves the
@@ -5448,7 +5615,17 @@ def _mapping() -> dict[str, Callable[[list[str]], str]]:
                "wordShingleMinHash", "wordShingleMinHashCaseInsensitive",
                "wordShingleMinHashUTF8",
                "wordShingleMinHashCaseInsensitiveUTF8",
-               "ngramSimHash", "ngramMinHash"):
+               "ngramSimHash", "ngramSimHashCaseInsensitive",
+               "ngramSimHashUTF8", "ngramSimHashCaseInsensitiveUTF8",
+               "ngramMinHash", "ngramMinHashCaseInsensitive",
+               "ngramMinHashUTF8", "ngramMinHashCaseInsensitiveUTF8",
+               "ngramMinHashArg", "ngramMinHashArgCaseInsensitive",
+               "ngramMinHashArgUTF8",
+               "ngramMinHashArgCaseInsensitiveUTF8",
+               "wordShingleMinHashArg",
+               "wordShingleMinHashArgCaseInsensitive",
+               "wordShingleMinHashArgUTF8",
+               "wordShingleMinHashArgCaseInsensitiveUTF8"):
         m[_h] = (
             lambda name: lambda a: (_ for _ in ()).throw(
                 ValueError(
@@ -9250,7 +9427,8 @@ def translate(
                 )
             if k < n and sql[k] == "(" and (
                 ident in _MAPPING
-                or ident in ("dictGet", "dictGetOrDefault", "dictHas")
+                or ident in ("dictGet", "dictGetOrDefault",
+                             "dictGetOrNull", "dictHas")
             ):
                 close = _matching_paren(sql, k)
                 # name(params)(args) on a mapped-but-not-parameterized
@@ -9274,8 +9452,11 @@ def translate(
                 ]
                 if ident == "dictHas":
                     out.append(_dict_has(args, dictionaries))
-                elif ident in ("dictGet", "dictGetOrDefault"):
-                    out.append(_dict_get(args, dictionaries))
+                elif ident in ("dictGet", "dictGetOrDefault",
+                               "dictGetOrNull"):
+                    out.append(_dict_get(
+                        args, dictionaries,
+                        or_null=(ident == "dictGetOrNull")))
                 else:
                     out.append(_MAPPING[ident](args))
                 i = close + 1
@@ -9298,7 +9479,9 @@ def _sql_literal(v) -> str:
     return repr(v)
 
 
-def _dict_get(args: list[str], dictionaries: dict | None) -> str:
+def _dict_get(
+    args: list[str], dictionaries: dict | None, or_null: bool = False
+) -> str:
     # dictGetOrDefault carries the per-call default as a 4th argument
     call_default = None
     if len(args) == 4:
@@ -9322,6 +9505,10 @@ def _dict_get(args: list[str], dictionaries: dict | None) -> str:
     # max() makes the subquery provably single-row for the analyzer;
     # keys are unique in a hashed dictionary so it never discards data
     lookup = f"(SELECT max({attr}) FROM {view} WHERE {view}.{key_col} = {key})"
+    if or_null:
+        # dictGetOrNull: NULL on a missing key even when the DDL
+        # declares an attribute default
+        return lookup
     if call_default is not None:
         # dictGetOrDefault: the call-site default wins over the DDL one
         return f"coalesce({lookup}, {call_default})"

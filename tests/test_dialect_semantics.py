@@ -2808,3 +2808,75 @@ def test_r10_sweep_batch9(spark):
     )).collect()[0]
     assert float(r["a"]) == 15.0 and float(r["s"]) == 50.0
     assert r["c"] == 2
+
+
+def test_r10_sweep_batch10(spark):
+    """r10 candidate sweep, batch 10: arithmetic leftovers (gcd/lcm
+    via a bounded Euclid fold, toward-zero trunc/truncate,
+    moduloOrZero/divideOrNull), strict/Or* IPv6 text→binary
+    conversions, Class-C rendering, Linf/Lp normalization,
+    readable-size parsing (decimal + binary ladders, rounded up),
+    and dictGetOrNull (NULL beats the DDL default on a miss).
+    Gates are asserted in test_dialect_surface_audit."""
+    import pytest as _pytest
+
+    from clickhouse_learning_spark.functions.dialect import translate
+
+    r = spark.sql(translate(
+        "SELECT gcd(12, 18) AS g1, gcd(0, 7) AS g2, gcd(0, 0) AS g3, "
+        "gcd(-12, 18) AS g4, lcm(4, 6) AS l1, lcm(0, 5) AS l2, "
+        "trunc(-2.7) AS t1, trunc(2.7) AS t2, "
+        "truncate(2.789, 2) AS t3, truncate(-2.789, 2) AS t4, "
+        "moduloOrZero(7, 0) AS mz, moduloOrZero(7, 3) AS m3, "
+        "divideOrNull(1, 0) AS dn, divideOrNull(7, 2) AS d2, "
+        "canonicalRand() AS cr"
+    )).collect()[0]
+    assert (r["g1"], r["g2"], r["g3"], r["g4"]) == (6, 7, 0, 6)
+    assert (r["l1"], r["l2"]) == (12, 0)
+    assert (r["t1"], r["t2"]) == (-2.0, 2.0)
+    assert (abs(r["t3"] - 2.78) < 1e-12
+            and abs(r["t4"] - -2.78) < 1e-12)
+    assert r["mz"] == 0 and r["m3"] == 1
+    assert r["dn"] is None and r["d2"] == 3.5
+    assert 0.0 <= r["cr"] < 1.0
+
+    r = spark.sql(translate(
+        "SELECT hex(toIPv6('::1')) AS h1, "
+        "toIPv6OrNull('bad') AS h2, "
+        "hex(toIPv6OrZero('bad')) AS h3, "
+        "hex(toIPv6OrDefault('bad')) AS h4, "
+        "IPv4NumToStringClassC(3232235777) AS cc, "
+        "LinfNormalize([3.0, -4.0]) AS ln_, "
+        "LpNormalize([3.0, 4.0], 2) AS lp, "
+        "parseReadableSize('1.5 KiB') AS ps, "
+        "parseReadableSize('10 MB') AS ps2, "
+        "parseReadableSizeOrNull('nonsense') AS ps3, "
+        "parseReadableSizeOrZero('nonsense') AS ps4"
+    )).collect()[0]
+    assert r["h1"] == "0" * 31 + "1"
+    assert r["h2"] is None and r["h3"] == "0" * 32
+    assert r["h4"] == "0" * 32
+    assert r["cc"] == "192.168.1.xxx"
+    assert r["ln_"] == [0.75, -1.0]
+    assert r["lp"] == [0.6, 0.8]
+    assert r["ps"] == 1536 and r["ps2"] == 10_000_000
+    assert r["ps3"] is None and r["ps4"] == 0
+
+    # dictGetOrNull ignores the DDL default on a miss
+    spark.sql(
+        "SELECT * FROM VALUES (1, 30) t(uid, age)"
+    ).createOrReplaceTempView("b10_user_dim")
+    dicts = {"d.u": ("b10_user_dim", "uid", {"age": 99})}
+    hit, miss, miss_dflt = spark.sql(translate(
+        "SELECT dictGetOrNull('d.u', 'age', 1) AS hit, "
+        "dictGetOrNull('d.u', 'age', 2) AS miss, "
+        "dictGet('d.u', 'age', 2) AS miss_dflt",
+        dictionaries=dicts,
+    )).collect()[0]
+    assert hit == 30 and miss is None and miss_dflt == 99
+
+    # strict parseReadableSize raises on invalid input (CH throws)
+    with _pytest.raises(Exception, match="parseReadableSize"):
+        spark.sql(translate(
+            "SELECT parseReadableSize('nonsense') AS x"
+        )).collect()

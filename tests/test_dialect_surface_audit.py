@@ -49,6 +49,10 @@ _SHARED_OK = {
     # r10 sweep 8: LAST_DAY is CH's toLastDayOfMonth alias and
     # Spark's last_day — identical last-day-of-month semantics
     "last_day",
+    # r10 sweep 10: name-identical semantics — CH log(x) IS natural
+    # log (alias ln) = Spark's log(x); power/pow identical IEEE;
+    # date_trunc agrees on every unit incl. week (both Monday)
+    "log", "power", "pow", "date_trunc",
 }
 
 # every name here must be mapped or gated — NEVER a passthrough
@@ -396,6 +400,20 @@ _MUST_HANDLE = [
     "windowFunnelState(10)(t, a)", "windowFunnelMerge(10)(st)",
     "quantilesExactState(0.5, 0.9)(x)",
     "quantilesExactMerge(0.5, 0.9)(st)",
+    # r10 sweep 10: arithmetic leftovers, IPv6 strict conversions,
+    # readable-size parsing, norm variants
+    "moduloOrZero(a, b)", "divideOrNull(a, b)", "moduloLegacy(a, b)",
+    "gcd(a, b)", "lcm(a, b)", "trunc(x)", "truncate(x, 2)",
+    "canonicalRand()", "toUUIDOrDefault(s, u)",
+    "toIPv6(s)", "toIPv6OrNull(s)", "toIPv6OrZero(s)",
+    "toIPv6OrDefault(s)", "toIPv4OrDefault(s)",
+    "IPv4NumToStringClassC(x)",
+    "LinfNormalize(a)", "LpNormalize(a, 3)",
+    "parseReadableSize('1 KiB')", "parseReadableSizeOrNull(s)",
+    "parseReadableSizeOrZero(s)", "parseTimeDelta(s)",
+    "emptyArrayToSingle(a)", "dictGetAll('d', 'a', k)",
+    "ngramSimHashCaseInsensitive(s)", "ngramMinHashUTF8(s)",
+    "ngramMinHashArg(s)", "wordShingleMinHashArgUTF8(s)",
 ]
 
 
