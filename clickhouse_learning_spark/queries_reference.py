@@ -3541,3 +3541,119 @@ def ch_split_window_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("parsed_cnt").cast("long").alias("parsed_cnt"),
         "base_name",
     )
+
+
+@query(
+    "ch_combinator_cross_dialect",
+    """
+    SELECT CAST(o_orderkey % 20 AS BIGINT) AS bucket,
+           arg_max(o_orderpriority, o_orderkey) AS top_prio,
+           CAST(round(stddev_pop(o_totalprice) * 100) AS BIGINT)
+               AS sd_x100,
+           CAST(round(corr(o_orderkey % 97, o_custkey % 89) * 10000)
+                AS BIGINT) AS corr_x10k,
+           CAST(SUM(gcd(o_orderkey % 1000, o_custkey % 1000))
+                AS BIGINT) AS gcd_sum,
+           CAST(SUM(lcm(o_orderkey % 12 + 1, o_custkey % 9 + 1))
+                AS BIGINT) AS lcm_sum,
+           CAST(SUM(CAST(floor(o_totalprice * 10) AS BIGINT))
+                AS BIGINT) AS trunc_sum,
+           CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN 0
+                         ELSE o_orderkey % (o_custkey % 7) END)
+                AS BIGINT) AS mz_sum,
+           CAST(SUM(CASE WHEN o_custkey % 5 = 0 THEN -100
+                         ELSE CAST(round(100.0 / (o_custkey % 5)
+                              * 100) AS BIGINT) END) AS BIGINT)
+               AS dn_sum,
+           CAST(SUM((o_orderkey % 100) * 1024) AS BIGINT) AS prs_sum,
+           CAST(coalesce(SUM(DISTINCT CASE WHEN
+                    o_orderpriority = '1-URGENT'
+                    THEN o_orderkey % 50 END), 0) AS BIGINT)
+               AS sdi_sum,
+           CAST(round(avg(o_orderkey % 5) * 1000) AS BIGINT) AS afe1,
+           CAST(round(avg(o_orderkey % 7) * 1000) AS BIGINT) AS afe2
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def ch_combinator_cross_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 sweep batches 9-10 as a graded query: the moment and
+    argMax State/Merge pairs run genuinely TWO-PHASE (inner partial
+    states per (bucket, o_orderkey%7), outer merge) and must land on
+    DuckDB's DIRECT one-pass aggregates — a real mergeability oracle,
+    not an echo; plus gcd/lcm (bounded Euclid fold vs DuckDB's
+    builtins), truncate, moduloOrZero/divideOrNull, parseReadableSize
+    on synthesized '<n> KiB' strings, sumIfDistinct, and avgForEach
+    over per-row arrays read out elementwise. Integer units
+    throughout per the graded-floats discipline. Two shuffles (the
+    partial key, then the bucket)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.functions.dialect import translate
+    from clickhouse_learning_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).createOrReplaceTempView("ch_cc_orders")
+    ch = """
+        SELECT bucket,
+               argMaxMerge(am_st) AS top_prio,
+               toInt64(round(stddevPopMerge(sd_st) * 100)) AS sd_x100,
+               toInt64(round(corrMerge(c_st) * 10000)) AS corr_x10k,
+               sum(gcd_part) AS gcd_sum,
+               sum(lcm_part) AS lcm_sum,
+               sum(trunc_part) AS trunc_sum,
+               sum(mz_part) AS mz_sum,
+               sum(dn_part) AS dn_sum,
+               sum(prs_part) AS prs_sum,
+               arraySum(x -> x, arrayDistinct(arrayFlatten(
+                   groupArray(sdi_part)))) AS sdi_sum,
+               toInt64(round(
+                   arrayElement(sumForEach(fe_sums), 1) * 1000.0
+                   / sum(cnt_part))) AS afe1,
+               toInt64(round(
+                   arrayElement(sumForEach(fe_sums), 2) * 1000.0
+                   / sum(cnt_part))) AS afe2
+        FROM (
+          SELECT modulo(o_orderkey, 20) AS bucket,
+                 argMaxState(o_orderpriority, o_orderkey) AS am_st,
+                 stddevPopState(o_totalprice) AS sd_st,
+                 corrState(modulo(o_orderkey, 97),
+                           modulo(o_custkey, 89)) AS c_st,
+                 sum(gcd(modulo(o_orderkey, 1000),
+                         modulo(o_custkey, 1000))) AS gcd_part,
+                 sum(lcm(modulo(o_orderkey, 12) + 1,
+                         modulo(o_custkey, 9) + 1)) AS lcm_part,
+                 sum(toInt64(round(truncate(o_totalprice, 1) * 10)))
+                     AS trunc_part,
+                 sum(moduloOrZero(o_orderkey,
+                                  modulo(o_custkey, 7))) AS mz_part,
+                 sum(toInt64(round(coalesce(divideOrNull(100,
+                     modulo(o_custkey, 5)), -1) * 100))) AS dn_part,
+                 sum(parseReadableSize(concat(
+                     toString(modulo(o_orderkey, 100)), ' KiB')))
+                     AS prs_part,
+                 groupUniqArray(if(o_orderpriority = '1-URGENT',
+                     modulo(o_orderkey, 50), NULL)) AS sdi_part,
+                 sumForEach([modulo(o_orderkey, 5),
+                             modulo(o_orderkey, 7)]) AS fe_sums,
+                 count() AS cnt_part
+          FROM ch_cc_orders
+          GROUP BY modulo(o_orderkey, 20), modulo(o_orderkey, 7))
+        GROUP BY bucket
+    """
+    return spark.sql(translate(ch)).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "top_prio",
+        F.col("sd_x100").cast("long").alias("sd_x100"),
+        F.col("corr_x10k").cast("long").alias("corr_x10k"),
+        F.col("gcd_sum").cast("long").alias("gcd_sum"),
+        F.col("lcm_sum").cast("long").alias("lcm_sum"),
+        F.col("trunc_sum").cast("long").alias("trunc_sum"),
+        F.col("mz_sum").cast("long").alias("mz_sum"),
+        F.col("dn_sum").cast("long").alias("dn_sum"),
+        F.col("prs_sum").cast("long").alias("prs_sum"),
+        F.col("sdi_sum").cast("long").alias("sdi_sum"),
+        F.col("afe1").cast("long").alias("afe1"),
+        F.col("afe2").cast("long").alias("afe2"),
+    )
