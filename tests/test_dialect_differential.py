@@ -78,6 +78,22 @@ def gw(r):  # word, non-empty, no spaces
     return "".join(r.choice("abcxyz012") for _ in range(r.randint(1, 8)))
 
 
+def g_uhay_needle(r):
+    """(haystack, needle) over the UNICODE alphabet — multi-byte
+    chars ahead of the match shift CH's byte offsets off the char
+    ones; needle present ~half the time, empty-needle edge kept."""
+    h = "".join(r.choice(_UALPHA) for _ in range(r.randint(0, 12)))
+    roll = r.random()
+    if roll < 0.15:
+        n = ""
+    elif roll < 0.6 and len(h) >= 2:
+        i = r.randint(0, len(h) - 1)
+        n = h[i:r.randint(i + 1, len(h))]
+    else:
+        n = "".join(r.choice(_UALPHA) for _ in range(r.randint(1, 3)))
+    return (h, n)
+
+
 def gd(r):
     return dt.date(1970, 1, 1) + dt.timedelta(days=r.randint(0, 49000))
 
@@ -457,9 +473,23 @@ CASES = [
       [g_hay_needle]),
     C("endsWith", "endsWith({0}, {1})", "ends_with({0}, {1})",
       [g_hay_needle]),
+    # CH position/length are BYTE-based (r10): the ASCII sweep keeps
+    # byte == char; the _bytes twins below drive non-ASCII inputs
+    # through DuckDB's strlen-prefix byte-offset recomputation
     C("position", "position({0}, {1})",
       "CASE WHEN length({1}) = 0 THEN 1 ELSE strpos({0}, {1}) END",
       [g_hay_needle]),
+    C("position_bytes", "position({0}, {1})",
+      "CASE WHEN length({1}) = 0 THEN 1 "
+      "WHEN strpos({0}, {1}) = 0 THEN 0 "
+      "ELSE strlen(substr({0}, 1, strpos({0}, {1}) - 1)) + 1 END",
+      [g_uhay_needle]),
+    C("locate_bytes", "locate({0}, {1})",
+      "CASE WHEN length({1}) = 0 THEN 1 "
+      "WHEN strpos({0}, {1}) = 0 THEN 0 "
+      "ELSE strlen(substr({0}, 1, strpos({0}, {1}) - 1)) + 1 END",
+      [g_uhay_needle]),
+    C("length_bytes", "length({0})", "strlen({0})", [gsu]),
     C("positionCaseInsensitive", "positionCaseInsensitive({0}, {1})",
       "CASE WHEN length({1}) = 0 THEN 1 "
       "ELSE strpos(lower({0}), lower({1})) END", [g_hay_needle]),
