@@ -494,3 +494,37 @@ def test_ivfpq_scan_is_pure_catalyst(spark, tmp_path):
     assert "Join" not in p and "CartesianProduct" not in p
     assert "PartitionFilters: [cell" in p.replace("\n", " ") or \
         "cell#" in p.split("PartitionFilters")[1][:200], p[:3000]
+
+
+def test_r10_graded_queries_plan_shapes(spark):
+    """The r10-staged graded queries keep their declared scale
+    shapes: ch_subseq_net_dialect is map-only except the IPv6-UDF
+    lane (no Exchange); ch_split_window_dialect is one shuffle on
+    the (window, type) key; ch_combinator_cross_dialect is exactly
+    two (partial key, then bucket) with map-side partial aggregation
+    before each. All three scans are column-pruned."""
+    import re
+
+    import clickhouse_learning_spark.queries_reference  # noqa: F401
+
+    df = QUERIES["ch_subseq_net_dialect"](spark, SF_SMOKE)
+    p = plan_text(df)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p[:2000]
+    assert "ReadSchema" in p and "text" in p.split("ReadSchema")[1][:200]
+
+    df = QUERIES["ch_split_window_dialect"](spark, SF_SMOKE)
+    p = plan_text(df)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:2000]
+    # partial + final aggregation around the one shuffle (hash or
+    # object-hash, depending on the buffer types)
+    n_aggs = len(re.findall(
+        r"\(\d+\) (?:ObjectHash|Hash|Sort)Aggregate", p))
+    assert n_aggs == 2, p[:2000]
+
+    df = QUERIES["ch_combinator_cross_dialect"](spark, SF_SMOKE)
+    p = plan_text(df)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p[:2000]
+    # 4-column pruned scan
+    rs = p.split("ReadSchema")[1][:250]
+    assert "o_orderkey" in rs and "o_totalprice" in rs
+    assert "o_orderdate" not in rs
