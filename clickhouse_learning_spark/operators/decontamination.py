@@ -126,48 +126,43 @@ def bloom_contamination_report(
     """EXACT contamination counts via a Bloom prefilter — the scale
     path when the eval gram set is too large to broadcast raw (contam-
     ination between two crawls): the train side drops every gram the
-    ``bits``-wide filter rejects (a vectorized Arrow UDF over numpy —
+    ``bits``-wide filter rejects (pure-JVM bit tests, see below —
     false-positive rate (1−e^{−kn/m})^k, ~0.1%% at the defaults for 1M
     grams), and only the tiny surviving candidate set pays the exact
     verification join. Output is identical to
     :func:`contamination_report` (the verify join removes Bloom false
-    positives), so the same oracle grades both paths."""
-    from pyspark.sql.functions import pandas_udf
+    positives), so the same oracle grades both paths.
+
+    The membership probe is pure JVM codegen (optimization r10, guide
+    §4.1 — builtins beat UDFs): the ``bits/64``-long filter rides the
+    plan as ONE array literal and each position is tested with
+    ``bit_get(element_at(filter, word), bit)``. The previous
+    pandas_udf shipped 5 × 8 bytes of hash positions per train gram
+    through an ArrowEvalPython round trip just to AND five bit tests;
+    the literal lives once in the task binary and rows never carry
+    it."""
+    import numpy as np
 
     arr = build_gram_bloom(eval_df, text_col, id_col, n, bits, hashes)
-
-    def _membership(*pcols):
-        import numpy as np
-        import pandas as pd
-
-        ok = None
-        for p in pcols:
-            v = p.to_numpy(dtype=np.int64).astype(np.uint64)
-            hit = (
-                arr[(v >> np.uint64(6)).astype(np.int64)]
-                >> (v & np.uint64(63))
-            ) & np.uint64(1)
-            ok = hit.astype(bool) if ok is None else (ok & hit.astype(bool))
-        return pd.Series(ok)
-
-    # pandas_udf needs a FIXED arity (varargs signatures are rejected)
-    args = ", ".join(f"p{i}" for i in range(hashes))
-    ns = {"_membership": _membership}
-    exec(  # noqa: S102 — arity shim over the local closure only
-        f"def _shim({args}):\n    return _membership({args})\n", ns
+    blit = F.lit([int(x) for x in arr.astype(np.int64)]).cast(
+        "array<bigint>"
     )
-    _might_contain = pandas_udf(ns["_shim"], "boolean")
 
     tg = word_ngram_rows(train, text_col, id_col, n)
     pcols = [
-        F.pmod(F.xxhash64("g", F.lit(i)), F.lit(bits)).alias(f"p{i}")
+        F.pmod(F.xxhash64("g", F.lit(i)), F.lit(bits)).alias(f"_p{i}")
         for i in range(hashes)
     ]
-    cand = (
-        tg.select("id", "g", *pcols)
-        .filter(_might_contain(*[F.col(f"p{i}") for i in range(hashes)]))
-        .select("id", "g")
-    )
+    probed = tg.select("id", "g", *pcols)
+    ok = None
+    for i in range(hashes):
+        p = F.col(f"_p{i}")
+        word = F.element_at(
+            blit, (F.shiftright(p, 6) + F.lit(1)).cast("int")
+        )
+        hit = F.bit_get(word, p % 64) == 1
+        ok = hit if ok is None else (ok & hit)
+    cand = probed.filter(ok).select("id", "g")
     eg = word_ngram_rows(eval_df, text_col, id_col, n).select("g").distinct()
     return (
         cand.join(eg, "g")  # exact verify: false positives die here

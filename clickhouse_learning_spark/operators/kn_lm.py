@@ -70,20 +70,29 @@ class KNTrigramLM:
 
 
 def _trigram_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(_id, w1, w2, w3) adjacent triples — the bigram window walk plus
-    one more lead; one shuffle keyed by document id."""
-    from pyspark.sql import Window
-
-    tok = docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(_tokens(text_col)).alias("pos", "w1"),
+    """(_id, w1, w2, w3) adjacent triples — explode the position range
+    and index the token array three times (the shuffle-free
+    ``_bigram_rows`` shape, optimization r10): ``element_at`` is plain
+    codegen, and no per-doc window means no Exchange+Sort of the
+    exploded token stream (guide §2.4)."""
+    src = docs.select(
+        F.col(id_col).alias("_id"), _tokens(text_col).alias("_ts")
     )
-    w = Window.partitionBy("_id").orderBy("pos")
     return (
-        tok.withColumn("w2", F.lead("w1").over(w))
-        .withColumn("w3", F.lead("w1", 2).over(w))
-        .filter(F.col("w3").isNotNull())
-        .select("_id", "w1", "w2", "w3")
+        src.filter(F.size("_ts") >= 3)
+        .select(
+            "_id",
+            "_ts",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_ts") - F.lit(2))
+            ).alias("_i"),
+        )
+        .select(
+            "_id",
+            F.element_at("_ts", F.col("_i")).alias("w1"),
+            F.element_at("_ts", F.col("_i") + F.lit(1)).alias("w2"),
+            F.element_at("_ts", F.col("_i") + F.lit(2)).alias("w3"),
+        )
     )
 
 

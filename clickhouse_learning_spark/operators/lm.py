@@ -56,22 +56,32 @@ class BigramLM:
 
 
 def _bigram_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(_id, w1, w2) adjacent-token pairs — posexplode + per-doc lead
-    window. All-codegen: higher-order ``transform`` lambdas are
-    interpreted in Spark (measured ~10× slower on this repo's explode
-    benchmarks), so the pairing rides a window over the exploded token
-    stream instead; one shuffle keyed by document id."""
-    from pyspark.sql import Window
-
-    tok = docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(_tokens(text_col)).alias("pos", "w1"),
+    """(_id, w1, w2) adjacent-token pairs — explode the position range
+    and index the token array twice. All-codegen AND shuffle-free:
+    ``element_at`` on an array column is a plain codegen'd expression
+    (unlike higher-order ``transform`` lambdas, which are interpreted —
+    measured ~10× slower on this repo's explode benchmarks), and unlike
+    the per-doc lead-window form this needs NO Exchange+Sort of the
+    exploded token stream (optimization r10, guide §2.4: the window
+    hash-shuffled and sorted every token row only to pair neighbours
+    that already sit next to each other in the same array)."""
+    src = docs.select(
+        F.col(id_col).alias("_id"), _tokens(text_col).alias("_ts")
     )
-    w = Window.partitionBy("_id").orderBy("pos")
     return (
-        tok.withColumn("w2", F.lead("w1").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("_id", "w1", "w2")
+        src.filter(F.size("_ts") >= 2)
+        .select(
+            "_id",
+            "_ts",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_ts") - F.lit(1))
+            ).alias("_i"),
+        )
+        .select(
+            "_id",
+            F.element_at("_ts", F.col("_i")).alias("w1"),
+            F.element_at("_ts", F.col("_i") + F.lit(1)).alias("w2"),
+        )
     )
 
 
