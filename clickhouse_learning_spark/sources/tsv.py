@@ -213,6 +213,126 @@ def parse_tsv(
     return names, ch_types, rows
 
 
+def _unescape_field(s: str):
+    """Exact field-level form of :func:`_split_row`'s escape handling:
+    a field that is exactly ``\\N`` is NULL; otherwise every
+    ``\\<ch>`` pair maps through ``_UNESCAPES`` (unknown escapes keep
+    the char, the CH convention). Fields arrive already tab-split —
+    raw tabs are always separators in CH TSV because literal tabs are
+    escaped on output."""
+    if s == "\\N":
+        return None
+    return re.sub(
+        r"\\(.)",
+        lambda m: (
+            _UNESCAPES.get(m.group(1), m.group(1))
+            if m.group(1) != "N" else "N"
+        ),
+        s,
+    )
+
+
+def _tsv_pdf(text: str, ch_types: list[str], names: list[str]):
+    """Columnar decode of a headerless TSV chunk (optimization r10,
+    guide §4.2): CH TSV escapes every control character on output, so
+    a RAW tab is always a field separator and a RAW newline always a
+    row boundary — which makes the chunk exactly one
+    ``pandas.read_csv`` C-tokenizer call (QUOTE_NONE, ``\\n``
+    terminator, no NA filtering). Only fields carrying a backslash can
+    hold an escape or a ``\\N`` NULL; those are fixed per value with
+    :func:`_unescape_field`. Any structural surprise (field-count
+    drift, blank-line skips, unparsable numerics) falls the whole
+    chunk back to the scalar :func:`parse_tsv`, which stays the
+    semantics (and error-message) source of truth."""
+    import io as _io
+
+    import numpy as np
+    import pandas as pd
+
+    convs = [_TsvType(t) for t in ch_types]
+    try:
+        if not text or not text.strip("\n"):
+            return pd.DataFrame(
+                {n: pd.Series([], dtype=object) for n in names}
+            )
+        n_rows = text.count("\n") + (0 if text.endswith("\n") else 1)
+        df = pd.read_csv(
+            _io.StringIO(text),
+            sep="\t",
+            header=None,
+            dtype=str,
+            na_filter=False,
+            quoting=3,  # csv.QUOTE_NONE
+            lineterminator="\n",
+            skip_blank_lines=False,
+        )
+        if len(df) != n_rows or df.shape[1] != len(convs):
+            raise ValueError("row/field count drift — scalar path decides")
+        # na_filter=False means real data never yields NaN; any NaN is
+        # the C parser padding a SHORT row — the scalar path must rule
+        if df.isna().to_numpy().any():
+            raise ValueError("short row padded — scalar path decides")
+        out = {}
+        for i, (name, c) in enumerate(zip(names, convs)):
+            col = df[i]
+            esc = col.str.contains("\\", regex=False)
+            fixed = None
+            if esc.any():
+                fixed = col[esc].map(_unescape_field)
+            if c.base == "Int":
+                vals = col.to_numpy(dtype=object)
+                if fixed is None:
+                    out[name] = vals.astype(np.int64)
+                    continue
+            elif c.base == "Float":
+                vals = col.to_numpy(dtype=object)
+                if fixed is None:
+                    out[name] = vals.astype(np.float64)
+                    continue
+            elif c.base == "String":
+                vals = col.to_numpy(dtype=object)
+                if fixed is not None:
+                    vals = vals.copy()
+                    vals[esc.to_numpy()] = fixed.to_numpy(dtype=object)
+                out[name] = vals
+                continue
+            elif c.base == "Date":
+                from datetime import date as _date
+
+                if fixed is None:
+                    out[name] = np.array(
+                        [_date.fromisoformat(x) for x in col],
+                        dtype=object,
+                    )
+                    continue
+                vals = col.to_numpy(dtype=object)
+            else:  # DateTime / DateTime64
+                if fixed is None:
+                    fmt = (
+                        "%Y-%m-%d %H:%M:%S.%f"
+                        if c.scale
+                        else "%Y-%m-%d %H:%M:%S"
+                    )
+                    out[name] = pd.to_datetime(col, format=fmt)
+                    continue
+                vals = col.to_numpy(dtype=object)
+            # escape-carrying non-string column: per-value codec on the
+            # unescaped fields (NULLs included), vectorized elsewhere
+            vals = vals.copy()
+            vals[esc.to_numpy()] = fixed.to_numpy(dtype=object)
+            out[name] = np.array(
+                [None if x is None else c.parse(x) for x in vals],
+                dtype=object,
+            )
+        return pd.DataFrame(out)
+    except ValueError:
+        _, _, rows = parse_tsv(text, ch_types)
+        return pd.DataFrame(rows, columns=names)
+    except pd.errors.ParserError:
+        _, _, rows = parse_tsv(text, ch_types)
+        return pd.DataFrame(rows, columns=names)
+
+
 def read_tsv(
     spark: SparkSession,
     path: str,
@@ -244,19 +364,22 @@ def read_tsv(
 
     def gen(batches):
         for pdf in batches:
-            out = []
             for blob in pdf["content"]:
                 txt = bytes(blob).decode("utf-8")
                 if expect_header:
-                    _, ts, rows = parse_tsv(txt)
+                    nl1 = txt.find("\n")
+                    nl2 = txt.find("\n", nl1 + 1)
+                    if nl1 < 0 or nl2 < 0:
+                        raise ValueError(
+                            "TSVWithNamesAndTypes needs two header rows"
+                        )
+                    ts = [f or "" for f in _split_row(txt[nl1 + 1:nl2])]
                     if ts != types_bc:
                         raise ValueError(
                             f"file types {ts} != expected {types_bc}"
                         )
-                else:
-                    _, _, rows = parse_tsv(txt, types_bc)
-                out.extend(rows)
-            yield pd.DataFrame(out, columns=names_bc)
+                    txt = txt[nl2 + 1:]
+                yield _tsv_pdf(txt, types_bc, names_bc)
 
     return binf.select("content").mapInPandas(gen, schema=schema)
 
@@ -336,17 +459,12 @@ def read_tsv_split(
 
     def extract(batches):
         for pdf in batches:
-            out = []
             for p, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
                 local = re.sub(r"^file:/*", "/", p)
                 with open(local, "rb") as fh:  # range GET at scale
                     fh.seek(int(s))
                     data = fh.read(int(e) - int(s))
-                _, _, rows = parse_tsv(
-                    data.decode("utf-8"), types_bc
-                )
-                out.extend(rows)
-            yield pd.DataFrame(out, columns=names_bc)
+                yield _tsv_pdf(data.decode("utf-8"), types_bc, names_bc)
 
     return chunks.mapInPandas(extract, schema=schema)
 

@@ -269,6 +269,86 @@ def parse_values(text: str, ch_types: list[str]) -> list[tuple]:
     return rows
 
 
+def _values_pdf(text: str, ch_types: list[str], names: list[str]):
+    """Fast columnar decode of a WRITER-SHAPED Values stream, or None
+    when the stream needs the general scalar walk (optimization r10,
+    guide §4.2: one C-regex pass over the whole chunk + numpy column
+    casts instead of a per-character Python scanner — same grammar, and
+    ANY line the row regex does not fully match falls the whole chunk
+    back to :func:`parse_values`, so irregular CH streams and every
+    escape corner keep the exact scalar semantics).
+
+    Fast-path scope: scalar-only schemas (arrays carry top-level commas
+    and brackets, so they stay on the bracket-aware walk) and
+    one-row-per-line layout (what :func:`write_values` emits; raw
+    newlines cannot occur inside values because the writer escapes
+    every control character)."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    conv = [_ValuesType(t) for t in ch_types]
+    if any(c.inner is not None for c in conv):
+        return None
+    tok = r"('(?:[^'\\]|\\.|'')*'|[^,()']*)"
+    row_re = _re.compile(r"\(" + ",".join([tok] * len(conv)) + r"\)")
+    # one C pass extracts every row's fields; a second C pass proves
+    # COVERAGE — if anything beyond row separators survives the sub,
+    # the stream is not writer-shaped and the scalar walk decides
+    groups = row_re.findall(text)
+    if _re.sub(row_re, "", text).strip(" \t\r\n,;"):
+        return None
+    if len(conv) == 1:
+        groups = [(g,) for g in groups]
+    if not groups:
+        return pd.DataFrame({n: [] for n in names})
+    cols = list(zip(*groups))
+    out = {}
+    for name, c, raw in zip(names, conv, cols):
+        toks = np.asarray(raw, dtype=object)
+        null_mask = toks == "NULL"
+        any_null = bool(null_mask.any())
+        base = c.core.base
+        if base == "Int" and not any_null:
+            out[name] = np.asarray(raw).astype(np.int64)
+            continue
+        if base == "Float" and not any_null:
+            out[name] = np.asarray(raw).astype(np.float64)
+            continue
+        if base == "String" and not any_null:
+            s = pd.Series(toks, dtype=object)
+            plain = s.str[1:-1]
+            # unescape only where an escape can occur (backslash or
+            # SQL '' doubling inside the literal)
+            esc = s.str.contains("\\", regex=False) | plain.str.contains(
+                "''", regex=False
+            )
+            if esc.any():
+                plain[esc] = s[esc].map(_unquote)
+            out[name] = plain.to_numpy(dtype=object)
+            continue
+        vals = np.empty(len(toks), dtype=object)
+        for i, t in enumerate(toks):
+            if t == "NULL":
+                vals[i] = None
+            elif base == "Int":
+                vals[i] = int(t)
+            elif base == "Float":
+                vals[i] = float(t)
+            elif base == "String":
+                # quoted by the grammar; unescape only when an escape
+                # can occur (backslash or SQL '' doubling present)
+                vals[i] = (
+                    _unquote(t) if "\\" in t or "''" in t[1:-1]
+                    else t[1:-1]
+                )
+            else:  # Date/DateTime/DateTime64 — quoted digits
+                vals[i] = c.core.parse(t[1:-1])
+        out[name] = vals
+    return pd.DataFrame(out)
+
+
 def _schema(names: list[str], ch_types: list[str]) -> T.StructType:
     return T.StructType([
         T.StructField(nm, _ValuesType(t).spark_type(), True)
@@ -296,10 +376,13 @@ def read_values(
 
         for b in batches:
             for blob in b["content"]:
-                rows = parse_values(
-                    bytes(blob).decode("utf-8"), ch_types
-                )
-                yield pd.DataFrame(rows, columns=names)
+                txt = bytes(blob).decode("utf-8")
+                pdf = _values_pdf(txt, ch_types, names)
+                if pdf is None:
+                    pdf = pd.DataFrame(
+                        parse_values(txt, ch_types), columns=names
+                    )
+                yield pdf
 
     return binf.mapInPandas(gen, schema)
 
@@ -359,10 +442,13 @@ def read_values_split(
                     start = pos + 1
                 pos = data.find(b"\n(", max(hi - 1, start))
                 end = len(data) if pos < 0 else pos + 1
-                rows = parse_values(
-                    data[start:end].decode("utf-8"), ch_types
-                )
-                yield pd.DataFrame(rows, columns=names)
+                txt = data[start:end].decode("utf-8")
+                pdf = _values_pdf(txt, ch_types, names)
+                if pdf is None:
+                    pdf = pd.DataFrame(
+                        parse_values(txt, ch_types), columns=names
+                    )
+                yield pdf
 
     return chunks.mapInPandas(extract, schema)
 
