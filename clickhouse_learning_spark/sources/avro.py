@@ -434,12 +434,76 @@ def write_avro(
     codec: str = "deflate",
     block_rows: int = 4096,
 ) -> int:
-    """One ``part-*.avro`` OCF per partition; returns files written."""
+    """One ``part-*.avro`` OCF per partition; returns files written.
+
+    Flat primitive schemas take the VECTORIZED encode lane
+    (optimization r10, guide §4.2): Arrow batches arrive via
+    ``mapInArrow`` and whole columns are varint/IEEE-encoded in numpy
+    (``sources/avro_vec.py``, byte-identical to the per-value encoder
+    — parity-pinned in tests), then interleaved row-major so blocks
+    cut at exact ``block_rows`` boundaries. Nested schemas keep the
+    per-value path below."""
     if codec not in ("null", "deflate"):
         raise ValueError("codec must be null or deflate")
     os.makedirs(out_dir, exist_ok=True)
     schema_json = schema_to_avro_json(df.schema)
     sch = json.loads(schema_json)
+
+    from clickhouse_learning_spark.sources import avro_vec as _vec
+
+    kinds = _vec.field_kinds(sch)
+    if kinds is not None:
+        def write_part_vec(it):
+            import pyarrow as pa
+
+            sync = _uuid.uuid4().bytes
+            buf = io.BytesIO()
+            started = False
+            pend: list[bytes] = []
+            pend_rows = 0
+
+            def flush(payload: bytes, nrows: int) -> None:
+                if not nrows:
+                    return
+                if codec == "deflate":
+                    payload = zlib.compress(payload, 6)[2:-4]
+                buf.write(zigzag_encode(nrows))
+                buf.write(zigzag_encode(len(payload)))
+                buf.write(payload)
+                buf.write(sync)
+
+            for batch in it:
+                if not started:
+                    buf.write(_write_header(schema_json, codec, sync))
+                    started = True
+                pay, row_end = _vec.encode_batch(
+                    kinds, list(batch.columns)
+                )
+                nrows = len(row_end)
+                off = 0
+                while pend_rows + (nrows - off) >= block_rows:
+                    need = block_rows - pend_rows
+                    b0 = int(row_end[off - 1]) if off else 0
+                    b1 = int(row_end[off + need - 1])
+                    flush(b"".join(pend) + pay[b0:b1], block_rows)
+                    pend, pend_rows = [], 0
+                    off += need
+                if off < nrows:
+                    b0 = int(row_end[off - 1]) if off else 0
+                    pend.append(pay[b0:])
+                    pend_rows += nrows - off
+            flush(b"".join(pend), pend_rows)
+            if started:
+                fname = os.path.join(
+                    out_dir, f"part-{_uuid.uuid4().hex}.avro"
+                )
+                with open(fname, "wb") as f:
+                    f.write(buf.getvalue())
+                yield pa.record_batch(
+                    [pa.array([fname], pa.string())], names=["fname"]
+                )
+
+        return df.mapInArrow(write_part_vec, "fname string").count()
 
     def write_part(it):
         enc = _encoder(sch)

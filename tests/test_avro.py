@@ -157,3 +157,113 @@ def test_timestamp_micros_is_utc_relative():
     naive = dt.datetime(2001, 2, 3, 4, 5, 6, 789)
     back2, _ = dec(enc(naive), 0)
     assert back2 == naive.astimezone().astimezone(dt.timezone.utc)
+
+
+def test_vec_encode_byte_parity():
+    """Optimization r10: the vectorized flat-record encoder
+    (sources/avro_vec.py) must be BYTE-IDENTICAL to the scalar
+    per-value encoder over every supported kind, ["null", T] unions,
+    zigzag edge values, empty/multibyte strings and pre-epoch
+    date/timestamps — plus exact per-row end offsets (the container
+    writer cuts blocks on them)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from clickhouse_learning_spark.sources import avro_vec as V
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "i", "type": ["null", "int"]},
+        {"name": "x", "type": "double"},
+        {"name": "f", "type": ["null", "float"]},
+        {"name": "b", "type": "boolean"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "raw", "type": "bytes"},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": ["null", {
+            "type": "long", "logicalType": "timestamp-micros"}]},
+    ]}
+    kinds = V.field_kinds(sch)
+    assert kinds is not None
+    rng = np.random.default_rng(42)
+    n = 500
+    utc = dt.timezone.utc
+    ks = [0, -1, 1, 2**63 - 1, -(2**63), 63, 64, -64, -65] + [
+        int(v) for v in rng.integers(-10**15, 10**15, n - 9)]
+    is_ = [None if rng.random() < 0.2 else int(v) % 2**31 - 2**30
+           for v in rng.integers(0, 2**31, n)]
+    xs = [0.0, -0.0, float("inf"), 1e-300] + [
+        float(v) for v in rng.random(n - 4)]
+    fs = [None if rng.random() < 0.3 else
+          float(np.float32(v)) for v in rng.random(n)]
+    bs = [bool(v % 2) for v in range(n)]
+    ss = [None, "", "héllo\nwörld", "字"] + [
+        None if rng.random() < 0.25 else "s" * int(v % 40)
+        for v in rng.integers(0, 100, n - 4)]
+    raws = [b"", b"\x00\xff"] + [
+        bytes(rng.integers(0, 256, int(v % 30), dtype=np.uint8))
+        for v in rng.integers(0, 100, n - 2)]
+    ds = [dt.date(1969, 11, 1) + dt.timedelta(days=int(v))
+          for v in rng.integers(0, 2000, n)]
+    tss = [None if rng.random() < 0.2 else
+           dt.datetime(1970, 1, 1, tzinfo=utc)
+           + dt.timedelta(microseconds=int(v))
+           for v in rng.integers(-10**12, 10**15, n)]
+    batch = pa.record_batch(
+        [pa.array(ks, pa.int64()), pa.array(is_, pa.int32()),
+         pa.array(xs, pa.float64()), pa.array(fs, pa.float32()),
+         pa.array(bs, pa.bool_()), pa.array(ss, pa.string()),
+         pa.array(raws, pa.binary()), pa.array(ds, pa.date32()),
+         pa.array(tss, pa.timestamp("us", tz="UTC"))],
+        names=[f["name"] for f in sch["fields"]])
+    pay, row_end = V.encode_batch(kinds, list(batch.columns))
+    enc = AV._encoder(sch)
+    want = b""
+    offs = []
+    for row in zip(ks, is_, xs, fs, bs, ss, raws, ds, tss):
+        want += enc(dict(zip(
+            [f["name"] for f in sch["fields"]], row)))
+        offs.append(len(want))
+    assert pay == want
+    assert row_end.tolist() == offs
+
+
+def test_vec_write_lane_engages_and_matches_scalar(spark, tmp_path):
+    """A flat primitive schema must take the vectorized write lane
+    (field_kinds != None) and produce a container the reader decodes
+    to exactly what the forced-scalar writer produces — same rows,
+    same block framing at the same block_rows."""
+    from clickhouse_learning_spark.sources import avro_vec as V
+
+    df = spark.range(3000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 9).cast("double").alias("x"),
+        F.when(F.col("id") % 3 == 0,
+               F.concat(F.lit("v"), F.col("id").cast("string"))
+               ).alias("s"),
+    )
+    sch = __import__("json").loads(AV.schema_to_avro_json(df.schema))
+    assert V.field_kinds(sch) is not None
+    out_v = str(tmp_path / "vec")
+    AV.write_avro(df.repartition(2), out_v, block_rows=700)
+    real = V.field_kinds
+    try:
+        V.field_kinds = lambda s: None
+        out_s = str(tmp_path / "scal")
+        AV.write_avro(df.repartition(2), out_s, block_rows=700)
+    finally:
+        V.field_kinds = real
+    a = sorted((tuple(r) for r in
+                AV.read_avro(spark, out_v).collect()), key=_key)
+    b = sorted((tuple(r) for r in
+                AV.read_avro(spark, out_s).collect()), key=_key)
+    assert a == b and len(a) == 3000
+    # same framing: per-file block row counts match across lanes
+    import glob
+    def framing(d):
+        counts = []
+        for p in sorted(glob.glob(d + "/part-*.avro")):
+            blob = open(p, "rb").read()
+            counts.append([c for c, _, _, _ in AV.block_spans(blob)])
+        return sorted(counts)
+    assert framing(out_v) == framing(out_s)
