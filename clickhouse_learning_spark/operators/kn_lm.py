@@ -149,7 +149,29 @@ def score_kn(
     predecessors; documents under three tokens score 0.0 with
     n_tri = 0). Expressions are parenthesized EXACTLY like the DuckDB
     oracle so both engines evaluate the same float dag."""
-    trigrams = _trigram_rows(docs, id_col, text_col)
+    # position rows with one _i=NULL sentinel per <3-token doc
+    # (explode_outer of a NULL sequence) so the per-doc groupBy covers
+    # EVERY document — no docs-side join-back (optimization r10, guide
+    # §2.4; same shape as lm.score_docs)
+    src = docs.select(
+        F.col(id_col).alias("_id"), _tokens(text_col).alias("_ts")
+    )
+    trigrams = src.select(
+        "_id",
+        "_ts",
+        F.explode_outer(
+            F.when(
+                F.size("_ts") >= 3,
+                F.sequence(F.lit(1), F.size("_ts") - F.lit(2)),
+            )
+        ).alias("_i"),
+    ).select(
+        "_id",
+        "_i",
+        F.element_at("_ts", F.col("_i")).alias("w1"),
+        F.element_at("_ts", F.col("_i") + F.lit(1)).alias("w2"),
+        F.element_at("_ts", F.col("_i") + F.lit(2)).alias("w3"),
+    )
     joined = (
         trigrams
         .join(lm.tri, ["w1", "w2", "w3"], "left")
@@ -189,26 +211,25 @@ def score_kn(
         + ((F.lit(D) * F.col("n3d")) / F.col("cctx")) * pbi,
     ).otherwise(pbi)
     lp_micro = F.round(F.log10(p) * 1_000_000.0).cast("long")
+    # count/sum over non-sentinel rows only; NULL sum for n_tri = 0
+    # coalesces to 0.0 — the same short-doc contract as before
     per_doc = joined.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_tri"),
-        F.sum(lp_micro).alias("_sum_micro"),
+        F.count(F.col("_i")).alias("n_tri"),
+        F.sum(F.when(F.col("_i").isNotNull(), lp_micro)).alias(
+            "_sum_micro"
+        ),
     )
-    return (
-        docs.select(F.col(id_col).alias("_id"))
-        .join(per_doc, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long")
-            .alias("n_tri"),
-            (
-                F.coalesce(
-                    F.round(
-                        F.col("_sum_micro") / F.col("n_tri")
-                        / 1_000_000.0, 2,
-                    ),
-                    F.lit(0.0),
-                )
-                + F.lit(0.0)  # pin the sign of zero (sweep law)
-            ).alias("avg_logp10"),
-        )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.col("n_tri").cast("long").alias("n_tri"),
+        (
+            F.coalesce(
+                F.round(
+                    F.col("_sum_micro") / F.col("n_tri")
+                    / 1_000_000.0, 2,
+                ),
+                F.lit(0.0),
+            )
+            + F.lit(0.0)  # pin the sign of zero (sweep law)
+        ).alias("avg_logp10"),
     )

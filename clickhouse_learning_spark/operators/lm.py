@@ -123,7 +123,30 @@ def score_docs(
     operators/dsir.py pattern) and summed EXACTLY; the mean is formed
     by two final divisions on exact integers. The DuckDB oracles
     mirror the quantization."""
-    pairs = _bigram_rows(docs, id_col, text_col)
+    # position rows with one _i=NULL sentinel per <2-token doc
+    # (explode_outer of a NULL sequence), so the per-doc groupBy below
+    # covers EVERY document and the docs-side join-back that existed
+    # only to resurrect short docs is gone (optimization r10, guide
+    # §2.4: that join was the plan's one SortMergeJoin — two exchanges
+    # + two sorts of doc-count-sized streams)
+    src = docs.select(
+        F.col(id_col).alias("_id"), _tokens(text_col).alias("_ts")
+    )
+    pairs = src.select(
+        "_id",
+        "_ts",
+        F.explode_outer(
+            F.when(
+                F.size("_ts") >= 2,
+                F.sequence(F.lit(1), F.size("_ts") - F.lit(1)),
+            )
+        ).alias("_i"),
+    ).select(
+        "_id",
+        "_i",
+        F.element_at("_ts", F.col("_i")).alias("w1"),
+        F.element_at("_ts", F.col("_i") + F.lit(1)).alias("w2"),
+    )
     # persist the model frames: they are O(unique grams) — without
     # this the unigram lineage (a full corpus re-tokenization) would
     # execute twice (ctx + cur joins) and the bigram lineage once more
@@ -144,23 +167,24 @@ def score_docs(
         )
     )
     lp_micro = F.round(logp * 1_000_000.0).cast("long")
+    # count/sum over non-sentinel rows only: count(_i) skips NULLs and
+    # the guarded sum is NULL for n_trans = 0 → coalesce to 0.0, the
+    # same short-doc contract the join-back produced
     per_doc = joined.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_trans"),
-        F.sum(lp_micro).alias("_sum_micro"),
+        F.count(F.col("_i")).alias("n_trans"),
+        F.sum(F.when(F.col("_i").isNotNull(), lp_micro)).alias(
+            "_sum_micro"
+        ),
     )
-    return (
-        docs.select(F.col(id_col).alias("_id"))
-        .join(per_doc, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce(F.col("n_trans"), F.lit(0)).cast("long").alias("n_trans"),
-            F.coalesce(
-                F.round(
-                    F.col("_sum_micro") / F.col("n_trans") / 1_000_000.0, 2
-                ),
-                F.lit(0.0),
-            ).alias("avg_logp10"),
-        )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.col("n_trans").cast("long").alias("n_trans"),
+        F.coalesce(
+            F.round(
+                F.col("_sum_micro") / F.col("n_trans") / 1_000_000.0, 2
+            ),
+            F.lit(0.0),
+        ).alias("avg_logp10"),
     )
 
 
