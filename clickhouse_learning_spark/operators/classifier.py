@@ -147,8 +147,13 @@ def score_nb(
     ``pred = score > 0``. The accumulation is an EXACT BIGINT sum of
     micro-unit contributions (shuffle-order-independent); the only
     float op is the final micro → score division."""
+    # explode_outer emits one w=NULL sentinel row for a zero-token
+    # document, so the per-doc groupBy covers EVERY document and the
+    # docs-side join-back that existed only to resurrect them is gone
+    # (optimization r10, guide §2.4 — same shape as lm.score_docs)
     tok = docs.select(
-        F.col(id_col).alias("_id"), F.explode(_tokens(text_col)).alias("w")
+        F.col(id_col).alias("_id"),
+        F.explode_outer(_tokens(text_col)).alias("w"),
     )
     # plain keyed join on the token: AQE broadcasts the O(vocab) model
     # frame when it fits; at web scale it stays a hash join — do not
@@ -156,18 +161,23 @@ def score_nb(
     contrib = tok.join(model.word_llr, "w", "left").crossJoin(
         F.broadcast(model.consts)
     )
+    # count(w)/guarded sum skip the sentinel (a real token is never
+    # NULL — _tokens is regexp_extract_all output), so a zero-token
+    # doc must NOT fall into the OOV branch
     per_doc = contrib.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.sum(F.coalesce(F.col("llr_micro"), F.col("oov_micro"))).alias(
-            "_sum_micro"
-        ),
+        F.count(F.col("w")).alias("n_tok"),
+        F.sum(
+            F.when(
+                F.col("w").isNotNull(),
+                F.coalesce(F.col("llr_micro"), F.col("oov_micro")),
+            )
+        ).alias("_sum_micro"),
     )
     total_micro = F.col("prior_micro") + F.coalesce(
         F.col("_sum_micro"), F.lit(0)
     )
     return (
-        docs.select(F.col(id_col).alias("_id"))
-        .join(per_doc, "_id", "left")
+        per_doc
         .crossJoin(F.broadcast(model.consts))
         .select(
             F.col("_id").alias(id_col),

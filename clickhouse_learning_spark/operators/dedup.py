@@ -788,8 +788,11 @@ def substring_duplication(
     documents), expressed as fixed-length token-window hashing:
 
     1. every ``window_tokens``-token window of every document hashes to
-       one 64-bit value (posexplode + window-function lead chain — the
-       n-gram build stays in codegen, one shuffle on doc_id);
+       one 64-bit value (explode the position range and ``slice`` the
+       token array — all codegen and SHUFFLE-FREE, the optimization-r10
+       ``_bigram_rows`` shape: the previous lead-window chain
+       hash-shuffled and sorted every token row only to pair tokens
+       that already sit adjacent in the same array, guide §2.4);
     2. a window value occurring in ≥2 DISTINCT documents is a shared
        run; per document, the fraction of its windows that are shared
        is the duplication score (1.0 = the whole text exists verbatim
@@ -803,42 +806,59 @@ def substring_duplication(
 
     Returns (id, n_windows, n_shared, dup_fraction).
     """
-    from pyspark.sql import Window as W
-
     from clickhouse_learning_spark.operators.text import tokens
 
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    src = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_ts")
     )
-    w = W.partitionBy("id").orderBy("pos")
-    gram = F.concat_ws(" ", *(
-        [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, window_tokens)]
-    ))
     windows = (
-        tok.select("id", gram.alias("g"), F.lead("t", window_tokens - 1).over(w).alias("_last"))
-        .filter(F.col("_last").isNotNull())  # only complete windows
-        .select("id", F.xxhash64("g").alias("h"))
+        src.filter(F.size("_ts") >= window_tokens)
+        .select(
+            "id",
+            "_ts",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.size("_ts") - F.lit(window_tokens - 1)
+                )
+            ).alias("_i"),
+        )
+        .select(
+            "id",
+            F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("_ts"), F.col("_i"), F.lit(window_tokens)
+                    ),
+                )
+            ).alias("h"),
+        )
     )
+    # no broadcast hint: the shared-hash set scales with corpus
+    # duplication — let AQE choose broadcast vs shuffle join. A _s=1
+    # marker left join feeds ONE per-doc aggregation producing both
+    # counts (optimization r10, guide §2.4: the previous semi-join +
+    # two groupBys + doc-keyed join-back re-shuffled the window
+    # stream twice more for the same answer).
     shared = (
         windows.groupBy("h")
         .agg(F.count_distinct("id").alias("docs"))
         .filter(F.col("docs") >= 2)
-        .select("h")
+        .select("h", F.lit(1).alias("_s"))
     )
-    # no broadcast hint: the shared-hash set scales with corpus
-    # duplication — let AQE choose broadcast vs shuffle semi-join
-    flagged = windows.join(shared, "h", "left_semi")
-    per_doc = windows.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
-    hits = flagged.groupBy("id").agg(F.count(F.lit(1)).alias("n_shared"))
     return (
-        per_doc.join(hits, "id", "left")
+        windows.join(shared, "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("_s").alias("n_shared"),
+        )
         .select(
             "id",
             "n_windows",
-            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            "n_shared",
             F.round(
-                F.coalesce("n_shared", F.lit(0)) / F.col("n_windows"), 6
+                F.col("n_shared") / F.col("n_windows"), 6
             ).alias("dup_fraction"),
         )
     )
@@ -1187,47 +1207,56 @@ def paragraph_dedup(
     Input is an ``array<string>`` column (the caller picks the
     paragraph boundary — '\\n' for real corpora, fixed token windows
     for flat streams). Shape at 100 TB: one map-side-combinable
-    min-aggregation keyed on the paragraph, one keyed join back, one
+    min-aggregation keyed on the paragraph, one keyed join, one
     per-doc regroup — no windows over data-proportional partitions,
     no driver state. Emits (id, clean_text, n_paras, n_dropped);
     documents whose every paragraph was a later copy come back with
-    empty text, not dropped rows."""
-    pos = F.posexplode(F.col(paras_col))
+    empty text, not dropped rows (posexplode_outer keeps a sentinel
+    row per empty doc, so the per-doc groupBy covers every document
+    without a docs-side join-back — optimization r10, guide §2.4)."""
     exploded = df.select(
-        F.col(id_col), pos.alias("pos", "para")
-    ).filter(F.col("para") != "")
-    wins = exploded.groupBy("para").agg(
-        F.min(F.struct(
-            F.col(id_col).alias("i"), F.col("pos").alias("p")
-        )).alias("w")
+        F.col(id_col),
+        F.posexplode_outer(F.col(paras_col)).alias("pos", "para"),
     )
-    kept = (
-        exploded.join(wins, "para")
-        .where((F.col(id_col) == F.col("w.i"))
-               & (F.col("pos") == F.col("w.p")))
+    wins = (
+        exploded.filter(F.col("para") != "")
+        .groupBy("para")
+        .agg(
+            F.min(F.struct(
+                F.col(id_col).alias("i"), F.col("pos").alias("p")
+            )).alias("w")
+        )
+    )
+    # winner = this very (doc, pos) occurrence; empty-string paras and
+    # the empty-doc sentinel (para NULL) never match the join and fall
+    # to the dropped side, exactly as the filtered inner join did
+    kept_flag = (
+        (F.col("para") != "")
+        & (F.col(id_col) == F.col("w.i"))
+        & (F.col("pos") == F.col("w.p"))
+    )
+    return (
+        exploded.join(wins, "para", "left")
         .groupBy(id_col)
         .agg(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("pos", "para"))
+                        F.collect_list(
+                            F.when(kept_flag, F.struct("pos", "para"))
+                        )
                     ),
                     lambda s: s["para"],
                 ),
                 joiner,
             ).alias("clean_text"),
-            F.count(F.lit(1)).alias("n_kept"),
+            F.count("pos").alias("_np"),
+            F.count(F.when(kept_flag, F.lit(1))).alias("_nk"),
         )
-    )
-    return (
-        df.select(id_col, F.size(paras_col).alias("n_paras"))
-        .join(kept, id_col, "left")
         .select(
             id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.col("n_paras").cast("int").alias("n_paras"),
-            (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))
-            .cast("int")
-            .alias("n_dropped"),
+            "clean_text",
+            F.col("_np").cast("int").alias("n_paras"),
+            (F.col("_np") - F.col("_nk")).cast("int").alias("n_dropped"),
         )
     )

@@ -531,27 +531,32 @@ def blocklist_filter_join(
 ) -> DataFrame:
     """Web-scale blocklist path: the list arrives as a DataFrame
     (column ``w``, pre-lowercased); docs explode to distinct tokens
-    and LEFT SEMI join the list (AQE broadcasts it while it fits,
-    falls back to a shuffle join beyond that), then flagged ids join
-    back. Two keyed joins, no driver-side list materialization —
-    survives lists that would blow the literal-array plan."""
+    and LEFT join the de-duplicated list with a hit marker (AQE
+    broadcasts it while it fits, falls back to a shuffle join beyond
+    that); ONE per-doc aggregation counts the hits. explode_outer
+    keeps a sentinel row per token-less doc, so every document is
+    covered without the docs-side join-back the semi-join shape
+    needed (optimization r10, guide §2.4). One keyed join, no
+    driver-side list materialization — survives lists that would blow
+    the literal-array plan."""
     toks = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
+        F.explode_outer(
+            F.array_distinct(tokens(F.col(text_col)))
+        ).alias("w"),
     )
-    flagged = (
-        toks.join(words_df.select("w"), "w", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("bad_word_hits"))
+    marked = toks.join(
+        words_df.select("w").distinct().withColumn("_hit", F.lit(1)),
+        "w",
+        "left",
     )
     return (
-        df.select(id_col)
-        .join(flagged, id_col, "left")
+        marked.groupBy(id_col)
+        .agg(F.count("_hit").alias("_hits"))
         .select(
             id_col,
-            F.coalesce("bad_word_hits", F.lit(0)).cast("int")
-            .alias("bad_word_hits"),
-            (F.coalesce("bad_word_hits", F.lit(0)) == 0).alias("keep"),
+            F.col("_hits").cast("int").alias("bad_word_hits"),
+            (F.col("_hits") == 0).alias("keep"),
         )
     )
 
