@@ -134,18 +134,22 @@ def bloom_contamination_report(
     positives), so the same oracle grades both paths.
 
     The membership probe is pure JVM codegen (optimization r10, guide
-    §4.1 — builtins beat UDFs): the ``bits/64``-long filter rides the
-    plan as ONE array literal and each position is tested with
+    §4.1 — builtins beat UDFs): the ``bits/64``-long filter rides a
+    BROADCAST 1-row relation and each position is tested with
     ``bit_get(element_at(filter, word), bit)``. The previous
     pandas_udf shipped 5 × 8 bytes of hash positions per train gram
-    through an ArrowEvalPython round trip just to AND five bit tests;
-    the literal lives once in the task binary and rows never carry
-    it."""
+    through an ArrowEvalPython round trip just to AND five bit tests.
+    A plan-literal array was measured and rejected: ``F.lit(list)``
+    builds a 16384-child CreateArray that AQE re-optimizes at every
+    stage boundary (~2× end-to-end slowdown, 430 KB plans); the
+    broadcast row keeps the filter out of the expression tree entirely
+    — one 128 KB row shipped once per executor, O(1) per-row probes."""
     import numpy as np
 
     arr = build_gram_bloom(eval_df, text_col, id_col, n, bits, hashes)
-    blit = F.lit([int(x) for x in arr.astype(np.int64)]).cast(
-        "array<bigint>"
+    spark = train.sparkSession
+    fdf = spark.createDataFrame(
+        [([int(x) for x in arr.astype(np.int64)],)], "_bf: array<bigint>"
     )
 
     tg = word_ngram_rows(train, text_col, id_col, n)
@@ -153,12 +157,12 @@ def bloom_contamination_report(
         F.pmod(F.xxhash64("g", F.lit(i)), F.lit(bits)).alias(f"_p{i}")
         for i in range(hashes)
     ]
-    probed = tg.select("id", "g", *pcols)
+    probed = tg.select("id", "g", *pcols).join(F.broadcast(fdf))
     ok = None
     for i in range(hashes):
         p = F.col(f"_p{i}")
         word = F.element_at(
-            blit, (F.shiftright(p, 6) + F.lit(1)).cast("int")
+            F.col("_bf"), (F.shiftright(p, 6) + F.lit(1)).cast("int")
         )
         hit = F.bit_get(word, p % 64) == 1
         ok = hit if ok is None else (ok & hit)
