@@ -51,6 +51,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from clickhouse_learning_spark.functions.scalar import round_half_away_long
 from clickhouse_learning_spark.operators.lm import _bigram_rows, _tokens
 
 D = 0.75
@@ -210,7 +211,8 @@ def score_kn(
         )
         + ((F.lit(D) * F.col("n3d")) / F.col("cctx")) * pbi,
     ).otherwise(pbi)
-    lp_micro = F.round(F.log10(p) * 1_000_000.0).cast("long")
+    # FP half-away quantizer (functions/scalar.py) — see lm.py
+    lp_micro = round_half_away_long(F.log10(p) * 1_000_000.0)
     # count/sum over non-sentinel rows only; NULL sum for n_tri = 0
     # coalesces to 0.0 — the same short-doc contract as before
     per_doc = joined.groupBy("_id").agg(

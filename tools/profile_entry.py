@@ -40,6 +40,12 @@ def main():
     target = sf_dir()
     from pyspark.sql import functions as F
 
+    # register every named query (the bm25/q: probes read QUERIES)
+    import clickhouse_learning_spark.queries_behavior  # noqa: F401
+    import clickhouse_learning_spark.queries_pipeline  # noqa: F401
+    import clickhouse_learning_spark.queries_reference  # noqa: F401
+    import clickhouse_learning_spark.queries_tpch  # noqa: F401
+
     probes = sys.argv[1:] or ["calib"]
     for probe in probes:
         spark.sparkContext.setJobDescription(probe)
