@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from clickhouse_learning_spark.functions.scalar import round_half_away_long
+
 
 def pagerank(
     edges: DataFrame,
@@ -57,14 +59,30 @@ def pagerank(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
         w.alias("w"),
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     out_w = e.groupBy("src").agg(F.sum("w").alias("wout"))
     e_norm = e.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("wout")).alias("share")
+    )
+    # The loop below reuses e_norm/nodes every iteration; without a
+    # materialization each iteration's lineage re-derives the whole
+    # edge build (for item_pagerank: events scan + lead() window +
+    # groupBy, 5x over) and the unrolled plan carried 150 Exchange /
+    # 44 Window nodes. Checkpoint e_norm once, pre-partitioned on the
+    # join key, and derive nodes FROM the checkpointed edges (same
+    # node set; avoids a second pass over the raw lineage) so the
+    # per-iteration joins and the groupBy(dst) → join(node) chain
+    # reuse partitioning instead of re-shuffling (guide §2.4). The
+    # materialized normalized edge list is also the right 100 TB
+    # shape — one write, five reads, instead of five recomputes.
+    sp = edges.sparkSession
+    n_part = sp.sparkContext.defaultParallelism
+    e_norm = e_norm.repartition(n_part, "src").localCheckpoint(eager=True)
+    nodes = (
+        e_norm.select(F.col("src").alias("node"))
+        .union(e_norm.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(n_part, "node")
+        .localCheckpoint(eager=True)
     )
     base_nano = int(round((1.0 - damping) * 1e9))
     ranks = nodes.select(
@@ -78,8 +96,7 @@ def pagerank(
             .groupBy("dst")
             .agg(
                 F.sum(
-                    F.round(F.col("share") * F.col("rank_nano"))
-                    .cast("long")
+                    round_half_away_long(F.col("share") * F.col("rank_nano"))
                 ).alias("mass_nano")
             )
         )
@@ -91,10 +108,10 @@ def pagerank(
                 "node",
                 (
                     F.lit(base_nano)
-                    + F.round(
+                    + round_half_away_long(
                         F.lit(damping)
                         * F.coalesce("mass_nano", F.lit(0))
-                    ).cast("long")
+                    )
                 ).alias("rank_nano"),
             )
         )
