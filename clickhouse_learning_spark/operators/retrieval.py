@@ -106,7 +106,11 @@ def bm25_rank(
         F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("term")
     )
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # doc length = Σ tf per doc: derived from tf instead of a second
+    # groupBy over the raw token stream — drops a full re-tokenize +
+    # token-row shuffle (guide §2.3); docs with zero tokens are absent
+    # from both forms identically (empty explode emits no rows)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(

@@ -268,7 +268,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl = Σ tf per doc (see operators/retrieval.py): skips the second
+    # tokenize + token-row shuffle
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     )
