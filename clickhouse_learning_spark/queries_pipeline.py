@@ -27,6 +27,9 @@ from clickhouse_learning_spark.queries import query
 from clickhouse_learning_spark.functions.scalar import (
     round_half_away_long as _round_half_away_long,
 )
+from clickhouse_learning_spark.functions.scalar import (
+    round_half_away_long as _money_cents,
+)
 from clickhouse_learning_spark.schemas import load_table
 
 # SQL fragments shared by oracles (kept in exact lockstep with
@@ -1258,7 +1261,7 @@ def jsonl_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
-            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0, 2
+            F.sum(_money_cents(F.col("c_acctbal") * 100)) / 100.0, 2
         ).alias("acctbal_sum"),
     )
 
@@ -2736,7 +2739,7 @@ def rowbinary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0,
+            F.sum(_money_cents(F.col("o_totalprice") * 100)) / 100.0,
             2,
         ).alias("total"),
     )
@@ -2783,7 +2786,7 @@ def native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0,
+            F.sum(_money_cents(F.col("o_totalprice") * 100)) / 100.0,
             2,
         ).alias("total"),
     )
@@ -2883,7 +2886,7 @@ def tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0,
+            F.sum(_money_cents(F.col("o_totalprice") * 100)) / 100.0,
             2,
         ).alias("total"),
     )
@@ -2946,7 +2949,7 @@ def values_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.sum(_money_cents(F.col("o_totalprice") * 100))
             / 100.0, 2,
         ).alias("total"),
         F.count("o_orderpriority").alias("n_pri"),
@@ -3704,7 +3707,7 @@ def arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            F.sum(_money_cents(F.col("l_extendedprice") * 100))
             / 100.0, 2,
         ).alias("revenue"),
         F.sum(F.col("l_quantity").cast("long")).alias("qty"),
@@ -3847,7 +3850,7 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.sum(_money_cents(F.col("o_totalprice") * 100))
             / 100.0, 2,
         ).alias("total"),
         F.count("o_status").alias("n_status"),

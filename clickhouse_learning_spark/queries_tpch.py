@@ -23,6 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clickhouse_learning_spark.functions.scalar import (
+    # the exact-cents conversion: money columns are 2-decimal lattice
+    # points, so v*100 sits within an ULP of an integer and the FP
+    # half-away quantizer provably equals F.round's BigDecimal path
+    # (which cost ~35 ns/value); replay-verified on every SF
+    round_half_away_long as _money_cents,
+)
 from clickhouse_learning_spark.queries import query
 from clickhouse_learning_spark.schemas import load_table
 
@@ -76,8 +83,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(
                     (
                         F.sum(
-                            F.round(F.col("l_extendedprice") * 100).cast("long")
-                            * F.round(100 - F.col("l_discount") * 100).cast("long")
+                            _money_cents(F.col("l_extendedprice") * 100)
+                            * _money_cents(100 - F.col("l_discount") * 100)
                         )
                         + 50
                     )
@@ -308,7 +315,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand")
         .agg(
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            F.sum(_money_cents(F.col("l_extendedprice") * 100)).alias(
                 "low_qty_cents"
             ),
             F.count(F.lit(1)).alias("cnt"),
@@ -348,8 +355,8 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = li.groupBy("l_suppkey").agg(
         F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-                "long"
+            _money_cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
             )
         ).alias("total_cents")
     )
@@ -400,7 +407,7 @@ def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-03-01").cast("timestamp_ntz"))
     )
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("daily_cents")
+        F.sum(_money_cents(F.col("o_totalprice") * 100)).alias("daily_cents")
     )
     # unpartitioned on purpose: the frame is the POST-AGGREGATION daily
     # series (≤ one row per day — bounded by group cardinality, not data
@@ -442,8 +449,8 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     ).agg(
         F.sum(
-            F.round(F.col("l_extendedprice") * 100).cast("long")
-            * F.round(F.col("l_discount") * 100).cast("long")
+            _money_cents(F.col("l_extendedprice") * 100)
+            * _money_cents(F.col("l_discount") * 100)
         ).alias("revenue_delta_e4")
     )
 
@@ -543,7 +550,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+        F.sum(_money_cents(F.col("o_totalprice") * 100)).alias(
             "monetary_cents"
         ),
         F.datediff(
@@ -668,7 +675,7 @@ def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        F.sum(_money_cents(F.col("o_totalprice") * 100)).alias("cents")
     )
     w = W.orderBy("day").rowsBetween(-28, -1)
     stats = daily.select(
@@ -791,7 +798,7 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy(
             "o_orderkey",
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+            _money_cents(F.col("o_totalprice") * 100).alias("total_cents"),
         )
         .agg(F.sum("qty").alias("sum_qty"))
         .select("o_orderkey", "total_cents", "sum_qty")
@@ -831,8 +838,8 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.filter(cond).agg(
         F.sum(
-            F.round(F.col("l_extendedprice") * 100).cast("long")
-            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            _money_cents(F.col("l_extendedprice") * 100)
+            * (100 - _money_cents(F.col("l_discount") * 100))
         ).alias("revenue_e4")
     )
 
@@ -873,7 +880,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        _money_cents(F.col("c_acctbal") * 100).alias("bal_cents"),
     )
     pos = cust.filter(F.col("bal_cents") > 0).agg(
         F.sum("bal_cents").alias("s"), F.count(F.lit(1)).alias("n")
@@ -954,8 +961,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(
         F.sum(
-            F.round(F.col("l_extendedprice") * 100).cast("long")
-            * F.round(100 - F.col("l_discount") * 100).cast("long")
+            _money_cents(F.col("l_extendedprice") * 100)
+            * _money_cents(100 - F.col("l_discount") * 100)
         ).alias("revenue_units")
     )
 
@@ -1011,8 +1018,8 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
     )
     units = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * F.round(100 - F.col("l_discount") * 100).cast("long")
+        _money_cents(F.col("l_extendedprice") * 100)
+        * _money_cents(100 - F.col("l_discount") * 100)
     )
     base = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -1174,13 +1181,22 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "n_name")
     )
+    # push the part predicate below the aggregation: only qualifying
+    # parts survive the final inner join, and per-part minima are
+    # independent across parts, so semi-joining lineitem first drops
+    # ~all rows before the (partkey, suppkey) shuffle (guide §2.3)
+    li = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
     offers = (
         li.groupBy(
             F.col("l_partkey").alias("partkey"),
             F.col("l_suppkey").alias("suppkey"),
         )
         .agg(
-            F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            F.min(_money_cents(F.col("l_extendedprice") * 100)).alias(
                 "offer_cents"
             )
         )
@@ -1244,9 +1260,9 @@ def product_profit_by_nation_year(
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
     profit = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * F.round(100 - F.col("l_discount") * 100).cast("long")
-        - F.round(F.col("p_retailprice") * 100).cast("long")
+        _money_cents(F.col("l_extendedprice") * 100)
+        * _money_cents(100 - F.col("l_discount") * 100)
+        - _money_cents(F.col("p_retailprice") * 100)
         * F.col("l_quantity").cast("long")
         * 100
     )
@@ -1310,7 +1326,7 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
             F.sum(
-                F.round(F.col("l_extendedprice") * 100).cast("long")
+                _money_cents(F.col("l_extendedprice") * 100)
             ).alias("value_cents")
         )
     )
