@@ -1076,14 +1076,22 @@ def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join (another supplier exists on the order) plus one anti-join
     (no OTHER supplier was late) against the same fact table.
     'Late' adapts to this schema as shipping >60 days after the order
-    date (no commit/receipt dates in the fixture). Both existence
-    probes are keyed self-joins on l_orderkey — no correlated per-row
-    subquery execution; Spark plans them as broadcast/shuffle
-    hash joins with LeftSemi/LeftAnti."""
+    date (no commit/receipt dates in the fixture). The EXISTS /
+    NOT-EXISTS pair over the same fact table is algebra over per-order
+    supplier counts: an l1 row survives iff its order has >=2 distinct
+    suppliers (the semi-join) and exactly ONE distinct late supplier
+    (the anti-join — l1 itself is late, so "no OTHER late supplier"
+    means l1's supplier is the only one). Aggregating per
+    (order, supplier) then per order computes both counts with two
+    keyed exchanges instead of the two fact-sized semi/anti
+    SortMergeJoins, each of which re-derived the lineitem-orders join
+    lineage (guide §2.3/§2.4; before-plan: 16 Exchange, 4 SMJ)."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .join(
-            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate"
+            ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(
@@ -1095,32 +1103,31 @@ def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    l1 = li.filter(F.col("late")).alias("l1")
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    ).alias("l2")
-    l3 = (
-        li.filter(F.col("late"))
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-        .alias("l3")
+    # one exchange for both aggregation levels: HashPartitioning on
+    # l_orderkey satisfies the (l_orderkey, l_suppkey) clustering AND
+    # the per-order clustering, so neither groupBy re-shuffles (§2.4)
+    per_os = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.when(F.col("late"), F.lit(1))).alias("late_rows"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("late_rows") > 0, F.lit(1))).alias("n_late_supp"),
+        F.max(F.when(F.col("late_rows") > 0, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+        F.max(F.when(F.col("late_rows") > 0, F.col("late_rows"))).alias(
+            "late_cnt"
+        ),
     )
     sup = load_table(spark, sf_dir, "supplier")
-    blamed = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("k2"))
-            & (F.col("l1.l_suppkey") != F.col("s2")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("k3"))
-            & (F.col("l1.l_suppkey") != F.col("s3")),
-            "left_anti",
-        )
-        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+    blamed = per_o.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).join(F.broadcast(sup), F.col("late_supp") == sup.s_suppkey)
+    return blamed.groupBy("s_name").agg(
+        F.sum("late_cnt").alias("numwait")
     )
-    return blamed.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
 
 
 @query(
