@@ -27,9 +27,10 @@ which is irrelevant for quality SCORING and keeps both engines on one
 shared closed form.
 
 Scale design (100 TB corpus):
-- training = three count shuffles (trigrams, bigrams, unigrams), all
-  map-side combinable; the N1+ tables are cheap re-aggregations of the
-  trigram/bigram COUNT tables (model-sized, never corpus-sized).
+- training = ONE corpus-sized count shuffle (a combined
+  (w1, w2|NULL, w3|NULL) gram table — map-side combinable); trigram/
+  bigram counts, the vocabulary and every N1+ table are re-aggregations
+  of that COUNT table (model-sized, never corpus-sized).
 - scoring = keyed left joins of the test trigram stream against six
   model-sized tables + one per-doc re-aggregation; AQE broadcasts
   every side that fits, and the two 1-row totals ride an explicit
@@ -52,7 +53,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from clickhouse_learning_spark.functions.scalar import round_half_away_long
-from clickhouse_learning_spark.operators.lm import _bigram_rows, _tokens
+from clickhouse_learning_spark.operators.lm import _tokens
 
 D = 0.75
 
@@ -70,44 +71,49 @@ class KNTrigramLM:
     totals: DataFrame     # 1 row: nbi, v          N1+(••), |vocab|
 
 
-def _trigram_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(_id, w1, w2, w3) adjacent triples — explode the position range
-    and index the token array three times (the shuffle-free
-    ``_bigram_rows`` shape, optimization r10): ``element_at`` is plain
-    codegen, and no per-doc window means no Exchange+Sort of the
-    exploded token stream (guide §2.4)."""
-    src = docs.select(
-        F.col(id_col).alias("_id"), _tokens(text_col).alias("_ts")
-    )
-    return (
-        src.filter(F.size("_ts") >= 3)
+def train_kn_trigram(corpus: DataFrame, text_col: str = "text") -> KNTrigramLM:
+    """ONE corpus-sized count shuffle + model-sized re-aggregations
+    (optimization r10, guide §2.1/§2.3). Trigram counts, bigram counts
+    and the vocabulary all derive EXACTLY from a single position
+    explode over i = 1..max(n-1, 1):
+
+    - row i carries (w1 = t_i, w2 = t_{i+1} | NULL, w3 = t_{i+2} | NULL),
+      so rows with w2 non-NULL are precisely the bigram occurrences and
+      rows with w3 non-NULL precisely the trigram occurrences;
+    - a single-token doc emits one (t_1, NULL, NULL) row, so
+      distinct(w1) ∪ distinct(w2) is precisely the token vocabulary.
+
+    The previous shape ran three separate tokenize+explode+shuffle
+    passes (trigrams, bigrams, vocab) over the corpus; the combined
+    (w1, w2, w3) count table costs one extra row per document versus
+    the trigram table alone and every downstream frame re-aggregates
+    counts (model-sized). Count values and types are unchanged, so the
+    model tables are bit-identical (replay-verified)."""
+    src = corpus.select(_tokens(text_col).alias("_ts"))
+    grams = (
+        src.filter(F.size("_ts") >= 1)
         .select(
-            "_id",
             "_ts",
             F.explode(
-                F.sequence(F.lit(1), F.size("_ts") - F.lit(2))
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("_ts") - F.lit(1), F.lit(1)),
+                )
             ).alias("_i"),
         )
         .select(
-            "_id",
             F.element_at("_ts", F.col("_i")).alias("w1"),
-            F.element_at("_ts", F.col("_i") + F.lit(1)).alias("w2"),
-            F.element_at("_ts", F.col("_i") + F.lit(2)).alias("w3"),
+            F.try_element_at("_ts", F.col("_i") + F.lit(1)).alias("w2"),
+            F.try_element_at("_ts", F.col("_i") + F.lit(2)).alias("w3"),
         )
     )
-
-
-def train_kn_trigram(corpus: DataFrame, text_col: str = "text") -> KNTrigramLM:
-    """Three count shuffles + model-sized re-aggregations."""
-    cid = corpus.select(
-        F.monotonically_increasing_id().alias("_kn_id"), F.col(text_col)
+    counts = grams.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("_c")
     )
-    tri = (
-        _trigram_rows(cid, "_kn_id", text_col)
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).cast("double").alias("c3"))
+    counts = counts.persist()
+    tri = counts.filter(F.col("w3").isNotNull()).select(
+        "w1", "w2", "w3", F.col("_c").cast("double").alias("c3")
     )
-    tri = tri.persist()
     cctx = tri.groupBy("w1", "w2").agg(
         F.sum("c3").alias("cctx"),
         F.count(F.lit(1)).cast("double").alias("n3d"),
@@ -119,9 +125,9 @@ def train_kn_trigram(corpus: DataFrame, text_col: str = "text") -> KNTrigramLM:
         F.count(F.lit(1)).cast("double").alias("npairs")
     )
     bi = (
-        _bigram_rows(cid, "_kn_id", text_col)
+        counts.filter(F.col("w2").isNotNull())
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("_cb"))
+        .agg(F.sum("_c").alias("_cb"))
     )
     bi = bi.persist()
     nfol = bi.groupBy("w1").agg(
@@ -131,7 +137,15 @@ def train_kn_trigram(corpus: DataFrame, text_col: str = "text") -> KNTrigramLM:
     pre = bi.groupBy("w2").agg(
         F.count(F.lit(1)).cast("double").alias("npre")
     ).withColumnRenamed("w2", "w3")
-    vocab = corpus.select(F.explode(_tokens(text_col)).alias("w")).distinct()
+    vocab = (
+        counts.select(F.col("w1").alias("w"))
+        .union(
+            counts.filter(F.col("w2").isNotNull()).select(
+                F.col("w2").alias("w")
+            )
+        )
+        .distinct()
+    )
     totals = bi.agg(F.count(F.lit(1)).cast("double").alias("nbi")).crossJoin(
         vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
     )
