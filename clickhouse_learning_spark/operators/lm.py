@@ -12,9 +12,10 @@ Beyond-reference training-data operator (the reference engine has no LM
 code; this extends the pipeline family in BASELINE.json's spirit).
 
 Scale design (100 TB corpus):
-- training = two groupBy count aggregations (unigrams, bigrams) — both
-  map-side combinable, shuffle keyed on the gram; model size is
-  O(unique grams), never O(corpus).
+- training = ONE groupBy count aggregation over a combined
+  (token, successor|NULL) stream — map-side combinable, shuffle keyed
+  on the gram; unigram and bigram tables re-aggregate the counted
+  table (model-sized); model size is O(unique grams), never O(corpus).
 - scoring = two keyed left joins (doc bigrams → bigram counts, context
   word → unigram counts) + one per-doc re-aggregation. Joins shuffle on
   gram keys; AQE broadcasts the unigram side when it fits.
@@ -56,50 +57,40 @@ class BigramLM:
     alpha: float = 0.4
 
 
-def _bigram_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(_id, w1, w2) adjacent-token pairs — explode the position range
-    and index the token array twice. All-codegen AND shuffle-free:
-    ``element_at`` on an array column is a plain codegen'd expression
-    (unlike higher-order ``transform`` lambdas, which are interpreted —
-    measured ~10× slower on this repo's explode benchmarks), and unlike
-    the per-doc lead-window form this needs NO Exchange+Sort of the
-    exploded token stream (optimization r10, guide §2.4: the window
-    hash-shuffled and sorted every token row only to pair neighbours
-    that already sit next to each other in the same array)."""
-    src = docs.select(
-        F.col(id_col).alias("_id"), _tokens(text_col).alias("_ts")
-    )
-    return (
-        src.filter(F.size("_ts") >= 2)
-        .select(
-            "_id",
-            "_ts",
-            F.explode(
-                F.sequence(F.lit(1), F.size("_ts") - F.lit(1))
-            ).alias("_i"),
-        )
-        .select(
-            "_id",
-            F.element_at("_ts", F.col("_i")).alias("w1"),
-            F.element_at("_ts", F.col("_i") + F.lit(1)).alias("w2"),
-        )
-    )
-
-
 def train_bigram_lm(
     corpus: DataFrame, text_col: str = "text", alpha: float = 0.4
 ) -> BigramLM:
-    """Two count shuffles over the exploded token/bigram streams."""
-    uni = (
-        corpus.select(F.explode(_tokens(text_col)).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    """ONE count shuffle over a combined token/successor stream
+    (optimization r10, guide §2.1/§2.3). Position row i = 1..n carries
+    (w1 = t_i, w2 = t_{i+1} | NULL at i = n), so one (w1, w2) count
+    shuffle yields the unigram counts (group the counted table by w1 —
+    every token occurrence is exactly one row) AND the bigram counts
+    (rows with w2 non-NULL) — the previous shape tokenized and
+    shuffled the corpus twice. Count values and types are unchanged,
+    so the model tables are bit-identical (replay-verified)."""
+    src = corpus.select(_tokens(text_col).alias("_ts"))
+    counts = (
+        src.filter(F.size("_ts") >= 1)
+        .select(
+            "_ts",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_ts"))
+            ).alias("_i"),
+        )
+        .select(
+            F.element_at("_ts", F.col("_i")).alias("w1"),
+            F.try_element_at("_ts", F.col("_i") + F.lit(1)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
-    corpus_id = corpus.select(
-        F.monotonically_increasing_id().alias("_lm_id"), F.col(text_col)
+    counts = counts.persist()
+    uni = counts.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("_c").cast("double").alias("c1")
     )
-    bi = _bigram_rows(corpus_id, "_lm_id", text_col).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("c2")
+    bi = (
+        counts.filter(F.col("w2").isNotNull())
+        .select("w1", "w2", F.col("_c").cast("double").alias("c2"))
     )
     total = uni.agg(F.sum("c1").alias("n_total"))
     return BigramLM(unigrams=uni, bigrams=bi, total=total, alpha=alpha)
