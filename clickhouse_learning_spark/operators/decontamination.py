@@ -79,16 +79,26 @@ def build_gram_bloom(
     n: int = 5,
     bits: int = 1 << 20,
     hashes: int = 5,
+    grams: DataFrame | None = None,
 ):
     """Distributed Bloom-filter build over the eval set's n-gram
     hashes: k = ``hashes`` positions per gram via seeded xxhash64
     (hashing the (gram, seed) pair), mapped to (word, or-mask) pairs
     and bit_or-reduced per 64-bit word — the driver collects only
     ``bits/64`` longs, INDEPENDENT of eval size (the raw gram set never
-    leaves the executors). Returns a numpy uint64 array."""
+    leaves the executors). Returns a numpy uint64 array.
+
+    ``grams``: an already-computed distinct (g) frame for the eval set —
+    callers that also need the gram set for exact verification pass it
+    so the eval corpus is tokenized once, not twice (guide §2.1: don't
+    recompute what a prior stage holds)."""
     import numpy as np
 
-    eg = word_ngram_rows(eval_df, text_col, id_col, n).select("g").distinct()
+    eg = (
+        grams
+        if grams is not None
+        else word_ngram_rows(eval_df, text_col, id_col, n).select("g").distinct()
+    )
     pos = eg.select(
         F.explode(
             F.array(*[
@@ -146,7 +156,18 @@ def bloom_contamination_report(
     — one 128 KB row shipped once per executor, O(1) per-row probes."""
     import numpy as np
 
-    arr = build_gram_bloom(eval_df, text_col, id_col, n, bits, hashes)
+    # ONE tokenize+explode+distinct pass over the eval corpus: the same
+    # persisted gram set feeds the Bloom build (collect of bits/64
+    # longs) and the exact-verify join below. Before, build and verify
+    # each re-derived it from the raw text (optimization r10, guide
+    # §2.1). persist() not unpersist()'d: the frame is model-sized
+    # (distinct gram hashes) and the caller's session owns its cache
+    # lifetime, same as the minhash signature table.
+    eg = word_ngram_rows(eval_df, text_col, id_col, n).select("g").distinct()
+    eg = eg.persist()
+    arr = build_gram_bloom(
+        eval_df, text_col, id_col, n, bits, hashes, grams=eg
+    )
     spark = train.sparkSession
     fdf = spark.createDataFrame(
         [([int(x) for x in arr.astype(np.int64)],)], "_bf: array<bigint>"
@@ -167,7 +188,6 @@ def bloom_contamination_report(
         hit = F.bit_get(word, p % 64) == 1
         ok = hit if ok is None else (ok & hit)
     cand = probed.filter(ok).select("id", "g")
-    eg = word_ngram_rows(eval_df, text_col, id_col, n).select("g").distinct()
     return (
         cand.join(eg, "g")  # exact verify: false positives die here
         .groupBy("id")
