@@ -115,3 +115,22 @@ def test_bloom_build_is_distributed_and_small(spark):
     arr = DC.build_gram_bloom(ev, bits=1 << 12, hashes=3)
     assert arr.shape == (64,)  # 4096 bits / 64
     assert int((arr != 0).sum()) > 0
+
+
+def test_bloom_build_with_precomputed_grams_identical(spark):
+    """build_gram_bloom(grams=...) (optimization r10: the report passes
+    its persisted eval gram frame so the eval corpus is tokenized once)
+    must produce the bit-identical filter the self-derived path builds."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.operators import decontamination as DC
+
+    ev = spark.range(150).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("kappa lambda mu nu xi omicron "),
+                 (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    arr_self = DC.build_gram_bloom(ev, bits=1 << 12, hashes=3)
+    eg = DC.word_ngram_rows(ev).select("g").distinct()
+    arr_pre = DC.build_gram_bloom(ev, bits=1 << 12, hashes=3, grams=eg)
+    assert (arr_self == arr_pre).all()
