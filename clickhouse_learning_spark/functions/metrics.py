@@ -267,23 +267,31 @@ class MetricSpec:
             return F.sum(_as_col(self.weight).cast("long"))
         return F.count(F.lit(1))
 
-    def state_from_counts(self, v: Column, c: Column) -> Column:
+    def state_from_counts(self, v: Column, c: Column, skip_null: bool = False) -> Column:
         """Aggregate expression building the state from pre-aggregated
-        (value, count/sum) rows; use under ``groupBy(dims)``."""
+        (value, count/sum) rows; use under ``groupBy(dims)``.
+
+        ``skip_null=True`` is the single-pass contract used by
+        :func:`build_states`' fast path: NULL-value entries are excluded
+        inside the collect (the caller did NOT pre-filter them) and a
+        group whose values were ALL NULL yields a NULL state — exactly
+        the join-miss NULL of the general two-pass path."""
         if self.kind == "topk":
-            return topk_state_from_counts(v, c, self.topk_reserve).alias(self.name)
+            return topk_state_from_counts(
+                v, c, self.topk_reserve, skip_null=skip_null
+            ).alias(self.name)
         if self.kind == "summap":
-            return (
-                F.collect_list(F.struct(v.alias("k"), c.cast("long").alias("c")))
-                .cast(SUMMAP_STATE_TYPE)
-                .alias(self.name)
-            )
+            pair = F.struct(v.alias("k"), c.cast("long").alias("c"))
+            if skip_null:
+                arr = F.collect_list(F.when(v.isNotNull(), pair)).cast(SUMMAP_STATE_TYPE)
+                return F.when(F.size(arr) > 0, arr).alias(self.name)
+            return F.collect_list(pair).cast(SUMMAP_STATE_TYPE).alias(self.name)
         if self.kind in ("quantile", "quantile_sketch"):
-            return (
-                F.collect_list(F.struct(v.alias("v"), c.cast("long").alias("c")))
-                .cast(QUANTILE_STATE_TYPE)
-                .alias(self.name)
-            )
+            pair = F.struct(v.alias("v"), c.cast("long").alias("c"))
+            if skip_null:
+                arr = F.collect_list(F.when(v.isNotNull(), pair)).cast(QUANTILE_STATE_TYPE)
+                return F.when(F.size(arr) > 0, arr).alias(self.name)
+            return F.collect_list(pair).cast(QUANTILE_STATE_TYPE).alias(self.name)
         raise AssertionError(self.kind)
 
     # -- partial: raw rows -> state (the reference's -State) ------------------
@@ -733,20 +741,30 @@ def summap_from_state(c: Column) -> Column:
     )
 
 
-def topk_state_from_counts(v: Column, c: Column, reserve: int) -> Column:
+def topk_state_from_counts(
+    v: Column, c: Column, reserve: int, skip_null: bool = False
+) -> Column:
     """Aggregate expression building a capped ``topk`` state from
     pre-counted (value, count) rows — the relational write path: the
     engine first does ``groupBy(dims, value).count()`` (a fully-codegen
     two-level hash agg), then collects only the ``reserve`` highest-count
     entries per group (the Space-Saving truncation). Use under
-    ``groupBy(dims)``."""
-    ranked = F.sort_array(
-        F.collect_list(F.struct((-c.cast("long")).alias("nc"), v.alias("v")))
-    )
-    return F.transform(
+    ``groupBy(dims)``.
+
+    ``skip_null=True``: NULL-value entries are dropped inside the
+    collect and an all-NULL group yields a NULL state (the single-pass
+    contract of :func:`build_states`' fast path)."""
+    pair = F.struct((-c.cast("long")).alias("nc"), v.alias("v"))
+    if skip_null:
+        pair = F.when(v.isNotNull(), pair)
+    ranked = F.sort_array(F.collect_list(pair))
+    out = F.transform(
         F.slice(ranked, 1, reserve),
         lambda s: F.struct(s["v"].alias("v"), (-s["nc"]).alias("c")),
     )
+    if skip_null:
+        out = F.when(F.size(ranked) > 0, out)
+    return out
 
 
 def build_states(batch, dims, metrics):
@@ -768,10 +786,6 @@ def build_states(batch, dims, metrics):
 
     plain = [m for m in metrics if m.kind not in MetricSpec.PRECOUNT_KINDS]
     counted = [m for m in metrics if m.kind in MetricSpec.PRECOUNT_KINDS]
-    if plain:
-        base = batch.groupBy(*dims).agg(*[m.partial() for m in plain])
-    else:
-        base = batch.select(*dims).distinct()
     # metrics sharing (cond, value-expression) — e.g. p50/p95/p99 of the
     # same source — share ONE pre-count pipeline and ONE join-back:
     # their states read the same (value, count) rows
@@ -779,7 +793,40 @@ def build_states(batch, dims, metrics):
     for m in counted:
         key = (str(m.cond), str(m.precount_value()), str(m.precount_agg()))
         shared.setdefault(key, []).append(m)
-    for ms in shared.values():
+    groups = list(shared.values())
+    if plain:
+        base = batch.groupBy(*dims).agg(*[m.partial() for m in plain])
+    else:
+        base = None
+        # single-pass fast path (optimization guide §2.1): with no plain
+        # metrics, a cond-free pre-count pipeline already covers every
+        # dims group — every row lands in some (dims, value) group, NULL
+        # values included — so its state table doubles as the base:
+        # no second scan of the batch for select(dims).distinct() and no
+        # join-back for its own metrics. NULL-value entries are excluded
+        # inside the collect (skip_null) and an all-NULL group's state
+        # maps to NULL, the exact join-miss contract of the general path.
+        for i, ms in enumerate(groups):
+            if ms[0].cond is None:
+                lead = ms[0]
+                base = (
+                    batch.groupBy(*dims, lead.precount_value().alias("_v"))
+                    .agg(lead.precount_agg().alias("_c"))
+                    .groupBy(*dims)
+                    .agg(
+                        *[
+                            m.state_from_counts(
+                                F.col("_v"), F.col("_c"), skip_null=True
+                            )
+                            for m in ms
+                        ]
+                    )
+                )
+                groups = groups[:i] + groups[i + 1 :]
+                break
+        if base is None:
+            base = batch.select(*dims).distinct()
+    for ms in groups:
         lead = ms[0]
         src = batch
         if lead.cond is not None:

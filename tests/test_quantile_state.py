@@ -144,3 +144,53 @@ def test_quantile_weighted_explicit_weight(spark):
         .agg(spec.merged_finalized()).collect()[0]["m"]
     )
     assert got2 == 99
+
+
+def test_build_states_single_pass_fast_path(spark):
+    """build_states with ONLY pre-count metrics and no -If cond takes the
+    single-pass path (r10 optimization): one scan, no join-back — while
+    keeping the exact two-pass contract: NULL values are excluded from
+    the entries, and a dims group whose values are ALL NULL still
+    appears, with a NULL state (the old join-miss NULL)."""
+    from clickhouse_learning_spark.functions.metrics import build_states
+
+    rows = [
+        (1, 5, 2), (1, 5, 1), (1, None, 9), (1, 7, 1),   # mixed NULLs
+        (2, None, 3), (2, None, 1),                       # all-NULL group
+        (3, 4, 5),
+    ]
+    df = spark.createDataFrame(rows, "g int, v long, w long")
+
+    q = MetricSpec("q", "quantile", "v", level=0.5)
+    st = build_states(df, ("g",), (q,))
+    # plan shape: single scan, no join (the fast path)
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    got = {r["g"]: r["q"] for r in st.collect()}
+    assert sorted(got.keys()) == [1, 2, 3]
+    assert sorted((e["v"], e["c"]) for e in got[1]) == [(5, 2), (7, 1)]
+    assert got[2] is None  # all-NULL group: NULL state, not []
+    assert [(e["v"], e["c"]) for e in got[3]] == [(4, 1)]
+    # finalize parity: NULL state → NULL quantile
+    fin = st.groupBy("g").agg(q.merged_finalized()).collect()
+    assert {r["g"]: r["q"] for r in fin} == {1: 5, 2: None, 3: 4}
+
+    # summap: NULL keys excluded, all-NULL → NULL state
+    sm = MetricSpec("m", "summap", "v", weight="w")
+    stm = build_states(df, ("g",), (sm,))
+    gotm = {r["g"]: r["m"] for r in stm.collect()}
+    assert sorted((e["k"], e["c"]) for e in gotm[1]) == [("5", 3), ("7", 1)]
+    assert gotm[2] is None
+    # topk: capped, NULL-safe
+    tk = MetricSpec("t", "topk", "v", k=1)
+    stt = build_states(df, ("g",), (tk,))
+    gott = {r["g"]: r["t"] for r in stt.collect()}
+    assert [(e["v"], e["c"]) for e in gott[1]][0] == (5, 2)
+    assert gott[2] is None
+
+    # a -If cond still takes the general join path with the same output
+    qc = MetricSpec("q", "quantile", "v", level=0.5, cond="w >= 2")
+    stc = build_states(df, ("g",), (qc,))
+    gotc = {r["g"]: r["q"] for r in stc.collect()}
+    assert sorted((e["v"], e["c"]) for e in gotc[1]) == [(5, 1)]
+    assert gotc[2] is None and gotc[3] is not None
