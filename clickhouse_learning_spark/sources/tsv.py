@@ -43,11 +43,14 @@ _UNESCAPES = {
 }
 
 
+_TRANS = str.maketrans(_ESCAPES)
+# one C regex scan decides whether a column needs the escape walk at
+# all (r10 writer fast path) — exactly the _ESCAPES key set
+_NEEDS_ESCAPE_RE = r"[\\\t\n\r\x08\x0c\x00']"
+
+
 def escape_value(s: str) -> str:
-    out = []
-    for ch in s:
-        out.append(_ESCAPES.get(ch, ch))
-    return "".join(out)
+    return s.translate(_TRANS)
 
 
 def _split_row(line: str) -> list[str | None]:
@@ -162,6 +165,43 @@ class _TsvType:
         frac = f"{v.microsecond:06d}"[: self.scale].ljust(self.scale, "0")
         base = v.strftime("%Y-%m-%d %H:%M:%S")
         return f"{base}.{frac}" if self.scale else base
+
+    def render_array(self, col, null_token: str):
+        """Whole-column render of one Arrow array (r10, guide §4.3) —
+        returns a pyarrow string array with ``null_token`` substituted
+        for NULLs. Int formats as an Arrow C cast (plain decimal,
+        byte-identical to ``str(int(v))`` — edge-pinned in
+        tests/test_tsv.py); Float walks a ``repr`` loop (Python's
+        shortest-roundtrip text IS the format contract); String escapes
+        only when an escapable character is present anywhere in the
+        column (one C regex scan decides); Date/DateTime walk
+        :meth:`render`, the semantics source of truth."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if self.base == "Int":
+            return pc.fill_null(pc.cast(col, pa.string()), null_token)
+        if self.base == "Float":
+            out = pa.array(
+                [None if v is None else repr(v) for v in col.to_pylist()],
+                type=pa.string(),
+            )
+            return pc.fill_null(out, null_token)
+        if self.base == "String":
+            hits = pc.match_substring_regex(col, _NEEDS_ESCAPE_RE)
+            if pc.any(hits).as_py():
+                out = pa.array(
+                    [None if v is None else escape_value(v) for v in col.to_pylist()],
+                    type=pa.string(),
+                )
+            else:
+                out = col
+            return pc.fill_null(out, null_token)
+        out = pa.array(
+            [None if v is None else self.render(v) for v in col.to_pylist()],
+            type=pa.string(),
+        )
+        return pc.fill_null(out, null_token)
 
     def parse(self, s: str | None):
         if s is None:
@@ -489,20 +529,44 @@ def write_tsv(
             + "\t".join(escape_value(t) for t in ch_types) + "\n"
         )
 
-    def write_part(it):
+    # mapInArrow writer (r10, guide §1.4/§4.3): the former
+    # df.rdd.mapPartitions path pickled every row out to Python; Arrow
+    # batches + whole-column rendering write the byte-identical files
+    # (parity pinned in tests/test_tsv.py)
+    def write_part(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         convs = [_TsvType(t) for t in types_local]
-        lines = [header] if header else []
-        n = 0
-        for row in it:
-            lines.append(
-                "\t".join(c.render(v) for c, v in zip(convs, row)) + "\n"
+        chunks = []
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            cols = [
+                c.render_array(b.column(j), "\\N") for j, c in enumerate(convs)
+            ]
+            chunks.append(
+                pc.binary_join_element_wise(*cols, "\t")
+                if len(cols) > 1
+                else cols[0]
             )
-            n += 1
-        if n == 0:
-            return iter(())
+        if not chunks:
+            return
+        lines = pa.concat_arrays(chunks)
+        # one C-side join of the whole partition; the trailing "\n"
+        # keeps the file byte-identical to the per-line writer
+        la = pa.ListArray.from_arrays(
+            pa.array([0, len(lines)], type=pa.int32()), lines
+        )
+        body = pc.binary_join(la, "\n")[0].as_py()
         fname = os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.tsv")
         with open(fname, "w", encoding="utf-8", newline="") as f:
-            f.write("".join(lines))
-        return iter((fname,))
+            if header:
+                f.write(header)
+            f.write(body)
+            f.write("\n")
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([fname], type=pa.string())], names=["fname"]
+        )
 
-    return len(df.rdd.mapPartitions(write_part).collect())
+    return len(df.mapInArrow(write_part, "fname string").collect())

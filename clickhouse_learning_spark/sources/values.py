@@ -53,12 +53,14 @@ _UNESCAPES = {
 }
 
 
+_TRANS = str.maketrans(_ESCAPES)
+# one C regex scan decides whether a column needs the escape walk at
+# all (r10 writer fast path) — exactly the _ESCAPES key set
+_NEEDS_ESCAPE_RE = r"[\\\t\n\r\x08\x0c\x00']"
+
+
 def _quote(s: str) -> str:
-    out = ["'"]
-    for ch in s:
-        out.append(_ESCAPES.get(ch, ch))
-    out.append("'")
-    return "".join(out)
+    return "'" + s.translate(_TRANS) + "'"
 
 
 def _unquote(s: str) -> str:
@@ -138,6 +140,35 @@ class _ValuesType:
             return _quote(str(v))
         # Date/DateTime/DateTime64 reuse the TSV digits, quoted
         return "'" + c.render(v) + "'"
+
+    def render_array(self, col, null_token: str = "NULL"):
+        """Whole-column render of one Arrow array (r10, guide §4.3) —
+        returns a pyarrow string array. Int/Float delegate to the
+        shared Arrow lanes (:meth:`_TsvType.render_array`, identical
+        text forms); String quote-wraps in C, paying the escape walk
+        only when one regex scan finds an escapable character; dates
+        and composites walk :meth:`render`, the semantics source of
+        truth."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if self.inner is None and self.core.base in ("Int", "Float"):
+            return self.core.render_array(col, null_token)
+        if self.inner is None and self.core.base == "String":
+            hits = pc.match_substring_regex(col, _NEEDS_ESCAPE_RE)
+            if pc.any(hits).as_py():
+                out = pa.array(
+                    [None if v is None else _quote(v) for v in col.to_pylist()],
+                    type=pa.string(),
+                )
+            else:
+                out = pc.binary_join_element_wise("'", col, "'", "")
+            return pc.fill_null(out, null_token)
+        out = pa.array(
+            [null_token if v is None else self.render(v) for v in col.to_pylist()],
+            type=pa.string(),
+        )
+        return out
 
     def parse(self, raw: str):
         raw = raw.strip()
@@ -466,18 +497,37 @@ def write_values(
     conv = [_ValuesType(t) for t in ch_types]
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_part(it):
-        lines = []
-        for row in it:
-            lines.append(
-                "(" + ",".join(c.render(v) for c, v in zip(conv, row)) + ")"
+    # mapInArrow writer (r10, guide §1.4/§4.3): the former
+    # df.rdd.mapPartitions path pickled every row out to Python; Arrow
+    # batches + whole-column rendering write the byte-identical files
+    # (parity pinned in tests/test_values.py)
+    def write_part(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        chunks = []
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            cols = [c.render_array(b.column(j)) for j, c in enumerate(conv)]
+            body = (
+                pc.binary_join_element_wise(*cols, ",")
+                if len(cols) > 1
+                else cols[0]
             )
-        if not lines:
-            return iter(())
+            chunks.append(pc.binary_join_element_wise("(", body, ")", ""))
+        if not chunks:
+            return
+        lines = pa.concat_arrays(chunks)
+        la = pa.ListArray.from_arrays(
+            pa.array([0, len(lines)], type=pa.int32()), lines
+        )
         fname = os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.values")
         with open(fname, "w", encoding="utf-8") as fh:
-            fh.write(",\n".join(lines))
+            fh.write(pc.binary_join(la, ",\n")[0].as_py())
             fh.write("\n")
-        return iter((fname,))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([fname], type=pa.string())], names=["fname"]
+        )
 
-    return len(df.rdd.mapPartitions(write_part).collect())
+    return len(df.mapInArrow(write_part, "fname string").collect())

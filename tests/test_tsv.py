@@ -137,3 +137,54 @@ def test_read_tsv_split_parity(spark, tmp_path):
         key=key,
     )
     assert split2 == base
+
+
+def test_arrow_int_cast_lane_matches_scalar_render():
+    """The r10 vectorized writer's Int lane (pyarrow cast int64→string)
+    must be byte-identical to str(int(v)) across random values and the
+    int64 boundaries."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng(20261)
+    i = rng.integers(-(2**63), 2**63 - 1, size=50_000, dtype=np.int64)
+    i[:2] = [-(2**63), 2**63 - 1]
+    got = pc.cast(pa.array(i), pa.string()).to_pylist()
+    assert got == [str(int(x)) for x in i.tolist()]
+
+
+def test_write_tsv_byte_parity_with_scalar_render(spark, tmp_path):
+    """The mapInArrow writer produces byte-identical files to the
+    scalar render walk (guide §4.3 change must not move a single
+    byte): one partition → one file, compared against a reference
+    rendering of the collected rows."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    types = ["Int64", "Float64", "Nullable(String)", "DateTime", "Date"]
+    df = spark.range(300).select(
+        (F.col("id") * 982451653 - 2**62).alias("k"),
+        F.when(F.col("id") % 7 == 0, F.lit(float("nan")))
+        .when(F.col("id") % 7 == 1, F.col("id") / 3.0)
+        .otherwise(F.col("id") * 1e13 + 0.5).alias("x"),
+        F.when(F.col("id") % 3 == 0, F.concat(
+            F.lit("a\tb\\c\n'"), F.col("id").cast("string"))).alias("s"),
+        F.timestamp_seconds(F.col("id") * 9973).alias("ts"),
+        F.date_add(F.lit("2020-01-01"), F.col("id").cast("int")).alias("d"),
+    ).coalesce(1)
+    out = str(tmp_path / "tsv_bytes")
+    assert TSV.write_tsv(df, out, types) == 1
+    got = open(glob.glob(out + "/part-*.tsv")[0], encoding="utf-8").read()
+
+    convs = [TSV._TsvType(t) for t in types]
+    names = df.columns
+    header = ("\t".join(TSV.escape_value(n) for n in names) + "\n"
+              + "\t".join(TSV.escape_value(t) for t in types) + "\n")
+    body = "".join(
+        "\t".join("\\N" if v is None else c.render(v)
+                  for c, v in zip(convs, row)) + "\n"
+        for row in df.collect()
+    )
+    assert got == header + body

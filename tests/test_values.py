@@ -133,3 +133,36 @@ def test_spark_roundtrip_and_split_parity(spark, typed_df, tmp_path):
                                 chunk_bytes=512)
     c = sorted((tuple(r) for r in split.collect()), key=_key)
     assert c == b
+
+
+def test_write_values_byte_parity_with_scalar_render(spark, tmp_path):
+    """The r10 mapInArrow writer produces byte-identical files to the
+    scalar render walk — quoting, escapes, NULLs, arrays, float/int
+    text lanes."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_learning_spark.sources import values as VAL
+
+    types = ["Int64", "Float64", "Nullable(String)", "Array(Int64)", "DateTime"]
+    df = spark.range(300).select(
+        (F.col("id") * 982451653 - 2**62).alias("k"),
+        F.when(F.col("id") % 7 == 0, F.lit(float("inf")))
+        .otherwise(F.col("id") / 7.0).alias("x"),
+        F.when(F.col("id") % 3 == 0, F.concat(
+            F.lit("it's a \\ test,\n"), F.col("id").cast("string"))).alias("s"),
+        F.array(F.col("id"), F.col("id") * 2).alias("a"),
+        F.timestamp_seconds(F.col("id") * 9973).alias("ts"),
+    ).coalesce(1)
+    out = str(tmp_path / "val_bytes")
+    assert VAL.write_values(df, out, types) == 1
+    got = open(glob.glob(out + "/part-*.values")[0], encoding="utf-8").read()
+
+    conv = [VAL._ValuesType(t) for t in types]
+    lines = [
+        "(" + ",".join("NULL" if v is None else c.render(v)
+                       for c, v in zip(conv, row)) + ")"
+        for row in df.collect()
+    ]
+    assert got == ",\n".join(lines) + "\n"
