@@ -132,17 +132,23 @@ def mann_whitney(
     n2 = int(len(v) - n1)
     if n1 == 0 or n2 == 0:
         return float("nan"), float("nan")
-    # midranks: average rank over each tie run
+    # midranks: average rank over each tie run. Whole-array run
+    # detection (r10, guide §4.2): the former per-run Python walk cost
+    # O(distinct values) interpreted iterations per group; the
+    # adjacent-inequality form computes the identical (i + j)/2 + 1
+    # midranks — including the loop's NaN behavior, since NaN != NaN
+    # makes every NaN its own run both ways.
     order = np.argsort(v, kind="mergesort")
-    ranks = np.empty(len(v), dtype=np.float64)
     sv = v[order]
-    i = 0
-    while i < len(sv):
-        j = i
-        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
-            j += 1
-        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
-        i = j + 1
+    n_all = len(sv)
+    newrun = np.empty(n_all, dtype=bool)
+    newrun[0] = True
+    np.not_equal(sv[1:], sv[:-1], out=newrun[1:])
+    starts = np.flatnonzero(newrun)
+    ends = np.append(starts[1:], n_all) - 1
+    mid = (starts + ends) / 2.0 + 1.0
+    ranks = np.empty(n_all, dtype=np.float64)
+    ranks[order] = mid[np.cumsum(newrun) - 1]
     r1 = float(ranks[first].sum())
     u1 = r1 - n1 * (n1 + 1) / 2.0
     mu = n1 * n2 / 2.0

@@ -244,3 +244,46 @@ def test_mean_z_test_end_to_end(spark):
     assert r.col4 == pytest.approx(-1.0 + zc * se, rel=1e-12)
     with pytest.raises(ValueError, match="meanZTest"):
         translate("SELECT meanZTest(1.0)(v, g) FROM t")
+
+
+def test_mann_whitney_vectorized_midranks_match_run_walk():
+    """r10: the whole-array midrank computation must stay bit-identical
+    to the per-run walk it replaced — heavy ties, no ties, and NaN
+    values (each NaN its own run, both ways)."""
+    import numpy as np
+
+    def reference(values, idx, alternative, cc):
+        v = np.asarray(values, dtype=np.float64)
+        g = np.asarray(idx)
+        first = g == 0
+        order = np.argsort(v, kind="mergesort")
+        ranks = np.empty(len(v), dtype=np.float64)
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        return float(ranks[first].sum())
+
+    rng = np.random.default_rng(31)
+    for trial in range(60):
+        n = int(rng.integers(2, 300))
+        kind = trial % 3
+        if kind == 0:
+            v = rng.integers(0, 8, n).astype(float)
+        elif kind == 1:
+            v = rng.normal(size=n)
+        else:
+            v = rng.integers(0, 5, n).astype(float)
+            v[rng.random(n) < 0.15] = np.nan
+        g = rng.integers(0, 2, n)
+        if (g == 0).sum() in (0, n):
+            continue
+        n1 = int((g == 0).sum())
+        r1 = reference(v, g, "two-sided", True)
+        u_ref = r1 - n1 * (n1 + 1) / 2.0
+        u, _ = mann_whitney(v.tolist(), g.tolist())
+        assert u == u_ref, (trial, u, u_ref)
